@@ -1,0 +1,47 @@
+"""profiler — a PySpark-native profiling + constraint-validation engine.
+
+A from-scratch re-expression of the *semantics* of ``stelar-eu/data-profiler``
+(reference snapshot at /root/reference, surveyed in SURVEY.md) on idiomatic
+PySpark: the engine compiles (schema + types_dict + constraint spec) into a
+small set of declarative DataFrame jobs — one wide single-pass aggregate, a
+shared frequency pass, and a handful of targeted window/group jobs — and
+assembles a reference-compatible profile document, per-partition pass/fail
+summaries, materialized violation rows, distribution-drift reports, and a
+resumable per-partition checkpoint table.
+
+Nothing here is a port: the reference is eager single-threaded pandas
+(see SURVEY.md §0); this engine is built for a 1000-executor cluster and
+verified for scaling efficiency between two parallelism levels.
+"""
+
+from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible
+from profiler.profile import profile_table
+from profiler.detect import detect_types
+from profiler.constraints import (
+    ConstraintSuite,
+    unique_key,
+    dense_sequence,
+    domain,
+    not_null,
+    row_predicate,
+)
+from profiler.drift import drift_report
+from profiler.report import assemble_profile_document
+
+__all__ = [
+    "TRANSCRIPTS_SCHEMA",
+    "TypesDict",
+    "detect_compatible",
+    "profile_table",
+    "detect_types",
+    "ConstraintSuite",
+    "unique_key",
+    "dense_sequence",
+    "domain",
+    "not_null",
+    "row_predicate",
+    "drift_report",
+    "assemble_profile_document",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,276 @@
+"""Executable constraints: uniqueness, dense-sequence referential integrity,
+domain membership, not-null, and generic row predicates.
+
+The reference has no constraint engine (it only *profiles*); this module is
+the "extends them into executable constraints" half of the north rule. Every
+constraint compiles to declarative DataFrame programs that emit BOTH:
+
+* **violation rows** — a uniform schema
+  ``(constraint, partition_key, keys map<string,string>, details map<string,string>)``
+  materialized for exact assertion / writing to a violations table, and
+* **per-partition pass/fail summaries** —
+  ``(partition_key, constraint, n_violations, passed)`` joined against the
+  full partition universe so empty partitions still report ``passed=true``.
+
+Scale notes (100 TB / 10^12 turns):
+* ``unique_key`` finds duplicate keys with a groupBy (partial-aggregated
+  map-side) and materializes offending rows via a **broadcast semi-join** of
+  the (rare) duplicate keys back onto the fact table — never a window sort
+  over the full table.
+* ``dense_sequence`` uses the aggregate form (min/max/count/count_distinct
+  per group) rather than ``row_number`` sorts, and optionally **salts** the
+  partial aggregation on ``pmod(seq, n_salt)``: because the salt is a
+  function of the sequence value, per-salt distinct counts are disjoint and
+  sum exactly — a whale conversation's state is built on n_salt tasks
+  instead of one (BASELINE.json skew requirement).
+* domain / not-null / predicate checks are pure filters — pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+VIOLATION_COLS = ("constraint", "partition_key", "keys", "details")
+
+
+def _kv_map(pairs: dict[str, Column]) -> Column:
+    args = []
+    for k, v in pairs.items():
+        args += [F.lit(k), v.cast("string")]
+    return F.map_from_arrays(
+        F.array(*args[::2]), F.array(*args[1::2])
+    )
+
+
+def _violations_schema_select(
+    df: DataFrame, name: str, part: Column, keys: dict[str, Column], details: dict[str, Column]
+) -> DataFrame:
+    return df.select(
+        F.lit(name).alias("constraint"),
+        part.cast("string").alias("partition_key"),
+        _kv_map(keys).alias("keys"),
+        _kv_map(details).alias("details"),
+    )
+
+
+@dataclass
+class Constraint:
+    name: str
+    # fn(df, partition_expr) -> violations DataFrame in VIOLATION_COLS schema
+    violations_fn: Callable[[DataFrame, Column], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# Constraint constructors
+# --------------------------------------------------------------------------
+def unique_key(cols: Sequence[str], name: str | None = None) -> Constraint:
+    cname = name or f"unique({','.join(cols)})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        dup_keys = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__dup_cnt"))
+            .where(F.col("__dup_cnt") > 1)
+        )
+        # duplicates are rare by assumption → broadcast the key list
+        offending = df.join(F.broadcast(dup_keys), list(cols), "inner")
+        return _violations_schema_select(
+            offending,
+            cname,
+            part,
+            {c: F.col(c) for c in cols},
+            {"duplicate_count": F.col("__dup_cnt")},
+        )
+
+    return Constraint(cname, fn)
+
+
+def dense_sequence(
+    group_col: str,
+    seq_col: str,
+    name: str | None = None,
+    n_salt: int = 16,
+    materialize_missing: bool = True,
+) -> Constraint:
+    """Per group: seq must be exactly {0..count-1} with no dups/holes.
+
+    Aggregate form (SURVEY §2.5): group passes iff
+    ``min=0 AND max=count-1 AND count_distinct=count``. Salted partial
+    aggregation on ``pmod(seq, n_salt)`` keeps whale groups off a single task;
+    distinct counts are exact because salt partitions the sequence domain.
+    """
+    cname = name or f"dense({seq_col} per {group_col})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        g, s = F.col(group_col), F.col(seq_col).cast("long")
+        partial = (
+            df.select(
+                g.alias("__g"),
+                s.alias("__s"),
+                part.cast("string").alias("__p"),
+            )
+            .groupBy("__g", F.pmod(F.col("__s"), F.lit(n_salt)).alias("__salt"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("__s").alias("mn"),
+                F.max("__s").alias("mx"),
+                F.count_distinct(F.col("__s")).alias("nd"),
+                F.min("__p").alias("__p"),
+            )
+        )
+        per_group = partial.groupBy("__g").agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.sum("nd").alias("nd"),  # exact: salt = f(seq) → disjoint domains
+            F.min("__p").alias("__p"),
+        )
+        bad = per_group.where(
+            ~((F.col("mn") == 0) & (F.col("mx") == F.col("cnt") - 1) & (F.col("nd") == F.col("cnt")))
+        )
+        details: dict[str, Column] = {
+            "count": F.col("cnt"),
+            "min_seq": F.col("mn"),
+            "max_seq": F.col("mx"),
+            "n_distinct_seq": F.col("nd"),
+        }
+        if materialize_missing:
+            # only for the (few) failing groups: recover the exact missing
+            # indices with a broadcast semi-join + per-group set difference
+            missing = (
+                df.join(
+                    F.broadcast(bad.select(F.col("__g").alias(group_col), "mx")),
+                    group_col,
+                    "inner",
+                )
+                .groupBy(group_col)
+                .agg(
+                    F.array_except(
+                        F.sequence(F.lit(0).cast("long"), F.max(F.col(seq_col).cast("long"))),
+                        F.collect_set(F.col(seq_col).cast("long")),
+                    ).alias("missing_seq")
+                )
+            )
+            bad = bad.join(
+                missing.select(F.col(group_col).alias("__g"), "missing_seq"), "__g", "left"
+            )
+            details["missing_seq"] = F.to_json(F.col("missing_seq"))
+        return _violations_schema_select(
+            bad, cname, F.col("__p"), {group_col: F.col("__g")}, details
+        )
+
+    return Constraint(cname, fn)
+
+
+def domain(
+    col: str, allowed: Sequence[str], nullable: bool = True, name: str | None = None
+) -> Constraint:
+    cname = name or f"domain({col})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        c = F.col(col)
+        pred = ~c.isin(*allowed)
+        pred = (c.isNotNull() & pred) if nullable else (c.isNull() | pred)
+        return _violations_schema_select(
+            df.where(pred), cname, part, {col: c}, {"value": c}
+        )
+
+    return Constraint(cname, fn)
+
+
+def not_null(col: str, name: str | None = None) -> Constraint:
+    cname = name or f"not_null({col})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        return _violations_schema_select(
+            df.where(F.col(col).isNull()), cname, part, {}, {"column": F.lit(col)}
+        )
+
+    return Constraint(cname, fn)
+
+
+def row_predicate(name: str, sql_predicate: str) -> Constraint:
+    """Rows violating an arbitrary SQL boolean expression (must hold)."""
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        return _violations_schema_select(
+            df.where(~F.expr(sql_predicate) | F.expr(sql_predicate).isNull()),
+            name,
+            part,
+            {},
+            {"predicate": F.lit(sql_predicate)},
+        )
+
+    return Constraint(name, fn)
+
+
+# --------------------------------------------------------------------------
+# Suite runner
+# --------------------------------------------------------------------------
+@dataclass
+class ValidationResult:
+    violations: DataFrame       # uniform violation rows (all constraints)
+    summary: DataFrame          # (partition_key, constraint, n_violations, passed)
+    partition_rows: DataFrame   # (partition_key, n_rows)
+
+    def passed(self) -> bool:
+        return self.summary.where(~F.col("passed")).limit(1).count() == 0
+
+
+@dataclass
+class ConstraintSuite:
+    constraints: list[Constraint] = field(default_factory=list)
+    # SQL expression producing the partition key, e.g. "to_date(ts)"
+    partition_expr: str = "CAST(NULL AS STRING)"
+
+    def add(self, c: Constraint) -> "ConstraintSuite":
+        self.constraints.append(c)
+        return self
+
+    def validate(self, df: DataFrame) -> ValidationResult:
+        part = F.expr(self.partition_expr)
+        parts = [c.violations_fn(df, part) for c in self.constraints]
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p)
+
+        partition_rows = (
+            df.groupBy(part.cast("string").alias("partition_key"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        # universe = partitions × constraints, so untouched cells report pass
+        universe = partition_rows.crossJoin(
+            df.sparkSession.createDataFrame(
+                [(c.name,) for c in self.constraints], "constraint string"
+            )
+        )
+        counts = violations.groupBy("partition_key", "constraint").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        summary = (
+            universe.join(counts, ["partition_key", "constraint"], "left")
+            .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
+            .withColumn("passed", F.col("n_violations") == 0)
+            .select("partition_key", "constraint", "n_rows", "n_violations", "passed")
+        )
+        return ValidationResult(violations, summary, partition_rows)
+
+
+def transcripts_suite(
+    role_domain: Sequence[str] = ("system", "user", "assistant", "tool"),
+    tool_domain: Sequence[str] = ("search", "code", "browser", "none"),
+) -> ConstraintSuite:
+    """The standard suite for the transcripts table (BASELINE.json)."""
+    return ConstraintSuite(
+        constraints=[
+            unique_key(["conv_id", "turn_idx"]),
+            dense_sequence("conv_id", "turn_idx"),
+            domain("role", list(role_domain), nullable=False),
+            domain("tool", list(tool_domain), nullable=True),
+            not_null("conv_id"),
+        ],
+        partition_expr="CAST(to_date(ts) AS STRING)",
+    )

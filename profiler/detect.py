@@ -1,0 +1,150 @@
+"""Semantic type detection as ONE wide aggregate pass.
+
+Reproduces the reference's detection lattice (``find_types``, reference
+``tabular_timeseries/variables/utils.py:288-430``) without its per-column
+Python loops: every probe — datetime-parseability, WKT-parseability,
+boolean-token membership, float-castability, distinct ratio — is a fraction
+computed by ``try_cast``/``rlike``/``isin`` aggregates inside a single
+``df.agg(...)``, so detection costs one scan regardless of column count.
+
+Detection order per column (reference :354-428):
+  all-null → Unsupported; timestamp/date dtype → DateTime; boolean dtype →
+  Boolean; numeric dtype → Categorical when 1..5 distinct values AND
+  distinct-ratio < num_cat_perc_threshold (default 0.5), else Numeric (or
+  TimeSeries in ts_mode when lag-autocorrelation ≥ 0.1 at lag ∈
+  {1,7,12,24,30}, reference :274-285); string dtype probed in order:
+  datetime → geometry(WKT) → boolean tokens → numeric → categorical-by-ratio
+  → Textual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from profiler.schema import (
+    BOOLEAN,
+    CATEGORICAL,
+    DATETIME,
+    GEOMETRY,
+    NUMERIC,
+    TEXTUAL,
+    TIMESERIES,
+    UNSUPPORTED,
+    TypesDict,
+)
+
+BOOL_TOKENS = ("t", "f", "yes", "no", "y", "n", "true", "false")
+_WKT_RE = (
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|"
+    r"MULTIPOLYGON|GEOMETRYCOLLECTION)\s*\(.*\)\s*$"
+)
+AUTOCORR_LAGS = (1, 7, 12, 24, 30)
+
+
+def detect_types(
+    df: DataFrame,
+    num_cat_perc_threshold: float = 0.5,
+    max_categories: int = 5,
+    ts_mode: bool = False,
+    ts_mode_datetime_col: str | None = None,
+) -> TypesDict:
+    exprs = []
+    string_cols, numeric_cols = [], []
+    fixed: dict[str, str] = {}
+    for f_ in df.schema.fields:
+        c, dt = f_.name, f_.dataType
+        exprs.append(F.count(F.col(c)).alias(f"{c} count"))
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            fixed[c] = DATETIME
+        elif isinstance(dt, T.BooleanType):
+            fixed[c] = BOOLEAN
+        elif isinstance(dt, T.NumericType):
+            numeric_cols.append(c)
+            exprs.append(F.count_distinct(F.col(c)).alias(f"{c} n_distinct"))
+        elif isinstance(dt, T.StringType):
+            string_cols.append(c)
+            col = F.col(c)
+            exprs += [
+                F.count_distinct(col).alias(f"{c} n_distinct"),
+                F.avg(
+                    F.coalesce(
+                        F.try_to_timestamp(col),
+                        F.expr(f"try_cast(`{c}` as date)").cast("timestamp"),
+                    )
+                    .isNotNull()
+                    .cast("double")
+                ).alias(f"{c} frac_datetime"),
+                F.avg(col.rlike(_WKT_RE).cast("double")).alias(f"{c} frac_wkt"),
+                F.avg(F.lower(F.trim(col)).isin(*BOOL_TOKENS).cast("double")).alias(
+                    f"{c} frac_bool"
+                ),
+                F.avg(
+                    F.expr(f"try_cast(`{c}` as double)").isNotNull().cast("double")
+                ).alias(f"{c} frac_numeric"),
+            ]
+        else:
+            fixed[c] = UNSUPPORTED
+
+    row = df.agg(*exprs).collect()[0].asDict()
+    out: dict[str, dict] = {}
+    for f_ in df.schema.fields:
+        c = f_.name
+        count = row[f"{c} count"]
+        if count == 0:
+            out[c] = {"type": UNSUPPORTED}
+            continue
+        if c in fixed:
+            out[c] = {"type": fixed[c]}
+            continue
+        nd = row.get(f"{c} n_distinct") or 0
+        ratio = nd / count if count else 1.0
+        if c in numeric_cols:
+            if 1 <= nd <= max_categories and ratio < num_cat_perc_threshold:
+                out[c] = {"type": CATEGORICAL}
+            elif ts_mode and ts_mode_datetime_col and _is_timeseries(
+                df, c, ts_mode_datetime_col
+            ):
+                out[c] = {"type": TIMESERIES}
+            else:
+                out[c] = {"type": NUMERIC}
+            continue
+        # string lattice, reference order (:354-428)
+        if row[f"{c} frac_datetime"] == 1.0:
+            out[c] = {"type": DATETIME}
+        elif row[f"{c} frac_wkt"] == 1.0:
+            out[c] = {"type": GEOMETRY}
+        elif row[f"{c} frac_bool"] == 1.0:
+            out[c] = {"type": BOOLEAN}
+        elif row[f"{c} frac_numeric"] == 1.0:
+            if 1 <= nd <= max_categories and ratio < num_cat_perc_threshold:
+                out[c] = {"type": CATEGORICAL}
+            else:
+                out[c] = {"type": NUMERIC}
+        elif ratio < num_cat_perc_threshold:
+            out[c] = {"type": CATEGORICAL}
+        else:
+            out[c] = {"type": TEXTUAL}
+    return TypesDict(out)
+
+
+def _is_timeseries(df: DataFrame, col: str, ts_col: str) -> bool:
+    """Lag-autocorrelation probe (reference ``variables/utils.py:274-285``).
+
+    Uses a global ordered window — acceptable because ts_mode inputs are
+    long-thin single-axis tables (the reference's timeseries CSVs); the
+    at-scale path is per-series grouping, see profiler.timeseries.
+    """
+    w = Window.orderBy(ts_col)
+    c = F.col(col).cast("double")
+    aggs = [
+        F.corr(c, F.lag(c, k).over(w)).alias(f"lag{k}") for k in AUTOCORR_LAGS
+    ]
+    r = df.select(c.alias(col), F.col(ts_col)).select(
+        F.col(col).alias("v"), F.col(ts_col)
+    ).select(*[F.lag("v", k).over(w).alias(f"l{k}") for k in AUTOCORR_LAGS], F.col("v"))
+    row = r.agg(
+        *[F.corr("v", f"l{k}").alias(f"lag{k}") for k in AUTOCORR_LAGS]
+    ).collect()[0]
+    return any((row[f"lag{k}"] or 0.0) >= 0.1 for k in AUTOCORR_LAGS)

@@ -1,0 +1,161 @@
+"""Distribution-drift detection between table partitions: KS + PSI.
+
+Not in the reference (it profiles one table at a time); required by the north
+rule ("KS/PSI distribution-drift tests between partition snapshots").
+
+Design for scale: the full data is reduced to a per-partition histogram
+sketch with ONE ``groupBy(partition, bucket)`` pass (fixed-width buckets from
+a global min/max pre-pass for numeric columns; raw values for categorical
+columns). The sketch is tiny (partitions × ≤bins rows); partition pairs are
+then compared with a vectorized **Arrow-batched ``applyInPandas``** computing
+the KS statistic (max CDF gap over the shared binning) and PSI (with epsilon
+smoothing) — no per-row Python anywhere, and the expensive pass is a single
+partial-aggregated shuffle of bucket counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class DriftConfig:
+    n_bins: int = 50
+    psi_epsilon: float = 1e-6
+    ks_threshold: float = 0.1
+    psi_threshold: float = 0.2
+
+
+def _histogram_sketch(
+    df: DataFrame, column: str, partition_expr: str, numeric: bool, n_bins: int
+) -> DataFrame:
+    part = F.expr(partition_expr).cast("string").alias("partition_key")
+    c = F.col(column)
+    if numeric:
+        lohi = df.agg(
+            F.min(c.cast("double")).alias("lo"), F.max(c.cast("double")).alias("hi")
+        ).collect()[0]
+        lo, hi = lohi["lo"], lohi["hi"]
+        if lo is None or hi is None or hi <= lo:
+            bucket = F.when(c.isNotNull(), F.lit(0))
+        else:
+            width = (hi - lo) / n_bins
+            raw = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+            bucket = F.when(c.cast("double") >= hi, F.lit(n_bins - 1)).otherwise(
+                F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+            )
+        bucket = bucket.cast("string")
+    else:
+        bucket = c.cast("string")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(part, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_DRIFT_SCHEMA = (
+    "column string, partition_a string, partition_b string, "
+    "ks double, psi double, n_a long, n_b long"
+)
+
+
+def _make_drift_fn(column: str, epsilon: float):
+    def compute(key, pdf):
+        a, b = key
+        pv = pdf.pivot_table(
+            index="bucket", columns="side", values="cnt", aggfunc="sum", fill_value=0
+        )
+        ca = pv["a"] if "a" in pv else pd.Series(0, index=pv.index, dtype=float)
+        cb = pv["b"] if "b" in pv else pd.Series(0, index=pv.index, dtype=float)
+        na, nb = float(ca.sum()), float(cb.sum())
+        if na == 0 or nb == 0:
+            ks = psi = float("nan")
+        else:
+            # buckets sorted numerically when possible for a meaningful CDF
+            try:
+                order = pv.index.astype(float).argsort()
+            except (TypeError, ValueError):
+                order = pv.index.argsort()
+            pa = (ca.iloc[order] / na).to_numpy()
+            pb = (cb.iloc[order] / nb).to_numpy()
+            ks = float(abs(pa.cumsum() - pb.cumsum()).max())
+            qa = pa + epsilon
+            qb = pb + epsilon
+            qa, qb = qa / qa.sum(), qb / qb.sum()
+            import numpy as np
+
+            psi = float(((qa - qb) * np.log(qa / qb)).sum())
+        return pd.DataFrame(
+            [
+                {
+                    "column": column,
+                    "partition_a": a,
+                    "partition_b": b,
+                    "ks": ks,
+                    "psi": psi,
+                    "n_a": int(na),
+                    "n_b": int(nb),
+                }
+            ]
+        )
+
+    return compute
+
+
+def drift_report(
+    df: DataFrame,
+    column: str,
+    partition_expr: str,
+    numeric: bool = True,
+    baseline_partition: str | None = None,
+    config: DriftConfig | None = None,
+) -> DataFrame:
+    """Pairwise drift between partitions of ``column``'s distribution.
+
+    If ``baseline_partition`` is given, every partition is compared to it;
+    otherwise each partition is compared to its predecessor in sorted
+    partition order (snapshot-over-snapshot drift).
+
+    Returns (column, partition_a, partition_b, ks, psi, n_a, n_b, plus
+    ``ks_flag``/``psi_flag`` booleans against the configured thresholds).
+    """
+    cfg = config or DriftConfig()
+    sketch = _histogram_sketch(df, column, partition_expr, numeric, cfg.n_bins)
+    sketch = sketch.persist()
+    try:
+        parts = sorted(
+            r["partition_key"]
+            for r in sketch.select("partition_key").distinct().collect()
+            if r["partition_key"] is not None
+        )
+        if baseline_partition is not None:
+            pairs = [(baseline_partition, p) for p in parts if p != baseline_partition]
+        else:
+            pairs = list(zip(parts, parts[1:]))
+        if not pairs:
+            return df.sparkSession.createDataFrame([], _DRIFT_SCHEMA + ", ks_flag boolean, psi_flag boolean")
+
+        spark = df.sparkSession
+        pairs_df = spark.createDataFrame(pairs, "partition_a string, partition_b string")
+        # attach each sketch row to every pair it participates in (sketch is
+        # tiny → broadcast); tag which side of the pair the row feeds
+        a_side = sketch.join(
+            F.broadcast(pairs_df), sketch["partition_key"] == pairs_df["partition_a"]
+        ).select("partition_a", "partition_b", F.lit("a").alias("side"), "bucket", "cnt")
+        b_side = sketch.join(
+            F.broadcast(pairs_df), sketch["partition_key"] == pairs_df["partition_b"]
+        ).select("partition_a", "partition_b", F.lit("b").alias("side"), "bucket", "cnt")
+        both = a_side.unionByName(b_side)
+        out = both.groupBy("partition_a", "partition_b").applyInPandas(
+            _make_drift_fn(column, cfg.psi_epsilon), _DRIFT_SCHEMA
+        )
+        return out.withColumn("ks_flag", F.col("ks") >= cfg.ks_threshold).withColumn(
+            "psi_flag", F.col("psi") >= cfg.psi_threshold
+        )
+    finally:
+        sketch.unpersist()

@@ -1,0 +1,505 @@
+"""The profiling engine: compiles (schema + types_dict) into a handful of
+declarative Spark jobs and assembles per-column statistics.
+
+Job plan (contrast with the reference's per-column Python loop, reference
+``tabular_timeseries/profiler.py:406-456``, which would be N jobs):
+
+1. **Wide pass** — ONE ``df.agg(...)`` with every per-column aggregate for
+   every column (counts, missing, distinct sketch, moments, percentiles,
+   char-class sums, datetime bounds, boolean counts). Catalyst runs it as a
+   single whole-stage-codegen'd partial+final aggregate: one scan, no shuffle
+   of data rows, only the tiny partial-state exchange.
+2. **Frequency pass** — ONE ``groupBy(column, value)`` over an exploded
+   (column, value) pair stream of the *frequency-eligible* columns only
+   (Categorical/Boolean always; others only when the distinct sketch from
+   pass 1 says cardinality is modest). Partial aggregation collapses the
+   explode map-side, so the shuffle carries ~distinct values, not rows.
+   Top-K / "Other" rollup / singleton (uniqueness) counts / extremes all
+   derive from this one pass (the reference reuses value_counts the same
+   way, reference ``variables/utils.py:115-191``).
+3. **Hash-uniqueness pass** — for high-cardinality columns (free text), the
+   singleton count groups on ``xxhash64(value)`` instead of the value, so the
+   shuffle carries 8-byte keys instead of documents.
+4. **Histogram pass** — ONE ``groupBy(column, bucket)`` over fixed-width
+   bucket indices computed from pass-1 min/max (reference uniform-bin
+   semantics incl. the right-inclusive last bin, ``variables/utils.py:
+   507-529``).
+5. **MAD pass** (optional) — median-absolute-deviation needs the median
+   first; one extra tiny agg (documented 2-pass exception, SURVEY §2.4 A6).
+
+All passes collect only O(columns × bins/topK) rows to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from profiler import stats
+from profiler.detect import detect_types
+from profiler.schema import (
+    BOOLEAN,
+    CATEGORICAL,
+    DATETIME,
+    GEOMETRY,
+    NUMERIC,
+    TEXTUAL,
+    TIMESERIES,
+    UNSUPPORTED,
+    TypesDict,
+)
+
+
+@dataclass
+class ProfileConfig:
+    light_mode: bool = False        # reference light_mode: skip per-type describes
+    exact: bool = False             # exact distinct + exact percentiles (test/oracle path)
+    max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
+    cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
+    default_bins: int = 50          # reference histogram default
+    bin_cap: int = 250              # reference hard cap
+    n_extremes: int = 5             # reference: 5 max / 5 min values
+    freq_distinct_cap: int = 50_000  # skip raw-value frequency pass above this cardinality
+    compute_mad: bool = True
+    compute_byte_size: bool = True
+    approx_accuracy: int = 10_000   # percentile_approx accuracy at scale
+
+
+def profile_table(
+    df: DataFrame,
+    types_dict: TypesDict | None = None,
+    config: ProfileConfig | None = None,
+) -> dict:
+    """Profile every column of ``df``; returns the profile document dict."""
+    cfg = config or ProfileConfig()
+    t0 = _dt.datetime.now()
+    if types_dict is None:
+        types_dict = detect_types(df)
+    cols = [c for c in df.columns if c in types_dict.columns]
+    for c in cols:
+        if " " in c:
+            raise ValueError(f"column names with spaces unsupported: {c!r}")
+
+    wide = _run_wide_pass(df, cols, types_dict, cfg)
+    num_rows = wide["__num_rows"]
+
+    # -- decide frequency eligibility from the pass-1 distinct sketch --------
+    freq_cols, hash_cols = [], []
+    for c in cols:
+        t = types_dict.get_type(c)
+        if t in (UNSUPPORTED, GEOMETRY):
+            continue
+        if t in (CATEGORICAL, BOOLEAN):
+            freq_cols.append(c)
+        elif wide[f"{c} n_distinct"] is not None and wide[f"{c} n_distinct"] <= cfg.freq_distinct_cap:
+            freq_cols.append(c)
+        else:
+            hash_cols.append(c)
+
+    freq_stats = _run_frequency_pass(df, freq_cols, types_dict, cfg) if freq_cols else {}
+    hash_stats = _run_hash_uniqueness_pass(df, hash_cols) if hash_cols else {}
+
+    hist_cols = [
+        c
+        for c in cols
+        if types_dict.get_type(c) in (NUMERIC, TIMESERIES, DATETIME) and not cfg.light_mode
+    ]
+    histograms = _run_histogram_pass(df, hist_cols, types_dict, wide, cfg) if hist_cols else {}
+
+    mad_cols = [
+        c
+        for c in cols
+        if types_dict.get_type(c) in (NUMERIC, TIMESERIES)
+        and cfg.compute_mad
+        and not cfg.light_mode
+        and wide.get(f"{c} percentiles") is not None
+    ]
+    mads = _run_mad_pass(df, mad_cols, wide, cfg) if mad_cols else {}
+
+    variables = []
+    type_counter: dict[str, int] = {}
+    n_cells_missing = 0
+    vars_with_missing = 0
+    byte_size = 0
+    for c in cols:
+        t = types_dict.get_type(c)
+        type_counter[t] = type_counter.get(t, 0) + 1
+        v = _assemble_variable(
+            c, t, num_rows, wide, freq_stats.get(c), hash_stats.get(c),
+            histograms.get(c), mads.get(c), cfg,
+        )
+        n_cells_missing += v["num_missing"]
+        vars_with_missing += 1 if v["num_missing"] > 0 else 0
+        byte_size += wide.get(f"{c} byte_size") or 0
+        variables.append(v)
+
+    t1 = _dt.datetime.now()
+    return {
+        "analysis": {
+            "title": "Profiling Report",
+            "date_start": str(t0),
+            "date_end": str(t1),
+            "duration": str(t1 - t0),
+        },
+        "table": {
+            "profiler_type": "Tabular",
+            "byte_size": byte_size if cfg.compute_byte_size else None,
+            "num_rows": num_rows,
+            "num_attributes": len(cols),
+            "n_cells_missing": n_cells_missing,
+            "p_cells_missing": (
+                n_cells_missing / (num_rows * len(cols)) if num_rows and cols else 0.0
+            ),
+            "n_vars_with_missing": vars_with_missing,
+            "types": [
+                {"type": t, "count": n}
+                for t, n in sorted(type_counter.items(), key=lambda kv: (-kv[1], kv[0]))
+            ],
+        },
+        "variables": variables,
+    }
+
+
+# --------------------------------------------------------------------------
+# Pass 1: the wide aggregate
+# --------------------------------------------------------------------------
+def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig) -> dict:
+    exprs = [F.count(F.lit(1)).alias("__num_rows")]
+    for c in cols:
+        t = td.get_type(c)
+        exprs += stats.generic_exprs(c, approx_distinct=not cfg.exact)
+        if cfg.compute_byte_size:
+            exprs.append(
+                F.sum(F.octet_length(F.col(c).cast("string"))).alias(f"{c} byte_size")
+            )
+        if cfg.light_mode or t in (UNSUPPORTED, GEOMETRY):
+            continue
+        if t in (NUMERIC, TIMESERIES):
+            exprs += stats.numeric_exprs(c, exact_percentiles=cfg.exact)
+        elif t == DATETIME:
+            exprs += stats.datetime_exprs(c)
+        elif t == BOOLEAN:
+            exprs += stats.boolean_exprs(c)
+        elif t == TEXTUAL:
+            exprs += stats.textual_exprs(c, exact_percentiles=cfg.exact)
+    row = df.agg(*exprs).collect()[0]
+    return row.asDict()
+
+
+# --------------------------------------------------------------------------
+# Pass 2: shared frequency pass over exploded (column, value) pairs
+# --------------------------------------------------------------------------
+def _pair_stream(df: DataFrame, cols: list[str], value_of) -> DataFrame:
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), value_of(c).alias("value"))
+            for c in cols
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.column", "p.value")
+        .where(F.col("value").isNotNull())
+    )
+
+
+def _run_frequency_pass(
+    df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig
+) -> dict[str, dict]:
+    freq = (
+        _pair_stream(df, cols, lambda c: F.col(c).cast("string"))
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freq = freq.persist()
+    try:
+        # (a) per-column rollups: exact distinct, singleton count, total
+        roll = {
+            r["column"]: r
+            for r in freq.groupBy("column")
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct_exact"),
+                F.count_if(F.col("cnt") == 1).alias("n_unique"),
+                F.sum("cnt").alias("n_values"),
+            )
+            .collect()
+        }
+        # (b) top-K by count (deterministic tie-break on value)
+        k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
+        w = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("value"))
+        top = (
+            freq.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        )
+        # (c) extremes by numeric value for numeric-typed columns
+        num_cols = [c for c in cols if td.get_type(c) in (NUMERIC, TIMESERIES)]
+        ext_rows = []
+        if num_cols:
+            nf = freq.where(F.col("column").isin(num_cols)).withColumn(
+                "dval", F.col("value").cast("double")
+            )
+            w_hi = Window.partitionBy("column").orderBy(F.desc("dval"))
+            w_lo = Window.partitionBy("column").orderBy(F.asc("dval"))
+            ext_rows = (
+                nf.withColumn("rk_hi", F.row_number().over(w_hi))
+                .withColumn("rk_lo", F.row_number().over(w_lo))
+                .where(
+                    (F.col("rk_hi") <= cfg.n_extremes) | (F.col("rk_lo") <= cfg.n_extremes)
+                )
+                .collect()
+            )
+    finally:
+        freq.unpersist()
+
+    out: dict[str, dict] = {c: {"topk": [], "hi": [], "lo": []} for c in cols}
+    for c, r in roll.items():
+        out[c].update(
+            n_distinct_exact=r["n_distinct_exact"],
+            n_unique=r["n_unique"],
+            n_values=r["n_values"],
+        )
+    for r in sorted(top, key=lambda r: r["rk"]):
+        out[r["column"]]["topk"].append((r["value"], r["cnt"]))
+    for r in ext_rows:
+        if r["rk_hi"] <= cfg.n_extremes:
+            out[r["column"]]["hi"].append((r["dval"], r["cnt"], r["rk_hi"]))
+        if r["rk_lo"] <= cfg.n_extremes:
+            out[r["column"]]["lo"].append((r["dval"], r["cnt"], r["rk_lo"]))
+    for d in out.values():
+        d["hi"] = [x[:2] for x in sorted(d["hi"], key=lambda x: x[2])]
+        d["lo"] = [x[:2] for x in sorted(d["lo"], key=lambda x: x[2])]
+    return out
+
+
+def _run_hash_uniqueness_pass(df: DataFrame, cols: list[str]) -> dict[str, dict]:
+    """Singleton/exact-distinct counts for high-cardinality columns.
+
+    Groups on xxhash64(value): the shuffle carries 8-byte keys, not payloads.
+    Collision risk at 64 bits is negligible for these counts (documented
+    redefinition vs the reference's exact pandas value_counts).
+    """
+    freq = (
+        _pair_stream(df, cols, lambda c: F.xxhash64(F.col(c)).cast("string"))
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_exact"),
+            F.count_if(F.col("cnt") == 1).alias("n_unique"),
+        )
+    )
+    return {r["column"]: r.asDict() for r in freq.collect()}
+
+
+# --------------------------------------------------------------------------
+# Pass 3: histograms
+# --------------------------------------------------------------------------
+def _run_histogram_pass(
+    df: DataFrame, cols: list[str], td: TypesDict, wide: dict, cfg: ProfileConfig
+) -> dict[str, dict]:
+    specs = {}
+    for c in cols:
+        if td.get_type(c) == DATETIME:
+            lo, hi = wide.get(f"{c} epoch_min"), wide.get(f"{c} epoch_max")
+        else:
+            lo, hi = wide.get(f"{c} min"), wide.get(f"{c} max")
+        nd = wide.get(f"{c} n_distinct") or 1
+        if lo is None or hi is None:
+            continue
+        lo, hi = float(lo), float(hi)
+        n_bins = stats.histogram_bins(int(nd), cfg.default_bins, cfg.bin_cap)
+        specs[c] = (lo, hi, n_bins)
+    if not specs:
+        return {}
+
+    def bucket_of(c: str):
+        lo, hi, n_bins = specs[c]
+        base = (
+            F.unix_timestamp(F.col(c)).cast("double")
+            if td.get_type(c) == DATETIME
+            else F.col(c).cast("double")
+        )
+        if hi <= lo:
+            return F.when(base.isNotNull(), F.lit(0)).cast("int").cast("string")
+        width = (hi - lo) / n_bins
+        raw = F.floor((base - F.lit(lo)) / F.lit(width)).cast("int")
+        b = F.when(base >= hi, F.lit(n_bins - 1)).otherwise(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        )
+        return F.when(base.isNotNull(), b).cast("string")
+
+    rows = (
+        _pair_stream(df, list(specs), bucket_of)
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for c, (lo, hi, n_bins) in specs.items():
+        counts = [0] * n_bins
+        for r in rows:
+            if r["column"] == c:
+                counts[int(r["value"])] = r["cnt"]
+        out[c] = {"bin_edges": stats.bin_edges(lo, hi, n_bins), "counts": counts}
+    return out
+
+
+# --------------------------------------------------------------------------
+# Pass 4: MAD (2-pass by nature)
+# --------------------------------------------------------------------------
+def _run_mad_pass(df: DataFrame, cols: list[str], wide: dict, cfg: ProfileConfig) -> dict:
+    exprs = []
+    for c in cols:
+        med = wide[f"{c} percentiles"][3]  # median is PERCENTILES[3]
+        if med is None:
+            continue
+        dev = F.abs(F.col(c).cast("double") - F.lit(float(med)))
+        e = (
+            F.percentile(dev, F.lit(0.5))
+            if cfg.exact
+            else F.percentile_approx(dev, F.lit(0.5), cfg.approx_accuracy)
+        )
+        exprs.append(e.alias(f"{c} mad"))
+    if not exprs:
+        return {}
+    row = df.agg(*exprs).collect()[0].asDict()
+    return {alias.split(" ")[0]: v for alias, v in row.items()}
+
+
+# --------------------------------------------------------------------------
+# Assembly (reference-compatible keys; see examples/output/*.json and
+# tabular_timeseries/profiler.py:406-456)
+# --------------------------------------------------------------------------
+def _assemble_variable(
+    c: str,
+    t: str,
+    num_rows: int,
+    wide: dict,
+    freq: dict | None,
+    hashed: dict | None,
+    hist: dict | None,
+    mad: float | None,
+    cfg: ProfileConfig,
+) -> dict:
+    count = wide[f"{c} count"]
+    n_missing = wide[f"{c} num_missing"]
+    n_unique = (freq or hashed or {}).get("n_unique")
+    n_distinct = (freq or hashed or {}).get("n_distinct_exact", wide[f"{c} n_distinct"])
+    v: dict = {
+        "name": c,
+        "type": t,
+        "count": count,
+        "num_missing": n_missing,
+        "p_missing": (n_missing / num_rows) if num_rows else 0.0,
+        "n_distinct": n_distinct,
+        "p_distinct": (n_distinct / count) if count else 0.0,
+        "uniqueness": (n_unique / count) if (count and n_unique is not None) else None,
+        "memory_size": wide.get(f"{c} byte_size"),
+    }
+    if cfg.light_mode or t in (UNSUPPORTED, GEOMETRY):
+        return v
+
+    if t in (NUMERIC, TIMESERIES):
+        pct = wide.get(f"{c} percentiles") or [None] * len(stats.PERCENTILES)
+        n = count - (wide.get(f"{c} n_infinite") or 0)
+        v.update(
+            min=wide.get(f"{c} min"),
+            max=wide.get(f"{c} max"),
+            average=wide.get(f"{c} average"),
+            stddev=wide.get(f"{c} stddev"),
+            variance=wide.get(f"{c} variance"),
+            sum=wide.get(f"{c} sum"),
+            skewness=stats.corrected_skewness(wide.get(f"{c} skewness_g1"), n),
+            kurtosis=stats.corrected_kurtosis(wide.get(f"{c} kurtosis_g2"), n),
+            mad=mad,
+            n_zeros=wide.get(f"{c} n_zeros"),
+            n_negative=wide.get(f"{c} n_negative"),
+            n_infinite=wide.get(f"{c} n_infinite"),
+        )
+        for key, val in zip(stats.PCT_KEYS, pct):
+            v[key] = val
+        if v["min"] is not None and v["max"] is not None:
+            v["range"] = v["max"] - v["min"]
+        if v.get("percentile75") is not None and v.get("percentile25") is not None:
+            v["iqr"] = v["percentile75"] - v["percentile25"]
+        if v.get("average"):
+            v["cv"] = (v["stddev"] / v["average"]) if v["stddev"] is not None else None
+        if count:
+            v["p_zeros"] = (v["n_zeros"] or 0) / count
+            v["p_negative"] = (v["n_negative"] or 0) / count
+            v["p_infinite"] = (v["n_infinite"] or 0) / count
+        if hist:
+            v["histogram"] = hist
+        if freq:
+            v["freq_value_counts"] = _topk_with_other(freq, count, cfg.max_freq_distr)
+            v["five_max_values"] = [
+                {"value": val, "count": n_} for val, n_ in freq.get("hi", [])
+            ]
+            v["five_min_values"] = [
+                {"value": val, "count": n_} for val, n_ in freq.get("lo", [])
+            ]
+    elif t == DATETIME:
+        start, end = wide.get(f"{c} start"), wide.get(f"{c} end")
+        v.update(start=str(start) if start else None, end=str(end) if end else None)
+        if start is not None and end is not None:
+            v["date_range"] = str(end - start)
+        if hist:
+            v["histogram"] = hist
+    elif t == BOOLEAN:
+        v.update(n_true=wide.get(f"{c} n_true"), n_false=wide.get(f"{c} n_false"))
+        if freq:
+            v["frequency_distribution"] = [
+                {"name": c, "type": val, "count": n_} for val, n_ in freq["topk"]
+            ]
+    elif t == CATEGORICAL:
+        if freq:
+            v["frequency_distribution"] = [
+                {"name": c, "type": val, "count": n_}
+                for val, n_ in freq["topk"][: cfg.cat_distr_cap]
+            ]
+            v["samples"] = [val for val, _ in freq["topk"][:5]]
+    elif t == TEXTUAL:
+        sum_chars = wide.get(f"{c} sum_chars") or 0
+        if sum_chars:
+            v["ratio_uppercase"] = (wide.get(f"{c} sum_upper") or 0) / sum_chars
+            v["ratio_digits"] = (wide.get(f"{c} sum_digits") or 0) / sum_chars
+            v["ratio_special_characters"] = (wide.get(f"{c} sum_special") or 0) / sum_chars
+        v["num_chars_distribution"] = _length_distribution(c, "chars", wide)
+        v["num_words_distribution"] = _length_distribution(c, "words", wide)
+    return v
+
+
+def _length_distribution(c: str, tag: str, wide: dict) -> dict:
+    pct = wide.get(f"{c} {tag}_percentiles") or [None] * len(stats.PERCENTILES)
+    n = wide.get(f"{c} {tag}_count") or 0
+    d = {
+        "name": c,
+        "min": wide.get(f"{c} {tag}_min"),
+        "max": wide.get(f"{c} {tag}_max"),
+        "average": wide.get(f"{c} {tag}_average"),
+        "stddev": wide.get(f"{c} {tag}_stddev"),
+        "variance": wide.get(f"{c} {tag}_variance"),
+        "skewness": stats.corrected_skewness(wide.get(f"{c} {tag}_skewness_g1"), n),
+        "kurtosis": stats.corrected_kurtosis(wide.get(f"{c} {tag}_kurtosis_g2"), n),
+    }
+    for key, val in zip(stats.PCT_KEYS, pct):
+        d[key] = val
+    return d
+
+
+def _topk_with_other(freq: dict, count: int, k: int) -> list[dict]:
+    """Top-K frequent values + 'Other Values (n)' rollup (reference
+    ``variables/utils.py:497-504``)."""
+    topk = freq["topk"][:k]
+    out = [{"value": val, "count": n} for val, n in topk]
+    n_distinct = freq.get("n_distinct_exact") or len(freq["topk"])
+    n_other_distinct = n_distinct - len(topk)
+    if n_other_distinct > 0:
+        other_count = (freq.get("n_values") or count) - sum(n for _, n in topk)
+        out.append({"value": f"Other Values ({n_other_distinct})", "count": other_count})
+    return out

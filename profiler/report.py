@@ -1,0 +1,55 @@
+"""Profile-document assembly + JSON sink.
+
+Mirrors the reference's writer semantics (``write_to_json``, reference
+``stelardataprofiler/utils.py:28-75``: recursive numpy/pandas → JSON-safe
+coercion, ``indent=3``) without any pandas dependency on the write path —
+the engine's collected aggregates are already plain Python scalars, but the
+encoder still defends against numpy leaking in from Arrow collects.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+from typing import Any
+
+
+def encode_it(o: Any) -> Any:
+    """JSON-safe coercion (reference ``utils.py:encode_it`` semantics)."""
+    if isinstance(o, dict):
+        return {str(k): encode_it(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple, set)):
+        return [encode_it(v) for v in o]
+    if isinstance(o, (datetime.datetime, datetime.date, datetime.timedelta)):
+        return str(o)
+    if isinstance(o, float) and (math.isnan(o) or math.isinf(o)):
+        return None
+    if hasattr(o, "item"):  # numpy scalar
+        return encode_it(o.item())
+    if isinstance(o, (str, int, float, bool)) or o is None:
+        return o
+    return str(o)
+
+
+def assemble_profile_document(
+    profile: dict,
+    validation_summary: list[dict] | None = None,
+    drift: list[dict] | None = None,
+) -> dict:
+    """Profile dict (+ optional constraint/drift sections) → final document."""
+    doc = dict(profile)
+    if validation_summary is not None:
+        doc["constraints"] = {
+            "summary": validation_summary,
+            "passed": all(r.get("passed", False) for r in validation_summary),
+        }
+    if drift is not None:
+        doc["drift"] = drift
+    return encode_it(doc)
+
+
+def write_to_json(doc: dict, path: str) -> str:
+    with open(path, "w") as f:
+        json.dump(encode_it(doc), f, indent=3)
+    return path

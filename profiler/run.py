@@ -1,0 +1,109 @@
+"""End-to-end entry points: profile + validate + drift, with checkpointed
+per-partition resume.
+
+``run_validation`` is the north-rule loop: enumerate partitions, skip the
+ones the checkpoint store already recorded for this snapshot, validate the
+rest one partition at a time (each partition's scan is pruned by the
+partition predicate), commit a lineage record per finished partition. A
+killed job re-runs only unfinished partitions.
+
+``run_full`` is the flagship pipeline: full-table profile (single-pass wide
+agg + shared frequency/histogram passes) + whole-table constraint validation
++ snapshot-over-snapshot drift, assembled into one report document.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from profiler.checkpoint import ParquetCheckpointStore
+from profiler.constraints import ConstraintSuite, transcripts_suite
+from profiler.drift import DriftConfig, drift_report
+from profiler.profile import ProfileConfig, profile_table
+from profiler.report import assemble_profile_document
+
+
+@dataclass
+class RunResult:
+    processed_partitions: list[str]
+    skipped_partitions: list[str]
+    summary_rows: list[dict]
+    all_passed: bool
+
+
+def run_validation(
+    df: DataFrame,
+    suite: ConstraintSuite,
+    store: ParquetCheckpointStore,
+    table_id: str,
+    snapshot_id: str,
+    violations_path: str | None = None,
+    resume_partition_expr: str | None = None,
+) -> RunResult:
+    """Validate partition-by-partition with checkpointed resume.
+
+    ``resume_partition_expr`` is the unit of work and MUST be chosen so that
+    no constraint group straddles two units — for transcripts that means a
+    conversation-atomic key such as ``pmod(xxhash64(conv_id), N)`` (matching
+    the table's ``bucket(N, conv_id)`` layout for scan pruning), NOT the day
+    partition: a conversation crossing midnight would otherwise be validated
+    in fragments and fail its dense-sequence check spuriously. Defaults to
+    the suite's summary partition expression for suites whose constraints
+    are all row-local.
+    """
+    part_expr = F.expr(resume_partition_expr or suite.partition_expr).cast("string")
+    partitions = sorted(
+        r["p"]
+        for r in df.select(part_expr.alias("p")).distinct().collect()
+        if r["p"] is not None
+    )
+    done = store.completed(table_id, snapshot_id)
+    todo = [p for p in partitions if p not in done]
+    skipped = [p for p in partitions if p in done]
+
+    all_rows: list[dict] = []
+    processed: list[str] = []
+    for p in todo:
+        # partition predicate prunes the scan (file/row-group skipping on the
+        # partition column; full partition pruning on a partitioned layout)
+        pdf = df.where(part_expr == F.lit(p))
+        result = suite.validate(pdf)
+        if violations_path is not None:
+            (
+                result.violations.withColumn("run_snapshot", F.lit(snapshot_id))
+                .write.mode("append")
+                .parquet(violations_path)
+            )
+        rows = [r.asDict() for r in result.summary.collect()]
+        n_rows = rows[0]["n_rows"] if rows else 0
+        n_violations = sum(r["n_violations"] for r in rows)
+        store.commit(table_id, snapshot_id, p, rows, n_rows, n_violations)
+        all_rows.extend(rows)
+        processed.append(p)
+
+    all_passed = all(r["passed"] for r in all_rows) if all_rows else True
+    return RunResult(processed, skipped, all_rows, all_passed)
+
+
+def run_full(
+    df: DataFrame,
+    suite: ConstraintSuite | None = None,
+    profile_config: ProfileConfig | None = None,
+    drift_columns: list[tuple[str, bool]] | None = None,
+    drift_config: DriftConfig | None = None,
+) -> dict:
+    """Profile + validate + drift on one DataFrame → report document."""
+    suite = suite or transcripts_suite()
+    profile = profile_table(df, config=profile_config)
+    validation = suite.validate(df)
+    summary = [r.asDict() for r in validation.summary.collect()]
+    drift_rows: list[dict] = []
+    for col, numeric in drift_columns or []:
+        src = df
+        if col == "text_len" and "text_len" not in df.columns:
+            src = df.withColumn("text_len", F.length("text"))
+        rep = drift_report(src, col, suite.partition_expr, numeric, config=drift_config)
+        drift_rows.extend(r.asDict() for r in rep.collect())
+    return assemble_profile_document(profile, summary, drift_rows)

@@ -1,0 +1,127 @@
+"""Data model: the transcripts table schema, semantic types, and the
+types_dict override contract.
+
+Semantic-type lattice and the override-compatibility matrix reproduce the
+reference's contract (detection order: reference
+``tabular_timeseries/variables/utils.py:288-430``; allowed conversions:
+reference ``README.md:51-65``). The physical schema is fixed/declared here
+(Spark/Iceberg style) instead of pandas-inferred.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Semantic types (reference README.md:34-44)
+# --------------------------------------------------------------------------
+NUMERIC = "Numeric"
+CATEGORICAL = "Categorical"
+TEXTUAL = "Textual"
+BOOLEAN = "Boolean"
+DATETIME = "DateTime"
+TIMESERIES = "TimeSeries"
+GEOMETRY = "Geometry"
+UNSUPPORTED = "Unsupported"
+
+SEMANTIC_TYPES = frozenset(
+    {NUMERIC, CATEGORICAL, TEXTUAL, BOOLEAN, DATETIME, TIMESERIES, GEOMETRY, UNSUPPORTED}
+)
+
+# Allowed user overrides, From -> {To}; reference README.md:51-65. Identity is
+# always allowed. Starred ("may cause issues") conversions are permitted, as in
+# the reference.
+_COMPATIBLE: dict[str, frozenset[str]] = {
+    NUMERIC: frozenset({CATEGORICAL, TEXTUAL, TIMESERIES, UNSUPPORTED}),
+    TIMESERIES: frozenset({CATEGORICAL, TEXTUAL, NUMERIC, UNSUPPORTED}),
+    CATEGORICAL: frozenset({TEXTUAL, NUMERIC, UNSUPPORTED}),
+    TEXTUAL: frozenset({CATEGORICAL, UNSUPPORTED}),
+    BOOLEAN: frozenset({NUMERIC, CATEGORICAL, TEXTUAL, UNSUPPORTED}),
+    GEOMETRY: frozenset({CATEGORICAL, TEXTUAL, UNSUPPORTED}),
+    DATETIME: frozenset({CATEGORICAL, TEXTUAL, UNSUPPORTED}),
+    UNSUPPORTED: frozenset(),
+}
+
+
+def detect_compatible(detected: str, requested: str) -> bool:
+    """True if overriding ``detected`` with ``requested`` is allowed."""
+    if detected not in SEMANTIC_TYPES or requested not in SEMANTIC_TYPES:
+        raise ValueError(f"unknown semantic type: {detected!r} -> {requested!r}")
+    return requested == detected or requested in _COMPATIBLE[detected]
+
+
+# --------------------------------------------------------------------------
+# The transcripts table (BASELINE.json input_hint)
+# --------------------------------------------------------------------------
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("turn_idx", T.IntegerType(), nullable=False),
+        T.StructField("role", T.StringType(), nullable=True),
+        T.StructField("text", T.StringType(), nullable=True),
+        T.StructField("tool", T.StringType(), nullable=True),
+        T.StructField("ts", T.TimestampType(), nullable=True),
+    ]
+)
+
+ROLE_DOMAIN = ("system", "user", "assistant", "tool")
+TOOL_DOMAIN = ("search", "code", "browser", "none")
+
+
+# --------------------------------------------------------------------------
+# types_dict: {column -> {"type": <semantic>, ...params}}
+# --------------------------------------------------------------------------
+@dataclass
+class TypesDict:
+    """The detect → review → override loop contract.
+
+    Mirrors the reference's ``types_dict`` (produced by ``find_types``,
+    consumed by the profilers; reference ``tabular_timeseries/profiler.py:
+    221-272``): a plain JSON-able mapping the user may edit between detection
+    and profiling, validated against the compatibility matrix.
+    """
+
+    columns: dict[str, dict] = field(default_factory=dict)
+
+    def get_type(self, column: str) -> str:
+        return self.columns[column]["type"]
+
+    def override(self, column: str, new_type: str, **params) -> "TypesDict":
+        cur = self.get_type(column)
+        if not detect_compatible(cur, new_type):
+            raise ValueError(
+                f"incompatible override for {column!r}: {cur} -> {new_type} "
+                f"(allowed: {sorted(_COMPATIBLE[cur])})"
+            )
+        out = TypesDict({k: dict(v) for k, v in self.columns.items()})
+        out.columns[column] = {**out.columns[column], **params, "type": new_type}
+        return out
+
+    def to_json(self) -> dict:
+        return dict(self.columns)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TypesDict":
+        for col, spec in d.items():
+            if spec.get("type") not in SEMANTIC_TYPES:
+                raise ValueError(f"bad type for column {col!r}: {spec.get('type')!r}")
+        return cls({k: dict(v) for k, v in d.items()})
+
+
+def spark_type_to_default_semantic(dt: T.DataType) -> str:
+    """Fast-path semantic default from a declared physical type.
+
+    Declared (non-inferred) schemas let most columns skip content probing:
+    only string columns need the content-based lattice in :mod:`profiler.detect`.
+    """
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return DATETIME
+    if isinstance(dt, T.BooleanType):
+        return BOOLEAN
+    if isinstance(dt, T.NumericType):
+        return NUMERIC
+    if isinstance(dt, T.StringType):
+        return TEXTUAL  # refined by content probing
+    return UNSUPPORTED

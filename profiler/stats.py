@@ -1,0 +1,204 @@
+"""Expression library: per-column statistics as Catalyst expressions.
+
+Every statistic the reference computes per column (reference
+``tabular_timeseries/variables/utils.py:540-582`` for moments,
+``numeric.py:15-103`` for the numeric describe, ``textual.py:15-148`` for the
+text describe) is expressed here as a *list of aggregate expressions* so the
+profiler can evaluate all columns in ONE wide ``df.agg(...)`` pass —
+whole-stage-codegen'd, partial+final aggregated, zero Python in the hot path.
+
+Bias-correction note: Spark's ``skewness``/``kurtosis`` are population-style
+g1/g2; pandas (the reference's engine) uses bias-corrected G1/G2. The
+``corrected_skewness``/``corrected_kurtosis`` helpers convert on the driver
+from (g, n) — exact algebra, no extra pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PERCENTILES = (0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95)
+PCT_KEYS = ("percentile5", "percentile10", "percentile25", "median",
+            "percentile75", "percentile90", "percentile95")
+
+# pattern of NON-special chars: regexp_replace removes matches, leaving the
+# special characters to be counted by length()
+NON_SPECIAL_CHARS_RE = r"[0-9a-zA-Z\s]"
+
+
+def _n(col: str, stat: str) -> str:
+    """Flat alias for a (column, stat) cell in the wide aggregate row."""
+    return f"{col} {stat}"
+
+
+def split_alias(alias: str) -> tuple[str, str]:
+    col, _, stat = alias.partition(" ")
+    return col, stat
+
+
+# --------------------------------------------------------------------------
+# Generic stats (reference calculate_generic, variables/utils.py:157-191)
+# --------------------------------------------------------------------------
+def generic_exprs(col: str, approx_distinct: bool) -> list[Column]:
+    c = F.col(col)
+    distinct = (
+        F.approx_count_distinct(c) if approx_distinct else F.count_distinct(c)
+    )
+    return [
+        F.count(c).alias(_n(col, "count")),
+        F.coalesce(F.sum(F.when(c.isNull(), 1).otherwise(0)), F.lit(0)).alias(
+            _n(col, "num_missing")
+        ),
+        distinct.alias(_n(col, "n_distinct")),
+    ]
+
+
+# --------------------------------------------------------------------------
+# Numeric describe (reference variables/numeric.py:15-103 + utils.py:540-582)
+# --------------------------------------------------------------------------
+def numeric_exprs(col: str, exact_percentiles: bool) -> list[Column]:
+    c = F.col(col).cast("double")
+    pct_lit = F.array(*[F.lit(p) for p in PERCENTILES])
+    pct = (
+        F.percentile(c, pct_lit)
+        if exact_percentiles
+        else F.percentile_approx(c, pct_lit, 10_000)
+    )
+    finite = F.when(~F.isnan(c) & (c != float("inf")) & (c != float("-inf")), c)
+    return [
+        F.min(c).alias(_n(col, "min")),
+        F.max(c).alias(_n(col, "max")),
+        F.avg(finite).alias(_n(col, "average")),
+        F.stddev_samp(finite).alias(_n(col, "stddev")),
+        F.var_samp(finite).alias(_n(col, "variance")),
+        F.sum(finite).alias(_n(col, "sum")),
+        F.skewness(finite).alias(_n(col, "skewness_g1")),
+        F.kurtosis(finite).alias(_n(col, "kurtosis_g2")),
+        pct.alias(_n(col, "percentiles")),
+        F.count_if(c == 0).alias(_n(col, "n_zeros")),
+        F.count_if(c < 0).alias(_n(col, "n_negative")),
+        F.count_if(F.isnan(c) | (c == float("inf")) | (c == float("-inf"))).alias(
+            _n(col, "n_infinite")
+        ),
+    ]
+
+
+# --------------------------------------------------------------------------
+# DateTime describe (reference variables/datetime.py:5-39)
+# --------------------------------------------------------------------------
+def datetime_exprs(col: str) -> list[Column]:
+    c = F.col(col)
+    return [
+        F.min(c).alias(_n(col, "start")),
+        F.max(c).alias(_n(col, "end")),
+        F.min(F.unix_timestamp(c)).alias(_n(col, "epoch_min")),
+        F.max(F.unix_timestamp(c)).alias(_n(col, "epoch_max")),
+    ]
+
+
+# --------------------------------------------------------------------------
+# Boolean describe (reference variables/boolean.py:4-11)
+# --------------------------------------------------------------------------
+def boolean_exprs(col: str) -> list[Column]:
+    c = F.col(col)
+    truthy = F.lower(c.cast("string")).isin("true", "t", "yes", "y", "1")
+    return [
+        F.count_if(truthy).alias(_n(col, "n_true")),
+        F.count_if(~truthy & c.isNotNull()).alias(_n(col, "n_false")),
+    ]
+
+
+# --------------------------------------------------------------------------
+# Textual describe (reference variables/textual.py:15-148)
+# --------------------------------------------------------------------------
+def textual_exprs(col: str, exact_percentiles: bool) -> list[Column]:
+    """Char-class ratios + char/word length moment inputs, all expression-level.
+
+    The reference iterates Python chars per row; here each ratio is a ratio of
+    two JVM-side sums: length(regexp_replace(...)) counts the class occurrences
+    per row, summed across the corpus.
+    """
+    c = F.col(col)
+    n_chars = F.length(c)
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    special = F.length(F.regexp_replace(c, NON_SPECIAL_CHARS_RE, ""))
+    words = F.size(F.split(F.trim(c), r"\s+"))
+    exprs = [
+        F.sum(n_chars).alias(_n(col, "sum_chars")),
+        F.sum(upper).alias(_n(col, "sum_upper")),
+        F.sum(digits).alias(_n(col, "sum_digits")),
+        F.sum(special).alias(_n(col, "sum_special")),
+    ]
+    exprs += _distribution_exprs(col, "chars", n_chars.cast("double"), exact_percentiles)
+    exprs += _distribution_exprs(col, "words", words.cast("double"), exact_percentiles)
+    return exprs
+
+
+def _distribution_exprs(
+    col: str, tag: str, expr: Column, exact_percentiles: bool
+) -> list[Column]:
+    pct_lit = F.array(*[F.lit(p) for p in PERCENTILES])
+    pct = (
+        F.percentile(expr, pct_lit)
+        if exact_percentiles
+        else F.percentile_approx(expr, pct_lit, 10_000)
+    )
+    return [
+        F.min(expr).alias(_n(col, f"{tag}_min")),
+        F.max(expr).alias(_n(col, f"{tag}_max")),
+        F.avg(expr).alias(_n(col, f"{tag}_average")),
+        F.stddev_samp(expr).alias(_n(col, f"{tag}_stddev")),
+        F.var_samp(expr).alias(_n(col, f"{tag}_variance")),
+        F.skewness(expr).alias(_n(col, f"{tag}_skewness_g1")),
+        F.kurtosis(expr).alias(_n(col, f"{tag}_kurtosis_g2")),
+        pct.alias(_n(col, f"{tag}_percentiles")),
+        F.count(expr).alias(_n(col, f"{tag}_count")),
+    ]
+
+
+# --------------------------------------------------------------------------
+# Bias correction (pandas G1/G2 from Spark g1/g2; reference uses
+# pd.Series.skew()/kurt() — Fisher, bias-corrected, N-1)
+# --------------------------------------------------------------------------
+def corrected_skewness(g1: float | None, n: int) -> float | None:
+    if g1 is None or n < 3:
+        return None
+    return g1 * math.sqrt(n * (n - 1)) / (n - 2)
+
+
+def corrected_kurtosis(g2: float | None, n: int) -> float | None:
+    if g2 is None or n < 4:
+        return None
+    return ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+
+
+# --------------------------------------------------------------------------
+# Histogram bucketing (reference variables/utils.py:507-529: uniform bins,
+# bins = min(default_bins=50, n_unique), hard cap 250; numpy's last bin is
+# right-inclusive — the `when` on max replicates that)
+# --------------------------------------------------------------------------
+def histogram_bins(n_distinct: int, default_bins: int = 50, cap: int = 250) -> int:
+    return max(1, min(default_bins if default_bins > 0 else cap, n_distinct, cap))
+
+
+def bucket_expr(col: str, lo: float, hi: float, n_bins: int) -> Column:
+    c = F.col(col).cast("double")
+    if hi <= lo:
+        return F.when(c.isNotNull(), F.lit(0))
+    width = (hi - lo) / n_bins
+    raw = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+    return (
+        F.when(c == hi, F.lit(n_bins - 1))
+        .when(c.isNotNull(), F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)))
+    )
+
+
+def bin_edges(lo: float, hi: float, n_bins: int) -> list[float]:
+    if hi <= lo:
+        return [lo, hi]
+    width = (hi - lo) / n_bins
+    return [lo + i * width for i in range(n_bins)] + [hi]

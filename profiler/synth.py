@@ -1,0 +1,176 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md F1).
+
+Generates the (conv_id, turn_idx, role, text, tool, ts) table with
+Zipf-skewed conversation sizes plus one planted "whale" conversation, and the
+four dirty variants with *known* violation rows so constraint tests can
+assert exact outputs. Pure numpy + pyarrow (no Spark dependency) so pytest
+fixtures are cheap; seed-deterministic at every scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_WORDS = np.array(
+    [
+        "alpha", "Bravo", "charlie", "DELTA", "echo42", "foxtrot", "Golf",
+        "hotel", "india7", "juliet", "kilo!", "Lima", "mike", "nov3mber",
+        "oscar", "PAPA", "quebec?", "romeo", "sierra", "Tango9", "uniform",
+        "victor", "whiskey", "x-ray", "Yankee", "zulu.", "the", "quick",
+        "brown", "fox", "jumps;", "over", "lazy", "Dog", "2026", "spark",
+    ]
+)
+
+ROLES = np.array(["system", "user", "assistant", "tool"])
+TOOLS = np.array(["search", "code", "browser", "none"])
+
+BASE_EPOCH = np.int64(1_754_000_000)  # 2025-08-01T00:53:20Z, fixed
+
+
+def _conv_sizes(rng: np.random.Generator, n_turns: int) -> np.ndarray:
+    """Zipf(a=1.3) conversation sizes clipped to [1, 500] + one whale ≥50x median."""
+    sizes = []
+    total = 0
+    while total < n_turns:
+        batch = np.clip(rng.zipf(1.3, size=256), 1, 500)
+        sizes.extend(batch.tolist())
+        total += int(batch.sum())
+    sizes = np.array(sizes, dtype=np.int64)
+    cum = np.cumsum(sizes)
+    k = int(np.searchsorted(cum, n_turns)) + 1
+    sizes = sizes[:k]
+    # plant the whale: conversation 0 gets >= 50x the median size
+    whale = max(int(np.median(sizes)) * 50, 100)
+    sizes[0] = min(whale, max(n_turns - (len(sizes) - 1), whale))
+    return sizes
+
+
+def make_transcripts(n_turns: int = 5_000, seed: int = 42) -> pa.Table:
+    """Clean transcripts table with ~n_turns rows (exact count varies ±1 conv)."""
+    rng = np.random.default_rng(seed)
+    sizes = _conv_sizes(rng, n_turns)
+    n_conv = len(sizes)
+    n = int(sizes.sum())
+
+    conv_ord = np.repeat(np.arange(n_conv), sizes)
+    conv_id = np.char.add("conv-", np.char.zfill(conv_ord.astype("U8"), 8))
+    turn_idx = np.concatenate([np.arange(s) for s in sizes]).astype(np.int32)
+
+    # roles: turn 0 system, then alternating user/assistant with ~8% tool turns
+    role = np.where(turn_idx % 2 == 1, "assistant", "user").astype("U9")
+    role[turn_idx == 0] = "system"
+    tool_mask = rng.random(n) < 0.08
+    role[tool_mask] = "tool"
+
+    # tool column: set only for tool turns, else 'none' or null
+    tool = np.full(n, "none", dtype="U7")
+    tool[tool_mask] = rng.choice(TOOLS[:3], size=int(tool_mask.sum()))
+    tool_null = rng.random(n) < 0.30
+
+    # text: log-normal word counts; deterministic token picks; ~2% nulls
+    n_words = np.clip(rng.lognormal(2.0, 0.7, size=n).astype(np.int64), 1, 120)
+    flat = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+    words = _WORDS[flat]
+    bounds = np.cumsum(n_words)[:-1]
+    text = np.array([" ".join(chunk) for chunk in np.split(words, bounds)], dtype=object)
+    text_null = rng.random(n) < 0.02
+
+    # ts: per-conv start spread over ~6 days, monotone 1-240s per-turn steps
+    conv_start = BASE_EPOCH + rng.integers(0, 6 * 86_400, size=n_conv)
+    steps = rng.integers(1, 240, size=n)
+    steps[turn_idx == 0] = 0
+    ts = np.repeat(conv_start, sizes) + np.concatenate(
+        [np.cumsum(s) for s in np.split(steps, np.cumsum(sizes)[:-1])]
+    )
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role),
+            "text": pa.array(
+                [None if text_null[i] else text[i] for i in range(n)], type=pa.string()
+            ),
+            "tool": pa.array(
+                [None if tool_null[i] else tool[i] for i in range(n)], type=pa.string()
+            ),
+            "ts": pa.array(ts * 1_000_000, type=pa.timestamp("us")),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Dirty variants (FIXTURES.md F1): clean + one planted defect class each,
+# returning (table, expected) where expected describes the planted rows.
+# --------------------------------------------------------------------------
+def with_duplicate_keys(tbl: pa.Table, n_dups: int = 7, seed: int = 43):
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(tbl.num_rows, size=n_dups, replace=False))
+    dup = tbl.take(pa.array(idx))
+    out = pa.concat_tables([tbl, dup])
+    expected = {
+        (dup.column("conv_id")[i].as_py(), dup.column("turn_idx")[i].as_py())
+        for i in range(n_dups)
+    }
+    return out, expected
+
+
+def with_gaps(tbl: pa.Table, n_gaps: int = 5, seed: int = 44):
+    """Delete one interior turn from n_gaps conversations of size >= 4."""
+    rng = np.random.default_rng(seed)
+    conv = np.array(tbl.column("conv_id").to_pylist())
+    tidx = np.array(tbl.column("turn_idx").to_pylist())
+    uniq, counts = np.unique(conv, return_counts=True)
+    eligible = uniq[counts >= 4]
+    victims = rng.choice(eligible, size=min(n_gaps, len(eligible)), replace=False)
+    drop = np.zeros(tbl.num_rows, dtype=bool)
+    expected = set()
+    for c in victims:
+        rows = np.where(conv == c)[0]
+        k = int(rng.integers(1, counts[uniq == c][0] - 1))  # interior turn
+        drop[rows[tidx[rows] == k]] = True
+        expected.add((str(c), k))
+    return tbl.filter(pa.array(~drop)), expected
+
+
+def with_bad_domain(tbl: pa.Table, n_bad: int = 6, seed: int = 45):
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(tbl.num_rows, size=n_bad, replace=False)
+    role = np.array(tbl.column("role").to_pylist(), dtype=object)
+    tool = np.array(tbl.column("tool").to_pylist(), dtype=object)
+    bad_role_idx = idx[: n_bad // 2]
+    bad_tool_idx = idx[n_bad // 2 :]
+    role[bad_role_idx] = "moderator"
+    tool[bad_tool_idx] = "shell"
+    out = tbl.set_column(2, "role", pa.array(role, type=pa.string()))
+    out = out.set_column(4, "tool", pa.array(tool, type=pa.string()))
+    conv = tbl.column("conv_id").to_pylist()
+    tidx = tbl.column("turn_idx").to_pylist()
+    expected = {
+        "role": {(conv[i], tidx[i]) for i in bad_role_idx},
+        "tool": {(conv[i], tidx[i]) for i in bad_tool_idx},
+    }
+    return out, expected
+
+
+def with_drift(tbl: pa.Table, seed: int = 46):
+    """Shift text lengths (append padding) in the last day-partition."""
+    rng = np.random.default_rng(seed)
+    ts = np.array([t.value for t in tbl.column("ts")], dtype=np.int64) // 1_000_000
+    day = ts // 86_400
+    last_day = day.max()
+    text = np.array(tbl.column("text").to_pylist(), dtype=object)
+    mask = day == last_day
+    for i in np.where(mask)[0]:
+        if text[i] is not None:
+            pad = " ".join(rng.choice(_WORDS, size=40))
+            text[i] = text[i] + " " + pad
+    out = tbl.set_column(3, "text", pa.array(text, type=pa.string()))
+    return out, int(last_day)
+
+
+def write_parquet(tbl: pa.Table, path: str) -> str:
+    pq.write_table(tbl, path)
+    return path

@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from profiler.session import get_spark  # noqa: E402
+from profiler import synth  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="profiler-tests", master="local[4]", shuffle_partitions=8
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def clean_tbl():
+    return synth.make_transcripts(4000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def data_dir(tmp_path_factory, clean_tbl):
+    d = tmp_path_factory.mktemp("transcripts")
+    synth.write_parquet(clean_tbl, str(d / "clean.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def clean_df(spark, data_dir):
+    return spark.read.parquet(f"{data_dir}/clean.parquet")

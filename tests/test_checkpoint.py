@@ -1,0 +1,62 @@
+"""Checkpoint/resume: a killed job must re-validate only unfinished
+partitions (north-rule lineage requirement)."""
+
+from profiler.checkpoint import ParquetCheckpointStore
+from profiler.constraints import transcripts_suite
+from profiler.run import run_validation
+
+# conversation-atomic resume unit (see run_validation docstring): a day key
+# would split conversations crossing midnight and break dense-sequence checks
+BUCKET = "CAST(pmod(xxhash64(conv_id), 8) AS STRING)"
+
+
+def test_first_run_processes_all(clean_df, tmp_path):
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    res = run_validation(clean_df, transcripts_suite(), store, "transcripts", "snap-1",
+                         resume_partition_expr=BUCKET)
+    assert res.skipped_partitions == []
+    assert len(res.processed_partitions) == 8  # conversation-atomic buckets
+    assert res.all_passed
+    done = store.completed("transcripts", "snap-1")
+    assert set(done) == set(res.processed_partitions)
+    rec = next(iter(done.values()))
+    assert rec["status"] == "done"
+    assert rec["stats_digest"]
+    assert rec["n_rows"] > 0
+
+
+def test_resume_skips_completed(clean_df, tmp_path):
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    first = run_validation(clean_df, transcripts_suite(), store, "t", "snap-1", resume_partition_expr=BUCKET)
+    second = run_validation(clean_df, transcripts_suite(), store, "t", "snap-1", resume_partition_expr=BUCKET)
+    assert second.processed_partitions == []
+    assert sorted(second.skipped_partitions) == sorted(first.processed_partitions)
+
+
+def test_partial_checkpoint_resumes_remainder(clean_df, tmp_path):
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    full = run_validation(clean_df, transcripts_suite(), store, "t", "probe", resume_partition_expr=BUCKET)
+    parts = sorted(full.processed_partitions)
+    # simulate a job killed after finishing the first two partitions
+    store2 = ParquetCheckpointStore(str(tmp_path / "ckpt2"))
+    for p in parts[:2]:
+        store2.commit("t", "snap-2", p, [], 0, 0)
+    res = run_validation(clean_df, transcripts_suite(), store2, "t", "snap-2", resume_partition_expr=BUCKET)
+    assert sorted(res.skipped_partitions) == parts[:2]
+    assert sorted(res.processed_partitions) == parts[2:]
+
+
+def test_new_snapshot_revalidates_everything(clean_df, tmp_path):
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    run_validation(clean_df, transcripts_suite(), store, "t", "snap-1", resume_partition_expr=BUCKET)
+    res = run_validation(clean_df, transcripts_suite(), store, "t", "snap-2", resume_partition_expr=BUCKET)
+    assert res.skipped_partitions == []
+    assert res.processed_partitions
+
+
+def test_torn_write_is_ignored(clean_df, tmp_path):
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    (tmp_path / "ckpt" / "torn.parquet").write_bytes(b"not a parquet file")
+    res = run_validation(clean_df, transcripts_suite(), store, "t", "snap-1", resume_partition_expr=BUCKET)
+    assert res.skipped_partitions == []
+    assert res.all_passed

@@ -1,0 +1,134 @@
+"""Planted-violation tests: each dirty variant must yield exactly the
+planted violation rows (FIXTURES.md F1) plus per-partition pass/fail."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler import synth
+from profiler.constraints import (
+    ConstraintSuite,
+    dense_sequence,
+    domain,
+    not_null,
+    row_predicate,
+    transcripts_suite,
+    unique_key,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark, clean_tbl, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dirty")
+    out = {}
+    dup, exp_dup = synth.with_duplicate_keys(clean_tbl)
+    synth.write_parquet(dup, str(d / "dup.parquet"))
+    out["dup"] = (spark.read.parquet(str(d / "dup.parquet")), exp_dup)
+    gap, exp_gap = synth.with_gaps(clean_tbl)
+    synth.write_parquet(gap, str(d / "gap.parquet"))
+    out["gap"] = (spark.read.parquet(str(d / "gap.parquet")), exp_gap)
+    bad, exp_bad = synth.with_bad_domain(clean_tbl)
+    synth.write_parquet(bad, str(d / "bad.parquet"))
+    out["bad"] = (spark.read.parquet(str(d / "bad.parquet")), exp_bad)
+    return out
+
+
+def test_clean_table_passes(clean_df):
+    res = transcripts_suite().validate(clean_df)
+    assert res.passed()
+    assert res.violations.count() == 0
+    # every (partition, constraint) cell reports pass over the full universe
+    n_parts = res.partition_rows.count()
+    assert res.summary.count() == n_parts * 5
+    assert res.summary.where(~F.col("passed")).count() == 0
+
+
+def test_uniqueness_violations_exact(dirty):
+    df, expected = dirty["dup"]
+    res = transcripts_suite().validate(df)
+    v = res.violations.where(F.col("constraint") == "unique(conv_id,turn_idx)")
+    rows = v.collect()
+    got_keys = {(r["keys"]["conv_id"], int(r["keys"]["turn_idx"])) for r in rows}
+    assert got_keys == expected
+    # both copies of each duplicate are materialized
+    assert len(rows) == 2 * len(expected)
+    assert all(r["details"]["duplicate_count"] == "2" for r in rows)
+    assert not res.passed()
+
+
+def test_dense_sequence_violations_exact(dirty):
+    df, expected = dirty["gap"]
+    res = transcripts_suite().validate(df)
+    v = res.violations.where(F.col("constraint") == "dense(turn_idx per conv_id)")
+    got = set()
+    for r in v.collect():
+        for m in json.loads(r["details"]["missing_seq"]):
+            got.add((r["keys"]["conv_id"], m))
+    assert got == expected
+    assert v.count() == len({c for c, _ in expected})
+
+
+def test_domain_violations_exact(dirty):
+    df, expected = dirty["bad"]
+    res = transcripts_suite().validate(df)
+    role_v = res.violations.where(F.col("constraint") == "domain(role)").collect()
+    assert {r["keys"]["role"] for r in role_v} == {"moderator"}
+    assert len(role_v) == len(expected["role"])
+    tool_v = res.violations.where(F.col("constraint") == "domain(tool)").collect()
+    assert {r["keys"]["tool"] for r in tool_v} == {"shell"}
+    assert len(tool_v) == len(expected["tool"])
+
+
+def test_per_partition_summary_localizes_failure(dirty):
+    """Violations in specific partitions must fail only those cells."""
+    df, expected = dirty["bad"]
+    res = transcripts_suite().validate(df)
+    failed = {
+        (r["partition_key"], r["constraint"])
+        for r in res.summary.where(~F.col("passed")).collect()
+    }
+    assert failed  # something failed
+    assert all(c.startswith("domain") for _, c in failed)
+    # partitions without planted rows pass everything
+    n_failed_cells = len(failed)
+    assert n_failed_cells <= len(expected["role"]) + len(expected["tool"])
+
+
+def test_dense_sequence_salted_equals_unsalted(clean_df):
+    for n_salt in (1, 16):
+        c = dense_sequence("conv_id", "turn_idx", n_salt=n_salt)
+        suite = ConstraintSuite([c], "CAST(to_date(ts) AS STRING)")
+        assert suite.validate(clean_df).passed(), f"n_salt={n_salt}"
+
+
+def test_not_null_and_predicate(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", -3)], "k string, v int"
+    )
+    suite = ConstraintSuite(
+        [not_null("k"), row_predicate("v_positive", "v > 0")], "CAST(NULL AS STRING)"
+    )
+    res = suite.validate(df)
+    got = {(r["constraint"],) for r in res.violations.collect()}
+    assert got == {("not_null(k)",), ("v_positive",)}
+    assert res.violations.count() == 2
+
+
+def test_per_turn_text_equality_invariant(clean_df):
+    """BASELINE.json invariant: profile+validate is read-only — per-turn text
+    is unchanged under stable (conv_id, turn_idx) ordering."""
+    before = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in clean_df.orderBy("conv_id", "turn_idx").select(
+            "conv_id", "turn_idx", "text"
+        ).collect()
+    ]
+    transcripts_suite().validate(clean_df).summary.collect()
+    after = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in clean_df.orderBy("conv_id", "turn_idx").select(
+            "conv_id", "turn_idx", "text"
+        ).collect()
+    ]
+    assert before == after

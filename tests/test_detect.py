@@ -1,0 +1,65 @@
+from profiler.detect import detect_types
+from profiler.schema import (
+    BOOLEAN,
+    CATEGORICAL,
+    DATETIME,
+    GEOMETRY,
+    NUMERIC,
+    TEXTUAL,
+    UNSUPPORTED,
+)
+
+
+def test_detection_lattice(spark):
+    rows = []
+    for i in range(100):
+        rows.append(
+            (
+                f"2024-01-{(i % 28) + 1:02d} 10:00:00",          # datetime string
+                "POINT (1.5 2.5)" if i % 2 else "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+                ["yes", "no", "t", "f"][i % 4],                  # boolean tokens
+                str(i * 1.5),                                    # numeric string
+                ["red", "green", "blue"][i % 3],                 # categorical
+                f"free form text value number {i} with entropy {i*i}",  # textual
+                None,                                            # all null
+                i * 2,                                           # int numeric
+                i % 3,                                           # low-card numeric
+                bool(i % 2),                                     # native boolean
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "dt_str string, wkt string, bool_str string, num_str string, "
+        "cat string, txt string, nul string, num int, lowcard int, flag boolean",
+    )
+    td = detect_types(df)
+    got = {c: td.get_type(c) for c in df.columns}
+    assert got == {
+        "dt_str": DATETIME,
+        "wkt": GEOMETRY,
+        "bool_str": BOOLEAN,
+        "num_str": NUMERIC,
+        "cat": CATEGORICAL,
+        "txt": TEXTUAL,
+        "nul": UNSUPPORTED,
+        "num": NUMERIC,
+        "lowcard": CATEGORICAL,  # 3 distinct / 100 rows, ratio < 0.5
+        "flag": BOOLEAN,
+    }
+
+
+def test_detection_on_transcripts(clean_df):
+    td = detect_types(clean_df)
+    assert td.get_type("turn_idx") == NUMERIC
+    assert td.get_type("role") == CATEGORICAL
+    assert td.get_type("text") == TEXTUAL
+    assert td.get_type("ts") == DATETIME
+    assert td.get_type("tool") == CATEGORICAL
+
+
+def test_numeric_categorical_threshold(spark):
+    # 6 distinct numeric values -> Numeric (reference: 1..5 distinct -> Categorical)
+    df = spark.createDataFrame([(i % 6,) for i in range(60)], "x int")
+    assert detect_types(df).get_type("x") == NUMERIC
+    df5 = spark.createDataFrame([(i % 5,) for i in range(60)], "x int")
+    assert detect_types(df5).get_type("x") == CATEGORICAL

@@ -1,0 +1,75 @@
+import pytest
+from pyspark.sql import functions as F
+
+from profiler import synth
+from profiler.drift import DriftConfig, drift_report
+
+
+@pytest.fixture(scope="module")
+def drifted_df(spark, clean_tbl, tmp_path_factory):
+    d = tmp_path_factory.mktemp("drift")
+    tbl, last_day = synth.with_drift(clean_tbl)
+    synth.write_parquet(tbl, str(d / "drift.parquet"))
+    df = spark.read.parquet(str(d / "drift.parquet"))
+    return df.withColumn("text_len", F.length("text")), last_day
+
+
+def test_drift_flags_exactly_the_shifted_partition(drifted_df):
+    df, _ = drifted_df
+    # daily samples are a few hundred rows -> KS sampling noise ~1.36/sqrt(n)
+    # ~= 0.08; thresholds sized so only the planted shift (ks ~= 0.99) flags
+    cfg = DriftConfig(ks_threshold=0.2, psi_threshold=1.0)
+    rep = {
+        (r["partition_a"], r["partition_b"]): r
+        for r in drift_report(df, "text_len", "to_date(ts)", config=cfg).collect()
+    }
+    pairs = sorted(rep)
+    last_pair = pairs[-1]
+    assert rep[last_pair]["ks_flag"], "shifted partition must flag"
+    assert rep[last_pair]["psi_flag"]
+    # interior pairs between well-populated, unshifted days must not flag
+    interior = [p for p in pairs[1:-1]]
+    assert interior, "fixture needs >=4 days"
+    for p in interior:
+        assert not rep[p]["ks_flag"], f"false positive on {p}"
+
+
+def test_drift_clean_baseline_mode(clean_df):
+    df = clean_df.withColumn("text_len", F.length("text"))
+    parts = sorted(
+        r[0]
+        for r in df.select(F.to_date("ts").cast("string")).distinct().collect()
+    )
+    # skip boundary days (few rows); use a mid-range day as baseline
+    base = parts[len(parts) // 2]
+    cfg = DriftConfig(ks_threshold=0.2)
+    rep = drift_report(
+        df, "text_len", "to_date(ts)", baseline_partition=base, config=cfg
+    ).collect()
+    mid = [r for r in rep if r["partition_b"] not in (parts[0], parts[-1])]
+    assert mid
+    for r in mid:
+        assert not r["ks_flag"], (r["partition_b"], r["ks"])
+
+
+def test_categorical_drift(drifted_df):
+    df, _ = drifted_df
+    cfg = DriftConfig(psi_threshold=1.0)
+    rep = drift_report(df, "role", "to_date(ts)", numeric=False, config=cfg).collect()
+    assert all(r["psi"] is not None for r in rep)
+    # role mix was not shifted -> no PSI flags on interior pairs
+    pairs = sorted((r["partition_a"], r["partition_b"]) for r in rep)
+    by_pair = {(r["partition_a"], r["partition_b"]): r for r in rep}
+    for p in pairs[1:-1]:
+        assert not by_pair[p]["psi_flag"]
+
+
+def test_ks_is_scale_free(spark):
+    # identical distributions at different sizes -> ks ~ 0
+    rows = [(i % 100, "a") for i in range(5000)] + [
+        (i % 100, "b") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "v int, p string")
+    rep = drift_report(df, "v", "p", config=DriftConfig(n_bins=20)).collect()
+    assert len(rep) == 1
+    assert rep[0]["ks"] < 0.01

@@ -1,0 +1,182 @@
+"""Differential tests: Spark profile vs a pandas oracle implementing the
+reference's formulas (reference ``tabular_timeseries/variables/utils.py:
+540-582``, ``numeric.py:15-103``, ``textual.py:15-148``)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from profiler.profile import ProfileConfig, profile_table
+from profiler.schema import TypesDict, NUMERIC, CATEGORICAL, TEXTUAL, DATETIME
+
+
+@pytest.fixture(scope="module")
+def exact_profile(clean_df):
+    return profile_table(clean_df, config=ProfileConfig(exact=True))
+
+
+@pytest.fixture(scope="module")
+def pdf(clean_tbl):
+    return clean_tbl.to_pandas()
+
+
+def var_of(profile, name):
+    return next(v for v in profile["variables"] if v["name"] == name)
+
+
+def test_table_stats(exact_profile, pdf):
+    t = exact_profile["table"]
+    assert t["num_rows"] == len(pdf)
+    assert t["num_attributes"] == 6
+    missing = int(pdf.isna().sum().sum())
+    assert t["n_cells_missing"] == missing
+    assert t["p_cells_missing"] == pytest.approx(missing / (len(pdf) * 6))
+
+
+def test_generic_stats_match_pandas(exact_profile, pdf):
+    for col in ["conv_id", "turn_idx", "role", "text", "tool", "ts"]:
+        v = var_of(exact_profile, col)
+        s = pdf[col]
+        assert v["count"] == int(s.notna().sum()), col
+        assert v["num_missing"] == int(s.isna().sum()), col
+        assert v["n_distinct"] == int(s.nunique()), col
+        vc = s.dropna().value_counts()
+        n_unique = int((vc == 1).sum())
+        assert v["uniqueness"] == pytest.approx(n_unique / max(int(s.notna().sum()), 1)), col
+
+
+def test_numeric_moments_match_pandas(exact_profile, pdf):
+    v = var_of(exact_profile, "turn_idx")
+    s = pdf["turn_idx"].astype(float)
+    assert v["min"] == s.min()
+    assert v["max"] == s.max()
+    assert v["average"] == pytest.approx(s.mean(), rel=1e-12)
+    assert v["stddev"] == pytest.approx(s.std(ddof=1), rel=1e-12)
+    assert v["variance"] == pytest.approx(s.var(ddof=1), rel=1e-12)
+    assert v["sum"] == pytest.approx(s.sum(), rel=1e-12)
+    # bias-corrected G1/G2, pandas semantics (reference utils.py:547-551)
+    assert v["skewness"] == pytest.approx(float(s.skew()), rel=1e-7)
+    assert v["kurtosis"] == pytest.approx(float(s.kurt()), rel=1e-7)
+
+
+def test_percentiles_match_numpy_linear(exact_profile, pdf):
+    v = var_of(exact_profile, "turn_idx")
+    s = pdf["turn_idx"].dropna().astype(float).to_numpy()
+    for key, q in [
+        ("percentile5", 5), ("percentile10", 10), ("percentile25", 25),
+        ("median", 50), ("percentile75", 75), ("percentile90", 90),
+        ("percentile95", 95),
+    ]:
+        assert v[key] == pytest.approx(np.percentile(s, q), rel=1e-12), key
+    assert v["iqr"] == pytest.approx(
+        np.percentile(s, 75) - np.percentile(s, 25), rel=1e-12
+    )
+    med = np.median(s)
+    assert v["mad"] == pytest.approx(np.median(np.abs(s - med)), rel=1e-12)
+
+
+def test_topk_and_other_rollup(exact_profile, pdf):
+    v = var_of(exact_profile, "turn_idx")
+    s = pdf["turn_idx"].dropna()
+    vc = s.value_counts()
+    fv = v["freq_value_counts"]
+    top = [e for e in fv if not str(e["value"]).startswith("Other Values")]
+    assert len(top) == 10
+    # counts match the 10 largest frequencies (ties broken by value asc)
+    expected_counts = sorted(vc.to_numpy(), reverse=True)[:10]
+    assert sorted((e["count"] for e in top), reverse=True) == expected_counts
+    other = [e for e in fv if str(e["value"]).startswith("Other Values")]
+    assert len(other) == 1
+    assert other[0]["value"] == f"Other Values ({vc.size - 10})"
+    assert other[0]["count"] == int(vc.sum()) - sum(e["count"] for e in top)
+
+
+def test_extremes(exact_profile, pdf):
+    v = var_of(exact_profile, "turn_idx")
+    s = pdf["turn_idx"].dropna()
+    vc = s.value_counts()
+    top_vals = sorted(vc.index, reverse=True)[:5]
+    got = [e["value"] for e in v["five_max_values"]]
+    assert got == [float(x) for x in top_vals]
+    lo_vals = sorted(vc.index)[:5]
+    assert [e["value"] for e in v["five_min_values"]] == [float(x) for x in lo_vals]
+    for e in v["five_max_values"]:
+        assert e["count"] == int(vc[int(e["value"])])
+
+
+def test_histogram_matches_numpy(exact_profile, pdf):
+    v = var_of(exact_profile, "turn_idx")
+    s = pdf["turn_idx"].dropna().astype(float).to_numpy()
+    h = v["histogram"]
+    n_bins = min(50, int(pdf["turn_idx"].nunique()), 250)
+    counts, edges = np.histogram(s, bins=n_bins, range=(s.min(), s.max()))
+    assert h["counts"] == counts.tolist()
+    assert h["bin_edges"] == pytest.approx(edges.tolist())
+
+
+def test_textual_stats_match_oracle(exact_profile, pdf):
+    v = var_of(exact_profile, "text")
+    s = pdf["text"].dropna()
+    total = s.str.len().sum()
+    upper = s.str.count(r"[A-Z]").sum()
+    digit = s.str.count(r"[0-9]").sum()
+    special = s.str.count(r"[^0-9a-zA-Z\s]").sum()
+    assert v["ratio_uppercase"] == pytest.approx(upper / total, rel=1e-12)
+    assert v["ratio_digits"] == pytest.approx(digit / total, rel=1e-12)
+    assert v["ratio_special_characters"] == pytest.approx(special / total, rel=1e-12)
+    lens = s.str.len().astype(float)
+    d = v["num_chars_distribution"]
+    assert d["min"] == lens.min()
+    assert d["max"] == lens.max()
+    assert d["average"] == pytest.approx(lens.mean(), rel=1e-12)
+    assert d["stddev"] == pytest.approx(lens.std(ddof=1), rel=1e-12)
+    assert d["skewness"] == pytest.approx(float(lens.skew()), rel=1e-7)
+    assert d["kurtosis"] == pytest.approx(float(lens.kurt()), rel=1e-7)
+    assert d["median"] == pytest.approx(float(np.median(lens)))
+    words = s.str.split().str.len().astype(float)
+    w = v["num_words_distribution"]
+    assert w["average"] == pytest.approx(words.mean(), rel=1e-12)
+    assert w["max"] == words.max()
+
+
+def test_datetime_stats(exact_profile, pdf):
+    v = var_of(exact_profile, "ts")
+    s = pdf["ts"]
+    assert v["start"] == str(s.min())
+    assert v["end"] == str(s.max())
+    # python-timedelta format ("N days, H:MM:SS") — reference golden output
+    # uses it (examples/output/timeseries_profile.json: "720 days, 0:00:00")
+    assert v["date_range"] == str(s.max().to_pydatetime() - s.min().to_pydatetime())
+    assert "histogram" in v
+
+
+def test_categorical_distribution(exact_profile, pdf):
+    v = var_of(exact_profile, "role")
+    vc = pdf["role"].value_counts()
+    got = {e["type"]: e["count"] for e in v["frequency_distribution"]}
+    assert got == vc.to_dict()
+    assert set(v["samples"]) <= set(vc.index)
+
+
+def test_light_mode_skips_describes(clean_df):
+    p = profile_table(clean_df, config=ProfileConfig(light_mode=True, exact=True))
+    v = next(x for x in p["variables"] if x["name"] == "turn_idx")
+    assert "average" not in v
+    assert v["count"] > 0
+
+
+def test_types_dict_override_respected(clean_df):
+    td = TypesDict(
+        {
+            "turn_idx": {"type": NUMERIC},
+            "role": {"type": CATEGORICAL},
+        }
+    )
+    td = td.override("turn_idx", CATEGORICAL)
+    p = profile_table(clean_df, types_dict=td, config=ProfileConfig(exact=True))
+    assert {v["name"] for v in p["variables"]} == {"turn_idx", "role"}
+    v = var_of(p, "turn_idx")
+    assert v["type"] == CATEGORICAL
+    assert "average" not in v
+    assert "frequency_distribution" in v

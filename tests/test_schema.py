@@ -1,0 +1,44 @@
+import pytest
+
+from profiler.schema import (
+    BOOLEAN,
+    CATEGORICAL,
+    GEOMETRY,
+    NUMERIC,
+    TEXTUAL,
+    TIMESERIES,
+    UNSUPPORTED,
+    TypesDict,
+    detect_compatible,
+)
+
+
+def test_compatibility_matrix_reference_parity():
+    # reference README.md:51-65
+    assert detect_compatible(NUMERIC, CATEGORICAL)
+    assert detect_compatible(NUMERIC, TIMESERIES)
+    assert detect_compatible(TIMESERIES, NUMERIC)
+    assert detect_compatible(CATEGORICAL, NUMERIC)  # starred but allowed
+    assert detect_compatible(TEXTUAL, CATEGORICAL)
+    assert detect_compatible(BOOLEAN, NUMERIC)
+    assert not detect_compatible(BOOLEAN, GEOMETRY)
+    assert not detect_compatible(TEXTUAL, NUMERIC)
+    assert not detect_compatible(GEOMETRY, NUMERIC)
+    assert detect_compatible(NUMERIC, NUMERIC)  # identity
+    assert detect_compatible(TEXTUAL, UNSUPPORTED)
+
+
+def test_types_dict_override_roundtrip():
+    td = TypesDict({"a": {"type": NUMERIC}, "b": {"type": TEXTUAL}})
+    td2 = td.override("a", CATEGORICAL)
+    assert td2.get_type("a") == CATEGORICAL
+    assert td.get_type("a") == NUMERIC  # original untouched
+    with pytest.raises(ValueError):
+        td.override("b", NUMERIC)
+    j = td2.to_json()
+    assert TypesDict.from_json(j).get_type("a") == CATEGORICAL
+
+
+def test_types_dict_rejects_unknown():
+    with pytest.raises(ValueError):
+        TypesDict.from_json({"x": {"type": "Nope"}})
