@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end pipeline (profile + constraint
+validation of the events table at sf0.001) and returns the per-column profile
+as a DataFrame. ``queries()`` / ``oracle_sql()`` expose the operator registry
+from :mod:`profiler.queries` — one (Spark program, DuckDB SQL) pair per
+implemented operator family from SURVEY.md §2.
 """
 
 from __future__ import annotations
@@ -13,26 +13,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from profiler import queries as _q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full single-pass profile of the events table (sf0.001),
+    returned as one row per column with the core reference stats."""
+    from profiler.profile import ProfileConfig, profile_table
+
+    df = spark.read.parquet(f"{SF0001}/events.parquet")
+    doc = profile_table(df, config=ProfileConfig(exact=True))
+    rows = [
+        (
+            v["name"],
+            v["type"],
+            int(v["count"]),
+            int(v["num_missing"]),
+            int(v["n_distinct"]) if v["n_distinct"] is not None else None,
+            float(v["min"]) if v.get("min") is not None else None,
+            float(v["max"]) if v.get("max") is not None else None,
+            float(v["average"]) if v.get("average") is not None else None,
+            float(v["stddev"]) if v.get("stddev") is not None else None,
+        )
+        for v in doc["variables"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, type string, n_count long, n_missing long, "
+        "n_distinct long, min_v double, max_v double, avg_v double, stddev_v double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

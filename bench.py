@@ -1,0 +1,166 @@
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec_validated": ...}
+
+Workloads:
+* the flagship operator queries from profiler.queries on the TPC-H-ish
+  test tables (grouped stats, histogram, drift, tokens, n-gram Jaccard,
+  cosine top-k);
+* the north-rule workload: FULL profile + ALL constraints over a
+  deterministic synthetic transcripts table sized to the scale factor
+  (sf0.1 → 600k turns), reported as turns/sec validated.
+
+`python bench.py --scaling` additionally runs the transcripts workload in
+fresh JVMs at local[8] and local[32] and reports throughput at both plus
+scaling efficiency (the sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q01_groupstats_flagship",
+    "q02_generic_profile",
+    "q07_histogram",
+    "q11_dense_sequence",
+    "q13_monotonicity",
+    "q15_drift_psi_ks",
+    "q17_token_stats",
+    "q21_ngram_jaccard",
+    "q22_cosine_topk",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _transcripts_path(n_turns: int) -> str:
+    """Deterministic synthetic transcripts parquet, cached across runs."""
+    path = f"/tmp/profiler_bench_transcripts_{n_turns}.parquet"
+    if not os.path.exists(path):
+        from profiler import synth
+
+        synth.write_parquet(synth.make_transcripts(n_turns), path)
+    return path
+
+
+def run_transcripts_workload(spark, n_turns: int) -> dict:
+    """North-rule workload: full profile + all constraints, one timed run."""
+    from profiler.constraints import transcripts_suite
+    from profiler.profile import ProfileConfig, profile_table
+
+    path = _transcripts_path(n_turns)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    t0 = time.perf_counter()
+    profile_table(df, config=ProfileConfig(exact=False))
+    result = transcripts_suite().validate(df)
+    result.summary.collect()
+    result.violations.limit(1000).collect()
+    dt = time.perf_counter() - t0
+    return {"rows": n_rows, "sec": dt, "turns_per_sec": n_rows / dt}
+
+
+def main() -> None:
+    from profiler.queries import queries
+    from profiler.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    qs = queries()
+    timings: dict[str, float] = {}
+
+    # JVM warm-up (first job pays codegen/classload; not representative)
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_turns = max(int(6_000_000 * sf), 10_000)
+    tw = run_transcripts_workload(spark, n_turns)
+    timings["transcripts_profile_validate"] = round(tw["sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (operator queries + full transcripts profile+validate)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "transcripts_rows": tw["rows"],
+                "turns_per_sec_validated": round(tw["turns_per_sec"], 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+def scaling_main() -> None:
+    """Run the transcripts workload at two parallelism levels in fresh JVMs."""
+    sf = _sf_of(SF_DIR)
+    n_turns = max(int(6_000_000 * sf), 10_000)
+    _transcripts_path(n_turns)  # pre-generate outside the timed runs
+    out = {}
+    for cpus in (8, 32):
+        code = (
+            "import sys, json, time; sys.path.insert(0, %r);"
+            "from profiler.session import get_spark;"
+            "from bench import run_transcripts_workload;"
+            "spark = get_spark('scaling', master='local[%d]', shuffle_partitions=%d);"
+            "spark.range(1).count();"
+            "r = run_transcripts_workload(spark, %d);"
+            "print('RESULT ' + json.dumps(r))"
+            % (os.path.dirname(os.path.abspath(__file__)), cpus, cpus, n_turns)
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"scaling run at local[{cpus}] failed")
+        out[cpus] = json.loads(line[0][7:])
+    eff = (out[32]["turns_per_sec"] / out[8]["turns_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency local[8] -> local[32] (stand-in for N -> 4N executors)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "rows": out[8]["rows"],
+                "local8_turns_per_sec": round(out[8]["turns_per_sec"], 1),
+                "local32_turns_per_sec": round(out[32]["turns_per_sec"], 1),
+                "local8_sec": round(out[8]["sec"], 2),
+                "local32_sec": round(out[32]["sec"], 2),
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,1009 @@
+"""Driver-contract query registry: every operator family from SURVEY.md §2
+exposed as a (Spark DataFrame program, DuckDB oracle SQL) pair.
+
+Each entry maps one engine capability — profile stats, frequency/top-k,
+histograms, uniqueness, dense-sequence referential integrity, domain checks,
+window analytics, drift, text analysis, dedup, similarity search — onto the
+driver's TPC-H-ish test tables (``region nation customer supplier part orders
+lineitem events documents embeddings``).
+
+Determinism rules (the driver value-hashes results):
+* money sums go through DECIMAL(18,2) so partial-aggregation order can't
+  change the result; the exact decimal is cast back to double at the end;
+* all derived doubles are rounded (4 decimals) AFTER identical-order math;
+* every ORDER BY / LIMIT has a total tie-break;
+* timestamps are surfaced as strings (CAST both sides) to dodge tz/precision
+  representation differences between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ===========================================================================
+# A. Core profile statistics (SURVEY §2.4 A1-A5, A7)
+# ===========================================================================
+@_register(
+    "q01_groupstats_flagship",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           ROUND(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           ROUND(CAST(max(l_tax) AS DOUBLE), 4) AS max_tax
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation — the flagship single-pass
+    grouped-stats plan (partial+final hash agg, no row shuffle beyond the
+    tiny group states)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.round(F.max("l_tax").cast("double"), 4).alias("max_tax"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q02_generic_profile",
+    """
+    SELECT 'event_type' AS col_name, count(event_type) AS n_count,
+           count(*) - count(event_type) AS n_missing,
+           count(DISTINCT event_type) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'user_id', count(user_id), count(*) - count(user_id),
+           count(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'value', count(value), count(*) - count(value),
+           count(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'props', count(props), count(*) - count(props),
+           count(DISTINCT props) FROM events
+    ORDER BY col_name
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column generic stats (count / missing / exact distinct) for four
+    columns computed in ONE wide aggregate then unpivoted with stack() —
+    the single-pass plan the profiler uses (SURVEY §2.4 A2)."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_type", "user_id", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__cnt"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__miss"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__cnt`, `{c}__miss`, `{c}__nd`" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_count, n_missing, n_distinct)"
+    ).orderBy("col_name")
+
+
+@_register(
+    "q03_numeric_describe",
+    """
+    SELECT count(l_extendedprice) AS n_count,
+           ROUND(CAST(min(l_extendedprice) AS DOUBLE), 4) AS min_v,
+           ROUND(CAST(max(l_extendedprice) AS DOUBLE), 4) AS max_v,
+           ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice), 4) AS avg_v,
+           ROUND(stddev_samp(l_extendedprice), 4) AS stddev_v,
+           ROUND(skewness(l_extendedprice), 4) AS skewness_v,
+           ROUND(kurtosis(l_extendedprice), 4) AS kurtosis_v,
+           count(*) FILTER (WHERE l_extendedprice = 0) AS n_zeros,
+           count(*) FILTER (WHERE l_extendedprice < 0) AS n_negative
+    FROM lineitem
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric describe (SURVEY §2.4 A4/A7) with pandas-style bias-corrected
+    G1/G2 moments derived from Spark's population g1/g2 in-expression
+    (DuckDB's skewness/kurtosis are already bias-corrected — verified)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    n = F.count(c)
+    g1, g2 = F.skewness(c), F.kurtosis(c)
+    skew = g1 * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+    kurt = ((n + F.lit(1)) * g2 + F.lit(6.0)) * (n - F.lit(1)) / ((n - F.lit(2)) * (n - F.lit(3)))
+    return li.agg(
+        n.alias("n_count"),
+        F.round(F.min(c).cast("double"), 4).alias("min_v"),
+        F.round(F.max(c).cast("double"), 4).alias("max_v"),
+        F.round(F.sum(c.cast("decimal(18,2)")).cast("double") / n, 4).alias("avg_v"),
+        F.round(F.stddev_samp(c), 4).alias("stddev_v"),
+        F.round(skew, 4).alias("skewness_v"),
+        F.round(kurt, 4).alias("kurtosis_v"),
+        F.count_if(c == 0).alias("n_zeros"),
+        F.count_if(c < 0).alias("n_negative"),
+    )
+
+
+@_register(
+    "q04_percentiles",
+    """
+    SELECT ROUND(quantile_cont(value, 0.05), 4) AS p05,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr
+    FROM events
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (SURVEY §2.4 A5). The engine's
+    scale path uses percentile_approx sketches; the oracle path here uses the
+    exact percentile to pin interpolation semantics."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("value")
+    p = lambda q: F.percentile(c, F.lit(q))  # noqa: E731
+    return ev.agg(
+        F.round(p(0.05), 4).alias("p05"),
+        F.round(p(0.25), 4).alias("p25"),
+        F.round(p(0.50), 4).alias("p50"),
+        F.round(p(0.75), 4).alias("p75"),
+        F.round(p(0.95), 4).alias("p95"),
+        F.round(p(0.75) - p(0.25), 4).alias("iqr"),
+    )
+
+
+# ===========================================================================
+# B. Frequency family: top-k, extremes, histogram (A8-A10, A13, O1-O2)
+# ===========================================================================
+@_register(
+    "q05_topk_freq",
+    """
+    SELECT p_brand AS value, count(*) AS cnt
+    FROM part GROUP BY p_brand
+    ORDER BY cnt DESC, value ASC
+    LIMIT 10
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K frequent values (SURVEY §2.4 A9): Spark plans
+    TakeOrderedAndProject over the partial-aggregated frequency map —
+    no full sort, no full shuffle of raw rows."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q06_freq_extremes",
+    """
+    WITH vc AS (SELECT l_quantity AS value, count(*) AS cnt
+                FROM lineitem GROUP BY l_quantity)
+    SELECT * FROM (
+      (SELECT 'max' AS tag, CAST(value AS DOUBLE) AS value, cnt
+       FROM vc ORDER BY value DESC LIMIT 5)
+      UNION ALL
+      (SELECT 'min' AS tag, CAST(value AS DOUBLE) AS value, cnt
+       FROM vc ORDER BY value ASC LIMIT 5)
+    ) ORDER BY tag, value
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 extreme values with their frequencies (SURVEY §2.4 A10) — both ends
+    served from ONE value_counts aggregate, top-k by key."""
+    vc = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").cast("double").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hi = vc.orderBy(F.desc("value")).limit(5).select(F.lit("max").alias("tag"), "value", "cnt")
+    lo = vc.orderBy(F.asc("value")).limit(5).select(F.lit("min").alias("tag"), "value", "cnt")
+    return hi.unionByName(lo).orderBy("tag", "value")
+
+
+@_register(
+    "q07_histogram",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket,
+           count(*) AS cnt
+    FROM events, b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram (SURVEY §2.4 A8): min/max pre-pass, then
+    one groupBy(bucket) hash agg; last bin right-inclusive like numpy."""
+    ev = _t(spark, sf_dir, "events")
+    lohi = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    width = (hi - lo) / 20
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(19)
+    ).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "q08_datetime_profile",
+    """
+    SELECT event_type,
+           CAST(min(ts) AS VARCHAR) AS ts_min,
+           CAST(max(ts) AS VARCHAR) AS ts_max,
+           count(*) AS n_rows,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateTime bounds + activity span per group (SURVEY §2.4 A14)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("ts").cast("string").alias("ts_min"),
+            F.max("ts").cast("string").alias("ts_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("ts").cast("date")).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# C. Constraints (north rule): uniqueness, dense sequence, domain
+# ===========================================================================
+@_register(
+    "q09_uniqueness_stats",
+    """
+    WITH vc AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+    SELECT count(*) AS n_distinct,
+           count(*) FILTER (WHERE cnt = 1) AS n_singletons,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_multiplicity
+    FROM vc
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness profile of a key column (SURVEY §2.4 A2 n_unique): exact
+    distinct + singleton counts from one frequency aggregate."""
+    vc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return vc.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.count_if(F.col("cnt") == 1).alias("n_singletons"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_multiplicity"),
+    )
+
+
+@_register(
+    "q10_unique_key_violations",
+    """
+    SELECT o_orderkey AS key, count(*) AS duplicate_count
+    FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+    ORDER BY key
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique_key constraint violations (north rule): duplicate primary keys
+    materialized. Plan: groupBy + having — map-side partial agg means the
+    shuffle carries one state per key, never raw rows."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .where(F.col("duplicate_count") > 1)
+        .orderBy("key")
+    )
+
+
+@_register(
+    "q11_dense_sequence",
+    """
+    WITH g AS (
+      SELECT l_orderkey, count(*) AS cnt, min(l_linenumber) AS mn,
+             max(l_linenumber) AS mx, count(DISTINCT l_linenumber) AS nd
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT count(*) AS n_groups,
+           count(*) FILTER (WHERE NOT (mn = 1 AND mx = cnt AND nd = cnt))
+             AS n_violations,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence referential check (north rule; SURVEY §2.5): l_linenumber
+    must be exactly {1..count} per order. Aggregate form — min/max/count/
+    count_distinct per group — NOT a row_number sort, so whale groups cost
+    O(n) partial aggregation instead of a per-group sort."""
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+            F.count_distinct(F.col("l_linenumber")).alias("nd"),
+        )
+    )
+    dense = (F.col("mn") == 1) & (F.col("mx") == F.col("cnt")) & (F.col("nd") == F.col("cnt"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(~dense).alias("n_violations"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+
+
+@_register(
+    "q12_domain_check",
+    """
+    SELECT CAST(o_orderdate AS VARCHAR) AS partition_key,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')) AS n_violations,
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')) = 0 AS passed
+    FROM orders
+    GROUP BY o_orderdate ORDER BY partition_key
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain constraint with per-partition pass/fail summary (north rule):
+    one grouped conditional aggregate — violations counted at the scan, no
+    second pass."""
+    o = _t(spark, sf_dir, "orders")
+    viol = ~F.col("o_orderstatus").isin("O", "F")
+    return (
+        o.groupBy(F.col("o_orderdate").cast("string").alias("partition_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(viol).alias("n_violations"),
+            (F.count_if(viol) == 0).alias("passed"),
+        )
+        .orderBy("partition_key")
+    )
+
+
+# ===========================================================================
+# D. Window analytics (SURVEY §2.5 W1-W4)
+# ===========================================================================
+@_register(
+    "q13_monotonicity",
+    """
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS diff
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE diff < 0) AS n_down,
+             count(*) FILTER (WHERE diff > 0) AS n_up
+      FROM d GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE n_down = 0) AS n_nondecreasing,
+           count(*) FILTER (WHERE n_up = 0) AS n_nonincreasing
+    FROM per_user
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity detection (SURVEY §2.4 A11 / §2.5 W1) via lag() within
+    per-entity windows — the per-conversation ordering pattern from the
+    transcripts north rule."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", (F.col("value") - F.lag("value").over(w)).alias("diff"))
+    per_user = d.groupBy("user_id").agg(
+        F.count_if(F.col("diff") < 0).alias("n_down"),
+        F.count_if(F.col("diff") > 0).alias("n_up"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("n_down") == 0).alias("n_nondecreasing"),
+        F.count_if(F.col("n_up") == 0).alias("n_nonincreasing"),
+    )
+
+
+@_register(
+    "q14_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    ORDER BY n_sessions DESC, user_id ASC LIMIT 20
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (SURVEY §2.5 W2): a session break is a
+    >1h silence; islands come from a cumulative-sum-free formulation (count
+    the breaks) so only one window pass is needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 3600),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# E. Drift (north rule): PSI + KS between partition halves
+# ===========================================================================
+@_register(
+    "q15_drift_psi_ks",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    bucketed AS (
+      SELECT CASE WHEN day(ts) < 16 THEN 'a' ELSE 'b' END AS side,
+             CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket
+      FROM events, b
+    ),
+    counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE side = 'a') AS ca,
+             count(*) FILTER (WHERE side = 'b') AS cb
+      FROM bucketed GROUP BY bucket
+    ),
+    probs AS (
+      SELECT bucket,
+             (CAST(ca AS DOUBLE) / (SELECT sum(ca) FROM counts) + 1e-6) AS pa,
+             (CAST(cb AS DOUBLE) / (SELECT sum(cb) FROM counts) + 1e-6) AS pb,
+             CAST(ca AS DOUBLE) / (SELECT sum(ca) FROM counts) AS ra,
+             CAST(cb AS DOUBLE) / (SELECT sum(cb) FROM counts) AS rb
+      FROM counts
+    ),
+    cdf AS (
+      SELECT sum(ra) OVER (ORDER BY bucket) AS cdf_a,
+             sum(rb) OVER (ORDER BY bucket) AS cdf_b,
+             (pa - pb) * ln(pa / pb) AS psi_term
+      FROM probs
+    )
+    SELECT ROUND(max(abs(cdf_a - cdf_b)), 4) AS ks,
+           ROUND(sum(psi_term), 4) AS psi
+    FROM cdf
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two partition snapshots (north rule):
+    10-bucket histogram sketch per side in ONE pass, then KS (max CDF gap)
+    and PSI (epsilon-smoothed) over the tiny sketch."""
+    ev = _t(spark, sf_dir, "events")
+    lohi = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    width = (hi - lo) / 10
+    side = F.when(F.dayofmonth("ts") < 16, "a").otherwise("b")
+    bucket = F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(9)).cast("int")
+    counts = (
+        ev.select(side.alias("side"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("side") == "a").alias("ca"),
+            F.count_if(F.col("side") == "b").alias("cb"),
+        )
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).collect()[0]
+    na, nb = tot["na"], tot["nb"]
+    probs = counts.select(
+        "bucket",
+        (F.col("ca").cast("double") / F.lit(na)).alias("ra"),
+        (F.col("cb").cast("double") / F.lit(nb)).alias("rb"),
+        (F.col("ca").cast("double") / F.lit(na) + F.lit(1e-6)).alias("pa"),
+        (F.col("cb").cast("double") / F.lit(nb) + F.lit(1e-6)).alias("pb"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = probs.select(
+        F.sum("ra").over(w).alias("cdf_a"),
+        F.sum("rb").over(w).alias("cdf_b"),
+        ((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))).alias("psi_term"),
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 4).alias("ks"),
+        F.round(F.sum("psi_term"), 4).alias("psi"),
+    )
+
+
+# ===========================================================================
+# F. Text analysis over documents (training-data pipeline ops)
+# ===========================================================================
+@_register(
+    "q16_text_quality",
+    """
+    WITH d AS (
+      SELECT lang, text,
+             length(text) AS n_chars,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_special,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+           ROUND(CAST(sum(n_words) AS DOUBLE) / count(*), 4) AS avg_words,
+           ROUND(CAST(sum(n_special) AS DOUBLE) / sum(n_chars), 6) AS ratio_special,
+           ROUND(CAST(sum(n_upper) AS DOUBLE) / sum(n_chars), 6) AS ratio_upper,
+           ROUND(CAST(sum(n_digits) AS DOUBLE) / sum(n_chars), 6) AS ratio_digits
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual describe (SURVEY §2.4 A15): char-class ratios and length stats
+    as pure JVM expressions — length(regexp_replace(...)) per class — summed
+    per language. No Python in the hot path."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+    n_special = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    n_upper = F.length(F.regexp_replace("text", r"[^A-Z]", ""))
+    n_digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return (
+        d.select("lang", n_chars.alias("nc"), n_words.alias("nw"),
+                 n_special.alias("ns"), n_upper.alias("nu"), n_digits.alias("ndg"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("sum_chars"),
+            F.sum("nw").cast("bigint").alias("sum_words"),
+            F.round(F.sum("nc").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+            F.round(F.sum("nw").cast("double") / F.count(F.lit(1)), 4).alias("avg_words"),
+            F.round(F.sum("ns").cast("double") / F.sum("nc"), 6).alias("ratio_special"),
+            F.round(F.sum("nu").cast("double") / F.sum("nc"), 6).alias("ratio_upper"),
+            F.round(F.sum("ndg").cast("double") / F.sum("nc"), 6).alias("ratio_digits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q17_token_stats",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS token
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT token, count(*) AS cnt
+    FROM tok GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 10
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-pipeline op): whitespace tokenization via
+    split+explode, vocabulary top-10. The explode is collapsed map-side by
+    partial aggregation — the shuffle carries (token, partial_count)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = d.select(
+        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q18_exact_dedup",
+    """
+    WITH fp AS (SELECT md5(text) AS fingerprint, count(*) AS cnt
+                FROM documents WHERE text IS NOT NULL GROUP BY md5(text))
+    SELECT count(*) AS n_distinct_texts,
+           count(*) FILTER (WHERE cnt > 1) AS n_dup_groups,
+           CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS n_dup_docs,
+           CAST(sum(cnt) AS BIGINT) AS n_docs
+    FROM fp
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication (training-pipeline op): hash-groupBy on a text
+    fingerprint — the shuffle carries 16-byte digests, never documents."""
+    fp = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = F.col("cnt") > 1
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.count_if(dup).alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("cnt"))), F.lit(0)).cast("bigint").alias("n_dup_docs"),
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+    )
+
+
+@_register(
+    "q19_quality_score",
+    """
+    WITH d AS (
+      SELECT source,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_special,
+             length(text) AS n_chars,
+             len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           ROUND(avg(0.4 * LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)
+                 + 0.3 * (1.0 - CAST(n_special AS DOUBLE) / n_chars)
+                 + 0.3 * LEAST(10.0 * CAST(n_stop AS DOUBLE) / n_words, 1.0)), 4)
+             AS avg_quality,
+           count(*) AS n_docs
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (training-pipeline op): length / punctuation /
+    stopword-ratio heuristic, all as vectorized JVM expressions."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    n_words = F.size(words)
+    n_special = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    n_chars = F.length("text")
+    stop = F.array(*[F.lit(t) for t in ("the", "a", "of", "and", "to", "in")])
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stop, t)))
+    score = (
+        F.lit(0.4) * F.least(n_words.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_special.cast("double") / n_chars)
+        + F.lit(0.3) * F.least(F.lit(10.0) * n_stop.cast("double") / n_words, F.lit(1.0))
+    )
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(F.round(F.avg("score"), 4).alias("avg_quality"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@_register(
+    "q20_langid",
+    """
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                       < length(text) * 0.5 THEN 'other'
+                  WHEN len(list_filter(
+                         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0
+                    THEN 'en' ELSE 'unknown' END AS predicted
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, predicted, count(*) AS cnt
+    FROM scored GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-pipeline op): ASCII-ratio + stopword
+    evidence. (A production system would use a fastText pandas UDF — gated
+    behind an optional import; the Spark-side plumbing is identical.)"""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ascii_kept = F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    stop = F.array(*[F.lit(t) for t in ("the", "a", "of", "and", "to", "in", "is")])
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stop, t)))
+    predicted = (
+        F.when(ascii_kept < F.length("text") * 0.5, "other")
+        .when(n_stop > 0, "en")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ===========================================================================
+# G. Near-dup + similarity over documents / embeddings
+# ===========================================================================
+_SHINGLE_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    )
+"""
+
+
+@_register(
+    "q21_ngram_jaccard",
+    _SHINGLE_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) DESC,
+             doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup (training-pipeline op): word-3-gram shingle
+    sets, shingle-inverted-index self-join (pairs sharing >=1 shingle only —
+    never the full O(n^2) cross join), exact Jaccard, top-20 most similar.
+    At scale the same plan runs after a MinHash-LSH candidate filter
+    (profiler.dedup.minhash_lsh_candidates)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    s = (
+        dw.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .distinct()
+    )
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac_raw"))
+        .orderBy(F.desc("jac_raw"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select("doc_a", "doc_b", F.round(F.col("jac_raw"), 4).alias("jaccard"))
+    )
+
+
+_COSINE_SQL_BODY = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+"""
+
+
+@_register(
+    "q22_cosine_topk",
+    _COSINE_SQL_BODY
+    + """
+    , sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (training-pipeline op):
+    queries are broadcast against the corpus; the dot product runs as a
+    JVM-side zip_with/aggregate fold over double arrays (no Python). The
+    approximate scale path is profiler.similarity.lsh_topk."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    n = e.select("vec_id", "v", norm.alias("nrm"))
+    q = n.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("nrm"))).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@_register(
+    "q23_embedding_neardup",
+    _COSINE_SQL_BODY
+    + """
+    , sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) AS n_pairs_total,
+           count(*) FILTER (WHERE sim >= 0.9) AS n_neardup_pairs,
+           ROUND(max(sim), 4) AS max_sim
+    FROM sims
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (training-pipeline op):
+    all-pairs cosine summary. Exact quadratic form at test scale; at 100 TB
+    the same verification runs only on LSH-bucketed candidate pairs
+    (profiler.similarity)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    n = e.select("vec_id", "v", norm.alias("nrm"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select((dot / (F.col("na") * F.col("nb"))).alias("sim"))
+    )
+    return sims.agg(
+        F.count(F.lit(1)).alias("n_pairs_total"),
+        F.count_if(F.col("sim") >= 0.9).alias("n_neardup_pairs"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+    )
+
+
+@_register(
+    "q24_minhash_fingerprint",
+    _SHINGLE_SQL
+    + """
+    , sig AS (
+      SELECT doc_id,
+             min(md5('0' || shingle)) AS h0,
+             min(md5('1' || shingle)) AS h1,
+             min(md5('2' || shingle)) AS h2,
+             min(md5('3' || shingle)) AS h3
+      FROM s GROUP BY doc_id
+    )
+    SELECT count(DISTINCT h0) AS nd_h0, count(DISTINCT h1) AS nd_h1,
+           count(DISTINCT (h0 || h1 || h2 || h3)) AS nd_sig,
+           count(*) AS n_docs
+    FROM sig
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash document fingerprinting (training-pipeline op): 4 md5-derived
+    min-hash components per document over word-3-gram shingles. md5 is used
+    (not xxhash64) so DuckDB can replay it bit-for-bit; the scale path in
+    profiler.dedup uses xxhash64 with the identical plan shape."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    s = dw.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle")).distinct()
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+    return sig.agg(
+        F.count_distinct(F.col("h0")).alias("nd_h0"),
+        F.count_distinct(F.col("h1")).alias("nd_h1"),
+        F.count_distinct(F.concat("h0", "h1", "h2", "h3")).alias("nd_sig"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

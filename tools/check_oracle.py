@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet tables,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def main() -> int:
+    import duckdb
+
+    from profiler.queries import oracle_sql, queries
+    from profiler.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, os_ = queries(), oracle_sql()
+    n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = sorted(
+                tuple(norm(row[c]) for c in s_cols) for row in sdf.collect()
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in os_:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            continue
+        try:
+            rel = con.execute(os_[name])
+            d_cols_raw = [d[0] for d in rel.description]
+            d_rows_raw = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
+        d_cols = [d_cols_raw[i] for i in order]
+        d_rows = sorted(tuple(norm(r[i]) for i in order) for r in d_rows_raw)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns {s_cols} != {d_cols}")
+            n_fail += 1
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}")
+            n_fail += 1
+        elif s_rows != d_rows:
+            bad = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b][:3]
+            print(f"FAIL {name}: values differ at sorted rows {bad}")
+            for i in bad:
+                print(f"   spark : {s_rows[i]}")
+                print(f"   duckdb: {d_rows[i]}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows match")
+    print(f"\n{n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
