@@ -27,6 +27,19 @@ from profiler.constraints import (
 )
 from profiler.drift import drift_report
 from profiler.report import assemble_profile_document
+from profiler.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash64,
+    simhash_candidates,
+)
+from profiler.similarity import brute_force_topk, lsh_topk, neardup_pairs
+from profiler.text import (
+    count_tokens,
+    detect_language,
+    fingerprint,
+    score_quality,
+)
 
 __all__ = [
     "TRANSCRIPTS_SCHEMA",
@@ -42,6 +55,17 @@ __all__ = [
     "row_predicate",
     "drift_report",
     "assemble_profile_document",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash64",
+    "simhash_candidates",
+    "brute_force_topk",
+    "lsh_topk",
+    "neardup_pairs",
+    "count_tokens",
+    "detect_language",
+    "fingerprint",
+    "score_quality",
 ]
 
 __version__ = "0.1.0"

