@@ -1064,3 +1064,214 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+# ===========================================================================
+# I. Remaining operator families (SURVEY §2.4 A6/A9, §2.5 W2/W3, §2.3, §2.6)
+# ===========================================================================
+@_register(
+    "q29_topk_other_rollup",
+    """
+    WITH vc AS (SELECT o_orderpriority AS value, count(*) AS cnt
+                FROM orders GROUP BY o_orderpriority),
+    top3 AS (SELECT value, cnt FROM vc ORDER BY cnt DESC, value ASC LIMIT 3)
+    SELECT value, cnt FROM top3
+    UNION ALL
+    SELECT 'Other Values (' || CAST((SELECT count(*) FROM vc) -
+           (SELECT count(*) FROM top3) AS VARCHAR) || ')' AS value,
+           CAST((SELECT sum(cnt) FROM vc) - (SELECT sum(cnt) FROM top3) AS BIGINT)
+             AS cnt
+    ORDER BY cnt DESC, value ASC
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K frequent values + 'Other Values (n)' rollup — the reference's
+    freq_value_counts semantics (reference variables/utils.py:497-504),
+    served from one frequency aggregate."""
+    vc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    top3 = vc.orderBy(F.desc("cnt"), F.asc("value")).limit(3)
+    totals = vc.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("cnt").alias("n")
+    ).collect()[0]
+    kept = top3.collect()
+    vc.unpersist()
+    other_nd = totals["nd"] - len(kept)
+    other_n = totals["n"] - sum(r["cnt"] for r in kept)
+    spark_rows = [(r["value"], r["cnt"]) for r in kept] + [
+        (f"Other Values ({other_nd})", other_n)
+    ]
+    out = spark.createDataFrame(spark_rows, "value string, cnt long")
+    return out.orderBy(F.desc("cnt"), F.asc("value"))
+
+
+@_register(
+    "q30_mad",
+    """
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events)
+    SELECT ROUND((SELECT m FROM med), 4) AS median,
+           ROUND(quantile_cont(abs(value - (SELECT m FROM med)), 0.5), 4) AS mad
+    FROM events
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (SURVEY §2.4 A6) — the engine's documented
+    2-pass exception: median first, then median of absolute deviations."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.percentile(F.col("value"), F.lit(0.5)).alias("m")).collect()[0]["m"]
+    return ev.agg(
+        F.round(F.lit(med), 4).alias("median"),
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.lit(med)), F.lit(0.5)), 4
+        ).alias("mad"),
+    )
+
+
+@_register(
+    "q31_dedup_keep_first",
+    """
+    WITH r AS (
+      SELECT event_id,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    )
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE rk = 1) AS n_kept,
+           count(*) FILTER (WHERE rk > 1) AS n_dropped
+    FROM r
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-first (SURVEY §2.5 W3, the reference's timeseries index
+    dedup): row_number() = 1 per (user, day) under stable ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy("ts", "event_id")
+    r = ev.select(F.row_number().over(w).alias("rk"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("rk") == 1).alias("n_kept"),
+        F.count_if(F.col("rk") > 1).alias("n_dropped"),
+    )
+
+
+@_register(
+    "q32_gap_runs",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 1.0 THEN 1 ELSE 0 END AS is_gap
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, is_gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, is_gap
+                                  ORDER BY ts, event_id) AS grp
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, count(*) AS run_len
+      FROM islands WHERE is_gap = 1 GROUP BY user_id, grp
+    )
+    SELECT run_len, count(*) AS n_runs
+    FROM runs GROUP BY run_len ORDER BY run_len
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-run statistics (SURVEY §2.4 A16 / §2.5 W2): classic
+    gaps-and-islands via the difference of two row_numbers; run-length
+    frequency map of below-threshold streaks per user."""
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 1.0, 1).otherwise(0).alias("is_gap"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_gap = Window.partitionBy("user_id", "is_gap").orderBy("ts", "event_id")
+    islands = flagged.select(
+        "user_id", "is_gap",
+        (F.row_number().over(w_all) - F.row_number().over(w_gap)).alias("grp"),
+    )
+    runs = (
+        islands.where(F.col("is_gap") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("run_len").agg(F.count(F.lit(1)).alias("n_runs")).orderBy("run_len")
+    )
+
+
+@_register(
+    "q33_set_ops",
+    """
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                             UNION SELECT c_custkey FROM customer)) AS n_union,
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                             INTERSECT SELECT c_custkey FROM customer)) AS n_intersect,
+      (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                             EXCEPT SELECT o_custkey FROM orders)) AS n_inactive
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6 O5): distinct union / intersect / except
+    between the orders and customer key domains."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    n_union = o.union(c).distinct().count()
+    n_intersect = o.intersect(c).count()
+    n_inactive = c.exceptAll(o.distinct()).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_inactive)],
+        "n_union long, n_intersect long, n_inactive long",
+    )
+
+
+@_register(
+    "q34_star_join",
+    """
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dimensions (SURVEY §2.3): the fact table
+    streams once; customer and nation are broadcast so no fact-side shuffle
+    happens before aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register("q35_type_detection")
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic type detection (SURVEY §2 find_types parity): one wide
+    aggregate of castability/token fractions per column → detected type.
+    Rows-only check (the lattice is pinned by tests/test_detect.py)."""
+    from profiler.detect import detect_types
+
+    ev = _t(spark, sf_dir, "events")
+    td = detect_types(ev)
+    rows = sorted((c, td.get_type(c)) for c in ev.columns)
+    return spark.createDataFrame(rows, "col_name string, detected_type string")
