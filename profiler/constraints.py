@@ -61,6 +61,11 @@ class Constraint:
     name: str
     # fn(df, partition_expr) -> violations DataFrame in VIOLATION_COLS schema
     violations_fn: Callable[[DataFrame, Column], DataFrame]
+    # Row-local constraints additionally expose (condition, keys, details)
+    # builders so the suite can evaluate EVERY row-local constraint in one
+    # fused scan (one explode of per-constraint structs) instead of one scan
+    # per constraint. ``violations_fn`` remains the standalone path.
+    row_parts: Callable[[], tuple[Column, dict, dict]] | None = None
 
 
 # --------------------------------------------------------------------------
@@ -70,17 +75,23 @@ def unique_key(cols: Sequence[str], name: str | None = None) -> Constraint:
     cname = name or f"unique({','.join(cols)})"
 
     def fn(df: DataFrame, part: Column) -> DataFrame:
+        # One violation row PER DUPLICATED KEY, straight off the grouped
+        # aggregate (keys + multiplicity + partition carried through the
+        # agg) — no join back onto the fact table: the original rows are
+        # recoverable by key, and skipping the join removes a second full
+        # scan of the table per validation.
         dup_keys = (
             df.groupBy(*cols)
-            .agg(F.count(F.lit(1)).alias("__dup_cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("__dup_cnt"),
+                F.min(part.cast("string")).alias("__p"),
+            )
             .where(F.col("__dup_cnt") > 1)
         )
-        # duplicates are rare by assumption → broadcast the key list
-        offending = df.join(F.broadcast(dup_keys), list(cols), "inner")
         return _violations_schema_select(
-            offending,
+            dup_keys,
             cname,
-            part,
+            F.col("__p"),
             {c: F.col(c) for c in cols},
             {"duplicate_count": F.col("__dup_cnt")},
         )
@@ -170,41 +181,44 @@ def domain(
 ) -> Constraint:
     cname = name or f"domain({col})"
 
-    def fn(df: DataFrame, part: Column) -> DataFrame:
+    def _parts() -> tuple[Column, dict, dict]:
         c = F.col(col)
         pred = ~c.isin(*allowed)
         pred = (c.isNotNull() & pred) if nullable else (c.isNull() | pred)
-        return _violations_schema_select(
-            df.where(pred), cname, part, {col: c}, {"value": c}
-        )
+        return pred, {col: c}, {"value": c}
 
-    return Constraint(cname, fn)
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(df.where(pred), cname, part, keys, details)
+
+    return Constraint(cname, fn, row_parts=_parts)
 
 
 def not_null(col: str, name: str | None = None) -> Constraint:
     cname = name or f"not_null({col})"
 
-    def fn(df: DataFrame, part: Column) -> DataFrame:
-        return _violations_schema_select(
-            df.where(F.col(col).isNull()), cname, part, {}, {"column": F.lit(col)}
-        )
+    def _parts() -> tuple[Column, dict, dict]:
+        return F.col(col).isNull(), {}, {"column": F.lit(col)}
 
-    return Constraint(cname, fn)
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(df.where(pred), cname, part, keys, details)
+
+    return Constraint(cname, fn, row_parts=_parts)
 
 
 def row_predicate(name: str, sql_predicate: str) -> Constraint:
     """Rows violating an arbitrary SQL boolean expression (must hold)."""
 
-    def fn(df: DataFrame, part: Column) -> DataFrame:
-        return _violations_schema_select(
-            df.where(~F.expr(sql_predicate) | F.expr(sql_predicate).isNull()),
-            name,
-            part,
-            {},
-            {"predicate": F.lit(sql_predicate)},
-        )
+    def _parts() -> tuple[Column, dict, dict]:
+        cond = ~F.expr(sql_predicate) | F.expr(sql_predicate).isNull()
+        return cond, {}, {"predicate": F.lit(sql_predicate)}
 
-    return Constraint(name, fn)
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(df.where(pred), name, part, keys, details)
+
+    return Constraint(name, fn, row_parts=_parts)
 
 
 # --------------------------------------------------------------------------
@@ -215,9 +229,15 @@ class ValidationResult:
     violations: DataFrame       # uniform violation rows (all constraints)
     summary: DataFrame          # (partition_key, constraint, n_violations, passed)
     partition_rows: DataFrame   # (partition_key, n_rows)
+    _base: DataFrame | None = None  # persisted per-partition count table
 
     def passed(self) -> bool:
         return self.summary.where(~F.col("passed")).limit(1).count() == 0
+
+    def unpersist(self) -> None:
+        self.violations.unpersist()
+        if self._base is not None:
+            self._base.unpersist()
 
 
 @dataclass
@@ -232,31 +252,99 @@ class ConstraintSuite:
 
     def validate(self, df: DataFrame) -> ValidationResult:
         part = F.expr(self.partition_expr)
-        parts = [c.violations_fn(df, part) for c in self.constraints]
-        violations = parts[0]
-        for p in parts[1:]:
-            violations = violations.unionByName(p)
-
-        partition_rows = (
-            df.groupBy(part.cast("string").alias("partition_key"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-        )
-        # universe = partitions × constraints, so untouched cells report pass
-        universe = partition_rows.crossJoin(
-            df.sparkSession.createDataFrame(
-                [(c.name,) for c in self.constraints], "constraint string"
+        row_local = [c for c in self.constraints if c.row_parts is not None]
+        keyed = [c for c in self.constraints if c.row_parts is None]
+        pieces = [c.violations_fn(df, part) for c in keyed]
+        if row_local:
+            # ONE fused scan for every row-local constraint: each row builds
+            # an array of per-constraint violation structs, nulls compacted
+            # away, survivors exploded into the uniform violation schema.
+            structs = []
+            for c in row_local:
+                pred, keys, details = c.row_parts()
+                structs.append(
+                    F.when(
+                        pred,
+                        F.struct(
+                            F.lit(c.name).alias("constraint"),
+                            _kv_map(keys).alias("keys"),
+                            _kv_map(details).alias("details"),
+                        ),
+                    )
+                )
+            fused = (
+                df.select(
+                    part.cast("string").alias("partition_key"),
+                    F.explode(F.array_compact(F.array(*structs))).alias("v"),
+                )
+                .select("v.constraint", "partition_key", "v.keys", "v.details")
             )
+            pieces.append(fused)
+        violations = pieces[0]
+        for p in pieces[1:]:
+            violations = violations.unionByName(p)
+        # violations feed the caller's materialization and the keyed-
+        # constraint summary counts — persist so the union computes once.
+        # Violations are rare by assumption, so the cache is tiny.
+        violations = violations.persist()
+
+        # Row-local summary counts AND per-partition row counts in ONE
+        # grouped aggregate over the scan (count_if per constraint) — the
+        # violations DF is not re-executed for the row-local half.
+        rl_count_exprs = []
+        for c in row_local:
+            pred, _, _ = c.row_parts()
+            rl_count_exprs.append(F.count_if(pred).alias(f"__v {c.name}"))
+        base = df.groupBy(part.cast("string").alias("partition_key")).agg(
+            F.count(F.lit(1)).alias("n_rows"), *rl_count_exprs
         )
-        counts = violations.groupBy("partition_key", "constraint").agg(
-            F.count(F.lit(1)).alias("n_violations")
+        base = base.persist()
+        partition_rows = base.select("partition_key", "n_rows")
+
+        spark = df.sparkSession
+        rl_summary = None
+        if row_local:
+            stack_args = ", ".join(
+                f"'{c.name}', `__v {c.name}`" for c in row_local
+            )
+            rl_summary = base.selectExpr(
+                "partition_key",
+                "n_rows",
+                f"stack({len(row_local)}, {stack_args}) AS (constraint, n_violations)",
+            ).select("partition_key", "constraint", "n_rows", "n_violations")
+
+        keyed_summary = None
+        if keyed:
+            # universe = partitions × keyed constraints, so untouched cells
+            # still report pass; counts come from the persisted violations.
+            universe = partition_rows.crossJoin(
+                spark.createDataFrame(
+                    [(c.name,) for c in keyed], "constraint string"
+                )
+            )
+            counts = (
+                violations.where(
+                    F.col("constraint").isin([c.name for c in keyed])
+                )
+                .groupBy("partition_key", "constraint")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+            keyed_summary = (
+                universe.join(counts, ["partition_key", "constraint"], "left")
+                .withColumn(
+                    "n_violations", F.coalesce(F.col("n_violations"), F.lit(0))
+                )
+                .select("partition_key", "constraint", "n_rows", "n_violations")
+            )
+
+        summary = rl_summary if keyed_summary is None else (
+            keyed_summary if rl_summary is None
+            else rl_summary.unionByName(keyed_summary)
         )
-        summary = (
-            universe.join(counts, ["partition_key", "constraint"], "left")
-            .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
-            .withColumn("passed", F.col("n_violations") == 0)
-            .select("partition_key", "constraint", "n_rows", "n_violations", "passed")
+        summary = summary.withColumn("passed", F.col("n_violations") == 0).select(
+            "partition_key", "constraint", "n_rows", "n_violations", "passed"
         )
-        return ValidationResult(violations, summary, partition_rows)
+        return ValidationResult(violations, summary, partition_rows, base)
 
 
 def transcripts_suite(

@@ -43,51 +43,106 @@ _WKT_RE = (
 AUTOCORR_LAGS = (1, 7, 12, 24, 30)
 
 
+def _probe_exprs(c: str) -> dict[str, F.Column]:
+    """The four string-lattice probes as *null-skipping* fractions over the
+    column's non-null values (the reference dropna()s before probing,
+    reference ``variables/utils.py:355``)."""
+    col = F.col(c)
+
+    def frac(ok: F.Column) -> F.Column:
+        return F.avg(F.when(col.isNotNull(), ok.cast("double")))
+
+    return {
+        f"{c} frac_datetime": frac(
+            F.coalesce(
+                F.try_to_timestamp(col),
+                F.expr(f"try_cast(`{c}` as date)").cast("timestamp"),
+            ).isNotNull()
+        ),
+        f"{c} frac_wkt": frac(col.rlike(_WKT_RE)),
+        f"{c} frac_bool": frac(F.lower(F.trim(col)).isin(*BOOL_TOKENS)),
+        f"{c} frac_numeric": frac(F.expr(f"try_cast(`{c}` as double)").isNotNull()),
+    }
+
+
 def detect_types(
     df: DataFrame,
     num_cat_perc_threshold: float = 0.5,
     max_categories: int = 5,
     ts_mode: bool = False,
     ts_mode_datetime_col: str | None = None,
+    sample_rows: int = 10_000,
 ) -> TypesDict:
-    exprs = []
+    """Two-phase detection, built for wide scans of huge tables:
+
+    1. **Sample probe** — the four parse probes (datetime / WKT / boolean /
+       numeric castability) run over ``limit(sample_rows)`` only. A probe
+       needs fraction == 1.0 over the full column to fire, and any failing
+       sampled value already disproves that — so the sample soundly REJECTS;
+       it can only false-positively *admit*, which phase 2 re-checks.
+    2. **Full pass** — counts + distinct sketches for every column, plus the
+       expensive parse probes ONLY for columns the sample admitted (for a
+       typical free-text column: none). One scan, no per-row Python.
+    """
     string_cols, numeric_cols = [], []
     fixed: dict[str, str] = {}
     for f_ in df.schema.fields:
         c, dt = f_.name, f_.dataType
-        exprs.append(F.count(F.col(c)).alias(f"{c} count"))
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             fixed[c] = DATETIME
         elif isinstance(dt, T.BooleanType):
             fixed[c] = BOOLEAN
         elif isinstance(dt, T.NumericType):
             numeric_cols.append(c)
-            exprs.append(F.count_distinct(F.col(c)).alias(f"{c} n_distinct"))
         elif isinstance(dt, T.StringType):
             string_cols.append(c)
-            col = F.col(c)
-            exprs += [
-                F.count_distinct(col).alias(f"{c} n_distinct"),
-                F.avg(
-                    F.coalesce(
-                        F.try_to_timestamp(col),
-                        F.expr(f"try_cast(`{c}` as date)").cast("timestamp"),
-                    )
-                    .isNotNull()
-                    .cast("double")
-                ).alias(f"{c} frac_datetime"),
-                F.avg(col.rlike(_WKT_RE).cast("double")).alias(f"{c} frac_wkt"),
-                F.avg(F.lower(F.trim(col)).isin(*BOOL_TOKENS).cast("double")).alias(
-                    f"{c} frac_bool"
-                ),
-                F.avg(
-                    F.expr(f"try_cast(`{c}` as double)").isNotNull().cast("double")
-                ).alias(f"{c} frac_numeric"),
-            ]
         else:
             fixed[c] = UNSUPPORTED
 
+    # -- phase 1: sample probe (tiny limit scan, same Spark semantics) -------
+    admitted: dict[str, list[str]] = {c: [] for c in string_cols}
+    if string_cols:
+        sample_exprs = []
+        for c in string_cols:
+            sample_exprs += list(_probe_exprs(c).values())
+        # re-alias in deterministic order for the sample row
+        probe_names = [n for c in string_cols for n in _probe_exprs(c)]
+        sample_row = (
+            df.select(*string_cols)
+            .limit(sample_rows)
+            .agg(*[e.alias(n) for n, e in zip(probe_names, sample_exprs)])
+            .collect()[0]
+            .asDict()
+        )
+        for c in string_cols:
+            for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
+                v = sample_row[f"{c} {probe}"]
+                if v is not None and v == 1.0:
+                    admitted[c].append(probe)
+
+    # -- phase 2: one full-scan wide aggregate -------------------------------
+    exprs = []
+    for c in [*fixed, *numeric_cols, *string_cols]:
+        exprs.append(F.count(F.col(c)).alias(f"{c} count"))
+    # approx distinct: detection only compares the distinct RATIO against
+    # a 0.5 threshold / a <=5 category cap — a 2% HLL sketch is ample and
+    # avoids shuffling every distinct string (free text would otherwise
+    # dominate the pass).
+    for c in numeric_cols:
+        exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c} n_distinct"))
+    for c in string_cols:
+        exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c} n_distinct"))
+        probes = _probe_exprs(c)
+        for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
+            name = f"{c} {probe}"
+            if probe in admitted[c]:
+                exprs.append(probes[name].alias(name))
+
     row = df.agg(*exprs).collect()[0].asDict()
+    # sample-rejected probes are definitively < 1.0
+    for c in string_cols:
+        for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
+            row.setdefault(f"{c} {probe}", 0.0)
     out: dict[str, dict] = {}
     for f_ in df.schema.fields:
         c = f_.name

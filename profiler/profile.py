@@ -33,6 +33,7 @@ All passes collect only O(columns × bins/topK) rows to the driver.
 from __future__ import annotations
 
 import datetime as _dt
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -66,7 +67,7 @@ class ProfileConfig:
     freq_distinct_cap: int = 50_000  # skip raw-value frequency pass above this cardinality
     compute_mad: bool = True
     compute_byte_size: bool = True
-    approx_accuracy: int = 10_000   # percentile_approx accuracy at scale
+    approx_accuracy: int = 2_000    # percentile_approx accuracy at scale
 
 
 def profile_table(
@@ -100,16 +101,11 @@ def profile_table(
         else:
             hash_cols.append(c)
 
-    freq_stats = _run_frequency_pass(df, freq_cols, types_dict, cfg) if freq_cols else {}
-    hash_stats = _run_hash_uniqueness_pass(df, hash_cols) if hash_cols else {}
-
     hist_cols = [
         c
         for c in cols
         if types_dict.get_type(c) in (NUMERIC, TIMESERIES, DATETIME) and not cfg.light_mode
     ]
-    histograms = _run_histogram_pass(df, hist_cols, types_dict, wide, cfg) if hist_cols else {}
-
     mad_cols = [
         c
         for c in cols
@@ -118,7 +114,32 @@ def profile_table(
         and not cfg.light_mode
         and wide.get(f"{c} percentiles") is not None
     ]
-    mads = _run_mad_pass(df, mad_cols, wide, cfg) if mad_cols else {}
+
+    # Passes 2-5 are independent given the wide-pass results — submit them as
+    # CONCURRENT Spark jobs (driver threads; the scheduler interleaves their
+    # stages across executors). Sequential actions would serialize ~0.5 s of
+    # planning/codegen/stage latency per job, which is exactly the Amdahl
+    # term that caps scaling efficiency on short inputs; overlapped, the
+    # fixed latencies amortize to ~one job's worth.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_freq = (
+            pool.submit(_run_frequency_pass, df, freq_cols, types_dict, cfg)
+            if freq_cols
+            else None
+        )
+        f_hash = (
+            pool.submit(_run_hash_uniqueness_pass, df, hash_cols) if hash_cols else None
+        )
+        f_hist = (
+            pool.submit(_run_histogram_pass, df, hist_cols, types_dict, wide, cfg)
+            if hist_cols
+            else None
+        )
+        f_mad = pool.submit(_run_mad_pass, df, mad_cols, wide, cfg) if mad_cols else None
+        freq_stats = f_freq.result() if f_freq else {}
+        hash_stats = f_hash.result() if f_hash else {}
+        histograms = f_hist.result() if f_hist else {}
+        mads = f_mad.result() if f_mad else {}
 
     variables = []
     type_counter: dict[str, int] = {}
@@ -173,19 +194,17 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
         t = td.get_type(c)
         exprs += stats.generic_exprs(c, approx_distinct=not cfg.exact)
         if cfg.compute_byte_size:
-            exprs.append(
-                F.sum(F.octet_length(F.col(c).cast("string"))).alias(f"{c} byte_size")
-            )
+            exprs.append(stats.byte_size_expr(c, df.schema[c].dataType).alias(f"{c} byte_size"))
         if cfg.light_mode or t in (UNSUPPORTED, GEOMETRY):
             continue
         if t in (NUMERIC, TIMESERIES):
-            exprs += stats.numeric_exprs(c, exact_percentiles=cfg.exact)
+            exprs += stats.numeric_exprs(c, exact_percentiles=cfg.exact, accuracy=cfg.approx_accuracy)
         elif t == DATETIME:
             exprs += stats.datetime_exprs(c)
         elif t == BOOLEAN:
             exprs += stats.boolean_exprs(c)
         elif t == TEXTUAL:
-            exprs += stats.textual_exprs(c, exact_percentiles=cfg.exact)
+            exprs += stats.textual_exprs(c, exact_percentiles=cfg.exact, accuracy=cfg.approx_accuracy)
     row = df.agg(*exprs).collect()[0]
     return row.asDict()
 
@@ -210,66 +229,57 @@ def _pair_stream(df: DataFrame, cols: list[str], value_of) -> DataFrame:
 def _run_frequency_pass(
     df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig
 ) -> dict[str, dict]:
+    """ONE job: frequency map → per-column totals (window sums) + rank
+    columns (top-K by count, extremes by value) → one filtered collect.
+
+    The per-column totals ride along as window aggregates over the same
+    ``partition by column`` exchange the rankings need, so rollups, top-K
+    and extremes cost a single shuffle + a single driver action instead of
+    three (matters because each extra action is a full re-scan barrier)."""
     freq = (
         _pair_stream(df, cols, lambda c: F.col(c).cast("string"))
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    freq = freq.persist()
-    try:
-        # (a) per-column rollups: exact distinct, singleton count, total
-        roll = {
-            r["column"]: r
-            for r in freq.groupBy("column")
-            .agg(
-                F.count(F.lit(1)).alias("n_distinct_exact"),
-                F.count_if(F.col("cnt") == 1).alias("n_unique"),
-                F.sum("cnt").alias("n_values"),
-            )
-            .collect()
-        }
-        # (b) top-K by count (deterministic tie-break on value)
-        k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
-        w = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("value"))
-        top = (
-            freq.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .collect()
+    k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
+    num_cols = [c for c in cols if td.get_type(c) in (NUMERIC, TIMESERIES)]
+
+    w_tot = Window.partitionBy("column")
+    w_cnt = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("value"))
+    dval = F.when(F.col("column").isin(num_cols), F.col("value").cast("double"))
+    w_hi = Window.partitionBy("column").orderBy(F.desc_nulls_last("dval"))
+    w_lo = Window.partitionBy("column").orderBy(F.asc_nulls_last("dval"))
+    rows = (
+        freq.withColumn("dval", dval)
+        .withColumn("n_distinct_exact", F.count(F.lit(1)).over(w_tot))
+        .withColumn("n_unique", F.sum((F.col("cnt") == 1).cast("long")).over(w_tot))
+        .withColumn("n_values", F.sum("cnt").over(w_tot))
+        .withColumn("rk", F.row_number().over(w_cnt))
+        .withColumn("rk_hi", F.row_number().over(w_hi))
+        .withColumn("rk_lo", F.row_number().over(w_lo))
+        .where(
+            (F.col("rk") <= k)
+            | (F.col("dval").isNotNull() & (F.col("rk_hi") <= cfg.n_extremes))
+            | (F.col("dval").isNotNull() & (F.col("rk_lo") <= cfg.n_extremes))
         )
-        # (c) extremes by numeric value for numeric-typed columns
-        num_cols = [c for c in cols if td.get_type(c) in (NUMERIC, TIMESERIES)]
-        ext_rows = []
-        if num_cols:
-            nf = freq.where(F.col("column").isin(num_cols)).withColumn(
-                "dval", F.col("value").cast("double")
-            )
-            w_hi = Window.partitionBy("column").orderBy(F.desc("dval"))
-            w_lo = Window.partitionBy("column").orderBy(F.asc("dval"))
-            ext_rows = (
-                nf.withColumn("rk_hi", F.row_number().over(w_hi))
-                .withColumn("rk_lo", F.row_number().over(w_lo))
-                .where(
-                    (F.col("rk_hi") <= cfg.n_extremes) | (F.col("rk_lo") <= cfg.n_extremes)
-                )
-                .collect()
-            )
-    finally:
-        freq.unpersist()
+        .collect()
+    )
 
     out: dict[str, dict] = {c: {"topk": [], "hi": [], "lo": []} for c in cols}
-    for c, r in roll.items():
-        out[c].update(
+    for r in rows:
+        out[r["column"]].update(
             n_distinct_exact=r["n_distinct_exact"],
             n_unique=r["n_unique"],
             n_values=r["n_values"],
         )
-    for r in sorted(top, key=lambda r: r["rk"]):
-        out[r["column"]]["topk"].append((r["value"], r["cnt"]))
-    for r in ext_rows:
-        if r["rk_hi"] <= cfg.n_extremes:
-            out[r["column"]]["hi"].append((r["dval"], r["cnt"], r["rk_hi"]))
-        if r["rk_lo"] <= cfg.n_extremes:
-            out[r["column"]]["lo"].append((r["dval"], r["cnt"], r["rk_lo"]))
+    for r in sorted(rows, key=lambda r: r["rk"]):
+        if r["rk"] <= k:
+            out[r["column"]]["topk"].append((r["value"], r["cnt"]))
+        if r["dval"] is not None:
+            if r["rk_hi"] <= cfg.n_extremes:
+                out[r["column"]]["hi"].append((r["dval"], r["cnt"], r["rk_hi"]))
+            if r["rk_lo"] <= cfg.n_extremes:
+                out[r["column"]]["lo"].append((r["dval"], r["cnt"], r["rk_lo"]))
     for d in out.values():
         d["hi"] = [x[:2] for x in sorted(d["hi"], key=lambda x: x[2])]
         d["lo"] = [x[:2] for x in sorted(d["lo"], key=lambda x: x[2])]

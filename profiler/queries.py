@@ -1275,3 +1275,44 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = detect_types(ev)
     rows = sorted((c, td.get_type(c)) for c in ev.columns)
     return spark.createDataFrame(rows, "col_name string, detected_type string")
+
+
+@_register(
+    "q36_timeseries_stats",
+    """
+    WITH s AS (
+      SELECT event_type AS series_id, value AS v,
+             value - lag(value) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS diff,
+             avg(value) OVER (PARTITION BY event_type) AS series_mean
+      FROM events
+    )
+    SELECT series_id,
+           count(v) AS n,
+           ROUND(sum(v * v), 4) AS abs_energy,
+           ROUND(sum(abs(diff)), 4) AS absolute_sum_of_changes,
+           count(*) FILTER (WHERE v > series_mean) AS count_above_mean,
+           count(*) FILTER (WHERE v < series_mean) AS count_below_mean
+    FROM s GROUP BY series_id ORDER BY series_id
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeries extras (SURVEY §2.4 A17): abs_energy / absolute-sum-of-
+    changes / count-above-mean per series via profiler.timeseries.series_stats
+    — one window pass + one grouped aggregate, no per-row Python."""
+    from profiler.timeseries import series_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_id"),
+        F.struct("ts", "event_id").alias("ord"),
+        "value",
+    )
+    out = series_stats(ev, series_col="series_id", ts_col="ord", value_col="value")
+    return out.select(
+        "series_id",
+        "n",
+        F.round("abs_energy", 4).alias("abs_energy"),
+        F.round("absolute_sum_of_changes", 4).alias("absolute_sum_of_changes"),
+        "count_above_mean",
+        "count_below_mean",
+    ).orderBy("series_id")

@@ -24,6 +24,10 @@ _ENGINE_CONF = {
     # pinned here so a misconfigured environment can't silently disable them).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Sandbox fixtures are small-but-compute-heavy (compressed text): split
+    # scans finer than the 128m default so local[32] actually fans out. On a
+    # real cluster with 128m+ row groups, override back via spark-submit.
+    "spark.sql.files.maxPartitionBytes": "1m",
     # Keep the UI off in tests/bench (driver overhead, port churn).
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

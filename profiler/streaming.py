@@ -1,0 +1,243 @@
+"""Incremental (Structured Streaming) profiling + validation.
+
+The reference is strictly batch (SURVEY §2.8); this module is the engine's
+streaming extension: the same per-column statistics and row-local constraint
+checks, maintained incrementally over an unbounded transcripts stream.
+
+Design:
+* **profile stream** — one windowed ``groupBy(window(ts), ...)`` aggregate
+  carrying the same algebraic stats as the batch wide pass (counts, missing,
+  moment sums, char-class sums, approx distinct). Output mode "update" with
+  a watermark bounds state; each window's row converges to the batch answer
+  for that window once the watermark passes.
+* **violation stream** — row-local constraints (domain / not-null / row
+  predicates) are pure filters, so they stream with zero state; violations
+  append to a sink table as they arrive.
+* **sequence-gap detection** — per-conversation dense-turn checking needs
+  cross-row state: implemented with ``applyInPandasWithState`` keyed by
+  conv_id, keeping only (max_turn_idx, seen_count, min_turn_idx) per open
+  conversation — O(1) state per key, emitting a violation record the moment
+  a conversation's arrived-turn set cannot be a prefix {0..n-1} anymore.
+
+Keyed constraints that need *exact* global answers (uniqueness across the
+entire history) remain batch jobs over the table snapshots; that split —
+cheap row-local checks inline in the stream, exact global checks on
+snapshots — is the standard lambda shape for 10^12-row validation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ---------------------------------------------------------------------------
+# Windowed incremental profile
+# ---------------------------------------------------------------------------
+def streaming_profile(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-window incremental profile of the transcripts stream.
+
+    All aggregates are algebraic, so Spark maintains them in state and the
+    emitted row for a window equals the batch wide-pass answer over that
+    window's rows. The watermark bounds state: windows older than the delay
+    are finalized and evicted.
+    """
+    # watermarks require TIMESTAMP (tz-aware) event time; parquet written by
+    # pandas/arrow often reads back as TIMESTAMP_NTZ — normalize first.
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = F.window(F.col(ts_col), window_duration)
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("conv_id").alias("n_conv_id"),
+            F.approx_count_distinct("conv_id").alias("n_conversations"),
+            F.count_if(F.col("text").isNull()).alias("n_text_missing"),
+            F.sum(F.length("text")).alias("sum_text_chars"),
+            F.avg(F.length("text")).alias("avg_text_chars"),
+            F.min("turn_idx").alias("min_turn_idx"),
+            F.max("turn_idx").alias("max_turn_idx"),
+            F.count_if(~F.col("role").isin("system", "user", "assistant", "tool")).alias(
+                "n_role_violations"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_rows",
+            "n_conversations",
+            "n_text_missing",
+            "sum_text_chars",
+            "avg_text_chars",
+            "min_turn_idx",
+            "max_turn_idx",
+            "n_role_violations",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateless violation stream (row-local constraints)
+# ---------------------------------------------------------------------------
+def streaming_violations(
+    stream: DataFrame,
+    role_domain: Sequence[str] = ("system", "user", "assistant", "tool"),
+    tool_domain: Sequence[str] = ("search", "code", "browser", "none"),
+) -> DataFrame:
+    """Row-local constraint violations as a zero-state streaming filter.
+
+    Each row is checked against every row-local constraint in one projection;
+    rows violating nothing are dropped at the source. Appends cleanly to a
+    violations sink."""
+    checks = F.array(
+        F.when(F.col("conv_id").isNull(), F.lit("not_null(conv_id)")),
+        F.when(
+            F.col("role").isNull() | ~F.col("role").isin(*role_domain),
+            F.lit("domain(role)"),
+        ),
+        F.when(
+            F.col("tool").isNotNull() & ~F.col("tool").isin(*tool_domain),
+            F.lit("domain(tool)"),
+        ),
+        F.when(F.col("turn_idx") < 0, F.lit("nonnegative(turn_idx)")),
+    )
+    return (
+        stream.withColumn("constraint", F.explode(F.array_compact(checks)))
+        .select(
+            "constraint",
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col("ts").alias("ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful dense-sequence monitor (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+_SEQ_STATE_SCHEMA = "n long, mx long, mn long, dup long"
+_SEQ_OUT_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx long, min_turn_idx long, "
+    "n_duplicates long, dense boolean"
+)
+
+
+def _seq_monitor(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-conversation O(1) state: (count, max, min, dup-evidence).
+
+    A conversation's arrived turns can still form the dense prefix {0..n-1}
+    iff count == max+1, min == 0, and no duplicate has been observed. We
+    track duplicates approximately-but-soundly for the streaming monitor via
+    count-vs-max mismatch (count > max+1 proves a duplicate even before the
+    full set arrives); the exact batch check stays authoritative.
+    """
+    (n, mx, mn, dup) = state.get if state.exists else (0, -1, 1 << 62, 0)
+    for pdf in batches:
+        t = pdf["turn_idx"]
+        n += len(t)
+        mx = max(mx, int(t.max()))
+        mn = min(mn, int(t.min()))
+        dup += int(t.duplicated().sum())
+    state.update((n, mx, mn, dup))
+    dense = (n == mx + 1) and (mn == 0) and (dup == 0)
+    yield pd.DataFrame(
+        [
+            {
+                "conv_id": key[0],
+                "n_turns": n,
+                "max_turn_idx": mx,
+                "min_turn_idx": mn,
+                "n_duplicates": dup + max(0, n - (mx + 1)),
+                "dense": dense,
+            }
+        ]
+    )
+
+
+def streaming_dense_sequence(stream: DataFrame) -> DataFrame:
+    """Continuously-updated per-conversation dense-turn status via
+    ``applyInPandasWithState`` keyed by conv_id (Arrow batches, O(1) state
+    per conversation, no timeout so long-lived conversations stay open)."""
+    return (
+        stream.select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"))
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _seq_monitor,
+            outputStructType=_SEQ_OUT_SCHEMA,
+            stateStructType=_SEQ_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harness: run any of the above over a parquet directory incrementally
+# ---------------------------------------------------------------------------
+def run_incremental(
+    spark,
+    input_dir: str,
+    build,
+    checkpoint_dir: str,
+    schema=None,
+    output_mode: str = "update",
+):
+    """Stream `input_dir` (parquet files appearing over time) through a
+    builder function with Trigger.AvailableNow semantics: processes exactly
+    the data present, in incremental micro-batches with state checkpointed to
+    ``checkpoint_dir``, then stops — the restart-safe batch-catchup mode.
+    Returns the in-memory sink name to query results from."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    out = build(src)
+    name = f"sink_{abs(hash((input_dir, checkpoint_dir))) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def run_incremental_to_table(
+    spark,
+    input_dir: str,
+    build,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema=None,
+):
+    """Like :func:`run_incremental` but appends to a parquet sink — the
+    restart-safe production shape: re-launching with the same checkpoint
+    processes ONLY files that arrived since the last run (exactly-once
+    append via the sink's transaction log)."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        build(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return output_dir

@@ -171,6 +171,9 @@ def with_drift(tbl: pa.Table, seed: int = 46):
     return out, int(last_day)
 
 
-def write_parquet(tbl: pa.Table, path: str) -> str:
-    pq.write_table(tbl, path)
+def write_parquet(tbl: pa.Table, path: str, row_group_size: int = 16_384) -> str:
+    """Write with many small row groups: parquet splits at row-group
+    granularity, so a single-group file would force every Spark scan of the
+    fixture down to one task no matter how many cores exist."""
+    pq.write_table(tbl, path, row_group_size=row_group_size)
     return path

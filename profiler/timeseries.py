@@ -1,0 +1,211 @@
+"""TimeSeries extras (SURVEY §2.4 A17): the reference's per-series
+statistics — abs_energy, absolute_sum_of_changes, count above/below mean,
+ACF/PACF arrays, FFT seasonality, ADF stationarity — re-expressed for Spark.
+
+Reference: ``tabular_timeseries/variables/timeseries.py:106-481`` computes
+these with tsfresh/statsmodels/Kats on a single pandas Series. Here:
+
+* the **algebraic** statistics (abs_energy, absolute_sum_of_changes,
+  count_above_mean, count_below_mean, mean_abs_change, long-run lag-k
+  autocorrelation) are pure Spark expressions / window functions — they
+  scale to arbitrarily many series in ONE grouped aggregate, no Python;
+* the **per-series iterative** statistics (full ACF/PACF arrays, FFT
+  seasonality, ADF unit-root test) run in an Arrow-batched
+  ``applyInPandas`` island per series — correct at scale because each
+  *series* is small even when the *table* is huge (grouping key = series
+  id). Implemented in pure numpy (this environment has no
+  scipy/statsmodels): Levinson-Durbin for PACF, periodogram peak for
+  seasonality, and an OLS Dickey-Fuller regression with the standard
+  finite-sample critical values for stationarity.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Expression-level per-series stats: ONE grouped aggregate over all series
+# ---------------------------------------------------------------------------
+def series_stats(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series algebraic stats in one pass + one window.
+
+    ``absolute_sum_of_changes`` needs consecutive differences → a lag window
+    per series; everything else folds into the grouped aggregate that
+    consumes the window output. Two-phase mean comparison (count above/below
+    mean) uses the standard sum/count trick inside one aggregate:
+    count_above_mean = count_if(v > sum/ n) can't be expressed in a single
+    aggregation, so the mean comparison rides the same window pass.
+    """
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    w_all = Window.partitionBy(series_col)
+    v = F.col(value_col).cast("double")
+    enriched = df.select(
+        F.col(series_col).alias("series_id"),
+        v.alias("v"),
+        (v - F.lag(v).over(w)).alias("diff"),
+        F.avg(v).over(w_all).alias("series_mean"),
+    )
+    return enriched.groupBy("series_id").agg(
+        F.count("v").alias("n"),
+        F.sum(F.col("v") * F.col("v")).alias("abs_energy"),
+        F.sum(F.abs(F.col("diff"))).alias("absolute_sum_of_changes"),
+        F.avg(F.abs(F.col("diff"))).alias("mean_abs_change"),
+        F.count_if(F.col("v") > F.col("series_mean")).alias("count_above_mean"),
+        F.count_if(F.col("v") < F.col("series_mean")).alias("count_below_mean"),
+        F.avg("v").alias("mean"),
+        F.stddev_samp("v").alias("stddev"),
+    )
+
+
+def autocorr_at_lags(
+    df: DataFrame,
+    lags: tuple[int, ...] = (1, 7, 12, 24, 30),
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lag-k autocorrelations per series as corr(v, lag(v,k)) over ordered
+    windows — the reference's type-detection probe (``variables/utils.py:
+    274-285``) generalized to many series in one pass."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    v = F.col(value_col).cast("double")
+    sel = [F.col(series_col).alias("series_id"), v.alias("v")] + [
+        F.lag(v, k).over(w).alias(f"l{k}") for k in lags
+    ]
+    return df.select(*sel).groupBy("series_id").agg(
+        *[F.corr("v", f"l{k}").alias(f"acf_lag{k}") for k in lags]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-series islands: ACF/PACF, seasonality, ADF via applyInPandas
+# ---------------------------------------------------------------------------
+def _acf(x: np.ndarray, nlags: int) -> np.ndarray:
+    x = x - x.mean()
+    n = len(x)
+    denom = float((x * x).sum()) or 1.0
+    return np.array(
+        [1.0] + [float((x[: n - k] * x[k:]).sum()) / denom for k in range(1, nlags + 1)]
+    )
+
+
+def _pacf_levinson(acf: np.ndarray, nlags: int) -> np.ndarray:
+    """PACF from ACF via Levinson-Durbin recursion (pure numpy)."""
+    pacf = [1.0]
+    phi_prev = np.zeros(0)
+    for k in range(1, nlags + 1):
+        if k == 1:
+            phi_k = np.array([acf[1]])
+        else:
+            num = acf[k] - float(phi_prev @ acf[1:k][::-1])
+            den = 1.0 - float(phi_prev @ acf[1:k])
+            alpha = num / den if den != 0 else 0.0
+            phi_k = np.concatenate([phi_prev - alpha * phi_prev[::-1], [alpha]])
+        pacf.append(float(phi_k[-1]))
+        phi_prev = phi_k
+    return np.array(pacf)
+
+
+def _seasonality(x: np.ndarray, threshold: float = 10.0) -> tuple[bool, list[int]]:
+    """Periodogram-peak seasonality probe (the reference wraps a Kats-derived
+    FFT detector, ``timeseries.py:170-232``): a period is reported when its
+    spectral power exceeds ``threshold``x the median power."""
+    x = x - x.mean()
+    n = len(x)
+    if n < 8:
+        return False, []
+    power = np.abs(np.fft.rfft(x)) ** 2
+    power[0] = 0.0
+    med = np.median(power[1:]) or 1.0
+    periods = []
+    for idx in np.argsort(power)[::-1][:5]:
+        if idx == 0 or power[idx] < threshold * med:
+            continue
+        period = int(round(n / idx))
+        if 2 <= period <= n // 2 and period not in periods:
+            periods.append(period)
+    return bool(periods), sorted(periods)
+
+
+def _adf_stat(x: np.ndarray) -> tuple[float, bool]:
+    """Dickey-Fuller test statistic (no augmentation, constant included) via
+    OLS on Δx_t = a + b·x_{t-1}; stationary when t(b) < the 5% critical
+    value (-2.86, MacKinnon large-sample constant-only)."""
+    if len(x) < 10 or float(np.std(x)) == 0.0:
+        return 0.0, False
+    y = np.diff(x)
+    xl = x[:-1]
+    X = np.column_stack([np.ones_like(xl), xl])
+    beta, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    dof = max(len(y) - 2, 1)
+    s2 = float(resid @ resid) / dof
+    cov = s2 * np.linalg.inv(X.T @ X)
+    se_b = math.sqrt(max(cov[1, 1], 1e-30))
+    t_b = float(beta[1] / se_b)
+    return t_b, t_b < -2.86
+
+
+_EXTRAS_SCHEMA = (
+    "series_id string, n long, acf array<double>, pacf array<double>, "
+    "seasonal boolean, seasonal_periods array<int>, adf_stat double, "
+    "stationary boolean"
+)
+
+
+def _extras_fn(nlags: int):
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values("ts")["v"].to_numpy(dtype=float)
+        x = x[~np.isnan(x)]
+        k = min(nlags, max(len(x) - 2, 1))
+        acf = _acf(x, k) if len(x) >= 3 else np.array([1.0])
+        pacf = _pacf_levinson(acf, len(acf) - 1) if len(acf) > 1 else np.array([1.0])
+        seasonal, periods = _seasonality(x)
+        adf, stationary = _adf_stat(x)
+        return pd.DataFrame(
+            [
+                {
+                    "series_id": key[0],
+                    "n": len(x),
+                    "acf": [float(a) for a in acf],
+                    "pacf": [float(p) for p in pacf],
+                    "seasonal": seasonal,
+                    "seasonal_periods": periods,
+                    "adf_stat": float(adf),
+                    "stationary": stationary,
+                }
+            ]
+        )
+
+    return run
+
+
+def series_extras(
+    df: DataFrame,
+    nlags: int = 24,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ACF/PACF arrays + FFT seasonality + ADF stationarity per series via
+    ``applyInPandas`` keyed by series id (Arrow batches; each group is one
+    series — small by construction even on a 10^12-row table, so the Python
+    island is bounded per task while series count provides the parallelism)."""
+    src = df.select(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return src.groupBy("series_id").applyInPandas(_extras_fn(nlags), _EXTRAS_SCHEMA)

@@ -51,8 +51,9 @@ def test_uniqueness_violations_exact(dirty):
     rows = v.collect()
     got_keys = {(r["keys"]["conv_id"], int(r["keys"]["turn_idx"])) for r in rows}
     assert got_keys == expected
-    # both copies of each duplicate are materialized
-    assert len(rows) == 2 * len(expected)
+    # one violation row per duplicated key, multiplicity in details (per-key
+    # semantics: no join back onto the fact table; rows recoverable by key)
+    assert len(rows) == len(expected)
     assert all(r["details"]["duplicate_count"] == "2" for r in rows)
     assert not res.passed()
 

@@ -1,0 +1,125 @@
+"""Structured Streaming incremental profile/validation tests (availableNow
+micro-batch harness over a growing parquet directory)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from profiler import streaming, synth
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory, clean_tbl):
+    """Transcripts split into two 'arriving' parquet files."""
+    d = tmp_path_factory.mktemp("stream_in")
+    n = clean_tbl.num_rows
+    synth.write_parquet(clean_tbl.slice(0, n // 2), str(d / "part-000.parquet"))
+    synth.write_parquet(clean_tbl.slice(n // 2), str(d / "part-001.parquet"))
+    return str(d)
+
+
+def test_streaming_profile_matches_batch(spark, stream_dir, clean_df, tmp_path):
+    name = streaming.run_incremental(
+        spark,
+        stream_dir,
+        lambda src: streaming.streaming_profile(
+            src, window_duration="1 day", watermark_delay="0 seconds"
+        ),
+        str(tmp_path / "ckpt_profile"),
+    )
+    got = {
+        str(r["window_start"]): r for r in spark.table(name).collect()
+    }
+    assert got, "no windows emitted"
+    # batch oracle: same windowed aggregate, batch mode
+    from pyspark.sql import functions as F
+
+    batch = (
+        clean_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).alias("sum_text_chars"),
+        )
+        .collect()
+    )
+    batch_by_win = {str(r["win"]["start"]): r for r in batch}
+    assert set(got) == set(batch_by_win)
+    for k, r in got.items():
+        assert r["n_rows"] == batch_by_win[k]["n_rows"]
+        assert r["sum_text_chars"] == batch_by_win[k]["sum_text_chars"]
+        assert r["n_role_violations"] == 0
+
+
+def test_streaming_violations(spark, tmp_path, clean_tbl):
+    dirty, expected = synth.with_bad_domain(clean_tbl)
+    d = tmp_path / "stream_bad"
+    d.mkdir()
+    synth.write_parquet(dirty, str(d / "part-000.parquet"))
+    name = streaming.run_incremental(
+        spark,
+        str(d),
+        streaming.streaming_violations,
+        str(tmp_path / "ckpt_viol"),
+        output_mode="append",
+    )
+    rows = spark.table(name).collect()
+    got_role = {
+        (r["conv_id"], r["turn_idx"]) for r in rows if r["constraint"] == "domain(role)"
+    }
+    got_tool = {
+        (r["conv_id"], r["turn_idx"]) for r in rows if r["constraint"] == "domain(tool)"
+    }
+    assert got_role == expected["role"]
+    assert got_tool == expected["tool"]
+
+
+def test_streaming_dense_sequence_flags_gaps(spark, tmp_path, clean_tbl):
+    dirty, expected = synth.with_gaps(clean_tbl)
+    d = tmp_path / "stream_gap"
+    d.mkdir()
+    synth.write_parquet(dirty, str(d / "part-000.parquet"))
+    name = streaming.run_incremental(
+        spark,
+        str(d),
+        streaming.streaming_dense_sequence,
+        str(tmp_path / "ckpt_seq"),
+    )
+    rows = {r["conv_id"]: r for r in spark.table(name).collect()}
+    bad_convs = {c for c, _ in expected}
+    for c in bad_convs:
+        assert rows[c]["dense"] is False
+    n_bad = sum(1 for r in rows.values() if not r["dense"])
+    assert n_bad == len(bad_convs)
+
+
+def test_streaming_resume_processes_only_new_files(spark, tmp_path, clean_tbl):
+    """availableNow + checkpoint + parquet sink: a second run over an
+    unchanged directory appends nothing; a new arriving file is processed
+    exactly once."""
+    d = tmp_path / "stream_resume"
+    d.mkdir()
+    n = clean_tbl.num_rows
+    synth.write_parquet(clean_tbl.slice(0, n // 2), str(d / "part-000.parquet"))
+    ckpt = str(tmp_path / "ckpt_resume")
+    sink = str(tmp_path / "violations_out")
+    build = streaming.streaming_violations
+
+    streaming.run_incremental_to_table(spark, str(d), build, ckpt, sink)
+    count1 = spark.read.parquet(sink).count()
+    assert count1 == 0  # the clean first half has no violations
+    # no new files → nothing appended on restart
+    streaming.run_incremental_to_table(spark, str(d), build, ckpt, sink)
+    assert spark.read.parquet(sink).count() == count1
+    # new file arrives → exactly its violations appended
+    dirty, expected = synth.with_bad_domain(clean_tbl.slice(n // 2))
+    synth.write_parquet(dirty, str(d / "part-001.parquet"))
+    streaming.run_incremental_to_table(spark, str(d), build, ckpt, sink)
+    rows3 = spark.read.parquet(sink).collect()
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in rows3
+        if r["constraint"] == "domain(role)"
+    }
+    assert got == expected["role"]

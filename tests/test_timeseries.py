@@ -1,0 +1,71 @@
+"""TimeSeries extras (SURVEY §2.4 A17): expression stats vs numpy oracle,
+ACF/PACF islands, seasonality and stationarity detection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from profiler import timeseries as TS
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    # s_rand: white noise (stationary, non-seasonal)
+    rand = rng.standard_normal(200)
+    # s_season: strong period-12 sine + small noise (seasonal)
+    t = np.arange(240)
+    season = np.sin(2 * np.pi * t / 12) * 5 + rng.standard_normal(240) * 0.3
+    # s_walk: random walk (non-stationary)
+    walk = np.cumsum(rng.standard_normal(300))
+    for name, xs in [("s_rand", rand), ("s_season", season), ("s_walk", walk)]:
+        for i, x in enumerate(xs):
+            rows.append((name, i, float(x)))
+    return spark.createDataFrame(rows, "series_id string, ts int, value double")
+
+
+def test_series_stats_match_numpy(series_df):
+    out = {r["series_id"]: r for r in TS.series_stats(series_df, ts_col="ts").collect()}
+    pdf = series_df.toPandas()
+    for name, g in pdf.groupby("series_id"):
+        x = g.sort_values("ts")["value"].to_numpy()
+        r = out[name]
+        assert r["n"] == len(x)
+        assert abs(r["abs_energy"] - float((x * x).sum())) < 1e-6
+        assert abs(r["absolute_sum_of_changes"] - float(np.abs(np.diff(x)).sum())) < 1e-6
+        assert r["count_above_mean"] == int((x > x.mean()).sum())
+        assert r["count_below_mean"] == int((x < x.mean()).sum())
+
+
+def test_autocorr_at_lags(series_df):
+    out = {r["series_id"]: r for r in TS.autocorr_at_lags(series_df, ts_col="ts").collect()}
+    # the seasonal series has strong positive lag-12 autocorrelation
+    assert out["s_season"]["acf_lag12"] > 0.8
+    # white noise: all small
+    assert abs(out["s_rand"]["acf_lag1"]) < 0.25
+
+
+def test_series_extras_seasonality_and_stationarity(series_df):
+    out = {r["series_id"]: r for r in TS.series_extras(series_df, ts_col="ts").collect()}
+    assert out["s_season"]["seasonal"] is True
+    assert 12 in out["s_season"]["seasonal_periods"]
+    assert out["s_rand"]["seasonal"] is False
+    # white noise is stationary; a random walk is not
+    assert out["s_rand"]["stationary"] is True
+    assert out["s_walk"]["stationary"] is False
+    # ACF sanity: lag-0 is 1, seasonal lag-12 high
+    assert out["s_season"]["acf"][0] == 1.0
+    assert out["s_season"]["acf"][12] > 0.8
+    assert len(out["s_season"]["pacf"]) == len(out["s_season"]["acf"])
+
+
+def test_extras_short_and_constant_series(spark):
+    df = spark.createDataFrame(
+        [("tiny", 0, 1.0), ("tiny", 1, 2.0), ("flat", 0, 3.0), ("flat", 1, 3.0),
+         ("flat", 2, 3.0), ("flat", 3, 3.0)],
+        "series_id string, ts int, value double",
+    )
+    out = {r["series_id"]: r for r in TS.series_extras(df, ts_col="ts").collect()}
+    assert out["tiny"]["n"] == 2 and out["tiny"]["seasonal"] is False
+    assert out["flat"]["stationary"] is False  # zero-variance: test undefined → False
