@@ -1,0 +1,118 @@
+"""Input connectors (SURVEY §2.1): CSV / parquet / JSON readers with the
+reference's column-name hygiene, and nested-schema flattening.
+
+Reference mapping:
+* S1 CSV scan (``__read_csv_files``, reference ``tabular_timeseries/
+  variables/utils.py:21-27``): header/sep/encoding knobs → ``spark.read``
+  options; the reference returns an empty frame on failure — we surface the
+  error instead (silent empties hide data loss at 100 TB).
+* S3 DataFrame passthrough (``variables/utils.py:73-80``): any
+  ``pyspark.sql.DataFrame`` is accepted directly by every engine API.
+* S12 + A21 hierarchical JSON (``hierarchical/profiler.py:77-128``): the
+  reference shells out to the DataProfiler package to flatten JSON into
+  dotted column paths and compute nesting-depth stats; here flattening is a
+  pure StructType traversal (driver-side, schema-only — no data pass) and
+  depth stats come off the schema.
+* Column-name hygiene (``variables/utils.py:46-55``): names coerced to
+  strings, ``index`` renamed ``df_index``; spaces/dots sanitized because
+  they collide with Spark attribute resolution in the wide aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1: CSV scan with the reference's header/sep/encoding knobs.
+
+    Without a user schema, columns are inferred (one extra sampling pass —
+    at scale always pass ``schema``; inference reads data twice)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("encoding", encoding)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return sanitize_columns(reader.csv(path))
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return sanitize_columns(spark.read.parquet(path))
+
+
+def read_json(spark: SparkSession, path: str, flatten: bool = True) -> DataFrame:
+    """S12: JSON scan; nested structs optionally flattened to dotted paths."""
+    df = spark.read.json(path)
+    return flatten_struct_columns(df) if flatten else df
+
+
+def sanitize_columns(df: DataFrame) -> DataFrame:
+    """Reference column hygiene (``variables/utils.py:46-55``): stringified
+    names, ``index`` → ``df_index``, spaces/dots → underscores."""
+    renames = {}
+    for c in df.columns:
+        new = str(c).replace(" ", "_").replace(".", "_")
+        if new == "index":
+            new = "df_index"
+        if new != c:
+            renames[c] = new
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def flatten_struct_columns(df: DataFrame, sep: str = ".") -> DataFrame:
+    """A21/S12: flatten nested StructType columns into dotted-path top-level
+    columns (``a.b.c``) — a schema-only driver traversal compiled into one
+    ``select`` projection; arrays/maps stay opaque (profiled as Unsupported,
+    matching the reference's behavior for non-flattenable payloads)."""
+    cols = []
+
+    def walk(prefix: str, dtype: T.DataType):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f"{prefix}{sep}{f.name}" if prefix else f.name, f.dataType)
+        else:
+            cols.append(
+                F.col(f"`{prefix}`" if sep not in prefix else prefix).alias(prefix)
+            )
+
+    for f in df.schema.fields:
+        walk(f.name, f.dataType)
+    return df.select(*cols)
+
+
+def nesting_depth_stats(schema: T.StructType) -> dict:
+    """A21: nesting-level distribution over the schema's leaf paths —
+    driver-side, zero data passes (the reference walks materialized dotted
+    keys instead, ``hierarchical/profiler.py:94-128``)."""
+    depths: list[int] = []
+
+    def walk(dtype: T.DataType, depth: int):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f.dataType, depth + 1)
+        else:
+            depths.append(depth)
+
+    walk(schema, 0)
+    dist: dict[int, int] = {}
+    for d in depths:
+        dist[d] = dist.get(d, 0) + 1
+    return {
+        "n_leaves": len(depths),
+        "max_depth": max(depths) if depths else 0,
+        "depth_distribution": dict(sorted(dist.items())),
+    }

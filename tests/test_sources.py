@@ -1,0 +1,72 @@
+"""Source connectors (SURVEY §2.1): CSV scan, column hygiene, JSON
+flattening, nesting-depth stats."""
+
+import json
+
+from pyspark.sql import types as T
+
+from profiler import sources
+
+
+def test_read_csv_with_options(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a|b c|index\n1|x|9\n2|y|8\n")
+    df = sources.read_csv(spark, str(p), sep="|")
+    assert df.columns == ["a", "b_c", "df_index"]
+    rows = df.orderBy("a").collect()
+    assert [r["a"] for r in rows] == [1, 2]
+    assert [r["b_c"] for r in rows] == ["x", "y"]
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_text("a,b\n1,2.5\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.DoubleType())]
+    )
+    df = sources.read_csv(spark, str(p), schema=schema)
+    assert df.schema["a"].dataType == T.IntegerType()
+    assert df.collect()[0]["b"] == 2.5
+
+
+def test_json_flatten_dotted_paths(spark, tmp_path):
+    p = tmp_path / "j.json"
+    recs = [
+        {"id": 1, "user": {"name": "ann", "geo": {"lat": 1.5, "lon": 2.5}}, "tags": ["x"]},
+        {"id": 2, "user": {"name": "bob", "geo": {"lat": 3.5, "lon": 4.5}}, "tags": []},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    df = sources.read_json(spark, str(p))
+    assert set(df.columns) == {"id", "user.name", "user.geo.lat", "user.geo.lon", "tags"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["user.geo.lat"] == 1.5
+    assert rows[2]["user.name"] == "bob"
+
+
+def test_nesting_depth_stats():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "user",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField(
+                            "geo",
+                            T.StructType(
+                                [
+                                    T.StructField("lat", T.DoubleType()),
+                                    T.StructField("lon", T.DoubleType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    st = sources.nesting_depth_stats(schema)
+    assert st["n_leaves"] == 4
+    assert st["max_depth"] == 3
+    assert st["depth_distribution"] == {1: 1, 2: 1, 3: 2}
