@@ -40,6 +40,9 @@ from profiler.text import (
     fingerprint,
     score_quality,
 )
+from profiler.sources import read_csv, read_json, read_parquet
+from profiler.timeseries import series_extras, series_stats
+from profiler.streaming import streaming_profile, streaming_violations
 
 __all__ = [
     "TRANSCRIPTS_SCHEMA",
