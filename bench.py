@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Bench fixtures are small-but-compute-heavy: split scans finer than the 128m
+# production default so local[N] fans out (inherited by the --scaling
+# subprocesses via the environment; see profiler/session.py).
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m")
+
 HEADLINE = [
     "q01_groupstats_flagship",
     "q02_generic_profile",

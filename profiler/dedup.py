@@ -51,22 +51,47 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
 # Exact dedup
 # ---------------------------------------------------------------------------
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int = 100
 ) -> DataFrame:
     """Exact duplicate groups: (fingerprint, n_docs, doc_ids, keep_id).
 
-    ``keep_id`` (min id) is the canonical survivor; downstream drops rows
-    whose id appears in doc_ids but isn't keep_id. The groupBy key is a
-    128-bit md5 digest — constant-size shuffle rows regardless of document
-    size (collision probability ~n²/2^128, negligible at 10^12 docs).
+    ``keep_id`` (min id) is the canonical survivor; downstream drops
+    non-survivors via an anti-join on (fingerprint, id != keep_id) — the id
+    LIST is a sample for reporting, capped at ``max_ids`` (the first
+    ``max_ids`` ids in sort order) so a degenerate key (empty string,
+    boilerplate) with 10^8 duplicates cannot build a 10^8-element array in
+    one aggregation state; ``n_docs`` always carries the true group size.
+
+    Whale-safety: the cap is applied with SALTED two-level aggregation —
+    level 1 groups on (fingerprint, pmod(xxhash64(id), 64)) and caps each
+    salt bucket's list, level 2 merges ≤64 capped lists and re-caps — so no
+    aggregation buffer ever holds more than max(group/64, 64·max_ids)
+    elements and a whale group's state is built on 64 tasks, not one. The
+    groupBy key is a 128-bit md5 digest — constant-size shuffle rows
+    regardless of document size (collision probability ~n²/2^128,
+    negligible at 10^12 docs).
     """
-    return (
+    fp = F.md5(F.col(text_col).cast("binary")).alias("fingerprint")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).alias("__salt")
+    partial = (
         df.where(F.col(text_col).isNotNull())
-        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .groupBy(fp, salt)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
-            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.slice(
+                F.sort_array(F.collect_list(F.col(id_col))), 1, max_ids
+            ).alias("ids"),
+            F.min(F.col(id_col)).alias("mn"),
+        )
+    )
+    return (
+        partial.groupBy("fingerprint")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids"))), 1, max_ids
+            ).alias("doc_ids"),
+            F.min("mn").alias("keep_id"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -227,18 +252,35 @@ def simhash64(
 
 
 def simhash_candidates(
-    sim_df: DataFrame, n_bands: int = 4, max_hamming: int = 3
+    sim_df: DataFrame, n_bands: int | None = None, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup candidates by banded SimHash (pigeonhole: hamming ≤ n_bands-1
-    guarantees an identical band). Pairs sharing any 16-bit band are checked
-    with an exact popcount hamming distance — again only on candidates."""
-    width = 64 // n_bands
+    guarantees an identical band). Pairs sharing any band are checked with an
+    exact popcount hamming distance — again only on candidates.
+
+    ``n_bands`` defaults to ``max_hamming + 1``, the minimum band count with
+    guaranteed recall at ``max_hamming`` (a pair within max_hamming differs in
+    at most max_hamming bands, so with max_hamming+1 bands one band must be
+    identical). An explicit n_bands ≤ max_hamming is rejected — it would
+    silently under-recall. Bands are near-equal slices of the 64 bits (widths
+    may differ by 1 when 64 % n_bands != 0).
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need n_bands >= max_hamming + 1"
+        )
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
                 .alias("key"),
             )
             for b in range(n_bands)

@@ -117,7 +117,11 @@ def detect_types(
         for c in string_cols:
             for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
                 v = sample_row[f"{c} {probe}"]
-                if v is not None and v == 1.0:
+                # v is None when every sampled value was NULL — the sample
+                # has no evidence either way, so it must ADMIT (phase 2
+                # re-checks over the full column); pinning to "reject" would
+                # mistype a null-headed datetime/boolean/numeric column.
+                if v is None or v == 1.0:
                     admitted[c].append(probe)
 
     # -- phase 2: one full-scan wide aggregate -------------------------------
@@ -143,6 +147,27 @@ def detect_types(
     for c in string_cols:
         for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
             row.setdefault(f"{c} {probe}", 0.0)
+
+    # -- phase 2b: exact distinct where the HLL sketch is near the boundary --
+    # The nd<=max_categories categorical cap compares an approx sketch (~2%
+    # rel. error) against a tiny integer — a 5-vs-6 flip mislabels the column.
+    # For columns whose ESTIMATE is already small the exact count is cheap
+    # (few distinct values → map-side partial distinct collapses), so re-check
+    # exactly; columns estimated far above the cap can't flip and keep approx.
+    recheck = [
+        c
+        for c in [*numeric_cols, *string_cols]
+        if (row.get(f"{c} n_distinct") or 0) <= 2 * max_categories + 5
+    ]
+    if recheck:
+        exact_row = (
+            df.agg(
+                *[F.count_distinct(F.col(c)).alias(f"{c} n_distinct") for c in recheck]
+            )
+            .collect()[0]
+            .asDict()
+        )
+        row.update(exact_row)
     out: dict[str, dict] = {}
     for f_ in df.schema.fields:
         c = f_.name
@@ -184,21 +209,29 @@ def detect_types(
     return TypesDict(out)
 
 
-def _is_timeseries(df: DataFrame, col: str, ts_col: str) -> bool:
+def _is_timeseries(
+    df: DataFrame, col: str, ts_col: str, probe_rows: int = 50_000
+) -> bool:
     """Lag-autocorrelation probe (reference ``variables/utils.py:274-285``).
 
-    Uses a global ordered window — acceptable because ts_mode inputs are
-    long-thin single-axis tables (the reference's timeseries CSVs); the
-    at-scale path is per-series grouping, see profiler.timeseries.
+    The probe only has to decide "is lag-autocorrelation ≥ 0.1 at any of 5
+    small lags" — a property of local structure, so it is computed on a
+    BOUNDED chronological prefix (``orderBy(ts).limit(probe_rows)``, planned
+    as TakeOrdered: a per-partition top-k heap + small merge, never a global
+    sort of the full column). The subsequent single-task window over ≤50k
+    rows is trivially cheap and its cost is independent of table size.
+    Full-table per-series autocorrelation lives in profiler.timeseries.
     """
-    w = Window.orderBy(ts_col)
-    c = F.col(col).cast("double")
-    aggs = [
-        F.corr(c, F.lag(c, k).over(w)).alias(f"lag{k}") for k in AUTOCORR_LAGS
-    ]
-    r = df.select(c.alias(col), F.col(ts_col)).select(
-        F.col(col).alias("v"), F.col(ts_col)
-    ).select(*[F.lag("v", k).over(w).alias(f"l{k}") for k in AUTOCORR_LAGS], F.col("v"))
+    head = (
+        df.select(F.col(col).cast("double").alias("v"), F.col(ts_col).alias("__ts"))
+        .where(F.col("v").isNotNull())
+        .orderBy("__ts")
+        .limit(probe_rows)
+    )
+    w = Window.orderBy("__ts")
+    r = head.select(
+        "v", *[F.lag("v", k).over(w).alias(f"l{k}") for k in AUTOCORR_LAGS]
+    )
     row = r.agg(
         *[F.corr("v", f"l{k}").alias(f"lag{k}") for k in AUTOCORR_LAGS]
     ).collect()[0]

@@ -59,6 +59,11 @@ from profiler.schema import (
 class ProfileConfig:
     light_mode: bool = False        # reference light_mode: skip per-type describes
     exact: bool = False             # exact distinct + exact percentiles (test/oracle path)
+    # Column defining the row order for the per-column `monotonic` flag
+    # (reference numeric.py:61-79 uses the frame's positional order; a
+    # distributed table has none, so the caller names the order — e.g. "ts").
+    # None (default) skips the monotonic pass.
+    order_by: str | None = None
     max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
     cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
     default_bins: int = 50          # reference histogram default
@@ -121,10 +126,23 @@ def profile_table(
     # planning/codegen/stage latency per job, which is exactly the Amdahl
     # term that caps scaling efficiency on short inputs; overlapped, the
     # fixed latencies amortize to ~one job's worth.
+    # token-length pseudo-columns for textual variables: exact per-token
+    # word-length distributions (reference textual.py:54-56,130-146) ride
+    # the frequency pass as exploded (pseudo-column, length) pairs — their
+    # cardinality is bounded by max token length, so the full value counts
+    # are tiny and the driver rebuilds the exact pandas describe().
+    toklen_sources = [
+        (f"{c} __toklen", F.transform(stats.word_tokens_expr(F.col(c)), F.length))
+        for c in cols
+        if types_dict.get_type(c) == TEXTUAL and not cfg.light_mode
+    ]
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_freq = (
-            pool.submit(_run_frequency_pass, df, freq_cols, types_dict, cfg)
-            if freq_cols
+            pool.submit(
+                _run_frequency_pass, df, freq_cols, types_dict, cfg, toklen_sources
+            )
+            if freq_cols or toklen_sources
             else None
         )
         f_hash = (
@@ -152,6 +170,7 @@ def profile_table(
         v = _assemble_variable(
             c, t, num_rows, wide, freq_stats.get(c), hash_stats.get(c),
             histograms.get(c), mads.get(c), cfg,
+            toklen=freq_stats.get(f"{c} __toklen"),
         )
         n_cells_missing += v["num_missing"]
         vars_with_missing += 1 if v["num_missing"] > 0 else 0
@@ -212,13 +231,34 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
 # --------------------------------------------------------------------------
 # Pass 2: shared frequency pass over exploded (column, value) pairs
 # --------------------------------------------------------------------------
-def _pair_stream(df: DataFrame, cols: list[str], value_of) -> DataFrame:
-    pairs = F.array(
-        *[
-            F.struct(F.lit(c).alias("column"), value_of(c).alias("value"))
-            for c in cols
-        ]
-    )
+def _pair_stream(
+    df: DataFrame,
+    cols: list[str],
+    value_of,
+    array_sources: list[tuple[str, F.Column]] | None = None,
+) -> DataFrame:
+    """(column, value) pair stream: one struct per scalar column plus, for
+    each (key, array<...> expr) in ``array_sources``, one struct per array
+    element — all concatenated into a single explode so multi-valued
+    per-row features (e.g. token lengths) ride the same shuffle."""
+    parts = [
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("column"), value_of(c).alias("value"))
+                for c in cols
+            ]
+        )
+    ] if cols else []
+    def _elem_struct(key: str):
+        # helper closure: a `lambda v, k=key:` would be read by PySpark as a
+        # BINARY (value, index) lambda and silently break (see project notes)
+        return lambda v: F.struct(
+            F.lit(key).alias("column"), v.cast("string").alias("value")
+        )
+
+    for key, arr in array_sources or []:
+        parts.append(F.transform(F.coalesce(arr, F.array()), _elem_struct(key)))
+    pairs = parts[0] if len(parts) == 1 else F.concat(*parts)
     return (
         df.select(F.explode(pairs).alias("p"))
         .select("p.column", "p.value")
@@ -227,7 +267,11 @@ def _pair_stream(df: DataFrame, cols: list[str], value_of) -> DataFrame:
 
 
 def _run_frequency_pass(
-    df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig
+    df: DataFrame,
+    cols: list[str],
+    td: TypesDict,
+    cfg: ProfileConfig,
+    array_sources: list[tuple[str, F.Column]] | None = None,
 ) -> dict[str, dict]:
     """ONE job: frequency map → per-column totals (window sums) + rank
     columns (top-K by count, extremes by value) → one filtered collect.
@@ -235,9 +279,18 @@ def _run_frequency_pass(
     The per-column totals ride along as window aggregates over the same
     ``partition by column`` exchange the rankings need, so rollups, top-K
     and extremes cost a single shuffle + a single driver action instead of
-    three (matters because each extra action is a full re-scan barrier)."""
+    three (matters because each extra action is a full re-scan barrier).
+
+    ``array_sources`` adds multi-valued pseudo-columns (token lengths) whose
+    FULL value counts are collected (their cardinality is bounded by the
+    max token length, not by the corpus) — the driver reconstructs exact
+    distributions from them."""
+    array_sources = array_sources or []
+    keep_all = {key for key, _ in array_sources}
     freq = (
-        _pair_stream(df, cols, lambda c: F.col(c).cast("string"))
+        _pair_stream(
+            df, cols, lambda c: F.col(c).cast("string"), array_sources
+        )
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -261,11 +314,14 @@ def _run_frequency_pass(
             (F.col("rk") <= k)
             | (F.col("dval").isNotNull() & (F.col("rk_hi") <= cfg.n_extremes))
             | (F.col("dval").isNotNull() & (F.col("rk_lo") <= cfg.n_extremes))
+            | (F.col("column").isin(list(keep_all)) if keep_all else F.lit(False))
         )
         .collect()
     )
 
-    out: dict[str, dict] = {c: {"topk": [], "hi": [], "lo": []} for c in cols}
+    out: dict[str, dict] = {
+        c: {"topk": [], "hi": [], "lo": []} for c in [*cols, *keep_all]
+    }
     for r in rows:
         out[r["column"]].update(
             n_distinct_exact=r["n_distinct_exact"],
@@ -273,7 +329,7 @@ def _run_frequency_pass(
             n_values=r["n_values"],
         )
     for r in sorted(rows, key=lambda r: r["rk"]):
-        if r["rk"] <= k:
+        if r["rk"] <= k or r["column"] in keep_all:
             out[r["column"]]["topk"].append((r["value"], r["cnt"]))
         if r["dval"] is not None:
             if r["rk_hi"] <= cfg.n_extremes:
@@ -395,6 +451,7 @@ def _assemble_variable(
     hist: dict | None,
     mad: float | None,
     cfg: ProfileConfig,
+    toklen: dict | None = None,
 ) -> dict:
     count = wide[f"{c} count"]
     n_missing = wide[f"{c} num_missing"]
@@ -480,7 +537,34 @@ def _assemble_variable(
             v["ratio_digits"] = (wide.get(f"{c} sum_digits") or 0) / sum_chars
             v["ratio_special_characters"] = (wide.get(f"{c} sum_special") or 0) / sum_chars
         v["num_chars_distribution"] = _length_distribution(c, "chars", wide)
-        v["num_words_distribution"] = _length_distribution(c, "words", wide)
+        # per-token word-LENGTH distribution (reference textual.py:54-56,
+        # 130-146), exact from the token-length value counts
+        v["num_words_distribution"] = (
+            stats.distribution_from_value_counts(
+                c, [(float(val), n_) for val, n_ in toklen["topk"]]
+            )
+            if toklen and toklen.get("topk")
+            else {}
+        )
+        # per-corpus language percentages (reference textual.py:64-101):
+        # argmax heuristic language per row, counted in the wide pass
+        lang_counts = {
+            code: wide.get(f"{c} lang_{code}") or 0 for code in stats.LANGID_CODES
+        }
+        v["language_distribution"] = (
+            [
+                {
+                    "language": stats.LANG_NAMES[code],
+                    "percentage": 100.0 * n_ / count,
+                }
+                for code, n_ in sorted(
+                    lang_counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                if n_ > 0
+            ]
+            if count
+            else []
+        )
     return v
 
 

@@ -1316,3 +1316,52 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count_above_mean",
         "count_below_mean",
     ).orderBy("series_id")
+
+
+@_register(
+    "q37_wordlen_distribution",
+    r"""
+    WITH tok AS (
+      SELECT length(t) AS l
+      FROM documents,
+           unnest(regexp_extract_all(lower(text),
+                  '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]')) AS u(t)
+      WHERE text IS NOT NULL
+    )
+    SELECT count(*) AS n_tokens,
+           CAST(min(l) AS BIGINT) AS min_len,
+           CAST(max(l) AS BIGINT) AS max_len,
+           ROUND(avg(l), 4) AS avg_len,
+           ROUND(stddev_samp(l), 4) AS stddev_len,
+           ROUND(quantile_cont(l, 0.10), 4) AS p10,
+           ROUND(quantile_cont(l, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l, 0.50), 4) AS median_len,
+           ROUND(quantile_cont(l, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l, 0.90), 4) AS p90
+    FROM tok
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token word-LENGTH distribution (reference ``textual.py:54-56,
+    130-146``: moments+percentiles over len(token), token = nltk-style word/
+    punct split of lower(text); engine tokenizer = the RE2-portable
+    stats.WORD_TOKEN_RE). One explode collapsed map-side + one aggregate."""
+    from profiler.stats import word_tokens_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lens = d.select(
+        F.explode(F.transform(word_tokens_expr(F.col("text")), F.length)).alias("l")
+    )
+    p = lambda q: F.percentile(F.col("l"), F.lit(q))  # noqa: E731
+    return lens.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("l").cast("bigint").alias("min_len"),
+        F.max("l").cast("bigint").alias("max_len"),
+        F.round(F.avg("l"), 4).alias("avg_len"),
+        F.round(F.stddev_samp("l"), 4).alias("stddev_len"),
+        F.round(p(0.10), 4).alias("p10"),
+        F.round(p(0.25), 4).alias("p25"),
+        F.round(p(0.50), 4).alias("median_len"),
+        F.round(p(0.75), 4).alias("p75"),
+        F.round(p(0.90), 4).alias("p90"),
+    )

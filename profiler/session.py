@@ -24,10 +24,6 @@ _ENGINE_CONF = {
     # pinned here so a misconfigured environment can't silently disable them).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
-    # Sandbox fixtures are small-but-compute-heavy (compressed text): split
-    # scans finer than the 128m default so local[32] actually fans out. On a
-    # real cluster with 128m+ row groups, override back via spark-submit.
-    "spark.sql.files.maxPartitionBytes": "1m",
     # Keep the UI off in tests/bench (driver overhead, port churn).
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -53,6 +49,14 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _ENGINE_CONF.items():
         builder = builder.config(k, v)
+    # Scan-split sizing is a per-DEPLOYMENT tuning, not an engine default:
+    # the sandbox's tiny compute-heavy fixtures want 1m splits so local[N]
+    # fans out, but a production table with 128m row groups must keep the
+    # 128m default (1m would schedule ~10^8 scan tasks at 100 TB). Tests and
+    # bench set this via env/extra_conf; production never sees it.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

@@ -53,9 +53,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_json(spark: SparkSession, path: str, flatten: bool = True) -> DataFrame:
-    """S12: JSON scan; nested structs optionally flattened to dotted paths."""
+    """S12: JSON scan; nested structs optionally flattened to path columns.
+
+    Flattened names are sanitized like every other reader's (dots →
+    underscores): a dotted top-level name would be re-parsed as a nested
+    field path by the unquoted ``F.col(c)`` expressions the profiler builds,
+    failing analysis on a struct that no longer exists."""
     df = spark.read.json(path)
-    return flatten_struct_columns(df) if flatten else df
+    return sanitize_columns(flatten_struct_columns(df)) if flatten else df
 
 
 def sanitize_columns(df: DataFrame) -> DataFrame:

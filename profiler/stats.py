@@ -33,6 +33,20 @@ _DIGITS = "0123456789"
 _ALNUM = _DIGITS + _UPPER + "abcdefghijklmnopqrstuvwxyz"
 _WS = " \t\n\x0b\f\r"  # java regex \s
 
+# Word-tokenizer pattern shared by the textual describe and its DuckDB
+# oracle: runs of letters/digits/underscore are one token, every other
+# non-space character is its own token — a deterministic, engine-portable
+# stand-in for the reference's nltk.word_tokenize (reference
+# ``textual.py:54-56``), which likewise splits punctuation into separate
+# tokens. Uses RE2-compatible unicode classes so DuckDB replays it exactly.
+WORD_TOKEN_RE = r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]"
+
+
+def word_tokens_expr(col: Column) -> Column:
+    """array<string> of word tokens of lower(text) (reference lowercases
+    before tokenizing, ``textual.py:54``)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_TOKEN_RE), F.lit(0))
+
 
 def _n(col: str, stat: str) -> str:
     """Flat alias for a (column, stat) cell in the wide aggregate row."""
@@ -119,12 +133,29 @@ def boolean_exprs(col: str) -> list[Column]:
 # --------------------------------------------------------------------------
 # Textual describe (reference variables/textual.py:15-148)
 # --------------------------------------------------------------------------
-def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> list[Column]:
-    """Char-class ratios + char/word length moment inputs, all expression-level.
+LANGID_CODES = ("en", "de", "fr", "es", "other", "unknown")
+LANG_NAMES = {
+    "en": "english",
+    "de": "german",
+    "fr": "french",
+    "es": "spanish",
+    "other": "other",
+    "unknown": "unknown",
+}
 
-    The reference iterates Python chars per row; here each ratio is a ratio of
-    two JVM-side sums: length(regexp_replace(...)) counts the class occurrences
-    per row, summed across the corpus.
+
+def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> list[Column]:
+    """Char-class ratios, char-length moment inputs, and per-language row
+    counts — all expression-level, riding the single wide pass.
+
+    The reference iterates Python chars per row; here each ratio is a ratio
+    of two JVM-side sums. The per-token word-LENGTH distribution (reference
+    ``textual.py:54-56,130-146``: moments+percentiles of len(token), NOT of
+    words-per-text) is exact and comes from the shared frequency pass — see
+    profile._run_frequency_pass / distribution_from_value_counts.
+    language_distribution (reference ``textual.py:64-101``) is the argmax
+    heuristic language per row counted here per language — one count_if per
+    language, no extra job.
     """
     c = F.col(col)
     n_chars = F.length(c)
@@ -136,7 +167,6 @@ def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> l
     digits = n_chars - F.length(F.translate(c, _DIGITS, ""))
     # special = anything that is not alnum and not whitespace
     special = F.length(F.translate(c, _ALNUM + _WS, ""))
-    words = F.size(F.split(F.trim(c), r"\s+"))
     exprs = [
         F.sum(n_chars).alias(_n(col, "sum_chars")),
         F.sum(upper).alias(_n(col, "sum_upper")),
@@ -144,7 +174,11 @@ def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> l
         F.sum(special).alias(_n(col, "sum_special")),
     ]
     exprs += _distribution_exprs(col, "chars", n_chars.cast("double"), exact_percentiles, accuracy)
-    exprs += _distribution_exprs(col, "words", words.cast("double"), exact_percentiles, accuracy)
+    from profiler.text import language_pred_expr  # local import: no cycle
+
+    pred = language_pred_expr(c)
+    for code in LANGID_CODES:
+        exprs.append(F.count_if(pred == code).alias(_n(col, f"lang_{code}")))
     return exprs
 
 
@@ -212,6 +246,78 @@ def bin_edges(lo: float, hi: float, n_bins: int) -> list[float]:
         return [lo, hi]
     width = (hi - lo) / n_bins
     return [lo + i * width for i in range(n_bins)] + [hi]
+
+
+# --------------------------------------------------------------------------
+# Exact distribution stats from a (value, count) histogram — used for the
+# per-token word-length distribution (reference ``textual.py:130-146``) and
+# the ts gap-size describe (reference ``profiler.py:476-498``): token lengths
+# and gap sizes are small-cardinality integers, so their full value counts
+# ride an existing groupBy pass and the driver reconstructs the EXACT
+# pandas describe() — linear-interpolation percentiles + bias-corrected
+# moments — from the weighted values. No sketch error, no extra scan.
+# --------------------------------------------------------------------------
+def weighted_percentile(pairs: list[tuple[float, int]], q: float) -> float | None:
+    """Pandas/numpy 'linear' interpolation percentile over a value-count
+    histogram; ``pairs`` must be sorted by value."""
+    n = sum(c for _, c in pairs)
+    if n == 0:
+        return None
+    pos = q * (n - 1)
+    lo_idx = int(math.floor(pos))
+    frac = pos - lo_idx
+    # walk the histogram to the lo_idx-th and (lo_idx+1)-th order statistics
+    acc = 0
+    lo_val = hi_val = pairs[-1][0]
+    for i, (v, c) in enumerate(pairs):
+        if acc + c > lo_idx:
+            lo_val = v
+            if acc + c > lo_idx + 1:
+                hi_val = v
+            else:  # next value holds the (lo_idx+1)-th order statistic
+                hi_val = pairs[i + 1][0] if i + 1 < len(pairs) else v
+            break
+        acc += c
+    return lo_val + frac * (hi_val - lo_val)
+
+
+def distribution_from_value_counts(
+    name: str, pairs: list[tuple[float, int]]
+) -> dict:
+    """Reference distribution-dict (``textual.py:130-146`` keys) computed
+    exactly from a (value, count) histogram."""
+    pairs = sorted((float(v), int(c)) for v, c in pairs)
+    n = sum(c for _, c in pairs)
+    if n == 0:
+        return {}
+    s1 = sum(v * c for v, c in pairs)
+    mean = s1 / n
+    m2 = sum(c * (v - mean) ** 2 for v, c in pairs)
+    m3 = sum(c * (v - mean) ** 3 for v, c in pairs)
+    m4 = sum(c * (v - mean) ** 4 for v, c in pairs)
+    var = m2 / (n - 1) if n > 1 else None
+    std = math.sqrt(var) if var is not None else None
+    if n > 1 and m2 > 0:
+        g1 = (m3 / n) / (m2 / n) ** 1.5
+        g2 = (m4 / n) / (m2 / n) ** 2 - 3.0
+        skew = corrected_skewness(g1, n)
+        kurt = corrected_kurtosis(g2, n)
+    else:
+        skew = kurt = None
+    d = {
+        "name": name,
+        "count": n,
+        "min": pairs[0][0],
+        "max": pairs[-1][0],
+        "average": mean,
+        "stddev": std,
+        "variance": var,
+        "skewness": skew,
+        "kurtosis": kurt,
+    }
+    for key, q in zip(PCT_KEYS, PERCENTILES):
+        d[key] = weighted_percentile(pairs, q)
+    return d
 
 
 # --------------------------------------------------------------------------

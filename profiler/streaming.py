@@ -15,9 +15,10 @@ Design:
   append to a sink table as they arrive.
 * **sequence-gap detection** — per-conversation dense-turn checking needs
   cross-row state: implemented with ``applyInPandasWithState`` keyed by
-  conv_id, keeping only (max_turn_idx, seen_count, min_turn_idx) per open
-  conversation — O(1) state per key, emitting a violation record the moment
-  a conversation's arrived-turn set cannot be a prefix {0..n-1} anymore.
+  conv_id, keeping only (count, max, min, dup, Σ, Σ²) per open conversation
+  — O(1) state per key, flagging a conversation as non-dense the moment its
+  arrived-turn multiset fails the prefix-{0..n-1} count/min/moment checks
+  (catches duplicates even when split across micro-batches).
 
 Keyed constraints that need *exact* global answers (uniqueness across the
 entire history) remain batch jobs over the table snapshots; that split —
@@ -124,7 +125,7 @@ def streaming_violations(
 # ---------------------------------------------------------------------------
 # Stateful dense-sequence monitor (applyInPandasWithState)
 # ---------------------------------------------------------------------------
-_SEQ_STATE_SCHEMA = "n long, mx long, mn long, dup long"
+_SEQ_STATE_SCHEMA = "n long, mx long, mn long, dup long, s long, ss double"
 _SEQ_OUT_SCHEMA = (
     "conv_id string, n_turns long, max_turn_idx long, min_turn_idx long, "
     "n_duplicates long, dense boolean"
@@ -134,23 +135,35 @@ _SEQ_OUT_SCHEMA = (
 def _seq_monitor(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-conversation O(1) state: (count, max, min, dup-evidence).
+    """Per-conversation O(1) state: (count, max, min, dup-evidence, Σ, Σ²).
 
-    A conversation's arrived turns can still form the dense prefix {0..n-1}
-    iff count == max+1, min == 0, and no duplicate has been observed. We
-    track duplicates approximately-but-soundly for the streaming monitor via
-    count-vs-max mismatch (count > max+1 proves a duplicate even before the
-    full set arrives); the exact batch check stays authoritative.
+    A multiset of turn indices is reported dense iff it matches the prefix
+    {0..n-1} on count (n == max+1), min (0), first moment (Σ == max(max+1)/2)
+    and second moment (Σ² == max(max+1)(2max+1)/6), and no within-batch
+    duplicate was seen. The moment checks catch duplicates SPLIT ACROSS
+    micro-batches (e.g. {0,2} then {2}: n=3, max=2, Σ=4 ≠ 3 → not dense),
+    which per-batch ``duplicated()`` alone cannot see. A non-prefix multiset
+    passing all five checks would need a duplicate+omission pair that
+    preserves both moments exactly — not possible for a single swap, and the
+    exact batch-snapshot check remains authoritative regardless. State stays
+    O(1) per conversation.
     """
-    (n, mx, mn, dup) = state.get if state.exists else (0, -1, 1 << 62, 0)
+    (n, mx, mn, dup, s, ss) = (
+        state.get if state.exists else (0, -1, 1 << 62, 0, 0, 0.0)
+    )
     for pdf in batches:
         t = pdf["turn_idx"]
         n += len(t)
         mx = max(mx, int(t.max()))
         mn = min(mn, int(t.min()))
         dup += int(t.duplicated().sum())
-    state.update((n, mx, mn, dup))
-    dense = (n == mx + 1) and (mn == 0) and (dup == 0)
+        s += int(t.sum())
+        ss += float((t.astype("float64") ** 2).sum())
+    state.update((n, mx, mn, dup, s, ss))
+    moments_ok = (s == mx * (mx + 1) // 2) and (
+        ss == mx * (mx + 1) * (2 * mx + 1) / 6
+    )
+    dense = (n == mx + 1) and (mn == 0) and (dup == 0) and moments_ok
     yield pd.DataFrame(
         [
             {

@@ -36,33 +36,40 @@ def language_scores_expr(text: Column) -> dict[str, Column]:
     return {lang: frac(words) for lang, words in _STOPWORDS.items()}
 
 
-def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds ``lang_pred`` + ``lang_score``: argmax of stopword-hit fraction,
-    'unknown' when no evidence, 'other' when the text is mostly non-ASCII.
-
-    A production pipeline swaps this for a fastText pandas UDF (Arrow
-    batches); the surrounding plan — narrow projection, no shuffle — is
-    identical, which is the part that matters at 100 TB.
-    """
-    scores = language_scores_expr(F.col(text_col))
+def language_pred_expr(text: Column) -> Column:
+    """Predicted language code for one text value: argmax of stopword-hit
+    fraction, 'unknown' when no evidence, 'other' when the text is mostly
+    non-ASCII, NULL for NULL input. Pure expression — usable inside the
+    profiler's wide aggregate (language_distribution) as well as row-wise."""
+    scores = language_scores_expr(text)
     best = F.greatest(*scores.values())
     pred = F.lit("unknown")
     # build a CASE chain, deterministic order
     for lang in sorted(scores):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     ascii_frac = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "")).cast("double")
-        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+        F.length(F.regexp_replace(text, r"[^\x00-\x7F]", "")).cast("double")
+        / F.greatest(F.length(text), F.lit(1))
     )
-    pred = (
-        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("string"))
         .when(ascii_frac < 0.5, F.lit("other"))
         .when(best <= 0, F.lit("unknown"))
         .otherwise(pred)
     )
-    return df.withColumn("lang_pred", pred).withColumn(
-        "lang_score", F.round(best, 6)
-    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` + ``lang_score`` (see :func:`language_pred_expr`).
+
+    A production pipeline swaps this for a fastText pandas UDF (Arrow
+    batches); the surrounding plan — narrow projection, no shuffle — is
+    identical, which is the part that matters at 100 TB.
+    """
+    best = F.greatest(*language_scores_expr(F.col(text_col)).values())
+    return df.withColumn(
+        "lang_pred", language_pred_expr(F.col(text_col))
+    ).withColumn("lang_score", F.round(best, 6))
 
 
 def quality_score_expr(text: Column) -> Column:

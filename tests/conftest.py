@@ -12,7 +12,12 @@ from profiler import synth  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(
-        app_name="profiler-tests", master="local[4]", shuffle_partitions=8
+        app_name="profiler-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        # sandbox fixtures are tiny + compute-heavy: split scans finer than
+        # the 128m production default so local[4] fans out (see session.py)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
     )
     yield s
     s.stop()

@@ -57,6 +57,21 @@ def test_detection_on_transcripts(clean_df):
     assert td.get_type("tool") == CATEGORICAL
 
 
+def test_null_headed_column_still_probed(spark):
+    """ADVICE regression: a string column whose first sample_rows values are
+    all NULL must still be detected from its non-null tail (the sample probe
+    has no evidence and must admit, not pin the fraction to 0)."""
+    rows = [(None, None, None)] * 50 + [
+        (f"2024-02-{(i % 28) + 1:02d}", str(i * 2.5), ["t", "f"][i % 2])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "d string, n string, b string")
+    td = detect_types(df, sample_rows=40)  # sample sees only nulls
+    assert td.get_type("d") == DATETIME
+    assert td.get_type("n") == NUMERIC
+    assert td.get_type("b") == BOOLEAN
+
+
 def test_numeric_categorical_threshold(spark):
     # 6 distinct numeric values -> Numeric (reference: 1..5 distinct -> Categorical)
     df = spark.createDataFrame([(i % 6,) for i in range(60)], "x int")

@@ -49,6 +49,24 @@ def test_exact_dedup_finds_planted(docs_df):
     assert g["keep_id"] == 0
 
 
+def test_exact_dedup_whale_group_capped(spark):
+    """A degenerate key with tens of thousands of duplicates must not build
+    the full id list in any aggregation buffer or the driver row: doc_ids is
+    capped, n_docs carries the true count, keep_id is the global min."""
+    n = 30_000
+    df = spark.createDataFrame(
+        [(i, "boilerplate") for i in range(n)] + [(n, "unique text")],
+        "doc_id int, text string",
+    )
+    groups = dedup.exact_dedup(df, max_ids=100).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == n
+    assert g["keep_id"] == 0
+    assert len(g["doc_ids"]) == 100
+    assert g["doc_ids"][0] == 0 and g["doc_ids"] == sorted(g["doc_ids"])
+
+
 def test_minhash_estimates_jaccard(docs_df):
     pairs = dedup.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
     found = {(r["id_a"], r["id_b"]): r for r in pairs}
@@ -75,6 +93,17 @@ def test_simhash_near_dups(docs_df):
     assert {(0, 100), (0, 101), (100, 101)} <= keys
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand}
     assert ham[(0, 100)] == 0  # identical text → identical simhash
+
+
+def test_simhash_band_count_guarantees_recall(docs_df):
+    # ADVICE regression: n_bands must cover max_hamming (pigeonhole) — an
+    # explicit under-provisioned band count is an error, and the default
+    # derives the minimum sound band count from the threshold.
+    sig = dedup.simhash64(docs_df)
+    with pytest.raises(ValueError, match="n_bands"):
+        dedup.simhash_candidates(sig, n_bands=4, max_hamming=6)
+    cand = dedup.simhash_candidates(sig, max_hamming=6)  # default: 7 bands
+    assert {(r["id_a"], r["id_b"]) for r in cand.collect()} >= {(0, 100), (0, 101)}
 
 
 def test_shingles_expr_short_text(spark):

@@ -134,10 +134,53 @@ def test_textual_stats_match_oracle(exact_profile, pdf):
     assert d["skewness"] == pytest.approx(float(lens.skew()), rel=1e-7)
     assert d["kurtosis"] == pytest.approx(float(lens.kurt()), rel=1e-7)
     assert d["median"] == pytest.approx(float(np.median(lens)))
-    words = s.str.split().str.len().astype(float)
+    # num_words_distribution = moments/percentiles of PER-TOKEN LENGTHS
+    # (reference textual.py:54-56,130-146 — NOT words-per-text)
+    import re as _re
+
+    tok_lens = np.array(
+        [
+            len(t)
+            for txt in s
+            for t in _re.findall(r"\w+|[^\w\s]", txt.lower())
+        ],
+        dtype=float,
+    )
     w = v["num_words_distribution"]
-    assert w["average"] == pytest.approx(words.mean(), rel=1e-12)
-    assert w["max"] == words.max()
+    assert w["count"] == len(tok_lens)
+    assert w["min"] == tok_lens.min() and w["max"] == tok_lens.max()
+    assert w["average"] == pytest.approx(tok_lens.mean(), rel=1e-12)
+    assert w["stddev"] == pytest.approx(tok_lens.std(ddof=1), rel=1e-9)
+    import pandas as _pd
+
+    ts_ = _pd.Series(tok_lens)
+    assert w["skewness"] == pytest.approx(float(ts_.skew()), rel=1e-7)
+    assert w["kurtosis"] == pytest.approx(float(ts_.kurt()), rel=1e-7)
+    for key, q in [
+        ("percentile10", 10), ("percentile25", 25), ("median", 50),
+        ("percentile75", 75), ("percentile90", 90),
+    ]:
+        assert w[key] == pytest.approx(np.percentile(tok_lens, q), rel=1e-12), key
+
+
+def test_language_distribution_bilingual(spark):
+    en = "the cat is on the mat and it is a good day for the dog"
+    de = "der hund ist nicht mit der katze und das ist gut so"
+    rows = [(i, en) for i in range(6)] + [(i + 10, de) for i in range(3)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    p = profile_table(
+        df,
+        types_dict=TypesDict({"text": {"type": TEXTUAL}}),
+        config=ProfileConfig(exact=True),
+    )
+    v = next(x for x in p["variables"] if x["name"] == "text")
+    dist = {e["language"]: e["percentage"] for e in v["language_distribution"]}
+    assert dist["english"] == pytest.approx(100 * 6 / 9)
+    assert dist["german"] == pytest.approx(100 * 3 / 9)
+    assert sum(dist.values()) == pytest.approx(100.0)
+    # sorted by percentage descending, reference textual.py:96-101
+    pcts = [e["percentage"] for e in v["language_distribution"]]
+    assert pcts == sorted(pcts, reverse=True)
 
 
 def test_datetime_stats(exact_profile, pdf):

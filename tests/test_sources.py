@@ -29,7 +29,7 @@ def test_read_csv_explicit_schema(spark, tmp_path):
     assert df.collect()[0]["b"] == 2.5
 
 
-def test_json_flatten_dotted_paths(spark, tmp_path):
+def test_json_flatten_sanitized_paths(spark, tmp_path):
     p = tmp_path / "j.json"
     recs = [
         {"id": 1, "user": {"name": "ann", "geo": {"lat": 1.5, "lon": 2.5}}, "tags": ["x"]},
@@ -37,10 +37,27 @@ def test_json_flatten_dotted_paths(spark, tmp_path):
     ]
     p.write_text("\n".join(json.dumps(r) for r in recs))
     df = sources.read_json(spark, str(p))
-    assert set(df.columns) == {"id", "user.name", "user.geo.lat", "user.geo.lon", "tags"}
+    # flattened paths are sanitized (dots -> underscores) so downstream
+    # unquoted F.col(name) references resolve as top-level columns
+    assert set(df.columns) == {"id", "user_name", "user_geo_lat", "user_geo_lon", "tags"}
     rows = {r["id"]: r for r in df.collect()}
-    assert rows[1]["user.geo.lat"] == 1.5
-    assert rows[2]["user.name"] == "bob"
+    assert rows[1]["user_geo_lat"] == 1.5
+    assert rows[2]["user_name"] == "bob"
+
+
+def test_read_json_profilable_end_to_end(spark, tmp_path):
+    """The regression ADVICE flagged: flattened JSON columns must be
+    consumable by detect_types/profile_table (dotted names used to fail
+    analysis as phantom nested-field paths)."""
+    from profiler.profile import ProfileConfig, profile_table
+
+    p = tmp_path / "j2.json"
+    recs = [{"id": i, "user": {"geo": {"lat": float(i)}}} for i in range(20)]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    df = sources.read_json(spark, str(p))
+    doc = profile_table(df, config=ProfileConfig(exact=True))
+    lat = next(v for v in doc["variables"] if v["name"] == "user_geo_lat")
+    assert lat["count"] == 20 and lat["max"] == 19.0
 
 
 def test_nesting_depth_stats():

@@ -94,6 +94,48 @@ def test_streaming_dense_sequence_flags_gaps(spark, tmp_path, clean_tbl):
     assert n_bad == len(bad_convs)
 
 
+def test_seq_monitor_catches_cross_batch_duplicate():
+    """ADVICE regression: a duplicate split across micro-batches ({0,2} then
+    {2}) used to report dense=True; the Σ/Σ² moment checks catch it."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    out1 = list(
+        streaming._seq_monitor(
+            ("c1",), iter([pd.DataFrame({"turn_idx": [0, 2]})]), state
+        )
+    )[0]
+    assert out1["dense"].iloc[0] == False  # noqa: E712 — hole at 1
+    out2 = list(
+        streaming._seq_monitor(
+            ("c1",), iter([pd.DataFrame({"turn_idx": [2]})]), state
+        )
+    )[0]
+    # n=3 == mx+1, mn=0, no within-batch dup — only the moment check can
+    # reject this multiset {0,2,2}
+    assert out2["dense"].iloc[0] == False  # noqa: E712
+    # and the genuine completion {0,1,2} is accepted
+    state2 = FakeState()
+    list(streaming._seq_monitor(("c2",), iter([pd.DataFrame({"turn_idx": [0, 2]})]), state2))
+    out3 = list(
+        streaming._seq_monitor(("c2",), iter([pd.DataFrame({"turn_idx": [1]})]), state2)
+    )[0]
+    assert out3["dense"].iloc[0] == True  # noqa: E712
+
+
 def test_streaming_resume_processes_only_new_files(spark, tmp_path, clean_tbl):
     """availableNow + checkpoint + parquet sink: a second run over an
     unchanged directory appends nothing; a new arriving file is processed
