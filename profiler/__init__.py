@@ -15,7 +15,8 @@ verified for scaling efficiency between two parallelism levels.
 """
 
 from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible
-from profiler.profile import profile_table
+from profiler.profile import ProfileConfig, monotonic_flags, profile_table
+from profiler.config import profile_with_config, read_config
 from profiler.detect import detect_types
 from profiler.constraints import (
     ConstraintSuite,
@@ -41,10 +42,16 @@ from profiler.text import (
     score_quality,
 )
 from profiler.sources import read_csv, read_json, read_parquet
-from profiler.timeseries import series_extras, series_stats
+from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
 from profiler.streaming import streaming_profile, streaming_violations
 
 __all__ = [
+    "ProfileConfig",
+    "monotonic_flags",
+    "profile_with_config",
+    "read_config",
+    "gap_section",
+    "prepare_ts_index",
     "TRANSCRIPTS_SCHEMA",
     "TypesDict",
     "detect_compatible",

@@ -1,0 +1,10 @@
+"""CLI: ``python -m profiler <config.json>`` — the reference's
+``profiler-mappings`` console entry (``pyproject.toml:87-88`` →
+``main.py:8-18``) re-expressed over the Spark engine."""
+
+import sys
+
+from profiler.config import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

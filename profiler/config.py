@@ -1,0 +1,135 @@
+"""Config-driven entry point (reference E1 lifecycle: ``profiler-mappings
+<config.json>`` → ``main.py:8-18`` → ``read_config`` ``utils.py:8-25`` →
+``profile_tabular_with_config`` ``tabular_timeseries/profiler.py:67-122`` →
+``write_to_json``).
+
+The config contract mirrors the reference's ``config_template.json``:
+
+.. code-block:: json
+
+    {
+      "input": {
+        "files": "data.csv"            // or [data_path, types_dict.json]
+        "sep": ",", "header": 0,        // pandas-style: 0 = first row is header
+        "light_mode": false,
+        "num_cat_perc_threshold": 0.5,
+        "max_freq_distr": 10,
+        "ts_mode": false, "ts_mode_datetime_col": "date",
+        "order_by": null                // extension: monotonic-flag order column
+      },
+      "output": {"json": "profile.json"},
+      "profile": {"type": "tabular"}    // or "timeseries"
+    }
+
+Formats are dispatched on extension (.csv / .parquet / .json); the engine
+additions (``order_by``, parquet input) are extensions the reference's pandas
+path doesn't have. The RML/RDF mapping post-step (reference
+``profiler.py:41-102``) is out of scope per SURVEY §0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from profiler import sources
+from profiler.profile import ProfileConfig, profile_table
+from profiler.report import write_to_json
+from profiler.schema import TypesDict
+
+
+def read_config(json_file_or_str: str) -> dict:
+    """Reference ``read_config`` semantics (``utils.py:8-25``): the argument
+    is either a JSON document string or a path to a JSON file."""
+    try:
+        return json.loads(json_file_or_str)
+    except ValueError:
+        with open(json_file_or_str) as f:
+            return json.load(f)
+
+
+def _read_input(spark: SparkSession, path: str, input_cfg: dict):
+    fmt = input_cfg.get("format")
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = {"csv": "csv", "txt": "csv", "parquet": "parquet", "json": "json"}.get(
+            ext, "csv"
+        )
+    if fmt == "parquet":
+        return sources.read_parquet(spark, path)
+    if fmt == "json":
+        return sources.read_json(spark, path)
+    header_cfg = input_cfg.get("header", 0)  # pandas-style: 0 = header row
+    header = header_cfg is not None and header_cfg is not False
+    return sources.read_csv(
+        spark,
+        path,
+        header=header,
+        sep=input_cfg.get("sep", ","),
+        encoding=input_cfg.get("encoding", "UTF-8"),
+    )
+
+
+def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict:
+    """Run the reference's config-driven tabular/timeseries profile and write
+    the JSON document; returns the document dict."""
+    input_cfg = config.get("input", {})
+    output_cfg = config.get("output", {})
+    profile_cfg = config.get("profile", {})
+
+    files = input_cfg.get("files")
+    types_dict = None
+    if isinstance(files, list):
+        if len(files) == 2:
+            td = read_config(os.path.abspath(files[1]))
+            types_dict = TypesDict(td)
+            path = os.path.abspath(files[0])
+        elif len(files) == 1:
+            path = os.path.abspath(files[0])
+        else:
+            raise ValueError("expected one or two paths in input.files")
+    elif isinstance(files, str):
+        path = os.path.abspath(files)
+    else:
+        raise ValueError("input.files must be a path or [path, types_dict_path]")
+
+    kind = profile_cfg.get("type", "tabular")
+    if kind not in ("tabular", "timeseries"):
+        raise ValueError(
+            f"profile.type={kind!r} unsupported (this engine covers the "
+            "tabular/timeseries family; SURVEY §0 scopes out the rest)"
+        )
+    ts_mode = bool(input_cfg.get("ts_mode", False)) or kind == "timeseries"
+
+    cfg = ProfileConfig(
+        light_mode=bool(input_cfg.get("light_mode", False)),
+        max_freq_distr=int(input_cfg.get("max_freq_distr", 10)),
+        num_cat_perc_threshold=float(input_cfg.get("num_cat_perc_threshold", 0.5)),
+        ts_mode=ts_mode,
+        ts_mode_datetime_col=input_cfg.get("ts_mode_datetime_col"),
+        order_by=input_cfg.get("order_by"),
+        exact=bool(input_cfg.get("exact", False)),
+    )
+
+    if spark is None:
+        from profiler.session import get_spark
+
+        spark = get_spark("profiler-cli")
+    df = _read_input(spark, path, input_cfg)
+    doc = profile_table(df, types_dict=types_dict, config=cfg)
+
+    out_path = output_cfg.get("json")
+    if out_path:
+        write_to_json(doc, os.path.abspath(out_path))
+    return doc
+
+
+def main(argv: list[str]) -> int:
+    """``python -m profiler <config.json>`` (reference ``main.py:8-18``)."""
+    if len(argv) != 1:
+        print("usage: python -m profiler <config.json>")
+        return 2
+    profile_with_config(read_config(argv[0]))
+    return 0

@@ -64,6 +64,12 @@ class ProfileConfig:
     # distributed table has none, so the caller names the order — e.g. "ts").
     # None (default) skips the monotonic pass.
     order_by: str | None = None
+    # ts_mode (reference profiler.py:380-393): prep the datetime index
+    # (dedup keep-first), detect TimeSeries columns via the autocorr probe,
+    # and add the per-column + global NaN-gap section to the document.
+    ts_mode: bool = False
+    ts_mode_datetime_col: str | None = None
+    num_cat_perc_threshold: float = 0.5  # reference find_types threshold
     max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
     cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
     default_bins: int = 50          # reference histogram default
@@ -83,8 +89,19 @@ def profile_table(
     """Profile every column of ``df``; returns the profile document dict."""
     cfg = config or ProfileConfig()
     t0 = _dt.datetime.now()
+    if cfg.ts_mode and cfg.ts_mode_datetime_col:
+        from profiler.timeseries import prepare_ts_index
+
+        # S5 prep (reference variables/utils.py:92-108): parse + dedup the
+        # datetime index keep-first BEFORE any statistics
+        df = prepare_ts_index(df, cfg.ts_mode_datetime_col)
     if types_dict is None:
-        types_dict = detect_types(df)
+        types_dict = detect_types(
+            df,
+            num_cat_perc_threshold=cfg.num_cat_perc_threshold,
+            ts_mode=cfg.ts_mode,
+            ts_mode_datetime_col=cfg.ts_mode_datetime_col,
+        )
     cols = [c for c in df.columns if c in types_dict.columns]
     for c in cols:
         if " " in c:
@@ -120,44 +137,105 @@ def profile_table(
         and wide.get(f"{c} percentiles") is not None
     ]
 
-    # Passes 2-5 are independent given the wide-pass results — submit them as
-    # CONCURRENT Spark jobs (driver threads; the scheduler interleaves their
-    # stages across executors). Sequential actions would serialize ~0.5 s of
-    # planning/codegen/stage latency per job, which is exactly the Amdahl
-    # term that caps scaling efficiency on short inputs; overlapped, the
-    # fixed latencies amortize to ~one job's worth.
+    # Everything downstream of the wide pass that is a value-count by
+    # another name — raw-value frequencies/top-K/extremes, hashed
+    # free-text uniqueness, histogram buckets, per-token word lengths —
+    # rides ONE fused groupBy(column, value) job over a shared pair
+    # stream: one scan + one shuffle instead of four. Each extra Spark
+    # action costs ~0.5 s of planning/codegen latency (the Amdahl term
+    # that caps scaling efficiency); fusing passes attacks the count,
+    # concurrent submission overlaps what remains.
+    k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
+    hist_specs = _histogram_specs(wide, hist_cols, types_dict, cfg)
+    scalar_sources = [(c, F.col(c).cast("string")) for c in freq_cols]
+    scalar_sources += [
+        (f"{c} __hist", _hist_bucket_expr(c, hist_specs[c], types_dict))
+        for c in hist_specs
+    ]
     # token-length pseudo-columns for textual variables: exact per-token
-    # word-length distributions (reference textual.py:54-56,130-146) ride
-    # the frequency pass as exploded (pseudo-column, length) pairs — their
-    # cardinality is bounded by max token length, so the full value counts
+    # word-length distributions (reference textual.py:54-56,130-146);
+    # cardinality is bounded by max token length, so full value counts
     # are tiny and the driver rebuilds the exact pandas describe().
     toklen_sources = [
         (f"{c} __toklen", F.transform(stats.word_tokens_expr(F.col(c)), F.length))
         for c in cols
         if types_dict.get_type(c) == TEXTUAL and not cfg.light_mode
     ]
+    keep_all = {f"{c} __hist" for c in hist_specs}
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_freq = (
+    # MAD is exact driver arithmetic off the fused value counts whenever the
+    # column's full distribution is collected (distinct sketch safely under
+    # the collect cap); only genuinely high-cardinality numerics need the
+    # dedicated second aggregate.
+    mad_job_cols = [
+        c for c in mad_cols
+        if c not in freq_cols or (wide.get(f"{c} n_distinct") or 0) > 0.8 * k
+    ]
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_fused = (
             pool.submit(
-                _run_frequency_pass, df, freq_cols, types_dict, cfg, toklen_sources
+                _run_fused_pass, df, scalar_sources, toklen_sources,
+                [c for c in freq_cols if types_dict.get_type(c) in (NUMERIC, TIMESERIES)],
+                cfg, keep_all,
             )
-            if freq_cols or toklen_sources
+            if scalar_sources or toklen_sources
             else None
         )
         f_hash = (
-            pool.submit(_run_hash_uniqueness_pass, df, hash_cols) if hash_cols else None
-        )
-        f_hist = (
-            pool.submit(_run_histogram_pass, df, hist_cols, types_dict, wide, cfg)
-            if hist_cols
+            pool.submit(_run_hash_uniqueness_pass, df, hash_cols)
+            if hash_cols
             else None
         )
-        f_mad = pool.submit(_run_mad_pass, df, mad_cols, wide, cfg) if mad_cols else None
-        freq_stats = f_freq.result() if f_freq else {}
+        f_mad = (
+            pool.submit(_run_mad_pass, df, mad_job_cols, wide, cfg)
+            if mad_job_cols
+            else None
+        )
+        mono_cols = [
+            c
+            for c in cols
+            if types_dict.get_type(c) in (NUMERIC, TIMESERIES) and not cfg.light_mode
+        ]
+        f_mono = (
+            pool.submit(
+                monotonic_flags,
+                df,
+                mono_cols,
+                cfg.order_by,
+                {c: wide[f"{c} num_missing"] for c in mono_cols},
+            )
+            if cfg.order_by and mono_cols
+            else None
+        )
+        ts_gap_cols = [
+            c for c in cols if types_dict.get_type(c) == TIMESERIES
+        ] if cfg.ts_mode and cfg.ts_mode_datetime_col else []
+        f_gaps = None
+        if ts_gap_cols:
+            from profiler.timeseries import gap_section
+
+            f_gaps = pool.submit(
+                gap_section, df, ts_gap_cols, cfg.ts_mode_datetime_col
+            )
+        fused = f_fused.result() if f_fused else {}
         hash_stats = f_hash.result() if f_hash else {}
-        histograms = f_hist.result() if f_hist else {}
         mads = f_mad.result() if f_mad else {}
+        monotonic = f_mono.result() if f_mono else {}
+        gaps = f_gaps.result() if f_gaps else None
+
+    freq_stats = {c: fused[c] for c in freq_cols if c in fused}
+    for key in (f"{c} __toklen" for c in cols):
+        if key in fused:
+            freq_stats[key] = fused[key]
+    histograms = _histograms_from_counts(fused, hist_specs)
+    for c in mad_cols:
+        if c in mads or c in mad_job_cols:
+            continue
+        pairs = [
+            (float(v), n_) for v, n_ in (fused.get(c) or {}).get("topk", [])
+        ]
+        mads[c] = _mad_from_value_counts(pairs)
 
     variables = []
     type_counter: dict[str, int] = {}
@@ -171,14 +249,17 @@ def profile_table(
             c, t, num_rows, wide, freq_stats.get(c), hash_stats.get(c),
             histograms.get(c), mads.get(c), cfg,
             toklen=freq_stats.get(f"{c} __toklen"),
+            monotonic=monotonic.get(c),
         )
         n_cells_missing += v["num_missing"]
         vars_with_missing += 1 if v["num_missing"] > 0 else 0
         byte_size += wide.get(f"{c} byte_size") or 0
+        if gaps is not None and c in gaps["variables"]:
+            v.update(gaps["variables"][c])
         variables.append(v)
 
     t1 = _dt.datetime.now()
-    return {
+    doc = {
         "analysis": {
             "title": "Profiling Report",
             "date_start": str(t0),
@@ -202,12 +283,30 @@ def profile_table(
         },
         "variables": variables,
     }
+    if gaps is not None:
+        doc["table"]["profiler_type"] = "TimeSeries"
+        doc["table"].update(gaps["table"])
+    return doc
 
 
 # --------------------------------------------------------------------------
 # Pass 1: the wide aggregate
 # --------------------------------------------------------------------------
 def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig) -> dict:
+    # Pre-project the per-row language prediction for textual columns so
+    # the tokenize-and-score tree evaluates ONCE per row; the projection
+    # fuses with the aggregate inside whole-stage codegen, while inlining
+    # the tree into each of the 6 per-language count_ifs would evaluate it
+    # 6x (measured ~5x the whole wide pass on a text-heavy table).
+    from profiler.text import language_pred_expr
+
+    src = df
+    lang_cols: dict[str, str] = {}
+    for c in cols:
+        if td.get_type(c) == TEXTUAL and not cfg.light_mode:
+            name = f"{c} __langpred"
+            src = src.withColumn(name, language_pred_expr(F.col(c)))
+            lang_cols[c] = name
     exprs = [F.count(F.lit(1)).alias("__num_rows")]
     for c in cols:
         t = td.get_type(c)
@@ -223,8 +322,13 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
         elif t == BOOLEAN:
             exprs += stats.boolean_exprs(c)
         elif t == TEXTUAL:
-            exprs += stats.textual_exprs(c, exact_percentiles=cfg.exact, accuracy=cfg.approx_accuracy)
-    row = df.agg(*exprs).collect()[0]
+            exprs += stats.textual_exprs(
+                c,
+                exact_percentiles=cfg.exact,
+                accuracy=cfg.approx_accuracy,
+                lang_pred_col=lang_cols[c],
+            )
+    row = src.agg(*exprs).collect()[0]
     return row.asDict()
 
 
@@ -233,22 +337,22 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
 # --------------------------------------------------------------------------
 def _pair_stream(
     df: DataFrame,
-    cols: list[str],
-    value_of,
+    scalar_sources: list[tuple[str, F.Column]],
     array_sources: list[tuple[str, F.Column]] | None = None,
 ) -> DataFrame:
-    """(column, value) pair stream: one struct per scalar column plus, for
-    each (key, array<...> expr) in ``array_sources``, one struct per array
-    element — all concatenated into a single explode so multi-valued
-    per-row features (e.g. token lengths) ride the same shuffle."""
+    """(column, value) pair stream: one struct per scalar (key, expr) source
+    plus, for each (key, array<...> expr) in ``array_sources``, one struct
+    per array element — all concatenated into a single explode so raw
+    values, hashed keys, histogram buckets and multi-valued per-row features
+    (token lengths) ride the same scan and shuffle."""
     parts = [
         F.array(
             *[
-                F.struct(F.lit(c).alias("column"), value_of(c).alias("value"))
-                for c in cols
+                F.struct(F.lit(key).alias("column"), expr.alias("value"))
+                for key, expr in scalar_sources
             ]
         )
-    ] if cols else []
+    ] if scalar_sources else []
     def _elem_struct(key: str):
         # helper closure: a `lambda v, k=key:` would be read by PySpark as a
         # BINARY (value, index) lambda and silently break (see project notes)
@@ -266,40 +370,47 @@ def _pair_stream(
     )
 
 
-def _run_frequency_pass(
+def _run_fused_pass(
     df: DataFrame,
-    cols: list[str],
-    td: TypesDict,
+    scalar_sources: list[tuple[str, F.Column]],
+    array_sources: list[tuple[str, F.Column]],
+    num_keys: list[str],
     cfg: ProfileConfig,
-    array_sources: list[tuple[str, F.Column]] | None = None,
+    keep_all: set[str],
 ) -> dict[str, dict]:
-    """ONE job: frequency map → per-column totals (window sums) + rank
-    columns (top-K by count, extremes by value) → one filtered collect.
+    """ONE job for every BOUNDED value-count-shaped statistic: frequency map
+    → per-key totals (window sums) + rank columns (top-K by count, extremes
+    by value) → one filtered collect.
 
-    The per-column totals ride along as window aggregates over the same
-    ``partition by column`` exchange the rankings need, so rollups, top-K
-    and extremes cost a single shuffle + a single driver action instead of
-    three (matters because each extra action is a full re-scan barrier).
+    The per-key totals ride along as window aggregates over the same
+    ``partition by column`` exchange the rankings need, so rollups, top-K,
+    extremes, histogram buckets and token-length counts all cost a single
+    scan + a single shuffle + a single driver action (each extra action is
+    a full re-scan barrier).
 
-    ``array_sources`` adds multi-valued pseudo-columns (token lengths) whose
-    FULL value counts are collected (their cardinality is bounded by the
-    max token length, not by the corpus) — the driver reconstructs exact
-    distributions from them."""
-    array_sources = array_sources or []
-    keep_all = {key for key, _ in array_sources}
+    Every source key here must be cardinality-bounded (raw values gated by
+    freq_distinct_cap, buckets by bin count, token lengths by max token
+    length): the windows partition by key, so an unbounded key would funnel
+    its whole domain into one window task. High-cardinality uniqueness runs
+    in _run_hash_uniqueness_pass (plain two-level groupBy, no windows) as a
+    separate concurrent job — fusing it into this one as a union branch
+    makes Catalyst push the key filters below the pair exchange, which
+    defeats exchange reuse and re-scans the input (verified on the physical
+    plan), so the job split is deliberate.
+
+    ``keep_all`` keys collect every row; everything else keeps top-K +
+    numeric extremes."""
     freq = (
-        _pair_stream(
-            df, cols, lambda c: F.col(c).cast("string"), array_sources
-        )
+        _pair_stream(df, scalar_sources, array_sources)
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
-    num_cols = [c for c in cols if td.get_type(c) in (NUMERIC, TIMESERIES)]
+    keep_all = keep_all | {key for key, _ in array_sources}
 
     w_tot = Window.partitionBy("column")
     w_cnt = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("value"))
-    dval = F.when(F.col("column").isin(num_cols), F.col("value").cast("double"))
+    dval = F.when(F.col("column").isin(num_keys), F.col("value").cast("double"))
     w_hi = Window.partitionBy("column").orderBy(F.desc_nulls_last("dval"))
     w_lo = Window.partitionBy("column").orderBy(F.asc_nulls_last("dval"))
     rows = (
@@ -320,7 +431,8 @@ def _run_frequency_pass(
     )
 
     out: dict[str, dict] = {
-        c: {"topk": [], "hi": [], "lo": []} for c in [*cols, *keep_all]
+        key: {"topk": [], "hi": [], "lo": []}
+        for key in [*(key for key, _ in scalar_sources), *keep_all]
     }
     for r in rows:
         out[r["column"]].update(
@@ -345,12 +457,15 @@ def _run_frequency_pass(
 def _run_hash_uniqueness_pass(df: DataFrame, cols: list[str]) -> dict[str, dict]:
     """Singleton/exact-distinct counts for high-cardinality columns.
 
-    Groups on xxhash64(value): the shuffle carries 8-byte keys, not payloads.
-    Collision risk at 64 bits is negligible for these counts (documented
-    redefinition vs the reference's exact pandas value_counts).
-    """
+    Groups on xxhash64(value): the shuffle carries 8-byte keys, not
+    payloads; the two-level groupBy partial-aggregates everywhere — no
+    windows, so an unbounded domain never lands on one task. Kept as its
+    own concurrent job (see _run_fused_pass docstring for why fusing it
+    would re-scan the input)."""
     freq = (
-        _pair_stream(df, cols, lambda c: F.xxhash64(F.col(c)).cast("string"))
+        _pair_stream(
+            df, [(c, F.xxhash64(F.col(c)).cast("string")) for c in cols]
+        )
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("column")
@@ -363,11 +478,13 @@ def _run_hash_uniqueness_pass(df: DataFrame, cols: list[str]) -> dict[str, dict]
 
 
 # --------------------------------------------------------------------------
-# Pass 3: histograms
+# Histogram specs/buckets (reference uniform-bin semantics incl. the
+# right-inclusive last bin, variables/utils.py:507-529) — the bucket counts
+# ride the fused pass as `{col} __hist` pseudo-columns.
 # --------------------------------------------------------------------------
-def _run_histogram_pass(
-    df: DataFrame, cols: list[str], td: TypesDict, wide: dict, cfg: ProfileConfig
-) -> dict[str, dict]:
+def _histogram_specs(
+    wide: dict, cols: list[str], td: TypesDict, cfg: ProfileConfig
+) -> dict[str, tuple[float, float, int]]:
     specs = {}
     for c in cols:
         if td.get_type(c) == DATETIME:
@@ -380,38 +497,131 @@ def _run_histogram_pass(
         lo, hi = float(lo), float(hi)
         n_bins = stats.histogram_bins(int(nd), cfg.default_bins, cfg.bin_cap)
         specs[c] = (lo, hi, n_bins)
-    if not specs:
-        return {}
+    return specs
 
-    def bucket_of(c: str):
-        lo, hi, n_bins = specs[c]
-        base = (
-            F.unix_timestamp(F.col(c)).cast("double")
-            if td.get_type(c) == DATETIME
-            else F.col(c).cast("double")
-        )
-        if hi <= lo:
-            return F.when(base.isNotNull(), F.lit(0)).cast("int").cast("string")
-        width = (hi - lo) / n_bins
-        raw = F.floor((base - F.lit(lo)) / F.lit(width)).cast("int")
-        b = F.when(base >= hi, F.lit(n_bins - 1)).otherwise(
-            F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
-        )
-        return F.when(base.isNotNull(), b).cast("string")
 
-    rows = (
-        _pair_stream(df, list(specs), bucket_of)
-        .groupBy("column", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+def _hist_bucket_expr(c: str, spec: tuple[float, float, int], td: TypesDict):
+    lo, hi, n_bins = spec
+    base = (
+        F.unix_timestamp(F.col(c)).cast("double")
+        if td.get_type(c) == DATETIME
+        else F.col(c).cast("double")
     )
+    if hi <= lo:
+        return F.when(base.isNotNull(), F.lit(0)).cast("int").cast("string")
+    width = (hi - lo) / n_bins
+    raw = F.floor((base - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.when(base >= hi, F.lit(n_bins - 1)).otherwise(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    )
+    return F.when(base.isNotNull(), b).cast("string")
+
+
+def _histograms_from_counts(
+    fused: dict[str, dict], specs: dict[str, tuple[float, float, int]]
+) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for c, (lo, hi, n_bins) in specs.items():
         counts = [0] * n_bins
-        for r in rows:
-            if r["column"] == c:
-                counts[int(r["value"])] = r["cnt"]
+        for value, cnt in (fused.get(f"{c} __hist") or {}).get("topk", []):
+            counts[int(value)] = cnt
         out[c] = {"bin_edges": stats.bin_edges(lo, hi, n_bins), "counts": counts}
+    return out
+
+
+def _mad_from_value_counts(pairs: list[tuple[float, int]]) -> float | None:
+    """Exact median-absolute-deviation from a full (value, count) histogram
+    — replaces the dedicated MAD aggregate whenever the fused pass already
+    collected the column's complete distribution."""
+    pairs = sorted(pairs)
+    if not pairs:
+        return None
+    med = stats.weighted_percentile(pairs, 0.5)
+    dev: dict[float, int] = {}
+    for v, n in pairs:
+        d = abs(v - med)
+        dev[d] = dev.get(d, 0) + n
+    return stats.weighted_percentile(sorted(dev.items()), 0.5)
+
+
+# --------------------------------------------------------------------------
+# Monotonic flag (reference numeric.py:61-79): −2 strictly decreasing,
+# −1 non-increasing, 0 not monotonic, +1 non-decreasing, +2 strictly
+# increasing — evaluated over the table ordered by an explicit order column.
+# --------------------------------------------------------------------------
+def monotonic_flags(
+    df: DataFrame, cols: list[str], order_col: str, missing: dict | None = None
+) -> dict[str, int]:
+    """Per-column monotonic flag WITHOUT a global sort.
+
+    Plan: ``repartitionByRange(order_col)`` (range shuffle — each partition
+    holds a contiguous slice of the order) → per-partition lag diffs via a
+    window partitioned by ``spark_partition_id()`` → one grouped aggregate of
+    (min_diff, max_diff, boundary first/last values) per partition → the
+    driver stitches the ≤P partition boundaries. Work is fully distributed;
+    the only single-point step handles P boundary rows.
+
+    pandas semantics (the reference calls ``series.is_monotonic_increasing``
+    / ``is_unique``): any NaN ⇒ not monotonic (flag 0); strictness = no equal
+    adjacent pair, which under monotonicity is exactly global uniqueness.
+    Ties in ``order_col`` make the flag order-dependent — callers should
+    supply a (near-)unique order column.
+    """
+    missing = missing or {}
+    todo = [c for c in cols if not missing.get(c)]
+    out = {c: 0 for c in cols if c not in todo}
+    if not todo:
+        return out
+    proj = df.select(
+        F.col(order_col).alias("__ord"),
+        *[F.col(c).cast("double").alias(c) for c in todo],
+    ).repartitionByRange(F.col("__ord"))
+    parted = proj.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    diffs = parted.select(
+        "__pid",
+        "__ord",
+        *[F.col(c) for c in todo],
+        *[(F.col(c) - F.lag(c).over(w)).alias(f"{c} d") for c in todo],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in todo:
+        aggs += [
+            F.min(f"{c} d").alias(f"{c} mind"),
+            F.max(f"{c} d").alias(f"{c} maxd"),
+            F.min_by(c, "__ord").alias(f"{c} first"),
+            F.max_by(c, "__ord").alias(f"{c} last"),
+        ]
+    parts = sorted(
+        (r.asDict() for r in diffs.groupBy("__pid").agg(*aggs).collect()),
+        key=lambda r: r["__pid"],  # range partitions are ordered by id
+    )
+    for c in todo:
+        mind = maxd = None
+        prev_last = None
+        for p in parts:
+            for v in (p[f"{c} mind"], p[f"{c} maxd"]):
+                if v is not None:
+                    mind = v if mind is None else min(mind, v)
+                    maxd = v if maxd is None else max(maxd, v)
+            if prev_last is not None and p["__n"] > 0:
+                b = p[f"{c} first"] - prev_last  # boundary diff
+                mind = b if mind is None else min(mind, b)
+                maxd = b if maxd is None else max(maxd, b)
+            if p["__n"] > 0:
+                prev_last = p[f"{c} last"]
+        if mind is None:  # 0 or 1 rows: trivially strictly monotonic
+            out[c] = 2
+        elif mind > 0:
+            out[c] = 2
+        elif maxd < 0:
+            out[c] = -2
+        elif mind >= 0:
+            out[c] = 1
+        elif maxd <= 0:
+            out[c] = -1
+        else:
+            out[c] = 0
     return out
 
 
@@ -452,6 +662,7 @@ def _assemble_variable(
     mad: float | None,
     cfg: ProfileConfig,
     toklen: dict | None = None,
+    monotonic: int | None = None,
 ) -> dict:
     count = wide[f"{c} count"]
     n_missing = wide[f"{c} num_missing"]
@@ -488,6 +699,8 @@ def _assemble_variable(
             n_negative=wide.get(f"{c} n_negative"),
             n_infinite=wide.get(f"{c} n_infinite"),
         )
+        if monotonic is not None:
+            v["monotonic"] = monotonic
         for key, val in zip(stats.PCT_KEYS, pct):
             v[key] = val
         if v["min"] is not None and v["max"] is not None:

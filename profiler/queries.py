@@ -1365,3 +1365,59 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p(0.75), 4).alias("p75"),
         F.round(p(0.90), 4).alias("p90"),
     )
+
+
+@_register(
+    "q38_monotonic_profile",
+    """
+    WITH d AS (
+      SELECT event_id - lag(event_id) OVER w AS d_eid,
+             user_id  - lag(user_id)  OVER w AS d_uid,
+             value    - lag(value)    OVER w AS d_val,
+             event_id IS NULL AS n_eid, user_id IS NULL AS n_uid,
+             value IS NULL AS n_val
+      FROM events WINDOW w AS (ORDER BY event_id)
+    ), a AS (
+      SELECT min(d_eid) AS mn_e, max(d_eid) AS mx_e, bool_or(n_eid) AS nl_e,
+             min(d_uid) AS mn_u, max(d_uid) AS mx_u, bool_or(n_uid) AS nl_u,
+             min(d_val) AS mn_v, max(d_val) AS mx_v, bool_or(n_val) AS nl_v
+      FROM d
+    )
+    SELECT col_name, CAST(monotonic AS BIGINT) AS monotonic FROM (
+      SELECT 'event_id' AS col_name,
+             CASE WHEN nl_e THEN 0 WHEN mn_e > 0 THEN 2 WHEN mx_e < 0 THEN -2
+                  WHEN mn_e >= 0 THEN 1 WHEN mx_e <= 0 THEN -1 ELSE 0 END AS monotonic
+      FROM a
+      UNION ALL
+      SELECT 'user_id',
+             CASE WHEN nl_u THEN 0 WHEN mn_u > 0 THEN 2 WHEN mx_u < 0 THEN -2
+                  WHEN mn_u >= 0 THEN 1 WHEN mx_u <= 0 THEN -1 ELSE 0 END
+      FROM a
+      UNION ALL
+      SELECT 'value',
+             CASE WHEN nl_v THEN 0 WHEN mn_v > 0 THEN 2 WHEN mx_v < 0 THEN -2
+                  WHEN mn_v >= 0 THEN 1 WHEN mx_v <= 0 THEN -1 ELSE 0 END
+      FROM a
+    ) ORDER BY col_name
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic flag per numeric column (reference ``numeric.py:61-79``,
+    −2..2) over an explicit order column, via the distributed
+    range-partition + boundary-stitch pass (profile.monotonic_flags) — no
+    global sort. The oracle replays pandas is_monotonic semantics in SQL."""
+    from profiler.profile import monotonic_flags
+
+    ev = _t(spark, sf_dir, "events")
+    missing = ev.agg(
+        *[
+            F.count_if(F.col(c).isNull()).alias(c)
+            for c in ("event_id", "user_id", "value")
+        ]
+    ).collect()[0]
+    flags = monotonic_flags(
+        ev, ["event_id", "user_id", "value"], "event_id", missing.asDict()
+    )
+    return spark.createDataFrame(
+        sorted(flags.items()), "col_name string, monotonic long"
+    )

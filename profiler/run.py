@@ -3,9 +3,9 @@ per-partition resume.
 
 ``run_validation`` is the north-rule loop: enumerate partitions, skip the
 ones the checkpoint store already recorded for this snapshot, validate the
-rest one partition at a time (each partition's scan is pruned by the
-partition predicate), commit a lineage record per finished partition. A
-killed job re-runs only unfinished partitions.
+rest in ONE pruned pass whose summary is grouped per partition, commit a
+lineage record per finished partition. A killed job re-runs only unfinished
+partitions (an opt-in per-partition-job mode exists for huge partitions).
 
 ``run_full`` is the flagship pipeline: full-table profile (single-pass wide
 agg + shared frequency/histogram passes) + whole-table constraint validation
@@ -14,7 +14,7 @@ agg + shared frequency/histogram passes) + whole-table constraint validation
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -41,8 +41,9 @@ def run_validation(
     snapshot_id: str,
     violations_path: str | None = None,
     resume_partition_expr: str | None = None,
+    per_partition_jobs: bool = False,
 ) -> RunResult:
-    """Validate partition-by-partition with checkpointed resume.
+    """Checkpointed, resumable validation.
 
     ``resume_partition_expr`` is the unit of work and MUST be chosen so that
     no constraint group straddles two units — for transcripts that means a
@@ -52,8 +53,19 @@ def run_validation(
     in fragments and fail its dense-sequence check spuriously. Defaults to
     the suite's summary partition expression for suites whose constraints
     are all row-local.
+
+    Default execution is ONE validation job over all pending partitions
+    (``where part IN todo`` — pruned to the unfinished slice when resuming):
+    the suite's summary is grouped by the resume partition key, so the
+    driver commits one checkpoint record per partition from a single pass
+    instead of rescanning the table once per partition (O(P) scans on an
+    unpartitioned layout, and a serial driver loop either way).
+    ``per_partition_jobs=True`` restores the one-job-per-partition loop for
+    the huge-partition regime where each unit alone saturates the cluster
+    and finer-grained commit latency matters more than total scan count.
     """
-    part_expr = F.expr(resume_partition_expr or suite.partition_expr).cast("string")
+    resume_expr = resume_partition_expr or suite.partition_expr
+    part_expr = F.expr(resume_expr).cast("string")
     partitions = sorted(
         r["p"]
         for r in df.select(part_expr.alias("p")).distinct().collect()
@@ -65,11 +77,32 @@ def run_validation(
 
     all_rows: list[dict] = []
     processed: list[str] = []
-    for p in todo:
-        # partition predicate prunes the scan (file/row-group skipping on the
-        # partition column; full partition pruning on a partitioned layout)
-        pdf = df.where(part_expr == F.lit(p))
-        result = suite.validate(pdf)
+    # both modes key summaries by the RESUME partition so checkpoint records
+    # carry the validated unit's own row/violation counts
+    vsuite = replace(suite, partition_expr=resume_expr)
+    if per_partition_jobs:
+        for p in todo:
+            # partition predicate prunes the scan (file/row-group skipping
+            # on the partition column; full pruning on a partitioned layout)
+            result = vsuite.validate(df.where(part_expr == F.lit(p)))
+            if violations_path is not None:
+                (
+                    result.violations.withColumn("run_snapshot", F.lit(snapshot_id))
+                    .write.mode("append")
+                    .parquet(violations_path)
+                )
+            rows = [r.asDict() for r in result.summary.collect()]
+            result.unpersist()
+            n_rows = rows[0]["n_rows"] if rows else 0
+            n_violations = sum(r["n_violations"] for r in rows)
+            store.commit(table_id, snapshot_id, p, rows, n_rows, n_violations)
+            all_rows.extend(rows)
+            processed.append(p)
+    elif todo:
+        # single pass: summaries keyed by the RESUME partition so each
+        # pending partition's record commits from this one job's results
+        pdf = df.where(part_expr.isin(todo)) if skipped else df
+        result = vsuite.validate(pdf)
         if violations_path is not None:
             (
                 result.violations.withColumn("run_snapshot", F.lit(snapshot_id))
@@ -77,11 +110,17 @@ def run_validation(
                 .parquet(violations_path)
             )
         rows = [r.asDict() for r in result.summary.collect()]
-        n_rows = rows[0]["n_rows"] if rows else 0
-        n_violations = sum(r["n_violations"] for r in rows)
-        store.commit(table_id, snapshot_id, p, rows, n_rows, n_violations)
-        all_rows.extend(rows)
-        processed.append(p)
+        result.unpersist()
+        by_part: dict[str, list[dict]] = {p: [] for p in todo}
+        for r in rows:
+            by_part.setdefault(r["partition_key"], []).append(r)
+        for p in todo:
+            prows = by_part.get(p, [])
+            n_rows = prows[0]["n_rows"] if prows else 0
+            n_violations = sum(r["n_violations"] for r in prows)
+            store.commit(table_id, snapshot_id, p, prows, n_rows, n_violations)
+            all_rows.extend(prows)
+            processed.append(p)
 
     all_passed = all(r["passed"] for r in all_rows) if all_rows else True
     return RunResult(processed, skipped, all_rows, all_passed)

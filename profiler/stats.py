@@ -144,7 +144,12 @@ LANG_NAMES = {
 }
 
 
-def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> list[Column]:
+def textual_exprs(
+    col: str,
+    exact_percentiles: bool,
+    accuracy: int = 2_000,
+    lang_pred_col: str | None = None,
+) -> list[Column]:
     """Char-class ratios, char-length moment inputs, and per-language row
     counts — all expression-level, riding the single wide pass.
 
@@ -152,10 +157,12 @@ def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> l
     of two JVM-side sums. The per-token word-LENGTH distribution (reference
     ``textual.py:54-56,130-146``: moments+percentiles of len(token), NOT of
     words-per-text) is exact and comes from the shared frequency pass — see
-    profile._run_frequency_pass / distribution_from_value_counts.
+    profile._run_fused_pass / distribution_from_value_counts.
     language_distribution (reference ``textual.py:64-101``) is the argmax
-    heuristic language per row counted here per language — one count_if per
-    language, no extra job.
+    heuristic language per row counted per language — ``lang_pred_col``
+    names a PRE-PROJECTED prediction column (profile._run_wide_pass adds it)
+    so the expensive tokenize-and-score tree evaluates ONCE per row instead
+    of once per count_if; without it the tree is inlined (6x the work).
     """
     c = F.col(col)
     n_chars = F.length(c)
@@ -174,9 +181,12 @@ def textual_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> l
         F.sum(special).alias(_n(col, "sum_special")),
     ]
     exprs += _distribution_exprs(col, "chars", n_chars.cast("double"), exact_percentiles, accuracy)
-    from profiler.text import language_pred_expr  # local import: no cycle
+    if lang_pred_col is not None:
+        pred = F.col(lang_pred_col)
+    else:
+        from profiler.text import language_pred_expr  # local import: no cycle
 
-    pred = language_pred_expr(c)
+        pred = language_pred_expr(c)
     for code in LANGID_CODES:
         exprs.append(F.count_if(pred == code).alias(_n(col, f"lang_{code}")))
     return exprs

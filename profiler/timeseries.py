@@ -90,6 +90,171 @@ def autocorr_at_lags(
 
 
 # ---------------------------------------------------------------------------
+# ts_mode gap section (reference tabular_timeseries/profiler.py:459-533):
+# runs of consecutive NULLs per TimeSeries column over the datetime order →
+# per-column gap-size describe + global min/max/avg + gap-size frequency.
+# ---------------------------------------------------------------------------
+def prepare_ts_index(df: DataFrame, ts_col: str) -> DataFrame:
+    """S5 prep (reference ``variables/utils.py:92-108``): parse the datetime
+    column and drop duplicate timestamps keep-first. Dedup is a per-key
+    ``row_number``; 'first' follows the input order within a timestamp (the
+    reference keeps the first occurrence in file order)."""
+    d = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(ts_col).orderBy(F.monotonically_increasing_id())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def gap_section(df: DataFrame, ts_cols: list[str], ts_col: str) -> dict:
+    """Gap statistics without a global sort.
+
+    Plan: ``repartitionByRange(ts)`` → per-partition null-run islands (the
+    reference's ``isnull.groupby(notnull.cumsum())`` trick as a window
+    cumulative sum, reference ``profiler.py:472``) → every cell emits ONE
+    (column, island-or-−1) pair, collapsed map-side by partial aggregation →
+    interior gap runs aggregate to a (column, gap_len) histogram in Spark;
+    only partition-BOUNDARY runs (prefix/suffix nulls, ≤2 rows per partition
+    per column) and the histogram reach the driver, which stitches runs that
+    straddle partitions. Exact, distributed, O(P·cols + distinct gap sizes)
+    driver data.
+    """
+    from profiler import stats
+
+    parted = df.select(
+        F.col(ts_col).alias("__ord"), *[F.col(c) for c in ts_cols]
+    ).repartitionByRange(F.col("__ord"))
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    # window expressions must be top-level projections — compute the island
+    # ids first, then explode (column, island) pairs in a second select
+    with_islands = parted.select(
+        "__pid",
+        *[
+            F.when(
+                F.col(c).isNull(),
+                F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).over(wp),
+            )
+            .otherwise(F.lit(-1))
+            .alias(f"{c} isl")
+            for c in ts_cols
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(f"`{c} isl`").alias("island"))
+            for c in ts_cols
+        ]
+    )
+    g = (
+        with_islands.select("__pid", F.explode(pairs).alias("p"))
+        .select("__pid", "p.column", "p.island")
+        .groupBy("__pid", "column", "island")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # n_nonnull per (pid, column) — the island id of the last non-null row —
+    # classifies runs: island 0 = partition prefix, island n_nonnull = suffix,
+    # 0 < island < n_nonnull = interior (fully contained in the partition).
+    nn = g.where(F.col("island") == -1).select(
+        "__pid", "column", F.col("cnt").alias("n_nonnull")
+    )
+    runs = (
+        g.where(F.col("island") >= 0)
+        .join(F.broadcast(nn), ["__pid", "column"], "left")
+        .withColumn("n_nonnull", F.coalesce(F.col("n_nonnull"), F.lit(0)))
+    )
+    interior = (
+        runs.where((F.col("island") > 0) & (F.col("island") < F.col("n_nonnull")))
+        .groupBy("column", F.col("cnt").alias("gap_len"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            F.lit("interior").alias("kind"),
+            "column",
+            F.col("gap_len").cast("long").alias("k1"),
+            F.col("m").alias("v"),
+        )
+    )
+    boundary = runs.where(
+        (F.col("island") == 0)
+        | ((F.col("island") == F.col("n_nonnull")) & (F.col("n_nonnull") > 0))
+    ).select(
+        F.when(F.col("island") == 0, F.lit("prefix")).otherwise(F.lit("suffix")).alias("kind"),
+        "column",
+        F.col("__pid").cast("long").alias("k1"),
+        F.col("cnt").alias("v"),
+    )
+    roster = nn.select(
+        F.lit("nn").alias("kind"), "column",
+        F.col("__pid").cast("long").alias("k1"),
+        F.col("n_nonnull").alias("v"),
+    )
+    rows = interior.unionByName(boundary).unionByName(roster).collect()
+
+    # ---- driver stitch: merge boundary runs across adjacent partitions ----
+    hist: dict[str, dict[int, int]] = {c: {} for c in ts_cols}
+    prefix: dict[str, dict[int, int]] = {c: {} for c in ts_cols}
+    suffix: dict[str, dict[int, int]] = {c: {} for c in ts_cols}
+    nonnull: dict[str, dict[int, int]] = {c: {} for c in ts_cols}
+    pids: dict[str, set[int]] = {c: set() for c in ts_cols}
+    for r in rows:
+        c = r["column"]
+        if r["kind"] == "interior":
+            hist[c][int(r["k1"])] = hist[c].get(int(r["k1"]), 0) + int(r["v"])
+        else:
+            pids[c].add(int(r["k1"]))
+            {"prefix": prefix, "suffix": suffix, "nn": nonnull}[r["kind"]][c][
+                int(r["k1"])
+            ] = int(r["v"])
+    for c in ts_cols:
+        carry = 0
+        for pid in sorted(pids[c]):
+            pre = prefix[c].get(pid, 0)
+            if nonnull[c].get(pid, 0) == 0:
+                carry += pre  # all-null partition: the run continues
+                continue
+            run = carry + pre
+            if run > 0:
+                hist[c][run] = hist[c].get(run, 0) + 1
+            carry = suffix[c].get(pid, 0)
+        if carry > 0:
+            hist[c][carry] = hist[c].get(carry, 0) + 1
+
+    # ---- assemble the reference document shape ----------------------------
+    out: dict = {"table": {}, "variables": {}}
+    global_hist: dict[int, int] = {}
+    for c in ts_cols:
+        pairs = sorted(hist[c].items())
+        out["variables"][c] = {
+            "gaps_distribution": (
+                stats.distribution_from_value_counts(c, pairs) if pairs else {}
+            )
+        }
+        for size, m in pairs:
+            global_hist[size] = global_hist.get(size, 0) + m
+    if global_hist:
+        total = sum(s * m for s, m in global_hist.items())
+        count = sum(global_hist.values())
+        out["table"]["ts_min_gap"] = min(global_hist)
+        out["table"]["ts_max_gap"] = max(global_hist)
+        out["table"]["ts_avg_gap"] = round(total / count)
+    else:
+        out["table"]["ts_min_gap"] = 0
+        out["table"]["ts_max_gap"] = 0
+        out["table"]["ts_avg_gap"] = 0
+    out["table"]["ts_gaps_frequency_distribution"] = {
+        str(k): v for k, v in sorted(global_hist.items())
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Per-series islands: ACF/PACF, seasonality, ADF via applyInPandas
 # ---------------------------------------------------------------------------
 def _acf(x: np.ndarray, nlags: int) -> np.ndarray:

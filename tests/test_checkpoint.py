@@ -54,6 +54,23 @@ def test_new_snapshot_revalidates_everything(clean_df, tmp_path):
     assert res.processed_partitions
 
 
+def test_single_pass_equals_per_partition_loop(clean_df, tmp_path):
+    """The default single-pass mode must commit the same per-partition
+    records as the opt-in one-job-per-partition loop."""
+    s1 = ParquetCheckpointStore(str(tmp_path / "ck_single"))
+    s2 = ParquetCheckpointStore(str(tmp_path / "ck_loop"))
+    r1 = run_validation(clean_df, transcripts_suite(), s1, "t", "s",
+                        resume_partition_expr=BUCKET)
+    r2 = run_validation(clean_df, transcripts_suite(), s2, "t", "s",
+                        resume_partition_expr=BUCKET, per_partition_jobs=True)
+    assert sorted(r1.processed_partitions) == sorted(r2.processed_partitions)
+    d1, d2 = s1.completed("t", "s"), s2.completed("t", "s")
+    assert set(d1) == set(d2)
+    for p in d1:
+        assert d1[p]["n_rows"] == d2[p]["n_rows"]
+        assert d1[p]["n_violations"] == d2[p]["n_violations"]
+
+
 def test_torn_write_is_ignored(clean_df, tmp_path):
     store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
     (tmp_path / "ckpt" / "torn.parquet").write_bytes(b"not a parquet file")

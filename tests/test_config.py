@@ -1,0 +1,81 @@
+"""Config-driven entry point (reference E1: profiler-mappings lifecycle)."""
+
+import json
+
+from profiler.config import profile_with_config, read_config
+
+
+def test_read_config_string_and_file(tmp_path):
+    cfg = {"input": {"files": "x.csv"}, "profile": {"type": "tabular"}}
+    assert read_config(json.dumps(cfg)) == cfg
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    assert read_config(str(p)) == cfg
+
+
+def test_profile_with_config_end_to_end(spark, tmp_path):
+    data = tmp_path / "d.csv"
+    data.write_text(
+        "city|population|note\n"
+        + "\n".join(f"c{i % 4}|{1000 + i}|free text {i} entropy {i * i}" for i in range(50))
+        + "\n"
+    )
+    out = tmp_path / "profile.json"
+    cfg = {
+        "input": {"files": str(data), "sep": "|", "header": 0, "exact": True},
+        "output": {"json": str(out)},
+        "profile": {"type": "tabular"},
+    }
+    doc = profile_with_config(cfg, spark=spark)
+    assert doc["table"]["num_rows"] == 50
+    # the sink file round-trips as JSON with the same document shape
+    on_disk = json.loads(out.read_text())
+    assert on_disk["table"]["num_rows"] == 50
+    types = {v["name"]: v["type"] for v in on_disk["variables"]}
+    assert types == {"city": "Categorical", "population": "Numeric", "note": "Textual"}
+
+
+def test_profile_with_config_types_dict_override(spark, tmp_path):
+    data = tmp_path / "d2.csv"
+    data.write_text("a,b\n" + "\n".join(f"{i},{i % 3}" for i in range(30)) + "\n")
+    td = tmp_path / "types.json"
+    td.write_text(json.dumps({"a": {"type": "Numeric"}, "b": {"type": "Categorical"}}))
+    cfg = {
+        "input": {"files": [str(data), str(td)], "exact": True},
+        "output": {},
+        "profile": {"type": "tabular"},
+    }
+    doc = profile_with_config(cfg, spark=spark)
+    got = {v["name"]: v["type"] for v in doc["variables"]}
+    assert got == {"a": "Numeric", "b": "Categorical"}
+
+
+def test_profile_with_config_timeseries(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    data = tmp_path / "ts.csv"
+    lines = ["date,s1"]
+    for i in range(48):
+        v = "" if 10 <= i < 13 else f"{float(i % 7):.1f}"
+        lines.append(f"{(base + dt.timedelta(hours=i)).isoformat()},{v}")
+    data.write_text("\n".join(lines) + "\n")
+    td = tmp_path / "ts_types.json"
+    td.write_text(
+        json.dumps({"date": {"type": "DateTime"}, "s1": {"type": "TimeSeries"}})
+    )
+    cfg = {
+        "input": {
+            "files": [str(data), str(td)],
+            "ts_mode": True,
+            "ts_mode_datetime_col": "date",
+            "exact": True,
+        },
+        "output": {},
+        "profile": {"type": "timeseries"},
+    }
+    doc = profile_with_config(cfg, spark=spark)
+    assert doc["table"]["profiler_type"] == "TimeSeries"
+    assert doc["table"]["ts_max_gap"] == 3
+    v = next(x for x in doc["variables"] if x["name"] == "s1")
+    assert v["gaps_distribution"]["count"] == 1

@@ -202,6 +202,40 @@ def test_categorical_distribution(exact_profile, pdf):
     assert set(v["samples"]) <= set(vc.index)
 
 
+def test_monotonic_flags_planted(spark):
+    """monotonic (−2..2, reference numeric.py:61-79) over an explicit order
+    column; the pass range-partitions and stitches partition boundaries, so
+    run it on enough rows to span several partitions."""
+    n = 500
+    rows = [
+        (
+            i,                      # strictly increasing
+            i // 2,                 # non-decreasing with duplicates
+            -i,                     # strictly decreasing
+            float(-(i // 3)),       # non-increasing
+            float((i * 7919) % 101),  # not monotonic
+            float(i) if i != 250 else None,  # has a null -> 0
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "ordc long, nd long, sd long, ni double, nm double, wn double"
+    )
+    p = profile_table(df, config=ProfileConfig(exact=True, order_by="ordc"))
+    flags = {v["name"]: v.get("monotonic") for v in p["variables"]}
+    assert flags["ordc"] == 2
+    assert flags["nd"] == 1
+    assert flags["sd"] == -2
+    assert flags["ni"] == -1
+    assert flags["nm"] == 0
+    assert flags["wn"] == 0
+
+
+def test_monotonic_absent_without_order(exact_profile):
+    v = var_of(exact_profile, "turn_idx")
+    assert "monotonic" not in v
+
+
 def test_light_mode_skips_describes(clean_df):
     p = profile_table(clean_df, config=ProfileConfig(light_mode=True, exact=True))
     v = next(x for x in p["variables"] if x["name"] == "turn_idx")

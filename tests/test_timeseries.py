@@ -60,6 +60,101 @@ def test_series_extras_seasonality_and_stationarity(series_df):
     assert len(out["s_season"]["pacf"]) == len(out["s_season"]["acf"])
 
 
+def _reference_gaps(values):
+    """Reference gap formula (profiler.py:472): null-run lengths via
+    isnull.groupby(notnull.cumsum()).sum(), gaps = runs > 0."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype="float64")
+    runs = s.isnull().astype(int).groupby(s.notnull().astype(int).cumsum()).sum()
+    return [int(g) for g in runs if g > 0]
+
+
+def test_gap_section_matches_reference_formula(spark):
+    """Gaps incl. partition-boundary stitching (the fixture's long runs span
+    several of the 8 range partitions) vs the reference pandas formula."""
+    import pandas as pd
+    from collections import Counter
+
+    rng = np.random.default_rng(3)
+    n = 200
+    a = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+    a[:7] = np.nan            # leading gap
+    a[50:95] = np.nan         # long gap straddling partition boundaries
+    a[120] = np.nan           # single gap
+    a[n - 3:] = np.nan        # trailing gap
+    b[10:12] = np.nan
+    b[10:12] = np.nan
+    rows = [
+        (
+            i,
+            None if np.isnan(a[i]) else float(a[i]),
+            None if np.isnan(b[i]) else float(b[i]),
+            float(i),  # gap-free
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "t int, a double, b double, c double")
+    out = TS.gap_section(df, ["a", "b", "c"], "t")
+
+    all_gaps = []
+    for col, arr in [("a", a), ("b", b), ("c", np.arange(n, dtype=float))]:
+        want = _reference_gaps(arr)
+        got = out["variables"][col]["gaps_distribution"]
+        if not want:
+            assert got == {}
+            continue
+        assert got["count"] == len(want)
+        assert got["min"] == min(want) and got["max"] == max(want)
+        s = pd.Series(want, dtype="float64")
+        assert got["average"] == pytest.approx(s.mean())
+        if len(want) > 1:
+            assert got["stddev"] == pytest.approx(s.std(ddof=1))
+        assert got["median"] == pytest.approx(float(np.median(want)))
+        all_gaps.extend(want)
+    t = out["table"]
+    assert t["ts_min_gap"] == min(all_gaps)
+    assert t["ts_max_gap"] == max(all_gaps)
+    assert t["ts_avg_gap"] == round(sum(all_gaps) / len(all_gaps))
+    assert t["ts_gaps_frequency_distribution"] == {
+        str(k): v for k, v in sorted(Counter(all_gaps).items())
+    }
+
+
+def test_profile_table_ts_mode_document(spark):
+    """profile_table(ts_mode) carries the gap section into the document and
+    preps the index (dedup keep-first on the datetime column)."""
+    import datetime as dt
+
+    from profiler.profile import ProfileConfig, profile_table
+    from profiler.schema import TypesDict
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        v = None if 20 <= i < 25 else float(np.sin(i / 3.0))
+        rows.append((base + dt.timedelta(hours=i), v))
+    rows.append((base + dt.timedelta(hours=3), 999.0))  # duplicate ts, dropped
+    df = spark.createDataFrame(rows, "date timestamp, s1 double")
+    doc = profile_table(
+        df,
+        types_dict=TypesDict(
+            {"date": {"type": "DateTime"}, "s1": {"type": "TimeSeries"}}
+        ),
+        config=ProfileConfig(
+            exact=True, ts_mode=True, ts_mode_datetime_col="date"
+        ),
+    )
+    assert doc["table"]["num_rows"] == 60  # dup dropped keep-first
+    assert doc["table"]["profiler_type"] == "TimeSeries"
+    assert doc["table"]["ts_min_gap"] == 5 and doc["table"]["ts_max_gap"] == 5
+    assert doc["table"]["ts_gaps_frequency_distribution"] == {"5": 1}
+    v = next(x for x in doc["variables"] if x["name"] == "s1")
+    assert v["gaps_distribution"]["count"] == 1
+    assert v["gaps_distribution"]["max"] == 5
+
+
 def test_extras_short_and_constant_series(spark):
     df = spark.createDataFrame(
         [("tiny", 0, 1.0), ("tiny", 1, 2.0), ("flat", 0, 3.0), ("flat", 1, 3.0),
