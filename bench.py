@@ -163,7 +163,8 @@ def scaling_main() -> None:
     sf = _sf_of(SF_DIR)
     n_turns = max(int(120_000_000 * sf), 100_000)
     _transcripts_path(n_turns)  # pre-generate outside the timed runs
-    reps = 2
+    _transcripts_path(n_turns // 6)  # small warm-up input (JIT + codegen)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     results: dict[int, list[dict]] = {SCALING_N: [], SCALING_4N: []}
     for _ in range(reps):
         for cpus in (SCALING_N, SCALING_4N):
@@ -176,7 +177,11 @@ def scaling_main() -> None:
                 "spark.range(1).count();"
                 "cal = 'select max(xxhash64(id)) from range(2000000000)';"
                 "spark.sql(cal).collect();"
-                "run_transcripts_workload(spark, %d);"  # warm-up: JIT + codegen
+                # warm-up at 1/6 size: compiles the identical query shapes
+                # (codegen is per-plan, not per-input-size) at a fraction of
+                # a full run's cost, keeping each leg short enough to land
+                # inside one host-weather window
+                "run_transcripts_workload(spark, %d);"
                 "r = run_transcripts_workload(spark, %d);"  # measured run
                 # same-window pure-CPU calibration: what the host actually
                 # delivers to this many threads right now (normalizes away
@@ -185,7 +190,12 @@ def scaling_main() -> None:
                 "t1 = time.perf_counter(); spark.sql(cal).collect();"
                 "r['cal_sec'] = min(t1 - t0, time.perf_counter() - t1);"
                 "print('RESULT ' + json.dumps(r))"
-                % (os.path.dirname(os.path.abspath(__file__)), cpus, n_turns, n_turns)
+                % (
+                    os.path.dirname(os.path.abspath(__file__)),
+                    cpus,
+                    n_turns // 6,
+                    n_turns,
+                )
             )
             proc = subprocess.run(
                 [sys.executable, "-c", code],

@@ -118,6 +118,15 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
 
         spark = get_spark("profiler-cli")
     df = _read_input(spark, path, input_cfg)
+    # reference extra_geometry_columns (variables/utils.py:82-90): derive a
+    # WKT POINT column per configured lon/lat pair before profiling
+    for i, pair in enumerate(input_cfg.get("extra_geometry_columns") or []):
+        df = sources.add_geometry_column(
+            df,
+            longitude=pair["longitude"],
+            latitude=pair["latitude"],
+            name=pair.get("name", "geometry" if i == 0 else f"geometry_{i}"),
+        )
     doc = profile_table(df, types_dict=types_dict, config=cfg)
 
     out_path = output_cfg.get("json")

@@ -224,30 +224,34 @@ def simhash64(
 ) -> DataFrame:
     """(id, simhash long): 64-bit SimHash by majority vote per bit over token
     hashes — each bit b of the fingerprint is 1 iff more token hashes have
-    bit b set than unset. The vote is a sum over a transform (JVM, no
-    Python); one narrow projection per document."""
+    bit b set than unset (bit 63 omitted: keeps the result a positive long).
+
+    The vote is ONE fold over the token-hash array accumulating a 63-wide
+    vote vector (zip_with inside aggregate) — a single traversal of the
+    array instead of the naive 63 separate per-bit folds (~60x less
+    traversal overhead, same JVM-expression-only execution)."""
     toks = F.array_distinct(tokens_expr(F.col(text_col)))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
-
-    # for each bit: sum(+1/-1 votes); fingerprint bit = vote > 0.
-    # (pyspark lambdas must be exactly binary — close over the bit index.)
-    def vote(b: int) -> Column:
-        return F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-        )
-
-    bits = [
-        F.when(vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(63)  # bit 63 omitted: keeps the result positive long
-    ]
-    fingerprint = bits[0]
-    for x in bits[1:]:
-        fingerprint = fingerprint.bitwiseOR(x)
-    return df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), fingerprint.alias("simhash")
+    votes = F.expr(
+        "aggregate("
+        "  transform(__toks, t -> xxhash64(t)),"
+        "  array_repeat(0, 63),"
+        "  (acc, x) -> zip_with("
+        "      acc,"
+        "      transform(sequence(0, 62),"
+        "                b -> IF((shiftright(x, b) & 1L) = 1L, 1, -1)),"
+        "      (a, v) -> a + v))"
+    )
+    fingerprint = F.expr(
+        "aggregate("
+        "  zip_with(__votes, sequence(0, 62),"
+        "           (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),"
+        "  0L, (a, x) -> a + x)"
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .withColumn("__votes", votes)
+        .select("id", fingerprint.alias("simhash"))
     )
 
 

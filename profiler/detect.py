@@ -101,14 +101,20 @@ def detect_types(
 
     # -- phase 1: sample probe (tiny limit scan, same Spark semantics) -------
     admitted: dict[str, list[str]] = {c: [] for c in string_cols}
-    if string_cols:
+    sample_low_card: set[str] = set()
+    probed = [*numeric_cols, *string_cols]
+    if probed:
         sample_exprs = []
+        probe_names = []
         for c in string_cols:
-            sample_exprs += list(_probe_exprs(c).values())
-        # re-alias in deterministic order for the sample row
-        probe_names = [n for c in string_cols for n in _probe_exprs(c)]
+            for n, e in _probe_exprs(c).items():
+                probe_names.append(n)
+                sample_exprs.append(e)
+        for c in probed:
+            probe_names.append(f"{c} sample_nd")
+            sample_exprs.append(F.approx_count_distinct(F.col(c)))
         sample_row = (
-            df.select(*string_cols)
+            df.select(*probed)
             .limit(sample_rows)
             .agg(*[e.alias(n) for n, e in zip(probe_names, sample_exprs)])
             .collect()[0]
@@ -123,19 +129,34 @@ def detect_types(
                 # mistype a null-headed datetime/boolean/numeric column.
                 if v is None or v == 1.0:
                     admitted[c].append(probe)
+        for c in probed:
+            if (sample_row[f"{c} sample_nd"] or 0) <= 4 * max_categories + 10:
+                sample_low_card.add(c)
 
     # -- phase 2: one full-scan wide aggregate -------------------------------
+    # Distinct counts: detection compares nd against the <=max_categories
+    # cap and the 0.5 ratio threshold. The cap comparison needs EXACTNESS
+    # near the boundary (an HLL 5-vs-6 flip mislabels the column), so
+    # columns the sample shows as low-cardinality use exact count_distinct
+    # — cheap, their partial distinct state collapses map-side. Columns the
+    # sample shows as high-cardinality use the HLL sketch (2% error is ample
+    # for the ratio test, and exact distinct over free text would dominate
+    # the pass). A column can still be sampled-low-but-truly-high or
+    # vice versa; phase 2b below rechecks the rare contradiction.
+    def nd_expr(c: str):
+        return (
+            F.count_distinct(F.col(c))
+            if c in sample_low_card
+            else F.approx_count_distinct(F.col(c))
+        )
+
     exprs = []
     for c in [*fixed, *numeric_cols, *string_cols]:
         exprs.append(F.count(F.col(c)).alias(f"{c} count"))
-    # approx distinct: detection only compares the distinct RATIO against
-    # a 0.5 threshold / a <=5 category cap — a 2% HLL sketch is ample and
-    # avoids shuffling every distinct string (free text would otherwise
-    # dominate the pass).
     for c in numeric_cols:
-        exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c} n_distinct"))
+        exprs.append(nd_expr(c).alias(f"{c} n_distinct"))
     for c in string_cols:
-        exprs.append(F.approx_count_distinct(F.col(c)).alias(f"{c} n_distinct"))
+        exprs.append(nd_expr(c).alias(f"{c} n_distinct"))
         probes = _probe_exprs(c)
         for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
             name = f"{c} {probe}"
@@ -148,16 +169,15 @@ def detect_types(
         for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
             row.setdefault(f"{c} {probe}", 0.0)
 
-    # -- phase 2b: exact distinct where the HLL sketch is near the boundary --
-    # The nd<=max_categories categorical cap compares an approx sketch (~2%
-    # rel. error) against a tiny integer — a 5-vs-6 flip mislabels the column.
-    # For columns whose ESTIMATE is already small the exact count is cheap
-    # (few distinct values → map-side partial distinct collapses), so re-check
-    # exactly; columns estimated far above the cap can't flip and keep approx.
+    # -- phase 2b: exact recheck of the sampled-high-but-full-scan-low case --
+    # (the sample head was unrepresentative: phase 2 used the sketch but the
+    # full column is actually near the categorical cap). Rare — the common
+    # low-cardinality columns were already exact in phase 2 and skip this.
     recheck = [
         c
         for c in [*numeric_cols, *string_cols]
-        if (row.get(f"{c} n_distinct") or 0) <= 2 * max_categories + 5
+        if c not in sample_low_card
+        and (row.get(f"{c} n_distinct") or 0) <= 2 * max_categories + 5
     ]
     if recheck:
         exact_row = (

@@ -172,7 +172,7 @@ def profile_table(
         if c not in freq_cols or (wide.get(f"{c} n_distinct") or 0) > 0.8 * k
     ]
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         f_fused = (
             pool.submit(
                 _run_fused_pass, df, scalar_sources, toklen_sources,
@@ -208,6 +208,14 @@ def profile_table(
             if cfg.order_by and mono_cols
             else None
         )
+        geom_cols = [
+            c
+            for c in cols
+            if types_dict.get_type(c) == GEOMETRY and not cfg.light_mode
+        ]
+        f_geo = (
+            pool.submit(_run_geometry_samples, df, geom_cols) if geom_cols else None
+        )
         ts_gap_cols = [
             c for c in cols if types_dict.get_type(c) == TIMESERIES
         ] if cfg.ts_mode and cfg.ts_mode_datetime_col else []
@@ -223,6 +231,7 @@ def profile_table(
         mads = f_mad.result() if f_mad else {}
         monotonic = f_mono.result() if f_mono else {}
         gaps = f_gaps.result() if f_gaps else None
+        geo_samples = f_geo.result() if f_geo else {}
 
     freq_stats = {c: fused[c] for c in freq_cols if c in fused}
     for key in (f"{c} __toklen" for c in cols):
@@ -256,6 +265,8 @@ def profile_table(
         byte_size += wide.get(f"{c} byte_size") or 0
         if gaps is not None and c in gaps["variables"]:
             v.update(gaps["variables"][c])
+        if c in geo_samples:
+            v["samples"] = geo_samples[c]
         variables.append(v)
 
     t1 = _dt.datetime.now()
@@ -313,7 +324,7 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
         exprs += stats.generic_exprs(c, approx_distinct=not cfg.exact)
         if cfg.compute_byte_size:
             exprs.append(stats.byte_size_expr(c, df.schema[c].dataType).alias(f"{c} byte_size"))
-        if cfg.light_mode or t in (UNSUPPORTED, GEOMETRY):
+        if cfg.light_mode or t == UNSUPPORTED:
             continue
         if t in (NUMERIC, TIMESERIES):
             exprs += stats.numeric_exprs(c, exact_percentiles=cfg.exact, accuracy=cfg.approx_accuracy)
@@ -321,6 +332,8 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
             exprs += stats.datetime_exprs(c)
         elif t == BOOLEAN:
             exprs += stats.boolean_exprs(c)
+        elif t == GEOMETRY:
+            exprs += stats.geometry_exprs(c)
         elif t == TEXTUAL:
             exprs += stats.textual_exprs(
                 c,
@@ -451,6 +464,18 @@ def _run_fused_pass(
     for d in out.values():
         d["hi"] = [x[:2] for x in sorted(d["hi"], key=lambda x: x[2])]
         d["lo"] = [x[:2] for x in sorted(d["lo"], key=lambda x: x[2])]
+    return out
+
+
+def _run_geometry_samples(df: DataFrame, cols: list[str]) -> dict[str, list]:
+    """Head-5 WKT samples per geometry column (reference geometry.py:102) —
+    one limit(5) scan per geometry column; geometry columns are rare and a
+    limit scan reads a handful of row groups."""
+    out = {}
+    for c in cols:
+        out[c] = [
+            r[0] for r in df.select(c).where(F.col(c).isNotNull()).limit(5).collect()
+        ]
     return out
 
 
@@ -679,7 +704,26 @@ def _assemble_variable(
         "uniqueness": (n_unique / count) if (count and n_unique is not None) else None,
         "memory_size": wide.get(f"{c} byte_size"),
     }
-    if cfg.light_mode or t in (UNSUPPORTED, GEOMETRY):
+    if cfg.light_mode or t == UNSUPPORTED:
+        return v
+
+    if t == GEOMETRY:
+        # minimal geometry describe (reference geometry.py:87-207 subset:
+        # per-type counts, POINT mbr + centroid; samples added by caller)
+        v["geom_types"] = [
+            {"type": gt, "count": wide.get(f"{c} geom_{gt}") or 0}
+            for gt in stats.WKT_TYPES
+            if (wide.get(f"{c} geom_{gt}") or 0) > 0
+        ]
+        if wide.get(f"{c} geom_npoints"):
+            v["mbr"] = [
+                wide.get(f"{c} geom_xmin"), wide.get(f"{c} geom_ymin"),
+                wide.get(f"{c} geom_xmax"), wide.get(f"{c} geom_ymax"),
+            ]
+            v["centroid"] = {
+                "x": wide.get(f"{c} geom_xcentroid"),
+                "y": wide.get(f"{c} geom_ycentroid"),
+            }
         return v
 
     if t in (NUMERIC, TIMESERIES):

@@ -1092,21 +1092,26 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
-    top3 = vc.orderBy(F.desc("cnt"), F.asc("value")).limit(3)
-    totals = vc.agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("cnt").alias("n")
-    ).collect()[0]
-    kept = top3.collect()
-    vc.unpersist()
-    other_nd = totals["nd"] - len(kept)
-    other_n = totals["n"] - sum(r["cnt"] for r in kept)
-    spark_rows = [(r["value"], r["cnt"]) for r in kept] + [
-        (f"Other Values ({other_nd})", other_n)
-    ]
-    out = spark.createDataFrame(spark_rows, "value string, cnt long")
-    return out.orderBy(F.desc("cnt"), F.asc("value"))
+    # ONE DataFrame program: rank the (tiny, post-aggregate) frequency
+    # table, keep top-3, roll the rest into the 'Other Values (n)' row —
+    # no driver-side assembly; the single-partition window is over the
+    # bounded frequency table, never the raw data.
+    ranked = vc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("value")))
+    )
+    kept = ranked.where(F.col("rk") <= 3).select("value", "cnt")
+    other = (
+        ranked.where(F.col("rk") > 3)
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("cnt").alias("n"))
+        .select(
+            F.concat(
+                F.lit("Other Values ("), F.col("nd").cast("string"), F.lit(")")
+            ).alias("value"),
+            F.col("n").cast("bigint").alias("cnt"),
+        )
+    )
+    return kept.unionByName(other).orderBy(F.desc("cnt"), F.asc("value"))
 
 
 @_register(
@@ -1224,12 +1229,20 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the orders and customer key domains."""
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    n_union = o.union(c).distinct().count()
-    n_intersect = o.intersect(c).count()
-    n_inactive = c.exceptAll(o.distinct()).distinct().count()
-    return spark.createDataFrame(
-        [(n_union, n_intersect, n_inactive)],
-        "n_union long, n_intersect long, n_inactive long",
+    # ONE DataFrame program: full-outer join of the two distinct key sets
+    # with membership flags — union/intersect/except counts fall out of a
+    # single aggregate instead of three separate count() jobs.
+    od = o.distinct().withColumn("in_o", F.lit(1))
+    cd = c.distinct().withColumn("in_c", F.lit(1))
+    j = od.join(cd, "k", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count_if(F.col("in_o").isNotNull() & F.col("in_c").isNotNull()).alias(
+            "n_intersect"
+        ),
+        F.count_if(F.col("in_c").isNotNull() & F.col("in_o").isNull()).alias(
+            "n_inactive"
+        ),
     )
 
 
@@ -1420,4 +1433,58 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         sorted(flags.items()), "col_name string, monotonic long"
+    )
+
+
+@_register(
+    "q39_geometry_describe",
+    r"""
+    WITH g AS (
+      SELECT 'POINT (' || CAST(s_suppkey % 360 - 180 AS VARCHAR) || ' '
+             || CAST(s_nationkey * 3 - 30 AS VARCHAR) || ')' AS wkt
+      FROM supplier
+    )
+    SELECT count(wkt) AS n_geoms,
+           count(*) FILTER (WHERE regexp_matches(wkt, '^\s*POINT\s*\(')) AS n_points,
+           ROUND(min(CAST(regexp_extract(wkt, '^\s*POINT\s*\(\s*(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS xmin,
+           ROUND(max(CAST(regexp_extract(wkt, '^\s*POINT\s*\(\s*(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS xmax,
+           ROUND(min(CAST(regexp_extract(wkt,
+                 '^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS ymin,
+           ROUND(max(CAST(regexp_extract(wkt,
+                 '^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS ymax,
+           ROUND(avg(CAST(regexp_extract(wkt, '^\s*POINT\s*\(\s*(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS xcent,
+           ROUND(avg(CAST(regexp_extract(wkt,
+                 '^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)', 1)
+                 AS DOUBLE)), 4) AS ycent
+    FROM g
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 derived WKT point column (reference ``variables/utils.py:82-90``)
+    + the minimal geometry describe (reference ``geometry.py:87-207``
+    subset): per-type counts, POINT mbr and centroid, all expressions in
+    the wide pass — no geo library, no extra scan."""
+    from profiler import stats as S
+    from profiler.sources import add_geometry_column
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 360 - 180).alias("lon"),
+        (F.col("s_nationkey") * 3 - 30).alias("lat"),
+    )
+    g = add_geometry_column(sup, "lon", "lat", "wkt")
+    agg = g.agg(F.count("wkt").alias("n_geoms"), *S.geometry_exprs("wkt"))
+    return agg.select(
+        "n_geoms",
+        F.col("`wkt geom_POINT`").alias("n_points"),
+        F.round("`wkt geom_xmin`", 4).alias("xmin"),
+        F.round("`wkt geom_xmax`", 4).alias("xmax"),
+        F.round("`wkt geom_ymin`", 4).alias("ymin"),
+        F.round("`wkt geom_ymax`", 4).alias("ymax"),
+        F.round("`wkt geom_xcentroid`", 4).alias("xcent"),
+        F.round("`wkt geom_ycentroid`", 4).alias("ycent"),
     )

@@ -63,6 +63,29 @@ def read_json(spark: SparkSession, path: str, flatten: bool = True) -> DataFrame
     return sanitize_columns(flatten_struct_columns(df)) if flatten else df
 
 
+def add_geometry_column(
+    df: DataFrame,
+    longitude: str,
+    latitude: str,
+    name: str = "geometry",
+) -> DataFrame:
+    """S4 (reference ``extra_geometry_columns``, ``variables/utils.py:82-90``):
+    derive a WKT POINT column from a lon/lat pair — a pure projection."""
+    return df.withColumn(
+        name,
+        F.when(
+            F.col(longitude).isNotNull() & F.col(latitude).isNotNull(),
+            F.concat(
+                F.lit("POINT ("),
+                F.col(longitude).cast("string"),
+                F.lit(" "),
+                F.col(latitude).cast("string"),
+                F.lit(")"),
+            ),
+        ),
+    )
+
+
 def sanitize_columns(df: DataFrame) -> DataFrame:
     """Reference column hygiene (``variables/utils.py:46-55``): stringified
     names, ``index`` → ``df_index``, spaces/dots → underscores."""

@@ -215,6 +215,54 @@ def _distribution_exprs(
 
 
 # --------------------------------------------------------------------------
+# Geometry describe (reference variables/geometry.py:87-207, minimal subset:
+# WKT-type counts + POINT bounds/centroid; DBSCAN heatmap clusters and CRS
+# reprojection are scoped out — geopandas territory, SURVEY §0)
+# --------------------------------------------------------------------------
+WKT_TYPES = (
+    "POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
+    "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+)
+_POINT_X_RE = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)"
+_POINT_Y_RE = r"^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)"
+
+
+def geometry_exprs(col: str) -> list[Column]:
+    """Per-WKT-type counts + POINT-geometry bounds/centroid inputs, all
+    expression-level (prefix tests + two regexp extracts), riding the wide
+    pass. Bounds/centroid cover POINT rows — exact for point layers (the
+    common case for the reference's POI datasets); other types are counted
+    but not coordinate-parsed (full WKT geometry math needs Sedona/geopandas,
+    out of scope per SURVEY §0)."""
+    c = F.trim(F.col(col))
+    exprs = []
+    for t in WKT_TYPES:
+        # order matters when testing prefixes: MULTIPOINT startswith POINT is
+        # false (prefix test is on the full token), but POINT vs POINTZ etc.
+        # — use regexp anchor with a word boundary
+        exprs.append(
+            F.count_if(c.rlike(rf"^\s*{t}\s*\(")).alias(_n(col, f"geom_{t}"))
+        )
+    # regexp_extract yields '' on non-match; gate the cast behind the
+    # emptiness test (ANSI mode: CASE branches evaluate lazily, so the
+    # cast never sees the empty string)
+    ex_x = F.regexp_extract(c, _POINT_X_RE, 1)
+    ex_y = F.regexp_extract(c, _POINT_Y_RE, 1)
+    x = F.when(ex_x != "", ex_x).cast("double")
+    y = F.when(ex_y != "", ex_y).cast("double")
+    exprs += [
+        F.min(x).alias(_n(col, "geom_xmin")),
+        F.max(x).alias(_n(col, "geom_xmax")),
+        F.min(y).alias(_n(col, "geom_ymin")),
+        F.max(y).alias(_n(col, "geom_ymax")),
+        F.avg(x).alias(_n(col, "geom_xcentroid")),
+        F.avg(y).alias(_n(col, "geom_ycentroid")),
+        F.count(x).alias(_n(col, "geom_npoints")),
+    ]
+    return exprs
+
+
+# --------------------------------------------------------------------------
 # Bias correction (pandas G1/G2 from Spark g1/g2; reference uses
 # pd.Series.skew()/kurt() — Fisher, bias-corrected, N-1)
 # --------------------------------------------------------------------------

@@ -236,6 +236,33 @@ def test_monotonic_absent_without_order(exact_profile):
     assert "monotonic" not in v
 
 
+def test_geometry_describe(spark):
+    """Minimal geometry describe: type counts, POINT mbr/centroid, samples
+    (reference geometry.py:87-207 subset; detected-but-unprofiled hole from
+    round 1 closed)."""
+    rows = [(i, f"POINT ({i} {2 * i})") for i in range(10)]
+    rows += [(100, "POLYGON ((0 0, 1 0, 1 1, 0 0))"), (101, None)]
+    df = spark.createDataFrame(rows, "id int, geom string")
+    p = profile_table(df, config=ProfileConfig(exact=True))
+    v = var_of(p, "geom")
+    assert v["type"] == "Geometry"
+    types = {e["type"]: e["count"] for e in v["geom_types"]}
+    assert types == {"POINT": 10, "POLYGON": 1}
+    assert v["mbr"] == [0.0, 0.0, 9.0, 18.0]
+    assert v["centroid"] == {"x": 4.5, "y": 9.0}
+    assert len(v["samples"]) == 5
+    assert all(s.startswith(("POINT", "POLYGON")) for s in v["samples"])
+
+
+def test_add_geometry_column(spark):
+    from profiler.sources import add_geometry_column
+
+    df = spark.createDataFrame([(1.5, 2.5), (None, 3.0)], "lon double, lat double")
+    out = add_geometry_column(df, "lon", "lat").collect()
+    assert out[0]["geometry"] == "POINT (1.5 2.5)"
+    assert out[1]["geometry"] is None
+
+
 def test_light_mode_skips_describes(clean_df):
     p = profile_table(clean_df, config=ProfileConfig(light_mode=True, exact=True))
     v = next(x for x in p["variables"] if x["name"] == "turn_idx")
