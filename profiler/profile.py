@@ -238,13 +238,21 @@ def profile_table(
         if key in fused:
             freq_stats[key] = fused[key]
     histograms = _histograms_from_counts(fused, hist_specs)
+    mad_fallback = []
     for c in mad_cols:
         if c in mads or c in mad_job_cols:
             continue
-        pairs = [
-            (float(v), n_) for v, n_ in (fused.get(c) or {}).get("topk", [])
-        ]
-        mads[c] = _mad_from_value_counts(pairs)
+        fc = fused.get(c) or {}
+        topk = fc.get("topk", [])
+        if fc.get("n_distinct_exact") is not None and fc["n_distinct_exact"] <= len(topk):
+            # the collected value counts are the COMPLETE distribution
+            mads[c] = _mad_from_value_counts([(float(v), n_) for v, n_ in topk])
+        else:
+            # distinct sketch underestimated and the top-k truncated — fall
+            # back to the dedicated aggregate for this (rare) column
+            mad_fallback.append(c)
+    if mad_fallback:
+        mads.update(_run_mad_pass(df, mad_fallback, wide, cfg))
 
     variables = []
     type_counter: dict[str, int] = {}
@@ -488,8 +496,17 @@ def _run_hash_uniqueness_pass(df: DataFrame, cols: list[str]) -> dict[str, dict]
     own concurrent job (see _run_fused_pass docstring for why fusing it
     would re-scan the input)."""
     freq = (
+        # values stay LONG (8-byte shuffle rows) — this pass never mixes
+        # with the string-valued fused stream, so no cast is needed.
+        # xxhash64(NULL) is the SEED (42), not NULL — hash only non-null
+        # values so the pair stream's null filter drops missing cells
+        # instead of counting a phantom '42' group.
         _pair_stream(
-            df, [(c, F.xxhash64(F.col(c)).cast("string")) for c in cols]
+            df,
+            [
+                (c, F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
+                for c in cols
+            ],
         )
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))

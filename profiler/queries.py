@@ -1048,13 +1048,66 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=5, n_planes=10).orderBy("query_id", "rk")
 
 
-@_register("q28_language_quality")
+@_register(
+    "q28_language_quality",
+    r"""
+    WITH base AS (
+      SELECT text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS ltoks,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS rtoks
+      FROM documents WHERE text IS NOT NULL
+    ), scored AS (
+      SELECT text,
+        CAST(len(list_filter(ltoks, t -> t IN
+          ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+          / GREATEST(len(ltoks), 1) AS s_en,
+        CAST(len(list_filter(ltoks, t -> t IN
+          ('der','die','das','und','ist','nicht','ein','mit','zu'))) AS DOUBLE)
+          / GREATEST(len(ltoks), 1) AS s_de,
+        CAST(len(list_filter(ltoks, t -> t IN
+          ('le','la','les','et','est','un','une','dans','que'))) AS DOUBLE)
+          / GREATEST(len(ltoks), 1) AS s_fr,
+        CAST(len(list_filter(ltoks, t -> t IN
+          ('el','la','los','las','es','un','una','que','en'))) AS DOUBLE)
+          / GREATEST(len(ltoks), 1) AS s_es,
+        CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS DOUBLE)
+          / GREATEST(length(text), 1) AS ascii_frac,
+        len(rtoks) AS n_words,
+        length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_special,
+        GREATEST(length(text), 1) AS n_chars,
+        len(list_filter(rtoks, t -> t IN
+          ('the','a','of','and','to','in','is','that','it','for'))) AS n_stop
+      FROM base
+    ), pred AS (
+      SELECT CASE
+               WHEN ascii_frac < 0.5 THEN 'other'
+               WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0 THEN 'unknown'
+               WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+               WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+               WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+               ELSE 'de'
+             END AS lang_pred,
+             ROUND(0.4 * LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)
+                 + 0.3 * (1.0 - CAST(n_special AS DOUBLE) / n_chars)
+                 + 0.3 * LEAST(10.0 * CAST(n_stop AS DOUBLE)
+                               / GREATEST(n_words, 1), 1.0), 6) AS quality
+      FROM scored
+    )
+    SELECT lang_pred, count(*) AS n_docs, ROUND(avg(quality), 4) AS avg_quality
+    FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """,
+)
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + quality scoring (library path): per predicted language,
-    document counts and mean quality."""
+    """Language-ID + quality scoring (library path: profiler.text
+    detect_language + score_quality). The oracle replays the full heuristic
+    — per-language stopword-hit fractions, fr>es>en>de argmax tie priority,
+    ASCII-fraction 'other' gate, residual 'unknown' — in DuckDB list/regex
+    SQL, upgrading this entry from a rows-only check to value parity."""
     from profiler.text import detect_language, score_quality
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     out = score_quality(detect_language(d))
     return (
         out.groupBy("lang_pred")

@@ -236,6 +236,34 @@ def test_monotonic_absent_without_order(exact_profile):
     assert "monotonic" not in v
 
 
+def test_hash_uniqueness_ignores_nulls(spark):
+    """xxhash64(NULL) is the seed, not NULL — the hash-uniqueness pass must
+    not count missing cells as a phantom distinct value."""
+    rows = [(f"unique text {i}",) for i in range(60)]
+    rows += [("dup text",), ("dup text",), (None,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    p = profile_table(
+        df, config=ProfileConfig(exact=True, freq_distinct_cap=5)  # force hash path
+    )
+    v = var_of(p, "t")
+    assert v["num_missing"] == 3
+    assert v["n_distinct"] == 61  # 60 unique + 'dup text'; nulls excluded
+    assert v["uniqueness"] == pytest.approx(60 / 62)
+
+
+def test_mad_high_cardinality_job_path(spark):
+    """MAD for a column whose cardinality exceeds the driver value-count
+    path (cat_distr_cap) must come from the dedicated aggregate and still
+    match numpy."""
+    vals = [float((i * 37) % 2000) + (i % 3) * 0.25 for i in range(6000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    p = profile_table(df, config=ProfileConfig(exact=True))
+    arr = np.array(vals)
+    want = float(np.median(np.abs(arr - np.median(arr))))
+    v = var_of(p, "x")
+    assert v["mad"] == pytest.approx(want, rel=1e-12)
+
+
 def test_geometry_describe(spark):
     """Minimal geometry describe: type counts, POINT mbr/centroid, samples
     (reference geometry.py:87-207 subset; detected-but-unprofiled hole from
