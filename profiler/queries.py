@@ -1541,3 +1541,46 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("`wkt geom_xcentroid`", 4).alias("xcent"),
         F.round("`wkt geom_ycentroid`", 4).alias("ycent"),
     )
+
+
+@_register(
+    "q40_corpus_describe",
+    r"""
+    WITH base AS (
+      SELECT text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT (SELECT count(*) FROM base) AS n_texts,
+           (SELECT CAST(sum(length(text)) AS BIGINT) FROM base) AS n_chars,
+           (SELECT CAST(sum(len(toks)) AS BIGINT) FROM base) AS n_words,
+           (SELECT CAST(sum(len(list_filter(
+                    string_split_regex(text, '[.!?]+'),
+                    s -> trim(s) != ''))) AS BIGINT) FROM base) AS n_sentences,
+           (SELECT count(DISTINCT t) FROM base, unnest(toks) AS u(t))
+             AS n_distinct_words
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18-lite corpus describe (reference ``text/profiler.py:28-534`` core
+    aggregates): words / sentences / characters / distinct words over the
+    documents corpus via profiler.text.corpus_describe — one wide aggregate
+    + one map-side-collapsed token vocabulary pass."""
+    from profiler.text import corpus_describe
+
+    d = _t(spark, sf_dir, "documents")
+    stats_ = corpus_describe(d)
+    return spark.createDataFrame(
+        [
+            (
+                stats_["n_texts"],
+                stats_["n_chars"],
+                stats_["n_words"],
+                stats_["n_sentences"],
+                stats_["n_distinct_words"],
+            )
+        ],
+        "n_texts long, n_chars long, n_words long, n_sentences long, "
+        "n_distinct_words long",
+    )

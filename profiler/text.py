@@ -141,6 +141,46 @@ def fingerprint(
     )
 
 
+def sentence_count_expr(text: Column) -> Column:
+    """Sentence count: segments split on terminal-punctuation runs, blanks
+    dropped — a deterministic stand-in for the reference's
+    nltk.sent_tokenize (reference ``text/profiler.py:28-120`` counts
+    sentences per text); replayable in DuckDB for the oracle."""
+    return F.size(
+        F.filter(F.split(text, r"[.!?]+"), lambda s: F.trim(s) != "")
+    )
+
+
+def corpus_describe(df: DataFrame, text_col: str = "text", top_k: int = 20) -> dict:
+    """A18-lite corpus rollup (reference ``text/profiler.py:28-534`` core
+    aggregates — words / sentences / characters / distinct words / top
+    frequent words; the TF-IDF summary, LDA topics, sentiment and NER
+    stages need nltk/model artifacts and are scoped out per SURVEY §0).
+
+    One wide aggregate for the additive counts + the vocabulary pass from
+    corpus_token_stats (map-side-collapsed token explode)."""
+    c = F.col(text_col)
+    row = (
+        df.where(c.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_texts"),
+            F.sum(F.length(c)).alias("n_chars"),
+            F.sum(F.size(tokens_expr(c))).alias("n_words"),
+            F.sum(sentence_count_expr(c)).alias("n_sentences"),
+        )
+        .collect()[0]
+    )
+    tok = corpus_token_stats(df, text_col, top_k)
+    return {
+        "n_texts": row["n_texts"],
+        "n_chars": row["n_chars"],
+        "n_words": row["n_words"],
+        "n_sentences": row["n_sentences"],
+        "n_distinct_words": tok["n_vocab"],
+        "top_words": tok["top_tokens"],
+    }
+
+
 def corpus_token_stats(df: DataFrame, text_col: str = "text", top_k: int = 20) -> dict:
     """Corpus rollup: totals + vocabulary + top-k tokens. The explode is
     collapsed by map-side partial aggregation — the shuffle carries (token,

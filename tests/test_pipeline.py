@@ -212,6 +212,24 @@ def test_fingerprint_blocks_near_dups(docs_df):
     assert rows[1]["fp_exact"] != rows[102]["fp_exact"]
 
 
+def test_corpus_describe(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six?"),
+            (2, "Seven eight."),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    d = text.corpus_describe(df, top_k=3)
+    assert d["n_texts"] == 2
+    assert d["n_words"] == 8
+    assert d["n_sentences"] == 4
+    assert d["n_distinct_words"] == 8  # tokens keep punctuation-attached forms
+    assert d["n_chars"] == len("One two three. Four five! Six?") + len("Seven eight.")
+    assert len(d["top_words"]) == 3
+
+
 def test_corpus_token_stats(docs_df):
     stats = text.corpus_token_stats(docs_df, top_k=5)
     assert stats["n_tokens"] == 43 * 60  # 40 base + 3 planted, 60 words each

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the driver-side exact math: the
+value-count reconstructions must match numpy/pandas on arbitrary inputs,
+not just the fixtures — these functions back num_words_distribution, the
+ts gap describe, and the driver MAD path."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from profiler import stats
+from profiler.profile import _mad_from_value_counts
+
+# histograms: small integer values with small counts (the token-length /
+# gap-size shape), plus a float variant
+hist_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=300), st.integers(1, 50)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda p: p[0],
+)
+
+
+def expand(pairs):
+    return np.array([float(v) for v, c in pairs for _ in range(c)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(hist_strategy, st.sampled_from(stats.PERCENTILES))
+def test_weighted_percentile_matches_numpy(pairs, q):
+    pairs = sorted(pairs)
+    arr = expand(pairs)
+    got = stats.weighted_percentile([(float(v), c) for v, c in pairs], q)
+    want = float(np.percentile(arr, q * 100))
+    assert got is not None and math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(hist_strategy)
+def test_distribution_from_value_counts_matches_pandas(pairs):
+    arr = expand(pairs)
+    s = pd.Series(arr)
+    d = stats.distribution_from_value_counts("x", [(float(v), c) for v, c in pairs])
+    assert d["count"] == len(arr)
+    assert d["min"] == arr.min() and d["max"] == arr.max()
+    assert math.isclose(d["average"], s.mean(), rel_tol=1e-9)
+    if len(arr) > 1:
+        if s.std(ddof=1) == 0:
+            assert d["stddev"] == 0
+        else:
+            assert math.isclose(d["stddev"], s.std(ddof=1), rel_tol=1e-9)
+    if len(arr) > 2 and s.std(ddof=1) > 0:
+        assert math.isclose(d["skewness"], float(s.skew()), rel_tol=1e-7, abs_tol=1e-9)
+    if len(arr) > 3 and s.std(ddof=1) > 0:
+        assert math.isclose(d["kurtosis"], float(s.kurt()), rel_tol=1e-7, abs_tol=1e-9)
+    assert math.isclose(d["median"], float(np.median(arr)), rel_tol=1e-12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(hist_strategy)
+def test_mad_from_value_counts_matches_numpy(pairs):
+    arr = expand(pairs)
+    got = _mad_from_value_counts([(float(v), c) for v, c in pairs])
+    want = float(np.median(np.abs(arr - np.median(arr))))
+    assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6), min_size=3, max_size=200))
+def test_moment_corrections_match_pandas(xs):
+    s = pd.Series(xs, dtype="float64")
+    n = len(xs)
+    m = s - s.mean()
+    m2 = float((m**2).sum())
+    # guard numerically degenerate inputs: (a) spread tiny relative to the
+    # magnitude — the TEST's naive central moments (not the pure-algebra
+    # correction under test) lose all precision; (b) pandas nanskew/nankurt
+    # zero out m2 below an ABSOLUTE 1e-14 threshold and return NaN — an fp
+    # guard, not a statistic, so parity there is meaningless
+    # (pandas guards skew on m2 < 1e-14 and kurt on m2**2 < 1e-14, so m2
+    # must clear 1e-6 for both statistics to be real numbers)
+    scale = float(s.abs().max()) or 1.0
+    if m2 < 1e-6 or math.sqrt(m2 / n) < 1e-7 * scale:
+        return
+    g1 = (float((m**3).sum()) / n) / (m2 / n) ** 1.5
+    got_skew = stats.corrected_skewness(g1, n)
+    assert math.isclose(got_skew, float(s.skew()), rel_tol=1e-7, abs_tol=1e-9)
+    if n > 3:
+        g2 = (float((m**4).sum()) / n) / (m2 / n) ** 2 - 3.0
+        got_kurt = stats.corrected_kurtosis(g2, n)
+        assert math.isclose(got_kurt, float(s.kurt()), rel_tol=1e-7, abs_tol=1e-9)
