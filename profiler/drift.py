@@ -107,6 +107,25 @@ def _make_drift_fn(column: str, epsilon: float):
     return compute
 
 
+def drift_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    numeric: bool = True,
+    config: DriftConfig | None = None,
+) -> DataFrame:
+    """Snapshot-vs-snapshot drift: compare ``column``'s distribution between
+    two table snapshots (e.g. two Iceberg snapshot reads). Implemented as
+    the partition machinery over a literal snapshot tag, so the same
+    sketch→Arrow-KS/PSI path serves both shapes."""
+    tagged = df_a.select(F.col(column), F.lit("a").alias("__snap")).unionByName(
+        df_b.select(F.col(column), F.lit("b").alias("__snap"))
+    )
+    return drift_report(
+        tagged, column, "__snap", numeric, baseline_partition="a", config=config
+    )
+
+
 def drift_report(
     df: DataFrame,
     column: str,

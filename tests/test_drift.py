@@ -64,6 +64,20 @@ def test_categorical_drift(drifted_df):
         assert not by_pair[p]["psi_flag"]
 
 
+def test_drift_between_snapshots(spark):
+    from profiler.drift import drift_between
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(3000)], "v double")
+    b_same = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    b_shift = spark.createDataFrame(
+        [(float(i % 50) + 40.0,) for i in range(1000)], "v double"
+    )
+    same = drift_between(a, b_same, "v").collect()[0]
+    assert same["ks"] < 0.02 and not same["ks_flag"]
+    shifted = drift_between(a, b_shift, "v").collect()[0]
+    assert shifted["ks"] > 0.5 and shifted["ks_flag"] and shifted["psi_flag"]
+
+
 def test_ks_is_scale_free(spark):
     # identical distributions at different sizes -> ks ~ 0
     rows = [(i % 100, "a") for i in range(5000)] + [

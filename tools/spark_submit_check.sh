@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# End-to-end check of the north-rule launch shape:
+#   zip the package -> spark-submit --py-files profiler.zip -> profile JSON.
+# Usage: tools/spark_submit_check.sh [master]   (default local[4])
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MASTER="${1:-local[4]}"
+WORK="$(mktemp -d)"
+trap 'rm -rf "$WORK"' EXIT
+
+# package the library exactly as a cluster deployment would
+(cd . && zip -qr "$WORK/profiler.zip" profiler -x 'profiler/__pycache__/*')
+
+# small CSV input + config
+python - "$WORK" <<'EOF'
+import json, sys
+work = sys.argv[1]
+with open(f"{work}/data.csv", "w") as f:
+    f.write("city|population|note\n")
+    for i in range(200):
+        f.write(f"c{i%5}|{1000+i}|synthetic note {i} entropy {i*i}\n")
+json.dump(
+    {
+        "input": {"files": f"{work}/data.csv", "sep": "|", "header": 0},
+        "output": {"json": f"{work}/profile.json"},
+        "profile": {"type": "tabular"},
+    },
+    open(f"{work}/config.json", "w"),
+)
+EOF
+
+"${SPARK_HOME:-/opt/spark}/bin/spark-submit" \
+  --master "$MASTER" \
+  --conf spark.ui.enabled=false \
+  --py-files "$WORK/profiler.zip" \
+  tools/submit_profile.py "$WORK/config.json" 2>&1 | grep -E "PROFILE_OK" \
+  || { echo "spark-submit run failed"; exit 1; }
+
+python - "$WORK" <<'EOF'
+import json, sys
+doc = json.load(open(f"{sys.argv[1]}/profile.json"))
+assert doc["table"]["num_rows"] == 200, doc["table"]
+types = {v["name"]: v["type"] for v in doc["variables"]}
+assert types == {"city": "Categorical", "population": "Numeric", "note": "Textual"}, types
+print("SUBMIT_CHECK_OK", types)
+EOF

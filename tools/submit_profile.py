@@ -1,0 +1,31 @@
+"""spark-submit driver for the config-driven profile run (north-rule launch
+shape: ``spark-submit --py-files profiler.zip tools/submit_profile.py
+<config.json>``).
+
+Builds the session from the SUBMITTED configuration (no master/conf
+overrides in code — cluster managers own those), then runs the same
+``profile_with_config`` lifecycle as ``python -m profiler``.
+"""
+
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 1:
+        print("usage: spark-submit [...] tools/submit_profile.py <config.json>")
+        return 2
+    spark = SparkSession.builder.getOrCreate()
+    from profiler.config import profile_with_config, read_config
+
+    doc = profile_with_config(read_config(argv[0]), spark=spark)
+    print(
+        "PROFILE_OK rows=%s attrs=%s"
+        % (doc["table"]["num_rows"], doc["table"]["num_attributes"])
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
