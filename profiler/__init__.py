@@ -26,9 +26,10 @@ from profiler.constraints import (
     not_null,
     row_predicate,
 )
-from profiler.drift import drift_report
+from profiler.drift import drift_between, drift_report
 from profiler.report import assemble_profile_document
 from profiler.dedup import (
+    apply_exact_dedup,
     exact_dedup,
     minhash_lsh_dedup,
     simhash64,
@@ -36,6 +37,7 @@ from profiler.dedup import (
 )
 from profiler.similarity import brute_force_topk, lsh_topk, neardup_pairs
 from profiler.text import (
+    corpus_describe,
     count_tokens,
     detect_language,
     fingerprint,
@@ -64,8 +66,11 @@ __all__ = [
     "not_null",
     "row_predicate",
     "drift_report",
+    "drift_between",
     "assemble_profile_document",
     "exact_dedup",
+    "apply_exact_dedup",
+    "corpus_describe",
     "minhash_lsh_dedup",
     "simhash64",
     "simhash_candidates",

@@ -97,6 +97,33 @@ def exact_dedup(
     )
 
 
+def apply_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the deduplicated corpus: for every exact-duplicate group keep
+    the survivor (min id); unique documents and null-text rows pass through.
+
+    Plan shape: one groupBy on the 16-byte fingerprint producing the tiny
+    (fingerprint, keep_id) survivor map, broadcast-joined back onto the
+    corpus — the fact table streams once, no row-level shuffle. The survivor
+    map has one row per DUPLICATED fingerprint only (rare by assumption); a
+    corpus that is mostly duplicates should flip to a shuffle join, which
+    AQE does automatically when the build side exceeds the broadcast
+    threshold."""
+    fp = F.md5(F.col(text_col).cast("binary"))
+    keepers = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(fp.alias("__fp"))
+        .agg(F.min(F.col(id_col)).alias("__keep"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__fp", "__keep")
+    )
+    joined = df.withColumn("__fp", fp).join(F.broadcast(keepers), "__fp", "left")
+    return joined.where(
+        F.col("__keep").isNull() | (F.col(id_col) == F.col("__keep"))
+    ).drop("__fp", "__keep")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1544,6 +1544,39 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q41_apply_dedup",
+    """
+    WITH ranked AS (
+      SELECT doc_id, md5(text) AS fp,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT count(*) AS n_rows_after,
+           count(DISTINCT fp) AS n_distinct_texts,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED: the surviving corpus after exact dedup (keep min id
+    per duplicate group) via profiler.dedup.apply_exact_dedup — a broadcast
+    survivor-map join, no row shuffle. Oracle replays keep-first-by-id."""
+    from profiler.dedup import apply_exact_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = apply_exact_dedup(d)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_distinct_texts"
+        ),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
+
+
+@_register(
     "q40_corpus_describe",
     r"""
     WITH base AS (

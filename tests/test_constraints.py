@@ -38,6 +38,43 @@ def test_clean_table_passes(clean_df):
     res = transcripts_suite().validate(clean_df)
     assert res.passed()
     assert res.violations.count() == 0
+
+
+def test_whale_conversation_skew(spark):
+    """One conversation with 50k dense turns (the BASELINE.json skew case):
+    the salted dense-sequence aggregation must validate it correctly —
+    passing when dense, and flagging a single planted hole — without the
+    group's state ever living on one task (n_salt partials)."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    whale = [
+        ("whale", i, "user" if i % 2 else "assistant", f"t{i}", None,
+         base + dt.timedelta(seconds=i))
+        for i in range(50_000)
+    ]
+    small = [
+        ("tiny", i, "user", f"s{i}", None, base + dt.timedelta(seconds=i))
+        for i in range(3)
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    df = spark.createDataFrame(whale + small, schema)
+    res = transcripts_suite().validate(df)
+    assert res.passed()
+    res.unpersist()
+    # plant a hole mid-whale -> exactly the whale flags, with the hole listed
+    holed = spark.createDataFrame(
+        [r for r in whale if r[1] != 31_337] + small, schema
+    )
+    res2 = transcripts_suite().validate(holed)
+    viol = [
+        r
+        for r in res2.violations.collect()
+        if r["constraint"].startswith("dense(")
+    ]
+    assert len(viol) == 1 and viol[0]["keys"]["conv_id"] == "whale"
+    assert json.loads(viol[0]["details"]["missing_seq"]) == [31_337]
+    res2.unpersist()
     # every (partition, constraint) cell reports pass over the full universe
     n_parts = res.partition_rows.count()
     assert res.summary.count() == n_parts * 5

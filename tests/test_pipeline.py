@@ -67,6 +67,14 @@ def test_exact_dedup_whale_group_capped(spark):
     assert g["doc_ids"][0] == 0 and g["doc_ids"] == sorted(g["doc_ids"])
 
 
+def test_apply_exact_dedup_keeps_survivors(docs_df):
+    out = dedup.apply_exact_dedup(docs_df)
+    rows = {r["doc_id"] for r in out.collect()}
+    # survivors: doc 0 survives its group {0,100,101}; everything else stays
+    assert 0 in rows and 100 not in rows and 101 not in rows
+    assert out.count() == docs_df.count() - 2
+
+
 def test_minhash_estimates_jaccard(docs_df):
     pairs = dedup.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
     found = {(r["id_a"], r["id_b"]): r for r in pairs}
