@@ -35,7 +35,12 @@ from profiler.dedup import (
     simhash64,
     simhash_candidates,
 )
-from profiler.similarity import brute_force_topk, lsh_topk, neardup_pairs
+from profiler.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    neardup_pairs,
+)
 from profiler.text import (
     corpus_describe,
     count_tokens,
@@ -75,6 +80,7 @@ __all__ = [
     "simhash64",
     "simhash_candidates",
     "brute_force_topk",
+    "ivf_topk",
     "lsh_topk",
     "neardup_pairs",
     "count_tokens",

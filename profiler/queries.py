@@ -1543,6 +1543,22 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q42_ivf_ann_topk")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: spherical k-means coarse
+    quantizer (driver-trained on a bounded sample) + expression-space cell
+    assignment + nprobe cell-pruned exact cosine (the second scale path
+    besides hyperplane LSH, q27). Rows-only check; exactness vs brute force
+    at full probe is pinned by tests/test_pipeline.py."""
+    from profiler.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(e, q, dim=64, k=5, n_centroids=16, nprobe=4).orderBy(
+        "query_id", "rk"
+    )
+
+
 @_register(
     "q41_apply_dedup",
     """

@@ -148,6 +148,145 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell-pruned search
+# ---------------------------------------------------------------------------
+def ivf_train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd, cosine) coarse quantizer trained DRIVER-side
+    on a bounded sample — training cost is independent of corpus size, which
+    is what makes IVF viable at 100 TB (the full corpus is only ever touched
+    by the one-pass expression-space assignment)."""
+    rows = (
+        corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
+        .where(F.col(vec_col).isNotNull())
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=float)
+
+    def _norm(M: np.ndarray) -> np.ndarray:
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    Xn = _norm(X)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(Xn))
+    C = _norm(Xn[rng.choice(len(Xn), size=k, replace=False)].copy())
+    for _ in range(n_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = Xn[mask].mean(axis=0)
+        C = _norm(C)
+    return C
+
+
+def _centroid_dots(v: Column, centroids: np.ndarray) -> list[Column]:
+    dots = []
+    for row in centroids:
+        coeffs = F.array(*[F.lit(float(x)) for x in row])
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, coeffs, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return dots
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): nearest-centroid assignment as ONE expression tree of
+    literal centroid coefficients (argmax over k normalized dot products) —
+    a narrow map over the corpus, no Python, no shuffle. Cosine argmax only
+    needs the dots against unit centroids divided by a common ||v||, so the
+    vector norm cancels and raw dots suffice."""
+    v = as_double_vec(F.col(vec_col))
+    dots = _centroid_dots(v, centroids)
+    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    cell = F.lit(len(dots) - 1)
+    for j in range(len(dots) - 2, -1, -1):
+        cell = F.when(dots[j] == best, F.lit(j)).otherwise(cell)
+    return df.select(
+        F.col(id_col).alias("id"), v.alias("v"), cell.cast("int").alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_rows: int = 10_000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus rows are bucketed by their
+    nearest coarse centroid; each query probes only its ``nprobe`` closest
+    cells and runs exact cosine inside them. The per-query probe list is
+    computed in expression space (sort the k (dot, cell) structs, slice
+    nprobe, explode) — queries stay a DataFrame, nothing iterates on the
+    driver. Returns (query_id, neighbor_id, cosine, rk)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, dim, n_centroids, sample_rows, seed=seed, vec_col=vec_col
+        )
+    cass = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
+        "cn", norm_expr(F.col("v"))
+    )
+    qv = as_double_vec(F.col(vec_col))
+    dots = _centroid_dots(qv, centroids)
+    ranked_cells = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("dot"), F.lit(j).alias("cell"))
+                        for j, d in enumerate(dots)
+                    ]
+                )
+            )
+        ),
+        1,
+        min(nprobe, len(centroids)),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(ranked_cells).alias("probe"),
+    ).select(
+        "query_id", "qv", F.col("probe.cell").alias("cell")
+    ).withColumn("qn", norm_expr(F.col("qv")))
+    sim = dot_expr(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cass.join(F.broadcast(q), "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), sim.alias("cosine")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 def neardup_pairs(
     df: DataFrame,
     dim: int,

@@ -57,6 +57,33 @@ def test_detection_on_transcripts(clean_df):
     assert td.get_type("tool") == CATEGORICAL
 
 
+def test_ts_mode_detection(spark):
+    """ts_mode (reference variables/utils.py:274-285): a numeric column with
+    lag-autocorrelation >= 0.1 at a probed lag becomes TimeSeries; white
+    noise stays Numeric."""
+    import datetime as dt
+    import math
+    import random
+
+    rng = random.Random(9)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(400):
+        seasonal = math.sin(2 * math.pi * i / 24) * 10 + rng.random() * 0.1
+        noise = rng.gauss(0, 1)
+        rows.append((base + dt.timedelta(hours=i), seasonal, noise))
+    df = spark.createDataFrame(rows, "date timestamp, s double, r double")
+    from profiler.detect import detect_types
+    from profiler.schema import TIMESERIES
+
+    td = detect_types(df, ts_mode=True, ts_mode_datetime_col="date")
+    assert td.get_type("s") == TIMESERIES
+    assert td.get_type("r") == NUMERIC
+    # without ts_mode both stay Numeric
+    td2 = detect_types(df)
+    assert td2.get_type("s") == NUMERIC
+
+
 def test_null_headed_column_still_probed(spark):
     """ADVICE regression: a string column whose first sample_rows values are
     all NULL must still be detected from its non-null tail (the sample probe

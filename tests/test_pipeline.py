@@ -159,6 +159,30 @@ def test_lsh_topk_finds_neardup(emb_df):
     assert by_rank[0]["cosine"] > 0.99
 
 
+def test_ivf_topk_finds_neardup(emb_df):
+    """IVF coarse-quantized ANN: the near-identical planted vector shares
+    the query's nearest cell, so it must be recalled at rank 1; with
+    nprobe = all cells the result equals brute force exactly."""
+    out = similarity.ivf_topk(
+        emb_df, emb_df.where(F.col("vec_id") == 0), dim=16,
+        k=5, n_centroids=4, nprobe=2,
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["rk"])
+    assert by_rank and by_rank[0]["neighbor_id"] == 200
+    assert by_rank[0]["cosine"] > 0.99
+    # full-probe IVF == brute force (same exact cosine, no pruning)
+    full = similarity.ivf_topk(
+        emb_df, emb_df.where(F.col("vec_id") == 0), dim=16,
+        k=5, n_centroids=4, nprobe=4,
+    ).collect()
+    bf = similarity.brute_force_topk(
+        emb_df, emb_df.where(F.col("vec_id") == 0), k=5
+    ).collect()
+    assert sorted((r["neighbor_id"], round(r["cosine"], 9)) for r in full) == sorted(
+        (r["neighbor_id"], round(r["cosine"], 9)) for r in bf
+    )
+
+
 def test_neardup_pairs(emb_df):
     pairs = similarity.neardup_pairs(emb_df, dim=16, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 200)}
