@@ -111,6 +111,7 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
         ts_mode_datetime_col=input_cfg.get("ts_mode_datetime_col"),
         order_by=input_cfg.get("order_by"),
         exact=bool(input_cfg.get("exact", False)),
+        crs=input_cfg.get("crs", "EPSG:4326"),
     )
 
     if spark is None:

@@ -70,6 +70,7 @@ class ProfileConfig:
     ts_mode: bool = False
     ts_mode_datetime_col: str | None = None
     num_cat_perc_threshold: float = 0.5  # reference find_types threshold
+    crs: str = "EPSG:4326"  # reported in geometry variables (reference default)
     max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
     cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
     default_bins: int = 50          # reference histogram default
@@ -725,22 +726,28 @@ def _assemble_variable(
         return v
 
     if t == GEOMETRY:
-        # minimal geometry describe (reference geometry.py:87-207 subset:
-        # per-type counts, POINT mbr + centroid; samples added by caller)
-        v["geom_types"] = [
-            {"type": gt, "count": wide.get(f"{c} geom_{gt}") or 0}
+        # minimal geometry describe in the reference's OUTPUT CONTRACT
+        # (examples/output/tabular_vector_profile.json: geom_type_distribution
+        # with CamelCase names, WKT-string mbr + centroid, crs):
+        # per-type counts, POINT-layer mbr + centroid; samples added by caller
+        v["geom_type_distribution"] = [
+            {"name": c, "type": stats.WKT_CAMEL[gt], "count": n_}
             for gt in stats.WKT_TYPES
-            if (wide.get(f"{c} geom_{gt}") or 0) > 0
+            if (n_ := wide.get(f"{c} geom_{gt}") or 0) > 0
         ]
+        v["crs"] = cfg.crs
         if wide.get(f"{c} geom_npoints"):
-            v["mbr"] = [
-                wide.get(f"{c} geom_xmin"), wide.get(f"{c} geom_ymin"),
-                wide.get(f"{c} geom_xmax"), wide.get(f"{c} geom_ymax"),
-            ]
-            v["centroid"] = {
-                "x": wide.get(f"{c} geom_xcentroid"),
-                "y": wide.get(f"{c} geom_ycentroid"),
-            }
+            xmin, ymin = wide.get(f"{c} geom_xmin"), wide.get(f"{c} geom_ymin")
+            xmax, ymax = wide.get(f"{c} geom_xmax"), wide.get(f"{c} geom_ymax")
+            # shapely box(...).wkt vertex order, matching the golden output
+            v["mbr"] = (
+                f"POLYGON (({xmax} {ymin}, {xmax} {ymax}, {xmin} {ymax}, "
+                f"{xmin} {ymin}, {xmax} {ymin}))"
+            )
+            v["centroid"] = (
+                f"POINT ({wide.get(f'{c} geom_xcentroid')} "
+                f"{wide.get(f'{c} geom_ycentroid')})"
+            )
         return v
 
     if t in (NUMERIC, TIMESERIES):

@@ -223,6 +223,17 @@ WKT_TYPES = (
     "POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
     "MULTIPOLYGON", "GEOMETRYCOLLECTION",
 )
+# shapely-style CamelCase names, as in the reference golden output's
+# geom_type_distribution entries
+WKT_CAMEL = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
 _POINT_X_RE = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)"
 _POINT_Y_RE = r"^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)"
 

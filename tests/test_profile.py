@@ -274,10 +274,16 @@ def test_geometry_describe(spark):
     p = profile_table(df, config=ProfileConfig(exact=True))
     v = var_of(p, "geom")
     assert v["type"] == "Geometry"
-    types = {e["type"]: e["count"] for e in v["geom_types"]}
-    assert types == {"POINT": 10, "POLYGON": 1}
-    assert v["mbr"] == [0.0, 0.0, 9.0, 18.0]
-    assert v["centroid"] == {"x": 4.5, "y": 9.0}
+    # reference golden-output contract: CamelCase type names with the column
+    # name attached, WKT-string mbr/centroid, crs
+    types = {e["type"]: e["count"] for e in v["geom_type_distribution"]}
+    assert types == {"Point": 10, "Polygon": 1}
+    assert all(e["name"] == "geom" for e in v["geom_type_distribution"])
+    assert v["mbr"] == (
+        "POLYGON ((9.0 0.0, 9.0 18.0, 0.0 18.0, 0.0 0.0, 9.0 0.0))"
+    )
+    assert v["centroid"] == "POINT (4.5 9.0)"
+    assert v["crs"] == "EPSG:4326"
     assert len(v["samples"]) == 5
     assert all(s.startswith(("POINT", "POLYGON")) for s in v["samples"])
 
