@@ -220,18 +220,26 @@ def profile_table(
         ts_gap_cols = [
             c for c in cols if types_dict.get_type(c) == TIMESERIES
         ] if cfg.ts_mode and cfg.ts_mode_datetime_col else []
-        f_gaps = None
+        f_gaps = f_tsx = None
         if ts_gap_cols:
-            from profiler.timeseries import gap_section
+            from profiler.timeseries import gap_section, ts_extras_for_profile
 
             f_gaps = pool.submit(
                 gap_section, df, ts_gap_cols, cfg.ts_mode_datetime_col
+            )
+            f_tsx = pool.submit(
+                ts_extras_for_profile,
+                df,
+                ts_gap_cols,
+                cfg.ts_mode_datetime_col,
+                {c: wide.get(f"{c} average") for c in ts_gap_cols},
             )
         fused = f_fused.result() if f_fused else {}
         hash_stats = f_hash.result() if f_hash else {}
         mads = f_mad.result() if f_mad else {}
         monotonic = f_mono.result() if f_mono else {}
         gaps = f_gaps.result() if f_gaps else None
+        ts_extras = f_tsx.result() if f_tsx else {}
         geo_samples = f_geo.result() if f_geo else {}
 
     freq_stats = {c: fused[c] for c in freq_cols if c in fused}
@@ -274,6 +282,13 @@ def profile_table(
         byte_size += wide.get(f"{c} byte_size") or 0
         if gaps is not None and c in gaps["variables"]:
             v.update(gaps["variables"][c])
+        if c in ts_extras:
+            v.update(ts_extras[c])
+            # abs_energy = Σv² derived exactly from the wide pass:
+            # (n−1)·s² + n·mean² (reference timeseries.py:474 via tsfresh)
+            n_, m_, s2 = v["count"], v.get("average"), v.get("variance")
+            if n_ and m_ is not None:
+                v["abs_energy"] = (n_ - 1) * (s2 or 0.0) + n_ * m_ * m_
         if c in geo_samples:
             v["samples"] = geo_samples[c]
         variables.append(v)

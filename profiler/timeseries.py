@@ -357,6 +357,158 @@ def _extras_fn(nlags: int):
     return run
 
 
+_ADF_P_TABLE = [
+    # (DF t-statistic, approximate p) — constant-only MacKinnon points with
+    # coarse tails; a documented stand-in for statsmodels' mackinnonp
+    (-4.5, 0.0005), (-3.96, 0.001), (-3.43, 0.01), (-3.12, 0.025),
+    (-2.86, 0.05), (-2.57, 0.10), (-2.2, 0.20), (-1.6, 0.45),
+    (-0.9, 0.78), (0.0, 0.96), (1.0, 0.995),
+]
+
+
+def _adf_pvalue(t_stat: float) -> float:
+    """Approximate ADF p-value from the t-statistic by linear interpolation
+    over the constant-only MacKinnon critical points (reference reports the
+    statsmodels p-value as ``add_fuller``; this environment has no
+    statsmodels, so the document carries this interpolated approximation)."""
+    pts = _ADF_P_TABLE
+    if t_stat <= pts[0][0]:
+        return pts[0][1]
+    if t_stat >= pts[-1][0]:
+        return pts[-1][1]
+    for (t0, p0), (t1, p1) in zip(pts, pts[1:]):
+        if t0 <= t_stat <= t1:
+            f = (t_stat - t0) / (t1 - t0)
+            return p0 + f * (p1 - p0)
+    return 0.5  # unreachable
+
+
+def _count_peaks(x: np.ndarray, width: int = 10) -> int:
+    """Peak count over a width-``width`` smoothed series (deterministic
+    numpy stand-in for tsfresh ``number_cwt_peaks(n=10)``, reference
+    ``timeseries.py:478`` — scipy's ricker-CWT is unavailable here)."""
+    if len(x) < width + 2:
+        return 0
+    kernel = np.ones(width) / width
+    sm = np.convolve(x, kernel, mode="valid")
+    return int(((sm[1:-1] > sm[:-2]) & (sm[1:-1] > sm[2:])).sum())
+
+
+def ts_extras_for_profile(
+    df: DataFrame,
+    ts_cols: list[str],
+    ts_col: str,
+    means: dict[str, float | None],
+    max_points: int = 100_000,
+) -> dict[str, dict]:
+    """The reference ts_mode document fields per TimeSeries column
+    (golden ``timeseries_profile.json``): abs_sum_changes, len_above_mean /
+    len_below_mean, num_peaks, seasonal, stationary, add_fuller.
+    (abs_energy is derived in the assembler from the wide pass:
+    Σv² = (n−1)·s² + n·mean².)
+
+    Scale split:
+    * the ALGEBRAIC fields ride one distributed job — mean comparisons as
+      count_ifs against the wide-pass means, |Δ| sums via the
+      range-partition + per-partition-window + driver-boundary-stitch
+      pattern (no global sort);
+    * the ITERATIVE fields (FFT seasonality, ADF regression, peak count)
+      need the materialized series: computed in numpy over the most recent
+      ``max_points`` observations (ordered tail via TakeOrdered) — bounded
+      memory regardless of table size, documented approximation for
+      longer series (the reference materializes the whole series in pandas
+      and simply cannot run at scale).
+    """
+    parted = df.select(
+        F.col(ts_col).alias("__ord"), *[F.col(c) for c in ts_cols]
+    ).repartitionByRange(F.col("__ord"))
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    proj = parted.select(
+        "__pid",
+        "__ord",
+        *[F.col(c).cast("double").alias(c) for c in ts_cols],
+        *[
+            (F.col(c).cast("double") - F.lag(F.col(c).cast("double")).over(w)).alias(
+                f"{c} d"
+            )
+            for c in ts_cols
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in ts_cols:
+        m = means.get(c)
+        aggs += [
+            F.sum(F.abs(F.col(f"{c} d"))).alias(f"{c} sum_abs_d"),
+            # struct-wrapped so the TRUE boundary-row value is returned even
+            # when it is NULL (a bare min_by/max_by skips null values, which
+            # would silently bridge a diff across a null and disagree with
+            # the within-partition lag semantics where nulls break the chain)
+            F.min_by(F.struct(F.col(c).alias("v")), "__ord").alias(f"{c} first"),
+            F.max_by(F.struct(F.col(c).alias("v")), "__ord").alias(f"{c} last"),
+            (
+                F.count_if(F.col(c) > F.lit(float(m)))
+                if m is not None
+                else F.lit(None).cast("long")
+            ).alias(f"{c} n_above"),
+            (
+                F.count_if(F.col(c) < F.lit(float(m)))
+                if m is not None
+                else F.lit(None).cast("long")
+            ).alias(f"{c} n_below"),
+        ]
+    parts = sorted(
+        (r.asDict() for r in proj.groupBy("__pid").agg(*aggs).collect()),
+        key=lambda r: r["__pid"],
+    )
+
+    out: dict[str, dict] = {}
+    for c in ts_cols:
+        sum_abs = 0.0
+        n_above = n_below = 0
+        prev_last = None
+        for p in parts:
+            if p[f"{c} sum_abs_d"] is not None:
+                sum_abs += p[f"{c} sum_abs_d"]
+            n_above += p[f"{c} n_above"] or 0
+            n_below += p[f"{c} n_below"] or 0
+            if p["__n"] > 0:
+                first_v = p[f"{c} first"]["v"] if p[f"{c} first"] else None
+                last_v = p[f"{c} last"]["v"] if p[f"{c} last"] else None
+                if prev_last is not None and first_v is not None:
+                    sum_abs += abs(first_v - prev_last)
+                prev_last = last_v  # None breaks the chain, matching lag()
+        out[c] = {
+            "abs_sum_changes": sum_abs,
+            "len_above_mean": n_above,
+            "len_below_mean": n_below,
+        }
+
+    # iterative fields over the bounded ordered tail
+    tail = (
+        df.select(F.col(ts_col).alias("__ord"), *ts_cols)
+        .orderBy(F.desc("__ord"))
+        .limit(max_points)
+        .collect()
+    )
+    tail.sort(key=lambda r: r["__ord"])
+    for c in ts_cols:
+        x = np.array(
+            [r[c] for r in tail if r[c] is not None], dtype=float
+        )
+        seasonal, _periods = _seasonality(x) if len(x) >= 8 else (False, [])
+        t_stat, adf_ok = _adf_stat(x)
+        out[c].update(
+            seasonal=seasonal,
+            # reference profiler.py:455: stationary = ADF-stationary AND not
+            # seasonal (seasonality overrides the unit-root verdict)
+            stationary=bool(adf_ok and not seasonal),
+            add_fuller=_adf_pvalue(t_stat) if len(x) >= 10 else None,
+            num_peaks=_count_peaks(x),
+        )
+    return out
+
+
 def series_extras(
     df: DataFrame,
     nlags: int = 24,

@@ -153,6 +153,22 @@ def test_profile_table_ts_mode_document(spark):
     v = next(x for x in doc["variables"] if x["name"] == "s1")
     assert v["gaps_distribution"]["count"] == 1
     assert v["gaps_distribution"]["max"] == 5
+    # reference TimeSeries document extras (golden timeseries_profile.json)
+    x = np.array([r[1] for r in rows[:60] if r[1] is not None])
+    assert v["abs_energy"] == pytest.approx(float((x * x).sum()), rel=1e-9)
+    vals = [r[1] for r in rows[:60]]
+    want_changes = sum(
+        abs(vals[i] - vals[i - 1])
+        for i in range(1, len(vals))
+        if vals[i] is not None and vals[i - 1] is not None
+    )
+    assert v["abs_sum_changes"] == pytest.approx(want_changes, rel=1e-9)
+    assert v["len_above_mean"] == int((x > x.mean()).sum())
+    assert v["len_below_mean"] == int((x < x.mean()).sum())
+    assert v["seasonal"] is True  # sin(i/3): period ~18.8 on 60 points
+    assert isinstance(v["stationary"], bool)
+    assert v["add_fuller"] is None or 0.0 <= v["add_fuller"] <= 1.0
+    assert isinstance(v["num_peaks"], int)
 
 
 def test_extras_short_and_constant_series(spark):
