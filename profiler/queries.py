@@ -1543,6 +1543,51 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q43_media_metadata",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             ('\x89PNG'::BLOB || encode(text)) AS payload
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT count(*) AS n_media,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           count(DISTINCT payload) AS n_distinct_payloads,
+           count(*) FILTER (WHERE octet_length(payload) >= 4) AS n_png
+    FROM m
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path (profiler.multimodal.media_metadata) over a
+    deterministic synthetic binary column (PNG magic + text bytes): byte
+    sizes, magic-sniffed format counts, md5 checksums — everything knowable
+    without decoding, all JVM-side; the oracle replays blob construction +
+    md5 in DuckDB (format sniff asserted via the byte-length proxy there;
+    the exact magic→'png' mapping is pinned by tests/test_pipeline.py)."""
+    from profiler.multimodal import media_metadata
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.concat(
+                F.lit(bytes([0x89]) + b"PNG"), F.col("text").cast("binary")
+            ).alias("payload"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        )
+    )
+    meta = media_metadata(d)
+    return meta.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("byte_size").cast("bigint").alias("total_bytes"),
+        F.count_distinct("checksum").alias("n_distinct_payloads"),
+        F.count_if(F.col("format") == "png").alias("n_png"),
+    )
+
+
 @_register("q42_ivf_ann_topk")
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: spherical k-means coarse

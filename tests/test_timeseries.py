@@ -122,6 +122,48 @@ def test_gap_section_matches_reference_formula(spark):
     }
 
 
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "all_null",
+        "alternating",
+        "boundary_runs",  # long runs crossing every range-partition boundary
+        "single_gap_spanning_everything_but_edges",
+    ],
+)
+def test_gap_section_adversarial_patterns(spark, pattern):
+    """The partition-boundary stitch must agree with the reference pandas
+    formula on pathological null layouts, not just typical ones."""
+    n = 160
+    vals: list[float | None]
+    if pattern == "all_null":
+        vals = [None] * n
+    elif pattern == "alternating":
+        vals = [None if i % 2 == 0 else float(i) for i in range(n)]
+    elif pattern == "boundary_runs":
+        # 8 shuffle partitions over 160 rows -> ~20-row ranges; nulls in
+        # 15-row runs guarantee straddles
+        vals = [None if (i // 15) % 2 == 0 else float(i) for i in range(n)]
+    else:
+        vals = [1.0] + [None] * (n - 2) + [2.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, a double"
+    )
+    out = TS.gap_section(df, ["a"], "t")
+    want = _reference_gaps(vals)
+    got = out["variables"]["a"]["gaps_distribution"]
+    if not want:
+        assert got == {}
+        return
+    assert got["count"] == len(want)
+    assert got["min"] == min(want) and got["max"] == max(want)
+    from collections import Counter
+
+    assert out["table"]["ts_gaps_frequency_distribution"] == {
+        str(k): v for k, v in sorted(Counter(want).items())
+    }
+
+
 def test_profile_table_ts_mode_document(spark):
     """profile_table(ts_mode) carries the gap section into the document and
     preps the index (dedup keep-first on the datetime column)."""
