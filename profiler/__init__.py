@@ -48,7 +48,8 @@ from profiler.text import (
     fingerprint,
     score_quality,
 )
-from profiler.sources import read_csv, read_json, read_parquet
+from profiler.multimodal import extract_features, media_metadata
+from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
 from profiler.streaming import streaming_profile, streaming_violations
 
@@ -87,6 +88,9 @@ __all__ = [
     "detect_language",
     "fingerprint",
     "score_quality",
+    "media_metadata",
+    "extract_features",
+    "add_geometry_column",
 ]
 
 __version__ = "0.1.0"
