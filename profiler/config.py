@@ -84,7 +84,7 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
     if isinstance(files, list):
         if len(files) == 2:
             td = read_config(os.path.abspath(files[1]))
-            types_dict = TypesDict(td)
+            types_dict = TypesDict.from_json(td)  # validates semantic types
             path = os.path.abspath(files[0])
         elif len(files) == 1:
             path = os.path.abspath(files[0])

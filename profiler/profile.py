@@ -6,28 +6,38 @@ Job plan (contrast with the reference's per-column Python loop, reference
 
 1. **Wide pass** — ONE ``df.agg(...)`` with every per-column aggregate for
    every column (counts, missing, distinct sketch, moments, percentiles,
-   char-class sums, datetime bounds, boolean counts). Catalyst runs it as a
-   single whole-stage-codegen'd partial+final aggregate: one scan, no shuffle
-   of data rows, only the tiny partial-state exchange.
-2. **Frequency pass** — ONE ``groupBy(column, value)`` over an exploded
-   (column, value) pair stream of the *frequency-eligible* columns only
-   (Categorical/Boolean always; others only when the distinct sketch from
-   pass 1 says cardinality is modest). Partial aggregation collapses the
-   explode map-side, so the shuffle carries ~distinct values, not rows.
-   Top-K / "Other" rollup / singleton (uniqueness) counts / extremes all
-   derive from this one pass (the reference reuses value_counts the same
-   way, reference ``variables/utils.py:115-191``).
-3. **Hash-uniqueness pass** — for high-cardinality columns (free text), the
-   singleton count groups on ``xxhash64(value)`` instead of the value, so the
-   shuffle carries 8-byte keys instead of documents.
-4. **Histogram pass** — ONE ``groupBy(column, bucket)`` over fixed-width
-   bucket indices computed from pass-1 min/max (reference uniform-bin
-   semantics incl. the right-inclusive last bin, ``variables/utils.py:
-   507-529``).
-5. **MAD pass** (optional) — median-absolute-deviation needs the median
-   first; one extra tiny agg (documented 2-pass exception, SURVEY §2.4 A6).
+   char-class sums, per-language prediction counts, geometry type/bounds,
+   datetime bounds, boolean counts). Catalyst runs it as a single
+   whole-stage-codegen'd partial+final aggregate: one scan, no shuffle of
+   data rows, only the tiny partial-state exchange. Expensive row
+   expressions (language prediction) are projected once per row, never
+   inlined into multiple aggregates.
+2. **Fused value-count pass** — ONE ``groupBy(column, value)`` over an
+   exploded pair stream carrying every BOUNDED value-count-shaped
+   statistic at once: raw-value frequencies (top-K + "Other" rollup,
+   singleton/uniqueness counts, numeric extremes — the reference reuses
+   value_counts the same way, ``variables/utils.py:115-191``), histogram
+   bucket indices (reference uniform bins incl. the right-inclusive last
+   bin, ``variables/utils.py:507-529``), and per-token word lengths.
+   Partial aggregation collapses the explode map-side; windows partition
+   per key, which is safe because every fused key is cardinality-bounded.
+3. **Hash-uniqueness pass** (only when high-cardinality columns exist) —
+   singleton counts group on ``xxhash64(value)`` longs in a windowless
+   two-level groupBy; kept as its own concurrent job because fusing it as
+   a union branch re-scans the input (key-filter pushdown defeats
+   exchange reuse — verified on the physical plan).
+4. **MAD** — exact driver arithmetic off the fused value counts whenever
+   the full distribution was collected; a dedicated tiny aggregate only
+   for genuinely high-cardinality numerics (2-pass by nature, SURVEY §2.4
+   A6).
+5. **Optional order/time passes** — the ``monotonic`` flag and the
+   ts_mode gap/extras sections run on ``repartitionByRange`` +
+   per-partition windows with driver boundary-stitching (never a global
+   sort); geometry samples are a limit scan.
 
-All passes collect only O(columns × bins/topK) rows to the driver.
+Independent passes are submitted as CONCURRENT jobs (driver threads) so
+fixed ~0.5 s planning/codegen latencies overlap. All passes collect only
+O(columns × bins/topK + partitions) rows to the driver.
 """
 
 from __future__ import annotations

@@ -153,11 +153,17 @@ def gap_section(df: DataFrame, ts_cols: list[str], ts_col: str) -> dict:
             for c in ts_cols
         ]
     )
+    # persist: the grouped island frame is TINY (all non-null cells collapse
+    # to one island=-1 row per partition×column, so size = #gap-runs +
+    # P×cols) and three classification branches read it below — without the
+    # cache each branch would re-run the window pass (filter pushdown breaks
+    # exchange reuse across union branches, see project notes)
     g = (
         with_islands.select("__pid", F.explode(pairs).alias("p"))
         .select("__pid", "p.column", "p.island")
         .groupBy("__pid", "column", "island")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     # n_nonnull per (pid, column) — the island id of the last non-null row —
     # classifies runs: island 0 = partition prefix, island n_nonnull = suffix,
@@ -195,7 +201,10 @@ def gap_section(df: DataFrame, ts_cols: list[str], ts_col: str) -> dict:
         F.col("__pid").cast("long").alias("k1"),
         F.col("n_nonnull").alias("v"),
     )
-    rows = interior.unionByName(boundary).unionByName(roster).collect()
+    try:
+        rows = interior.unionByName(boundary).unionByName(roster).collect()
+    finally:
+        g.unpersist()
 
     # ---- driver stitch: merge boundary runs across adjacent partitions ----
     hist: dict[str, dict[int, int]] = {c: {} for c in ts_cols}
