@@ -30,6 +30,7 @@ from profiler.drift import drift_between, drift_report
 from profiler.report import assemble_profile_document
 from profiler.dedup import (
     apply_exact_dedup,
+    apply_neardup_dedup,
     exact_dedup,
     minhash_lsh_dedup,
     simhash64,
@@ -76,6 +77,7 @@ __all__ = [
     "assemble_profile_document",
     "exact_dedup",
     "apply_exact_dedup",
+    "apply_neardup_dedup",
     "corpus_describe",
     "minhash_lsh_dedup",
     "simhash64",

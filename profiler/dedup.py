@@ -243,6 +243,30 @@ def minhash_lsh_dedup(
     )
 
 
+def apply_neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus after NEAR-duplicate removal: MinHash-LSH pairs above
+    ``threshold`` (exact-Jaccard-verified) are resolved with the standard
+    greedy keep-lowest-id policy — every ``id_b`` of a pair (``id_a < id_b``)
+    is dropped via one anti-join of the (rare) removal set. Greedy-by-id is
+    deliberately transitive-aggressive (in a chain a–b–c both b and c go,
+    even though a–c alone may be under threshold); exact connected-component
+    clustering would need iterative label propagation, which no training
+    pipeline pays for at 10^12 docs."""
+    pairs = minhash_lsh_dedup(
+        df, text_col, id_col, threshold, n_bands, rows_per_band, shingle_k
+    )
+    removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removals, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

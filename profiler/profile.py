@@ -48,7 +48,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from profiler import stats
 from profiler.detect import detect_types

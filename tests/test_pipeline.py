@@ -103,6 +103,16 @@ def test_simhash_near_dups(docs_df):
     assert ham[(0, 100)] == 0  # identical text → identical simhash
 
 
+def test_apply_neardup_dedup(docs_df):
+    """Greedy keep-lowest-id near-dup removal: the exact-dup group {0,100,
+    101} collapses to 0 and the planted near-dup 102 of doc 1 is dropped."""
+    out = dedup.apply_neardup_dedup(docs_df, threshold=0.8)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 in ids
+    assert {100, 101, 102}.isdisjoint(ids)
+    assert len(ids) == docs_df.count() - 3
+
+
 def test_simhash_band_count_guarantees_recall(docs_df):
     # ADVICE regression: n_bands must cover max_hamming (pigeonhole) — an
     # explicit under-provisioned band count is an error, and the default
