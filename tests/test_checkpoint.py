@@ -71,6 +71,51 @@ def test_single_pass_equals_per_partition_loop(clean_df, tmp_path):
         assert d1[p]["n_violations"] == d2[p]["n_violations"]
 
 
+def test_partitioned_layout_prunes_validation_scan(spark, clean_df, tmp_path):
+    """North-rule scan pruning: on a day-partitioned layout, validating a
+    subset of partitions must push PartitionFilters into the scan (whole
+    partitions skipped at planning time), and resume must only touch the
+    pending days. Day-keyed resume is valid here because this suite is
+    row-local only (conversations crossing midnight don't matter)."""
+    from pyspark.sql import functions as F
+
+    from profiler.constraints import ConstraintSuite, domain, not_null
+
+    d = str(tmp_path / "day_layout")
+    clean_df.withColumn("day", F.to_date("ts").cast("string")).write.partitionBy(
+        "day"
+    ).parquet(d)
+    df = spark.read.parquet(d)
+    # partition-column inference reads `day` back as DATE; keys are strings
+    days = sorted(
+        r[0] for r in df.select(F.col("day").cast("string")).distinct().collect()
+    )
+    assert len(days) >= 4
+
+    # plan check: a day predicate becomes a PartitionFilter on the scan
+    plan = (
+        df.where(F.col("day").isin(days[:2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+
+    suite = ConstraintSuite(
+        constraints=[domain("role", ["system", "user", "assistant", "tool"],
+                            nullable=False), not_null("conv_id")],
+        partition_expr="day",
+    )
+    store = ParquetCheckpointStore(str(tmp_path / "ck_days"))
+    # simulate all but the last two days already validated
+    for p in days[:-2]:
+        store.commit("t", "s", p, [], 0, 0)
+    res = run_validation(df, suite, store, "t", "s", resume_partition_expr="day")
+    assert sorted(res.processed_partitions) == days[-2:]
+    assert sorted(res.skipped_partitions) == days[:-2]
+    assert res.all_passed
+
+
 def test_torn_write_is_ignored(clean_df, tmp_path):
     store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
     (tmp_path / "ckpt" / "torn.parquet").write_bytes(b"not a parquet file")
