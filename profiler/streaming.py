@@ -205,15 +205,21 @@ def run_incremental(
     checkpoint_dir: str,
     schema=None,
     output_mode: str = "update",
+    max_files_per_trigger: int | None = None,
 ):
     """Stream `input_dir` (parquet files appearing over time) through a
     builder function with Trigger.AvailableNow semantics: processes exactly
     the data present, in incremental micro-batches with state checkpointed to
     ``checkpoint_dir``, then stops — the restart-safe batch-catchup mode.
+    ``max_files_per_trigger`` forces one-file micro-batches so cross-batch
+    state transitions are exercised deterministically in tests.
     Returns the in-memory sink name to query results from."""
     if schema is None:
         schema = spark.read.parquet(input_dir).schema
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
     out = build(src)
     name = f"sink_{abs(hash((input_dir, checkpoint_dir))) % 10**8}"
     q = (

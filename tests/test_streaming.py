@@ -94,6 +94,40 @@ def test_streaming_dense_sequence_flags_gaps(spark, tmp_path, clean_tbl):
     assert n_bad == len(bad_convs)
 
 
+def test_streaming_cross_batch_duplicate_end_to_end(spark, tmp_path):
+    """The {0,2} then {2} duplicate split across REAL micro-batches (one
+    file per trigger, state store persisted between them) must end non-dense
+    — integration counterpart of the unit-level monitor test."""
+    import pyarrow as pa
+
+    d = tmp_path / "xbatch"
+    d.mkdir()
+
+    def tbl(turns):
+        n = len(turns)
+        return pa.table(
+            {
+                "conv_id": pa.array(["c1"] * n),
+                "turn_idx": pa.array(turns, type=pa.int32()),
+            }
+        )
+
+    synth.write_parquet(tbl([0, 2]), str(d / "part-000.parquet"))
+    synth.write_parquet(tbl([2]), str(d / "part-001.parquet"))
+    name = streaming.run_incremental(
+        spark,
+        str(d),
+        streaming.streaming_dense_sequence,
+        str(tmp_path / "ckpt_xbatch"),
+        max_files_per_trigger=1,
+    )
+    rows = spark.table(name).collect()
+    assert rows, "no state output"
+    final = max(rows, key=lambda r: r["n_turns"])
+    assert final["n_turns"] == 3 and final["max_turn_idx"] == 2
+    assert final["dense"] is False  # {0,2,2} is not a dense prefix
+
+
 def test_seq_monitor_catches_cross_batch_duplicate():
     """ADVICE regression: a duplicate split across micro-batches ({0,2} then
     {2}) used to report dense=True; the Σ/Σ² moment checks catch it."""
