@@ -1330,11 +1330,74 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q35_type_detection")
+def _lattice_sql_numeric(c: str) -> str:
+    """DuckDB replay of the numeric-dtype lattice branch for one column."""
+    return f"""
+    SELECT '{c}' AS col_name,
+           CASE WHEN count({c}) = 0 THEN 'Unsupported'
+                WHEN count(DISTINCT {c}) BETWEEN 1 AND 5
+                     AND count(DISTINCT {c}) < 0.5 * count({c}) THEN 'Categorical'
+                ELSE 'Numeric' END AS detected_type
+    FROM events"""
+
+
+def _lattice_sql_string(c: str) -> str:
+    """DuckDB replay of the string-probe lattice for one column: datetime →
+    WKT → boolean tokens → numeric → categorical-by-ratio → Textual, each
+    probe a null-skipping fraction that must reach exactly 1.0 (mirrors
+    profiler.detect._probe_exprs)."""
+    wkt = (
+        r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|"
+        r"MULTIPOLYGON|GEOMETRYCOLLECTION)\s*\(.*\)\s*$"
+    )
+    return f"""
+    SELECT '{c}' AS col_name,
+           CASE WHEN count(c) = 0 THEN 'Unsupported'
+                WHEN avg(CASE WHEN c IS NULL THEN NULL
+                              WHEN try_cast(c AS timestamp) IS NOT NULL
+                                   OR try_cast(c AS date) IS NOT NULL
+                              THEN 1.0 ELSE 0.0 END) = 1.0 THEN 'DateTime'
+                WHEN avg(CASE WHEN c IS NULL THEN NULL
+                              WHEN regexp_matches(c, '{wkt}')
+                              THEN 1.0 ELSE 0.0 END) = 1.0 THEN 'Geometry'
+                WHEN avg(CASE WHEN c IS NULL THEN NULL
+                              WHEN lower(trim(c)) IN
+                                   ('t','f','yes','no','y','n','true','false')
+                              THEN 1.0 ELSE 0.0 END) = 1.0 THEN 'Boolean'
+                WHEN avg(CASE WHEN c IS NULL THEN NULL
+                              WHEN try_cast(c AS double) IS NOT NULL
+                              THEN 1.0 ELSE 0.0 END) = 1.0
+                THEN CASE WHEN count(DISTINCT c) BETWEEN 1 AND 5
+                               AND count(DISTINCT c) < 0.5 * count(c)
+                          THEN 'Categorical' ELSE 'Numeric' END
+                WHEN count(DISTINCT c) < 0.5 * count(c) THEN 'Categorical'
+                ELSE 'Textual' END AS detected_type
+    FROM (SELECT "{c}" AS c FROM events)"""
+
+
+@_register(
+    "q35_type_detection",
+    " UNION ALL ".join(
+        [
+            _lattice_sql_numeric("event_id"),
+            "SELECT 'ts' AS col_name, CASE WHEN count(ts) = 0 THEN 'Unsupported'"
+            " ELSE 'DateTime' END AS detected_type FROM events",
+            _lattice_sql_numeric("user_id"),
+            _lattice_sql_string("event_type"),
+            _lattice_sql_numeric("value"),
+            _lattice_sql_string("props"),
+        ]
+    )
+    + " ORDER BY col_name",
+)
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic type detection (SURVEY §2 find_types parity): one wide
     aggregate of castability/token fractions per column → detected type.
-    Rows-only check (the lattice is pinned by tests/test_detect.py)."""
+    The DuckDB oracle replays the same lattice per column (the sample phase
+    and HLL-vs-exact distinct choice are pure optimizations: a probe fires
+    only at fraction exactly 1.0, and the approx distinct is used only where
+    the estimate sits far from the max_categories/ratio boundaries, so the
+    detected type is identical to the exact replay)."""
     from profiler.detect import detect_types
 
     ev = _t(spark, sf_dir, "events")
