@@ -15,6 +15,10 @@ an Iceberg-backed store is a constructor change.
 Record schema:
     table_id        string  — logical identifier of the validated table
     snapshot_id     string  — input snapshot/version the result derives from
+    partition_spec  string  — the partitioning expression the key derives
+                              from (e.g. 'pmod(xxhash64(conv_id), 32)'); a
+                              resume under a DIFFERENT spec must not reuse
+                              keys recorded under an old one
     partition_key   string  — partition value (e.g. '2025-08-03')
     stats_digest    string  — digest of the partition's summary stats
     status          string  — 'done'
@@ -37,6 +41,7 @@ import pyarrow.parquet as pq
 RECORD_FIELDS = (
     "table_id",
     "snapshot_id",
+    "partition_spec",
     "partition_key",
     "stats_digest",
     "status",
@@ -66,8 +71,15 @@ class ParquetCheckpointStore:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def completed(self, table_id: str, snapshot_id: str) -> dict[str, dict]:
-        """partition_key -> record, for this (table, snapshot)."""
+    def completed(
+        self, table_id: str, snapshot_id: str, partition_spec: str | None = None
+    ) -> dict[str, dict]:
+        """partition_key -> record, for this (table, snapshot[, spec]).
+
+        When ``partition_spec`` is given, only records committed under the
+        SAME spec count as done — keys from a different bucketing expression
+        name different slices of the table, so reusing them would skip
+        unvalidated data. Legacy records without the field match any spec."""
         out: dict[str, dict] = {}
         for fn in sorted(os.listdir(self.path)):
             if not fn.endswith(".parquet"):
@@ -81,6 +93,10 @@ class ParquetCheckpointStore:
                     rec["table_id"] == table_id
                     and rec["snapshot_id"] == snapshot_id
                     and rec["status"] == "done"
+                    and (
+                        partition_spec is None
+                        or rec.get("partition_spec") in (None, "", partition_spec)
+                    )
                 ):
                     out[rec["partition_key"]] = rec
         return out
@@ -93,10 +109,12 @@ class ParquetCheckpointStore:
         summary_rows: list[dict],
         n_rows: int,
         n_violations: int,
+        partition_spec: str = "",
     ) -> dict:
         rec = {
             "table_id": table_id,
             "snapshot_id": snapshot_id,
+            "partition_spec": partition_spec,
             "partition_key": partition_key,
             "stats_digest": stats_digest(summary_rows),
             "status": "done",

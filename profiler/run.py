@@ -71,7 +71,7 @@ def run_validation(
         for r in df.select(part_expr.alias("p")).distinct().collect()
         if r["p"] is not None
     )
-    done = store.completed(table_id, snapshot_id)
+    done = store.completed(table_id, snapshot_id, partition_spec=resume_expr)
     todo = [p for p in partitions if p not in done]
     skipped = [p for p in partitions if p in done]
 
@@ -95,7 +95,10 @@ def run_validation(
             result.unpersist()
             n_rows = rows[0]["n_rows"] if rows else 0
             n_violations = sum(r["n_violations"] for r in rows)
-            store.commit(table_id, snapshot_id, p, rows, n_rows, n_violations)
+            store.commit(
+                table_id, snapshot_id, p, rows, n_rows, n_violations,
+                partition_spec=resume_expr,
+            )
             all_rows.extend(rows)
             processed.append(p)
     elif todo:
@@ -118,7 +121,10 @@ def run_validation(
             prows = by_part.get(p, [])
             n_rows = prows[0]["n_rows"] if prows else 0
             n_violations = sum(r["n_violations"] for r in prows)
-            store.commit(table_id, snapshot_id, p, prows, n_rows, n_violations)
+            store.commit(
+                table_id, snapshot_id, p, prows, n_rows, n_violations,
+                partition_spec=resume_expr,
+            )
             all_rows.extend(prows)
             processed.append(p)
 

@@ -122,3 +122,21 @@ def test_torn_write_is_ignored(clean_df, tmp_path):
     res = run_validation(clean_df, transcripts_suite(), store, "t", "snap-1", resume_partition_expr=BUCKET)
     assert res.skipped_partitions == []
     assert res.all_passed
+
+
+def test_changed_partition_spec_revalidates(clean_df, tmp_path):
+    """Keys recorded under one bucketing expression must not satisfy a
+    resume under a different one: bucket '3' of pmod(...,8) and bucket '3'
+    of pmod(...,4) name different slices of the table."""
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    run_validation(clean_df, transcripts_suite(), store, "t", "s1",
+                   resume_partition_expr=BUCKET)
+    other = "CAST(pmod(xxhash64(conv_id), 4) AS STRING)"
+    res = run_validation(clean_df, transcripts_suite(), store, "t", "s1",
+                         resume_partition_expr=other)
+    assert res.skipped_partitions == []
+    assert len(res.processed_partitions) == 4
+    # and the original spec still resumes cleanly afterwards
+    again = run_validation(clean_df, transcripts_suite(), store, "t", "s1",
+                           resume_partition_expr=BUCKET)
+    assert again.processed_partitions == []
