@@ -139,16 +139,41 @@ def run_full(
     drift_columns: list[tuple[str, bool]] | None = None,
     drift_config: DriftConfig | None = None,
 ) -> dict:
-    """Profile + validate + drift on one DataFrame → report document."""
+    """Profile + validate + drift on one DataFrame → report document.
+
+    The three sections are independent DataFrame programs over the same
+    input — they are submitted as CONCURRENT Spark jobs (the scheduler
+    interleaves their stages across executors), so the driver-side
+    planning/collect latency of each section overlaps the others' compute
+    instead of serializing, the same pattern profile_table uses for its own
+    post-wide passes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     suite = suite or transcripts_suite()
-    profile = profile_table(df, config=profile_config)
-    validation = suite.validate(df)
-    summary = [r.asDict() for r in validation.summary.collect()]
-    drift_rows: list[dict] = []
-    for col, numeric in drift_columns or []:
-        src = df
-        if col == "text_len" and "text_len" not in df.columns:
-            src = df.withColumn("text_len", F.length("text"))
-        rep = drift_report(src, col, suite.partition_expr, numeric, config=drift_config)
-        drift_rows.extend(r.asDict() for r in rep.collect())
+
+    def _validate() -> list[dict]:
+        validation = suite.validate(df)
+        rows = [r.asDict() for r in validation.summary.collect()]
+        validation.unpersist()
+        return rows
+
+    def _drift() -> list[dict]:
+        rows: list[dict] = []
+        for col, numeric in drift_columns or []:
+            src = df
+            if col == "text_len" and "text_len" not in df.columns:
+                src = df.withColumn("text_len", F.length("text"))
+            rep = drift_report(
+                src, col, suite.partition_expr, numeric, config=drift_config
+            )
+            rows.extend(r.asDict() for r in rep.collect())
+        return rows
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_profile = pool.submit(profile_table, df, config=profile_config)
+        f_summary = pool.submit(_validate)
+        f_drift = pool.submit(_drift)
+        profile = f_profile.result()
+        summary = f_summary.result()
+        drift_rows = f_drift.result()
     return assemble_profile_document(profile, summary, drift_rows)
