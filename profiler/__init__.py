@@ -53,6 +53,8 @@ from profiler.multimodal import extract_features, media_metadata
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
 from profiler.streaming import streaming_profile, streaming_violations
+from profiler.checkpoint import CatalogCheckpointStore, ParquetCheckpointStore
+from profiler.run import run_full, run_validation
 
 __all__ = [
     "ProfileConfig",
@@ -93,6 +95,10 @@ __all__ = [
     "media_metadata",
     "extract_features",
     "add_geometry_column",
+    "CatalogCheckpointStore",
+    "ParquetCheckpointStore",
+    "run_full",
+    "run_validation",
 ]
 
 __version__ = "0.1.0"

@@ -140,3 +140,27 @@ def test_changed_partition_spec_revalidates(clean_df, tmp_path):
     again = run_validation(clean_df, transcripts_suite(), store, "t", "s1",
                            resume_partition_expr=BUCKET)
     assert again.processed_partitions == []
+
+
+def test_catalog_store_roundtrip(spark, clean_df, tmp_path):
+    """CatalogCheckpointStore drives the same resume contract through a
+    Spark catalog table (parquet format here; iceberg in production — the
+    sandbox ships no iceberg-spark-runtime jar, and the store's code path is
+    format-agnostic append + filtered read)."""
+    from profiler.checkpoint import CatalogCheckpointStore
+
+    store = CatalogCheckpointStore(spark, "ckpt_test_lineage", table_format="parquet")
+    try:
+        first = run_validation(clean_df, transcripts_suite(), store, "t", "s1",
+                               resume_partition_expr=BUCKET)
+        assert len(first.processed_partitions) == 8
+        second = run_validation(clean_df, transcripts_suite(), store, "t", "s1",
+                                resume_partition_expr=BUCKET)
+        assert second.processed_partitions == []
+        rec = next(iter(store.completed("t", "s1", partition_spec=BUCKET).values()))
+        assert rec["stats_digest"] and rec["status"] == "done"
+        assert rec["partition_spec"] == BUCKET
+        # different spec: nothing counts as done
+        assert store.completed("t", "s1", partition_spec="other") == {}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ckpt_test_lineage")
