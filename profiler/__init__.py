@@ -49,7 +49,7 @@ from profiler.text import (
     fingerprint,
     score_quality,
 )
-from profiler.multimodal import extract_features, media_metadata
+from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
 from profiler.streaming import streaming_profile, streaming_violations
@@ -94,6 +94,7 @@ __all__ = [
     "score_quality",
     "media_metadata",
     "extract_features",
+    "resize_media",
     "add_geometry_column",
     "CatalogCheckpointStore",
     "ParquetCheckpointStore",

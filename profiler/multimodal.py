@@ -141,6 +141,58 @@ def frame_sample_plan(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id string, kind string, width int, height int, "
+    "payload binary, resize_ok boolean"
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode (PIL absent): a
+    reproducible byte string whose length scales with the target area, so
+    tests can assert the output-size contract. Swap for a real transform in
+    production; the Spark plumbing is unchanged."""
+    if payload is None:
+        raise ValueError("null payload")
+    out_len = max(1, (width * height) // 64)
+    src = payload or b"\x00"
+    reps = -(-out_len // len(src))
+    return (src * reps)[:out_len]
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize media payloads via Arrow-batched ``mapInPandas`` — same
+    iterator-of-batches shape as extract_features: one Arrow batch of blobs
+    held per task, a transformed blob emitted per row, corrupt inputs flagged
+    instead of failing the task. Output payloads are the resized encodings
+    (deterministic fake here), ready to write back as an opaque binary
+    column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    blob, ok = _fake_resize(payload, width, height), True
+                except Exception:  # noqa: BLE001 — corrupt blob must not kill the task
+                    blob, ok = None, False
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "width": width,
+                        "height": height,
+                        "payload": blob,
+                        "resize_ok": ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover
     """Real image decode requires PIL — not present in this environment."""
     raise NotImplementedError(

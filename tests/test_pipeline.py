@@ -317,6 +317,19 @@ def test_extract_features_plumbing(media_df):
     assert out["bad1"]["decode_ok"] is False and out["bad1"]["feat"] is None
 
 
+def test_resize_media_plumbing(media_df):
+    out = {r["media_id"]: r for r in multimodal.resize_media(media_df, 64, 48).collect()}
+    assert len(out) == 4
+    ok = out["png1"]
+    assert ok["resize_ok"] and ok["width"] == 64 and ok["height"] == 48
+    assert len(ok["payload"]) == (64 * 48) // 64  # output-size contract
+    # deterministic: same input -> identical resized bytes
+    again = {r["media_id"]: r for r in multimodal.resize_media(media_df, 64, 48).collect()}
+    assert again["png1"]["payload"] == ok["payload"]
+    # corrupt payload flagged, not fatal
+    assert out["bad1"]["resize_ok"] is False and out["bad1"]["payload"] is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [("v1", "video", b"f" * (4096 * 90), {})], multimodal.MEDIA_SCHEMA
