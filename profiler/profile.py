@@ -658,12 +658,22 @@ def monotonic_flags(
             F.max(f"{c} d").alias(f"{c} maxd"),
             F.min_by(c, "__ord").alias(f"{c} first"),
             F.max_by(c, "__ord").alias(f"{c} last"),
+            # NaN/null must force flag 0 (pandas: any NaN ⇒ not monotonic),
+            # and Spark's min/max can MASK a NaN diff (NaN sorts above every
+            # value, so mind stays clean and the >0 branch would fire) —
+            # count them explicitly instead of relying on the diff extremes.
+            F.sum(
+                F.when(F.col(c).isNull() | F.isnan(c), 1).otherwise(0)
+            ).alias(f"{c} bad"),
         ]
     parts = sorted(
         (r.asDict() for r in diffs.groupBy("__pid").agg(*aggs).collect()),
         key=lambda r: r["__pid"],  # range partitions are ordered by id
     )
     for c in todo:
+        if any(p[f"{c} bad"] for p in parts):
+            out[c] = 0
+            continue
         mind = maxd = None
         prev_last = None
         for p in parts:

@@ -215,11 +215,13 @@ def test_monotonic_flags_planted(spark):
             float(-(i // 3)),       # non-increasing
             float((i * 7919) % 101),  # not monotonic
             float(i) if i != 250 else None,  # has a null -> 0
+            float(i) if i != 250 else float("nan"),  # NaN -> 0 (pandas parity;
+            # Spark min/max would mask the NaN diff and report 2)
         )
         for i in range(n)
     ]
     df = spark.createDataFrame(
-        rows, "ordc long, nd long, sd long, ni double, nm double, wn double"
+        rows, "ordc long, nd long, sd long, ni double, nm double, wn double, wnan double"
     )
     p = profile_table(df, config=ProfileConfig(exact=True, order_by="ordc"))
     flags = {v["name"]: v.get("monotonic") for v in p["variables"]}
@@ -229,6 +231,7 @@ def test_monotonic_flags_planted(spark):
     assert flags["ni"] == -1
     assert flags["nm"] == 0
     assert flags["wn"] == 0
+    assert flags["wnan"] == 0
 
 
 def test_monotonic_absent_without_order(exact_profile):
