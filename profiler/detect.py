@@ -15,9 +15,19 @@ Detection order per column (reference :354-428):
   {1,7,12,24,30}, reference :274-285); string dtype probed in order:
   datetime → geometry(WKT) → boolean tokens → numeric → categorical-by-ratio
   → Textual.
+
+The module is split into composable phases so ``profile_table`` can FUSE the
+detection full-scan into its own wide statistics pass (one scan instead of
+two): ``sample_probe`` (tiny limit scan) → ``provisional_types`` (optimistic
+types the profile pass plans against) → ``admitted_probe_exprs`` (the
+full-column aggregates to ride along any wide agg) → ``decide_types`` (the
+lattice over the collected row). ``detect_types`` composes the same phases
+standalone with identical semantics.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,6 +52,14 @@ _WKT_RE = (
 )
 AUTOCORR_LAGS = (1, 7, 12, 24, 30)
 
+PROBE_ORDER = ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric")
+_PROBE_TYPE = {
+    "frac_datetime": DATETIME,
+    "frac_wkt": GEOMETRY,
+    "frac_bool": BOOLEAN,
+    "frac_numeric": NUMERIC,
+}
+
 
 def _probe_exprs(c: str) -> dict[str, F.Column]:
     """The four string-lattice probes as *null-skipping* fractions over the
@@ -65,25 +83,28 @@ def _probe_exprs(c: str) -> dict[str, F.Column]:
     }
 
 
-def detect_types(
-    df: DataFrame,
-    num_cat_perc_threshold: float = 0.5,
-    max_categories: int = 5,
-    ts_mode: bool = False,
-    ts_mode_datetime_col: str | None = None,
-    sample_rows: int = 10_000,
-) -> TypesDict:
-    """Two-phase detection, built for wide scans of huge tables:
+@dataclass
+class SampleInfo:
+    """Result of the phase-1 sample probe (see ``sample_probe``)."""
 
-    1. **Sample probe** — the four parse probes (datetime / WKT / boolean /
-       numeric castability) run over ``limit(sample_rows)`` only. A probe
-       needs fraction == 1.0 over the full column to fire, and any failing
-       sampled value already disproves that — so the sample soundly REJECTS;
-       it can only false-positively *admit*, which phase 2 re-checks.
-    2. **Full pass** — counts + distinct sketches for every column, plus the
-       expensive parse probes ONLY for columns the sample admitted (for a
-       typical free-text column: none). One scan, no per-row Python.
-    """
+    fixed: dict[str, str]          # dtype-pinned types (DateTime/Boolean/Unsupported)
+    numeric_cols: list[str]
+    string_cols: list[str]
+    admitted: dict[str, list[str]]  # string col -> probes the sample could not reject
+    sample_low_card: set[str]       # columns whose sampled nd is near the cat cap
+    max_categories: int
+    sample_n: int = 0               # rows actually sampled
+    sample_nd: dict[str, int] = None  # sampled approx distinct per probed col
+
+
+def sample_probe(
+    df: DataFrame, max_categories: int = 5, sample_rows: int = 10_000
+) -> SampleInfo:
+    """Phase 1: the four parse probes (datetime / WKT / boolean / numeric
+    castability) over ``limit(sample_rows)`` only. A probe needs fraction
+    == 1.0 over the full column to fire, and any failing sampled value
+    already disproves that — so the sample soundly REJECTS; it can only
+    false-positively *admit*, which the full pass re-checks."""
     string_cols, numeric_cols = [], []
     fixed: dict[str, str] = {}
     for f_ in df.schema.fields:
@@ -99,13 +120,13 @@ def detect_types(
         else:
             fixed[c] = UNSUPPORTED
 
-    # -- phase 1: sample probe (tiny limit scan, same Spark semantics) -------
     admitted: dict[str, list[str]] = {c: [] for c in string_cols}
     sample_low_card: set[str] = set()
+    sample_n, sample_nd = 0, {}
     probed = [*numeric_cols, *string_cols]
     if probed:
-        sample_exprs = []
-        probe_names = []
+        sample_exprs = [F.count(F.lit(1))]
+        probe_names = ["__sample_n"]
         for c in string_cols:
             for n, e in _probe_exprs(c).items():
                 probe_names.append(n)
@@ -121,86 +142,114 @@ def detect_types(
             .asDict()
         )
         for c in string_cols:
-            for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
+            for probe in PROBE_ORDER:
                 v = sample_row[f"{c} {probe}"]
                 # v is None when every sampled value was NULL — the sample
-                # has no evidence either way, so it must ADMIT (phase 2
-                # re-checks over the full column); pinning to "reject" would
-                # mistype a null-headed datetime/boolean/numeric column.
+                # has no evidence either way, so it must ADMIT (the full
+                # pass re-checks over the whole column); pinning to
+                # "reject" would mistype a null-headed datetime/boolean/
+                # numeric column.
                 if v is None or v == 1.0:
                     admitted[c].append(probe)
         for c in probed:
-            if (sample_row[f"{c} sample_nd"] or 0) <= 4 * max_categories + 10:
+            sample_nd[c] = sample_row[f"{c} sample_nd"] or 0
+            if sample_nd[c] <= 4 * max_categories + 10:
                 sample_low_card.add(c)
+        sample_n = sample_row["__sample_n"]
+    return SampleInfo(
+        fixed, numeric_cols, string_cols, admitted, sample_low_card, max_categories,
+        sample_n, sample_nd,
+    )
 
-    # -- phase 2: one full-scan wide aggregate -------------------------------
-    # Distinct counts: detection compares nd against the <=max_categories
-    # cap and the 0.5 ratio threshold. The cap comparison needs EXACTNESS
-    # near the boundary (an HLL 5-vs-6 flip mislabels the column), so
-    # columns the sample shows as low-cardinality use exact count_distinct
-    # — cheap, their partial distinct state collapses map-side. Columns the
-    # sample shows as high-cardinality use the HLL sketch (2% error is ample
-    # for the ratio test, and exact distinct over free text would dominate
-    # the pass). A column can still be sampled-low-but-truly-high or
-    # vice versa; phase 2b below rechecks the rare contradiction.
-    def nd_expr(c: str):
-        return (
-            F.count_distinct(F.col(c))
-            if c in sample_low_card
-            else F.approx_count_distinct(F.col(c))
-        )
 
+def provisional_types(
+    info: SampleInfo, num_cat_perc_threshold: float = 0.5
+) -> dict[str, str]:
+    """Optimistic per-column types from the sample alone — what the fused
+    profile pass plans its statistics expressions against. Biased so the
+    common confirmations need no second pass: numeric dtypes plan as Numeric
+    (moments are cheap even if the column ends up Categorical, whose
+    document needs only the generic stats), string columns take the first
+    sample-admitted probe's type, and unadmitted strings split Categorical
+    vs Textual by the sampled distinct RATIO — the same ratio-<-threshold
+    rule the final lattice applies, evaluated on the sample. (A Categorical
+    guess that ends Textual pays a targeted second pass, while a Textual
+    guess that ends Categorical would have wasted the expensive char-class/
+    language expressions on every row — the ratio matches the lattice far
+    more often than the absolute low-cardinality test.)"""
+    out = dict(info.fixed)
+    for c in info.numeric_cols:
+        out[c] = NUMERIC
+    for c in info.string_cols:
+        for probe in PROBE_ORDER:
+            if probe in info.admitted[c]:
+                out[c] = _PROBE_TYPE[probe]
+                break
+        else:
+            ratio = (info.sample_nd or {}).get(c, 0) / max(info.sample_n, 1)
+            out[c] = CATEGORICAL if ratio < num_cat_perc_threshold else TEXTUAL
+    return out
+
+
+def admitted_probe_exprs(info: SampleInfo) -> list[F.Column]:
+    """Full-column probe fractions for sample-admitted probes only (for a
+    typical free-text column: none) — appended to whichever wide aggregate
+    performs the full scan."""
     exprs = []
-    for c in [*fixed, *numeric_cols, *string_cols]:
-        exprs.append(F.count(F.col(c)).alias(f"{c} count"))
-    for c in numeric_cols:
-        exprs.append(nd_expr(c).alias(f"{c} n_distinct"))
-    for c in string_cols:
-        exprs.append(nd_expr(c).alias(f"{c} n_distinct"))
+    for c in info.string_cols:
         probes = _probe_exprs(c)
-        for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
-            name = f"{c} {probe}"
-            if probe in admitted[c]:
+        for probe in PROBE_ORDER:
+            if probe in info.admitted[c]:
+                name = f"{c} {probe}"
                 exprs.append(probes[name].alias(name))
+    return exprs
 
-    row = df.agg(*exprs).collect()[0].asDict()
-    # sample-rejected probes are definitively < 1.0
-    for c in string_cols:
-        for probe in ("frac_datetime", "frac_wkt", "frac_bool", "frac_numeric"):
+
+def fill_probe_defaults(row: dict, info: SampleInfo) -> dict:
+    """Sample-rejected probes are definitively < 1.0 over the full column."""
+    for c in info.string_cols:
+        for probe in PROBE_ORDER:
             row.setdefault(f"{c} {probe}", 0.0)
+    return row
 
-    # -- phase 2b: exact recheck of the sampled-high-but-full-scan-low case --
-    # (the sample head was unrepresentative: phase 2 used the sketch but the
-    # full column is actually near the categorical cap). Rare — the common
-    # low-cardinality columns were already exact in phase 2 and skip this.
-    recheck = [
+
+def recheck_cols(row: dict, info: SampleInfo) -> list[str]:
+    """Columns whose HLL distinct estimate lands near the categorical cap —
+    the 5-vs-6 flip mislabels the column, so these few re-count exactly.
+    (Sampled-low-cardinality columns were already exact and never appear.)"""
+    return [
         c
-        for c in [*numeric_cols, *string_cols]
-        if c not in sample_low_card
-        and (row.get(f"{c} n_distinct") or 0) <= 2 * max_categories + 5
+        for c in [*info.numeric_cols, *info.string_cols]
+        if c not in info.sample_low_card
+        and (row.get(f"{c} n_distinct") or 0) <= 2 * info.max_categories + 5
     ]
-    if recheck:
-        exact_row = (
-            df.agg(
-                *[F.count_distinct(F.col(c)).alias(f"{c} n_distinct") for c in recheck]
-            )
-            .collect()[0]
-            .asDict()
-        )
-        row.update(exact_row)
+
+
+def decide_types(
+    df: DataFrame,
+    row: dict,
+    info: SampleInfo,
+    num_cat_perc_threshold: float = 0.5,
+    ts_mode: bool = False,
+    ts_mode_datetime_col: str | None = None,
+) -> TypesDict:
+    """The reference lattice over the collected full-scan row (expects
+    ``{c} count`` / ``{c} n_distinct`` / admitted ``{c} frac_*`` keys;
+    call ``fill_probe_defaults`` first). ``df`` is only touched for the
+    bounded ts_mode autocorrelation probe."""
+    max_categories = info.max_categories
     out: dict[str, dict] = {}
-    for f_ in df.schema.fields:
-        c = f_.name
+    for c in [*info.fixed, *info.numeric_cols, *info.string_cols]:
         count = row[f"{c} count"]
         if count == 0:
             out[c] = {"type": UNSUPPORTED}
             continue
-        if c in fixed:
-            out[c] = {"type": fixed[c]}
+        if c in info.fixed:
+            out[c] = {"type": info.fixed[c]}
             continue
         nd = row.get(f"{c} n_distinct") or 0
         ratio = nd / count if count else 1.0
-        if c in numeric_cols:
+        if c in info.numeric_cols:
             if 1 <= nd <= max_categories and ratio < num_cat_perc_threshold:
                 out[c] = {"type": CATEGORICAL}
             elif ts_mode and ts_mode_datetime_col and _is_timeseries(
@@ -226,7 +275,59 @@ def detect_types(
             out[c] = {"type": CATEGORICAL}
         else:
             out[c] = {"type": TEXTUAL}
-    return TypesDict(out)
+    # preserve the DataFrame's column order in the result
+    ordered = {f_.name: out[f_.name] for f_ in df.schema.fields if f_.name in out}
+    return TypesDict(ordered)
+
+
+def detect_types(
+    df: DataFrame,
+    num_cat_perc_threshold: float = 0.5,
+    max_categories: int = 5,
+    ts_mode: bool = False,
+    ts_mode_datetime_col: str | None = None,
+    sample_rows: int = 10_000,
+) -> TypesDict:
+    """Standalone two-phase detection (sample probe → one full-scan wide
+    aggregate → lattice). ``profile_table`` fuses the same full-scan
+    aggregates into its statistics pass instead of calling this."""
+    info = sample_probe(df, max_categories, sample_rows)
+
+    # one full-scan wide aggregate: counts for every column, distinct
+    # sketches for probed columns (exact where the sample shows low
+    # cardinality — the categorical-cap comparison needs exactness near the
+    # boundary, and their partial distinct state collapses map-side; HLL
+    # where the sample shows high cardinality), admitted parse probes only
+    def nd_expr(c: str):
+        return (
+            F.count_distinct(F.col(c))
+            if c in info.sample_low_card
+            else F.approx_count_distinct(F.col(c))
+        )
+
+    exprs = []
+    for c in [*info.fixed, *info.numeric_cols, *info.string_cols]:
+        exprs.append(F.count(F.col(c)).alias(f"{c} count"))
+    for c in [*info.numeric_cols, *info.string_cols]:
+        exprs.append(nd_expr(c).alias(f"{c} n_distinct"))
+    exprs += admitted_probe_exprs(info)
+
+    row = fill_probe_defaults(df.agg(*exprs).collect()[0].asDict(), info)
+
+    # exact recheck of the sampled-high-but-full-scan-low contradiction
+    rc = recheck_cols(row, info)
+    if rc:
+        exact_row = (
+            df.agg(
+                *[F.count_distinct(F.col(c)).alias(f"{c} n_distinct") for c in rc]
+            )
+            .collect()[0]
+            .asDict()
+        )
+        row.update(exact_row)
+    return decide_types(
+        df, row, info, num_cat_perc_threshold, ts_mode, ts_mode_datetime_col
+    )
 
 
 def _is_timeseries(

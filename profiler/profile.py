@@ -50,7 +50,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from profiler import stats
-from profiler.detect import detect_types
 from profiler.schema import (
     BOOLEAN,
     CATEGORICAL,
@@ -106,18 +105,85 @@ def profile_table(
         # datetime index keep-first BEFORE any statistics
         df = prepare_ts_index(df, cfg.ts_mode_datetime_col)
     if types_dict is None:
-        types_dict = detect_types(
-            df,
-            num_cat_perc_threshold=cfg.num_cat_perc_threshold,
-            ts_mode=cfg.ts_mode,
-            ts_mode_datetime_col=cfg.ts_mode_datetime_col,
-        )
-    cols = [c for c in df.columns if c in types_dict.columns]
-    for c in cols:
-        if " " in c:
-            raise ValueError(f"column names with spaces unsupported: {c!r}")
+        # Fused detection: the detection full scan and the statistics wide
+        # pass are ONE job. The cheap sample probe picks optimistic
+        # per-column types; the wide pass computes statistics for those
+        # provisional types PLUS the full-column detection aggregates
+        # (counts/distincts ride the generic exprs, sample-admitted parse
+        # probes are appended); the lattice then decides final types from
+        # the collected row. Only a column whose final type contradicts its
+        # provisional one (sample head unrepresentative — rare) pays a
+        # targeted second pass. Saves a full scan per profile run vs
+        # detect-then-profile.
+        from profiler import detect as _detect
 
-    wide = _run_wide_pass(df, cols, types_dict, cfg)
+        info = _detect.sample_probe(df)
+        prov = TypesDict(
+            {
+                c: {"type": t}
+                for c, t in _detect.provisional_types(
+                    info, cfg.num_cat_perc_threshold
+                ).items()
+            }
+        )
+        cols = [c for c in df.columns if c in prov.columns]
+        for c in cols:
+            if " " in c:
+                raise ValueError(f"column names with spaces unsupported: {c!r}")
+        # nd stays HLL inside the big aggregate even for low-cardinality
+        # columns: an exact count_distinct there would plan the WHOLE wide
+        # aggregate in Expand mode (input rows multiplied per distinct agg,
+        # measured ~20% slower end-to-end). Exactness near the categorical
+        # cap comes from the recheck job below instead — a dedicated tiny
+        # aggregate whose scan prunes to just those few columns.
+        wide = _run_wide_pass(
+            df,
+            cols,
+            prov,
+            cfg,
+            extra_exprs=_detect.admitted_probe_exprs(info),
+        )
+        _detect.fill_probe_defaults(wide, info)
+        rc = (
+            []
+            if cfg.exact
+            else sorted(
+                set(_detect.recheck_cols(wide, info)) | info.sample_low_card
+            )
+        )
+        if rc:
+            wide.update(
+                df.agg(
+                    *[
+                        F.count_distinct(F.col(c)).alias(f"{c} n_distinct")
+                        for c in rc
+                    ]
+                )
+                .collect()[0]
+                .asDict()
+            )
+        types_dict = _detect.decide_types(
+            df,
+            wide,
+            info,
+            cfg.num_cat_perc_threshold,
+            cfg.ts_mode,
+            cfg.ts_mode_datetime_col,
+        )
+        mismatched = [
+            c
+            for c in cols
+            if not cfg.light_mode
+            and not _stats_covered(prov.get_type(c), types_dict.get_type(c))
+        ]
+        if mismatched:
+            wide.update(_run_wide_pass(df, mismatched, types_dict, cfg))
+    else:
+        cols = [c for c in df.columns if c in types_dict.columns]
+        for c in cols:
+            if " " in c:
+                raise ValueError(f"column names with spaces unsupported: {c!r}")
+        wide = _run_wide_pass(df, cols, types_dict, cfg)
     num_rows = wide["__num_rows"]
 
     # -- decide frequency eligibility from the pass-1 distinct sketch --------
@@ -336,7 +402,28 @@ def profile_table(
 # --------------------------------------------------------------------------
 # Pass 1: the wide aggregate
 # --------------------------------------------------------------------------
-def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileConfig) -> dict:
+def _stats_covered(provisional: str, final: str) -> bool:
+    """Does the wide pass planned for ``provisional`` already hold every
+    statistic the ``final`` type's variable needs? Categorical/Unsupported
+    documents use only the generic stats (always computed); Numeric and
+    TimeSeries share the numeric expression set."""
+    if provisional == final:
+        return True
+    if final in (CATEGORICAL, UNSUPPORTED):
+        return True
+    if final in (NUMERIC, TIMESERIES) and provisional in (NUMERIC, TIMESERIES):
+        return True
+    return False
+
+
+def _run_wide_pass(
+    df: DataFrame,
+    cols: list[str],
+    td: TypesDict,
+    cfg: ProfileConfig,
+    extra_exprs: list | None = None,
+    exact_nd_cols: frozenset | set = frozenset(),
+) -> dict:
     # Pre-project the per-row language prediction for textual columns so
     # the tokenize-and-score tree evaluates ONCE per row; the projection
     # fuses with the aggregate inside whole-stage codegen, while inlining
@@ -354,7 +441,9 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
     exprs = [F.count(F.lit(1)).alias("__num_rows")]
     for c in cols:
         t = td.get_type(c)
-        exprs += stats.generic_exprs(c, approx_distinct=not cfg.exact)
+        exprs += stats.generic_exprs(
+            c, approx_distinct=not cfg.exact and c not in exact_nd_cols
+        )
         if cfg.compute_byte_size:
             exprs.append(stats.byte_size_expr(c, df.schema[c].dataType).alias(f"{c} byte_size"))
         if cfg.light_mode or t == UNSUPPORTED:
@@ -374,6 +463,8 @@ def _run_wide_pass(df: DataFrame, cols: list[str], td: TypesDict, cfg: ProfileCo
                 accuracy=cfg.approx_accuracy,
                 lang_pred_col=lang_cols[c],
             )
+    if extra_exprs:
+        exprs += extra_exprs
     row = src.agg(*exprs).collect()[0]
     return row.asDict()
 
