@@ -223,9 +223,12 @@ def profile_table(
     # concurrent submission overlaps what remains.
     k = max(cfg.max_freq_distr, cfg.cat_distr_cap)
     hist_specs = _histogram_specs(wide, hist_cols, types_dict, cfg)
+    str_cols = {
+        c for c in cols if df.schema[c].dataType.typeName() == "string"
+    }
     scalar_sources = [(c, F.col(c).cast("string")) for c in freq_cols]
     scalar_sources += [
-        (f"{c} __hist", _hist_bucket_expr(c, hist_specs[c], types_dict))
+        (f"{c} __hist", _hist_bucket_expr(c, hist_specs[c], types_dict, str_cols))
         for c in hist_specs
     ]
     # token-length pseudo-columns for textual variables: exact per-token
@@ -448,10 +451,16 @@ def _run_wide_pass(
             exprs.append(stats.byte_size_expr(c, df.schema[c].dataType).alias(f"{c} byte_size"))
         if cfg.light_mode or t == UNSUPPORTED:
             continue
+        is_str = df.schema[c].dataType.typeName() == "string"
         if t in (NUMERIC, TIMESERIES):
-            exprs += stats.numeric_exprs(c, exact_percentiles=cfg.exact, accuracy=cfg.approx_accuracy)
+            exprs += stats.numeric_exprs(
+                c,
+                exact_percentiles=cfg.exact,
+                accuracy=cfg.approx_accuracy,
+                from_string=is_str,
+            )
         elif t == DATETIME:
-            exprs += stats.datetime_exprs(c)
+            exprs += stats.datetime_exprs(c, from_string=is_str)
         elif t == BOOLEAN:
             exprs += stats.boolean_exprs(c)
         elif t == GEOMETRY:
@@ -658,13 +667,18 @@ def _histogram_specs(
     return specs
 
 
-def _hist_bucket_expr(c: str, spec: tuple[float, float, int], td: TypesDict):
+def _hist_bucket_expr(
+    c: str,
+    spec: tuple[float, float, int],
+    td: TypesDict,
+    str_cols: frozenset | set = frozenset(),
+):
     lo, hi, n_bins = spec
-    base = (
-        F.unix_timestamp(F.col(c)).cast("double")
-        if td.get_type(c) == DATETIME
-        else F.col(c).cast("double")
-    )
+    if td.get_type(c) == DATETIME:
+        ts = stats.parsed_ts_expr(c) if c in str_cols else F.col(c)
+        base = F.unix_timestamp(ts).cast("double")
+    else:
+        base = F.col(c).cast("double")
     if hi <= lo:
         return F.when(base.isNotNull(), F.lit(0)).cast("int").cast("string")
     width = (hi - lo) / n_bins

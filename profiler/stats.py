@@ -78,8 +78,36 @@ def generic_exprs(col: str, approx_distinct: bool) -> list[Column]:
 # --------------------------------------------------------------------------
 # Numeric describe (reference variables/numeric.py:15-103 + utils.py:540-582)
 # --------------------------------------------------------------------------
-def numeric_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> list[Column]:
-    c = F.col(col).cast("double")
+def parsed_ts_expr(col: str) -> Column:
+    """Timestamp from a STRING column, null on unparseable — the same
+    parser the detection probe admits with (try_to_timestamp | date cast),
+    so every value a DateTime-typed string column is known to hold parses;
+    ANSI mode forbids the bare unix_timestamp(string) path (it throws on
+    any format outside yyyy-MM-dd HH:mm:ss)."""
+    c = F.col(col)
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        F.expr(f"try_cast(`{col}` as date)").cast("timestamp"),
+    )
+
+
+def numeric_exprs(
+    col: str,
+    exact_percentiles: bool,
+    accuracy: int = 2_000,
+    from_string: bool = False,
+) -> list[Column]:
+    # try_cast for string sources: the PROVISIONAL wide pass may run these
+    # aggregates on a column whose tail is not numeric (sample head
+    # misleads); ANSI cast would abort the whole job there, try_cast nulls
+    # the bad values and the lattice re-types the column afterwards. For a
+    # finally-Numeric string column the two are value-identical (same
+    # parser, full castability guaranteed by the frac_numeric == 1.0 gate).
+    c = (
+        F.expr(f"try_cast(`{col}` as double)")
+        if from_string
+        else F.col(col).cast("double")
+    )
     pct_lit = F.array(*[F.lit(p) for p in PERCENTILES])
     pct = (
         F.percentile(c, pct_lit)
@@ -108,8 +136,12 @@ def numeric_exprs(col: str, exact_percentiles: bool, accuracy: int = 2_000) -> l
 # --------------------------------------------------------------------------
 # DateTime describe (reference variables/datetime.py:5-39)
 # --------------------------------------------------------------------------
-def datetime_exprs(col: str) -> list[Column]:
-    c = F.col(col)
+def datetime_exprs(col: str, from_string: bool = False) -> list[Column]:
+    # string sources parse through the detection-probe parser (see
+    # parsed_ts_expr): keeps the provisional pass ANSI-safe on misleading
+    # samples AND makes start/end real timestamps so the document's
+    # date_range subtraction works for string-typed DateTime columns.
+    c = parsed_ts_expr(col) if from_string else F.col(col)
     return [
         F.min(c).alias(_n(col, "start")),
         F.max(c).alias(_n(col, "end")),

@@ -105,3 +105,22 @@ def test_numeric_categorical_threshold(spark):
     assert detect_types(df).get_type("x") == NUMERIC
     df5 = spark.createDataFrame([(i % 5,) for i in range(60)], "x int")
     assert detect_types(df5).get_type("x") == CATEGORICAL
+
+
+def test_misleading_sample_head_repasses(spark):
+    """Fused-detection contradiction path: the first 10k rows of a string
+    column are all numeric strings (provisional Numeric), the tail is free
+    text (final Textual) — profile_table must detect the contradiction and
+    run the targeted textual re-pass, producing a complete Textual variable."""
+    from profiler.profile import ProfileConfig, profile_table
+
+    rows = [(i, str(i)) for i in range(10_000)]
+    rows += [(i, f"now some actual prose number {i}") for i in range(10_000, 12_000)]
+    df = spark.createDataFrame(rows, "id long, v string").coalesce(1)
+    p = profile_table(df, config=ProfileConfig(exact=True))
+    v = next(x for x in p["variables"] if x["name"] == "v")
+    assert v["type"] == "Textual"
+    # textual describe fields only the re-pass can have produced
+    assert v["ratio_digits"] > 0
+    assert v["num_words_distribution"]["count"] > 0
+    assert abs(sum(d["percentage"] for d in v["language_distribution"]) - 100.0) < 1e-6
