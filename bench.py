@@ -68,7 +68,9 @@ def _transcripts_path(n_turns: int) -> str:
     return path
 
 
-def run_transcripts_workload(spark, n_turns: int, reps: int = 2) -> dict:
+def run_transcripts_workload(
+    spark, n_turns: int, reps: int = 2, warmup: bool = True
+) -> dict:
     """North-rule workload: full profile + all constraints.
 
     One UNTIMED warm-up at 1/6 scale first (the same hygiene the --scaling
@@ -105,8 +107,9 @@ def run_transcripts_workload(spark, n_turns: int, reps: int = 2) -> dict:
             f_prof.result()
             f_val.result()
 
-    warm_path = _transcripts_path(max(n_turns // 6, 10_000))
-    _run(spark.read.parquet(warm_path))
+    if warmup:
+        warm_path = _transcripts_path(max(n_turns // 6, 10_000))
+        _run(spark.read.parquet(warm_path))
     dt = min(_timed(_run, df) for _ in range(max(reps, 1)))
     return {"rows": n_rows, "sec": dt, "turns_per_sec": n_rows / dt}
 
@@ -203,8 +206,8 @@ def scaling_main() -> None:
                 # (codegen is per-plan, not per-input-size) at a fraction of
                 # a full run's cost, keeping each leg short enough to land
                 # inside one host-weather window
-                "run_transcripts_workload(spark, %d);"
-                "r = run_transcripts_workload(spark, %d);"  # measured run
+                "run_transcripts_workload(spark, %d, reps=1, warmup=False);"
+                "r = run_transcripts_workload(spark, %d, reps=1, warmup=False);"  # measured run
                 # same-window pure-CPU calibration: what the host actually
                 # delivers to this many threads right now (normalizes away
                 # hypervisor cycle starvation from the harness's own scaling)
