@@ -23,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from profiler.similarity import lsh_planes as _lsh_planes
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
@@ -1009,43 +1011,337 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===========================================================================
-# H. Approximate / Spark-native ops (rows-only checks: no SQL oracle —
-# xxhash64-based LSH is not replayable in DuckDB; correctness is covered by
-# tests/test_pipeline.py against planted duplicates and numpy oracles)
-# ===========================================================================
-@_register("q25_minhash_lsh_neardup")
-def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection (scale path, xxhash64): candidate pairs
-    from band buckets, exact Jaccard verification on candidates only."""
-    from profiler.dedup import minhash_lsh_dedup
+_Q25_SIG = ",\n".join(
+    f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
+)
+_Q25_EST = " + ".join(
+    f"CASE WHEN ga.h{i} = gb.h{i} THEN 1 ELSE 0 END" for i in range(16)
+)
 
-    d = _t(spark, sf_dir, "documents")
+
+@_register(
+    "q25_minhash_lsh_neardup",
+    _SHINGLE_SQL
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+{_Q25_SIG}
+      FROM s GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             CASE band WHEN 0 THEN h0 || h1 || h2 || h3
+                       WHEN 1 THEN h4 || h5 || h6 || h7
+                       WHEN 2 THEN h8 || h9 || h10 || h11
+                       ELSE h12 || h13 || h14 || h15 END AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+      FROM s x JOIN s y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({_Q25_EST}) / 16.0, 4) AS est_jaccard,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 4)
+             AS jaccard
+    FROM cand c
+    JOIN sig ga ON ga.doc_id = c.id_a
+    JOIN sig gb ON gb.doc_id = c.id_b
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.35
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, full pipeline with a bit-for-bit
+    DuckDB oracle: 16 md5-derived MinHash components per document (md5, not
+    xxhash64, so DuckDB can replay — the scale path
+    ``profiler.dedup.minhash_lsh_dedup`` uses xxhash64 with the identical
+    plan shape), 4 bands × 4 rows → band-bucket self-join (pairs meet only
+    inside identical buckets, never O(n²)-global), exact Jaccard verified
+    ONLY on candidate pairs via their shingle sets, threshold 0.35."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    shs = dw.select("doc_id", F.array_distinct(shingle).alias("sh"))
+    s = shs.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.col("shingle")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(16)])
+    banded = sig.select("doc_id", sig_arr.alias("sig"), F.explode(bands).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+        ).cast("double")
+        / F.lit(16.0)
+    )
+    aa = shs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = shs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
     return (
-        minhash_lsh_dedup(d, threshold=0.35, n_bands=16, rows_per_band=4)
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .where(jac >= 0.35)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("jaccard"),
+        )
         .orderBy("id_a", "id_b")
     )
 
 
-@_register("q26_simhash_candidates")
+# 60-bit SimHash oracle variant: 7 near-equal bands for max_hamming=6
+# (pigeonhole: a pair within hamming 6 shares at least one of 7 bands)
+_Q26_BITS = 60
+_Q26_WIDTHS = [9, 9, 9, 9, 8, 8, 8]
+_Q26_OFFSETS = [sum(_Q26_WIDTHS[:b]) for b in range(7)]
+_Q26_BAND_KEYS_SQL = ",\n".join(
+    f"             ((sh >> {_Q26_OFFSETS[b]}) & {(1 << _Q26_WIDTHS[b]) - 1})"
+    f" AS k{b}"
+    for b in range(7)
+)
+
+
+@_register(
+    "q26_simhash_candidates",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                 ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, {_Q26_BITS - 1})) AS b) bits
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sh,
+{_Q26_BAND_KEYS_SQL}
+      FROM fp
+    ),
+    cand AS (
+      {" UNION ".join(
+        f'''SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id'''
+        for b in range(7)
+      )}
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit bit-vote fingerprints, banded
-    self-join, exact hamming check on candidates."""
-    from profiler.dedup import simhash64, simhash_candidates
+    """SimHash near-dup candidates, full pipeline with a bit-for-bit DuckDB
+    oracle: 60-bit bit-vote fingerprints over md5-derived token hashes (md5
+    so DuckDB can replay — the scale path ``profiler.dedup.simhash64`` /
+    ``simhash_candidates`` uses xxhash64 over the full 64 bits with the
+    identical plan shape), 7-band pigeonhole split (guaranteed recall at
+    hamming ≤ 6), exact popcount hamming check on candidates only."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+    toks = F.array_distinct(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    )
+    th = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_Q26_BITS)
+        ]
+    )
+    sh = None
+    for b in range(_Q26_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sh"), _Q26_OFFSETS[b])
+                .bitwiseAND(F.lit((1 << _Q26_WIDTHS[b]) - 1))
+                .alias("key"),
+            )
+            for b in range(7)
+        ]
+    )
+    banded = votes.select("doc_id", sh.alias("sh")).select(
+        "doc_id", "sh", F.explode(bands).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    return simhash_candidates(simhash64(d), max_hamming=6).orderBy("id_a", "id_b")
+
+_Q27_PLANES = _lsh_planes(64, 10, seed=7)
+_Q27_PL_SQL = ",\n      ".join(
+    f"({p}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+    for p, row in enumerate(_Q27_PLANES)
+)
 
 
-@_register("q27_lsh_ann_topk")
+@_register(
+    "q27_lsh_ann_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pl(p, c) AS (VALUES
+      {_Q27_PL_SQL}),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> e.v[i] * pl.c[i])) AS d
+      FROM e, pl
+    ),
+    bkt AS (
+      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    n AS (
+      SELECT e.vec_id, e.v,
+             sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm, b.bucket
+      FROM e JOIN bkt b USING (vec_id)
+    ),
+    probes AS (
+      SELECT vec_id AS query_id,
+             CASE WHEN pb = 10 THEN bucket
+                  ELSE xor(bucket, (1::BIGINT << pb)) END AS bucket
+      FROM n, (SELECT unnest(generate_series(0, 10)) AS pb) probe_bits
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN n c ON c.bucket = p.bucket AND c.vec_id != p.query_id
+    ),
+    sims AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+      FROM cand cd
+      JOIN n q ON q.vec_id = cd.query_id
+      JOIN n c ON c.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbours: random-hyperplane LSH buckets with
-    1-bit multiprobe, exact cosine inside buckets (scale path of q22)."""
+    """Approximate nearest neighbours with a bit-for-bit DuckDB oracle:
+    random-hyperplane LSH buckets (the seeded plane matrix is embedded as
+    identical literal coefficients in both the Spark plan and the oracle
+    SQL), 1-bit multiprobe, exact cosine ONLY inside probed buckets — the
+    scale path of q22 (``profiler.similarity.lsh_topk``)."""
     from profiler.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return lsh_topk(e, q, dim=64, k=5, n_planes=10).orderBy("query_id", "rk")
+    return (
+        lsh_topk(e, q, dim=64, k=5, n_planes=10, planes=_Q27_PLANES)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
+        )
+        .orderBy("query_id", "rk")
+    )
 
 
 @_register(
@@ -1651,19 +1947,105 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q42_ivf_ann_topk")
+@_register(
+    "q42_ivf_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    scores AS (
+      SELECT n.vec_id, cent.cell,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> n.v[i] * cent.cv[i])) / cent.cnrm AS score
+      FROM n, cent
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell ASC) AS crk
+      FROM scores
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE crk = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells
+               WHERE vec_id < 5 AND crk <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    sims AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+      FROM cand cd
+      JOIN n q ON q.vec_id = cd.query_id
+      JOIN n c ON c.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbours: spherical k-means coarse
-    quantizer (driver-trained on a bounded sample) + expression-space cell
-    assignment + nprobe cell-pruned exact cosine (the second scale path
-    besides hyperplane LSH, q27). Rows-only check; exactness vs brute force
-    at full probe is pinned by tests/test_pipeline.py."""
-    from profiler.similarity import ivf_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5)
-    return ivf_topk(e, q, dim=64, k=5, n_centroids=16, nprobe=4).orderBy(
-        "query_id", "rk"
+    """IVF approximate nearest neighbours with a bit-for-bit DuckDB oracle:
+    inverted-file search with a DETERMINISTIC coarse quantizer (cells = the
+    first 8 corpus vectors, so the oracle can replay the quantizer — the
+    scale path ``profiler.similarity.ivf_topk`` trains a spherical k-means
+    quantizer driver-side with the identical search plan, pinned vs brute
+    force by tests/test_pipeline.py). Corpus rows are assigned to their
+    best cell by normalized dot product; each query probes its 2 closest
+    cells and runs exact cosine only inside them."""
+    e0 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    e = e0.select("vec_id", "v", nrm.alias("nrm"))
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dotc = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scores = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nrm", "cell", (dotc / F.col("cnrm")).alias("score")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    ranked_cells = scores.withColumn("crk", F.row_number().over(wcell))
+    assign = ranked_cells.where(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    probes = ranked_cells.where((F.col("vec_id") < 5) & (F.col("crk") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    sim = F.aggregate(
+        F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ) / (F.col("qn") * F.col("cn"))
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine"), "rk")
+        .orderBy("query_id", "rk")
     )
 
 

@@ -78,6 +78,13 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def lsh_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """The deterministic (seeded) hyperplane matrix ``lsh_signature`` uses —
+    public so callers (e.g. an external oracle replaying the bucketing) can
+    embed the exact same literal coefficients."""
+    return _planes(dim, n_planes, seed)
+
+
 def lsh_signature(
     df: DataFrame,
     dim: int,
@@ -85,12 +92,14 @@ def lsh_signature(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, vec, bucket long): sign-bit random-hyperplane signature.
 
     bucket = Σ_b [dot(plane_b, v) > 0] << b, computed as one expression tree
     of literal plane coefficients — a narrow map over the corpus."""
-    planes = _planes(dim, n_planes, seed)
+    if planes is None:
+        planes = _planes(dim, n_planes, seed)
     v = as_double_vec(F.col(vec_col))
     bits = []
     for b in range(n_planes):
@@ -117,13 +126,14 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors whose LSH bucket
     matches the query's bucket or any 1-bit-flipped probe bucket; exact
     cosine + top-k only within candidates. Returns
     (query_id, neighbor_id, cosine, rk)."""
-    csig = lsh_signature(corpus, dim, n_planes, seed, id_col, vec_col)
-    qsig = lsh_signature(queries, dim, n_planes, seed, id_col, vec_col)
+    csig = lsh_signature(corpus, dim, n_planes, seed, id_col, vec_col, planes)
+    qsig = lsh_signature(queries, dim, n_planes, seed, id_col, vec_col, planes)
     probes = [F.col("bucket")]
     if multiprobe_bits >= 1:
         probes += [
