@@ -105,6 +105,7 @@ def dense_sequence(
     name: str | None = None,
     n_salt: int = 16,
     materialize_missing: bool = True,
+    max_missing_materialize: int = 1_000_000,
 ) -> Constraint:
     """Per group: seq must be exactly {0..count-1} with no dups/holes.
 
@@ -112,6 +113,12 @@ def dense_sequence(
     ``min=0 AND max=count-1 AND count_distinct=count``. Salted partial
     aggregation on ``pmod(seq, n_salt)`` keeps whale groups off a single task;
     distinct counts are exact because salt partitions the sequence domain.
+
+    ``max_missing_materialize`` bounds the exact-missing-index recovery: a
+    corrupt group whose max_seq is astronomically large (overflowed counter,
+    fuzzed input) would otherwise build a max_seq-element ``sequence()``
+    array in one task. Above the cap the violation row still carries the
+    exact count/min/max/distinct evidence; ``missing_seq`` is null.
     """
     cname = name or f"dense({seq_col} per {group_col})"
 
@@ -150,10 +157,13 @@ def dense_sequence(
         }
         if materialize_missing:
             # only for the (few) failing groups: recover the exact missing
-            # indices with a broadcast semi-join + per-group set difference
+            # indices with a broadcast semi-join + per-group set difference;
+            # groups whose max_seq exceeds the cap are excluded (their
+            # missing_seq stays null — see docstring)
+            small_bad = bad.where(F.col("mx") <= max_missing_materialize)
             missing = (
                 df.join(
-                    F.broadcast(bad.select(F.col("__g").alias(group_col), "mx")),
+                    F.broadcast(small_bad.select(F.col("__g").alias(group_col), "mx")),
                     group_col,
                     "inner",
                 )

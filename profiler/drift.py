@@ -51,10 +51,37 @@ def _histogram_sketch(
         bucket = bucket.cast("string")
     else:
         bucket = c.cast("string")
-    return (
+    raw_sketch = (
         df.where(c.isNotNull())
         .groupBy(part, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if numeric:
+        return raw_sketch  # bounded by construction (n_bins buckets)
+    # Categorical: raw values are the buckets, so an unchecked high-
+    # cardinality column would break the "sketch is tiny" contract (and feed
+    # arbitrarily many rows per pair into the Arrow compare). Cap at the
+    # GLOBAL top n_bins-1 values by count — shared across partitions so PSI
+    # compares like with like — with the tail folded into '__other__'. The
+    # top list is collected off the (already aggregated) sketch, ≤n_bins-1
+    # driver rows; for domains under the cap the relabel is the identity.
+    top = [
+        r["bucket"]
+        for r in raw_sketch.groupBy("bucket")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(n_bins - 1)
+        .collect()
+    ]
+    return (
+        raw_sketch.withColumn(
+            "bucket",
+            F.when(F.col("bucket").isin(top), F.col("bucket")).otherwise(
+                F.lit("__other__")
+            ),
+        )
+        .groupBy("partition_key", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 

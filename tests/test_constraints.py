@@ -140,6 +140,25 @@ def test_dense_sequence_salted_equals_unsalted(clean_df):
         assert suite.validate(clean_df).passed(), f"n_salt={n_salt}"
 
 
+def test_dense_sequence_missing_materialize_cap(spark):
+    """A corrupt group whose max_seq is astronomically large (overflowed turn
+    counter, fuzzed input) must not materialize a max_seq-element sequence
+    array in one task: above the cap the violation row still carries exact
+    count/min/max/distinct evidence, with missing_seq null; small failing
+    groups keep their exact missing indices."""
+    rows = [("big", 0), ("big", 50_000_000), ("small", 0), ("small", 2)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    c = dense_sequence("conv_id", "turn_idx", max_missing_materialize=1_000_000)
+    suite = ConstraintSuite([c], "CAST(NULL AS STRING)")
+    res = suite.validate(df)
+    v = {r["keys"]["conv_id"]: r for r in res.violations.collect()}
+    assert set(v) == {"big", "small"}
+    assert json.loads(v["small"]["details"]["missing_seq"]) == [1]
+    assert v["big"]["details"]["missing_seq"] is None
+    assert v["big"]["details"]["max_seq"] == "50000000"
+    res.unpersist()
+
+
 def test_not_null_and_predicate(spark):
     df = spark.createDataFrame(
         [("a", 1), (None, 2), ("c", -3)], "k string, v int"

@@ -64,6 +64,27 @@ def test_categorical_drift(drifted_df):
         assert not by_pair[p]["psi_flag"]
 
 
+def test_categorical_drift_sketch_bounded(spark):
+    """High-cardinality categorical column: the sketch must stay bounded at
+    n_bins rows per partition (global top-(n_bins-1) values + '__other__',
+    shared across partitions so PSI compares like with like), and the drift
+    report still computes — identical sides give PSI ~ 0."""
+    from profiler.drift import _histogram_sketch
+
+    rows = [(f"v{i % 3000}", "a") for i in range(6000)] + [
+        (f"v{i % 3000}", "b") for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "c string, p string")
+    sk = _histogram_sketch(df, "c", "p", numeric=False, n_bins=50)
+    per_part = sk.groupBy("partition_key").count().collect()
+    assert per_part and all(r["count"] <= 50 for r in per_part)
+    rep = drift_report(
+        df, "c", "p", numeric=False, config=DriftConfig(n_bins=50)
+    ).collect()
+    assert len(rep) == 1
+    assert rep[0]["psi"] is not None and abs(rep[0]["psi"]) < 1e-9
+
+
 def test_drift_between_snapshots(spark):
     from profiler.drift import drift_between
 
