@@ -2049,6 +2049,130 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from profiler.text import PII_PATTERNS as _PII
+
+
+@_register(
+    "q44_pii_scrub",
+    f"""
+    WITH src AS (
+      SELECT c_custkey,
+             concat('contact ', c_name, ' at user',
+                    CAST(c_custkey AS VARCHAR), '@example.com or 33-555-',
+                    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+                    '-1234 ip 10.0.', CAST(c_custkey % 256 AS VARCHAR),
+                    '.1 segment ', c_mktsegment) AS t
+      FROM customer
+    ),
+    scrubbed AS (
+      SELECT c_custkey,
+             len(regexp_extract_all(t, '{_PII["email"]}')) AS n_email,
+             len(regexp_extract_all(t, '{_PII["ipv4"]}')) AS n_ipv4,
+             len(regexp_extract_all(t, '{_PII["phone"]}')) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII["email"]}', '<EMAIL>', 'g'),
+                 '{_PII["ipv4"]}', '<IPV4>', 'g'),
+                 '{_PII["phone"]}', '<PHONE>', 'g') AS redacted
+      FROM src
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           count(*) FILTER (WHERE n_email + n_ipv4 + n_phone = 0) AS n_clean,
+           count(DISTINCT md5(redacted)) AS n_distinct_redacted
+    FROM scrubbed
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-pipeline cleaning op): per-kind match counts
+    + deterministic redaction, rolled up corpus-wide. The fixtures carry no
+    natural PII, so the text is SYNTHESIZED deterministically per customer
+    (same construction in both engines) and then scrubbed — the patterns
+    are ASCII-portable (Java regex and RE2 agree), applied in sorted-kind
+    order both sides, so the DuckDB oracle replays the redacted text
+    bit-for-bit (compared via md5). The engine op is
+    ``profiler.text.scrub_pii`` — a narrow projection, no shuffle."""
+    from profiler.text import pii_count_exprs, redact_pii_expr
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    t = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        key.cast("string"),
+        F.lit("@example.com or 33-555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 ip 10.0."),
+        (key % 256).cast("string"),
+        F.lit(".1 segment "),
+        F.col("c_mktsegment"),
+    )
+    counts = pii_count_exprs(t)
+    scrubbed = c.select(
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(redact_pii_expr(t).cast("binary")).alias("rmd5"),
+    )
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_ipv4").cast("bigint").alias("total_ipv4"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.count_if(
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) == 0
+        ).alias("n_clean"),
+        F.count_distinct(F.col("rmd5")).alias("n_distinct_redacted"),
+    )
+
+
+@_register(
+    "q45_repetition_ratio",
+    _SHINGLE_SQL
+    + """
+    , tot AS (
+      SELECT doc_id, len(words) - 2 AS n_total FROM w WHERE len(words) >= 3
+    ),
+    dis AS (SELECT doc_id, count(*) AS n_distinct FROM s GROUP BY doc_id)
+    SELECT t.doc_id,
+           ROUND(1.0 - CAST(d.n_distinct AS DOUBLE) / t.n_total, 4) AS rep_ratio
+    FROM tot t JOIN dis d USING (doc_id)
+    ORDER BY 1.0 - CAST(d.n_distinct AS DOUBLE) / t.n_total DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (Gopher-style duplicate-n-gram
+    quality signal; training-pipeline cleaning op): 1 − distinct/total
+    word-3-grams per document, top-20 most repetitive. Pure expressions over
+    the token array (``profiler.text.repetition_ratio_expr``) — a narrow
+    map; the sort is a TakeOrdered top-k, not a global sort."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    total = (F.size("words") - F.lit(2)).cast("double")
+    distinct = F.size(F.array_distinct(shingle)).cast("double")
+    ratio = F.lit(1.0) - distinct / total
+    return (
+        dw.select("doc_id", ratio.alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("raw", 4).alias("rep_ratio"))
+    )
+
+
 @_register(
     "q41_apply_dedup",
     """

@@ -141,6 +141,57 @@ def fingerprint(
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing + within-document repetition (training-pipeline cleaning ops)
+# ---------------------------------------------------------------------------
+# Engine-portable patterns (no lookaround; \b and \d are ASCII in both Java
+# regex and RE2, so the DuckDB oracle replays them bit-for-bit).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\d{2}-\d{3}-\d{3}-\d{4}",
+}
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM ``regexp_count`` — non-overlapping
+    leftmost matches, the same semantics RE2/DuckDB applies)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Text with every PII match replaced by a ``<KIND>`` token. Patterns are
+    applied in sorted-kind order (email, ipv4, phone) so the composition is
+    deterministic and replayable by an oracle chaining the same replaces."""
+    out = text
+    for kind in sorted(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``{kind}_count`` columns + a ``redacted`` text column — a narrow
+    projection (no shuffle, no Python), the shape a 100 TB cleaning pass
+    needs."""
+    out = df
+    for kind, expr in pii_count_exprs(F.col(text_col)).items():
+        out = out.withColumn(f"{kind}_count", expr)
+    return out.withColumn("redacted", redact_pii_expr(F.col(text_col)))
+
+
+def repetition_ratio_expr(text: Column, k: int = 3) -> Column:
+    """Within-document repetition: 1 − distinct/total word-``k``-grams (the
+    Gopher-style duplicate-n-gram quality signal). 0 = no repeated k-gram,
+    →1 as the text degenerates into repeated phrases; NULL for texts shorter
+    than ``k`` words. Pure expressions over the token array — no shuffle."""
+    words = tokens_expr(text)
+    total = (F.size(words) - F.lit(k - 1)).cast("double")
+    distinct = F.size(shingles_expr(text, k)).cast("double")
+    return F.when(F.size(words) >= k, F.lit(1.0) - distinct / total)
+
+
 def sentence_count_expr(text: Column) -> Column:
     """Sentence count: segments split on terminal-punctuation runs, blanks
     dropped — a deterministic stand-in for the reference's

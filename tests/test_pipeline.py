@@ -245,6 +245,41 @@ def test_token_counts(spark):
     assert r["bpe"] == 7
 
 
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.io or call 33-555-123-4567 from 192.168.0.1 ok"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert (rows[1]["email_count"], rows[1]["phone_count"], rows[1]["ipv4_count"]) == (1, 1, 1)
+    assert rows[1]["redacted"] == "mail <EMAIL> or call <PHONE> from <IPV4> ok"
+    assert (rows[2]["email_count"], rows[2]["phone_count"], rows[2]["ipv4_count"]) == (0, 0, 0)
+    assert rows[2]["redacted"] == "nothing sensitive here"
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct -> 1 - 3/7
+            (2, "one two three four"),  # 2 trigrams, both distinct -> 0.0
+            (3, "too short"),           # < 3 words -> NULL
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", text.repetition_ratio_expr(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert abs(rows[1] - (1 - 3 / 7)) < 1e-12
+    assert rows[2] == 0.0
+    assert rows[3] is None
+
+
 def test_fingerprint_blocks_near_dups(docs_df):
     fp = text.fingerprint(docs_df, shingle_k=5)
     rows = {r["id"]: r for r in fp.collect()}
