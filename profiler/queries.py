@@ -2174,6 +2174,65 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q46_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s5 AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+             words[i+3] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 4
+    ),
+    bench AS (SELECT DISTINCT shingle FROM s5 WHERE doc_id % 100 = 7),
+    corp AS (SELECT doc_id, shingle FROM s5 WHERE doc_id % 100 != 7),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corp c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits
+    ORDER BY n_shared DESC, doc_id LIMIT 20
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): flag corpus
+    documents sharing any word-4-gram with a held-out benchmark set (the
+    standard n-gram-collision test-set-overlap check; docs with id % 100 = 7
+    stand in for the eval set). Plan: distinct (doc, shingle) inverted
+    index joined benchmark-side — at 100 TB the benchmark side is tiny and
+    broadcasts, so the corpus streams once with no self-join; counts
+    collapse map-side."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 4)
+    idx = F.sequence(F.lit(1), F.size("words") - 3)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("words"), i + j) for j in range(4)]
+        ),
+    )
+    s5 = dw.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    bench = (
+        s5.where(F.col("doc_id") % 100 == 7)
+        .select(F.col("shingle").alias("bshingle"))
+        .distinct()
+    )
+    corp = s5.where(F.col("doc_id") % 100 != 7)
+    hits = (
+        corp.join(F.broadcast(bench), corp["shingle"] == bench["bshingle"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.orderBy(F.desc("n_shared"), F.asc("doc_id")).limit(20)
+
+
+@_register(
     "q41_apply_dedup",
     """
     WITH ranked AS (
