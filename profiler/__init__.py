@@ -45,9 +45,11 @@ from profiler.similarity import (
 from profiler.text import (
     corpus_describe,
     count_tokens,
+    decontaminate,
     detect_language,
     fingerprint,
     score_quality,
+    scrub_pii,
 )
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
@@ -82,6 +84,8 @@ __all__ = [
     "apply_neardup_dedup",
     "corpus_describe",
     "minhash_lsh_dedup",
+    "decontaminate",
+    "scrub_pii",
     "simhash64",
     "simhash_candidates",
     "brute_force_topk",

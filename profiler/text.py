@@ -192,6 +192,38 @@ def repetition_ratio_expr(text: Column, k: int = 3) -> Column:
     return F.when(F.size(words) >= k, F.lit(1.0) - distinct / total)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+) -> DataFrame:
+    """Test-set-overlap check (benchmark decontamination): corpus documents
+    sharing at least one word-``shingle_k``-gram with the benchmark set,
+    returned as (id, n_shared) — the standard n-gram-collision rule (13-gram
+    by convention for LLM training data).
+
+    Plan: the benchmark's distinct shingle set is tiny relative to the
+    corpus, so it is broadcast against the corpus's exploded (id, shingle)
+    inverted index — the corpus streams once, no self-join, counts collapse
+    map-side. Downstream drops the returned ids with an anti-join."""
+    sh = shingles_expr(F.col(text_col), shingle_k)
+    bench = (
+        benchmark.where(F.col(text_col).isNotNull())
+        .select(F.explode(sh).alias("__bsh"))
+        .distinct()
+    )
+    corp = corpus.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("__sh")
+    )
+    return (
+        corp.join(F.broadcast(bench), corp["__sh"] == bench["__bsh"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def sentence_count_expr(text: Column) -> Column:
     """Sentence count: segments split on terminal-punctuation runs, blanks
     dropped — a deterministic stand-in for the reference's

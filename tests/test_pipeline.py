@@ -280,6 +280,26 @@ def test_repetition_ratio(spark):
     assert rows[3] is None
 
 
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated words about database engines here"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")],
+        "doc_id int, text string",
+    )
+    hits = {r["id"]: r["n_shared"] for r in text.decontaminate(
+        corpus, bench, shingle_k=5
+    ).collect()}
+    # doc 1 shares the benchmark's 5-grams; doc 2 shares none
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+
+
 def test_fingerprint_blocks_near_dups(docs_df):
     fp = text.fingerprint(docs_df, shingle_k=5)
     rows = {r["id"]: r for r in fp.collect()}
