@@ -31,16 +31,20 @@ from profiler.report import assemble_profile_document
 from profiler.dedup import (
     apply_exact_dedup,
     apply_neardup_dedup,
+    connected_components,
     exact_dedup,
     minhash_lsh_dedup,
+    neardup_clusters,
     simhash64,
     simhash_candidates,
 )
 from profiler.similarity import (
+    apply_semantic_dedup,
     brute_force_topk,
     ivf_topk,
     lsh_topk,
     neardup_pairs,
+    semantic_dedup_pairs,
 )
 from profiler.text import (
     corpus_describe,
@@ -48,8 +52,15 @@ from profiler.text import (
     decontaminate,
     detect_language,
     fingerprint,
+    quality_filter,
     score_quality,
     scrub_pii,
+)
+from profiler.sampling import (
+    mixture_weights,
+    sample_by_strata,
+    sample_fraction,
+    train_eval_split,
 )
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
@@ -82,6 +93,15 @@ __all__ = [
     "exact_dedup",
     "apply_exact_dedup",
     "apply_neardup_dedup",
+    "connected_components",
+    "neardup_clusters",
+    "semantic_dedup_pairs",
+    "apply_semantic_dedup",
+    "quality_filter",
+    "sample_fraction",
+    "sample_by_strata",
+    "train_eval_split",
+    "mixture_weights",
     "corpus_describe",
     "minhash_lsh_dedup",
     "decontaminate",

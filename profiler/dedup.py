@@ -257,14 +257,105 @@ def apply_neardup_dedup(
     greedy keep-lowest-id policy — every ``id_b`` of a pair (``id_a < id_b``)
     is dropped via one anti-join of the (rare) removal set. Greedy-by-id is
     deliberately transitive-aggressive (in a chain a–b–c both b and c go,
-    even though a–c alone may be under threshold); exact connected-component
-    clustering would need iterative label propagation, which no training
-    pipeline pays for at 10^12 docs."""
+    even though a–c alone may be under threshold); when exact clusters
+    matter, :func:`neardup_clusters` runs the same pairs through
+    :func:`connected_components` at the cost of O(diameter) extra rounds."""
     pairs = minhash_lsh_dedup(
         df, text_col, id_col, threshold, n_bands, rows_per_band, shingle_k
     )
     removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(removals, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components of the (undirected) duplicate-pair graph:
+    (id, component) where component = the minimum id reachable from ``id``.
+    This is the exact cluster assignment greedy pair-dropping approximates —
+    in a chain a–b–c it puts all three in one cluster even though (a, c)
+    never appeared as a pair.
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    the min of its own label and its neighbours' labels — one shuffle on the
+    node id per round (edges join labels, then groupBy-min; both partial-
+    aggregate map-side). Rounds needed = graph diameter, which for dup
+    clusters is small (near-dup graphs are dense blobs, not paths); the
+    label frame is ``localCheckpoint``-ed each round so the plan/lineage
+    stays O(1) deep instead of growing per iteration (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    executor-loss-tolerant truncation). Convergence is detected with a
+    one-scalar aggregate: labels only ever decrease, so an unchanged
+    sum(label) is a fixpoint — no expensive frame diff. For adversarially
+    long paths the large-star/small-star algorithm (O(log n) rounds,
+    Kiveris et al.) is the upgrade; the per-round plan here is identical, so
+    it drops in without changing the operator's contract.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = _label_sum(labels)
+    try:
+        for _ in range(max_iters):
+            prop = (
+                edges.alias("e")
+                .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
+                .select(F.col("e.dst").alias("id"), F.col("l.comp").alias("comp"))
+            )
+            labels = (
+                labels.union(prop)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            cur = _label_sum(labels)
+            if cur == prev:
+                break
+            prev = cur
+        return labels.select(F.col("id"), F.col("comp").alias("component"))
+    finally:
+        edges.unpersist()
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact near-duplicate clusters: MinHash-LSH verified pairs →
+    :func:`connected_components`. Returns (id, component); documents with no
+    near-dup partner are absent (they are singleton clusters by definition).
+    Keep one representative per cluster with
+    ``df.join(clusters.where(id != component), id, "left_anti")``."""
+    pairs = minhash_lsh_dedup(
+        df, text_col, id_col, threshold, n_bands, rows_per_band, shingle_k
+    )
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -2306,3 +2306,328 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_texts long, n_chars long, n_words long, n_sentences long, "
         "n_distinct_words long",
     )
+
+
+# ===========================================================================
+# G. Training-pipeline extensions round 2b: sampling / quality filter /
+#    duplicate clusters / semantic dedup
+# ===========================================================================
+from profiler.sampling import _threshold_hex as _thrhex
+
+_Q47_RATES = {"AUTOMOBILE": 0.25, "BUILDING": 0.5, "MACHINERY": 0.1}
+_Q47_DEFAULT = 0.05
+_Q47_CASE = " ".join(
+    f"WHEN '{seg}' THEN '{_thrhex(frac)}'"
+    for seg, frac in sorted(_Q47_RATES.items())
+)
+
+
+@_register(
+    "q47_stratified_sample",
+    f"""
+    WITH k AS (
+      SELECT c_mktsegment,
+             substr(md5('s0' || CAST(c_custkey AS VARCHAR)), 1, 8)
+               < CASE c_mktsegment {_Q47_CASE}
+                 ELSE '{_thrhex(_Q47_DEFAULT)}' END AS keep
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           ROUND(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 4)
+             AS observed_rate
+    FROM k GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-pipeline op): per-segment
+    keep rates realized by comparing an md5-derived uniform draw u(key)
+    against a per-stratum hex threshold (profiler.sampling.sample_by_strata).
+    Unlike ``df.sample``, membership is a pure function of the row key, so
+    the sample is identical across runs, partitionings, and task retries —
+    the property a resumable 100 TB mixture-sampling pass needs. The whole
+    decision is one filter expression pushed into the scan; the oracle
+    replays the identical md5 math."""
+    from profiler.sampling import sample_by_strata
+
+    c = _t(spark, sf_dir, "customer")
+    kept = sample_by_strata(
+        c, "c_mktsegment", _Q47_RATES, "c_custkey",
+        default_fraction=_Q47_DEFAULT, seed="s0",
+    )
+    tot = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_rows"))
+    kc = kept.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        tot.join(kc, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            F.coalesce(F.col("__k"), F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("__k"), F.lit(0)).cast("double") / F.col("n_rows"),
+                4,
+            ).alias("observed_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "q48_quality_filter",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sig AS (
+      SELECT len(words) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / greatest(len(words), 1) AS mean_word_len,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(words), 1) AS alpha_word_frac,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS symbol_ratio,
+             len(list_filter(words, w -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for'],
+                 lower(w)))) AS n_stopwords
+      FROM base
+    ),
+    flags AS (
+      SELECT n_words >= 5 AS ok_word_count,
+             mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
+             alpha_word_frac >= 0.80 AS ok_alpha_words,
+             symbol_ratio <= 0.10 AS ok_symbol_ratio,
+             n_stopwords >= 2 AS ok_stopwords
+      FROM sig
+    )
+    SELECT count(*) AS n_docs,
+           count(*) FILTER (WHERE ok_word_count AND ok_mean_word_len
+                              AND ok_alpha_words AND ok_symbol_ratio
+                              AND ok_stopwords) AS n_kept,
+           count(*) FILTER (WHERE NOT ok_word_count) AS fail_word_count,
+           count(*) FILTER (WHERE NOT ok_mean_word_len) AS fail_mean_word_len,
+           count(*) FILTER (WHERE NOT ok_alpha_words) AS fail_alpha_words,
+           count(*) FILTER (WHERE NOT ok_symbol_ratio) AS fail_symbol_ratio,
+           count(*) FILTER (WHERE NOT ok_stopwords) AS fail_stopwords
+    FROM flags
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite quality filter (training-pipeline cleaning
+    op): five portable signals (word count, mean word length, alpha-word
+    fraction, symbol ratio, stopword evidence) each with bounds, per-rule
+    fail counts + kept count via profiler.text.quality_filter. One narrow
+    projection — Catalyst shares the tokenization across all five signals,
+    no shuffle, no Python; the word-count low bound is overridden to 5 for
+    the short-document fixtures (Gopher's 50 is the production default)."""
+    from profiler.text import quality_filter
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    qf = quality_filter(d, overrides={"word_count": (5, None)})
+    return qf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(~F.col("ok_word_count")).alias("fail_word_count"),
+        F.count_if(~F.col("ok_mean_word_len")).alias("fail_mean_word_len"),
+        F.count_if(~F.col("ok_alpha_words")).alias("fail_alpha_words"),
+        F.count_if(~F.col("ok_symbol_ratio")).alias("fail_symbol_ratio"),
+        F.count_if(~F.col("ok_stopwords")).alias("fail_stopwords"),
+    )
+
+
+@_register(
+    "q49_dup_clusters",
+    r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component, count(*) AS n_members,
+           CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+    FROM cc GROUP BY component ORDER BY component
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster connected components (training-pipeline op): the
+    shingle-Jaccard near-dup pair graph (>= 0.5) resolved into EXACT
+    clusters by iterative min-label propagation
+    (profiler.dedup.connected_components) — a chain a-b-c lands in ONE
+    cluster even though (a, c) never met as a pair, which greedy pair
+    dropping cannot express. Each round is one edges-join-labels shuffle +
+    map-side-combined groupBy-min, lineage truncated per round; rounds =
+    graph diameter (small for dup blobs). Oracle: DuckDB WITH RECURSIVE
+    min-label transitive closure over the identical pair set."""
+    from profiler.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    s = dw.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.5)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("component")
+    )
+
+
+@_register(
+    "q50_semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    scores AS (
+      SELECT n.vec_id, n.v, n.nrm, cent.cell,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> n.v[i] * cent.cv[i])) / cent.cnrm AS score
+      FROM n, cent
+    ),
+    assign AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, cell ASC) AS crk
+        FROM scores
+      ) WHERE crk = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT count(*) FROM n) AS n_vectors,
+           count(*) FILTER (WHERE cos >= 0.45) AS n_pairs,
+           count(DISTINCT ib) FILTER (WHERE cos >= 0.45) AS n_removed,
+           (SELECT count(*) FROM n)
+             - count(DISTINCT ib) FILTER (WHERE cos >= 0.45) AS n_after,
+           ROUND(max(cos) FILTER (WHERE cos >= 0.45), 4) AS max_cos
+    FROM p
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (training-pipeline op): embeddings are
+    clustered by a coarse quantizer, exact cosine runs ONLY within a
+    cluster, and the higher id of every pair above threshold is dropped —
+    the pair matrix is |cell|-local, never global. This oracle variant uses
+    the DETERMINISTIC first-8-vectors quantizer (the q42 trick) so DuckDB
+    replays the cell assignment bit-for-bit; the scale path
+    (profiler.similarity.semantic_dedup_pairs / apply_semantic_dedup)
+    trains a spherical k-means quantizer driver-side with the identical
+    within-cell join plan and is pinned against this exact form by pytest.
+    Threshold 0.45 because the fixture corpus has no planted embedding
+    near-dups (max pairwise cosine ~0.51)."""
+    e0 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    n = e0.select("vec_id", "v", nrm.alias("nrm"))
+    cent = n.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dotc = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scores = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nrm", "cell", (dotc / F.col("cnrm")).alias("score")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    assign = (
+        scores.withColumn("crk", F.row_number().over(wcell))
+        .where(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    p = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("b.vec_id").alias("ib"), cos.alias("cos"))
+    hit = F.col("cos") >= 0.45
+    summary = p.agg(
+        F.count_if(hit).alias("n_pairs"),
+        F.count_distinct(F.when(hit, F.col("ib"))).alias("n_removed"),
+        F.round(F.max(F.when(hit, F.col("cos"))), 4).alias("max_cos"),
+    )
+    nv = n.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return nv.crossJoin(summary).select(
+        "n_vectors",
+        "n_pairs",
+        "n_removed",
+        (F.col("n_vectors") - F.col("n_removed")).alias("n_after"),
+        "max_cos",
+    )

@@ -1,0 +1,155 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Not in the reference (it only profiles); part of the "operations a
+large-scale training-data pipeline would need" extension.
+
+Why not ``df.sample``: Spark's ``sample`` draws per-partition with a seeded
+RNG, so the selected ROWS change whenever partitioning changes and a task
+retry can replay a different stream — at 100 TB (speculative execution,
+lost executors) that makes the sample non-reproducible. Every operator here
+instead decides membership as a PURE FUNCTION of a stable row key:
+
+    u(key) = first 8 hex chars of md5(seed || key)   (lexicographic order
+    on lowercase hex == numeric order on the 32-bit value)
+
+so the same row lands on the same side of every split on every run, any
+cluster size, any retry. The decision is a narrow projection — no shuffle,
+no Python, and the md5 math replays bit-for-bit in any engine (the DuckDB
+oracles compare against the identical expression).
+
+Stratified rates support the standard mixture-building move: sample each
+language/quality/source stratum at its own rate to hit a target token
+mixture, in ONE pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: 16^8 — the u(key) space; an 8-hex-digit prefix is uniform on [0, 2^32).
+_SPACE = 1 << 32
+
+
+def _threshold_hex(fraction: float) -> str:
+    """8-digit lowercase-hex threshold t with P[u(key) < t] == fraction
+    (to within 2^-32)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_bucket_expr(key: Column, seed: str = "s0") -> Column:
+    """The 8-hex-digit uniform draw for ``key`` (string column expression).
+
+    Deterministic across runs/partitions/retries; compare against
+    ``_threshold_hex(p)`` to keep a p-fraction. Exposed so external oracles
+    can replay the draw (DuckDB: ``substr(md5(concat(seed, key)), 1, 8)``).
+    """
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string")).cast("binary")), 1, 8)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed by ``key_col``."""
+    keep = hash_bucket_expr(F.col(key_col), seed) < F.lit(_threshold_hex(fraction))
+    return df.where(keep)
+
+
+def sample_by_strata(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling in ONE narrow pass.
+
+    ``fractions`` maps stratum value -> keep rate; strata not listed keep
+    ``default_fraction``. The per-row threshold is a CASE chain over the
+    stratum column, so the whole operator is a single filter expression —
+    Catalyst pushes it into the scan and no shuffle happens. This is the
+    mixture-sampling primitive: rates chosen per language/source/quality
+    bucket to hit a target token mixture.
+    """
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.where(hash_bucket_expr(F.col(key_col), seed) < thr)
+
+
+def train_eval_split(
+    df: DataFrame, eval_fraction: float, key_col: str, seed: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, eval) split keyed by ``key_col``.
+
+    Rows with u(key) < t go to EVAL, the rest to TRAIN — the same row can
+    never appear in both (the u-draw is a pure function of the key), and
+    re-running on a re-partitioned or appended corpus keeps every existing
+    row on its original side, which is what makes the held-out set stable
+    as the corpus grows."""
+    thr = F.lit(_threshold_hex(eval_fraction))
+    u = hash_bucket_expr(F.col(key_col), seed)
+    return df.where(u >= thr), df.where(u < thr)
+
+
+def split_column_expr(
+    key: Column, eval_fraction: float, seed: str = "split"
+) -> Column:
+    """'train' / 'eval' tag as an expression (for tagging instead of
+    filtering)."""
+    thr = F.lit(_threshold_hex(eval_fraction))
+    return F.when(
+        hash_bucket_expr(key, seed) < thr, F.lit("eval")
+    ).otherwise(F.lit("train"))
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-stratum sampling rates that realize a target mixture.
+
+    Given the corpus' actual per-stratum weight totals (token counts) and a
+    ``target_shares`` distribution, returns one row per stratum:
+    (stratum, total_weight, actual_share, target_share, keep_rate) where
+    keep_rate = min(1, (target_share / actual_share) * scale) and ``scale``
+    is the largest factor for which no stratum exceeds rate 1 — i.e. the
+    biggest corpus consistent with the target mixture using downsampling
+    only. Feed ``keep_rate`` into :func:`sample_by_strata`.
+
+    One groupBy over the (small) stratum domain; the per-stratum math runs
+    on the aggregated rows, so cost is independent of corpus size.
+    """
+    totals = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("total_weight")
+    )
+    tgt = F.lit(None).cast("double")
+    for value, share in sorted(target_shares.items()):
+        tgt = F.when(F.col("stratum") == F.lit(value), F.lit(share)).otherwise(tgt)
+    w = totals.withColumn(
+        "actual_share",
+        F.col("total_weight") / F.sum("total_weight").over(Window_all()),
+    ).withColumn("target_share", tgt)
+    ratio = F.col("target_share") / F.col("actual_share")
+    scale = F.min(F.when(ratio.isNotNull(), 1.0 / ratio)).over(Window_all())
+    return w.withColumn(
+        "keep_rate",
+        F.when(ratio.isNotNull(), F.least(F.lit(1.0), ratio * scale)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+
+def Window_all():
+    """An empty window (whole-frame aggregate) — the stratum table this is
+    applied to has one row per stratum, so the single-partition window is a
+    few rows, never data-scale."""
+    from pyspark.sql import Window
+
+    return Window.partitionBy()

@@ -297,6 +297,75 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster embeddings with
+    the IVF coarse quantizer (driver-trained spherical k-means on a bounded
+    sample), then compare exactly ONLY within a cluster. Returns
+    (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+
+    Scale shape: assignment is a narrow expression-space map (no Python);
+    the self-join shuffles on the small ``cell`` key and is |cell|²-local —
+    the pair matrix is never materialized globally. Cross-cluster near-dups
+    are missed by construction; that is SemDeDup's documented recall
+    tradeoff (Abbas et al. 2023), tunable via ``n_centroids`` (fewer, bigger
+    cells = higher recall, more comparisons). AQE skew-join splitting covers
+    a degenerate hot cell."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, dim, n_centroids, sample_rows, seed=seed, vec_col=vec_col
+        )
+    sig = ivf_assign(df, centroids, id_col, vec_col).withColumn(
+        "nrm", norm_expr(F.col("v"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def apply_semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Corpus after semantic dedup: for every within-cluster pair above
+    ``threshold`` the higher id is dropped (greedy keep-lowest, one anti-join
+    of the rare removal set — the same policy as text near-dup removal; route
+    the pairs through ``profiler.dedup.connected_components`` instead when
+    exact cluster representatives matter)."""
+    pairs = semantic_dedup_pairs(
+        df, dim, threshold, n_centroids, sample_rows, seed, id_col, vec_col, centroids
+    )
+    removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removals, id_col, "left_anti")
+
+
 def neardup_pairs(
     df: DataFrame,
     dim: int,

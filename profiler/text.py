@@ -192,6 +192,108 @@ def repetition_ratio_expr(text: Column, k: int = 3) -> Column:
     return F.when(F.size(words) >= k, F.lit(1.0) - distinct / total)
 
 
+def quality_signals_exprs(text: Column) -> dict[str, Column]:
+    """The Gopher/C4-style per-document quality signals, as portable JVM
+    expressions (every one replays in DuckDB for the oracle):
+
+    * ``n_words`` — whitespace token count
+    * ``mean_word_len`` — non-space characters / words
+    * ``alpha_word_frac`` — fraction of words containing a letter
+    * ``symbol_ratio`` — non-alphanumeric-non-space characters / characters
+    * ``n_stopwords`` — hits against the English evidence set
+    """
+    words = tokens_expr(text)
+    n_words = F.size(words)
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    stop = F.array(*[F.lit(t) for t in _STOPWORDS["en"]])
+    return {
+        "n_words": n_words,
+        "mean_word_len": (
+            F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+            / F.greatest(n_words, F.lit(1))
+        ),
+        "alpha_word_frac": (
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+            / F.greatest(n_words, F.lit(1))
+        ),
+        "symbol_ratio": (
+            F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+            / n_chars
+        ),
+        "n_stopwords": F.size(
+            F.filter(F.transform(words, F.lower), lambda w: F.array_contains(stop, w))
+        ),
+    }
+
+
+#: rule name -> (signal, default low bound, default high bound); None = open.
+QUALITY_RULES = {
+    "word_count": ("n_words", 50, 100_000),
+    "mean_word_len": ("mean_word_len", 3.0, 10.0),
+    "alpha_words": ("alpha_word_frac", 0.80, None),
+    "symbol_ratio": ("symbol_ratio", None, 0.10),
+    "stopwords": ("n_stopwords", 2, None),
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    overrides: dict[str, tuple[float | None, float | None]] | None = None,
+) -> DataFrame:
+    """Gopher-rules composite document filter (training-pipeline cleaning
+    op). Adds the five signal columns, one ``ok_<rule>`` boolean per rule,
+    ``keep`` (all rules pass) and ``drop_reasons`` (sorted array of failed
+    rule names, empty when kept).
+
+    ``overrides`` replaces a rule's (low, high) bounds — e.g.
+    ``{"word_count": (5, None)}`` for short-document corpora. The whole
+    operator is ONE narrow projection: every signal and rule is a JVM
+    expression over the row, Catalyst shares the tokenization subexpression,
+    and ``df.where(F.col("keep"))`` pushes straight into the scan — the
+    shape a 100 TB cleaning pass needs (no shuffle, no Python).
+    """
+    bounds = {name: (lo, hi) for name, (_, lo, hi) in QUALITY_RULES.items()}
+    if overrides:
+        unknown = set(overrides) - set(bounds)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        bounds.update(overrides)
+    sig = quality_signals_exprs(F.col(text_col))
+    out = df
+    for name, expr in sig.items():
+        out = out.withColumn(name, expr)
+    ok_cols = []
+    for name, (signal, _, _) in QUALITY_RULES.items():
+        lo, hi = bounds[name]
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (F.col(signal) >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (F.col(signal) <= F.lit(hi))
+        out = out.withColumn(f"ok_{name}", ok)
+        ok_cols.append(name)
+    keep = F.aggregate(
+        F.array(*[F.col(f"ok_{n}") for n in ok_cols]),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~F.col(f"ok_{n}"), F.lit(n)).otherwise(
+                        F.lit(None).cast("string")
+                    )
+                    for n in ok_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return out.withColumn("keep", keep).withColumn("drop_reasons", reasons)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1,0 +1,185 @@
+"""Round-2b training-pipeline operators: deterministic sampling, quality
+filtering, duplicate-cluster connected components, semantic dedup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from profiler import dedup, sampling, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + i % 5) for i in range(3000)]
+    return spark.createDataFrame(rows, "id long, lang string, n_tokens int")
+
+
+def test_sample_fraction_is_deterministic_across_partitioning(keyed_df):
+    a = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.3, "id").collect()}
+    b = {
+        r["id"]
+        for r in sampling.sample_fraction(
+            keyed_df.repartition(17, "lang"), 0.3, "id"
+        ).collect()
+    }
+    assert a == b  # membership is a pure function of the key, not the layout
+    assert 0.25 < len(a) / 3000 < 0.35
+
+
+def test_sample_by_strata_rates(keyed_df):
+    kept = sampling.sample_by_strata(
+        keyed_df, "lang", {"en": 1.0, "de": 0.5}, "id", default_fraction=0.0
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["en"] == 1000  # rate 1.0 keeps every row
+    assert "fr" not in counts  # default 0.0 drops the unlisted stratum
+    assert 400 < counts["de"] < 600
+
+
+def test_train_eval_split_disjoint_exhaustive_stable(keyed_df):
+    train, ev = sampling.train_eval_split(keyed_df, 0.2, "id")
+    t = {r["id"] for r in train.collect()}
+    e = {r["id"] for r in ev.collect()}
+    assert t.isdisjoint(e)
+    assert len(t) + len(e) == 3000
+    # appending rows must not move any existing row across the split
+    bigger = keyed_df.union(
+        keyed_df.sparkSession.createDataFrame(
+            [(10_000 + i, "en", 10) for i in range(500)],
+            keyed_df.schema,
+        )
+    )
+    train2, ev2 = sampling.train_eval_split(bigger, 0.2, "id")
+    e2 = {r["id"] for r in ev2.collect()}
+    assert e == {x for x in e2 if x < 10_000}
+
+
+def test_mixture_weights_math(keyed_df):
+    w = sampling.mixture_weights(
+        keyed_df, "lang", {"en": 0.5, "de": 0.5}, weight_col="n_tokens"
+    )
+    rows = {r["stratum"]: r for r in w.collect()}
+    # en and de have ~equal corpus weight and equal targets -> equal rates;
+    # the binding stratum gets rate 1.0, fr (no target) gets 0.
+    assert rows["fr"]["keep_rate"] == 0.0
+    assert rows["en"]["keep_rate"] == pytest.approx(1.0, abs=0.05)
+    assert rows["de"]["keep_rate"] == pytest.approx(1.0, abs=0.05)
+    assert max(r["keep_rate"] for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_threshold_hex_bounds():
+    assert sampling._threshold_hex(0.0) == "00000000"
+    assert sampling._threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        sampling._threshold_hex(1.5)
+
+
+# ---------------------------------------------------------------------------
+# Quality filter
+# ---------------------------------------------------------------------------
+def test_quality_filter_planted(spark):
+    good = "the cat sat of the mat and it was looking to the garden for hours"
+    rows = [
+        (1, good),  # passes everything
+        (2, "too short"),  # fails word_count (and stopwords)
+        (3, "### $$$ %%% " * 20 + "the of and to in is that it for a pad"),
+        (4, " ".join("1234" for _ in range(30))),  # no letters -> alpha fails
+    ]
+    out = text.quality_filter(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        overrides={"word_count": (5, None)},
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["keep"] is True and got[1]["drop_reasons"] == []
+    assert got[2]["keep"] is False and "word_count" in got[2]["drop_reasons"]
+    assert "symbol_ratio" in got[3]["drop_reasons"]
+    assert "alpha_words" in got[4]["drop_reasons"]
+    assert "stopwords" in got[4]["drop_reasons"]
+
+
+def test_quality_filter_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="unknown quality rules"):
+        text.quality_filter(df, overrides={"nope": (0, 1)})
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3-4 plus island {10,11}: exact clusters, not greedy pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_neardup_clusters_exact_dups(docs_pipeline_df):
+    cc = {
+        r["id"]: r["component"]
+        for r in dedup.neardup_clusters(docs_pipeline_df, threshold=0.8).collect()
+    }
+    # planted: {0,100,101} one cluster, {1,102} another; 100-101 edge alone
+    # must not split the component
+    assert cc[0] == cc[100] == cc[101] == 0
+    assert cc[1] == cc[102] == 1
+
+
+@pytest.fixture(scope="module")
+def docs_pipeline_df(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(vocab, size=60))))
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    w = rows[1][1].split()
+    rows.append((102, " ".join(w[:-3] + ["zzz", "yyy", "xxx"])))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def sem_emb_df(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    rows.append((200, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((201, [float(x) for x in base[5] + 0.01 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_semantic_dedup_pairs_find_planted(sem_emb_df):
+    pairs = similarity.semantic_dedup_pairs(
+        sem_emb_df, dim=16, threshold=0.95, n_centroids=4
+    ).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the planted near-identical vectors must share a k-means cell (cosine
+    # ~0.999 to their originals) and be found there
+    assert (0, 200) in keys and (5, 201) in keys
+    sims = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert sims[(0, 200)] > 0.99
+
+
+def test_apply_semantic_dedup_removes_higher_ids(sem_emb_df):
+    out = similarity.apply_semantic_dedup(
+        sem_emb_df, dim=16, threshold=0.95, n_centroids=4
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 0 in ids and 5 in ids
+    assert {200, 201}.isdisjoint(ids)
