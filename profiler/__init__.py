@@ -52,6 +52,7 @@ from profiler.text import (
     decontaminate,
     detect_language,
     fingerprint,
+    packing_efficiency,
     quality_filter,
     score_quality,
     scrub_pii,
@@ -65,7 +66,7 @@ from profiler.sampling import (
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
-from profiler.streaming import streaming_profile, streaming_violations
+from profiler.streaming import streaming_dedup, streaming_profile, streaming_violations
 from profiler.checkpoint import CatalogCheckpointStore, ParquetCheckpointStore
 from profiler.run import run_full, run_validation
 
@@ -102,6 +103,8 @@ __all__ = [
     "sample_by_strata",
     "train_eval_split",
     "mixture_weights",
+    "packing_efficiency",
+    "streaming_dedup",
     "corpus_describe",
     "minhash_lsh_dedup",
     "decontaminate",

@@ -2631,3 +2631,91 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vectors") - F.col("n_removed")).alias("n_after"),
         "max_cos",
     )
+
+
+@_register(
+    "q51_packing_efficiency",
+    r"""
+    WITH t AS (
+      SELECT len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (SELECT n_tok, L AS context_len FROM t, UNNEST([64, 128, 256]) AS u(L)),
+    g AS (
+      SELECT context_len,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(ceil(CAST(n_tok AS DOUBLE) / context_len)) AS BIGINT)
+               AS n_chunks
+      FROM e GROUP BY context_len
+    )
+    SELECT context_len, n_docs, total_tokens, n_chunks,
+           CAST(n_chunks * context_len AS BIGINT) AS padded_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / (n_chunks * context_len), 6)
+             AS efficiency
+    FROM g ORDER BY context_len
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planning (training-pipeline op): per candidate
+    context length, chunks filled and padding efficiency under the
+    one-doc-per-sequence model (profiler.text.packing_efficiency) — the
+    report that picks a context length before a tokenization run. Token
+    counts are computed once per row and exploded against the tiny literal
+    lengths array (|lengths|x rows of two ints, not of text), collapsing
+    map-side."""
+    from profiler.text import packing_efficiency
+
+    d = _t(spark, sf_dir, "documents")
+    return packing_efficiency(d, lengths=(64, 128, 256))
+
+
+@_register(
+    "q52_mixture_weights",
+    r"""
+    WITH tot AS (
+      SELECT lang AS stratum,
+             CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                          ' '))) AS DOUBLE) AS total_weight
+      FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    w AS (
+      SELECT stratum, total_weight,
+             total_weight / sum(total_weight) OVER () AS actual_share,
+             CASE stratum WHEN 'de' THEN 0.3 WHEN 'en' THEN 0.4
+                          WHEN 'fr' THEN 0.3 END AS target_share
+      FROM tot
+    ),
+    r AS (SELECT *, target_share / actual_share AS ratio FROM w),
+    s AS (SELECT *, min(CASE WHEN ratio IS NOT NULL THEN 1.0 / ratio END)
+                      OVER () AS scale FROM r)
+    SELECT stratum, total_weight,
+           ROUND(actual_share, 6) AS actual_share,
+           target_share,
+           ROUND(CASE WHEN ratio IS NOT NULL
+                      THEN least(1.0, ratio * scale) ELSE 0.0 END, 6) AS keep_rate
+    FROM s ORDER BY stratum
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight planning (training-pipeline op): per-language token
+    totals -> per-stratum keep rates realizing a 40/30/30 en/de/fr target
+    mixture with downsampling only (profiler.sampling.mixture_weights). The
+    binding (most target-underweight) stratum keeps rate 1.0, the rest scale
+    proportionally, untargeted strata get 0 — the rates feed straight into
+    sample_by_strata (q47). One groupBy over the tiny language domain; the
+    share/scale math runs on the 5 aggregated rows."""
+    from profiler.sampling import mixture_weights
+    from profiler.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = d.withColumn("n_tokens", token_count_expr(F.col("text")))
+    w = mixture_weights(d, "lang", {"en": 0.4, "de": 0.3, "fr": 0.3})
+    return w.select(
+        "stratum",
+        "total_weight",
+        F.round("actual_share", 6).alias("actual_share"),
+        "target_share",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    ).orderBy("stratum")

@@ -123,6 +123,38 @@ def streaming_violations(
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming exact deduplication: drop any row whose content fingerprint
+    (md5 of ``text_col``, optionally combined with ``extra_keys``) was
+    already seen within the watermark horizon — the streaming counterpart of
+    ``profiler.dedup.apply_exact_dedup`` for an ingestion pipeline that must
+    not let re-delivered or re-crawled documents through twice.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per fingerprint
+    and EVICTS it once the watermark passes, so state is bounded by the
+    dedup horizon, not by stream history (plain ``dropDuplicates`` on a
+    stream grows state forever — never do that at 10^12 rows). The shuffle
+    key is the 32-hex-char digest, constant-size regardless of document
+    size. First occurrence wins; duplicates arriving within
+    ``watermark_delay`` of each other are dropped across micro-batches."""
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    s = s.withColumn("__fp", F.md5(F.col(text_col).cast("binary")))
+    return (
+        s.withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__fp", *extra_keys])
+        .drop("__fp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stateful dense-sequence monitor (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 _SEQ_STATE_SCHEMA = "n long, mx long, mn long, dup long, s long, ss double"

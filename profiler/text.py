@@ -326,6 +326,50 @@ def decontaminate(
     )
 
 
+def packing_efficiency(
+    df: DataFrame,
+    lengths: tuple[int, ...] = (512, 1024, 2048),
+    text_col: str = "text",
+    mode: str = "whitespace",
+) -> DataFrame:
+    """Sequence-packing planning report (training-pipeline op): for each
+    candidate context length L, how many L-token chunks the corpus fills and
+    the padding efficiency under the simple one-document-per-chunk-sequence
+    model (each doc occupies ceil(n/L) chunks, the remainder padded).
+    Returns one row per L: (context_len, n_docs, total_tokens, n_chunks,
+    padded_tokens, efficiency) — the numbers that choose a context length /
+    packing strategy before a tokenization run.
+
+    Plan: token counts are computed once per row (narrow map), then exploded
+    against the tiny literal lengths array — |lengths|× rows of two ints, not
+    of text — and collapsed by a map-side-combined groupBy on the
+    |lengths|-value key. One scan, one small shuffle."""
+    n_tok = token_count_expr(F.col(text_col), mode)
+    t = df.where(F.col(text_col).isNotNull()).select(
+        n_tok.alias("n_tok"),
+        F.explode(F.array(*[F.lit(int(l)) for l in lengths])).alias("context_len"),
+    )
+    chunks = F.ceil(F.col("n_tok").cast("double") / F.col("context_len"))
+    return (
+        t.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(chunks).cast("bigint").alias("n_chunks"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("n_chunks") * F.col("context_len")).cast("bigint")
+        )
+        .withColumn(
+            "efficiency",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("padded_tokens"), 6
+            ),
+        )
+        .orderBy("context_len")
+    )
+
+
 def sentence_count_expr(text: Column) -> Column:
     """Sentence count: segments split on terminal-punctuation runs, blanks
     dropped — a deterministic stand-in for the reference's

@@ -199,3 +199,52 @@ def test_streaming_resume_processes_only_new_files(spark, tmp_path, clean_tbl):
         if r["constraint"] == "domain(role)"
     }
     assert got == expected["role"]
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """A re-delivered document in a later micro-batch (same text, within the
+    watermark horizon) must be dropped; distinct texts all pass. State is
+    keyed by the md5 fingerprint and evicted by the watermark."""
+    import pandas as pd
+    import pyarrow as pa
+
+    d = tmp_path / "stream_dedup"
+    d.mkdir()
+
+    def tbl(ids, texts, ts):
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    # microsecond precision: Spark cannot scan TIMESTAMP(NANOS)
+                    "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    synth.write_parquet(
+        tbl([1, 2], ["alpha doc", "beta doc"],
+            ["2026-01-01 10:00:00", "2026-01-01 10:01:00"]),
+        str(d / "part-000.parquet"),
+    )
+    # file 2: re-delivers doc 1's text (dup) + one new text
+    synth.write_parquet(
+        tbl([3, 4], ["alpha doc", "gamma doc"],
+            ["2026-01-01 10:02:00", "2026-01-01 10:03:00"]),
+        str(d / "part-001.parquet"),
+    )
+    name = streaming.run_incremental(
+        spark,
+        str(d),
+        lambda src: streaming.streaming_dedup(src, watermark_delay="1 hour"),
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+    rows = spark.table(name).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+    kept_ids = {r["doc_id"] for r in rows}
+    assert 1 in kept_ids and 3 not in kept_ids  # first occurrence wins
