@@ -121,6 +121,49 @@ def test_connected_components_transitive_chain(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_path(spark):
+    """A 200-node path converges in O(log n) rounds thanks to pointer
+    jumping — one-hop propagation alone would need ~200 rounds and trip the
+    max_iters guard."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    cc = dedup.connected_components(pairs, max_iters=15)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == 201
+
+
+def test_connected_components_matches_union_find(spark):
+    """Differential check vs a driver-side union-find on a random graph."""
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(150, 2)) if a != b]
+    parent = list(range(121))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    expected = {n: find(n) for n in nodes}
+    # canonicalize: component id = min node in the component
+    canon = {}
+    for n, r in expected.items():
+        canon.setdefault(r, []).append(n)
+    expected = {n: min(members) for r, members in canon.items() for n in members}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
