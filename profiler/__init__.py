@@ -61,6 +61,8 @@ from profiler.sampling import (
     mixture_weights,
     sample_by_strata,
     sample_fraction,
+    shard_expr,
+    shuffle_deterministic,
     train_eval_split,
 )
 from profiler.multimodal import extract_features, media_metadata, resize_media
@@ -105,6 +107,8 @@ __all__ = [
     "mixture_weights",
     "packing_efficiency",
     "streaming_dedup",
+    "shard_expr",
+    "shuffle_deterministic",
     "corpus_describe",
     "minhash_lsh_dedup",
     "decontaminate",

@@ -2719,3 +2719,57 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_share",
         F.round("keep_rate", 6).alias("keep_rate"),
     ).orderBy("stratum")
+
+
+@_register(
+    "q53_shard_assignment",
+    """
+    WITH s AS (
+      SELECT CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding (training-pipeline op): shard id =
+    md5-derived bucket of the doc key (profiler.sampling.shard_expr), so the
+    same document always lands in the same training shard across runs and
+    retries; writers repartition on it. The uniform hash balances shard
+    sizes — the per-shard counts here are the balance check. Narrow
+    expression + map-side-combined tiny groupBy."""
+    from profiler.sampling import shard_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(shard_expr(F.col("doc_id"), 8).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard")
+    )
+
+
+@_register(
+    "q54_deterministic_shuffle",
+    """
+    SELECT doc_id, substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+    FROM documents
+    ORDER BY draw, doc_id
+    LIMIT 10
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (training-pipeline op): global
+    pseudo-random order = range-partitioned sort on the md5 draw
+    (profiler.sampling.shuffle_deterministic) — reproducible across runs,
+    unlike orderBy(rand()). The head-10 draws pin the ordering; at scale
+    each output task writes one globally-ordered shard of the sort."""
+    from profiler.sampling import hash_bucket_expr, shuffle_deterministic
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        shuffle_deterministic(d, "doc_id")
+        .select("doc_id", hash_bucket_expr(F.col("doc_id"), "shuf").alias("draw"))
+        .limit(10)
+    )

@@ -107,6 +107,31 @@ def split_column_expr(
     ).otherwise(F.lit("train"))
 
 
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, seed: str = "shuf"
+) -> DataFrame:
+    """Corpus in a deterministic pseudo-random order: sort by the md5 draw
+    of the key (ties broken by the key itself). The standard pre-training
+    shuffle — reproducible across runs and resumable mid-write, which
+    ``orderBy(rand())`` is not. At scale this is a range-partitioned sort on
+    a 8-byte-prefix-comparable hex key: Spark samples the hash space (which
+    is uniform by construction, so partitions balance) and each output task
+    writes one globally-ordered shard."""
+    return df.orderBy(
+        hash_bucket_expr(F.col(key_col), seed), F.col(key_col)
+    )
+
+
+def shard_expr(key: Column, n_shards: int, seed: str = "shard") -> Column:
+    """Deterministic shard id in [0, n_shards) from the md5 draw of ``key``
+    — assign training-output shards so the same row always lands in the
+    same shard (writers then ``repartition(n, shard)`` / DISTRIBUTE BY).
+    Uses the top 28 bits of the draw so it is consistent with (a coarsening
+    of) :func:`hash_bucket_expr` ordering."""
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string")).cast("binary")), 1, 7), 16, 10).cast("long")
+    return F.pmod(bucket, F.lit(n_shards)).cast("int")
+
+
 def mixture_weights(
     df: DataFrame,
     strata_col: str,

@@ -226,3 +226,36 @@ def test_apply_semantic_dedup_removes_higher_ids(sem_emb_df):
     ids = {r["vec_id"] for r in out.collect()}
     assert 0 in ids and 5 in ids
     assert {200, 201}.isdisjoint(ids)
+
+
+def test_shard_expr_stable_and_balanced(keyed_df):
+    from pyspark.sql import functions as F
+
+    a = {
+        r["id"]: r["s"]
+        for r in keyed_df.select(
+            "id", sampling.shard_expr(F.col("id"), 8).alias("s")
+        ).collect()
+    }
+    b = {
+        r["id"]: r["s"]
+        for r in keyed_df.repartition(13)
+        .select("id", sampling.shard_expr(F.col("id"), 8).alias("s"))
+        .collect()
+    }
+    assert a == b  # same row -> same shard, any layout
+    counts = [list(a.values()).count(s) for s in range(8)]
+    assert min(counts) > 0.5 * (3000 / 8)  # uniform hash balances shards
+
+
+def test_shuffle_deterministic_order(keyed_df):
+    o1 = [r["id"] for r in sampling.shuffle_deterministic(keyed_df, "id").collect()]
+    o2 = [
+        r["id"]
+        for r in sampling.shuffle_deterministic(
+            keyed_df.repartition(7), "id"
+        ).collect()
+    ]
+    assert o1 == o2  # reproducible global order
+    assert o1 != sorted(o1)  # and actually shuffled
+    assert sorted(o1) == list(range(3000))
