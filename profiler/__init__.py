@@ -14,7 +14,7 @@ Nothing here is a port: the reference is eager single-threaded pandas
 verified for scaling efficiency between two parallelism levels.
 """
 
-from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible
+from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible, schema_diff
 from profiler.profile import ProfileConfig, monotonic_flags, profile_table
 from profiler.config import profile_with_config, read_config
 from profiler.detect import detect_types
@@ -82,6 +82,7 @@ __all__ = [
     "TRANSCRIPTS_SCHEMA",
     "TypesDict",
     "detect_compatible",
+    "schema_diff",
     "profile_table",
     "detect_types",
     "ConstraintSuite",

@@ -110,6 +110,41 @@ class TypesDict:
         return cls({k: dict(v) for k, v in d.items()})
 
 
+def schema_diff(before: T.StructType, after: T.StructType) -> dict:
+    """Schema-evolution report between two table snapshots: added / dropped /
+    retyped / nullability-changed columns, plus a ``breaking`` flag
+    (drop or retype breaks downstream readers; adds and null-relaxations
+    don't). Runs on schema metadata only — zero data scanned — so it is the
+    cheap pre-check a resumable validation run does before re-validating a
+    snapshot pair, and the guard that stops a drift comparison between
+    incompatible snapshots from producing nonsense."""
+    b = {f.name: f for f in before.fields}
+    a = {f.name: f for f in after.fields}
+    added = sorted(set(a) - set(b))
+    dropped = sorted(set(b) - set(a))
+    retyped = sorted(
+        (n, b[n].dataType.simpleString(), a[n].dataType.simpleString())
+        for n in set(a) & set(b)
+        if b[n].dataType != a[n].dataType
+    )
+    nullability = sorted(
+        (n, b[n].nullable, a[n].nullable)
+        for n in set(a) & set(b)
+        if b[n].dataType == a[n].dataType and b[n].nullable != a[n].nullable
+    )
+    return {
+        "added": added,
+        "dropped": dropped,
+        "retyped": retyped,
+        "nullability_changed": nullability,
+        # tightening nullable -> required breaks writers of null rows
+        "breaking": bool(
+            dropped or retyped or any(bn and not an for _, bn, an in nullability)
+        ),
+        "identical": not (added or dropped or retyped or nullability),
+    }
+
+
 def spark_type_to_default_semantic(dt: T.DataType) -> str:
     """Fast-path semantic default from a declared physical type.
 

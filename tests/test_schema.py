@@ -42,3 +42,35 @@ def test_types_dict_override_roundtrip():
 def test_types_dict_rejects_unknown():
     with pytest.raises(ValueError):
         TypesDict.from_json({"x": {"type": "Nope"}})
+
+
+def test_schema_diff():
+    from pyspark.sql import types as T
+
+    from profiler.schema import TRANSCRIPTS_SCHEMA, schema_diff
+
+    same = schema_diff(TRANSCRIPTS_SCHEMA, TRANSCRIPTS_SCHEMA)
+    assert same["identical"] and not same["breaking"]
+
+    evolved = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), nullable=False),
+            T.StructField("turn_idx", T.LongType(), nullable=False),  # retyped
+            T.StructField("role", T.StringType(), nullable=True),
+            T.StructField("text", T.StringType(), nullable=True),
+            # tool dropped; new column added
+            T.StructField("ts", T.TimestampType(), nullable=False),  # tightened
+            T.StructField("model", T.StringType(), nullable=True),
+        ]
+    )
+    d = schema_diff(TRANSCRIPTS_SCHEMA, evolved)
+    assert d["added"] == ["model"]
+    assert d["dropped"] == ["tool"]
+    assert d["retyped"] == [("turn_idx", "int", "bigint")]
+    assert d["nullability_changed"] == [("ts", True, False)]
+    assert d["breaking"] and not d["identical"]
+
+    # add-only evolution is non-breaking
+    add_only = T.StructType(TRANSCRIPTS_SCHEMA.fields + [T.StructField("model", T.StringType())])
+    d2 = schema_diff(TRANSCRIPTS_SCHEMA, add_only)
+    assert d2["added"] == ["model"] and not d2["breaking"]
