@@ -65,6 +65,7 @@ from profiler.sampling import (
     shuffle_deterministic,
     train_eval_split,
 )
+from profiler.clean import CleanConfig, clean_corpus
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
@@ -110,6 +111,8 @@ __all__ = [
     "streaming_dedup",
     "shard_expr",
     "shuffle_deterministic",
+    "CleanConfig",
+    "clean_corpus",
     "corpus_describe",
     "minhash_lsh_dedup",
     "decontaminate",

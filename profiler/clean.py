@@ -1,0 +1,100 @@
+"""End-to-end training-corpus cleaning pipeline: the individually-verified
+operators composed in the standard order a pre-training data pipeline runs
+them.
+
+    quality filter → exact dedup → near dedup → decontaminate → sample
+
+Every stage is one of this package's oracled operators; this module only
+owns the composition, the per-stage accounting, and the plan hygiene of
+chaining them (each stage's output is the next stage's lazy input — one
+logical plan end to end unless stats are requested, and the quality/sample
+filters sit earliest/latest so the expensive dedup joins run on the
+smallest possible corpus).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from profiler.dedup import apply_exact_dedup, minhash_lsh_dedup
+from profiler.sampling import sample_fraction as _sample_fraction
+from profiler.text import decontaminate, quality_filter
+
+
+@dataclass
+class CleanConfig:
+    """Stage toggles + thresholds for :func:`clean_corpus`. Stages set to
+    None/False are skipped entirely (no plan nodes added)."""
+
+    quality_overrides: dict | None = field(
+        default_factory=lambda: {"word_count": (5, None)}
+    )
+    run_quality: bool = True
+    run_exact_dedup: bool = True
+    neardup_threshold: float | None = 0.85
+    decontaminate_shingle_k: int = 13
+    sample_fraction: float | None = None
+    sample_seed: str = "clean"
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    config: CleanConfig | None = None,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Run the standard cleaning cascade over a document corpus; returns
+    (cleaned DataFrame, per-stage stats dict).
+
+    Order rationale (the cheap-narrow-first rule at 100 TB): the quality
+    filter is a pushed-down projection, so it runs FIRST and every later
+    shuffle-bearing stage (dedup joins, decontamination index) sees only
+    surviving documents; sampling runs LAST so rates apply to the cleaned
+    distribution. With ``collect_stats=False`` (the default, and the
+    production setting) the whole cascade is ONE lazy plan — no counting
+    actions; ``collect_stats=True`` forces a count per stage boundary for
+    the accounting report (each count is a cheap column-pruned aggregate,
+    but it is an extra job per stage — a per-run report, not a per-row
+    cost).
+    """
+    cfg = config or CleanConfig()
+    stats: dict[str, int | None] = {}
+    cur = df.where(F.col(text_col).isNotNull())
+
+    def _mark(stage: str, frame: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = frame.count()
+        return frame
+
+    _mark("input", cur)
+    if cfg.run_quality:
+        kept = quality_filter(cur, text_col, overrides=cfg.quality_overrides)
+        cur = _mark(
+            "after_quality",
+            kept.where(F.col("keep")).select(*df.columns),
+        )
+    if cfg.run_exact_dedup:
+        cur = _mark("after_exact_dedup", apply_exact_dedup(cur, text_col, id_col))
+    if cfg.neardup_threshold is not None:
+        pairs = minhash_lsh_dedup(
+            cur, text_col, id_col, threshold=cfg.neardup_threshold
+        )
+        removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        cur = _mark("after_neardup", cur.join(removals, id_col, "left_anti"))
+    if benchmark is not None:
+        contaminated = decontaminate(
+            cur, benchmark, text_col, id_col, cfg.decontaminate_shingle_k
+        ).select(F.col("id").alias(id_col))
+        cur = _mark(
+            "after_decontaminate", cur.join(contaminated, id_col, "left_anti")
+        )
+    if cfg.sample_fraction is not None:
+        cur = _mark(
+            "after_sample",
+            _sample_fraction(cur, cfg.sample_fraction, id_col, cfg.sample_seed),
+        )
+    return cur, stats

@@ -24,7 +24,7 @@ mixture, in ONE pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: 16^8 — the u(key) space; an 8-hex-digit prefix is uniform on [0, 2^32).
 _SPACE = 1 << 32
@@ -157,24 +157,18 @@ def mixture_weights(
     tgt = F.lit(None).cast("double")
     for value, share in sorted(target_shares.items()):
         tgt = F.when(F.col("stratum") == F.lit(value), F.lit(share)).otherwise(tgt)
+    # whole-frame windows are safe here: this frame has one row per stratum
+    # (a handful), never data-scale.
+    whole = Window.partitionBy()
     w = totals.withColumn(
         "actual_share",
-        F.col("total_weight") / F.sum("total_weight").over(Window_all()),
+        F.col("total_weight") / F.sum("total_weight").over(whole),
     ).withColumn("target_share", tgt)
     ratio = F.col("target_share") / F.col("actual_share")
-    scale = F.min(F.when(ratio.isNotNull(), 1.0 / ratio)).over(Window_all())
+    scale = F.min(F.when(ratio.isNotNull(), 1.0 / ratio)).over(whole)
     return w.withColumn(
         "keep_rate",
         F.when(ratio.isNotNull(), F.least(F.lit(1.0), ratio * scale)).otherwise(
             F.lit(0.0)
         ),
     )
-
-
-def Window_all():
-    """An empty window (whole-frame aggregate) — the stratum table this is
-    applied to has one row per stratum, so the single-partition window is a
-    few rows, never data-scale."""
-    from pyspark.sql import Window
-
-    return Window.partitionBy()

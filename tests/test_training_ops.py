@@ -259,3 +259,70 @@ def test_shuffle_deterministic_order(keyed_df):
     assert o1 == o2  # reproducible global order
     assert o1 != sorted(o1)  # and actually shuffled
     assert sorted(o1) == list(range(3000))
+
+
+# ---------------------------------------------------------------------------
+# Cleaning pipeline composition
+# ---------------------------------------------------------------------------
+def test_clean_corpus_cascade(spark, docs_pipeline_df):
+    """The composed cascade removes the junk each stage owns: quality drops
+    the too-short doc, exact dedup collapses {0,100,101}, near dedup drops
+    102, decontamination drops docs overlapping the benchmark."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    extra = [
+        (300, "no"),  # fails word_count even at the lowered bound
+    ]
+    corpus = docs_pipeline_df.union(
+        spark.createDataFrame(extra, docs_pipeline_df.schema)
+    )
+    # benchmark = doc 7's exact text -> doc 7 is contaminated
+    bench_text = [r["text"] for r in corpus.where("doc_id = 7").collect()]
+    benchmark = spark.createDataFrame(
+        [(9000, bench_text[0])], "doc_id int, text string"
+    )
+    cfg = CleanConfig(
+        quality_overrides={
+            "word_count": (5, None),
+            "stopwords": (0, None),
+            "alpha_words": (0.0, None),
+            "mean_word_len": (0.0, None),  # synthetic w## vocab
+            "symbol_ratio": (None, 1.0),
+        },
+        neardup_threshold=0.8,
+        decontaminate_shingle_k=4,
+    )
+    out, stats = clean_corpus(
+        corpus, benchmark=benchmark, config=cfg, collect_stats=True
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 300 not in ids  # quality
+    assert 0 in ids and {100, 101}.isdisjoint(ids)  # exact dedup keeps min id
+    assert 102 not in ids  # near dedup
+    assert 7 not in ids  # decontaminated
+    assert stats["input"] == 44
+    assert stats["after_quality"] == 43
+    assert stats["after_exact_dedup"] == 41
+    assert stats["after_neardup"] == 40
+    assert stats["after_decontaminate"] == 39
+
+
+def test_clean_corpus_lazy_single_plan(docs_pipeline_df):
+    """Default mode adds no counting actions — the result is one lazy plan."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    out, stats = clean_corpus(
+        docs_pipeline_df,
+        config=CleanConfig(
+            quality_overrides={
+                "word_count": (1, None),
+                "stopwords": (0, None),
+                "alpha_words": (0.0, None),
+                "mean_word_len": (0.0, None),
+                "symbol_ratio": (None, 1.0),
+            },
+            neardup_threshold=0.8,
+        ),
+    )
+    assert stats == {}  # nothing forced
+    assert out.count() == 40  # 43 - dup pair {100,101} - neardup 102
