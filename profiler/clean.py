@@ -14,6 +14,7 @@ smallest possible corpus).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -26,7 +27,13 @@ from profiler.text import decontaminate, quality_filter
 @dataclass
 class CleanConfig:
     """Stage toggles + thresholds for :func:`clean_corpus`. Stages set to
-    None/False are skipped entirely (no plan nodes added)."""
+    None/False are skipped entirely (no plan nodes added).
+
+    ``neardup_pairs_fn`` swaps the near-dup pair source: it receives
+    (df, text_col, id_col, threshold) and must return (id_a, id_b) pairs
+    with id_a < id_b. Default is MinHash-LSH (the scale path); the q55
+    oracle injects exact shingle-Jaccard pairs so the whole cascade
+    replays bit-for-bit in DuckDB."""
 
     quality_overrides: dict | None = field(
         default_factory=lambda: {"word_count": (5, None)}
@@ -34,6 +41,7 @@ class CleanConfig:
     run_quality: bool = True
     run_exact_dedup: bool = True
     neardup_threshold: float | None = 0.85
+    neardup_pairs_fn: Callable[[DataFrame, str, str, float], DataFrame] | None = None
     decontaminate_shingle_k: int = 13
     sample_fraction: float | None = None
     sample_seed: str = "clean"
@@ -80,9 +88,14 @@ def clean_corpus(
     if cfg.run_exact_dedup:
         cur = _mark("after_exact_dedup", apply_exact_dedup(cur, text_col, id_col))
     if cfg.neardup_threshold is not None:
-        pairs = minhash_lsh_dedup(
-            cur, text_col, id_col, threshold=cfg.neardup_threshold
-        )
+        if cfg.neardup_pairs_fn is not None:
+            pairs = cfg.neardup_pairs_fn(
+                cur, text_col, id_col, cfg.neardup_threshold
+            )
+        else:
+            pairs = minhash_lsh_dedup(
+                cur, text_col, id_col, threshold=cfg.neardup_threshold
+            )
         removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
         cur = _mark("after_neardup", cur.join(removals, id_col, "left_anti"))
     if benchmark is not None:

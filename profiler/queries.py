@@ -2773,3 +2773,167 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", hash_bucket_expr(F.col("doc_id"), "shuf").alias("draw"))
         .limit(10)
     )
+
+
+def _exact_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (id_a < id_b) — the oracle-replayable
+    near-dup pair source q55 injects into the cleaning cascade (same shape
+    as q49's pair stage; the production default is MinHash-LSH)."""
+    words = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    dw = df.select(F.col(id_col).alias("__id"), words.alias("words")).where(
+        F.size("words") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    s = dw.select("__id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    sizes = s.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+@_register(
+    "q55_clean_corpus",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL AND doc_id % 100 != 7
+    ),
+    sig AS (
+      SELECT doc_id, text, words,
+             len(words) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / greatest(len(words), 1) AS mwl,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(words), 1) AS awf,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS sr,
+             len(list_filter(words, w -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for'],
+                 lower(w)))) AS nsw
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id, text, words FROM sig
+      WHERE n_words >= 5 AND mwl >= 3.0 AND mwl <= 10.0
+        AND awf >= 0.80 AND sr <= 0.10 AND nsw >= 2
+    ),
+    d AS (
+      SELECT doc_id, words FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rk
+        FROM q
+      ) WHERE rk = 1
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM d, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY da, db
+    ),
+    remv AS (
+      SELECT DISTINCT db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+    ),
+    nd AS (SELECT doc_id, words FROM d
+           WHERE doc_id NOT IN (SELECT db FROM remv)),
+    bw AS (
+      SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL AND doc_id % 100 = 7
+    ),
+    bsh AS (
+      SELECT DISTINCT words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+               || ' ' || words[i+3] AS sh
+      FROM bw, UNNEST(generate_series(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 4
+      UNION
+      SELECT DISTINCT array_to_string(words, ' ') FROM bw WHERE len(words) < 4
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+               || ' ' || words[i+3] AS sh
+      FROM nd, UNNEST(generate_series(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 4
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(words, ' ') FROM nd
+      WHERE len(words) < 4
+    ),
+    cont AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+    fin AS (SELECT doc_id FROM nd
+            WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+    SELECT count(*) AS n_after, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM fin
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL cleaning cascade (profiler.clean.clean_corpus) with a
+    bit-for-bit DuckDB oracle: Gopher quality filter (word-count bound
+    lowered to 5) → exact dedup keep-min-id → near-dup removal (exact
+    3-gram Jaccard ≥ 0.5 pairs injected via CleanConfig.neardup_pairs_fn —
+    the production default is MinHash-LSH with the identical downstream
+    plan) → 4-gram decontamination against the held-out id%100=7 subset.
+    One lazy plan end to end (collect_stats off); the summary pins the
+    surviving id set."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 100 == 7)
+    corpus = d.where(F.col("doc_id") % 100 != 7)
+    out, _ = clean_corpus(
+        corpus,
+        benchmark=bench,
+        config=CleanConfig(
+            quality_overrides={"word_count": (5, None)},
+            neardup_threshold=0.5,
+            neardup_pairs_fn=_exact_jaccard_pairs,
+            decontaminate_shingle_k=4,
+        ),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
