@@ -72,9 +72,16 @@ def clean_corpus(
     cfg = config or CleanConfig()
     stats: dict[str, int | None] = {}
     cur = df.where(F.col(text_col).isNotNull())
+    cached: list[DataFrame] = []
 
     def _mark(stage: str, frame: DataFrame) -> DataFrame:
         if collect_stats:
+            # persist each stage boundary so stage k+1's count reuses stage
+            # k's materialization instead of recomputing the whole upstream
+            # cascade — O(stages) total work, not O(stages^2). Caches are
+            # released before returning; the returned frame stays lazy.
+            frame = frame.persist()
+            cached.append(frame)
             stats[stage] = frame.count()
         return frame
 
@@ -110,4 +117,6 @@ def clean_corpus(
             "after_sample",
             _sample_fraction(cur, cfg.sample_fraction, id_col, cfg.sample_seed),
         )
+    for frame in cached:
+        frame.unpersist()
     return cur, stats
