@@ -326,3 +326,14 @@ def test_clean_corpus_lazy_single_plan(docs_pipeline_df):
     )
     assert stats == {}  # nothing forced
     assert out.count() == 40  # 43 - dup pair {100,101} - neardup 102
+
+
+def test_sample_fraction_nesting(keyed_df):
+    """Threshold construction makes samples NESTED: the p=0.1 sample is a
+    subset of the p=0.3 sample is a subset of p=0.7 — so growing a sample
+    never resamples the corpus, it only adds rows (the property that lets a
+    pipeline scale a mixture up without invalidating prior runs)."""
+    s1 = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.1, "id").collect()}
+    s3 = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.3, "id").collect()}
+    s7 = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.7, "id").collect()}
+    assert s1 < s3 < s7
