@@ -337,3 +337,40 @@ def test_sample_fraction_nesting(keyed_df):
     s3 = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.3, "id").collect()}
     s7 = {r["id"] for r in sampling.sample_fraction(keyed_df, 0.7, "id").collect()}
     assert s1 < s3 < s7
+
+
+def test_clean_corpus_with_sampling_stage(docs_pipeline_df):
+    from profiler.clean import CleanConfig, clean_corpus
+
+    cfg = CleanConfig(
+        quality_overrides={
+            "word_count": (1, None), "stopwords": (0, None),
+            "alpha_words": (0.0, None), "mean_word_len": (0.0, None),
+            "symbol_ratio": (None, 1.0),
+        },
+        neardup_threshold=0.8,
+        sample_fraction=0.5,
+    )
+    out, stats = clean_corpus(docs_pipeline_df, config=cfg, collect_stats=True)
+    assert stats["after_neardup"] == 40
+    # deterministic sample of the cleaned corpus; repeat gives the same rows
+    ids1 = {r["doc_id"] for r in out.collect()}
+    out2, _ = clean_corpus(docs_pipeline_df, config=cfg)
+    assert {r["doc_id"] for r in out2.collect()} == ids1
+    assert stats["after_sample"] == len(ids1) < 40
+
+
+def test_packing_efficiency_empty_and_monotone(spark):
+    from profiler.text import packing_efficiency
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert packing_efficiency(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(20)],
+        "doc_id int, text string",
+    )
+    rows = {r["context_len"]: r for r in packing_efficiency(docs, (8, 64, 512)).collect()}
+    # same corpus at every L; per-doc padding waste grows with L
+    assert rows[8]["total_tokens"] == rows[512]["total_tokens"]
+    assert rows[8]["efficiency"] >= rows[64]["efficiency"] >= rows[512]["efficiency"]
+    assert rows[512]["n_chunks"] == 20  # every doc fits one 512 chunk
