@@ -26,7 +26,7 @@ from profiler.constraints import (
     not_null,
     row_predicate,
 )
-from profiler.drift import drift_between, drift_report
+from profiler.drift import data_diff, data_diff_rows, drift_between, drift_report
 from profiler.report import assemble_profile_document
 from profiler.dedup import (
     apply_exact_dedup,
@@ -56,6 +56,7 @@ from profiler.text import (
     quality_filter,
     score_quality,
     scrub_pii,
+    vocabulary_coverage,
 )
 from profiler.sampling import (
     mixture_weights,
@@ -66,6 +67,7 @@ from profiler.sampling import (
     train_eval_split,
 )
 from profiler.clean import CleanConfig, clean_corpus
+from profiler.sequence import gap_stats, transition_matrix, transition_violations
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
@@ -94,6 +96,12 @@ __all__ = [
     "row_predicate",
     "drift_report",
     "drift_between",
+    "data_diff",
+    "data_diff_rows",
+    "transition_matrix",
+    "transition_violations",
+    "gap_stats",
+    "vocabulary_coverage",
     "assemble_profile_document",
     "exact_dedup",
     "apply_exact_dedup",

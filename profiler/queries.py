@@ -2937,3 +2937,160 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# ===========================================================================
+# H. Sequence structure + snapshot diff + vocabulary (round 2c)
+# ===========================================================================
+@_register(
+    "q56_transition_matrix",
+    """
+    WITH e AS (
+      SELECT event_type AS state,
+             coalesce(
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+               '__end__') AS next_state
+      FROM events
+    ),
+    c AS (SELECT state, next_state, count(*) AS n FROM e GROUP BY 1, 2)
+    SELECT state, next_state, n,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY state), 4)
+             AS frac
+    FROM c ORDER BY state, next_state
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role/state transition matrix (profiler.sequence.transition_matrix):
+    first-order Markov transition counts + row-normalized probabilities over
+    per-user ordered event sequences, with the terminal __end__ edge so
+    marginals reconcile with row counts. The transcripts-table use is the
+    role-sequence structural check (which role may follow which) that no
+    per-column profile can see. One window lead keyed on the bucketing
+    column + a |states|²-domain aggregate collapsed map-side."""
+    from profiler.sequence import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, key_col="user_id", order_cols=("ts", "event_id"),
+        state_col="event_type",
+    )
+
+
+@_register(
+    "q57_gap_stats",
+    """
+    WITH g AS (
+      SELECT event_type AS by,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT by, count(*) AS n_gaps,
+           ROUND(avg(gap_s), 4) AS avg_gap_s,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s,
+           CAST(quantile_cont(gap_s, 0.5) AS DOUBLE) AS p50_gap_s,
+           CAST(count(*) FILTER (WHERE gap_s < 0) AS BIGINT) AS n_negative
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY by ORDER BY by
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn latency statistics (profiler.sequence.gap_stats): seconds
+    between each event and its predecessor within the same user, aggregated
+    by the responding event's type — the "how long does the assistant take
+    to reply" profile for transcripts, with n_negative counting
+    ts-order-vs-sequence-order disagreements (a referential-integrity
+    signal). One window lag + a |types|-row aggregate."""
+    from profiler.sequence import gap_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_stats(
+        ev, key_col="user_id", ts_col="ts",
+        order_cols=("ts", "event_id"), by_col="event_type",
+    )
+
+
+@_register(
+    "q58_data_diff",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 100 < 97
+    ),
+    a AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END
+               AS value
+      FROM events WHERE event_id % 100 >= 3
+    ),
+    j AS (
+      SELECT CASE WHEN b.event_id IS NULL THEN 'added'
+                  WHEN a.event_id IS NULL THEN 'removed'
+                  WHEN (b.event_type IS DISTINCT FROM a.event_type)
+                    OR (b.value IS DISTINCT FROM a.value) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+    )
+    SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (profiler.drift.data_diff): added / removed /
+    changed / unchanged counts between two snapshots of the events table
+    (before = id%100<97, after = id%100>=3 with value perturbed on id%11=0).
+    Complements schema_diff (metadata-only) and the KS/PSI drift sketch
+    (statistical) with exact row accounting: each side projects to
+    (key, md5 row fingerprint) BEFORE the full-outer join, so the shuffle
+    carries ~48 bytes/row however wide the table is."""
+    from profiler.drift import data_diff
+
+    ev = _t(spark, sf_dir, "events")
+    before = ev.where(F.col("event_id") % 100 < 97)
+    after = ev.where(F.col("event_id") % 100 >= 3).withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return data_diff(
+        before, after, key_cols=["event_id"],
+        compare_cols=["event_type", "value"],
+    )
+
+
+@_register(
+    "q59_vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vc AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vc),
+    top AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT)
+               AS rank
+      FROM vc ORDER BY n DESC, token ASC LIMIT 25
+    )
+    SELECT rank, token, n,
+           ROUND(n / total, 6) AS frac,
+           ROUND(sum(n) OVER (ORDER BY rank) / total, 6) AS cum_frac
+    FROM top, tot ORDER BY rank
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve (profiler.text.
+    vocabulary_coverage): top-25 corpus tokens with rank, count, corpus
+    frequency, and cumulative coverage — the vocabulary-size planning curve
+    for a BPE/tokenizer build. Token counts collapse map-side; the global
+    top-k is a TakeOrdered; the rank/cumsum window runs over the 25-row
+    result only."""
+    from profiler.text import vocabulary_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_coverage(d, top_k=25)

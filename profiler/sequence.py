@@ -1,0 +1,165 @@
+"""Ordered-sequence analytics over conversation-shaped tables: role/state
+transition matrices, inter-turn latency statistics, and forbidden-transition
+violations.
+
+These are the transcript-native structural checks the north rule's
+constraint-validation engine needs beyond per-column stats: a transcripts
+table (conv_id, turn_idx, role, ts) has *sequence* invariants — which role
+may follow which, how long turns take — that no per-column profile sees.
+The reference profiler has per-column ordering analytics only (timeseries
+gaps, reference ``tabular_timeseries/profiler.py:459-533``); the transition
+matrix / latency layer is this engine's extension of that idea to keyed
+multi-turn sequences.
+
+Scale design: every function here is ONE window pass partitioned by the
+conversation key (the table's natural bucketing column, so an Iceberg table
+bucketed by conv_id shuffles nothing) followed by a map-side-combinable
+aggregation over a tiny result domain (|roles|² cells, |roles| rows). No
+``collect``; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Synthetic state labels for sequence boundaries: the transition OUT of the
+#: last turn goes to END; prepending START is the caller's choice via
+#: include_start (a conversation-opening-role distribution falls out of it).
+END_STATE = "__end__"
+START_STATE = "__start__"
+
+
+def _seq_window(key_col: str, order_cols: Sequence[str]) -> Window:
+    return Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+    include_end: bool = True,
+    include_start: bool = False,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key ordered sequences:
+    one row per (state, next_state) with ``n`` transitions and ``frac``, the
+    row-normalized probability (4 decimals, deterministic).
+
+    ``include_end`` adds each key's final state → ``__end__`` transition, so
+    every observed turn contributes exactly one outgoing edge and marginals
+    reconcile with row counts. ``include_start`` adds ``__start__`` → first
+    state edges (the conversation-opening distribution).
+
+    Plan: one window ``lead`` partitioned by the conversation key (the
+    shuffle is on the table's bucketing column), then a groupBy over the
+    |states|²-sized domain — partial aggregation collapses the edges
+    map-side, so the final shuffle moves at most |states|² rows per task
+    regardless of corpus size.
+    """
+    w = _seq_window(key_col, order_cols)
+    nxt = F.lead(F.col(state_col)).over(w)
+    edges = df.select(
+        F.col(state_col).alias("state"),
+        (F.coalesce(nxt, F.lit(END_STATE)) if include_end else nxt).alias(
+            "next_state"
+        ),
+    ).where(F.col("next_state").isNotNull())
+    if include_start:
+        rn = F.row_number().over(w)
+        first = (
+            df.select(F.col(key_col), F.col(state_col), rn.alias("__rn"))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.lit(START_STATE).alias("state"),
+                F.col(state_col).alias("next_state"),
+            )
+        )
+        edges = edges.unionByName(first)
+    counts = edges.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("state")
+    return (
+        counts.withColumn(
+            "frac", F.round(F.col("n") / F.sum("n").over(row_total), 4)
+        )
+        .orderBy("state", "next_state")
+    )
+
+
+def transition_violations(
+    df: DataFrame,
+    forbidden: Sequence[tuple[str, str]],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Materialized violation rows for forbidden (state → next_state) pairs —
+    e.g. ``[("assistant", "assistant")]`` flags a transcript where the
+    assistant speaks twice in a row. Returns the OFFENDING turn (the first of
+    the pair): key, order columns, state, next_state.
+
+    Same single window pass as :func:`transition_matrix`; the forbidden set
+    is tiny and becomes one disjunction of literal predicates evaluated
+    map-side after the window — no join.
+    """
+    w = _seq_window(key_col, order_cols)
+    nxt = F.lead(F.col(state_col)).over(w)
+    pred = F.lit(False)
+    for a, b in forbidden:
+        pred = pred | ((F.col(state_col) == a) & (F.col("next_state") == b))
+    return (
+        df.select(
+            key_col,
+            *order_cols,
+            F.col(state_col).alias("state"),
+            nxt.alias("next_state"),
+        )
+        .where(pred)
+        .orderBy(key_col, *order_cols)
+    )
+
+
+def gap_stats(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+    by_col: str | None = None,
+) -> DataFrame:
+    """Inter-turn latency statistics: the gap (seconds) between each turn
+    and its predecessor within the same key, aggregated per ``by_col`` (e.g.
+    the RESPONDING turn's role — "how long does the assistant take to
+    reply?") or globally when ``by_col`` is None.
+
+    Output: (by, n_gaps, avg_gap_s, min_gap_s, max_gap_s, p50_gap_s,
+    n_negative) — ``n_negative`` counts out-of-order timestamps, a
+    referential-integrity signal in its own right (ts order disagreeing with
+    turn order).
+
+    ``order_cols`` defaults to the timestamp itself plus no tie-break; pass
+    the turn index explicitly when ts has duplicates. One window pass keyed
+    on the bucketing column; the aggregate domain is |by| rows. p50 is the
+    exact median at test scale via ``percentile`` — swap for
+    ``percentile_approx`` at cluster scale (same call shape).
+    """
+    order = list(order_cols) if order_cols else [ts_col]
+    w = _seq_window(key_col, order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    by: list[Column] = [F.col(by_col).alias("by")] if by_col else []
+    gaps = df.select(*by, gap).where(F.col("gap_s").isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.expr("CAST(percentile(gap_s, 0.5) AS DOUBLE)").alias("p50_gap_s"),
+        F.sum((F.col("gap_s") < 0).cast("long")).alias("n_negative"),
+    ]
+    if by_col:
+        return gaps.groupBy("by").agg(*aggs).orderBy("by")
+    return gaps.agg(*aggs)

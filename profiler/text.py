@@ -11,7 +11,7 @@ an import guard because model libs aren't in this environment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from profiler.dedup import shingles_expr, tokens_expr
 
@@ -433,6 +433,47 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text", top_k: int = 20) -
         }
     finally:
         vc.unpersist()
+
+
+def vocabulary_coverage(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Tokenizer-vocabulary planning: the top-k corpus tokens with their
+    rank, count, corpus frequency, and CUMULATIVE coverage — "a k-entry
+    vocabulary covers X% of all token occurrences", the curve a BPE/vocab
+    size decision reads off. Ties broken (count desc, token asc) so the
+    result is deterministic.
+
+    One pure DataFrame program (oracle-checkable): token counts collapse
+    map-side under partial aggregation (shuffle ≤ vocab-per-partition), the
+    global top-k is a TakeOrdered, and the rank/cumsum window runs over the
+    k-row result — the unpartitioned window is safe precisely because its
+    input is already ≤ top_k rows. The corpus total joins in as a broadcast
+    scalar."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    vc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vc.agg(F.sum("n").alias("__total"))
+    top = vc.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("__total"),
+                6,
+            ).alias("cum_frac"),
+        )
+        .orderBy("rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,159 @@
+"""Sequence analytics (transition matrix / gaps), row-level data diff, and
+vocabulary coverage."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from profiler.drift import data_diff, data_diff_rows
+from profiler.sequence import (
+    END_STATE,
+    START_STATE,
+    gap_stats,
+    transition_matrix,
+    transition_violations,
+)
+from profiler.text import vocabulary_coverage
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    # two conversations with a known role script, one single-turn conv
+    rows = [
+        ("c1", 0, "user", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "2024-01-01 00:00:05"),
+        ("c1", 2, "user", "2024-01-01 00:00:30"),
+        ("c1", 3, "assistant", "2024-01-01 00:00:33"),
+        ("c2", 0, "user", "2024-01-01 01:00:00"),
+        ("c2", 1, "assistant", "2024-01-01 01:00:02"),
+        ("c2", 2, "assistant", "2024-01-01 01:00:02"),  # double-reply
+        ("c3", 0, "user", "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_transition_matrix_counts_and_marginals(convs):
+    tm = transition_matrix(convs)
+    d = {(r["state"], r["next_state"]): r["n"] for r in tm.collect()}
+    assert d[("user", "assistant")] == 3
+    assert d[("assistant", "user")] == 1
+    assert d[("assistant", "assistant")] == 1
+    assert d[("assistant", END_STATE)] == 2
+    assert d[("user", END_STATE)] == 1
+    # every turn emits exactly one outgoing edge
+    assert sum(d.values()) == convs.count()
+    # row-normalized fracs sum to ~1 per state
+    fr = tm.groupBy("state").agg(F.sum("frac").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in fr)
+
+
+def test_transition_matrix_start_edges(convs):
+    tm = transition_matrix(convs, include_start=True)
+    d = {(r["state"], r["next_state"]): r["n"] for r in tm.collect()}
+    assert d[(START_STATE, "user")] == 3  # all three convs open with user
+
+
+def test_transition_violations_flags_double_reply(convs):
+    v = transition_violations(convs, [("assistant", "assistant")])
+    rows = v.collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("c2", 1)]
+    assert rows[0]["state"] == "assistant" and rows[0]["next_state"] == "assistant"
+
+
+def test_gap_stats_global_and_by_role(convs):
+    g = gap_stats(convs, order_cols=("ts", "turn_idx")).collect()[0]
+    # gaps: c1 = 5,25,3; c2 = 2,0  (single-turn c3 contributes none)
+    assert g["n_gaps"] == 5
+    assert g["min_gap_s"] == 0 and g["max_gap_s"] == 25
+    assert g["avg_gap_s"] == 7.0
+    assert g["n_negative"] == 0
+    by = {
+        r["by"]: r
+        for r in gap_stats(
+            convs, order_cols=("ts", "turn_idx"), by_col="role"
+        ).collect()
+    }
+    # responding-role view: assistant gaps = 5,3,2,0 ; user gaps = 25
+    assert by["assistant"]["n_gaps"] == 4 and by["user"]["n_gaps"] == 1
+    assert by["assistant"]["avg_gap_s"] == 2.5
+    assert by["user"]["max_gap_s"] == 25
+
+
+def test_gap_stats_counts_out_of_order_timestamps(spark):
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:10"),
+        ("c1", 1, "2024-01-01 00:00:05"),  # ts goes backwards vs turn order
+        ("c1", 2, "2024-01-01 00:00:20"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    g = gap_stats(df, order_cols=("turn_idx",)).collect()[0]
+    assert g["n_gaps"] == 2 and g["n_negative"] == 1
+    assert g["min_gap_s"] == -5
+
+
+# ---------------------------------------------------------------------------
+# data_diff
+# ---------------------------------------------------------------------------
+def test_data_diff_statuses(spark):
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id int, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 30.0), (4, None, 4.0), (5, "e", 5.0)],
+        "id int, s string, v double",
+    )
+    d = {r["status"]: r["n"] for r in data_diff(before, after, ["id"]).collect()}
+    # 1 removed; 5 added; 3 changed (v), 4 changed (s NULL vs 'd'); 2 unchanged
+    # (NULL == NULL under the null-safe fingerprint)
+    assert d == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+    rows = data_diff_rows(
+        before, after, ["id"], include_unchanged=False
+    ).collect()
+    assert {r["id"]: r["status"] for r in rows} == {
+        1: "removed", 3: "changed", 4: "changed", 5: "added",
+    }
+
+
+def test_data_diff_null_sentinel_positions_do_not_collide(spark):
+    # (NULL,"x") vs ("x",NULL) must be CHANGED, not unchanged
+    before = spark.createDataFrame([(1, None, "x")], "id int, a string, b string")
+    after = spark.createDataFrame([(1, "x", None)], "id int, a string, b string")
+    d = {r["status"]: r["n"] for r in data_diff(before, after, ["id"]).collect()}
+    assert d == {"changed": 1}
+
+
+def test_data_diff_identical_snapshots(spark, clean_df):
+    d = {
+        r["status"]: r["n"]
+        for r in data_diff(
+            clean_df, clean_df, ["conv_id", "turn_idx"]
+        ).collect()
+    }
+    assert set(d) == {"unchanged"} and d["unchanged"] == clean_df.count()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage
+# ---------------------------------------------------------------------------
+def test_vocabulary_coverage_curve(spark):
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b   c d",), (None,)], "text string"
+    )
+    rows = vocabulary_coverage(df, top_k=3).collect()
+    assert [(r["rank"], r["token"], r["n"]) for r in rows] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 2),
+    ]
+    # 10 tokens total: coverage 0.4 -> 0.7 -> 0.9, monotone
+    assert [r["cum_frac"] for r in rows] == [0.4, 0.7, 0.9]
+    assert rows[0]["frac"] == 0.4
+
+
+def test_vocabulary_coverage_tie_break_deterministic(spark):
+    df = spark.createDataFrame([("z y x z y x",)], "text string")
+    rows = vocabulary_coverage(df, top_k=2).collect()
+    assert [r["token"] for r in rows] == ["x", "y"]  # count ties -> token asc
