@@ -23,8 +23,10 @@ from profiler.constraints import (
     unique_key,
     dense_sequence,
     domain,
+    forbidden_transition,
     not_null,
     row_predicate,
+    ts_order_agrees,
 )
 from profiler.drift import data_diff, data_diff_rows, drift_between, drift_report
 from profiler.report import assemble_profile_document
@@ -94,6 +96,8 @@ __all__ = [
     "domain",
     "not_null",
     "row_predicate",
+    "forbidden_transition",
+    "ts_order_agrees",
     "drift_report",
     "drift_between",
     "data_diff",

@@ -231,6 +231,77 @@ def row_predicate(name: str, sql_predicate: str) -> Constraint:
     return Constraint(name, fn, row_parts=_parts)
 
 
+def forbidden_transition(
+    forbidden: Sequence[tuple[str, str]],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+    name: str | None = None,
+) -> Constraint:
+    """Sequence-structure constraint: no (state → next_state) pair from
+    ``forbidden`` may occur within a key's ordered sequence (e.g.
+    ``[("assistant", "assistant")]`` forbids double replies). Violation rows
+    are the first turn of each offending pair, with state/next_state
+    evidence. One window ``lead`` keyed on the conversation bucketing column
+    + a literal-disjunction filter — no join, no second scan
+    (profiler.sequence.transition_violations is the standalone query form).
+    """
+    pairs = ", ".join(f"{a}->{b}" for a, b in forbidden)
+    cname = name or f"forbidden_transition({pairs})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        from profiler.sequence import _seq_window
+
+        w = _seq_window(key_col, order_cols)
+        nxt = F.lead(F.col(state_col)).over(w)
+        pred = F.lit(False)
+        for a, b in forbidden:
+            pred = pred | ((F.col(state_col) == a) & (F.col("__next") == b))
+        flagged = df.select(
+            part.cast("string").alias("__p"),
+            *(F.col(c) for c in (key_col, *order_cols, state_col)),
+            nxt.alias("__next"),
+        ).where(pred)
+        keys = {c: F.col(c) for c in (key_col, *order_cols)}
+        details = {"state": F.col(state_col), "next_state": F.col("__next")}
+        return _violations_schema_select(flagged, cname, F.col("__p"), keys, details)
+
+    return Constraint(cname, fn)
+
+
+def ts_order_agrees(
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+    name: str | None = None,
+) -> Constraint:
+    """Referential-integrity constraint between the two orderings a
+    transcripts table carries: within each key, the timestamp must be
+    non-decreasing along the sequence order (a turn recorded EARLIER than
+    its predecessor means the turn index and the clock disagree). Violation
+    rows carry both timestamps and the negative gap. Same one-window-pass
+    shape as :func:`forbidden_transition`."""
+    cname = name or f"ts_order({ts_col} along {','.join(order_cols)})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        from profiler.sequence import _seq_window
+
+        w = _seq_window(key_col, order_cols)
+        epoch = F.unix_timestamp(F.col(ts_col))
+        prev = F.lag(epoch).over(w)
+        flagged = df.select(
+            part.cast("string").alias("__p"),
+            *(F.col(c) for c in (key_col, *order_cols)),
+            F.col(ts_col).cast("string").alias("__ts"),
+            (epoch - prev).alias("__gap_s"),
+        ).where(F.col("__gap_s") < 0)
+        keys = {c: F.col(c) for c in (key_col, *order_cols)}
+        details = {"ts": F.col("__ts"), "gap_s": F.col("__gap_s")}
+        return _violations_schema_select(flagged, cname, F.col("__p"), keys, details)
+
+    return Constraint(cname, fn)
+
+
 # --------------------------------------------------------------------------
 # Suite runner
 # --------------------------------------------------------------------------
@@ -360,9 +431,16 @@ class ConstraintSuite:
 def transcripts_suite(
     role_domain: Sequence[str] = ("system", "user", "assistant", "tool"),
     tool_domain: Sequence[str] = ("search", "code", "browser", "none"),
+    forbidden_transitions: Sequence[tuple[str, str]] | None = None,
+    check_ts_order: bool = False,
 ) -> ConstraintSuite:
-    """The standard suite for the transcripts table (BASELINE.json)."""
-    return ConstraintSuite(
+    """The standard suite for the transcripts table (BASELINE.json).
+
+    Sequence-structure checks are opt-in (``forbidden_transitions`` /
+    ``check_ts_order``) so the default suite's cost — the workload behind the
+    turns/s-validated headline number tracked across rounds — stays
+    comparable; each opt-in adds one window pass over the conv_id shuffle."""
+    suite = ConstraintSuite(
         constraints=[
             unique_key(["conv_id", "turn_idx"]),
             dense_sequence("conv_id", "turn_idx"),
@@ -372,3 +450,8 @@ def transcripts_suite(
         ],
         partition_expr="CAST(to_date(ts) AS STRING)",
     )
+    if forbidden_transitions:
+        suite.add(forbidden_transition(list(forbidden_transitions)))
+    if check_ts_order:
+        suite.add(ts_order_agrees())
+    return suite

@@ -189,3 +189,76 @@ def test_per_turn_text_equality_invariant(clean_df):
         ).collect()
     ]
     assert before == after
+
+
+def test_forbidden_transition_planted(spark):
+    """Plant one assistant->assistant double reply; the constraint flags
+    exactly the first turn of the offending pair with state evidence."""
+    import datetime as dt
+
+    from profiler.constraints import forbidden_transition
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        ("c1", 0, "user", "q", None, base),
+        ("c1", 1, "assistant", "a", None, base + dt.timedelta(seconds=1)),
+        ("c1", 2, "assistant", "a2", None, base + dt.timedelta(seconds=2)),
+        ("c1", 3, "user", "q2", None, base + dt.timedelta(seconds=3)),
+        ("c2", 0, "user", "q", None, base),
+        ("c2", 1, "assistant", "a", None, base + dt.timedelta(seconds=1)),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    suite = transcripts_suite(forbidden_transitions=[("assistant", "assistant")])
+    res = suite.validate(df)
+    v = [
+        dict(r["keys"]) | dict(r["details"])
+        for r in res.violations.collect()
+        if r["constraint"].startswith("forbidden_transition")
+    ]
+    assert v == [
+        {"conv_id": "c1", "turn_idx": "1", "state": "assistant", "next_state": "assistant"}
+    ]
+    # last turn of a conversation never pairs with the next conversation
+    assert res.violations.where(
+        F.col("constraint").startswith("forbidden_transition")
+    ).count() == 1
+
+
+def test_ts_order_agrees_planted(spark):
+    """Plant one clock regression (turn 2 recorded before turn 1); the
+    constraint reports that turn with the negative gap in seconds."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        ("c1", 0, "user", "q", None, base),
+        ("c1", 1, "assistant", "a", None, base + dt.timedelta(seconds=10)),
+        ("c1", 2, "user", "q2", None, base + dt.timedelta(seconds=5)),
+        ("c2", 0, "user", "q", None, base),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    res = transcripts_suite(check_ts_order=True).validate(df)
+    v = [
+        dict(r["keys"]) | dict(r["details"])
+        for r in res.violations.collect()
+        if r["constraint"].startswith("ts_order")
+    ]
+    assert len(v) == 1
+    assert v[0]["conv_id"] == "c1" and v[0]["turn_idx"] == "2"
+    assert v[0]["gap_s"] == "-5"
+
+
+def test_transcripts_suite_default_unchanged(clean_df):
+    """Opt-in sequence checks must not alter the default suite's constraint
+    set (the cross-round headline workload)."""
+    default_names = {c.name for c in transcripts_suite().constraints}
+    extended = transcripts_suite(
+        forbidden_transitions=[("assistant", "assistant")], check_ts_order=True
+    )
+    assert {c.name for c in extended.constraints} - default_names == {
+        "forbidden_transition(assistant->assistant)",
+        "ts_order(ts along turn_idx)",
+    }
+    assert extended.validate(clean_df).passed()
