@@ -35,6 +35,8 @@ from profiler.dedup import (
     apply_neardup_dedup,
     connected_components,
     exact_dedup,
+    fingerprint_index,
+    incremental_dedup,
     minhash_lsh_dedup,
     neardup_clusters,
     simhash64,
@@ -43,6 +45,7 @@ from profiler.dedup import (
 from profiler.similarity import (
     apply_semantic_dedup,
     brute_force_topk,
+    embedding_health,
     ivf_topk,
     lsh_topk,
     neardup_pairs,
@@ -62,6 +65,7 @@ from profiler.text import (
 )
 from profiler.sampling import (
     mixture_weights,
+    weighted_sample,
     sample_by_strata,
     sample_fraction,
     shard_expr,
@@ -70,9 +74,16 @@ from profiler.sampling import (
 )
 from profiler.clean import CleanConfig, clean_corpus
 from profiler.sequence import gap_stats, transition_matrix, transition_violations
+from profiler.joins import asof_join, fk_check, range_join
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
-from profiler.timeseries import gap_section, prepare_ts_index, series_extras, series_stats
+from profiler.timeseries import (
+    gap_section,
+    hypertable_rollup,
+    prepare_ts_index,
+    series_extras,
+    series_stats,
+)
 from profiler.streaming import streaming_dedup, streaming_profile, streaming_violations
 from profiler.checkpoint import CatalogCheckpointStore, ParquetCheckpointStore
 from profiler.run import run_full, run_validation
@@ -108,6 +119,8 @@ __all__ = [
     "vocabulary_coverage",
     "assemble_profile_document",
     "exact_dedup",
+    "fingerprint_index",
+    "incremental_dedup",
     "apply_exact_dedup",
     "apply_neardup_dedup",
     "connected_components",
@@ -119,6 +132,12 @@ __all__ = [
     "sample_by_strata",
     "train_eval_split",
     "mixture_weights",
+    "weighted_sample",
+    "asof_join",
+    "range_join",
+    "fk_check",
+    "hypertable_rollup",
+    "embedding_health",
     "packing_efficiency",
     "streaming_dedup",
     "shard_expr",

@@ -485,3 +485,56 @@ def simhash_candidates(
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) exact dedup
+# ---------------------------------------------------------------------------
+def fingerprint_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct ``(fingerprint, first_id)`` index of a corpus — the
+    carry-forward state for :func:`incremental_dedup`. One groupBy on the
+    16-byte md5 digest; at 100 TB persist it as a table BUCKETED BY
+    fingerprint so every future batch's anti-join co-partitions without a
+    full index shuffle."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .agg(F.min(F.col(id_col)).alias("first_id"))
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a NEW ingest batch against everything already accepted:
+    returns ``(survivors, updated_index)``. A batch row survives iff it is
+    the min-id first occurrence of its text within the batch AND its
+    fingerprint is absent from ``index`` (null-text rows pass through,
+    matching :func:`apply_exact_dedup`). ``updated_index`` is ``index``
+    plus the survivors' fingerprints — feed it to the next batch.
+
+    This is the continuous-ingest shape of exact dedup: the historical
+    corpus is never rescanned — only its fingerprint index (16 bytes + id
+    per distinct text) is touched. Plan: within-batch survivor map (groupBy
+    fingerprint), then ONE left-anti join of the batch against the index on
+    the constant-width digest; both shuffle keys are 16-byte binaries, and
+    a fingerprint-bucketed index table makes the anti-join exchange-free on
+    the index side.
+    """
+    deduped = apply_exact_dedup(batch, text_col=text_col, id_col=id_col)
+    fp = F.md5(F.col(text_col).cast("binary"))
+    with_fp = deduped.withColumn("__fp", fp)
+    # null-text rows have a NULL fingerprint: a NULL key never equi-matches,
+    # so the anti-join passes them through on its own
+    survivors = with_fp.join(
+        index.select(F.col("fingerprint").alias("__fp")), "__fp", "left_anti"
+    ).drop("__fp")
+    updated = index.unionByName(
+        fingerprint_index(survivors, text_col=text_col, id_col=id_col)
+    )
+    return survivors, updated

@@ -1,0 +1,312 @@
+"""Temporal and referential join operators: as-of join, interval (range)
+join, multi-resolution rollup support, and foreign-key integrity checks.
+
+Training-data-pipeline extension (not in the reference, which joins nothing
+— it profiles one table at a time). These are the joins a transcript/event
+warehouse needs that vanilla equi-join doesn't cover:
+
+* **asof_join** — each left row picks the latest right row at-or-before its
+  timestamp (per key). The classic implementations are a range join (O(n·m)
+  pair blowup) or a per-key sorted merge in Python; both die at 100 TB.
+  Here: tag the two sides, UNION them (no join node at all!), and run ONE
+  window pass partitioned by key ordered by (ts, side) with
+  ``last(payload, ignorenulls=True)`` — every left row inherits the most
+  recent right payload. Cost = one shuffle of |L|+|R| rows on the key (the
+  table's natural bucketing column → a bucketed layout shuffles nothing),
+  then a linear scan per key. No pair materialization ever exists.
+* **range_join** — match events into [start, end) intervals without the
+  O(n·m) cross product: both sides are mapped to coarse time buckets
+  (intervals explode to the few buckets they span), equi-joined on
+  (key, bucket) — Catalyst runs a plain shuffled/broadcast hash join — and
+  the exact containment predicate filters the residual. An event lives in
+  exactly one bucket, so each qualifying (event, interval) pair is produced
+  exactly once; no dedup needed.
+* **fk_check** — referential-integrity summary between a fact and a
+  dimension. Both sides collapse to DISTINCT-key cardinality BEFORE the
+  join (child keys carry their row counts), so the join input is |keys|,
+  not |rows|; AQE broadcasts the dimension side when it is small.
+
+All operators are pure DataFrame programs — no ``collect``, no Python UDF,
+no per-row driver work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Internal column names; double-underscore-prefixed to dodge user columns.
+_T = "__asof_t"
+_SIDE = "__asof_is_left"
+_PAY = "__asof_payload"
+_MATCH = "__asof_match"
+
+
+def _keys(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _us(col: Column) -> Column:
+    """Microseconds since epoch; the cast admits TIMESTAMP_NTZ columns
+    (parquet writers commonly emit NTZ — both sides go through the same
+    session-zone interpretation, so bucket/lag arithmetic stays consistent)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``) or the
+    smallest ``right_ts`` >= ``left_ts`` (``"forward"``), within the same
+    ``on`` key. Left rows with no match keep NULL right columns (left
+    outer semantics). Right payload columns keep their names unless they
+    collide with a left column, in which case ``suffix`` is appended; the
+    matched right timestamp is always emitted as ``f"{right_ts}{suffix}"``.
+
+    ``tolerance_seconds`` optionally voids matches further than that many
+    seconds away (like pandas ``merge_asof(tolerance=...)``).
+
+    Determinism: if several right rows share the winning timestamp within a
+    key, the one whose payload sorts last (backward) / the one encountered
+    first in (ts, payload) order (forward) wins — callers that need a
+    specific winner should pre-aggregate ``right`` to one row per
+    (key, ts), which also shrinks the unioned input.
+
+    Scale design: the two sides are unioned (``unionByName`` with missing
+    columns null-filled), shuffled ONCE on the key, and resolved by a
+    single window ``last``/``first`` with ``ignorenulls`` over the tagged
+    stream — the textbook "union + last known value" plan. Right payloads
+    ride inside one struct so a right row whose payload fields are all NULL
+    is still distinguishable from "no right row yet". Nothing here is
+    O(|L|·|R|); memory per task is one window frame row. A heavily skewed
+    key (one conversation with 10^8 turns) serializes within its partition
+    — pre-bucket by (key, coarse time) and as-of within buckets if that is
+    a real shape in your data.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _keys(on)
+    right_ts = right_ts or left_ts
+    reserved = {_T, _SIDE, _PAY}
+    if reserved & set(left.columns) or reserved & set(right.columns):
+        raise ValueError(f"input columns collide with internal names {reserved}")
+
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_name = {
+        c: (c + suffix if c in left.columns else c) for c in (right_ts, *payload_cols)
+    }
+
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.struct(
+            F.col(right_ts).alias(out_name[right_ts]),
+            *[F.col(c).alias(out_name[c]) for c in payload_cols],
+        ).alias(_PAY),
+    )
+    l2 = left.select(*left.columns, F.col(left_ts).alias(_T), F.lit(1).alias(_SIDE))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    if direction == "backward":
+        # at equal ts the right row (side 0) sorts first → visible to the left row
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_PAY).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last(_PAY, ignorenulls=True).over(w)
+    else:
+        # at equal ts the right row sorts after the left row → inside the frame
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_T).asc(), F.col(_SIDE).desc(), F.col(_PAY).asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first(_PAY, ignorenulls=True).over(w)
+
+    if tolerance_seconds is not None:
+        lag = _us(F.col(_T)) - _us(matched.getField(out_name[right_ts]))
+        if direction == "forward":
+            lag = -lag
+        matched = F.when(lag <= F.lit(int(tolerance_seconds * 1_000_000)), matched)
+
+    # window FIRST, then keep left rows — filtering earlier would delete the
+    # right rows the window is supposed to read
+    resolved = u.withColumn(_MATCH, matched).where(F.col(_SIDE) == 1)
+    return resolved.select(
+        *left.columns,
+        *[
+            F.col(_MATCH).getField(out_name[c]).alias(out_name[c])
+            for c in (right_ts, *payload_cols)
+        ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: str | Sequence[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: pair each left row with every interval whose
+    ``[start_col, end_col)`` contains its ``ts_col`` (and whose ``on`` keys
+    match, if given). Intervals where ``end <= start`` are dropped (empty
+    by the half-open contract).
+
+    Scale design: the naive plan is a broadcast-nested-loop or sort-merge
+    range join — O(|L|·|I|) comparisons. Instead both sides get a coarse
+    time-bucket column (``floor(unix_micros / bucket)``); each interval
+    EXPLODES into the buckets it spans while each event maps to exactly one
+    bucket, so a plain hash equi-join on (keys…, bucket) produces each
+    qualifying pair exactly once and the exact containment predicate only
+    filters residual near-misses inside shared buckets. Pick
+    ``bucket_seconds`` ≈ the typical interval length: the explosion factor
+    is ~(interval_len / bucket + 1) and the join fan-in per bucket is what
+    a 100 TB run shuffles — both stay O(1) per row when the bucket matches
+    the data's time scale. AQE handles hot buckets (skew-join split).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys = _keys(on) if on is not None else []
+    step = F.lit(int(bucket_seconds) * 1_000_000)
+
+    # interval side: join keys under internal names, start/end/payload
+    # suffixed "_i" where they collide with a left column, exploded bucket
+    payload = [c for c in intervals.columns if c not in (*keys, start_col, end_col)]
+    iname = {
+        c: (f"{c}_i" if c in left.columns else c)
+        for c in (start_col, end_col, *payload)
+    }
+    ib = intervals.where(F.col(end_col) > F.col(start_col)).select(
+        *[F.col(k).alias(f"__ik_{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(iname[c]) for c in (start_col, end_col, *payload)],
+        F.explode(
+            F.sequence(
+                F.floor(_us(F.col(start_col)) / step),
+                # end is exclusive: the last contained instant is end - 1µs
+                F.floor((_us(F.col(end_col)) - 1) / step),
+            )
+        ).alias("__bucket"),
+    )
+    lb = left.withColumn("__bucket", F.floor(_us(F.col(ts_col)) / step))
+
+    cond = lb["__bucket"] == ib["__bucket"]
+    for i, k in enumerate(keys):
+        cond = cond & (lb[k] == ib[f"__ik_{i}"])
+    cond = (
+        cond
+        & (lb[ts_col] >= ib[iname[start_col]])
+        & (lb[ts_col] < ib[iname[end_col]])
+    )
+    joined = lb.join(ib, cond, how)
+    # drop-by-name removes the helper from BOTH sides
+    return joined.drop("__bucket", *[f"__ik_{i}" for i in range(len(keys))])
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: str | Sequence[str],
+    parent_keys: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Foreign-key integrity summary: one row with child/parent coverage.
+
+    Columns: ``n_child_rows`` (total), ``n_child_null_rows`` (rows with any
+    NULL key — excluded from matching, reported separately),
+    ``n_child_keys`` (distinct non-null), ``n_orphan_rows`` /
+    ``n_orphan_keys`` (child keys absent from the parent),
+    ``n_parent_keys``, ``n_parent_matched``, ``parent_coverage``
+    (matched / parent keys, 4 dp) and ``orphan_row_rate`` (4 dp).
+
+    Scale design: the child collapses to (key → row count) and the parent
+    to DISTINCT keys BEFORE the full-outer join, so the join moves |keys|
+    rows, not |rows|; the final classification is a single global
+    aggregate. With a small dimension AQE turns the join into a broadcast.
+    For the violating-ROWS form (which rows are orphans), use a left-anti
+    join against the distinct parent keys instead — same distinct-first
+    shape.
+    """
+    ck = _keys(keys)
+    pk = _keys(parent_keys) if parent_keys is not None else ck
+    if len(ck) != len(pk):
+        raise ValueError("keys and parent_keys must have the same arity")
+
+    null_pred = F.lit(False)
+    for k in ck:
+        null_pred = null_pred | F.col(k).isNull()
+
+    child_keys = (
+        child.withColumn("__null_key", null_pred)
+        .groupBy("__null_key", *ck)
+        .agg(F.count(F.lit(1)).alias("__n_rows"))
+    )
+    parent_keys_df = (
+        parent.select(*[F.col(p).alias(c) for p, c in zip(pk, ck)])
+        .na.drop()
+        .distinct()
+        .withColumn("__in_parent", F.lit(1))
+    )
+    j = child_keys.where(~F.col("__null_key")).join(parent_keys_df, ck, "full_outer")
+    nulls = child_keys.where(F.col("__null_key")).agg(
+        F.coalesce(F.sum("__n_rows"), F.lit(0)).alias("n_child_null_rows")
+    )
+
+    child_side = F.col("__n_rows").isNotNull()
+    orphan = child_side & F.col("__in_parent").isNull()
+    agg = j.agg(
+        F.coalesce(F.sum("__n_rows"), F.lit(0)).alias("n_child_nonnull_rows"),
+        F.coalesce(F.sum(child_side.cast("long")), F.lit(0)).alias("n_child_keys"),
+        F.coalesce(F.sum(F.when(orphan, F.col("__n_rows"))), F.lit(0)).alias(
+            "n_orphan_rows"
+        ),
+        F.coalesce(F.sum(orphan.cast("long")), F.lit(0)).alias("n_orphan_keys"),
+        F.coalesce(F.sum((F.col("__in_parent") == 1).cast("long")), F.lit(0)).alias(
+            "n_parent_keys"
+        ),
+        F.coalesce(
+            F.sum((child_side & (F.col("__in_parent") == 1)).cast("long")), F.lit(0)
+        ).alias("n_parent_matched"),
+    )
+    return agg.crossJoin(nulls).select(
+        (F.col("n_child_nonnull_rows") + F.col("n_child_null_rows")).alias(
+            "n_child_rows"
+        ),
+        "n_child_null_rows",
+        "n_child_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        "n_parent_keys",
+        "n_parent_matched",
+        F.round(
+            F.when(
+                F.col("n_parent_keys") > 0,
+                F.col("n_parent_matched") / F.col("n_parent_keys").cast("double"),
+            ),
+            4,
+        ).alias("parent_coverage"),
+        F.round(
+            F.when(
+                F.col("n_child_nonnull_rows") + F.col("n_child_null_rows") > 0,
+                F.col("n_orphan_rows")
+                / (F.col("n_child_nonnull_rows") + F.col("n_child_null_rows")).cast(
+                    "double"
+                ),
+            ),
+            4,
+        ).alias("orphan_row_rate"),
+    )

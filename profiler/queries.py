@@ -3094,3 +3094,363 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return vocabulary_coverage(d, top_k=25)
+
+
+# ===========================================================================
+# H. Temporal joins, rollups, and integrity (profiler.joins / timeseries)
+# ===========================================================================
+@_register(
+    "q60_asof_join",
+    """
+    WITH snaps AS (
+      SELECT user_id, ts, max(value) AS snap_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT e.user_id, e.ts AS ts, s.ts AS ts_r, s.snap_value
+      FROM events e ASOF LEFT JOIN snaps s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           count(ts_r) AS n_matched,
+           CASE WHEN count(ts_r) > 0 THEN
+             ROUND(CAST(sum(epoch_us(ts) - epoch_us(ts_r)) AS DOUBLE)
+                   / count(ts_r) / 1e6, 4) END AS avg_lag_s,
+           ROUND(CAST(sum(CAST(snap_value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_snap
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (profiler.joins.asof_join): every event picks the latest
+    signup-type event of the same user at-or-before its timestamp, then a
+    per-user rollup of match rate / mean staleness / matched snapshot sum.
+    The engine plan is union + ONE key-partitioned window ``last(...,
+    ignorenulls)`` — no join node, no pair blowup; the oracle replays it
+    with DuckDB's native ASOF LEFT JOIN. Lag sums in exact µs longs; the
+    snapshot sum in DECIMAL(18,4); single double division before round."""
+    from profiler.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    j = asof_join(ev, snaps, on="user_id", left_ts="ts", right_ts="ts")
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_r").cast("timestamp")
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("ts_r").alias("n_matched"),
+            F.sum(lag_us).alias("__lag_us"),
+            F.sum(F.col("snap_value").cast("decimal(18,4)")).alias("__snap"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_matched",
+            F.round(
+                F.when(
+                    F.col("n_matched") > 0,
+                    F.col("__lag_us").cast("double")
+                    / F.col("n_matched").cast("double")
+                    / F.lit(1e6),
+                ),
+                4,
+            ).alias("avg_lag_s"),
+            F.round(F.col("__snap").cast("double"), 2).alias("sum_snap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q61_range_join",
+    """
+    WITH iv AS (
+      SELECT event_id AS interval_id, user_id,
+             ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.interval_id,
+           count(*) AS n_events,
+           ROUND(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    GROUP BY iv.interval_id ORDER BY iv.interval_id
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (profiler.joins.range_join): each error event
+    opens a 30-minute window; count/sum the same user's events inside each
+    window. The engine plan explodes intervals into 30-minute time buckets
+    and hash-equi-joins on (user_id, bucket) + residual containment filter
+    — never the O(n·m) nested loop the oracle's inequality join implies."""
+    from profiler.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    r = range_join(ev, iv, ts_col="ts", on="user_id", bucket_seconds=1800)
+    return (
+        r.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__s"),
+        )
+        .select(
+            "interval_id",
+            "n_events",
+            F.round(F.col("__s").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+@_register(
+    "q62_hypertable_rollup",
+    """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS b, count(*) AS n_rows,
+             count(value) AS n_vals,
+             sum(CAST(value AS DECIMAL(38,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT date_trunc('hour', b) AS b, sum(n_rows) AS n_rows,
+             sum(n_vals) AS n_vals, CAST(sum(s) AS DECIMAL(38,6)) AS s,
+             min(mn) AS mn, max(mx) AS mx
+      FROM m GROUP BY 1
+    ),
+    d AS (
+      SELECT date_trunc('day', b) AS b, sum(n_rows) AS n_rows,
+             sum(n_vals) AS n_vals, CAST(sum(s) AS DECIMAL(38,6)) AS s,
+             min(mn) AS mn, max(mx) AS mx
+      FROM h GROUP BY 1
+    ),
+    u AS (
+      SELECT 'minute' AS resolution, * FROM m
+      UNION ALL SELECT 'hour', * FROM h
+      UNION ALL SELECT 'day', * FROM d
+    )
+    SELECT resolution, CAST(b AS VARCHAR) AS bucket_ts, n_rows, n_vals,
+           ROUND(CAST(s AS DOUBLE), 4) AS sum_v, mn AS min_v, mx AS max_v,
+           CASE WHEN n_vals > 0 THEN
+             ROUND(CAST(s AS DOUBLE) / CAST(n_vals AS DOUBLE), 4) END AS avg_v
+    FROM u ORDER BY resolution, bucket_ts
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (profiler.timeseries.
+    hypertable_rollup): minute → hour → day continuous-aggregate ladder
+    where each coarser level re-aggregates the previous level's partials
+    (counts/sums add in DECIMAL(38,6); min/max nest) — the raw table is
+    scanned and shuffled once, for the minute level only. The oracle builds
+    the identical ladder so re-aggregation exactness is value-checked."""
+    from profiler.timeseries import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, "ts", "value", resolutions=("minute", "hour", "day"))
+    return out.select(
+        "resolution",
+        F.col("bucket_ts").cast("string").alias("bucket_ts"),
+        "n_rows",
+        "n_vals",
+        "sum_v",
+        "min_v",
+        "max_v",
+        "avg_v",
+    ).orderBy("resolution", "bucket_ts")
+
+
+@_register(
+    "q63_fk_check",
+    """
+    WITH dirs AS (
+      SELECT 'orders->customer' AS direction,
+        (SELECT count(*) FROM orders) AS n_child_rows,
+        (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+          AS n_child_null_rows,
+        (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child_keys,
+        (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey IS NOT NULL))
+          AS n_orphan_rows,
+        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey IS NOT NULL))
+          AS n_orphan_keys,
+        (SELECT count(DISTINCT c_custkey) FROM customer) AS n_parent_keys,
+        (SELECT count(DISTINCT c_custkey) FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_parent_matched
+      UNION ALL
+      SELECT 'customer->orders',
+        (SELECT count(*) FROM customer),
+        (SELECT count(*) FROM customer WHERE c_custkey IS NULL),
+        (SELECT count(DISTINCT c_custkey) FROM customer),
+        (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_custkey IS NOT NULL)),
+        (SELECT count(DISTINCT c_custkey) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_custkey IS NOT NULL)),
+        (SELECT count(DISTINCT o_custkey) FROM orders),
+        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer))
+    )
+    SELECT direction, n_child_rows, n_child_null_rows, n_child_keys,
+           n_orphan_rows, n_orphan_keys, n_parent_keys, n_parent_matched,
+           CASE WHEN n_parent_keys > 0 THEN
+             ROUND(CAST(n_parent_matched AS DOUBLE) / n_parent_keys, 4) END
+             AS parent_coverage,
+           CASE WHEN n_child_rows > 0 THEN
+             ROUND(CAST(n_orphan_rows AS DOUBLE) / n_child_rows, 4) END
+             AS orphan_row_rate
+    FROM dirs ORDER BY direction
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (profiler.joins.fk_check) in both
+    directions of the orders↔customer FK: row/key cardinalities, orphan
+    counts, parent coverage. Both sides collapse to DISTINCT keys before
+    the full-outer classification join, so the join input is |keys| not
+    |rows|; the oracle recomputes every cell with independent scalar
+    subqueries rather than replaying the join."""
+    from profiler.joins import fk_check
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = fk_check(orders, cust, "o_custkey", "c_custkey").select(
+        F.lit("orders->customer").alias("direction"), "*"
+    )
+    b = fk_check(cust, orders, "c_custkey", "o_custkey").select(
+        F.lit("customer->orders").alias("direction"), "*"
+    )
+    return a.unionByName(b).orderBy("direction")
+
+
+@_register(
+    "q64_embedding_health",
+    """
+    WITH p AS (
+      SELECT embedding IS NULL AS is_null,
+             len(embedding) AS dim,
+             CASE WHEN embedding IS NULL THEN NULL ELSE
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> isnan(x) OR isinf(x))) > 0 END AS bad,
+             CASE WHEN embedding IS NOT NULL AND NOT
+               (len(list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> isnan(x) OR isinf(x))) > 0)
+             THEN list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x)) END AS nsq
+      FROM embeddings
+    )
+    SELECT count(*) AS n_rows,
+           coalesce(sum(CASE WHEN is_null THEN 1 END), 0) AS n_null_vec,
+           count(DISTINCT dim) AS n_dim_distinct,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           coalesce(sum(CASE WHEN bad THEN 1 END), 0) AS n_nonfinite,
+           coalesce(sum(CASE WHEN sqrt(nsq) = 0 THEN 1 END), 0) AS n_zero_vec,
+           ROUND(min(sqrt(nsq)), 4) AS norm_min,
+           ROUND(max(sqrt(nsq)), 4) AS norm_max,
+           CASE WHEN count(nsq) > 0 THEN ROUND(
+             CAST(sum(CAST(sqrt(nsq) AS DECIMAL(38,10))) AS DOUBLE)
+             / count(nsq), 4) END AS norm_avg,
+           CASE WHEN count(nsq) > 0 THEN ROUND(sqrt(greatest(
+             CAST(sum(CAST(nsq AS DECIMAL(38,10))) AS DOUBLE) / count(nsq)
+             - (CAST(sum(CAST(sqrt(nsq) AS DECIMAL(38,10))) AS DOUBLE)
+                / count(nsq))
+             * (CAST(sum(CAST(sqrt(nsq) AS DECIMAL(38,10))) AS DOUBLE)
+                / count(nsq)), 0.0)), 4) END AS norm_std
+    FROM p
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit (profiler.similarity.embedding_health):
+    dimension consistency, NaN/Inf and zero-norm vector counts, and the
+    L2-norm distribution — the pre-flight gate before any cosine/ANN pass.
+    One narrow scan; JVM higher-order folds per row; norm moments in
+    DECIMAL(38,10) so aggregation order can't change the result."""
+    from profiler.similarity import embedding_health
+
+    return embedding_health(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "q65_weighted_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) /
+               ((CAST('0x' || substr(md5('w0' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) + 1) / 4294967296.0)
+               AS pri
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(pri, 4) AS priority
+    FROM p ORDER BY pri DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (profiler.sampling.weighted_sample,
+    priority sampling à la Duffield-Lund-Thorup): k=100 documents drawn
+    with probability ∝ n_chars, membership a pure function of (seed, key,
+    weight) — retry/partitioning-proof. orderBy+limit compiles to
+    TakeOrderedAndProject (per-task k-row heaps, no full sort); the oracle
+    recomputes the identical md5-derived priorities."""
+    from profiler.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    s = weighted_sample(docs, "n_chars", 100, "doc_id", seed="w0")
+    return s.select("doc_id", "n_chars", F.round("priority", 4).alias("priority"))
+
+
+@_register(
+    "q66_incremental_dedup",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, n_chars, text, md5(text) AS fp FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    first AS (
+      SELECT fp, min(doc_id) AS keep FROM b
+      WHERE text IS NOT NULL GROUP BY fp
+    )
+    SELECT doc_id, n_chars FROM b
+    WHERE text IS NULL
+       OR (doc_id = (SELECT keep FROM first f WHERE f.fp = b.fp)
+           AND b.fp NOT IN (SELECT fp FROM seen))
+    ORDER BY doc_id
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (profiler.dedup.incremental_dedup):
+    documents with doc_id % 3 != 0 play the already-accepted corpus (as a
+    16-byte fingerprint index), the rest arrive as a new ingest batch; a
+    batch row survives iff it's the batch's min-id first occurrence AND its
+    text was never accepted before. The historical corpus is never
+    rescanned — only its fingerprint index joins (left-anti on the
+    constant-width digest). Oracle replays both conditions with independent
+    SQL (correlated first-occurrence + NOT IN the seen set)."""
+    from profiler.dedup import fingerprint_index, incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    survivors, _updated = incremental_dedup(batch, fingerprint_index(seen))
+    return survivors.select("doc_id", "n_chars").orderBy("doc_id")

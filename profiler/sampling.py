@@ -172,3 +172,36 @@ def mixture_weights(
             F.lit(0.0)
         ),
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, key_col: str, seed: str = "w0"
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without replacement —
+    priority sampling (Duffield, Lund & Thorup 2007): each row draws
+    ``u(key) ∈ (0, 1]`` from the same md5 hash as every sampler here and
+    gets priority ``q = weight / u``; the k highest-priority rows are the
+    sample. Rows with NULL or non-positive weight are excluded. The result
+    carries a ``priority`` column (callers drop it or use it for the
+    classic subset-sum estimator ``min(w, τ)`` with τ = (k+1)-th priority).
+
+    Inclusion probability is ∝ weight (heavier documents — more tokens,
+    higher quality score — are proportionally more likely), yet membership
+    is a pure function of (seed, key, weight): retries, repartitioning and
+    cluster size cannot change the sample.
+
+    Scale design: the draw is a narrow projection; ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject — each task keeps a k-row heap and the
+    driver merges task tops, so nothing ever sorts or shuffles the full
+    table. Both the hash and the two IEEE divisions replay bit-for-bit in
+    any engine (the DuckDB oracle computes the identical priority).
+    """
+    u32 = F.conv(hash_bucket_expr(F.col(key_col), seed), 16, 10).cast("long")
+    u = (u32 + 1).cast("double") / F.lit(float(_SPACE))
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k)
+    )

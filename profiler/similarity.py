@@ -396,3 +396,73 @@ def neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def embedding_health(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-column audit: ONE summary row with ``n_rows``,
+    ``n_null_vec``, ``n_dim_distinct`` / ``dim_min`` / ``dim_max``
+    (dimension consistency), ``n_nonfinite`` (vectors containing NaN/±Inf),
+    ``n_zero_vec`` (exact zero norm — cosine-undefined), and the L2-norm
+    distribution over clean vectors (``norm_min/max/avg/std``, 4 dp).
+
+    The pre-flight check before any similarity/dedup pass: a single
+    corrupted shard (wrong dim, NaN from a failed encoder batch, zero
+    vectors from padding) silently poisons cosine math downstream.
+
+    Scale design: one narrow scan — the per-row work is two JVM higher-order
+    folds over the array (sum of squares, finiteness) and the global
+    aggregate is map-side combinable. Norm moments accumulate in
+    DECIMAL(38,10) so partial-aggregation order can't change the result; no
+    shuffle moves anything but one partial-agg row per task.
+    """
+    v = as_double_vec(F.col(vec_col))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    inf = float("inf")
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (x == F.lit(inf)) | (x == F.lit(-inf))
+    )
+    clean = F.col(vec_col).isNotNull() & ~nonfinite
+    norm = F.when(clean, F.sqrt(sumsq))
+    nsq = F.when(clean, sumsq)
+
+    dec = "decimal(38,10)"
+    agg = df.select(
+        F.col(vec_col).isNull().alias("is_null"),
+        F.size(F.col(vec_col)).alias("dim"),
+        nonfinite.alias("bad"),
+        norm.alias("nrm"),
+        nsq.alias("nsq"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.col("is_null").cast("long")), F.lit(0)).alias("n_null_vec"),
+        F.count_distinct(F.col("dim")).alias("n_dim_distinct"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.coalesce(F.sum(F.col("bad").cast("long")), F.lit(0)).alias("n_nonfinite"),
+        F.coalesce(F.sum((F.col("nrm") == 0).cast("long")), F.lit(0)).alias(
+            "n_zero_vec"
+        ),
+        F.count("nrm").alias("__n_clean"),
+        F.min("nrm").alias("__norm_min"),
+        F.max("nrm").alias("__norm_max"),
+        F.sum(F.col("nrm").cast(dec)).alias("__s1"),
+        F.sum(F.col("nsq").cast(dec)).alias("__s2"),
+    )
+    n = F.col("__n_clean").cast("double")
+    mean = F.col("__s1").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mean * mean
+    return agg.select(
+        "n_rows",
+        "n_null_vec",
+        "n_dim_distinct",
+        "dim_min",
+        "dim_max",
+        "n_nonfinite",
+        "n_zero_vec",
+        F.round("__norm_min", 4).alias("norm_min"),
+        F.round("__norm_max", 4).alias("norm_max"),
+        F.round(F.when(F.col("__n_clean") > 0, mean), 4).alias("norm_avg"),
+        F.round(
+            F.when(F.col("__n_clean") > 0, F.sqrt(F.greatest(var, F.lit(0.0)))), 4
+        ).alias("norm_std"),
+    )

@@ -535,3 +535,95 @@ def series_extras(
         F.col(value_col).cast("double").alias("v"),
     )
     return src.groupBy("series_id").applyInPandas(_extras_fn(nlags), _EXTRAS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable-style continuous aggregate)
+# ---------------------------------------------------------------------------
+
+#: date_trunc units ordered finest → coarsest; each truncation composes with
+#: the previous (date_trunc('hour', date_trunc('minute', ts)) ==
+#: date_trunc('hour', ts)), which is what makes partial re-aggregation legal.
+_RESOLUTION_ORDER = ("second", "minute", "hour", "day", "week", "month", "year")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("minute", "hour", "day"),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Multi-resolution time rollup: one output row per (resolution,
+    [group_cols...,] bucket_ts) with ``n_rows``, ``n_vals`` (non-null),
+    ``sum_v``, ``min_v``, ``max_v``, ``avg_v`` — the hypertable /
+    continuous-aggregate ladder (minute → hour → day …).
+
+    Scale design: the RAW table is scanned and shuffled ONCE, for the
+    finest resolution only. Every coarser level re-aggregates the previous
+    level's partials (counts and sums add; min/max nest) — legal because
+    the aggregates are algebraic and ``date_trunc`` compositions nest. In
+    the physical plan the finest groupBy's exchange appears once and is
+    shared by all levels (ReusedExchange); each coarser level then
+    aggregates the (tiny) partial table. The sum runs in DECIMAL(38,6) so
+    re-aggregation order cannot change the result — the ladder is
+    bit-for-bit equal to aggregating raw data at each level.
+    """
+    order = {r: i for i, r in enumerate(_RESOLUTION_ORDER)}
+    for r in resolutions:
+        if r not in order:
+            raise ValueError(f"unknown resolution {r!r}; use one of {_RESOLUTION_ORDER}")
+    if list(resolutions) != sorted(resolutions, key=order.__getitem__):
+        raise ValueError("resolutions must be ordered finest -> coarsest")
+
+    gcols = list(group_cols)
+    finest = resolutions[0]
+    v = F.col(value_col).cast("double")
+    level = df.groupBy(
+        *gcols, F.date_trunc(finest, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_vals"),
+        # NULL (not 0) when the bucket has no values: SUM skips NULL partials
+        # on re-aggregation, so the ladder still merges exactly, and the
+        # output matches what direct aggregation at that level would say
+        F.sum(v.cast("decimal(38,6)")).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+    levels = [level.withColumn("resolution", F.lit(finest))]
+    for res in resolutions[1:]:
+        level = level.groupBy(
+            *gcols, F.date_trunc(res, F.col("bucket_ts")).alias("bucket_ts")
+        ).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
+            F.sum("sum_v").cast("decimal(38,6)").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        levels.append(level.withColumn("resolution", F.lit(res)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "resolution",
+        *gcols,
+        "bucket_ts",
+        "n_rows",
+        "n_vals",
+        F.round(F.col("sum_v").cast("double"), 4).alias("sum_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        F.round(
+            F.when(
+                F.col("n_vals") > 0,
+                # exact decimal sum, then ONE double division — bit-replayable
+                # in any engine (decimal/decimal division scale rules are not)
+                F.col("sum_v").cast("double") / F.col("n_vals").cast("double"),
+            ),
+            4,
+        ).alias("avg_v"),
+    )

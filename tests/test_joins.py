@@ -1,0 +1,358 @@
+"""Tests for profiler.joins (asof_join, range_join, fk_check),
+profiler.timeseries.hypertable_rollup, profiler.similarity.embedding_health,
+and profiler.sampling.weighted_sample — planted fixtures with hand-computed
+expectations plus differential checks against the naive formulation.
+"""
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.joins import asof_join, fk_check, range_join
+from profiler.sampling import weighted_sample
+from profiler.similarity import embedding_health
+from profiler.timeseries import hypertable_rollup
+
+
+def _ts(*args):
+    return dt.datetime(2025, 5, 1) + dt.timedelta(minutes=args[0] if args else 0)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts(0), "e0"),
+            ("u1", _ts(10), "e1"),
+            ("u1", _ts(20), "e2"),
+            ("u2", _ts(10), "e3"),  # other key: must not see u1 snapshots
+        ],
+        "k string, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 1.0),
+            ("u1", _ts(20), 2.0),  # equal-ts snapshot: visible backward
+            ("u1", _ts(25), 3.0),
+        ],
+        "k string, ts timestamp, snap double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["ev"]: (r["ts_r"], r["snap"])
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out["e0"] == (None, None)  # before any snapshot
+    assert out["e1"] == (_ts(5), 1.0)
+    assert out["e2"] == (_ts(20), 2.0)  # ties match (<=)
+    assert out["e3"] == (None, None)  # no cross-key leakage
+
+
+def test_asof_forward_and_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    fwd = {
+        r["ev"]: r["snap"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {"e0": 1.0, "e1": 2.0, "e2": 2.0, "e3": None}
+    tol = {
+        r["ev"]: r["snap"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            tolerance_seconds=301,
+        ).collect()
+    }
+    # e1 is 5 min after its snapshot (within 301 s); e2 matches at lag 0
+    assert tol == {"e0": None, "e1": 1.0, "e2": 2.0, "e3": None}
+
+
+def test_asof_preserves_left_rowcount_and_names(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    assert out.count() == left.count()
+    # right ts collides with left's name -> suffixed; payload doesn't -> kept
+    assert out.columns == ["k", "ts", "ev", "ts_r", "snap"]
+
+
+def test_asof_differential_vs_naive_join(spark):
+    """Random-ish planted data: union+window result equals the naive
+    max-per-key correlated formulation."""
+    import itertools
+
+    lrows = [
+        (f"k{i % 3}", _ts(m), f"e{i}")
+        for i, m in enumerate([1, 3, 7, 11, 14, 20, 22, 29, 33, 41])
+    ]
+    rrows = [
+        (f"k{i % 3}", _ts(m), float(m)) for i, m in enumerate([0, 2, 9, 15, 28, 40])
+    ]
+    left = spark.createDataFrame(lrows, "k string, ts timestamp, ev string")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, v double")
+    got = {
+        r["ev"]: r["v"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    for k, lts, ev in lrows:
+        cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[ev] == want, ev
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_semantics_and_bucket_spans(spark):
+    ev = spark.createDataFrame(
+        [("u1", _ts(0), "a"), ("u1", _ts(59), "b"), ("u1", _ts(60), "c"),
+         ("u2", _ts(30), "d")],
+        "k string, ts timestamp, ev string",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("i1", "u1", _ts(0), _ts(60)),   # [0, 60): contains a, b; NOT c
+            ("i2", "u1", _ts(50), _ts(70)),  # spans a bucket boundary
+            ("i3", "u2", _ts(0), _ts(0)),    # empty: dropped
+            ("i4", "u2", _ts(40), _ts(20)),  # inverted: dropped
+        ],
+        "interval_id string, k string, start_ts timestamp, end_ts timestamp",
+    )
+    # tiny bucket (10 min) forces multi-bucket interval explosion
+    out = range_join(ev, iv, ts_col="ts", on="k", bucket_seconds=600)
+    pairs = sorted((r["interval_id"], r["ev"]) for r in out.collect())
+    assert pairs == [("i1", "a"), ("i1", "b"), ("i2", "b"), ("i2", "c")]
+    # each qualifying pair exactly once even when the interval spans buckets
+    assert len(pairs) == out.count()
+
+
+def test_range_join_matches_inequality_join(spark):
+    """Differential: bucketed plan == naive inequality join, for several
+    bucket sizes (bucket size must never change the result)."""
+    ev = spark.createDataFrame(
+        [(f"k{i % 2}", _ts(i * 7), f"e{i}") for i in range(12)],
+        "k string, ts timestamp, ev string",
+    )
+    iv = spark.createDataFrame(
+        [(f"i{j}", f"k{j % 2}", _ts(j * 11), _ts(j * 11 + 25)) for j in range(6)],
+        "interval_id string, k string, start_ts timestamp, end_ts timestamp",
+    )
+    naive = sorted(
+        (r["interval_id"], r["ev"])
+        for r in ev.alias("e")
+        .join(
+            iv.alias("i"),
+            (F.col("e.k") == F.col("i.k"))
+            & (F.col("e.ts") >= F.col("i.start_ts"))
+            & (F.col("e.ts") < F.col("i.end_ts")),
+        )
+        .select("i.interval_id", "e.ev")
+        .collect()
+    )
+    for bucket in (60, 600, 3600, 86400):
+        got = sorted(
+            (r["interval_id"], r["ev"])
+            for r in range_join(
+                ev, iv, ts_col="ts", on="k", bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == naive, bucket
+
+
+# ---------------------------------------------------------------------------
+# hypertable_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_ladder_equals_direct_aggregation(spark):
+    """Re-aggregating partials must equal aggregating raw rows at every
+    resolution (the algebraic-merge contract), including a null value."""
+    rows = [
+        (dt.datetime(2025, 5, 1, h, m, 30), float(h * 60 + m))
+        for h in range(3)
+        for m in range(0, 60, 7)
+    ] + [(dt.datetime(2025, 5, 1, 1, 3, 0), None)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = hypertable_rollup(df, "ts", "value", resolutions=("minute", "hour", "day"))
+    got = {
+        (r["resolution"], str(r["bucket_ts"])): (
+            r["n_rows"], r["n_vals"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"]
+        )
+        for r in out.collect()
+    }
+    for res in ("minute", "hour", "day"):
+        direct = df.groupBy(F.date_trunc(res, "ts").alias("b")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        for r in direct.collect():
+            key = (res, str(r["b"]))
+            n, nv, s, mn, mx, avg = got[key]
+            assert (n, nv, s, mn, mx) == (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"]), key
+            assert avg == round(s / nv, 4) if nv else avg is None
+
+
+def test_rollup_group_cols_and_validation(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 5, 1, 0, 0), "a", 1.0),
+         (dt.datetime(2025, 5, 1, 0, 30), "b", 2.0)],
+        "ts timestamp, g string, value double",
+    )
+    out = hypertable_rollup(df, "ts", "value", resolutions=("hour",), group_cols=("g",))
+    assert sorted((r["g"], r["sum_v"]) for r in out.collect()) == [("a", 1.0), ("b", 2.0)]
+    with pytest.raises(ValueError, match="finest"):
+        hypertable_rollup(df, "ts", "value", resolutions=("day", "hour"))
+    with pytest.raises(ValueError, match="unknown resolution"):
+        hypertable_rollup(df, "ts", "value", resolutions=("fortnight",))
+
+
+# ---------------------------------------------------------------------------
+# fk_check
+# ---------------------------------------------------------------------------
+
+
+def test_fk_check_planted_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e"), (9, "f"), (None, "g")],
+        "fk int, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = fk_check(child, parent, "fk", "pk").collect()[0].asDict()
+    assert row == {
+        "n_child_rows": 7,
+        "n_child_null_rows": 1,
+        "n_child_keys": 3,
+        "n_orphan_rows": 3,   # the three fk=9 rows
+        "n_orphan_keys": 1,
+        "n_parent_keys": 3,
+        "n_parent_matched": 2,  # 1 and 2; 3 is unreferenced
+        "parent_coverage": round(2 / 3, 4),
+        "orphan_row_rate": round(3 / 7, 4),
+    }
+
+
+def test_fk_check_composite_keys(spark):
+    child = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 11.0), (2, "x", 12.0)],
+        "a int, b string, v double",
+    )
+    parent = spark.createDataFrame([(1, "x"), (1, "y")], "a int, b string")
+    row = fk_check(child, parent, ["a", "b"]).collect()[0].asDict()
+    assert row["n_orphan_rows"] == 1 and row["n_orphan_keys"] == 1
+    assert row["n_parent_matched"] == 2 and row["parent_coverage"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# embedding_health
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_health_planted_defects(spark):
+    import math
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero vector
+        (3, [float("nan"), 1.0]),   # NaN
+        (4, [float("inf"), 1.0]),   # Inf
+        (5, [1.0, 0.0, 0.0]),       # dim mismatch, norm 1
+        (6, None),                  # null vector
+    ]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    r = embedding_health(df).collect()[0].asDict()
+    assert r["n_rows"] == 6 and r["n_null_vec"] == 1
+    assert r["n_dim_distinct"] == 2 and (r["dim_min"], r["dim_max"]) == (2, 3)
+    assert r["n_nonfinite"] == 2 and r["n_zero_vec"] == 1
+    # clean vectors: norms {5, 0, 1}
+    assert (r["norm_min"], r["norm_max"]) == (0.0, 5.0)
+    assert r["norm_avg"] == 2.0
+    assert r["norm_std"] == round(math.sqrt((25 + 0 + 1) / 3 - 4.0), 4)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def _priority(doc_id, w, seed="w0"):
+    h = hashlib.md5(f"{seed}{doc_id}".encode()).hexdigest()[:8]
+    u = (int(h, 16) + 1) / 2**32
+    return w / u
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", 20, "doc_id").collect()]
+    want = [d for d, _ in sorted(rows, key=lambda t: (-_priority(t[0], t[1]), t[0]))][:20]
+    assert got == want
+
+
+def test_weighted_sample_deterministic_across_partitioning(spark):
+    rows = [(i, float(i % 7 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 50, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 50, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive_and_weights_matter(spark):
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(400)]
+    rows += [(900, 0.0), (901, -5.0), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 40, "doc_id").collect()}
+    assert not ({900, 901, 902} & got)
+    # 20 heavy rows are 1000x likelier; essentially all must be sampled
+    assert len(got & set(range(20))) >= 18
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup (cross-snapshot exact dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_planted(spark):
+    from profiler.dedup import fingerprint_index, incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of accepted corpus: dropped
+            (11, "gamma"),   # new: survives
+            (12, "gamma"),   # within-batch dup: dropped (11 is first)
+            (13, None),      # null text: passes through
+        ],
+        "doc_id long, text string",
+    )
+    idx = fingerprint_index(seen)
+    survivors, updated = incremental_dedup(batch, idx)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 13]
+    # the updated index now knows gamma: a third batch repeating it drops it
+    batch2 = spark.createDataFrame([(20, "gamma"), (21, "delta")],
+                                   "doc_id long, text string")
+    s2, _ = incremental_dedup(batch2, updated)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [21]
+    # index rows carry (fingerprint, first_id) and never duplicate a digest
+    fps = [r["fingerprint"] for r in updated.collect()]
+    assert len(fps) == len(set(fps)) == 3  # alpha, beta, gamma
