@@ -52,6 +52,7 @@ from profiler.similarity import (
     semantic_dedup_pairs,
 )
 from profiler.text import (
+    assign_packs,
     corpus_describe,
     count_tokens,
     decontaminate,
@@ -139,6 +140,7 @@ __all__ = [
     "hypertable_rollup",
     "embedding_health",
     "packing_efficiency",
+    "assign_packs",
     "streaming_dedup",
     "shard_expr",
     "shuffle_deterministic",

@@ -3454,3 +3454,42 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 3 == 0)
     survivors, _updated = incremental_dedup(batch, fingerprint_index(seen))
     return survivors.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@_register(
+    "q67_assign_packs",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS n_tok,
+             CAST(CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                      1, 7) AS BIGINT) % 16 AS INT) AS shard,
+             substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8) AS ord
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             COALESCE(sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM b
+    )
+    SELECT doc_id, shard, n_tok, tok_offset,
+           CAST(floor(tok_offset / 256.0) AS BIGINT) AS pack_first,
+           CAST(floor((tok_offset + n_tok - 1) / 256.0) AS BIGINT) AS pack_last,
+           CAST(floor((tok_offset + n_tok - 1) / 256.0) AS BIGINT)
+             - CAST(floor(tok_offset / 256.0) AS BIGINT) + 1 AS n_packs
+    FROM c ORDER BY doc_id
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk pack assignment (profiler.text.assign_packs):
+    deterministic md5 layout order, shard-local window cumsum (no global
+    sort), 256-token packs — one row per document with its token offset and
+    pack span. The oracle replays the identical draw/order/cumsum in SQL."""
+    from profiler.text import assign_packs
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_packs(docs, context_len=256).orderBy("doc_id")

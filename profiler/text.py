@@ -510,3 +510,60 @@ def fasttext_langid_udf(model_path: str):
         return pd.Series(labels)
 
     return _udf  # pragma: no cover
+
+
+def assign_packs(
+    df: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: str = "pack",
+    mode: str = "whitespace",
+) -> DataFrame:
+    """Concat-then-chunk sequence-packing ASSIGNMENT (the GPT-style packing
+    :func:`packing_efficiency` only plans for): documents are laid out in a
+    deterministic pseudo-random order and the token stream is cut into
+    ``context_len``-token packs, documents spanning cuts. Returns one row
+    per document: ``(id, shard, n_tok, tok_offset, pack_first, pack_last,
+    n_packs)`` where ``tok_offset`` is the document's start position in its
+    shard's token stream and ``(shard, pack_first..pack_last)`` are the
+    packs it occupies — exactly what a tokenizing writer needs to emit
+    fixed-length training sequences with zero padding.
+
+    Determinism & scale: the layout order is the md5 draw of the id (the
+    same deterministic-shuffle order as profiler.sampling), so the
+    assignment is identical across runs/retries/cluster sizes. The running
+    offset is a window cumsum PARTITIONED BY a deterministic shard of the
+    id — no global sort ever happens; each shard's window is an independent
+    partition-local sort, and ``n_shards`` scales the parallelism (pick
+    ~cluster cores; packs never cross shards by construction).
+    """
+    from profiler.sampling import hash_bucket_expr, shard_expr
+
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        shard_expr(F.col(id_col), n_shards, seed).alias("shard"),
+        hash_bucket_expr(F.col(id_col), seed).alias("__ord"),
+        token_count_expr(F.col(text_col), mode).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(int(context_len))
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_offset")
+    out = base.select(id_col, "shard", "n_tok", off)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tok",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / L).cast("long").alias("pack_first"),
+        F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / L)
+        .cast("long")
+        .alias("pack_last"),
+    ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))

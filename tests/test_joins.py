@@ -356,3 +356,46 @@ def test_incremental_dedup_planted(spark):
     # index rows carry (fingerprint, first_id) and never duplicate a digest
     fps = [r["fingerprint"] for r in updated.collect()]
     assert len(fps) == len(set(fps)) == 3  # alpha, beta, gamma
+
+
+# ---------------------------------------------------------------------------
+# assign_packs (concat-then-chunk packing assignment)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_packs_contiguous_layout_and_spans(spark):
+    from profiler.text import assign_packs
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 13) % 40))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = assign_packs(df, context_len=64, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 120
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["tok_offset"])
+        # the token stream is contiguous: no gaps, no overlaps, zero padding
+        pos = 0
+        for r in docs:
+            assert r["tok_offset"] == pos, (shard, r["doc_id"])
+            pos += r["n_tok"]
+            assert r["pack_first"] == r["tok_offset"] // 64
+            assert r["pack_last"] == (r["tok_offset"] + r["n_tok"] - 1) // 64
+            assert r["n_packs"] == r["pack_last"] - r["pack_first"] + 1 >= 1
+        # shard needs exactly ceil(total/L) packs
+        assert max(r["pack_last"] for r in docs) == (pos - 1) // 64
+
+
+def test_assign_packs_deterministic_and_validates(spark):
+    import pytest as _pytest
+
+    from profiler.text import assign_packs
+
+    rows = [(i, "a b c") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, assign_packs(df, 8).collect()))
+    b = sorted(map(tuple, assign_packs(df.repartition(7), 8).collect()))
+    assert a == b
+    with _pytest.raises(ValueError, match="context_len"):
+        assign_packs(df, 0)
