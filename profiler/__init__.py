@@ -15,7 +15,13 @@ verified for scaling efficiency between two parallelism levels.
 """
 
 from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible, schema_diff
-from profiler.profile import ProfileConfig, monotonic_flags, profile_table
+from profiler.profile import (
+    ProfileConfig,
+    correlation_matrix,
+    mad_outliers,
+    monotonic_flags,
+    profile_table,
+)
 from profiler.config import profile_with_config, read_config
 from profiler.detect import detect_types
 from profiler.constraints import (
@@ -76,6 +82,7 @@ from profiler.sampling import (
 from profiler.clean import CleanConfig, clean_corpus
 from profiler.sequence import gap_stats, transition_matrix, transition_violations
 from profiler.joins import asof_join, fk_check, range_join
+from profiler.sketch import heavy_hitters
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
 from profiler.timeseries import (
@@ -101,6 +108,8 @@ __all__ = [
     "detect_compatible",
     "schema_diff",
     "profile_table",
+    "correlation_matrix",
+    "mad_outliers",
     "detect_types",
     "ConstraintSuite",
     "unique_key",
@@ -137,6 +146,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "fk_check",
+    "heavy_hitters",
     "hypertable_rollup",
     "embedding_health",
     "packing_efficiency",

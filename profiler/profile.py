@@ -1017,3 +1017,105 @@ def _topk_with_other(freq: dict, count: int, k: int) -> list[dict]:
         other_count = (freq.get("n_values") or count) - sum(n for _, n in topk)
         out.append({"value": f"Other Values ({n_other_distinct})", "count": other_count})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column relations: Pearson correlation matrix, robust outliers
+# ---------------------------------------------------------------------------
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise-complete Pearson correlations over ``cols``: one tidy row
+    per (col_x, col_y) pair with ``n`` (rows where BOTH are non-null) and
+    ``corr`` (4 dp; NULL for a constant column). The profile-document
+    "relations" section of classic profilers, computed Spark-first.
+
+    Plan + determinism: ONE wide aggregate carries the 6 sufficient
+    statistics per pair (n, Σx, Σy, Σx², Σy², Σxy) with inputs cast to
+    DECIMAL(18,6) — exact, order-independent sums, so the correlation is
+    bit-replayable in any engine — then the single result row pivots to
+    tidy pairs through an explode of literal-built structs (no second
+    scan, no driver round-trip). C(k,2)·6 aggregates in one partial+final
+    hash agg; no shuffle moves anything but one partial row per task.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("correlation_matrix needs at least two columns")
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, F.col(a).cast("decimal(18,6)"))
+        y = F.when(both, F.col(b).cast("decimal(18,6)"))
+        k = f"{a}__{b}"
+        aggs += [
+            F.count(x).alias(f"n__{k}"),
+            F.sum(x).alias(f"sx__{k}"),
+            F.sum(y).alias(f"sy__{k}"),
+            F.sum(x * x).alias(f"sxx__{k}"),
+            F.sum(y * y).alias(f"syy__{k}"),
+            F.sum(x * y).alias(f"sxy__{k}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _corr(k: str) -> Column:
+        n = F.col(f"n__{k}").cast("double")
+        sx = F.col(f"sx__{k}").cast("double")
+        sy = F.col(f"sy__{k}").cast("double")
+        sxx = F.col(f"sxx__{k}").cast("double")
+        syy = F.col(f"syy__{k}").cast("double")
+        sxy = F.col(f"sxy__{k}").cast("double")
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return F.round(
+            F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den)), 4
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"n__{a}__{b}").alias("n"),
+                _corr(f"{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(entries).alias("e"))
+        .select("e.col_x", "e.col_y", "e.n", "e.corr")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def mad_outliers(
+    df: DataFrame, col: str, k: float = 3.5, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Robust outlier rows by modified z-score: |0.6745·(x − median)| / MAD
+    > ``k`` (Iglewicz–Hoaglin). Returns the offending rows' ``id_cols`` +
+    the value and its modified z-score (4 dp), sorted by |z| descending.
+
+    Two tiny passes (median, then MAD — the same 2-pass shape as the
+    profile's MAD stat, reference distribution semantics) compute two
+    scalars; the outlier filter is then ONE narrow scan with the scalars
+    inlined as literals — no join, no window, pushdown-friendly. A zero
+    MAD (≥50% identical values) yields no outliers by convention (the
+    score is undefined); use frequency analysis for that shape instead.
+    """
+    out_cols = [*(id_cols or []), col]
+    vals = df.where(F.col(col).isNotNull())
+    med = vals.agg(F.expr(f"percentile({col}, 0.5)").alias("m")).collect()[0]["m"]
+    mad = (
+        vals.agg(
+            F.expr(f"percentile(abs({col} - {float(med)}d), 0.5)").alias("m")
+        ).collect()[0]["m"]
+        if med is not None
+        else None
+    )
+    if not mad:  # empty column or >=50% identical values
+        return (
+            df.select(*out_cols).limit(0).withColumn("mod_z", F.lit(None).cast("double"))
+        )
+    z = F.lit(0.6745) * (F.col(col) - F.lit(float(med))) / F.lit(float(mad))
+    return (
+        vals.select(*out_cols, F.round(z, 4).alias("mod_z"))
+        .where(F.abs(F.col("mod_z")) > F.lit(float(k)))
+        .orderBy(F.abs(F.col("mod_z")).desc(), *out_cols)
+    )

@@ -3493,3 +3493,115 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return assign_packs(docs, context_len=256).orderBy("doc_id")
+
+
+@_register(
+    "q68_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT token, count(*) AS count_lb
+    FROM toks GROUP BY token
+    ORDER BY count_lb DESC, token ASC LIMIT 25
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (profiler.sketch.heavy_hitters): top-25
+    corpus tokens from a mergeable bounded-state sketch — ≤ capacity
+    counters per task, ≤ capacity rows shuffled per partition, NOTHING
+    proportional to the distinct-token count ever moves (the scale path the
+    exact vocabulary_coverage shuffle can't take at 10^9 distinct tokens).
+    At test scale capacity (1M) exceeds the distinct count, so the sketch
+    degrades into exact counts and the oracle's full GROUP BY must match
+    bit-for-bit; the small-capacity error-bound regime is pytest-covered."""
+    from profiler.dedup import tokens_expr
+    from profiler.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", capacity=1_000_000, top_k=25)
+
+
+def _corr_oracle_sql(table: str, cols: list[str]) -> str:
+    """Build the q69 oracle: identical decimal sufficient statistics and
+    double arithmetic as profiler.profile.correlation_matrix."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    stats, rows = [], []
+    for a, b in pairs:
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        k = f"{a}__{b}"
+        x = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(18,6)) END"
+        y = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(18,6)) END"
+        # products in a wider container: DuckDB keeps DECIMAL(18)*DECIMAL(18)
+        # in int64 and overflows; the VALUES are identical either way
+        xw = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(24,6)) END"
+        yw = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(24,6)) END"
+        stats += [
+            f"count({x}) AS n__{k}",
+            f"sum({x}) AS sx__{k}",
+            f"sum({y}) AS sy__{k}",
+            f"sum(({xw}) * ({xw})) AS sxx__{k}",
+            f"sum(({yw}) * ({yw})) AS syy__{k}",
+            f"sum(({xw}) * ({yw})) AS sxy__{k}",
+        ]
+        n, sx, sy = f"CAST(n__{k} AS DOUBLE)", f"CAST(sx__{k} AS DOUBLE)", f"CAST(sy__{k} AS DOUBLE)"
+        sxx, syy, sxy = f"CAST(sxx__{k} AS DOUBLE)", f"CAST(syy__{k} AS DOUBLE)", f"CAST(sxy__{k} AS DOUBLE)"
+        den = f"(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}))"
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n__{k} AS n, "
+            f"ROUND(CASE WHEN {den} > 0 THEN "
+            f"({n} * {sxy} - {sx} * {sy}) / sqrt({den}) END, 4) AS corr FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(stats)} FROM {table}) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+@_register("q69_correlation_matrix", _corr_oracle_sql("lineitem", _CORR_COLS))
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (profiler.profile.
+    correlation_matrix) over lineitem's numeric measures: ONE wide
+    aggregate carries the six DECIMAL(18,6) sufficient statistics per pair
+    (exact, order-independent sums → the correlation replays bit-for-bit),
+    then the single result row explodes to tidy (col_x, col_y, n, corr)
+    pairs — no second scan, no driver round-trip."""
+    from profiler.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _CORR_COLS)
+
+
+@_register(
+    "q70_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT median(value) AS med FROM v),
+    d AS (SELECT median(abs(value - med)) AS mad FROM v, m)
+    SELECT event_id, value, ROUND(0.6745 * (value - med) / mad, 4) AS mod_z
+    FROM v, m, d
+    WHERE abs(ROUND(0.6745 * (value - med) / mad, 4)) > 3.5
+    ORDER BY abs(ROUND(0.6745 * (value - med) / mad, 4)) DESC, event_id
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier rows (profiler.profile.mad_outliers, Iglewicz-Hoaglin
+    modified z-score |0.6745·(x−median)/MAD| > 3.5) on the skewed
+    events.value: two scalar percentile passes, then ONE narrow filter scan
+    with the scalars inlined as literals — no join, no window. Oracle
+    recomputes median/MAD with DuckDB's own median."""
+    from profiler.profile import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", k=3.5, id_cols=["event_id"])

@@ -1,0 +1,85 @@
+"""Frequency sketching: Misra–Gries heavy hitters with mergeable partials.
+
+Training-data-pipeline extension (not in the reference). The exact
+frequent-token pass (profiler.text.vocabulary_coverage) shuffles every
+distinct token; at 100 TB a long-tail web corpus has billions of distinct
+tokens and the shuffle dominates. The Misra–Gries summary caps per-partition
+state at ``capacity`` counters and guarantees, for every item,
+
+    true_count - n / (capacity + 1)  <=  sketch_count  <=  true_count
+
+so any item with frequency above n/(capacity+1) is guaranteed present. The
+summaries are MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS'12):
+add counters pointwise, then subtract the (capacity+1)-th largest value and
+drop non-positives — the merged bound is the sum of the parts' bounds.
+
+Plan shape: one Arrow ``mapInPandas`` pass holds a dict of at most
+``capacity + batch_distinct`` counters per task and emits ≤ capacity rows
+per partition; the merge is a groupBy over ≤ capacity × n_partitions rows.
+Nothing proportional to the distinct-item count is ever shuffled. With
+``capacity`` ≥ the true distinct count the sketch degrades gracefully into
+exact counts (what the DuckDB oracle checks); with a small capacity the
+counts are lower bounds whose exact values depend on partitioning — only
+the error bound is guaranteed, which is what the tests assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_shrink(cnt: dict, capacity: int) -> None:
+    """In-place Misra–Gries reduction to ≤ capacity positive counters."""
+    if len(cnt) <= capacity:
+        return
+    vals = sorted(cnt.values(), reverse=True)
+    d = vals[capacity]  # the (capacity+1)-th largest
+    for k in [k for k, v in cnt.items() if v - d <= 0]:
+        del cnt[k]
+    for k in cnt:
+        cnt[k] -= d
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 4096,
+    top_k: int = 50,
+) -> DataFrame:
+    """Approximate top-``top_k`` most frequent values of ``value_col`` with
+    at most ``capacity`` counters of state per task: one row per value with
+    ``count_lb``, a lower bound on the true count that is off by at most
+    n/(capacity+1) (n = total non-null rows). Output is sorted by
+    (count_lb desc, value asc) — a total order, so results are
+    deterministic given the partitioning.
+    """
+    if capacity < top_k:
+        raise ValueError(f"capacity ({capacity}) must be >= top_k ({top_k})")
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("v")
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cnt: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                cnt[v] = cnt.get(v, 0) + int(c)
+            _mg_shrink(cnt, capacity)
+        if cnt:
+            yield pd.DataFrame(
+                {"v": list(cnt.keys()), "c": list(cnt.values())}
+            )
+
+    partials = src.mapInPandas(mg, "v string, c long")
+    merged = partials.groupBy("v").agg(F.sum("c").alias("count_lb"))
+    # the global merge-shrink is unnecessary for top-k extraction: pointwise
+    # sums are already valid lower bounds, and top-k only needs the ORDER
+    return (
+        merged.orderBy(F.desc("count_lb"), F.asc("v"))
+        .limit(top_k)
+        .select(F.col("v").alias(value_col), "count_lb")
+    )

@@ -399,3 +399,125 @@ def test_assign_packs_deterministic_and_validates(spark):
     assert a == b
     with _pytest.raises(ValueError, match="context_len"):
         assign_packs(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (Misra-Gries sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_regime(spark):
+    """capacity >= distinct count -> the sketch IS the exact counter."""
+    from collections import Counter
+
+    from profiler.sketch import heavy_hitters
+
+    vals = [f"t{i % 17}" for i in range(600)] + [f"rare{i}" for i in range(30)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [(r["v"], r["count_lb"]) for r in heavy_hitters(df, "v", capacity=1000, top_k=10).collect()]
+    true = Counter(vals)
+    want = sorted(true.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert got == want
+
+
+def test_heavy_hitters_error_bound_small_capacity(spark):
+    """Small capacity: every reported count is a lower bound within
+    n/(capacity+1) of the truth, and truly frequent items are reported."""
+    from collections import Counter
+
+    from profiler.sketch import heavy_hitters
+
+    # zipf-ish skew: item k appears ~600/k times
+    vals = [f"z{k}" for k in range(1, 40) for _ in range(600 // k)]
+    true = Counter(vals)
+    n = len(vals)
+    cap = 12
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(4)
+    got = {
+        r["v"]: r["count_lb"]
+        for r in heavy_hitters(df, "v", capacity=cap, top_k=cap).collect()
+    }
+    bound = n / (cap + 1)
+    for v, lb in got.items():
+        assert lb <= true[v], v
+        assert true[v] - lb <= bound, (v, true[v], lb, bound)
+    # items with frequency > bound are guaranteed to survive the sketch
+    for v, c in true.items():
+        if c > bound:
+            assert v in got, (v, c, bound)
+
+
+def test_heavy_hitters_validates_and_shrink_invariant():
+    import pytest as _pytest
+
+    from profiler.sketch import _mg_shrink
+
+    cnt = {f"k{i}": i + 1 for i in range(50)}
+    _mg_shrink(cnt, 8)
+    assert len(cnt) <= 8 and all(v > 0 for v in cnt.values())
+
+    from profiler.sketch import heavy_hitters
+
+    with _pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(None, "v", capacity=5, top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# correlation_matrix / mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_matrix_vs_numpy(spark):
+    import numpy as np
+
+    from profiler.profile import correlation_matrix
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 100, 300).round(3)
+    y = (2.5 * x + rng.normal(0, 10, 300)).round(3)
+    z = rng.uniform(-5, 5, 300).round(3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["corr"])
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")][0] == 300
+    assert got[("x", "y")][1] == round(float(np.corrcoef(x, y)[0, 1]), 4)
+    assert got[("x", "z")][1] == round(float(np.corrcoef(x, z)[0, 1]), 4)
+
+
+def test_correlation_matrix_edges(spark):
+    import pytest as _pytest
+
+    from profiler.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0, None), (2.0, 4.0, 5.0, 1.0), (3.0, 6.0, 5.0, None)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["corr"])
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == (3, 1.0)          # perfect correlation
+    assert got[("a", "c")] == (3, None)         # constant column -> undefined
+    assert got[("a", "d")][0] == 1              # pairwise-complete n
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+
+
+def test_mad_outliers_planted(spark):
+    from profiler.profile import mad_outliers
+
+    base = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 12, 11, 13])]
+    df = spark.createDataFrame(base + [(99, 1000.0)], "id long, value double")
+    out = mad_outliers(df, "value", k=3.5, id_cols=["id"]).collect()
+    assert [r["id"] for r in out] == [99]
+    # med=12, mad=1 -> z = .6745*(1000-12)/1
+    assert out[0]["mod_z"] == round(0.6745 * (1000 - 12) / 1.0, 4)
+    # zero MAD (>=50% identical): no outliers by convention
+    flat = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)] + [(99, 1e9)], "id long, value double"
+    )
+    assert mad_outliers(flat, "value", id_cols=["id"]).count() == 0
+    empty = spark.createDataFrame([], "id long, value double")
+    assert mad_outliers(empty, "value", id_cols=["id"]).count() == 0
