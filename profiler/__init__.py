@@ -19,6 +19,7 @@ from profiler.profile import (
     ProfileConfig,
     correlation_matrix,
     mad_outliers,
+    pattern_profile,
     monotonic_flags,
     profile_table,
 )
@@ -43,6 +44,7 @@ from profiler.dedup import (
     exact_dedup,
     fingerprint_index,
     incremental_dedup,
+    set_similarity_join,
     minhash_lsh_dedup,
     neardup_clusters,
     simhash64,
@@ -110,6 +112,7 @@ __all__ = [
     "profile_table",
     "correlation_matrix",
     "mad_outliers",
+    "pattern_profile",
     "detect_types",
     "ConstraintSuite",
     "unique_key",
@@ -131,6 +134,7 @@ __all__ = [
     "exact_dedup",
     "fingerprint_index",
     "incremental_dedup",
+    "set_similarity_join",
     "apply_exact_dedup",
     "apply_neardup_dedup",
     "connected_components",

@@ -22,7 +22,7 @@ profiler.queries use md5 so DuckDB can replay them; plan shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # tokenize / shingle expressions (shared)
@@ -538,3 +538,93 @@ def incremental_dedup(
         fingerprint_index(survivors, text_col=text_col, id_col=id_col)
     )
     return survivors, updated
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (AllPairs/PPJoin-style prefix filtering)
+# ---------------------------------------------------------------------------
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """All pairs of documents with token-set Jaccard ≥ ``threshold`` —
+    EXACT (unlike MinHash-LSH there is no recall loss), but without the
+    full inverted-index self-join: prefix filtering (Chaudhuri et al.'s
+    SSJoin / Bayardo et al.'s All-Pairs). Returns (doc_a, doc_b, jaccard).
+
+    Why it scales: order every document's distinct tokens by GLOBAL
+    document frequency, rarest first. A pair with Jaccard ≥ τ must share
+    ≥ ⌈τ·n⌉ tokens with each member of size n, hence must collide within
+    each member's first ``n − ⌈τ·n⌉ + 1`` tokens (the prefix). Joining
+    only prefixes — and rare tokens land in prefixes by construction, so
+    prefix posting lists are SHORT — bounds candidates far below the full
+    index join; stop-word-sized posting lists never enter the join. The
+    exact Jaccard then runs per candidate pair only. Three shuffles total
+    (token df, prefix-rank window keyed by doc, candidate join), each on
+    bounded keys; the ceil uses an epsilon slack so float rounding can
+    only widen a prefix, never lose a qualifying pair.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # element choice: word k-gram shingles (shingle_k) discriminate far
+    # better than unigram tokens on small vocabularies — same algorithm
+    elems = (
+        shingles_expr(F.col(text_col), shingle_k)
+        if shingle_k
+        else tokens_expr(F.col(text_col))
+    )
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.explode(elems).alias("token"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "token")
+    w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("token"))
+    ranked = ranked.select(
+        "doc",
+        "token",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n"),
+    )
+    # prefix length n - ceil(t*n) + 1; epsilon so 0.4*5 -> ceil(2.0) not 3
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9)) + 1
+    )
+    prefix = ranked.where(F.col("pos") <= prefix_len).select("doc", "token", "n")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+        # size filter: jac >= t forces t <= na/nb ratio bounds
+        .where(
+            (F.col("nb") >= F.ceil(F.lit(float(threshold)) * F.col("na") - F.lit(1e-9)))
+            & (F.col("na") >= F.ceil(F.lit(float(threshold)) * F.col("nb") - F.lit(1e-9)))
+        )
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.where(jac >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

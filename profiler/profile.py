@@ -1119,3 +1119,51 @@ def mad_outliers(
         .where(F.abs(F.col("mod_z")) > F.lit(float(k)))
         .orderBy(F.abs(F.col("mod_z")).desc(), *out_cols)
     )
+
+
+def pattern_profile(
+    df: DataFrame, col: str, top_k: int = 20, collapse_runs: bool = False
+) -> DataFrame:
+    """Character-class pattern histogram of a string column — the classic
+    format-inference profile: uppercase→``A``, lowercase→``a``, digits→``9``,
+    punctuation/whitespace kept verbatim, so ``"Customer#000042"`` profiles
+    as ``"Aaaaaaaa#999999"``. ``collapse_runs=True`` collapses repeats
+    (``"A+#9+"``-style, width-insensitive: ``"Aa#9"``). Returns the top-k
+    patterns with count and corpus fraction (6 dp) ordered by
+    (count desc, pattern asc) — the fastest way to spot mixed formats,
+    stray whitespace, or a second date format hiding in a column.
+
+    Plan: one narrow projection (three chained regexp_replace, JVM-side),
+    one map-side-combined groupBy on the (small) pattern domain, and a
+    broadcast of the single total row for the fraction — no second scan.
+    NULLs are excluded (they are the null-count stat, not a format).
+    """
+    pat = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col).cast("string"), "[A-Z]", "A"),
+            "[a-z]",
+            "a",
+        ),
+        "[0-9]",
+        "9",
+    )
+    if collapse_runs:
+        pat = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(pat, "A+", "A"), "a+", "a"), "9+", "9"
+        )
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(pat.alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            "n",
+            F.round(F.col("n") / F.col("__total").cast("double"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), F.asc("pattern"))
+        .limit(top_k)
+    )

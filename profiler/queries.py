@@ -3605,3 +3605,111 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return mad_outliers(ev, "value", k=3.5, id_cols=["event_id"])
+
+
+@_register(
+    "q71_set_similarity_join",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  ELSE array_to_string(words, ' ') END AS token
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
+      WHERE i = 1 OR len(words) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join at Jaccard >= 0.4 over 3-gram shingle
+    sets (profiler.dedup.set_similarity_join, AllPairs/PPJoin prefix
+    filtering): elements ranked
+    by global document frequency, only each doc's (n - ceil(t*n) + 1)-token
+    rarest prefix enters the self-join, then exact Jaccard verifies the
+    candidates — zero recall loss by the prefix lemma, which the oracle
+    proves by computing the FULL inverted-index join. The engine plan never
+    joins on stop-word-sized posting lists; the oracle's plan does (that is
+    the point — same answer, bounded candidates)."""
+    from profiler.dedup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return set_similarity_join(docs, threshold=0.4, shingle_k=3)
+
+
+@_register(
+    "q72_pattern_profile",
+    """
+    WITH p AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               props, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+               '[0-9]', '9', 'g') AS pattern
+      FROM events WHERE props IS NOT NULL
+    ),
+    c AS (SELECT pattern, count(*) AS n FROM p GROUP BY pattern),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT pattern, n, ROUND(n / total, 6) AS frac
+    FROM c, t ORDER BY n DESC, pattern ASC LIMIT 20
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class pattern histogram (profiler.profile.pattern_profile)
+    of the semi-structured events.props column: the format-inference view
+    (uppercase→A, lowercase→a, digit→9) that exposes mixed formats in one
+    narrow scan + one small-domain groupBy + a broadcast total."""
+    from profiler.profile import pattern_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return pattern_profile(ev, "props", top_k=20)
+
+
+@_register(
+    "q73_cube_aggregation",
+    """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n,
+           ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping sets of event_type × day): Spark's
+    native ``cube()`` — one Expand + one hash aggregate, subtotals and the
+    grand total in the same single-scan job rather than 4 separate
+    aggregations; DECIMAL(18,4) money-sum determinism as everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(
+            F.col("event_type"),
+            F.to_date(F.col("ts")).cast("string").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("day"))
+    )

@@ -521,3 +521,61 @@ def test_mad_outliers_planted(spark):
     assert mad_outliers(flat, "value", id_cols=["id"]).count() == 0
     empty = spark.createDataFrame([], "id long, value double")
     assert mad_outliers(empty, "value", id_cols=["id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join / pattern_profile
+# ---------------------------------------------------------------------------
+
+
+def test_set_similarity_join_exact_vs_allpairs(spark):
+    """Prefix filtering must lose NOTHING: engine result == brute-force
+    all-pairs Jaccard at several thresholds (incl. float-hostile 0.4)."""
+    import itertools
+
+    import pytest as _pytest
+
+    from profiler.dedup import set_similarity_join
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",      # near-dup of 0
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquor jugs today",  # near-dup of 2
+        "completely different content here entirely",
+        "the quick brown cat naps under the lazy dog",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: set(t.split()) for i, t in rows}
+    for thr in (0.4, 0.5, 0.75):
+        want = sorted(
+            (a, b, round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 4))
+            for a, b in itertools.combinations(sets, 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= thr
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in set_similarity_join(df, thr).collect()
+        )
+        assert got == want, thr
+    with _pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(df, 0.0)
+
+
+def test_pattern_profile_planted_formats(spark):
+    from profiler.profile import pattern_profile
+
+    vals = (
+        ["AB-1234"] * 5 + ["xy-99"] * 3 + ["AB 1234"] * 1 + [None] * 2
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [(r["pattern"], r["n"], r["frac"]) for r in pattern_profile(df, "v").collect()]
+    assert got == [
+        ("AA-9999", 5, round(5 / 9, 6)),
+        ("aa-99", 3, round(3 / 9, 6)),
+        ("AA 9999", 1, round(1 / 9, 6)),
+    ]
+    collapsed = {r["pattern"]: r["n"]
+                 for r in pattern_profile(df, "v", collapse_runs=True).collect()}
+    assert collapsed == {"A-9": 5, "a-9": 3, "A 9": 1}
