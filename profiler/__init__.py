@@ -17,8 +17,10 @@ verified for scaling efficiency between two parallelism levels.
 from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible, schema_diff
 from profiler.profile import (
     ProfileConfig,
+    candidate_keys,
     correlation_matrix,
     mad_outliers,
+    missingness_patterns,
     pattern_profile,
     monotonic_flags,
     profile_table,
@@ -83,7 +85,7 @@ from profiler.sampling import (
 )
 from profiler.clean import CleanConfig, clean_corpus
 from profiler.sequence import gap_stats, transition_matrix, transition_violations
-from profiler.joins import asof_join, fk_check, range_join
+from profiler.joins import asof_join, fk_check, range_join, skew_report
 from profiler.sketch import heavy_hitters
 from profiler.multimodal import extract_features, media_metadata, resize_media
 from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
@@ -113,6 +115,9 @@ __all__ = [
     "correlation_matrix",
     "mad_outliers",
     "pattern_profile",
+    "missingness_patterns",
+    "candidate_keys",
+    "skew_report",
     "detect_types",
     "ConstraintSuite",
     "unique_key",

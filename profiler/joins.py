@@ -80,7 +80,9 @@ def asof_join(
     key, the one whose payload sorts last (backward) / the one encountered
     first in (ts, payload) order (forward) wins — callers that need a
     specific winner should pre-aggregate ``right`` to one row per
-    (key, ts), which also shrinks the unioned input.
+    (key, ts), which also shrinks the unioned input. The payload tie-break
+    requires the right payload columns to be ORDERABLE types (no maps);
+    pre-aggregate to one row per (key, ts) to carry a map payload.
 
     Scale design: the two sides are unioned (``unionByName`` with missing
     columns null-filled), shuffled ONCE on the key, and resolved by a
@@ -309,4 +311,38 @@ def fk_check(
             ),
             4,
         ).alias("orphan_row_rate"),
+    )
+
+
+def skew_report(df: DataFrame, key: str | Sequence[str], top_k: int = 20) -> DataFrame:
+    """Pre-join/agg skew diagnostic: the ``top_k`` heaviest values of
+    ``key`` with row count, corpus ``share`` and ``skew_factor`` (count /
+    mean-count-per-key, 4 dp). A skew_factor in the thousands on a join key
+    is the number that says "salt this key or let AQE split it" BEFORE the
+    job hangs on one straggler task.
+
+    Plan: one map-side-combined groupBy on the key (the same shuffle the
+    actual join would do, so the report costs what one pass of the real
+    workload costs), a broadcast of the two-scalar totals row, and a
+    TakeOrdered for the top-k — nothing driver-side.
+    """
+    keys = _keys(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("__rows").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("n")
+                / (F.col("__rows").cast("double") / F.col("__keys").cast("double")),
+                4,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        .limit(top_k)
     )

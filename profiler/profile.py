@@ -1122,7 +1122,11 @@ def mad_outliers(
 
 
 def pattern_profile(
-    df: DataFrame, col: str, top_k: int = 20, collapse_runs: bool = False
+    df: DataFrame,
+    col: str,
+    top_k: int = 20,
+    collapse_runs: bool = False,
+    max_len: int = 256,
 ) -> DataFrame:
     """Character-class pattern histogram of a string column — the classic
     format-inference profile: uppercase→``A``, lowercase→``a``, digits→``9``,
@@ -1137,10 +1141,17 @@ def pattern_profile(
     one map-side-combined groupBy on the (small) pattern domain, and a
     broadcast of the single total row for the fraction — no second scan.
     NULLs are excluded (they are the null-count stat, not a format).
+    ``max_len`` truncates the input first — a format signature lives in the
+    first bytes, and without the cap a 1 MB free-text value would become a
+    1 MB groupBy key (patterns from truncated values are prefixes, still
+    grouping identically-formatted values together).
     """
+    src = F.col(col).cast("string")
+    if max_len:
+        src = F.substring(src, 1, int(max_len))
     pat = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col(col).cast("string"), "[A-Z]", "A"),
+            F.regexp_replace(src, "[A-Z]", "A"),
             "[a-z]",
             "a",
         ),
@@ -1166,4 +1177,92 @@ def pattern_profile(
         )
         .orderBy(F.desc("n"), F.asc("pattern"))
         .limit(top_k)
+    )
+
+
+def missingness_patterns(
+    df: DataFrame, cols: list[str] | None = None, top_k: int = 20
+) -> DataFrame:
+    """Row-level missingness co-occurrence (the missingno-matrix question:
+    WHICH columns are null together): each row maps to a 0/1 pattern string
+    over ``cols`` (1 = NULL, in the given column order); returns the top-k
+    patterns with ``n_null_cols``, count and fraction (6 dp). Per-column
+    null COUNTS are the basic profile; the pattern histogram is what
+    distinguishes "two independently-flaky columns" from "rows where the
+    whole enrichment join missed".
+
+    Plan: one narrow projection building the pattern string + one
+    map-side-combined groupBy over a domain bounded by 2^|cols| but in
+    practice by the handful of real failure modes; a broadcast total for
+    the fraction. One scan, no data-row shuffle.
+    """
+    cols = cols or df.columns
+    ind = [F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
+    pattern = F.concat(*ind)
+    counts = (
+        df.groupBy(pattern.alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    n_null_cols = F.length(F.regexp_replace(F.col("pattern"), "0", "")).cast("int")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            n_null_cols.alias("n_null_cols"),
+            "n",
+            F.round(F.col("n") / F.col("__total").cast("double"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), F.asc("pattern"))
+        .limit(top_k)
+    )
+
+
+def candidate_keys(
+    df: DataFrame, cols: list[str], max_arity: int = 2
+) -> DataFrame:
+    """Candidate-key discovery over ``cols``: for every combination up to
+    ``max_arity`` (singles, pairs, …), one row with ``n_distinct`` and
+    ``is_unique`` (n_distinct == row count). NULL semantics: single columns
+    count distinct NON-NULL values (so a column with nulls can never be
+    unique); multi-column combos count distinct TUPLES with nulls as values
+    (struct semantics — matching SQL ``ROW`` equality).
+
+    Plan: ONE aggregate carries every combo's count-distinct. Exact
+    distincts make the aggregate Expand-based (input ×|combos| pre-shuffle,
+    collapsed map-side) — the honest cost of an exact answer; at the 100 TB
+    scale run the same shape with approx_count_distinct first and re-check
+    only combos whose estimate is within noise of the row count.
+    """
+    from itertools import combinations
+
+    combos = [
+        c
+        for r in range(1, max_arity + 1)
+        for c in combinations(cols, r)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for combo in combos:
+        target = (
+            F.col(combo[0]) if len(combo) == 1 else F.struct(*[F.col(c) for c in combo])
+        )
+        aggs.append(F.count_distinct(target).alias("nd__" + "+".join(combo)))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit("+".join(combo)).alias("columns"),
+                F.lit(len(combo)).alias("arity"),
+                F.col("nd__" + "+".join(combo)).alias("n_distinct"),
+                (F.col("nd__" + "+".join(combo)) == F.col("__n_rows")).alias(
+                    "is_unique"
+                ),
+            )
+            for combo in combos
+        ]
+    )
+    return (
+        one.select(F.col("__n_rows").alias("n_rows"), F.explode(entries).alias("e"))
+        .select("e.columns", "e.arity", "n_rows", "e.n_distinct", "e.is_unique")
+        .orderBy("arity", "columns")
     )

@@ -3713,3 +3713,99 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("day"))
     )
+
+
+@_register(
+    "q74_missingness_patterns",
+    """
+    WITH e AS (
+      SELECT CASE WHEN event_type <> 'error' THEN value END AS v,
+             CASE WHEN user_id % 7 <> 0 THEN props END AS p,
+             CASE WHEN user_id % 21 <> 0 THEN event_type END AS t
+      FROM events
+    ),
+    pat AS (
+      SELECT (CASE WHEN v IS NULL THEN '1' ELSE '0' END)
+          || (CASE WHEN p IS NULL THEN '1' ELSE '0' END)
+          || (CASE WHEN t IS NULL THEN '1' ELSE '0' END) AS pattern
+      FROM e
+    ),
+    c AS (SELECT pattern, count(*) AS n FROM pat GROUP BY pattern),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT pattern,
+           CAST(len(replace(pattern, '0', '')) AS INT) AS n_null_cols,
+           n, ROUND(n / total, 6) AS frac
+    FROM c, tot ORDER BY n DESC, pattern ASC LIMIT 20
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness co-occurrence patterns (profiler.profile.
+    missingness_patterns) on a deterministically null-injected events view
+    (value nulled on error events, props on user_id%7, event_type on
+    user_id%21 — correlated + independent modes): the pattern histogram
+    that distinguishes shared failure modes from independent flakiness.
+    One narrow projection + small-domain groupBy + broadcast total."""
+    from profiler.profile import missingness_patterns
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        F.when(F.col("user_id") % 7 != 0, F.col("props")).alias("props"),
+        F.when(F.col("user_id") % 21 != 0, F.col("event_type")).alias("event_type"),
+    )
+    return missingness_patterns(ev, ["value", "props", "event_type"])
+
+
+def _candidate_keys_sql(table: str, cols: list[str]) -> str:
+    from itertools import combinations
+
+    combos = [c for r in (1, 2) for c in combinations(cols, r)]
+    stats, rows = [f"count(*) AS n_rows"], []
+    for i, combo in enumerate(combos):
+        tgt = combo[0] if len(combo) == 1 else "(" + ", ".join(combo) + ")"
+        stats.append(f"count(DISTINCT {tgt}) AS nd{i}")
+        rows.append(
+            f"SELECT '{'+'.join(combo)}' AS columns, {len(combo)} AS arity, "
+            f"n_rows, nd{i} AS n_distinct, nd{i} = n_rows AS is_unique FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(stats)} FROM {table}) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY arity, columns"
+    )
+
+
+_CK_COLS = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"]
+
+
+@_register("q75_candidate_keys", _candidate_keys_sql("orders", _CK_COLS))
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (profiler.profile.candidate_keys): every
+    single column and pair of orders' four key-ish columns with exact
+    distinct counts and a uniqueness verdict, in ONE aggregate (the exact
+    path is Expand-based by necessity; the 100 TB recipe is
+    approx_count_distinct first, exact re-check only near-unique combos)."""
+    from profiler.profile import candidate_keys
+
+    return candidate_keys(_t(spark, sf_dir, "orders"), _CK_COLS, max_arity=2)
+
+
+@_register(
+    "q76_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS rows_, CAST(count(*) AS DOUBLE)
+            AS keys_ FROM c)
+    SELECT user_id, n, ROUND(n / rows_, 6) AS share,
+           ROUND(n / (rows_ / keys_), 4) AS skew_factor
+    FROM c, t ORDER BY n DESC, user_id ASC LIMIT 20
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (profiler.joins.skew_report): the 20
+    heaviest events.user_id values with share and skew factor — the
+    pre-join report that says 'salt this key' before a 100 TB job hangs on
+    one straggler. Same groupBy shuffle the real join would pay; broadcast
+    totals; TakeOrdered top-k."""
+    from profiler.joins import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=20)

@@ -579,3 +579,65 @@ def test_pattern_profile_planted_formats(spark):
     collapsed = {r["pattern"]: r["n"]
                  for r in pattern_profile(df, "v", collapse_runs=True).collect()}
     assert collapsed == {"A-9": 5, "a-9": 3, "A 9": 1}
+
+
+# ---------------------------------------------------------------------------
+# missingness_patterns / candidate_keys / skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_missingness_patterns_planted(spark):
+    from profiler.profile import missingness_patterns
+
+    rows = (
+        [(1.0, "x")] * 4      # 00
+        + [(None, "x")] * 3   # 10
+        + [(None, None)] * 2  # 11 (correlated missingness)
+        + [(1.0, None)] * 1   # 01
+    )
+    df = spark.createDataFrame(rows, "a double, b string")
+    got = [
+        (r["pattern"], r["n_null_cols"], r["n"], r["frac"])
+        for r in missingness_patterns(df, ["a", "b"]).collect()
+    ]
+    assert got == [
+        ("00", 0, 4, 0.4),
+        ("10", 1, 3, 0.3),
+        ("11", 2, 2, 0.2),
+        ("01", 1, 1, 0.1),
+    ]
+
+
+def test_candidate_keys_planted(spark):
+    from profiler.profile import candidate_keys
+
+    rows = [
+        (1, "a", 10),
+        (2, "a", 20),
+        (3, "b", 10),
+        (4, "b", 20),
+        (None, "c", 30),
+    ]
+    df = spark.createDataFrame(rows, "pk int, g string, v int")
+    got = {r["columns"]: (r["n_distinct"], r["is_unique"])
+           for r in candidate_keys(df, ["pk", "g", "v"], max_arity=2).collect()}
+    # pk has a NULL: 4 distinct non-null over 5 rows -> not unique
+    assert got["pk"] == (4, False)
+    assert got["g"] == (3, False) and got["v"] == (3, False)
+    # tuple semantics: NULL pk row still forms a distinct (pk, g) tuple
+    assert got["pk+g"] == (5, True)
+    assert got["g+v"] == (5, True)
+    assert got["pk+v"] == (5, True)
+
+
+def test_skew_report_planted(spark):
+    from profiler.joins import skew_report
+
+    rows = [("whale",)] * 60 + [(f"k{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    top = skew_report(df, "k", top_k=3).collect()
+    assert top[0]["k"] == "whale" and top[0]["n"] == 60
+    assert top[0]["share"] == 0.6
+    # 41 keys, 100 rows -> mean 100/41; whale factor = 60/(100/41)
+    assert top[0]["skew_factor"] == round(60 / (100 / 41), 4)
+    assert top[1]["n"] == 1 and top[1]["k"] == "k0"  # tie-break by key
