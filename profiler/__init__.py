@@ -96,7 +96,12 @@ from profiler.timeseries import (
     series_extras,
     series_stats,
 )
-from profiler.streaming import streaming_dedup, streaming_profile, streaming_violations
+from profiler.streaming import (
+    streaming_dedup,
+    streaming_enrich_latest,
+    streaming_profile,
+    streaming_violations,
+)
 from profiler.checkpoint import CatalogCheckpointStore, ParquetCheckpointStore
 from profiler.run import run_full, run_validation
 
@@ -161,6 +166,7 @@ __all__ = [
     "packing_efficiency",
     "assign_packs",
     "streaming_dedup",
+    "streaming_enrich_latest",
     "shard_expr",
     "shuffle_deterministic",
     "CleanConfig",

@@ -292,3 +292,56 @@ def run_incremental_to_table(
     )
     q.awaitTermination()
     return output_dir
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment with the latest dimension state
+# ---------------------------------------------------------------------------
+def streaming_enrich_latest(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    dim_ts: str = "ts",
+    broadcast: bool = True,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Enrich a stream with each key's LATEST dimension row (the streaming
+    counterpart of a backward as-of join against "now"): left stream-static
+    join onto ``dim`` reduced to one row per key — the row with the greatest
+    ``dim_ts``, ties broken by the remaining columns so the winner is
+    deterministic. Dimension columns colliding with stream columns get
+    ``suffix``.
+
+    Scale/semantics notes: Structured Streaming re-evaluates the STATIC side
+    of a stream-static join every micro-batch, so a dimension table updated
+    in place (or an Iceberg table gaining snapshots) is picked up without
+    restarting the query — that re-scan is also why the reduction to
+    one-row-per-key matters: it is the work re-paid per batch, keep the dim
+    pruned. ``broadcast=True`` (default) hints the reduced dim onto every
+    executor — right for the usual small/medium dimension; disable for a
+    huge dim and let AQE pick a shuffled join. For event-time-correct
+    (as-of, not latest) enrichment, run the batch :func:`profiler.joins.
+    asof_join` over the closed windows instead — stream-static joins cannot
+    see dimension history.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    from pyspark.sql import Window
+
+    others = [c for c in dim.columns if c not in keys and c != dim_ts]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(dim_ts).desc(), *[F.col(c).desc_nulls_last() for c in others]
+    )
+    out_name = {
+        c: (c + suffix if c in stream.columns else c) for c in (dim_ts, *others)
+    }
+    latest = (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *keys,
+            *[F.col(c).alias(out_name[c]) for c in (dim_ts, *others)],
+        )
+    )
+    if broadcast:
+        latest = F.broadcast(latest)
+    return stream.join(latest, keys, "left")

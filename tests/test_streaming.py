@@ -248,3 +248,53 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert texts == ["alpha doc", "beta doc", "gamma doc"]
     kept_ids = {r["doc_id"] for r in rows}
     assert 1 in kept_ids and 3 not in kept_ids  # first occurrence wins
+
+
+def test_streaming_enrich_latest(spark, tmp_path):
+    """Each streamed event picks up its user's LATEST dimension row; keys
+    absent from the dimension keep NULLs (left join); colliding column
+    names get the suffix."""
+    import pandas as pd
+    import pyarrow as pa
+
+    d = tmp_path / "stream_enrich"
+    d.mkdir()
+
+    def tbl(ids, users, ts):
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "user_id": users,
+                    "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    synth.write_parquet(
+        tbl([1, 2, 3], [10, 20, 99],
+            ["2026-01-01 10:00:00", "2026-01-01 10:01:00", "2026-01-01 10:02:00"]),
+        str(d / "part-000.parquet"),
+    )
+    dim = spark.createDataFrame(
+        [
+            (10, pd.Timestamp("2025-12-01").to_pydatetime(), "bronze"),
+            (10, pd.Timestamp("2025-12-20").to_pydatetime(), "gold"),  # latest
+            (20, pd.Timestamp("2025-11-01").to_pydatetime(), "silver"),
+        ],
+        "user_id long, ts timestamp, tier string",
+    )
+    name = streaming.run_incremental(
+        spark,
+        str(d),
+        lambda src: streaming.streaming_enrich_latest(src, dim, on="user_id"),
+        str(tmp_path / "ckpt_enrich"),
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+    rows = {r["event_id"]: r for r in spark.table(name).collect()}
+    assert rows[1]["tier"] == "gold"          # latest dim row wins
+    assert str(rows[1]["ts_dim"]).startswith("2025-12-20")
+    assert rows[2]["tier"] == "silver"
+    assert rows[3]["tier"] is None            # unknown user passes through
