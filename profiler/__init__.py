@@ -19,6 +19,8 @@ from profiler.profile import (
     ProfileConfig,
     candidate_keys,
     correlation_matrix,
+    grouped_percentiles,
+    grouped_topk,
     mad_outliers,
     missingness_patterns,
     pattern_profile,
@@ -76,6 +78,7 @@ from profiler.text import (
 )
 from profiler.sampling import (
     mixture_weights,
+    sample_k_per_group,
     weighted_sample,
     sample_by_strata,
     sample_fraction,
@@ -157,6 +160,9 @@ __all__ = [
     "train_eval_split",
     "mixture_weights",
     "weighted_sample",
+    "sample_k_per_group",
+    "grouped_topk",
+    "grouped_percentiles",
     "asof_join",
     "range_join",
     "fk_check",

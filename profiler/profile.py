@@ -1266,3 +1266,57 @@ def candidate_keys(
         .select("e.columns", "e.arity", "n_rows", "e.n_distinct", "e.is_unique")
         .orderBy("arity", "columns")
     )
+
+
+def grouped_topk(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int
+) -> DataFrame:
+    """Top-k most frequent values of ``value_col`` WITHIN each group — the
+    per-stratum version of the global frequent-values profile (which
+    language's top domains, which user's top event types). One row per
+    (group, value) kept, with ``n`` and ``rank``; ties break on the value
+    so results are total-ordered.
+
+    Plan: groupBy (group, value) collapses map-side; the rank window then
+    runs over the already-aggregated counts — |distinct| rows, not |rows| —
+    partitioned by the group, so no unbounded domain meets a single task.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(*group_cols, "rank")
+    )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` (one row per group, one column
+    per quantile, 4 dp): latency p50/p90/p99 by event type, length
+    percentiles by language. ``exact=False`` switches to
+    ``percentile_approx`` (t-digest-style sketch, mergeable partials) — the
+    100 TB path where exact per-group sort buffers don't fit; the exact
+    path pins interpolation semantics at test scale.
+    """
+    c = F.col(value_col)
+    fn = (
+        (lambda q: F.percentile(c, F.lit(q)))
+        if exact
+        else (lambda q: F.percentile_approx(c, F.lit(q)))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            *[
+                F.round(fn(q), 4).alias(f"p{str(q)[2:].ljust(2, '0')}")
+                for q in quantiles
+            ]
+        )
+        .orderBy(*group_cols)
+    )

@@ -3809,3 +3809,82 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.joins import skew_report
 
     return skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+@_register(
+    "q77_sample_k_per_group",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('kpg' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (profiler.sampling.
+    sample_k_per_group): exactly 5 documents per language, picked by the
+    md5 draw of the id — stable across runs/partitioning and NESTED in k
+    (raising k keeps every previously-picked row). One row_number window
+    over the group key."""
+    from profiler.sampling import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "lang", 5, "doc_id").select(
+        "lang", "doc_id"
+    ).orderBy("lang", "doc_id")
+
+
+@_register(
+    "q78_grouped_topk",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS INT)
+               AS rank
+      FROM c
+    )
+    SELECT event_type, user_id, n, rank FROM r WHERE rank <= 3
+    ORDER BY event_type, rank
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group frequent values (profiler.profile.grouped_topk): each
+    event type's 3 heaviest users. The rank window runs over the ALREADY
+    AGGREGATED (group, value) counts — |distinct| rows, not |rows| — so no
+    unbounded domain meets a single window task."""
+    from profiler.profile import grouped_topk
+
+    return grouped_topk(_t(spark, sf_dir, "events"), ["event_type"], "user_id", 3)
+
+
+@_register(
+    "q79_grouped_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles (profiler.profile.grouped_percentiles): value
+    p50/p90/p99 by event type — exact linear-interpolation percentiles at
+    test scale pinning the semantics; the exported function's
+    exact=False flips to mergeable percentile_approx sketches for the
+    100 TB path (same output contract)."""
+    from profiler.profile import grouped_percentiles
+
+    return grouped_percentiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value"
+    )

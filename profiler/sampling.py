@@ -205,3 +205,29 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc(key_col))
         .limit(k)
     )
+
+
+def sample_k_per_group(
+    df: DataFrame, group_col: str, k: int, key_col: str, seed: str = "kpg"
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, group size)`` rows
+    per value of ``group_col`` — k examples per language/source/quality
+    bucket for eval sets and spot-check sheets. Selection order within a
+    group is the md5 draw of the key (ties → key), so the picked rows are
+    stable across runs/retries/repartitioning AND nested: raising k keeps
+    every previously-picked row (same reason the fraction samplers here are
+    nested across rates).
+
+    Plan: one window ``row_number`` partitioned by the group — the shuffle
+    is |rows| on the group key but the per-task state is one counter; at
+    whale-group scale prefer ``sample_fraction`` per stratum (no window)
+    and this only for small k on bounded-cardinality groups.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket_expr(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

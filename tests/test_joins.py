@@ -641,3 +641,49 @@ def test_skew_report_planted(spark):
     # 41 keys, 100 rows -> mean 100/41; whale factor = 60/(100/41)
     assert top[0]["skew_factor"] == round(60 / (100 / 41), 4)
     assert top[1]["n"] == 1 and top[1]["k"] == "k0"  # tie-break by key
+
+
+# ---------------------------------------------------------------------------
+# sample_k_per_group / grouped_topk / grouped_percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_sample_k_per_group_nested_and_stable(spark):
+    from profiler.sampling import sample_k_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    s3 = {(r["g"], r["id"]) for r in sample_k_per_group(df, "g", 3, "id").collect()}
+    s5 = {(r["g"], r["id"]) for r in sample_k_per_group(df, "g", 5, "id").collect()}
+    assert len(s3) == 3 * 3 + 1  # 'tiny' group has only one row
+    assert s3 < s5               # nested: raising k keeps every pick
+    # stable under repartitioning
+    s3b = {
+        (r["g"], r["id"])
+        for r in sample_k_per_group(df.repartition(7), "g", 3, "id").collect()
+    }
+    assert s3 == s3b
+
+
+def test_grouped_topk_and_percentiles(spark):
+    import numpy as np
+
+    from profiler.profile import grouped_percentiles, grouped_topk
+
+    rows = (
+        [("a", 1)] * 5 + [("a", 2)] * 3 + [("a", 3)] * 3 + [("a", 4)]
+        + [("b", 7)] * 2 + [("b", 8)]
+    )
+    df = spark.createDataFrame(rows, "g string, v int")
+    top = [
+        (r["g"], r["v"], r["n"], r["rank"])
+        for r in grouped_topk(df, ["g"], "v", 2).collect()
+    ]
+    # tie between a/2 and a/3 (both n=3) breaks on the value
+    assert top == [("a", 1, 5, 1), ("a", 2, 3, 2), ("b", 7, 2, 1), ("b", 8, 1, 2)]
+
+    vals = [float(v) for v in range(1, 101)]
+    df2 = spark.createDataFrame([("x", v) for v in vals], "g string, v double")
+    got = grouped_percentiles(df2, ["g"], "v", quantiles=(0.5, 0.9)).collect()[0]
+    assert got["p50"] == round(float(np.percentile(vals, 50)), 4)
+    assert got["p90"] == round(float(np.percentile(vals, 90)), 4)
