@@ -46,6 +46,7 @@ from profiler.dedup import (
     apply_neardup_dedup,
     connected_components,
     exact_dedup,
+    canonical_text_expr,
     fingerprint_index,
     incremental_dedup,
     set_similarity_join,
@@ -148,6 +149,7 @@ __all__ = [
     "fingerprint_index",
     "incremental_dedup",
     "set_similarity_join",
+    "canonical_text_expr",
     "apply_exact_dedup",
     "apply_neardup_dedup",
     "connected_components",

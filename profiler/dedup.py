@@ -628,3 +628,15 @@ def set_similarity_join(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def canonical_text_expr(text: Column) -> Column:
+    """Canonical form for case/punctuation-insensitive dedup (the C4-style
+    normalization): lowercase → non-alphanumeric runs collapse to one space
+    → trim. Two documents equal under this form are near-certain duplicates
+    that byte-exact fingerprints miss ("Hello, World!" vs "hello world").
+    Pure JVM expression — feed it to the same fingerprint machinery
+    (``exact_dedup``/``apply_exact_dedup``/``fingerprint_index`` all take a
+    column NAME, so project this first: ``df.withColumn("canon",
+    canonical_text_expr(F.col("text")))``)."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))

@@ -3888,3 +3888,124 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_percentiles(
         _t(spark, sf_dir, "events"), ["event_type"], "value"
     )
+
+
+@_register(
+    "q80_conversion_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT s.user_id, s.ts,
+             (SELECT min(p.ts) FROM p
+              WHERE p.user_id = s.user_id AND p.ts >= s.ts) AS pts
+      FROM s
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN pts IS NOT NULL
+                   AND epoch_us(pts) - epoch_us(ts) <= 3600000000
+                  THEN epoch_us(pts) - epoch_us(ts) END AS lag_us
+      FROM j
+    )
+    SELECT count(*) AS n_signups,
+           count(lag_us) AS n_converted,
+           ROUND(CAST(count(lag_us) AS DOUBLE) / count(*), 4)
+             AS conversion_rate,
+           CASE WHEN count(lag_us) > 0 THEN
+             ROUND(CAST(sum(lag_us) AS DOUBLE) / count(lag_us) / 1e6, 4) END
+             AS avg_secs_to_convert
+    FROM c
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (signup → purchase within 1 h) COMPOSED from the
+    forward as-of join: each signup picks the FIRST purchase of the same
+    user at-or-after it (union + one window, no pair blowup), the tolerance
+    voids matches beyond the window, and one global aggregate reports
+    volume / conversion rate / mean time-to-convert. The oracle recomputes
+    per-signup first-purchase with a correlated min — independent plan,
+    same numbers."""
+    from profiler.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    lag_us = F.unix_micros(F.col("ts_r").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("ts_r").alias("n_converted"),
+        F.round(
+            F.count("ts_r").cast("double") / F.count(F.lit(1)), 4
+        ).alias("conversion_rate"),
+        F.round(
+            F.when(
+                F.count("ts_r") > 0,
+                F.sum(lag_us).cast("double") / F.count("ts_r").cast("double") / F.lit(1e6),
+            ),
+            4,
+        ).alias("avg_secs_to_convert"),
+    )
+
+
+@_register(
+    "q81_canonical_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) FROM documents
+      WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM corpus WHERE text IS NOT NULL
+    )
+    SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM c GROUP BY fp HAVING count(*) > 1
+    ORDER BY keep_id
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized (case/punctuation-insensitive) duplicate groups
+    (profiler.dedup.canonical_text_expr + exact_dedup): planted upper-cased
+    variants of every 10th document MUST collapse into their originals'
+    groups — byte-exact fingerprints can't see them, the canonical form
+    does. Same 16-byte-digest shuffle discipline as q18."""
+    from profiler.dedup import canonical_text_expr, exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    variants = docs.where(
+        (F.col("doc_id") % 10 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants).withColumn(
+        "canon", canonical_text_expr(F.col("text"))
+    )
+    groups = exact_dedup(corpus, text_col="canon", id_col="doc_id")
+    return groups.select("fingerprint", "n_docs", "keep_id").orderBy("keep_id")

@@ -687,3 +687,39 @@ def test_grouped_topk_and_percentiles(spark):
     got = grouped_percentiles(df2, ["g"], "v", quantiles=(0.5, 0.9)).collect()[0]
     assert got["p50"] == round(float(np.percentile(vals, 50)), 4)
     assert got["p90"] == round(float(np.percentile(vals, 90)), 4)
+
+
+def test_canonical_dedup_and_funnel(spark):
+    """canonical_text_expr collapses case/punctuation variants into one
+    dedup group; the forward-asof funnel counts conversions inside the
+    window only."""
+    import datetime as dt
+
+    from profiler.dedup import canonical_text_expr, exact_dedup
+    from profiler.joins import asof_join
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO   world?"),
+         (4, "different")],
+        "doc_id long, text string",
+    )
+    g = exact_dedup(
+        docs.withColumn("canon", canonical_text_expr(F.col("text"))),
+        text_col="canon",
+    ).collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3 and g[0]["keep_id"] == 1
+
+    base = dt.datetime(2025, 6, 1)
+    s = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(hours=5)), (2, base)],
+        "user_id long, ts timestamp",
+    )
+    p = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=30)),        # converts signup 1
+         (1, base + dt.timedelta(hours=9))],          # outside 1h of signup 2
+        "user_id long, ts timestamp",
+    )
+    j = asof_join(s, p, on="user_id", left_ts="ts", right_ts="ts",
+                  direction="forward", tolerance_seconds=3600)
+    converted = j.where(F.col("ts_r").isNotNull()).count()
+    assert converted == 1  # user 2 never purchases; signup 2 is too early
