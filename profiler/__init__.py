@@ -18,6 +18,7 @@ from profiler.schema import TRANSCRIPTS_SCHEMA, TypesDict, detect_compatible, sc
 from profiler.profile import (
     ProfileConfig,
     candidate_keys,
+    benford_test,
     correlation_matrix,
     grouped_percentiles,
     grouped_topk,
@@ -92,7 +93,13 @@ from profiler.sequence import gap_stats, transition_matrix, transition_violation
 from profiler.joins import asof_join, fk_check, range_join, skew_report
 from profiler.sketch import heavy_hitters
 from profiler.multimodal import extract_features, media_metadata, resize_media
-from profiler.sources import add_geometry_column, read_csv, read_json, read_parquet
+from profiler.sources import (
+    add_geometry_column,
+    read_csv,
+    read_json,
+    read_parquet,
+    write_dataset,
+)
 from profiler.timeseries import (
     gap_section,
     hypertable_rollup,
@@ -165,6 +172,8 @@ __all__ = [
     "sample_k_per_group",
     "grouped_topk",
     "grouped_percentiles",
+    "benford_test",
+    "write_dataset",
     "asof_join",
     "range_join",
     "fk_check",

@@ -1320,3 +1320,55 @@ def grouped_percentiles(
         )
         .orderBy(*group_cols)
     )
+
+
+def benford_test(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the classic
+    fabricated/synthetic-numbers screen for a positive, scale-spanning
+    measure column. One row per digit 1-9 with observed count, observed and
+    expected frequency (log10(1+1/d)), and the digit's chi-square
+    contribution; callers compare the summed statistic to the chi²(8)
+    critical value. Zero/NULL values are excluded (no first digit);
+    negatives contribute their magnitude.
+
+    Plan: first digit = the leading character of the decimal magnitude
+    (JVM expression), one 9-bucket map-side-combined groupBy, broadcast
+    total. Note Benford only applies to data spanning orders of magnitude —
+    a bounded-uniform column legitimately fails; the test reports, the
+    caller judges.
+    """
+    import math
+
+    v = F.abs(F.col(col).cast("double"))
+    # leading digit of the magnitude: shift into [1, 10) via log10 floor.
+    # At values within 1 ulp of a power of 10 the floor can land either
+    # side (libm log10 rounding); both raw outcomes (0 or 10) belong to
+    # true digit 1, so they are folded back — making the digit identical
+    # across engines regardless of their libm's last-ulp behavior.
+    raw = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    digit = F.when((raw == 0) | (raw == 10), F.lit(1)).otherwise(raw)
+    counts = (
+        df.where(F.col(col).isNotNull() & (v > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    expected = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_col = F.lit(None).cast("double")
+    for d, e in expected.items():
+        exp_col = F.when(F.col("digit") == d, F.lit(e)).otherwise(exp_col)
+    obs = F.col("n") / F.col("__total").cast("double")
+    chi = (
+        (obs - exp_col) * (obs - exp_col) / exp_col * F.col("__total").cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_freq"),
+            F.round(exp_col, 6).alias("expected_freq"),
+            F.round(chi, 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -4009,3 +4009,41 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = exact_dedup(corpus, text_col="canon", id_col="doc_id")
     return groups.select("fingerprint", "n_docs", "keep_id").orderBy("keep_id")
+
+
+@_register(
+    "q82_benford_test",
+    """
+    WITH v AS (
+      SELECT abs(CAST(o_totalprice AS DOUBLE)) AS x FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+    ),
+    d AS (
+      SELECT CASE WHEN raw IN (0, 10) THEN 1 ELSE raw END AS digit
+      FROM (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT)
+              AS raw FROM v)
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    e AS (
+      SELECT digit, n, total, log10(1 + 1.0 / digit) AS expected
+      FROM c, t
+    )
+    SELECT digit, n,
+           ROUND(n / total, 6) AS observed_freq,
+           ROUND(expected, 6) AS expected_freq,
+           ROUND((n / total - expected) * (n / total - expected)
+                 / expected * total, 4) AS chi2_term
+    FROM e ORDER BY digit
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (profiler.profile.benford_test) on
+    o_totalprice (a positive, orders-of-magnitude-spanning measure — the
+    column class Benford applies to): per-digit observed vs log10(1+1/d)
+    expected with chi-square terms. Power-of-10 boundary digits fold to 1
+    on BOTH engines so libm last-ulp behavior cannot desynchronize the
+    bucketing; one 9-bucket groupBy + broadcast total."""
+    from profiler.profile import benford_test
+
+    return benford_test(_t(spark, sf_dir, "orders"), "o_totalprice")

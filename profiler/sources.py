@@ -144,3 +144,39 @@ def nesting_depth_stats(schema: T.StructType) -> dict:
         "max_depth": max(depths) if depths else 0,
         "depth_distribution": dict(sorted(dist.items())),
     }
+
+
+def write_dataset(
+    df,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_mb: int = 256,
+    approx_row_bytes: int | None = None,
+    mode: str = "error",
+    format: str = "parquet",
+) -> None:
+    """Layout-controlled dataset writer — the sink half the profile/clean
+    pipeline hands its output to. Controls the two knobs that decide
+    whether the NEXT reader of this data gets a healthy scan:
+
+    * ``partition_by`` — directory partitioning for pruning (only
+      low-cardinality columns; a high-cardinality partition column is the
+      small-files anti-pattern this function exists to prevent);
+    * ``maxRecordsPerFile`` — derived from ``target_file_mb`` and
+      ``approx_row_bytes`` (estimate it as byte_size/num_rows from the
+      profile document's table section), capping file size without an
+      extra repartition job. When ``approx_row_bytes`` is None the cap is
+      left to Spark (files sized by task output).
+
+    Writes through the standard committer — safe under speculative
+    execution and task retries. Deterministic CONTENT placement across
+    reruns additionally requires deterministic upstream partitioning
+    (e.g. ``repartition(n, shard_expr(...))`` — see profiler.sampling).
+    """
+    writer = df.write.mode(mode).format(format)
+    if approx_row_bytes:
+        per_file = max(int(target_file_mb * 1024 * 1024 / approx_row_bytes), 1)
+        writer = writer.option("maxRecordsPerFile", per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -87,3 +87,35 @@ def test_nesting_depth_stats():
     assert st["n_leaves"] == 4
     assert st["max_depth"] == 3
     assert st["depth_distribution"] == {1: 1, 2: 1, 3: 2}
+
+
+def test_write_dataset_layout(spark, tmp_path):
+    """partition_by creates prunable directories; maxRecordsPerFile caps
+    file sizes; written data round-trips exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from profiler.sources import write_dataset
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+    out = str(tmp_path / "ds")
+    # ~10k rows/file cap given 8-byte rows and tiny target -> multiple files
+    write_dataset(
+        df.repartition(2), out, partition_by=["part"],
+        target_file_mb=1, approx_row_bytes=4000,
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("part="))
+    assert dirs == ["part=0", "part=1", "part=2"]
+    files = [
+        f for d in dirs for f in os.listdir(os.path.join(out, d))
+        if f.endswith(".parquet")
+    ]
+    # 1MB/4000B = 262 rows per file cap; ~334 rows per partition -> >1 file each
+    assert len(files) > 3
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.groupBy("part").count().count() == 3
