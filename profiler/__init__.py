@@ -20,6 +20,7 @@ from profiler.profile import (
     candidate_keys,
     benford_test,
     correlation_matrix,
+    equidepth_histogram,
     grouped_percentiles,
     grouped_topk,
     mad_outliers,
@@ -68,6 +69,7 @@ from profiler.similarity import (
 from profiler.text import (
     assign_packs,
     corpus_describe,
+    tokenizer_fertility,
     count_tokens,
     decontaminate,
     detect_language,
@@ -173,6 +175,8 @@ __all__ = [
     "grouped_topk",
     "grouped_percentiles",
     "benford_test",
+    "equidepth_histogram",
+    "tokenizer_fertility",
     "write_dataset",
     "asof_join",
     "range_join",

@@ -4047,3 +4047,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.profile import benford_test
 
     return benford_test(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _equidepth_oracle_sql(n: int) -> str:
+    """q83 oracle: identical quantile edges + CASE-chain bucket assignment
+    as profiler.profile.equidepth_histogram (ulp-safe: an interpolated edge
+    either IS a data value — both formulas return it exactly — or lies
+    strictly between data values, so comparisons agree)."""
+    qs = [i / n for i in range(1, n)]
+    edges = ", ".join(
+        f"quantile_cont(value, {q}) AS e{i}" for i, q in enumerate(qs)
+    )
+    chain = " ".join(f"WHEN value < e{i} THEN {i + 1}" for i in range(len(qs)))
+    lo = " ".join(f"WHEN bucket = {i + 2} THEN ROUND(e{i}, 4)" for i in range(len(qs)))
+    hi = " ".join(f"WHEN bucket = {i + 1} THEN ROUND(e{i}, 4)" for i in range(len(qs)))
+    return f"""
+    WITH e AS (SELECT {edges} FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT CASE {chain} ELSE {n} END AS bucket FROM events, e
+      WHERE value IS NOT NULL
+    ),
+    c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT bucket, CASE {lo} END AS lo, CASE {hi} END AS hi, n
+    FROM c, e ORDER BY bucket
+    """
+
+
+@_register("q83_equidepth_histogram", _equidepth_oracle_sql(10))
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of the skewed events.value
+    (profiler.profile.equidepth_histogram): decile edges from ONE exact
+    percentile aggregate, assignment via a folded literal CASE chain, counts
+    collapse map-side over the 10-value domain. The equi-width histogram's
+    skew-unreadable complement; at 100 TB the edge pass flips to the
+    mergeable percentile_approx sketch."""
+    from profiler.profile import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "events"), "value", n_buckets=10)
+
+
+@_register(
+    "q84_tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS c,
+             octet_length(CAST(text AS BLOB)) AS b,
+             len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS tok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(tok) AS total_tokens,
+           ROUND(CAST(sum(c) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 4)
+             AS chars_per_token,
+           ROUND(CAST(sum(b) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 4)
+             AS bytes_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (profiler.text.tokenizer_fertility):
+    chars/bytes per whitespace token per lang — the context-capacity and
+    tokenizer-cost planning numbers. Integer sums exact; two final double
+    divisions; one narrow projection + one small-domain groupBy."""
+    from profiler.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))

@@ -567,3 +567,58 @@ def assign_packs(
         .cast("long")
         .alias("pack_last"),
     ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    mode: str = "whitespace",
+) -> DataFrame:
+    """Tokenizer fertility per group: characters and bytes per token —
+    the numbers that say how a tokenizer's cost and a context window's
+    effective capacity differ across languages (CJK and Cyrillic burn
+    more bytes per token; a byte-level BPE's fertility varies 2–4× by
+    script). One row per group: ``n_docs``, ``total_tokens``,
+    ``chars_per_token``, ``bytes_per_token`` (4 dp).
+
+    Plan: one narrow projection (length/octet_length/token count per row),
+    one map-side-combined groupBy over the group domain; integer sums are
+    exact so the two final divisions are the only float math.
+    """
+    n_tok = token_count_expr(F.col(text_col), mode)
+    t = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.octet_length(F.col(text_col)).alias("__bytes"),
+        n_tok.alias("__tok"),
+    )
+    return (
+        t.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.sum("__chars").alias("__sc"),
+            F.sum("__bytes").alias("__sb"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.when(
+                    F.col("total_tokens") > 0,
+                    F.col("__sc").cast("double") / F.col("total_tokens").cast("double"),
+                ),
+                4,
+            ).alias("chars_per_token"),
+            F.round(
+                F.when(
+                    F.col("total_tokens") > 0,
+                    F.col("__sb").cast("double") / F.col("total_tokens").cast("double"),
+                ),
+                4,
+            ).alias("bytes_per_token"),
+        )
+        .orderBy(group_col)
+    )

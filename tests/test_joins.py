@@ -723,3 +723,34 @@ def test_canonical_dedup_and_funnel(spark):
                   direction="forward", tolerance_seconds=3600)
     converted = j.where(F.col("ts_r").isNotNull()).count()
     assert converted == 1  # user 2 never purchases; signup 2 is too early
+
+
+def test_equidepth_histogram_and_fertility(spark):
+    """Equi-depth buckets hold ~equal counts on skewed data and cover all
+    rows; fertility ratios match hand arithmetic."""
+    import numpy as np
+
+    from profiler.profile import equidepth_histogram
+    from profiler.text import tokenizer_fertility
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.exponential(10, 900), rng.exponential(1000, 100)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    h = equidepth_histogram(df, "v", n_buckets=4).collect()
+    assert sum(r["n"] for r in h) == 1000
+    assert [r["bucket"] for r in h] == [1, 2, 3, 4]
+    assert all(abs(r["n"] - 250) <= 1 for r in h)  # equal depth on skew
+    # edges ordered, open-ended outer buckets
+    assert h[0]["lo"] is None and h[-1]["hi"] is None
+    assert h[0]["hi"] <= h[1]["hi"] <= h[2]["hi"]
+
+    docs = spark.createDataFrame(
+        [("en", "ab cd"), ("en", "efg"), ("el", "αβ γ")],
+        "lang string, text string",
+    )
+    f = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    # en: 8 chars, 3 tokens; el: 4 chars / 7 utf8 bytes, 2 tokens
+    assert f["en"]["total_tokens"] == 3
+    assert f["en"]["chars_per_token"] == round(8 / 3, 4)
+    assert f["el"]["chars_per_token"] == 2.0
+    assert f["el"]["bytes_per_token"] == 3.5  # 2-byte Greek letters
