@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the scale-design claims in the
+docstrings, pinned as assertions on the executed plan so a refactor cannot
+silently turn a bucketed join into a nested loop or push a top-k through a
+full sort. String-matching explain output is blunt but effective — each
+assertion names the property a 100 TB run depends on.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_filter_and_projection_reach_the_scan(spark, events):
+    """Predicate + column pruning must land in the parquet scan node."""
+    q = events.where(F.col("event_type") == "purchase").select("event_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    assert "ReadSchema" in plan
+    # pruned: only the referenced columns are read
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read and "value" in read and "props" not in read
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, events):
+    from profiler.joins import range_join
+
+    iv = events.limit(50).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    plan = _plan(range_join(events, iv, ts_col="ts", on="user_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_has_no_join_node(spark, events):
+    """The as-of plan is union + window — a Join operator appearing means
+    someone rewrote it into the pair-blowup formulation."""
+    from profiler.joins import asof_join
+
+    snaps = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    plan = _plan(asof_join(events, snaps, on="user_id", left_ts="ts", right_ts="ts"))
+    assert "Window" in plan and "Union" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_topk_paths_use_bounded_heaps(spark, events):
+    """orderBy+limit operators must compile to TakeOrderedAndProject
+    (per-task k-row heaps), never a full Sort."""
+    from profiler.joins import skew_report
+    from profiler.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (
+        weighted_sample(docs, "n_chars", 10, "doc_id"),
+        skew_report(events, "user_id", top_k=5),
+    ):
+        assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark):
+    """The dedup groupBy key must be the 16-byte md5, with the text column
+    pruned before the exchange (shuffle rows are constant-width)."""
+    from profiler.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex, "expected a hash exchange"
+    assert all("text#" not in ln for ln in ex), "text must not ride the shuffle"
+
+
+def test_wide_profile_pass_is_single_aggregate(spark, events):
+    """The generic stats for ALL columns share one partial+final aggregate
+    over one scan (the N-jobs-per-column anti-pattern would show N scans)."""
+    from profiler import stats
+
+    exprs = [e for c in ("event_id", "value", "user_id") for e in stats.generic_exprs(c, approx_distinct=True)]
+    plan = _plan(events.agg(*exprs))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1  # only the partial-agg exchange
