@@ -31,16 +31,37 @@ def read_csv(
     sep: str = ",",
     encoding: str = "UTF-8",
     schema: T.StructType | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """S1: CSV scan with the reference's header/sep/encoding knobs.
 
     Without a user schema, columns are inferred (one extra sampling pass —
-    at scale always pass ``schema``; inference reads data twice)."""
+    at scale always pass ``schema``; inference reads data twice).
+
+    ``keep_corrupt=True`` (requires an explicit ``schema``) reads in
+    PERMISSIVE mode with a ``corrupt_record`` column carrying each
+    malformed line verbatim — the ingestion-accounting contract for dirty
+    10^12-row CSV drops: quarantine the rows
+    (``df.where(col('corrupt_record').isNotNull())``) instead of silently
+    nulling (default PERMISSIVE) or aborting the job (FAILFAST). The
+    malformed-row count belongs in the profile next to null counts."""
     reader = (
         spark.read.option("header", header)
         .option("sep", sep)
         .option("encoding", encoding)
     )
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt requires an explicit schema")
+        reader = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "corrupt_record")
+            .schema(schema.add("corrupt_record", T.StringType()))
+        )
+        # Spark quirk: a query that selects ONLY the corrupt column over a
+        # raw-parse scan needs the parsed columns referenced too — callers
+        # should cache or select(*) before filtering on corrupt_record.
+        return sanitize_columns(reader.csv(path))
     if schema is not None:
         reader = reader.schema(schema)
     else:

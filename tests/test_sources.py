@@ -119,3 +119,31 @@ def test_write_dataset_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.groupBy("part").count().count() == 3
+
+
+def test_read_csv_keep_corrupt_accounting(spark, tmp_path):
+    """Malformed lines survive verbatim in corrupt_record; clean rows parse;
+    the malformed count is exact. keep_corrupt without a schema raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from profiler.sources import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,x\nnot_an_int,y\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, keep_corrupt=True).cache()
+    try:
+        assert df.count() == 3
+        bad = df.where(F.col("corrupt_record").isNotNull()).collect()
+        assert len(bad) == 1 and bad[0]["corrupt_record"] == "not_an_int,y"
+        good = df.where(F.col("corrupt_record").isNull())
+        assert sorted(r["a"] for r in good.collect()) == [1, 3]
+    finally:
+        df.unpersist()
+    with _pytest.raises(ValueError, match="schema"):
+        read_csv(spark, str(p), keep_corrupt=True)
