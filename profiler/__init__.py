@@ -91,7 +91,12 @@ from profiler.sampling import (
     train_eval_split,
 )
 from profiler.clean import CleanConfig, clean_corpus
-from profiler.sequence import gap_stats, transition_matrix, transition_violations
+from profiler.sequence import (
+    cohort_retention,
+    gap_stats,
+    transition_matrix,
+    transition_violations,
+)
 from profiler.joins import asof_join, fk_check, range_join, skew_report
 from profiler.sketch import heavy_hitters
 from profiler.multimodal import extract_features, media_metadata, resize_media
@@ -177,6 +182,7 @@ __all__ = [
     "benford_test",
     "equidepth_histogram",
     "tokenizer_fertility",
+    "cohort_retention",
     "write_dataset",
     "asof_join",
     "range_join",

@@ -4114,3 +4114,37 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import tokenizer_fertility
 
     return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q85_cohort_retention",
+    """
+    WITH b AS (
+      SELECT user_id AS u, date_trunc('week', ts) AS p FROM events
+    ),
+    f AS (SELECT u, min(p) AS cohort FROM b GROUP BY u),
+    a AS (SELECT DISTINCT u, p FROM b),
+    m AS (
+      SELECT cohort,
+             CAST(date_diff('day', CAST(cohort AS DATE), CAST(p AS DATE)) / 7
+                  AS INT) AS period_offset,
+             count(DISTINCT a.u) AS n_active
+      FROM a JOIN f ON a.u = f.u
+      GROUP BY cohort, period_offset
+    ),
+    sz AS (SELECT cohort, n_active AS size FROM m WHERE period_offset = 0)
+    SELECT CAST(m.cohort AS VARCHAR) AS cohort, period_offset, n_active,
+           ROUND(n_active / CAST(size AS DOUBLE), 4) AS retention
+    FROM m JOIN sz ON m.cohort = sz.cohort
+    ORDER BY cohort, period_offset
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events (profiler.sequence.
+    cohort_retention): users bucketed by first-activity week, per-offset
+    active fraction — the classic retention triangle. Two aggregates over
+    one narrow (user, week) projection + a cohort-size self-join; the
+    matrix domain is |cohorts|x|offsets|, collapsed map-side."""
+    from profiler.sequence import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))

@@ -163,3 +163,61 @@ def gap_stats(
     if by_col:
         return gaps.groupBy("by").agg(*aggs).orderBy("by")
     return gaps.agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity period
+    (the cohort), then for each later period the fraction still active —
+    one row per (cohort, period_offset) with ``n_active`` and ``retention``
+    (4 dp; offset 0 is the cohort size, retention 1.0 by construction).
+    The last classic event-analytics archetype next to funnel/sessionize/
+    rollup; for transcripts it reads "of conversations started in week W,
+    how many users returned k weeks later".
+
+    Plan: first-activity is one groupBy(user) min; per-period activity is
+    one DISTINCT over (user, period); the join back to cohorts is keyed on
+    the user (broadcast when the user dimension is small, AQE decides) and
+    the final matrix aggregate has a |cohorts|×|offsets| domain that
+    collapses map-side. Nothing scans events twice — both aggregates read
+    the same narrow (user, period) projection.
+    """
+    period = F.date_trunc(granularity, F.col(ts_col))
+    days = {"week": 7, "day": 1, "month": None}
+    if granularity not in days:
+        raise ValueError(f"granularity must be one of {sorted(days)}")
+    base = df.select(F.col(user_col).alias("u"), period.alias("p"))
+    first = base.groupBy("u").agg(F.min("p").alias("cohort"))
+    activity = base.distinct()
+    j = activity.join(first, "u")
+    if granularity == "month":
+        offset = (F.month("p") - F.month("cohort")) + 12 * (
+            F.year("p") - F.year("cohort")
+        )
+    else:
+        offset = (
+            F.datediff(F.col("p").cast("date"), F.col("cohort").cast("date"))
+            / days[granularity]
+        ).cast("int")
+    m = j.groupBy(F.col("cohort"), offset.alias("period_offset")).agg(
+        F.count_distinct("u").alias("n_active")
+    )
+    size = m.where(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("__size")
+    )
+    return (
+        m.join(size, "cohort")
+        .select(
+            F.col("cohort").cast("date").cast("string").alias("cohort"),
+            "period_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("__size").cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "period_offset")
+    )

@@ -157,3 +157,31 @@ def test_vocabulary_coverage_tie_break_deterministic(spark):
     df = spark.createDataFrame([("z y x z y x",)], "text string")
     rows = vocabulary_coverage(df, top_k=2).collect()
     assert [r["token"] for r in rows] == ["x", "y"]  # count ties -> token asc
+
+
+def test_cohort_retention_planted(spark):
+    """Two cohorts with hand-computed retention; a user active twice in one
+    week counts once; offset-0 retention is 1.0 by construction."""
+    import datetime as dt
+
+    from profiler.sequence import cohort_retention
+
+    w0, w1, w2 = (dt.datetime(2025, 6, 2), dt.datetime(2025, 6, 9),
+                  dt.datetime(2025, 6, 16))  # consecutive Mondays
+    rows = (
+        [(u, w0) for u in (1, 2, 3)]          # cohort A: 3 users
+        + [(1, w0 + dt.timedelta(days=2))]    # same-week repeat: no double count
+        + [(1, w1), (2, w1)]                  # 2/3 back in week 1
+        + [(1, w2)]                           # 1/3 back in week 2
+        + [(9, w1)]                           # cohort B: 1 user, never returns
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["period_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2025-06-02", 0)] == (3, 1.0)
+    assert got[("2025-06-02", 1)] == (2, round(2 / 3, 4))
+    assert got[("2025-06-02", 2)] == (1, round(1 / 3, 4))
+    assert got[("2025-06-09", 0)] == (1, 1.0)
+    assert len(got) == 4
