@@ -576,6 +576,12 @@ def set_similarity_join(
         if shingle_k
         else tokens_expr(F.col(text_col))
     )
+    # The .distinct() is semantically redundant in shingle mode (the array
+    # is already per-document distinct) but deliberately KEPT: its exchange
+    # is the shared materialization point for the three consumers of this
+    # subtree (ranking, verify-a, verify-b) — ReusedExchange serves the
+    # shingle explode once instead of recomputing it 3x (measured ~2x
+    # end-to-end at sf0.1 vs dropping it).
     toks = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc"), F.explode(elems).alias("token"))

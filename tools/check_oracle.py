@@ -28,6 +28,8 @@ def norm(v):
 
 
 def main() -> int:
+    import time
+
     import duckdb
 
     from profiler.queries import oracle_sql, queries
@@ -49,11 +51,13 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             sdf = fn(spark, sf_dir)
             s_cols = sorted(sdf.columns)
             s_rows = sorted(
                 tuple(norm(row[c]) for c in s_cols) for row in sdf.collect()
             )
+            spark_sec = time.monotonic() - t0
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -86,7 +90,7 @@ def main() -> int:
                 print(f"   duckdb: {d_rows[i]}")
             n_fail += 1
         else:
-            print(f"ok   {name}: {len(s_rows)} rows match")
+            print(f"ok   {name}: {len(s_rows)} rows match ({spark_sec:.2f}s spark)")
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0
 
