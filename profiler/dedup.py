@@ -281,11 +281,24 @@ def apply_neardup_dedup(
 # ---------------------------------------------------------------------------
 # Duplicate-cluster connected components
 # ---------------------------------------------------------------------------
+def _checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage. ``reliable=False`` → ``localCheckpoint`` (executor
+    block storage: fast, but a lost executor kills the job — fine for
+    local/driver work). ``reliable=True`` → ``checkpoint`` to the
+    configured checkpoint dir (HDFS/object store: survives executor loss —
+    what an iterative job on a 1000-executor cluster needs; requires
+    ``spark.sparkContext.setCheckpointDir`` first)."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 30,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components of the (undirected) duplicate-pair graph:
     (id, component) where component = the minimum id reachable from ``id``.
@@ -302,13 +315,17 @@ def connected_components(
     10^6 shuffles); with the jump the round count is O(log n) even on
     adversarial paths, while dup-cluster blobs still converge in 2-3
     rounds. Labels only ever decrease and always name a node in the same
-    component, so correctness is invariant per round and an unchanged
-    sum(label) is a fixpoint — convergence detection is one scalar
-    aggregate, no frame diff. The label frame is ``localCheckpoint``-ed
-    each round so lineage stays O(1) deep (on a real cluster use
-    ``setCheckpointDir`` + ``checkpoint`` for executor-loss-tolerant
-    truncation). Raises RuntimeError if ``max_iters`` rounds don't
-    converge — an explicit failure instead of silently-wrong clusters.
+    component, so correctness is invariant per round and a round in which
+    NO label changed is a fixpoint — convergence detection threads the
+    previous label through the round and counts changed rows on the
+    already-materialised checkpoint (type-agnostic: works for string/UUID
+    ids, where a numeric label-sum cast would NULL out under non-ANSI or
+    crash under ANSI). The label frame is ``localCheckpoint``-ed each
+    round so lineage stays O(1) deep (on a real cluster pass
+    ``reliable_checkpoint=True`` after ``spark.sparkContext.
+    setCheckpointDir`` for executor-loss-tolerant truncation). Raises
+    RuntimeError if ``max_iters`` rounds don't converge — an explicit
+    failure instead of silently-wrong clusters.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -316,19 +333,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .select("id", F.col("id").alias("comp")),
+        reliable_checkpoint,
     )
 
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev = _label_sum(labels)
     try:
         for _ in range(max_iters):
             prop = (
@@ -342,7 +353,9 @@ def connected_components(
             # pointer jump: label(id) := label(label(id)). label values are
             # node ids, so the lookup side is one_hop itself; labels are
             # monotone non-increasing, hence b.comp <= a.comp when matched.
-            labels = (
+            # prev carries each node's label from the START of the round so
+            # convergence is an exact changed-row count, no extra join.
+            jumped = (
                 one_hop.alias("a")
                 .join(
                     one_hop.alias("b"),
@@ -353,16 +366,27 @@ def connected_components(
                     F.col("a.id").alias("id"),
                     F.coalesce(F.col("b.comp"), F.col("a.comp")).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
             )
-            cur = _label_sum(labels)
-            if cur == prev:
+            new_labels = _checkpoint(
+                jumped.alias("n")
+                .join(labels.alias("p"), F.col("n.id") == F.col("p.id"))
+                .select(
+                    F.col("n.id").alias("id"),
+                    F.col("n.comp").alias("comp"),
+                    F.col("p.comp").alias("prev_comp"),
+                ),
+                reliable_checkpoint,
+            )
+            changed = (
+                new_labels.where(F.col("comp") != F.col("prev_comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.select("id", "comp")
+            if changed == 0:
                 return labels.select(
                     F.col("id"), F.col("comp").alias("component")
                 )
-            prev = cur
-        if prev is None:  # empty pair set: no nodes, nothing to converge
-            return labels.select(F.col("id"), F.col("comp").alias("component"))
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds; "
             "the pair graph has adversarial structure — raise max_iters"
@@ -379,6 +403,7 @@ def neardup_clusters(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_k: int = 3,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact near-duplicate clusters: MinHash-LSH verified pairs →
     :func:`connected_components`. Returns (id, component); documents with no
@@ -388,7 +413,7 @@ def neardup_clusters(
     pairs = minhash_lsh_dedup(
         df, text_col, id_col, threshold, n_bands, rows_per_band, shingle_k
     )
-    return connected_components(pairs)
+    return connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
 
 
 # ---------------------------------------------------------------------------

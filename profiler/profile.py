@@ -1035,6 +1035,14 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     tidy pairs through an explode of literal-built structs (no second
     scan, no driver round-trip). C(k,2)·6 aggregates in one partial+final
     hash agg; no shuffle moves anything but one partial row per task.
+
+    Supported value envelope (explicit, not silent): inputs must fit
+    DECIMAL(18,6), i.e. |x| < 10^12. Out-of-range values are counted per
+    pair in ``n_overflow`` (via ``try_cast``, so neither ANSI mode crashes
+    nor non-ANSI silently nulls one side of the sufficient statistics) and
+    any pair with ``n_overflow > 0`` reports ``corr = NULL`` — poisoned,
+    never a quietly-wrong number. The DECIMAL(38,12) product accumulators
+    hold Σx² exactly for |x| ≤ 10^6 at 10^12 rows (Σx² ≤ 10^24 ≪ 10^26).
     """
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     if not pairs:
@@ -1042,11 +1050,16 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = []
     for a, b in pairs:
         both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        x = F.when(both, F.col(a).cast("decimal(18,6)"))
-        y = F.when(both, F.col(b).cast("decimal(18,6)"))
+        xt = F.col(a).try_cast("decimal(18,6)")
+        yt = F.col(b).try_cast("decimal(18,6)")
+        x = F.when(both, xt)
+        y = F.when(both, yt)
         k = f"{a}__{b}"
         aggs += [
-            F.count(x).alias(f"n__{k}"),
+            F.count(F.when(both, F.lit(1))).alias(f"n__{k}"),
+            F.count(F.when(both & (xt.isNull() | yt.isNull()), F.lit(1))).alias(
+                f"bad__{k}"
+            ),
             F.sum(x).alias(f"sx__{k}"),
             F.sum(y).alias(f"sy__{k}"),
             F.sum(x * x).alias(f"sxx__{k}"),
@@ -1064,7 +1077,8 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         sxy = F.col(f"sxy__{k}").cast("double")
         den = (n * sxx - sx * sx) * (n * syy - sy * sy)
         return F.round(
-            F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den)), 4
+            F.when((F.col(f"bad__{k}") == 0) & (den > 0), (n * sxy - sx * sy) / F.sqrt(den)),
+            4,
         )
 
     entries = F.array(
@@ -1073,6 +1087,7 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
                 F.col(f"n__{a}__{b}").alias("n"),
+                F.col(f"bad__{a}__{b}").alias("n_overflow"),
                 _corr(f"{a}__{b}").alias("corr"),
             )
             for a, b in pairs
@@ -1080,7 +1095,7 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
     return (
         one.select(F.explode(entries).alias("e"))
-        .select("e.col_x", "e.col_y", "e.n", "e.corr")
+        .select("e.col_x", "e.col_y", "e.n", "e.n_overflow", "e.corr")
         .orderBy("col_x", "col_y")
     )
 
@@ -1101,10 +1116,14 @@ def mad_outliers(
     """
     out_cols = [*(id_cols or []), col]
     vals = df.where(F.col(col).isNotNull())
-    med = vals.agg(F.expr(f"percentile({col}, 0.5)").alias("m")).collect()[0]["m"]
+    # Column API (not string-built F.expr): column names with spaces or
+    # other non-identifier characters must not be parsed as SQL.
+    med = vals.agg(F.percentile(F.col(col), F.lit(0.5)).alias("m")).collect()[0]["m"]
     mad = (
         vals.agg(
-            F.expr(f"percentile(abs({col} - {float(med)}d), 0.5)").alias("m")
+            F.percentile(
+                F.abs(F.col(col) - F.lit(float(med))), F.lit(0.5)
+            ).alias("m")
         ).collect()[0]["m"]
         if med is not None
         else None

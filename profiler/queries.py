@@ -3534,15 +3534,18 @@ def _corr_oracle_sql(table: str, cols: list[str]) -> str:
     stats, rows = [], []
     for a, b in pairs:
         both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        # replay Spark's try_cast(DECIMAL(18,6)) overflow predicate
+        fits = f"abs({a}) < 1e12 AND abs({b}) < 1e12"
         k = f"{a}__{b}"
-        x = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(18,6)) END"
-        y = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(18,6)) END"
+        x = f"CASE WHEN {both} AND {fits} THEN CAST({a} AS DECIMAL(18,6)) END"
+        y = f"CASE WHEN {both} AND {fits} THEN CAST({b} AS DECIMAL(18,6)) END"
         # products in a wider container: DuckDB keeps DECIMAL(18)*DECIMAL(18)
         # in int64 and overflows; the VALUES are identical either way
-        xw = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(24,6)) END"
-        yw = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(24,6)) END"
+        xw = f"CASE WHEN {both} AND {fits} THEN CAST({a} AS DECIMAL(24,6)) END"
+        yw = f"CASE WHEN {both} AND {fits} THEN CAST({b} AS DECIMAL(24,6)) END"
         stats += [
-            f"count({x}) AS n__{k}",
+            f"count(CASE WHEN {both} THEN 1 END) AS n__{k}",
+            f"count(CASE WHEN {both} AND NOT ({fits}) THEN 1 END) AS bad__{k}",
             f"sum({x}) AS sx__{k}",
             f"sum({y}) AS sy__{k}",
             f"sum(({xw}) * ({xw})) AS sxx__{k}",
@@ -3554,7 +3557,8 @@ def _corr_oracle_sql(table: str, cols: list[str]) -> str:
         den = f"(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}))"
         rows.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, n__{k} AS n, "
-            f"ROUND(CASE WHEN {den} > 0 THEN "
+            f"bad__{k} AS n_overflow, "
+            f"ROUND(CASE WHEN bad__{k} = 0 AND {den} > 0 THEN "
             f"({n} * {sxy} - {sx} * {sy}) / sqrt({den}) END, 4) AS corr FROM s"
         )
     return (

@@ -53,10 +53,16 @@ def read_csv(
     if keep_corrupt:
         if schema is None:
             raise ValueError("keep_corrupt requires an explicit schema")
+        # Build a FRESH struct: StructType.add mutates the caller's schema
+        # in place (a second read_csv with the same object would grow a
+        # duplicate corrupt_record field).
+        read_schema = T.StructType(
+            [*schema.fields, T.StructField("corrupt_record", T.StringType())]
+        )
         reader = (
             reader.option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "corrupt_record")
-            .schema(schema.add("corrupt_record", T.StringType()))
+            .schema(read_schema)
         )
         # Spark quirk: a query that selects ONLY the corrupt column over a
         # raw-parse scan needs the parsed columns referenced too — callers

@@ -541,10 +541,23 @@ def series_extras(
 # Multi-resolution rollup (hypertable-style continuous aggregate)
 # ---------------------------------------------------------------------------
 
-#: date_trunc units ordered finest → coarsest; each truncation composes with
-#: the previous (date_trunc('hour', date_trunc('minute', ts)) ==
-#: date_trunc('hour', ts)), which is what makes partial re-aggregation legal.
+#: date_trunc units ordered finest → coarsest. Truncations COMPOSE
+#: (date_trunc(coarse, date_trunc(fine, ts)) == date_trunc(coarse, ts)) for
+#: every pair EXCEPT fine='week': ISO weeks straddle month/year boundaries,
+#: so date_trunc('month', date_trunc('week', ts)) assigns the whole
+#: boundary week to its Monday's month — wrong buckets. Composition is what
+#: makes partial re-aggregation legal, so week partials must never feed a
+#: coarser level.
 _RESOLUTION_ORDER = ("second", "minute", "hour", "day", "week", "month", "year")
+
+
+def _composes_into_coarser(unit: str) -> bool:
+    """True iff ``date_trunc(coarser, date_trunc(unit, ts)) ==
+    date_trunc(coarser, ts)`` for every coarser unit in the ladder. Only
+    'week' fails: second/minute/hour/day boundaries align with week, month
+    and year starts, and month aligns with year — weeks align with nothing
+    coarser."""
+    return unit != "week"
 
 
 def hypertable_rollup(
@@ -560,14 +573,19 @@ def hypertable_rollup(
     continuous-aggregate ladder (minute → hour → day …).
 
     Scale design: the RAW table is scanned and shuffled ONCE, for the
-    finest resolution only. Every coarser level re-aggregates the previous
-    level's partials (counts and sums add; min/max nest) — legal because
-    the aggregates are algebraic and ``date_trunc`` compositions nest. In
-    the physical plan the finest groupBy's exchange appears once and is
-    shared by all levels (ReusedExchange); each coarser level then
-    aggregates the (tiny) partial table. The sum runs in DECIMAL(38,6) so
-    re-aggregation order cannot change the result — the ladder is
-    bit-for-bit equal to aggregating raw data at each level.
+    finest resolution only. Every coarser level re-aggregates an
+    already-computed level's partials (counts and sums add; min/max nest)
+    — legal because the aggregates are algebraic and the ``date_trunc``
+    compositions nest. 'week' does NOT compose into month/year (a week
+    straddling a boundary would be assigned wholly to its Monday's month),
+    so a week level is always a LEAF: coarser levels chain off the last
+    non-week level instead, and ``resolutions`` starting at 'week' with
+    anything coarser raises. In the physical plan the finest groupBy's
+    exchange appears once and is shared by all levels (ReusedExchange);
+    each coarser level then aggregates the (tiny) partial table. The sum
+    runs in DECIMAL(38,6) so re-aggregation order cannot change the result
+    — the ladder is bit-for-bit equal to aggregating raw data at each
+    level.
     """
     order = {r: i for i, r in enumerate(_RESOLUTION_ORDER)}
     for r in resolutions:
@@ -575,6 +593,12 @@ def hypertable_rollup(
             raise ValueError(f"unknown resolution {r!r}; use one of {_RESOLUTION_ORDER}")
     if list(resolutions) != sorted(resolutions, key=order.__getitem__):
         raise ValueError("resolutions must be ordered finest -> coarsest")
+    if resolutions[0] == "week" and len(resolutions) > 1:
+        raise ValueError(
+            "'week' partials cannot feed coarser levels (weeks straddle "
+            "month/year boundaries); start the ladder at 'day' or finer, "
+            "or request 'week' alone"
+        )
 
     gcols = list(group_cols)
     finest = resolutions[0]
@@ -593,8 +617,12 @@ def hypertable_rollup(
     )
 
     levels = [level.withColumn("resolution", F.lit(finest))]
+    # the most recent level whose unit composes into every coarser unit —
+    # week levels are leaves and never become the chain source
+    chain = level if _composes_into_coarser(finest) else None
     for res in resolutions[1:]:
-        level = level.groupBy(
+        assert chain is not None  # guaranteed by the finest=='week' check
+        level = chain.groupBy(
             *gcols, F.date_trunc(res, F.col("bucket_ts")).alias("bucket_ts")
         ).agg(
             F.sum("n_rows").alias("n_rows"),
@@ -604,6 +632,8 @@ def hypertable_rollup(
             F.max("max_v").alias("max_v"),
         )
         levels.append(level.withColumn("resolution", F.lit(res)))
+        if _composes_into_coarser(res):
+            chain = level
 
     out = levels[0]
     for lv in levels[1:]:

@@ -208,6 +208,47 @@ def test_rollup_ladder_equals_direct_aggregation(spark):
             assert avg == round(s / nv, 4) if nv else avg is None
 
 
+def test_rollup_week_level_is_a_leaf(spark):
+    """A week straddling a month/year boundary must not drag the whole
+    week's rows into its Monday's month: month/year levels chain off day
+    partials, never off week partials (ADVICE r2 high). 2025-06-30 is a
+    Monday, so (Jun 30, Jul 1, Jul 2) share an ISO week across the
+    boundary."""
+    rows = [
+        (dt.datetime(2025, 6, 30, 10, 0), 1.0),
+        (dt.datetime(2025, 7, 1, 10, 0), 10.0),
+        (dt.datetime(2025, 7, 2, 10, 0), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = hypertable_rollup(df, "ts", "value", resolutions=("day", "week", "month"))
+    for res in ("day", "week", "month"):
+        got = {
+            str(r["bucket_ts"]): (r["n_rows"], r["sum_v"])
+            for r in out.where(F.col("resolution") == res).collect()
+        }
+        direct = {
+            str(r["b"]): (r["n"], r["s"])
+            for r in df.groupBy(F.date_trunc(res, "ts").alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4).alias("s"),
+            )
+            .collect()
+        }
+        assert got == direct, res
+    # the month level must split the boundary week: June gets 1.0, July 110.0
+    months = {
+        str(r["bucket_ts"]): r["sum_v"]
+        for r in out.where(F.col("resolution") == "month").collect()
+    }
+    assert months == {"2025-06-01 00:00:00": 1.0, "2025-07-01 00:00:00": 110.0}
+    # week partials cannot feed a coarser level
+    with pytest.raises(ValueError, match="week"):
+        hypertable_rollup(df, "ts", "value", resolutions=("week", "month"))
+    # week alone is fine
+    assert hypertable_rollup(df, "ts", "value", resolutions=("week",)).count() == 1
+
+
 def test_rollup_group_cols_and_validation(spark):
     df = spark.createDataFrame(
         [(dt.datetime(2025, 5, 1, 0, 0), "a", 1.0),
@@ -487,6 +528,23 @@ def test_correlation_matrix_vs_numpy(spark):
     assert got[("x", "z")][1] == round(float(np.corrcoef(x, z)[0, 1]), 4)
 
 
+def test_correlation_matrix_overflow_is_explicit(spark):
+    """Values outside DECIMAL(18,6) (|x| >= 1e12) must never silently
+    corrupt the sufficient statistics: the pair reports n_overflow > 0 and
+    corr = NULL, while in-range pairs are unaffected (ADVICE r2)."""
+    from profiler.profile import correlation_matrix
+
+    rows = [(float(i), float(2 * i), float(i)) for i in range(1, 50)]
+    rows.append((50.0, 100.0, 5e12))  # z overflows DECIMAL(18,6)
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["n_overflow"], r["corr"])
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == (50, 0, 1.0)      # in-range pair untouched
+    assert got[("x", "z")][1] == 1              # overflow counted...
+    assert got[("x", "z")][2] is None           # ...and corr poisoned
+    assert got[("y", "z")] == (50, 1, None)
+
+
 def test_correlation_matrix_edges(spark):
     import pytest as _pytest
 
@@ -521,6 +579,17 @@ def test_mad_outliers_planted(spark):
     assert mad_outliers(flat, "value", id_cols=["id"]).count() == 0
     empty = spark.createDataFrame([], "id long, value double")
     assert mad_outliers(empty, "value", id_cols=["id"]).count() == 0
+
+
+def test_mad_outliers_non_identifier_column_name(spark):
+    """Column names with spaces must work — the percentile calls go through
+    the Column API, never string-built SQL (ADVICE r2)."""
+    from profiler.profile import mad_outliers
+
+    base = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 12, 11, 13])]
+    df = spark.createDataFrame(base + [(99, 1000.0)], ["row id", "the value"])
+    out = mad_outliers(df, "the value", k=3.5, id_cols=["row id"]).collect()
+    assert [r["row id"] for r in out] == [99]
 
 
 # ---------------------------------------------------------------------------

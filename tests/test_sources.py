@@ -147,3 +147,8 @@ def test_read_csv_keep_corrupt_accounting(spark, tmp_path):
         df.unpersist()
     with _pytest.raises(ValueError, match="schema"):
         read_csv(spark, str(p), keep_corrupt=True)
+    # the caller's schema object must NOT be mutated (StructType.add appends
+    # in place — ADVICE r2): same object reused twice stays 2 fields wide
+    assert len(schema.fields) == 2
+    again = read_csv(spark, str(p), schema=schema, keep_corrupt=True)
+    assert again.columns == ["a", "b", "corrupt_record"]

@@ -169,6 +169,47 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    """UUID-style string ids: convergence detection must be type-agnostic
+    (the old decimal-cast label sum NULLed out on strings → one-round early
+    exit with wrong components; ADVICE r2). Component = lexicographic min."""
+    pairs = spark.createDataFrame(
+        [
+            ("url:c", "url:b"),
+            ("url:b", "url:a"),
+            ("url:z", "url:y"),
+            ("doc-9", "doc-10"),  # lexicographic: doc-10 < doc-9
+        ],
+        "id_a string, id_b string",
+    )
+    cc = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {
+        "url:a": "url:a",
+        "url:b": "url:a",
+        "url:c": "url:a",
+        "url:y": "url:y",
+        "url:z": "url:y",
+        "doc-9": "doc-10",
+        "doc-10": "doc-10",
+    }
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The flag-gated executor-loss-tolerant path: checkpoint() to a
+    configured dir instead of localCheckpoint()."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, reliable_checkpoint=True
+        ).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_neardup_clusters_exact_dups(docs_pipeline_df):
     cc = {
         r["id"]: r["component"]
