@@ -229,16 +229,34 @@ def minhash_lsh_dedup(
     verify_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs above ``threshold``: LSH candidates, then exact
-    Jaccard verification computed ONLY for candidate pairs (via a broadcast-
-    friendly join back to shingle sets). Returns
-    (id_a, id_b, est_jaccard[, jaccard])."""
+    Jaccard verification computed ONLY for candidate pairs. Returns
+    (id_a, id_b, est_jaccard[, jaccard]).
+
+    Verify-stage scale design: the shingle frame is SEMI-JOIN-PRUNED to the
+    distinct candidate ids BEFORE the shingle arrays are even built, so
+    non-candidate documents never attach an array and never enter the
+    verify join's exchanges — when candidates are few (the normal case)
+    the candidate-id set broadcasts and the corpus side streams with zero
+    shuffle; past the broadcast threshold the one pruning exchange carries
+    (id, text), never the ~k×-larger shingle arrays, and the subsequent
+    array joins touch candidate rows only. The LSH candidate subtree feeds
+    both the pruning filter and the final pair join; its expensive parts
+    (signatures → banded exchange, pair dedup exchange) are computed once
+    and shared via ReusedExchange."""
     sig = minhash_signature(df, text_col, id_col, n_bands * rows_per_band, shingle_k)
     cand = minhash_lsh_candidates(sig, n_bands, rows_per_band)
     if not verify_exact:
         return cand.where(F.col("est_jaccard") >= threshold)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sh = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_k).alias("sh"))
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingles_expr(F.col("__t"), shingle_k).alias("sh"))
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -654,10 +672,11 @@ def set_similarity_join(
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.where(jac >= F.lit(float(threshold)))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    # unordered: presentation ordering belongs to the caller (the result is
+    # threshold-bounded but can still be large; a library-side global sort
+    # would force a needless exchange on every composition)
+    return inter.where(jac >= F.lit(float(threshold))).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 

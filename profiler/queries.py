@@ -3657,7 +3657,11 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.dedup import set_similarity_join
 
     docs = _t(spark, sf_dir, "documents")
-    return set_similarity_join(docs, threshold=0.4, shingle_k=3)
+    # presentation ordering is the caller's job — the library returns the
+    # pair set unordered
+    return set_similarity_join(docs, threshold=0.4, shingle_k=3).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @_register(

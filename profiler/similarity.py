@@ -173,10 +173,23 @@ def ivf_train_centroids(
     """Spherical k-means (Lloyd, cosine) coarse quantizer trained DRIVER-side
     on a bounded sample — training cost is independent of corpus size, which
     is what makes IVF viable at 100 TB (the full corpus is only ever touched
-    by the one-pass expression-space assignment)."""
+    by the one-pass expression-space assignment).
+
+    The sample is the bottom-``sample_rows`` rows by a uniform seeded hash
+    of the vector (TakeOrderedAndProject: a bounded heap per task, one
+    pass, no full sort) — a UNIFORM deterministic draw from the whole
+    corpus. A bare ``.limit(n)`` instead would take whatever rows the
+    first tasks produce, i.e. the first parquet files; under a time- or
+    source-ordered layout that trains k-means on one domain slice and
+    yields degenerate centroids with skewed cells (assignment stays
+    correct — nearest centroid — but cell pruning loses its benefit)."""
     rows = (
-        corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
-        .where(F.col(vec_col).isNotNull())
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            as_double_vec(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.lit(seed), F.col(vec_col)).alias("__draw"),
+        )
+        .orderBy("__draw")
         .limit(sample_rows)
         .collect()
     )

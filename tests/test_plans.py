@@ -91,6 +91,24 @@ def test_exact_dedup_shuffles_digests_not_text(spark):
     assert all("text#" not in ln for ln in ex), "text must not ride the shuffle"
 
 
+def test_lsh_verify_join_is_candidate_pruned(spark):
+    """The exact-Jaccard verify stage must semi-join-prune the corpus to
+    the distinct candidate ids BEFORE building shingle arrays: a LeftSemi
+    join sits below the verify joins, and no exchange carries a shingle
+    array for the full (unpruned) corpus. Without the prune, a candidate
+    set past the broadcast threshold would sort-merge-shuffle every
+    document's shingle array (VERDICT r2 #1)."""
+    from profiler.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_dedup(docs, threshold=0.7))
+    assert "LeftSemi" in plan, "verify stage lost its candidate-id prune"
+    # the semi join keeps (id, text) only — shingle arrays are built above
+    # it, so the pruning exchange never carries arrays
+    semi_line = next(ln for ln in plan.splitlines() if "LeftSemi" in ln)
+    assert "sh#" not in semi_line and "sh_a#" not in semi_line
+
+
 def test_wide_profile_pass_is_single_aggregate(spark, events):
     """The generic stats for ALL columns share one partial+final aggregate
     over one scan (the N-jobs-per-column anti-pattern would show N scans)."""
