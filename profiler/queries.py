@@ -2438,9 +2438,10 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "q49_dup_clusters",
-    r"""
+#: q49/q86 shared oracle: DuckDB WITH RECURSIVE min-label transitive closure
+#: over the shingle-Jaccard (>= 0.5) near-dup pair graph — the two queries
+#: compute the same clusters with different distributed algorithms.
+_DUP_CLUSTERS_ORACLE = r"""
     WITH RECURSIVE w AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
@@ -2477,20 +2478,13 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT component, count(*) AS n_members,
            CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
     FROM cc GROUP BY component ORDER BY component
-    """,
-)
-def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster connected components (training-pipeline op): the
-    shingle-Jaccard near-dup pair graph (>= 0.5) resolved into EXACT
-    clusters by iterative min-label propagation
-    (profiler.dedup.connected_components) — a chain a-b-c lands in ONE
-    cluster even though (a, c) never met as a pair, which greedy pair
-    dropping cannot express. Each round is one edges-join-labels shuffle +
-    map-side-combined groupBy-min, lineage truncated per round; rounds =
-    graph diameter (small for dup blobs). Oracle: DuckDB WITH RECURSIVE
-    min-label transitive closure over the identical pair set."""
-    from profiler.dedup import connected_components
+    """
 
+
+def _dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q49/q86 near-dup pair graph: exact 3-word-shingle Jaccard >= 0.5
+    via the inverted-index self-join (oracle-scale exact form; the
+    production path is MinHash-LSH)."""
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     dw = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
@@ -2521,13 +2515,15 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    pairs = (
+    return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= 0.5)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     )
-    cc = connected_components(pairs)
+
+
+def _cluster_summary(cc: DataFrame) -> DataFrame:
     return (
         cc.groupBy("component")
         .agg(
@@ -2536,6 +2532,37 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id").cast("bigint").alias("max_id"),
         )
         .orderBy("component")
+    )
+
+
+@_register("q49_dup_clusters", _DUP_CLUSTERS_ORACLE)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster connected components (training-pipeline op): the
+    shingle-Jaccard near-dup pair graph (>= 0.5) resolved into EXACT
+    clusters by iterative min-label propagation
+    (profiler.dedup.connected_components) — a chain a-b-c lands in ONE
+    cluster even though (a, c) never met as a pair, which greedy pair
+    dropping cannot express. Each round is one edges-join-labels shuffle +
+    map-side-combined groupBy-min, lineage truncated per round; rounds =
+    graph diameter (small for dup blobs). Oracle: DuckDB WITH RECURSIVE
+    min-label transitive closure over the identical pair set."""
+    from profiler.dedup import connected_components
+
+    return _cluster_summary(connected_components(_dup_pair_graph(spark, sf_dir)))
+
+
+@_register("q86_dup_clusters_star", _DUP_CLUSTERS_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate clusters as q49 computed by large-star/small-star
+    edge rewriting (profiler.dedup.connected_components_star, Kiveris et
+    al. 2014): provably O(log n) rounds of pure groupBy-min + join edge
+    rewrites, the scale path for adversarial high-diameter dup graphs
+    where label propagation's constants bite. Same DuckDB transitive-
+    closure oracle as q49 — two distributed algorithms, one answer."""
+    from profiler.dedup import connected_components_star
+
+    return _cluster_summary(
+        connected_components_star(_dup_pair_graph(spark, sf_dir))
     )
 
 

@@ -210,6 +210,60 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Differential: large-star/small-star must produce the identical
+    (id, component=min reachable id) labelling as label propagation on
+    path, star, blob and string-id graphs."""
+    cases = [
+        ("path", [(i, i + 1) for i in range(60)], "id_a long, id_b long"),
+        ("star", [(0, i) for i in range(1, 40)], "id_a long, id_b long"),
+        (
+            "strings",
+            [("url:c", "url:b"), ("url:b", "url:a"), ("doc-9", "doc-10")],
+            "id_a string, id_b string",
+        ),
+    ]
+    rng = np.random.default_rng(9)
+    blob = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(120, 2)) if a != b]
+    cases.append(("blob", blob, "id_a long, id_b long"))
+    for name, rows, schema in cases:
+        pairs = spark.createDataFrame(rows, schema)
+        want = _labels(dedup.connected_components(pairs))
+        got = _labels(dedup.connected_components_star(pairs))
+        assert got == want, name
+
+
+def test_star_cc_round_bound_on_long_path(spark):
+    """The provable O(log n) bound in practice: on a 300-node path both
+    algorithms must converge in ~log2(n) rounds (pointer-jumping label
+    propagation is also logarithmic; the star algorithm's edge over it is
+    the PROOF plus a per-round edge set that shrinks as stars form, not a
+    smaller round count — so the pin is the logarithmic envelope, star
+    within one round of prop)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    r_star, r_prop = [], []
+    star = _labels(dedup.connected_components_star(pairs, rounds_out=r_star))
+    prop = _labels(dedup.connected_components(pairs, rounds_out=r_prop))
+    assert star == prop
+    assert set(star.values()) == {0}
+    bound = 2 * 9 + 2  # 2·ceil(log2(300)) + slack — O(log n), not O(diameter)
+    assert r_star[0] <= bound and r_prop[0] <= bound
+    assert r_star[0] <= r_prop[0] + 1
+
+
+def test_star_cc_empty_and_self_pairs(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components_star(empty).count() == 0
+    selfy = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    assert _labels(dedup.connected_components_star(selfy)) == {1: 1, 2: 1}
+
+
 def test_neardup_clusters_exact_dups(docs_pipeline_df):
     cc = {
         r["id"]: r["component"]
