@@ -4183,3 +4183,116 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.sequence import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "q87_tfidf_summary",
+    r"""
+    WITH grouped AS (
+      SELECT CAST(doc_id % 50 AS BIGINT) AS gid,
+             string_agg(text, '. ' ORDER BY doc_id) AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id < 200
+      GROUP BY gid
+    ),
+    elig AS (
+      SELECT gid, text,
+             length(replace(text, ' ', '')) > 300 AS ok
+      FROM grouped
+    ),
+    sraw AS (
+      SELECT gid, ok, regexp_extract_all(text, '[^.!?]+[.!?]*') AS s
+      FROM elig
+    ),
+    sents AS (
+      SELECT gid, ok, i AS sidx, trim(s[i]) AS sentence
+      FROM sraw, UNNEST(generate_series(1, len(s))) AS t(i)
+      WHERE trim(s[i]) != ''
+    ),
+    ns AS (SELECT gid, count(*) AS n_sentences FROM sents GROUP BY gid),
+    clean AS (
+      SELECT gid, sidx, sentence,
+             trim(regexp_replace(
+               translate(translate(lower(sentence), '-', ' '),
+                         '!"#$%&()*+,./:;<=>?@[\]^_`{|}~', ''),
+               '\s+', ' ', 'g')) AS cw
+      FROM sents WHERE ok
+    ),
+    words AS (
+      SELECT gid, sidx, w[i] AS word
+      FROM (SELECT gid, sidx, string_split(cw, ' ') AS w
+            FROM clean WHERE cw != ''),
+           UNNEST(generate_series(1, len(w))) AS t(i)
+    ),
+    wc AS (SELECT gid, sidx, word, count(*) AS cnt FROM words GROUP BY ALL),
+    nd AS (SELECT gid, sidx, count(*) AS nd FROM wc GROUP BY ALL),
+    dfw AS (SELECT gid, word, count(*) AS dfw FROM wc GROUP BY ALL),
+    sc AS (
+      SELECT wc.gid, wc.sidx,
+             ROUND(sum(wc.cnt * log10(CAST(ns.n_sentences AS DOUBLE) / dfw.dfw))
+                   / (nd.nd * nd.nd), 6) AS score
+      FROM wc
+      JOIN nd ON nd.gid = wc.gid AND nd.sidx = wc.sidx
+      JOIN dfw ON dfw.gid = wc.gid AND dfw.word = wc.word
+      JOIN ns ON ns.gid = wc.gid
+      GROUP BY wc.gid, wc.sidx, nd.nd
+    ),
+    scored AS (
+      SELECT s.gid, s.sidx, s.sentence, COALESCE(sc.score, 0.0) AS score
+      FROM sents s LEFT JOIN sc ON sc.gid = s.gid AND sc.sidx = s.sidx
+      WHERE s.ok
+    ),
+    thr AS (SELECT gid, avg(score) AS thr FROM scored GROUP BY gid),
+    flagged AS (
+      SELECT s.gid, s.sidx, s.sentence, s.score,
+             s.score >= ROUND(1.8 * t.thr, 6) AS hi,
+             s.score >= ROUND(t.thr, 6) AS lo
+      FROM scored s JOIN thr t ON t.gid = s.gid
+    ),
+    sel AS (
+      SELECT gid, sidx, sentence,
+             CASE WHEN max(CASE WHEN hi THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY gid) = 1
+                  THEN hi ELSE lo END AS keep
+      FROM flagged
+    ),
+    summ AS (
+      SELECT gid, count(*) AS n_kept,
+             string_agg(sentence, ' ' ORDER BY sidx) AS summary
+      FROM sel WHERE keep GROUP BY gid
+    )
+    SELECT e.gid, COALESCE(ns.n_sentences, 0) AS n_sentences,
+           CASE WHEN e.ok THEN COALESCE(su.n_kept, 0) ELSE 0 END AS n_kept,
+           CASE WHEN e.ok THEN COALESCE(su.summary, '') ELSE '' END AS summary
+    FROM elig e
+    LEFT JOIN ns ON ns.gid = e.gid
+    LEFT JOIN summ su ON su.gid = e.gid
+    ORDER BY e.gid
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF extractive summarisation (profiler.text.tfidf_summary) — the
+    Spark-expressible core of the reference text profiler's summary stage
+    (reference text/profiler.py:44-141), run per document over a corpus
+    built by stitching document groups into multi-sentence texts. The
+    oracle replays the whole pipeline in SQL: sentence split, punctuation
+    cleaning, per-sentence TF, corpus IDF, score = mean TF-IDF, the
+    1.8x-mean threshold with mean fallback, in-order concat. Scores round
+    to 6 dp on both sides so the keep set is engine-independent."""
+    from profiler.text import tfidf_summary
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") < 200)
+    )
+    grouped = (
+        docs.groupBy((F.col("doc_id") % 50).cast("bigint").alias("gid"))
+        .agg(
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    return tfidf_summary(grouped, "text", "gid").orderBy("gid")

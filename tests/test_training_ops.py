@@ -110,6 +110,61 @@ def test_quality_filter_rejects_unknown_rule(spark):
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF extractive summary
+# ---------------------------------------------------------------------------
+def test_tfidf_summary_golden(spark):
+    """Golden replay of the reference's summary math (text/profiler.py:44-141)
+    on a fixture corpus: TF = count/distinct-words-in-sentence, IDF =
+    log10(n_sentences/sentence-freq), score = mean TF-IDF, keep >= 1.8*mean
+    in original order."""
+    import math
+    import re
+    from collections import Counter
+
+    pad = "filler words here to exceed the gate " * 12
+    doc = "The cat sat. The cat ran fast! Dogs bark loudly? " + pad
+    rows = [(1, doc), (2, "too short to summarise."), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in text.tfidf_summary(df).collect()}
+
+    # driver-side replay of the reference algorithm
+    sents = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", doc) if s.strip()]
+    def clean(s):
+        s = re.sub(r"[!\"#$%&()*+,./:;<=>?@\[\\\]^_`{|}~]", "", s.lower().replace("-", " "))
+        return re.sub(r"\s+", " ", s).strip()
+    fts = [Counter(clean(s).split()) for s in sents]
+    n = len(sents)
+    dfw = Counter(w for ft in fts for w in ft)
+    scores = [
+        round(sum(c * math.log10(n / dfw[w]) for w, c in ft.items()) / (len(ft) ** 2), 6)
+        if ft else 0.0
+        for ft in fts
+    ]
+    thr = sum(scores) / len(scores)
+    hi = [s for s, sc in zip(sents, scores) if sc >= round(1.8 * thr, 6)]
+    keep = hi or [s for s, sc in zip(sents, scores) if sc >= round(thr, 6)]
+    assert got[1]["n_sentences"] == n
+    assert got[1]["n_kept"] == len(keep)
+    assert got[1]["summary"] == " ".join(keep)
+    # the <=300-non-space-char gate: no summary, sentences still counted
+    assert got[2]["summary"] == "" and got[2]["n_kept"] == 0
+    assert got[2]["n_sentences"] == 1
+    assert 3 not in got  # null text is excluded, like every text operator
+
+
+def test_tfidf_summary_fallback_tier(spark):
+    """When no sentence reaches 1.8x the mean (all scores equal), the
+    reference falls back to the mean threshold — everything is kept."""
+    s1 = "alpha bravo charlie " + "x" * 110 + "."
+    s2 = "delta echo foxtrot " + "y" * 110 + "."
+    s3 = "golf hotel india " + "z" * 110 + "."
+    df = spark.createDataFrame([(1, f"{s1} {s2} {s3}")], "doc_id int, text string")
+    r = text.tfidf_summary(df).collect()[0]
+    assert r["n_sentences"] == 3 and r["n_kept"] == 3
+    assert r["summary"] == f"{s1} {s2} {s3}"
+
+
+# ---------------------------------------------------------------------------
 # Connected components
 # ---------------------------------------------------------------------------
 def test_connected_components_transitive_chain(spark):
