@@ -887,6 +887,14 @@ def _assemble_variable(
                 f"POINT ({wide.get(f'{c} geom_xcentroid')} "
                 f"{wide.get(f'{c} geom_ycentroid')})"
             )
+            # union_convex_hull (reference geometry.py:116-127): exact hull
+            # of the per-direction extreme points that rode the wide pass
+            cand = [
+                (s["x"], s["y"])
+                for i in range(stats.N_HULL_DIRECTIONS)
+                if (s := wide.get(f"{c} geom_hull_{i}")) is not None
+            ]
+            v["union_convex_hull"] = stats.convex_hull_wkt(cand)
         return v
 
     if t in (NUMERIC, TIMESERIES):

@@ -1855,8 +1855,24 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'POINT (' || CAST(s_suppkey % 360 - 180 AS VARCHAR) || ' '
              || CAST(s_nationkey * 3 - 30 AS VARCHAR) || ')' AS wkt
       FROM supplier
-    )
-    SELECT count(wkt) AS n_geoms,
+    ),
+    pts AS (
+      SELECT CAST(regexp_extract(wkt, '^\s*POINT\s*\(\s*(-?[0-9.eE+]+)', 1)
+                  AS DOUBLE) AS x,
+             CAST(regexp_extract(wkt,
+                  '^\s*POINT\s*\(\s*-?[0-9.eE+]+\s+(-?[0-9.eE+]+)', 1)
+                  AS DOUBLE) AS y
+      FROM g WHERE regexp_matches(wkt, '^\s*POINT\s*\(')
+    ),
+    dirs AS (SELECT i, cos(2*pi()*i/16) AS cx, sin(2*pi()*i/16) AS cy
+             FROM generate_series(0, 15) t(i)),
+    cand AS (SELECT i, max({'p': x*cx + y*cy, 'x': x, 'y': y}) AS m
+             FROM pts, dirs GROUP BY i),
+    hp AS (SELECT DISTINCT ROUND(m.x, 4) AS hx, ROUND(m.y, 4) AS hy FROM cand),
+    hull AS (SELECT string_agg(CAST(hx AS VARCHAR) || ' ' || CAST(hy AS VARCHAR),
+                               ', ' ORDER BY hx, hy) AS hull_points FROM hp)
+    SELECT (SELECT hull_points FROM hull) AS hull_points,
+           count(wkt) AS n_geoms,
            count(*) FILTER (WHERE regexp_matches(wkt, '^\s*POINT\s*\(')) AS n_points,
            ROUND(min(CAST(regexp_extract(wkt, '^\s*POINT\s*\(\s*(-?[0-9.eE+]+)', 1)
                  AS DOUBLE)), 4) AS xmin,
@@ -1879,8 +1895,11 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 derived WKT point column (reference ``variables/utils.py:82-90``)
     + the minimal geometry describe (reference ``geometry.py:87-207``
-    subset): per-type counts, POINT mbr and centroid, all expressions in
-    the wide pass — no geo library, no extra scan."""
+    subset): per-type counts, POINT mbr and centroid, plus the
+    union_convex_hull candidate set (per-direction extreme points — every
+    one provably ON the true hull; the driver-side monotone chain that
+    turns them into the WKT polygon is pytest-pinned) — all expressions in
+    ONE wide-pass aggregate, no geo library, no extra scan."""
     from profiler import stats as S
     from profiler.sources import add_geometry_column
 
@@ -1890,7 +1909,30 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = add_geometry_column(sup, "lon", "lat", "wkt")
     agg = g.agg(F.count("wkt").alias("n_geoms"), *S.geometry_exprs("wkt"))
+    hull_arr = F.array_sort(
+        F.array_distinct(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(F.col(f"`wkt geom_hull_{i}`")["x"], 4).alias("x"),
+                        F.round(F.col(f"`wkt geom_hull_{i}`")["y"], 4).alias("y"),
+                    )
+                    for i in range(S.N_HULL_DIRECTIONS)
+                ]
+            )
+        )
+    )
+    hull_points = F.concat_ws(
+        ", ",
+        F.transform(
+            hull_arr,
+            lambda s: F.concat_ws(
+                " ", s["x"].cast("string"), s["y"].cast("string")
+            ),
+        ),
+    )
     return agg.select(
+        hull_points.alias("hull_points"),
         "n_geoms",
         F.col("`wkt geom_POINT`").alias("n_points"),
         F.round("`wkt geom_xmin`", 4).alias("xmin"),

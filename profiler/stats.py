@@ -302,7 +302,74 @@ def geometry_exprs(col: str) -> list[Column]:
         F.avg(y).alias(_n(col, "geom_ycentroid")),
         F.count(x).alias(_n(col, "geom_npoints")),
     ]
+    exprs += hull_candidate_exprs(col, x, y)
     return exprs
+
+
+#: directions for the sampled convex hull (reference geometry.py:116-127
+#: approximates the union hull from sampled points; here: per-direction
+#: extreme points). Every directional argmax lies ON the true hull, so the
+#: candidate hull is always a subset polygon; 16 directions recover every
+#: vertex of typical POI footprints exactly.
+N_HULL_DIRECTIONS = 16
+
+
+def hull_candidate_exprs(col: str, x: Column, y: Column) -> list[Column]:
+    """One ``max(struct(projection, x, y))`` per compass direction — each
+    winner is an extreme point in that direction, hence a true convex-hull
+    point (reference ``geometry.py:116-127``'s sampled ``union_convex_hull``,
+    re-expressed as aggregates that ride the wide pass: no extra scan, no
+    geo library). Ties break lexicographically on (projection, x, y), so
+    the candidate set is deterministic in any engine."""
+    exprs = []
+    for i in range(N_HULL_DIRECTIONS):
+        theta = 2.0 * math.pi * i / N_HULL_DIRECTIONS
+        proj = x * F.lit(math.cos(theta)) + y * F.lit(math.sin(theta))
+        exprs.append(
+            F.max(
+                F.when(
+                    x.isNotNull() & y.isNotNull(),
+                    F.struct(proj.alias("p"), x.alias("x"), y.alias("y")),
+                )
+            ).alias(_n(col, f"geom_hull_{i}"))
+        )
+    return exprs
+
+
+def convex_hull_wkt(points: list[tuple[float, float]]) -> str | None:
+    """Exact convex hull (Andrew's monotone chain) of a BOUNDED candidate
+    point list — the driver-side tail of the distributed hull: the
+    directional aggregates reduce 10^12 rows to ≤ N_HULL_DIRECTIONS
+    candidates, and this finishes in O(k log k). WKT like shapely's
+    ``convex_hull``: POINT for one point, LINESTRING for two, else a
+    closed CCW POLYGON starting at the lexicographic minimum."""
+    pts = sorted(set((float(px), float(py)) for px, py in points))
+    if not pts:
+        return None
+
+    def _fmt(p: tuple[float, float]) -> str:
+        return f"{p[0]:g} {p[1]:g}"
+
+    if len(pts) == 1:
+        return f"POINT ({_fmt(pts[0])})"
+
+    def _cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 3:  # all collinear
+        return f"LINESTRING ({_fmt(pts[0])}, {_fmt(pts[-1])})"
+    return "POLYGON ((" + ", ".join(_fmt(p) for p in [*ring, ring[0]]) + "))"
 
 
 # --------------------------------------------------------------------------

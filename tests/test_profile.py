@@ -286,9 +286,39 @@ def test_geometry_describe(spark):
         "POLYGON ((9.0 0.0, 9.0 18.0, 0.0 18.0, 0.0 0.0, 9.0 0.0))"
     )
     assert v["centroid"] == "POINT (4.5 9.0)"
+    # collinear point layer: the hull degenerates to the segment, like
+    # shapely's convex_hull
+    assert v["union_convex_hull"] == "LINESTRING (0 0, 9 18)"
     assert v["crs"] == "EPSG:4326"
     assert len(v["samples"]) == 5
     assert all(s.startswith(("POINT", "POLYGON")) for s in v["samples"])
+
+
+def test_union_convex_hull_square(spark):
+    """A filled grid's hull is its bounding square — every corner is a
+    directional extreme, interior points never appear (reference
+    geometry.py:116-127's sampled union hull, POINT-exact here)."""
+    rows = [(i * 7 + j, f"POINT ({i} {j})") for i in range(5) for j in range(5)]
+    df = spark.createDataFrame(rows, "id int, geom string")
+    p = profile_table(df, config=ProfileConfig(exact=True))
+    v = var_of(p, "geom")
+    assert v["union_convex_hull"] == (
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    )
+
+
+def test_convex_hull_wkt_pure():
+    from profiler.stats import convex_hull_wkt
+
+    assert convex_hull_wkt([]) is None
+    assert convex_hull_wkt([(1.5, 2.0), (1.5, 2.0)]) == "POINT (1.5 2)"
+    assert convex_hull_wkt([(0, 0), (2, 2), (1, 1)]) == "LINESTRING (0 0, 2 2)"
+    # octagon + interior noise: all 8 vertices kept, CCW from lex-min
+    octa = [(2, 0), (4, 0), (6, 2), (6, 4), (4, 6), (2, 6), (0, 4), (0, 2)]
+    got = convex_hull_wkt(octa + [(3, 3), (2, 2), (4, 4)])
+    assert got == (
+        "POLYGON ((0 2, 2 0, 4 0, 6 2, 6 4, 4 6, 2 6, 0 4, 0 2))"
+    )
 
 
 def test_add_geometry_column(spark):
