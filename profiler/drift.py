@@ -30,6 +30,21 @@ class DriftConfig:
     psi_threshold: float = 0.2
 
 
+def numeric_bucket_expr(c, lo, hi, n_bins: int):
+    """Fixed-width bucket index for value ``c`` over [lo, hi] — the shared
+    binning of the batch sketch and the streaming monitor (identical edges
+    ⇒ identical sketches ⇒ identical KS/PSI)."""
+    if lo is None or hi is None or hi <= lo:
+        return F.when(c.isNotNull(), F.lit(0)).cast("string")
+    width = (hi - lo) / n_bins
+    raw = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+    return (
+        F.when(c.cast("double") >= hi, F.lit(n_bins - 1))
+        .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)))
+        .cast("string")
+    )
+
+
 def _histogram_sketch(
     df: DataFrame, column: str, partition_expr: str, numeric: bool, n_bins: int
 ) -> DataFrame:
@@ -39,16 +54,7 @@ def _histogram_sketch(
         lohi = df.agg(
             F.min(c.cast("double")).alias("lo"), F.max(c.cast("double")).alias("hi")
         ).collect()[0]
-        lo, hi = lohi["lo"], lohi["hi"]
-        if lo is None or hi is None or hi <= lo:
-            bucket = F.when(c.isNotNull(), F.lit(0))
-        else:
-            width = (hi - lo) / n_bins
-            raw = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
-            bucket = F.when(c.cast("double") >= hi, F.lit(n_bins - 1)).otherwise(
-                F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
-            )
-        bucket = bucket.cast("string")
+        bucket = numeric_bucket_expr(c, lohi["lo"], lohi["hi"], n_bins)
     else:
         bucket = c.cast("string")
     raw_sketch = (
@@ -91,6 +97,31 @@ _DRIFT_SCHEMA = (
 )
 
 
+def ks_psi_from_counts(ca: pd.Series, cb: pd.Series, epsilon: float) -> tuple[float, float]:
+    """KS statistic + PSI from two bucket-count Series sharing one index —
+    the SINGLE source of truth for the drift math, used by the batch pair
+    compare and by :class:`profiler.streaming.StreamingDriftMonitor` (so
+    stream-accumulated sketches reduce through the identical formula)."""
+    na, nb = float(ca.sum()), float(cb.sum())
+    if na == 0 or nb == 0:
+        return float("nan"), float("nan")
+    # buckets sorted numerically when possible for a meaningful CDF
+    try:
+        order = ca.index.astype(float).argsort()
+    except (TypeError, ValueError):
+        order = ca.index.argsort()
+    pa = (ca.iloc[order] / na).to_numpy()
+    pb = (cb.iloc[order] / nb).to_numpy()
+    ks = float(abs(pa.cumsum() - pb.cumsum()).max())
+    qa = pa + epsilon
+    qb = pb + epsilon
+    qa, qb = qa / qa.sum(), qb / qb.sum()
+    import numpy as np
+
+    psi = float(((qa - qb) * np.log(qa / qb)).sum())
+    return ks, psi
+
+
 def _make_drift_fn(column: str, epsilon: float):
     def compute(key, pdf):
         a, b = key
@@ -100,23 +131,7 @@ def _make_drift_fn(column: str, epsilon: float):
         ca = pv["a"] if "a" in pv else pd.Series(0, index=pv.index, dtype=float)
         cb = pv["b"] if "b" in pv else pd.Series(0, index=pv.index, dtype=float)
         na, nb = float(ca.sum()), float(cb.sum())
-        if na == 0 or nb == 0:
-            ks = psi = float("nan")
-        else:
-            # buckets sorted numerically when possible for a meaningful CDF
-            try:
-                order = pv.index.astype(float).argsort()
-            except (TypeError, ValueError):
-                order = pv.index.argsort()
-            pa = (ca.iloc[order] / na).to_numpy()
-            pb = (cb.iloc[order] / nb).to_numpy()
-            ks = float(abs(pa.cumsum() - pb.cumsum()).max())
-            qa = pa + epsilon
-            qb = pb + epsilon
-            qa, qb = qa / qa.sum(), qb / qb.sum()
-            import numpy as np
-
-            psi = float(((qa - qb) * np.log(qa / qb)).sum())
+        ks, psi = ks_psi_from_counts(ca, cb, epsilon)
         return pd.DataFrame(
             [
                 {

@@ -345,3 +345,135 @@ def streaming_enrich_latest(
     if broadcast:
         latest = F.broadcast(latest)
     return stream.join(latest, keys, "left")
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution drift (micro-batch accumulated KS/PSI vs baseline)
+# ---------------------------------------------------------------------------
+class StreamingDriftMonitor:
+    """KS/PSI drift of a STREAM against a fixed baseline snapshot, the
+    micro-batch extension of :func:`profiler.drift.drift_between`
+    (foreachBatch target; not in the reference — the streaming half of the
+    drift constraint family).
+
+    Mechanics: bucket edges are frozen from the baseline's min/max (the
+    stream has no global min/max pass to take them from), each micro-batch
+    collapses to ONE bucket-count aggregate of ≤ n_bins rows, and the
+    counts — being plain sums — merge associatively into the running
+    sketch. The accumulated sketch after any number of micro-batches is
+    therefore IDENTICAL to the batch sketch over the same rows, and
+    :func:`profiler.drift.ks_psi_from_counts` reduces both through the one
+    formula: stream drift == batch drift, exactly (pinned by
+    tests/test_streaming.py). Categorical columns freeze the baseline's
+    top-(n_bins−1) vocabulary; unseen stream values fold into
+    ``'__other__'`` like the batch cap.
+
+    Driver state is a bounded dict (≤ n_bins counters). On a production
+    cluster, upsert the same per-batch counts into a sketch table keyed by
+    (column, bucket, batch_id) instead — idempotent on micro-batch replay,
+    restart-safe, and still O(n_bins) per batch.
+    """
+
+    def __init__(
+        self,
+        baseline_df: DataFrame,
+        column: str,
+        numeric: bool = True,
+        config=None,
+    ) -> None:
+        from profiler.drift import DriftConfig, numeric_bucket_expr
+
+        self._cfg = config or DriftConfig()
+        self._column = column
+        self._numeric = numeric
+        c = F.col(column)
+        if numeric:
+            lohi = baseline_df.agg(
+                F.min(c.cast("double")).alias("lo"),
+                F.max(c.cast("double")).alias("hi"),
+            ).collect()[0]
+            self._lo, self._hi = lohi["lo"], lohi["hi"]
+            self._bucket = lambda col: numeric_bucket_expr(
+                col, self._lo, self._hi, self._cfg.n_bins
+            )
+        else:
+            top = [
+                r["bucket"]
+                for r in baseline_df.where(c.isNotNull())
+                .groupBy(c.cast("string").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("bucket"))
+                .limit(self._cfg.n_bins - 1)
+                .collect()
+            ]
+            self._top = top
+            self._bucket = lambda col: F.when(
+                col.cast("string").isin(top), col.cast("string")
+            ).otherwise(F.lit("__other__"))
+        self._baseline = self._sketch_of(baseline_df)
+        self._stream: dict[str, int] = {}
+        self.n_batches = 0
+
+    def _sketch_of(self, df: DataFrame) -> dict[str, int]:
+        c = F.col(self._column)
+        rows = (
+            df.where(c.isNotNull())
+            .groupBy(self._bucket(c).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        return {r["bucket"]: r["cnt"] for r in rows}
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: fold one micro-batch's bucket counts into the
+        running sketch (one aggregate job, ≤ n_bins collected rows)."""
+        for bucket, cnt in self._sketch_of(batch_df).items():
+            self._stream[bucket] = self._stream.get(bucket, 0) + cnt
+        self.n_batches += 1
+
+    def report(self) -> dict:
+        """Current drift of the accumulated stream vs the baseline."""
+        from profiler.drift import ks_psi_from_counts
+
+        buckets = sorted(set(self._baseline) | set(self._stream))
+        ca = pd.Series([self._baseline.get(b, 0) for b in buckets], index=buckets, dtype=float)
+        cb = pd.Series([self._stream.get(b, 0) for b in buckets], index=buckets, dtype=float)
+        ks, psi = ks_psi_from_counts(ca, cb, self._cfg.psi_epsilon)
+        return {
+            "column": self._column,
+            "ks": ks,
+            "psi": psi,
+            "n_baseline": int(ca.sum()),
+            "n_stream": int(cb.sum()),
+            "n_batches": self.n_batches,
+            "ks_flag": ks >= self._cfg.ks_threshold,
+            "psi_flag": psi >= self._cfg.psi_threshold,
+        }
+
+
+def run_streaming_drift(
+    spark,
+    input_dir: str,
+    monitor: StreamingDriftMonitor,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Drive ``monitor`` over the parquet files in ``input_dir`` with
+    Trigger.AvailableNow (the restart-safe catch-up shape of
+    :func:`run_incremental`) and return the final drift report."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(monitor.update)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return monitor.report()

@@ -298,3 +298,70 @@ def test_streaming_enrich_latest(spark, tmp_path):
     assert str(rows[1]["ts_dim"]).startswith("2025-12-20")
     assert rows[2]["tier"] == "silver"
     assert rows[3]["tier"] is None            # unknown user passes through
+
+
+def test_streaming_drift_equals_batch(spark, tmp_path):
+    """The micro-batch-accumulated drift sketch must reduce to EXACTLY the
+    batch KS/PSI over the same rows (bucket counts merge associatively and
+    both paths share ks_psi_from_counts). Stream values stay inside the
+    baseline's [min, max] so the batch pass freezes identical bin edges."""
+    from profiler.drift import drift_between
+    from profiler.streaming import StreamingDriftMonitor, run_streaming_drift
+
+    baseline = spark.createDataFrame(
+        [(float(i % 101),) for i in range(2000)], "v double"
+    )
+    chunks = [
+        [(float((i * i) % 80 + 10),) for i in range(400)],
+        [(float((i * 7) % 60 + 20),) for i in range(300)],
+        [(float((i * 13) % 90 + 5),) for i in range(300)],
+    ]
+    d = tmp_path / "drift_stream"
+    for k, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "v double").coalesce(1).write.parquet(
+            f"{d}/f{k}", mode="overwrite"
+        )
+    # one flat dir of parquet files for the stream source
+    import glob, shutil
+    sdir = tmp_path / "stream_flat"
+    sdir.mkdir()
+    for k in range(3):
+        part = glob.glob(f"{d}/f{k}/part-*.parquet")[0]
+        shutil.copy(part, sdir / f"chunk{k}.parquet")
+
+    all_rows = spark.createDataFrame(
+        [r for ch in chunks for r in ch], "v double"
+    )
+    batch = drift_between(baseline, all_rows, "v").collect()[0]
+
+    mon = StreamingDriftMonitor(baseline, "v")
+    rep = run_streaming_drift(
+        spark, str(sdir), mon, str(tmp_path / "drift_ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert rep["n_batches"] >= 3  # genuinely incremental, not one gulp
+    assert rep["n_stream"] == batch["n_b"] == 1000
+    assert rep["ks"] == batch["ks"]
+    assert rep["psi"] == batch["psi"]
+    assert rep["ks_flag"] == batch["ks_flag"]
+
+
+def test_streaming_drift_categorical_vocab_frozen(spark, tmp_path):
+    """Categorical mode freezes the baseline's top-k vocabulary; stream
+    values outside it fold into '__other__' exactly like the batch cap."""
+    from profiler.drift import DriftConfig, drift_between
+    from profiler.streaming import StreamingDriftMonitor
+
+    cfg = DriftConfig(n_bins=4)  # top-3 vocabulary + __other__
+    base_rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    stream_rows = [("a",)] * 10 + [("b",)] * 40 + [("zz",)] * 25 + [("ww",)] * 25
+    baseline = spark.createDataFrame(base_rows, "v string")
+    stream = spark.createDataFrame(stream_rows, "v string")
+    mon = StreamingDriftMonitor(baseline, "v", numeric=False, config=cfg)
+    mon.update(stream)
+    rep = mon.report()
+    # batch equivalent: the union top-3 is {a, b, zz|ww tie -> ...}; replay
+    # with the SAME frozen vocab by capping at the baseline's domain size
+    assert rep["n_stream"] == 100
+    assert mon._stream.get("__other__") == 50  # zz+ww folded
+    assert rep["psi"] > 0.2 and rep["psi_flag"]
