@@ -1,0 +1,162 @@
+"""Spatial clustering for the geometry describe's heatmap.
+
+The reference's heatmap (``geometry.py:34-85`` ``__get_clusters_dict``) runs
+sklearn DBSCAN(eps, min_samples=5) over projected point centroids, caps the
+result at 2000 clusters, and emits one (y, x, cluster) row per geometry.
+This module re-expresses DBSCAN itself as a distributed plan — no sklearn,
+no geopandas:
+
+* **grid bucketing**: points snap to an eps-sized grid; eps-neighbours can
+  only live in the 3×3 adjacent cells, so the candidate-pair join is a hash
+  equi-join on cell keys (each point's 9 neighbour cells exploded), never a
+  cross join;
+* **core points**: neighbour counts (distance ≤ eps, self included) from
+  one groupBy over the candidate pairs;
+* **clusters**: connected components of the core-core eps-adjacency graph
+  (:func:`profiler.dedup.connected_components` — the same O(log n)
+  machinery as dedup clustering); border points take the MINIMUM cluster
+  label among their core neighbours (deterministic, where sklearn's
+  scan-order assignment is input-order-dependent — documented deviation);
+* **noise**: everything else, labelled NULL (the reference uses −1; NULL
+  generalises to non-numeric ids).
+
+Scale notes: the pair join's worst case is a cell holding k points → k²
+candidate pairs (the known dense-cell quadratic of grid DBSCAN). AQE skew
+split keeps tasks bounded; for 100 TB layers cap per-cell candidates by
+pre-aggregating identical coordinates (dedup-count) first — duplicates are
+the dominant dense-cell cause in POI data. Coordinates are used in the
+INPUT's units (project to meters upstream if eps is metric; the reference's
+UTM projection needs pyproj, out of scope per SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from profiler.dedup import connected_components
+
+
+def dbscan_labels(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    eps: float,
+    min_samples: int = 5,
+    max_clusters: int = 2000,
+) -> DataFrame:
+    """(id, x, y, cluster) with DBSCAN semantics: cluster = the minimum
+    point id in the cluster's core set (canonical, engine-independent),
+    NULL = noise. Clusters beyond the ``max_clusters`` largest (size desc,
+    label asc — the reference's 2000 cap, ``geometry.py:57-66``) fold to
+    noise."""
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    pts = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+    )
+    cell_x = F.floor(F.col("x") / F.lit(float(eps)))
+    cell_y = F.floor(F.col("y") / F.lit(float(eps)))
+    cells = F.array(
+        *[
+            F.struct(
+                (cell_x + F.lit(dx)).alias("cx"), (cell_y + F.lit(dy)).alias("cy")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(cells).alias("cell"),
+    )
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.struct(cell_x.alias("cx"), cell_y.alias("cy")).alias("cell"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    pairs = (
+        probe.join(build, "cell")
+        .where((F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(float(eps) ** 2)))
+        .select("id_a", "id_b")
+    )
+    # sklearn semantics: |N_eps(p)| >= min_samples, the point itself included
+    core = (
+        pairs.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_neigh"))
+        .where(F.col("n_neigh") + 1 >= min_samples)
+        .select(F.col("id_a").alias("id"))
+    )
+    core_pairs = (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .join(core.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    )
+    comp = connected_components(core_pairs)
+    # cores with no core neighbour are their own single-core cluster
+    core_label = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    # border points: non-core with >=1 core neighbour -> min core label
+    border_label = (
+        pairs.join(core.select(F.col("id").alias("id_a")), "id_a", "left_anti")
+        .join(
+            core_label.select(
+                F.col("id").alias("id_b"), F.col("cluster").alias("bcluster")
+            ),
+            "id_b",
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("bcluster").alias("cluster"))
+    )
+    labels = core_label.unionByName(border_label)
+    # reference cap: keep the max_clusters largest clusters, rest -> noise
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("sz"), F.asc("cluster"))
+    )
+    kept = sizes.select("cluster", rk.alias("rk")).where(
+        F.col("rk") <= max_clusters
+    )
+    labels = labels.join(F.broadcast(kept.select("cluster")), "cluster", "left_semi")
+    return pts.join(labels, "id", "left").select("id", "x", "y", "cluster")
+
+
+def geo_cluster_heatmap(
+    df: DataFrame,
+    wkt_col: str,
+    id_col: str,
+    eps: float,
+    min_samples: int = 5,
+    max_clusters: int = 2000,
+) -> DataFrame:
+    """The reference heatmap over a WKT POINT column: one (id, y, x,
+    cluster) row per point (reference ``geometry.py:81-85`` emits exactly
+    y/x/Clusters per row), cluster labels canonicalised to the minimum
+    member id, NULL for noise."""
+    from profiler.stats import _POINT_X_RE, _POINT_Y_RE
+
+    c = F.trim(F.col(wkt_col))
+    ex_x = F.regexp_extract(c, _POINT_X_RE, 1)
+    ex_y = F.regexp_extract(c, _POINT_Y_RE, 1)
+    pts = df.select(
+        F.col(id_col),
+        F.when(ex_x != "", ex_x).cast("double").alias("__x"),
+        F.when(ex_y != "", ex_y).cast("double").alias("__y"),
+    )
+    out = dbscan_labels(pts, "__x", "__y", id_col, eps, min_samples, max_clusters)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("y"),
+        F.col("x"),
+        F.col("cluster"),
+    )

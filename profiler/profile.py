@@ -79,6 +79,13 @@ class ProfileConfig:
     ts_mode_datetime_col: str | None = None
     num_cat_perc_threshold: float = 0.5  # reference find_types threshold
     crs: str = "EPSG:4326"  # reported in geometry variables (reference default)
+    # opt-in DBSCAN heatmap for geometry columns (reference geometry.py:34-85
+    # runs it unconditionally per file; here it is an extra iterative job, so
+    # it is gated — set the eps in the COLUMN's coordinate units). The
+    # document gets bounded per-CLUSTER rows (label, n, centroid), not the
+    # reference's per-row dump, which cannot scale to 10^12 rows.
+    heatmap_eps: float | None = None
+    heatmap_min_samples: int = 5  # reference MIN_SAMPLE_POLYGONS
     max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
     cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
     default_bins: int = 50          # reference histogram default
@@ -295,6 +302,17 @@ def profile_table(
         f_geo = (
             pool.submit(_run_geometry_samples, df, geom_cols) if geom_cols else None
         )
+        f_heat = (
+            pool.submit(
+                _run_geometry_heatmaps,
+                df,
+                geom_cols,
+                cfg.heatmap_eps,
+                cfg.heatmap_min_samples,
+            )
+            if geom_cols and cfg.heatmap_eps
+            else None
+        )
         ts_gap_cols = [
             c for c in cols if types_dict.get_type(c) == TIMESERIES
         ] if cfg.ts_mode and cfg.ts_mode_datetime_col else []
@@ -319,6 +337,7 @@ def profile_table(
         gaps = f_gaps.result() if f_gaps else None
         ts_extras = f_tsx.result() if f_tsx else {}
         geo_samples = f_geo.result() if f_geo else {}
+        geo_heatmaps = f_heat.result() if f_heat else {}
 
     freq_stats = {c: fused[c] for c in freq_cols if c in fused}
     for key in (f"{c} __toklen" for c in cols):
@@ -369,6 +388,8 @@ def profile_table(
                 v["abs_energy"] = (n_ - 1) * (s2 or 0.0) + n_ * m_ * m_
         if c in geo_samples:
             v["samples"] = geo_samples[c]
+        if c in geo_heatmaps:
+            v["heatmap"] = geo_heatmaps[c]
         variables.append(v)
 
     t1 = _dt.datetime.now()
@@ -608,6 +629,44 @@ def _run_geometry_samples(df: DataFrame, cols: list[str]) -> dict[str, list]:
     for c in cols:
         out[c] = [
             r[0] for r in df.select(c).where(F.col(c).isNotNull()).limit(5).collect()
+        ]
+    return out
+
+
+def _run_geometry_heatmaps(
+    df: DataFrame, cols: list[str], eps: float, min_samples: int
+) -> dict[str, list]:
+    """Opt-in DBSCAN heatmap per geometry column (reference
+    geometry.py:34-85), AGGREGATED to one row per cluster (label, n,
+    centroid x/y) + one noise row (label None) — bounded by the 2000-
+    cluster cap where the reference's per-row (y, x, cluster) dump grows
+    with the table."""
+    from profiler.geo import geo_cluster_heatmap
+
+    out = {}
+    for c in cols:
+        with_id = df.select(c).where(F.col(c).isNotNull()).withColumn(
+            "__gid", F.monotonically_increasing_id()
+        )
+        hm = geo_cluster_heatmap(with_id, c, "__gid", eps, min_samples)
+        agg = hm.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("x"),
+            F.round(F.avg("y"), 6).alias("y"),
+        ).collect()
+        # labels are internal row ids (layout-dependent): re-label densely
+        # by (size desc, centroid) so the document is deterministic
+        clusters = sorted(
+            (r for r in agg if r["cluster"] is not None),
+            key=lambda r: (-r["n"], r["x"], r["y"]),
+        )
+        noise = [r for r in agg if r["cluster"] is None]
+        out[c] = [
+            {"cluster": i, "n": r["n"], "x": r["x"], "y": r["y"]}
+            for i, r in enumerate(clusters)
+        ] + [
+            {"cluster": None, "n": r["n"], "x": r["x"], "y": r["y"]}
+            for r in noise
         ]
     return out
 

@@ -4338,3 +4338,76 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tfidf_summary(grouped, "text", "gid").orderBy("gid")
+
+
+@_register(
+    "q88_dbscan_heatmap",
+    r"""
+    WITH p AS (
+      SELECT s_suppkey AS id,
+             CAST(CASE WHEN s_suppkey % 41 = 0 THEN 10000.0 + s_suppkey * 7
+                  ELSE (s_suppkey % 4) * 100.0 + (s_suppkey % 9) * 0.5
+             END AS DOUBLE) AS x,
+             CAST(CASE WHEN s_suppkey % 41 = 0 THEN 0.0
+                  ELSE (s_suppkey % 5) * 0.5 END AS DOUBLE) AS y
+      FROM supplier
+    ),
+    prs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM p a JOIN p b
+        ON a.id != b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1.0
+    ),
+    core AS (SELECT id_a AS id FROM prs GROUP BY id_a
+             HAVING count(*) + 1 >= 5),
+    ce AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+    ),
+    reach AS (
+      WITH RECURSIVE r(id, lbl) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.d, r.lbl FROM r JOIN ce e ON e.s = r.id
+      ) SELECT * FROM r
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+    border AS (
+      SELECT pr.id_a AS id, min(c.cluster) AS cluster
+      FROM prs pr JOIN comp c ON c.id = pr.id_b
+      WHERE pr.id_a NOT IN (SELECT id FROM core)
+      GROUP BY pr.id_a
+    ),
+    lab AS (SELECT * FROM comp UNION ALL SELECT * FROM border)
+    SELECT p.id, p.y, p.x, lab.cluster
+    FROM p LEFT JOIN lab ON lab.id = p.id
+    ORDER BY p.id
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference heatmap's DBSCAN clustering (reference
+    geometry.py:34-85: sklearn DBSCAN(eps, min_samples=5) over point
+    coordinates, per-row (y, x, cluster) output) re-expressed as a
+    distributed plan (profiler.geo.dbscan_labels): eps-grid bucketing
+    bounds the candidate-pair join to 3x3 adjacent cells, core points from
+    one neighbour-count aggregate, clusters via the dedup
+    connected-components machinery, border points take the min core
+    neighbour's label (deterministic where sklearn is scan-order-
+    dependent), labels canonicalised to the min core id. Oracle: full
+    naive-pair DBSCAN in SQL with WITH RECURSIVE closure over core-core
+    edges — grid pruning must not change a single label."""
+    from profiler.geo import dbscan_labels
+
+    sup = _t(spark, sf_dir, "supplier")
+    noise = F.col("s_suppkey") % 41 == 0
+    pts = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.when(noise, 10000.0 + F.col("s_suppkey") * 7)
+        .otherwise((F.col("s_suppkey") % 4) * 100.0 + (F.col("s_suppkey") % 9) * 0.5)
+        .alias("x"),
+        F.when(noise, F.lit(0.0))
+        .otherwise((F.col("s_suppkey") % 5) * 0.5)
+        .alias("y"),
+    )
+    out = dbscan_labels(pts, "x", "y", "id", eps=1.0, min_samples=5)
+    return out.select("id", "y", "x", "cluster").orderBy("id")

@@ -351,3 +351,27 @@ def test_types_dict_override_respected(clean_df):
     assert v["type"] == CATEGORICAL
     assert "average" not in v
     assert "frequency_distribution" in v
+
+
+def test_geometry_heatmap_opt_in(spark):
+    """heatmap_eps gates the DBSCAN heatmap: per-CLUSTER rows (dense
+    deterministic labels by size desc, centroid) + a noise row — the
+    scale-safe aggregation of the reference's per-row dump."""
+    rows = [(i, f"POINT ({0.4 * (i % 8)} 0)") for i in range(16)]       # blob A (8 pts, doubled)
+    rows += [(100 + i, f"POINT ({50 + 0.4 * (i % 5)} 0)") for i in range(5)]  # blob B
+    rows += [(999, "POINT (500 500)")]                                  # noise
+    df = spark.createDataFrame(rows, "id int, geom string")
+    p = profile_table(
+        df, config=ProfileConfig(exact=True, heatmap_eps=1.0, heatmap_min_samples=3)
+    )
+    v = var_of(p, "geom")
+    hm = v["heatmap"]
+    labelled = [e for e in hm if e["cluster"] is not None]
+    noise = [e for e in hm if e["cluster"] is None]
+    assert [e["cluster"] for e in labelled] == [0, 1]
+    assert labelled[0]["n"] == 16 and labelled[0]["x"] == pytest.approx(1.4)
+    assert labelled[1]["n"] == 5 and labelled[1]["x"] == pytest.approx(50.8)
+    assert len(noise) == 1 and noise[0]["n"] == 1
+    # default config: no heatmap job, no key
+    p2 = profile_table(df, config=ProfileConfig(exact=True))
+    assert "heatmap" not in var_of(p2, "geom")

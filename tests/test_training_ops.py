@@ -524,3 +524,111 @@ def test_packing_efficiency_empty_and_monotone(spark):
     assert rows[8]["total_tokens"] == rows[512]["total_tokens"]
     assert rows[8]["efficiency"] >= rows[64]["efficiency"] >= rows[512]["efficiency"]
     assert rows[512]["n_chunks"] == 20  # every doc fits one 512 chunk
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN (geometry heatmap clustering)
+# ---------------------------------------------------------------------------
+def _driver_dbscan(points, eps, min_samples):
+    """Exact reference DBSCAN replica (canonical labels = min core id)."""
+    ids = sorted(points)
+    e2 = eps * eps
+
+    def _d2(a, b):
+        (x1, y1), (x2, y2) = points[a], points[b]
+        return (x1 - x2) ** 2 + (y1 - y2) ** 2
+
+    neigh = {i: [j for j in ids if j != i and _d2(i, j) <= e2] for i in ids}
+    core = {i for i in ids if len(neigh[i]) + 1 >= min_samples}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in neigh[i]:
+            if j in core:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {}
+    for i in core:
+        comp.setdefault(find(i), []).append(i)
+    label = {i: min(members) for r, members in comp.items() for i in members}
+    out = dict(label)
+    for i in ids:
+        if i not in core:
+            cands = [label[j] for j in neigh[i] if j in core]
+            if cands:
+                out[i] = min(cands)
+    return out  # ids absent -> noise
+
+
+def test_dbscan_planted_blobs_and_noise(spark):
+    from profiler.geo import dbscan_labels
+
+    rows = []
+    # two dense blobs 100 apart (chains of 0.5-spaced points, eps=1)
+    for k in range(8):
+        rows.append((k, 0.5 * k, 0.0))
+        rows.append((100 + k, 100.0 + 0.5 * k, 0.0))
+    rows.append((999, 500.0, 500.0))  # isolated noise
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r["id"]: r["cluster"]
+        for r in dbscan_labels(df, "x", "y", "id", eps=1.0, min_samples=3).collect()
+    }
+    assert all(got[k] == 0 for k in range(8))
+    assert all(got[100 + k] == 100 for k in range(8))
+    assert got[999] is None
+
+
+def test_dbscan_matches_driver_replica(spark):
+    """Differential vs an exact driver DBSCAN on random points, including
+    border points (non-core within eps of a core) and singleton cores."""
+    rng = np.random.default_rng(17)
+    pts = {int(i): (float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 20, size=(60, 2)))}
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x double, y double"
+    )
+    from profiler.geo import dbscan_labels
+
+    for eps, ms in [(2.0, 4), (3.0, 6), (1.0, 3)]:
+        want = _driver_dbscan(pts, eps, ms)
+        got = {
+            r["id"]: r["cluster"]
+            for r in dbscan_labels(df, "x", "y", "id", eps=eps, min_samples=ms).collect()
+        }
+        for i in pts:
+            assert got[i] == want.get(i), (eps, ms, i)
+
+
+def test_dbscan_cluster_cap(spark):
+    from profiler.geo import dbscan_labels
+
+    rows = [(k, 0.1 * k, 0.0) for k in range(10)]          # big cluster (10)
+    rows += [(50 + k, 200.0 + 0.1 * k, 0.0) for k in range(5)]  # small (5)
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r["id"]: r["cluster"]
+        for r in dbscan_labels(
+            df, "x", "y", "id", eps=1.0, min_samples=3, max_clusters=1
+        ).collect()
+    }
+    assert all(got[k] == 0 for k in range(10))       # biggest kept
+    assert all(got[50 + k] is None for k in range(5))  # capped to noise
+
+
+def test_geo_cluster_heatmap_wkt(spark):
+    from profiler.geo import geo_cluster_heatmap
+
+    rows = [(k, f"POINT ({0.5 * k} 1)") for k in range(6)] + [(99, "POINT (50 50)")]
+    df = spark.createDataFrame(rows, "pid long, geom string")
+    out = {r["pid"]: (r["x"], r["y"], r["cluster"])
+           for r in geo_cluster_heatmap(df, "geom", "pid", eps=1.0, min_samples=3).collect()}
+    assert out[0] == (0.0, 1.0, 0)
+    assert out[5] == (2.5, 1.0, 0)
+    assert out[99][2] is None
