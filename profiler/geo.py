@@ -31,6 +31,8 @@ UTM projection needs pyproj, out of scope per SURVEY §0).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from profiler.dedup import connected_components
@@ -131,18 +133,34 @@ def dbscan_labels(
     return pts.join(labels, "id", "left").select("id", "x", "y", "cluster")
 
 
+#: mean Earth radius (meters), the equirectangular scale constant
+_EARTH_R = 6371008.8
+
+
 def geo_cluster_heatmap(
     df: DataFrame,
     wkt_col: str,
     id_col: str,
-    eps: float,
+    eps: float | None = None,
     min_samples: int = 5,
     max_clusters: int = 2000,
+    eps_meters: float | None = None,
 ) -> DataFrame:
     """The reference heatmap over a WKT POINT column: one (id, y, x,
     cluster) row per point (reference ``geometry.py:81-85`` emits exactly
     y/x/Clusters per row), cluster labels canonicalised to the minimum
-    member id, NULL for noise."""
+    member id, NULL for noise.
+
+    ``eps`` clusters in the column's own units. ``eps_meters`` clusters in
+    METERS over lon/lat degrees — the reference gets metric eps by
+    projecting to UTM (pyproj, out of scope); here the layer is scaled by
+    a LOCAL equirectangular projection around its mean latitude
+    (x = R·cos(lat₀)·λ, y = R·φ — one tiny aggregate for lat₀, then a
+    narrow map). At DBSCAN's city-scale eps the distance error vs UTM is
+    parts-per-thousand; the documented deviation is that a layer spanning
+    many latitudes uses one cos(lat₀) scale instead of per-zone UTM."""
+    if (eps is None) == (eps_meters is None):
+        raise ValueError("pass exactly one of eps / eps_meters")
     from profiler.stats import _POINT_X_RE, _POINT_Y_RE
 
     c = F.trim(F.col(wkt_col))
@@ -153,6 +171,25 @@ def geo_cluster_heatmap(
         F.when(ex_x != "", ex_x).cast("double").alias("__x"),
         F.when(ex_y != "", ex_y).cast("double").alias("__y"),
     )
+    if eps_meters is not None:
+        lat0 = pts.agg(F.avg("__y")).collect()[0][0] or 0.0
+        kx = _EARTH_R * math.cos(math.radians(lat0)) * math.pi / 180.0
+        ky = _EARTH_R * math.pi / 180.0
+        proj = pts.select(
+            id_col,
+            (F.col("__x") * F.lit(kx)).alias("__mx"),
+            (F.col("__y") * F.lit(ky)).alias("__my"),
+        )
+        lab = dbscan_labels(
+            proj, "__mx", "__my", id_col, eps_meters, min_samples, max_clusters
+        ).select("id", "cluster")
+        out = pts.withColumnRenamed(id_col, "id").join(lab, "id", "left")
+        return out.select(
+            F.col("id").alias(id_col),
+            F.col("__y").alias("y"),
+            F.col("__x").alias("x"),
+            F.col("cluster"),
+        )
     out = dbscan_labels(pts, "__x", "__y", id_col, eps, min_samples, max_clusters)
     return out.select(
         F.col("id").alias(id_col),

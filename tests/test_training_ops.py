@@ -632,3 +632,40 @@ def test_geo_cluster_heatmap_wkt(spark):
     assert out[0] == (0.0, 1.0, 0)
     assert out[5] == (2.5, 1.0, 0)
     assert out[99][2] is None
+
+
+def test_geo_heatmap_metric_eps(spark):
+    """eps_meters clusters in meters via local equirectangular scaling: at
+    lat 60 one lon degree is ~55.6 km, so points 0.01 deg apart (~557 m)
+    chain under eps=1000 m but split under eps=300 m."""
+    import math as m
+
+    from profiler.geo import geo_cluster_heatmap
+
+    rows = [(k, f"POINT ({10 + 0.01 * k} 60)") for k in range(6)]
+    rows.append((99, "POINT (11.5 60)"))  # ~83 km away: noise either way
+    df = spark.createDataFrame(rows, "pid long, geom string")
+    wide = {
+        r["pid"]: r["cluster"]
+        for r in geo_cluster_heatmap(
+            df, "geom", "pid", eps_meters=1000.0, min_samples=3
+        ).collect()
+    }
+    # one chain cluster: endpoints are border points (only 2 in-eps
+    # neighbours), so the canonical label is the min CORE id (1)
+    assert all(wide[k] == 1 for k in range(6))
+    assert wide[99] is None
+    tight = {
+        r["pid"]: r["cluster"]
+        for r in geo_cluster_heatmap(
+            df, "geom", "pid", eps_meters=300.0, min_samples=3
+        ).collect()
+    }
+    assert all(v is None for v in tight.values())  # 557 m gaps > 300 m eps
+    # sanity: the scale constant matches the haversine small-step distance
+    step_m = 6371008.8 * m.cos(m.radians(60)) * m.radians(0.01)
+    assert 540 < step_m < 570
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        geo_cluster_heatmap(df, "geom", "pid")
