@@ -720,11 +720,16 @@ def tfidf_summary(
     wc = words.groupBy("__doc", "sidx", "word").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    nd = wc.groupBy("__doc", "sidx").agg(F.count(F.lit(1)).alias("nd"))
-    dfw = wc.groupBy("__doc", "word").agg(F.count(F.lit(1)).alias("dfw"))
+    # nd (distinct words per sentence) and dfw (sentences containing the
+    # word) as WINDOWS over the one wc frame — a groupBy-and-join-back
+    # formulation would re-derive the whole scan→explode subtree once per
+    # branch (Spark shares no subplans without an exchange), i.e. two more
+    # full corpus scans at 100 TB
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__doc", "sidx"))
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("__doc", "word"))
     sc = (
-        wc.join(nd, ["__doc", "sidx"])
-        .join(dfw, ["__doc", "word"])
+        wc.withColumn("nd", nd)
+        .withColumn("dfw", dfw)
         .join(n_sents, "__doc")
         .groupBy("__doc", "sidx", "nd")
         .agg(

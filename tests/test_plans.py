@@ -118,3 +118,34 @@ def test_wide_profile_pass_is_single_aggregate(spark, events):
     plan = _plan(events.agg(*exprs))
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1  # only the partial-agg exchange
+
+
+def test_dbscan_pair_join_is_hash_on_cells(spark):
+    """The DBSCAN candidate join must be a hash/sort-merge join on the 3x3
+    grid-cell key — a nested-loop or cartesian pair join would be O(n^2)
+    over the layer."""
+    from profiler.geo import dbscan_labels
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 50), float(i // 50)) for i in range(200)],
+        "id long, x double, y double",
+    )
+    plan = _plan(dbscan_labels(pts, "x", "y", "id", eps=1.0, min_samples=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_word_explosion_gated_by_eligibility(spark):
+    """Short documents must be filtered out BEFORE the word explosion: the
+    eligibility predicate (length > min_chars) sits below the explode in
+    the plan, so 10^12 short rows never fan out."""
+    from profiler.text import tfidf_summary
+
+    df = spark.createDataFrame([(1, "text. more text.")], "doc_id int, text string")
+    plan = tfidf_summary(df)._jdf.queryExecution().optimizedPlan().toString()
+    # every word explosion (explode over the cleaned-words split) must have
+    # the inlined length-gate filter in its subtree (children print BELOW)
+    chunks = plan.split("Generate explode(split(__cw")
+    assert len(chunks) >= 2, "expected word-explosion nodes"
+    for sub in chunks[1:]:
+        assert "length(regexp_replace" in sub, "word explosion lost its gate"
