@@ -145,6 +145,7 @@ def geo_cluster_heatmap(
     min_samples: int = 5,
     max_clusters: int = 2000,
     eps_meters: float | None = None,
+    projection: str = "utm",
 ) -> DataFrame:
     """The reference heatmap over a WKT POINT column: one (id, y, x,
     cluster) row per point (reference ``geometry.py:81-85`` emits exactly
@@ -152,15 +153,18 @@ def geo_cluster_heatmap(
     member id, NULL for noise.
 
     ``eps`` clusters in the column's own units. ``eps_meters`` clusters in
-    METERS over lon/lat degrees — the reference gets metric eps by
-    projecting to UTM (pyproj, out of scope); here the layer is scaled by
-    a LOCAL equirectangular projection around its mean latitude
-    (x = R·cos(lat₀)·λ, y = R·φ — one tiny aggregate for lat₀, then a
-    narrow map). At DBSCAN's city-scale eps the distance error vs UTM is
-    parts-per-thousand; the documented deviation is that a layer spanning
-    many latitudes uses one cos(lat₀) scale instead of per-zone UTM."""
+    METERS over lon/lat degrees, reproducing the reference's
+    project-then-DBSCAN flow (``geometry.py:130-160``):
+    ``projection='utm'`` (default, the reference's choice) projects
+    through :func:`utm_forward_exprs` with the zone picked from the
+    layer's mean coordinate — expression math, no pyproj;
+    ``projection='equirect'`` scales by a local equirectangular around the
+    mean latitude (x = R·cos(lat₀)·λ, y = R·φ) — cheaper (no series), with
+    parts-per-thousand distance error at city-scale eps."""
     if (eps is None) == (eps_meters is None):
         raise ValueError("pass exactly one of eps / eps_meters")
+    if projection not in ("utm", "equirect"):
+        raise ValueError(f"unknown projection {projection!r}")
     from profiler.stats import _POINT_X_RE, _POINT_Y_RE
 
     c = F.trim(F.col(wkt_col))
@@ -172,14 +176,22 @@ def geo_cluster_heatmap(
         F.when(ex_y != "", ex_y).cast("double").alias("__y"),
     )
     if eps_meters is not None:
-        lat0 = pts.agg(F.avg("__y")).collect()[0][0] or 0.0
-        kx = _EARTH_R * math.cos(math.radians(lat0)) * math.pi / 180.0
-        ky = _EARTH_R * math.pi / 180.0
-        proj = pts.select(
-            id_col,
-            (F.col("__x") * F.lit(kx)).alias("__mx"),
-            (F.col("__y") * F.lit(ky)).alias("__my"),
-        )
+        if projection == "utm":
+            projected, _zone, _epsg = utm_project(pts, "__x", "__y")
+            proj = projected.select(
+                id_col,
+                F.col("easting").alias("__mx"),
+                F.col("northing").alias("__my"),
+            )
+        else:
+            lat0 = pts.agg(F.avg("__y")).collect()[0][0] or 0.0
+            kx = _EARTH_R * math.cos(math.radians(lat0)) * math.pi / 180.0
+            ky = _EARTH_R * math.pi / 180.0
+            proj = pts.select(
+                id_col,
+                (F.col("__x") * F.lit(kx)).alias("__mx"),
+                (F.col("__y") * F.lit(ky)).alias("__my"),
+            )
         lab = dbscan_labels(
             proj, "__mx", "__my", id_col, eps_meters, min_samples, max_clusters
         ).select("id", "cluster")
@@ -196,4 +208,115 @@ def geo_cluster_heatmap(
         F.col("y"),
         F.col("x"),
         F.col("cluster"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UTM projection (pure expression math — no pyproj)
+# ---------------------------------------------------------------------------
+#: WGS84 ellipsoid + UTM conventions (public constants)
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FALSE_E = 500_000.0
+_UTM_FALSE_N_SOUTH = 10_000_000.0
+
+
+def utm_zone_of(lon: float, lat: float) -> tuple[int, int]:
+    """(zone_number, epsg) for a WGS84 coordinate — the reference's zone
+    pick (geometry.py:130-135): zone from the layer centroid's longitude,
+    EPSG 326xx north / 327xx south."""
+    zone = int((lon + 180.0) // 6) + 1
+    zone = min(max(zone, 1), 60)
+    return zone, (32600 if lat >= 0 else 32700) + zone
+
+
+def utm_forward_exprs(
+    lon, lat, zone: int, south: bool = False
+):
+    """(easting, northing) Column expressions: WGS84 → UTM via Snyder's
+    transverse Mercator series (Snyder 1987, "Map Projections — A Working
+    Manual", eqs 8-9..8-13 — the classic public formulation, mm-accurate
+    within a zone's ±3° of its central meridian). Pure JVM expression
+    math: the projection rides any narrow map, 10^12 rows never touch
+    Python. The independent Krüger α-series replay in
+    tests/test_training_ops.py pins both derivations against each other.
+    """
+    e2 = _WGS84_F * (2.0 - _WGS84_F)
+    ep2 = e2 / (1.0 - e2)
+    lam0 = math.radians((zone - 1) * 6 - 180 + 3)
+    phi = F.radians(lat.cast("double") if hasattr(lat, "cast") else F.col(lat))
+    lam = F.radians(lon.cast("double") if hasattr(lon, "cast") else F.col(lon))
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n_rad = _WGS84_A / F.sqrt(1.0 - F.lit(e2) * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = F.lit(ep2) * cos_p * cos_p
+    a_ = (lam - F.lit(lam0)) * cos_p
+    # meridian arc length (Snyder 3-21)
+    m = F.lit(_WGS84_A) * (
+        F.lit(1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - F.lit(3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * F.sin(2 * phi)
+        + F.lit(15 * e2**2 / 256 + 45 * e2**3 / 1024) * F.sin(4 * phi)
+        - F.lit(35 * e2**3 / 3072) * F.sin(6 * phi)
+    )
+    easting = (
+        F.lit(_UTM_K0)
+        * n_rad
+        * (
+            a_
+            + (1.0 - t + c) * F.pow(a_, 3) / 6.0
+            + (F.lit(5.0) - 18.0 * t + t * t + 72.0 * c - F.lit(58 * ep2))
+            * F.pow(a_, 5)
+            / 120.0
+        )
+        + F.lit(_UTM_FALSE_E)
+    )
+    northing = F.lit(_UTM_K0) * (
+        m
+        + n_rad
+        * tan_p
+        * (
+            a_ * a_ / 2.0
+            + (F.lit(5.0) - t + 9.0 * c + 4.0 * c * c) * F.pow(a_, 4) / 24.0
+            + (
+                F.lit(61.0)
+                - 58.0 * t
+                + t * t
+                + 600.0 * c
+                - F.lit(330.0 * ep2)
+            )
+            * F.pow(a_, 6)
+            / 720.0
+        )
+    )
+    if south:
+        northing = northing + F.lit(_UTM_FALSE_N_SOUTH)
+    return easting, northing
+
+
+def utm_project(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    zone: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """(df + easting/northing columns, zone, epsg): project lon/lat degrees
+    to UTM meters, zone auto-picked from the layer's mean coordinate like
+    the reference (``geometry.py:130-135`` picks it from the union
+    centroid). One tiny aggregate for the zone, then a narrow map."""
+    if zone is None:
+        row = df.agg(
+            F.avg(F.col(lon_col).cast("double")).alias("lon"),
+            F.avg(F.col(lat_col).cast("double")).alias("lat"),
+        ).collect()[0]
+        lon0, lat0 = row["lon"] or 0.0, row["lat"] or 0.0
+    else:
+        lon0, lat0 = (zone - 1) * 6 - 180 + 3, 0.0
+    z, epsg = utm_zone_of(lon0, lat0) if zone is None else (zone, 32600 + zone)
+    south = lat0 < 0
+    e, n = utm_forward_exprs(F.col(lon_col), F.col(lat_col), z, south)
+    return (
+        df.withColumn("easting", e).withColumn("northing", n),
+        z,
+        epsg if zone is None else (32700 + zone if south else 32600 + zone),
     )

@@ -669,3 +669,75 @@ def test_geo_heatmap_metric_eps(spark):
 
     with _pytest.raises(ValueError, match="exactly one"):
         geo_cluster_heatmap(df, "geom", "pid")
+
+
+def _kruger_utm(lon_deg, lat_deg, zone, south=False):
+    """Independent UTM forward replay: Krüger flattening series (the
+    standard transverse-Mercator α-series), a DIFFERENT public derivation
+    than the engine's Snyder series — mutual agreement to sub-mm pins both."""
+    import math as m
+
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    n = f / (2 - f)
+    A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    a1 = n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16
+    a2 = 13 * n**2 / 48 - 3 * n**3 / 5
+    a3 = 61 * n**3 / 240
+    lam0 = m.radians((zone - 1) * 6 - 180 + 3)
+    phi, lam = m.radians(lat_deg), m.radians(lon_deg) - lam0
+    e = m.sqrt(f * (2 - f))
+    t = m.sinh(
+        m.atanh(m.sin(phi)) - e * m.atanh(e * m.sin(phi))
+    )
+    xi = m.atan2(t, m.cos(lam))
+    eta = m.atanh(m.sin(lam) / m.sqrt(1 + t * t))
+    xi_s = xi + sum(
+        ai * m.sin(2 * j * xi) * m.cosh(2 * j * eta)
+        for j, ai in ((1, a1), (2, a2), (3, a3))
+    )
+    eta_s = eta + sum(
+        ai * m.cos(2 * j * xi) * m.sinh(2 * j * eta)
+        for j, ai in ((1, a1), (2, a2), (3, a3))
+    )
+    E = 500000.0 + k0 * A * eta_s
+    N = k0 * A * xi_s + (10_000_000.0 if south else 0.0)
+    return E, N
+
+
+def test_utm_forward_matches_kruger_series(spark):
+    """Engine Snyder series vs independent Krüger series over a lat/lon
+    grid spanning a full zone width: agreement within 2 mm."""
+    from profiler.geo import utm_forward_exprs
+
+    cases = [
+        (9.0, 48.0), (6.5, 48.0), (11.5, 48.0),   # zone 32 (lam0=9E)
+        (9.0, 0.0), (9.0, 70.0), (9.0, -35.0), (10.7, 59.9), (7.2, -12.3),
+    ]
+    df = spark.createDataFrame(cases, "lon double, lat double")
+    e, n = utm_forward_exprs(F.col("lon"), F.col("lat"), zone=32)
+    got = df.select("lon", "lat", e.alias("E"), n.alias("N")).collect()
+    for r in got:
+        we, wn = _kruger_utm(r["lon"], r["lat"], 32)
+        assert abs(r["E"] - we) < 2e-3, (r["lon"], r["lat"], r["E"], we)
+        assert abs(r["N"] - wn) < 2e-3, (r["lon"], r["lat"], r["N"], wn)
+    # anchors: the central meridian maps to exactly false easting; the
+    # equator on it to northing 0
+    anchor = spark.createDataFrame([(9.0, 0.0)], "lon double, lat double")
+    e0, n0 = utm_forward_exprs(F.col("lon"), F.col("lat"), zone=32)
+    row = anchor.select(e0.alias("E"), n0.alias("N")).collect()[0]
+    assert row["E"] == pytest.approx(500000.0, abs=1e-6)
+    assert row["N"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_utm_zone_pick_and_project(spark):
+    from profiler.geo import utm_project, utm_zone_of
+
+    assert utm_zone_of(9.0, 48.0) == (32, 32632)
+    assert utm_zone_of(-122.3, 47.6) == (10, 32610)
+    assert utm_zone_of(151.2, -33.9) == (56, 32756)
+    df = spark.createDataFrame([(9.0, 48.0), (9.2, 48.1)], "lon double, lat double")
+    out, zone, epsg = utm_project(df, "lon", "lat")
+    assert (zone, epsg) == (32, 32632)
+    rows = out.collect()
+    assert all(400000 < r["easting"] < 600000 for r in rows)
+    assert all(5_300_000 < r["northing"] < 5_350_000 for r in rows)
