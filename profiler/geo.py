@@ -294,6 +294,254 @@ def utm_forward_exprs(
     return easting, northing
 
 
+#: innermost WKT paren groups — each is one coordinate sequence (a
+#: LINESTRING part, a POLYGON ring, or a POINT's single pair)
+_WKT_SEQ_RE = r"\(([^()]+)\)"
+#: one POLYGON's ring list "(ring), (ring)" — matches each `((..),(..))`
+#: group, so the same pattern serves POLYGON and MULTIPOLYGON
+_WKT_POLY_RE = r"\((\([^()]*\)(?:\s*,\s*\([^()]*\))*)\)"
+
+
+def shape_metrics_exprs(wkt_col, zone: int, south: bool = False):
+    """(length_m, area_m2) Column pair over a WKT column, measured in UTM
+    meters (reference ``geometry.py:169-207`` projects the layer to its
+    UTM zone and takes geopandas ``.length``/``.area``). Everything is
+    expression-level: regexp ring extraction, per-vertex UTM projection
+    (:func:`utm_forward_exprs` inside ``transform`` lambdas), segment-sum
+    length and shoelace area via ``zip_with``+``aggregate`` — a pure
+    narrow map, zero shuffle, zero Python, so it rides any scan at 10^12
+    rows.
+
+    Semantics match geopandas: POINT/MULTIPOINT → length 0, area 0;
+    LINESTRING/MULTILINESTRING → sum of part path lengths, area 0;
+    POLYGON/MULTIPOLYGON → length = perimeter of ALL rings, area =
+    |exterior| − Σ|holes| per polygon. Projected coordinates are snapped
+    to 0.1 mm (round 4) before any geometry math — physically lossless at
+    UTM's own series accuracy, and it makes every downstream float op an
+    identical IEEE sequence in any engine (the DuckDB oracle replays this
+    bit-for-bit). Unparseable coordinates yield NULL metrics."""
+    c = F.trim(wkt_col if not isinstance(wkt_col, str) else F.col(wkt_col))
+    typ = F.upper(F.regexp_extract(c, r"^\s*([A-Za-z]+)", 1))
+
+    def en_list(seq):
+        pts = F.transform(F.split(seq, ","), lambda s: F.split(F.trim(s), r"\s+"))
+
+        def proj(p):
+            e, n = utm_forward_exprs(
+                F.element_at(p, 1).try_cast("double"),
+                F.element_at(p, 2).try_cast("double"),
+                zone,
+                south,
+            )
+            return F.struct(F.round(e, 4).alias("e"), F.round(n, 4).alias("n"))
+
+        return F.transform(pts, proj)
+
+    def _segs(v, f):
+        m = F.greatest(F.size(v) - 1, F.lit(0))
+        return F.zip_with(F.slice(v, 1, m), F.slice(v, 2, m), f)
+
+    def path_len(v):
+        segs = _segs(
+            v,
+            lambda a, b: F.sqrt(
+                (a["e"] - b["e"]) * (a["e"] - b["e"])
+                + (a["n"] - b["n"]) * (a["n"] - b["n"])
+            ),
+        )
+        return F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+
+    def ring_area(v):
+        # shoelace translated to the first vertex: cross terms stay small
+        # (ring extent², not absolute-coordinate²), so no precision is
+        # thrown away at 1e6-meter UTM offsets
+        v0 = F.element_at(v, 1)
+        segs = _segs(
+            v,
+            lambda a, b: (a["e"] - v0["e"]) * (b["n"] - v0["n"])
+            - (b["e"] - v0["e"]) * (a["n"] - v0["n"]),
+        )
+        return F.abs(F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)) / 2.0
+
+    known = typ.isin(
+        "POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+        "POLYGON", "MULTIPOLYGON",
+    )
+    seqs = F.regexp_extract_all(c, F.lit(_WKT_SEQ_RE), F.lit(1))
+    length = (
+        F.when(typ.isin("POINT", "MULTIPOINT"), F.lit(0.0))
+        .when(
+            known,
+            F.aggregate(
+                F.transform(seqs, lambda s: path_len(en_list(s))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+    def poly_area(grp):
+        # |ring1| − Σ_{i≥2}|ring_i|  ==  2·|ring1| − Σ_all |ring_i|
+        areas = F.transform(
+            F.regexp_extract_all(grp, F.lit(_WKT_SEQ_RE), F.lit(1)),
+            lambda r: ring_area(en_list(r)),
+        )
+        return F.lit(2.0) * F.element_at(areas, 1) - F.aggregate(
+            areas, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    polys = F.regexp_extract_all(c, F.lit(_WKT_POLY_RE), F.lit(1))
+    area = (
+        F.when(
+            typ.isin("POLYGON", "MULTIPOLYGON"),
+            F.aggregate(
+                F.transform(polys, poly_area), F.lit(0.0), lambda acc, x: acc + x
+            ),
+        )
+        .when(known, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return length, area
+
+
+def geo_shape_stats(
+    df: DataFrame,
+    wkt_col: str,
+    zone: int | None = None,
+) -> DataFrame:
+    """The reference's ``area_distribution`` / ``length_distribution``
+    (``geometry.py:169-207``): one row per metric ('area' in m², 'length'
+    in m) with count / min / max / average / stddev / variance / skewness /
+    kurtosis / median / p10 / p25 / p75 / p90 over the UTM-projected
+    layer. Zone auto-picked from the layer's mean first vertex like the
+    reference's union-centroid pick; pass ``zone`` to pin it. One narrow
+    map computes both per-row metrics, one 2-group aggregate finishes —
+    the money sums ride DECIMAL(38,6) so partial-aggregation order can't
+    change them; moments are bias-corrected G1/G2 like the rest of the
+    numeric describe."""
+    c = F.trim(F.col(wkt_col))
+    first_seq = F.regexp_extract(c, _WKT_SEQ_RE, 1)
+    fx = F.split(F.trim(F.regexp_extract(first_seq, r"^([^,]+)", 1)), r"\s+")
+    lon0c = F.element_at(fx, 1).try_cast("double")
+    lat0c = F.element_at(fx, 2).try_cast("double")
+    if zone is None:
+        row = df.agg(
+            F.avg(lon0c).alias("lon"), F.avg(lat0c).alias("lat")
+        ).collect()[0]
+        lon0, lat0 = row["lon"] or 0.0, row["lat"] or 0.0
+        z, _epsg = utm_zone_of(lon0, lat0)
+        south = lat0 < 0
+    else:
+        z, south = zone, False
+    length, area = shape_metrics_exprs(c, z, south)
+    rows = (
+        df.where(c.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("area").alias("metric"), F.round(area, 4).alias("v")
+                    ),
+                    F.struct(
+                        F.lit("length").alias("metric"), F.round(length, 4).alias("v")
+                    ),
+                )
+            ).alias("mv")
+        )
+        .select("mv.metric", "mv.v")
+        .where(F.col("v").isNotNull())
+    )
+    n = F.count("v")
+    nn = n.cast("double")
+    # variance/stddev from DECIMAL sufficient statistics: the sums are
+    # exact whatever the partial-aggregation order, and the remaining
+    # scalar double ops are one identical IEEE sequence in any engine
+    # (native var_samp's combine-order noise is ~1e-14 relative — below
+    # rounding for O(1) ratios like skewness, but ABSOLUTE for a 1e12-
+    # magnitude variance, where it would flip the 4th decimal)
+    s1d = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    s2d = F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).cast("double")
+    variance = F.when(
+        n > 1, (s2d - s1d * s1d / nn) / (nn - F.lit(1.0))
+    )
+    g1, g2 = F.skewness("v"), F.kurtosis("v")
+    skew = F.when(n > 2, g1 * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2)))
+    kurt = F.when(
+        n > 3,
+        ((n + F.lit(1)) * g2 + F.lit(6.0))
+        * (n - F.lit(1))
+        / ((n - F.lit(2)) * (n - F.lit(3))),
+    )
+    p = lambda q: F.percentile(F.col("v"), F.lit(q))  # noqa: E731
+    return rows.groupBy("metric").agg(
+        n.alias("n_count"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.round(F.when(n > 0, s1d / nn), 4).alias("avg_v"),
+        F.round(
+            F.when(n > 1, F.sqrt(F.greatest(variance, F.lit(0.0)))), 4
+        ).alias("stddev_v"),
+        F.round(variance, 4).alias("variance_v"),
+        F.round(skew, 4).alias("skewness_v"),
+        F.round(kurt, 4).alias("kurtosis_v"),
+        F.round(p(0.5), 4).alias("median_v"),
+        F.round(p(0.10), 4).alias("p10"),
+        F.round(p(0.25), 4).alias("p25"),
+        F.round(p(0.75), 4).alias("p75"),
+        F.round(p(0.90), 4).alias("p90"),
+    )
+
+
+def utm_forward_sql(x: str, y: str, zone: int, south: bool = False) -> tuple[str, str]:
+    """(easting_sql, northing_sql) ANSI-SQL strings mirroring
+    :func:`utm_forward_exprs` op-for-op — the oracle half of the
+    projection, kept next to the engine half so the two can't drift.
+    ``x``/``y`` are SQL subexpressions for lon/lat in degrees. Constants
+    are embedded via ``repr`` (shortest round-trip, so the SQL engine
+    parses the exact same double Python handed Spark) and suffixed
+    ``::DOUBLE`` so no engine folds them as DECIMAL. The ≤1-ulp libm
+    differences that remain are absorbed by the 0.1 mm snap every
+    consumer applies."""
+    e2 = _WGS84_F * (2.0 - _WGS84_F)
+    ep2 = e2 / (1.0 - e2)
+    lam0 = math.radians((zone - 1) * 6 - 180 + 3)
+    m0 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    m1 = 3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024
+    m2 = 15 * e2**2 / 256 + 45 * e2**3 / 1024
+    m3 = 35 * e2**3 / 3072
+    d = lambda v: f"{float(v)!r}::DOUBLE"  # noqa: E731
+    phi = f"radians({y})"
+    lam = f"radians({x})"
+    sin_p, cos_p, tan_p = f"sin({phi})", f"cos({phi})", f"tan({phi})"
+    n_rad = f"({d(_WGS84_A)} / sqrt(1.0 - {d(e2)} * {sin_p} * {sin_p}))"
+    t = f"({tan_p} * {tan_p})"
+    c = f"({d(ep2)} * {cos_p} * {cos_p})"
+    a_ = f"(({lam} - {d(lam0)}) * {cos_p})"
+    m = (
+        f"({d(_WGS84_A)} * ({d(m0)} * {phi}"
+        f" - {d(m1)} * sin(2 * {phi})"
+        f" + {d(m2)} * sin(4 * {phi})"
+        f" - {d(m3)} * sin(6 * {phi})))"
+    )
+    easting = (
+        f"({d(_UTM_K0)} * {n_rad} * ({a_}"
+        f" + (1.0 - {t} + {c}) * pow({a_}, 3) / 6.0"
+        f" + (5.0 - 18.0 * {t} + {t} * {t} + 72.0 * {c} - {d(58 * ep2)})"
+        f" * pow({a_}, 5) / 120.0)"
+        f" + {d(_UTM_FALSE_E)})"
+    )
+    northing = (
+        f"({d(_UTM_K0)} * ({m} + {n_rad} * {tan_p} * ({a_} * {a_} / 2.0"
+        f" + (5.0 - {t} + 9.0 * {c} + 4.0 * {c} * {c}) * pow({a_}, 4) / 24.0"
+        f" + (61.0 - 58.0 * {t} + {t} * {t} + 600.0 * {c} - {d(330.0 * ep2)})"
+        f" * pow({a_}, 6) / 720.0)))"
+    )
+    if south:
+        northing = f"({northing} + {d(_UTM_FALSE_N_SOUTH)})"
+    return easting, northing
+
+
 def utm_project(
     df: DataFrame,
     lon_col: str,

@@ -4411,3 +4411,217 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dbscan_labels(pts, "x", "y", "id", eps=1.0, min_samples=5)
     return out.select("id", "y", "x", "cluster").orderBy("id")
+
+
+# ===========================================================================
+# Q. Geometry shape statistics (reference geometry.py:169-207)
+# ===========================================================================
+def _q89_oracle() -> str:
+    """Full SQL replay of q89: same WKT construction from integer
+    milli-degrees, same UTM Snyder series (generated by
+    profiler.geo.utm_forward_sql so engine and oracle can't drift), same
+    0.1 mm snap, same segment/shoelace folds in the same order, same
+    decimal sufficient statistics."""
+    from profiler.geo import _WKT_POLY_RE, _WKT_SEQ_RE, utm_forward_sql
+
+    E, N = utm_forward_sql("v.x", "v.y", 32)
+
+    def pp(dx: int, dy: int) -> str:
+        return (
+            f"'9.' || lpad(CAST(kx + {dx} AS VARCHAR), 3, '0') || "
+            f"' 48.' || lpad(CAST(ky + {dy} AS VARCHAR), 3, '0')"
+        )
+
+    en = (
+        "list_transform("
+        "list_transform(string_split(s, ','), p0 -> struct_pack("
+        "x := CAST(list_extract(string_split_regex(trim(p0), '\\s+'), 1) AS DOUBLE), "
+        "y := CAST(list_extract(string_split_regex(trim(p0), '\\s+'), 2) AS DOUBLE))), "
+        f"v -> struct_pack(e := ROUND({E}, 4), n := ROUND({N}, 4)))"
+    )
+    fold = "list_reduce(list_prepend(0.0::DOUBLE, {terms}), (a, b) -> a + b)"
+    path_len = fold.format(
+        terms=(
+            "list_transform(range(1, len(v)), i -> "
+            "sqrt((v[i].e - v[i+1].e) * (v[i].e - v[i+1].e)"
+            " + (v[i].n - v[i+1].n) * (v[i].n - v[i+1].n)))"
+        )
+    )
+    ring_area = (
+        "abs("
+        + fold.format(
+            terms=(
+                "list_transform(range(1, len(v)), i -> "
+                "(v[i].e - v[1].e) * (v[i+1].n - v[1].n)"
+                " - (v[i+1].e - v[1].e) * (v[i].n - v[1].n))"
+            )
+        )
+        + ") / 2.0"
+    )
+    len_fold = fold.format(terms=f"list_transform(rings, v -> {path_len})")
+    area_fold = fold.format(
+        terms=(
+            "list_transform("
+            f"list_transform(prings, rr -> list_transform(rr, v -> {ring_area})), "
+            "ra -> 2.0::DOUBLE * list_extract(ra, 1) - "
+            + fold.format(terms="ra")
+            + ")"
+        )
+    )
+    s1 = "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
+    s2 = "CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE)"
+    nd = "CAST(count(v) AS DOUBLE)"
+    var = f"(({s2} - {s1} * {s1} / {nd}) / ({nd} - 1.0))"
+    return f"""
+    WITH base AS (
+      SELECT s_suppkey % 50 AS kx, (s_suppkey % 25) * 2 AS ky,
+             s_suppkey % 5 AS shape
+      FROM supplier
+    ),
+    shapes AS (
+      SELECT CASE shape
+        WHEN 0 THEN 'POINT (' || {pp(0, 0)} || ')'
+        WHEN 1 THEN 'LINESTRING (' || {pp(0, 0)} || ', ' || {pp(10, 0)}
+                    || ', ' || {pp(10, 5)} || ')'
+        WHEN 2 THEN 'POLYGON ((' || {pp(0, 0)} || ', ' || {pp(12, 0)} || ', '
+                    || {pp(12, 12)} || ', ' || {pp(0, 12)} || ', '
+                    || {pp(0, 0)} || '))'
+        WHEN 3 THEN 'POLYGON ((' || {pp(0, 0)} || ', ' || {pp(20, 0)} || ', '
+                    || {pp(20, 20)} || ', ' || {pp(0, 20)} || ', '
+                    || {pp(0, 0)} || '), (' || {pp(5, 5)} || ', '
+                    || {pp(10, 5)} || ', ' || {pp(5, 10)} || ', '
+                    || {pp(5, 5)} || '))'
+        ELSE 'MULTIPOLYGON (((' || {pp(0, 0)} || ', ' || {pp(8, 0)} || ', '
+                    || {pp(8, 8)} || ', ' || {pp(0, 0)} || ')), (('
+                    || {pp(30, 30)} || ', ' || {pp(38, 30)} || ', '
+                    || {pp(38, 38)} || ', ' || {pp(30, 30)} || ')))'
+      END AS wkt
+      FROM base
+    ),
+    typed AS (
+      SELECT wkt,
+             upper(regexp_extract(trim(wkt), '^\\s*([A-Za-z]+)', 1)) AS typ,
+             regexp_extract_all(wkt, '{_WKT_SEQ_RE}', 1) AS ss,
+             regexp_extract_all(wkt, '{_WKT_POLY_RE}', 1) AS polys
+      FROM shapes
+    ),
+    env AS (
+      SELECT typ,
+             list_transform(ss, s -> {en}) AS rings,
+             list_transform(polys, g ->
+               list_transform(regexp_extract_all(g, '{_WKT_SEQ_RE}', 1),
+                              s -> {en})) AS prings
+      FROM typed
+    ),
+    mets AS (
+      SELECT
+        CASE WHEN typ IN ('POINT', 'MULTIPOINT') THEN 0.0::DOUBLE
+             WHEN typ IN ('LINESTRING', 'MULTILINESTRING',
+                          'POLYGON', 'MULTIPOLYGON') THEN {len_fold}
+        END AS len_raw,
+        CASE WHEN typ IN ('POLYGON', 'MULTIPOLYGON') THEN {area_fold}
+             WHEN typ IN ('POINT', 'MULTIPOINT', 'LINESTRING',
+                          'MULTILINESTRING') THEN 0.0::DOUBLE
+        END AS area_raw
+      FROM env
+    ),
+    vals AS (
+      SELECT 'area' AS metric, ROUND(area_raw, 4) AS v FROM mets
+      UNION ALL
+      SELECT 'length' AS metric, ROUND(len_raw, 4) AS v FROM mets
+    )
+    SELECT metric,
+           count(v) AS n_count,
+           ROUND(min(v), 4) AS min_v,
+           ROUND(max(v), 4) AS max_v,
+           ROUND(CASE WHEN count(v) > 0 THEN {s1} / {nd} END, 4) AS avg_v,
+           ROUND(CASE WHEN count(v) > 1
+                 THEN sqrt(greatest({var}, 0.0::DOUBLE)) END, 4) AS stddev_v,
+           ROUND(CASE WHEN count(v) > 1 THEN {var} END, 4) AS variance_v,
+           ROUND(CASE WHEN count(v) > 2 THEN skewness(v) END, 4) AS skewness_v,
+           ROUND(CASE WHEN count(v) > 3 THEN kurtosis(v) END, 4) AS kurtosis_v,
+           ROUND(quantile_cont(v, 0.5), 4) AS median_v,
+           ROUND(quantile_cont(v, 0.10), 4) AS p10,
+           ROUND(quantile_cont(v, 0.25), 4) AS p25,
+           ROUND(quantile_cont(v, 0.75), 4) AS p75,
+           ROUND(quantile_cont(v, 0.90), 4) AS p90
+    FROM vals WHERE v IS NOT NULL
+    GROUP BY metric ORDER BY metric
+    """
+
+
+@_register("q89_shape_stats", _q89_oracle())
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's area/length distributions over the UTM-projected
+    layer (reference ``geometry.py:169-207``: geopandas ``.to_crs(utm)``
+    then ``.area``/``.length`` describes) — re-expressed as one narrow
+    expression map (regexp ring extraction + per-vertex Snyder UTM inside
+    ``transform`` lambdas + shoelace/segment folds) feeding one 2-group
+    aggregate with DECIMAL sufficient statistics
+    (:func:`profiler.geo.geo_shape_stats`). The WKT mix exercises every
+    branch: POINT (zeros), open LINESTRING, POLYGON, POLYGON with a hole
+    (area subtracts), MULTIPOLYGON (two parts sum)."""
+    from profiler.geo import geo_shape_stats
+
+    sup = _t(spark, sf_dir, "supplier")
+    kx = F.col("s_suppkey") % 50
+    ky = (F.col("s_suppkey") % 25) * 2
+    shape = F.col("s_suppkey") % 5
+
+    def pp(dx: int, dy: int):
+        return F.concat(
+            F.lit("9."),
+            F.lpad((kx + dx).cast("string"), 3, "0"),
+            F.lit(" 48."),
+            F.lpad((ky + dy).cast("string"), 3, "0"),
+        )
+
+    def wrap(prefix: str, *parts):
+        out = [F.lit(prefix)]
+        for i, p in enumerate(parts):
+            if i:
+                out.append(F.lit(", "))
+            out.append(p)
+        return F.concat(*out)
+
+    wkt = (
+        F.when(shape == 0, F.concat(F.lit("POINT ("), pp(0, 0), F.lit(")")))
+        .when(
+            shape == 1,
+            F.concat(
+                wrap("LINESTRING (", pp(0, 0), pp(10, 0), pp(10, 5)), F.lit(")")
+            ),
+        )
+        .when(
+            shape == 2,
+            F.concat(
+                wrap(
+                    "POLYGON ((",
+                    pp(0, 0), pp(12, 0), pp(12, 12), pp(0, 12), pp(0, 0),
+                ),
+                F.lit("))"),
+            ),
+        )
+        .when(
+            shape == 3,
+            F.concat(
+                wrap(
+                    "POLYGON ((",
+                    pp(0, 0), pp(20, 0), pp(20, 20), pp(0, 20), pp(0, 0),
+                ),
+                F.lit("), ("),
+                wrap("", pp(5, 5), pp(10, 5), pp(5, 10), pp(5, 5)),
+                F.lit("))"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                wrap("MULTIPOLYGON (((", pp(0, 0), pp(8, 0), pp(8, 8), pp(0, 0)),
+                F.lit(")), (("),
+                wrap("", pp(30, 30), pp(38, 30), pp(38, 38), pp(30, 30)),
+                F.lit(")))"),
+            )
+        )
+    )
+    g = sup.select(wkt.alias("wkt"))
+    return geo_shape_stats(g, "wkt", zone=32).orderBy("metric")

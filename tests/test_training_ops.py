@@ -741,3 +741,74 @@ def test_utm_zone_pick_and_project(spark):
     rows = out.collect()
     assert all(400000 < r["easting"] < 600000 for r in rows)
     assert all(5_300_000 < r["northing"] < 5_350_000 for r in rows)
+
+
+def test_shape_metrics_semantics(spark):
+    """WKT → (length_m, area_m2) semantics match geopandas over a UTM
+    projection (reference geometry.py:169-207): points measure zero,
+    linestrings have length only, polygon holes subtract, multipolygon
+    parts sum, garbage rows yield NULL metrics instead of poisoning the
+    aggregate."""
+    from profiler.geo import shape_metrics_exprs
+
+    sq = "POLYGON ((9.00 48.00, 9.01 48.00, 9.01 48.01, 9.00 48.01, 9.00 48.00))"
+    holed = (
+        "POLYGON ((9.00 48.00, 9.01 48.00, 9.01 48.01, 9.00 48.01, 9.00 48.00), "
+        "(9.002 48.002, 9.008 48.002, 9.002 48.008, 9.002 48.002))"
+    )
+    multi = (
+        "MULTIPOLYGON (((9.00 48.00, 9.01 48.00, 9.01 48.01, 9.00 48.01, "
+        "9.00 48.00)), ((9.02 48.02, 9.03 48.02, 9.03 48.03, 9.02 48.03, "
+        "9.02 48.02)))"
+    )
+    rows = [
+        ("pt", "POINT (9.005 48.005)"),
+        ("line", "LINESTRING (9.00 48.00, 9.01 48.00)"),
+        ("sq", sq),
+        ("holed", holed),
+        ("multi", multi),
+        ("junk", "TRIANGLE (nope)"),
+    ]
+    df = spark.createDataFrame(rows, "tag string, wkt string")
+    ln, ar = shape_metrics_exprs(F.col("wkt"), zone=32)
+    got = {
+        r["tag"]: (r["L"], r["A"])
+        for r in df.select("tag", ln.alias("L"), ar.alias("A")).collect()
+    }
+    assert got["pt"] == (0.0, 0.0)
+    assert got["line"][1] == 0.0 and got["line"][0] > 0
+    # E-W step of 0.01 deg at lat 48 is ~745 m ground, x0.9996 grid scale
+    assert got["line"][0] == pytest.approx(744.8, rel=0.01)
+    # square: ~745 m x ~1112 m
+    assert got["sq"][1] == pytest.approx(744.8 * 1112.0, rel=0.01)
+    assert got["sq"][0] == pytest.approx(2 * (744.8 + 1112.0), rel=0.01)
+    # the hole subtracts its own area and adds its own perimeter
+    assert got["holed"][1] < got["sq"][1]
+    assert got["holed"][0] > got["sq"][0]
+    # two disjoint parts sum both area and perimeter (the second part sits
+    # 0.02 deg away, so grid-scale drift allows ~2e-4 relative)
+    assert got["multi"][1] == pytest.approx(2 * got["sq"][1], rel=1e-3)
+    assert got["multi"][0] == pytest.approx(2 * got["sq"][0], rel=1e-3)
+    assert got["junk"] == (None, None)
+
+
+def test_geo_shape_stats_layer(spark):
+    """geo_shape_stats emits one 'area' + one 'length' describe row with
+    null-safe moments; an all-identical layer pins stddev/variance to 0
+    and every location stat to the single value. Zone auto-pick (the
+    collect branch) agrees with the pinned-zone run."""
+    from profiler.geo import geo_shape_stats
+
+    sq = "POLYGON ((9.00 48.00, 9.01 48.00, 9.01 48.01, 9.00 48.01, 9.00 48.00))"
+    df = spark.createDataFrame([(sq,)] * 4 + [(None,)], "wkt string")
+    out = {r["metric"]: r.asDict() for r in geo_shape_stats(df, "wkt", zone=32).collect()}
+    assert set(out) == {"area", "length"}
+    a = out["area"]
+    assert a["n_count"] == 4
+    assert a["min_v"] == a["max_v"] == a["avg_v"] == a["median_v"] == a["p90"]
+    assert a["stddev_v"] == 0.0 and a["variance_v"] == 0.0
+    assert a["avg_v"] == pytest.approx(744.8 * 1112.0, rel=0.01)
+    auto = {
+        r["metric"]: r["avg_v"] for r in geo_shape_stats(df, "wkt").collect()
+    }
+    assert auto["area"] == a["avg_v"]
