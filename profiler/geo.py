@@ -452,45 +452,9 @@ def geo_shape_stats(
         .select("mv.metric", "mv.v")
         .where(F.col("v").isNotNull())
     )
-    n = F.count("v")
-    nn = n.cast("double")
-    # variance/stddev from DECIMAL sufficient statistics: the sums are
-    # exact whatever the partial-aggregation order, and the remaining
-    # scalar double ops are one identical IEEE sequence in any engine
-    # (native var_samp's combine-order noise is ~1e-14 relative — below
-    # rounding for O(1) ratios like skewness, but ABSOLUTE for a 1e12-
-    # magnitude variance, where it would flip the 4th decimal)
-    s1d = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
-    s2d = F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).cast("double")
-    variance = F.when(
-        n > 1, (s2d - s1d * s1d / nn) / (nn - F.lit(1.0))
-    )
-    g1, g2 = F.skewness("v"), F.kurtosis("v")
-    skew = F.when(n > 2, g1 * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2)))
-    kurt = F.when(
-        n > 3,
-        ((n + F.lit(1)) * g2 + F.lit(6.0))
-        * (n - F.lit(1))
-        / ((n - F.lit(2)) * (n - F.lit(3))),
-    )
-    p = lambda q: F.percentile(F.col("v"), F.lit(q))  # noqa: E731
-    return rows.groupBy("metric").agg(
-        n.alias("n_count"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
-        F.round(F.when(n > 0, s1d / nn), 4).alias("avg_v"),
-        F.round(
-            F.when(n > 1, F.sqrt(F.greatest(variance, F.lit(0.0)))), 4
-        ).alias("stddev_v"),
-        F.round(variance, 4).alias("variance_v"),
-        F.round(skew, 4).alias("skewness_v"),
-        F.round(kurt, 4).alias("kurtosis_v"),
-        F.round(p(0.5), 4).alias("median_v"),
-        F.round(p(0.10), 4).alias("p10"),
-        F.round(p(0.25), 4).alias("p25"),
-        F.round(p(0.75), 4).alias("p75"),
-        F.round(p(0.90), 4).alias("p90"),
-    )
+    from profiler.stats import describe_by_metric
+
+    return describe_by_metric(rows)
 
 
 def utm_forward_sql(x: str, y: str, zone: int, south: bool = False) -> tuple[str, str]:

@@ -4413,6 +4413,38 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "y", "x", "cluster").orderBy("id")
 
 
+def _describe_select_sql(vals: str = "vals") -> str:
+    """The DuckDB half of :func:`profiler.stats.describe_by_metric`:
+    SELECT over a ``(metric, v)`` relation replaying the same DECIMAL
+    sufficient statistics, the same scalar IEEE sequence for
+    variance/stddev/average, DuckDB's natively bias-corrected
+    skewness/kurtosis (== Spark g1/g2 + the package's G1/G2 correction),
+    and ``quantile_cont`` (== ``F.percentile`` linear interpolation)."""
+    s1 = "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
+    s2 = "CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE)"
+    nd = "CAST(count(v) AS DOUBLE)"
+    var = f"(({s2} - {s1} * {s1} / {nd}) / ({nd} - 1.0))"
+    return f"""
+    SELECT metric,
+           count(v) AS n_count,
+           ROUND(min(v), 4) AS min_v,
+           ROUND(max(v), 4) AS max_v,
+           ROUND(CASE WHEN count(v) > 0 THEN {s1} / {nd} END, 4) AS avg_v,
+           ROUND(CASE WHEN count(v) > 1
+                 THEN sqrt(greatest({var}, 0.0::DOUBLE)) END, 4) AS stddev_v,
+           ROUND(CASE WHEN count(v) > 1 THEN {var} END, 4) AS variance_v,
+           ROUND(CASE WHEN count(v) > 2 THEN skewness(v) END, 4) AS skewness_v,
+           ROUND(CASE WHEN count(v) > 3 THEN kurtosis(v) END, 4) AS kurtosis_v,
+           ROUND(quantile_cont(v, 0.5), 4) AS median_v,
+           ROUND(quantile_cont(v, 0.10), 4) AS p10,
+           ROUND(quantile_cont(v, 0.25), 4) AS p25,
+           ROUND(quantile_cont(v, 0.75), 4) AS p75,
+           ROUND(quantile_cont(v, 0.90), 4) AS p90
+    FROM {vals} WHERE v IS NOT NULL
+    GROUP BY metric ORDER BY metric
+    """
+
+
 # ===========================================================================
 # Q. Geometry shape statistics (reference geometry.py:169-207)
 # ===========================================================================
@@ -4468,10 +4500,6 @@ def _q89_oracle() -> str:
             + ")"
         )
     )
-    s1 = "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
-    s2 = "CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE)"
-    nd = "CAST(count(v) AS DOUBLE)"
-    var = f"(({s2} - {s1} * {s1} / {nd}) / ({nd} - 1.0))"
     return f"""
     WITH base AS (
       SELECT s_suppkey % 50 AS kx, (s_suppkey % 25) * 2 AS ky,
@@ -4530,23 +4558,7 @@ def _q89_oracle() -> str:
       UNION ALL
       SELECT 'length' AS metric, ROUND(len_raw, 4) AS v FROM mets
     )
-    SELECT metric,
-           count(v) AS n_count,
-           ROUND(min(v), 4) AS min_v,
-           ROUND(max(v), 4) AS max_v,
-           ROUND(CASE WHEN count(v) > 0 THEN {s1} / {nd} END, 4) AS avg_v,
-           ROUND(CASE WHEN count(v) > 1
-                 THEN sqrt(greatest({var}, 0.0::DOUBLE)) END, 4) AS stddev_v,
-           ROUND(CASE WHEN count(v) > 1 THEN {var} END, 4) AS variance_v,
-           ROUND(CASE WHEN count(v) > 2 THEN skewness(v) END, 4) AS skewness_v,
-           ROUND(CASE WHEN count(v) > 3 THEN kurtosis(v) END, 4) AS kurtosis_v,
-           ROUND(quantile_cont(v, 0.5), 4) AS median_v,
-           ROUND(quantile_cont(v, 0.10), 4) AS p10,
-           ROUND(quantile_cont(v, 0.25), 4) AS p25,
-           ROUND(quantile_cont(v, 0.75), 4) AS p75,
-           ROUND(quantile_cont(v, 0.90), 4) AS p90
-    FROM vals WHERE v IS NOT NULL
-    GROUP BY metric ORDER BY metric
+    {_describe_select_sql()}
     """
 
 
@@ -4625,3 +4637,230 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = sup.select(wkt.alias("wkt"))
     return geo_shape_stats(g, "wkt", zone=32).orderBy("metric")
+
+
+# ===========================================================================
+# Q. RDF / triple-graph profiler (reference rdfGraph/profiler.py:49-341)
+# ===========================================================================
+#: deterministic triple fixture over the TPC-H tables: entity URIs, one
+#: foreign-key object property per row, one rdf:type triple, one name
+#: literal — the same graph built identically in Spark and in the oracle.
+_RDF_TYPE_SQL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_TRIPLES_SQL = f"""
+    triples AS (
+      SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS subj,
+             'urn:p/nation' AS pred,
+             'urn:n/' || CAST(c_nationkey AS VARCHAR) AS obj,
+             'uri' AS kind
+      FROM customer
+      UNION ALL
+      SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR), '{_RDF_TYPE_SQL}',
+             'urn:cls/Customer', 'uri' FROM customer
+      UNION ALL
+      SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR), 'urn:p/name',
+             '"' || c_name || '"', 'literal' FROM customer
+      UNION ALL
+      SELECT 'urn:s/' || CAST(s_suppkey AS VARCHAR), 'urn:p/nation',
+             'urn:n/' || CAST(s_nationkey AS VARCHAR), 'uri' FROM supplier
+      UNION ALL
+      SELECT 'urn:s/' || CAST(s_suppkey AS VARCHAR), '{_RDF_TYPE_SQL}',
+             'urn:cls/Supplier', 'uri' FROM supplier
+      UNION ALL
+      SELECT 'urn:s/' || CAST(s_suppkey AS VARCHAR), 'urn:p/name',
+             '"' || s_name || '"', 'literal' FROM supplier
+      UNION ALL
+      SELECT 'urn:n/' || CAST(n_nationkey AS VARCHAR), 'urn:p/region',
+             'urn:r/' || CAST(n_regionkey AS VARCHAR), 'uri' FROM nation
+      UNION ALL
+      SELECT 'urn:n/' || CAST(n_nationkey AS VARCHAR), '{_RDF_TYPE_SQL}',
+             'urn:cls/Nation', 'uri' FROM nation
+      UNION ALL
+      SELECT 'urn:n/' || CAST(n_nationkey AS VARCHAR), 'urn:p/name',
+             '"' || n_name || '"', 'literal' FROM nation
+      UNION ALL
+      SELECT 'urn:r/' || CAST(r_regionkey AS VARCHAR), '{_RDF_TYPE_SQL}',
+             'urn:cls/Region', 'uri' FROM region
+      UNION ALL
+      SELECT 'urn:r/' || CAST(r_regionkey AS VARCHAR), 'urn:p/name',
+             '"' || r_name || '"', 'literal' FROM region
+    )
+"""
+
+
+def _rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of the triple fixture — must mirror _RDF_TRIPLES_SQL
+    token-for-token (the graph metrics hash every URI/literal string)."""
+    from profiler.graph import RDF_TYPE
+
+    def ent(df, key: str, prefix: str, nk: str | None, nk_prefix: str,
+            nk_pred: str, cls: str, name: str) -> DataFrame:
+        subj = F.concat(F.lit(prefix), F.col(key).cast("string"))
+        parts = []
+        if nk is not None:
+            parts.append(df.select(
+                subj.alias("subject"),
+                F.lit(nk_pred).alias("predicate"),
+                F.concat(F.lit(nk_prefix), F.col(nk).cast("string")).alias("object"),
+                F.lit("uri").alias("object_kind"),
+            ))
+        parts.append(df.select(
+            subj.alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(cls).alias("object"),
+            F.lit("uri").alias("object_kind"),
+        ))
+        parts.append(df.select(
+            subj.alias("subject"),
+            F.lit("urn:p/name").alias("predicate"),
+            F.concat(F.lit('"'), F.col(name), F.lit('"')).alias("object"),
+            F.lit("literal").alias("object_kind"),
+        ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    cust = ent(_t(spark, sf_dir, "customer"), "c_custkey", "urn:c/",
+               "c_nationkey", "urn:n/", "urn:p/nation", "urn:cls/Customer",
+               "c_name")
+    supp = ent(_t(spark, sf_dir, "supplier"), "s_suppkey", "urn:s/",
+               "s_nationkey", "urn:n/", "urn:p/nation", "urn:cls/Supplier",
+               "s_name")
+    nat = ent(_t(spark, sf_dir, "nation"), "n_nationkey", "urn:n/",
+              "n_regionkey", "urn:r/", "urn:p/region", "urn:cls/Nation",
+              "n_name")
+    reg = ent(_t(spark, sf_dir, "region"), "r_regionkey", "urn:r/",
+              None, "", "", "urn:cls/Region", "r_name")
+    return cust.unionAll(supp).unionAll(nat).unionAll(reg)
+
+
+def _q90_oracle() -> str:
+    """Degree describe replay: same union-of-endpoints degree counting
+    (multigraph — parallel edges count, a self-loop is 1 in + 1 out),
+    same centrality = degree/(n-1) snapped to 6 decimals, same describe
+    aggregate as every other distribution oracle."""
+    return f"""
+    WITH {_RDF_TRIPLES_SQL},
+    tall AS (
+      SELECT subj AS node, 1 AS o, 0 AS i FROM triples
+      UNION ALL
+      SELECT obj, 0, 1 FROM triples
+    ),
+    deg AS (
+      SELECT node, sum(i) AS in_deg, sum(o) AS out_deg
+      FROM tall GROUP BY node
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM deg),
+    vals AS (
+      SELECT 'degree' AS metric, CAST(in_deg + out_deg AS DOUBLE) AS v FROM deg
+      UNION ALL
+      SELECT 'in_degree', CAST(in_deg AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT 'out_degree', CAST(out_deg AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT 'degree_centrality',
+             ROUND(CAST(in_deg + out_deg AS DOUBLE)
+                   / CAST(n_nodes - 1 AS DOUBLE), 6)
+      FROM deg, nn
+    )
+    {_describe_select_sql()}
+    """
+
+
+@_register("q90_graph_degree", _q90_oracle())
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference RDF profiler's four degree describe blocks
+    (``rdfGraph/profiler.py:140-247``: networkx degree / in_degree /
+    out_degree / degree_centrality through ``pd.Series.describe``) over a
+    TPC-H-derived triple graph — one union + one groupBy for all degrees
+    (single shuffle, map-side combine), one broadcast scalar for the
+    centrality denominator, one 4-group describe aggregate
+    (:func:`profiler.graph.degree_stats`)."""
+    from profiler.graph import degree_stats
+
+    return degree_stats(_rdf_triples(spark, sf_dir)).orderBy("metric")
+
+
+def _q91_oracle() -> str:
+    """Whole-graph scalar replay: distinct-token counts per tag family
+    and the networkx multidigraph density m/(n*(n-1))."""
+    return f"""
+    WITH {_RDF_TRIPLES_SQL},
+    nodes AS (SELECT subj AS t FROM triples UNION SELECT obj FROM triples),
+    uris AS (
+      SELECT subj AS u FROM triples
+      UNION SELECT pred FROM triples
+      UNION SELECT obj FROM triples WHERE kind = 'uri'
+    ),
+    m AS (SELECT count(*) AS num_edges FROM triples),
+    n AS (SELECT count(*) AS num_nodes FROM nodes)
+    SELECT n.num_nodes,
+           m.num_edges,
+           (SELECT count(DISTINCT regexp_extract(u, '^(.*[#/])', 1))
+            FROM uris) AS num_namespaces,
+           (SELECT count(DISTINCT obj) FROM triples
+            WHERE pred = '{_RDF_TYPE_SQL}') AS num_classes,
+           (SELECT count(*) FROM (
+              SELECT subj AS t FROM triples
+              UNION SELECT obj FROM triples WHERE kind = 'uri')) AS num_object_properties,
+           (SELECT count(DISTINCT obj) FROM triples
+            WHERE kind = 'literal') AS num_datatype_properties,
+           ROUND(CAST(m.num_edges AS DOUBLE)
+                 / CAST(n.num_nodes * (n.num_nodes - 1) AS DOUBLE), 8) AS density
+    FROM m, n
+    """
+
+
+@_register("q91_graph_scalars", _q91_oracle())
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference RDF profiler's whole-graph scalars
+    (``rdfGraph/profiler.py:62-137``: node/edge counts, namespaces in
+    use, rdf:type classes, URI-node and literal tallies, multidigraph
+    density) — all six distinct-counts in ONE tagged-token pass
+    (:func:`profiler.graph.graph_scalars`), not six scans."""
+    from profiler.graph import graph_scalars
+
+    return graph_scalars(_rdf_triples(spark, sf_dir))
+
+
+def _q92_oracle() -> str:
+    """Undirected transitive-closure replay of the component sizes over
+    the supplier-side subgraph (no rdf:type triples — class hub nodes
+    would weld everything into one component; the region hierarchy keeps
+    one component per region)."""
+    return f"""
+    WITH RECURSIVE {_RDF_TRIPLES_SQL},
+    sub AS (
+      SELECT subj, obj FROM triples
+      WHERE pred <> '{_RDF_TYPE_SQL}' AND subj NOT LIKE 'urn:c/%'
+    ),
+    edges AS (SELECT subj AS s, obj AS d FROM sub
+              UNION SELECT obj, subj FROM sub),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component, count(*) AS num_nodes
+    FROM cc GROUP BY component
+    ORDER BY num_nodes DESC, component
+    """
+
+
+@_register("q92_graph_components", _q92_oracle())
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference RDF profiler's connected-components list
+    (``rdfGraph/profiler.py:118-131``: undirected components with their
+    node counts) over the supplier→nation→region subgraph (5 components,
+    one per region) — labels via the package's O(log n)-round pointer-
+    jumping propagation (:func:`profiler.graph.component_sizes`); the
+    oracle recomputes them as a WITH RECURSIVE min-label closure."""
+    from profiler.graph import component_sizes
+
+    t = _rdf_triples(spark, sf_dir).where(
+        (F.col("predicate") != "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        & ~F.col("subject").startswith("urn:c/")
+    )
+    return component_sizes(t)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PERCENTILES = (0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95)
@@ -386,6 +386,54 @@ def corrected_kurtosis(g2: float | None, n: int) -> float | None:
     if g2 is None or n < 4:
         return None
     return ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def describe_by_metric(rows: "DataFrame") -> "DataFrame":
+    """One pandas-``describe``-shaped row per ``metric`` over a tall
+    ``(metric, v double)`` frame: count / min / max / average / stddev /
+    variance / bias-corrected skewness+kurtosis / median / p10 / p25 /
+    p75 / p90, all rounded to 4 decimals. Shared by the geometry
+    area/length distributions and the graph degree distributions — both
+    mirror the reference's ``pd.Series.describe(percentiles=[.10,.25,.75,
+    .90])`` blocks (e.g. ``rdfGraph/profiler.py:140-247``).
+
+    One shuffle (the groupBy); variance/stddev come from DECIMAL
+    sufficient statistics so partial-aggregation order can't change them
+    (native var_samp's combine-order noise is ~1e-14 relative — below
+    rounding for O(1) ratios, but ABSOLUTE for large-magnitude variances,
+    where it would flip the 4th decimal); NULL metrics must be filtered by
+    the caller."""
+    n = F.count("v")
+    nn = n.cast("double")
+    s1d = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    s2d = F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).cast("double")
+    variance = F.when(n > 1, (s2d - s1d * s1d / nn) / (nn - F.lit(1.0)))
+    g1, g2 = F.skewness("v"), F.kurtosis("v")
+    skew = F.when(n > 2, g1 * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2)))
+    kurt = F.when(
+        n > 3,
+        ((n + F.lit(1)) * g2 + F.lit(6.0))
+        * (n - F.lit(1))
+        / ((n - F.lit(2)) * (n - F.lit(3))),
+    )
+    p = lambda q: F.percentile(F.col("v"), F.lit(q))  # noqa: E731
+    return rows.groupBy("metric").agg(
+        n.alias("n_count"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.round(F.when(n > 0, s1d / nn), 4).alias("avg_v"),
+        F.round(
+            F.when(n > 1, F.sqrt(F.greatest(variance, F.lit(0.0)))), 4
+        ).alias("stddev_v"),
+        F.round(variance, 4).alias("variance_v"),
+        F.round(skew, 4).alias("skewness_v"),
+        F.round(kurt, 4).alias("kurtosis_v"),
+        F.round(p(0.5), 4).alias("median_v"),
+        F.round(p(0.10), 4).alias("p10"),
+        F.round(p(0.25), 4).alias("p25"),
+        F.round(p(0.75), 4).alias("p75"),
+        F.round(p(0.90), 4).alias("p90"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,171 @@
+"""RDF / triple-graph profiler tests (reference rdfGraph/profiler.py:49-341).
+
+Fixture graph (hand-checkable, 8 triples):
+
+    <urn:a> rdf:type <urn:cls/T> .
+    <urn:a> <urn:p/knows> <urn:b> .
+    <urn:b> <urn:p/knows> <urn:a> .          # parallel reverse edge
+    <urn:a> <urn:p/name> "alice" .
+    <urn:b> <urn:p/name> "bob"@en .
+    <urn:c> <urn:p/self> <urn:c> .           # self-loop, own component
+    _:x <urn:p/near> <urn:a> .               # blank-node subject
+    <urn:d> <urn:p/age> "7"^^xsd:integer .   # typed literal, own component
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.graph import (
+    RDF_TYPE,
+    class_distribution,
+    component_sizes,
+    degree_stats,
+    graph_profile,
+    graph_scalars,
+    node_degree_frame,
+    read_ntriples,
+)
+
+_NT = """\
+# a comment line
+<urn:a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:cls/T> .
+<urn:a> <urn:p/knows> <urn:b> .
+<urn:b> <urn:p/knows> <urn:a> .
+<urn:a> <urn:p/name> "alice" .
+
+<urn:b> <urn:p/name> "bob"@en .
+<urn:c> <urn:p/self> <urn:c> .
+_:x <urn:p/near> <urn:a> .
+<urn:d> <urn:p/age> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+this line is not a triple
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nt")
+    p = d / "g.nt"
+    p.write_text(_NT)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def triples(spark, nt_path):
+    df = read_ntriples(spark, nt_path)
+    df = df.where(F.col("object_kind") != "malformed").cache()
+    df.count()
+    return df
+
+
+def test_read_ntriples_parses_and_flags(spark, nt_path):
+    df = read_ntriples(spark, nt_path)
+    rows = {r["object_kind"]: 0 for r in df.collect()}
+    for r in df.collect():
+        rows[r["object_kind"]] += 1
+    # 8 well-formed triples, 1 malformed line; comments/blanks dropped
+    assert rows == {"uri": 5, "literal": 3, "malformed": 1}
+    by_subj = {
+        (r["subject"], r["predicate"]): (r["object"], r["object_kind"])
+        for r in df.where(F.col("object_kind") != "malformed").collect()
+    }
+    # URI brackets stripped on all three positions
+    assert by_subj[("urn:a", RDF_TYPE)] == ("urn:cls/T", "uri")
+    # blank-node subject kept verbatim
+    assert by_subj[("_:x", "urn:p/near")] == ("urn:a", "uri")
+    # lang tag and datatype stay part of the literal's identity
+    assert by_subj[("urn:b", "urn:p/name")] == ('"bob"@en', "literal")
+    assert by_subj[("urn:d", "urn:p/age")] == (
+        '"7"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        "literal",
+    )
+
+
+def test_node_degrees_multigraph(triples):
+    deg = {r["node"]: r for r in node_degree_frame(triples).collect()}
+    # nodes: a b c d _:x cls/T "alice" "bob"@en "7"^^int  -> 9
+    assert len(deg) == 9
+    # a: out = type+knows+name = 3; in = knows(from b) + near(from _:x) = 2
+    assert (deg["urn:a"]["out_deg"], deg["urn:a"]["in_deg"]) == (3, 2)
+    # self-loop contributes 1 in + 1 out
+    assert (deg["urn:c"]["out_deg"], deg["urn:c"]["in_deg"]) == (1, 1)
+    # literal object is a node with in-degree 1
+    assert (deg['"alice"']["out_deg"], deg['"alice"']["in_deg"]) == (0, 1)
+    # centrality = degree / (n-1)
+    assert deg["urn:a"]["centrality"] == pytest.approx(5 / 8)
+
+
+def test_graph_scalars(triples):
+    row = graph_scalars(triples).collect()[0].asDict()
+    assert row["num_nodes"] == 9
+    assert row["num_edges"] == 8
+    # classes: urn:cls/T only
+    assert row["num_classes"] == 1
+    # literals: alice / bob@en / 7^^int
+    assert row["num_datatype_properties"] == 3
+    # URI nodes: a b c d cls/T (blank + literals excluded)
+    assert row["num_object_properties"] == 5
+    # namespaces in use: urn:a..urn:d have NO trailing #|/ separator ->
+    # subjects contribute '' is wrong — 'urn:a' has no '#' or '/' so the
+    # extracted namespace is ''. Used namespaces: '' (urn:* bare tokens),
+    # 'urn:p/', 'urn:cls/', rdf-syntax-ns#, XMLSchema# is literal-internal
+    # (not a node) -> not counted.
+    assert row["num_namespaces"] == 4
+    assert row["density"] == pytest.approx(8 / (9 * 8), abs=1e-8)
+
+
+def test_class_distribution(triples):
+    rows = class_distribution(triples).collect()
+    assert [(r["class_name"], r["count"]) for r in rows] == [("urn:cls/T", 1)]
+
+
+def test_component_sizes(triples):
+    rows = component_sizes(triples).collect()
+    # component 1: a,b,_:x,cls/T,"alice","bob"@en  (6)
+    # component 2: d,"7"^^int (2); component 3: c alone (1)
+    assert [r["num_nodes"] for r in rows] == [6, 2, 1]
+    # label = lexicographically smallest member
+    assert rows[2]["component"] == "urn:c"
+
+
+def test_degree_stats_describe(triples):
+    rows = {r["metric"]: r for r in degree_stats(triples).collect()}
+    assert set(rows) == {"degree", "in_degree", "out_degree", "degree_centrality"}
+    d = rows["degree"]
+    # degrees: a=5 b=3 c=2 d=1 _:x=1 cls/T=1 alice=1 bob=1 seven=1
+    assert d["n_count"] == 9
+    assert d["min_v"] == 1.0 and d["max_v"] == 5.0
+    assert d["avg_v"] == pytest.approx(16 / 9, abs=1e-4)
+    assert d["median_v"] == 1.0
+    # centrality mirrors degree / 8
+    c = rows["degree_centrality"]
+    assert c["max_v"] == pytest.approx(round(5 / 8, 4))
+
+
+def test_graph_profile_document(spark, nt_path):
+    raw = read_ntriples(spark, nt_path)
+    doc = graph_profile(raw)
+    assert doc["profiler_type"] == "RDFGraph"
+    assert doc["num_malformed"] == 1
+    assert doc["num_nodes"] == 9 and doc["num_edges"] == 8
+    assert doc["num_connected_components"] == 3
+    assert [c["num_nodes"] for c in doc["connected_components"]] == [6, 2, 1]
+    assert doc["class_distribution"] == [{"class_name": "urn:cls/T", "count": 1}]
+    blk = doc["degree_distribution"]
+    assert blk["count"] == 9 and blk["max"] == 5.0
+    assert not math.isnan(blk["stddev"])
+    # all four describe blocks carry the reference's 13 keys
+    for k in (
+        "degree_distribution",
+        "in_degree_distribution",
+        "out_degree_distribution",
+        "degree_centrality_distribution",
+    ):
+        assert set(doc[k]) == {
+            "count", "min", "max", "average", "stddev", "variance",
+            "skewness", "kurtosis", "median", "percentile10",
+            "percentile25", "percentile75", "percentile90",
+        }
