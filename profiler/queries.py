@@ -4864,3 +4864,179 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("subject").startswith("urn:c/")
     )
     return component_sizes(t)
+
+
+# ===========================================================================
+# Q. Raster profiler (reference raster/profiler.py:131-164, 347-396, 734-786)
+# ===========================================================================
+def _q93_oracle() -> str:
+    """Per-(img, band) describe replay over a deterministic pixel frame
+    synthesized from lineitem; v = l_quantity + l_linenumber*0.25 is
+    binary-exact, so only the shared describe math is under test."""
+    return f"""
+    WITH pixels AS (
+      SELECT 'img' || CAST(l_orderkey % 3 AS VARCHAR) AS img,
+             'B' || CAST(l_partkey % 2 AS VARCHAR) AS band,
+             CAST(l_quantity AS DOUBLE) + l_linenumber * 0.25 AS v
+      FROM lineitem
+    ),
+    vals AS (SELECT img, band, v FROM pixels)
+    {_describe_select_sql().replace("SELECT metric,", "SELECT img, band,")
+                           .replace("GROUP BY metric ORDER BY metric",
+                                    "GROUP BY img, band ORDER BY img, band")}
+    """
+
+
+@_register("q93_raster_band_describe", _q93_oracle())
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference raster profiler's per-band statistics block
+    (``raster/profiler.py:131-164``: flatten a band, ``pd.Series
+    .describe(percentiles=[.10,.25,.75,.90])`` + skew/kurt/var) over a
+    tall (img, band, v) pixel frame — ONE partial+final hash aggregate
+    for every band of every image (:func:`profiler.raster.band_describe`),
+    instead of the reference's per-band single-process loop."""
+    from profiler.raster import band_describe
+
+    li = _t(spark, sf_dir, "lineitem")
+    pixels = li.select(
+        F.concat(F.lit("img"), (F.col("l_orderkey") % 3).cast("string")).alias("img"),
+        F.concat(F.lit("B"), (F.col("l_partkey") % 2).cast("string")).alias("band"),
+        (F.col("l_quantity").cast("double") + F.col("l_linenumber") * F.lit(0.25)).alias("v"),
+    )
+    return band_describe(pixels).orderBy("img", "band")
+
+
+def _q94_oracle() -> str:
+    """Pooled cross-image band stats replay: exact union statistics from
+    the same DECIMAL sufficient sums (the reference's per-summary pooling
+    at raster/profiler.py:347-396 intends exactly this; see the
+    documented n*std divergence in profiler/raster.py)."""
+    s1 = "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
+    s2 = "CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE)"
+    nd = "CAST(count(v) AS DOUBLE)"
+    return f"""
+    WITH pixels AS (
+      SELECT 'img' || CAST(l_suppkey % 4 AS VARCHAR) AS img,
+             'B' || CAST(l_partkey % 3 AS VARCHAR) AS band,
+             CAST(l_quantity AS DOUBLE) + l_linenumber * 0.25 AS v
+      FROM lineitem
+    ),
+    names AS (
+      SELECT band, string_agg(DISTINCT img, ',' ORDER BY img) AS img_names,
+             count(DISTINCT img) AS n_of_imgs
+      FROM pixels GROUP BY band
+    ),
+    agg AS (
+      SELECT band,
+             count(v) AS n_count,
+             ROUND(min(v), 4) AS min_v,
+             ROUND(max(v), 4) AS max_v,
+             ROUND({s1} / {nd}, 4) AS avg_v,
+             ROUND(({s2} - {s1} * {s1} / {nd}) / {nd}, 4) AS variance_v
+      FROM pixels GROUP BY band
+    )
+    SELECT a.band, n.n_of_imgs, n.img_names,
+           a.n_count, a.min_v, a.max_v, a.avg_v, a.variance_v
+    FROM agg a JOIN names n USING (band)
+    WHERE n.n_of_imgs >= 2
+    ORDER BY a.band
+    """
+
+
+@_register("q94_raster_combined_bands", _q94_oracle())
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's combined_band_stats (``raster/profiler.py:
+    347-396``: pool per-image band summaries for every band name shared
+    by >1 image) — computed EXACTLY over the union of pixels in one
+    band-keyed aggregate (:func:`profiler.raster.combined_band_stats`)
+    rather than re-derived from rounded per-image summaries."""
+    from profiler.raster import combined_band_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    pixels = li.select(
+        F.concat(F.lit("img"), (F.col("l_suppkey") % 4).cast("string")).alias("img"),
+        F.concat(F.lit("B"), (F.col("l_partkey") % 3).cast("string")).alias("band"),
+        (F.col("l_quantity").cast("double") + F.col("l_linenumber") * F.lit(0.25)).alias("v"),
+    )
+    return (
+        combined_band_stats(pixels)
+        .withColumn("img_names", F.array_join("img_names", ","))
+        .orderBy("band")
+    )
+
+
+#: the Vista value-class ladder replayed in SQL (profiler/raster.py
+#: NODATA_CLASSES); o_orderkey % 13 deterministically hits every class.
+_Q95_CODE_SQL = """
+      CASE o_orderkey % 13
+        WHEN 0 THEN -999.0 WHEN 1 THEN -961.0 WHEN 2 THEN -950.0
+        WHEN 3 THEN -940.0 WHEN 4 THEN -930.0 WHEN 5 THEN -923.0
+        WHEN 6 THEN -920.0 WHEN 7 THEN -913.0 WHEN 8 THEN -911.0
+        WHEN 9 THEN -910.0 WHEN 10 THEN 0.0
+        ELSE CAST(o_orderkey % 97 + 1 AS DOUBLE) / 1000.0
+      END
+"""
+
+
+def _q95_oracle() -> str:
+    classes = [
+        ("missing", -999), ("forest", -961), ("urban", -950),
+        ("water", -940), ("snow", -930), ("cloud_shadow_buffer", -923),
+        ("cloud_shadow", -920), ("cloud_buffer", -913),
+        ("cirrus_clouds", -911), ("clouds", -910),
+    ]
+    rows = [
+        "SELECT img, 'LAI' AS value, ROUND(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)"
+        " / 10000.0 * 100.0, 4) AS percentage FROM pixels GROUP BY img",
+        "SELECT img, 'zeros', ROUND(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)"
+        " / 10000.0 * 100.0, 4) FROM pixels GROUP BY img",
+    ]
+    for cls, code in classes:
+        rows.append(
+            f"SELECT img, '{cls}', ROUND(sum(CASE WHEN v = {code} THEN 1 ELSE 0 END)"
+            f" / 10000.0 * 100.0, 4) FROM pixels GROUP BY img"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH pixels AS (
+      SELECT 'v' || CAST(o_custkey % 2 AS VARCHAR) AS img,
+             {_Q95_CODE_SQL} AS v
+      FROM orders
+    )
+    {union}
+    ORDER BY img, value
+    """
+
+
+@_register("q95_vista_nodata_distribution", _q95_oracle())
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Vista profiler's per-image no-data breakdown
+    (``raster/profiler.py:734-786``: percentage of pixels that are LAI /
+    zeros / each named NODATA land-cover code) — ONE conditional
+    aggregate keyed on img then a width-12 unpivot
+    (:func:`profiler.raster.vista_no_data_distribution`), not 12 array
+    scans per image. The pixel frame maps ``o_orderkey % 13`` onto the
+    class ladder so every code (and the positive-LAI branch) is hit."""
+    from profiler.raster import vista_no_data_distribution
+
+    o = _t(spark, sf_dir, "orders")
+    code = (
+        F.when(F.col("o_orderkey") % 13 == 0, -999.0)
+        .when(F.col("o_orderkey") % 13 == 1, -961.0)
+        .when(F.col("o_orderkey") % 13 == 2, -950.0)
+        .when(F.col("o_orderkey") % 13 == 3, -940.0)
+        .when(F.col("o_orderkey") % 13 == 4, -930.0)
+        .when(F.col("o_orderkey") % 13 == 5, -923.0)
+        .when(F.col("o_orderkey") % 13 == 6, -920.0)
+        .when(F.col("o_orderkey") % 13 == 7, -913.0)
+        .when(F.col("o_orderkey") % 13 == 8, -911.0)
+        .when(F.col("o_orderkey") % 13 == 9, -910.0)
+        .when(F.col("o_orderkey") % 13 == 10, 0.0)
+        .otherwise((F.col("o_orderkey") % 97 + 1).cast("double") / 1000.0)
+    )
+    pixels = o.select(
+        F.concat(F.lit("v"), (F.col("o_custkey") % 2).cast("string")).alias("img"),
+        code.alias("v"),
+    )
+    out = vista_no_data_distribution(pixels, {"rows": 100, "columns": 100})
+    return out.orderBy("img", "value")

@@ -388,14 +388,17 @@ def corrected_kurtosis(g2: float | None, n: int) -> float | None:
     return ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
 
 
-def describe_by_metric(rows: "DataFrame") -> "DataFrame":
-    """One pandas-``describe``-shaped row per ``metric`` over a tall
-    ``(metric, v double)`` frame: count / min / max / average / stddev /
+def describe_by_metric(
+    rows: "DataFrame", keys: tuple[str, ...] = ("metric",)
+) -> "DataFrame":
+    """One pandas-``describe``-shaped row per ``keys`` group over a tall
+    ``(*keys, v double)`` frame: count / min / max / average / stddev /
     variance / bias-corrected skewness+kurtosis / median / p10 / p25 /
     p75 / p90, all rounded to 4 decimals. Shared by the geometry
-    area/length distributions and the graph degree distributions — both
-    mirror the reference's ``pd.Series.describe(percentiles=[.10,.25,.75,
-    .90])`` blocks (e.g. ``rdfGraph/profiler.py:140-247``).
+    area/length distributions, the graph degree distributions, and the
+    raster per-band blocks — all mirror the reference's
+    ``pd.Series.describe(percentiles=[.10,.25,.75,.90])`` blocks (e.g.
+    ``rdfGraph/profiler.py:140-247``, ``raster/profiler.py:143-162``).
 
     One shuffle (the groupBy); variance/stddev come from DECIMAL
     sufficient statistics so partial-aggregation order can't change them
@@ -417,7 +420,7 @@ def describe_by_metric(rows: "DataFrame") -> "DataFrame":
         / ((n - F.lit(2)) * (n - F.lit(3))),
     )
     p = lambda q: F.percentile(F.col("v"), F.lit(q))  # noqa: E731
-    return rows.groupBy("metric").agg(
+    return rows.groupBy(*keys).agg(
         n.alias("n_count"),
         F.round(F.min("v"), 4).alias("min_v"),
         F.round(F.max("v"), 4).alias("max_v"),

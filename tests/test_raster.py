@@ -1,0 +1,215 @@
+"""Raster / Vista profiler tests (reference raster/profiler.py).
+
+The Vista fixture is a real .rhd/.ras pair written by the test: 2 images
+of 8x4 little-endian int16 pixels with known values, exercising the LAI
+/1000 transform, every NODATA code, zeros, chunked decode, and the
+document assembly. The grid fixture drives pixels_from_grids with raw
+int16 buffers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.raster import (
+    NODATA_CLASSES,
+    band_describe,
+    combined_band_stats,
+    pixels_from_grids,
+    raster_profile,
+    read_rasters,
+    read_vista_rhd,
+    vista_lai_describe,
+    vista_no_data_distribution,
+    vista_pixels,
+    vista_profile,
+)
+
+ROWS, COLS = 4, 8  # 32 pixels per image
+
+
+def _vista_fixture(tmp_path):
+    """2-image .ras: image 0 = 1000..31000 step-1000 positives plus one
+    of each NODATA code would overflow 32 px, so: img0 = 20 positives
+    (1000*i) + 10 NODATA codes + 2 zeros; img1 = all positives 500*i+500."""
+    img0 = np.array(
+        [1000 * i for i in range(1, 21)]
+        + [code for code, _ in NODATA_CLASSES]
+        + [0, 0],
+        dtype="<i2",
+    )
+    img1 = np.array([500 * (i % 60) + 500 for i in range(32)], dtype="<i2")
+    assert img0.size == ROWS * COLS and img1.size == ROWS * COLS
+    ras = tmp_path / "lai.ras"
+    ras.write_bytes(img0.tobytes() + img1.tobytes())
+    rhd = tmp_path / "lai.rhd"
+    rhd.write_text(
+        "7\n"
+        "2\n"
+        f"{COLS} {ROWS}\n"
+        "20.0 699960.0 4500000.0 699960.0 4500000.0 32\n"
+        "0\n"
+        "2 15 06 2020\n"
+        "2 30 06 2020\n"
+    )
+    return str(rhd), str(ras), img0, img1
+
+
+def test_read_vista_rhd(tmp_path):
+    rhd_path, _, _, _ = _vista_fixture(tmp_path)
+    meta = read_vista_rhd(rhd_path)
+    assert meta["vista_data_type"] == 7
+    assert (meta["rows"], meta["columns"]) == (ROWS, COLS)
+    assert meta["resolution"] == 20.0
+    assert [i["name"] for i in meta["images"]] == ["lai_0", "lai_1"]
+    assert [i["date"] for i in meta["images"]] == ["2020-06-15", "2020-06-30"]
+    assert [i["start_value"] for i in meta["images"]] == [0, 32]
+
+
+def test_vista_pixels_decode_and_lai_transform(spark, tmp_path):
+    rhd_path, ras_path, img0, _ = _vista_fixture(tmp_path)
+    meta = read_vista_rhd(rhd_path)
+    # chunk_values=10 forces multi-chunk decode per image (4 chunks each)
+    px = vista_pixels(spark, ras_path, meta, chunk_values=10)
+    got = px.groupBy("img").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v") > 0, 1).otherwise(0)).alias("pos"),
+        F.round(F.max("v"), 4).alias("mx"),
+        F.round(F.min("v"), 4).alias("mn"),
+    )
+    rows = {r["img"]: r for r in got.collect()}
+    assert rows["lai_0"]["n"] == 32 and rows["lai_1"]["n"] == 32
+    # positives divided by 1000, NODATA codes untouched
+    assert rows["lai_0"]["mx"] == pytest.approx(20.0)
+    assert rows["lai_0"]["mn"] == -999.0
+    assert rows["lai_0"]["pos"] == 20
+    # exact multiset equality for img0
+    vals = sorted(
+        r["v"] for r in px.where(F.col("img") == "lai_0").collect()
+    )
+    expected = sorted(
+        (float(x) / 1000 if x > 0 else float(x)) for x in img0
+    )
+    assert vals == pytest.approx(expected)
+
+
+def test_vista_no_data_distribution(spark, tmp_path):
+    rhd_path, ras_path, _, _ = _vista_fixture(tmp_path)
+    meta = read_vista_rhd(rhd_path)
+    px = vista_pixels(spark, ras_path, meta)
+    dist = {
+        (r["img"], r["value"]): r["percentage"]
+        for r in vista_no_data_distribution(px, meta).collect()
+    }
+    # denominators are rows*cols = 32
+    assert dist[("lai_0", "LAI")] == pytest.approx(20 / 32 * 100, abs=1e-4)
+    assert dist[("lai_0", "zeros")] == pytest.approx(2 / 32 * 100, abs=1e-4)
+    for _, cls in NODATA_CLASSES:
+        assert dist[("lai_0", cls)] == pytest.approx(1 / 32 * 100, abs=1e-4)
+    assert dist[("lai_1", "LAI")] == pytest.approx(100.0, abs=1e-4)
+    assert dist[("lai_1", "missing")] == 0.0
+
+
+def test_vista_profile_document(spark, tmp_path):
+    rhd_path, ras_path, img0, img1 = _vista_fixture(tmp_path)
+    doc = vista_profile(spark, rhd_path, ras_path)
+    assert doc["profiler_type"] == "Vista_Raster"
+    assert doc["n_of_imgs"] == 2
+    assert doc["avg_width"] == COLS and doc["avg_height"] == ROWS
+    assert doc["byte_size"] == 2 * ROWS * COLS * 2
+    v0 = doc["variables"][0]
+    assert v0["name"] == "lai_0" and v0["date"] == "2020-06-15"
+    band = v0["bands"][0]
+    assert band["name"] == "LAI"
+    # describe over img0 positives /1000, cross-checked with pandas
+    s = pd.Series([x / 1000 for x in img0 if x > 0], dtype="float64")
+    assert band["count"] == 20
+    assert band["average"] == pytest.approx(round(s.mean(), 4))
+    assert band["stddev"] == pytest.approx(round(s.std(), 4))
+    assert band["skewness"] == pytest.approx(round(s.skew(), 4), abs=2e-4)
+    assert band["median"] == pytest.approx(round(s.median(), 4))
+    assert len(band["no_data_distribution"]) == 12
+    comb = doc["combined_bands"][0]
+    assert comb["name"] == "LAI" and comb["n_of_imgs"] == 2
+    both = pd.Series(
+        [x / 1000 for x in list(img0) + list(img1) if x > 0], dtype="float64"
+    )
+    assert comb["count"] == len(both)
+    assert comb["average"] == pytest.approx(round(both.mean(), 4))
+    # exact pooled variance (population), not the reference's n*std bug
+    assert comb["variance"] == pytest.approx(round(both.var(ddof=0), 4))
+    lai = comb["lai_distribution"]
+    assert lai["count"] == 2
+    assert lai["average"] == pytest.approx((20 / 32 * 100 + 100.0) / 2, abs=1e-3)
+
+
+def test_pixels_from_grids_and_band_describe(spark):
+    rng = np.random.default_rng(7)
+    a = rng.integers(-50, 500, 300).astype("<i2")
+    b = rng.integers(0, 100, 200).astype("<i2")
+    grids = spark.createDataFrame(
+        [("i1", "red", bytearray(a.tobytes())), ("i2", "red", bytearray(b.tobytes()))],
+        "img string, band string, content binary",
+    )
+    px = pixels_from_grids(grids)
+    assert px.count() == 500
+    desc = {r["img"]: r for r in band_describe(px).collect()}
+    sa = pd.Series(a.astype("float64"))
+    assert desc["i1"]["n_count"] == 300
+    assert desc["i1"]["avg_v"] == pytest.approx(round(sa.mean(), 4))
+    assert desc["i1"]["p90"] == pytest.approx(round(sa.quantile(0.9), 4))
+    pooled = combined_band_stats(px).collect()
+    assert len(pooled) == 1 and pooled[0]["n_of_imgs"] == 2
+    union = pd.Series(np.concatenate([a, b]).astype("float64"))
+    assert pooled[0]["variance_v"] == pytest.approx(
+        round(union.var(ddof=0), 4)
+    )
+
+
+def test_raster_profile_document(spark):
+    vals1 = np.arange(1, 101, dtype="<i2")
+    vals2 = (np.arange(1, 101, dtype="<i2") * 2).astype("<i2")
+    grids = spark.createDataFrame(
+        [
+            ("x", "nir", bytearray(vals1.tobytes())),
+            ("y", "nir", bytearray(vals2.tobytes())),
+            ("x", "alpha", bytearray(vals1.tobytes())),
+        ],
+        "img string, band string, content binary",
+    )
+    images = spark.createDataFrame(
+        [
+            ("x", 10, 10, "EPSG:4326", 10.0, 10.0, None, "GTiff", 0.0, 0.0, 1.0, 1.0),
+            ("y", 10, 10, "EPSG:4326", 10.0, 10.0, None, "GTiff", 0.0, 0.0, 1.0, 1.0),
+        ],
+        "img string, width int, height int, crs string, pixel_size_x double,"
+        " pixel_size_y double, no_data_value double, format string,"
+        " xmin double, ymin double, xmax double, ymax double",
+    )
+    doc = raster_profile(pixels_from_grids(grids), images)
+    assert doc["profiler_type"] == "Raster"
+    assert doc["n_of_imgs"] == 2
+    assert doc["avg_width"] == 10.0
+    # only 'nir' is shared by >1 image
+    assert [c["name"] for c in doc["combined_band_stats"]] == ["nir"]
+    assert doc["combined_band_stats"][0]["img_names"] == ["x", "y"]
+    x = next(v for v in doc["variables"] if v["name"] == "x")
+    assert sorted(b["name"] for b in x["bands"]) == ["alpha", "nir"]
+    assert x["spatial_coverage"].startswith("POLYGON ((")
+
+
+def test_read_rasters_is_gated(spark):
+    with pytest.raises(NotImplementedError, match="rasterio"):
+        read_rasters(spark, ["/nope.tif"])
+
+
+def test_vista_lai_describe_positive_only(spark, tmp_path):
+    rhd_path, ras_path, img0, _ = _vista_fixture(tmp_path)
+    meta = read_vista_rhd(rhd_path)
+    px = vista_pixels(spark, ras_path, meta)
+    d = {r["metric"]: r for r in vista_lai_describe(px).collect()}
+    assert d["lai_0"]["n_count"] == 20  # NODATA + zeros excluded
+    assert d["lai_0"]["min_v"] == 1.0  # 1000/1000
