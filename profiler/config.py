@@ -24,7 +24,11 @@ The config contract mirrors the reference's ``config_template.json``:
 Formats are dispatched on extension (.csv / .parquet / .json); the engine
 additions (``order_by``, parquet input) are extensions the reference's pandas
 path doesn't have. The RML/RDF mapping post-step (reference
-``profiler.py:41-102``) is out of scope per SURVEY §0.
+``profiler.py:41-102``) is :func:`prepare_mapping`: when the config asks for
+an RDF serialization of the profile, the profile-type-specific RML template
+(independently authored for THIS engine's JSON document shape, under
+``profiler/mappings/``) is copied next to the JSON profile as ``mapping.ttl``
+with its ``rml:source`` pointed at the actual profile path.
 """
 
 from __future__ import annotations
@@ -70,6 +74,43 @@ def _read_input(spark: SparkSession, path: str, input_cfg: dict):
         sep=input_cfg.get("sep", ","),
         encoding=input_cfg.get("encoding", "UTF-8"),
     )
+
+
+def prepare_mapping(config: dict) -> str | None:
+    """Reference ``prepare_mapping`` parity (``profiler.py:41-102``): if the
+    config carries ``output.rdf`` + ``output.serialization``, copy the
+    profile-type-appropriate RML mapping template into the JSON profile's
+    directory as ``mapping.ttl`` and patch its ``./out/profile.json``
+    placeholder to the real profile path. Type aliases follow the reference:
+    vector/timeseries → tabular, raster/vista → raster. Returns the written
+    mapping path, or None when no RDF output was requested. The templates
+    are this engine's own (they map THIS engine's document shape); only the
+    copy-patch-point contract is the reference's."""
+    out_cfg = config.get("output", {})
+    if not (out_cfg.get("rdf") and out_cfg.get("serialization")):
+        return None
+    in_file = os.path.abspath(out_cfg["json"])
+    profile_type = config.get("profile", {}).get("type", "tabular").lower()
+    if profile_type in ("vector", "timeseries"):
+        profile_type = "tabular"
+    if profile_type in ("raster", "vista"):
+        profile_type = "raster"
+    template = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "mappings",
+        f"{profile_type}_mapping.ttl",
+    )
+    if not os.path.isfile(template):
+        raise FileNotFoundError(
+            f"no RML mapping template for profile type {profile_type!r} "
+            f"(expected {template})"
+        )
+    map_file = os.path.join(os.path.dirname(in_file), "mapping.ttl")
+    with open(template) as f:
+        body = f.read()
+    with open(map_file, "w") as f:
+        f.write(body.replace("./out/profile.json", in_file))
+    return map_file
 
 
 def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict:
@@ -133,6 +174,7 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
     out_path = output_cfg.get("json")
     if out_path:
         write_to_json(doc, os.path.abspath(out_path))
+        prepare_mapping(config)
     return doc
 
 

@@ -79,3 +79,49 @@ def test_profile_with_config_timeseries(spark, tmp_path):
     assert doc["table"]["ts_max_gap"] == 3
     v = next(x for x in doc["variables"] if x["name"] == "s1")
     assert v["gaps_distribution"]["count"] == 1
+
+
+def test_prepare_mapping_writes_patched_template(tmp_path):
+    from profiler.config import prepare_mapping
+
+    out = tmp_path / "out" / "profile.json"
+    out.parent.mkdir()
+    out.write_text("{}")
+    cfg = {
+        "output": {"json": str(out), "rdf": str(tmp_path / "p.ttl"),
+                   "serialization": "turtle"},
+        "profile": {"type": "timeseries"},  # alias -> tabular template
+    }
+    map_file = prepare_mapping(cfg)
+    assert map_file == str(out.parent / "mapping.ttl")
+    body = open(map_file).read()
+    # placeholder patched to the absolute profile path, template intact
+    assert str(out) in body
+    assert "./out/profile.json" not in body
+    assert "rr:TriplesMap" in body and "ql:JSONPath" in body
+
+
+def test_prepare_mapping_noop_without_rdf_output(tmp_path):
+    from profiler.config import prepare_mapping
+
+    assert prepare_mapping({"output": {"json": str(tmp_path / "p.json")}}) is None
+    assert not (tmp_path / "mapping.ttl").exists()
+
+
+def test_prepare_mapping_type_aliases(tmp_path):
+    from profiler.config import prepare_mapping
+
+    out = tmp_path / "profile.json"
+    out.write_text("{}")
+    for ptype, marker in [
+        ("vista", "rasterset"),
+        ("raster", "rasterset"),
+        ("rdfgraph", "void:Dataset"),
+        ("hierarchical", "urn:profile:document"),
+        ("vector", "urn:profile:dataset"),
+    ]:
+        cfg = {
+            "output": {"json": str(out), "rdf": "x.ttl", "serialization": "n3"},
+            "profile": {"type": ptype},
+        }
+        assert marker in open(prepare_mapping(cfg)).read()
