@@ -5040,3 +5040,156 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = vista_no_data_distribution(pixels, {"rows": 100, "columns": 100})
     return out.orderBy("img", "value")
+
+
+# ===========================================================================
+# Q. Text-file profiler, model-free core (reference text/profiler.py:28-534)
+# ===========================================================================
+#: the synthetic "file" frame: each documents row becomes one text file
+#: whose body mixes cases, digits and punctuation deterministically —
+#: identical expression in Spark and DuckDB.
+_TEXTFILE_SQL = """
+    files AS (
+      SELECT 'f' || CAST(doc_id AS VARCHAR) AS name,
+             upper(substr(text, 1, 12)) || ' #' || CAST(doc_id AS VARCHAR)
+               || '! ' || text AS text
+      FROM documents
+      WHERE doc_id % 20 = 3
+    )
+"""
+#: WORD_TOKEN_RE (profiler/textfile.py) with the apostrophes doubled so it
+#: survives inside a single-quoted SQL string literal
+_WORD_RE_SQL = "[a-z0-9]+(?:''[a-z]+)?|[^a-z0-9\\s'']+"
+
+
+def _textfile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 3)
+    return d.select(
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("name"),
+        F.concat(
+            F.upper(F.substring("text", 1, 12)),
+            F.lit(" #"),
+            F.col("doc_id").cast("string"),
+            F.lit("! "),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def _q96_oracle() -> str:
+    """Count/ratio replay: regexp token extraction, terminal-punctuation
+    sentence split, char-class regexp counts — all RE2-safe."""
+    return f"""
+    WITH {_TEXTFILE_SQL},
+    toks AS (
+      SELECT name,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}') AS words,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                        s -> trim(s)), s -> s <> '') AS sents,
+             length(text) AS n_chars,
+             text
+      FROM files
+    )
+    SELECT name,
+           len(words) AS num_words,
+           len(sents) AS num_sentences,
+           len(list_distinct(words)) AS num_distinct_words,
+           n_chars AS num_characters,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS ratio_uppercase,
+           ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS ratio_digits,
+           ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS ratio_special_characters
+    FROM toks
+    ORDER BY name
+    """
+
+
+@_register("q96_textfile_stats", _q96_oracle())
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-file profiler's per-file scalar block (reference
+    ``text/profiler.py:229-280``: word/sentence/distinct-word/char counts
+    + uppercase/digit/special char-class ratios) — a pure projection with
+    ``regexp_count`` / ``regexp_extract_all`` (whole-stage codegen, no
+    explode, no Python walk; :func:`profiler.textfile.text_file_stats`)."""
+    from profiler.textfile import text_file_stats
+
+    return text_file_stats(_textfile_df(spark, sf_dir)).orderBy("name")
+
+
+def _q97_oracle() -> str:
+    """Special-character frequency replay: per-file counts of every
+    non-alphanumeric character (spaces included, like the reference's
+    ``not c.isalnum()``)."""
+    return f"""
+    WITH {_TEXTFILE_SQL},
+    chars AS (
+      SELECT name, unnest(string_split(text, '')) AS type
+      FROM files
+    )
+    SELECT name, type, count(*) AS count
+    FROM chars
+    WHERE NOT regexp_matches(type, '[A-Za-z0-9]')
+    GROUP BY name, type
+    ORDER BY name, count DESC, type
+    """
+
+
+@_register("q97_textfile_special_chars", _q97_oracle())
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file special-character frequency map (reference
+    ``text/profiler.py:268-273,478-480``) — one explode + one
+    (name, char) groupBy with map-side combine
+    (:func:`profiler.textfile.special_char_distribution`)."""
+    from profiler.textfile import special_char_distribution
+
+    return special_char_distribution(_textfile_df(spark, sf_dir))
+
+
+def _q98_oracle() -> str:
+    """Word-length + sentence-length describe replay through the shared
+    describe SQL; metric = '<file>/word' | '<file>/sentence'."""
+    return f"""
+    WITH {_TEXTFILE_SQL},
+    wl AS (
+      SELECT name || '/word' AS metric,
+             CAST(length(unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}')))
+                  AS DOUBLE) AS v
+      FROM files
+    ),
+    sl AS (
+      SELECT name || '/sentence' AS metric, CAST(length(s) AS DOUBLE) AS v
+      FROM (
+        SELECT name, unnest(list_filter(
+                 list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                 x -> x <> '')) AS s
+        FROM files
+      )
+    ),
+    vals AS (SELECT * FROM wl UNION ALL SELECT * FROM sl)
+    {_describe_select_sql()}
+    """
+
+
+@_register("q98_textfile_length_describes", _q98_oracle())
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-file profiler's two pandas-describe blocks (reference
+    ``text/profiler.py:482-524``: word-length and sentence-length
+    distributions per file) — both ride ONE shared describe aggregate
+    over a tagged union of exploded lengths
+    (:func:`profiler.textfile.word_length_distribution` /
+    ``sentence_length_distribution``)."""
+    from profiler.textfile import (
+        sentence_length_distribution,
+        word_length_distribution,
+    )
+
+    d = _textfile_df(spark, sf_dir)
+    wl = word_length_distribution(d).withColumn(
+        "metric", F.concat("metric", F.lit("/word"))
+    )
+    sl = sentence_length_distribution(d).withColumn(
+        "metric", F.concat("metric", F.lit("/sentence"))
+    )
+    return wl.unionAll(sl).orderBy("metric")

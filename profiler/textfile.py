@@ -1,0 +1,303 @@
+"""Distributed text-FILE profiler — the model-free core of the reference's
+textual family (``text/profiler.py:28-534`` single file, ``:538-1111``
+corpus).
+
+The reference reads each file whole, whitespace-normalizes, ASCII-folds,
+then walks the string in Python: word/sentence/char counts,
+uppercase/digit/special ratios, per-character special-char frequencies,
+term frequencies, and two pandas-describe blocks (word lengths, sentence
+lengths). Here a "file" is a row of ``(name, text)`` — files are the unit
+of parallelism (``spark.read.text(wholetext=True)`` gives one row per
+file), and every statistic is an expression or an explode + aggregate:
+
+* counts and ratios are ONE wide aggregate-free projection
+  (``regexp_count`` / ``length`` — JVM-side, no explode, no Python);
+* special-char / term frequencies are one explode + groupBy each, keyed
+  on (name, token) — bounded by text size, map-side combined;
+* the two length distributions reuse :func:`profiler.stats
+  .describe_by_metric` (DECIMAL sufficient statistics, bias-corrected
+  G1/G2), same as every other describe block in the engine.
+
+Tokenization divergence, documented: the reference uses
+``nltk.word_tokenize`` (Treebank rules: contractions split, abbreviation
+dots kept) and ``nltk.sent_tokenize`` (punkt model). Those are learned /
+rule-table tokenizers; this engine uses the deterministic regex pair
+``[a-z0-9]+(?:'[a-z]+)?`` + punctuation runs for words and
+terminal-punctuation splitting for sentences (shared with
+:func:`profiler.text.sentence_count_expr`) — replayable in any engine,
+no model download. The spaCy language-ID / NER / VADER / LDA stages are
+out of scope (model deps, SURVEY §0); language distribution comes from
+the engine's n-gram heuristic (:mod:`profiler.text`) when wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from profiler.stats import describe_by_metric
+
+#: word tokens over the lowercased, ASCII-folded text: letter/digit runs
+#: (with an embedded apostrophe kept, "don't" stays one token) or a run of
+#: anything that is neither alphanumeric nor whitespace (punctuation).
+WORD_TOKEN_RE = r"[a-z0-9]+(?:'[a-z]+)?|[^a-z0-9\s']+"
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """The reference's preprocessing (``text/profiler.py:223-226``):
+    collapse all whitespace runs to single spaces (`' '.join(s.split())`)
+    then ASCII-fold by dropping non-ASCII code points
+    (``encode('ascii','ignore')``) — same order, so 'a é b' becomes
+    'a  b' in both."""
+    return F.regexp_replace(
+        F.trim(F.regexp_replace(text, r"\s+", " ")), r"[^\x00-\x7F]", ""
+    )
+
+
+def read_text_files(spark: SparkSession, path: str) -> DataFrame:
+    """S9 whole-file scan (reference ``text/profiler.py:190-227``): one
+    row per file as ``(name, text)``, already normalized. Files are the
+    parallelism unit — a million files fan out across executors; a single
+    file is one task (the reference's constraint too, it holds each file
+    in memory)."""
+    raw = spark.read.text(path, wholetext=True)
+    name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return raw.select(
+        name.alias("name"), normalize_text_expr(F.col("value")).alias("text")
+    )
+
+
+def text_file_stats(df: DataFrame, name_col: str = "name", text_col: str = "text") -> DataFrame:
+    """Per-file scalar block (reference ``text/profiler.py:229-280``):
+    ``num_words / num_sentences / num_distinct_words / num_characters /
+    ratio_uppercase / ratio_digits / ratio_special_characters``. Pure
+    projection + one tiny distinct-count aggregate per file key — the
+    char-class ratios are ``regexp_count`` expressions (whole-stage
+    codegen), not a per-character Python walk. 'Special' follows the
+    reference: any non-alphanumeric character, spaces included."""
+    text = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(text), F.lit(WORD_TOKEN_RE), 0)
+    n_chars = F.length(text)
+    base = df.select(
+        F.col(name_col).alias("name"),
+        F.size(words).alias("num_words"),
+        F.size(
+            F.filter(F.split(text, r"[.!?]+"), lambda s: F.trim(s) != "")
+        ).alias("num_sentences"),
+        F.size(F.array_distinct(words)).alias("num_distinct_words"),
+        n_chars.alias("num_characters"),
+        F.round(F.regexp_count(text, F.lit(r"[A-Z]")) / n_chars, 6).alias(
+            "ratio_uppercase"
+        ),
+        F.round(F.regexp_count(text, F.lit(r"[0-9]")) / n_chars, 6).alias(
+            "ratio_digits"
+        ),
+        F.round(
+            F.regexp_count(text, F.lit(r"[^A-Za-z0-9]")) / n_chars, 6
+        ).alias("ratio_special_characters"),
+    )
+    return base
+
+
+def special_char_distribution(
+    df: DataFrame, name_col: str = "name", text_col: str = "text"
+) -> DataFrame:
+    """Per-file frequency of every non-alphanumeric character (reference
+    ``text/profiler.py:268-273,478-480``): one explode + one (name, char)
+    groupBy, map-side combined; ordered most-frequent-first with a total
+    tie-break."""
+    ch = F.explode(
+        F.filter(
+            F.split(F.col(text_col), ""),
+            lambda c: (c != "") & ~c.rlike("[A-Za-z0-9]"),
+        )
+    )
+    return (
+        df.select(F.col(name_col).alias("name"), ch.alias("type"))
+        .groupBy("name", "type")
+        .agg(F.count("*").alias("count"))
+        .orderBy("name", F.desc("count"), "type")
+    )
+
+
+def term_frequency(
+    df: DataFrame, name_col: str = "name", text_col: str = "text"
+) -> DataFrame:
+    """Per-file term frequencies over the word tokens (reference
+    ``text/profiler.py:468-474``, most frequent first) — one explode +
+    one (name, term) groupBy."""
+    term = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), 0
+        )
+    )
+    return (
+        df.select(F.col(name_col).alias("name"), term.alias("term"))
+        .groupBy("name", "term")
+        .agg(F.count("*").alias("count"))
+        .orderBy("name", F.desc("count"), "term")
+    )
+
+
+def _length_rows(
+    df: DataFrame, name_col: str, text_col: str, unit: str
+) -> DataFrame:
+    text = F.col(text_col)
+    if unit == "word":
+        toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_TOKEN_RE), 0)
+    else:
+        toks = F.filter(
+            F.transform(F.split(text, r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    return df.select(
+        F.col(name_col).alias("metric"),
+        F.explode(toks).alias("tok"),
+    ).select("metric", F.length("tok").cast("double").alias("v"))
+
+
+def word_length_distribution(
+    df: DataFrame, name_col: str = "name", text_col: str = "text"
+) -> DataFrame:
+    """Per-file describe over word lengths (reference
+    ``text/profiler.py:504-524``) via the shared describe aggregate."""
+    return describe_by_metric(_length_rows(df, name_col, text_col, "word"))
+
+
+def sentence_length_distribution(
+    df: DataFrame, name_col: str = "name", text_col: str = "text"
+) -> DataFrame:
+    """Per-file describe over sentence lengths (reference
+    ``text/profiler.py:482-502``). Sentences are the trimmed segments
+    between terminal-punctuation runs; length is their character count
+    (the reference measures the tokenized sentence string likewise)."""
+    return describe_by_metric(_length_rows(df, name_col, text_col, "sentence"))
+
+
+def text_corpus_profile(
+    df: DataFrame,
+    name_col: str = "name",
+    text_col: str = "text",
+    top_k_terms: int = 50,
+    include_summaries: bool = False,
+) -> dict:
+    """The reference's textual profile document (single file
+    ``text/profiler.py:28-534``; corpus ``:538-1111``) over a ``(name,
+    text)`` frame: per-file variables with counts, ratios, special-char
+    distribution, top-``top_k_terms`` term frequencies, and the two
+    length-describe blocks; table-level rollups (summed counts,
+    corpus-wide distinct words computed over the UNION of tokens — not a
+    sum of per-file distincts — and corpus top terms). Heavy work is five
+    aggregates over the frame; only O(files x top_k) summary rows reach
+    the driver, so a corpus of millions of files needs a bounded driver.
+    ``include_summaries`` adds the TF-IDF extractive summary per file
+    (:func:`profiler.text.tfidf_summary`)."""
+    files = df.select(
+        F.col(name_col).alias("name"),
+        normalize_text_expr(F.col(text_col)).alias("text"),
+    ).cache()
+    stats_rows = text_file_stats(files).collect()
+    tf = (
+        term_frequency(files)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("name").orderBy(F.desc("count"), "term")
+            ),
+        )
+        .where(F.col("rk") <= top_k_terms)
+        .drop("rk")
+        .collect()
+    )
+    specials = special_char_distribution(files).collect()
+    wl = {r["metric"]: r for r in word_length_distribution(files).collect()}
+    sl = {r["metric"]: r for r in sentence_length_distribution(files).collect()}
+    corpus = files.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_TOKEN_RE), 0)
+        ).alias("term")
+    )
+    corpus_distinct = corpus.agg(
+        F.count_distinct("term").alias("d")
+    ).collect()[0]["d"]
+    corpus_terms = (
+        corpus.groupBy("term")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "term")
+        .limit(top_k_terms)
+        .collect()
+    )
+    summaries = {}
+    if include_summaries:
+        from profiler.text import tfidf_summary
+
+        summaries = {
+            r["name"]: r["summary"]
+            for r in tfidf_summary(files, text_col="text", id_col="name").collect()
+        }
+    files.unpersist()
+
+    def block(r) -> dict:
+        return {
+            "count": r["n_count"],
+            "min": r["min_v"],
+            "max": r["max_v"],
+            "average": r["avg_v"],
+            "stddev": r["stddev_v"],
+            "variance": r["variance_v"],
+            "skewness": r["skewness_v"],
+            "kurtosis": r["kurtosis_v"],
+            "median": r["median_v"],
+            "percentile10": r["p10"],
+            "percentile25": r["p25"],
+            "percentile75": r["p75"],
+            "percentile90": r["p90"],
+        }
+
+    tf_by, sp_by = {}, {}
+    for r in tf:
+        tf_by.setdefault(r["name"], []).append(
+            {"term": r["term"], "count": r["count"]}
+        )
+    for r in specials:
+        sp_by.setdefault(r["name"], []).append(
+            {"type": r["type"], "count": r["count"]}
+        )
+    variables = []
+    table = {
+        "profiler_type": "Textual",
+        "num_texts": len(stats_rows),
+        "num_words": 0,
+        "num_sentences": 0,
+        "num_characters": 0,
+        "num_distinct_words": corpus_distinct,
+        "corpus_term_frequency": [
+            {"term": r["term"], "count": r["count"]} for r in corpus_terms
+        ],
+    }
+    for r in sorted(stats_rows, key=lambda x: x["name"]):
+        name = r["name"]
+        var = {
+            "name": name,
+            "type": "Text",
+            "num_words": r["num_words"],
+            "num_sentences": r["num_sentences"],
+            "num_distinct_words": r["num_distinct_words"],
+            "num_characters": r["num_characters"],
+            "ratio_uppercase": r["ratio_uppercase"],
+            "ratio_digits": r["ratio_digits"],
+            "ratio_special_characters": r["ratio_special_characters"],
+            "special_characters_distribution": sp_by.get(name, []),
+            "term_frequency": tf_by.get(name, []),
+            "word_length_distribution": block(wl[name]) if name in wl else {},
+            "sentence_length_distribution": (
+                block(sl[name]) if name in sl else {}
+            ),
+        }
+        if name in summaries:
+            var["summary"] = summaries[name]
+        variables.append(var)
+        table["num_words"] += r["num_words"]
+        table["num_sentences"] += r["num_sentences"]
+        table["num_characters"] += r["num_characters"]
+    return {"table": table, "variables": variables}

@@ -1,0 +1,132 @@
+"""Text-file profiler tests (reference text/profiler.py model-free core)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.textfile import (
+    normalize_text_expr,
+    read_text_files,
+    sentence_length_distribution,
+    special_char_distribution,
+    term_frequency,
+    text_corpus_profile,
+    text_file_stats,
+    word_length_distribution,
+)
+
+A = "The cat sat. The cat ran!  Did the\tcat nap?"  # 3 sentences
+B = "Num 42 and num 7; don't split don't."
+
+
+@pytest.fixture(scope="module")
+def files_df(spark):
+    return spark.createDataFrame(
+        [("a.txt", A), ("b.txt", B)], "name string, text string"
+    )
+
+
+def test_read_text_files_normalizes(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "x.txt").write_text("line one\nline  two\tcafé")
+    (d / "y.txt").write_text("solo")
+    df = read_text_files(spark, str(d))
+    rows = {r["name"]: r["text"] for r in df.collect()}
+    assert set(rows) == {"x.txt", "y.txt"}
+    # whitespace collapsed THEN ascii-folded (é dropped, reference order)
+    assert rows["x.txt"] == "line one line two caf"
+    assert rows["y.txt"] == "solo"
+
+
+def test_normalize_text_expr(spark):
+    df = spark.range(1).select(
+        normalize_text_expr(F.lit(" a é b\n\nc ")).alias("t")
+    )
+    assert df.collect()[0]["t"] == "a  b c"  # 'a é b' -> 'a  b' like encode-ignore
+
+
+def test_text_file_stats(files_df):
+    rows = {r["name"]: r for r in text_file_stats(files_df).collect()}
+    a = rows["a.txt"]
+    # words in A (lowered): the cat sat . the cat ran ! did the cat nap ? = 13
+    assert a["num_words"] == 13
+    assert a["num_sentences"] == 3
+    # distinct: the cat sat . ran ! did nap ?  = 9
+    assert a["num_distinct_words"] == 9
+    assert a["num_characters"] == len(A)
+    assert a["ratio_uppercase"] == pytest.approx(3 / len(A), abs=1e-6)
+    b = rows["b.txt"]
+    assert b["ratio_digits"] == pytest.approx(3 / len(B), abs=1e-6)
+    # don't stays ONE token: num 42 and num 7 ; don't split don't . = 10
+    assert b["num_words"] == 10
+    assert b["num_distinct_words"] == 8
+
+
+def test_special_char_distribution(files_df):
+    rows = special_char_distribution(files_df).collect()
+    a = {(r["type"]): r["count"] for r in rows if r["name"] == "a.txt"}
+    # spaces are special (reference: not isalnum()); A has 9 spaces + tab
+    # + 2 double-space = raw string spaces: count them
+    assert a["."] == 1 and a["!"] == 1 and a["?"] == 1
+    assert a[" "] == A.count(" ")
+    assert a["\t"] == 1
+    # ordered most-frequent-first per file
+    a_rows = [r for r in rows if r["name"] == "a.txt"]
+    assert a_rows[0]["type"] == " "
+
+
+def test_term_frequency(files_df):
+    rows = [r for r in term_frequency(files_df).collect() if r["name"] == "a.txt"]
+    assert (rows[0]["term"], rows[0]["count"]) == ("cat", 3)
+    by = {r["term"]: r["count"] for r in rows}
+    assert by["the"] == 3 and by["."] == 1
+
+
+def test_length_distributions(files_df):
+    wl = {r["metric"]: r for r in word_length_distribution(files_df).collect()}
+    # a.txt tokens: 9 words of length 3 + 4 punctuation tokens of length 1
+    assert wl["a.txt"]["n_count"] == 13
+    assert wl["a.txt"]["min_v"] == 1.0 and wl["a.txt"]["max_v"] == 3.0
+    sl = {r["metric"]: r for r in sentence_length_distribution(files_df).collect()}
+    assert sl["a.txt"]["n_count"] == 3
+    # sentences: 'The cat sat' (11), 'The cat ran' (11), 'Did the\tcat nap' (15)
+    assert sl["a.txt"]["max_v"] == 15.0
+    assert sl["a.txt"]["min_v"] == 11.0
+
+
+def test_text_corpus_profile_document(files_df):
+    doc = text_corpus_profile(files_df, top_k_terms=5)
+    t = doc["table"]
+    assert t["profiler_type"] == "Textual" and t["num_texts"] == 2
+    assert t["num_words"] == 13 + 10
+    assert t["num_sentences"] == 3 + 1  # ';' is not a terminator
+    # corpus distinct over the UNION of tokens, not sum of per-file distincts
+    per_file = {v["name"]: v for v in doc["variables"]}
+    assert t["num_distinct_words"] < (
+        per_file["a.txt"]["num_distinct_words"]
+        + per_file["b.txt"]["num_distinct_words"]
+    )
+    assert t["corpus_term_frequency"][0]["term"] in ("the", "cat")
+    va = per_file["a.txt"]
+    assert len(va["term_frequency"]) == 5  # top-k cap
+    assert va["word_length_distribution"]["count"] == 13
+    assert va["sentence_length_distribution"]["count"] == 3
+    assert va["special_characters_distribution"][0]["type"] == " "
+
+
+def test_text_corpus_profile_with_summaries(spark):
+    body = (
+        "spark shuffles data between stages. spark broadcasts small tables. "
+        "the optimizer prunes columns aggressively. caching avoids recompute. "
+        "spark shuffles data between stages again and again for joins. "
+        "partition counts control parallelism in every stage of the plan. "
+        "the scheduler assigns tasks to executors with locality preferences. "
+        "adaptive execution replans queries at runtime using shuffle statistics."
+    )
+    df = spark.createDataFrame([("doc.txt", body)], "name string, text string")
+    doc = text_corpus_profile(df, include_summaries=True)
+    v = doc["variables"][0]
+    assert "summary" in v
+    assert isinstance(v["summary"], str)
