@@ -1,0 +1,210 @@
+"""Dependency-free ESRI shapefile scan (reference S2:
+``variables/utils.py:64-70`` — ``gpd.read_file`` + geometry→WKT before
+profiling).
+
+The reference shells out to geopandas/GDAL on the driver; neither is in
+this container, and at scale the decode belongs on executors anyway. The
+ESRI shapefile format is a public spec (ESRI whitepaper, 1998): ``.shp``
+is a 100-byte header plus length-prefixed geometry records, ``.dbf`` is
+dBase III fixed-width attribute rows in the same record order. Both parse
+with ``struct`` — no GDAL.
+
+Scale shape: one shapefile is capped at 2 GB by the spec, so FILES are
+the parallelism unit — ``spark.read.format('binaryFile')`` lists the
+``.shp``/``.dbf`` pairs, and each task decodes one file's records inside
+Arrow-batched ``mapInPandas`` (the driver never touches geometry bytes).
+A directory of thousands of shapefiles fans out like any other file
+source; the decoded output is ordinary rows ``(src, record_no, wkt,
+attrs)`` that flow straight into the geometry profile
+(:func:`profiler.geo.geo_shape_stats`, ``stats.geometry_describe``).
+
+Geometry support: Point(1), MultiPoint(8), PolyLine(3), Polygon(5) and
+their Z/M variants (Z/M ordinates are read and dropped — WKT here is
+2-D, matching the reference's profiling which only uses X/Y). Polygon
+rings are reassembled by signed-area orientation (clockwise = shell,
+counter-clockwise = hole of the preceding shell, per the spec).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: shape-type id -> (base kind, has_z_or_m) per the ESRI spec table
+_KIND = {
+    0: "null",
+    1: "point", 11: "point", 21: "point",
+    3: "line", 13: "line", 23: "line",
+    5: "polygon", 15: "polygon", 25: "polygon",
+    8: "multipoint", 18: "multipoint", 28: "multipoint",
+}
+
+
+def _fmt(x: float) -> str:
+    s = f"{x:.10g}"
+    return s
+
+
+def _pts(buf: bytes, off: int, n: int) -> list[tuple[float, float]]:
+    return [
+        struct.unpack_from("<2d", buf, off + 16 * i) for i in range(n)
+    ]
+
+
+def _ring_area2(ring: list[tuple[float, float]]) -> float:
+    """Twice the signed area (positive = counter-clockwise)."""
+    a = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        a += x1 * y2 - x2 * y1
+    return a
+
+
+def _wkt_coords(pts: list[tuple[float, float]]) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
+
+
+def _polygon_wkt(rings: list[list[tuple[float, float]]]) -> str:
+    """Assemble shells+holes per spec orientation: clockwise rings open a
+    new polygon, counter-clockwise rings are holes of the last shell (a
+    lone ccw ring is promoted to a shell — some writers ignore
+    orientation for single-ring polygons)."""
+    polys: list[list[list[tuple[float, float]]]] = []
+    for ring in rings:
+        if _ring_area2(ring) < 0 or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    bodies = [
+        "(" + ", ".join(f"({_wkt_coords(r)})" for r in p) + ")" for p in polys
+    ]
+    if len(polys) == 1:
+        return "POLYGON " + bodies[0]
+    return "MULTIPOLYGON (" + ", ".join(bodies) + ")"
+
+
+def parse_shp_bytes(buf: bytes) -> Iterator[tuple[int, int, str | None]]:
+    """Yield ``(record_no, shape_type, wkt)`` from raw ``.shp`` bytes.
+    Record framing: 8-byte big-endian (number, content length in 16-bit
+    words) headers; content starts with a little-endian shape type."""
+    code = struct.unpack_from(">i", buf, 0)[0]
+    if code != 9994:
+        raise ValueError(f"not a shapefile (file code {code}, expected 9994)")
+    file_len = struct.unpack_from(">i", buf, 24)[0] * 2
+    off = 100
+    while off + 8 <= min(file_len, len(buf)):
+        rec_no, content_len = struct.unpack_from(">2i", buf, off)
+        off += 8
+        content_end = off + content_len * 2
+        stype = struct.unpack_from("<i", buf, off)[0]
+        kind = _KIND.get(stype)
+        if kind is None:
+            raise ValueError(f"unsupported shape type {stype}")
+        if kind == "null":
+            yield rec_no, stype, None
+        elif kind == "point":
+            x, y = struct.unpack_from("<2d", buf, off + 4)
+            yield rec_no, stype, f"POINT ({_fmt(x)} {_fmt(y)})"
+        elif kind == "multipoint":
+            n = struct.unpack_from("<i", buf, off + 36)[0]
+            pts = _pts(buf, off + 40, n)
+            yield rec_no, stype, f"MULTIPOINT ({_wkt_coords(pts)})"
+        else:  # line / polygon: bbox(32) numparts numpoints parts points
+            nparts, npoints = struct.unpack_from("<2i", buf, off + 36)
+            parts = list(struct.unpack_from(f"<{nparts}i", buf, off + 44))
+            pts = _pts(buf, off + 44 + 4 * nparts, npoints)
+            bounds = parts + [npoints]
+            rings = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)]
+            if kind == "line":
+                if nparts == 1:
+                    yield rec_no, stype, f"LINESTRING ({_wkt_coords(rings[0])})"
+                else:
+                    body = ", ".join(f"({_wkt_coords(r)})" for r in rings)
+                    yield rec_no, stype, f"MULTILINESTRING ({body})"
+            else:
+                yield rec_no, stype, _polygon_wkt(rings)
+        off = content_end
+
+
+def parse_dbf_bytes(buf: bytes) -> tuple[list[tuple[str, str]], Iterator[tuple[int, dict]]]:
+    """Parse dBase III ``.dbf`` bytes → (``[(field, type)]``, iterator of
+    ``(record_no, {field: string value})``). Values are trimmed raw
+    strings (N/F numerics keep their lexical form) — typing is the
+    caller's cast, like every other text-ish source in the engine."""
+    n_records, header_size, record_size = struct.unpack_from("<IHH", buf, 4)
+    fields: list[tuple[str, str, int]] = []
+    off = 32
+    while off < header_size - 1 and buf[off] != 0x0D:
+        raw = struct.unpack_from("<11sc4xBB14x", buf, off)
+        name = raw[0].split(b"\x00")[0].decode("ascii", "replace")
+        fields.append((name, raw[1].decode("ascii"), raw[2]))
+        off += 32
+
+    def rows() -> Iterator[tuple[int, dict]]:
+        for i in range(n_records):
+            base = header_size + i * record_size
+            rec = buf[base:base + record_size]
+            if not rec or rec[0:1] == b"*":  # deleted row
+                continue
+            vals, p = {}, 1
+            for name, ftype, flen in fields:
+                raw_v = rec[p:p + flen].decode("latin-1").strip()
+                vals[name] = raw_v if raw_v != "" else None
+                p += flen
+            yield i + 1, vals
+
+    return [(n, t) for n, t, _ in fields], rows()
+
+
+SHAPEFILE_SCHEMA = (
+    "src string, record_no int, shape_type int, wkt string,"
+    " attrs map<string,string>"
+)
+
+
+def read_shapefiles(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory (or glob) of shapefiles into ``(src, record_no,
+    shape_type, wkt, attrs)`` — the reference's ``gpd.read_file`` +
+    geometry→WKT step (S2) as a distributed source. ``binaryFile`` lists
+    the ``.shp``/``.dbf`` pairs; the pair is re-joined INSIDE one task by
+    grouping on the file stem (both files of a pair are tiny vs. the
+    2 GB spec cap), so decode is one pass, no shuffle-side join of
+    geometry bytes. Shapefiles without a ``.dbf`` get empty attrs."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{shp,dbf}")
+        .load(path)
+    )
+    stem = F.regexp_replace(F.col("path"), r"\.(shp|dbf)$", "")
+    pair = files.select(
+        stem.alias("stem"),
+        F.element_at(F.split("path", r"\."), -1).alias("ext"),
+        "content",
+    ).groupBy("stem").pivot("ext", ["shp", "dbf"]).agg(F.first("content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for stem_v, shp, dbf in zip(b["stem"], b["shp"], b["dbf"]):
+                if shp is None:
+                    continue
+                attrs_by_rec: dict[int, dict] = {}
+                if dbf is not None:
+                    _, rows = parse_dbf_bytes(bytes(dbf))
+                    attrs_by_rec = {rn: vals for rn, vals in rows}
+                src = str(stem_v).rsplit("/", 1)[-1]
+                recs = list(parse_shp_bytes(bytes(shp)))
+                yield pd.DataFrame(
+                    {
+                        "src": [src] * len(recs),
+                        "record_no": [rn for rn, _, _ in recs],
+                        "shape_type": [st for _, st, _ in recs],
+                        "wkt": [w for _, _, w in recs],
+                        "attrs": [attrs_by_rec.get(rn, {}) for rn, _, _ in recs],
+                    }
+                )
+
+    return pair.mapInPandas(run, SHAPEFILE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Dependency-free shapefile scan tests — fixtures are hand-encoded from
+the public ESRI spec (point / polyline / polygon-with-hole records) and a
+dBase III .dbf, then read back through the distributed scan."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from profiler.shapefile import (
+    parse_dbf_bytes,
+    parse_shp_bytes,
+    read_shapefiles,
+)
+
+
+def _shp(records: list[bytes], shape_type: int) -> bytes:
+    body = b""
+    for i, content in enumerate(records, start=1):
+        body += struct.pack(">2i", i, len(content) // 2) + content
+    total_words = (100 + len(body)) // 2
+    header = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
+    header += struct.pack("<2i", 1000, shape_type)
+    header += struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+    return header + body
+
+
+def _point(x: float, y: float) -> bytes:
+    return struct.pack("<i2d", 1, x, y)
+
+
+def _poly(kind: int, rings: list[list[tuple[float, float]]]) -> bytes:
+    pts = [p for r in rings for p in r]
+    parts, acc = [], 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    out = struct.pack("<i4d", kind, 0, 0, 10, 10)
+    out += struct.pack("<2i", len(rings), len(pts))
+    out += struct.pack(f"<{len(parts)}i", *parts)
+    for x, y in pts:
+        out += struct.pack("<2d", x, y)
+    return out
+
+
+def _dbf(fields: list[tuple[str, str, int]], rows: list[list[str]]) -> bytes:
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    out = struct.pack("<B3BIHH", 3, 24, 1, 1, len(rows), header_size, record_size)
+    out += b"\x00" * 20
+    for name, ftype, flen in fields:
+        out += struct.pack(
+            "<11sc4xBB14x", name.encode(), ftype.encode(), flen, 0
+        )
+    out += b"\x0d"
+    for row in rows:
+        rec = b" "
+        for (name, ftype, flen), val in zip(fields, row):
+            rec += val.encode().ljust(flen)[:flen]
+        out += rec
+    return out
+
+
+SQUARE = [(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]  # clockwise = shell
+HOLE = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]  # counter-clockwise = hole
+
+
+def test_parse_shp_points():
+    buf = _shp([_point(1.5, 2.5), _point(-3.0, 0.25)], 1)
+    recs = list(parse_shp_bytes(buf))
+    assert recs == [
+        (1, 1, "POINT (1.5 2.5)"),
+        (2, 1, "POINT (-3 0.25)"),
+    ]
+
+
+def test_parse_shp_polygon_with_hole():
+    buf = _shp([_poly(5, [SQUARE, HOLE])], 5)
+    (rec_no, stype, wkt), = parse_shp_bytes(buf)
+    assert (rec_no, stype) == (1, 5)
+    assert wkt == (
+        "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+
+
+def test_parse_shp_two_shells_multipolygon():
+    shell2 = [(6, 6), (6, 8), (8, 8), (8, 6), (6, 6)]
+    buf = _shp([_poly(5, [SQUARE, shell2])], 5)
+    (_, _, wkt), = parse_shp_bytes(buf)
+    assert wkt.startswith("MULTIPOLYGON ((")
+    assert "(6 6, 6 8, 8 8, 8 6, 6 6)" in wkt
+
+
+def test_parse_shp_polyline():
+    line = [(0, 0), (1, 1), (2, 0)]
+    buf = _shp([_poly(3, [line])], 3)
+    (_, _, wkt), = parse_shp_bytes(buf)
+    assert wkt == "LINESTRING (0 0, 1 1, 2 0)"
+    buf2 = _shp([_poly(3, [line, [(5, 5), (6, 6)]])], 3)
+    (_, _, wkt2), = parse_shp_bytes(buf2)
+    assert wkt2 == "MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 6))"
+
+
+def test_parse_shp_rejects_non_shapefile():
+    with pytest.raises(ValueError, match="9994"):
+        list(parse_shp_bytes(b"\x00" * 100))
+
+
+def test_parse_dbf():
+    buf = _dbf(
+        [("NAME", "C", 8), ("POP", "N", 6)],
+        [["alpha", "  1200"], ["beta", "    42"]],
+    )
+    fields, rows = parse_dbf_bytes(buf)
+    assert fields == [("NAME", "C"), ("POP", "N")]
+    got = list(rows)
+    assert got == [
+        (1, {"NAME": "alpha", "POP": "1200"}),
+        (2, {"NAME": "beta", "POP": "42"}),
+    ]
+
+
+def test_read_shapefiles_distributed(spark, tmp_path):
+    d = tmp_path / "shp"
+    d.mkdir()
+    (d / "cities.shp").write_bytes(_shp([_point(1, 2), _point(3, 4)], 1))
+    (d / "cities.dbf").write_bytes(
+        _dbf([("NAME", "C", 8)], [["paris"], ["lyon"]])
+    )
+    (d / "zones.shp").write_bytes(_shp([_poly(5, [SQUARE])], 5))  # no .dbf
+    df = read_shapefiles(spark, str(d))
+    rows = {(r["src"], r["record_no"]): r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[("cities", 1)]["wkt"] == "POINT (1 2)"
+    assert rows[("cities", 1)]["attrs"]["NAME"] == "paris"
+    assert rows[("cities", 2)]["attrs"]["NAME"] == "lyon"
+    assert rows[("zones", 1)]["wkt"].startswith("POLYGON ((0 0,")
+    assert rows[("zones", 1)]["attrs"] == {}
+
+
+def test_shapefile_feeds_geometry_stats(spark, tmp_path):
+    from profiler.geo import geo_shape_stats
+
+    d = tmp_path / "geo"
+    d.mkdir()
+    sq = lambda ox: [  # noqa: E731
+        (ox, 0.0), (ox, 0.001), (ox + 0.001, 0.001), (ox + 0.001, 0.0), (ox, 0.0)
+    ]
+    (d / "plots.shp").write_bytes(
+        _shp([_poly(5, [sq(9.0)]), _poly(5, [sq(9.01)])], 5)
+    )
+    df = read_shapefiles(spark, str(d))
+    out = geo_shape_stats(df, "wkt", zone=32).collect()
+    by = {r["metric"]: r for r in out}
+    assert by["area"]["n_count"] == 2
+    assert by["area"]["min_v"] > 0
