@@ -140,37 +140,69 @@ def degree_stats(triples: DataFrame) -> DataFrame:
     """The reference's four describe blocks (``profiler.py:140-247``) as
     one DataFrame: a row per metric ∈ {degree, degree_centrality,
     in_degree, out_degree} with count/min/max/average/stddev/variance/
-    skewness/kurtosis/median/p10/p25/p75/p90. Two shuffles total (the
-    degree groupBy, then the 4-group describe); centrality is snapped to
-    6 decimals before the moments so any engine replays the same IEEE
-    sequence."""
-    deg = node_degree_frame(triples)
-    rows = (
-        deg.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("degree").alias("metric"),
-                        F.col("degree").cast("double").alias("v"),
-                    ),
-                    F.struct(
-                        F.lit("in_degree").alias("metric"),
-                        F.col("in_deg").cast("double").alias("v"),
-                    ),
-                    F.struct(
-                        F.lit("out_degree").alias("metric"),
-                        F.col("out_deg").cast("double").alias("v"),
-                    ),
-                    F.struct(
-                        F.lit("degree_centrality").alias("metric"),
-                        F.round(F.col("centrality"), 6).alias("v"),
-                    ),
-                )
-            ).alias("mv")
-        )
-        .select("mv.metric", "mv.v")
+    skewness/kurtosis/median/p10/p25/p75/p90.
+
+    Two shuffles total: the degree groupBy and the 3-group describe. The
+    centrality block is NOT a fourth describe input — centrality =
+    degree/(n−1) is an exact linear map, so its block is derived from the
+    degree block inside the plan (location/percentiles and stddev scale
+    by 1/(n−1), variance by 1/(n−1)², count/skewness/kurtosis are
+    invariant), with n−1 = the degree block's own ``n_count``−1. That
+    keeps the edge-wide token shuffle to ONE pass — a per-node centrality
+    projection would need the node count broadcast back, which re-runs
+    the whole edge aggregate as a second (column-pruned, non-reusable)
+    exchange. Centrality columns round to 8 decimals (their magnitudes
+    are ~1/n; 4 decimals would collapse them)."""
+    tall = triples.select(
+        F.col("subject").alias("node"),
+        F.lit(1).alias("o"),
+        F.lit(0).alias("i"),
+    ).unionAll(
+        triples.select(F.col("object"), F.lit(0), F.lit(1))
     )
-    return describe_by_metric(rows)
+    deg = tall.groupBy("node").agg(
+        F.sum("i").alias("in_deg"), F.sum("o").alias("out_deg")
+    )
+    rows = deg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("degree").alias("metric"),
+                    (F.col("in_deg") + F.col("out_deg"))
+                    .cast("double")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit("in_degree").alias("metric"),
+                    F.col("in_deg").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("out_degree").alias("metric"),
+                    F.col("out_deg").cast("double").alias("v"),
+                ),
+            )
+        ).alias("mv")
+    ).select("mv.metric", "mv.v")
+    stats3 = describe_by_metric(rows)
+    nn = (F.col("n_count") - F.lit(1)).cast("double")
+    lin = lambda c: F.round(F.col(c) / nn, 8)  # noqa: E731
+    cent = stats3.where(F.col("metric") == "degree").select(
+        F.lit("degree_centrality").alias("metric"),
+        F.col("n_count"),
+        lin("min_v").alias("min_v"),
+        lin("max_v").alias("max_v"),
+        lin("avg_v").alias("avg_v"),
+        lin("stddev_v").alias("stddev_v"),
+        F.round(F.col("variance_v") / (nn * nn), 10).alias("variance_v"),
+        F.col("skewness_v"),
+        F.col("kurtosis_v"),
+        lin("median_v").alias("median_v"),
+        lin("p10").alias("p10"),
+        lin("p25").alias("p25"),
+        lin("p75").alias("p75"),
+        lin("p90").alias("p90"),
+    )
+    return stats3.unionByName(cent)
 
 
 def graph_scalars(triples: DataFrame, type_predicate: str = RDF_TYPE) -> DataFrame:

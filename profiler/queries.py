@@ -4737,8 +4737,10 @@ def _rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q90_oracle() -> str:
     """Degree describe replay: same union-of-endpoints degree counting
     (multigraph — parallel edges count, a self-loop is 1 in + 1 out),
-    same centrality = degree/(n-1) snapped to 6 decimals, same describe
-    aggregate as every other distribution oracle."""
+    same 3-metric describe aggregate, and the same DERIVED centrality
+    block — an exact linear rescale of the degree row by 1/(n_count−1)
+    (skew/kurt invariant, variance by the square), replaying
+    profiler/graph.py degree_stats step for step."""
     return f"""
     WITH {_RDF_TRIPLES_SQL},
     tall AS (
@@ -4750,20 +4752,32 @@ def _q90_oracle() -> str:
       SELECT node, sum(i) AS in_deg, sum(o) AS out_deg
       FROM tall GROUP BY node
     ),
-    nn AS (SELECT count(*) AS n_nodes FROM deg),
     vals AS (
       SELECT 'degree' AS metric, CAST(in_deg + out_deg AS DOUBLE) AS v FROM deg
       UNION ALL
       SELECT 'in_degree', CAST(in_deg AS DOUBLE) FROM deg
       UNION ALL
       SELECT 'out_degree', CAST(out_deg AS DOUBLE) FROM deg
-      UNION ALL
-      SELECT 'degree_centrality',
-             ROUND(CAST(in_deg + out_deg AS DOUBLE)
-                   / CAST(n_nodes - 1 AS DOUBLE), 6)
-      FROM deg, nn
-    )
+    ),
+    stats3 AS (
     {_describe_select_sql()}
+    )
+    SELECT * FROM stats3
+    UNION ALL
+    SELECT 'degree_centrality' AS metric, n_count,
+           ROUND(min_v / (n_count - 1), 8) AS min_v,
+           ROUND(max_v / (n_count - 1), 8) AS max_v,
+           ROUND(avg_v / (n_count - 1), 8) AS avg_v,
+           ROUND(stddev_v / (n_count - 1), 8) AS stddev_v,
+           ROUND(variance_v / ((n_count - 1) * (n_count - 1)), 10) AS variance_v,
+           skewness_v, kurtosis_v,
+           ROUND(median_v / (n_count - 1), 8) AS median_v,
+           ROUND(p10 / (n_count - 1), 8) AS p10,
+           ROUND(p25 / (n_count - 1), 8) AS p25,
+           ROUND(p75 / (n_count - 1), 8) AS p75,
+           ROUND(p90 / (n_count - 1), 8) AS p90
+    FROM stats3 WHERE metric = 'degree'
+    ORDER BY metric
     """
 
 
@@ -4773,9 +4787,9 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``rdfGraph/profiler.py:140-247``: networkx degree / in_degree /
     out_degree / degree_centrality through ``pd.Series.describe``) over a
     TPC-H-derived triple graph — one union + one groupBy for all degrees
-    (single shuffle, map-side combine), one broadcast scalar for the
-    centrality denominator, one 4-group describe aggregate
-    (:func:`profiler.graph.degree_stats`)."""
+    (single shuffle, map-side combine), one 3-group describe aggregate,
+    and the centrality block derived in-plan by exact linear rescale so
+    the edge-wide shuffle runs ONCE (:func:`profiler.graph.degree_stats`)."""
     from profiler.graph import degree_stats
 
     return degree_stats(_rdf_triples(spark, sf_dir)).orderBy("metric")

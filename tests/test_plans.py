@@ -149,3 +149,36 @@ def test_tfidf_word_explosion_gated_by_eligibility(spark):
     assert len(chunks) >= 2, "expected word-explosion nodes"
     for sub in chunks[1:]:
         assert "length(regexp_replace" in sub, "word explosion lost its gate"
+
+
+def test_degree_stats_reuses_the_edge_shuffle(spark):
+    """graph.degree_stats derives the centrality block from the degree
+    block in-plan; the expensive edge-wide token shuffle must appear once
+    and be REUSED by the union branch — a second full aggregate means the
+    derivation regressed to a per-node centrality + broadcast-count."""
+    from profiler.graph import degree_stats
+
+    rows = [(f"s{i % 40}", "p", f"o{i % 83}", "uri") for i in range(2000)]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, object_kind string"
+    )
+    df = degree_stats(t)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan
+
+
+def test_band_describe_is_one_hash_aggregate(spark):
+    """raster.band_describe computes every (img, band) block in ONE
+    partial+final hash aggregate — one Exchange, no join, no window."""
+    from profiler.raster import band_describe
+
+    px = spark.createDataFrame(
+        [(f"i{i % 3}", f"b{i % 2}", float(i % 17)) for i in range(500)],
+        "img string, band string, v double",
+    )
+    df = band_describe(px)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2  # agg + output order
+    assert "Join" not in plan and "Window" not in plan
