@@ -178,10 +178,73 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
     return doc
 
 
+def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
+    """The reference's top-level dispatcher (``profiler.py:10-38``
+    ``run_profile``): route on ``profile.type`` to the right family,
+    write the JSON document, and run the RML mapping post-step. Returns
+    the document. Types: tabular/vector/timeseries/hierarchical (the
+    table engine), rdfgraph (N-Triples — the distributed-scan wire
+    format; RDF/XML is not line-splittable and rdflib is absent),
+    textual (whole-file corpus), vista (.rhd + .ras pair). GeoTIFF
+    ``raster`` stays gated on rasterio (see
+    :func:`profiler.raster.read_rasters`)."""
+    kind = config.get("profile", {}).get("type", "tabular").lower()
+    if kind in ("tabular", "vector", "timeseries", "hierarchical"):
+        if kind in ("vector", "hierarchical"):
+            config = {**config, "profile": {**config["profile"], "type": "tabular"}}
+        if kind == "hierarchical":
+            config["input"] = {**config.get("input", {}), "format": "json"}
+        return profile_with_config(config, spark=spark)
+
+    if spark is None:
+        from profiler.session import get_spark
+
+        spark = get_spark("profiler-cli")
+    input_cfg = config.get("input", {})
+    out_path = config.get("output", {}).get("json")
+    if kind == "rdfgraph":
+        from profiler.graph import graph_profile, read_ntriples
+
+        files = input_cfg.get("files")
+        path = os.path.abspath(files[0] if isinstance(files, list) else files)
+        doc = graph_profile(read_ntriples(spark, path))
+    elif kind == "textual":
+        from profiler.textfile import read_text_files, text_corpus_profile
+
+        files = input_cfg.get("files")
+        path = files if isinstance(files, str) else [os.path.abspath(p) for p in files]
+        doc = text_corpus_profile(
+            read_text_files(spark, path),
+            include_summaries=bool(input_cfg.get("summaries", False)),
+        )
+    elif kind == "vista":
+        from profiler.raster import vista_profile
+
+        doc = vista_profile(
+            spark,
+            os.path.abspath(input_cfg["rhd_file"]),
+            os.path.abspath(input_cfg["ras_file"]),
+        )
+    elif kind == "raster":
+        from profiler.raster import read_rasters
+
+        read_rasters(spark, input_cfg.get("files") or [])  # raises with guidance
+        raise AssertionError("unreachable")
+    else:
+        raise ValueError(
+            f"profile.type={kind!r} unsupported — use one of: tabular, "
+            "vector, timeseries, hierarchical, rdfgraph, textual, vista, raster"
+        )
+    if out_path:
+        write_to_json(doc, os.path.abspath(out_path))
+        prepare_mapping(config)
+    return doc
+
+
 def main(argv: list[str]) -> int:
     """``python -m profiler <config.json>`` (reference ``main.py:8-18``)."""
     if len(argv) != 1:
         print("usage: python -m profiler <config.json>")
         return 2
-    profile_with_config(read_config(argv[0]))
+    run_profile(read_config(argv[0]))
     return 0

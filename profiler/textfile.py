@@ -54,7 +54,7 @@ def normalize_text_expr(text: Column) -> Column:
     )
 
 
-def read_text_files(spark: SparkSession, path: str) -> DataFrame:
+def read_text_files(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """S9 whole-file scan (reference ``text/profiler.py:190-227``): one
     row per file as ``(name, text)``, already normalized. Files are the
     parallelism unit — a million files fan out across executors; a single

@@ -125,3 +125,82 @@ def test_prepare_mapping_type_aliases(tmp_path):
             "profile": {"type": ptype},
         }
         assert marker in open(prepare_mapping(cfg)).read()
+
+
+def test_run_profile_dispatch_rdfgraph(spark, tmp_path):
+    from profiler.config import run_profile
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<urn:a> <urn:p/x> <urn:b> .\n"
+        '<urn:b> <urn:p/name> "beta" .\n'
+    )
+    out = tmp_path / "profile.json"
+    cfg = {
+        "input": {"files": str(nt)},
+        "output": {"json": str(out), "rdf": "g.rdf", "serialization": "nt"},
+        "profile": {"type": "rdfgraph"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["profiler_type"] == "RDFGraph"
+    assert doc["num_edges"] == 2
+    assert out.exists()
+    assert (tmp_path / "mapping.ttl").exists()
+    assert "void:Dataset" in (tmp_path / "mapping.ttl").read_text()
+
+
+def test_run_profile_dispatch_textual(spark, tmp_path):
+    from profiler.config import run_profile
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("One sentence here. And two!")
+    cfg = {
+        "input": {"files": str(d)},
+        "output": {"json": str(tmp_path / "p.json")},
+        "profile": {"type": "textual"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["table"]["profiler_type"] == "Textual"
+    assert doc["table"]["num_sentences"] == 2
+
+
+def test_run_profile_dispatch_vista(spark, tmp_path):
+    import numpy as np
+
+    from profiler.config import run_profile
+    from profiler.raster import NODATA_CLASSES
+
+    img = np.array(
+        [1000 * i for i in range(1, 21)]
+        + [c for c, _ in NODATA_CLASSES] + [0, 0],
+        dtype="<i2",
+    )
+    (tmp_path / "x.ras").write_bytes(img.tobytes())
+    (tmp_path / "x.rhd").write_text(
+        "7\n1\n8 4\n20.0 699960.0 4500000.0 699960.0 4500000.0 32\n0\n"
+        "2 15 06 2020\n"
+    )
+    cfg = {
+        "input": {"rhd_file": str(tmp_path / "x.rhd"),
+                  "ras_file": str(tmp_path / "x.ras")},
+        "output": {"json": str(tmp_path / "v.json")},
+        "profile": {"type": "vista"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["profiler_type"] == "Vista_Raster"
+    assert doc["n_of_imgs"] == 1
+
+
+def test_run_profile_raster_is_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from profiler.config import run_profile
+
+    cfg = {
+        "input": {"files": ["x.tif"]},
+        "output": {"json": str(tmp_path / "r.json")},
+        "profile": {"type": "raster"},
+    }
+    with _pytest.raises(NotImplementedError, match="rasterio"):
+        run_profile(cfg, spark=spark)
