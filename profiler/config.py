@@ -190,10 +190,26 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
     :func:`profiler.raster.read_rasters`)."""
     kind = config.get("profile", {}).get("type", "tabular").lower()
     if kind in ("tabular", "vector", "timeseries", "hierarchical"):
-        if kind in ("vector", "hierarchical"):
-            config = {**config, "profile": {**config["profile"], "type": "tabular"}}
         if kind == "hierarchical":
-            config["input"] = {**config.get("input", {}), "format": "json"}
+            # route through the table engine, but keep the RML post-step
+            # on the ORIGINAL type so the hierarchical template is used —
+            # inner config drops the rdf keys, prepare_mapping runs here
+            inner = {
+                **config,
+                "profile": {**config["profile"], "type": "tabular"},
+                "input": {**config.get("input", {}), "format": "json"},
+                "output": {
+                    k: v
+                    for k, v in config.get("output", {}).items()
+                    if k not in ("rdf", "serialization")
+                },
+            }
+            doc = profile_with_config(inner, spark=spark)
+            if config.get("output", {}).get("json"):
+                prepare_mapping(config)
+            return doc
+        if kind == "vector":
+            config = {**config, "profile": {**config["profile"], "type": "tabular"}}
         return profile_with_config(config, spark=spark)
 
     if spark is None:
@@ -206,7 +222,11 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
         from profiler.graph import graph_profile, read_ntriples
 
         files = input_cfg.get("files")
-        path = os.path.abspath(files[0] if isinstance(files, list) else files)
+        path = (
+            [os.path.abspath(p) for p in files]
+            if isinstance(files, list)
+            else os.path.abspath(files)
+        )
         doc = graph_profile(read_ntriples(spark, path))
     elif kind == "textual":
         from profiler.textfile import read_text_files, text_corpus_profile

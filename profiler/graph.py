@@ -58,7 +58,7 @@ def _node_term(tok: Column) -> Column:
     ).otherwise(tok)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Scan an N-Triples file into ``(subject, predicate, object,
     object_kind)`` — the engine's graph representation (reference parses
     via rdflib, ``profiler.py:287-288``). N-Triples is line-delimited, so
@@ -98,18 +98,13 @@ def _ns(uri: Column) -> Column:
     return F.regexp_extract(uri, r"^(.*[#/])", 1)
 
 
-def node_degree_frame(triples: DataFrame) -> DataFrame:
-    """Per-node ``(node, in_deg, out_deg, degree, centrality)`` over the
-    directed multigraph — every triple is one subject→object edge and
-    literal objects are nodes too, exactly like the reference's
-    ``rdflib_to_networkx_multidigraph`` (``profiler.py:309``).
-
-    One union + one groupBy: each triple emits (subject, out=1) and
-    (object, in=1); ``sum`` partial-aggregates map-side, so the single
-    shuffle moves one row per (node, side) per partition, not one per
-    edge. Centrality is degree/(n-1) (networkx ``degree_centrality``);
-    the node count rides in via a broadcast one-row cross join — no
-    driver collect in the plan."""
+def _degrees(triples: DataFrame) -> DataFrame:
+    """Per-node ``(node, in_deg, out_deg)`` — one union + one groupBy:
+    each triple emits (subject, out=1) and (object, in=1); ``sum``
+    partial-aggregates map-side, so the single shuffle moves one row per
+    (node, side) per partition, not one per edge. Shared by
+    :func:`node_degree_frame` and :func:`degree_stats` so the two public
+    views of "degree" cannot drift apart."""
     tall = triples.select(
         F.col("subject").alias("node"),
         F.lit(1).alias("o"),
@@ -117,9 +112,23 @@ def node_degree_frame(triples: DataFrame) -> DataFrame:
     ).unionAll(
         triples.select(F.col("object"), F.lit(0), F.lit(1))
     )
-    deg = tall.groupBy("node").agg(
+    return tall.groupBy("node").agg(
         F.sum("i").alias("in_deg"), F.sum("o").alias("out_deg")
     )
+
+
+def node_degree_frame(triples: DataFrame) -> DataFrame:
+    """Per-node ``(node, in_deg, out_deg, degree, centrality)`` over the
+    directed multigraph — every triple is one subject→object edge and
+    literal objects are nodes too, exactly like the reference's
+    ``rdflib_to_networkx_multidigraph`` (``profiler.py:309``).
+
+    Centrality is degree/(n-1) (networkx ``degree_centrality``); the
+    node count rides in via a broadcast one-row cross join — no driver
+    collect in the plan (the count branch does re-run the degree
+    aggregate column-pruned; for the aggregate-only describe blocks use
+    :func:`degree_stats`, which avoids that second pass)."""
+    deg = _degrees(triples)
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     return (
         deg.crossJoin(F.broadcast(n_nodes))
@@ -145,24 +154,17 @@ def degree_stats(triples: DataFrame) -> DataFrame:
     Two shuffles total: the degree groupBy and the 3-group describe. The
     centrality block is NOT a fourth describe input — centrality =
     degree/(n−1) is an exact linear map, so its block is derived from the
-    degree block inside the plan (location/percentiles and stddev scale
-    by 1/(n−1), variance by 1/(n−1)², count/skewness/kurtosis are
-    invariant), with n−1 = the degree block's own ``n_count``−1. That
-    keeps the edge-wide token shuffle to ONE pass — a per-node centrality
+    UNROUNDED degree block inside the plan (location/percentiles and
+    stddev scale by 1/(n−1), variance by 1/(n−1)², count/skewness/
+    kurtosis are invariant), with n−1 = the degree block's own
+    ``n_count``−1; ALL output rounding happens after the rescale, so the
+    derivation is exact, not rounded-then-scaled. That keeps the
+    edge-wide token shuffle to ONE pass — a per-node centrality
     projection would need the node count broadcast back, which re-runs
     the whole edge aggregate as a second (column-pruned, non-reusable)
     exchange. Centrality columns round to 8 decimals (their magnitudes
     are ~1/n; 4 decimals would collapse them)."""
-    tall = triples.select(
-        F.col("subject").alias("node"),
-        F.lit(1).alias("o"),
-        F.lit(0).alias("i"),
-    ).unionAll(
-        triples.select(F.col("object"), F.lit(0), F.lit(1))
-    )
-    deg = tall.groupBy("node").agg(
-        F.sum("i").alias("in_deg"), F.sum("o").alias("out_deg")
-    )
+    deg = _degrees(triples)
     rows = deg.select(
         F.explode(
             F.array(
@@ -183,10 +185,17 @@ def degree_stats(triples: DataFrame) -> DataFrame:
             )
         ).alias("mv")
     ).select("mv.metric", "mv.v")
-    stats3 = describe_by_metric(rows)
+    raw = describe_by_metric(rows, round_to=None)
     nn = (F.col("n_count") - F.lit(1)).cast("double")
+    r4 = lambda c: F.round(F.col(c), 4)  # noqa: E731
     lin = lambda c: F.round(F.col(c) / nn, 8)  # noqa: E731
-    cent = stats3.where(F.col("metric") == "degree").select(
+    plain = ["min_v", "max_v", "avg_v", "stddev_v", "variance_v",
+             "skewness_v", "kurtosis_v", "median_v", "p10", "p25",
+             "p75", "p90"]
+    stats3 = raw.select(
+        "metric", "n_count", *[r4(c).alias(c) for c in plain]
+    )
+    cent = raw.where(F.col("metric") == "degree").select(
         F.lit("degree_centrality").alias("metric"),
         F.col("n_count"),
         lin("min_v").alias("min_v"),
@@ -194,8 +203,8 @@ def degree_stats(triples: DataFrame) -> DataFrame:
         lin("avg_v").alias("avg_v"),
         lin("stddev_v").alias("stddev_v"),
         F.round(F.col("variance_v") / (nn * nn), 10).alias("variance_v"),
-        F.col("skewness_v"),
-        F.col("kurtosis_v"),
+        r4("skewness_v").alias("skewness_v"),
+        r4("kurtosis_v").alias("kurtosis_v"),
         lin("median_v").alias("median_v"),
         lin("p10").alias("p10"),
         lin("p25").alias("p25"),
@@ -335,17 +344,37 @@ def graph_profile(
     and the four degree describe blocks keyed like the reference's dicts
     (count/min/max/average/stddev/variance/skewness/kurtosis/median/
     percentile10/25/75/90). Malformed scan rows (``object_kind ==
-    'malformed'``) are excluded here and surfaced as ``num_malformed``."""
+    'malformed'``) are excluded here and surfaced as ``num_malformed``.
+
+    The triples frame is cached for the duration — this document is
+    several independent jobs (malformed count, scalars, components,
+    classes, degrees), and without the cache each one would re-run the
+    source scan + N-Triples regex parse. The per-component-size frame is
+    also cached so the total component count and the top-``max_components``
+    list come from ONE connected-components run, not two."""
     n_malformed = 0
-    if "object_kind" in triples.columns:
-        n_malformed = (
-            triples.where(F.col("object_kind") == "malformed").count()
+    cached = triples.cache()
+    try:
+        if "object_kind" in triples.columns:
+            n_malformed = (
+                triples.where(F.col("object_kind") == "malformed").count()
+            )
+            triples = triples.where(F.col("object_kind") != "malformed")
+        scalars = graph_scalars(triples, type_predicate).collect()[0].asDict()
+        sizes = component_sizes(triples).cache()
+        try:
+            n_components = sizes.count()
+            comps = sizes.limit(max_components).collect()
+        finally:
+            sizes.unpersist()
+        classes = (
+            class_distribution(triples, type_predicate)
+            .limit(max_classes)
+            .collect()
         )
-        triples = triples.where(F.col("object_kind") != "malformed")
-    scalars = graph_scalars(triples, type_predicate).collect()[0].asDict()
-    comps = component_sizes(triples).limit(max_components).collect()
-    classes = class_distribution(triples, type_predicate).limit(max_classes).collect()
-    stats_rows = degree_stats(triples).collect()
+        stats_rows = degree_stats(triples).collect()
+    finally:
+        cached.unpersist()
 
     def block(r) -> dict:
         return {
@@ -369,11 +398,7 @@ def graph_profile(
         "profiler_type": "RDFGraph",
         "num_malformed": n_malformed,
         **scalars,
-        "num_connected_components": len(comps)
-        if len(comps) < max_components
-        else int(
-            component_sizes(triples).agg(F.count("*")).collect()[0][0]
-        ),
+        "num_connected_components": n_components,
         "connected_components": [
             {"component_name": r["component"], "num_nodes": r["num_nodes"]}
             for r in comps

@@ -4413,33 +4413,38 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "y", "x", "cluster").orderBy("id")
 
 
-def _describe_select_sql(vals: str = "vals") -> str:
+def _describe_select_sql(vals: str = "vals", round_to: int | None = 4) -> str:
     """The DuckDB half of :func:`profiler.stats.describe_by_metric`:
     SELECT over a ``(metric, v)`` relation replaying the same DECIMAL
     sufficient statistics, the same scalar IEEE sequence for
     variance/stddev/average, DuckDB's natively bias-corrected
     skewness/kurtosis (== Spark g1/g2 + the package's G1/G2 correction),
-    and ``quantile_cont`` (== ``F.percentile`` linear interpolation)."""
+    and ``quantile_cont`` (== ``F.percentile`` linear interpolation).
+    ``round_to=None`` mirrors the engine's unrounded mode (callers that
+    post-transform and round after)."""
     s1 = "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
     s2 = "CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE)"
     nd = "CAST(count(v) AS DOUBLE)"
     var = f"(({s2} - {s1} * {s1} / {nd}) / ({nd} - 1.0))"
+    if round_to is None:
+        rnd = lambda e: e  # noqa: E731
+    else:
+        rnd = lambda e: f"ROUND({e}, {round_to})"  # noqa: E731
     return f"""
     SELECT metric,
            count(v) AS n_count,
-           ROUND(min(v), 4) AS min_v,
-           ROUND(max(v), 4) AS max_v,
-           ROUND(CASE WHEN count(v) > 0 THEN {s1} / {nd} END, 4) AS avg_v,
-           ROUND(CASE WHEN count(v) > 1
-                 THEN sqrt(greatest({var}, 0.0::DOUBLE)) END, 4) AS stddev_v,
-           ROUND(CASE WHEN count(v) > 1 THEN {var} END, 4) AS variance_v,
-           ROUND(CASE WHEN count(v) > 2 THEN skewness(v) END, 4) AS skewness_v,
-           ROUND(CASE WHEN count(v) > 3 THEN kurtosis(v) END, 4) AS kurtosis_v,
-           ROUND(quantile_cont(v, 0.5), 4) AS median_v,
-           ROUND(quantile_cont(v, 0.10), 4) AS p10,
-           ROUND(quantile_cont(v, 0.25), 4) AS p25,
-           ROUND(quantile_cont(v, 0.75), 4) AS p75,
-           ROUND(quantile_cont(v, 0.90), 4) AS p90
+           {rnd("min(v)")} AS min_v,
+           {rnd("max(v)")} AS max_v,
+           {rnd(f"CASE WHEN count(v) > 0 THEN {s1} / {nd} END")} AS avg_v,
+           {rnd(f"CASE WHEN count(v) > 1 THEN sqrt(greatest({var}, 0.0::DOUBLE)) END")} AS stddev_v,
+           {rnd(f"CASE WHEN count(v) > 1 THEN {var} END")} AS variance_v,
+           {rnd("CASE WHEN count(v) > 2 THEN skewness(v) END")} AS skewness_v,
+           {rnd("CASE WHEN count(v) > 3 THEN kurtosis(v) END")} AS kurtosis_v,
+           {rnd("quantile_cont(v, 0.5)")} AS median_v,
+           {rnd("quantile_cont(v, 0.10)")} AS p10,
+           {rnd("quantile_cont(v, 0.25)")} AS p25,
+           {rnd("quantile_cont(v, 0.75)")} AS p75,
+           {rnd("quantile_cont(v, 0.90)")} AS p90
     FROM {vals} WHERE v IS NOT NULL
     GROUP BY metric ORDER BY metric
     """
@@ -4759,10 +4764,19 @@ def _q90_oracle() -> str:
       UNION ALL
       SELECT 'out_degree', CAST(out_deg AS DOUBLE) FROM deg
     ),
-    stats3 AS (
-    {_describe_select_sql()}
+    raw AS (
+    {_describe_select_sql(round_to=None)}
     )
-    SELECT * FROM stats3
+    SELECT metric, n_count,
+           ROUND(min_v, 4) AS min_v, ROUND(max_v, 4) AS max_v,
+           ROUND(avg_v, 4) AS avg_v, ROUND(stddev_v, 4) AS stddev_v,
+           ROUND(variance_v, 4) AS variance_v,
+           ROUND(skewness_v, 4) AS skewness_v,
+           ROUND(kurtosis_v, 4) AS kurtosis_v,
+           ROUND(median_v, 4) AS median_v,
+           ROUND(p10, 4) AS p10, ROUND(p25, 4) AS p25,
+           ROUND(p75, 4) AS p75, ROUND(p90, 4) AS p90
+    FROM raw
     UNION ALL
     SELECT 'degree_centrality' AS metric, n_count,
            ROUND(min_v / (n_count - 1), 8) AS min_v,
@@ -4770,13 +4784,14 @@ def _q90_oracle() -> str:
            ROUND(avg_v / (n_count - 1), 8) AS avg_v,
            ROUND(stddev_v / (n_count - 1), 8) AS stddev_v,
            ROUND(variance_v / ((n_count - 1) * (n_count - 1)), 10) AS variance_v,
-           skewness_v, kurtosis_v,
+           ROUND(skewness_v, 4) AS skewness_v,
+           ROUND(kurtosis_v, 4) AS kurtosis_v,
            ROUND(median_v / (n_count - 1), 8) AS median_v,
            ROUND(p10 / (n_count - 1), 8) AS p10,
            ROUND(p25 / (n_count - 1), 8) AS p25,
            ROUND(p75 / (n_count - 1), 8) AS p75,
            ROUND(p90 / (n_count - 1), 8) AS p90
-    FROM stats3 WHERE metric = 'degree'
+    FROM raw WHERE metric = 'degree'
     ORDER BY metric
     """
 

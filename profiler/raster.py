@@ -205,6 +205,15 @@ def read_vista_rhd(rhd_path: str) -> dict:
     for i in range(n_imgs):
         toks = lines[5 + i].split()
         img_bytes = int(toks[0])
+        if img_bytes != 2:
+            # the decode path is int16 throughout (the reference's too:
+            # np.fromfile(dtype=np.int16), profiler.py:604); a header
+            # declaring another record width would silently misalign every
+            # byte offset — reject it instead
+            raise ValueError(
+                f"unsupported .rhd bytes-per-value {img_bytes} for image "
+                f"{i} (only 2-byte int16 .ras records are supported)"
+            )
         day, month, year = toks[1], toks[2], toks[3]
         meta["images"].append(
             {
@@ -333,15 +342,25 @@ def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
         nodata.setdefault(r["img"], []).append(
             {"value": r["value"], "percentage": r["percentage"]}
         )
+    pooled_rows = combined_band_stats(
+        px.where(F.col("v") > 0).select(
+            "img", F.lit("LAI").alias("band"), "v"
+        ),
+        min_images=1,
+    ).collect()
+    # a fully NODATA/zero scene has no positive pixels at all
     pooled = (
-        combined_band_stats(
-            px.where(F.col("v") > 0).select(
-                "img", F.lit("LAI").alias("band"), "v"
-            ),
-            min_images=1,
-        )
-        .collect()[0]
-        .asDict()
+        pooled_rows[0].asDict()
+        if pooled_rows
+        else {
+            "n_of_imgs": 0,
+            "img_names": [],
+            "n_count": 0,
+            "min_v": None,
+            "max_v": None,
+            "avg_v": None,
+            "variance_v": None,
+        }
     )
     px.unpersist()
 

@@ -46,8 +46,13 @@ _KIND = {
 
 
 def _fmt(x: float) -> str:
-    s = f"{x:.10g}"
-    return s
+    """Round-trip-exact WKT number: integers print bare ('1' not '1.0'),
+    everything else uses Python's shortest-repr (17-sig-digit safe) — a
+    fixed %.Ng would truncate projected coordinates (UTM meters need
+    ~13 significant digits before the 4-decimal metric rounding)."""
+    if x == int(x) and abs(x) < 1e16:
+        return str(int(x))
+    return repr(x)
 
 
 def _pts(buf: bytes, off: int, n: int) -> list[tuple[float, float]]:

@@ -389,7 +389,9 @@ def corrected_kurtosis(g2: float | None, n: int) -> float | None:
 
 
 def describe_by_metric(
-    rows: "DataFrame", keys: tuple[str, ...] = ("metric",)
+    rows: "DataFrame",
+    keys: tuple[str, ...] = ("metric",),
+    round_to: int | None = 4,
 ) -> "DataFrame":
     """One pandas-``describe``-shaped row per ``keys`` group over a tall
     ``(*keys, v double)`` frame: count / min / max / average / stddev /
@@ -405,7 +407,9 @@ def describe_by_metric(
     (native var_samp's combine-order noise is ~1e-14 relative — below
     rounding for O(1) ratios, but ABSOLUTE for large-magnitude variances,
     where it would flip the 4th decimal); NULL metrics must be filtered by
-    the caller."""
+    the caller. ``round_to=None`` skips the output rounding — for callers
+    that post-transform the block (e.g. the derived degree-centrality
+    rescale) and round AFTER, so the transform is exact."""
     n = F.count("v")
     nn = n.cast("double")
     s1d = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
@@ -420,22 +424,23 @@ def describe_by_metric(
         / ((n - F.lit(2)) * (n - F.lit(3))),
     )
     p = lambda q: F.percentile(F.col("v"), F.lit(q))  # noqa: E731
+    r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
     return rows.groupBy(*keys).agg(
         n.alias("n_count"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
-        F.round(F.when(n > 0, s1d / nn), 4).alias("avg_v"),
-        F.round(
-            F.when(n > 1, F.sqrt(F.greatest(variance, F.lit(0.0)))), 4
-        ).alias("stddev_v"),
-        F.round(variance, 4).alias("variance_v"),
-        F.round(skew, 4).alias("skewness_v"),
-        F.round(kurt, 4).alias("kurtosis_v"),
-        F.round(p(0.5), 4).alias("median_v"),
-        F.round(p(0.10), 4).alias("p10"),
-        F.round(p(0.25), 4).alias("p25"),
-        F.round(p(0.75), 4).alias("p75"),
-        F.round(p(0.90), 4).alias("p90"),
+        r(F.min("v")).alias("min_v"),
+        r(F.max("v")).alias("max_v"),
+        r(F.when(n > 0, s1d / nn)).alias("avg_v"),
+        r(F.when(n > 1, F.sqrt(F.greatest(variance, F.lit(0.0))))).alias(
+            "stddev_v"
+        ),
+        r(variance).alias("variance_v"),
+        r(skew).alias("skewness_v"),
+        r(kurt).alias("kurtosis_v"),
+        r(p(0.5)).alias("median_v"),
+        r(p(0.10)).alias("p10"),
+        r(p(0.25)).alias("p25"),
+        r(p(0.75)).alias("p75"),
+        r(p(0.90)).alias("p90"),
     )
 
 

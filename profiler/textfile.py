@@ -59,9 +59,11 @@ def read_text_files(spark: SparkSession, path: str | list[str]) -> DataFrame:
     row per file as ``(name, text)``, already normalized. Files are the
     parallelism unit — a million files fan out across executors; a single
     file is one task (the reference's constraint too, it holds each file
-    in memory)."""
+    in memory). ``name`` is the scheme-stripped full path, NOT the
+    basename — every downstream statistic groups on it, and two
+    ``readme.txt`` in different directories must stay two files."""
     raw = spark.read.text(path, wholetext=True)
-    name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    name = F.regexp_replace(F.input_file_name(), r"^[a-z][a-z0-9+.-]*:(//)?", "")
     return raw.select(
         name.alias("name"), normalize_text_expr(F.col("value")).alias("text")
     )
@@ -197,9 +199,12 @@ def text_corpus_profile(
         normalize_text_expr(F.col(text_col)).alias("text"),
     ).cache()
     stats_rows = text_file_stats(files).collect()
+    # ONE token explode serves per-file top-k AND both corpus rollups:
+    # the corpus vocabulary / top terms re-aggregate the (name, term)
+    # counts — far smaller than a second pass over the raw token stream
+    tf_all = term_frequency(files).cache()
     tf = (
-        term_frequency(files)
-        .withColumn(
+        tf_all.withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("name").orderBy(F.desc("count"), "term")
@@ -209,24 +214,15 @@ def text_corpus_profile(
         .drop("rk")
         .collect()
     )
+    corpus = tf_all.groupBy("term").agg(F.sum("count").alias("count"))
+    corpus_distinct = corpus.count()
+    corpus_terms = (
+        corpus.orderBy(F.desc("count"), "term").limit(top_k_terms).collect()
+    )
+    tf_all.unpersist()
     specials = special_char_distribution(files).collect()
     wl = {r["metric"]: r for r in word_length_distribution(files).collect()}
     sl = {r["metric"]: r for r in sentence_length_distribution(files).collect()}
-    corpus = files.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(WORD_TOKEN_RE), 0)
-        ).alias("term")
-    )
-    corpus_distinct = corpus.agg(
-        F.count_distinct("term").alias("d")
-    ).collect()[0]["d"]
-    corpus_terms = (
-        corpus.groupBy("term")
-        .agg(F.count("*").alias("count"))
-        .orderBy(F.desc("count"), "term")
-        .limit(top_k_terms)
-        .collect()
-    )
     summaries = {}
     if include_summaries:
         from profiler.text import tfidf_summary

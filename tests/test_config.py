@@ -204,3 +204,38 @@ def test_run_profile_raster_is_gated(spark, tmp_path):
     }
     with _pytest.raises(NotImplementedError, match="rasterio"):
         run_profile(cfg, spark=spark)
+
+
+def test_run_profile_rdfgraph_accepts_file_list(spark, tmp_path):
+    from profiler.config import run_profile
+
+    (tmp_path / "a.nt").write_text("<urn:a> <urn:p/x> <urn:b> .\n")
+    (tmp_path / "b.nt").write_text("<urn:c> <urn:p/x> <urn:d> .\n")
+    cfg = {
+        "input": {"files": [str(tmp_path / "a.nt"), str(tmp_path / "b.nt")]},
+        "output": {},
+        "profile": {"type": "rdfgraph"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["num_edges"] == 2 and doc["num_nodes"] == 4
+
+
+def test_run_profile_hierarchical_uses_hierarchical_mapping(spark, tmp_path):
+    import json as _json
+
+    from profiler.config import run_profile
+
+    data = tmp_path / "d.json"
+    data.write_text(
+        "\n".join(_json.dumps({"a": {"b": i}, "c": "x"}) for i in range(6))
+    )
+    out = tmp_path / "profile.json"
+    cfg = {
+        "input": {"files": str(data)},
+        "output": {"json": str(out), "rdf": "x.rdf", "serialization": "n3"},
+        "profile": {"type": "hierarchical"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["table"]["num_rows"] == 6
+    body = (tmp_path / "mapping.ttl").read_text()
+    assert "urn:profile:document" in body  # hierarchical, NOT tabular

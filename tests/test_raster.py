@@ -213,3 +213,30 @@ def test_vista_lai_describe_positive_only(spark, tmp_path):
     d = {r["metric"]: r for r in vista_lai_describe(px).collect()}
     assert d["lai_0"]["n_count"] == 20  # NODATA + zeros excluded
     assert d["lai_0"]["min_v"] == 1.0  # 1000/1000
+
+
+def test_rhd_rejects_non_int16_records(tmp_path):
+    rhd = tmp_path / "bad.rhd"
+    rhd.write_text(
+        "7\n1\n8 4\n20.0 699960.0 4500000.0 699960.0 4500000.0 32\n0\n"
+        "4 15 06 2020\n"  # 4 bytes per value: unsupported
+    )
+    with pytest.raises(ValueError, match="bytes-per-value"):
+        read_vista_rhd(str(rhd))
+
+
+def test_vista_profile_all_nodata_scene(spark, tmp_path):
+    img = np.full(ROWS * COLS, -999, dtype="<i2")
+    (tmp_path / "n.ras").write_bytes(img.tobytes())
+    (tmp_path / "n.rhd").write_text(
+        "7\n1\n8 4\n20.0 699960.0 4500000.0 699960.0 4500000.0 32\n0\n"
+        "2 15 06 2020\n"
+    )
+    doc = vista_profile(spark, str(tmp_path / "n.rhd"), str(tmp_path / "n.ras"))
+    comb = doc["combined_bands"][0]
+    assert comb["count"] == 0 and comb["n_of_imgs"] == 0
+    assert comb["min"] is None and comb["variance"] is None
+    # per-image block: no LAI band describe (no positive pixels),
+    # but the no-data distribution is still complete
+    v = doc["variables"][0]
+    assert v["bands"] == []

@@ -155,3 +155,11 @@ def test_shapefile_feeds_geometry_stats(spark, tmp_path):
     by = {r["metric"]: r for r in out}
     assert by["area"]["n_count"] == 2
     assert by["area"]["min_v"] > 0
+
+
+def test_wkt_coordinates_are_roundtrip_exact():
+    x, y = 699960.1234567, 4500000.7654321
+    buf = _shp([_point(x, y)], 1)
+    (_, _, wkt), = parse_shp_bytes(buf)
+    sx, sy = wkt[len("POINT ("):-1].split()
+    assert float(sx) == x and float(sy) == y

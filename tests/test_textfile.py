@@ -33,11 +33,27 @@ def test_read_text_files_normalizes(spark, tmp_path):
     (d / "x.txt").write_text("line one\nline  two\tcafé")
     (d / "y.txt").write_text("solo")
     df = read_text_files(spark, str(d))
-    rows = {r["name"]: r["text"] for r in df.collect()}
+    # name = scheme-stripped full path (basenames collide across dirs)
+    rows = {r["name"].rsplit("/", 1)[-1]: r["text"] for r in df.collect()}
     assert set(rows) == {"x.txt", "y.txt"}
+    assert all(r["name"].startswith("/") for r in df.collect())
     # whitespace collapsed THEN ascii-folded (é dropped, reference order)
     assert rows["x.txt"] == "line one line two caf"
     assert rows["y.txt"] == "solo"
+
+
+def test_read_text_files_same_basename_stays_distinct(spark, tmp_path):
+    (tmp_path / "p").mkdir()
+    (tmp_path / "q").mkdir()
+    (tmp_path / "p" / "readme.txt").write_text("alpha words here")
+    (tmp_path / "q" / "readme.txt").write_text("beta")
+    df = read_text_files(
+        spark, [str(tmp_path / "p"), str(tmp_path / "q")]
+    )
+    doc = text_corpus_profile(df)
+    assert doc["table"]["num_texts"] == 2
+    counts = sorted(v["num_words"] for v in doc["variables"])
+    assert counts == [1, 3]
 
 
 def test_normalize_text_expr(spark):
