@@ -231,6 +231,56 @@ def utm_zone_of(lon: float, lat: float) -> tuple[int, int]:
     return zone, (32600 if lat >= 0 else 32700) + zone
 
 
+def utm_inverse(
+    easting: float, northing: float, zone: int, south: bool = False
+) -> tuple[float, float]:
+    """Driver-side Snyder inverse transverse Mercator (Snyder 1987,
+    eqs. 8-17…8-25, public formulas): UTM meters → (lon, lat) degrees on
+    WGS84. Used only for O(per-file) metadata points — e.g. the Vista
+    profile's WGS84 ``spatial_coverage`` corners (reference
+    ``raster/profiler.py:695-704`` does the same via
+    ``rasterio.warp.transform_bounds``) — so scalar Python is the right
+    tool; per-row projection stays expression-level via
+    :func:`utm_forward_exprs`. Series accuracy is <1e-9 degrees, checked
+    by round-trip against the engine's forward projection."""
+    e2 = _WGS84_F * (2.0 - _WGS84_F)
+    ep2 = e2 / (1.0 - e2)
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    m0 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    lam0 = math.radians((zone - 1) * 6 - 180 + 3)
+    x = easting - _UTM_FALSE_E
+    y = northing - (_UTM_FALSE_N_SOUTH if south else 0.0)
+    mu = y / _UTM_K0 / (_WGS84_A * m0)
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+        + (151 * e1**3 / 96) * math.sin(6 * mu)
+        + (1097 * e1**4 / 512) * math.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    c1 = ep2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = _WGS84_A / math.sqrt(1.0 - e2 * sin1 * sin1)
+    r1 = _WGS84_A * (1.0 - e2) / (1.0 - e2 * sin1 * sin1) ** 1.5
+    d = x / (n1 * _UTM_K0)
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1)
+        * d**6
+        / 720
+    )
+    lon = lam0 + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
+        * d**5
+        / 120
+    ) / cos1
+    return math.degrees(lon), math.degrees(lat)
+
+
 def utm_forward_exprs(
     lon, lat, zone: int, south: bool = False
 ):

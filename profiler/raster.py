@@ -381,6 +381,32 @@ def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
             "percentile90": r["p90"],
         }
 
+    # WGS84 bounding box of the scene (reference profiler.py:695-704 via
+    # rasterio transform_bounds): the 4 UTM corners through the Snyder
+    # inverse — O(1) driver math per file
+    zone_s = str(rhd["UTM_zone"]).strip()
+    zone_num = int("".join(ch for ch in zone_s if ch.isdigit()) or 0)
+    south = zone_s[-1:].upper() in "CDEFGHJKLM" if zone_s[-1:].isalpha() else False
+    coverage = None
+    if 1 <= zone_num <= 60:
+        from profiler.geo import utm_inverse
+
+        ulx, uly = rhd["upper_left_corner_x"], rhd["upper_left_corner_y"]
+        lrx = ulx + rhd["columns"] * rhd["resolution"]
+        lry = uly - rhd["rows"] * rhd["resolution"]
+        pts = [
+            utm_inverse(ex, ny, zone_num, south)
+            for ex, ny in ((ulx, uly), (lrx, uly), (ulx, lry), (lrx, lry))
+        ]
+        xmin = min(p[0] for p in pts)
+        xmax = max(p[0] for p in pts)
+        ymin = min(p[1] for p in pts)
+        ymax = max(p[1] for p in pts)
+        coverage = (
+            f"POLYGON (({xmax:.9f} {ymin:.9f}, {xmax:.9f} {ymax:.9f}, "
+            f"{xmin:.9f} {ymax:.9f}, {xmin:.9f} {ymin:.9f}, "
+            f"{xmax:.9f} {ymin:.9f}))"
+        )
     variables = []
     lai_percentages = []
     for img in rhd["images"]:
@@ -404,7 +430,12 @@ def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
                 "name": name,
                 "type": "Raster",
                 "date": img["date"],
-                "crs": f"UTM zone {rhd['UTM_zone']}",
+                "crs": (
+                    f"EPSG:{(32700 if south else 32600) + zone_num}"
+                    if 1 <= zone_num <= 60
+                    else f"UTM zone {rhd['UTM_zone']}"
+                ),
+                "spatial_coverage": coverage,
                 "spatial_resolution": {
                     "pixel_size_x": rhd["resolution"],
                     "pixel_size_y": rhd["resolution"],

@@ -240,3 +240,49 @@ def test_vista_profile_all_nodata_scene(spark, tmp_path):
     # but the no-data distribution is still complete
     v = doc["variables"][0]
     assert v["bands"] == []
+
+
+def test_utm_inverse_roundtrips_the_forward(spark):
+    """Snyder inverse vs the engine's own forward projection: a grid of
+    lon/lat across zone 32 must round-trip to <1e-8 degrees (~1 mm)."""
+    from pyspark.sql import functions as F
+
+    from profiler.geo import utm_forward_exprs, utm_inverse
+
+    pts = [
+        (float(lon), float(lat))
+        for lon in (6.1, 9.0, 11.9)
+        for lat in (-45.0, 0.0, 37.7, 60.2)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    e, n = utm_forward_exprs(F.col("lon"), F.col("lat"), zone=32)
+    rows = df.select("lon", "lat", e.alias("e"), n.alias("n")).collect()
+    for r in rows:
+        south = r["lat"] < 0
+        northing = r["n"] + (10_000_000.0 if south else 0.0)
+        lon2, lat2 = utm_inverse(r["e"], northing, 32, south)
+        assert abs(lon2 - r["lon"]) < 1e-8
+        assert abs(lat2 - r["lat"]) < 1e-8
+
+
+def test_utm_inverse_known_point():
+    from profiler.geo import utm_inverse
+
+    # central meridian of zone 32 at the equator is exactly (9, 0)
+    lon, lat = utm_inverse(500000.0, 0.0, 32)
+    assert abs(lon - 9.0) < 1e-12 and abs(lat) < 1e-12
+
+
+def test_vista_profile_spatial_coverage(spark, tmp_path):
+    rhd_path, ras_path, _, _ = _vista_fixture(tmp_path)
+    doc = vista_profile(spark, rhd_path, ras_path)
+    v = doc["variables"][0]
+    assert v["crs"] == "EPSG:32632"
+    cov = v["spatial_coverage"]
+    assert cov.startswith("POLYGON ((")
+    # ul corner (699960, 4500000) zone 32 is ~lon 11.3, lat ~40.6
+    nums = [float(t) for t in cov.replace("POLYGON ((", "")
+            .replace("))", "").replace(",", "").split()]
+    lons, lats = nums[0::2], nums[1::2]
+    assert 11.0 < min(lons) < max(lons) < 11.5
+    assert 40.0 < min(lats) < max(lats) < 41.0
