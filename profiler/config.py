@@ -95,19 +95,20 @@ def prepare_mapping(config: dict) -> str | None:
         profile_type = "tabular"
     if profile_type in ("raster", "vista"):
         profile_type = "raster"
-    template = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "mappings",
-        f"{profile_type}_mapping.ttl",
+    # importlib.resources, not __file__: under spark-submit --py-files the
+    # package is imported from profiler.zip and plain open() can't reach in
+    from importlib import resources
+
+    template = resources.files("profiler").joinpath(
+        "mappings", f"{profile_type}_mapping.ttl"
     )
-    if not os.path.isfile(template):
+    if not template.is_file():
         raise FileNotFoundError(
             f"no RML mapping template for profile type {profile_type!r} "
-            f"(expected {template})"
+            f"(expected profiler/mappings/{profile_type}_mapping.ttl)"
         )
     map_file = os.path.join(os.path.dirname(in_file), "mapping.ttl")
-    with open(template) as f:
-        body = f.read()
+    body = template.read_text()
     with open(map_file, "w") as f:
         f.write(body.replace("./out/profile.json", in_file))
     return map_file
