@@ -5222,3 +5222,41 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric", F.concat("metric", F.lit("/sentence"))
     )
     return wl.unionAll(sl).orderBy("metric")
+
+
+@_register(
+    "q99_topic_terms",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split(trim(regexp_replace(
+                 translate(translate(lower(text), '-', ' '),
+                           '!"#$%&()*+,./:;<=>?@[\]^_`{|}~', ''),
+                 '\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts)
+    SELECT CAST(0 AS INT) AS topic,
+           CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+           term,
+           round(cnt / t, 6) AS weight
+    FROM counts, tot
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic extraction at the reference's own setting — gensim
+    ``LdaModel(num_topics=1, topn=10)`` (reference ``text/profiler.py:
+    424-440``) degenerates to the frequency-ordered cleaned-token top-10,
+    which :func:`profiler.text.topic_terms` computes exactly: one token
+    explode -> (term) groupBy with map-side combine -> bounded-heap top-10;
+    weight = token-stream share. The oracle replays the identical cleaning
+    (lowercase, hyphen->space, punctuation-minus-apostrophe drop) and
+    ranking in SQL. The general k-topic path (pyspark.ml online LDA) is
+    pytest-graded — variational posteriors aren't SQL-replayable."""
+    from profiler.text import topic_terms
+
+    return topic_terms(_t(spark, sf_dir, "documents"), top_n=10)

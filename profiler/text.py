@@ -789,3 +789,120 @@ def tfidf_summary(
             .alias("summary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Topic extraction
+# ---------------------------------------------------------------------------
+
+
+def topic_tokens_expr(text: Column) -> Column:
+    """The topic-stage token stream shared by :func:`topic_terms` and its
+    DuckDB oracle: lowercase, hyphen -> space, punctuation (except ``'``)
+    removed, whitespace split, empties dropped — the reference's cleaned-word
+    stream minus its NLTK lemmatizer (a model dep; the reference itself falls
+    back to the raw cleaned words for languages its lemmatizer doesn't cover,
+    reference ``text/profiler.py:346-352``)."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.translate(F.translate(F.lower(text), "-", " "), _PUNCT_DROP, ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.filter(F.split(cleaned, " "), lambda w: w != F.lit(""))
+
+
+def topic_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 1,
+    top_n: int = 10,
+    vocab_size: int = 1 << 16,
+    max_iter: int = 40,
+    seed: int = 2023,
+    optimizer: str = "online",
+) -> DataFrame:
+    """Corpus topic extraction — the reference text profiler's ``topics``
+    field (reference ``text/profiler.py:424-440``: gensim ``LdaModel`` with
+    the hard-coded ``num_topics=1`` and ``topn=10``), generalised to ``k``
+    topics. Returns ``(topic, rank, term, weight)``.
+
+    Two paths, one contract:
+
+    * ``k == 1`` — the reference's actual setting. A single-topic LDA
+      posterior degenerates: the topic-word weights are proportional to the
+      smoothed corpus term counts, so the top-``n`` terms ARE the corpus's
+      most frequent cleaned tokens. Computed exactly as one token explode ->
+      ``groupBy(term)`` count (map-side combined) -> bounded-heap top-``n``
+      (TakeOrderedAndProject); ``weight`` is the term's share of the token
+      stream, rounded to 6 dp. Ties rank lexicographically (gensim's tie
+      order is a dict-insertion artifact, not semantics). Fully
+      SQL-replayable — this path carries the oracle.
+    * ``k > 1`` — distributed LDA via public ``pyspark.ml``
+      (``CountVectorizer`` + ``LDA``), seeded. ``CountVectorizer.fit`` is one
+      distinct-count aggregate bounded to ``vocab_size``; online variational
+      LDA keeps only the k x vocab_size sufficient-statistics matrix on the
+      driver and streams the corpus per iteration — nothing driver-side
+      scales with rows. ``describeTopics`` output (k x top_n rows) joins a
+      broadcast (index, term) vocabulary frame.
+
+    Weights across the two paths agree in ORDER, not in absolute value (LDA
+    reports variational posteriors, the exact path reports token shares);
+    both are deterministic for a fixed seed and input.
+    """
+    toks = topic_tokens_expr(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(toks.alias("tokens"))
+    if k == 1:
+        counts = (
+            base.select(F.explode("tokens").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        total = counts.agg(F.sum("cnt").cast("double").alias("__t"))
+        top = counts.orderBy(F.desc("cnt"), "term").limit(top_n)
+        rk = F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
+        return (
+            top.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(0).alias("topic"),
+                rk.alias("rank"),
+                "term",
+                F.round(F.col("cnt") / F.col("__t"), 6).alias("weight"),
+            )
+            .orderBy("rank")
+        )
+
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    docs = base.where(F.size("tokens") > 0)
+    cvm = CountVectorizer(
+        inputCol="tokens", outputCol="features", vocabSize=vocab_size
+    ).fit(docs)
+    model = LDA(
+        k=k,
+        maxIter=max_iter,
+        seed=seed,
+        optimizer=optimizer,
+        featuresCol="features",
+    ).fit(cvm.transform(docs))
+    vocab = df.sparkSession.createDataFrame(
+        list(enumerate(cvm.vocabulary)), "idx INT, term STRING"
+    )
+    z = F.posexplode(F.arrays_zip("termIndices", "termWeights"))
+    exploded = (
+        model.describeTopics(top_n)
+        .select("topic", z.alias("pos", "z"))
+        .select(
+            "topic",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("z.termIndices").cast("int").alias("idx"),
+            F.round(F.col("z.termWeights"), 6).alias("weight"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "idx")
+        .select("topic", "rank", "term", "weight")
+        .orderBy("topic", "rank")
+    )

@@ -25,9 +25,15 @@ rule-table tokenizers; this engine uses the deterministic regex pair
 ``[a-z0-9]+(?:'[a-z]+)?`` + punctuation runs for words and
 terminal-punctuation splitting for sentences (shared with
 :func:`profiler.text.sentence_count_expr`) — replayable in any engine,
-no model download. The spaCy language-ID / NER / VADER / LDA stages are
-out of scope (model deps, SURVEY §0); language distribution comes from
-the engine's n-gram heuristic (:mod:`profiler.text`) when wanted.
+no model download. The spaCy language-ID / NER / VADER stages are out of
+scope (model deps, SURVEY §0); language distribution comes from the
+engine's n-gram heuristic (:mod:`profiler.text`) when wanted. The
+reference's ``topics`` field (gensim LDA, hard-coded ``num_topics=1`` —
+reference ``text/profiler.py:424-440``) IS covered: a one-topic LDA
+posterior is frequency order, so per-file topics are the top word-like
+terms of the already-computed term-frequency table (zero extra passes);
+the general k-topic path is :func:`profiler.text.topic_terms`
+(pyspark.ml online LDA).
 """
 
 from __future__ import annotations
@@ -182,6 +188,7 @@ def text_corpus_profile(
     text_col: str = "text",
     top_k_terms: int = 50,
     include_summaries: bool = False,
+    n_topic_terms: int = 10,
 ) -> dict:
     """The reference's textual profile document (single file
     ``text/profiler.py:28-534``; corpus ``:538-1111``) over a ``(name,
@@ -193,7 +200,12 @@ def text_corpus_profile(
     aggregates over the frame; only O(files x top_k) summary rows reach
     the driver, so a corpus of millions of files needs a bounded driver.
     ``include_summaries`` adds the TF-IDF extractive summary per file
-    (:func:`profiler.text.tfidf_summary`)."""
+    (:func:`profiler.text.tfidf_summary`). Each file also gets ``topics``:
+    the reference emits gensim-LDA topics with ``num_topics=1`` (reference
+    ``text/profiler.py:424-440``), whose one-topic posterior is frequency
+    order — so topics here are the first ``n_topic_terms`` WORD-like terms
+    (punctuation-run tokens excluded) of the per-file term-frequency
+    table, at no extra pass over the corpus."""
     files = df.select(
         F.col(name_col).alias("name"),
         normalize_text_expr(F.col(text_col)).alias("text"),
@@ -285,6 +297,11 @@ def text_corpus_profile(
             "ratio_special_characters": r["ratio_special_characters"],
             "special_characters_distribution": sp_by.get(name, []),
             "term_frequency": tf_by.get(name, []),
+            "topics": [
+                e["term"]
+                for e in tf_by.get(name, [])
+                if e["term"][:1].isalnum()
+            ][:n_topic_terms],
             "word_length_distribution": block(wl[name]) if name in wl else {},
             "sentence_length_distribution": (
                 block(sl[name]) if name in sl else {}

@@ -130,6 +130,13 @@ def test_text_corpus_profile_document(files_df):
     assert va["word_length_distribution"]["count"] == 13
     assert va["sentence_length_distribution"]["count"] == 3
     assert va["special_characters_distribution"][0]["type"] == " "
+    # topics: the k=1-LDA frequency equivalent — the word-like prefix of the
+    # term-frequency table (punctuation-run tokens excluded), most-freq first
+    assert va["topics"] == [
+        e["term"] for e in va["term_frequency"] if e["term"][:1].isalnum()
+    ]
+    # count ties break lexicographically: cat(3) before the(3)
+    assert va["topics"][0] == "cat" and "." not in va["topics"]
 
 
 def test_text_corpus_profile_with_summaries(spark):

@@ -812,3 +812,66 @@ def test_geo_shape_stats_layer(spark):
         r["metric"]: r["avg_v"] for r in geo_shape_stats(df, "wkt").collect()
     }
     assert auto["area"] == a["avg_v"]
+
+
+# ---------------------------------------------------------------------------
+# Topic extraction
+# ---------------------------------------------------------------------------
+def test_topic_terms_k1_is_exact_frequency(spark):
+    """The reference's setting (gensim LDA num_topics=1, topn=10,
+    text/profiler.py:424-440) degenerates to frequency order: replay the
+    cleaning + counting driver-side and demand exact ranks and weights."""
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "The cat sat on the mat - the cat!"),
+        (2, "A dog and the cat; the dog barked."),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = text.topic_terms(df, top_n=4).collect()
+
+    def clean(s):
+        s = re.sub(
+            r"[!\"#$%&()*+,./:;<=>?@\[\\\]^_`{|}~]", "", s.lower().replace("-", " ")
+        )
+        return re.sub(r"\s+", " ", s).strip()
+
+    counts = Counter(
+        w for _, t in rows if t for w in clean(t).split() if w
+    )
+    total = sum(counts.values())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [(r["topic"], r["rank"], r["term"], r["weight"]) for r in got] == [
+        (0, i + 1, w, round(c / total, 6)) for i, (w, c) in enumerate(want)
+    ]
+
+
+def test_topic_terms_k1_empty_corpus(spark):
+    df = spark.createDataFrame([(1, None), (2, "   ")], "doc_id int, text string")
+    assert text.topic_terms(df).collect() == []
+
+
+def test_topic_terms_lda_separates_disjoint_vocab(spark):
+    """k>1 goes through pyspark.ml online LDA: on a corpus of two
+    disjoint-vocabulary document families, each inferred topic's top terms
+    must come from exactly one family and both families must surface."""
+    va = "alpha beta gamma delta epsilon"
+    vb = "one two three four five"
+    rows = [((va if i % 2 else vb) + " ") * 5 for i in range(40)]
+    df = spark.createDataFrame([(r,) for r in rows], "text string")
+    got = text.topic_terms(df, k=2, top_n=5, max_iter=40, seed=7)
+    by_topic = {}
+    for r in got.collect():
+        by_topic.setdefault(r["topic"], []).append((r["rank"], r["term"], r["weight"]))
+    assert set(by_topic) == {0, 1}
+    families = []
+    for terms in by_topic.values():
+        assert [rk for rk, _, _ in terms] == [1, 2, 3, 4, 5]
+        ws = [w for _, _, w in terms]
+        assert ws == sorted(ws, reverse=True)
+        fam = {t for _, t, _ in terms}
+        assert fam <= set(va.split()) or fam <= set(vb.split())
+        families.append(fam <= set(va.split()))
+    assert set(families) == {True, False}
