@@ -234,9 +234,16 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
 
         files = input_cfg.get("files")
         path = files if isinstance(files, str) else [os.path.abspath(p) for p in files]
+        lex = None
+        lex_path = input_cfg.get("sentiment_lexicon")
+        if lex_path:
+            from profiler.text import load_sentiment_lexicon
+
+            lex = load_sentiment_lexicon(spark, os.path.abspath(lex_path))
         doc = text_corpus_profile(
             read_text_files(spark, path),
             include_summaries=bool(input_cfg.get("summaries", False)),
+            sentiment_lexicon=lex,
         )
     elif kind == "vista":
         from profiler.raster import vista_profile

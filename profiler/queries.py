@@ -5260,3 +5260,93 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import topic_terms
 
     return topic_terms(_t(spark, sf_dir, "documents"), top_n=10)
+
+
+def _q100_oracle() -> str:
+    """Full SQL replay of the VADER-style scorer with the demo lexicon:
+    identical tokenization to q99, lexicon + booster joins, 3-token lag
+    negation, DECIMAL hit sums (order-independent), '!' amplification,
+    compound normalization."""
+    from profiler.text import (
+        DEMO_SENTIMENT_LEXICON,
+        SENTIMENT_BOOSTERS,
+        SENTIMENT_NEGATIONS,
+    )
+
+    lex_vals = ", ".join(
+        f"('{k}', {v})" for k, v in DEMO_SENTIMENT_LEXICON.items() if "'" not in k
+    )
+    boost_vals = ", ".join(
+        f"('{k}', {v})" for k, v in SENTIMENT_BOOSTERS.items() if "'" not in k
+    )
+    negs = ", ".join(f"'{t}'" for t in SENTIMENT_NEGATIONS if "'" not in t)
+    negs_q = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in SENTIMENT_NEGATIONS if "'" in t
+    )
+    neg_list = negs + (", " + negs_q if negs_q else "")
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             least(length(text) - length(replace(text, '!', '')), 4) AS n_excl,
+             list_filter(string_split(trim(regexp_replace(
+                 translate(translate(lower(text), '-', ' '),
+                           '!"#$%&()*+,./:;<=>?@[\]^_`{{|}}~', ''),
+                 '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, n_excl, i AS pos, toks[i] AS token
+      FROM docs, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    lex(token, val) AS (VALUES {lex_vals}),
+    boost(btok, binc) AS (VALUES {boost_vals}),
+    ctx AS (
+      SELECT t.doc_id, t.pos, t.token, l.val,
+             lag(t.token, 1) OVER w AS p1,
+             lag(t.token, 2) OVER w AS p2,
+             lag(t.token, 3) OVER w AS p3
+      FROM tok t LEFT JOIN lex l USING (token)
+      WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+    ),
+    adj AS (
+      SELECT c.doc_id,
+             CAST(c.val AS DECIMAL(14,4))
+               + (CASE WHEN c.val < 0 THEN -1 ELSE 1 END)
+                 * COALESCE(CAST(b.binc AS DECIMAL(14,4)),
+                            CAST(0 AS DECIMAL(14,4))) AS v1,
+             (c.p1 IN ({neg_list}) OR c.p2 IN ({neg_list})
+              OR c.p3 IN ({neg_list})) AS neg
+      FROM ctx c LEFT JOIN boost b ON b.btok = c.p1
+      WHERE c.val IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_hits,
+             CAST(sum(CASE WHEN neg THEN v1 * CAST(-0.74 AS DECIMAL(4,2))
+                           ELSE CAST(v1 AS DECIMAL(19,6)) END) AS DOUBLE) AS s
+      FROM adj GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_hits, 0) AS n_hits,
+           CASE WHEN p.s IS NULL OR p.s = 0 THEN 0.0
+                ELSE round((p.s + sign(p.s) * d.n_excl * 0.292)
+                           / sqrt((p.s + sign(p.s) * d.n_excl * 0.292)
+                                  * (p.s + sign(p.s) * d.n_excl * 0.292)
+                                  + 15.0), 4) END AS compound
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@_register("q100_sentiment_scores", _q100_oracle())
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-parameterized VADER-style sentiment compound per document —
+    the public algorithm behind the reference's
+    ``SentimentIntensityAnalyzer`` field (reference
+    ``text/profiler.py:973-990``; Hutto & Gilbert 2014), run with the
+    engine's own demo lexicon (the real VADER lexicon file is a data dep a
+    user supplies via :func:`profiler.text.load_sentiment_lexicon`). One
+    token explode, broadcast lexicon/booster joins, per-document lag
+    windows, DECIMAL hit sums (:func:`profiler.text.sentiment_scores`)."""
+    from profiler.text import sentiment_scores
+
+    return sentiment_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -189,6 +189,7 @@ def text_corpus_profile(
     top_k_terms: int = 50,
     include_summaries: bool = False,
     n_topic_terms: int = 10,
+    sentiment_lexicon: dict[str, float] | None = None,
 ) -> dict:
     """The reference's textual profile document (single file
     ``text/profiler.py:28-534``; corpus ``:538-1111``) over a ``(name,
@@ -205,7 +206,11 @@ def text_corpus_profile(
     ``text/profiler.py:424-440``), whose one-topic posterior is frequency
     order — so topics here are the first ``n_topic_terms`` WORD-like terms
     (punctuation-run tokens excluded) of the per-file term-frequency
-    table, at no extra pass over the corpus."""
+    table, at no extra pass over the corpus. Passing ``sentiment_lexicon``
+    (e.g. from :func:`profiler.text.load_sentiment_lexicon`) adds the
+    reference's per-file ``sentiment`` compound plus the table-level
+    ``sentiment`` mean and ``sentiment_analysis`` compound-level buckets
+    (reference ``text/profiler.py:973-990,1093-1095``)."""
     files = df.select(
         F.col(name_col).alias("name"),
         normalize_text_expr(F.col(text_col)).alias("text"),
@@ -243,6 +248,17 @@ def text_corpus_profile(
             r["name"]: r["summary"]
             for r in tfidf_summary(files, text_col="text", id_col="name").collect()
         }
+    sentiments: dict[str, float] = {}
+    sent_block: dict | None = None
+    if sentiment_lexicon is not None:
+        from profiler.text import sentiment_distribution, sentiment_scores
+
+        scored = sentiment_scores(
+            files, text_col="text", id_col="name", lexicon=sentiment_lexicon
+        ).cache()
+        sentiments = {r["name"]: r["compound"] for r in scored.collect()}
+        sent_block = sentiment_distribution(scored)
+        scored.unpersist()
     files.unpersist()
 
     def block(r) -> dict:
@@ -283,6 +299,10 @@ def text_corpus_profile(
             {"term": r["term"], "count": r["count"]} for r in corpus_terms
         ],
     }
+    if sent_block is not None:
+        # reference: table sentiment = mean of per-file compounds
+        table["sentiment"] = sent_block["compound_mean"]
+        table["sentiment_analysis"] = sent_block
     for r in sorted(stats_rows, key=lambda x: x["name"]):
         name = r["name"]
         var = {
@@ -309,6 +329,8 @@ def text_corpus_profile(
         }
         if name in summaries:
             var["summary"] = summaries[name]
+        if name in sentiments:
+            var["sentiment"] = sentiments[name]
         variables.append(var)
         table["num_words"] += r["num_words"]
         table["num_sentences"] += r["num_sentences"]

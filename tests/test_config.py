@@ -165,6 +165,24 @@ def test_run_profile_dispatch_textual(spark, tmp_path):
     assert doc["table"]["num_sentences"] == 2
 
 
+def test_run_profile_textual_sentiment_lexicon(spark, tmp_path):
+    from profiler.config import run_profile
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("A very good day!")
+    lex = tmp_path / "lex.txt"
+    lex.write_text("good\t1.9\t0.5\t[2,2]\n")
+    cfg = {
+        "input": {"files": str(d), "sentiment_lexicon": str(lex)},
+        "output": {"json": str(tmp_path / "p.json")},
+        "profile": {"type": "textual"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    assert doc["variables"][0]["sentiment"] > 0
+    assert "sentiment_analysis" in doc["table"]
+
+
 def test_run_profile_dispatch_vista(spark, tmp_path):
     import numpy as np
 

@@ -153,3 +153,30 @@ def test_text_corpus_profile_with_summaries(spark):
     v = doc["variables"][0]
     assert "summary" in v
     assert isinstance(v["summary"], str)
+
+
+def test_text_corpus_profile_with_sentiment(spark):
+    from profiler.text import DEMO_SENTIMENT_LEXICON
+
+    df = spark.createDataFrame(
+        [
+            ("pos.txt", "a very good, great result! excellent."),
+            ("neg.txt", "terrible awful broken. the worst."),
+            ("neu.txt", "nothing scored in this one."),
+        ],
+        "name string, text string",
+    )
+    doc = text_corpus_profile(df, sentiment_lexicon=DEMO_SENTIMENT_LEXICON)
+    per = {v["name"]: v for v in doc["variables"]}
+    assert per["pos.txt"]["sentiment"] > 0.5
+    assert per["neg.txt"]["sentiment"] < -0.5
+    assert per["neu.txt"]["sentiment"] == 0.0
+    t = doc["table"]
+    assert t["sentiment"] == t["sentiment_analysis"]["compound_mean"]
+    lv = t["sentiment_analysis"]["compound_levels"]
+    assert lv["(0.5, 1)"] == 1 and lv["(-1, -0.5)"] == 1
+    assert lv["(0, 0.5)"] == 0 and lv["(-0.5, 0)"] == 0  # exact 0 uncounted
+    # no lexicon -> no sentiment fields at all
+    doc2 = text_corpus_profile(df)
+    assert "sentiment" not in doc2["table"]
+    assert all("sentiment" not in v for v in doc2["variables"])

@@ -875,3 +875,74 @@ def test_topic_terms_lda_separates_disjoint_vocab(spark):
         assert fam <= set(va.split()) or fam <= set(vb.split())
         families.append(fam <= set(va.split()))
     assert set(families) == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# Sentiment (lexicon-parameterized VADER-style)
+# ---------------------------------------------------------------------------
+def _compound(ssum, n_excl):
+    import math
+
+    a = ssum + math.copysign(1.0, ssum) * min(n_excl, 4) * 0.292
+    return round(a / math.sqrt(a * a + 15.0), 4)
+
+
+def test_sentiment_scores_golden(spark):
+    """Driver-side replay of the published rules (Hutto & Gilbert 2014):
+    lexicon hit, booster on the preceding token, 3-token negation window,
+    '!' amplification, compound normalization."""
+    rows = [
+        (1, "This is a very good result! Really great work."),
+        (2, "not good at all. a terrible, broken mess."),
+        (3, "neutral words only, nothing scored here."),
+        (4, None),
+        (5, "slightly bad."),
+        (6, "good!!!!!!"),  # >4 '!' cap at 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in text.sentiment_scores(df).collect()}
+    # doc1: good(1.9) boosted by 'very' -> 2.193; great(3.1) by 'really' -> 3.393
+    assert got[1]["n_hits"] == 2
+    assert got[1]["compound"] == _compound(2.193 + 3.393, 1)
+    # doc2: good negated ('not' one back) -> 1.9 * -0.74; terrible; broken
+    assert got[2]["n_hits"] == 3
+    assert got[2]["compound"] == _compound(1.9 * -0.74 - 3.1 - 1.9, 0)
+    assert got[3] == got[3] and got[3]["n_hits"] == 0 and got[3]["compound"] == 0.0
+    assert 4 not in got  # null text excluded like every text operator
+    # doc5: dampener flips the increment's sign against the hit
+    assert got[5]["compound"] == _compound(-2.5 + 0.293, 0)
+    assert got[6]["compound"] == _compound(1.9, 4)
+
+
+def test_sentiment_negation_window_is_three_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "not a a good one"), (2, "not a a a good one")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["compound"] for r in text.sentiment_scores(df).collect()}
+    assert got[1] == _compound(1.9 * -0.74, 0)  # 3 back: negated
+    assert got[2] == _compound(1.9, 0)  # 4 back: out of window
+
+
+def test_sentiment_distribution_buckets(spark):
+    rows = [
+        (1, 0.9), (2, 0.2), (3, -0.2), (4, -0.9), (5, 0.0), (6, 0.5), (7, -0.5),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id int, compound double")
+    d = text.sentiment_distribution(scored)
+    # boundary semantics match the reference: >=0.5 high-pos, <=-0.5 high-neg,
+    # exactly 0 in NO bucket
+    assert d["compound_levels"] == {
+        "(-1, -0.5)": 2, "(-0.5, 0)": 1, "(0, 0.5)": 1, "(0.5, 1)": 2,
+    }
+    assert d["compound_mean"] == round(sum(v for _, v in rows) / 7, 4)
+
+
+def test_load_sentiment_lexicon_vader_format(spark, tmp_path):
+    p = tmp_path / "lex.txt"
+    p.write_text("good\t1.9\t0.5\t[2,2,2]\nbad\t-2.5\t0.4\t[-3,-2]\nnoise\n")
+    lex = text.load_sentiment_lexicon(spark, str(p))
+    assert lex == {"good": 1.9, "bad": -2.5}
+    df = spark.createDataFrame([(1, "good bad")], "doc_id int, text string")
+    r = text.sentiment_scores(df, lexicon=lex).collect()[0]
+    assert r["n_hits"] == 2 and r["compound"] == _compound(1.9 - 2.5, 0)
