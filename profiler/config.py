@@ -244,6 +244,7 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
             read_text_files(spark, path),
             include_summaries=bool(input_cfg.get("summaries", False)),
             sentiment_lexicon=lex,
+            include_entities=bool(input_cfg.get("entities", False)),
         )
     elif kind == "vista":
         from profiler.raster import vista_profile

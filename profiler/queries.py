@@ -5350,3 +5350,114 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import sentiment_scores
 
     return sentiment_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_Q101_NAMES = ("Alice Johnson", "Bob Smith", "Carol Diaz", "David Lee", "Emma Novak")
+
+
+def _q101_text_sql() -> str:
+    """The deterministic entity-bearing sentence, synthesized per customer
+    identically in both engines (the fixtures carry no natural entities —
+    the q44 construction pattern)."""
+    names = ", ".join(f"'{n}'" for n in _Q101_NAMES)
+    return f"""
+        ([{names}])[CAST(c_custkey % 5 AS INT) + 1]
+        || ' reported on 2023-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+        || '-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+        || ' at ' || CAST(c_custkey % 12 + 1 AS VARCHAR)
+        || ':' || lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0')
+        || ' pm paying $' || CAST(c_custkey % 900 + 1 AS VARCHAR)
+        || '.50, a ' || CAST(c_custkey % 100 AS VARCHAR)
+        || '% share via user' || CAST(c_custkey AS VARCHAR)
+        || '@example.com from https://example.com/p/' || CAST(c_custkey AS VARCHAR) || '.'
+    """
+
+
+def _q101_oracle() -> str:
+    """Full SQL replay of the pattern-rule NER: the same regex families
+    (shared constants), the reference's punctuation cleanup, per-document
+    span dedup with tuple-order precedence, per-type rollup with an
+    order-insensitive md5 over every (doc, span) pair."""
+    from profiler.text import ENTITY_KEEP_RAW, ENTITY_PATTERNS, ENTITY_PUNCT_DELETE
+
+    branches = []
+    for prio, (etype, pat) in enumerate(ENTITY_PATTERNS):
+        if etype in ENTITY_KEEP_RAW:
+            clean = "regexp_replace(m.ne, '[.,;:!?]+$', '')"
+        else:
+            clean = (
+                "trim(regexp_replace(translate(translate(m.ne, '-', ' '), "
+                f"'{ENTITY_PUNCT_DELETE}', ''), '\\s+', ' ', 'g'))"
+            )
+        branches.append(
+            f"SELECT doc_id, {prio} AS prio, '{etype}' AS type, {clean} AS ne "
+            f"FROM d, UNNEST(regexp_extract_all(d.text, '{pat}')) AS m(ne)"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH d AS (
+      SELECT c_custkey AS doc_id, {_q101_text_sql()} AS text FROM customer
+    ),
+    spans AS ({union}),
+    dedup AS (
+      SELECT doc_id, ne, arg_min(type, prio) AS type
+      FROM spans WHERE ne <> '' GROUP BY doc_id, ne
+    )
+    SELECT type,
+           count(*) AS n_mentions,
+           count(DISTINCT ne) AS n_distinct,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || ne, '|' ORDER BY CAST(doc_id AS VARCHAR) || ':' || ne)) AS tag_md5
+    FROM dedup GROUP BY type ORDER BY type
+    """
+
+
+@_register("q101_named_entities", _q101_oracle())
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-rule named-entity extraction — the rule-recognizable subset
+    of the reference's spaCy ``named_entities`` stage (reference
+    ``text/profiler.py:449-465``; :func:`profiler.text.spacy_ner_udf` is
+    the model slot). One narrow multi-family ``regexp_extract_all``
+    projection, one explode, one map-side-combinable dedup groupBy
+    (:func:`profiler.text.named_entities`); rolled up per type with an
+    order-insensitive md5 over every (doc, span) pair so the driver
+    value-hash checks each extracted span."""
+    from profiler.text import named_entities
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    names = F.array(*[F.lit(n) for n in _Q101_NAMES])
+    text = F.concat(
+        F.element_at(names, (k % 5 + 1).cast("int")),
+        F.lit(" reported on 2023-"),
+        F.lpad((k % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" at "),
+        (k % 12 + 1).cast("string"),
+        F.lit(":"),
+        F.lpad((k % 60).cast("string"), 2, "0"),
+        F.lit(" pm paying $"),
+        (k % 900 + 1).cast("string"),
+        F.lit(".50, a "),
+        (k % 100).cast("string"),
+        F.lit("% share via user"),
+        k.cast("string"),
+        F.lit("@example.com from https://example.com/p/"),
+        k.cast("string"),
+        F.lit("."),
+    )
+    docs = c.select(k.alias("doc_id"), text.alias("text"))
+    ents = named_entities(docs)
+    tag = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("named_entity"))
+    return (
+        ents.select("type", F.col("named_entity").alias("ne"), tag.alias("tag"))
+        .groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct("ne").alias("n_distinct"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("tag")), "|").cast("binary")
+            ).alias("tag_md5"),
+        )
+        .orderBy("type")
+    )

@@ -190,6 +190,7 @@ def text_corpus_profile(
     include_summaries: bool = False,
     n_topic_terms: int = 10,
     sentiment_lexicon: dict[str, float] | None = None,
+    include_entities: bool = False,
 ) -> dict:
     """The reference's textual profile document (single file
     ``text/profiler.py:28-534``; corpus ``:538-1111``) over a ``(name,
@@ -210,7 +211,10 @@ def text_corpus_profile(
     (e.g. from :func:`profiler.text.load_sentiment_lexicon`) adds the
     reference's per-file ``sentiment`` compound plus the table-level
     ``sentiment`` mean and ``sentiment_analysis`` compound-level buckets
-    (reference ``text/profiler.py:973-990,1093-1095``)."""
+    (reference ``text/profiler.py:973-990,1093-1095``).
+    ``include_entities`` adds the reference's per-file + table
+    ``named_entities`` lists (reference ``text/profiler.py:449-465``) via
+    the pattern-rule extractor :func:`profiler.text.named_entities`."""
     files = df.select(
         F.col(name_col).alias("name"),
         normalize_text_expr(F.col(text_col)).alias("text"),
@@ -259,6 +263,18 @@ def text_corpus_profile(
         sentiments = {r["name"]: r["compound"] for r in scored.collect()}
         sent_block = sentiment_distribution(scored)
         scored.unpersist()
+    ents_by: dict[str, list[dict]] = {}
+    if include_entities:
+        from profiler.text import named_entities
+
+        for r in (
+            named_entities(files, text_col="text", id_col="name")
+            .orderBy("name", "named_entity")
+            .collect()
+        ):
+            ents_by.setdefault(r["name"], []).append(
+                {"named_entity": r["named_entity"], "type": r["type"]}
+            )
     files.unpersist()
 
     def block(r) -> dict:
@@ -303,6 +319,13 @@ def text_corpus_profile(
         # reference: table sentiment = mean of per-file compounds
         table["sentiment"] = sent_block["compound_mean"]
         table["sentiment_analysis"] = sent_block
+    if include_entities:
+        # reference: table list is the per-file lists appended in file order
+        table["named_entities"] = [
+            e
+            for name in sorted(ents_by)
+            for e in ents_by[name]
+        ]
     for r in sorted(stats_rows, key=lambda x: x["name"]):
         name = r["name"]
         var = {
@@ -331,6 +354,8 @@ def text_corpus_profile(
             var["summary"] = summaries[name]
         if name in sentiments:
             var["sentiment"] = sentiments[name]
+        if include_entities:
+            var["named_entities"] = ents_by.get(name, [])
         variables.append(var)
         table["num_words"] += r["num_words"]
         table["num_sentences"] += r["num_sentences"]

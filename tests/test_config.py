@@ -257,3 +257,19 @@ def test_run_profile_hierarchical_uses_hierarchical_mapping(spark, tmp_path):
     assert doc["table"]["num_rows"] == 6
     body = (tmp_path / "mapping.ttl").read_text()
     assert "urn:profile:document" in body  # hierarchical, NOT tabular
+
+
+def test_run_profile_textual_entities_flag(spark, tmp_path):
+    from profiler.config import run_profile
+
+    d = tmp_path / "corpus_e"
+    d.mkdir()
+    (d / "a.txt").write_text("Ada Lovelace wrote to c@b.co on 1843-07-02.")
+    cfg = {
+        "input": {"files": str(d), "entities": True},
+        "output": {"json": str(tmp_path / "p.json")},
+        "profile": {"type": "textual"},
+    }
+    doc = run_profile(cfg, spark=spark)
+    types = {e["type"] for e in doc["table"]["named_entities"]}
+    assert types == {"PROPN", "EMAIL", "DATE"}

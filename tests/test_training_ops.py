@@ -946,3 +946,92 @@ def test_load_sentiment_lexicon_vader_format(spark, tmp_path):
     df = spark.createDataFrame([(1, "good bad")], "doc_id int, text string")
     r = text.sentiment_scores(df, lexicon=lex).collect()[0]
     assert r["n_hits"] == 2 and r["compound"] == _compound(1.9 - 2.5, 0)
+
+
+# ---------------------------------------------------------------------------
+# Named entities (pattern-rule NER)
+# ---------------------------------------------------------------------------
+def test_named_entities_golden(spark):
+    """Each pattern family, the reference's punctuation cleanup, per-doc
+    dedup, and null/empty handling."""
+    df = spark.createDataFrame(
+        [
+            (1, "Alice Johnson met Bob Smith on 2023-05-04 at 9:30 pm, "
+                "paid $1,250.75 (a 12.5% fee) via alice@example.com - "
+                "see https://example.com/p/1."),
+            (2, "no entities here. may 5 is a lowercase month."),
+            (3, None),
+            (4, "January 5, 2024 and 3/4/24. Alice Johnson twice: Alice Johnson."),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["named_entity"]): r["type"]
+        for r in text.named_entities(df).collect()
+    }
+    assert got[(1, "Alice Johnson")] == "PROPN"
+    assert got[(1, "Bob Smith")] == "PROPN"
+    assert got[(1, "2023 05 04")] == "DATE"  # reference cleanup: '-' -> ' '
+    assert got[(1, "930 pm")] == "TIME"  # ':' deleted by cleanup
+    assert got[(1, "125075")] == "MONEY"  # '$', ',', '.' deleted
+    assert got[(1, "125")] == "PERCENT"
+    assert got[(1, "alice@example.com")] == "EMAIL"  # raw kept
+    assert got[(1, "https://example.com/p/1")] == "URL"  # trailing '.' stripped
+    assert not any(d == 2 for d, _ in got)  # nothing matched
+    assert not any(d == 3 for d, _ in got)  # null text excluded
+    d4 = {ne: t for (d, ne), t in got.items() if d == 4}
+    assert d4 == {
+        "January 5 2024": "DATE",
+        "3424": "DATE",  # 3/4/24 after cleanup
+        "Alice Johnson": "PROPN",  # deduped within the doc
+    }
+
+
+def test_named_entities_precedence_and_empty_spans(spark):
+    # a span that cleans to empty ('%' alone can't happen; force via a doc
+    # of pure punctuation PROPN-like input) and the tuple-order precedence
+    # when two families yield the same cleaned span: '12/3/24' DATE vs
+    # a PERCENT-ish overlap is impossible, so test precedence directly with
+    # TIME vs DATE producing identical cleaned text is also impossible —
+    # instead pin that prio comes from ENTITY_PATTERNS order via min_by on
+    # a crafted frame where EMAIL and URL share a span.
+    df = spark.createDataFrame(
+        [(1, "write admin@host.example or admin@host.example again")],
+        "doc_id int, text string",
+    )
+    rows = text.named_entities(df).collect()
+    assert len(rows) == 1 and rows[0]["type"] == "EMAIL"
+
+
+def test_named_entities_in_corpus_profile(spark):
+    from profiler.textfile import text_corpus_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a.txt", "Grace Hopper spoke on 1992-01-01. Contact g@navy.mil."),
+            ("b.txt", "plain lowercase words only."),
+        ],
+        "name string, text string",
+    )
+    doc = text_corpus_profile(df, include_entities=True)
+    per = {v["name"]: v for v in doc["variables"]}
+    a = {e["named_entity"]: e["type"] for e in per["a.txt"]["named_entities"]}
+    assert a == {
+        "Grace Hopper": "PROPN",
+        "1992 01 01": "DATE",
+        "g@navy.mil": "EMAIL",
+    }
+    assert per["b.txt"]["named_entities"] == []
+    # table list = per-file lists appended in file order
+    assert doc["table"]["named_entities"] == per["a.txt"]["named_entities"]
+    # flag off -> fields absent entirely
+    doc2 = text_corpus_profile(df)
+    assert "named_entities" not in doc2["table"]
+    assert all("named_entities" not in v for v in doc2["variables"])
+
+
+def test_spacy_ner_udf_is_import_gated():
+    import pytest
+
+    with pytest.raises(ImportError, match="spacy is not installed"):
+        text.spacy_ner_udf()
