@@ -1001,11 +1001,14 @@ def sentiment_scores(
     * compound = amplified_sum / sqrt(amplified_sum^2 + ``ALPHA``), rounded
       to 4 dp — 0.0 for hitless documents.
 
-    Scale shape: one token explode; the lexicon (thousands of rows at most)
-    joins as a BROADCAST frame — never a literal in the plan; negation /
-    booster context are ``lag`` windows partitioned by document (bounded by
-    document length, the same shuffle shape as the TF-IDF stage); the final
-    per-document aggregate is map-side combinable. No Python in the plan.
+    Scale shape: ONE scan — ``posexplode_outer`` keeps token-less documents
+    in the stream, so the per-document aggregate needs no join back to the
+    document frame and the text column is read exactly once; the lexicon
+    (thousands of rows at most) joins as a BROADCAST frame — never a
+    literal in the plan; negation / booster context are ``lag`` windows
+    partitioned by document (bounded by document length, the same shuffle
+    shape as the TF-IDF stage); the final per-document aggregate is
+    map-side combinable. No Python in the plan.
     """
     lex = lexicon if lexicon is not None else DEMO_SENTIMENT_LEXICON
     spark = df.sparkSession
@@ -1028,7 +1031,7 @@ def sentiment_scores(
         ).alias("n_excl"),
     )
     toks = base.select(
-        "__id", "n_excl", F.posexplode("toks").alias("pos", "token")
+        "__id", "n_excl", F.posexplode_outer("toks").alias("pos", "token")
     )
     w = Window.partitionBy("__id").orderBy("pos")
     ctx = (
@@ -1046,9 +1049,8 @@ def sentiment_scores(
     # independent of partial-aggregation order (lexicon valences and booster
     # increments are <=4-dp decimals, N_SCALAR is 2-dp: all products exact)
     sgn = F.when(F.col("val") < 0, F.lit(-1)).otherwise(F.lit(1))
-    hits = (
-        ctx.where(F.col("val").isNotNull())
-        .join(boostdf, ctx["p1"] == F.col("btok"), "left")
+    scored = (
+        ctx.join(boostdf, ctx["p1"] == F.col("btok"), "left")
         .withColumn(
             "v1",
             F.col("val").cast("decimal(14,4)")
@@ -1061,23 +1063,24 @@ def sentiment_scores(
             ).otherwise(F.col("v1").cast("decimal(19,6)")),
         )
     )
-    per_doc = hits.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_hits"),
+    # non-hit tokens carry val=NULL -> v2=NULL: sum() skips them and the
+    # conditional count tallies only hits, so every document — including
+    # hitless and token-less ones — lands in the single aggregate below
+    # with no join back to the document frame.
+    per_doc = scored.groupBy("__id").agg(
+        F.count("val").alias("n_hits"),
         F.sum("v2").cast("double").alias("s"),
+        F.max("n_excl").alias("n_excl"),
     )
     amp = F.col("s") + F.signum("s") * F.col("n_excl") * F.lit(E_INCR)
-    return (
-        base.select("__id", "n_excl")
-        .join(per_doc, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.when(
-                F.col("s").isNull() | (F.col("s") == 0), F.lit(0.0)
-            )
-            .otherwise(F.round(amp / F.sqrt(amp * amp + F.lit(ALPHA)), 4))
-            .alias("compound"),
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_hits"),
+        F.when(
+            F.col("s").isNull() | (F.col("s") == 0), F.lit(0.0)
         )
+        .otherwise(F.round(amp / F.sqrt(amp * amp + F.lit(ALPHA)), 4))
+        .alias("compound"),
     )
 
 
