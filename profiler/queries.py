@@ -5273,17 +5273,19 @@ def _q100_oracle() -> str:
         SENTIMENT_NEGATIONS,
     )
 
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # every entry escaped, none filtered: contractions like "can't" are
+    # legal lexicon tokens (the tokenizer keeps apostrophes) and MUST reach
+    # the oracle too, or the replay silently under-tests the engine
     lex_vals = ", ".join(
-        f"('{k}', {v})" for k, v in DEMO_SENTIMENT_LEXICON.items() if "'" not in k
+        f"({_q(k)}, {v})" for k, v in DEMO_SENTIMENT_LEXICON.items()
     )
     boost_vals = ", ".join(
-        f"('{k}', {v})" for k, v in SENTIMENT_BOOSTERS.items() if "'" not in k
+        f"({_q(k)}, {v})" for k, v in SENTIMENT_BOOSTERS.items()
     )
-    negs = ", ".join(f"'{t}'" for t in SENTIMENT_NEGATIONS if "'" not in t)
-    negs_q = ", ".join(
-        "'" + t.replace("'", "''") + "'" for t in SENTIMENT_NEGATIONS if "'" in t
-    )
-    neg_list = negs + (", " + negs_q if negs_q else "")
+    neg_list = ", ".join(_q(t) for t in SENTIMENT_NEGATIONS)
     return rf"""
     WITH docs AS (
       SELECT doc_id,

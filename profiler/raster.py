@@ -322,14 +322,43 @@ def vista_lai_describe(pixels: DataFrame) -> DataFrame:
     )
 
 
-def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
+def parse_utm_zone(zone_s: str, hemisphere: str | None = None) -> tuple[int, bool]:
+    """``(zone_number, south?)`` from a Vista ``UTM_zone`` header string.
+
+    A trailing letter is read as an MGRS latitude band (C–M ⇒ southern
+    hemisphere, N–X ⇒ northern) — the convention Vista scenes actually use
+    (European bands S/T/U). This COLLIDES with the bare hemisphere-suffix
+    convention where ``33S`` means "zone 33, south" (pyproj ``+south``,
+    EPSG:327xx): band ``S`` is 32°N–40°N. The string alone cannot
+    disambiguate, so callers with hemisphere-suffix data must pass
+    ``hemisphere='south'`` explicitly. The reference sidesteps the question
+    by feeding ``+zone=33S`` to PROJ, which ignores the letter — always
+    north, silently wrong for C–M bands; documented deviation."""
+    zone_num = int("".join(ch for ch in zone_s if ch.isdigit()) or 0)
+    if hemisphere is not None:
+        h = hemisphere.strip().lower()
+        if h not in ("north", "south"):
+            raise ValueError(f"hemisphere must be 'north' or 'south', got {hemisphere!r}")
+        return zone_num, h == "south"
+    south = zone_s[-1:].upper() in "CDEFGHJKLM" if zone_s[-1:].isalpha() else False
+    return zone_num, south
+
+
+def vista_profile(
+    spark: SparkSession,
+    rhd_path: str,
+    ras_path: str,
+    hemisphere: str | None = None,
+) -> dict:
     """The reference's ``profile_vista_rasters`` document
     (``profiler.py:498-909``) — table scalars, per-image LAI band blocks
     with their no-data distributions, and the combined-band section
     (pooled stats over all images' positive pixels + the describe of the
     per-image LAI-percentage series). All heavy work is three aggregates
     over the distributed pixel frame; only O(images) summary rows are
-    ever collected."""
+    ever collected. ``hemisphere`` ('north'/'south') overrides the
+    MGRS-band reading of the ``UTM_zone`` letter — see
+    :func:`parse_utm_zone` for the ``33S`` ambiguity."""
     rhd = read_vista_rhd(rhd_path)
     if rhd["vista_data_type"] != 7:
         raise ValueError(
@@ -382,11 +411,11 @@ def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
         }
 
     # WGS84 bounding box of the scene (reference profiler.py:695-704 via
-    # rasterio transform_bounds): the 4 UTM corners through the Snyder
-    # inverse — O(1) driver math per file
-    zone_s = str(rhd["UTM_zone"]).strip()
-    zone_num = int("".join(ch for ch in zone_s if ch.isdigit()) or 0)
-    south = zone_s[-1:].upper() in "CDEFGHJKLM" if zone_s[-1:].isalpha() else False
+    # rasterio transform_bounds): edge points through the Snyder inverse —
+    # DENSIFIED like transform_bounds (21 points/edge), because UTM
+    # parallels bow poleward toward the central meridian: corner-only
+    # bounds clip scenes that straddle easting 500000. O(1) driver math.
+    zone_num, south = parse_utm_zone(str(rhd["UTM_zone"]).strip(), hemisphere)
     coverage = None
     if 1 <= zone_num <= 60:
         from profiler.geo import utm_inverse
@@ -394,9 +423,17 @@ def vista_profile(spark: SparkSession, rhd_path: str, ras_path: str) -> dict:
         ulx, uly = rhd["upper_left_corner_x"], rhd["upper_left_corner_y"]
         lrx = ulx + rhd["columns"] * rhd["resolution"]
         lry = uly - rhd["rows"] * rhd["resolution"]
+        n = 21
+        edge = [i / (n - 1) for i in range(n)]
         pts = [
             utm_inverse(ex, ny, zone_num, south)
-            for ex, ny in ((ulx, uly), (lrx, uly), (ulx, lry), (lrx, lry))
+            for t in edge
+            for ex, ny in (
+                (ulx + t * (lrx - ulx), uly),  # top edge
+                (ulx + t * (lrx - ulx), lry),  # bottom edge
+                (ulx, uly + t * (lry - uly)),  # left edge
+                (lrx, uly + t * (lry - uly)),  # right edge
+            )
         ]
         xmin = min(p[0] for p in pts)
         xmax = max(p[0] for p in pts)

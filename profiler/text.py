@@ -633,6 +633,24 @@ def tokenizer_fertility(
 #: (reference text/profiler.py:318-325).
 _PUNCT_DROP = '!"#$%&()*+,./:;<=>?@[\\]^_`{|}~'
 
+
+def punct_clean_expr(col: Column, lower: bool = True) -> Column:
+    """The reference's shared text-cleanup chain as one JVM expression:
+    hyphen → space, delete ``_PUNCT_DROP`` (apostrophe survives), collapse
+    whitespace, trim. One definition for the three reference stages that
+    all use it — sentence cleaning (``text/profiler.py:318-325``), topic
+    tokens (``:346-352``), entity spans (``:452-459``, ``lower=False``) —
+    so the character set can never drift between them or their oracles."""
+    base = F.lower(col) if lower else col
+    return F.trim(
+        F.regexp_replace(
+            F.translate(F.translate(base, "-", " "), _PUNCT_DROP, ""),
+            r"\s+",
+            " ",
+        )
+    )
+
+
 #: sentence tokenizer shared with the DuckDB oracle: runs of non-terminators
 #: plus their trailing .!? run. Lookbehind-free on purpose — DuckDB's RE2
 #: has no lookbehind, and the oracle must replay the split bit-for-bit.
@@ -700,17 +718,7 @@ def tfidf_summary(
     )
     n_sents = sents.groupBy("__doc").agg(F.count(F.lit(1)).alias("n_sentences"))
 
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.translate(
-                F.translate(F.lower(F.col("sentence")), "-", " "),
-                _PUNCT_DROP,
-                "",
-            ),
-            r"\s+",
-            " ",
-        )
-    )
+    cleaned = punct_clean_expr(F.col("sentence"))
     words = (
         sents.where("__ok")
         .withColumn("__cw", cleaned)
@@ -803,14 +811,9 @@ def topic_tokens_expr(text: Column) -> Column:
     stream minus its NLTK lemmatizer (a model dep; the reference itself falls
     back to the raw cleaned words for languages its lemmatizer doesn't cover,
     reference ``text/profiler.py:346-352``)."""
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.translate(F.translate(F.lower(text), "-", " "), _PUNCT_DROP, ""),
-            r"\s+",
-            " ",
-        )
+    return F.filter(
+        F.split(punct_clean_expr(text), " "), lambda w: w != F.lit("")
     )
-    return F.filter(F.split(cleaned, " "), lambda w: w != F.lit(""))
 
 
 def topic_terms(
@@ -876,17 +879,28 @@ def topic_terms(
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
 
-    docs = base.where(F.size("tokens") > 0)
-    cvm = CountVectorizer(
-        inputCol="tokens", outputCol="features", vocabSize=vocab_size
-    ).fit(docs)
-    model = LDA(
-        k=k,
-        maxIter=max_iter,
-        seed=seed,
-        optimizer=optimizer,
-        featuresCol="features",
-    ).fit(cvm.transform(docs))
+    # cache the tokenized docs (CountVectorizer.fit + transform both scan
+    # them) and the featurized frame (online LDA re-reads it every one of
+    # the ~max_iter iterations — uncached, that is ~max_iter full corpus
+    # scans + re-tokenizations)
+    docs = base.where(F.size("tokens") > 0).cache()
+    try:
+        cvm = CountVectorizer(
+            inputCol="tokens", outputCol="features", vocabSize=vocab_size
+        ).fit(docs)
+        feats = cvm.transform(docs).cache()
+        try:
+            model = LDA(
+                k=k,
+                maxIter=max_iter,
+                seed=seed,
+                optimizer=optimizer,
+                featuresCol="features",
+            ).fit(feats)
+        finally:
+            feats.unpersist()
+    finally:
+        docs.unpersist()
     vocab = df.sparkSession.createDataFrame(
         list(enumerate(cvm.vocabulary)), "idx INT, term STRING"
     )
@@ -1127,7 +1141,8 @@ def sentiment_distribution(scored: DataFrame) -> dict:
 ENTITY_PATTERNS: tuple[tuple[str, str], ...] = (
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("URL", r"https?://[A-Za-z0-9./_#?&=%~-]+"),
-    ("TIME", r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?[AaPp][Mm]\b)?"),
+    # trailing \b so '9:30123' can't yield a spurious '9:30' prefix match
+    ("TIME", r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?[AaPp][Mm])?\b"),
     (
         "DATE",
         r"\b\d{4}-\d{2}-\d{2}\b"
@@ -1147,21 +1162,16 @@ ENTITY_KEEP_RAW: frozenset[str] = frozenset({"EMAIL", "URL"})
 #: ``string.punctuation`` minus apostrophe and hyphen — the exact character
 #: set the reference deletes from entity spans (``text/profiler.py:452-459``:
 #: apostrophes kept, hyphens become spaces, the rest removed, whitespace
-#: collapsed). Shared with the q100/q101 oracles.
-ENTITY_PUNCT_DELETE = '!"#$%&()*+,./:;<=>?@[\\]^_`{|}~'
+#: collapsed). The SAME set every other cleanup stage uses — aliased, not
+#: duplicated, so it cannot drift; shared with the q100/q101 oracles.
+ENTITY_PUNCT_DELETE = _PUNCT_DROP
 
 
 def entity_clean_expr(span: Column) -> Column:
-    """The reference's entity-span cleanup as one JVM expression chain:
-    hyphen→space, delete other punctuation (apostrophe survives), collapse
-    whitespace, trim."""
-    return F.trim(
-        F.regexp_replace(
-            F.translate(F.translate(span, "-", " "), ENTITY_PUNCT_DELETE, ""),
-            r"\s+",
-            " ",
-        )
-    )
+    """The reference's entity-span cleanup: the shared
+    :func:`punct_clean_expr` chain, case-preserving (entity spans keep
+    their capitalization; reference ``text/profiler.py:452-459``)."""
+    return punct_clean_expr(span, lower=False)
 
 
 def named_entities(

@@ -205,9 +205,10 @@ def text_corpus_profile(
     (:func:`profiler.text.tfidf_summary`). Each file also gets ``topics``:
     the reference emits gensim-LDA topics with ``num_topics=1`` (reference
     ``text/profiler.py:424-440``), whose one-topic posterior is frequency
-    order — so topics here are the first ``n_topic_terms`` WORD-like terms
-    (punctuation-run tokens excluded) of the per-file term-frequency
-    table, at no extra pass over the corpus. Passing ``sentiment_lexicon``
+    order — so topics here are the top ``n_topic_terms`` WORD-like terms
+    (punctuation-run tokens excluded) ranked over the FULL per-file term
+    counts (re-aggregated from the cached counts frame, not the raw
+    corpus, and independent of ``top_k_terms``). Passing ``sentiment_lexicon``
     (e.g. from :func:`profiler.text.load_sentiment_lexicon`) adds the
     reference's per-file ``sentiment`` compound plus the table-level
     ``sentiment`` mean and ``sentiment_analysis`` compound-level buckets
@@ -240,6 +241,24 @@ def text_corpus_profile(
     corpus_terms = (
         corpus.orderBy(F.desc("count"), "term").limit(top_k_terms).collect()
     )
+    # topics take their own top-n over WORD-like terms from the full
+    # (name, term) counts — not a slice of the top_k_terms-truncated list,
+    # where punctuation-run tokens could crowd out genuinely frequent
+    # words (or top_k_terms < n_topic_terms would starve it)
+    topics_by: dict[str, list[str]] = {}
+    for r in (
+        tf_all.where(F.col("term").rlike(r"^[\p{L}\p{N}]"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("name").orderBy(F.desc("count"), "term")
+            ),
+        )
+        .where(F.col("rk") <= n_topic_terms)
+        .orderBy("name", "rk")
+        .collect()
+    ):
+        topics_by.setdefault(r["name"], []).append(r["term"])
     tf_all.unpersist()
     specials = special_char_distribution(files).collect()
     wl = {r["metric"]: r for r in word_length_distribution(files).collect()}
@@ -340,11 +359,7 @@ def text_corpus_profile(
             "ratio_special_characters": r["ratio_special_characters"],
             "special_characters_distribution": sp_by.get(name, []),
             "term_frequency": tf_by.get(name, []),
-            "topics": [
-                e["term"]
-                for e in tf_by.get(name, [])
-                if e["term"][:1].isalnum()
-            ][:n_topic_terms],
+            "topics": topics_by.get(name, []),
             "word_length_distribution": block(wl[name]) if name in wl else {},
             "sentence_length_distribution": (
                 block(sl[name]) if name in sl else {}

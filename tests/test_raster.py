@@ -286,3 +286,56 @@ def test_vista_profile_spatial_coverage(spark, tmp_path):
     lons, lats = nums[0::2], nums[1::2]
     assert 11.0 < min(lons) < max(lons) < 11.5
     assert 40.0 < min(lats) < max(lats) < 41.0
+
+
+def test_parse_utm_zone_conventions():
+    from profiler.raster import parse_utm_zone
+
+    # MGRS latitude bands: C-M => south, N-X => north ('S' is the 32N-40N
+    # band — Vista's European scenes live in bands S/T/U)
+    assert parse_utm_zone("33S") == (33, False)
+    assert parse_utm_zone("33H") == (33, True)
+    assert parse_utm_zone("32U") == (32, False)
+    assert parse_utm_zone("32") == (32, False)
+    # hemisphere-suffix data ('33S' = zone 33, southern hemisphere) must
+    # disambiguate explicitly — the string alone cannot
+    assert parse_utm_zone("33S", hemisphere="south") == (33, True)
+    assert parse_utm_zone("33S", hemisphere="north") == (33, False)
+    with pytest.raises(ValueError):
+        parse_utm_zone("33S", hemisphere="below")
+
+
+def test_vista_profile_hemisphere_override(spark, tmp_path):
+    rhd_path, ras_path, _, _ = _vista_fixture(tmp_path)  # header zone '32'
+    doc = vista_profile(spark, rhd_path, ras_path, hemisphere="south")
+    v = doc["variables"][0]
+    assert v["crs"] == "EPSG:32732"
+    cov = v["spatial_coverage"]
+    nums = [float(t) for t in cov.replace("POLYGON ((", "")
+            .replace("))", "").replace(",", "").split()]
+    lats = nums[1::2]
+    # northing 4.5e6 in the southern hemisphere is ~49.7 degrees SOUTH
+    assert max(lats) < -49.0
+
+
+def test_vista_coverage_densified_over_central_meridian(spark, tmp_path):
+    """A scene straddling easting 500000: UTM parallels bow poleward at the
+    central meridian, so corner-only bounds would clip the top edge —
+    the densified bounds must contain the meridian-crossing latitude."""
+    from profiler.geo import utm_inverse
+
+    img = np.full(8, 1000, dtype="<i2")  # 4 cols x 2 rows
+    (tmp_path / "c.ras").write_bytes(img.tobytes())
+    (tmp_path / "c.rhd").write_text(
+        "7\n1\n4 2\n50000.0 400000.0 4500000.0 400000.0 4500000.0 32\n0\n"
+        "2 15 06 2020\n"
+    )
+    doc = vista_profile(spark, str(tmp_path / "c.rhd"), str(tmp_path / "c.ras"))
+    cov = doc["variables"][0]["spatial_coverage"]
+    nums = [float(t) for t in cov.replace("POLYGON ((", "")
+            .replace("))", "").replace(",", "").split()]
+    lats = nums[1::2]
+    corner_lat = utm_inverse(400000.0, 4500000.0, 32)[1]
+    bulge_lat = utm_inverse(500000.0, 4500000.0, 32)[1]
+    assert bulge_lat > corner_lat  # the hazard is real on this fixture
+    assert max(lats) >= bulge_lat - 1e-12

@@ -130,11 +130,13 @@ def test_text_corpus_profile_document(files_df):
     assert va["word_length_distribution"]["count"] == 13
     assert va["sentence_length_distribution"]["count"] == 3
     assert va["special_characters_distribution"][0]["type"] == " "
-    # topics: the k=1-LDA frequency equivalent — the word-like prefix of the
-    # term-frequency table (punctuation-run tokens excluded), most-freq first
-    assert va["topics"] == [
+    # topics: the k=1-LDA frequency equivalent — top word-like terms over
+    # the FULL per-file counts (not the top_k_terms-truncated list); the
+    # word-like slice of the truncated table must be its prefix
+    word_like_topk = [
         e["term"] for e in va["term_frequency"] if e["term"][:1].isalnum()
     ]
+    assert va["topics"][: len(word_like_topk)] == word_like_topk
     # count ties break lexicographically: cat(3) before the(3)
     assert va["topics"][0] == "cat" and "." not in va["topics"]
 
@@ -180,3 +182,16 @@ def test_text_corpus_profile_with_sentiment(spark):
     doc2 = text_corpus_profile(df)
     assert "sentiment" not in doc2["table"]
     assert all("sentiment" not in v for v in doc2["variables"])
+
+
+def test_topics_independent_of_top_k_terms(spark):
+    """topics rank over the FULL word-like term counts, not the truncated
+    term_frequency list — punctuation-run tokens crowding the top-k (or
+    top_k_terms < n_topic_terms) must not starve them."""
+    df = spark.createDataFrame(
+        [("p.txt", ". . . , , , alpha alpha beta")], "name string, text string"
+    )
+    doc = text_corpus_profile(df, top_k_terms=2)
+    v = doc["variables"][0]
+    assert [e["term"] for e in v["term_frequency"]] == [",", "."]
+    assert v["topics"] == ["alpha", "beta"]

@@ -1035,3 +1035,25 @@ def test_spacy_ner_udf_is_import_gated():
 
     with pytest.raises(ImportError, match="spacy is not installed"):
         text.spacy_ner_udf()
+
+
+def test_time_entity_requires_trailing_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "build 9:30123 failed; retry at 10:45.")],
+        "doc_id int, text string",
+    )
+    got = {r["named_entity"]: r["type"] for r in text.named_entities(df).collect()}
+    # '9:30123' must NOT yield a spurious '930' prefix TIME
+    assert got == {"1045": "TIME"}
+
+
+def test_q100_oracle_escapes_apostrophes():
+    from profiler.queries import oracle_sql
+    from profiler.text import DEMO_SENTIMENT_LEXICON, SENTIMENT_NEGATIONS
+
+    sql = oracle_sql()["q100_sentiment_scores"]
+    assert "can''t" in sql  # contractions escaped, never silently dropped
+    for k in DEMO_SENTIMENT_LEXICON:
+        assert "'" + k.replace("'", "''") + "'" in sql
+    for t in SENTIMENT_NEGATIONS:
+        assert "'" + t.replace("'", "''") + "'" in sql
