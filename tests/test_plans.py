@@ -182,3 +182,27 @@ def test_band_describe_is_one_hash_aggregate(spark):
     plan = _plan(df)
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2  # agg + output order
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_sentiment_reads_documents_once(spark):
+    """The VADER-style scorer is ONE scan: posexplode_outer keeps hitless
+    documents in the token stream, so no join back to the document frame —
+    a second parquet scan of documents means the join-back came back."""
+    from profiler.text import sentiment_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sentiment_scores(docs))
+    assert plan.count("Scan parquet") == 1
+    # lexicon + booster frames attach as broadcasts, never shuffled joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_named_entities_single_scan_no_join(spark):
+    """All entity families extract in one projection over one scan; the
+    only post-explode operator is the dedup aggregate."""
+    from profiler.text import named_entities
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(named_entities(docs))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
