@@ -789,3 +789,89 @@ def canonical_text_expr(text: Column) -> Column:
     column NAME, so project this first: ``df.withColumn("canon",
     canonical_text_expr(F.col("text")))``)."""
     return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    join_sep: str | None = None,
+    min_chars: int = 8,
+) -> DataFrame:
+    """Cross-corpus exact LINE deduplication — the RefinedWeb/CCNet recipe
+    (and the line-granular half of C4's span rule): a line that appears in
+    more than one place anywhere in the corpus is boilerplate (headers,
+    footers, cookie banners, "subscribe" prompts); keep only its FIRST
+    occurrence in ``(id, position)`` order and rewrite every document with
+    its remaining lines in original order. Documents are never dropped —
+    a fully-boilerplate document comes back as ``''``. Returns
+    ``(id, text_dedup, n_lines, n_removed)``.
+
+    Policy knobs: ``sep`` is the split REGEX (``'\\n'`` for lines;
+    ``'\\n{2,}'`` approximates paragraphs) and ``join_sep`` the literal
+    the kept lines are rejoined with (defaults to ``sep`` — pass it
+    whenever ``sep`` is a non-literal pattern); lines shorter than
+    ``min_chars`` after trim are NEVER dedup targets (blank lines and
+    short connectives survive everywhere — removing them would destroy
+    formatting, the same reason RefinedWeb floors its line length).
+    Matching is byte-exact on the line (compose with
+    :func:`canonical_text_expr` upstream for a normalized variant).
+
+    Scale shape (the 100 TB story): one scan + explode; the duplicate
+    index is a map-side-combinable ``groupBy`` over 16-byte md5 digests
+    whose aggregate is a single ``min(struct(id, pos))`` — a
+    whale-duplicated line ("Subscribe now" × 10^8) collapses in the
+    combiner instead of skewing a window sort; the keeper index joins
+    back on the digest (AQE skew-safe, broadcast when small) and each
+    document reassembles in ONE aggregate bounded by its own line count
+    (``array_sort(collect_list(...))`` — same per-document bound as the
+    profile's frequency pass). Nothing driver-side scales with rows."""
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn(
+            "dig",
+            F.when(
+                F.length(F.trim("line")) >= min_chars, F.md5("line")
+            ),
+        )
+    )
+    keepers = (
+        lines.where(F.col("dig").isNotNull())
+        .groupBy("dig")
+        .agg(F.min(F.struct("__id", "pos")).alias("keeper"))
+    )
+    flagged = lines.join(keepers, "dig", "left").withColumn(
+        "keep",
+        F.col("keeper").isNull()
+        | (F.struct("__id", "pos") == F.col("keeper")),
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                join_sep if join_sep is not None else sep,
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "text_dedup", "n_lines", "n_removed"
+        )
+    )

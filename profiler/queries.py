@@ -5463,3 +5463,71 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type")
     )
+
+
+def _q102_oracle() -> str:
+    """Full SQL replay of cross-corpus line dedup over a deterministically
+    synthesized multi-line frame (the fixture documents are single-line, so
+    the duplicate structure is planted identically in both engines: a
+    header + footer shared by every document, a promo line shared by even
+    ids, a per-id unique line, and the document text itself — which also
+    dedups across the corpus's planted exact-duplicate documents).
+    Keep-first = row_number over (id, pos) per eligible line value."""
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             'shared header boilerplate line' || chr(10) || text || chr(10)
+             || CASE WHEN doc_id % 2 = 0 THEN 'even docs repeated promo line'
+                     ELSE 'unique line for doc ' || CAST(doc_id AS VARCHAR) END
+             || chr(10) || 'shared footer subscribe now' AS mtext
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS line
+      FROM (SELECT doc_id, string_split(mtext, chr(10)) AS l FROM d),
+           UNNEST(generate_series(1, len(l))) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 8
+                  THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                  ELSE 1 END AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS text_dedup,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE rn > 1) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@_register("q102_line_dedup", _q102_oracle())
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact line dedup (RefinedWeb/CCNet boilerplate
+    removal; :func:`profiler.dedup.line_dedup`): every line duplicated
+    anywhere in the corpus keeps only its first (id, pos) occurrence,
+    documents are rewritten with the survivors in order. The duplicate
+    index is a map-side-combined groupBy over md5 digests (whale lines
+    collapse in the combiner); reassembly is one per-document-bounded
+    aggregate. Input synthesizes multi-line documents deterministically
+    (shared header/footer, parity-shared promo line, unique line, the
+    raw text) — identical construction in the DuckDB oracle."""
+    from profiler.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mtext = F.concat_ws(
+        "\n",
+        F.lit("shared header boilerplate line"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("even docs repeated promo line")
+        ).otherwise(
+            F.concat(F.lit("unique line for doc "), F.col("doc_id").cast("string"))
+        ),
+        F.lit("shared footer subscribe now"),
+    )
+    return line_dedup(
+        d.select("doc_id", mtext.alias("text")), sep="\n", min_chars=8
+    )

@@ -206,3 +206,17 @@ def test_named_entities_single_scan_no_join(spark):
     plan = _plan(named_entities(docs))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_line_dedup_index_is_hash_agg_not_window(spark):
+    """The duplicate-line index must be a map-side-combinable aggregate on
+    digests — a Window node means someone rewrote keep-first as a global
+    per-line sort, which skews on whale lines; the keeper join must stay a
+    hash join."""
+    from profiler.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1057,3 +1057,62 @@ def test_q100_oracle_escapes_apostrophes():
         assert "'" + k.replace("'", "''") + "'" in sql
     for t in SENTIMENT_NEGATIONS:
         assert "'" + t.replace("'", "''") + "'" in sql
+
+
+def test_line_dedup_keep_first_golden(spark):
+    """Planted boilerplate: keep-first in (id, pos) order, short lines
+    immune, unique lines untouched, per-doc counts exact."""
+    from profiler.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "SHARED BOILERPLATE\nalpha unique one\nok\nSHARED BOILERPLATE"),
+            (2, "SHARED BOILERPLATE\nbeta unique two\nok"),
+            (3, "SHARED BOILERPLATE"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # doc 1 owns the first occurrence; its own SECOND copy is removed too
+    assert got[1]["text_dedup"] == "SHARED BOILERPLATE\nalpha unique one\nok"
+    assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 1
+    # 'ok' (< min_chars) is duplicated but immune
+    assert got[2]["text_dedup"] == "beta unique two\nok"
+    assert got[2]["n_lines"] == 3 and got[2]["n_removed"] == 1
+    # a fully-boilerplate document becomes '' but is never dropped
+    assert got[3]["text_dedup"] == "" and got[3]["n_removed"] == 1
+    assert 4 not in got  # null text excluded, like the other text ops
+
+
+def test_line_dedup_no_duplicates_roundtrips(spark):
+    from profiler.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "first unique line\nsecond unique line"), (2, "third one here")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["text_dedup"] == "first unique line\nsecond unique line"
+    assert got[2]["text_dedup"] == "third one here"
+    assert all(r["n_removed"] == 0 for r in got.values())
+
+
+def test_line_dedup_paragraph_unit(spark):
+    """sep as a regex ('\\n{2,}' paragraphs) with an explicit literal
+    join_sep."""
+    from profiler.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "para shared across docs\n\npara only in one"),
+            (2, "para shared across docs\n\n\npara only in two"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(df, sep=r"\n{2,}", join_sep="\n\n").collect()
+    }
+    assert got[1]["text_dedup"] == "para shared across docs\n\npara only in one"
+    assert got[2]["text_dedup"] == "para only in two"
