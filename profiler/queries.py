@@ -5531,3 +5531,73 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(
         d.select("doc_id", mtext.alias("text")), sep="\n", min_chars=8
     )
+
+
+_TOKS_SQL = r"""list_filter(
+      string_split(trim(regexp_replace(
+        translate(translate(lower(text), '-', ' '),
+                  '!"#$%&()*+,./:;<=>?@[\]^_`{|}~', ''),
+        '\s+', ' ', 'g')), ' '),
+      x -> x <> '')"""
+
+
+def _q103_oracle() -> str:
+    """Full SQL replay of the in-plan bigram LM: identical tokenization
+    (the shared q99/q100 cleaning), add-0.1 smoothing over the even-id
+    reference half, per-document cross-entropy/perplexity on the odd
+    half; <2-token documents kept with NULL scores."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ref_bg AS (
+      SELECT toks[i] AS prev, toks[i + 1] AS cur
+      FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE doc_id % 2 = 0
+    ),
+    pair AS (SELECT prev, cur, count(*) AS c_pc FROM ref_bg GROUP BY prev, cur),
+    ctx AS (SELECT prev, count(*) AS c_c FROM ref_bg GROUP BY prev),
+    v AS (SELECT count(DISTINCT t) AS vn
+          FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0)),
+    doc_bg AS (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+      FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT doc_id,
+             ln((coalesce(c_pc, 0) + 0.1) / (coalesce(c_c, 0) + 0.1 * vn)) AS logp
+      FROM doc_bg LEFT JOIN pair USING (prev, cur) LEFT JOIN ctx USING (prev)
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-avg(logp), 4) AS cross_entropy,
+             round(exp(-avg(logp)), 4) AS perplexity
+      FROM scored GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           a.cross_entropy, a.perplexity
+    FROM (SELECT doc_id FROM tok WHERE doc_id % 2 = 1) t
+    LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_register("q103_lm_perplexity", _q103_oracle())
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter
+    (:func:`profiler.text.lm_perplexity_scores`): a bigram LM with
+    additive smoothing trained IN-PLAN on the even-id half of the corpus
+    scores the odd half by cross-entropy/perplexity — the public
+    algorithm behind CCNet's KenLM stage, with the model artifact
+    replaced by two map-side-combinable reference aggregates. The LM
+    frames are reference-corpus-bounded (broadcastable in the common
+    case); scoring is one aggregate via posexplode_outer (short docs
+    need no join back)."""
+    from profiler.text import lm_perplexity_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity_scores(
+        d.where(F.col("doc_id") % 2 == 1), d.where(F.col("doc_id") % 2 == 0)
+    )

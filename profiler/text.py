@@ -1266,3 +1266,103 @@ def spacy_ner_udf(model_name: str = "en_core_web_sm"):
         return pd.Series(out)
 
     return _udf  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def _bigrams_expr(text: Column) -> Column:
+    """Adjacent cleaned-token pairs as ``struct(prev, cur)`` — a pure
+    array expression (no explode, no shuffle) over the shared
+    :func:`topic_tokens_expr` stream; empty for documents with <2 tokens."""
+    a = topic_tokens_expr(text)
+    return F.when(
+        F.size(a) >= 2,
+        F.zip_with(
+            F.slice(a, 1, F.size(a) - 1),
+            F.slice(a, 2, F.size(a) - 1),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Perplexity quality filtering (the CCNet recipe, Wenzek et al. 2020):
+    score each document by the cross-entropy of a language model trained on
+    a trusted reference corpus; low perplexity ≈ reference-like prose, high
+    ≈ boilerplate/gibberish — callers bucket by quantile (CCNet's
+    head/middle/tail) or threshold. CCNet uses a KenLM 5-gram (a model
+    artifact); this is the same algorithm at bigram order with additive
+    (add-``alpha``) smoothing, trained IN-PLAN on ``ref_df`` — no model
+    file, fully engine-replayable. Returns ``(id, n_bigrams,
+    cross_entropy, perplexity)``; documents with <2 tokens score NULL
+    (``n_bigrams`` 0) but are never dropped.
+
+    ``logP(cur|prev) = ln((c(prev,cur)+α) / (c(prev)+α·V))`` with V the
+    reference vocabulary size; unseen contexts degrade to ``ln(1/V)``.
+    ``cross_entropy = -mean(logP)``; ``perplexity = exp(cross_entropy)``
+    (nats), both rounded to 4 dp.
+
+    Scale shape: bigrams are array expressions (zero shuffle until the
+    explode); the LM is two map-side-combinable groupBys over the
+    REFERENCE corpus only (CCNet's reference is Wikipedia-scale — tiny
+    next to a 100 TB crawl), so the two left joins broadcast in the
+    common case and AQE handles the rest; the vocabulary size is ONE
+    scalar aggregate (computed eagerly at call time); per-document
+    scoring is one map-side-combinable aggregate via ``posexplode_outer``
+    — short documents need no join back. No Python in the plan."""
+    bg = _bigrams_expr(F.col(text_col))
+    ref_bg = (
+        ref_df.where(F.col(text_col).isNotNull())
+        .select(F.explode(bg).alias("bg"))
+        .select("bg.prev", "bg.cur")
+    )
+    pair_counts = ref_bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_pc"))
+    ctx_counts = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_c"))
+    vocab_n = (
+        ref_df.where(F.col(text_col).isNotNull())
+        .select(F.explode(topic_tokens_expr(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    if not vocab_n:
+        raise ValueError("reference corpus has no tokens — cannot train LM")
+    doc_bg = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode_outer(bg).alias("__i", "bg"),
+        )
+        .select("__id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    logp = F.when(
+        F.col("prev").isNotNull(),
+        F.log(
+            (F.coalesce(F.col("c_pc"), F.lit(0)) + F.lit(float(alpha)))
+            / (F.coalesce(F.col("c_c"), F.lit(0)) + F.lit(float(alpha) * vocab_n))
+        ),
+    )
+    h = -F.avg(logp)
+    return (
+        doc_bg.join(pair_counts, ["prev", "cur"], "left")
+        .join(ctx_counts, ["prev"], "left")
+        .groupBy("__id")
+        .agg(
+            F.count("prev").alias("n_bigrams"),
+            F.round(h, 4).alias("cross_entropy"),
+            F.round(F.exp(h), 4).alias("perplexity"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            "cross_entropy",
+            "perplexity",
+        )
+    )

@@ -1116,3 +1116,36 @@ def test_line_dedup_paragraph_unit(spark):
     }
     assert got[1]["text_dedup"] == "para shared across docs\n\npara only in one"
     assert got[2]["text_dedup"] == "para only in two"
+
+
+def test_lm_perplexity_golden(spark):
+    """Hand-computed bigram LM: ref 'a b a b' -> c(a,b)=2, c(b,a)=1,
+    c(a)=2, c(b)=1, V=2, alpha=0.1."""
+    from profiler.text import lm_perplexity_scores
+
+    ref = spark.createDataFrame([(0, "a b a b")], "doc_id int, text string")
+    tgt = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "c d"), (4, "x"), (5, None)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity_scores(tgt, ref).collect()}
+    # seen bigram: -ln((2+0.1)/(2+0.2)) = ln(2.2/2.1)
+    assert got[1]["cross_entropy"] == 0.0465 and got[1]["perplexity"] == 1.0476
+    # rarer bigram scores worse
+    assert got[2]["cross_entropy"] == 0.087 and got[2]["perplexity"] == 1.0909
+    # fully unseen context degrades to ln(1/V)-ish: ln(0.2/0.1) = ln 2
+    assert got[3]["cross_entropy"] == 0.6931 and got[3]["perplexity"] == 2.0
+    # <2 tokens: kept, unscored
+    assert got[4]["n_bigrams"] == 0 and got[4]["cross_entropy"] is None
+    assert 5 not in got  # null text excluded
+    # monotonic: reference-like prose beats gibberish
+    assert got[1]["perplexity"] < got[2]["perplexity"] < got[3]["perplexity"]
+
+
+def test_lm_perplexity_empty_reference_raises(spark):
+    from profiler.text import lm_perplexity_scores
+
+    ref = spark.createDataFrame([], "doc_id int, text string")
+    tgt = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="reference corpus"):
+        lm_perplexity_scores(tgt, ref)
