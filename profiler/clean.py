@@ -2,7 +2,11 @@
 operators composed in the standard order a pre-training data pipeline runs
 them.
 
-    quality filter → exact dedup → near dedup → decontaminate → sample
+    [line dedup] → quality filter → exact dedup → near dedup →
+    decontaminate → [perplexity filter] → sample
+
+(bracketed stages are opt-in: line dedup rewrites text so it runs first;
+the perplexity filter's LM joins run after dedup on the smallest corpus)
 
 Every stage is one of this package's oracled operators; this module only
 owns the composition, the per-stage accounting, and the plan hygiene of
@@ -19,9 +23,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from profiler.dedup import apply_exact_dedup, minhash_lsh_dedup
+from profiler.dedup import apply_exact_dedup, line_dedup, minhash_lsh_dedup
 from profiler.sampling import sample_fraction as _sample_fraction
-from profiler.text import decontaminate, quality_filter
+from profiler.text import decontaminate, lm_perplexity_scores, quality_filter
 
 
 @dataclass
@@ -45,6 +49,17 @@ class CleanConfig:
     decontaminate_shingle_k: int = 13
     sample_fraction: float | None = None
     sample_seed: str = "clean"
+    #: set to a split regex (e.g. '\\n') to enable cross-corpus line dedup
+    #: (boilerplate removal) as the FIRST stage — it rewrites text, so every
+    #: later filter and fingerprint judges the de-boilerplated documents
+    line_dedup_sep: str | None = None
+    line_dedup_min_chars: int = 8
+    #: reference corpus for the CCNet-style perplexity filter; documents
+    #: scoring above ``perplexity_max`` are dropped (unscoreable short
+    #: documents are kept). Runs after dedup/decontamination so the LM
+    #: scoring joins see the smallest corpus.
+    perplexity_reference: DataFrame | None = None
+    perplexity_max: float | None = None
 
 
 def clean_corpus(
@@ -86,6 +101,21 @@ def clean_corpus(
         return frame
 
     _mark("input", cur)
+    if cfg.line_dedup_sep is not None:
+        # corpus-wide boilerplate removal rewrites text_col in place (other
+        # columns ride a unique-id join back); deliberately FIRST so the
+        # quality filter and every fingerprint judge the de-boilerplated text
+        rewritten = line_dedup(
+            cur,
+            text_col,
+            id_col,
+            sep=cfg.line_dedup_sep,
+            min_chars=cfg.line_dedup_min_chars,
+        ).select(id_col, F.col("text_dedup").alias(text_col))
+        cur = _mark(
+            "after_line_dedup",
+            cur.drop(text_col).join(rewritten, id_col).select(*df.columns),
+        )
     if cfg.run_quality:
         kept = quality_filter(cur, text_col, overrides=cfg.quality_overrides)
         cur = _mark(
@@ -112,6 +142,14 @@ def clean_corpus(
         cur = _mark(
             "after_decontaminate", cur.join(contaminated, id_col, "left_anti")
         )
+    if cfg.perplexity_reference is not None and cfg.perplexity_max is not None:
+        scored = lm_perplexity_scores(
+            cur, cfg.perplexity_reference, text_col, id_col
+        )
+        rejected = scored.where(
+            F.col("perplexity") > F.lit(float(cfg.perplexity_max))
+        ).select(id_col)
+        cur = _mark("after_perplexity", cur.join(rejected, id_col, "left_anti"))
     if cfg.sample_fraction is not None:
         cur = _mark(
             "after_sample",

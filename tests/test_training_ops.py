@@ -1149,3 +1149,43 @@ def test_lm_perplexity_empty_reference_raises(spark):
     tgt = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     with pytest.raises(ValueError, match="reference corpus"):
         lm_perplexity_scores(tgt, ref)
+
+
+def test_clean_corpus_optional_line_dedup_and_perplexity(spark):
+    """The two opt-in cascade stages: line dedup rewrites text FIRST (later
+    stages judge de-boilerplated documents), the perplexity filter drops
+    high-perplexity docs LAST-but-sample; defaults leave both off."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "SUBSCRIBE TO OUR NEWSLETTER\nthe cat sat on the mat and then slept"),
+            (2, "SUBSCRIBE TO OUR NEWSLETTER\nthe dog sat on the mat and then slept"),
+            (3, "SUBSCRIBE TO OUR NEWSLETTER\nzzqj vvkx qqpl mmrw ttyy uuii oopp"),
+        ],
+        "doc_id int, text string",
+    )
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat the dog sat on the mat and then slept")],
+        "doc_id int, text string",
+    )
+    cfg = CleanConfig(
+        quality_overrides={"word_count": (3, None)},
+        neardup_threshold=None,
+        line_dedup_sep=r"\n",
+        perplexity_reference=ref,
+        perplexity_max=500.0,
+    )
+    out, stats = clean_corpus(corpus, config=cfg, collect_stats=True)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # the shared banner survived only in doc 1 (first occurrence)
+    assert rows[1].startswith("SUBSCRIBE")
+    assert 2 in rows and not rows[2].startswith("SUBSCRIBE")
+    # the gibberish doc scored far from the reference LM and was dropped
+    assert 3 not in rows
+    assert stats["after_line_dedup"] == 3
+    assert stats["after_perplexity"] == 2
+    # defaults: both stages absent from the plan and the stats
+    _, stats0 = clean_corpus(corpus, config=CleanConfig(
+        neardup_threshold=None), collect_stats=True)
+    assert "after_line_dedup" not in stats0 and "after_perplexity" not in stats0
