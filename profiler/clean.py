@@ -13,7 +13,10 @@ owns the composition, the per-stage accounting, and the plan hygiene of
 chaining them (each stage's output is the next stage's lazy input — one
 logical plan end to end unless stats are requested, and the quality/sample
 filters sit earliest/latest so the expensive dedup joins run on the
-smallest possible corpus).
+smallest possible corpus). One caveat to the one-lazy-plan property:
+enabling the perplexity filter runs ONE eager scalar aggregate (the
+reference-corpus vocabulary size) at plan-build time — over the small
+REFERENCE corpus, never the crawl.
 """
 
 from __future__ import annotations
