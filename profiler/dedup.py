@@ -875,3 +875,92 @@ def line_dedup(
             F.col("__id").alias(id_col), "text_dedup", "n_lines", "n_removed"
         )
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_frac: float = 0.3,
+) -> DataFrame:
+    """Duplicate k-gram coverage — the corpus-level repetition signal
+    behind ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") in its filterable form (the
+    RefinedWeb/Dolma "duplicate n-gram fraction" quality signal): for
+    each document, the fraction of its token k-gram WINDOWS whose gram
+    occurs at least twice in the whole corpus. Within-document repeats
+    count — two occurrences anywhere make both windows duplicates,
+    exactly like a suffix-array hit. Unlike document-level MinHash this
+    catches partial overlap: a page that embeds one viral paragraph in
+    otherwise-unique text scores proportionally, not 0-or-1.
+
+    Returns ``(id, n_windows, n_dup_windows, dup_frac, keep)`` where
+    ``dup_frac = round(n_dup_windows / n_windows, 4)`` (NULL when the
+    document has fewer than ``k`` tokens) and ``keep`` is the
+    ``dup_frac <= max_frac`` filter verdict (short documents pass).
+
+    Scale shape (the 100 TB story): raw windows are NEVER shuffled —
+    stage 1 collapses each document's window stream to
+    ``(id, digest, cnt)`` in one map-side-combinable groupBy (the
+    exchange carries 16-byte md5 digests + a count, bounded by the
+    per-document DISTINCT gram count, not window count); stage 2 sums
+    ``cnt`` into corpus totals per digest (a whale gram duplicated 10^8
+    times collapses in the combiner); totals join back on the digest
+    (AQE-skew-safe, and only the ≤|distinct grams| frame ever meets
+    it); per-document ratios come from one final groupBy on id. No
+    window function, no global sort, nothing O(corpus²). Like
+    :func:`line_dedup`, the index-and-join-back shape reads the pruned
+    ``(id, text)`` projection twice — the deliberate trade: the whale
+    gram that boilerplate guarantees (one 8-gram in 10^9 documents)
+    collapses in a combiner here, where the single-scan formulation
+    (``sum(cnt) over (partition by digest)``) would sort those 10^9
+    rows in ONE window task.
+    """
+    toks = tokens_expr(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    # the when() guard is load-bearing: sequence(1, n) DESCENDS for n < 1
+    # ([1, 0]) and ANSI element_at would then index past the array — the
+    # lazy CaseWhen branch keeps sub-k-token docs out of the transform.
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer keeps <k-token documents as one NULL-gram row so they
+    # surface with n_windows = 0 instead of vanishing from the output.
+    win = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.explode_outer(grams).alias("gram"))
+        .select("__id", F.md5("gram").alias("dig"))
+    )
+    per_doc = win.groupBy("__id", "dig").agg(F.count("dig").alias("cnt"))
+    # NULL-digest rows may flow into totals: the group sums zeros and a
+    # NULL key never matches the equi-join below, so semantics are
+    # unchanged and partial aggregation collapses the NULL rows map-side.
+    totals = per_doc.groupBy("dig").agg(F.sum("cnt").alias("total"))
+    agg = (
+        per_doc.join(totals, "dig", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum(
+                F.when(F.col("total") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    dup_frac = F.when(
+        F.col("n_windows") > 0,
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_windows",
+        "n_dup_windows",
+        dup_frac.alias("dup_frac"),
+        (dup_frac.isNull() | (dup_frac <= F.lit(max_frac))).alias("keep"),
+    )

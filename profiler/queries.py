@@ -5601,3 +5601,112 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(
         d.where(F.col("doc_id") % 2 == 1), d.where(F.col("doc_id") % 2 == 0)
     )
+
+
+_WS_TOKS_SQL = r"string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"
+
+
+def _q104_oracle() -> str:
+    """Full SQL replay of duplicate k-gram coverage (k=3): identical
+    whitespace tokenization, every window (non-distinct), corpus-wide
+    occurrence totals, per-document dup-window fraction + keep verdict.
+    <k-token documents surface with n_windows = 0 and NULL dup_frac."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    win AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    tot AS (SELECT gram, count(*) AS total FROM win GROUP BY gram),
+    agg AS (
+      SELECT w.doc_id, count(*) AS n_windows,
+             count(*) FILTER (WHERE total >= 2) AS n_dup_windows
+      FROM win w JOIN tot USING (gram) GROUP BY w.doc_id
+    )
+    SELECT k.doc_id,
+           coalesce(a.n_windows, 0) AS n_windows,
+           coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN coalesce(a.n_windows, 0) > 0
+                THEN round(a.n_dup_windows * 1.0 / a.n_windows, 4) END AS dup_frac,
+           (coalesce(a.n_windows, 0) = 0
+            OR round(a.n_dup_windows * 1.0 / a.n_windows, 4) <= 0.3) AS keep
+    FROM tok k LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_register("q104_dup_ngram_coverage", _q104_oracle())
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram coverage filter (ExactSubstr in filterable form —
+    Lee et al. 2022; :func:`profiler.dedup.dup_ngram_coverage`): fraction
+    of each document's token 3-gram windows whose gram occurs ≥2× anywhere
+    in the corpus. Raw windows never shuffle: per-doc (digest, cnt)
+    collapse first, corpus totals second, both map-side combinable; the
+    totals join back on 16-byte digests and one final groupBy emits the
+    ratios. Catches the partial-overlap duplicates document-level MinHash
+    scores 0-or-1."""
+    from profiler.dedup import dup_ngram_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_coverage(d, k=3, max_frac=0.3)
+
+
+def _q105_oracle() -> str:
+    """Full SQL replay of DSIR hashed n-gram importance weights:
+    identical tokenization, unigram+bigram stream, md5-hex-prefix
+    bucketing (256 buckets), add-1 smoothing with totals over ALL
+    buckets of each corpus, per-document log-weight sums."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rg AS (
+      SELECT doc_id, source, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ),
+    tg AS (
+      SELECT substr(md5(gram), 1, 2) AS bucket, count(*) AS tc
+      FROM rg WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    db AS (
+      SELECT doc_id, substr(md5(gram), 1, 2) AS bucket, count(*) AS cnt
+      FROM rg GROUP BY 1, 2
+    ),
+    rb AS (SELECT bucket, sum(cnt) AS rc FROM db GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT coalesce(sum(tc), 0) FROM tg) AS tt,
+             (SELECT coalesce(sum(rc), 0) FROM rb) AS rt
+    ),
+    lr AS (
+      SELECT rb.bucket,
+             ln((coalesce(tc, 0) + 1.0) / (tt + 1.0 * 256))
+             - ln((rc + 1.0) / (rt + 1.0 * 256)) AS lr
+      FROM rb LEFT JOIN tg USING (bucket) CROSS JOIN tot
+    )
+    SELECT doc_id, sum(cnt) AS n_grams,
+           round(sum(cnt * lr), 4) AS log_weight,
+           round(sum(cnt * lr) / sum(cnt), 6) AS avg_log_ratio
+    FROM db JOIN lr USING (bucket) GROUP BY doc_id
+    """
+
+
+@_register("q105_dsir_logweights", _q105_oracle())
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (Xie et al., NeurIPS 2023;
+    :func:`profiler.sampling.dsir_logweights`): hashed unigram+bigram
+    bucket distributions (md5 hex prefix, 256 buckets) of a curated
+    target slice (source src0/src1) vs the raw corpus, add-1 smoothing,
+    per-document Σ log p_target(b) − log p_raw(b). The bucket-ratio
+    table is ≤256 rows and BROADCASTS into the one pass over the raw
+    corpus; the target never joins at row scale."""
+    from profiler.sampling import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        d, d.where(F.col("source").isin("src0", "src1")), bucket_hex=2
+    )

@@ -231,3 +231,134 @@ def sample_k_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = 2,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    raw_bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023 — public): score every ``raw``-corpus document by how
+    target-like its hashed n-gram profile is, so a quality-curated
+    ``target`` set can steer selection over a web-scale raw crawl.
+
+    Features are unigram (+ bigram) occurrences hashed into
+    ``16**bucket_hex`` buckets via an md5 hex prefix — a pure string
+    expression any engine replays bit-for-bit (same trick as the
+    module's u(key) sampler). Both corpora's bucket distributions get
+    add-``alpha`` smoothing; a document's log importance weight is
+
+        log w(d) = sum over gram occurrences g in d of
+                   log p_target(bucket(g)) - log p_raw(bucket(g))
+
+    Returns ``(id, n_grams, log_weight, avg_log_ratio)`` with
+    ``log_weight`` rounded to 4 and ``avg_log_ratio`` (length-normalized
+    score) to 6 decimals. Feed into :func:`weighted_sample` or a
+    top-quantile cut for the resampling step.
+
+    Scale shape (the 100 TB story): the bucket-ratio table has at most
+    ``16**bucket_hex`` rows (256 by default) — both corpora collapse to
+    it through map-side-combinable groupBys, the whole-frame window
+    computing the totals runs on that tiny table, and the scoring join
+    BROADCASTS it into the raw corpus' per-document bucket counts
+    (explode → (id, bucket, cnt) groupBy → broadcast join → per-doc
+    sum); the target corpus streams once and never joins at row scale.
+    Nothing driver-side scales with rows. By default the raw-side
+    bucket marginals q̂ are derived from ``raw`` itself, which reads the
+    pruned ``(id, text)`` projection a second time (Spark does not reuse
+    an aggregate exchange across a derived self-join — same trade as
+    :func:`profiler.dedup.line_dedup`); at production scale pass
+    ``raw_bucket_counts`` (a ``(bucket, rc)`` frame from a prior run of
+    this function's feature pass, or from the corpus profile) to score
+    in ONE raw scan — and to reuse one q̂ across many candidate targets.
+    """
+    from profiler.dedup import tokens_expr
+
+    n_buckets = 16**bucket_hex
+
+    def gram_stream(text: Column) -> Column:
+        toks = tokens_expr(text)
+        if not include_bigrams:
+            return toks
+        # lazy when() guard: sequence(1, n) DESCENDS for n < 1 and ANSI
+        # element_at would index past a 1-token array
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    def bucket(gram: Column) -> Column:
+        return F.substring(F.md5(gram), 1, bucket_hex)
+
+    tgt_b = (
+        target.where(F.col(text_col).isNotNull())
+        .select(F.explode(gram_stream(F.col(text_col))).alias("gram"))
+        .groupBy(bucket(F.col("gram")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    doc_b = (
+        raw.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(gram_stream(F.col(text_col))).alias("gram"),
+        )
+        .groupBy("__id", bucket(F.col("gram")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw_b = (
+        raw_bucket_counts.select("bucket", "rc")
+        if raw_bucket_counts is not None
+        else doc_b.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    )
+    # ≤ n_buckets rows from here down: whole-frame windows are safe.
+    whole = Window.partitionBy()
+    # full outer: T/R must total over ALL buckets of each corpus — a
+    # target bucket no raw document hits still contributes to T.
+    ratios = (
+        raw_b.join(tgt_b, "bucket", "full")
+        .withColumn("T", F.sum(F.coalesce("tc", F.lit(0))).over(whole))
+        .withColumn("R", F.sum(F.coalesce("rc", F.lit(0))).over(whole))
+        .where(F.col("rc").isNotNull())
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + F.lit(alpha))
+                    / (F.col("T") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(alpha))
+                    / (F.col("R") + F.lit(alpha * n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(ratios), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("log_weight"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr")) / F.sum("cnt"), 6
+            ).alias("avg_log_ratio"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "log_weight",
+            "avg_log_ratio",
+        )
+    )

@@ -220,3 +220,39 @@ def test_line_dedup_index_is_hash_agg_not_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_ngram_coverage_no_window_no_blowup(spark):
+    """Dup n-gram coverage must stay hash-aggregate shaped: a Window node
+    means someone rewrote the corpus totals as a per-digest window sort,
+    which puts every (doc, whale-gram) row in ONE task; a nested-loop or
+    cartesian join means the totals join-back degenerated. The deliberate
+    cost is exactly two pruned (id, text) scans — like line_dedup —
+    never more."""
+    from profiler.dedup import dup_ngram_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_ngram_coverage(docs, k=3))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    """The ≤256-row bucket-ratio table must broadcast into the raw-corpus
+    scoring pass — a sort-merge join there would shuffle the whole corpus'
+    per-doc bucket frame on a 2-hex-char key (256 distinct values: skew
+    catastrophe at scale). The only sort-merge join allowed is the
+    FullOuter between the two ≤256-row bucket-marginal tables (full outer
+    cannot broadcast)."""
+    from profiler.sampling import dsir_logweights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dsir_logweights(docs, docs.where(F.col("doc_id") % 5 == 0))
+    )
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "FullOuter" in line, line

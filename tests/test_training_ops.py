@@ -1189,3 +1189,175 @@ def test_clean_corpus_optional_line_dedup_and_perplexity(spark):
     _, stats0 = clean_corpus(corpus, config=CleanConfig(
         neardup_threshold=None), collect_stats=True)
     assert "after_line_dedup" not in stats0 and "after_perplexity" not in stats0
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram coverage (ExactSubstr filterable form)
+# ---------------------------------------------------------------------------
+def test_dup_ngram_coverage_golden(spark):
+    """Cross-doc shared grams, within-doc repeats, and <k-token docs all
+    behave like a suffix-array occurrence count would."""
+    from profiler.dedup import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 3 windows, "a b c" shared with doc 2
+            (2, "x y a b c"),        # 3 windows, "a b c" shared with doc 1
+            (3, "p q p q p q"),      # 4 windows, ALL duplicated within-doc
+            (4, "one two"),          # < k tokens: 0 windows
+            (5, None),               # dropped (null text)
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(docs, k=3, max_frac=0.3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 1)
+    assert out[1]["dup_frac"] == pytest.approx(0.3333)
+    assert out[1]["keep"] is False  # 0.3333 > 0.3
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 1)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (4, 4)
+    assert out[3]["dup_frac"] == 1.0 and out[3]["keep"] is False
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (0, 0)
+    assert out[4]["dup_frac"] is None and out[4]["keep"] is True
+
+
+def test_dup_ngram_coverage_threshold_boundary(spark):
+    """keep is inclusive at max_frac (<=, like the quality-filter gates)."""
+    from profiler.dedup import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "s t u v w x"), (2, "s t u z z2 z3")],  # 1 of 4 windows shared
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(docs, k=3, max_frac=0.25).collect()
+    }
+    assert rows[1]["dup_frac"] == 0.25 and rows[1]["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+def _dsir_expected(raw, target, bucket_hex=2, alpha=1.0):
+    """Pure-python replay of the DSIR math (md5-prefix buckets, add-alpha
+    smoothing with totals over ALL buckets of each corpus)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def grams(text):
+        toks = re.sub(r"\s+", " ", text).strip().split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:bucket_hex]
+
+    nb = 16**bucket_hex
+    tc = Counter(bucket(g) for _, t in target for g in grams(t))
+    docb = {i: Counter(bucket(g) for g in grams(t)) for i, t in raw}
+    rc = Counter()
+    for c in docb.values():
+        rc.update(c)
+    tt, rt = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, c in docb.items():
+        s = sum(
+            n
+            * (
+                math.log((tc.get(b, 0) + alpha) / (tt + alpha * nb))
+                - math.log((rc[b] + alpha) / (rt + alpha * nb))
+            )
+            for b, n in c.items()
+        )
+        n = sum(c.values())
+        out[i] = (n, round(s, 4), round(s / n, 6))
+    return out
+
+
+def test_dsir_logweights_matches_reference_math(spark):
+    """Spark result == pure-python DSIR replay, including a target-only
+    gram whose bucket must still count toward the target total."""
+    from profiler.sampling import dsir_logweights
+
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices fell sharply today"),
+        (3, "the dog sat on the log"),
+    ]
+    target = [
+        (10, "the cat sat quietly"),
+        (11, "zzyzx qqqq unique target only grams"),  # absent from raw
+    ]
+    exp = _dsir_expected(raw, target)
+    raw_df = spark.createDataFrame(raw, "doc_id int, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"], r["avg_log_ratio"])
+        for r in dsir_logweights(raw_df, tgt_df).collect()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=1e-4)
+        assert got[i][2] == pytest.approx(exp[i][2], abs=1e-6)
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Directional sanity: a raw doc sharing the target's vocabulary gets a
+    higher weight than one from a disjoint domain."""
+    from profiler.sampling import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "omega psi chi omega psi chi"),
+        ],
+        "doc_id int, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(9, "alpha beta gamma delta alpha")], "doc_id int, text string"
+    )
+    w = {
+        r["doc_id"]: r["avg_log_ratio"]
+        for r in dsir_logweights(raw, tgt).collect()
+    }
+    assert w[1] > w[2]
+
+
+def test_dsir_precomputed_raw_counts_identical(spark):
+    """The production one-raw-scan path (pass a precomputed (bucket, rc)
+    marginal) must score identically to the derived default."""
+    from profiler.dedup import tokens_expr
+    from profiler.sampling import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "stock market prices fell")],
+        "doc_id int, text string",
+    )
+    tgt = spark.createDataFrame([(9, "the cat sat")], "doc_id int, text string")
+
+    toks = tokens_expr(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rb = (
+        raw.select(F.explode(F.concat(toks, bigrams)).alias("gram"))
+        .groupBy(F.substring(F.md5("gram"), 1, 2).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    a = sorted(map(tuple, dsir_logweights(raw, tgt).collect()))
+    b = sorted(
+        map(tuple, dsir_logweights(raw, tgt, raw_bucket_counts=rb).collect())
+    )
+    assert a == b
