@@ -5710,3 +5710,221 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(
         d, d.where(F.col("source").isin("src0", "src1")), bucket_hex=2
     )
+
+
+_Q106_SIG = ",\n".join(
+    f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
+)
+_Q106_BSIG = ",\n".join(
+    f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
+)
+_Q106_BANDKEY = """CASE band WHEN 0 THEN h0 || h1 || h2 || h3
+                       WHEN 1 THEN h4 || h5 || h6 || h7
+                       WHEN 2 THEN h8 || h9 || h10 || h11
+                       ELSE h12 || h13 || h14 || h15 END"""
+
+
+def _q106_oracle() -> str:
+    """Full SQL replay of cross-corpus fuzzy decontamination: corpus = all
+    documents, benchmark = every 10th document keyed by md5(text); 16
+    md5-MinHash components, 4 bands × 4 rows, candidates only inside
+    identical band buckets, exact 3-gram Jaccard ≥ 0.35 on candidates."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    bw AS (
+      SELECT DISTINCT md5(text) AS bid,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    bs AS (
+      SELECT DISTINCT bid,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM bw, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+{_Q106_SIG}
+      FROM s GROUP BY doc_id
+    ),
+    bsig AS (
+      SELECT bid,
+{_Q106_BSIG}
+      FROM bs GROUP BY bid
+    ),
+    banded AS (
+      SELECT doc_id, band, {_Q106_BANDKEY} AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    ),
+    bbanded AS (
+      SELECT bid, band, {_Q106_BANDKEY} AS key
+      FROM bsig, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id, b.bid
+      FROM banded a JOIN bbanded b ON a.band = b.band AND a.key = b.key
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    bsizes AS (SELECT bid, count(*) AS n FROM bs GROUP BY bid),
+    inter AS (
+      SELECT x.doc_id, y.bid, count(*) AS n_inter
+      FROM s x JOIN bs y ON x.shingle = y.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS j
+      FROM cand c
+      JOIN inter i ON i.doc_id = c.doc_id AND i.bid = c.bid
+      JOIN sizes za ON za.doc_id = c.doc_id
+      JOIN bsizes zb ON zb.bid = c.bid
+      WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.35
+    )
+    SELECT doc_id, count(*) AS n_matched, ROUND(max(j), 4) AS max_jaccard
+    FROM scored GROUP BY doc_id
+    """
+
+
+@_register("q106_fuzzy_decontamination", _q106_oracle())
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (the MinHash complement of q46's
+    exact 13-gram rule; :func:`profiler.text.decontaminate_fuzzy`): corpus
+    documents near-duplicating any benchmark item. md5-derived MinHash
+    components (not xxhash64) so DuckDB replays bit-for-bit — the scale
+    path in profiler.text uses xxhash64 with the identical plan shape:
+    benchmark banding + shingles broadcast, corpus streams once, exact
+    Jaccard only on candidate pairs. Benchmark = every 10th document
+    keyed by md5(text); threshold 0.35 so planted near-dups (not just
+    exact copies) surface."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+
+    def shingled(df, key):
+        dw = df.select(key, words.alias("words")).where(F.size("words") >= 3)
+        idx = F.sequence(F.lit(1), F.size("words") - 2)
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("words"), i),
+                F.element_at(F.col("words"), i + 1),
+                F.element_at(F.col("words"), i + 2),
+            ),
+        )
+        return dw.select(key, F.array_distinct(sh).alias("sh"))
+
+    def sigs(shf, key):
+        s = shf.select(key, F.explode("sh").alias("shingle"))
+        return s.groupBy(key).agg(
+            *[
+                F.min(
+                    F.md5(
+                        F.concat(F.lit(str(i)), F.col("shingle")).cast("binary")
+                    )
+                ).alias(f"h{i}")
+                for i in range(16)
+            ]
+        )
+
+    def banded(sig, key):
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias(
+                        "key"
+                    ),
+                )
+                for b in range(4)
+            ]
+        )
+        return sig.select(key, F.explode(bands).alias("bk"))
+
+    corp_sh = shingled(d, "doc_id")
+    bench = d.where(F.col("doc_id") % 10 == 0).select(
+        F.md5("text").alias("bid"), "text"
+    ).dropDuplicates(["bid"])
+    bench_sh = shingled(bench, "bid")
+    cand = (
+        banded(sigs(corp_sh, "doc_id"), "doc_id")
+        .join(
+            F.broadcast(banded(sigs(bench_sh, "bid"), "bid")).withColumnRenamed(
+                "bk", "bbk"
+            ),
+            F.col("bk") == F.col("bbk"),
+        )
+        .select("doc_id", "bid")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh", "bsh")).cast("double") / F.size(
+        F.array_union("sh", "bsh")
+    )
+    return (
+        cand.join(corp_sh, "doc_id")
+        .join(F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")), "bid")
+        .select("doc_id", jac.alias("j"))
+        .where(F.col("j") >= 0.35)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.max("j"), 4).alias("max_jaccard"),
+        )
+    )
+
+
+def _q107_oracle() -> str:
+    """Full SQL replay of temperature mixture rebalancing (alpha = 0.5,
+    stratum = source, weight = n_chars): observed shares, p^alpha
+    renormalized target shares, downsampling-only keep rates."""
+    return """
+    WITH t AS (
+      SELECT source AS stratum, CAST(sum(n_chars) AS DOUBLE) AS total_weight
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT stratum, total_weight,
+             total_weight / sum(total_weight) OVER () AS p
+      FROM t
+    ),
+    x AS (
+      SELECT stratum, total_weight, p,
+             pow(p, 0.5) / sum(pow(p, 0.5)) OVER () AS q
+      FROM w
+    ),
+    y AS (SELECT *, q / p AS ratio, min(p / q) OVER () AS scale FROM x)
+    SELECT stratum, total_weight,
+           round(p, 6) AS actual_share,
+           round(q, 6) AS target_share,
+           round(least(1.0, ratio * scale), 6) AS keep_rate
+    FROM y
+    """
+
+
+@_register("q107_temperature_mixture", _q107_oracle())
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (XLM-R/mT5 sampling rule;
+    :func:`profiler.sampling.temperature_mixture`): per-source target
+    shares ∝ observed_share^0.5, realized as downsampling-only keep
+    rates. One groupBy over the stratum domain — the power/normalize
+    math runs on ≤|strata| rows, independent of corpus size."""
+    from profiler.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(d, "source", alpha=0.5, weight_col="n_chars")
+    return out.select(
+        "stratum",
+        "total_weight",
+        F.round("actual_share", 6).alias("actual_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )

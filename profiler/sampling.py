@@ -362,3 +362,42 @@ def dsir_logweights(
             "avg_log_ratio",
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual sampling
+    rule from XLM-R / mBERT / mT5 (public): target share of stratum i is
+    ``q_i ∝ p_i^alpha`` where ``p_i`` is its observed weight share and
+    ``alpha ∈ (0, 1]`` flattens the distribution (alpha = 1 keeps the
+    natural mix, alpha → 0 approaches uniform), upsampling low-resource
+    strata without hand-written target shares. Returns the same contract
+    as :func:`mixture_weights` — one row per stratum with
+    ``(stratum, total_weight, actual_share, target_share, keep_rate)``,
+    keep_rate scaled so no stratum exceeds 1 (downsampling-only
+    realization; feed into :func:`sample_by_strata`).
+
+    One groupBy over the (small) stratum domain; all the power/normalize
+    math runs on the aggregated rows, so cost is independent of corpus
+    size — same scale shape as :func:`mixture_weights`.
+    """
+    totals = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("total_weight")
+    )
+    # whole-frame windows are safe here: one row per stratum, never data-scale
+    whole = Window.partitionBy()
+    w = totals.withColumn(
+        "actual_share",
+        F.col("total_weight") / F.sum("total_weight").over(whole),
+    ).withColumn(
+        "target_share",
+        F.pow("actual_share", F.lit(alpha))
+        / F.sum(F.pow("actual_share", F.lit(alpha))).over(whole),
+    )
+    ratio = F.col("target_share") / F.col("actual_share")
+    scale = F.min(1.0 / ratio).over(whole)
+    return w.withColumn("keep_rate", F.least(F.lit(1.0), ratio * scale))

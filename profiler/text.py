@@ -326,6 +326,97 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents that NEAR-duplicate
+    any benchmark item — the rule that catches paraphrased/templated test-set
+    leakage the exact :func:`decontaminate` 13-gram collision misses (a
+    benchmark question with renumbered answers or reflowed whitespace shares
+    no 13-gram but has Jaccard ≈ 0.9). MinHash-LSH candidates BETWEEN the two
+    corpora, exact shingle-Jaccard verified on candidates only; returns
+    ``(id, n_matched, max_jaccard)`` — one row per contaminated corpus
+    document (drop them downstream with an anti-join).
+
+    Scale shape (the 100 TB story): the benchmark is tiny next to the crawl,
+    so its banded bucket frame and its shingle sets BROADCAST — the corpus
+    streams ONCE through signature + banding (one narrow fold per row, the
+    64-wide-accumulator MinHash), meets the benchmark only inside identical
+    band buckets, and only candidate-pruned corpus rows (left-semi on the
+    candidate ids) ever build shingle arrays for the verify join. Nothing is
+    O(corpus × benchmark); nothing shuffles the corpus at all.
+    """
+    from profiler.dedup import minhash_signature
+
+    n_hashes = n_bands * rows_per_band
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sig_df.select("id", F.explode(bands).alias("bucket"))
+
+    # benchmark items keyed by content digest: deterministic, and exact
+    # repeats of one benchmark item collapse to one id
+    bench = benchmark.where(F.col(text_col).isNotNull()).select(
+        F.md5(F.col(text_col)).alias("bid"), F.col(text_col).alias("__bt")
+    ).dropDuplicates(["bid"])
+    bsig = minhash_signature(bench, "__bt", "bid", n_hashes, shingle_k)
+    csig = minhash_signature(corpus, text_col, id_col, n_hashes, shingle_k)
+    cand = (
+        banded(csig)
+        .join(
+            F.broadcast(
+                banded(bsig).select(F.col("id").alias("bid"), "bucket")
+            ),
+            "bucket",
+        )
+        .select("id", "bid")
+        .distinct()
+    )
+    csh = (
+        corpus.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(cand.select("id").distinct(), "id", "left_semi")
+        .select("id", shingles_expr(F.col("__t"), shingle_k).alias("sh_c"))
+    )
+    bsh = bench.select("bid", shingles_expr(F.col("__bt"), shingle_k).alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_c", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_c", "sh_b")
+    )
+    return (
+        cand.join(csh, "id")
+        .join(F.broadcast(bsh), "bid")
+        .select("id", jac.alias("j"))
+        .where(F.col("j") >= F.lit(threshold))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.max("j"), 4).alias("max_jaccard"),
+        )
+        .select(F.col("id").alias(id_col), "n_matched", "max_jaccard")
+    )
+
+
 def packing_efficiency(
     df: DataFrame,
     lengths: tuple[int, ...] = (512, 1024, 2048),

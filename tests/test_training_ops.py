@@ -1361,3 +1361,73 @@ def test_dsir_precomputed_raw_counts_identical(spark):
         map(tuple, dsir_logweights(raw, tgt, raw_bucket_counts=rb).collect())
     )
     assert a == b
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
+    """The MinHash rule must flag a reflowed near-copy of a benchmark item
+    (high shingle Jaccard) that shares no exact long n-gram window, and
+    must not flag unrelated text."""
+    from profiler.text import decontaminate_fuzzy
+
+    bench_text = (
+        "which planet is known as the red planet in our solar system "
+        "the answer is mars the fourth planet from the sun"
+    )
+    near_copy = (
+        "which planet is known as the red planet in our solar system "
+        "the answer is mars the fourth planet from our sun"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                       # exact contamination
+            (2, near_copy),                        # fuzzy contamination
+            (3, "completely unrelated text about stock market prices "
+                "and quarterly earnings reports for tech companies"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(
+            corpus, bench, threshold=0.5, shingle_k=3
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["max_jaccard"] == 1.0
+    assert 0.5 <= out[2]["max_jaccard"] < 1.0
+    assert out[1]["n_matched"] == 1 and out[2]["n_matched"] == 1
+
+
+def test_temperature_mixture_alpha_one_is_identity(spark):
+    """alpha = 1 keeps the natural mix: every stratum's target share equals
+    its actual share and every keep rate is 1."""
+    from profiler.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 300), ("b", 50), ("c", 550)],
+        "src string, n_tokens int",
+    )
+    rows = temperature_mixture(df, "src", alpha=1.0).collect()
+    for r in rows:
+        assert r["target_share"] == pytest.approx(r["actual_share"])
+        assert r["keep_rate"] == pytest.approx(1.0)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """Small alpha upsamples low-resource strata: the smallest stratum keeps
+    everything (rate 1), the largest is downsampled hardest, and target
+    shares sum to 1."""
+    from profiler.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("big", 9000), ("mid", 900), ("small", 100)],
+        "src string, n_tokens int",
+    )
+    rows = {r["stratum"]: r for r in temperature_mixture(df, "src", alpha=0.3).collect()}
+    assert sum(r["target_share"] for r in rows.values()) == pytest.approx(1.0)
+    assert rows["small"]["keep_rate"] == pytest.approx(1.0)
+    assert rows["big"]["keep_rate"] < rows["mid"]["keep_rate"] < 1.0
+    # flattening: target shares strictly closer to uniform than actuals
+    assert rows["big"]["target_share"] < rows["big"]["actual_share"]
+    assert rows["small"]["target_share"] > rows["small"]["actual_share"]
