@@ -164,6 +164,26 @@ def minhash_signature(
     )
 
 
+def band_buckets_expr(n_bands: int, rows_per_band: int) -> Column:
+    """LSH band-bucket keys for a ``sig`` column (array<long> signature):
+    one xxhash64(band_idx, comma-joined slice) per band, returned as an
+    array<long> to explode. THE band keying for every MinHash-LSH consumer
+    (self-join near-dup, cross-corpus decontamination) — shared so the
+    schemes can never drift apart."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -177,20 +197,9 @@ def minhash_lsh_candidates(
     = fraction of matching signature components, computed on the pair row.
     """
     n_hashes = n_bands * rows_per_band
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(
-                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                           for r in range(rows_per_band)]
-                ),
-            )
-            for b in range(n_bands)
-        ]
-    )
     banded = sig_df.select(
-        "id", "sig", F.explode(bands).alias("bucket")
+        "id", "sig",
+        F.explode(band_buckets_expr(n_bands, rows_per_band)).alias("bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

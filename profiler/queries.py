@@ -5712,10 +5712,9 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared by the corpus AND benchmark signature CTEs — one definition so
+#: the two sides can never drift apart
 _Q106_SIG = ",\n".join(
-    f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
-)
-_Q106_BSIG = ",\n".join(
     f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
 )
 _Q106_BANDKEY = """CASE band WHEN 0 THEN h0 || h1 || h2 || h3
@@ -5759,7 +5758,7 @@ def _q106_oracle() -> str:
     ),
     bsig AS (
       SELECT bid,
-{_Q106_BSIG}
+{_Q106_SIG}
       FROM bs GROUP BY bid
     ),
     banded AS (

@@ -324,13 +324,26 @@ def dsir_logweights(
     )
     # ≤ n_buckets rows from here down: whole-frame windows are safe.
     whole = Window.partitionBy()
-    # full outer: T/R must total over ALL buckets of each corpus — a
-    # target bucket no raw document hits still contributes to T.
+    # The ratio table is built over the COMPLETE 16^bucket_hex domain, not
+    # just observed buckets: with a caller-supplied marginal (or a sparse
+    # target) a scored gram can land in a bucket neither table mentions,
+    # and add-alpha smoothing is defined exactly for that case — an inner
+    # scoring join over an incomplete table would silently DROP those
+    # occurrences (biasing n_grams/log_weight, vanishing all-unseen docs).
+    # T/R still total over all buckets of each corpus via the outer join.
+    domain = (
+        raw.sparkSession.range(n_buckets)
+        .select(
+            F.lpad(F.lower(F.conv(F.col("id"), 10, 16)), bucket_hex, "0").alias(
+                "bucket"
+            )
+        )
+    )
     ratios = (
-        raw_b.join(tgt_b, "bucket", "full")
+        domain.join(raw_b, "bucket", "left")
+        .join(tgt_b, "bucket", "left")
         .withColumn("T", F.sum(F.coalesce("tc", F.lit(0))).over(whole))
         .withColumn("R", F.sum(F.coalesce("rc", F.lit(0))).over(whole))
-        .where(F.col("rc").isNotNull())
         .select(
             "bucket",
             (
@@ -339,7 +352,7 @@ def dsir_logweights(
                     / (F.col("T") + F.lit(alpha * n_buckets))
                 )
                 - F.log(
-                    (F.col("rc") + F.lit(alpha))
+                    (F.coalesce("rc", F.lit(0)) + F.lit(alpha))
                     / (F.col("R") + F.lit(alpha * n_buckets))
                 )
             ).alias("lr"),
@@ -386,7 +399,11 @@ def temperature_mixture(
     size — same scale shape as :func:`mixture_weights`.
     """
     totals = df.groupBy(F.col(strata_col).alias("stratum")).agg(
-        F.sum(F.col(weight_col)).cast("double").alias("total_weight")
+        # all-NULL weights sum to NULL → pin to 0 so the stratum reports
+        # share 0 / keep 0 instead of NULL-poisoning the window sums
+        F.coalesce(F.sum(F.col(weight_col)).cast("double"), F.lit(0.0)).alias(
+            "total_weight"
+        )
     )
     # whole-frame windows are safe here: one row per stratum, never data-scale
     whole = Window.partitionBy()
@@ -398,6 +415,17 @@ def temperature_mixture(
         F.pow("actual_share", F.lit(alpha))
         / F.sum(F.pow("actual_share", F.lit(alpha))).over(whole),
     )
-    ratio = F.col("target_share") / F.col("actual_share")
-    scale = F.min(1.0 / ratio).over(whole)
-    return w.withColumn("keep_rate", F.least(F.lit(1.0), ratio * scale))
+    # guard like mixture_weights: a zero-weight stratum has ratio 0/0 = NaN
+    # (and NaN sorts GREATEST, so least(1.0, NaN) would emit keep_rate 1.0
+    # for a stratum whose target share is 0) — pin it to 0 instead.
+    ratio = F.when(
+        F.col("actual_share") > 0,
+        F.col("target_share") / F.col("actual_share"),
+    )
+    scale = F.min(F.when(ratio.isNotNull(), 1.0 / ratio)).over(whole)
+    return w.withColumn(
+        "keep_rate",
+        F.when(ratio.isNotNull(), F.least(F.lit(1.0), ratio * scale)).otherwise(
+            F.lit(0.0)
+        ),
+    )

@@ -346,34 +346,31 @@ def decontaminate_fuzzy(
     document (drop them downstream with an anti-join).
 
     Scale shape (the 100 TB story): the benchmark is tiny next to the crawl,
-    so its banded bucket frame and its shingle sets BROADCAST — the corpus
-    streams ONCE through signature + banding (one narrow fold per row, the
-    64-wide-accumulator MinHash), meets the benchmark only inside identical
-    band buckets, and only candidate-pruned corpus rows (left-semi on the
-    candidate ids) ever build shingle arrays for the verify join. Nothing is
-    O(corpus × benchmark); nothing shuffles the corpus at all.
+    so its banded bucket frame and its shingle sets BROADCAST (pinned with
+    ``F.broadcast`` — they are benchmark-bounded by construction) — the
+    corpus streams ONCE through signature + banding (one narrow fold per
+    row, the 64-wide-accumulator MinHash), meets the benchmark only inside
+    identical band buckets, and only candidate-pruned corpus rows
+    (left-semi on the candidate ids) ever build shingle arrays for the
+    verify join. Nothing is O(corpus × benchmark). The candidate-id set is
+    NOT benchmark-bounded (pathological contamination can flag much of the
+    corpus), so the pruning semi-join and the cand→shingle join are left to
+    AQE: candidates broadcast in the normal case, and past the broadcast
+    threshold the exchanges carry (id, text) / (id, bid) rows — never the
+    ~k×-larger shingle arrays — same fallback contract as
+    :func:`profiler.dedup.minhash_lsh_dedup`'s verify stage.
     """
-    from profiler.dedup import minhash_signature
+    from profiler.dedup import band_buckets_expr, minhash_signature
 
     n_hashes = n_bands * rows_per_band
 
     def banded(sig_df: DataFrame) -> DataFrame:
-        bands = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                )
-                for b in range(n_bands)
-            ]
+        return sig_df.select(
+            "id",
+            F.explode(band_buckets_expr(n_bands, rows_per_band)).alias(
+                "bucket"
+            ),
         )
-        return sig_df.select("id", F.explode(bands).alias("bucket"))
 
     # benchmark items keyed by content digest: deterministic, and exact
     # repeats of one benchmark item collapse to one id

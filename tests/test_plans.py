@@ -256,3 +256,17 @@ def test_dsir_ratio_join_is_broadcast(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "FullOuter" in line, line
+
+
+def test_decontaminate_fuzzy_benchmark_side_broadcasts(spark):
+    """The benchmark-bounded frames (banded buckets, shingle sets) must
+    attach as broadcasts — a cartesian/nested-loop means the cross-corpus
+    candidate join degenerated into O(corpus x benchmark)."""
+    from profiler.text import decontaminate_fuzzy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0).select("text")
+    plan = _plan(decontaminate_fuzzy(docs, bench, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

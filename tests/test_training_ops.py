@@ -1431,3 +1431,77 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     # flattening: target shares strictly closer to uniform than actuals
     assert rows["big"]["target_share"] < rows["big"]["actual_share"]
     assert rows["small"]["target_share"] > rows["small"]["actual_share"]
+
+
+def test_decontaminate_fuzzy_differential_vs_bruteforce(spark):
+    """The shipped xxhash64 path (which the q106 md5-parity oracle cannot
+    exercise) checked against ground truth: every flagged document must be
+    a true >=threshold match with the exact brute-force Jaccard (the verify
+    stage makes precision exact), and documents sharing a bench item's
+    EXACT shingle set (Jaccard 1.0 -> identical signatures -> identical
+    band buckets) must ALWAYS be flagged — LSH can only miss sub-1.0
+    pairs."""
+    from profiler.dedup import shingles_expr
+    from profiler.text import decontaminate_fuzzy
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet white black grey",
+    ]
+    corpus_rows = []
+    for i, t in enumerate(base):
+        corpus_rows.append((10 * i, t))                      # exact copy
+        corpus_rows.append((10 * i + 1, t + " extra tail words here"))
+        corpus_rows.append((10 * i + 2, f"unrelated filler number {i} "
+                            "completely different vocabulary set"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    bench = spark.createDataFrame([(t,) for t in base], "text string")
+    thr, k = 0.6, 3
+
+    flagged = {
+        r["doc_id"]: r["max_jaccard"]
+        for r in decontaminate_fuzzy(
+            corpus, bench, threshold=thr, shingle_k=k
+        ).collect()
+    }
+
+    csh = {
+        r["doc_id"]: set(r["sh"])
+        for r in corpus.select(
+            "doc_id", shingles_expr(F.col("text"), k).alias("sh")
+        ).collect()
+    }
+    bsh = [
+        set(r["sh"])
+        for r in bench.select(
+            shingles_expr(F.col("text"), k).alias("sh")
+        ).collect()
+    ]
+    truth = {
+        i: max(len(s & b) / len(s | b) for b in bsh) for i, s in csh.items()
+    }
+    # precision is exact: everything flagged is truly >= threshold
+    for i, j in flagged.items():
+        assert truth[i] >= thr and j == pytest.approx(round(truth[i], 4))
+    # exact copies are flagged with probability 1
+    for i, t in truth.items():
+        if t == 1.0:
+            assert i in flagged and flagged[i] == 1.0
+
+
+def test_temperature_mixture_zero_weight_stratum_kept_out(spark):
+    """A stratum with zero (or all-NULL) total weight must report
+    keep_rate 0 — not NaN-poisoned 1.0 — matching the mixture_weights
+    contract."""
+    from profiler.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 900), ("z", 0), ("n", None)],
+        "src string, n_tokens int",
+    )
+    rows = {r["stratum"]: r for r in temperature_mixture(df, "src", alpha=0.5).collect()}
+    assert rows["z"]["keep_rate"] == 0.0 and rows["n"]["keep_rate"] == 0.0
+    assert rows["n"]["total_weight"] == 0.0
+    assert rows["a"]["keep_rate"] == pytest.approx(1.0)  # smallest positive
+    assert 0.0 < rows["b"]["keep_rate"] < 1.0
