@@ -3,10 +3,14 @@ operators composed in the standard order a pre-training data pipeline runs
 them.
 
     [line dedup] → quality filter → exact dedup → near dedup →
-    decontaminate → [perplexity filter] → sample
+    [dup n-gram coverage] → decontaminate [+ fuzzy decontaminate] →
+    [perplexity filter] → [DSIR selection] → sample
 
 (bracketed stages are opt-in: line dedup rewrites text so it runs first;
-the perplexity filter's LM joins run after dedup on the smallest corpus)
+dup-n-gram coverage is corpus-global so it runs after dedup shrank the
+corpus; the perplexity filter's LM joins run after dedup on the smallest
+corpus; DSIR selection steers the final mixture, so it runs after every
+correctness filter and just before the rate sample)
 
 Every stage is one of this package's oracled operators; this module only
 owns the composition, the per-stage accounting, and the plan hygiene of
@@ -26,9 +30,20 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from profiler.dedup import apply_exact_dedup, line_dedup, minhash_lsh_dedup
+from profiler.dedup import (
+    apply_exact_dedup,
+    dup_ngram_coverage,
+    line_dedup,
+    minhash_lsh_dedup,
+)
+from profiler.sampling import dsir_logweights
 from profiler.sampling import sample_fraction as _sample_fraction
-from profiler.text import decontaminate, lm_perplexity_scores, quality_filter
+from profiler.text import (
+    decontaminate,
+    decontaminate_fuzzy,
+    lm_perplexity_scores,
+    quality_filter,
+)
 
 
 @dataclass
@@ -63,6 +78,19 @@ class CleanConfig:
     #: scoring joins see the smallest corpus.
     perplexity_reference: DataFrame | None = None
     perplexity_max: float | None = None
+    #: set k to enable the corpus-global duplicate n-gram coverage filter
+    #: (ExactSubstr in filterable form) after near-dedup — documents whose
+    #: duplicated-window fraction exceeds ``dup_ngram_max_frac`` are dropped
+    dup_ngram_k: int | None = None
+    dup_ngram_max_frac: float = 0.3
+    #: set a Jaccard threshold to ALSO run MinHash fuzzy decontamination
+    #: against ``benchmark`` (catches paraphrased leakage the exact 13-gram
+    #: rule misses); ignored when no benchmark is passed
+    fuzzy_decontaminate_threshold: float | None = None
+    #: target corpus + minimum length-normalized DSIR score to enable
+    #: target-steered selection as the last stage before sampling
+    dsir_target: DataFrame | None = None
+    dsir_min_avg_log_ratio: float | None = None
 
 
 def clean_corpus(
@@ -138,6 +166,14 @@ def clean_corpus(
             )
         removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
         cur = _mark("after_neardup", cur.join(removals, id_col, "left_anti"))
+    if cfg.dup_ngram_k is not None:
+        # corpus-global: runs after dedup shrank the corpus, before the
+        # decontamination index — only the keep verdict joins back
+        keep_ids = dup_ngram_coverage(
+            cur, text_col, id_col, k=cfg.dup_ngram_k,
+            max_frac=cfg.dup_ngram_max_frac,
+        ).where(F.col("keep")).select(id_col)
+        cur = _mark("after_dup_ngram", cur.join(keep_ids, id_col, "left_semi"))
     if benchmark is not None:
         contaminated = decontaminate(
             cur, benchmark, text_col, id_col, cfg.decontaminate_shingle_k
@@ -145,6 +181,15 @@ def clean_corpus(
         cur = _mark(
             "after_decontaminate", cur.join(contaminated, id_col, "left_anti")
         )
+        if cfg.fuzzy_decontaminate_threshold is not None:
+            fuzzy = decontaminate_fuzzy(
+                cur, benchmark, text_col, id_col,
+                threshold=cfg.fuzzy_decontaminate_threshold,
+            ).select(id_col)
+            cur = _mark(
+                "after_fuzzy_decontaminate",
+                cur.join(fuzzy, id_col, "left_anti"),
+            )
     if cfg.perplexity_reference is not None and cfg.perplexity_max is not None:
         scored = lm_perplexity_scores(
             cur, cfg.perplexity_reference, text_col, id_col
@@ -153,6 +198,19 @@ def clean_corpus(
             F.col("perplexity") > F.lit(float(cfg.perplexity_max))
         ).select(id_col)
         cur = _mark("after_perplexity", cur.join(rejected, id_col, "left_anti"))
+    if cfg.dsir_target is not None and cfg.dsir_min_avg_log_ratio is not None:
+        # target-steered selection LAST (before the rate sample): every
+        # correctness filter has run, so the DSIR scoring pass sees the
+        # final cleaned distribution it is reweighting
+        selected = (
+            dsir_logweights(cur, cfg.dsir_target, text_col, id_col)
+            .where(
+                F.col("avg_log_ratio")
+                >= F.lit(float(cfg.dsir_min_avg_log_ratio))
+            )
+            .select(id_col)
+        )
+        cur = _mark("after_dsir", cur.join(selected, id_col, "left_semi"))
     if cfg.sample_fraction is not None:
         cur = _mark(
             "after_sample",

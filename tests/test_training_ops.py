@@ -1505,3 +1505,79 @@ def test_temperature_mixture_zero_weight_stratum_kept_out(spark):
     assert rows["n"]["total_weight"] == 0.0
     assert rows["a"]["keep_rate"] == pytest.approx(1.0)  # smallest positive
     assert 0.0 < rows["b"]["keep_rate"] < 1.0
+
+
+def test_clean_corpus_optional_dupngram_fuzzy_and_dsir(spark):
+    """The three round-3 opt-in stages: dup-n-gram coverage drops the
+    paragraph-level near-copy pair exact/near dedup left alone, fuzzy
+    decontamination drops the paraphrased benchmark leak, DSIR selection
+    keeps only target-like documents; defaults leave all three off."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [
+            # 1+2: each mostly composed of the same viral paragraph ->
+            # high dup 3-gram coverage, but different enough that doc-level
+            # near-dedup (off here) wouldn't pair them
+            (1, shared + " plus some unique suffix alpha beta gamma"),
+            (2, shared + " with another distinct ending delta epsilon zeta"),
+            # 3: one-word paraphrase of the benchmark item (high 5-gram
+            # Jaccard, but the exact 13-gram rule misses it)
+            (3, "which planet is known as the red planet in our solar "
+                "system the answer is mars the fourth planet from our sun"),
+            # 4: clean, target-like document (carries common stopwords so
+            # the Gopher stopword rule keeps it)
+            (4, "the financial markets closed higher today as the bank "
+                "stocks rallied on strong quarterly earnings reports"),
+            # 5: clean but far from the target domain
+            (5, "mitochondria are the powerhouse of the cell and contain "
+                "their own circular genome"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("which planet is known as the red planet in our solar system "
+          "the answer is mars the fourth planet from the sun",)],
+        "text string",
+    )
+    target = spark.createDataFrame(
+        [(9, "the bank stocks rallied as the financial markets posted "
+             "strong quarterly earnings and closed higher")],
+        "doc_id int, text string",
+    )
+    # at toy scale the add-alpha smoothing dominates absolute DSIR scores,
+    # so derive the discriminating threshold from the two clean docs' actual
+    # scores (target-like doc 4 must outrank off-domain doc 5 — that
+    # ordering is what the stage relies on)
+    from profiler.sampling import dsir_logweights
+
+    pre = {
+        r["doc_id"]: r["avg_log_ratio"]
+        for r in dsir_logweights(
+            corpus.where(F.col("doc_id").isin(4, 5)), target
+        ).collect()
+    }
+    assert pre[4] > pre[5]
+    thr = (pre[4] + pre[5]) / 2
+    cfg = CleanConfig(
+        quality_overrides={"word_count": (3, None)},
+        neardup_threshold=None,
+        dup_ngram_k=3,
+        dup_ngram_max_frac=0.5,
+        fuzzy_decontaminate_threshold=0.5,
+        dsir_target=target,
+        dsir_min_avg_log_ratio=thr,
+    )
+    out, stats = clean_corpus(corpus, benchmark=bench, config=cfg,
+                              collect_stats=True)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {4}
+    assert stats["after_dup_ngram"] == 3          # 1, 2 dropped
+    assert stats["after_fuzzy_decontaminate"] == 2  # 3 dropped
+    assert stats["after_dsir"] == 1               # 5 dropped
+    # defaults: none of the three stages appear
+    _, stats0 = clean_corpus(corpus, benchmark=bench, config=CleanConfig(
+        neardup_threshold=None), collect_stats=True)
+    for key in ("after_dup_ngram", "after_fuzzy_decontaminate", "after_dsir"):
+        assert key not in stats0
