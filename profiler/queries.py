@@ -5927,3 +5927,58 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("target_share", 6).alias("target_share"),
         F.round("keep_rate", 6).alias("keep_rate"),
     )
+
+
+def _q108_oracle() -> str:
+    """Full SQL replay of pack materialization: q67's shard/order/cumsum
+    CTEs extended with per-pack fragment slicing and in-order reassembly
+    (64-token packs so the fixture corpus spans plenty of cuts)."""
+    return r"""
+    WITH b AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS toks,
+             CAST(CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                      1, 7) AS BIGINT) % 16 AS INT) AS shard,
+             substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8) AS ord
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, shard, toks, len(toks) AS n_tok,
+             COALESCE(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM b
+    ),
+    frag AS (
+      SELECT shard, g.p AS pack, tok_offset,
+             list_slice(toks,
+                        greatest(p * 64, tok_offset) - tok_offset + 1,
+                        least((p + 1) * 64, tok_offset + n_tok) - tok_offset)
+               AS piece
+      FROM c, UNNEST(generate_series(
+               CAST(floor(tok_offset / 64.0) AS BIGINT),
+               CAST(floor((tok_offset + n_tok - 1) / 64.0) AS BIGINT)))
+             AS g(p)
+    )
+    SELECT shard, pack, count(*) AS n_docs,
+           sum(len(piece)) AS n_tokens,
+           string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_offset)
+             AS text
+    FROM frag GROUP BY shard, pack
+    """
+
+
+@_register("q108_materialize_packs", _q108_oracle())
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack materialization (:func:`profiler.text.materialize_packs`):
+    the fixed-length training sequences q67's assignment only plans —
+    64-token concat-then-chunk packs, documents spanning cuts, one row
+    per (shard, pack) with the pack's token text. Each document explodes
+    into only the pack fragments it occupies; reassembly is a
+    (shard, pack) groupBy bounded by context_len tokens per group."""
+    from profiler.text import materialize_packs
+
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_packs(docs, context_len=64)

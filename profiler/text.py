@@ -657,6 +657,90 @@ def assign_packs(
     ).withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1))
 
 
+def materialize_packs(
+    df: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: str = "pack",
+) -> DataFrame:
+    """Materialize the fixed-length training sequences
+    :func:`assign_packs` plans: every ``(shard, pack)`` cell becomes one
+    output row carrying the pack's token text — full ``context_len``
+    tokens per pack with documents spanning cuts, zero padding, except
+    each shard's final partial pack. Returns
+    ``(shard, pack, n_docs, n_tokens, text)``. Whitespace tokens only
+    (the ``bpe_ish`` counting mode has no joinable token text form).
+
+    Scale shape (the 100 TB story): the assignment reuses
+    ``assign_packs``' shard-local window cumsum (no global sort); each
+    document then EXPLODES into only the ≤ ``n_tok/context_len + 1``
+    pack fragments it occupies, carrying an array ``slice`` — never the
+    whole corpus token stream per pack; reassembly is one
+    ``(shard, pack)`` groupBy whose per-group state is bounded by
+    ``context_len`` tokens (``array_sort(collect_list(...))`` over the
+    ≤ context_len-token fragments, the line_dedup reassembly pattern).
+    Like every index-and-join-back operator here, the pruned
+    ``(id, text)`` projection is read twice (assignment + token join)."""
+    from profiler.dedup import tokens_expr
+
+    asg = assign_packs(
+        df, context_len, id_col, text_col, n_shards, seed, mode="whitespace"
+    )
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    L = F.lit(int(context_len))
+    off = F.col("tok_offset")
+
+    def fragment(p: Column) -> Column:
+        start_g = F.greatest(p * L, off)
+        end_g = F.least((p + 1) * L, off + F.col("n_tok"))
+        return F.struct(
+            p.alias("pack"),
+            F.slice(
+                F.col("__toks"),
+                (start_g - off + 1).cast("int"),
+                (end_g - start_g).cast("int"),
+            ).alias("piece"),
+        )
+
+    fragged = (
+        asg.join(toks, id_col)
+        .select(
+            "shard",
+            "tok_offset",
+            F.explode(
+                F.transform(
+                    F.sequence("pack_first", "pack_last"), fragment
+                )
+            ).alias("f"),
+        )
+        .select(
+            "shard",
+            F.col("f.pack").alias("pack"),
+            "tok_offset",
+            F.col("f.piece").alias("piece"),
+        )
+    )
+    return fragged.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("piece")).alias("n_tokens"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_offset", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                )
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     group_col: str = "lang",

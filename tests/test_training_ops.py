@@ -1581,3 +1581,40 @@ def test_clean_corpus_optional_dupngram_fuzzy_and_dsir(spark):
         neardup_threshold=None), collect_stats=True)
     for key in ("after_dup_ngram", "after_fuzzy_decontaminate", "after_dsir"):
         assert key not in stats0
+
+
+def test_materialize_packs_roundtrip_and_full_packs(spark):
+    """Pack materialization invariants: every non-final pack of a shard
+    has exactly context_len tokens; concatenating a shard's packs in pack
+    order reproduces its documents' token stream in layout order (nothing
+    lost, duplicated, or reordered across cut boundaries)."""
+    from profiler.text import assign_packs, materialize_packs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(3 + i % 5))) for i in range(12)],
+        "doc_id int, text string",
+    )
+    L, S = 7, 2
+    out = materialize_packs(docs, context_len=L, n_shards=S).collect()
+    asg = assign_packs(docs, context_len=L, n_shards=S).collect()
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total_tokens = sum(r["n_tokens"] for r in out)
+    assert total_tokens == sum(r["n_tok"] for r in asg)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack"])
+        # contiguous pack ids from 0
+        assert [r["pack"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_tokens"] == L  # zero padding: only the tail is short
+        stream = " ".join(r["text"] for r in rows).split(" ")
+        # layout order = ascending tok_offset within the shard
+        order = sorted(
+            (a for a in asg if a["shard"] == shard),
+            key=lambda a: a["tok_offset"],
+        )
+        doc_text = {r["doc_id"]: r["text"] for r in docs.collect()}
+        expected = " ".join(doc_text[a["doc_id"]] for a in order).split(" ")
+        assert stream == expected
