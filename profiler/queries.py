@@ -5982,3 +5982,43 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return materialize_packs(docs, context_len=64)
+
+
+def _q109_oracle() -> str:
+    """Full SQL replay of sliding-window chunking (32-token chunks,
+    8-token overlap, step 24): identical tokenization, chunk-count rule,
+    slice bounds, and text reassembly."""
+    return r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT) END AS nc
+      FROM w
+    )
+    SELECT doc_id, g.i AS chunk_idx,
+           len(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)))
+             AS n_tokens,
+           array_to_string(
+             list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+             AS text
+    FROM p, UNNEST(generate_series(0, nc - 1)) AS g(i)
+    """
+
+
+@_register("q109_chunk_documents", _q109_oracle())
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG/embedding prep;
+    :func:`profiler.text.chunk_documents`): 32-token windows advancing
+    by 24 (8-token overlap). A pure narrow map — tokenize, transform
+    over the chunk sequence, slice, explode; zero shuffle (plan-pinned),
+    per-row fan-out bounded by the document's own length."""
+    from profiler.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)

@@ -741,6 +741,63 @@ def materialize_packs(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding-prep op):
+    split each document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens of context. Returns ``(id, chunk_idx, n_tokens, text)`` —
+    every document yields at least one chunk; a document of ≤
+    ``chunk_tokens`` tokens yields exactly itself; the final chunk is
+    the only one that may be short, and chunk starts never run past the
+    token count (``n_chunks = ceil((n - overlap) / step)``).
+
+    Scale shape: a PURE NARROW MAP — tokenize, transform over the chunk
+    index sequence, array ``slice``, explode. No shuffle, no join, no
+    window; each row's fan-out is bounded by its own
+    ``n_tok/step + 1``. The chunk text rides straight to the sink (or
+    into the embedding UDF) with whatever partitioning the scan chose.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    from profiler.dedup import tokens_expr
+
+    step = chunk_tokens - overlap
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.slice(
+                    toks, (i * step + 1).cast("int"), F.lit(chunk_tokens)
+                ).alias("piece"),
+            ),
+        )
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.piece").alias("n_tokens"),
+            F.array_join("c.piece", " ").alias("text"),
+        )
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     group_col: str = "lang",

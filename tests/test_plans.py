@@ -270,3 +270,16 @@ def test_decontaminate_fuzzy_benchmark_side_broadcasts(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_narrow_map(spark):
+    """The chunker must be a pure narrow map: one scan, no Exchange, no
+    Join, no Window — any of those means the fan-out stopped being
+    row-local."""
+    from profiler.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_documents(docs, chunk_tokens=32, overlap=8))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -1618,3 +1618,34 @@ def test_materialize_packs_roundtrip_and_full_packs(spark):
         doc_text = {r["doc_id"]: r["text"] for r in docs.collect()}
         expected = " ".join(doc_text[a["doc_id"]] for a in order).split(" ")
         assert stream == expected
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk windows: overlap is honored, the token stream reconstructs
+    (after removing overlaps), short docs pass through whole, bounds are
+    validated."""
+    from profiler.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc")], "doc_id int, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    # n=10, chunk=4, step=3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert [r["text"] for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4]
+    # de-overlapped reconstruction
+    rebuilt = d1[0]["text"].split(" ")
+    for r in d1[1:]:
+        rebuilt += r["text"].split(" ")[1:]
+    assert rebuilt == toks
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["text"] == "short doc"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
