@@ -6022,3 +6022,32 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@_register(
+    "q110_render_conversations",
+    """
+    SELECT user_id, count(*) AS n_turns,
+           string_agg(coalesce(event_type, '') || ': ' || coalesce(props, ''),
+                      chr(10) ORDER BY ts, event_id) AS text
+    FROM events GROUP BY user_id
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation rendering (:func:`profiler.sequence.render_conversations`)
+    — the transcripts→corpus bridge: each keyed multi-turn sequence becomes
+    one flat training document (role: text per turn, newline-joined, turns
+    in (ts, id) order), feeding the whole document-operator surface. One
+    map-side-combinable groupBy on the conversation key; per-group state is
+    the conversation's own turns. Exercised here over events as
+    (user → conversation, ts-ordered, event_type → role, props → text)."""
+    from profiler.sequence import render_conversations
+
+    e = _t(spark, sf_dir, "events")
+    return render_conversations(
+        e,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="props",
+    )

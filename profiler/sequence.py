@@ -221,3 +221,46 @@ def cohort_retention(
         )
         .orderBy("cohort", "period_offset")
     )
+
+
+def render_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Render multi-turn conversations into flat training documents — the
+    bridge from the transcripts table to the corpus pipeline: every
+    conversation becomes ONE `(conv_id, n_turns, text)` row with turns in
+    ``order_cols`` order formatted as ``role<role_sep>text`` joined by
+    ``turn_sep`` (the plain chat-transcript template; swap the separators
+    for a model-specific one). The output feeds straight into the
+    document operators — dedup, quality, perplexity, chunking, packing —
+    so the whole cleaning surface applies to conversational data.
+
+    Scale shape: ONE map-side-combinable groupBy on the conversation key
+    (the table's natural bucketing column — an Iceberg table bucketed by
+    conv_id shuffles nothing); per-group state is the conversation's own
+    turns (``array_sort(collect_list(struct(...)))``, the same
+    per-key-bounded reassembly as line_dedup/materialize_packs). NULL
+    turn text renders as '' rather than dropping the turn — turn COUNT
+    integrity is part of what downstream validation checks.
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("__role"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__text"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(order_struct)),
+            lambda t: F.concat(t["__role"], F.lit(role_sep), t["__text"]),
+        ),
+        turn_sep,
+    )
+    return df.groupBy(F.col(conv_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"), rendered.alias("text")
+    )

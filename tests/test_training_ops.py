@@ -1649,3 +1649,29 @@ def test_chunk_documents_semantics(spark):
     assert len(d2) == 1 and d2[0]["text"] == "short doc"
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_render_conversations_golden(spark):
+    """Turns render in order with the template, NULL text renders as '',
+    and the output feeds the document operators (token counting works)."""
+    from profiler.sequence import render_conversations
+    from profiler.text import token_count_expr
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "hi there"),
+            ("c1", 1, "user", "hello"),
+            ("c1", 3, "user", None),
+            ("c2", 1, "system", "be helpful"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r for r in render_conversations(t).collect()}
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["text"] == "user: hello\nassistant: hi there\nuser: "
+    assert out["c2"]["text"] == "system: be helpful"
+    rendered = render_conversations(t)
+    toks = rendered.select(
+        token_count_expr(F.col("text")).alias("n")
+    ).collect()
+    assert all(r["n"] >= 1 for r in toks)
