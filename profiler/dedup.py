@@ -973,3 +973,146 @@ def dup_ngram_coverage(
         dup_frac.alias("dup_frac"),
         (dup_frac.isNull() | (dup_frac <= F.lit(max_frac))).alias("keep"),
     )
+
+
+def neardup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(bucket, id, sig)`` band-bucket index of a corpus snapshot — the
+    carry-forward state for :func:`incremental_neardup` (the near-dup
+    analogue of :func:`fingerprint_index`). One narrow signature fold +
+    band explode: ``n_bands`` rows per accepted document, each carrying
+    the full signature so future batches can estimate Jaccard without
+    touching historical text. At 100 TB persist it BUCKETED BY ``bucket``
+    so every future batch's candidate join co-partitions without a full
+    index shuffle (storage is ~n_bands × 8·n_hashes bytes per doc — far
+    below the text it replaces in the hot path)."""
+    sig = minhash_signature(
+        df, text_col, id_col, n_bands * rows_per_band, shingle_k
+    )
+    return sig.select(
+        F.explode(band_buckets_expr(n_bands, rows_per_band)).alias("bucket"),
+        "id",
+        "sig",
+    )
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    history_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup a NEW ingest batch against everything already accepted:
+    returns ``(survivors, updated_index)`` — the continuous-ingest shape
+    of :func:`minhash_lsh_dedup`, mirroring :func:`incremental_dedup`'s
+    contract. Within-batch near-dup pairs drop the greater id (exact
+    Jaccard verified); a batch doc also drops if it near-duplicates an
+    indexed historical doc. Historical TEXT is never rescanned: by
+    default the history leg thresholds the signature-estimated Jaccard
+    (matching components / n_hashes, unbiased; the index carries the
+    signatures); pass ``history_df`` to exact-verify the history
+    candidates too (its text is touched ONLY for candidate ids, via the
+    same semi-join prune as the batch verify stage). CONTRACT: in exact
+    mode ``history_df`` must cover every id in ``index`` — the natural
+    call passes the accepted-corpus table the index was built from; a
+    candidate whose old id is missing from ``history_df`` cannot verify
+    and is KEPT (never silently dropped on an unverified estimate).
+
+    Plan: batch signatures fold once; the history candidate join hits
+    only identical band buckets of a bucket-partitioned index; every
+    estimate/verify runs on candidate pairs, never |batch| × |history|.
+    ``updated_index`` = ``index`` ∪ the survivors' bucket rows.
+    """
+    n_hashes = n_bands * rows_per_band
+    within = minhash_lsh_dedup(
+        batch, text_col, id_col, threshold, n_bands, rows_per_band, shingle_k
+    )
+    batch_dedup = batch.join(
+        within.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    sigb = minhash_signature(
+        batch_dedup, text_col, id_col, n_hashes, shingle_k
+    )
+    cand = (
+        sigb.select(
+            F.col("id").alias("__new"),
+            F.col("sig").alias("__sig_new"),
+            F.explode(band_buckets_expr(n_bands, rows_per_band)).alias(
+                "bucket"
+            ),
+        )
+        .join(
+            index.select(
+                "bucket",
+                F.col("id").alias("__old"),
+                F.col("sig").alias("__sig_old"),
+            ),
+            "bucket",
+        )
+        .dropDuplicates(["__new", "__old"])
+    )
+    if history_df is None:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("__sig_new", "__sig_old", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(n_hashes)
+        )
+        dup_new = (
+            cand.where(est >= F.lit(threshold)).select(
+                F.col("__new").alias(id_col)
+            )
+        ).distinct()
+    else:
+        pairs = cand.select("__new", "__old")
+        new_sh = (
+            batch_dedup.select(
+                F.col(id_col).alias("__new"), F.col(text_col).alias("__t")
+            )
+            .join(pairs.select("__new").distinct(), "__new", "left_semi")
+            .select(
+                "__new", shingles_expr(F.col("__t"), shingle_k).alias("sh_n")
+            )
+        )
+        old_sh = (
+            history_df.select(
+                F.col(id_col).alias("__old"), F.col(text_col).alias("__t")
+            )
+            .join(pairs.select("__old").distinct(), "__old", "left_semi")
+            .select(
+                "__old", shingles_expr(F.col("__t"), shingle_k).alias("sh_o")
+            )
+        )
+        jac = F.size(F.array_intersect("sh_n", "sh_o")).cast(
+            "double"
+        ) / F.size(F.array_union("sh_n", "sh_o"))
+        dup_new = (
+            pairs.join(new_sh, "__new")
+            .join(old_sh, "__old")
+            .where(jac >= F.lit(threshold))
+            .select(F.col("__new").alias(id_col))
+            .distinct()
+        )
+    survivors = batch_dedup.join(dup_new, id_col, "left_anti")
+    updated = index.unionByName(
+        neardup_index(
+            survivors, text_col, id_col, n_bands, rows_per_band, shingle_k
+        )
+    )
+    return survivors, updated

@@ -5717,6 +5717,55 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q106_SIG = ",\n".join(
     f"             min(md5('{i}' || shingle)) AS h{i}" for i in range(16)
 )
+
+
+# md5-parity MinHash building blocks shared by q106/q111 (DuckDB can replay
+# md5 but not xxhash64; the library scale path uses the identical plan
+# shape with xxhash64 — see profiler.dedup/text)
+def _md5_shingled(df: DataFrame, key: str) -> DataFrame:
+    """(key, sh): distinct word-3-gram shingle arrays, docs with ≥3 words."""
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dw = df.select(key, words.alias("words")).where(F.size("words") >= 3)
+    idx = F.sequence(F.lit(1), F.size("words") - 2)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    return dw.select(key, F.array_distinct(sh).alias("sh"))
+
+
+def _md5_sigs16(shf: DataFrame, key: str) -> DataFrame:
+    """16 md5-derived MinHash components per key (h0..h15)."""
+    s = shf.select(key, F.explode("sh").alias("shingle"))
+    return s.groupBy(key).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.col("shingle")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+
+
+def _md5_banded4(sig: DataFrame, key: str) -> DataFrame:
+    """4 bands × 4 rows: (key, bk struct<band, key>) rows to bucket-join."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    return sig.select(key, F.explode(bands).alias("bk"))
 _Q106_BANDKEY = """CASE band WHEN 0 THEN h0 || h1 || h2 || h3
                        WHEN 1 THEN h4 || h5 || h6 || h7
                        WHEN 2 THEN h8 || h9 || h10 || h11
@@ -5806,49 +5855,7 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by md5(text); threshold 0.35 so planted near-dups (not just
     exact copies) surface."""
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-
-    def shingled(df, key):
-        dw = df.select(key, words.alias("words")).where(F.size("words") >= 3)
-        idx = F.sequence(F.lit(1), F.size("words") - 2)
-        sh = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("words"), i),
-                F.element_at(F.col("words"), i + 1),
-                F.element_at(F.col("words"), i + 2),
-            ),
-        )
-        return dw.select(key, F.array_distinct(sh).alias("sh"))
-
-    def sigs(shf, key):
-        s = shf.select(key, F.explode("sh").alias("shingle"))
-        return s.groupBy(key).agg(
-            *[
-                F.min(
-                    F.md5(
-                        F.concat(F.lit(str(i)), F.col("shingle")).cast("binary")
-                    )
-                ).alias(f"h{i}")
-                for i in range(16)
-            ]
-        )
-
-    def banded(sig, key):
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias(
-                        "key"
-                    ),
-                )
-                for b in range(4)
-            ]
-        )
-        return sig.select(key, F.explode(bands).alias("bk"))
-
+    shingled, sigs, banded = _md5_shingled, _md5_sigs16, _md5_banded4
     corp_sh = shingled(d, "doc_id")
     bench = d.where(F.col("doc_id") % 10 == 0).select(
         F.md5("text").alias("bid"), "text"
@@ -6051,3 +6058,141 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         role_col="event_type",
         text_col="props",
     )
+
+
+def _q111_oracle() -> str:
+    """Full SQL replay of incremental near-dedup: history = even-id docs
+    (their band-bucket index), batch = odd-id docs; within-batch verified
+    near-dup pairs drop the greater id, then surviving batch docs that
+    exact-verify (3-gram Jaccard ≥ 0.35) against any history candidate
+    drop too. Output: surviving batch ids."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+{_Q106_SIG}
+      FROM s GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band, {_Q106_BANDKEY} AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+      FROM s x JOIN s y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS j
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+    ),
+    wcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+    ),
+    wdrop AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM wcand c JOIN jac ON jac.id_a = c.id_a AND jac.id_b = c.id_b
+      WHERE jac.j >= 0.35
+    ),
+    batch2 AS (
+      SELECT doc_id FROM w
+      WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM wdrop)
+    ),
+    hcand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM banded n JOIN banded o ON n.band = o.band AND n.key = o.key
+      JOIN batch2 bb ON bb.doc_id = n.doc_id
+      WHERE o.doc_id % 2 = 0
+    ),
+    hdrop AS (
+      SELECT DISTINCT c.id_new AS doc_id
+      FROM hcand c
+      JOIN jac ON (jac.id_a = least(c.id_new, c.id_old)
+                   AND jac.id_b = greatest(c.id_new, c.id_old))
+      WHERE jac.j >= 0.35
+    )
+    SELECT doc_id FROM batch2
+    WHERE doc_id NOT IN (SELECT doc_id FROM hdrop)
+    """
+
+
+@_register("q111_incremental_neardup", _q111_oracle())
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (:func:`profiler.dedup.incremental_neardup`
+    — the continuous-ingest shape of MinHash near-dedup): history = even
+    ids contribute only their band-bucket index, batch = odd ids;
+    within-batch verified pairs drop the greater id, then survivors that
+    exact-verify against a history candidate drop too. md5-parity form
+    (16 components, 4×4 bands — the library uses xxhash64 with the same
+    plan shape); history text is touched only for candidate ids."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    sh_all = _md5_shingled(d, "doc_id")
+    banded = _md5_banded4(_md5_sigs16(sh_all, "doc_id"), "doc_id")
+    jac_expr = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_a", "sh_b"))
+
+    def verified(cand, a_col, b_col):
+        a = sh_all.select(
+            F.col("doc_id").alias(a_col), F.col("sh").alias("sh_a")
+        )
+        b = sh_all.select(
+            F.col("doc_id").alias(b_col), F.col("sh").alias("sh_b")
+        )
+        return (
+            cand.join(a, a_col)
+            .join(b, b_col)
+            .where(jac_expr >= 0.35)
+        )
+
+    ob = banded.where(F.col("doc_id") % 2 == 1)
+    eb = banded.where(F.col("doc_id") % 2 == 0)
+    a, b = ob.alias("a"), ob.alias("b")
+    wcand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    wdrop = verified(wcand, "id_a", "id_b").select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    batch2 = batch.select("doc_id").join(wdrop, "doc_id", "left_anti")
+    n, o = ob.alias("n"), eb.alias("o")
+    hcand = (
+        n.join(o, F.col("n.bk") == F.col("o.bk"))
+        .select(
+            F.col("n.doc_id").alias("id_new"), F.col("o.doc_id").alias("id_old")
+        )
+        .distinct()
+        .join(batch2.select(F.col("doc_id").alias("id_new")), "id_new", "left_semi")
+    )
+    hdrop = verified(hcand, "id_new", "id_old").select(
+        F.col("id_new").alias("doc_id")
+    ).distinct()
+    return batch2.join(hdrop, "doc_id", "left_anti")

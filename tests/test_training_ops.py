@@ -1675,3 +1675,59 @@ def test_render_conversations_golden(spark):
         token_count_expr(F.col("text")).alias("n")
     ).collect()
     assert all(r["n"] >= 1 for r in toks)
+
+
+def test_incremental_neardup_two_batches(spark):
+    """Continuous-ingest near-dedup: batch docs near-duplicating history
+    drop via the index (history text touched only for candidates);
+    within-batch pairs drop the greater id; the updated index catches a
+    batch-2 near-dup of a batch-1 SURVIVOR without rescanning anything."""
+    from profiler.dedup import incremental_neardup, neardup_index
+
+    A = "the old tower clock struck twelve as rain fell over the quiet town square"
+    U = "quarterly revenue grew nine percent driven by strong cloud subscription sales"
+    V = "the recipe calls for two cups of flour one egg and a pinch of salt"
+    hist = spark.createDataFrame([(0, A)], "doc_id int, text string")
+    idx0 = neardup_index(hist)
+    batch1 = spark.createDataFrame(
+        [
+            (1, A.replace("quiet", "sleepy")),   # near-dup of history 0
+            (3, U),
+            (5, U + " again"),                    # near-dup of 3 (greater id)
+            (7, V),
+        ],
+        "doc_id int, text string",
+    )
+    surv1, idx1 = incremental_neardup(
+        batch1, idx0, threshold=0.5, history_df=hist
+    )
+    assert {r["doc_id"] for r in surv1.collect()} == {3, 7}
+
+    accepted = hist.unionByName(surv1)
+    batch2 = spark.createDataFrame(
+        [(9, U.replace("nine", "ten")), (11, "entirely novel content here "
+                                             "about deep sea creatures")],
+        "doc_id int, text string",
+    )
+    surv2, idx2 = incremental_neardup(
+        batch2, idx1, threshold=0.5, history_df=accepted
+    )
+    assert {r["doc_id"] for r in surv2.collect()} == {11}
+    # index grows by exactly the survivors' band rows (16 bands each)
+    assert idx2.count() == idx1.count() + 16
+
+
+def test_incremental_neardup_estimate_mode(spark):
+    """Without history_df, the history leg thresholds the signature
+    estimate — an exact copy (identical signature, est 1.0) still drops,
+    with zero historical text access."""
+    from profiler.dedup import incremental_neardup, neardup_index
+
+    A = "the old tower clock struck twelve as rain fell over the quiet town square"
+    hist = spark.createDataFrame([(0, A)], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(1, A), (2, "completely different text about gardening tools")],
+        "doc_id int, text string",
+    )
+    surv, _ = incremental_neardup(batch, neardup_index(hist), threshold=0.8)
+    assert {r["doc_id"] for r in surv.collect()} == {2}
