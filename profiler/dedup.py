@@ -975,6 +975,97 @@ def dup_ngram_coverage(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr duplicate-SPAN removal (Lee et al. 2022, §ExactSubstr)
+    — the rewrite half of the recipe whose filterable half is
+    :func:`dup_ngram_coverage`: any token ``k``-gram occurring more than
+    once ANYWHERE in the corpus (within-document repeats included) is a
+    duplicated span; its corpus-wide FIRST occurrence in ``(id, pos)``
+    order is the keeper, every other occurrence's window is marked, and a
+    token is dropped iff at least one marked window covers it. Documents
+    are never dropped — rewritten text keeps surviving tokens in order
+    (a fully-duplicated document collapses toward its keeper windows, or
+    to ``''`` when it holds none). Documents with fewer than ``k`` tokens
+    pass through unchanged. Returns ``(id, text_dedup, n_tokens,
+    n_removed)`` — the :func:`line_dedup` contract at token-span
+    granularity (the suffix-array step of the paper is replaced by the
+    same window/digest index the coverage signal uses: grams of fixed
+    ``k`` rather than maximal repeats, the standard scalable relaxation).
+
+    Self-overlap note: inside a run of repeats (``"a" × m`` with
+    ``k ≤ m``) the windows after the first are all marked, so the run
+    collapses to its first ``k``-gram minus covered tokens — repeated
+    boilerplate collapses rather than survives, which is the point.
+
+    Scale shape (the 100 TB story): raw windows shuffle ONCE as
+    ``(16-byte digest, id, pos)`` rows into a map-side-combinable
+    ``groupBy(digest)`` whose whole aggregate is ``(count,
+    min(struct(id, pos)))`` — a whale gram (one 8-gram in 10^9
+    documents) collapses in the combiner, never in a window sort; marked
+    positions come from the digest join-back (AQE skew-safe) and fold to
+    ONE sorted per-document array bounded by the document's own window
+    count; the rewrite is a narrow ``filter`` lambda over the token
+    array (O(tokens × marked starts) per row, zero extra shuffle).
+    Nothing driver-side scales with rows."""
+    if k < 2:
+        raise ValueError("remove_dup_spans requires k >= 2")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    grams = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("__id", F.posexplode(grams).alias("p0", "dig")).select(
+        "__id", (F.col("p0") + 1).alias("pos"), "dig"
+    )
+    stats = occ.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min(F.struct("__id", "pos")).alias("keeper"),
+    )
+    marked = (
+        occ.join(stats, "dig")
+        .where(
+            (F.col("total") >= 2)
+            & (F.struct("__id", "pos") != F.col("keeper"))
+        )
+        .select("__id", "pos")
+    )
+    starts = marked.groupBy("__id").agg(
+        F.array_sort(F.collect_list("pos")).alias("starts")
+    )
+    joined = base.join(starts, "__id", "left")
+    kept = F.when(F.col("starts").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda t, i: ~F.exists(
+                F.col("starts"),
+                lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k)),
+            ),
+        )
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("text_dedup"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def neardup_index(
     df: DataFrame,
     text_col: str = "text",

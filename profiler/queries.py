@@ -6196,3 +6196,68 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_new").alias("doc_id")
     ).distinct()
     return batch2.join(hdrop, "doc_id", "left_anti")
+
+
+def _q112_oracle() -> str:
+    """Full SQL replay of ExactSubstr duplicate-span removal (k=3):
+    identical whitespace tokenization, every window position, keep-first
+    marking via row_number over (gram) in (doc_id, pos) order, token
+    coverage by any marked window, in-order reassembly of survivors.
+    <k-token documents round-trip unchanged."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    win AS (
+      SELECT doc_id, i AS pos,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    mk AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gram) AS total
+        FROM win) WHERE total >= 2 AND rn > 1
+    ),
+    cov AS (
+      SELECT t.doc_id, p AS tokpos, t.t[p] AS tok
+      FROM tok t, UNNEST(generate_series(1, len(t.t))) AS gp(p)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.tokpos, c.tok
+      FROM cov c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mk m
+        WHERE m.doc_id = c.doc_id
+          AND c.tokpos BETWEEN m.pos AND m.pos + 2)
+    ),
+    fin AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(f.text_dedup, '') AS text_dedup,
+           len(t.t) AS n_tokens,
+           len(t.t) - coalesce(f.n_kept, 0) AS n_removed
+    FROM tok t LEFT JOIN fin f USING (doc_id)
+    """
+
+
+@_register("q112_remove_dup_spans", _q112_oracle())
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-SPAN removal (Lee et al. 2022;
+    :func:`profiler.dedup.remove_dup_spans`): every token 3-gram occurring
+    ≥2× corpus-wide keeps only its first (id, pos) occurrence — every
+    other occurrence's window marks its tokens for removal, and documents
+    are rewritten with the survivors in order (never dropped). The rewrite
+    half of the recipe whose filterable half is q104: windows shuffle once
+    as 16-byte digests into a (count, min-struct) combiner-friendly
+    aggregate; marked positions fold to one bounded per-document array;
+    the rewrite itself is a narrow token-filter lambda."""
+    from profiler.dedup import remove_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_dup_spans(d, k=3)

@@ -283,3 +283,20 @@ def test_chunk_documents_is_narrow_map(spark):
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_remove_dup_spans_no_window_no_blowup(spark):
+    """Duplicate-span removal must keep the dup_ngram_coverage shape: the
+    keeper index is a (count, min-struct) hash aggregate over digests —
+    a Window node would sort every whale-gram occurrence in one task —
+    and the rewrite is a narrow lambda, so the whole program costs three
+    pruned scans of the (id, text) projection (windows, join-back,
+    rewrite) and never a cartesian/nested-loop join."""
+    from profiler.dedup import remove_dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(remove_dup_spans(docs, k=3))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 3

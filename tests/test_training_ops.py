@@ -1731,3 +1731,61 @@ def test_incremental_neardup_estimate_mode(spark):
     )
     surv, _ = incremental_neardup(batch, neardup_index(hist), threshold=0.8)
     assert {r["doc_id"] for r in surv.collect()} == {2}
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicate-span removal
+# ---------------------------------------------------------------------------
+def test_remove_dup_spans_keep_first_golden(spark):
+    """The corpus-wide first occurrence of a duplicated k-gram survives;
+    every other occurrence's tokens are cut; short docs round-trip."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # keeper of "a b c": unchanged
+            (2, "x y a b c z"),     # loses exactly the a b c span
+            (3, "one two"),         # < k tokens: unchanged
+            (4, None),              # null text: dropped from output
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.remove_dup_spans(docs, k=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text_dedup"] == "a b c d e"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (5, 0)
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (6, 3)
+    assert out[3]["text_dedup"] == "one two"
+    assert out[3]["n_removed"] == 0
+
+
+def test_remove_dup_spans_within_doc_run_collapses(spark):
+    """A within-document repeat run keeps only tokens of the first window
+    not covered by later (marked) overlapping windows."""
+    docs = spark.createDataFrame(
+        [(1, "p q p q p q")], "doc_id int, text string"
+    )
+    row = dedup.remove_dup_spans(docs, k=3).collect()[0]
+    # windows: (1)"p q p" (2)"q p q" (3)"p q p" (4)"q p q"; keepers are
+    # pos 1 and 2, marked are pos 3,4 -> tokens 3..6 covered -> "p q" left
+    assert row["text_dedup"] == "p q"
+    assert (row["n_tokens"], row["n_removed"]) == (6, 4)
+
+
+def test_remove_dup_spans_fully_duplicated_doc_empties(spark):
+    """A document that is one big second occurrence collapses to ''."""
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3"), (2, "w1 w2 w3")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.remove_dup_spans(docs, k=3).collect()
+    }
+    assert out[1]["text_dedup"] == "w1 w2 w3"
+    assert out[2]["text_dedup"] == "" and out[2]["n_removed"] == 3
+
+
+def test_remove_dup_spans_rejects_k1(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        dedup.remove_dup_spans(docs, k=1)
