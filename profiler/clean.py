@@ -2,15 +2,18 @@
 operators composed in the standard order a pre-training data pipeline runs
 them.
 
-    [line dedup] → quality filter → exact dedup → near dedup →
-    [dup n-gram coverage] → decontaminate [+ fuzzy decontaminate] →
-    [perplexity filter] → [DSIR selection] → sample
+    [line dedup] → quality filter → [classifier filter] → exact dedup →
+    near dedup → [dup n-gram coverage] → decontaminate
+    [+ fuzzy decontaminate] → [perplexity filter] → [DSIR selection] →
+    sample
 
 (bracketed stages are opt-in: line dedup rewrites text so it runs first;
-dup-n-gram coverage is corpus-global so it runs after dedup shrank the
-corpus; the perplexity filter's LM joins run after dedup on the smallest
-corpus; DSIR selection steers the final mixture, so it runs after every
-correctness filter and just before the rate sample)
+the model-based classifier filter is a zero-shuffle narrow predicate, so
+it joins the rule-based quality gate up front where every later shuffle
+sees fewer rows; dup-n-gram coverage is corpus-global so it runs after
+dedup shrank the corpus; the perplexity filter's LM joins run after dedup
+on the smallest corpus; DSIR selection steers the final mixture, so it
+runs after every correctness filter and just before the rate sample)
 
 Every stage is one of this package's oracled operators; this module only
 owns the composition, the per-stage accounting, and the plan hygiene of
@@ -39,6 +42,7 @@ from profiler.dedup import (
 from profiler.sampling import dsir_logweights
 from profiler.sampling import sample_fraction as _sample_fraction
 from profiler.text import (
+    classifier_exprs,
     decontaminate,
     decontaminate_fuzzy,
     lm_perplexity_scores,
@@ -91,6 +95,14 @@ class CleanConfig:
     #: target-steered selection as the last stage before sampling
     dsir_target: DataFrame | None = None
     dsir_min_avg_log_ratio: float | None = None
+    #: hashed-bucket weights of an exported linear quality classifier
+    #: (fastText-shaped; see text.classifier_scores) to enable model-based
+    #: quality filtering right after the rule-based gate — a zero-shuffle
+    #: narrow predicate, so it runs before any dedup join
+    classifier_weights: dict[str, float] | None = None
+    classifier_bucket_hex: int = 2
+    classifier_bias: float = 0.0
+    classifier_threshold: float = 0.5
 
 
 def clean_corpus(
@@ -152,6 +164,19 @@ def clean_corpus(
         cur = _mark(
             "after_quality",
             kept.where(F.col("keep")).select(*df.columns),
+        )
+    if cfg.classifier_weights is not None:
+        probe = classifier_exprs(
+            F.col(text_col),
+            cfg.classifier_weights,
+            bucket_hex=cfg.classifier_bucket_hex,
+            bias=cfg.classifier_bias,
+        )
+        cur = _mark(
+            "after_classifier",
+            cur.where(
+                probe["prob"] >= F.lit(float(cfg.classifier_threshold))
+            ),
         )
     if cfg.run_exact_dedup:
         cur = _mark("after_exact_dedup", apply_exact_dedup(cur, text_col, id_col))

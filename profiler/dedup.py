@@ -32,6 +32,28 @@ def tokens_expr(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
+def gram_stream_expr(text: Column, include_bigrams: bool = True) -> Column:
+    """Unigram (+ bigram) OCCURRENCE stream of ``text`` (non-distinct,
+    array<string>) — the shared feature space of the DSIR importance
+    weights and the hashed linear quality classifier, kept in one place
+    so an exported model scores the exact stream it was trained on."""
+    toks = tokens_expr(text)
+    if not include_bigrams:
+        return toks
+    # lazy when() guard: sequence(1, n) DESCENDS for n < 1 and ANSI
+    # element_at would index past a 1-token array
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of ``text`` (array<string>)."""
     words = tokens_expr(text)

@@ -6261,3 +6261,63 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return remove_dup_spans(d, k=3)
+
+
+#: q113 demo classifier weights: a deterministic function of the 2-hex
+#: bucket string so the oracle can inline the identical table — weight =
+#: ((7·ascii(c1) + 3·ascii(c2)) mod 21 − 10) / 10 ∈ {−1.0, …, +1.0}.
+_Q113_WEIGHTS = {
+    f"{v:02x}": ((7 * ord(f"{v:02x}"[0]) + 3 * ord(f"{v:02x}"[1])) % 21 - 10)
+    / 10.0
+    for v in range(256)
+}
+
+
+def _q113_oracle() -> str:
+    """Full SQL replay of the hashed linear quality classifier: identical
+    tokenization, unigram+bigram stream, md5-prefix bucketing, the
+    inlined 256-entry weight table, mean pooling, sigmoid, and the
+    unrounded-threshold keep verdict."""
+    vals = ", ".join(
+        f"('{b}', {w!r})" for b, w in sorted(_Q113_WEIGHTS.items())
+    )
+    return f"""
+    WITH w(bucket, wt) AS (VALUES {vals}),
+    tok AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rg AS (
+      SELECT doc_id, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ),
+    sc AS (
+      SELECT d.doc_id, count(*) AS n_grams,
+             sum(coalesce(wt, 0.0)) AS s
+      FROM (SELECT doc_id, substr(md5(gram), 1, 2) AS bucket FROM rg) d
+      LEFT JOIN w USING (bucket)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_grams,
+           round(s / n_grams, 6) AS logit,
+           round(1.0 / (1.0 + exp(-(s / n_grams))), 6) AS prob,
+           (1.0 / (1.0 + exp(-(s / n_grams))) >= 0.5) AS keep
+    FROM sc
+    """
+
+
+@_register("q113_classifier_quality", _q113_oracle())
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-shaped, Joulin et al.
+    2016; :func:`profiler.text.classifier_scores`): mean-pooled hashed
+    unigram+bigram bucket weights through a sigmoid — the model-based
+    quality filter of LLaMA/CCNet-style pipelines, with the trained
+    weights a caller artifact (here a deterministic 256-entry demo
+    table). The weight map folds into the plan as a literal, so scoring
+    is one narrow zero-shuffle projection."""
+    from profiler.text import classifier_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_scores(d, _Q113_WEIGHTS, bucket_hex=2)

@@ -278,26 +278,12 @@ def dsir_logweights(
     this function's feature pass, or from the corpus profile) to score
     in ONE raw scan — and to reuse one q̂ across many candidate targets.
     """
-    from profiler.dedup import tokens_expr
+    from profiler.dedup import gram_stream_expr
 
     n_buckets = 16**bucket_hex
 
     def gram_stream(text: Column) -> Column:
-        toks = tokens_expr(text)
-        if not include_bigrams:
-            return toks
-        # lazy when() guard: sequence(1, n) DESCENDS for n < 1 and ANSI
-        # element_at would index past a 1-token array
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return F.concat(toks, bigrams)
+        return gram_stream_expr(text, include_bigrams)
 
     def bucket(gram: Column) -> Column:
         return F.substring(F.md5(gram), 1, bucket_hex)

@@ -294,6 +294,104 @@ def quality_filter(
     return out.withColumn("keep", keep).withColumn("drop_reasons", reasons)
 
 
+def classifier_scores(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = 2,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Model-based quality filtering with a hashed linear text classifier
+    — the fastText-shaped scorer (Joulin et al. 2016, "Bag of Tricks for
+    Efficient Text Classification") the LLaMA/CCNet-style pipelines run
+    after the rule-based gates: mean-pooled hashed bag-of-n-gram features
+    through a linear layer and a sigmoid. The ALGORITHM is public; the
+    trained weights are a caller-supplied artifact (the same pattern as
+    the sentiment lexicon and the fastText langid slot) given as
+    ``{bucket_hex-char md5-prefix bucket: weight}`` over the SAME hashed
+    unigram+bigram feature space as :func:`profiler.sampling
+    .dsir_logweights` — one exported model scores the exact stream it
+    was trained on, in any engine that can md5.
+
+        logit(d) = bias + (1/|grams(d)|) * sum_g w[bucket(g)]   (missing
+        buckets contribute 0)        prob = sigmoid(logit)
+
+    Returns ``(id, n_grams, logit, prob, keep)`` with ``logit``/``prob``
+    rounded to 6 decimals and ``keep = prob >= threshold`` decided on
+    the unrounded value. NULL-text rows are dropped (same contract as
+    the other document filters).
+
+    Scale shape (the 100 TB story): the weight table folds into the plan
+    as a map LITERAL (the bucket space is ≤ 16^bucket_hex entries), so
+    scoring is ONE narrow whole-stage-codegen projection — zero shuffle,
+    zero join, zero Python; the per-row cost is one fold over the
+    document's own gram stream. For vocab-scale (non-hashed) weight
+    tables, explode + broadcast-join + per-id groupBy is the fallback
+    shape — at that point the features stop being engine-replayable,
+    which is why the hashed form is the default contract."""
+    exprs = classifier_exprs(
+        F.col(text_col), weights, bucket_hex, bias, include_bigrams
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        exprs["n_grams"].cast("long").alias("n_grams"),
+        F.round(exprs["logit"], 6).alias("logit"),
+        F.round(exprs["prob"], 6).alias("prob"),
+        (exprs["prob"] >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def classifier_exprs(
+    text: Column,
+    weights: dict[str, float],
+    bucket_hex: int = 2,
+    bias: float = 0.0,
+    include_bigrams: bool = True,
+) -> dict[str, Column]:
+    """Unrounded ``{n_grams, logit, prob}`` expressions of the hashed
+    linear classifier over ``text`` — the expression form lets the
+    cleaning cascade apply the filter as a pure narrow ``where`` with no
+    join-back; :func:`classifier_scores` is the row-emitting wrapper."""
+    from profiler.dedup import gram_stream_expr
+
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError("bucket_hex must be in 1..8")
+    bad = [b for b in weights if len(b) != bucket_hex]
+    if bad:
+        raise ValueError(
+            f"weight keys must be {bucket_hex}-char md5 prefixes; got {bad[:3]}"
+        )
+    grams = gram_stream_expr(text, include_bigrams)
+    if weights:
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(weights.items())
+                for x in (kv[0], float(kv[1]))
+            ]
+        )
+        wsum = F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.coalesce(
+                F.try_element_at(
+                    wmap, F.substring(F.md5(g), 1, bucket_hex)
+                ),
+                F.lit(0.0),
+            ),
+        )
+    else:
+        wsum = F.lit(0.0)
+    n = F.size(grams)  # >= 1: tokens_expr('') is ['']
+    logit = F.lit(float(bias)) + wsum / n
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return {"n_grams": n, "logit": logit, "prob": prob}
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

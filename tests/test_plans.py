@@ -300,3 +300,18 @@ def test_remove_dup_spans_no_window_no_blowup(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 3
+
+
+def test_classifier_scores_is_narrow_zero_shuffle(spark):
+    """The weight table must fold into the plan as a literal map: scoring
+    is one narrow projection over the corpus scan — an Exchange or Join
+    node means the ≤16^h-entry weight artifact got planned as a row
+    source and the whole corpus is paying a shuffle for it."""
+    from profiler.queries import _Q113_WEIGHTS
+    from profiler.text import classifier_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(classifier_scores(docs, _Q113_WEIGHTS))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -1789,3 +1789,105 @@ def test_remove_dup_spans_rejects_k1(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError):
         dedup.remove_dup_spans(docs, k=1)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier
+# ---------------------------------------------------------------------------
+def _clf_expected(texts, weights, bucket_hex=2, bias=0.0):
+    import hashlib
+    import math
+
+    out = {}
+    for doc_id, t in texts:
+        if t is None:
+            continue
+        toks = " ".join(t.split()).split(" ")
+        grams = toks + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        s = sum(
+            weights.get(
+                hashlib.md5(g.encode()).hexdigest()[:bucket_hex], 0.0
+            )
+            for g in grams
+        )
+        logit = bias + s / len(grams)
+        out[doc_id] = (len(grams), logit, 1 / (1 + math.exp(-logit)))
+    return out
+
+
+def test_classifier_scores_matches_reference_math(spark):
+    """Mean-pooled hashed-bucket weights + sigmoid, bit-for-bit vs a
+    pure-python replay (including a doc hitting no weighted bucket)."""
+    weights = {"aa": 1.0, "2b": -0.5, "9d": 0.25}
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "lorem ipsum dolor sit amet"),
+        (3, "short"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    exp = _clf_expected(rows, weights)
+    got = {
+        r["doc_id"]: r
+        for r in text.classifier_scores(docs, weights).collect()
+    }
+    assert set(got) == set(exp)
+    for d, (n, logit, prob) in exp.items():
+        assert got[d]["n_grams"] == n
+        assert got[d]["logit"] == pytest.approx(round(logit, 6), abs=1e-6)
+        assert got[d]["prob"] == pytest.approx(round(prob, 6), abs=1e-6)
+        assert got[d]["keep"] == (prob >= 0.5)
+
+
+def test_classifier_scores_bias_and_threshold(spark):
+    """Empty weights: logit = bias everywhere; threshold decides keep."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id int, text string"
+    )
+    out = text.classifier_scores(
+        docs, {}, bias=-1.0, threshold=0.3
+    ).collect()
+    for r in out:
+        assert r["logit"] == -1.0
+        assert r["prob"] == pytest.approx(0.268941, abs=1e-6)
+        assert r["keep"] is False
+
+
+def test_classifier_scores_rejects_bad_keys(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        text.classifier_scores(docs, {"abc": 1.0}, bucket_hex=2)
+
+
+def test_clean_corpus_optional_classifier_stage(spark):
+    """The classifier stage drops below-threshold docs right after the
+    rule gate and adds zero plan nodes when unset."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id int, text string",
+    )
+    # weight every bucket -1 => prob sigmoid(-1) ~= 0.269 < 0.5: all drop
+    wneg = {f"{v:02x}": -1.0 for v in range(256)}
+    cfg = CleanConfig(
+        run_quality=False,
+        run_exact_dedup=False,
+        neardup_threshold=None,
+        classifier_weights=wneg,
+    )
+    out, stats = clean_corpus(docs, config=cfg, collect_stats=True)
+    assert stats["after_classifier"] == 0 and out.count() == 0
+    # all-positive weights keep everything
+    cfg.classifier_weights = {f"{v:02x}": 1.0 for v in range(256)}
+    out2, _ = clean_corpus(docs, config=cfg)
+    assert out2.count() == 2
+    # unset => stage absent from stats and from the plan
+    cfg.classifier_weights = None
+    _, stats3 = clean_corpus(docs, config=cfg, collect_stats=True)
+    assert "after_classifier" not in stats3
