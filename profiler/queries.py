@@ -6321,3 +6321,77 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return classifier_scores(d, _Q113_WEIGHTS, bucket_hex=2)
+
+
+@_register(
+    "q114_pq_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT g.s AS sub, e.vec_id AS code,
+             (e.v)[g.s * 16 + 1 : g.s * 16 + 16] AS cv
+      FROM e, UNNEST(generate_series(0, 3)) AS g(s)
+      WHERE e.vec_id < 4
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, cb.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.sub
+                 ORDER BY list_sum(list_transform(generate_series(1, 16),
+                   i -> (e.v[cb.sub * 16 + i] - cb.cv[i])
+                      * (e.v[cb.sub * 16 + i] - cb.cv[i]))) ASC,
+                 cb.code ASC) AS rn
+        FROM e, cb) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT e.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> e.v[cb.sub * 16 + i] * cb.cv[i])) AS ip
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    sc AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id, sum(q.ip) AS score
+      FROM enc JOIN qtab q ON q.sub = enc.sub AND q.code = enc.code
+      WHERE enc.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 4) AS approx_ip, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011;
+    :func:`profiler.similarity.pq_encode` / ``pq_topk``) with a
+    bit-for-bit DuckDB oracle: a DETERMINISTIC codebook (the 4 subspace
+    slices of the first 4 corpus vectors — the q42 trick, collected as 4
+    driver rows so the REAL literal-codebook encode/search path runs)
+    quantizes the 64-dim corpus into 4 codes per vector; each query
+    precomputes its 4×4 inner-product table and scores candidates with 4
+    lookups (ADC). The scale path trains per-subspace k-means via
+    ``pq_train_codebooks`` with the identical encode/search plan, pinned
+    by tests against exact brute force."""
+    import numpy as np
+
+    from profiler.similarity import pq_encode, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    first = e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    X = np.array([list(r["embedding"]) for r in first], dtype=float)
+    codebooks = np.stack(
+        [X[:, s * 16 : (s + 1) * 16] for s in range(4)]
+    )  # (m=4, ks=4, 16)
+    codes = pq_encode(e, codebooks)
+    out = pq_topk(codes, e.where(F.col("vec_id") < 5), codebooks, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_ip", 4).alias("approx_ip"),
+        "rk",
+    ).orderBy("query_id", "rk")

@@ -426,3 +426,114 @@ def test_frame_sample_plan(spark):
     )
     frames = multimodal.frame_sample_plan(df, every_nth=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 30, 60]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+def test_pq_encode_matches_numpy_argmin(spark):
+    """Expression-tree encoding == numpy per-subspace argmin (ties to the
+    lowest code, exact-zero distance on codebook members themselves)."""
+    rng = np.random.default_rng(11)
+    dim, m, ks = 16, 4, 3
+    X = rng.standard_normal((40, dim))
+    books = np.stack(
+        [rng.standard_normal((ks, dim // m)) for _ in range(m)]
+    )
+    # rows 0..2 ARE codebook combos: row i's every subspace = centroid i
+    for i in range(ks):
+        X[i] = np.concatenate([books[s][i] for s in range(m)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    dsub = dim // m
+    for i, v in enumerate(X):
+        want = [
+            int(
+                (((v[s * dsub : (s + 1) * dsub] - books[s]) ** 2).sum(axis=1))
+                .argmin()
+            )
+            for s in range(m)
+        ]
+        assert got[i] == want
+    assert got[0] == [0] * m and got[2] == [2] * m
+
+
+def test_pq_topk_exact_on_codebook_members(spark):
+    """When corpus vectors are exact codebook combinations, ADC scores
+    equal true inner products, so PQ top-k == brute-force IP top-k."""
+    rng = np.random.default_rng(12)
+    dim, m, ks = 16, 4, 4
+    books = np.stack(
+        [rng.standard_normal((ks, dim // m)) for _ in range(m)]
+    )
+    combos = rng.integers(0, ks, size=(30, m))
+    X = np.array(
+        [np.concatenate([books[s][c[s]] for s in range(m)]) for c in combos]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    codes = similarity.pq_encode(df, books)
+    out = similarity.pq_topk(
+        codes, df.where(F.col("vec_id") == 0), books, k=5
+    ).collect()
+    got = [
+        (r["neighbor_id"], r["approx_ip"])
+        for r in sorted(out, key=lambda r: r["rk"])
+    ]
+    ips = {j: float(X[0] @ X[j]) for j in range(1, 30)}
+    want = sorted(ips.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_pq_trained_recall_on_clustered_corpus(spark):
+    """The full train→encode→search path on a clustered corpus: PQ is a
+    quantizer, so the guarantee to pin is CLUSTER-level — a planted
+    near-duplicate must encode to the query's exact code tuple, and every
+    top-k neighbor must come from the query's own cluster (quantization
+    noise legitimately reorders members WITHIN a cluster)."""
+    rng = np.random.default_rng(13)
+    dim = 16
+    centers = rng.standard_normal((4, dim)) * 5
+    X = np.vstack(
+        [c + 0.2 * rng.standard_normal((50, dim)) for c in centers]
+    )
+    X[200 - 1] = X[0] + 0.01  # near-dup of vec 0 (vec_id 199)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    books = similarity.pq_train_codebooks(
+        df, dim, m=4, ks=8, sample_rows=200
+    )
+    codes = {
+        r["id"]: tuple(r["codes"])
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    assert codes[199] == codes[0]  # near-dup quantizes identically
+    out = similarity.pq_topk(
+        similarity.pq_encode(df, books),
+        df.where(F.col("vec_id") == 0),
+        books,
+        k=5,
+    ).collect()
+    assert len(out) == 5
+    own_cluster = set(range(50)) | {199}
+    assert all(r["neighbor_id"] in own_cluster for r in out)
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 10)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        similarity.pq_train_codebooks(df, dim=10, m=4)

@@ -315,3 +315,25 @@ def test_classifier_scores_is_narrow_zero_shuffle(spark):
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_pq_encode_is_narrow_and_topk_broadcasts_queries(spark):
+    """The PQ codebook must fold into the encode plan as literals (one
+    narrow scan: an Exchange there means the codebook got planned as a
+    row source), and ADC search must broadcast the query-side table —
+    a sort-merge join would shuffle the whole code table for a handful
+    of queries."""
+    import numpy as np
+
+    from profiler.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = np.zeros((4, 4, 16))
+    enc_plan = _plan(pq_encode(emb, books))
+    assert enc_plan.count("Scan parquet") == 1
+    assert "Exchange" not in enc_plan and "Join" not in enc_plan
+    topk_plan = _plan(
+        pq_topk(pq_encode(emb, books), emb.limit(3), books, k=5)
+    )
+    assert "BroadcastNestedLoopJoin" in topk_plan or "BroadcastHashJoin" in topk_plan
+    assert "SortMergeJoin" not in topk_plan
