@@ -6395,3 +6395,111 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("approx_ip", 4).alias("approx_ip"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+@_register(
+    "q115_ivfpq_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    cscore AS (
+      SELECT n.vec_id, cent.cell,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> n.v[i] * cent.cv[i])) / cent.cnrm AS score
+      FROM n, cent
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+        FROM cscore) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS crk
+        FROM cscore WHERE vec_id < 5) WHERE crk <= 2
+    ),
+    cb AS (
+      SELECT g.s AS sub, e.vec_id AS code,
+             (e.v)[g.s * 16 + 1 : g.s * 16 + 16] AS cv
+      FROM e, UNNEST(generate_series(0, 3)) AS g(s)
+      WHERE e.vec_id < 4
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, cb.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.sub
+                 ORDER BY list_sum(list_transform(generate_series(1, 16),
+                   i -> (e.v[cb.sub * 16 + i] - cb.cv[i])
+                      * (e.v[cb.sub * 16 + i] - cb.cv[i]))) ASC,
+                 cb.code ASC) AS rn
+        FROM e, cb) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT e.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> e.v[cb.sub * 16 + i] * cb.cv[i])) AS ip
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id != p.query_id
+    ),
+    sc AS (
+      SELECT c.query_id, c.neighbor_id, sum(q.ip) AS score
+      FROM cand c
+      JOIN enc ON enc.vec_id = c.neighbor_id
+      JOIN qtab q ON q.query_id = c.query_id
+                 AND q.sub = enc.sub AND q.code = enc.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 4) AS approx_ip, rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC composite ANN (FAISS IVFADC, Jégou et al. 2011 §V;
+    :func:`profiler.similarity.ivfpq_topk`): coarse cells prune WHICH
+    candidates each query meets (2 probed cells of 8), PQ codes compress
+    WHAT each candidate costs (4 table lookups over 4 codes). Both
+    quantizers are DETERMINISTIC here — cells = the first 8 corpus
+    vectors unit-normalized, codebooks = the 4 subspace slices of the
+    first 4 (12 driver rows) — so the REAL library path runs and DuckDB
+    replays assignment, probe order, encoding, and ADC scoring
+    bit-for-bit. The trained path swaps in k-means for both quantizers
+    with the identical plan."""
+    import numpy as np
+
+    from profiler.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    first = e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    X = np.array([list(r["embedding"]) for r in first], dtype=float)
+    cents = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = np.stack([X[:4, s * 16 : (s + 1) * 16] for s in range(4)])
+    out = ivfpq_topk(
+        e,
+        e.where(F.col("vec_id") < 5),
+        dim=64,
+        k=5,
+        nprobe=2,
+        centroids=cents,
+        codebooks=books,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_ip", 4).alias("approx_ip"),
+        "rk",
+    ).orderBy("query_id", "rk")

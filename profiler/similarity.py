@@ -379,8 +379,17 @@ def pq_encode(
     parquet's dictionary encoding) replacing ``8·dim`` bytes of doubles —
     a 32–64× smaller candidate-scan footprint, which is why PQ search
     reads the compressed table and never the raw vectors."""
-    m, ks, dsub = codebooks.shape
     v = as_double_vec(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"), pq_codes_expr(v, codebooks).alias("codes")
+    )
+
+
+def pq_codes_expr(v: Column, codebooks: np.ndarray) -> Column:
+    """The ``codes`` array expression of :func:`pq_encode` over an
+    already-double vector column — exposed so compositions (IVF-ADC)
+    can encode without a second scan of the vector source."""
+    m, ks, dsub = codebooks.shape
     codes = []
     for s in range(m):
         sub = _sub_slice(v, s, dsub)
@@ -401,7 +410,7 @@ def pq_encode(
         for j in range(ks - 2, -1, -1):
             code = F.when(dists[j] == best, F.lit(j)).otherwise(code)
         codes.append(code.cast("int"))
-    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+    return F.array(*codes)
 
 
 def pq_topk(
@@ -464,6 +473,120 @@ def pq_topk(
     )
     scored = corpus_codes.join(F.broadcast(q), cond).select(
         "query_id", F.col("id").alias("neighbor_id"), score.alias("approx_ip")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-ADC (the FAISS ``IVFADC`` composition, Jégou et al. 2011 §V):
+    coarse cells prune WHICH candidates a query meets, product
+    quantization compresses WHAT each candidate costs — each query probes
+    its ``nprobe`` closest cells and scores the cell's members by m
+    table lookups over their PQ codes. The corpus is touched exactly
+    once (assign + encode fuse into ONE narrow literal-coefficient
+    projection); at 100 TB the search reads only the ``(id, cell,
+    codes)`` table — ~m bytes/vector instead of 8·dim — and only the
+    probed cells of it, so candidate I/O shrinks by both factors at
+    once. Scores approximate the INNER PRODUCT (encode normalized
+    vectors for cosine). Returns ``(query_id, neighbor_id, approx_ip,
+    rk)``; cell-assignment tie → lowest cell, probe-order tie → higher
+    cell, rank tie → lowest neighbor id (all matching :func:`ivf_topk` /
+    :func:`pq_topk`)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, dim, n_centroids, sample_rows, seed=seed, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, dim, m, ks, sample_rows, seed=seed, vec_col=vec_col
+        )
+    m, ks, dsub = codebooks.shape
+    cass = ivf_assign(corpus, centroids, id_col, vec_col)
+    codes = cass.select(
+        "id", "cell", pq_codes_expr(F.col("v"), codebooks).alias("codes")
+    )
+    qid = query_id_col or id_col
+    qv = as_double_vec(F.col(vec_col))
+    dots = _centroid_dots(qv, centroids)
+    ranked_cells = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("dot"), F.lit(j).alias("cell"))
+                        for j, d in enumerate(dots)
+                    ]
+                )
+            )
+        ),
+        1,
+        min(nprobe, len(centroids)),
+    )
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            _sub_slice(qv, s, dsub),
+                            F.array(
+                                *[F.lit(float(x)) for x in codebooks[s, c]]
+                            ),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in range(ks)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        qtab.alias("qtab"),
+        F.explode(ranked_cells).alias("probe"),
+    ).select("query_id", "qtab", F.col("probe.cell").alias("cell"))
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), s),
+            F.element_at(F.col("codes"), s) + 1,
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(q), "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            score.alias("approx_ip"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_ip"), F.asc("neighbor_id")

@@ -537,3 +537,57 @@ def test_pq_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError):
         similarity.pq_train_codebooks(df, dim=10, m=4)
+
+
+def test_ivfpq_topk_exact_on_codebook_members_full_probe(spark):
+    """With nprobe = all cells and corpus vectors that are exact codebook
+    combinations, IVF-ADC == brute-force inner-product ranking."""
+    rng = np.random.default_rng(21)
+    dim, m, ks = 16, 4, 4
+    books = np.stack(
+        [rng.standard_normal((ks, dim // m)) for _ in range(m)]
+    )
+    combos = rng.integers(0, ks, size=(40, m))
+    X = np.array(
+        [np.concatenate([books[s][c[s]] for s in range(m)]) for c in combos]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = X[:4] / np.linalg.norm(X[:4], axis=1, keepdims=True)
+    out = similarity.ivfpq_topk(
+        df, df.where(F.col("vec_id") == 0), dim=dim, k=5,
+        nprobe=4, centroids=cents, codebooks=books,
+    ).collect()
+    got = [
+        (r["neighbor_id"], r["approx_ip"])
+        for r in sorted(out, key=lambda r: r["rk"])
+    ]
+    ips = {j: float(X[0] @ X[j]) for j in range(1, 40)}
+    want = sorted(ips.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_ivfpq_trained_finds_query_cluster(spark):
+    """Trained quantizers end-to-end: every returned neighbor comes from
+    the query's own cluster (the cell prune + code quantization both
+    preserve cluster-level structure)."""
+    rng = np.random.default_rng(22)
+    dim = 16
+    centers = rng.standard_normal((4, dim)) * 6
+    X = np.vstack(
+        [c + 0.2 * rng.standard_normal((60, dim)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    out = similarity.ivfpq_topk(
+        df, df.where(F.col("vec_id") == 0), dim=dim, k=5,
+        n_centroids=4, nprobe=1, m=4, ks=8, sample_rows=240,
+    ).collect()
+    assert len(out) == 5
+    assert all(r["neighbor_id"] in set(range(60)) for r in out)

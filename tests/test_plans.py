@@ -337,3 +337,24 @@ def test_pq_encode_is_narrow_and_topk_broadcasts_queries(spark):
     )
     assert "BroadcastNestedLoopJoin" in topk_plan or "BroadcastHashJoin" in topk_plan
     assert "SortMergeJoin" not in topk_plan
+
+
+def test_ivfpq_corpus_scanned_once_and_queries_broadcast(spark):
+    """IVF-ADC must fuse cell assignment and PQ encoding into ONE narrow
+    pass over the corpus (two scans would double the dominant I/O at
+    100 TB), and the exploded query-probe side must broadcast into the
+    cell join — never a sort-merge shuffle of the code table."""
+    import numpy as np
+
+    from profiler.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = np.eye(4, 64)
+    books = np.zeros((4, 4, 16))
+    plan = _plan(
+        ivfpq_topk(emb, emb.limit(3), dim=64, k=5, nprobe=2,
+                   centroids=cents, codebooks=books)
+    )
+    assert plan.count("Scan parquet") == 2  # corpus once + query side once
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
