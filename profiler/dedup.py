@@ -829,6 +829,7 @@ def line_dedup(
     sep: str = "\n",
     join_sep: str | None = None,
     min_chars: int = 8,
+    scope: str = "corpus",
 ) -> DataFrame:
     """Cross-corpus exact LINE deduplication — the RefinedWeb/CCNet recipe
     (and the line-granular half of C4's span rule): a line that appears in
@@ -848,6 +849,14 @@ def line_dedup(
     formatting, the same reason RefinedWeb floors its line length).
     Matching is byte-exact on the line (compose with
     :func:`canonical_text_expr` upstream for a normalized variant).
+    ``scope`` picks the dedup domain: ``"corpus"`` (default — the
+    RefinedWeb boilerplate rule above) or ``"document"`` — a line is
+    removed only when it repeats WITHIN its own document (repeated chat
+    headers, quoted-reply pyramids), so identical lines in different
+    documents all survive. Document scope keys the keeper index by
+    ``(id, digest)``, which makes the index groupBy co-partitionable
+    with the reassembly groupBy on ``id`` — on an id-bucketed layout the
+    whole rewrite is shuffle-free.
 
     Scale shape (the 100 TB story): one scan + explode; the duplicate
     index is a map-side-combinable ``groupBy`` over 16-byte md5 digests
@@ -873,12 +882,15 @@ def line_dedup(
             ),
         )
     )
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    keeper_keys = ["dig"] if scope == "corpus" else ["__id", "dig"]
     keepers = (
         lines.where(F.col("dig").isNotNull())
-        .groupBy("dig")
+        .groupBy(*keeper_keys)
         .agg(F.min(F.struct("__id", "pos")).alias("keeper"))
     )
-    flagged = lines.join(keepers, "dig", "left").withColumn(
+    flagged = lines.join(keepers, keeper_keys, "left").withColumn(
         "keep",
         F.col("keeper").isNull()
         | (F.struct("__id", "pos") == F.col("keeper")),

@@ -6503,3 +6503,69 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("approx_ip", 4).alias("approx_ip"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+def _q116_oracle() -> str:
+    """Full SQL replay of DOCUMENT-scope line dedup: a line is removed
+    only when it repeats within its own document, so lines shared ACROSS
+    documents (the planted pyramid line appears in every document) keep
+    one copy per document — the semantic difference from q102's
+    corpus-global rule. Keep-first = row_number per (doc, line)."""
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             'quoted reply pyramid line' || chr(10) || text || chr(10)
+             || 'quoted reply pyramid line' || chr(10)
+             || 'unique line for doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'quoted reply pyramid line' AS mtext
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS line
+      FROM (SELECT doc_id, string_split(mtext, chr(10)) AS l FROM d),
+           UNNEST(generate_series(1, len(l))) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 8
+                  THEN row_number() OVER (PARTITION BY doc_id, line
+                                          ORDER BY pos)
+                  ELSE 1 END AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS text_dedup,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE rn > 1) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@_register("q116_line_dedup_within_doc", _q116_oracle())
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup (:func:`profiler.dedup.line_dedup`
+    with ``scope='document'``): repeated chat headers / quoted-reply
+    pyramids collapse to their first occurrence per document while lines
+    shared across documents survive everywhere — and the (id, digest)
+    keeper index co-partitions with the per-id reassembly, so on an
+    id-bucketed layout the rewrite is shuffle-free. Input plants the
+    same pyramid line 3× per document plus the raw text and a unique
+    line, identically in the DuckDB oracle."""
+    from profiler.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mtext = F.concat_ws(
+        "\n",
+        F.lit("quoted reply pyramid line"),
+        F.col("text"),
+        F.lit("quoted reply pyramid line"),
+        F.concat(F.lit("unique line for doc "), F.col("doc_id").cast("string")),
+        F.lit("quoted reply pyramid line"),
+    )
+    return line_dedup(
+        d.select("doc_id", mtext.alias("text")),
+        sep="\n",
+        min_chars=8,
+        scope="document",
+    )

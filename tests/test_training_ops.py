@@ -1891,3 +1891,31 @@ def test_clean_corpus_optional_classifier_stage(spark):
     cfg.classifier_weights = None
     _, stats3 = clean_corpus(docs, config=cfg, collect_stats=True)
     assert "after_classifier" not in stats3
+
+
+def test_line_dedup_document_scope(spark):
+    """Document scope: within-doc repeats collapse, cross-doc shared
+    lines survive in every document (the q102/corpus-scope difference)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "same header line\nbody of one\nsame header line"),
+            (2, "same header line\nbody of two"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, scope="document").collect()
+    }
+    assert out[1]["text_dedup"] == "same header line\nbody of one"
+    assert out[1]["n_removed"] == 1
+    # cross-doc duplicate survives under document scope...
+    assert out[2]["text_dedup"] == "same header line\nbody of two"
+    assert out[2]["n_removed"] == 0
+    # ...but not under the default corpus scope
+    corpus = {
+        r["doc_id"]: r for r in dedup.line_dedup(docs).collect()
+    }
+    assert corpus[2]["text_dedup"] == "body of two"
+    with pytest.raises(ValueError):
+        dedup.line_dedup(docs, scope="paragraph")
