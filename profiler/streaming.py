@@ -294,6 +294,83 @@ def run_incremental_to_table(
     return output_dir
 
 
+def run_streaming_neardup(
+    spark,
+    input_dir: str,
+    work_dir: str,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> tuple[str, str]:
+    """Streaming MinHash near-dedup — the continuous-ingest deployment of
+    :func:`profiler.dedup.incremental_neardup`: every micro-batch is
+    near-deduped within itself AND against the persistent band-bucket
+    index of everything accepted so far (estimate mode: historical TEXT
+    is never rescanned — the index carries the signatures), survivors
+    append to ``<work_dir>/survivors`` and their index rows to
+    ``<work_dir>/index``. Runs with ``Trigger.AvailableNow`` (the
+    restart-safe batch-catchup mode); returns ``(survivors_dir,
+    index_dir)``.
+
+    State story at scale: the dedup state is the index TABLE, not stream
+    state — n_bands rows × (bucket, id, signature) per accepted doc, far
+    below the text it replaces, queryable and compactable offline. In
+    production the two sinks should be transactional tables (Iceberg/
+    Delta) so a retried micro-batch MERGEs idempotently; plain parquet
+    appends (the sandbox form) can duplicate a batch's rows on retry —
+    the checkpoint still guarantees no batch is SKIPPED, and a
+    re-appended survivor only tightens future dedup."""
+    from profiler.dedup import incremental_neardup, neardup_index
+
+    surv_dir = f"{work_dir}/survivors"
+    idx_dir = f"{work_dir}/index"
+    kwargs = dict(
+        text_col=text_col,
+        id_col=id_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            index = sess.read.parquet(idx_dir)
+        except Exception:  # first batch: empty index with the right schema
+            index = neardup_index(batch_df.limit(0), **kwargs)
+        survivors, _ = incremental_neardup(
+            batch_df, index, threshold=threshold, **kwargs
+        )
+        survivors = survivors.persist()
+        try:
+            survivors.write.mode("append").parquet(surv_dir)
+            neardup_index(survivors, **kwargs).write.mode("append").parquet(
+                idx_dir
+            )
+        finally:
+            survivors.unpersist()
+
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", f"{work_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return surv_dir, idx_dir
+
+
 # ---------------------------------------------------------------------------
 # Stream-static enrichment with the latest dimension state
 # ---------------------------------------------------------------------------

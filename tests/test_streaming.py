@@ -365,3 +365,61 @@ def test_streaming_drift_categorical_vocab_frozen(spark, tmp_path):
     assert rep["n_stream"] == 100
     assert mon._stream.get("__other__") == 50  # zz+ww folded
     assert rep["psi"] > 0.2 and rep["psi_flag"]
+
+
+def test_streaming_neardup_equals_incremental_batches(spark, tmp_path):
+    """run_streaming_neardup over one-file micro-batches must accept
+    exactly the ids that driving profiler.dedup.incremental_neardup
+    batch-by-batch accepts: a near-dup arriving in a LATER batch is
+    dropped against the persisted index, and the index grows by
+    n_bands rows per survivor."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from profiler.dedup import incremental_neardup, neardup_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on through the long night"
+    )
+    batches = [
+        [(1, base), (2, "completely different text about spark plans "
+                        "and shuffle exchanges at terabyte scale")],
+        # 3 near-duplicates batch-1's doc 1; 4 is fresh
+        [(3, base + " extra"), (4, "a third unrelated document regarding "
+                                   "product quantization codebooks")],
+    ]
+    d = tmp_path / "neardup_stream"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        synth.write_parquet(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"doc_id": [r[0] for r in rows],
+                     "text": [r[1] for r in rows]}
+                ),
+                preserve_index=False,
+            ),
+            str(d / f"part-{i:03d}.parquet"),
+        )
+    surv_dir, idx_dir = streaming.run_streaming_neardup(
+        spark, str(d), str(tmp_path / "neardup_work"),
+        threshold=0.6, max_files_per_trigger=1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(surv_dir).collect()}
+
+    # reference: the batch-incremental contract, driven by hand
+    dfs = [
+        spark.createDataFrame(rows, "doc_id int, text string")
+        for rows in batches
+    ]
+    idx = neardup_index(dfs[0].limit(0))
+    accepted = set()
+    for b in dfs:
+        surv, idx = incremental_neardup(b, idx, threshold=0.6)
+        accepted |= {r["doc_id"] for r in surv.collect()}
+    assert got == accepted
+    assert 3 not in got  # the cross-batch near-dup was dropped
+    assert {1, 2, 4} == got
+    # index: n_bands (16) rows per survivor
+    assert spark.read.parquet(idx_dir).count() == 16 * len(got)
