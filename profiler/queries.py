@@ -6569,3 +6569,42 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_chars=8,
         scope="document",
     )
+
+
+def _q117_oracle() -> str:
+    """Full SQL replay of BPE first-iteration pair counts: identical
+    whitespace words, character pairs per occurrence plus the
+    (last char, </w>) closing pair, counted over the raw word stream —
+    the Spark side's word-count weighting telescopes to the same sums."""
+    return f"""
+    WITH tok AS (
+      SELECT {_WS_TOKS_SQL} AS t FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT word FROM (SELECT unnest(t) AS word FROM tok)
+      WHERE length(word) >= 1
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) AS g(i)
+      UNION ALL
+      SELECT substr(word, length(word), 1) AS lhs, '</w>' AS rhs FROM w
+    )
+    SELECT lhs, rhs, count(*) AS n FROM pairs GROUP BY 1, 2
+    """
+
+
+@_register("q117_bpe_pair_counts", _q117_oracle())
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, distributed step (Sennrich et al. 2016;
+    :func:`profiler.text.bpe_pair_counts`): adjacent-symbol pair
+    frequencies over character sequences closed by </w>, weighted by word
+    occurrences. The corpus-scale pass is ONE map-side-combined
+    groupBy(word); pairs explode on the distinct-word table only. The
+    driver-side merge loop (``train_bpe``) consumes exactly this table
+    shape iteratively; the trained table deploys through the in-plan
+    ``bpe_segment_expr`` chain."""
+    from profiler.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d)

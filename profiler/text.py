@@ -896,6 +896,164 @@ def chunk_documents(
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (Sennrich, Haddow & Birch 2016)
+# ---------------------------------------------------------------------------
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-scale adjacent-symbol pair frequencies — the distributed
+    step of BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): every word is a
+    character sequence closed by the ``</w>`` end-of-word symbol, and the
+    merge rule picks the most frequent adjacent pair. Returns ``(lhs,
+    rhs, n)`` with ``n`` weighted by word OCCURRENCES.
+
+    Scale shape: the corpus-scale pass is ONE map-side-combinable
+    ``groupBy(word)`` (the same collapse real BPE trainers do — training
+    operates on the word-count dictionary, never the raw stream); pair
+    explosion happens on the distinct-word table, bounded by vocabulary
+    size × word length, and the final pair groupBy is at most
+    |alphabet|²+|alphabet| rows. Nothing pairs at corpus row scale."""
+    from profiler.dedup import tokens_expr
+
+    wc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    char_pairs = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.struct(
+                F.col("w").substr(i, F.lit(1)).alias("lhs"),
+                F.col("w").substr(i + 1, F.lit(1)).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    end_pair = F.array(
+        F.struct(
+            F.col("w").substr(F.length("w"), F.lit(1)).alias("lhs"),
+            F.lit("</w>").alias("rhs"),
+        )
+    )
+    return (
+        wc.select("wn", F.explode(F.concat(char_pairs, end_pair)).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("wn").alias("n"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table: ONE distributed pass collapses the corpus
+    to its word-count dictionary (top ``max_words`` words by count, ties
+    by word — the bounded driver state real trainers also sample down
+    to), then the classic greedy merge loop runs driver-side on that
+    dictionary: most frequent adjacent pair first, ties broken by
+    lexicographic pair order for determinism, stopping early when no
+    pair repeats. Returns the ordered merge list for
+    :func:`bpe_segment_expr` / :func:`bpe_tokenize`."""
+    from profiler.dedup import tokens_expr
+
+    rows = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .orderBy(F.desc("wn"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(r["w"]) + ["</w>"]): r["wn"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wn in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wn
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        merged = a + b
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, wn in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + wn
+        vocab = nxt
+    return merges
+
+
+def bpe_segment_expr(
+    text: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Subword tokens of ``text`` under a trained BPE merge table, as ONE
+    whole-stage-codegen expression (array<string>): each word becomes its
+    space-joined character sequence plus ``</w>``, then the merge table
+    applies in training order as a chain of lookaround-anchored
+    ``regexp_replace``s — ``(?<= )a b(?= )`` matches exactly one adjacent
+    symbol pair without consuming its delimiters, so overlapping merge
+    sites resolve leftmost-first like the reference algorithm. Exact for
+    bounded merge tables (one regexp per merge per word); ship a
+    vocabulary-scale trained tokenizer through the pandas-UDF slot
+    instead when the merge table is thousands deep."""
+    import re as _re
+
+    from profiler.dedup import tokens_expr
+
+    def seg(word: Column) -> Column:
+        s = F.concat(
+            F.lit(" "),
+            F.regexp_replace(word, r"(.)", r"$1 "),
+            F.lit("</w> "),
+        )
+        for a, b in merges:
+            pat = f"(?<= ){_re.escape(a)} {_re.escape(b)}(?= )"
+            rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+            s = F.regexp_replace(s, pat, rep)
+        return F.split(F.trim(s), " ")
+
+    toks = tokens_expr(text)
+    return F.flatten(
+        F.transform(F.filter(toks, lambda w: F.length(w) >= 1), seg)
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """``df`` + ``bpe_tokens`` (array<string>) + ``n_bpe_tokens`` under a
+    trained merge table — the narrow-map deployment of
+    :func:`bpe_segment_expr`."""
+    toks = bpe_segment_expr(F.col(text_col), merges)
+    return df.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     group_col: str = "lang",

@@ -358,3 +358,16 @@ def test_ivfpq_corpus_scanned_once_and_queries_broadcast(spark):
     assert plan.count("Scan parquet") == 2  # corpus once + query side once
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_counts_collapses_to_word_table_first(spark):
+    """The corpus-scale pass must be the word-count groupBy (map-side
+    combinable); pair explosion happens on the distinct-word table only.
+    One corpus scan, two hash aggregates, no Window, no Join."""
+    from profiler.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bpe_pair_counts(docs))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

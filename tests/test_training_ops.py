@@ -1919,3 +1919,79 @@ def test_line_dedup_document_scope(spark):
     assert corpus[2]["text_dedup"] == "body of two"
     with pytest.raises(ValueError):
         dedup.line_dedup(docs, scope="paragraph")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction
+# ---------------------------------------------------------------------------
+def _bpe_apply_ref(word, merges):
+    """Reference greedy applier (Sennrich et al. 2016): one left-to-right
+    non-overlapping pass per merge, in training order."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_train_bpe_sennrich_example(spark):
+    """The canonical low/lower/newest/widest corpus: est-family merges
+    first (count 9, lexicographic ties), then the low family (7)."""
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id int, text string")
+    merges = text.train_bpe(df, n_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ]
+
+
+def test_bpe_segment_expr_matches_reference_applier(spark):
+    """The regexp-chain segmenter == the reference greedy applier,
+    including overlapping merge sites and regex-special symbols."""
+    merges = [
+        ("a", "a"), ("aa", "aa"), ("e", "s"), ("es", "t"),
+        (".", "b"), ("a", "$"),
+    ]
+    words = ["aaaa", "aaaaa", "newest", "a.b", "a$b", "x"]
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id int, text string"
+    )
+    got = df.select(
+        text.bpe_segment_expr(F.col("text"), merges).alias("t")
+    ).collect()[0]["t"]
+    want = [s for w in words for s in _bpe_apply_ref(w, merges)]
+    assert got == want
+
+
+def test_bpe_pair_counts_weighted_by_occurrences(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab b")], "doc_id int, text string"
+    )
+    rows = {
+        (r["lhs"], r["rhs"]): r["n"]
+        for r in text.bpe_pair_counts(df).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b", "</w>"): 4}
+
+
+def test_bpe_tokenize_end_to_end(spark):
+    """Train on a corpus, tokenize it: token streams reconstruct the words
+    (concatenation invariant) and frequent words compress to one token."""
+    corpus = " ".join(["hello"] * 8 + ["help"] * 2)
+    df = spark.createDataFrame([(1, corpus)], "doc_id int, text string")
+    merges = text.train_bpe(df, n_merges=10)
+    out = text.bpe_tokenize(df, merges).collect()[0]
+    toks = out["bpe_tokens"]
+    rebuilt = "".join(toks).replace("</w>", " ").strip()
+    assert rebuilt == corpus
+    assert "hello</w>" in toks  # the dominant word became a single token
+    assert out["n_bpe_tokens"] == len(toks)
