@@ -6608,3 +6608,78 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_pair_counts(d)
+
+
+def _q118_oracle() -> str:
+    """q103's LM replay (same CTEs: even-half bigram LM, add-0.1
+    smoothing, odd-half scoring) extended with the CCNet bucket step:
+    per-language exact-thirds quantile_cont thresholds, head/middle/tail
+    labels, NULL bucket for unscoreable documents."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ref_bg AS (
+      SELECT t[i] AS prev, t[i + 1] AS cur
+      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE doc_id % 2 = 0
+    ),
+    pair AS (SELECT prev, cur, count(*) AS c_pc FROM ref_bg GROUP BY 1, 2),
+    ctx AS (SELECT prev, count(*) AS c_c FROM ref_bg GROUP BY prev),
+    v AS (SELECT count(DISTINCT t2) AS vn
+          FROM (SELECT unnest(t) AS t2 FROM tok WHERE doc_id % 2 = 0)),
+    doc_bg AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT doc_id,
+             ln((coalesce(c_pc, 0) + 0.1) / (coalesce(c_c, 0) + 0.1 * vn)) AS logp
+      FROM doc_bg LEFT JOIN pair USING (prev, cur) LEFT JOIN ctx USING (prev)
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, round(exp(-avg(logp)), 4) AS perplexity
+      FROM scored GROUP BY doc_id
+    ),
+    odd AS (
+      SELECT t.doc_id, t.lang, a.perplexity
+      FROM (SELECT doc_id, lang FROM tok WHERE doc_id % 2 = 1) t
+      LEFT JOIN agg a USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             quantile_cont(perplexity, 1.0 / 3.0) AS p_lo,
+             quantile_cont(perplexity, 2.0 / 3.0) AS p_hi
+      FROM odd WHERE perplexity IS NOT NULL GROUP BY lang
+    )
+    SELECT o.doc_id, o.lang, o.perplexity,
+           CASE WHEN o.perplexity IS NULL THEN NULL
+                WHEN o.perplexity <= p_lo THEN 'head'
+                WHEN o.perplexity <= p_hi THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM odd o LEFT JOIN th USING (lang)
+    """
+
+
+@_register("q118_perplexity_buckets", _q118_oracle())
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020;
+    :func:`profiler.text.perplexity_buckets` over
+    :func:`lm_perplexity_scores`): per-LANGUAGE exact-thirds perplexity
+    percentiles split the scored crawl half into head (lowest = most
+    reference-like), middle, tail — the per-group threshold frame is one
+    row per language and broadcasts back, so the whole step costs one
+    group-domain aggregate plus a narrow map."""
+    from profiler.text import lm_perplexity_scores, perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lm_perplexity_scores(
+        d.where(F.col("doc_id") % 2 == 1), d.where(F.col("doc_id") % 2 == 0)
+    )
+    withlang = scored.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "perplexity")
+    return perplexity_buckets(withlang, "lang", "perplexity")

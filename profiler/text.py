@@ -896,6 +896,50 @@ def chunk_documents(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "perplexity",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): within
+    each group (language), documents at or below the ``cuts[0]`` exact
+    score percentile are ``head`` (best — LOWEST perplexity), at or below
+    ``cuts[1]`` are ``middle``, the rest ``tail``; NULL scores
+    (unscoreable short documents) get a NULL bucket. Composes with
+    :func:`lm_perplexity_scores` to finish the CCNet recipe — train LM on
+    trusted text, score the crawl, keep head (+middle) per language.
+
+    Returns ``scored`` + ``ppl_bucket``. The per-group threshold frame
+    has one row per group — it BROADCASTS back into the scored frame, so
+    the cost is one groupBy over the group domain plus a narrow map;
+    exact ``percentile`` keeps the thresholds engine-replayable (swap
+    ``percentile_approx`` in at 10^12 rows, same plan shape)."""
+    qs = (
+        scored.where(F.col(score_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.percentile(F.col(score_col), F.lit(float(cuts[0]))).alias(
+                "__p_lo"
+            ),
+            F.percentile(F.col(score_col), F.lit(float(cuts[1]))).alias(
+                "__p_hi"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(score_col) <= F.col("__p_lo"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("__p_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(qs), group_col, "left")
+        .withColumn("ppl_bucket", bucket)
+        .drop("__p_lo", "__p_hi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer induction (Sennrich, Haddow & Birch 2016)
 # ---------------------------------------------------------------------------

@@ -1995,3 +1995,21 @@ def test_bpe_tokenize_end_to_end(spark):
     assert rebuilt == corpus
     assert "hello</w>" in toks  # the dominant word became a single token
     assert out["n_bpe_tokens"] == len(toks)
+
+
+def test_perplexity_buckets_per_group_thirds(spark):
+    """Exact thirds within each group independently; NULL scores get a
+    NULL bucket; lower perplexity = head."""
+    rows = (
+        [(i, "en", float(i)) for i in range(1, 10)]          # en: 1..9
+        + [(100 + i, "de", float(100 + i)) for i in range(3)]  # de: 100..102
+        + [(999, "en", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, lang string, perplexity double")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in text.perplexity_buckets(df).collect()}
+    # en thresholds: p(1/3)=3.666.., p(2/3)=6.333..
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[100] == "head" and out[101] == "middle" and out[102] == "tail"
+    assert out[999] is None
