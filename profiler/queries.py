@@ -6683,3 +6683,68 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "perplexity")
     return perplexity_buckets(withlang, "lang", "perplexity")
+
+
+def _q119_oracle() -> str:
+    """Full SQL replay of UniMax waterfilling over the language strata:
+    caps ascending, monotone saturation prefix via the
+    S_j + cap_j·(n−j) ≤ budget flags, θ spreads the remainder; budget =
+    0.3 × total corpus chars, epochs_cap = 2."""
+    return """
+    WITH w AS (
+      SELECT lang AS stratum,
+             CAST(coalesce(sum(n_chars), 0) AS DOUBLE) AS total_weight
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT 0.3 * sum(total_weight) AS budget,
+             count(*) AS n
+      FROM w
+    ),
+    r AS (
+      SELECT stratum, total_weight, 2.0 * total_weight AS cap_w,
+             row_number() OVER (ORDER BY 2.0 * total_weight, stratum) AS rn,
+             sum(2.0 * total_weight) OVER (
+               ORDER BY 2.0 * total_weight, stratum
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM w
+    ),
+    fl AS (
+      SELECT r.*, tot.budget, tot.n,
+             (s + cap_w * (n - rn) <= budget) AS sat
+      FROM r CROSS JOIN tot
+    ),
+    js AS (
+      SELECT count(*) FILTER (WHERE sat) AS jstar,
+             coalesce(sum(cap_w) FILTER (WHERE sat), 0.0) AS s_sat
+      FROM fl
+    )
+    SELECT stratum, total_weight,
+           round(CASE WHEN sat OR jstar = n THEN cap_w
+                      ELSE least(cap_w, (budget - s_sat) / (n - jstar))
+                 END, 4) AS alloc_weight,
+           round(CASE WHEN total_weight > 0 THEN
+                      (CASE WHEN sat OR jstar = n THEN cap_w
+                            ELSE least(cap_w, (budget - s_sat) / (n - jstar))
+                       END) / total_weight
+                      ELSE 0.0 END, 6) AS epochs
+    FROM fl CROSS JOIN js
+    """
+
+
+@_register("q119_unimax_allocation", _q119_oracle())
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023;
+    :func:`profiler.sampling.unimax_allocation`): waterfill a total token
+    budget (0.3× corpus chars here) across languages with a 2-epoch
+    repeat cap — tail languages saturate at their cap, head languages
+    split the remainder evenly. One groupBy over the language domain;
+    all waterfilling windows run on that tiny frame."""
+    from profiler.sampling import unimax_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    return unimax_allocation(
+        d, budget_tokens=0.3 * total, epochs_cap=2.0,
+        strata_col="lang", weight_col="n_chars",
+    )

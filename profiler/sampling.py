@@ -415,3 +415,88 @@ def temperature_mixture(
             F.lit(0.0)
         ),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: float,
+    epochs_cap: float = 4.0,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining" — public): distribute a total token budget across
+    strata as uniformly as possible subject to a per-stratum repeat cap
+    — no stratum may be allocated more than ``epochs_cap`` epochs of its
+    own data, which is what stops temperature sampling from epoching
+    tail languages dozens of times. The optimum is waterfilling: find θ
+    with ``Σ_i min(cap_i, θ) = budget`` where ``cap_i = epochs_cap ·
+    weight_i``; strata under the waterline saturate at their cap, the
+    rest all get θ. Solved in closed form over the sorted stratum frame
+    (caps ascending: the flags ``S_j + cap_j·(n−j) ≤ budget`` are a
+    monotone prefix — the saturated set — and θ spreads the remainder).
+    When the budget exceeds every cap, every stratum saturates.
+
+    Returns one row per stratum: ``(stratum, total_weight, alloc_weight,
+    epochs)`` with ``alloc_weight`` rounded to 4 and ``epochs =
+    alloc/total`` to 6 decimals. Epochs > 1 mean repeats; realize ≤ 1
+    rates with :func:`sample_by_strata` and repeats by dataset-epoch
+    concatenation. Cost: one groupBy over the stratum domain; every
+    window below runs on that ≤|strata|-row frame, never at corpus
+    scale."""
+    if budget_tokens < 0 or epochs_cap <= 0:
+        raise ValueError("budget_tokens must be >= 0 and epochs_cap > 0")
+    totals = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.coalesce(F.sum(F.col(weight_col)).cast("double"), F.lit(0.0)).alias(
+            "total_weight"
+        )
+    )
+    whole = Window.partitionBy()
+    ordered = Window.partitionBy().orderBy("cap_w", "stratum")
+    u = totals.withColumn(
+        "cap_w", F.lit(float(epochs_cap)) * F.col("total_weight")
+    )
+    r = (
+        u.withColumn("rn", F.row_number().over(ordered))
+        .withColumn(
+            "s",
+            F.sum("cap_w").over(
+                ordered.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(whole))
+    )
+    sat = (
+        F.col("s") + F.col("cap_w") * (F.col("n") - F.col("rn"))
+    ) <= F.lit(float(budget_tokens))
+    fl = (
+        r.withColumn("sat", sat)
+        .withColumn(
+            "jstar", F.sum(F.when(F.col("sat"), 1).otherwise(0)).over(whole)
+        )
+        .withColumn(
+            "s_sat",
+            F.coalesce(
+                F.sum(F.when(F.col("sat"), F.col("cap_w"))).over(whole),
+                F.lit(0.0),
+            ),
+        )
+    )
+    theta = (F.lit(float(budget_tokens)) - F.col("s_sat")) / (
+        F.col("n") - F.col("jstar")
+    )
+    alloc = F.when(
+        F.col("sat") | (F.col("jstar") == F.col("n")), F.col("cap_w")
+    ).otherwise(F.least(F.col("cap_w"), theta))
+    return fl.select(
+        "stratum",
+        "total_weight",
+        F.round(alloc, 4).alias("alloc_weight"),
+        F.round(
+            F.when(
+                F.col("total_weight") > 0, alloc / F.col("total_weight")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("epochs"),
+    )

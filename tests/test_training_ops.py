@@ -2013,3 +2013,53 @@ def test_perplexity_buckets_per_group_thirds(spark):
     )
     assert out[100] == "head" and out[101] == "middle" and out[102] == "tail"
     assert out[999] is None
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation
+# ---------------------------------------------------------------------------
+def test_unimax_waterfilling_golden(spark):
+    """caps [2,4,20] (weights 1,2,10 at cap 2), budget 9: only the
+    smallest stratum saturates (2 + 2·waterline ≤ 9 needs waterline ≤
+    3.5 < cap 4), so θ = (9−2)/2 = 3.5 and Σ min(cap, θ) = 9 exactly."""
+    rows = [(f"l{i}", w) for i, w in enumerate([1, 2, 10])]
+    df = spark.createDataFrame(rows, "lang string, n_tokens int")
+    out = {
+        r["stratum"]: r
+        for r in sampling.unimax_allocation(
+            df, budget_tokens=9.0, epochs_cap=2.0
+        ).collect()
+    }
+    assert out["l0"]["alloc_weight"] == 2.0 and out["l0"]["epochs"] == 2.0
+    assert out["l1"]["alloc_weight"] == 3.5 and out["l1"]["epochs"] == 1.75
+    assert out["l2"]["alloc_weight"] == 3.5 and out["l2"]["epochs"] == 0.35
+    # allocations exhaust the budget exactly
+    assert sum(r["alloc_weight"] for r in out.values()) == 9.0
+
+
+def test_unimax_budget_exceeds_caps_saturates_all(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "lang string, n_tokens int"
+    )
+    out = {
+        r["stratum"]: r
+        for r in sampling.unimax_allocation(
+            df, budget_tokens=1000.0, epochs_cap=2.0
+        ).collect()
+    }
+    assert out["a"]["alloc_weight"] == 20.0
+    assert out["b"]["alloc_weight"] == 60.0
+
+
+def test_unimax_uniform_when_budget_small(spark):
+    """Budget far below every cap: pure uniform split (the fairness
+    property UniMax exists for), regardless of corpus skew."""
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 10), ("c", 500)], "lang string, n_tokens int"
+    )
+    out = sampling.unimax_allocation(
+        df, budget_tokens=15.0, epochs_cap=2.0
+    ).collect()
+    assert all(r["alloc_weight"] == 5.0 for r in out)
+    with pytest.raises(ValueError):
+        sampling.unimax_allocation(df, budget_tokens=-1.0)
