@@ -564,6 +564,76 @@ def neardup_clusters(
     return connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
 
 
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Quality-based representative per duplicate cluster: the member
+    with the HIGHEST ``score_col`` (ties → lowest id) — what production
+    dedup keeps instead of the arbitrary lowest-id member, so a cluster
+    of boilerplate variants retains its cleanest copy (score = quality
+    classifier prob, −perplexity, length, …). ``clusters`` is the
+    ``(id, component)`` frame from :func:`neardup_clusters` /
+    :func:`connected_components`. Returns ``(component, n_members,
+    rep_id, rep_score)``; members whose score is NULL rank below every
+    scored member (an all-NULL cluster keeps its lowest id, rep_score
+    NULL).
+
+    Whale-safe shape: no window — a 10^8-member boilerplate cluster
+    would sort in ONE task under ``row_number() over (partition by
+    component)``; instead two map-side-combinable aggregates (max score
+    + member count, then min id among the max-score members) and one
+    join back, all keyed by the cluster id."""
+    neg_inf = F.lit(float("-inf"))
+    m = clusters.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(score_col).cast("double"), neg_inf).alias("__s"),
+        ),
+        "id",
+    )
+    best = m.groupBy(cluster_col).agg(
+        F.max("__s").alias("__best"), F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        m.join(best, cluster_col)
+        .where(F.col("__s") == F.col("__best"))
+        .groupBy(cluster_col, "__best", "n_members")
+        .agg(F.min("id").alias("rep_id"))
+        .select(
+            cluster_col,
+            "n_members",
+            "rep_id",
+            F.when(F.col("__best") != neg_inf, F.col("__best")).alias(
+                "rep_score"
+            ),
+        )
+    )
+
+
+def apply_representative_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Drop every cluster member except its quality representative
+    (:func:`cluster_representatives`); rows in no cluster pass through.
+    One anti-join on the id — the representative table is
+    cluster-bounded, never corpus-bounded."""
+    reps = cluster_representatives(df, clusters, score_col, id_col, cluster_col)
+    losers = (
+        clusters.join(reps.select(cluster_col, "rep_id"), cluster_col)
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -2483,7 +2483,8 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: q49/q86 shared oracle: DuckDB WITH RECURSIVE min-label transitive closure
 #: over the shingle-Jaccard (>= 0.5) near-dup pair graph — the two queries
 #: compute the same clusters with different distributed algorithms.
-_DUP_CLUSTERS_ORACLE = r"""
+#: shared WITH RECURSIVE prefix: pair graph + min-label closure (cc)
+_DUP_CC_CTES = r"""
     WITH RECURSIVE w AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
@@ -2517,6 +2518,9 @@ _DUP_CLUSTERS_ORACLE = r"""
       SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
     ),
     cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+_DUP_CLUSTERS_ORACLE = _DUP_CC_CTES + """
     SELECT component, count(*) AS n_members,
            CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
     FROM cc GROUP BY component ORDER BY component
@@ -6748,3 +6752,39 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, budget_tokens=0.3 * total, epochs_cap=2.0,
         strata_col="lang", weight_col="n_chars",
     )
+
+
+@_register(
+    "q120_cluster_representatives",
+    _DUP_CC_CTES
+    + """
+    ,
+    m AS (
+      SELECT cc.id, cc.component, CAST(d.n_chars AS DOUBLE) AS s
+      FROM cc JOIN documents d ON d.doc_id = cc.id
+    ),
+    best AS (
+      SELECT component, max(s) AS rep_score, count(*) AS n_members
+      FROM m GROUP BY component
+    )
+    SELECT m.component, best.n_members,
+           CAST(min(m.id) AS BIGINT) AS rep_id, best.rep_score
+    FROM m JOIN best ON m.component = best.component
+                    AND m.s = best.rep_score
+    GROUP BY m.component, best.n_members, best.rep_score
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster representatives
+    (:func:`profiler.dedup.cluster_representatives`) over the q49 dup
+    clusters: each near-dup cluster keeps its highest-score member
+    (score = n_chars here — the longest variant; production passes a
+    classifier prob or −perplexity), ties → lowest id. Whale-safe: two
+    combiner-friendly aggregates + a join back, no per-cluster window
+    sort. Oracle: the shared WITH RECURSIVE closure + max-score/min-id
+    replay."""
+    from profiler.dedup import cluster_representatives, connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = connected_components(_dup_pair_graph(spark, sf_dir))
+    return cluster_representatives(d, clusters, "n_chars")

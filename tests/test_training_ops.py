@@ -2063,3 +2063,31 @@ def test_unimax_uniform_when_budget_small(spark):
     assert all(r["alloc_weight"] == 5.0 for r in out)
     with pytest.raises(ValueError):
         sampling.unimax_allocation(df, budget_tokens=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# Quality-based cluster representatives
+# ---------------------------------------------------------------------------
+def test_cluster_representatives_argmax_and_ties(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (10, 10), (11, 10)],
+        "id int, component int",
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, None), (8, None),
+         (10, 0.1), (11, 0.2), (99, 0.0)],
+        "doc_id int, q double",
+    )
+    reps = {
+        r["component"]: r
+        for r in dedup.cluster_representatives(docs, clusters, "q").collect()
+    }
+    assert reps[1]["rep_id"] == 2 and reps[1]["rep_score"] == 0.9  # tie -> min id
+    assert reps[1]["n_members"] == 3
+    assert reps[7]["rep_id"] == 7 and reps[7]["rep_score"] is None  # all-NULL
+    assert reps[10]["rep_id"] == 11  # higher score beats lower id
+    out = {
+        r["doc_id"]
+        for r in dedup.apply_representative_dedup(docs, clusters, "q").collect()
+    }
+    assert out == {2, 7, 11, 99}  # reps survive; unclustered 99 passes through
