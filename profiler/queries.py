@@ -6788,3 +6788,81 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     clusters = connected_components(_dup_pair_graph(spark, sf_dir))
     return cluster_representatives(d, clusters, "n_chars")
+
+
+@_register(
+    "q121_scalar_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    x AS (SELECT vec_id, g.i, v[g.i] AS x
+          FROM e, UNNEST(generate_series(1, 64)) AS g(i)),
+    mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM x GROUP BY i),
+    c0 AS (
+      SELECT vec_id, i, x, lo, hi,
+             CASE WHEN hi > lo THEN CAST(greatest(0.0, least(255.0,
+                    round((x - lo) * 255.0 / (hi - lo), 0))) AS INT)
+                  ELSE 0 END AS code
+      FROM x JOIN mm USING (i)
+    ),
+    c AS (
+      SELECT vec_id, i, x, code,
+             CASE WHEN hi > lo
+                  THEN lo + CAST(code AS DOUBLE) * ((hi - lo) / 255.0)
+                  ELSE lo END AS recon
+      FROM c0
+    )
+    SELECT vec_id, list(code ORDER BY i) AS codes,
+           round(sqrt(sum((x - recon) * (x - recon))), 4) AS l2_err
+    FROM c GROUP BY vec_id
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization
+    (:func:`profiler.similarity.scalar_quantize`): per-dimension min/max
+    calibration (one aggregate row to the driver) then a narrow
+    literal-coefficient encode — 8× storage cut with a per-vector
+    reconstruction-error audit column. The oracle replays calibration,
+    op-order-pinned code rounding, clamping, and the L2 error."""
+    from profiler.similarity import scalar_quantize, scalar_quantize_params
+
+    e = _t(spark, sf_dir, "embeddings")
+    mins, maxs = scalar_quantize_params(e, dim=64)
+    return scalar_quantize(e, mins, maxs).select(
+        F.col("id").alias("vec_id"), "codes", "l2_err"
+    )
+
+
+def _q122_oracle() -> str:
+    """Full SQL replay of the top-25 corpus 3-grams: identical windows,
+    per-document then corpus totals, min-count floor, (n desc, gram)
+    deterministic cut."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    win AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    agg AS (
+      SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM win GROUP BY gram
+    )
+    SELECT gram, n, n_docs FROM agg
+    WHERE n >= 2 ORDER BY n DESC, gram LIMIT 25
+    """
+
+
+@_register("q122_top_ngrams", _q122_oracle())
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery (:func:`profiler.text.top_ngrams`): the
+    corpus' 25 most frequent token 3-grams with occurrence and document
+    counts — per-doc (gram, cnt) collapse first, corpus totals second
+    (both combiner-friendly), bounded-heap top-N; the report that drives
+    line-dedup and span-removal policy."""
+    from profiler.text import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, k=3, top_n=25)

@@ -596,6 +596,80 @@ def ivfpq_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) embedding quantization
+# ---------------------------------------------------------------------------
+def scalar_quantize_params(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (mins, maxs) of the corpus — the calibration step of
+    scalar quantization, as ONE aggregate of 2·dim expressions (a single
+    narrow pass; the driver receives one 2·dim-value row, never
+    vectors)."""
+    v = as_double_vec(F.col(vec_col))
+    row = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(*[F.element_at(v, i + 1).alias(f"x{i}") for i in range(dim)])
+        .agg(
+            *[F.min(f"x{i}").alias(f"mn{i}") for i in range(dim)],
+            *[F.max(f"x{i}").alias(f"mx{i}") for i in range(dim)],
+        )
+        .collect()[0]
+    )
+    mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=float)
+    maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=float)
+    return mins, maxs
+
+
+def scalar_quantize(
+    df: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Uniform scalar quantization of an embedding column (the int8
+    compression every vector store ships): each dimension maps linearly
+    onto ``2^bits`` levels between its calibration min/max, cutting
+    storage 8× at bits=8 (vs float64 parquet) with bounded per-dimension
+    error ≤ range/(2·(levels−1)). Returns ``(id, codes, l2_err)`` where
+    ``codes`` is ``array<int>`` and ``l2_err`` the reconstruction L2
+    distance (4 dp) — the quantization-quality audit column. One narrow
+    literal-coefficient map, zero shuffle, zero Python; constant-range
+    dimensions encode 0 and reconstruct their min exactly. Values
+    outside the calibration range clamp (calibrate on the corpus, or on
+    a sample plus a margin, before encoding new batches)."""
+    dim = len(mins)
+    levels = (1 << bits) - 1
+    v = as_double_vec(F.col(vec_col))
+    codes, errs = [], []
+    for i in range(dim):
+        lo, hi = float(mins[i]), float(maxs[i])
+        x = F.element_at(v, i + 1)
+        if hi > lo:
+            # op order pinned ((x−lo)·L then ÷range) so any engine
+            # replaying the same IEEE sequence gets the same code
+            raw = F.round(
+                (x - F.lit(lo)) * F.lit(float(levels)) / F.lit(hi - lo), 0
+            )
+            code = F.greatest(
+                F.lit(0.0), F.least(F.lit(float(levels)), raw)
+            ).cast("int")
+            recon = F.lit(lo) + code.cast("double") * F.lit((hi - lo) / levels)
+        else:
+            code = F.lit(0)
+            recon = F.lit(lo)
+        codes.append(code)
+        errs.append((x - recon) * (x - recon))
+    err = F.sqrt(sum(errs[1:], errs[0]))
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.array(*codes).alias("codes"),
+        F.round(err, 4).alias("l2_err"),
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     dim: int,

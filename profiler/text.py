@@ -896,6 +896,60 @@ def chunk_documents(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    top_n: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """The corpus' most frequent token ``k``-grams with document
+    frequencies — the boilerplate-discovery report that tells you WHAT
+    to feed :func:`profiler.dedup.line_dedup` / ``remove_dup_spans``
+    policies ("subscribe to our newsletter" at 10^7 documents is a
+    recipe decision, not a statistic). Returns ``(gram, n, n_docs)``,
+    ``n`` = total occurrences, ordered ``n`` desc then gram, top
+    ``top_n``; grams under ``min_count`` never rank.
+
+    Scale shape: per-document (gram, cnt) collapse first (map-side
+    combinable, bounded by per-doc distinct grams), corpus totals
+    second (whale grams collapse in the combiner), and the final top-N
+    is a TakeOrdered bounded heap — nothing sorts the gram domain
+    globally. Exact by design; swap in
+    :func:`profiler.sketch.heavy_hitters` when even the per-gram
+    aggregate's shuffle is too much."""
+    from profiler.dedup import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("gram"))
+        .groupBy("__id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(top_n)
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     group_col: str = "lang",

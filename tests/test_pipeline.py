@@ -591,3 +591,51 @@ def test_ivfpq_trained_finds_query_cluster(spark):
     ).collect()
     assert len(out) == 5
     assert all(r["neighbor_id"] in set(range(60)) for r in out)
+
+
+def test_scalar_quantize_matches_numpy(spark):
+    """Codes == numpy quantizer (same op order), constant dims encode 0
+    and reconstruct exactly, per-dim error bounded by range/(2·255)."""
+    rng = np.random.default_rng(31)
+    dim = 8
+    X = rng.standard_normal((50, dim)) * 3
+    X[:, 5] = 1.25  # constant dimension
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id int, embedding array<double>",
+    )
+    mins, maxs = similarity.scalar_quantize_params(df, dim)
+    assert mins == pytest.approx(X.min(axis=0))
+    assert maxs == pytest.approx(X.max(axis=0))
+    out = {
+        r["id"]: r for r in similarity.scalar_quantize(df, mins, maxs).collect()
+    }
+    for i, v in enumerate(X):
+        want, recon = [], []
+        for d in range(dim):
+            lo, hi = mins[d], maxs[d]
+            if hi > lo:
+                c = int(min(255.0, max(0.0, round((v[d] - lo) * 255.0 / (hi - lo)))))
+                want.append(c)
+                recon.append(lo + c * ((hi - lo) / 255.0))
+            else:
+                want.append(0)
+                recon.append(lo)
+        assert list(out[i]["codes"]) == want
+        err = float(np.sqrt(((v - np.array(recon)) ** 2).sum()))
+        assert out[i]["l2_err"] == pytest.approx(round(err, 4), abs=1e-4)
+        for d in range(dim):
+            if maxs[d] > mins[d]:
+                assert abs(v[d] - recon[d]) <= (maxs[d] - mins[d]) / 255
+
+
+def test_scalar_quantize_clamps_out_of_range(spark):
+    train = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    mins, maxs = similarity.scalar_quantize_params(train, 2)
+    fresh = spark.createDataFrame(
+        [(9, [-5.0, 7.0])], "vec_id int, embedding array<double>"
+    )
+    row = similarity.scalar_quantize(fresh, mins, maxs).collect()[0]
+    assert list(row["codes"]) == [0, 255]

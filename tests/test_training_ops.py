@@ -2091,3 +2091,23 @@ def test_cluster_representatives_argmax_and_ties(spark):
         for r in dedup.apply_representative_dedup(docs, clusters, "q").collect()
     }
     assert out == {2, 7, 11, 99}  # reps survive; unclustered 99 passes through
+
+
+def test_top_ngrams_counts_and_cut(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter now"),
+            (2, "subscribe to our newsletter today"),
+            (3, "subscribe to our newsletter"),
+            (4, "something else entirely here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = text.top_ngrams(docs, k=3, top_n=2).collect()
+    assert [(r["gram"], r["n"], r["n_docs"]) for r in out] == [
+        ("subscribe to our", 3, 3),
+        ("to our newsletter", 3, 3),
+    ]
+    # min_count floors singletons out even when top_n has room
+    all_rows = text.top_ngrams(docs, k=3, top_n=100).collect()
+    assert all(r["n"] >= 2 for r in all_rows)
