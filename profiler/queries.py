@@ -6866,3 +6866,76 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return top_ngrams(d, k=3, top_n=25)
+
+
+@_register(
+    "q123_cdc_chunks",
+    """
+    WITH d AS (SELECT doc_id, text AS t, length(text) AS n
+               FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT doc_id, t, n,
+             list_filter(generate_series(1, greatest(n - 7, 0)),
+                         i -> substr(md5(substr(t, i, 8)), 1, 1) = '0') AS bpos
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, t, n,
+             list_filter(list_transform(bpos, i -> i + 7), e -> e < n) AS ends
+      FROM b
+    ),
+    k AS (
+      SELECT doc_id, t,
+             list_prepend(1, list_transform(ends, e -> e + 1)) AS starts,
+             list_append(ends, n) AS all_ends
+      FROM c
+    )
+    SELECT doc_id AS id, j - 1 AS chunk_idx,
+           substr(t, starts[j], all_ends[j] - starts[j] + 1) AS chunk,
+           md5(substr(t, starts[j], all_ends[j] - starts[j] + 1)) AS chunk_hash
+    FROM k, UNNEST(generate_series(1, len(starts))) AS g(j)
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC family, stateless;
+    :func:`profiler.text.cdc_chunks`): boundaries wherever the 8-char
+    window at a position md5-hashes to a leading '0' (expected chunk ≈
+    16 chars + window) — local-content boundaries survive insertions, so
+    chunk-hash dedup catches shared sub-document content that
+    fixed-offset chunking and whole-doc fingerprints miss. One narrow
+    map + explode; DuckDB replays the boundary scan, cut list, and
+    slices bit-for-bit."""
+    from profiler.text import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunks(d, window=8, boundary_hex=1)
+
+
+@_register(
+    "q124_epoch_plan",
+    "WITH alloc AS ("
+    + _q119_oracle()
+    + """
+    )
+    SELECT stratum, g.e AS epoch_idx,
+           CASE WHEN g.e < floor(epochs) THEN 1.0
+                ELSE round(epochs - floor(epochs), 6) END AS keep_rate
+    FROM alloc, UNNEST(generate_series(0, CAST(ceil(epochs) AS INT) - 1)) AS g(e)
+    WHERE epochs > 0
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch realization plan (:func:`profiler.sampling.epoch_plan`) over
+    the q119 UniMax allocation: each stratum's (possibly >1) epoch count
+    becomes full-epoch rows at keep 1.0 plus one fractional epoch — the
+    executable form of 'repeats via dataset-epoch concatenation', each
+    row feeding sample_by_strata with an epoch-salted seed."""
+    from profiler.sampling import epoch_plan, unimax_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    alloc = unimax_allocation(
+        d, budget_tokens=0.3 * total, epochs_cap=2.0,
+        strata_col="lang", weight_col="n_chars",
+    )
+    return epoch_plan(alloc)

@@ -500,3 +500,32 @@ def unimax_allocation(
             6,
         ).alias("epochs"),
     )
+
+
+def epoch_plan(
+    alloc: DataFrame,
+    epochs_col: str = "epochs",
+    strata_col: str = "stratum",
+) -> DataFrame:
+    """Realization plan for multi-epoch allocations
+    (:func:`unimax_allocation` emits epochs that may exceed 1, which no
+    single-pass keep-rate can realize): one row per ``(stratum,
+    epoch_idx)`` — full epochs at ``keep_rate`` 1.0 plus one final
+    partial epoch at the fractional remainder. Drive each epoch's pass
+    through :func:`sample_by_strata` with an epoch-salted seed so the
+    partial epoch draws a deterministic, epoch-independent subset; the
+    training mix is the concatenation of the epoch outputs. Strata with
+    0 epochs emit no rows. Cost: an explode bounded by ceil(epochs) on
+    the already-tiny stratum frame."""
+    e = F.col("__e")
+    idxs = F.when(
+        e > 0, F.sequence(F.lit(0), F.ceil(e).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    keep = F.when(
+        F.col("epoch_idx") < F.floor(e), F.lit(1.0)
+    ).otherwise(F.round(e - F.floor(e), 6))
+    return (
+        alloc.select(strata_col, F.col(epochs_col).alias("__e"))
+        .select(strata_col, "__e", F.explode(idxs).alias("epoch_idx"))
+        .select(strata_col, "epoch_idx", keep.alias("keep_rate"))
+    )

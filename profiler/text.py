@@ -896,6 +896,66 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    boundary_hex: int = 1,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, stateless
+    form): a chunk boundary falls wherever the hash of the ``window``-char
+    substring starting at a position has a ``boundary_hex``-zeros md5
+    prefix (probability ``16^-boundary_hex`` per position ⇒ expected
+    chunk ≈ ``16^boundary_hex`` chars + window). Because boundaries
+    depend only on LOCAL content, inserting one character early in a
+    document shifts every byte but almost no boundary — so chunk-level
+    exact dedup catches shared sub-document content that fixed-offset
+    chunking misses and whole-doc fingerprints score 0-or-1. Returns one
+    row per chunk: ``(id, chunk_idx, chunk, chunk_hash)``.
+
+    Implementation is one narrow map (boundary scan, cut-list build,
+    slicing — all array expressions over each row's own text; the
+    fan-out is the document's own chunk count) + explode. md5 keeps the
+    boundary rule engine-replayable; production swaps a gear/xxhash
+    rolling hash into the same plan. Stateless = no FastCDC min/max
+    normalization (that suppression is sequential state); documents
+    shorter than ``window`` come back as one chunk."""
+    if window < 1 or boundary_hex < 1:
+        raise ValueError("window and boundary_hex must be >= 1")
+    zeros = "0" * boundary_hex
+    t = F.col("__t")
+    n = F.length(t)
+    bpos = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.substring(
+                F.md5(t.substr(i, F.lit(window))), 1, boundary_hex
+            )
+            == F.lit(zeros),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # cut AFTER position i+window-1; drop a final cut that already ends
+    # the document (it would produce an empty trailing chunk)
+    ends = F.filter(
+        F.transform(bpos, lambda i: i + (window - 1)), lambda e: e < n
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(ends, lambda e: e + 1)
+    )
+    all_ends = F.concat(ends, F.array(n))
+    chunks = F.zip_with(
+        starts, all_ends, lambda s, e: t.substr(s, e - s + 1)
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .select("id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select("id", "chunk_idx", "chunk", F.md5("chunk").alias("chunk_hash"))
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     k: int = 3,

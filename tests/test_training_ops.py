@@ -2111,3 +2111,75 @@ def test_top_ngrams_counts_and_cut(spark):
     # min_count floors singletons out even when top_n has room
     all_rows = text.top_ngrams(docs, k=3, top_n=100).collect()
     assert all(r["n"] >= 2 for r in all_rows)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_shift_robust_and_lossless(spark):
+    """Chunks reconstruct the document exactly, and a single-character
+    insertion at the front changes only a PREFIX of the chunk stream —
+    the content-defined boundaries downstream of the edit are unmoved
+    (the property fixed-offset chunking lacks)."""
+    import hashlib
+
+    rng = np.random.default_rng(41)
+    base = " ".join(
+        "".join(rng.choice(list("abcdefgh"), size=5)) for _ in range(120)
+    )
+    shifted = "Z" + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id int, text string"
+    )
+    rows = text.cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk"]))
+    c1 = [c for _, c in sorted(by_doc[1])]
+    c2 = [c for _, c in sorted(by_doc[2])]
+    assert "".join(c1) == base and "".join(c2) == shifted
+    assert all(
+        hashlib.md5(c.encode()).hexdigest()
+        == next(r["chunk_hash"] for r in rows if r["id"] == 1 and r["chunk"] == c)
+        for c in c1[:3]
+    )
+    # boundary property: after the first divergent chunk, the streams
+    # re-synchronize — the shared suffix of chunks is most of the doc
+    shared_tail = 0
+    for a, b in zip(reversed(c1), reversed(c2)):
+        if a != b:
+            break
+        shared_tail += 1
+    assert shared_tail >= len(c1) - 3, (len(c1), shared_tail)
+
+
+def test_cdc_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None)], "doc_id int, text string"
+    )
+    rows = text.cdc_chunks(df, window=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and rows[0]["chunk"] == "tiny"
+    with pytest.raises(ValueError):
+        text.cdc_chunks(df, window=0)
+
+
+def test_epoch_plan_realizes_allocations(spark):
+    alloc = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.75), ("c", 0.35), ("d", 0.0)],
+        "stratum string, epochs double",
+    )
+    rows = sorted(
+        (r["stratum"], r["epoch_idx"], r["keep_rate"])
+        for r in sampling.epoch_plan(alloc).collect()
+    )
+    assert rows == [
+        ("a", 0, 1.0), ("a", 1, 1.0),
+        ("b", 0, 1.0), ("b", 1, 0.75),
+        ("c", 0, 0.35),
+    ]
+    # realized mass == allocated epochs per stratum
+    mass = {}
+    for s, _, k in rows:
+        mass[s] = mass.get(s, 0.0) + k
+    assert mass == {"a": 2.0, "b": 1.75, "c": 0.35}
