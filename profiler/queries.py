@@ -6939,3 +6939,64 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_col="lang", weight_col="n_chars",
     )
     return epoch_plan(alloc)
+
+
+def _q125_oracle() -> str:
+    """Full SQL replay of the contamination audit: shingles_expr
+    semantics (distinct 13-grams; <13-token docs fall back to the whole
+    text as one shingle), benchmark = doc_id % 10 == 0, corpus = the
+    rest; per-item hit-doc counts and worst-document shared fraction."""
+    gram13 = " || ' ' || ".join(
+        f"t[i + {j}]" if j else "t[i]" for j in range(13)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 13
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 12), i -> {gram13}))
+                  ELSE [array_to_string(t, ' ')] END AS sset
+      FROM tok
+    ),
+    b AS (SELECT doc_id AS bench_id, unnest(sset) AS g FROM sh
+          WHERE doc_id % 10 = 0),
+    c AS (SELECT doc_id AS doc, unnest(sset) AS g FROM sh
+          WHERE doc_id % 10 != 0),
+    hits AS (
+      SELECT bench_id, doc, count(*) AS shared
+      FROM c JOIN b USING (g) GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT bench_id, count(*) AS n_hit_docs, max(shared) AS max_shared
+      FROM hits GROUP BY bench_id
+    ),
+    sz AS (SELECT doc_id AS bench_id, len(sset) AS n_shingles FROM sh
+           WHERE doc_id % 10 = 0)
+    SELECT sz.bench_id, sz.n_shingles,
+           coalesce(pb.n_hit_docs, 0) AS n_hit_docs,
+           coalesce(pb.max_shared, 0) AS max_shared,
+           round(coalesce(pb.max_shared, 0) * 1.0 / sz.n_shingles, 4)
+             AS max_shared_frac
+    FROM sz LEFT JOIN pb USING (bench_id)
+    """
+
+
+@_register("q125_contamination_report", _q125_oracle())
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item contamination audit
+    (:func:`profiler.text.contamination_report`): for each benchmark item
+    (every 10th document here), the number of corpus documents sharing a
+    13-gram and the worst document's shared fraction — the eval-integrity
+    report behind the q46 drop rule. Benchmark grams broadcast into the
+    corpus' one-pass inverted index; rollups are collision-bounded."""
+    from profiler.text import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+    )

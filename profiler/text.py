@@ -424,6 +424,57 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+) -> DataFrame:
+    """Per-benchmark-item contamination AUDIT — the flip side of
+    :func:`decontaminate` (which answers "which corpus docs to drop"):
+    for every benchmark item, how leaked is it? Returns ``(bench_id,
+    n_shingles, n_hit_docs, max_shared, max_shared_frac)`` — the item's
+    distinct ``shingle_k``-gram count, how many corpus documents share at
+    least one gram, and the worst single document's shared-gram count
+    and fraction (1.0 = some document covers the item completely). Items
+    nothing collides with report zeros — the rows an eval-integrity
+    review actually reads.
+
+    Plan: same shape as decontaminate — the benchmark's exploded gram
+    frame is tiny and BROADCASTS into the corpus' one-pass inverted
+    index; per-(item, doc) counts collapse map-side and the per-item
+    rollup is bounded by true collisions, never |corpus| × |benchmark|."""
+    sh = shingles_expr(F.col(text_col), shingle_k)
+    bsh = benchmark.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("bench_id"), F.explode(sh).alias("__g")
+    )
+    csh = corpus.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), F.explode(sh).alias("__g")
+    )
+    hits = (
+        csh.join(F.broadcast(bsh), "__g")
+        .groupBy("bench_id", "__doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pb = hits.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_hit_docs"),
+        F.max("shared").alias("max_shared"),
+    )
+    sizes = benchmark.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("bench_id"), F.size(sh).alias("n_shingles")
+    )
+    return sizes.join(pb, "bench_id", "left").select(
+        "bench_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce("n_hit_docs", F.lit(0)).alias("n_hit_docs"),
+        F.coalesce("max_shared", F.lit(0)).alias("max_shared"),
+        F.round(
+            F.coalesce("max_shared", F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("max_shared_frac"),
+    )
+
+
 def decontaminate_fuzzy(
     corpus: DataFrame,
     benchmark: DataFrame,

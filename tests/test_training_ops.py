@@ -2183,3 +2183,30 @@ def test_epoch_plan_realizes_allocations(spark):
     for s, _, k in rows:
         mass[s] = mass.get(s, 0.0) + k
     assert mass == {"a": 2.0, "b": 1.75, "c": 0.35}
+
+
+def test_contamination_report_per_item(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "never seen anywhere at all")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),      # full copy of item 1
+            (11, "x alpha beta gamma y z"),      # partial overlap
+            (12, "unrelated text entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["bench_id"]: r
+        for r in text.contamination_report(
+            corpus, bench, shingle_k=3
+        ).collect()
+    }
+    # item 1: 2 shingles; doc 10 shares both, doc 11 shares "alpha beta gamma"
+    assert out[1]["n_shingles"] == 2
+    assert out[1]["n_hit_docs"] == 2
+    assert out[1]["max_shared"] == 2 and out[1]["max_shared_frac"] == 1.0
+    # item 2: clean
+    assert out[2]["n_hit_docs"] == 0 and out[2]["max_shared_frac"] == 0.0
