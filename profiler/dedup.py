@@ -32,6 +32,27 @@ def tokens_expr(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
+def kgram_windows_expr(toks: Column, k: int) -> Column:
+    """All token ``k``-gram WINDOWS of an already-tokenized array — one
+    entry per start position, non-distinct, empty for <k-token arrays.
+    Shared by :func:`dup_ngram_coverage`, :func:`remove_dup_spans`, and
+    ``text.top_ngrams`` so the window rule cannot drift between them.
+    The ``when()`` guard is load-bearing: ``sequence(1, n)`` DESCENDS
+    for n < 1 (``[1, 0]``) and ANSI ``element_at`` would then index past
+    the array — the lazy CaseWhen branch keeps short docs out of the
+    transform."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def gram_stream_expr(text: Column, include_bigrams: bool = True) -> Column:
     """Unigram (+ bigram) OCCURRENCE stream of ``text`` (non-distinct,
     array<string>) — the shared feature space of the DSIR importance
@@ -587,29 +608,36 @@ def cluster_representatives(
     component)``; instead two map-side-combinable aggregates (max score
     + member count, then min id among the max-score members) and one
     join back, all keyed by the cluster id."""
-    neg_inf = F.lit(float("-inf"))
+    # (is_scored, score) struct ordering instead of a -inf sentinel: a
+    # GENUINE -inf score (log(0) from the docstring's -perplexity
+    # suggestion) must still outrank NULL, which a coalesce-to--inf
+    # would conflate
     m = clusters.join(
         df.select(
             F.col(id_col).alias("id"),
-            F.coalesce(F.col(score_col).cast("double"), neg_inf).alias("__s"),
+            F.col(score_col).cast("double").alias("__s"),
         ),
         "id",
+    ).withColumn(
+        "__key",
+        F.struct(
+            F.col("__s").isNotNull().cast("int").alias("k"),
+            F.col("__s").alias("s"),
+        ),
     )
     best = m.groupBy(cluster_col).agg(
-        F.max("__s").alias("__best"), F.count(F.lit(1)).alias("n_members")
+        F.max("__key").alias("__best"), F.count(F.lit(1)).alias("n_members")
     )
     return (
         m.join(best, cluster_col)
-        .where(F.col("__s") == F.col("__best"))
+        .where(F.col("__key").eqNullSafe(F.col("__best")))
         .groupBy(cluster_col, "__best", "n_members")
         .agg(F.min("id").alias("rep_id"))
         .select(
             cluster_col,
             "n_members",
             "rep_id",
-            F.when(F.col("__best") != neg_inf, F.col("__best")).alias(
-                "rep_score"
-            ),
+            F.col("__best.s").alias("rep_score"),
         )
     )
 
@@ -1030,20 +1058,7 @@ def dup_ngram_coverage(
     (``sum(cnt) over (partition by digest)``) would sort those 10^9
     rows in ONE window task.
     """
-    toks = tokens_expr(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    # the when() guard is load-bearing: sequence(1, n) DESCENDS for n < 1
-    # ([1, 0]) and ANSI element_at would then index past the array — the
-    # lazy CaseWhen branch keeps sub-k-token docs out of the transform.
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = kgram_windows_expr(tokens_expr(F.col(text_col)), k)
     # explode_outer keeps <k-token documents as one NULL-gram row so they
     # surface with n_windows = 0 instead of vanishing from the output.
     win = (
@@ -1122,18 +1137,9 @@ def remove_dup_spans(
         F.col(id_col).alias("__id"),
         tokens_expr(F.col(text_col)).alias("toks"),
     )
-    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
-    grams = F.when(
-        F.size("toks") >= k,
-        F.transform(
-            idx,
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        kgram_windows_expr(F.col("toks"), k), lambda g: F.md5(g)
+    )
     occ = base.select("__id", F.posexplode(grams).alias("p0", "dig")).select(
         "__id", (F.col("p0") + 1).alias("pos"), "dig"
     )

@@ -380,37 +380,90 @@ def pq_encode(
     a 32–64× smaller candidate-scan footprint, which is why PQ search
     reads the compressed table and never the raw vectors."""
     v = as_double_vec(F.col(vec_col))
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), pq_codes_expr(v, codebooks).alias("codes")
     )
 
 
 def pq_codes_expr(v: Column, codebooks: np.ndarray) -> Column:
     """The ``codes`` array expression of :func:`pq_encode` over an
-    already-double vector column — exposed so compositions (IVF-ADC)
-    can encode without a second scan of the vector source."""
+    already-double NON-NULL vector column — exposed so compositions
+    (IVF-ADC) can encode without a second scan of the vector source.
+    The per-subspace argmin is ``array_min`` over an array of
+    ``(dist, code)`` structs: each distance fold is evaluated exactly
+    once inside the array constructor (a when-chain referencing a
+    ``least(...)`` of the folds would re-embed every fold ~ks× — Spark
+    excludes HOF lambdas from subexpression elimination, the
+    minhash-signature regression's root cause), and struct ordering
+    breaks distance ties toward the lowest code."""
     m, ks, dsub = codebooks.shape
     codes = []
     for s in range(m):
         sub = _sub_slice(v, s, dsub)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(x)) for x in codebooks[s, c]]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in range(ks)
-        ]
-        best = F.least(*dists) if ks > 1 else dists[0]
-        code = F.lit(ks - 1)
-        for j in range(ks - 2, -1, -1):
-            code = F.when(dists[j] == best, F.lit(j)).otherwise(code)
-        codes.append(code.cast("int"))
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(
+                                *[F.lit(float(x)) for x in codebooks[s, c]]
+                            ),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(ks)
+            ]
+        )
+        codes.append(F.array_min(pairs)["c"].cast("int"))
     return F.array(*codes)
+
+
+def _pq_qtab_expr(qv: Column, codebooks: np.ndarray) -> Column:
+    """The per-query m×ks ADC table (array<array<double>> of subspace
+    inner products against every codebook centroid) — shared by
+    :func:`pq_topk` and :func:`ivfpq_topk` so the scoring rule cannot
+    drift between the flat and cell-pruned paths."""
+    m, ks, dsub = codebooks.shape
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            _sub_slice(qv, s, dsub),
+                            F.array(
+                                *[F.lit(float(x)) for x in codebooks[s, c]]
+                            ),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in range(ks)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _adc_score_expr(m: int) -> Column:
+    """Σ_s qtab[s][codes[s]+1] — the O(m) ADC lookup score over the
+    joined (qtab, codes) columns."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), s),
+            F.element_at(F.col("codes"), s) + 1,
+        ),
+    )
 
 
 def pq_topk(
@@ -435,42 +488,15 @@ def pq_topk(
     m, ks, dsub = codebooks.shape
     qid = query_id_col or id_col
     qv = as_double_vec(F.col(vec_col))
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            _sub_slice(qv, s, dsub),
-                            F.array(
-                                *[F.lit(float(x)) for x in codebooks[s, c]]
-                            ),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in range(ks)
-                ]
-            )
-            for s in range(m)
-        ]
+    q = queries.select(
+        F.col(qid).alias("query_id"), _pq_qtab_expr(qv, codebooks).alias("qtab")
     )
-    q = queries.select(F.col(qid).alias("query_id"), qtab.alias("qtab"))
     cond = (
         (F.col("id") != F.col("query_id"))
         if exclude_same_id
         else F.lit(True)
     )
-    score = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("qtab"), s),
-            F.element_at(F.col("codes"), s) + 1,
-        ),
-    )
+    score = _adc_score_expr(m)
     scored = corpus_codes.join(F.broadcast(q), cond).select(
         "query_id", F.col("id").alias("neighbor_id"), score.alias("approx_ip")
     )
@@ -522,7 +548,9 @@ def ivfpq_topk(
             corpus, dim, m, ks, sample_rows, seed=seed, vec_col=vec_col
         )
     m, ks, dsub = codebooks.shape
-    cass = ivf_assign(corpus, centroids, id_col, vec_col)
+    cass = ivf_assign(
+        corpus.where(F.col(vec_col).isNotNull()), centroids, id_col, vec_col
+    )
     codes = cass.select(
         "id", "cell", pq_codes_expr(F.col("v"), codebooks).alias("codes")
     )
@@ -543,50 +571,23 @@ def ivfpq_topk(
         1,
         min(nprobe, len(centroids)),
     )
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            _sub_slice(qv, s, dsub),
-                            F.array(
-                                *[F.lit(float(x)) for x in codebooks[s, c]]
-                            ),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in range(ks)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
     q = queries.select(
         F.col(qid).alias("query_id"),
-        qtab.alias("qtab"),
+        _pq_qtab_expr(qv, codebooks).alias("qtab"),
         F.explode(ranked_cells).alias("probe"),
     ).select("query_id", "qtab", F.col("probe.cell").alias("cell"))
-    score = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("qtab"), s),
-            F.element_at(F.col("codes"), s) + 1,
-        ),
-    )
+    # no dropDuplicates: ivf_assign gives each corpus vector exactly one
+    # cell and a query's probe list is distinct cells, so the cell join
+    # yields at most one row per (query, neighbor) — deduping here would
+    # add a full extra shuffle of the candidate-score frame for nothing
     scored = (
         codes.join(F.broadcast(q), "cell")
         .where(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            score.alias("approx_ip"),
+            _adc_score_expr(m).alias("approx_ip"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_ip"), F.asc("neighbor_id")

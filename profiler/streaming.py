@@ -338,10 +338,16 @@ def run_streaming_neardup(
     )
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         sess = batch_df.sparkSession
-        try:
+        # existence test, NOT try/except around the read: a transient read
+        # error on batch N must FAIL the batch (checkpoint retries it) —
+        # swallowing it would dedup against an empty index and let every
+        # cross-batch near-duplicate through, silently and permanently
+        if os.path.isdir(idx_dir):
             index = sess.read.parquet(idx_dir)
-        except Exception:  # first batch: empty index with the right schema
+        else:  # first batch: empty index with the right schema
             index = neardup_index(batch_df.limit(0), **kwargs)
         survivors, _ = incremental_neardup(
             batch_df, index, threshold=threshold, **kwargs

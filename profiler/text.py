@@ -359,10 +359,17 @@ def classifier_exprs(
 
     if not 1 <= bucket_hex <= 8:
         raise ValueError("bucket_hex must be in 1..8")
-    bad = [b for b in weights if len(b) != bucket_hex]
+    # content check matters: md5 buckets are LOWERCASE hex, so a miscased
+    # or non-hex key would never match any lookup and the classifier
+    # silently becomes sigmoid(bias) for every document
+    hexdigits = set("0123456789abcdef")
+    bad = [
+        b for b in weights if len(b) != bucket_hex or not set(b) <= hexdigits
+    ]
     if bad:
         raise ValueError(
-            f"weight keys must be {bucket_hex}-char md5 prefixes; got {bad[:3]}"
+            f"weight keys must be {bucket_hex}-char lowercase-hex md5 "
+            f"prefixes; got {bad[:3]}"
         )
     grams = gram_stream_expr(text, include_bigrams)
     if weights:
@@ -1030,19 +1037,9 @@ def top_ngrams(
     globally. Exact by design; swap in
     :func:`profiler.sketch.heavy_hitters` when even the per-gram
     aggregate's shuffle is too much."""
-    from profiler.dedup import tokens_expr
+    from profiler.dedup import kgram_windows_expr, tokens_expr
 
-    toks = tokens_expr(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = kgram_windows_expr(tokens_expr(F.col(text_col)), k)
     per_doc = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.explode(grams).alias("gram"))

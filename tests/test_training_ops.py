@@ -2210,3 +2210,16 @@ def test_contamination_report_per_item(spark):
     assert out[1]["max_shared"] == 2 and out[1]["max_shared_frac"] == 1.0
     # item 2: clean
     assert out[2]["n_hit_docs"] == 0 and out[2]["max_shared_frac"] == 0.0
+
+
+def test_cluster_representatives_neg_inf_outranks_null(spark):
+    """A genuine -inf score (log 0) is still a SCORE: it must beat a
+    NULL-scored member and be reported, not conflated with missing."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id int, component int"
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, float("-inf"))], "doc_id int, q double"
+    )
+    rep = dedup.cluster_representatives(docs, clusters, "q").collect()[0]
+    assert rep["rep_id"] == 2 and rep["rep_score"] == float("-inf")
