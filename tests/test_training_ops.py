@@ -2223,3 +2223,103 @@ def test_cluster_representatives_neg_inf_outranks_null(spark):
     )
     rep = dedup.cluster_representatives(docs, clusters, "q").collect()[0]
     assert rep["rep_id"] == 2 and rep["rep_score"] == float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential tests (seeded; one Spark job per property)
+# ---------------------------------------------------------------------------
+def test_bpe_segment_random_merge_tables_match_reference(spark):
+    """100 random words × 3 random chained merge tables (including
+    multi-char symbols built from earlier merges) == the pure-python
+    greedy applier, verbatim."""
+    rng = np.random.default_rng(51)
+    alphabet = list("abcde.$")
+    for trial in range(3):
+        merges, pool = [], list(alphabet) + ["</w>"]
+        for _ in range(10):
+            a, b = rng.choice(pool, size=2)
+            merges.append((str(a), str(b)))
+            pool.append(str(a) + str(b))
+        words = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(1, 12))))
+            for _ in range(100)
+        ]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id int, text string"
+        )
+        got = df.select(
+            text.bpe_segment_expr(F.col("text"), merges).alias("t")
+        ).collect()[0]["t"]
+        want = [s for w in words for s in _bpe_apply_ref(w, merges)]
+        assert got == want, (trial, merges)
+
+
+def test_cdc_chunks_random_unicode_reconstructs(spark):
+    """Concatenated chunks == the original text for 100 random strings,
+    including multibyte characters and whitespace runs."""
+    rng = np.random.default_rng(52)
+    alphabet = list("ab \tzé中😀-")
+    rows = [
+        (i, "".join(rng.choice(alphabet, size=int(rng.integers(0, 200)))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {}
+    for r in text.cdc_chunks(df, window=4, boundary_hex=1).collect():
+        got.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk"]))
+    for i, t in rows:
+        assert "".join(c for _, c in sorted(got[i])) == t, i
+
+
+def _rds_ref(rows, k):
+    """Pure-python remove_dup_spans reference (keep-first marking +
+    window coverage)."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        i: re.sub(r"\s+", " ", t).strip().split(" ")
+        for i, t in rows
+        if t is not None
+    }
+    by = defaultdict(list)
+    for i, ts in sorted(toks.items()):
+        for p in range(1, len(ts) - k + 2):
+            by[" ".join(ts[p - 1 : p - 1 + k])].append((i, p))
+    marked = defaultdict(set)
+    for lst in by.values():
+        if len(lst) >= 2:
+            keeper = min(lst)
+            for ip in lst:
+                if ip != keeper:
+                    marked[ip[0]].add(ip[1])
+    out = {}
+    for i, ts in toks.items():
+        starts = marked.get(i, set())
+        kept = [
+            t
+            for idx, t in enumerate(ts, 1)
+            if not any(s <= idx < s + k for s in starts)
+        ]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_dup_spans_random_corpora_match_reference(spark):
+    """A collision-heavy random corpus (tiny vocabulary) rewritten by the
+    Spark operator == the pure-python keep-first/coverage reference."""
+    rng = np.random.default_rng(53)
+    vocab = list("pqrs")
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab, size=int(rng.integers(1, 15)))),
+        )
+        for i in range(40)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_dup_spans(df, k=3).collect()
+    }
+    assert got == _rds_ref(rows, 3)
