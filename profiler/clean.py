@@ -38,6 +38,7 @@ from profiler.dedup import (
     dup_ngram_coverage,
     line_dedup,
     minhash_lsh_dedup,
+    remove_dup_spans,
 )
 from profiler.sampling import dsir_logweights
 from profiler.sampling import sample_fraction as _sample_fraction
@@ -87,6 +88,13 @@ class CleanConfig:
     #: duplicated-window fraction exceeds ``dup_ngram_max_frac`` are dropped
     dup_ngram_k: int | None = None
     dup_ngram_max_frac: float = 0.3
+    #: set k to instead REWRITE duplicated spans after near-dedup
+    #: (ExactSubstr removal, dedup.remove_dup_spans): non-first occurrences
+    #: of corpus-repeated k-grams are cut from the text, documents are
+    #: never dropped — the rewrite-flavored alternative to the coverage
+    #: filter (enable one or the other, not both: coverage fractions
+    #: computed after removal are trivially zero)
+    dup_span_k: int | None = None
     #: set a Jaccard threshold to ALSO run MinHash fuzzy decontamination
     #: against ``benchmark`` (catches paraphrased leakage the exact 13-gram
     #: rule misses); ignored when no benchmark is passed
@@ -191,6 +199,16 @@ def clean_corpus(
             )
         removals = pairs.select(F.col("id_b").alias(id_col)).distinct()
         cur = _mark("after_neardup", cur.join(removals, id_col, "left_anti"))
+    if cfg.dup_span_k is not None:
+        # corpus-global span rewrite: later stages (decontamination, the
+        # perplexity LM, DSIR) judge the de-duplicated text
+        rewritten = remove_dup_spans(
+            cur, text_col, id_col, k=cfg.dup_span_k
+        ).select(id_col, F.col("text_dedup").alias(text_col))
+        cur = _mark(
+            "after_dup_span_removal",
+            cur.drop(text_col).join(rewritten, id_col).select(*df.columns),
+        )
     if cfg.dup_ngram_k is not None:
         # corpus-global: runs after dedup shrank the corpus, before the
         # decontamination index — only the keep verdict joins back

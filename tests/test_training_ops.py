@@ -2323,3 +2323,28 @@ def test_remove_dup_spans_random_corpora_match_reference(spark):
         for r in dedup.remove_dup_spans(df, k=3).collect()
     }
     assert got == _rds_ref(rows, 3)
+
+
+def test_clean_corpus_optional_dup_span_rewrite(spark):
+    """The dup_span_k stage rewrites duplicated spans in place (documents
+    survive with cut text); unset adds nothing."""
+    from profiler.clean import CleanConfig, clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c one two three"),
+            (2, "x y a b c four five six"),
+        ],
+        "doc_id int, text string",
+    )
+    cfg = CleanConfig(
+        run_quality=False,
+        run_exact_dedup=False,
+        neardup_threshold=None,
+        dup_span_k=3,
+    )
+    out, stats = clean_corpus(docs, config=cfg, collect_stats=True)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert stats["after_dup_span_removal"] == 2
+    assert rows[1] == "a b c one two three"       # keeper intact
+    assert rows[2] == "x y four five six"         # shared span cut, doc survives
