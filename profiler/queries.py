@@ -7000,3 +7000,57 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 10 != 0),
         d.where(F.col("doc_id") % 10 == 0),
     )
+
+
+def _q126_oracle() -> str:
+    """Full SQL replay of blocklist filtering with the blocklist derived
+    as the corpus' 3 most frequent normalized tokens (count desc, token
+    asc) — identical lowercase/punct-strip normalization, distinct-token
+    intersection counts, keep verdicts."""
+    return r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+             ) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    top3 AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM tok) WHERE w != ''
+        GROUP BY w
+      ) ORDER BY c DESC, w LIMIT 3
+    ),
+    bl AS (SELECT list(w ORDER BY w) AS terms FROM top3)
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(t), terms)) AS BIGINT)
+             AS n_hits,
+           len(list_intersect(list_distinct(t), terms)) = 0 AS keep
+    FROM tok CROSS JOIN bl
+    """
+
+
+@_register("q126_blocklist_filter", _q126_oracle())
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 §2.2;
+    :func:`profiler.text.blocklist_filter`): the list is a caller
+    artifact — here derived deterministically as the corpus' 3 most
+    frequent normalized tokens (count desc, token asc) so the oracle can
+    rebuild it — and matching is one narrow array_intersect projection
+    against the literal list: zero shuffle, zero join."""
+    from profiler.text import blocklist_filter, blocklist_tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    top = (
+        d.where(F.col("text").isNotNull())
+        .select(F.explode(blocklist_tokens_expr(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(3)
+        .collect()
+    )
+    return blocklist_filter(d, sorted(r["w"] for r in top))

@@ -431,6 +431,70 @@ def decontaminate(
     )
 
 
+def blocklist_tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens with leading/trailing
+    non-alphanumerics stripped — the match unit of
+    :func:`blocklist_filter` (exposed so callers and oracles derive
+    lists against the exact same normalization)."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.transform(
+        F.split(F.trim(norm), " "),
+        lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist filtering — the C4 "banned words" rule (Raffel et al.
+    2020 §2.2 drops any page containing a word from a public blocklist;
+    the LIST is a caller artifact, same pattern as the sentiment
+    lexicon): single-word terms match lowercased punctuation-stripped
+    tokens exactly, multi-word terms match as space-delimited phrases on
+    the whitespace-normalized lowercase text. Returns ``(id, n_hits,
+    keep)`` with ``n_hits`` counting DISTINCT blocked words present plus
+    matched phrases, ``keep = n_hits == 0``.
+
+    One narrow projection: the word list folds in as an
+    ``array_intersect`` against a literal array, phrases as a bounded
+    chain of ``contains`` — zero shuffle, zero join, zero Python. Terms
+    must be lowercase and non-empty (miscased terms would silently never
+    match — the same failure class the classifier guards against)."""
+    bad = [t for t in terms if not t or t != t.lower()]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must be non-empty lowercase; got {bad[:3]}"
+        )
+    words = [t for t in terms if " " not in t]
+    phrases = [t for t in terms if " " in t]
+    toks = blocklist_tokens_expr(F.col(text_col))
+    hits: Column = F.lit(0)
+    if words:
+        hits = hits + F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        )
+    if phrases:
+        padded = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            F.lit(" "),
+        )
+        for p in phrases:
+            hits = hits + F.when(
+                padded.contains(f" {p} "), F.lit(1)
+            ).otherwise(F.lit(0))
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        hits.cast("long").alias("n_hits"),
+        (hits == 0).alias("keep"),
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,

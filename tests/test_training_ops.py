@@ -2348,3 +2348,31 @@ def test_clean_corpus_optional_dup_span_rewrite(spark):
     assert stats["after_dup_span_removal"] == 2
     assert rows[1] == "a b c one two three"       # keeper intact
     assert rows[2] == "x y four five six"         # shared span cut, doc survives
+
+
+def test_blocklist_filter_words_phrases_and_validation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The Badword appears here."),      # case+punct normalized
+            (2, "totally clean text"),
+            (3, "contains a bad phrase indeed"),
+            (4, "badword badword badword"),         # distinct words count once
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.blocklist_filter(
+            docs, ["badword", "bad phrase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_hits"] == 1 and out[1]["keep"] is False
+    assert out[2]["n_hits"] == 0 and out[2]["keep"] is True
+    assert out[3]["n_hits"] == 1 and out[3]["keep"] is False
+    assert out[4]["n_hits"] == 1
+    with pytest.raises(ValueError):
+        text.blocklist_filter(docs, ["MixedCase"])
+    with pytest.raises(ValueError):
+        text.blocklist_filter(docs, [""])
