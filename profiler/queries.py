@@ -7054,3 +7054,53 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     return blocklist_filter(d, sorted(r["w"] for r in top))
+
+
+@_register(
+    "q127_loss_mask_spans",
+    """
+    WITH t AS (
+      SELECT user_id AS conv, ts, event_id,
+             coalesce(event_type, '') AS role, coalesce(props, '') AS txt
+      FROM events
+    ),
+    o AS (
+      SELECT conv, role, role || ': ' || txt AS seg,
+             length(role || ': ' || txt) AS seglen,
+             row_number() OVER (PARTITION BY conv ORDER BY ts, event_id) AS rn
+      FROM t
+    ),
+    p AS (
+      SELECT conv, role, seg, rn, seglen,
+             coalesce(sum(seglen + 1) OVER (
+               PARTITION BY conv ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_char
+      FROM o
+    )
+    SELECT conv AS user_id,
+           CAST(row_number() OVER (PARTITION BY conv ORDER BY rn) - 1
+                AS INT) AS span_idx,
+           start_char, start_char + seglen AS end_char, seg AS span_text
+    FROM p WHERE role IN ('purchase', 'error')
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans (:func:`profiler.sequence.render_with_loss_spans`):
+    character ranges of the train-role turns inside the rendered
+    conversation document (train-on-assistant-only masking, exercised as
+    purchase/error turns over the events transcript mapping). Offsets
+    come from one prefix-sum fold per conversation — no window function,
+    per-group state bounded by the conversation's own turns; DuckDB
+    replays rendering, offsets, and span text."""
+    from profiler.sequence import render_with_loss_spans
+
+    e = _t(spark, sf_dir, "events")
+    return render_with_loss_spans(
+        e,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="props",
+        train_roles=("purchase", "error"),
+    )

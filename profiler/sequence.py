@@ -264,3 +264,78 @@ def render_conversations(
     return df.groupBy(F.col(conv_col)).agg(
         F.count(F.lit(1)).alias("n_turns"), rendered.alias("text")
     )
+
+
+def render_with_loss_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    train_roles: Sequence[str] = ("assistant",),
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Loss-mask spans for supervised fine-tuning data prep: under the
+    SAME rendering template as :func:`render_conversations`, emit one row
+    per ``train_roles`` turn with its character range in the rendered
+    document — the standard train-on-assistant-turns-only mask, shipped
+    as ``(conv, span_idx, start_char, end_char, span_text)`` with
+    0-based, end-exclusive offsets over the rendered text and
+    ``span_text`` the exact ``role<role_sep>text`` segment (so a
+    consumer can assert ``rendered[start:end] == span_text`` before
+    masking). Tokenizer-side masks follow by offset-mapping the
+    character ranges.
+
+    Scale shape: identical to the renderer — one map-side-combinable
+    groupBy on the conversation key, per-group state bounded by the
+    conversation's own turns; offsets come from ONE prefix-sum fold over
+    the segment-length array (no window function), and the span fan-out
+    is bounded by each conversation's own train-turn count."""
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("__role"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__text"),
+    )
+
+    def seg(t: Column) -> Column:
+        return F.concat(t["__role"], F.lit(role_sep), t["__text"])
+
+    g = df.groupBy(F.col(conv_col)).agg(
+        F.array_sort(F.collect_list(order_struct)).alias("__arr")
+    )
+    arr = F.col("__arr")
+    starts = F.aggregate(
+        F.transform(arr, lambda t: F.length(seg(t))),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.array().cast("array<int>").alias("st"),
+        ),
+        lambda acc, l: F.struct(
+            (acc["pos"] + l + F.lit(len(turn_sep))).alias("pos"),
+            F.concat(acc["st"], F.array(acc["pos"])).alias("st"),
+        ),
+        lambda acc: acc["st"],
+    )
+    spans = F.filter(
+        F.zip_with(
+            starts,
+            arr,
+            lambda s, t: F.struct(
+                s.alias("start_char"),
+                (s + F.length(seg(t))).alias("end_char"),
+                t["__role"].alias("role"),
+                seg(t).alias("span_text"),
+            ),
+        ),
+        lambda x: x["role"].isin(*[str(r) for r in train_roles]),
+    )
+    return g.select(
+        conv_col, F.posexplode(spans).alias("span_idx", "s")
+    ).select(
+        conv_col,
+        "span_idx",
+        F.col("s.start_char").alias("start_char"),
+        F.col("s.end_char").alias("end_char"),
+        F.col("s.span_text").alias("span_text"),
+    )

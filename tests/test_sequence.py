@@ -185,3 +185,36 @@ def test_cohort_retention_planted(spark):
     assert got[("2025-06-02", 2)] == (1, round(1 / 3, 4))
     assert got[("2025-06-09", 0)] == (1, 1.0)
     assert len(got) == 4
+
+
+def test_render_with_loss_spans_offsets_are_exact(spark):
+    """Spans carved out of the rendered document by (start, end) must
+    equal span_text exactly — and cover only train-role turns."""
+    from profiler.sequence import render_conversations, render_with_loss_spans
+
+    rows = [
+        ("c1", 0, "system", "be helpful"),
+        ("c1", 1, "user", "héllo there"),      # multibyte before a span
+        ("c1", 2, "assistant", "hi! how can I help?"),
+        ("c1", 3, "user", "bye"),
+        ("c1", 4, "assistant", "bye!"),
+        ("c2", 0, "user", "solo question"),     # no train turns -> no rows
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    rendered = {
+        r["conv_id"]: r["text"]
+        for r in render_conversations(df).collect()
+    }
+    spans = render_with_loss_spans(df).collect()
+    assert {r["conv_id"] for r in spans} == {"c1"}
+    got = sorted((r["span_idx"], r) for r in spans)
+    assert len(got) == 2
+    for idx, r in got:
+        assert r["span_text"].startswith("assistant: ")
+        assert (
+            rendered["c1"][r["start_char"] : r["end_char"]] == r["span_text"]
+        )
+    assert got[0][1]["span_text"] == "assistant: hi! how can I help?"
+    assert got[1][1]["span_text"] == "assistant: bye!"
