@@ -371,3 +371,34 @@ def test_bpe_pair_counts_collapses_to_word_table_first(spark):
     assert plan.count("Scan parquet") == 1
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_blocklist_filter_is_narrow_zero_shuffle(spark):
+    """The blocklist folds in as an array literal: one narrow projection,
+    no Exchange/Join — a row-source plan for the list would shuffle the
+    corpus for a handful of terms."""
+    from profiler.text import blocklist_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(blocklist_filter(docs, ["alpha", "beta", "bad phrase"]))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_loss_spans_single_aggregate_no_window(spark):
+    """Span offsets must come from the per-conversation prefix-sum fold,
+    not a Window over turns (a whale conversation would sort in one
+    task): one scan, one hash aggregate pair, no Window node."""
+    from profiler.sequence import render_with_loss_spans
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        render_with_loss_spans(
+            ev, conv_col="user_id", order_cols=("ts", "event_id"),
+            role_col="event_type", text_col="props",
+            train_roles=("purchase",),
+        )
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
