@@ -92,8 +92,12 @@ class CleanConfig:
     #: (ExactSubstr removal, dedup.remove_dup_spans): non-first occurrences
     #: of corpus-repeated k-grams are cut from the text, documents are
     #: never dropped — the rewrite-flavored alternative to the coverage
-    #: filter (enable one or the other, not both: coverage fractions
-    #: computed after removal are trivially zero)
+    #: filter (enabling BOTH raises: coverage fractions computed after
+    #: removal are trivially zero, so the second stage would be a wasted
+    #: corpus-global shuffle). NOTE the rewrite is token-level: it
+    #: whitespace-normalizes EVERY document (newlines collapse to single
+    #: spaces) even where nothing was removed — run line-structure-
+    #: sensitive stages (line_dedup) BEFORE it, never after.
     dup_span_k: int | None = None
     #: set a Jaccard threshold to ALSO run MinHash fuzzy decontamination
     #: against ``benchmark`` (catches paraphrased leakage the exact 13-gram
@@ -136,6 +140,13 @@ def clean_corpus(
     cost).
     """
     cfg = config or CleanConfig()
+    if cfg.dup_span_k is not None and cfg.dup_ngram_k is not None:
+        raise ValueError(
+            "dup_span_k and dup_ngram_k are mutually exclusive: span "
+            "removal zeroes the coverage fractions the filter would "
+            "compute, so enabling both only adds a wasted corpus-global "
+            "shuffle"
+        )
     stats: dict[str, int | None] = {}
     cur = df.where(F.col(text_col).isNotNull())
     cached: list[DataFrame] = []

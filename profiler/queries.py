@@ -7004,31 +7004,45 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q126_oracle() -> str:
     """Full SQL replay of blocklist filtering with the blocklist derived
-    as the corpus' 3 most frequent normalized tokens (count desc, token
-    asc) — identical lowercase/punct-strip normalization, distinct-token
-    intersection counts, keep verdicts."""
+    as the corpus' 3 most frequent normalized tokens PLUS its most
+    frequent token bigram as a phrase term (count desc, value asc) —
+    identical lowercase/punct-strip normalization, distinct-token
+    intersection counts, token-stream phrase matching, keep verdicts."""
     return r"""
     WITH tok AS (
       SELECT doc_id,
-             list_transform(
-               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-               t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
-             ) AS t
+             list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     top3 AS (
       SELECT w FROM (
         SELECT w, count(*) AS c
-        FROM (SELECT unnest(t) AS w FROM tok) WHERE w != ''
+        FROM (SELECT unnest(t) AS w FROM tok)
         GROUP BY w
       ) ORDER BY c DESC, w LIMIT 3
     ),
-    bl AS (SELECT list(w ORDER BY w) AS terms FROM top3)
-    SELECT doc_id,
-           CAST(len(list_intersect(list_distinct(t), terms)) AS BIGINT)
-             AS n_hits,
-           len(list_intersect(list_distinct(t), terms)) = 0 AS keep
-    FROM tok CROSS JOIN bl
+    topbg AS (
+      SELECT bg FROM (
+        SELECT bg, count(*) AS c FROM (
+          SELECT t[i] || ' ' || t[i + 1] AS bg
+          FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        ) GROUP BY bg
+      ) ORDER BY c DESC, bg LIMIT 1
+    ),
+    bl AS (SELECT (SELECT list(w ORDER BY w) FROM top3) AS terms,
+                  (SELECT bg FROM topbg) AS ph),
+    sc AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(t), terms))
+             + CASE WHEN contains(' ' || array_to_string(t, ' ') || ' ',
+                                  ' ' || ph || ' ') THEN 1 ELSE 0 END AS h
+      FROM tok CROSS JOIN bl
+    )
+    SELECT doc_id, CAST(h AS BIGINT) AS n_hits, h = 0 AS keep FROM sc
     """
 
 
@@ -7042,18 +7056,31 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the literal list: zero shuffle, zero join."""
     from profiler.text import blocklist_filter, blocklist_tokens_expr
 
+    from profiler.dedup import kgram_windows_expr
+
     d = _t(spark, sf_dir, "documents")
+    ntoks = F.filter(
+        blocklist_tokens_expr(F.col("text")), lambda t: t != ""
+    )
+    base = d.where(F.col("text").isNotNull())
     top = (
-        d.where(F.col("text").isNotNull())
-        .select(F.explode(blocklist_tokens_expr(F.col("text"))).alias("w"))
-        .where(F.col("w") != "")
+        base.select(F.explode(ntoks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(3)
         .collect()
     )
-    return blocklist_filter(d, sorted(r["w"] for r in top))
+    topbg = (
+        base.select(F.explode(kgram_windows_expr(ntoks, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(1)
+        .collect()
+    )
+    terms = sorted(r["w"] for r in top) + [topbg[0]["bg"]]
+    return blocklist_filter(d, terms)
 
 
 @_register(

@@ -249,21 +249,37 @@ def render_conversations(
     turn text renders as '' rather than dropping the turn — turn COUNT
     integrity is part of what downstream validation checks.
     """
-    order_struct = F.struct(
-        *[F.col(c) for c in order_cols],
-        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("__role"),
-        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__text"),
-    )
+    order_struct = _conv_order_struct(order_cols, role_col, text_col)
     rendered = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(order_struct)),
-            lambda t: F.concat(t["__role"], F.lit(role_sep), t["__text"]),
+            lambda t: _conv_segment(t, role_sep),
         ),
         turn_sep,
     )
     return df.groupBy(F.col(conv_col)).agg(
         F.count(F.lit(1)).alias("n_turns"), rendered.alias("text")
     )
+
+
+def _conv_order_struct(
+    order_cols: Sequence[str], role_col: str, text_col: str
+) -> Column:
+    """The sortable turn struct shared by :func:`render_conversations`
+    and :func:`render_with_loss_spans` — ONE definition, because the
+    span-offset contract (rendered[start:end] == span_text) silently
+    breaks if the two renderings ever drift."""
+    return F.struct(
+        *[F.col(c) for c in order_cols],
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("__role"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__text"),
+    )
+
+
+def _conv_segment(t: Column, role_sep: str) -> Column:
+    """``role<role_sep>text`` rendering of one turn struct (shared, see
+    :func:`_conv_order_struct`)."""
+    return F.concat(t["__role"], F.lit(role_sep), t["__text"])
 
 
 def render_with_loss_spans(
@@ -292,14 +308,10 @@ def render_with_loss_spans(
     conversation's own turns; offsets come from ONE prefix-sum fold over
     the segment-length array (no window function), and the span fan-out
     is bounded by each conversation's own train-turn count."""
-    order_struct = F.struct(
-        *[F.col(c) for c in order_cols],
-        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("__role"),
-        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__text"),
-    )
+    order_struct = _conv_order_struct(order_cols, role_col, text_col)
 
     def seg(t: Column) -> Column:
-        return F.concat(t["__role"], F.lit(role_sep), t["__text"])
+        return _conv_segment(t, role_sep)
 
     g = df.groupBy(F.col(conv_col)).agg(
         F.array_sort(F.collect_list(order_struct)).alias("__arr")

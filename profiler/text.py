@@ -460,13 +460,33 @@ def blocklist_filter(
 
     One narrow projection: the word list folds in as an
     ``array_intersect`` against a literal array, phrases as a bounded
-    chain of ``contains`` — zero shuffle, zero join, zero Python. Terms
-    must be lowercase and non-empty (miscased terms would silently never
-    match — the same failure class the classifier guards against)."""
-    bad = [t for t in terms if not t or t != t.lower()]
+    chain of ``contains`` over the SAME punctuation-stripped token
+    stream (so "a bad phrase." matches "bad phrase" exactly like the
+    word path) — zero shuffle, zero join, zero Python. Terms must be
+    non-empty, lowercase, single-spaced, and invariant under the
+    tokenizer's own edge-strip normalization — a term that can never
+    match ("badword!", "café", doubled spaces) is rejected at call time
+    instead of silently keeping every page (the same failure class the
+    classifier's hex check guards against)."""
+    import re as _re
+
+    def _strip(w: str) -> str:
+        return _re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w)
+
+    bad = []
+    for t in terms:
+        ws = _re.split(r"\s+", t.strip()) if t else [""]
+        if (
+            not t
+            or t != t.lower()
+            or t != " ".join(ws)
+            or any(not w or w != _strip(w) for w in ws)
+        ):
+            bad.append(t)
     if bad:
         raise ValueError(
-            f"blocklist terms must be non-empty lowercase; got {bad[:3]}"
+            "blocklist terms must be non-empty lowercase, single-spaced, "
+            f"and edge-strip-invariant; got {bad[:3]}"
         )
     words = [t for t in terms if " " not in t]
     phrases = [t for t in terms if " " in t]
@@ -479,9 +499,12 @@ def blocklist_filter(
             )
         )
     if phrases:
+        # phrase haystack = the normalized token stream itself (empty
+        # tokens from pure-punctuation words dropped so they cannot
+        # split a phrase), padded for whole-token boundary matches
         padded = F.concat(
             F.lit(" "),
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            F.array_join(F.filter(toks, lambda t: t != ""), " "),
             F.lit(" "),
         )
         for p in phrases:

@@ -2376,3 +2376,31 @@ def test_blocklist_filter_words_phrases_and_validation(spark):
         text.blocklist_filter(docs, ["MixedCase"])
     with pytest.raises(ValueError):
         text.blocklist_filter(docs, [""])
+
+
+def test_blocklist_phrase_matches_through_punctuation(spark):
+    """Phrases match the punctuation-stripped token stream, consistent
+    with the word path; never-matchable terms are rejected up front."""
+    docs = spark.createDataFrame(
+        [(1, "He wrote a bad phrase."), (2, "bad. phrase split by period")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.blocklist_filter(docs, ["bad phrase"]).collect()
+    }
+    assert out[1]["keep"] is False      # trailing period no longer hides it
+    assert out[2]["keep"] is False      # edge punct strips to 'bad phrase'
+    for bad_term in ["badword!", "bad  phrase", "café!"]:
+        with pytest.raises(ValueError):
+            text.blocklist_filter(docs, [bad_term])
+
+
+def test_clean_corpus_rejects_span_and_coverage_together(spark):
+    from profiler.clean import CleanConfig, clean_corpus
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        clean_corpus(
+            docs, config=CleanConfig(dup_span_k=3, dup_ngram_k=3)
+        )
