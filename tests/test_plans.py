@@ -402,3 +402,45 @@ def test_loss_spans_single_aggregate_no_window(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_cdc_chunks_is_narrow_map(spark):
+    """Boundary scan, cut list, and slicing are all per-row array
+    expressions: one scan, no Exchange/Join/Window before the explode."""
+    from profiler.text import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cdc_chunks(docs))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_scalar_quantize_is_narrow_map(spark):
+    """Encoding against driver-collected calibration params is a pure
+    literal-coefficient projection."""
+    import numpy as np
+
+    from profiler.similarity import scalar_quantize
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(scalar_quantize(emb, np.zeros(64), np.ones(64)))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_contamination_report_broadcasts_benchmark(spark):
+    """The benchmark's gram frame must broadcast into the corpus scan —
+    a sort-merge join would shuffle the corpus' exploded gram stream on
+    13-gram strings for a benchmark thousands of times smaller."""
+    from profiler.text import contamination_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        contamination_report(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
