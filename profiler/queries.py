@@ -7131,3 +7131,212 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="props",
         train_roles=("purchase", "error"),
     )
+
+
+# ===========================================================================
+# Y. Web-pipeline signals: character entropy, link statistics, host rollup,
+# encoding damage (round 3, session 5)
+# ===========================================================================
+
+from profiler.text import (  # noqa: E402  (mid-module: entries below only)
+    CONTROL_PATTERN as _CTL_RE,
+    MOJIBAKE_PATTERN as _MOJI_RE,
+    URL_PATTERN as _URL_RE,
+    HOST_PATTERN as _HOST_RE,
+)
+
+#: deterministic encoding-damage payload injected into every 7th document
+#: (by n_chars) so q131 exercises real matches on the word-soup corpus:
+#: one Latin-1 mojibake pair, one cp1252 curly-quote triple, one U+FFFD,
+#: one C0 control. Interpolated into BOTH the Spark program and the DuckDB
+#: oracle so the bytes are identical by construction.
+_DAMAGE_SUFFIX = " caf\u00c3\u00a9 \u00e2\u20ac\u0099 \ufffd \x07end"
+
+#: the two deterministic URL shapes injected for q129/q130: every document
+#: links its own source domain (mixed case + port, exercising the
+#: lowercase + strip in host extraction); every 3rd document adds a second
+#: host with query + fragment characters.
+_URL_AUG_SQL = (
+    "text || ' https://' || source || '.Example.com:8080/d/'"
+    " || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN n_chars % 3 = 0 THEN ' http://mirror-' || source"
+    " || '.example.org/x?q=1#frag' ELSE '' END"
+)
+
+
+def _url_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://"),
+            F.col("source"),
+            F.lit(".Example.com:8080/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("n_chars") % 3 == 0,
+                F.concat(
+                    F.lit(" http://mirror-"),
+                    F.col("source"),
+                    F.lit(".example.org/x?q=1#frag"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+@_register(
+    "q128_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.', 0, 's')) AS c
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    h AS (SELECT doc_id,
+                 round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4)
+                   AS char_entropy
+          FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id, h.char_entropy
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-unigram Shannon entropy
+    (:func:`profiler.text.char_entropy_expr`) — the classic web-crawl
+    gibberish/binary-spew quality signal. Spark computes it as ONE
+    sorted-run aggregate fold per row (narrow, zero shuffle); the oracle
+    replays the distribution via unnest + groupBy and the identical
+    ``log2(n) - sum(k*log2(k))/n`` form."""
+    from profiler.text import score_char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return score_char_entropy(d).select("doc_id", "char_entropy")
+
+
+def _q129_oracle() -> str:
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, {_URL_AUG_SQL} AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ls AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_URL_RE}', 0)) AS n_urls,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '{_URL_RE}', 0), u -> length(u))), 0)
+               AS url_chars,
+             length(text) AS n
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(url_chars AS BIGINT) AS url_chars,
+           round(CAST(url_chars AS DOUBLE) / greatest(n, 1), 6)
+             AS link_density
+    FROM ls
+    """
+
+
+@_register("q129_link_stats", _q129_oracle())
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document link statistics (:func:`profiler.text.score_links`):
+    URL count, URL characters, and link density — the C4/RefinedWeb
+    boilerplate/spam signal. URLs are injected deterministically from
+    (source, doc_id, n_chars) so the word-soup corpus exercises real
+    matches; the oracle replays the same construction. One regex scan per
+    row via a single aggregate fold; zero shuffle."""
+    from profiler.text import score_links
+
+    return score_links(_url_augmented(spark, sf_dir)).select(
+        "doc_id", "n_urls", "url_chars", "link_density"
+    )
+
+
+def _q130_oracle() -> str:
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, {_URL_AUG_SQL} AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_URL_RE}', 0)) AS url
+      FROM aug
+    ),
+    h AS (
+      SELECT doc_id, lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host
+      FROM u
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM h WHERE host != '' GROUP BY host
+    """
+
+
+@_register("q130_url_host_stats", _q130_oracle())
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus host rollup (:func:`profiler.text.url_host_stats`): per
+    hostname, URL mentions and distinct documents — the per-domain
+    frequency table behind domain blocklists and URL-mixture audits.
+    Explode emits only URL hits; ONE groupBy(host) with map-side combine
+    (n_urls) + exact two-phase distinct (n_docs)."""
+    from profiler.text import url_host_stats
+
+    return url_host_stats(_url_augmented(spark, sf_dir))
+
+
+def _q131_oracle() -> str:
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN n_chars % 7 = 0 THEN text || '{_DAMAGE_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '�')) AS n_replacement,
+             len(regexp_extract_all(text, '{_MOJI_RE}')) AS n_mojibake,
+             len(regexp_extract_all(text, '{_CTL_RE}')) AS n_control,
+             length(text) AS n
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_replacement AS BIGINT) AS n_replacement,
+           CAST(n_mojibake AS BIGINT) AS n_mojibake,
+           CAST(n_control AS BIGINT) AS n_control,
+           round(CAST(n_replacement + n_mojibake + n_control AS DOUBLE)
+                 / greatest(n, 1), 6) AS damage_ratio,
+           round(CAST(n_replacement + n_mojibake + n_control AS DOUBLE)
+                 / greatest(n, 1), 6) <= 0.001 AS ok_encoding
+    FROM sig
+    """
+
+
+@_register("q131_encoding_damage", _q131_oracle())
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (:func:`profiler.text.score_encoding_damage`):
+    U+FFFD replacement chars, UTF-8-as-Latin-1/cp1252 mojibake sequences,
+    stray C0 controls, and the keep/drop verdict. A deterministic damage
+    payload is spliced into every 7th document (by n_chars) so the clean
+    corpus exercises real matches; the oracle replays the same splice and
+    the same three single-pass regex counts. One narrow projection."""
+    from profiler.text import score_encoding_damage
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("n_chars") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_DAMAGE_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return score_encoding_damage(aug).select(
+        "doc_id",
+        "n_replacement",
+        "n_mojibake",
+        "n_control",
+        "damage_ratio",
+        "ok_encoding",
+    )

@@ -2144,3 +2144,196 @@ def lm_perplexity_scores(
             "perplexity",
         )
     )
+
+
+# ===========================================================================
+# Web-pipeline per-document signals: character entropy, link statistics,
+# encoding damage. All pure JVM expressions -- no UDF, no shuffle for the
+# per-document forms; one bounded groupBy for the corpus host rollup.
+# ===========================================================================
+
+def char_entropy_expr(text: Column) -> Column:
+    """Shannon entropy (bits per character) of the document's character
+    unigram distribution -- the classic web-crawl quality signal (gibberish
+    and binary-spew pages sit far from natural-language entropy; repeated
+    filler sits near 0).
+
+    Single pass: codepoints via one ``regexp_extract_all``, one
+    ``array_sort``, then ONE ``aggregate`` fold over the sorted array that
+    counts runs and accumulates sum(c*log2(c)) -- the char array is
+    referenced exactly once, so the expensive subtree cannot be
+    re-evaluated per component (the HOF-CSE pitfall the MinHash fold
+    avoids). ``H = log2(n) - sum(c*log2(c))/n``, rounded to 4 decimals;
+    NULL for NULL/empty text. O(n log n) per row, zero shuffle.
+    """
+    chars = F.array_sort(F.regexp_extract_all(text, F.lit(r"(?s)."), 0))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("cnt"),
+    )
+
+    def _step(acc: Column, c: Column) -> Column:
+        same = acc["prev"].isNotNull() & (c == acc["prev"])
+        closed = F.when(same, acc["s"]).otherwise(
+            acc["s"]
+            + F.when(acc["run"] > 0, acc["run"] * F.log2(acc["run"])).otherwise(0.0)
+        )
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1.0))
+        return F.struct(
+            c.alias("prev"),
+            run.alias("run"),
+            closed.alias("s"),
+            (acc["cnt"] + 1).alias("cnt"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        total = acc["s"] + F.when(
+            acc["run"] > 0, acc["run"] * F.log2(acc["run"])
+        ).otherwise(0.0)
+        return F.when(
+            acc["cnt"] > 0, F.round(F.log2(acc["cnt"]) - total / acc["cnt"], 4)
+        )
+
+    return F.aggregate(chars, zero, _step, _finish)
+
+
+def score_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``char_entropy`` (see :func:`char_entropy_expr`). One narrow
+    projection; composes with :func:`quality_filter` verdicts at the
+    caller (entropy bounds are corpus-specific, so none are defaulted)."""
+    return df.withColumn("char_entropy", char_entropy_expr(F.col(text_col)))
+
+
+#: URL token shape shared by the link statistics and the oracle replays.
+#: Deliberately regex-only (no ``parse_url``) so DuckDB replays the exact
+#: same match set; ``:`` admits ports, which HOST_PATTERN then strips.
+URL_PATTERN = r"https?://[A-Za-z0-9.:/_#?&=%~-]+"
+
+#: capture group 1 = hostname; port/path/query/fragment stripped.
+HOST_PATTERN = r"^https?://([^/:?#]+)"
+
+
+def link_stats_expr(text: Column) -> Column:
+    """``struct(n_urls, url_chars)`` from ONE regex scan: the URL match
+    array is the input of a single ``aggregate`` fold (count + total
+    matched chars), never fanned out across sibling expressions."""
+    urls = F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n_urls"),
+        F.lit(0).cast("long").alias("url_chars"),
+    )
+    return F.aggregate(
+        urls,
+        zero,
+        lambda a, u: F.struct(
+            (a["n_urls"] + 1).alias("n_urls"),
+            (a["url_chars"] + F.length(u)).alias("url_chars"),
+        ),
+    )
+
+
+def score_links(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document link statistics (C4/RefinedWeb-style boilerplate and
+    spam signal): ``n_urls``, ``url_chars``, and ``link_density`` = URL
+    characters / document characters (rounded 6). One narrow projection,
+    zero shuffle; the struct from :func:`link_stats_expr` is expanded
+    behind a projection boundary so the regex scan runs once per row."""
+    staged = df.withColumn("_ls", link_stats_expr(F.col(text_col)))
+    return (
+        staged.withColumn("n_urls", F.col("_ls.n_urls"))
+        .withColumn("url_chars", F.col("_ls.url_chars"))
+        .withColumn(
+            "link_density",
+            F.round(
+                F.col("_ls.url_chars").cast("double")
+                / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .drop("_ls")
+    )
+
+
+def url_host_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level host rollup: ``(host, n_urls, n_docs)`` for every
+    hostname mentioned in the corpus -- the per-domain frequency table
+    that drives domain blocklists and URL-mixture audits at crawl scale.
+
+    Explode emits ONLY the URL hits (sparse next to the text), the host is
+    a lowercase regex capture with port/path stripped, and the rollup is a
+    single groupBy(host): ``n_urls`` map-side-combines; ``n_docs`` is an
+    exact distinct (two-phase aggregate) -- swap to
+    ``approx_count_distinct`` at crawl scale where +-2% error is fine.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    host = F.lower(F.regexp_extract(F.col("url"), HOST_PATTERN, 1))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(urls).alias("url"))
+        .select(id_col, host.alias("host"))
+        .where(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+
+
+#: UTF-8-read-as-Latin-1/cp1252 artifacts: a misdecoded 2-byte lead
+#: (U+00C2/U+00C3 + a Latin-1-supplement continuation) or the misdecoded
+#: 3-byte punctuation (U+00E2 + euro-sign-or-C1-0x80 + one more char).
+#: The alternatives have pairwise-disjoint leading characters, so RE2
+#: (DuckDB) and java.util.regex agree on the non-overlapping match set.
+MOJIBAKE_PATTERN = (
+    "[\u00c2\u00c3][\u0080-\u00bf]"
+    "|\u00e2\u20ac."
+    "|\u00e2\u0080[\u0080-\u00bf]"
+)
+
+#: C0 control characters that never belong in clean text (tab/LF/CR kept).
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def encoding_damage_exprs(text: Column) -> dict[str, Column]:
+    """Encoding-damage signals, each ONE single-pass regex count:
+
+    * ``n_replacement`` -- U+FFFD replacement characters (lossy transcode);
+    * ``n_mojibake`` -- UTF-8-read-as-Latin-1/cp1252 artifact sequences;
+    * ``n_control`` -- C0 controls other than tab/newline/CR.
+
+    The three regexes are independent single scans over the row (no shared
+    expensive subtree), so sibling-expression fan-out is safe here.
+    """
+    return {
+        "n_replacement": F.regexp_count(text, F.lit("\ufffd")).cast("long"),
+        "n_mojibake": F.regexp_count(text, F.lit(MOJIBAKE_PATTERN)).cast("long"),
+        "n_control": F.regexp_count(text, F.lit(CONTROL_PATTERN)).cast("long"),
+    }
+
+
+def score_encoding_damage(
+    df: DataFrame, text_col: str = "text", max_ratio: float = 0.001
+) -> DataFrame:
+    """Adds the :func:`encoding_damage_exprs` counts, ``damage_ratio`` =
+    damaged characters / document characters (rounded 6), and
+    ``ok_encoding`` (ratio <= ``max_ratio``) -- the keep/drop verdict a
+    cleaning cascade filters on. One narrow projection, zero shuffle."""
+    sig = encoding_damage_exprs(F.col(text_col))
+    out = df
+    for name, expr in sig.items():
+        out = out.withColumn(name, expr)
+    ratio = F.round(
+        (F.col("n_replacement") + F.col("n_mojibake") + F.col("n_control")).cast(
+            "double"
+        )
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double"),
+        6,
+    )
+    return out.withColumn("damage_ratio", ratio).withColumn(
+        "ok_encoding", F.col("damage_ratio") <= F.lit(max_ratio)
+    )

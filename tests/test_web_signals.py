@@ -1,0 +1,136 @@
+"""Web-pipeline per-document signals: character entropy, link statistics,
+encoding damage (profiler/text.py round-3 session-5 block). Golden values
+on crafted rows + physical-plan pins for the zero-shuffle claims."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.text import (
+    score_char_entropy,
+    score_encoding_damage,
+    score_links,
+    url_host_stats,
+)
+
+MOJI = "cafÃ© â€quote � ctl\x07 plain"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "aaaa"),
+        (2, "ab"),
+        (3, "abab"),
+        (4, "abcd"),
+        (5, ""),
+        (6, None),
+        (7, "see https://A.Example.com:8080/x?y=1 and http://b.org/p#f done"),
+        (8, MOJI),
+        (9, "twice https://dup.org/a then https://DUP.org/b again"),
+        (10, "euro €€ mixed €"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _by_id(df, cols):
+    return {r["doc_id"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestCharEntropy:
+    def test_golden_values(self, docs):
+        got = _by_id(score_char_entropy(docs), ["char_entropy"])
+        assert got[1] == (0.0,)  # single symbol
+        assert got[2] == (1.0,)  # two equiprobable
+        assert got[3] == (1.0,)  # distribution, not length
+        assert got[4] == (2.0,)  # four equiprobable
+        assert got[5] == (None,)  # empty -> NULL
+        assert got[6] == (None,)  # NULL -> NULL
+
+    def test_matches_direct_formula(self, docs):
+        text = "see https://A.Example.com:8080/x?y=1 and http://b.org/p#f done"
+        counts: dict[str, int] = {}
+        for ch in text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(text)
+        expect = round(-sum(c / n * math.log2(c / n) for c in counts.values()), 4)
+        got = _by_id(score_char_entropy(docs), ["char_entropy"])[7][0]
+        assert got == pytest.approx(expect, abs=1e-4)
+
+    def test_counts_codepoints_not_bytes(self, docs):
+        # "euro EUR-EUR mixed EUR": 3-byte codepoints must count as single
+        # symbols; byte-level splitting would inflate both n and the
+        # distinct-symbol set and shift the entropy.
+        text = "euro €€ mixed €"
+        counts: dict[str, int] = {}
+        for ch in text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(text)
+        expect = round(-sum(c / n * math.log2(c / n) for c in counts.values()), 4)
+        got = _by_id(score_char_entropy(docs), ["char_entropy"])[10][0]
+        assert got == pytest.approx(expect, abs=1e-4)
+
+
+class TestLinkStats:
+    def test_counts_and_density(self, docs):
+        got = _by_id(score_links(docs), ["n_urls", "url_chars", "link_density"])
+        # doc 7: two URLs, 36 + 12 = 48 matched chars over 62 total
+        assert got[7] == (2, 48, round(48 / 62, 6))
+        assert got[1] == (0, 0, 0.0)
+        assert got[6] == (None, None, None)
+
+    def test_host_rollup_lowercases_and_strips_port(self, docs):
+        hosts = {
+            r["host"]: (r["n_urls"], r["n_docs"])
+            for r in url_host_stats(docs).collect()
+        }
+        assert hosts["a.example.com"] == (1, 1)  # port 8080 stripped, lowered
+        assert hosts["b.org"] == (1, 1)
+        # doc 9 mentions dup.org twice (mixed case): 2 urls, 1 distinct doc
+        assert hosts["dup.org"] == (2, 1)
+        assert set(hosts) == {"a.example.com", "b.org", "dup.org"}
+
+
+class TestEncodingDamage:
+    def test_crafted_artifacts(self, docs):
+        got = _by_id(
+            score_encoding_damage(docs),
+            ["n_replacement", "n_mojibake", "n_control", "ok_encoding"],
+        )
+        # MOJI: one Latin-1 pair, one cp1252 triple, one U+FFFD, one C0
+        assert got[8] == (1, 2, 1, False)
+        assert got[1] == (0, 0, 0, True)
+        assert got[6] == (None, None, None, None)
+
+    def test_ratio_threshold(self, docs):
+        row = {
+            r["doc_id"]: r
+            for r in score_encoding_damage(docs, max_ratio=0.5).collect()
+        }[8]
+        n = len(MOJI)
+        assert row["damage_ratio"] == pytest.approx(round(4 / n, 6))
+        assert row["ok_encoding"] is True  # loose threshold keeps it
+
+    def test_tab_newline_cr_are_clean(self, spark):
+        df = spark.createDataFrame([(1, "a\tb\nc\rd")], ["doc_id", "text"])
+        r = score_encoding_damage(df).collect()[0]
+        assert (r["n_control"], r["ok_encoding"]) == (0, True)
+
+
+class TestPlans:
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_per_doc_signals_are_narrow(self, docs):
+        """Entropy, link stats, and encoding damage are per-row projections:
+        no exchange may appear — the 100 TB form streams the scan."""
+        for op in (score_char_entropy, score_links, score_encoding_damage):
+            plan = self._plan(op(docs))
+            assert "Exchange" not in plan, f"{op.__name__} introduced a shuffle"
+
+    def test_host_rollup_is_one_scan(self, docs):
+        """The host rollup reads the corpus once; the distinct-doc count is
+        a two-phase aggregate over the exploded URL hits, not a rescan."""
+        plan = self._plan(url_host_stats(docs))
+        assert plan.count("Scan ") == 1
