@@ -2,13 +2,17 @@
 operators composed in the standard order a pre-training data pipeline runs
 them.
 
-    [line dedup] → quality filter → [classifier filter] → exact dedup →
-    near dedup → [dup n-gram coverage] → decontaminate
+    [line dedup] → [encoding filter] → [entropy filter] →
+    [link-density filter] → quality filter → [classifier filter] →
+    exact dedup → near dedup → [dup n-gram coverage] → decontaminate
     [+ fuzzy decontaminate] → [perplexity filter] → [DSIR selection] →
     sample
 
 (bracketed stages are opt-in: line dedup rewrites text so it runs first;
-the model-based classifier filter is a zero-shuffle narrow predicate, so
+the encoding-damage, character-entropy, and link-density gates are
+zero-shuffle narrow predicates like the rule-based quality gate, so they
+sit in the same cheap-narrow-first block ahead of every shuffle; the
+model-based classifier filter is a zero-shuffle narrow predicate, so
 it joins the rule-based quality gate up front where every later shuffle
 sees fewer rows; dup-n-gram coverage is corpus-global so it runs after
 dedup shrank the corpus; the perplexity filter's LM joins run after dedup
@@ -43,11 +47,14 @@ from profiler.dedup import (
 from profiler.sampling import dsir_logweights
 from profiler.sampling import sample_fraction as _sample_fraction
 from profiler.text import (
+    char_entropy_expr,
     classifier_exprs,
     decontaminate,
     decontaminate_fuzzy,
     lm_perplexity_scores,
     quality_filter,
+    score_encoding_damage,
+    score_links,
 )
 
 
@@ -107,6 +114,18 @@ class CleanConfig:
     #: target-steered selection as the last stage before sampling
     dsir_target: DataFrame | None = None
     dsir_min_avg_log_ratio: float | None = None
+    #: set a max damaged-character ratio (U+FFFD + mojibake + C0 controls
+    #: over document chars; text.score_encoding_damage) to drop
+    #: encoding-damaged documents — a zero-shuffle narrow predicate in the
+    #: cheap-narrow-first block
+    encoding_max_ratio: float | None = None
+    #: (low, high) bounds on character-unigram Shannon entropy
+    #: (text.char_entropy_expr); either side None = open. Documents with
+    #: NULL entropy (empty text) are dropped when enabled.
+    entropy_bounds: tuple[float | None, float | None] | None = None
+    #: max link density (URL characters / document characters;
+    #: text.score_links) — the C4-style link-farm/boilerplate gate
+    link_density_max: float | None = None
     #: hashed-bucket weights of an exported linear quality classifier
     #: (fastText-shaped; see text.classifier_scores) to enable model-based
     #: quality filtering right after the rule-based gate — a zero-shuffle
@@ -177,6 +196,32 @@ def clean_corpus(
         cur = _mark(
             "after_line_dedup",
             cur.drop(text_col).join(rewritten, id_col).select(*df.columns),
+        )
+    if cfg.encoding_max_ratio is not None:
+        scored = score_encoding_damage(
+            cur, text_col, max_ratio=cfg.encoding_max_ratio
+        )
+        cur = _mark(
+            "after_encoding",
+            scored.where(F.col("ok_encoding")).select(*df.columns),
+        )
+    if cfg.entropy_bounds is not None:
+        lo, hi = cfg.entropy_bounds
+        ent = char_entropy_expr(F.col(text_col))
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (ent >= F.lit(float(lo)))
+        if hi is not None:
+            pred = pred & (ent <= F.lit(float(hi)))
+        # NULL entropy (empty text) fails the predicate: dropped by design
+        cur = _mark("after_entropy", cur.where(pred))
+    if cfg.link_density_max is not None:
+        scored = score_links(cur, text_col)
+        cur = _mark(
+            "after_link_density",
+            scored.where(
+                F.col("link_density") <= F.lit(float(cfg.link_density_max))
+            ).select(*df.columns),
         )
     if cfg.run_quality:
         kept = quality_filter(cur, text_col, overrides=cfg.quality_overrides)

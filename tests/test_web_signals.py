@@ -134,3 +134,70 @@ class TestPlans:
         a two-phase aggregate over the exploded URL hits, not a rescan."""
         plan = self._plan(url_host_stats(docs))
         assert plan.count("Scan ") == 1
+
+
+class TestCleanCascadeGates:
+    """The three signals as opt-in clean_corpus stages (cheap-narrow-first
+    block): right documents dropped, stage accounting present, and the
+    default config leaves the cascade bit-identical (all gates off)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "a perfectly ordinary clean document with several words"),
+            (2, "damaged doc with replacement � chars � here"),
+            (3, "zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz"),
+            (4, "linky https://spam.example.com/aaaaaaaaaaaaaaaaaaaa x"),
+            (5, "another normal looking document of plain english text"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_gates_drop_expected_docs(self, corpus):
+        from profiler.clean import CleanConfig, clean_corpus
+
+        cfg = CleanConfig(
+            run_quality=False,
+            run_exact_dedup=False,
+            neardup_threshold=None,
+            encoding_max_ratio=0.01,
+            entropy_bounds=(2.5, None),
+            link_density_max=0.5,
+        )
+        out, stats = clean_corpus(corpus, config=cfg, collect_stats=True)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        # 2 fails encoding (2 U+FFFD / 44 chars > 1%), 3 fails the entropy
+        # floor (near-degenerate distribution), 4 fails link density
+        assert kept == [1, 5]
+        assert stats["after_encoding"] == 4
+        assert stats["after_entropy"] == 3
+        assert stats["after_link_density"] == 2
+
+    def test_gates_are_narrow(self, corpus):
+        """All three gates together add ZERO exchanges: the cascade prefix
+        stays one streamed projection until the first dedup join."""
+        from profiler.clean import CleanConfig, clean_corpus
+
+        cfg = CleanConfig(
+            run_quality=False,
+            run_exact_dedup=False,
+            neardup_threshold=None,
+            encoding_max_ratio=0.01,
+            entropy_bounds=(0.5, 7.0),
+            link_density_max=0.5,
+        )
+        out, _ = clean_corpus(corpus, config=cfg)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_default_config_skips_gates(self, corpus):
+        from profiler.clean import CleanConfig, clean_corpus
+
+        cfg = CleanConfig(
+            run_quality=False, run_exact_dedup=False, neardup_threshold=None
+        )
+        out, stats = clean_corpus(corpus, config=cfg, collect_stats=True)
+        assert out.count() == 5
+        assert not any(
+            k in stats
+            for k in ("after_encoding", "after_entropy", "after_link_density")
+        )
