@@ -231,6 +231,36 @@ def row_predicate(name: str, sql_predicate: str) -> Constraint:
     return Constraint(name, fn, row_parts=_parts)
 
 
+def text_encoding_clean(
+    col: str = "text", max_ratio: float = 0.0, name: str | None = None
+) -> Constraint:
+    """Rows whose text carries encoding damage — U+FFFD replacement
+    characters, UTF-8-as-Latin-1/cp1252 mojibake sequences, or stray C0
+    controls (:func:`profiler.text.encoding_damage_exprs`) — at a ratio
+    above ``max_ratio`` of the document's characters (default 0: any
+    damage violates). Violation details carry the three counts. A pure
+    row-local predicate: three single-pass regex counts, fused into the
+    suite's one row-local scan via ``row_parts``; NULL text is NOT a
+    violation (pair with :func:`not_null` to require presence)."""
+    cname = name or f"encoding_clean({col})"
+
+    def _parts() -> tuple[Column, dict, dict]:
+        from profiler.text import encoding_damage_exprs
+
+        sig = encoding_damage_exprs(F.col(col))
+        damaged = sig["n_replacement"] + sig["n_mojibake"] + sig["n_control"]
+        ratio = damaged.cast("double") / F.greatest(
+            F.length(F.col(col)), F.lit(1)
+        ).cast("double")
+        return ratio > F.lit(float(max_ratio)), {}, dict(sig)
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(df.where(pred), cname, part, keys, details)
+
+    return Constraint(cname, fn, row_parts=_parts)
+
+
 def forbidden_transition(
     forbidden: Sequence[tuple[str, str]],
     key_col: str = "conv_id",
@@ -433,13 +463,16 @@ def transcripts_suite(
     tool_domain: Sequence[str] = ("search", "code", "browser", "none"),
     forbidden_transitions: Sequence[tuple[str, str]] | None = None,
     check_ts_order: bool = False,
+    check_encoding: bool = False,
 ) -> ConstraintSuite:
     """The standard suite for the transcripts table (BASELINE.json).
 
     Sequence-structure checks are opt-in (``forbidden_transitions`` /
     ``check_ts_order``) so the default suite's cost — the workload behind the
     turns/s-validated headline number tracked across rounds — stays
-    comparable; each opt-in adds one window pass over the conv_id shuffle."""
+    comparable; each opt-in adds one window pass over the conv_id shuffle.
+    ``check_encoding`` adds the zero-shuffle encoding-damage row check
+    (rides the existing fused row-local scan, no extra pass)."""
     suite = ConstraintSuite(
         constraints=[
             unique_key(["conv_id", "turn_idx"]),
@@ -454,4 +487,6 @@ def transcripts_suite(
         suite.add(forbidden_transition(list(forbidden_transitions)))
     if check_ts_order:
         suite.add(ts_order_agrees())
+    if check_encoding:
+        suite.add(text_encoding_clean())
     return suite

@@ -262,3 +262,47 @@ def test_transcripts_suite_default_unchanged(clean_df):
         "ts_order(ts along turn_idx)",
     }
     assert extended.validate(clean_df).passed()
+
+
+def test_encoding_clean_planted(spark):
+    """Plant one U+FFFD-damaged turn; check_encoding flags exactly it with
+    the three damage counts in details, and the check fuses into the
+    row-local scan (no extra pass: suite plan gains no scan)."""
+    import datetime as dt
+
+    from profiler.constraints import text_encoding_clean
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        ("c1", 0, "user", "clean question", None, base),
+        ("c1", 1, "assistant", "dam�aged ans�wer", None,
+         base + dt.timedelta(seconds=1)),
+        ("c2", 0, "user", "fine", None, base),
+        ("c2", 1, "assistant", None, None, base + dt.timedelta(seconds=1)),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+    res = transcripts_suite(check_encoding=True).validate(df)
+    v = [
+        dict(r["details"])
+        for r in res.violations.collect()
+        if r["constraint"].startswith("encoding_clean")
+    ]
+    assert v == [{"n_replacement": "2", "n_mojibake": "0", "n_control": "0"}]
+    # NULL text is not an encoding violation
+    # a loose ratio threshold keeps the damaged row
+    loose = text_encoding_clean(max_ratio=0.5)
+    none = loose.violations_fn(df, F.lit("p")).count()
+    assert none == 0
+
+
+def test_encoding_clean_default_suite_unchanged(clean_df):
+    res = transcripts_suite().validate(clean_df)
+    assert not [
+        r
+        for r in res.summary.collect()
+        if r["constraint"].startswith("encoding_clean")
+    ]
