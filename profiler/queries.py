@@ -7340,3 +7340,52 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         "damage_ratio",
         "ok_encoding",
     )
+
+
+@_register(
+    "q132_zipf_fit",
+    r"""
+    WITH tok AS (
+      SELECT list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    top AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 1000),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE) AS r,
+             CAST(c AS DOUBLE) AS c
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(ln(r)) AS sx, sum(ln(c)) AS sy,
+             sum(ln(r) * ln(c)) AS sxy, sum(ln(r) * ln(r)) AS sxx,
+             sum(ln(c) * ln(c)) AS syy
+      FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS n_ranks,
+           round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) AS slope,
+           round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 4)
+             AS intercept,
+           round(((k*sxy - sx*sy) * (k*sxy - sx*sy))
+                 / ((k*sxx - sx*sx) * (k*syy - sy*sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (:func:`profiler.text.zipf_fit`): OLS of
+    log-frequency on log-rank over the top-1000 normalized tokens — the
+    corpus-health diagnostic that flags boilerplate-heavy or synthetic
+    text by its deviation from the power law. Token counts map-side
+    combine in one exploded groupBy; the rank window and the sufficient-
+    stats aggregate touch only the bounded head. The oracle replays
+    normalization, tie-broken ranking, and the identical OLS algebra."""
+    from profiler.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))

@@ -2337,3 +2337,56 @@ def score_encoding_damage(
     return out.withColumn("damage_ratio", ratio).withColumn(
         "ok_encoding", F.col("damage_ratio") <= F.lit(max_ratio)
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Corpus-health diagnostic: least-squares power-law fit of the token
+    rank-frequency curve (Zipf's law). Natural text fits ``log(freq) =
+    intercept + slope*log(rank)`` with slope near -1 and high ``r2``;
+    boilerplate-heavy, templated, or synthetic corpora bend the curve
+    (flat head = repeated filler, sharp tail cut = truncated vocabulary).
+
+    One row out: ``(n_ranks, slope, intercept, r2)`` (logs are natural,
+    doubles rounded 4). Scale shape: token counts are ONE
+    map-side-combined groupBy over the exploded normalized tokens
+    (:func:`blocklist_tokens_expr` — the corpus streams once); the rank
+    window and the OLS aggregate run over the ``top_n``-bounded head
+    (TakeOrderedAndProject), so the single-partition window is O(top_n)
+    regardless of corpus size.
+    """
+    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    freq = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    order = [F.desc("c"), F.asc("w")]
+    top = freq.orderBy(*order).limit(int(top_n))
+    ranked = top.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"), "c"
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = k * sxy - sx * sy
+    varx = k * sxx - sx * sx
+    vary = k * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        k.cast("long").alias("n_ranks"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / k, 4).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )

@@ -201,3 +201,64 @@ class TestCleanCascadeGates:
             k in stats
             for k in ("after_encoding", "after_entropy", "after_link_density")
         )
+
+
+class TestZipfFit:
+    def test_exact_ols_on_known_counts(self, spark):
+        """Tokens with counts 8/4/2/1 -> ranks 1..4; compare against the
+        directly-computed least-squares fit."""
+        import math as m
+
+        text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        from profiler.text import zipf_fit
+
+        row = zipf_fit(df).collect()[0]
+        xs = [m.log(r) for r in (1, 2, 3, 4)]
+        ys = [m.log(c) for c in (8, 4, 2, 1)]
+        k = 4.0
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        r2 = (k * sxy - sx * sy) ** 2 / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+        assert row["n_ranks"] == 4
+        assert row["slope"] == pytest.approx(round(slope, 4))
+        assert row["intercept"] == pytest.approx(
+            round((sy - slope * sx) / k, 4)
+        )
+        assert row["r2"] == pytest.approx(round(r2, 4))
+
+    def test_pure_zipf_slope_is_minus_one(self, spark):
+        """Frequencies proportional to 1/rank fit slope == -1, r2 == 1."""
+        words = []
+        for rank in range(1, 9):
+            words += [f"w{rank:02d}"] * (240 // rank)
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        from profiler.text import zipf_fit
+
+        row = zipf_fit(df).collect()[0]
+        assert row["slope"] == pytest.approx(-1.0, abs=0.01)
+        assert row["r2"] == pytest.approx(1.0, abs=0.001)
+
+    def test_top_n_bounds_the_window(self, spark):
+        """top_n caps n_ranks; ranking is deterministic under count ties
+        (token asc) so repeated runs agree."""
+        df = spark.createDataFrame(
+            [(1, "tie1 tie2 tie3 tie4 big big big")], ["doc_id", "text"]
+        )
+        from profiler.text import zipf_fit
+
+        a = zipf_fit(df, top_n=3).collect()[0]
+        b = zipf_fit(df, top_n=3).collect()[0]
+        assert a["n_ranks"] == 3
+        assert a == b
+
+    def test_head_is_take_ordered_not_global_sort(self, spark):
+        """The top-N head must plan as TakeOrderedAndProject (bounded
+        heaps), never a full sort of the vocabulary."""
+        df = spark.createDataFrame([(1, "a b c a b a")], ["doc_id", "text"])
+        from profiler.text import zipf_fit
+
+        plan = zipf_fit(df)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
