@@ -7389,3 +7389,52 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q133_bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+    terms(term) AS (VALUES ('merge'), ('spark'), ('window')),
+    tf AS (
+      SELECT doc_id, dl, term, len(list_filter(t, x -> x = term)) AS tf
+      FROM base CROSS JOIN terms
+      WHERE len(list_filter(t, x -> x = term)) > 0
+    ),
+    dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+    ),
+    sc AS (
+      SELECT doc_id,
+             sum(ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, round(s, 4) AS score
+    FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval
+    (:func:`profiler.text.bm25_topk`, Lucene idf variant) for the fixed
+    query {merge, spark, window}: corpus streams once into sparse
+    (doc, term, tf) rows, document frequencies and (N, avgdl) broadcast
+    back, bounded top-k head. The oracle replays tokenization, tf/df,
+    the identical score algebra, and the rounded-score ordering."""
+    from profiler.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["merge", "spark", "window"], k=10
+    )

@@ -2390,3 +2390,88 @@ def zipf_fit(
         F.round((sy - slope * sx) / k, 4).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 4).alias("r2"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval (Robertson et al.; Lucene's
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant): score every
+    document against ``query_terms`` and return the top ``k`` as
+    ``(id, score)`` with ``score`` rounded to 4 (the rounded score is also
+    the sort key, doc id breaks ties — fully deterministic).
+
+    Scale shape: the corpus streams ONCE into (doc, term, tf) rows —
+    per-term tf comes from a transform over the staged token array (an
+    attribute reference, so the tokenization never re-evaluates per term)
+    and the explode emits at most |Q| rows per document (only matching
+    terms). Document frequencies and the (N, avgdl) scalars are tiny
+    aggregates cross/broadcast-joined back; the head is a bounded
+    TakeOrderedAndProject. No driver-side row data, no UDF.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("_t")
+    )
+    base = base.select("id", "_t", F.size("_t").alias("dl"))
+    terms = sorted(set(query_terms))
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda: a second (defaulted) parameter would be read
+        # by PySpark as the (element, index) HOF signature
+        return F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term)))
+
+    pairs = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), _tf(t).alias("tf"))
+            for t in terms
+        ]
+    )
+    tf_rows = (
+        base.select("id", "dl", F.explode(pairs).alias("p"))
+        .select("id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .where(F.col("tf") > 0)
+    )
+    dfreq = tf_rows.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    scored = (
+        tf_rows.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
+                    / (F.col("dfq") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(int(k))
+        .select(F.col("id").alias(id_col), "score")
+    )

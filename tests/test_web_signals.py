@@ -262,3 +262,73 @@ class TestZipfFit:
 
         plan = zipf_fit(df)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestBM25:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "spark streams data fast"),
+            (2, "spark spark window merge"),
+            (3, "plain words only here now"),
+            (4, "window functions in sql"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_matches_reference_formula(self, corpus):
+        import math as m
+
+        from profiler.text import bm25_topk
+
+        docs = {
+            1: "spark streams data fast".split(),
+            2: "spark spark window merge".split(),
+            3: "plain words only here now".split(),
+            4: "window functions in sql".split(),
+        }
+        terms = ["merge", "spark", "window"]
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        dfq = {t: sum(1 for d in docs.values() if t in d) for t in terms}
+        k1, b = 1.2, 0.75
+
+        def score(doc):
+            s = 0.0
+            for t in terms:
+                tf = docs[doc].count(t)
+                if tf == 0:
+                    continue
+                idf = m.log(1 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(docs[doc]) / avgdl)
+                )
+            return round(s, 4)
+
+        expect = sorted(
+            ((score(d), d) for d in docs if score(d) > 0),
+            key=lambda p: (-p[0], p[1]),
+        )
+        got = [(r["score"], r["doc_id"]) for r in bm25_topk(corpus, terms).collect()]
+        assert got == expect
+        assert got[0][1] == 2  # all three terms, double spark
+
+    def test_empty_query_raises(self, corpus):
+        from profiler.text import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(corpus, [])
+
+    def test_plan_broadcasts_and_bounds_head(self, corpus):
+        """df/avgdl sides broadcast (never shuffle the corpus for scalars)
+        and the head is a bounded TakeOrderedAndProject."""
+        from profiler.text import bm25_topk
+
+        plan = (
+            bm25_topk(corpus, ["spark", "window"], k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
