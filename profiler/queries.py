@@ -7438,3 +7438,70 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), ["merge", "spark", "window"], k=10
     )
+
+
+def _q134_oracle() -> str:
+    return rf"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             ({_URL_AUG_SQL})
+             || CASE WHEN n_chars % 7 = 0 THEN '{_DAMAGE_SUFFIX}'
+                     ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.', 0, 's')) AS c
+      FROM aug
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    h AS (SELECT doc_id,
+                 round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4) AS ent
+          FROM cnt GROUP BY doc_id),
+    sig AS (
+      SELECT a.doc_id, a.source,
+             length(a.text) AS chars,
+             len(list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(a.text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '')) AS ntok,
+             h.ent AS ent,
+             round(CAST(coalesce(list_sum(list_transform(
+                     regexp_extract_all(a.text, '{_URL_RE}', 0),
+                     u -> length(u))), 0) AS DOUBLE)
+                   / greatest(length(a.text), 1), 6) AS ld,
+             (len(regexp_extract_all(a.text, '�'))
+              + len(regexp_extract_all(a.text, '{_MOJI_RE}'))
+              + len(regexp_extract_all(a.text, '{_CTL_RE}'))) > 0 AS dmg
+      FROM aug a LEFT JOIN h ON a.doc_id = h.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(chars), 4) AS avg_chars,
+           round(avg(ntok), 4) AS avg_tokens,
+           round(avg(ent), 4) AS avg_entropy,
+           round(avg(ld), 6) AS avg_link_density,
+           round(CAST(count_if(dmg) AS DOUBLE) / count(*), 6) AS p_damaged
+    FROM sig GROUP BY source
+    """
+
+
+@_register("q134_corpus_quality_report", _q134_oracle())
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard
+    (:func:`profiler.text.corpus_quality_report`): chars, normalized
+    tokens, character entropy, link density, and encoding-damage rate
+    fused into ONE narrow projection + ONE groupBy over the source domain
+    — the wide-pass philosophy applied to the web-signal family. Runs
+    over the URL-augmented + damage-spliced corpus (q129/q131
+    constructions composed) so every signal is exercised; the oracle
+    replays the augmentations and all five signal expressions."""
+    from profiler.text import corpus_quality_report
+
+    aug = _url_augmented(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("n_chars") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_DAMAGE_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_quality_report(aug)

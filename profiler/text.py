@@ -2475,3 +2475,51 @@ def bm25_topk(
         .limit(int(k))
         .select(F.col("id").alias(id_col), "score")
     )
+
+
+def corpus_quality_report(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-``group_col`` corpus quality dashboard fusing the per-document
+    signals in ONE pass: every signal (chars, normalized tokens, character
+    entropy, link density, encoding damage) is a column of the same narrow
+    projection — the corpus streams once — and the rollup is a single
+    map-side-combinable groupBy over the group domain (sources/shards:
+    small). Columns: ``n_docs, avg_chars, avg_tokens, avg_entropy,
+    avg_link_density, p_damaged``. The averaging happens over per-document
+    values that are already rounded exactly like their standalone
+    operators, so each aggregate replays in SQL."""
+    # stage the link fold as an attribute so the URL regex runs once/row
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(text_col).alias("_text"),
+        link_stats_expr(F.col(text_col)).alias("_ls"),
+    )
+    dmg = encoding_damage_exprs(F.col("_text"))
+    per_doc = staged.select(
+        group_col,
+        F.length("_text").alias("_chars"),
+        F.size(
+            F.filter(blocklist_tokens_expr(F.col("_text")), lambda t: t != "")
+        ).alias("_ntok"),
+        char_entropy_expr(F.col("_text")).alias("_ent"),
+        F.round(
+            F.col("_ls")["url_chars"].cast("double")
+            / F.greatest(F.length("_text"), F.lit(1)).cast("double"),
+            6,
+        ).alias("_ld"),
+        (dmg["n_replacement"] + dmg["n_mojibake"] + dmg["n_control"] > 0).alias(
+            "_dmg"
+        ),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("_ntok"), 4).alias("avg_tokens"),
+        F.round(F.avg("_ent"), 4).alias("avg_entropy"),
+        F.round(F.avg("_ld"), 6).alias("avg_link_density"),
+        F.round(
+            F.count_if(F.col("_dmg")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("p_damaged"),
+    )

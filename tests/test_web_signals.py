@@ -332,3 +332,64 @@ class TestBM25:
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastExchange" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestCorpusQualityReport:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "srcA", "plain clean words for the first source doc"),
+            (2, "srcA", "spam link https://x.example.com/aaaa here"),
+            (3, "srcB", "damaged � text with replacement"),
+            (4, "srcB", "another perfectly clean document body"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    def test_agrees_with_standalone_operators(self, corpus):
+        """The fused report must equal aggregating the standalone ops —
+        same rounding, same semantics."""
+        from profiler.text import corpus_quality_report
+
+        got = {
+            r["source"]: r.asDict() for r in corpus_quality_report(corpus).collect()
+        }
+        per = score_char_entropy(
+            score_links(score_encoding_damage(corpus))
+        ).collect()
+        import collections
+
+        agg = collections.defaultdict(list)
+        for r in per:
+            agg[r["source"]].append(r)
+        for src, rows in agg.items():
+            n = len(rows)
+            assert got[src]["n_docs"] == n
+            assert got[src]["avg_chars"] == pytest.approx(
+                round(sum(len(r["text"]) for r in rows) / n, 4)
+            )
+            assert got[src]["avg_entropy"] == pytest.approx(
+                round(sum(r["char_entropy"] for r in rows) / n, 4)
+            )
+            assert got[src]["avg_link_density"] == pytest.approx(
+                round(sum(r["link_density"] for r in rows) / n, 6)
+            )
+            dmg = sum(
+                1
+                for r in rows
+                if (r["n_replacement"] + r["n_mojibake"] + r["n_control"]) > 0
+            )
+            assert got[src]["p_damaged"] == pytest.approx(round(dmg / n, 6))
+
+    def test_single_pass_plan(self, corpus):
+        """One scan, one shuffle: all five signals ride the same projection
+        into one partial+final aggregate."""
+        from profiler.text import corpus_quality_report
+
+        plan = (
+            corpus_quality_report(corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan ") == 1
+        assert plan.count("Exchange") == 1
