@@ -2523,3 +2523,61 @@ def corpus_quality_report(
             6,
         ).alias("p_damaged"),
     )
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (deflate bytes / UTF-8 bytes) —
+    the long-range repetitiveness signal (Gopher / RedPajama-v2
+    ``ccnet_*`` style) that bounded n-gram ratios miss: templated and
+    machine-generated text compresses far below natural prose.
+
+    Returns ``(id, n_bytes, n_zlib, compression_ratio)``. This is the
+    package's one deliberate Python-touches-text operator: deflate has no
+    JVM-expression form, so it runs as Arrow-batched ``mapInPandas`` over
+    a hand-pruned two-column projection — each task streams record
+    batches (bounded memory), zlib is stdlib C that releases the GIL per
+    call, and nothing crosses a shuffle or reaches the driver. Not
+    SQL-replayable (DuckDB has no deflate), so it is pytest-verified
+    against direct zlib rather than carrying a DuckDB oracle.
+    """
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, n_bytes bigint, n_zlib bigint, "
+        "compression_ratio double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb, nz, rat = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    nb.append(None)
+                    nz.append(None)
+                    rat.append(None)
+                else:
+                    raw = t.encode("utf-8")
+                    comp = len(zlib.compress(raw, level))
+                    nb.append(len(raw))
+                    nz.append(comp)
+                    rat.append(round(comp / max(len(raw), 1), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_zlib": nz,
+                    "compression_ratio": rat,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

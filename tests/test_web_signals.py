@@ -393,3 +393,53 @@ class TestCorpusQualityReport:
         )
         assert plan.count("Scan ") == 1
         assert plan.count("Exchange") == 1
+
+
+class TestCompressionSignals:
+    def test_matches_direct_zlib(self, spark):
+        import zlib
+
+        from profiler.text import compression_signals
+
+        rows = [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a quick brown fox jumps over the lazy dog tonight"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in compression_signals(df).collect()}
+        for doc_id, text in rows:
+            if text is None:
+                assert got[doc_id]["compression_ratio"] is None
+                continue
+            raw = text.encode("utf-8")
+            comp = len(zlib.compress(raw, 6))
+            assert got[doc_id]["n_bytes"] == len(raw)
+            assert got[doc_id]["n_zlib"] == comp
+            assert got[doc_id]["compression_ratio"] == pytest.approx(
+                round(comp / len(raw), 6)
+            )
+        # the repetitive doc must compress materially better
+        assert (
+            got[1]["compression_ratio"] < got[2]["compression_ratio"] - 0.2
+        )
+
+    def test_projection_is_pruned(self, spark):
+        """mapInPandas reads only (id, text): extra wide columns must not
+        reach the Python worker."""
+        from profiler.text import compression_signals
+
+        df = spark.createDataFrame(
+            [(1, "text body", "x" * 10, 99)], ["doc_id", "text", "wide", "n"]
+        )
+        plan = (
+            compression_signals(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # first plan line is the MapInPandas node: only (id, text) feed it
+        top = plan.splitlines()[0]
+        assert "MapInPandas" in top and "wide" not in top and "n#" not in top
+        out = compression_signals(df).columns
+        assert out == ["doc_id", "n_bytes", "n_zlib", "compression_ratio"]
