@@ -51,10 +51,10 @@ from profiler.text import (
     classifier_exprs,
     decontaminate,
     decontaminate_fuzzy,
+    encoding_damage_exprs,
+    link_stats_expr,
     lm_perplexity_scores,
     quality_filter,
-    score_encoding_damage,
-    score_links,
 )
 
 
@@ -197,31 +197,40 @@ def clean_corpus(
             "after_line_dedup",
             cur.drop(text_col).join(rewritten, id_col).select(*df.columns),
         )
+    # the three signal gates are pure where() predicates (no columns are
+    # added, so corpora that already carry signal columns are untouched);
+    # NULL text never reaches them — the input stage dropped it
     if cfg.encoding_max_ratio is not None:
-        scored = score_encoding_damage(
-            cur, text_col, max_ratio=cfg.encoding_max_ratio
-        )
+        sig = encoding_damage_exprs(F.col(text_col))
+        damaged = sig["n_replacement"] + sig["n_mojibake"] + sig["n_control"]
+        ratio = damaged.cast("double") / F.greatest(
+            F.length(F.col(text_col)), F.lit(1)
+        ).cast("double")
         cur = _mark(
             "after_encoding",
-            scored.where(F.col("ok_encoding")).select(*df.columns),
+            cur.where(ratio <= F.lit(float(cfg.encoding_max_ratio))),
         )
     if cfg.entropy_bounds is not None:
-        lo, hi = cfg.entropy_bounds
-        ent = char_entropy_expr(F.col(text_col))
-        pred = F.lit(True)
-        if lo is not None:
-            pred = pred & (ent >= F.lit(float(lo)))
-        if hi is not None:
-            pred = pred & (ent <= F.lit(float(hi)))
-        # NULL entropy (empty text) fails the predicate: dropped by design
-        cur = _mark("after_entropy", cur.where(pred))
+        if cfg.entropy_bounds == (None, None):
+            raise ValueError(
+                "entropy_bounds=(None, None) would be a silent no-op; "
+                "set at least one bound or leave the gate disabled"
+            )
+        # boolean-verdict form: the O(n log n) fold evaluates ONCE per row
+        # even with both bounds set; empty-text documents are dropped
+        cur = _mark(
+            "after_entropy",
+            cur.where(
+                char_entropy_expr(F.col(text_col), bounds=cfg.entropy_bounds)
+            ),
+        )
     if cfg.link_density_max is not None:
-        scored = score_links(cur, text_col)
+        density = link_stats_expr(F.col(text_col))["url_chars"].cast(
+            "double"
+        ) / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
         cur = _mark(
             "after_link_density",
-            scored.where(
-                F.col("link_density") <= F.lit(float(cfg.link_density_max))
-            ).select(*df.columns),
+            cur.where(density <= F.lit(float(cfg.link_density_max))),
         )
     if cfg.run_quality:
         kept = quality_filter(cur, text_col, overrides=cfg.quality_overrides)

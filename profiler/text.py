@@ -2152,11 +2152,18 @@ def lm_perplexity_scores(
 # per-document forms; one bounded groupBy for the corpus host rollup.
 # ===========================================================================
 
-def char_entropy_expr(text: Column) -> Column:
+def char_entropy_expr(
+    text: Column, bounds: tuple[float | None, float | None] | None = None
+) -> Column:
     """Shannon entropy (bits per character) of the document's character
     unigram distribution -- the classic web-crawl quality signal (gibberish
     and binary-spew pages sit far from natural-language entropy; repeated
     filler sits near 0).
+
+    With ``bounds=(lo, hi)`` (either side None = open) the expression
+    instead returns a BOOLEAN in-bounds verdict, with the comparison
+    applied inside the fold's finish lambda so the expensive aggregate
+    evaluates once (false for NULL/empty text).
 
     Single pass: codepoints via one ``regexp_extract_all``, one
     ``array_sort``, then ONE ``aggregate`` fold over the sorted array that
@@ -2196,7 +2203,24 @@ def char_entropy_expr(text: Column) -> Column:
             acc["cnt"] > 0, F.round(F.log2(acc["cnt"]) - total / acc["cnt"], 4)
         )
 
-    return F.aggregate(chars, zero, _step, _finish)
+    if bounds is None:
+        return F.aggregate(chars, zero, _step, _finish)
+    lo, hi = bounds
+
+    def _finish_bounds(acc: Column) -> Column:
+        # the bound check lives INSIDE the fold's finish so the expensive
+        # aggregate is evaluated exactly once even with both bounds set
+        # (two sibling comparisons of the fold would each re-run it —
+        # lambdas are excluded from subexpression elimination)
+        h = _finish(acc)
+        ok = h.isNotNull()
+        if lo is not None:
+            ok = ok & (h >= F.lit(float(lo)))
+        if hi is not None:
+            ok = ok & (h <= F.lit(float(hi)))
+        return ok
+
+    return F.aggregate(chars, zero, _step, _finish_bounds)
 
 
 def score_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -2209,6 +2233,9 @@ def score_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: URL token shape shared by the link statistics and the oracle replays.
 #: Deliberately regex-only (no ``parse_url``) so DuckDB replays the exact
 #: same match set; ``:`` admits ports, which HOST_PATTERN then strips.
+#: NOTE: ENTITY_PATTERNS' "URL" span (above) is this class minus ``:`` —
+#: entity spans deliberately stop at a port colon; keep the two in sync
+#: when extending the character class.
 URL_PATTERN = r"https?://[A-Za-z0-9.:/_#?&=%~-]+"
 
 #: capture group 1 = hostname; port/path/query/fragment stripped.
@@ -2405,7 +2432,9 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant): score every
     document against ``query_terms`` and return the top ``k`` as
     ``(id, score)`` with ``score`` rounded to 4 (the rounded score is also
-    the sort key, doc id breaks ties — fully deterministic).
+    the sort key, doc id breaks ties — fully deterministic). Repeated
+    query terms are deduplicated (each distinct term contributes once;
+    no query-term-frequency weighting).
 
     Scale shape: the corpus streams ONCE into (doc, term, tf) rows —
     per-term tf comes from a transform over the staged token array (an
@@ -2551,7 +2580,7 @@ def compression_signals(
 
     import pandas as pd
 
-    id_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{id_col} {id_type}, n_bytes bigint, n_zlib bigint, "
         "compression_ratio double"

@@ -444,3 +444,9 @@ def test_contamination_report_broadcasts_benchmark(spark):
         )
     )
     assert "BroadcastHashJoin" in plan
+    # the GRAM join specifically must never sort-merge: a BHJ elsewhere in
+    # the plan (the bench_id rollup) would otherwise mask a regression —
+    # at test scale auto-broadcast can fire even without the explicit hint
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "__g" not in ln, "gram join regressed to sort-merge"

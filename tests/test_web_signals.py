@@ -75,7 +75,7 @@ class TestCharEntropy:
 class TestLinkStats:
     def test_counts_and_density(self, docs):
         got = _by_id(score_links(docs), ["n_urls", "url_chars", "link_density"])
-        # doc 7: two URLs, 36 + 12 = 48 matched chars over 62 total
+        # doc 7: two URLs, 32 + 16 = 48 matched chars over 62 total
         assert got[7] == (2, 48, round(48 / 62, 6))
         assert got[1] == (0, 0, 0.0)
         assert got[6] == (None, None, None)
