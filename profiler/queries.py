@@ -7505,3 +7505,60 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return corpus_quality_report(aug)
+
+
+@_register(
+    "q135_pmi_collocations",
+    r"""
+    WITH tok AS (
+      SELECT list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bi0 AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bg
+      FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ),
+    bi AS (
+      SELECT bg, count(*) AS n_pair FROM bi0 GROUP BY bg
+      HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(len(t)) AS DOUBLE) AS n_uni,
+             CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS n_bi
+      FROM tok
+    ),
+    j AS (
+      SELECT bg, n_pair, u1.n_w AS n_left, u2.n_w AS n_right,
+             round(ln((n_pair / n_bi)
+                      / ((u1.n_w / n_uni) * (u2.n_w / n_uni))), 4) AS pmi
+      FROM bi
+      JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+      JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+      CROSS JOIN tot
+    )
+    SELECT bg AS bigram, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, pmi
+    FROM j ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (:func:`profiler.text.pmi_collocations`):
+    top-20 adjacent token pairs by pointwise mutual information
+    (min_count 5) — multiword-expression and boilerplate discovery. One
+    staged tokenization feeds the bigram-window and unigram streams
+    (shared engine-wide window rule), min_count prunes before the
+    vocabulary joins, rounded-PMI ordering bounds the head. The oracle
+    replays tokenization, windows, counts, and the identical PMI
+    algebra."""
+    from profiler.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))

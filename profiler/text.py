@@ -2610,3 +2610,76 @@ def compression_signals(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent token pairs by pointwise
+    mutual information, ``PMI = ln((c_ab/N_bi) / ((c_a/N_uni)(c_b/N_uni)))``
+    — the corpus-analysis lens that surfaces multiword expressions
+    ("new york") and templated boilerplate ("click here") that raw
+    frequency ranking buries under stopword pairs.
+
+    Scale shape: ONE staged tokenization feeds both streams — bigram
+    windows (:func:`profiler.dedup.kgram_windows_expr`, the engine-wide
+    window rule) and unigrams — each collapsing through its own
+    map-side-combined groupBy; ``min_count`` prunes the bigram tail
+    BEFORE the two vocabulary-keyed hash joins attach unigram counts
+    (AQE broadcasts the unigram side when the vocabulary is small); the
+    (N_uni, N_bi) scalars ride a broadcast cross join; the head is a
+    bounded TakeOrderedAndProject on (rounded PMI desc, bigram asc) —
+    fully deterministic. Returns ``(bigram, n_pair, n_left, n_right,
+    pmi)``.
+    """
+    from profiler.dedup import kgram_windows_expr
+
+    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    staged = df.where(F.col(text_col).isNotNull()).select(toks.alias("_t"))
+    bi = (
+        staged.select(F.explode(kgram_windows_expr(F.col("_t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= F.lit(int(min_count)))
+    )
+    uni = (
+        staged.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = staged.agg(
+        F.sum(F.size("_t")).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size("_t") - 1, F.lit(0)))
+        .cast("double")
+        .alias("n_bi"),
+    )
+    parts = bi.select(
+        "bg",
+        "n_pair",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("_w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("_w2"),
+    )
+    joined = (
+        parts.join(uni.withColumnRenamed("w", "_w1").withColumnRenamed("n_w", "n_left"), "_w1")
+        .join(uni.withColumnRenamed("w", "_w2").withColumnRenamed("n_w", "n_right"), "_w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("n_bi"))
+            / (
+                (F.col("n_left") / F.col("n_uni"))
+                * (F.col("n_right") / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        joined.select("bg", "n_pair", "n_left", "n_right", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(int(k))
+        .withColumnRenamed("bg", "bigram")
+    )

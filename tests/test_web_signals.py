@@ -443,3 +443,52 @@ class TestCompressionSignals:
         assert "MapInPandas" in top and "wide" not in top and "n#" not in top
         out = compression_signals(df).columns
         assert out == ["doc_id", "n_bytes", "n_zlib", "compression_ratio"]
+
+
+class TestPMICollocations:
+    def test_known_collocation_ranks_first(self, spark):
+        """'new york' always adjacent, components never apart -> maximal
+        PMI; frequent-but-independent pairs rank below."""
+        import math as m
+
+        from profiler.text import pmi_collocations
+
+        # every other word repeats independently (aa/bb/cc appear twice per
+        # doc in varying contexts), so only 'new york' is a perfect pair —
+        # a naive unique-filler fixture would tie every adjacent pair at
+        # maximal PMI and the alphabetical tie-break would win instead
+        rows = [(i, "aa bb aa cc new york cc bb") for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = pmi_collocations(df, min_count=5, k=5).collect()
+        assert got[0]["bigram"] == "new york"
+        n_uni = 8 * 6
+        n_bi = 7 * 6
+        expect = round(
+            m.log((6 / n_bi) / ((6 / n_uni) * (6 / n_uni))), 4
+        )
+        assert got[0]["pmi"] == pytest.approx(expect)
+        assert (got[0]["n_pair"], got[0]["n_left"], got[0]["n_right"]) == (6, 6, 6)
+
+    def test_min_count_prunes(self, spark):
+        from profiler.text import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "rare pair here"), (2, "other words only")],
+            ["doc_id", "text"],
+        )
+        assert pmi_collocations(df, min_count=2, k=10).count() == 0
+
+    def test_head_is_bounded(self, spark):
+        from profiler.text import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta alpha beta") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        plan = (
+            pmi_collocations(df, min_count=2, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
