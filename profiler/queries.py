@@ -7562,3 +7562,54 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import pmi_collocations
 
     return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q136_readability",
+    r"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '')) AS n_words,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) != '')) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST(greatest(n_words, 1) AS DOUBLE)
+               / CAST(greatest(n_sentences, 1) AS DOUBLE) AS wps,
+             CAST(n_syllables AS DOUBLE)
+               / CAST(greatest(n_words, 1) AS DOUBLE) AS spw
+      FROM sig
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+             AS flesch_reading_ease,
+           round(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade
+    FROM d
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability (:func:`profiler.text.readability_scores`):
+    reading-ease + Flesch-Kincaid grade from the engine-wide token and
+    sentence rules plus the vowel-group syllable approximation — one
+    narrow projection, zero shuffle. The oracle replays all three
+    component counts and the exact formula algebra."""
+    from profiler.text import readability_scores
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return readability_scores(d).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        "flesch_reading_ease",
+        "fk_grade",
+    )

@@ -2683,3 +2683,44 @@ def pmi_collocations(
         .limit(int(k))
         .withColumnRenamed("bg", "bigram")
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch readability (reading-ease + Flesch-Kincaid grade) per
+    document — the classic curation feature for education/complexity
+    screens. Heuristic components, each a single-pass expression:
+
+    * words — non-empty normalized tokens (:func:`blocklist_tokens_expr`);
+    * sentences — the engine-wide terminal-punctuation rule
+      (:func:`sentence_count_expr`);
+    * syllables — vowel-group runs ``[aeiouy]+`` over the lowercased
+      text (the standard regex approximation of syllable nuclei).
+
+    ``FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)``;
+    ``FK  = 0.39·(W/S) + 11.8·(Syl/W) − 15.59`` — both rounded 4, with
+    W and S floored at 1 (empty text scores as 0-word degenerate, not
+    NULL-poisoned). Adds ``n_words, n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade``. One narrow projection, zero
+    shuffle, zero Python.
+    """
+    words = F.size(
+        F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    )
+    sents = sentence_count_expr(F.col(text_col))
+    syll = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    out = (
+        df.withColumn("n_words", words)
+        .withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syll)
+    )
+    w = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    s = F.greatest(F.col("n_sentences"), F.lit(1)).cast("double")
+    wps = w / s
+    spw = F.col("n_syllables").cast("double") / w
+    return out.withColumn(
+        "flesch_reading_ease",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4),
+    ).withColumn(
+        "fk_grade",
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
+    )

@@ -492,3 +492,63 @@ class TestPMICollocations:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestReadability:
+    def test_matches_direct_formula(self, spark):
+        from profiler.text import readability_scores
+
+        text = "The cat sat on the mat. It was happy there! Truly happy."
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = readability_scores(df).collect()[0]
+        assert r["n_sentences"] == 3
+        assert r["n_words"] == 12
+        # vowel-group syllable approximation over the lowercased text
+        import re
+
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert r["n_syllables"] == syl
+        wps, spw = 12 / 3, syl / 12
+        assert r["flesch_reading_ease"] == pytest.approx(
+            round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+        )
+        assert r["fk_grade"] == pytest.approx(
+            round(0.39 * wps + 11.8 * spw - 15.59, 4)
+        )
+
+    def test_simple_beats_complex(self, spark):
+        """Monosyllabic prose must score easier (higher FRE, lower FK)
+        than polysyllabic run-on prose."""
+        from profiler.text import readability_scores
+
+        rows = [
+            (1, "The dog ran. The cat sat. It was fun. We all laughed."),
+            (
+                2,
+                "Notwithstanding considerable organizational complexity, "
+                "the interdisciplinary investigation systematically "
+                "demonstrated extraordinary methodological sophistication",
+            ),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+        assert got[1]["flesch_reading_ease"] > got[2]["flesch_reading_ease"]
+        assert got[1]["fk_grade"] < got[2]["fk_grade"]
+
+    def test_degenerate_text_does_not_poison(self, spark):
+        from profiler.text import readability_scores
+
+        df = spark.createDataFrame([(1, ""), (2, "...")], ["doc_id", "text"])
+        rows = readability_scores(df).collect()
+        for r in rows:
+            assert r["flesch_reading_ease"] is not None
+            assert r["fk_grade"] is not None
+
+    def test_narrow_plan(self, spark):
+        from profiler.text import readability_scores
+
+        df = spark.createDataFrame([(1, "a b. c d.")], ["doc_id", "text"])
+        plan = (
+            readability_scores(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
