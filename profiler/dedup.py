@@ -1317,3 +1317,54 @@ def incremental_neardup(
         )
     )
     return survivors, updated
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    scheme): hash every token ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — any shared substring
+    of at least ``k + w - 1`` tokens between two documents is GUARANTEED
+    to share a fingerprint, while only ~``2/(w+1)`` of the hashes are
+    kept. Returns exploded ``(id, fp)`` rows (distinct per document) —
+    join fingerprints to find local plagiarism/quotation overlap that
+    whole-document MinHash dilutes away.
+
+    The gram hash is md5 (hex) so the DuckDB oracle replays it exactly;
+    window minima are lexicographic over the hex strings (uniform, so
+    selection quality matches integer hashing). All per-document: one
+    staged tokenization, O(m*w) JVM comparisons per row, no shuffle
+    before the caller's fingerprint join. Documents shorter than ``k``
+    tokens emit nothing; shorter than ``k + w - 1`` emit their single
+    global minimum.
+    """
+    from profiler.text import blocklist_tokens_expr
+
+    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("_t")
+    ).select(
+        "id",
+        F.transform(
+            kgram_windows_expr(F.col("_t"), k),
+            lambda g: F.md5(g.cast("binary")),
+        ).alias("_h"),
+    )
+    m = F.size("_h")
+    mins = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(F.col("_h"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return staged.select("id", F.explode(F.array_distinct(mins)).alias("fp"))

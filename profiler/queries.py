@@ -7613,3 +7613,50 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flesch_reading_ease",
         "fk_grade",
     )
+
+
+@_register(
+    "q137_winnowing_fingerprints",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(generate_series(1, len(t) - 4),
+                              i -> md5(t[i] || ' ' || t[i + 1] || ' ' ||
+                                       t[i + 2] || ' ' || t[i + 3] || ' ' ||
+                                       t[i + 4]))
+             ELSE [] END AS h
+      FROM tok
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4 THEN
+                    list_transform(generate_series(1, len(h) - 3),
+                                   i -> list_aggregate(h[i:i + 3], 'min'))
+                  WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+                  ELSE [] END AS f
+      FROM g
+    )
+    SELECT doc_id AS id, unnest(list_distinct(f)) AS fp FROM mins
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (:func:`profiler.dedup.winnowing_fingerprints`,
+    MOSS scheme, k=5 w=4): md5 gram hashes, per-window lexicographic
+    minima, distinct per document — the local-overlap fingerprint that
+    guarantees detection of any >=8-token shared run. The oracle replays
+    tokenization, gram construction, hashing, and window selection."""
+    from profiler.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), id_col="doc_id"
+    )

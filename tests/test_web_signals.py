@@ -552,3 +552,64 @@ class TestReadability:
             readability_scores(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        """Two documents sharing a k+w-1 = 8-token run MUST share at least
+        one fingerprint (the winnowing guarantee); disjoint docs share
+        none."""
+        from profiler.dedup import winnowing_fingerprints
+
+        shared = "one two three four five six seven eight"
+        rows = [
+            (1, f"intro words before {shared} trailing bits here"),
+            (2, f"{shared} completely different continuation text"),
+            (3, "utterly unrelated content with no overlap at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        fps = winnowing_fingerprints(df, id_col="doc_id").collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_short_documents(self, spark):
+        from profiler.dedup import winnowing_fingerprints
+
+        rows = [
+            (1, "only four tokens here"),      # < k: no grams, no rows
+            (2, "five tokens right here now"), # 1 gram, below w: global min
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = winnowing_fingerprints(df, id_col="doc_id").collect()
+        ids = [r["id"] for r in got]
+        assert ids == [2]
+
+    def test_density_is_sublinear(self, spark):
+        """Fingerprints per doc must be well below the gram count (~2/(w+1)
+        of hashes survive) — the point of winnowing over full k-gram sets."""
+        from profiler.dedup import winnowing_fingerprints
+
+        words = " ".join(f"w{i}" for i in range(104))
+        df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        n = winnowing_fingerprints(df, id_col="doc_id").count()
+        n_grams = 100  # 104 tokens, k=5
+        assert n <= n_grams * 0.6
+        assert n >= n_grams * 0.1
+
+    def test_narrow_until_explode(self, spark):
+        from profiler.dedup import winnowing_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l")], ["doc_id", "text"]
+        )
+        plan = (
+            winnowing_fingerprints(df, id_col="doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
