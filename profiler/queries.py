@@ -7660,3 +7660,34 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         _t(spark, sf_dir, "documents"), id_col="doc_id"
     )
+
+
+@_register(
+    "q138_leakage_safe_split",
+    _DUP_CC_CTES
+    + """
+    SELECT d.doc_id, CAST(cc.component AS BIGINT) AS component,
+           CASE WHEN substr(md5('q138' ||
+                    coalesce(CAST(cc.component AS VARCHAR),
+                             CAST(d.doc_id AS VARCHAR))), 1, 8)
+                     < '40000000'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    WHERE d.text IS NOT NULL
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split
+    (:func:`profiler.sampling.leakage_safe_split`, eval 25%): the split
+    draw is keyed on the near-dup cluster label (q49's exact pair graph
+    + connected components), so near-identical documents can never
+    straddle the boundary. The oracle replays the pair graph, the
+    WITH RECURSIVE closure, and the md5-threshold draw."""
+    from profiler.dedup import connected_components
+    from profiler.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cc = connected_components(_dup_pair_graph(spark, sf_dir))
+    return leakage_safe_split(
+        d, eval_fraction=0.25, seed="q138", clusters=cc
+    ).select("doc_id", F.col("component").cast("bigint").alias("component"), "split")

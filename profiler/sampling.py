@@ -529,3 +529,44 @@ def epoch_plan(
         .select(strata_col, "__e", F.explode(idxs).alias("epoch_idx"))
         .select(strata_col, "epoch_idx", keep.alias("keep_rate"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    eval_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "split",
+    clusters: DataFrame | None = None,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Near-duplicate-leakage-safe split tagging: the eval/train draw is
+    keyed on the document's near-dup CLUSTER label instead of its own id,
+    so near-identical documents can never straddle the boundary — the
+    classic eval-contamination failure of id-keyed splits
+    (:func:`train_eval_split` alone).
+
+    ``clusters`` is an ``(id, component)`` frame — e.g.
+    :func:`profiler.dedup.neardup_clusters` output; None computes it via
+    MinHash-LSH at ``threshold``. Documents absent from it are singleton
+    clusters keyed by their own id. Adds ``component`` (NULL for
+    singletons) and ``split`` ('train'/'eval').
+
+    Scale shape: the cluster frame carries only documents WITH a dup
+    partner (tiny next to the corpus — AQE broadcasts it into the left
+    join); the draw itself is the engine's md5-threshold pure function of
+    the key, so the split is deterministic across runs, partitions, and
+    corpus growth, and every cluster member inherits the same draw by
+    construction.
+    """
+    if clusters is None:
+        from profiler.dedup import neardup_clusters
+
+        clusters = neardup_clusters(df, text_col, id_col, threshold)
+    comp = clusters.select(F.col("id").alias(id_col), "component")
+    key = F.coalesce(
+        F.col("component").cast("string"), F.col(id_col).cast("string")
+    )
+    return df.join(comp, id_col, "left").withColumn(
+        "split", split_column_expr(key, eval_fraction, seed)
+    )

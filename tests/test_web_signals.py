@@ -613,3 +613,68 @@ class TestWinnowing:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestLeakageSafeSplit:
+    def test_dup_clusters_never_straddle(self, spark):
+        """Near-identical documents must land on the same side; with an
+        id-keyed split the planted pairs straddle for at least one seed."""
+        from profiler.sampling import leakage_safe_split
+
+        dup = "the exact same duplicated document body repeated verbatim here"
+        rows = [(i, f"unique filler document number {i} with words {i}") for i in range(20)]
+        rows += [(100, dup), (101, dup + " x"), (102, dup + " y")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        clusters = spark.createDataFrame(
+            [(100, 100), (101, 100), (102, 100)], ["id", "component"]
+        )
+        for seed in ("s1", "s2", "s3"):
+            got = {
+                r["doc_id"]: r["split"]
+                for r in leakage_safe_split(
+                    df, 0.5, seed=seed, clusters=clusters
+                ).collect()
+            }
+            assert got[100] == got[101] == got[102], seed
+
+    def test_singletons_match_plain_split(self, spark):
+        """With no dup pairs, the tagging reduces exactly to the id-keyed
+        split_column_expr draw."""
+        from profiler.sampling import leakage_safe_split, split_column_expr
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i} body") for i in range(30)], ["doc_id", "text"]
+        )
+        empty = spark.createDataFrame([], "id long, component long")
+        got = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(df, 0.3, seed="z", clusters=empty).collect()
+        }
+        plain = {
+            r["doc_id"]: r["tag"]
+            for r in df.select(
+                "doc_id",
+                split_column_expr(F.col("doc_id").cast("string"), 0.3, "z").alias("tag"),
+            ).collect()
+        }
+        assert got == plain
+        assert set(got.values()) == {"train", "eval"}
+
+    def test_deterministic_across_runs(self, spark):
+        from profiler.sampling import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(25)], ["doc_id", "text"]
+        )
+        empty = spark.createDataFrame([], "id long, component long")
+        a = sorted(
+            (r["doc_id"], r["split"])
+            for r in leakage_safe_split(df, 0.4, clusters=empty).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["split"])
+            for r in leakage_safe_split(
+                df.repartition(7), 0.4, clusters=empty
+            ).collect()
+        )
+        assert a == b
