@@ -1343,9 +1343,9 @@ def winnowing_fingerprints(
     tokens emit nothing; shorter than ``k + w - 1`` emit their single
     global minimum.
     """
-    from profiler.text import blocklist_tokens_expr
+    from profiler.text import clean_tokens_expr
 
-    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    toks = clean_tokens_expr(F.col(text_col))
     staged = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), toks.alias("_t")
     ).select(

@@ -7054,14 +7054,12 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent normalized tokens (count desc, token asc) so the oracle can
     rebuild it — and matching is one narrow array_intersect projection
     against the literal list: zero shuffle, zero join."""
-    from profiler.text import blocklist_filter, blocklist_tokens_expr
+    from profiler.text import blocklist_filter, clean_tokens_expr
 
     from profiler.dedup import kgram_windows_expr
 
     d = _t(spark, sf_dir, "documents")
-    ntoks = F.filter(
-        blocklist_tokens_expr(F.col("text")), lambda t: t != ""
-    )
+    ntoks = clean_tokens_expr(F.col("text"))
     base = d.where(F.col("text").isNotNull())
     top = (
         base.select(F.explode(ntoks).alias("w"))

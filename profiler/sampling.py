@@ -555,9 +555,16 @@ def leakage_safe_split(
     Scale shape: the cluster frame carries only documents WITH a dup
     partner (tiny next to the corpus — AQE broadcasts it into the left
     join); the draw itself is the engine's md5-threshold pure function of
-    the key, so the split is deterministic across runs, partitions, and
-    corpus growth, and every cluster member inherits the same draw by
+    the key, so the split is deterministic across runs and partitions for
+    a FIXED corpus, and every cluster member inherits the same draw by
     construction.
+
+    Growth caveat (unlike :func:`train_eval_split`): cluster labels are
+    min-id, so appending a lower-id near-dup — or giving a singleton its
+    first partner — RELABELS the cluster and re-rolls its draw. For a
+    growing corpus, persist the clusters frame (or the emitted split
+    tags) and pass it back in; do not recompute clusters per snapshot and
+    expect held-out documents to stay held out.
     """
     if clusters is None:
         from profiler.dedup import neardup_clusters

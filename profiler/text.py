@@ -443,6 +443,16 @@ def blocklist_tokens_expr(text: Column) -> Column:
     )
 
 
+def clean_tokens_expr(text: Column) -> Column:
+    """Non-empty normalized tokens — :func:`blocklist_tokens_expr` with
+    the empty strings (punctuation-only tokens) filtered out. THE token
+    stream of the signal/fingerprint family (zipf_fit, bm25_topk,
+    pmi_collocations, readability_scores, corpus_quality_report,
+    dedup.winnowing_fingerprints) and the rule every DuckDB oracle
+    replays; change it here and in the oracles together."""
+    return F.filter(blocklist_tokens_expr(text), lambda t: t != "")
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: list[str],
@@ -2383,7 +2393,7 @@ def zipf_fit(
     (TakeOrderedAndProject), so the single-partition window is O(top_n)
     regardless of corpus size.
     """
-    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    toks = clean_tokens_expr(F.col(text_col))
     freq = (
         df.where(F.col(text_col).isNotNull())
         .select(F.explode(toks).alias("w"))
@@ -2446,7 +2456,7 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    toks = clean_tokens_expr(F.col(text_col))
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), toks.alias("_t")
     )
@@ -2529,7 +2539,7 @@ def corpus_quality_report(
         group_col,
         F.length("_text").alias("_chars"),
         F.size(
-            F.filter(blocklist_tokens_expr(F.col("_text")), lambda t: t != "")
+            clean_tokens_expr(F.col("_text"))
         ).alias("_ntok"),
         char_entropy_expr(F.col("_text")).alias("_ent"),
         F.round(
@@ -2637,7 +2647,7 @@ def pmi_collocations(
     """
     from profiler.dedup import kgram_windows_expr
 
-    toks = F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+    toks = clean_tokens_expr(F.col(text_col))
     staged = df.where(F.col(text_col).isNotNull()).select(toks.alias("_t"))
     bi = (
         staged.select(F.explode(kgram_windows_expr(F.col("_t"), 2)).alias("bg"))
@@ -2698,13 +2708,15 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     ``FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)``;
     ``FK  = 0.39·(W/S) + 11.8·(Syl/W) − 15.59`` — both rounded 4, with
-    W and S floored at 1 (empty text scores as 0-word degenerate, not
-    NULL-poisoned). Adds ``n_words, n_sentences, n_syllables,
-    flesch_reading_ease, fk_grade``. One narrow projection, zero
-    shuffle, zero Python.
+    W and S floored at 1, so degenerate EMPTY text still scores (as the
+    0-word/1-sentence limit). NULL text yields NULL scores — the same
+    pass-through contract as the other ``score_*`` signals; filter
+    upstream if NULLs should be excluded. Adds ``n_words, n_sentences,
+    n_syllables, flesch_reading_ease, fk_grade``. One narrow projection,
+    zero shuffle, zero Python.
     """
     words = F.size(
-        F.filter(blocklist_tokens_expr(F.col(text_col)), lambda t: t != "")
+        clean_tokens_expr(F.col(text_col))
     )
     sents = sentence_count_expr(F.col(text_col))
     syll = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
