@@ -1,0 +1,302 @@
+"""Cross-column dependency discovery: functional dependencies, inclusion
+dependencies, and categorical mutual information.
+
+Metadata-discovery extension of the reference's single-column surface
+(``stelardataprofiler`` reports per-variable ``uniqueness``/``distinct`` —
+see candidate-key discovery in profiler/profile.py — but never relates
+columns). These are the classic data-profiling dependency families
+(Papenbrock et al., "Functional Dependency Discovery: An Experimental
+Evaluation", VLDB 2015; Kruse et al. SINDY/Binder for INDs), re-expressed
+as bounded-shuffle Spark aggregation programs:
+
+* **functional_dependencies** — for every ordered column pair (X, Y),
+  does X → Y hold, and if not how badly is it violated? Reported as the
+  standard g3 error: the minimum fraction of rows that must be removed
+  for the FD to hold exactly (Kivinen & Mannila 1995). ONE pass: each row
+  explodes into P tagged (pair, x, y) tokens, ONE map-side-combined
+  groupBy collapses them to |distinct(x,y)| states per pair, and two
+  bounded re-aggregations (per-(pair,x) keep/total, then per-pair sums)
+  finish. No per-pair jobs, no second scan — P·|joint| intermediate keys,
+  never P·|rows|.
+* **inclusion_dependencies** — which columns' value sets are contained in
+  which others' (the join-path / foreign-key discovery primitive), SINDY
+  style: every (value, attribute) pair is distinct-collapsed, values
+  become attribute cells, cells explode into co-occurrence pairs, and
+  A ⊆ B iff |values(A ∩ B)| = |values(A)|. The value domain is the only
+  big stream and it is touched once; the pair space is bounded by
+  (#attributes)² per distinct value, never |rows|².
+* **mutual_information** — pairwise MI / normalized MI / entropies over
+  categorical columns from the same tagged-pair stream as the FD pass.
+  Joint counts are exact (DECIMAL-safe); the Σ p·ln(...) reductions are
+  summed in DECIMAL(38,20) so partial-aggregation order can never change
+  the rounded result.
+
+All three are pure DataFrame programs — no collect of row-scale data, no
+Python UDFs; every reduction is a partial+final hash aggregate.
+
+100 TB notes: the tagged explode multiplies the row stream by the pair
+count INSIDE the scan stage (before any exchange), and the partial
+aggregate collapses it to distinct-combination states per task — what
+crosses the wire is bounded by the joint-domain size, not the table. For
+wide tables, pass an explicit ``pairs``/``cols`` subset instead of the
+full quadratic pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "functional_dependencies",
+    "inclusion_dependencies",
+    "mutual_information",
+]
+
+#: Order-independence accumulator for Σ p·ln(p/q) style reductions: each
+#: double term is snapped to a fixed-point DECIMAL before the sum, so the
+#: commutative decimal addition gives bit-identical results under any
+#: partial-aggregation order (|term| < 64 for any entropy/MI component,
+#: so DECIMAL(38,20) never overflows below ~1e17 terms).
+_DEC = "decimal(38,20)"
+
+
+def _tagged_pairs(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """(pair_tag, x, y) token stream: one input scan, rows ×P inside the
+    scan stage (collapsed by the downstream partial agg before any
+    shuffle). Values are canonicalized to strings so mixed-type pairs
+    group consistently; NULL stays NULL (a first-class group, matching
+    SQL GROUP BY semantics in both engines)."""
+    tokens = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}\x1f{b}").alias("pair"),
+                F.col(a).cast("string").alias("x"),
+                F.col(b).cast("string").alias("y"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return df.select(F.explode(tokens).alias("t")).select("t.*")
+
+
+def _split_pair(prefix: str = "pair"):
+    return [
+        F.split_part(F.col(prefix), F.lit("\x1f"), F.lit(1)).alias("lhs_col"),
+        F.split_part(F.col(prefix), F.lit("\x1f"), F.lit(2)).alias("rhs_col"),
+    ]
+
+
+def functional_dependencies(
+    df: DataFrame,
+    cols: list[str],
+    pairs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Approximate functional-dependency discovery over ``cols``: one row
+    per ordered pair (lhs_col, rhs_col) with
+
+    * ``n_rows``   — total rows scanned (NULL lhs/rhs included; NULL is a
+      value, mirroring GROUP BY semantics),
+    * ``n_lhs``    — distinct lhs values,
+    * ``n_violating`` — the g3 numerator: rows that must be removed so
+      every lhs value maps to a single rhs value (Σ over lhs groups of
+      group_size − max_rhs_count),
+    * ``g3_error`` — n_violating / n_rows (6 dp),
+    * ``holds``    — exact FD (g3_error == 0).
+
+    Plan: ONE scan → tagged (pair, x, y) explode → ONE
+    groupBy(pair, x, y) count (map-side combine eats the ×P blowup inside
+    the scan stage) → groupBy(pair, x) keep/total → groupBy(pair) sums.
+    Three bounded shuffles total for ALL pairs at once; nothing is ever
+    per-pair jobs or per-row driver work.
+    """
+    if pairs is None:
+        pairs = [(a, b) for a in cols for b in cols if a != b]
+    if not pairs:
+        raise ValueError("functional_dependencies needs at least one pair")
+    joint = _tagged_pairs(df, pairs).groupBy("pair", "x", "y").count()
+    per_lhs = joint.groupBy("pair", "x").agg(
+        F.max("count").alias("keep"), F.sum("count").alias("tot")
+    )
+    out = per_lhs.groupBy("pair").agg(
+        F.sum("tot").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum(F.col("tot") - F.col("keep")).alias("n_violating"),
+    )
+    return out.select(
+        *_split_pair(),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_lhs").cast("long").alias("n_lhs"),
+        F.col("n_violating").cast("long").alias("n_violating"),
+        F.round(
+            F.col("n_violating") / F.col("n_rows").cast("double"), 6
+        ).alias("g3_error"),
+        (F.col("n_violating") == 0).alias("holds"),
+    )
+
+
+def inclusion_dependencies(
+    frames: dict[str, DataFrame],
+    cols: dict[str, list[str]],
+    min_coverage: float = 1.0,
+) -> DataFrame:
+    """SINDY-style inclusion-dependency discovery across tables: one row
+    per attribute pair (lhs, rhs — labeled ``table.column``) that shares
+    at least one value AND covers ≥ ``min_coverage`` of lhs's distinct
+    values, with ``n_lhs_values``, ``n_shared_values``, ``coverage``
+    (6 dp) and ``holds`` (exact IND: every non-NULL lhs value occurs in
+    rhs). NULLs are excluded (standard IND semantics — SQL foreign keys
+    ignore NULL references).
+
+    Plan (Kruse et al., SINDY): per attribute, distinct (value, attr)
+    pairs (map-side combined); union all attributes into ONE value
+    stream; groupBy(value) → attribute cell (bounded by #attributes);
+    explode the cell into co-occurrence pairs; groupBy(lhs, rhs) counts
+    shared values; a broadcast join against per-attr distinct counts
+    closes the containment test. The row-scale data is touched once per
+    attribute in its own distinct; everything after is |distinct values|,
+    and the pair explosion is ≤ |attrs|² per value. Hot values (a key
+    appearing in every table) cost |attrs|² tokens, not a row blowup.
+    """
+    streams = []
+    for tname, tcols in cols.items():
+        frame = frames[tname]
+        for c in tcols:
+            streams.append(
+                frame.where(F.col(c).isNotNull())
+                .select(
+                    F.col(c).cast("string").alias("value"),
+                    F.lit(f"{tname}.{c}").alias("attr"),
+                )
+                .distinct()
+            )
+    if not streams:
+        raise ValueError("inclusion_dependencies needs at least one column")
+    va = streams[0]
+    for s in streams[1:]:
+        va = va.unionByName(s)
+    sizes = va.groupBy("attr").agg(F.count(F.lit(1)).alias("n_lhs_values"))
+    cells = va.groupBy("value").agg(F.collect_set("attr").alias("attrs"))
+    pairs = (
+        cells.select(F.explode("attrs").alias("lhs"), "attrs")
+        .select("lhs", F.explode("attrs").alias("rhs"))
+        .where(F.col("lhs") != F.col("rhs"))
+    )
+    shared = pairs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("n_shared_values")
+    )
+    return (
+        shared.join(F.broadcast(sizes), shared["lhs"] == sizes["attr"])
+        .drop("attr")
+        .where(
+            F.col("n_shared_values")
+            >= F.lit(min_coverage) * F.col("n_lhs_values")
+        )
+        .select(
+            "lhs",
+            "rhs",
+            F.col("n_lhs_values").cast("long").alias("n_lhs_values"),
+            F.col("n_shared_values").cast("long").alias("n_shared_values"),
+            F.round(
+                F.col("n_shared_values")
+                / F.col("n_lhs_values").cast("double"),
+                6,
+            ).alias("coverage"),
+            (F.col("n_shared_values") == F.col("n_lhs_values")).alias(
+                "holds"
+            ),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    cols: list[str],
+    pairs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Pairwise mutual information over categorical columns: one row per
+    unordered pair (col_x, col_y) with ``n`` (rows scanned), entropies
+    ``h_x``/``h_y``/``h_xy`` (nats), ``mi`` and normalized
+    ``nmi = mi / sqrt(h_x·h_y)`` (NULL when either marginal entropy is
+    0 — a constant column carries no information), all 6 dp. NULL is a
+    category (GROUP BY semantics), matching :func:`functional_dependencies`.
+
+    Plan: the same ONE-scan tagged-pair stream as the FD pass →
+    groupBy(pair, x, y) exact joint counts → the marginals re-aggregate
+    the JOINT table (|joint| rows, not the input) → each Σ p·ln(p)-style
+    reduction snaps its double terms to DECIMAL(38,20) before summing, so
+    partial-aggregation order cannot move the rounded output — the
+    engine-wide determinism rule applied to information measures.
+    """
+    if pairs is None:
+        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("mutual_information needs at least one pair")
+    # NULL categories are snapped to a sentinel (U+2400 SYMBOL FOR NULL)
+    # BEFORE grouping: the marginal re-aggregations join back to the joint
+    # table on (pair, x) / (pair, y), and SQL equality would drop NULL
+    # groups from their own marginals.
+    null_tok = F.lit("␀")
+    joint = (
+        _tagged_pairs(df, pairs)
+        .select(
+            "pair",
+            F.coalesce(F.col("x"), null_tok).alias("x"),
+            F.coalesce(F.col("y"), null_tok).alias("y"),
+        )
+        .groupBy("pair", "x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        # the joint table (|joint domain| rows, never |input|) feeds four
+        # consumers (marginals, totals, the term join); persist it so the
+        # input is scanned ONCE — Spark re-executes lineage per consumer
+        # and exchange reuse does not cross these aggregate shapes.
+        .persist()
+    )
+    n = joint.groupBy("pair").agg(F.sum("nxy").alias("n"))
+    px = joint.groupBy("pair", "x").agg(F.sum("nxy").alias("nx"))
+    py = joint.groupBy("pair", "y").agg(F.sum("nxy").alias("ny"))
+    j = (
+        joint.join(px, ["pair", "x"])
+        .join(py, ["pair", "y"])
+        .join(F.broadcast(n), ["pair"])
+    )
+    nd = F.col("n").cast("double")
+    p_xy = F.col("nxy") / nd
+    mi_term = (
+        p_xy * F.log(p_xy / ((F.col("nx") / nd) * (F.col("ny") / nd)))
+    ).cast(_DEC)
+    hxy_term = (-p_xy * F.log(p_xy)).cast(_DEC)
+    per_pair = j.groupBy("pair", "n").agg(
+        F.sum(mi_term).alias("mi_raw"),
+        F.sum(hxy_term).alias("h_xy_raw"),
+    )
+
+    def _marginal_entropy(m: DataFrame, cnt: str, alias: str) -> DataFrame:
+        p = F.col(cnt) / F.col("n").cast("double")
+        return (
+            m.join(F.broadcast(n), ["pair"])
+            .groupBy("pair")
+            .agg(F.sum((-p * F.log(p)).cast(_DEC)).alias(alias))
+        )
+
+    hx = _marginal_entropy(px, "nx", "h_x_raw")
+    hy = _marginal_entropy(py, "ny", "h_y_raw")
+    out = per_pair.join(hx, ["pair"]).join(hy, ["pair"])
+    hxd = F.col("h_x_raw").cast("double")
+    hyd = F.col("h_y_raw").cast("double")
+    return out.select(
+        *[c.alias(a) for c, a in zip(_split_pair(), ["col_x", "col_y"])],
+        F.col("n").cast("long").alias("n"),
+        F.round(hxd, 6).alias("h_x"),
+        F.round(hyd, 6).alias("h_y"),
+        F.round(F.col("h_xy_raw").cast("double"), 6).alias("h_xy"),
+        F.round(F.col("mi_raw").cast("double"), 6).alias("mi"),
+        F.when(
+            (hxd > 0) & (hyd > 0),
+            F.round(
+                F.col("mi_raw").cast("double") / F.sqrt(hxd * hyd), 6
+            ),
+        ).alias("nmi"),
+    )

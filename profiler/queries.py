@@ -7689,3 +7689,212 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         d, eval_fraction=0.25, seed="q138", clusters=cc
     ).select("doc_id", F.col("component").cast("bigint").alias("component"), "split")
+
+
+# ===========================================================================
+# R. Cross-column dependency discovery (profiler/dependencies.py)
+# ===========================================================================
+#: The FD pair construction replayed in the oracle: each UNION ALL branch is
+#: one ordered column pair of the q139 call, values canonicalized to VARCHAR
+#: exactly as the engine casts them to string.
+_FD_COLS = ["c_custkey", "c_nationkey", "c_mktsegment"]
+
+
+def _q139_oracle() -> str:
+    branches = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a != b:
+                branches.append(
+                    f"SELECT '{a}' AS lhs_col, '{b}' AS rhs_col, "
+                    f"CAST({a} AS VARCHAR) AS x, CAST({b} AS VARCHAR) AS y "
+                    f"FROM customer"
+                )
+    union = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH pairs AS (
+      {union}
+    ),
+    joint AS (
+      SELECT lhs_col, rhs_col, x, y, count(*) AS c FROM pairs GROUP BY ALL
+    ),
+    per AS (
+      SELECT lhs_col, rhs_col, x, max(c) AS keep, sum(c) AS tot
+      FROM joint GROUP BY ALL
+    )
+    SELECT lhs_col, rhs_col,
+           CAST(sum(tot) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(tot - keep) AS BIGINT) AS n_violating,
+           round(CAST(sum(tot - keep) AS DOUBLE) / sum(tot), 6) AS g3_error,
+           sum(tot - keep) = 0 AS holds
+    FROM per GROUP BY lhs_col, rhs_col
+    """
+
+
+@_register("q139_functional_deps", _q139_oracle())
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery
+    (:func:`profiler.dependencies.functional_dependencies`): every ordered
+    pair over (c_custkey, c_nationkey, c_mktsegment) with the g3
+    violation rate — the key column proves exact FDs, the categorical
+    pair shows a heavily-violated one. ONE tagged-explode scan feeds all
+    pairs; three bounded shuffles total. The oracle replays the pair
+    construction, the joint/per-lhs collapse, and the g3 algebra."""
+    from profiler.dependencies import functional_dependencies
+
+    return functional_dependencies(_t(spark, sf_dir, "customer"), _FD_COLS)
+
+
+#: q140 attribute set: (table, column) pairs spanning the TPC-H key web so
+#: both exact INDs (FK paths) and near-INDs are exercised.
+_IND_ATTRS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_nationkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+]
+
+
+def _q140_oracle() -> str:
+    branches = [
+        f"SELECT DISTINCT CAST({c} AS VARCHAR) AS v, '{t}.{c}' AS a "
+        f"FROM {t} WHERE {c} IS NOT NULL"
+        for t, c in _IND_ATTRS
+    ]
+    union = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH va AS (
+      {union}
+    ),
+    shared AS (
+      SELECT x.a AS lhs, y.a AS rhs, count(*) AS ns
+      FROM va x JOIN va y ON x.v = y.v AND x.a <> y.a
+      GROUP BY ALL
+    ),
+    sizes AS (SELECT a, count(*) AS n FROM va GROUP BY a)
+    SELECT lhs, rhs,
+           CAST(s.n AS BIGINT) AS n_lhs_values,
+           CAST(ns AS BIGINT) AS n_shared_values,
+           round(CAST(ns AS DOUBLE) / s.n, 6) AS coverage,
+           ns = s.n AS holds
+    FROM shared JOIN sizes s ON s.a = lhs
+    WHERE ns >= 0.9 * s.n
+    """
+
+
+@_register("q140_inclusion_deps", _q140_oracle())
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINDY inclusion-dependency discovery
+    (:func:`profiler.dependencies.inclusion_dependencies`) across the
+    TPC-H key web (9 attributes, 5 tables): recovers every FK path
+    (c_nationkey ⊆ n_nationkey, o_custkey ⊆ c_custkey,
+    l_orderkey ⊆ o_orderkey, ...) plus ≥0.9-coverage near-INDs. One
+    distinct per attribute, one value-cell groupBy, attribute-bounded
+    pair explosion. The oracle replays the (value, attr) stream and the
+    containment counts."""
+    from profiler.dependencies import inclusion_dependencies
+
+    tables = sorted({t for t, _ in _IND_ATTRS})
+    frames = {t: _t(spark, sf_dir, t) for t in tables}
+    cols: dict[str, list[str]] = {t: [] for t in tables}
+    for t, c in _IND_ATTRS:
+        cols[t].append(c)
+    return inclusion_dependencies(frames, cols, min_coverage=0.9)
+
+
+@_register(
+    "q141_mutual_information",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) AS qb
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT 'l_returnflag' AS cx, 'l_linestatus' AS cy,
+             coalesce(rf, '␀') AS x, coalesce(ls, '␀') AS y FROM src
+      UNION ALL
+      SELECT 'l_returnflag', 'qty_bucket',
+             coalesce(rf, '␀'), coalesce(qb, '␀') FROM src
+      UNION ALL
+      SELECT 'l_linestatus', 'qty_bucket',
+             coalesce(ls, '␀'), coalesce(qb, '␀') FROM src
+    ),
+    joint AS (SELECT cx, cy, x, y, count(*) AS c FROM pairs GROUP BY ALL),
+    tot AS (SELECT cx, cy, sum(c) AS n FROM joint GROUP BY ALL),
+    px AS (SELECT cx, cy, x, sum(c) AS nx FROM joint GROUP BY ALL),
+    py AS (SELECT cx, cy, y, sum(c) AS ny FROM joint GROUP BY ALL),
+    terms AS (
+      SELECT j.cx, j.cy, t.n,
+             CAST((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       / ((CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * (CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))))
+                  AS DECIMAL(38,20)) AS mi_t,
+             CAST(-(CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln(CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  AS DECIMAL(38,20)) AS hxy_t
+      FROM joint j
+      JOIN tot t ON t.cx = j.cx AND t.cy = j.cy
+      JOIN px p ON p.cx = j.cx AND p.cy = j.cy AND p.x = j.x
+      JOIN py q ON q.cx = j.cx AND q.cy = j.cy AND q.y = j.y
+    ),
+    hx AS (
+      SELECT p.cx, p.cy,
+             sum(CAST(-(CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln(CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      AS DECIMAL(38,20))) AS h_x_raw
+      FROM px p JOIN tot t ON t.cx = p.cx AND t.cy = p.cy
+      GROUP BY ALL
+    ),
+    hy AS (
+      SELECT q.cx, q.cy,
+             sum(CAST(-(CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln(CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      AS DECIMAL(38,20))) AS h_y_raw
+      FROM py q JOIN tot t ON t.cx = q.cx AND t.cy = q.cy
+      GROUP BY ALL
+    ),
+    agg AS (
+      SELECT cx, cy, n, sum(mi_t) AS mi_raw, sum(hxy_t) AS h_xy_raw
+      FROM terms GROUP BY ALL
+    )
+    SELECT a.cx AS col_x, a.cy AS col_y, CAST(a.n AS BIGINT) AS n,
+           round(CAST(hx.h_x_raw AS DOUBLE), 6) AS h_x,
+           round(CAST(hy.h_y_raw AS DOUBLE), 6) AS h_y,
+           round(CAST(a.h_xy_raw AS DOUBLE), 6) AS h_xy,
+           round(CAST(a.mi_raw AS DOUBLE), 6) AS mi,
+           CASE WHEN CAST(hx.h_x_raw AS DOUBLE) > 0
+                 AND CAST(hy.h_y_raw AS DOUBLE) > 0
+                THEN round(CAST(a.mi_raw AS DOUBLE)
+                           / sqrt(CAST(hx.h_x_raw AS DOUBLE)
+                                  * CAST(hy.h_y_raw AS DOUBLE)), 6)
+           END AS nmi
+    FROM agg a
+    JOIN hx ON hx.cx = a.cx AND hx.cy = a.cy
+    JOIN hy ON hy.cx = a.cx AND hy.cy = a.cy
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mutual information
+    (:func:`profiler.dependencies.mutual_information`) over lineitem's
+    (l_returnflag, l_linestatus, integer-bucketed l_quantity): entropies,
+    MI and NMI per pair — TPC-H's independent columns land near 0, so the
+    statistic (not just the plumbing) is exercised. Joint counts are
+    exact; every Σ p·ln(...) reduction snaps terms to DECIMAL(38,20)
+    before summing, so partial-agg order can't move the rounded output.
+    The oracle replays the joint/marginal algebra term for term."""
+    from profiler.dependencies import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_bucket", F.col("l_quantity").cast("int").cast("string")
+    )
+    return mutual_information(
+        li, ["l_returnflag", "l_linestatus", "qty_bucket"]
+    )

@@ -1,0 +1,193 @@
+"""Cross-column dependency discovery (profiler/dependencies.py):
+functional dependencies (g3 semantics incl. NULL-as-value), SINDY
+inclusion dependencies (NULL exclusion, coverage threshold), and
+categorical mutual information (information-theoretic identities), plus
+plan pins for the one-scan / bounded-shuffle claims.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.dependencies import (
+    functional_dependencies,
+    inclusion_dependencies,
+    mutual_information,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def fd_df(spark):
+    # key -> (dept, city): key determines both; dept -> city holds;
+    # city -> dept violated by one row; NULL dept appears twice with two
+    # different cities (NULL is a lhs value, so it contributes violations).
+    rows = [
+        (1, "eng", "berlin"),
+        (2, "eng", "berlin"),
+        (3, "ops", "munich"),
+        (4, "ops", "munich"),
+        (5, "sales", "munich"),
+        (6, None, "berlin"),
+        (7, None, "hamburg"),
+    ]
+    return spark.createDataFrame(rows, ["k", "dept", "city"])
+
+
+def _fd_row(out, lhs, rhs):
+    return next(
+        r for r in out if r["lhs_col"] == lhs and r["rhs_col"] == rhs
+    )
+
+
+class TestFunctionalDependencies:
+    def test_exact_and_violated(self, spark, fd_df):
+        out = functional_dependencies(
+            fd_df, ["k", "dept", "city"]
+        ).collect()
+        assert len(out) == 6
+        key = _fd_row(out, "k", "dept")
+        assert key["holds"] and key["n_violating"] == 0
+        assert key["n_rows"] == 7 and key["n_lhs"] == 7
+        # dept -> city: eng->berlin(2), ops->munich(2), sales->munich(1),
+        # NULL->{berlin,hamburg} keeps 1 of 2 => 1 violating row
+        dc = _fd_row(out, "dept", "city")
+        assert not dc["holds"]
+        assert dc["n_lhs"] == 4  # eng, ops, sales, NULL
+        assert dc["n_violating"] == 1
+        assert dc["g3_error"] == round(1 / 7, 6)
+        # city -> dept: munich -> {ops:2, sales:1} keeps 2 of 3;
+        # berlin -> {eng:2, NULL:1} keeps 2 of 3 => 2 violating rows
+        cd = _fd_row(out, "city", "dept")
+        assert cd["n_violating"] == 2 and not cd["holds"]
+
+    def test_explicit_pairs_subset(self, spark, fd_df):
+        out = functional_dependencies(
+            fd_df, [], pairs=[("dept", "city")]
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["lhs_col"] == "dept" and out[0]["rhs_col"] == "city"
+
+    def test_empty_pairs_raises(self, spark, fd_df):
+        with pytest.raises(ValueError):
+            functional_dependencies(fd_df, ["k"])
+
+    def test_one_scan_bounded_shuffles(self, spark, fd_df):
+        """The FD program for ALL pairs is one scan + three exchanges
+        (joint, per-lhs, per-pair) — not a job per pair."""
+        plan = _plan(functional_dependencies(fd_df, ["k", "dept", "city"]))
+        assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+        assert plan.count("Exchange") <= 3
+        assert "CartesianProduct" not in plan
+
+
+class TestInclusionDependencies:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        dim = spark.createDataFrame(
+            [(0, "eu"), (1, "us"), (2, "apac")], ["rid", "rname"]
+        )
+        fact = spark.createDataFrame(
+            [(10, 0), (11, 1), (12, 1), (13, None), (14, 2)],
+            ["fid", "rid"],
+        )
+        stray = spark.createDataFrame(
+            [(0,), (1,), (9,)], ["rid"]
+        )  # 9 not in dim: 2/3 coverage
+        return {"dim": dim, "fact": fact, "stray": stray}
+
+    def test_exact_ind_and_null_exclusion(self, spark, frames):
+        out = inclusion_dependencies(
+            frames,
+            {"dim": ["rid"], "fact": ["rid"], "stray": ["rid"]},
+            min_coverage=0.5,
+        ).collect()
+        by = {(r["lhs"], r["rhs"]): r for r in out}
+        fd = by[("fact.rid", "dim.rid")]
+        # NULL fk excluded: 3 distinct non-null values, all in dim
+        assert fd["n_lhs_values"] == 3 and fd["holds"]
+        sd = by[("stray.rid", "dim.rid")]
+        assert sd["n_shared_values"] == 2 and not sd["holds"]
+        assert sd["coverage"] == round(2 / 3, 6)
+        # dim.rid (3 values) is NOT contained in fact.rid (covers all 3)
+        assert by[("dim.rid", "fact.rid")]["holds"]
+
+    def test_min_coverage_filters(self, spark, frames):
+        out = inclusion_dependencies(
+            frames,
+            {"dim": ["rid"], "fact": ["rid"], "stray": ["rid"]},
+            min_coverage=1.0,
+        ).collect()
+        assert all(r["holds"] for r in out)
+        assert ("stray.rid", "dim.rid") not in {
+            (r["lhs"], r["rhs"]) for r in out
+        }
+
+    def test_value_stream_is_distinct_collapsed(self, spark, frames):
+        """Row multiplicity must not leak into shared-value counts."""
+        fat = frames["fact"].unionByName(frames["fact"])
+        out = inclusion_dependencies(
+            {"dim": frames["dim"], "fact": fat},
+            {"dim": ["rid"], "fact": ["rid"]},
+            min_coverage=0.5,
+        ).collect()
+        by = {(r["lhs"], r["rhs"]): r for r in out}
+        assert by[("fact.rid", "dim.rid")]["n_shared_values"] == 3
+
+    def test_sizes_join_broadcasts(self, spark, frames):
+        plan = _plan(
+            inclusion_dependencies(
+                frames, {"dim": ["rid"], "fact": ["rid"]}, 0.5
+            )
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestMutualInformation:
+    def test_identical_columns_mi_equals_entropy(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), ("c",)], ["u"]
+        ).select("u", F.col("u").alias("v"))
+        r = mutual_information(df, ["u", "v"]).collect()[0]
+        h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+        assert r["h_x"] == r["h_y"] == r["h_xy"] == round(h, 6)
+        assert r["mi"] == round(h, 6)
+        assert r["nmi"] == 1.0
+
+    def test_independent_balanced_columns_mi_zero(self, spark):
+        rows = [(a, b) for a in "xy" for b in "pq" for _ in range(3)]
+        r = mutual_information(
+            spark.createDataFrame(rows, ["a", "b"]), ["a", "b"]
+        ).collect()[0]
+        assert r["mi"] == 0.0
+        assert r["h_xy"] == round(2 * math.log(2), 6)
+
+    def test_constant_column_nmi_null(self, spark):
+        df = spark.createDataFrame([("a", "k"), ("b", "k")], ["a", "b"])
+        r = mutual_information(df, ["a", "b"]).collect()[0]
+        assert r["h_y"] == 0.0 and r["mi"] == 0.0
+        assert r["nmi"] is None
+
+    def test_null_is_a_category(self, spark):
+        df = spark.createDataFrame(
+            [("a", "1"), (None, "2"), (None, "2")], ["a", "b"]
+        )
+        r = mutual_information(df, ["a", "b"]).collect()[0]
+        # NULL vs 'a' split 2/1: both marginals identical => mi == h
+        h = -((2 / 3) * math.log(2 / 3) + (1 / 3) * math.log(1 / 3))
+        assert r["h_x"] == r["h_y"] == r["mi"] == round(h, 6)
+
+    def test_marginals_reaggregate_joint_not_input(self, spark):
+        """Marginals/totals/terms all re-read the PERSISTED joint
+        aggregate (bounded by the joint domain), not the input: every
+        consumer branch in the executed plan goes through the cache.
+        (The raw scan still appears textually inside the InMemoryRelation
+        lineage, so we pin cache reads, not scan-node absence.)"""
+        df = spark.createDataFrame([("a", "b")], ["a", "b"])
+        plan = _plan(mutual_information(df, ["a", "b"]))
+        assert plan.count("InMemoryTableScan") >= 4
