@@ -908,6 +908,113 @@ def set_similarity_join(
     )
 
 
+def edit_distance_self_join(
+    df: DataFrame,
+    max_distance: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 2,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within Levenshtein
+    distance ``max_distance`` — EXACT, without the O(n²) cross join
+    (Ed-Join, Xiao et al. 2008: q-gram prefix filtering for edit
+    distance). Returns (id_a, id_b, dist) with id_a < id_b. The
+    record-linkage sibling of :func:`set_similarity_join`: names, titles,
+    product codes — short strings where token-set Jaccard is too coarse.
+
+    Why the candidates are complete AND bounded: transforming a into b
+    with ≤ d edits alters at most q grams per edit, so their q-gram
+    MULTISETS (tracked as (gram, k-th-occurrence) tokens) share at least
+    max(|Ga|,|Gb|) − q·d tokens. By the prefix-filter lemma, any such
+    pair must collide within each side's q·d + 1 smallest tokens under a
+    GLOBAL total order — chosen as (token frequency asc, gram, occ), so
+    prefixes hold the RAREST grams and posting lists stay short ("the"
+    bigrams of the corpus never enter the join). Strings too short to
+    carry q·d + 1 grams (|G| ≤ q·d, where the lemma is vacuous) pair
+    through one dedicated short bucket — short×short only, never
+    short×corpus. Exact ``levenshtein(a, b, threshold)`` (JVM built-in,
+    early-exit band DP) verifies candidates; only candidate rows' strings
+    ever enter the verify exchange.
+
+    Designed for id-keyed short-string columns; for near-dup DOCUMENTS
+    use :func:`minhash_lsh_dedup` / :func:`set_similarity_join` (gram
+    multisets of multi-KB texts belong in shingle space, not edit space).
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    qd = q * max_distance
+    s = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__eid"), F.col(text_col).alias("__es")
+    )
+    # (gram, k-th occurrence) token sets == gram multisets; built from ONE
+    # narrow map (no window: per-(id,gram) counts then sequence-explode)
+    grams = s.select(
+        "__eid",
+        F.explode(
+            F.when(
+                F.length("__es") >= q,
+                F.expr(
+                    f"transform(sequence(1, length(__es) - {q - 1}),"
+                    f" i -> substring(__es, i, {q}))"
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    tok = (
+        grams.groupBy("__eid", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "__eid", "g", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("k")
+        )
+    )
+    freq = tok.groupBy("g", "k").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("__eid").orderBy(
+        F.asc("tf"), F.asc("g"), F.asc("k")
+    )
+    prefix = (
+        tok.join(freq, ["g", "k"])
+        .select("__eid", "g", "k", "tf", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= qd + 1)
+        .select("__eid", F.concat_ws("\x1f", "g", "k").alias("tok"))
+    )
+    # lemma-vacuous strings (|G| <= q*d, incl. len < q): one shared bucket
+    shorts = s.where(
+        F.greatest(F.length("__es") - (q - 1), F.lit(0)) <= qd
+    ).select("__eid", F.lit("\x00short").alias("tok"))
+    posting = prefix.unionByName(shorts)
+    a, b = posting.alias("a"), posting.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__eid") < F.col("b.__eid")),
+        )
+        .select(
+            F.col("a.__eid").alias("id_a"), F.col("b.__eid").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("__eid").alias("id_a"), F.col("__es").alias("__sa"))
+    sb = s.select(F.col("__eid").alias("id_b"), F.col("__es").alias("__sb"))
+    d = F.lit(int(max_distance))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.abs(F.length("__sa") - F.length("__sb")) <= d
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb", int(max_distance)).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # threshold form returns -1 above d
+    )
+    return verified.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 def canonical_text_expr(text: Column) -> Column:
     """Canonical form for case/punctuation-insensitive dedup (the C4-style
     normalization): lowercase → non-alphanumeric runs collapse to one space

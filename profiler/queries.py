@@ -7898,3 +7898,31 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(
         li, ["l_returnflag", "l_linestatus", "qty_bucket"]
     )
+
+
+@_register(
+    "q142_edit_distance_join",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join
+    (:func:`profiler.dedup.edit_distance_self_join`, Ed-Join): every
+    customer-name pair within Levenshtein distance 1, via rarest-q-gram
+    prefix filtering + multiset count bound + JVM banded levenshtein
+    verify — never the O(n²) cross join the oracle runs. Zero-padded
+    TPC-H names make distance-1 pairs dense (ids differing in one digit),
+    so both the pruning and the verify are genuinely exercised."""
+    from profiler.dedup import edit_distance_self_join
+
+    return edit_distance_self_join(
+        _t(spark, sf_dir, "customer"),
+        max_distance=1,
+        text_col="c_name",
+        id_col="c_custkey",
+    )

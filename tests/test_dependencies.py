@@ -191,3 +191,88 @@ class TestMutualInformation:
         df = spark.createDataFrame([("a", "b")], ["a", "b"])
         plan = _plan(mutual_information(df, ["a", "b"]))
         assert plan.count("InMemoryTableScan") >= 4
+
+
+class TestEditDistanceSelfJoin:
+    """Record linkage: Ed-Join prefix-filtered exact levenshtein join
+    (profiler/dedup.py). Differential vs brute force on adversarial
+    small-alphabet corpora where gram collisions are maximal."""
+
+    @staticmethod
+    def _lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    def _differential(self, spark, strings, dist, q=2):
+        import itertools
+
+        from profiler.dedup import edit_distance_self_join
+
+        rows = list(enumerate(strings))
+        df = spark.createDataFrame(rows, ["id", "s"])
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_self_join(
+                df, dist, text_col="s", id_col="id", q=q
+            ).collect()
+        )
+        vals = dict(rows)
+        want = sorted(
+            (i, j, self._lev(vals[i], vals[j]))
+            for i, j in itertools.combinations(sorted(vals), 2)
+            if self._lev(vals[i], vals[j]) <= dist
+        )
+        assert got == want
+
+    def test_small_alphabet_differential(self, spark):
+        import random
+
+        rng = random.Random(42)
+        strings = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(0, 8)))
+            for _ in range(60)
+        ]
+        for d in (1, 2):
+            self._differential(spark, strings, d)
+
+    def test_unicode_and_q3(self, spark):
+        strings = ["héllo", "hèllo", "hello", "hëllø", "日本語", "日本誤", ""]
+        self._differential(spark, strings, 1, q=3)
+
+    def test_duplicates_report_distance_zero(self, spark):
+        from profiler.dedup import edit_distance_self_join
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "diff")], ["id", "s"]
+        )
+        out = edit_distance_self_join(df, 1, "s", "id").collect()
+        assert {(r["id_a"], r["id_b"], r["dist"]) for r in out} == {(1, 2, 0)}
+
+    def test_invalid_params_raise(self, spark):
+        from profiler.dedup import edit_distance_self_join
+
+        df = spark.createDataFrame([(1, "x")], ["id", "s"])
+        with pytest.raises(ValueError):
+            edit_distance_self_join(df, 0, "s", "id")
+        with pytest.raises(ValueError):
+            edit_distance_self_join(df, 1, "s", "id", q=1)
+
+    def test_no_cross_join_in_plan(self, spark):
+        """The candidate join must be a hash/sort-merge join on prefix
+        tokens — a nested-loop or cartesian node means the prefix filter
+        degenerated to all-pairs."""
+        from profiler.dedup import edit_distance_self_join
+
+        df = spark.createDataFrame(
+            [(i, f"name-{i:04d}") for i in range(50)], ["id", "s"]
+        )
+        plan = _plan(edit_distance_self_join(df, 1, "s", "id"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
