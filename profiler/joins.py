@@ -346,3 +346,72 @@ def skew_report(df: DataFrame, key: str | Sequence[str], top_k: int = 20) -> Dat
         .orderBy(F.desc("n"), *[F.asc(k) for k in keys])
         .limit(top_k)
     )
+
+
+def _floordiv_us(c: Column, w_us: int) -> Column:
+    """Exact integer floor-division of a microsecond epoch by a bucket
+    width: (c − pmod(c, w)) / w in LONG arithmetic — double division
+    would round-trip through 53-bit mantissas and can misbucket values
+    sitting exactly on bucket edges (and `div` truncates toward zero,
+    misbucketing pre-1970 timestamps)."""
+    w = F.lit(int(w_us))
+    return ((c - F.pmod(c, w)) / w).cast("long")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | None = None,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join with half-open semantics
+    ([s, e) pairs match iff ``l.s < r.e AND r.s < l.e``), optionally
+    per equality key(s) ``on`` — shift overlap, downtime×session
+    intersection, exposure windows. The companion of :func:`range_join`
+    (which matches POINTS into intervals); here BOTH sides are intervals,
+    so neither side can be the bucket-unique one.
+
+    Why no dedup pass: both sides explode to every ``bucket_seconds``
+    bucket they span and equi-join on (keys…, bucket) — a plain hash
+    join — but a qualifying pair is KEPT only in the bucket containing
+    ``max(l.s, r.s)``. Overlapping intervals both contain that instant,
+    so exactly one joined bucket survives per pair: emit-exactly-once
+    without a ``distinct`` exchange over the match set.
+
+    Empty intervals (e ≤ s) span no buckets and match nothing (their
+    half-open set is empty). Returns all columns of both inputs (join
+    keys once) plus ``overlap_us``. 100 TB shape: bucket width trades
+    explode factor against bucket population — size it near the median
+    interval length; per-(key,bucket) hot spots are ordinary join skew,
+    handled by AQE skew-join like any other hash join.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    keys = _keys(on) if on else []
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def _bucketed(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
+        s_us, e_us = _us(F.col(s)), _us(F.col(e))
+        span = F.when(
+            e_us > s_us,
+            F.sequence(_floordiv_us(s_us, w_us), _floordiv_us(e_us - 1, w_us)),
+        ).otherwise(F.array().cast("array<long>"))
+        return df.withColumn(f"__{tag}s", s_us).withColumn(
+            f"__{tag}e", e_us
+        ).withColumn("__bkt", F.explode(span))
+
+    lb = _bucketed(left, left_start, left_end, "l")
+    rb = _bucketed(right, right_start, right_end, "r")
+    joined = lb.join(rb, [*keys, "__bkt"])
+    ls, le = F.col("__ls"), F.col("__le")
+    rs, re_ = F.col("__rs"), F.col("__re")
+    out = joined.where(
+        (ls < re_)
+        & (rs < le)
+        & (F.col("__bkt") == _floordiv_us(F.greatest(ls, rs), w_us))
+    ).withColumn("overlap_us", F.least(le, re_) - F.greatest(ls, rs))
+    return out.drop("__bkt", "__ls", "__le", "__rs", "__re")

@@ -7926,3 +7926,141 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="c_name",
         id_col="c_custkey",
     )
+
+
+#: q143 code splice: a deterministic code block (def/indent/terminator/
+#: operator-soup lines) appended to every 4th document so the line
+#: heuristics fire on a prose-only corpus; the SAME constant interpolates
+#: into the Spark program and the DuckDB oracle (no quotes, so it embeds
+#: in a SQL string literal verbatim).
+_CODE_SUFFIX = (
+    "\ndef make(x):\n    return x + 1;\n"
+    "let y = make(2) == 3 && ok\n}"
+)
+
+
+@_register(
+    "q143_code_prose_signal",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text || '{_CODE_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sig AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS ls
+      FROM aug
+    ),
+    cnt AS (
+      SELECT doc_id, text,
+             len(ls) AS n_lines,
+             len(list_filter(ls, l -> regexp_matches(l,
+               '(^\s*(def|class|function|import|from|return|if|for|while|try|except|const|let|var|public|private|static|void)\b)|([;{{}}]\s*$)|(=>|==|!=|&&|\|\||::|->|</|/>)'
+             ))) AS n_code_lines,
+             len(list_filter(ls, l -> regexp_matches(l, '^( {{4}}|\t)')))
+               AS n_indent,
+             len(regexp_extract_all(text, '[{{}}()\[\];=<>|&#]'))
+               AS n_sym
+      FROM sig
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_code_lines AS BIGINT) AS n_code_lines,
+           round(CAST(n_code_lines AS DOUBLE) / greatest(n_lines, 1), 6)
+             AS code_line_ratio,
+           round(CAST(n_indent AS DOUBLE) / greatest(n_lines, 1), 6)
+             AS indent_ratio,
+           round(CAST(n_sym AS DOUBLE) / greatest(length(text), 1), 6)
+             AS symbol_ratio,
+           CAST(n_code_lines AS DOUBLE) / greatest(n_lines, 1) >= 0.3
+             AS is_code
+    FROM cnt
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose line signal (:func:`profiler.text.code_prose_signal`):
+    line-heuristic code detection over the corpus with a deterministic
+    code block spliced into every 4th document (the prose corpus has no
+    newlines, so the splice exercises every heuristic: keyword lines,
+    indentation, terminators, operator soup). One narrow projection, zero
+    shuffle; the oracle replays the splice and every line classification
+    in RE2."""
+    from profiler.text import code_prose_signal
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_prose_signal(aug).select(
+        "doc_id",
+        "n_lines",
+        "n_code_lines",
+        "code_line_ratio",
+        "indent_ratio",
+        "symbol_ratio",
+        "is_code",
+    )
+
+
+@_register(
+    "q144_interval_overlap_join",
+    """
+    WITH l AS (
+      SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT event_id AS r_event_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT l.l_event_id, r.r_event_id, l.user_id,
+           least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND l.s < r.e AND r.s < l.e AND l.e > l.s AND r.e > r.s
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (:func:`profiler.joins.interval_overlap_join`): per-user view-session
+    × click-session overlaps, where each event opens a
+    ``floor(value·60)``-second half-open window. Bucketed equi-join with
+    the max-start emit-once guard — never the O(n·m) per-user cross
+    product the oracle runs. Bucket = 4 h (near the median window)."""
+    from profiler.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _iv(etype: str, idname: str) -> DataFrame:
+        ts = F.col("ts").cast("timestamp")
+        return ev.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idname),
+            "user_id",
+            ts.alias("s_ts"),
+            F.timestamp_micros(
+                F.unix_micros(ts)
+                + (F.floor(F.col("value") * 60) * 1_000_000).cast("long")
+            ).alias("e_ts"),
+        )
+
+    out = interval_overlap_join(
+        _iv("view", "l_event_id"),
+        _iv("click", "r_event_id").withColumnsRenamed(
+            {"s_ts": "rs_ts", "e_ts": "re_ts"}
+        ),
+        on="user_id",
+        left_start="s_ts",
+        left_end="e_ts",
+        right_start="rs_ts",
+        right_end="re_ts",
+        bucket_seconds=4 * 3600,
+    )
+    return out.select("l_event_id", "r_event_id", "user_id", "overlap_us")

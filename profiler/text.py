@@ -2736,3 +2736,83 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fk_grade",
         F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
     )
+
+
+#: Line-level code heuristics (shared verbatim by the DuckDB oracle — Java
+#: regex and RE2 agree on this subset: anchors, \b, alternation, classes).
+#: A line "looks like code" when it opens with a statement keyword, ends in
+#: a statement/block terminator, or carries operator soup prose never uses.
+CODE_LINE_PATTERN = (
+    r"(^\s*(def|class|function|import|from|return|if|for|while|try|"
+    r"except|const|let|var|public|private|static|void)\b)"
+    r"|([;{}]\s*$)|(=>|==|!=|&&|\|\||::|->|</|/>)"
+)
+#: 4-space or tab indentation — block structure, the other code tell.
+INDENT_LINE_PATTERN = r"^( {4}|\t)"
+#: Symbol characters that are code-dense and prose-sparse.
+CODE_SYMBOL_CLASS = r"[{}()\[\];=<>|&#]"
+
+
+def code_prose_signal(
+    df: DataFrame,
+    text_col: str = "text",
+    code_line_threshold: float = 0.3,
+) -> DataFrame:
+    """Code-vs-prose detection (the Dolma/RedPajama-style line-heuristic
+    signal): per document ``n_lines``, ``n_code_lines``,
+    ``code_line_ratio``, ``indent_ratio``, ``symbol_ratio`` (all 6 dp)
+    and ``is_code`` (code_line_ratio ≥ ``code_line_threshold``) — the
+    router that keeps a prose quality cascade from shredding source files
+    (and vice versa) before language-specific pipelines exist.
+
+    Plan: ONE narrow whole-stage-codegen projection, zero shuffle. The
+    line array is staged behind a projection boundary (referenced by
+    multiple consumers, so CollapseProject keeps the split from being
+    re-inlined per consumer — the engine-wide HOF-CSE rule); the two line
+    classifications are ``size(filter(...))`` over that array;
+    ``symbol_ratio`` is one ``regexp_count`` over the raw text.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.withColumn("__cl", lines)
+
+    def _n_matching(pat: str) -> Column:
+        return F.size(
+            F.filter(F.col("__cl"), lambda ln: ln.rlike(pat))
+        ).cast("long")
+
+    n_lines = F.size(F.col("__cl")).cast("long")
+    staged = (
+        staged.withColumn("n_lines", n_lines)
+        .withColumn("n_code_lines", _n_matching(CODE_LINE_PATTERN))
+        .withColumn("n_indent_lines", _n_matching(INDENT_LINE_PATTERN))
+        .withColumn(
+            "n_symbol_chars",
+            F.regexp_count(F.col(text_col), F.lit(CODE_SYMBOL_CLASS)).cast(
+                "long"
+            ),
+        )
+        .drop("__cl")
+    )
+    denom_lines = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    ratio = F.round(F.col("n_code_lines") / denom_lines, 6)
+    return (
+        staged.withColumn("code_line_ratio", ratio)
+        .withColumn(
+            "indent_ratio", F.round(F.col("n_indent_lines") / denom_lines, 6)
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.round(
+                F.col("n_symbol_chars")
+                / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "is_code",
+            F.col("code_line_ratio") >= F.lit(float(code_line_threshold)),
+        )
+        .drop("n_indent_lines", "n_symbol_chars")
+    )

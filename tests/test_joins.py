@@ -823,3 +823,115 @@ def test_equidepth_histogram_and_fertility(spark):
     assert f["en"]["chars_per_token"] == round(8 / 3, 4)
     assert f["el"]["chars_per_token"] == 2.0
     assert f["el"]["bytes_per_token"] == 3.5  # 2-byte Greek letters
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_planted_semantics(spark):
+    """Half-open [s,e) semantics: touching intervals don't match, empty
+    intervals match nothing, overlap_us is exact, and a pair whose common
+    span crosses many buckets is emitted exactly once."""
+    from profiler.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("L1", "k1", _ts(0), _ts(60)),   # long: spans many 10-min buckets
+            ("L2", "k1", _ts(100), _ts(100)),  # empty -> no matches
+            ("L3", "k2", _ts(0), _ts(10)),   # other key
+        ],
+        "lid string, k string, s_ts timestamp, e_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", "k1", _ts(5), _ts(55)),   # overlaps L1 for 50 min
+            ("R2", "k1", _ts(60), _ts(70)),  # touches L1's end: half-open, no
+            ("R3", "k1", _ts(95), _ts(105)),  # overlaps only the empty L2: no
+            ("R4", "k2", _ts(9), _ts(20)),   # overlaps L3 for 1 min
+        ],
+        "rid string, k string, rs_ts timestamp, re_ts timestamp",
+    )
+    out = interval_overlap_join(
+        left,
+        right,
+        on="k",
+        left_start="s_ts",
+        left_end="e_ts",
+        right_start="rs_ts",
+        right_end="re_ts",
+        bucket_seconds=600,  # 10 min: L1xR1 co-bucketed 6 times over
+    ).collect()
+    got = sorted((r["lid"], r["rid"], r["overlap_us"]) for r in out)
+    assert got == [
+        ("L1", "R1", 50 * 60 * 1_000_000),
+        ("L3", "R4", 1 * 60 * 1_000_000),
+    ]
+
+
+def test_interval_overlap_matches_inequality_join(spark):
+    """Differential: bucketed join == naive theta join on a planted grid
+    (varied spans, shared + disjoint keys, several bucket widths)."""
+    from profiler.joins import interval_overlap_join
+
+    lrows = [
+        (f"L{i}", f"k{i % 3}", _ts(7 * i), _ts(7 * i + (i % 5) * 13))
+        for i in range(40)
+    ]
+    rrows = [
+        (f"R{j}", f"k{j % 3}", _ts(11 * j + 3), _ts(11 * j + 3 + (j % 7) * 9))
+        for j in range(40)
+    ]
+    left = spark.createDataFrame(
+        lrows, "lid string, k string, s_ts timestamp, e_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "rid string, k string, rs_ts timestamp, re_ts timestamp"
+    )
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), F.col("l.k") == F.col("r.k"))
+        .where(
+            (F.col("l.s_ts") < F.col("r.re_ts"))
+            & (F.col("r.rs_ts") < F.col("l.e_ts"))
+            & (F.col("l.e_ts") > F.col("l.s_ts"))
+            & (F.col("r.re_ts") > F.col("r.rs_ts"))
+        )
+        .select("l.lid", "r.rid")
+    )
+    expect = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert expect, "planted grid must produce matches"
+    for bucket_seconds in (60, 600, 7 * 24 * 3600):
+        out = interval_overlap_join(
+            left,
+            right,
+            on="k",
+            left_start="s_ts",
+            left_end="e_ts",
+            right_start="rs_ts",
+            right_end="re_ts",
+            bucket_seconds=bucket_seconds,
+        ).collect()
+        got = sorted((r["lid"], r["rid"]) for r in out)
+        assert got == expect, f"mismatch at bucket={bucket_seconds}"
+        # emit-exactly-once: no duplicates even when pairs share many buckets
+        assert len(got) == len(set(got))
+
+
+def test_interval_overlap_validation_and_columns(spark):
+    from profiler.joins import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [("a", "k", _ts(0), _ts(1))],
+        "id string, k string, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(df, df, on="k", bucket_seconds=0)
+    out = interval_overlap_join(
+        df, df.withColumnsRenamed({"id": "rid"}), on="k"
+    )
+    # join keys once, helper columns dropped, overlap_us appended
+    assert out.columns.count("k") == 1
+    assert "overlap_us" in out.columns
+    assert not [c for c in out.columns if c.startswith("__")]

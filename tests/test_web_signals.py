@@ -678,3 +678,64 @@ class TestLeakageSafeSplit:
             ).collect()
         )
         assert a == b
+
+
+class TestCodeProseSignal:
+    def test_planted_code_vs_prose(self, spark):
+        from profiler.text import code_prose_signal
+
+        code = (
+            "def f(x):\n"
+            "    return x + 1;\n"
+            "const y = f(2) == 3 && ok\n"
+            "}"
+        )
+        prose = (
+            "It was a bright cold day in April.\n"
+            "The clocks were striking thirteen."
+        )
+        df = spark.createDataFrame(
+            [(1, code), (2, prose)], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in code_prose_signal(df).collect()}
+        c, p = rows[1], rows[2]
+        # code doc: all 4 lines match a heuristic (def/indent+terminator/
+        # operator soup/brace terminator), 1 indented line
+        assert c["n_lines"] == 4
+        assert c["n_code_lines"] == 4
+        assert c["code_line_ratio"] == 1.0
+        assert c["indent_ratio"] == 0.25
+        assert c["is_code"]
+        # prose doc: nothing fires
+        assert p["n_lines"] == 2
+        assert p["n_code_lines"] == 0
+        assert p["code_line_ratio"] == 0.0
+        assert not p["is_code"]
+        assert p["symbol_ratio"] < c["symbol_ratio"]
+
+    def test_empty_and_threshold(self, spark):
+        from profiler.text import code_prose_signal
+
+        # 1 code line out of 4 -> ratio 0.25: below default 0.3, above 0.2
+        mixed = "plain words\nmore words\nx == y && z\nclosing words"
+        df = spark.createDataFrame([(1, mixed), (2, "")], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in code_prose_signal(df).collect()}
+        assert out[1]["code_line_ratio"] == 0.25
+        assert not out[1]["is_code"]
+        assert out[2]["n_lines"] == 1 and out[2]["code_line_ratio"] == 0.0
+        low = {
+            r["doc_id"]: r
+            for r in code_prose_signal(
+                df, code_line_threshold=0.2
+            ).collect()
+        }
+        assert low[1]["is_code"]
+
+    def test_narrow_plan(self, spark):
+        from profiler.text import code_prose_signal
+
+        df = spark.createDataFrame([(1, "def f():\n    pass")], ["doc_id", "text"])
+        plan = (
+            code_prose_signal(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
