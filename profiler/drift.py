@@ -122,14 +122,19 @@ def ks_psi_from_counts(ca: pd.Series, cb: pd.Series, epsilon: float) -> tuple[fl
     return ks, psi
 
 
+def _pivot_sides(pdf: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
+    pv = pdf.pivot_table(
+        index="bucket", columns="side", values="cnt", aggfunc="sum", fill_value=0
+    )
+    ca = pv["a"] if "a" in pv else pd.Series(0, index=pv.index, dtype=float)
+    cb = pv["b"] if "b" in pv else pd.Series(0, index=pv.index, dtype=float)
+    return ca, cb
+
+
 def _make_drift_fn(column: str, epsilon: float):
     def compute(key, pdf):
         a, b = key
-        pv = pdf.pivot_table(
-            index="bucket", columns="side", values="cnt", aggfunc="sum", fill_value=0
-        )
-        ca = pv["a"] if "a" in pv else pd.Series(0, index=pv.index, dtype=float)
-        cb = pv["b"] if "b" in pv else pd.Series(0, index=pv.index, dtype=float)
+        ca, cb = _pivot_sides(pdf)
         na, nb = float(ca.sum()), float(cb.sum())
         ks, psi = ks_psi_from_counts(ca, cb, epsilon)
         return pd.DataFrame(
@@ -142,6 +147,91 @@ def _make_drift_fn(column: str, epsilon: float):
                     "psi": psi,
                     "n_a": int(na),
                     "n_b": int(nb),
+                }
+            ]
+        )
+
+    return compute
+
+
+def divergences_from_counts(
+    ca: pd.Series, cb: pd.Series, epsilon: float, ordinal: bool = True
+) -> dict[str, float]:
+    """Divergence panel from two bucket-count Series sharing one index — the
+    single source of truth for the drift math beyond KS/PSI, shared by the
+    batch pair compare and the q145 oracle algebra:
+
+    * ``js`` — Jensen–Shannon divergence, log2 (∈[0,1]), over
+      epsilon-smoothed renormalized probabilities (PSI-style smoothing so
+      empty buckets don't produce log(0));
+    * ``chi2`` / ``chi2_df`` — two-sample homogeneity χ² on the RAW counts
+      over buckets with nonzero total; df = (#nonzero buckets − 1);
+    * ``cramers_v`` — sqrt(χ² / N): with two sides min(r−1, c−1) = 1;
+    * ``tvd`` — total variation distance, 0.5·Σ|pa − pb| (raw probabilities);
+    * ``wasserstein`` — W₁ = Σ|CDF_a − CDF_b| in BUCKET-WIDTH units over the
+      shared equal-width binning (multiply by (hi−lo)/n_bins for value
+      units); NaN for ``ordinal=False`` (categorical buckets have no order).
+    """
+    import numpy as np
+
+    na, nb = float(ca.sum()), float(cb.sum())
+    nan = float("nan")
+    if na == 0 or nb == 0:
+        return {
+            "js": nan, "chi2": nan, "chi2_df": 0, "cramers_v": nan,
+            "tvd": nan, "wasserstein": nan,
+        }
+    try:
+        order = ca.index.astype(float).argsort()
+    except (TypeError, ValueError):
+        order = ca.index.argsort()
+    pa = (ca.iloc[order] / na).to_numpy()
+    pb = (cb.iloc[order] / nb).to_numpy()
+    tvd = float(0.5 * np.abs(pa - pb).sum())
+    qa, qb = pa + epsilon, pb + epsilon
+    qa, qb = qa / qa.sum(), qb / qb.sum()
+    m = 0.5 * (qa + qb)
+    js = float(0.5 * (qa * np.log2(qa / m)).sum() + 0.5 * (qb * np.log2(qb / m)).sum())
+    ra = (ca.iloc[order]).to_numpy(dtype=float)
+    rb = (cb.iloc[order]).to_numpy(dtype=float)
+    tot = ra + rb
+    nz = tot > 0
+    n_all = na + nb
+    ea = tot[nz] * na / n_all
+    eb = tot[nz] * nb / n_all
+    chi2 = float(((ra[nz] - ea) ** 2 / ea).sum() + ((rb[nz] - eb) ** 2 / eb).sum())
+    chi2_df = int(nz.sum()) - 1
+    cramers_v = float(np.sqrt(chi2 / n_all))
+    wasserstein = (
+        float(np.abs(pa.cumsum() - pb.cumsum()).sum()) if ordinal else nan
+    )
+    return {
+        "js": js, "chi2": chi2, "chi2_df": chi2_df, "cramers_v": cramers_v,
+        "tvd": tvd, "wasserstein": wasserstein,
+    }
+
+
+_DIVERGENCE_SCHEMA = (
+    "column string, partition_a string, partition_b string, "
+    "js double, chi2 double, chi2_df long, cramers_v double, "
+    "tvd double, wasserstein double, n_a long, n_b long"
+)
+
+
+def _make_divergence_fn(column: str, epsilon: float, ordinal: bool):
+    def compute(key, pdf):
+        a, b = key
+        ca, cb = _pivot_sides(pdf)
+        d = divergences_from_counts(ca, cb, epsilon, ordinal=ordinal)
+        return pd.DataFrame(
+            [
+                {
+                    "column": column,
+                    "partition_a": a,
+                    "partition_b": b,
+                    **d,
+                    "n_a": int(ca.sum()),
+                    "n_b": int(cb.sum()),
                 }
             ]
         )
@@ -186,7 +276,36 @@ def drift_report(
     ``ks_flag``/``psi_flag`` booleans against the configured thresholds).
     """
     cfg = config or DriftConfig()
-    sketch = _histogram_sketch(df, column, partition_expr, numeric, cfg.n_bins)
+    out = _pairwise_compare(
+        df,
+        column,
+        partition_expr,
+        numeric,
+        cfg.n_bins,
+        baseline_partition,
+        _make_drift_fn(column, cfg.psi_epsilon),
+        _DRIFT_SCHEMA,
+    )
+    return out.withColumn("ks_flag", F.col("ks") >= cfg.ks_threshold).withColumn(
+        "psi_flag", F.col("psi") >= cfg.psi_threshold
+    )
+
+
+def _pairwise_compare(
+    df: DataFrame,
+    column: str,
+    partition_expr: str,
+    numeric: bool,
+    n_bins: int,
+    baseline_partition: str | None,
+    compare_fn,
+    schema: str,
+) -> DataFrame:
+    """Shared pair machinery behind :func:`drift_report` and
+    :func:`divergence_report`: ONE histogram-sketch pass, baseline or
+    consecutive partition pairs, each sketch row broadcast-attached to every
+    pair it feeds, one Arrow `applyInPandas` compare per pair."""
+    sketch = _histogram_sketch(df, column, partition_expr, numeric, n_bins)
     sketch = sketch.persist()
     try:
         parts = sorted(
@@ -199,7 +318,7 @@ def drift_report(
         else:
             pairs = list(zip(parts, parts[1:]))
         if not pairs:
-            return df.sparkSession.createDataFrame([], _DRIFT_SCHEMA + ", ks_flag boolean, psi_flag boolean")
+            return df.sparkSession.createDataFrame([], schema)
 
         spark = df.sparkSession
         pairs_df = spark.createDataFrame(pairs, "partition_a string, partition_b string")
@@ -212,14 +331,55 @@ def drift_report(
             F.broadcast(pairs_df), sketch["partition_key"] == pairs_df["partition_b"]
         ).select("partition_a", "partition_b", F.lit("b").alias("side"), "bucket", "cnt")
         both = a_side.unionByName(b_side)
-        out = both.groupBy("partition_a", "partition_b").applyInPandas(
-            _make_drift_fn(column, cfg.psi_epsilon), _DRIFT_SCHEMA
-        )
-        return out.withColumn("ks_flag", F.col("ks") >= cfg.ks_threshold).withColumn(
-            "psi_flag", F.col("psi") >= cfg.psi_threshold
+        return both.groupBy("partition_a", "partition_b").applyInPandas(
+            compare_fn, schema
         )
     finally:
         sketch.unpersist()
+
+
+def divergence_report(
+    df: DataFrame,
+    column: str,
+    partition_expr: str,
+    numeric: bool = True,
+    baseline_partition: str | None = None,
+    config: DriftConfig | None = None,
+) -> DataFrame:
+    """Divergence panel between partitions of ``column``'s distribution:
+    Jensen–Shannon (log2), two-sample χ² (+df), Cramér's V, total variation
+    distance, and Wasserstein-1 (bucket-width units; NaN for categorical) —
+    the heavier companions of :func:`drift_report`'s KS/PSI, from the SAME
+    single histogram-sketch pass (the raw data is touched once; every
+    statistic is count algebra over the tiny sketch)."""
+    cfg = config or DriftConfig()
+    return _pairwise_compare(
+        df,
+        column,
+        partition_expr,
+        numeric,
+        cfg.n_bins,
+        baseline_partition,
+        _make_divergence_fn(column, cfg.psi_epsilon, ordinal=numeric),
+        _DIVERGENCE_SCHEMA,
+    )
+
+
+def divergence_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    numeric: bool = True,
+    config: DriftConfig | None = None,
+) -> DataFrame:
+    """Snapshot-vs-snapshot divergence panel (see :func:`divergence_report`);
+    the :func:`drift_between` shape for JS/χ²/V/TVD/W₁."""
+    tagged = df_a.select(F.col(column), F.lit("a").alias("__snap")).unionByName(
+        df_b.select(F.col(column), F.lit("b").alias("__snap"))
+    )
+    return divergence_report(
+        tagged, column, "__snap", numeric, baseline_partition="a", config=config
+    )
 
 
 # ---------------------------------------------------------------------------

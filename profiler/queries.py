@@ -8064,3 +8064,97 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=4 * 3600,
     )
     return out.select("l_event_id", "r_event_id", "user_id", "overlap_us")
+
+
+@_register(
+    "q145_divergence_panel",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    bucketed AS (
+      SELECT CASE WHEN day(ts) < 16 THEN 'a' ELSE 'b' END AS side,
+             CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 10)), 9) AS INT)
+               AS bucket
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE side = 'a') AS ca,
+             count(*) FILTER (WHERE side = 'b') AS cb
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+    probs AS (
+      SELECT bucket, ca, cb, na, nb,
+             CAST(ca AS DOUBLE) / na AS pa,
+             CAST(cb AS DOUBLE) / nb AS pb
+      FROM counts, tot
+    ),
+    sm AS (
+      SELECT *,
+             (pa + 1e-6) / (SELECT sum(pa + 1e-6) FROM probs) AS qa,
+             (pb + 1e-6) / (SELECT sum(pb + 1e-6) FROM probs) AS qb,
+             sum(pa) OVER (ORDER BY bucket) AS cdfa,
+             sum(pb) OVER (ORDER BY bucket) AS cdfb
+      FROM probs
+    ),
+    terms AS (
+      SELECT na, nb,
+             0.5 * qa * log2(qa / ((qa + qb) / 2))
+               + 0.5 * qb * log2(qb / ((qa + qb) / 2)) AS js_term,
+             abs(pa - pb) AS tv_term,
+             abs(cdfa - cdfb) AS w_term,
+             CASE WHEN ca + cb > 0 THEN
+               pow(ca - (ca + cb) * na / (na + nb), 2)
+                 / ((ca + cb) * na / (na + nb))
+               + pow(cb - (ca + cb) * nb / (na + nb), 2)
+                 / ((ca + cb) * nb / (na + nb))
+             END AS chi_term
+      FROM sm
+    )
+    SELECT 'value' AS column_name, 'a' AS partition_a, 'b' AS partition_b,
+           ROUND(sum(js_term), 4) AS js,
+           ROUND(sum(chi_term), 4) AS chi2,
+           CAST(count(chi_term) - 1 AS BIGINT) AS chi2_df,
+           ROUND(sqrt(sum(chi_term) / (any_value(na) + any_value(nb))), 4)
+             AS cramers_v,
+           ROUND(0.5 * sum(tv_term), 4) AS tvd,
+           ROUND(sum(w_term), 4) AS wasserstein,
+           CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b
+    FROM terms
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divergence panel between two partition snapshots
+    (:func:`profiler.drift.divergence_report`): Jensen-Shannon (log2),
+    two-sample chi-squared + df, Cramer's V, total variation distance and
+    Wasserstein-1 (bucket units) — the heavier companions of q15's KS/PSI,
+    all from the SAME single 10-bucket histogram-sketch pass (the raw table
+    is scanned once; every statistic is count algebra over <=10 sketch
+    rows). The oracle replays the shared binning and each divergence
+    formula in SQL."""
+    from profiler.drift import DriftConfig, divergence_report
+
+    ev = _t(spark, sf_dir, "events")
+    side = F.when(F.dayofmonth("ts") < 16, "a").otherwise("b")
+    out = divergence_report(
+        ev.select("value", side.alias("side")),
+        "value",
+        "side",
+        numeric=True,
+        baseline_partition="a",
+        config=DriftConfig(n_bins=10),
+    )
+    return out.select(
+        F.col("column").alias("column_name"),
+        "partition_a",
+        "partition_b",
+        F.round("js", 4).alias("js"),
+        F.round("chi2", 4).alias("chi2"),
+        "chi2_df",
+        F.round("cramers_v", 4).alias("cramers_v"),
+        F.round("tvd", 4).alias("tvd"),
+        F.round("wasserstein", 4).alias("wasserstein"),
+        "n_a",
+        "n_b",
+    )

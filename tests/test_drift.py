@@ -108,3 +108,79 @@ def test_ks_is_scale_free(spark):
     rep = drift_report(df, "v", "p", config=DriftConfig(n_bins=20)).collect()
     assert len(rep) == 1
     assert rep[0]["ks"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# divergence panel (JS / chi2 / Cramer's V / TVD / Wasserstein-1)
+# ---------------------------------------------------------------------------
+
+
+def test_divergences_from_counts_hand_computed():
+    import math
+
+    import pandas as pd
+
+    from profiler.drift import divergences_from_counts
+
+    ca = pd.Series([10, 0], index=["0", "1"], dtype=float)
+    cb = pd.Series([5, 5], index=["0", "1"], dtype=float)
+    d = divergences_from_counts(ca, cb, epsilon=1e-12)
+    # pa=[1,0], pb=[.5,.5]: tvd = .5*(.5+.5); W1 = |1-.5|+|1-1|
+    assert abs(d["tvd"] - 0.5) < 1e-9
+    assert abs(d["wasserstein"] - 0.5) < 1e-9
+    # chi2 = 2*(6.25/7.5 + 6.25/2.5) = 20/3; V = sqrt(chi2/20)
+    assert abs(d["chi2"] - 20 / 3) < 1e-9
+    assert d["chi2_df"] == 1
+    assert abs(d["cramers_v"] - math.sqrt((20 / 3) / 20)) < 1e-9
+    # js (log2) vs closed form 0.5*KL(pa||m) + 0.5*KL(pb||m), m=[.75,.25]
+    expect_js = 0.5 * math.log2(1 / 0.75) + 0.5 * (
+        0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    )
+    assert abs(d["js"] - expect_js) < 1e-6
+    # identical distributions -> every divergence ~0
+    z = divergences_from_counts(cb, cb, epsilon=1e-12)
+    for k in ("js", "chi2", "cramers_v", "tvd", "wasserstein"):
+        assert abs(z[k]) < 1e-9, k
+    # empty side -> NaN panel
+    e = divergences_from_counts(
+        pd.Series([0, 0], index=["0", "1"], dtype=float), cb, epsilon=1e-12
+    )
+    assert math.isnan(e["js"]) and math.isnan(e["tvd"])
+    # categorical: wasserstein undefined
+    c = divergences_from_counts(ca, cb, epsilon=1e-12, ordinal=False)
+    assert math.isnan(c["wasserstein"]) and abs(c["tvd"] - 0.5) < 1e-9
+
+
+def test_divergence_report_flags_planted_shift(drifted_df):
+    import math
+
+    from profiler.drift import divergence_between, divergence_report
+
+    df, _ = drifted_df
+    rep = sorted(
+        divergence_report(df, "text_len", "to_date(ts)").collect(),
+        key=lambda r: (r["partition_a"], r["partition_b"]),
+    )
+    assert rep, "consecutive-pair mode must emit rows"
+    last, interior = rep[-1], rep[1:-1]
+    assert interior
+    # planted shift dominates every interior (noise) pair on every metric
+    for k in ("js", "chi2", "cramers_v", "tvd", "wasserstein"):
+        top_interior = max(r[k] for r in interior)
+        assert last[k] > top_interior, (k, last[k], top_interior)
+    # chi2_df bounded by n_bins-1; V in [0,1]; JS(log2) in [0,1]
+    for r in rep:
+        assert 0 <= r["chi2_df"] <= 49
+        assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
+        assert 0.0 <= r["js"] <= 1.0 + 1e-9
+        assert not math.isnan(r["wasserstein"])
+    # snapshot shape: categorical panel has NaN wasserstein, real tvd
+    snap = divergence_between(
+        df.where("role = 'user'"), df.where("role = 'assistant'"),
+        "role", numeric=False,
+    ).collect()
+    assert len(snap) == 1
+    # Arrow surfaces the undefined (NaN) panel entry as SQL NULL
+    w = snap[0]["wasserstein"]
+    assert w is None or math.isnan(w)
+    assert snap[0]["tvd"] == pytest.approx(1.0)
