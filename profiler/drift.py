@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 @dataclass
@@ -453,3 +453,77 @@ def data_diff_rows(
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Metric control chart: out-of-control detection over per-partition profile
+# metrics (the "per-partition pass/fail over TIME" view — drift_report asks
+# "do two partitions differ?", this asks "did today's profile leave the
+# recent operating band?").
+# ---------------------------------------------------------------------------
+def metric_control_chart(
+    df: DataFrame,
+    metrics: dict[str, F.Column],
+    partition_expr: str,
+    window: int = 7,
+    z_threshold: float = 3.0,
+    min_ref: int = 3,
+) -> DataFrame:
+    """Shewhart-style control chart over per-partition profile metrics.
+
+    ``metrics`` maps metric name → aggregate expression (count, null rate,
+    mean length, …). ONE ``groupBy(partition)`` pass reduces the table to a
+    (partitions × metrics) frame; each metric series is then compared to its
+    TRAILING reference window (the ``window`` preceding partitions in sorted
+    partition order, the current one excluded so an anomaly can't mask
+    itself): ``zscore = (value − ref_mean) / ref_std`` with
+    ``out_of_control`` when at least ``min_ref`` reference partitions exist,
+    ``ref_std > 0`` and ``|z| ≥ z_threshold``.
+
+    Returns (partition_key, metric, value, ref_mean, ref_std, n_ref,
+    zscore, out_of_control) — one row per partition × metric, earliest
+    partitions carrying NULL zscore until the reference window fills.
+
+    100 TB shape: the raw scan is the single partial-aggregated groupBy;
+    everything after runs on partitions×metrics rows (days × a handful —
+    driver-trivial). The window is partitioned BY METRIC, so no global
+    single-partition sort of anything row-scale.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    part = F.expr(partition_expr).cast("string").alias("partition_key")
+    agg = (
+        df.groupBy(part)
+        .agg(*[expr.alias(name) for name, expr in metrics.items()])
+        .where(F.col("partition_key").isNotNull())
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                F.col(name).cast("double").alias("value"),
+            )
+            for name in metrics
+        ]
+    )
+    long = agg.select("partition_key", F.explode(pairs).alias("m")).select(
+        "partition_key", F.col("m.metric").alias("metric"), F.col("m.value").alias("value")
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("partition_key")
+        .rowsBetween(-window, -1)
+    )
+    ref = (
+        long.withColumn("ref_mean", F.avg("value").over(w))
+        .withColumn("ref_std", F.stddev_samp("value").over(w))
+        .withColumn("n_ref", F.count("value").over(w))
+    )
+    z = F.when(
+        (F.col("n_ref") >= min_ref) & (F.col("ref_std") > 0),
+        (F.col("value") - F.col("ref_mean")) / F.col("ref_std"),
+    )
+    return ref.withColumn("zscore", z).withColumn(
+        "out_of_control",
+        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)),
+    )

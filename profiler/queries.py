@@ -8158,3 +8158,85 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+@_register(
+    "q146_metric_control_chart",
+    """
+    WITH agg AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_key,
+             count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_value,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               / count(*) AS p_view
+      FROM events GROUP BY 1
+    ),
+    long AS (
+      SELECT partition_key, 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value
+      FROM agg
+      UNION ALL SELECT partition_key, 'avg_value', avg_value FROM agg
+      UNION ALL SELECT partition_key, 'p_view', p_view FROM agg
+    ),
+    ref AS (
+      SELECT *,
+             avg(value) OVER w AS ref_mean,
+             stddev_samp(value) OVER w AS ref_std,
+             count(value) OVER w AS n_ref
+      FROM long
+      WINDOW w AS (PARTITION BY metric ORDER BY partition_key
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT *, CASE WHEN n_ref >= 3 AND ref_std > 0
+                     THEN (value - ref_mean) / ref_std END AS zscore
+      FROM ref
+    )
+    SELECT partition_key, metric,
+           ROUND(value, 6) AS value,
+           ROUND(ref_mean, 6) AS ref_mean,
+           ROUND(ref_std, 6) AS ref_std,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           ROUND(zscore, 4) AS zscore,
+           COALESCE(abs(zscore) >= 3.0, FALSE) AS out_of_control
+    FROM z ORDER BY partition_key, metric
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric control chart (:func:`profiler.drift.metric_control_chart`):
+    per-day profile metrics (row count, exact-decimal mean value, view
+    share) each tested against its trailing-7-day reference band —
+    ``zscore = (value - ref_mean)/ref_std``, out-of-control at |z| >= 3 with
+    at least 3 reference days. ONE partial-aggregated scan reduces the
+    table to days x metrics; the window runs per metric over that tiny
+    frame. The oracle replays the melt and the trailing window in SQL."""
+    from profiler.drift import metric_control_chart
+
+    ev = _t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    out = metric_control_chart(
+        ev,
+        metrics={
+            "n_rows": n.cast("double"),
+            "avg_value": F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / n,
+            "p_view": F.count_if(F.col("event_type") == "view").cast("double")
+            / n,
+        },
+        partition_expr="to_date(ts)",
+        window=7,
+        z_threshold=3.0,
+        min_ref=3,
+    )
+    return out.select(
+        "partition_key",
+        "metric",
+        F.round("value", 6).alias("value"),
+        F.round("ref_mean", 6).alias("ref_mean"),
+        F.round("ref_std", 6).alias("ref_std"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.round("zscore", 4).alias("zscore"),
+        "out_of_control",
+    ).orderBy("partition_key", "metric")

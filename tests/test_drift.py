@@ -184,3 +184,57 @@ def test_divergence_report_flags_planted_shift(drifted_df):
     w = snap[0]["wasserstein"]
     assert w is None or math.isnan(w)
     assert snap[0]["tvd"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# metric control chart
+# ---------------------------------------------------------------------------
+
+
+def test_control_chart_flags_planted_spike(spark):
+    from profiler.drift import metric_control_chart
+
+    # 14 stable days (~100 rows, value~10 with tiny jitter), day 10 spikes
+    rows = []
+    for d in range(1, 15):
+        n = 100 + (d % 3)  # small natural variation
+        v = 1000.0 if d == 10 else 10.0 + 0.01 * (d % 5)
+        rows += [(f"2024-01-{d:02d}", v + 0.001 * i) for i in range(n)]
+    df = spark.createDataFrame(rows, "day string, value double")
+    out = metric_control_chart(
+        df,
+        metrics={
+            "n_rows": F.count(F.lit(1)).cast("double"),
+            "avg_value": F.avg("value"),
+        },
+        partition_expr="day",
+        window=7,
+        z_threshold=3.0,
+        min_ref=3,
+    ).collect()
+    flagged = {(r["partition_key"], r["metric"]) for r in out if r["out_of_control"]}
+    assert ("2024-01-10", "avg_value") in flagged
+    # row counts never spike
+    assert not [f for f in flagged if f[1] == "n_rows"]
+    by = {(r["partition_key"], r["metric"]): r for r in out}
+    # warm-up: first partition has no reference window at all
+    first = by[("2024-01-01", "avg_value")]
+    assert first["n_ref"] == 0 and first["zscore"] is None
+    assert not first["out_of_control"]
+    # the spike day is EXCLUDED from its own reference band
+    spike = by[("2024-01-10", "avg_value")]
+    assert spike["ref_mean"] < 11.0
+    # the day after the spike compares against a band that now contains it:
+    # its z is pulled toward 0/negative, never flagged as its own echo
+    after = by[("2024-01-11", "avg_value")]
+    assert after["ref_mean"] > spike["ref_mean"]
+
+
+def test_control_chart_validation(spark):
+    from profiler.drift import metric_control_chart
+
+    df = spark.createDataFrame([("a", 1.0)], "day string, value double")
+    with pytest.raises(ValueError, match="window"):
+        metric_control_chart(
+            df, {"n": F.count(F.lit(1))}, "day", window=0
+        )
