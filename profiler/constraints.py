@@ -440,12 +440,26 @@ class ConstraintSuite:
                 .groupBy("partition_key", "constraint")
                 .agg(F.count(F.lit(1)).alias("n_violations"))
             )
+            # eqNullSafe on partition_key: the default partition_expr is a
+            # NULL literal (unpartitioned validation), and a plain equi-join
+            # would drop every keyed violation row (NULL != NULL) — the
+            # summary would report pass over real violations.
             keyed_summary = (
-                universe.join(counts, ["partition_key", "constraint"], "left")
-                .withColumn(
-                    "n_violations", F.coalesce(F.col("n_violations"), F.lit(0))
+                universe.alias("u")
+                .join(
+                    counts.alias("c"),
+                    F.col("u.partition_key").eqNullSafe(F.col("c.partition_key"))
+                    & (F.col("u.constraint") == F.col("c.constraint")),
+                    "left",
                 )
-                .select("partition_key", "constraint", "n_rows", "n_violations")
+                .select(
+                    F.col("u.partition_key").alias("partition_key"),
+                    F.col("u.constraint").alias("constraint"),
+                    "n_rows",
+                    F.coalesce(F.col("c.n_violations"), F.lit(0)).alias(
+                        "n_violations"
+                    ),
+                )
             )
 
         summary = rl_summary if keyed_summary is None else (

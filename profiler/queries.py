@@ -8240,3 +8240,83 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zscore", 4).alias("zscore"),
         "out_of_control",
     ).orderBy("partition_key", "metric")
+
+
+#: q147 oracle: one exact per-column stat row per customer column, then the
+#: rule-emission algebra. Column list and max_domain (20) must mirror the
+#: Spark call exactly.
+_SUGGEST_STAT_SQL = """
+      SELECT '{col}' AS column_name, {is_num} AS is_num, {is_str} AS is_str,
+             count(*) AS n, count({col}) AS nn, count(DISTINCT {col}) AS nd,
+             {lo} AS lo, {hi} AS hi, {dvals} AS dvals, {npipe} AS npipe
+      FROM customer
+"""
+
+
+def _suggest_stat_block(col: str, kind: str) -> str:
+    is_num = "TRUE" if kind == "num" else "FALSE"
+    is_str = "TRUE" if kind == "str" else "FALSE"
+    lo = f"CAST(min({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    hi = f"CAST(max({col}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    if kind == "str":
+        dvals = (
+            f"CASE WHEN count(DISTINCT {col}) <= 20 THEN "
+            f"array_to_string(list_sort(list(DISTINCT {col}) "
+            f"FILTER ({col} IS NOT NULL)), '|') END"
+        )
+        npipe = f"count(*) FILTER (WHERE {col} LIKE '%|%')"
+    else:
+        dvals = "CAST(NULL AS VARCHAR)"
+        npipe = "CAST(0 AS BIGINT)"
+    return _SUGGEST_STAT_SQL.format(
+        col=col, is_num=is_num, is_str=is_str, lo=lo, hi=hi, dvals=dvals, npipe=npipe
+    )
+
+
+@_register(
+    "q147_suggest_constraints",
+    """
+    WITH s AS (
+    """
+    + " UNION ALL ".join(
+        _suggest_stat_block(c, k)
+        for c, k in [
+            ("c_custkey", "num"),
+            ("c_name", "str"),
+            ("c_nationkey", "num"),
+            ("c_acctbal", "num"),
+            ("c_mktsegment", "str"),
+        ]
+    )
+    + """
+    ),
+    rules AS (
+      SELECT column_name, 'not_null' AS rule, '' AS detail,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+      FROM s WHERE n > 0 AND nn = n
+      UNION ALL
+      SELECT column_name, 'unique', '', NULL, NULL
+      FROM s WHERE n > 0 AND nn = n AND nd = n
+      UNION ALL
+      SELECT column_name, 'domain', dvals, NULL, NULL
+      FROM s WHERE is_str AND nd <= 20 AND npipe = 0 AND dvals IS NOT NULL
+      UNION ALL
+      SELECT column_name, 'range', '', lo, hi FROM s WHERE is_num
+    )
+    SELECT * FROM rules ORDER BY column_name, rule
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint mining (:func:`profiler.suggest.suggest_rules`): ONE fused
+    profile pass over customer proposes the constraints the table already
+    satisfies — not-null columns, exact-verified single-column unique keys,
+    small string domains, observed numeric ranges — as an auditable rules
+    table (the executable ConstraintSuite form is
+    :func:`profiler.suggest.suggest_constraints`). The approx-distinct
+    sketch only narrows WHICH columns get the exact verification pass;
+    every emitted rule is exact, so the oracle replays rule emission from
+    exact per-column stats."""
+    from profiler.suggest import suggest_rules
+
+    cust = _t(spark, sf_dir, "customer")
+    return suggest_rules(cust, max_domain=20).orderBy("column_name", "rule")

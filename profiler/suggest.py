@@ -1,0 +1,171 @@
+"""Constraint mining: turn a profile pass into an executable
+:class:`~profiler.constraints.ConstraintSuite`.
+
+The reference profiler emits descriptive statistics and stops; the north
+rule extends them into executable constraints. This module closes the loop
+between the two: ONE profiling pass over the table proposes the constraints
+the data already satisfies — not-null columns, single-column unique keys,
+small categorical domains, observed numeric ranges — as both an auditable
+rules table and a ready-to-run suite (tomorrow's load is validated against
+the invariants mined from today's).
+
+Scale design (the suggestion pass must itself survive 100 TB):
+
+1. one fused aggregate computes, per column, ``count`` / ``n_null`` /
+   ``approx_count_distinct`` (+ min/max for numerics) — a single
+   partial-aggregated scan however many columns;
+2. exact verification is narrowed BY the sketch: exact ``count_distinct``
+   runs only for columns whose approx distinct count is within HLL error of
+   ``n`` (uniqueness must never be claimed off an approximation), and
+   domain values are collected only for columns the sketch already bounds
+   near ``max_domain`` — each a cheap partial-agg over one column;
+3. rule emission is driver-side algebra over the per-column stat rows
+   (columns × a few rules — trivially small).
+
+The approx prefilter uses rsd=0.01 with a 0.8·n acceptance band, ~20σ of
+margin: the sketch decides only WHICH columns get the exact pass, never the
+emitted rule, so suggestions are deterministic (replayed exactly by the
+q147 oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from profiler.constraints import (
+    Constraint,
+    ConstraintSuite,
+    domain,
+    not_null,
+    row_predicate,
+    unique_key,
+)
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+RULES_SCHEMA = "column_name string, rule string, detail string, lo double, hi double"
+
+
+def _column_stats(df: DataFrame, columns: list[str]) -> dict[str, dict]:
+    """One fused scan: per-column nonnull count + approx distinct
+    (+ min/max for numerics), plus the table row count."""
+    kinds = {f.name: f.dataType for f in df.schema.fields}
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        exprs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        exprs.append(F.approx_count_distinct(F.col(c), 0.01).alias(f"ad__{c}"))
+        if isinstance(kinds[c], _NUMERIC):
+            exprs.append(F.min(F.col(c)).cast("double").alias(f"lo__{c}"))
+            exprs.append(F.max(F.col(c)).cast("double").alias(f"hi__{c}"))
+    row = df.agg(*exprs).collect()[0]
+    n = row["__n"]
+    out = {}
+    for c in columns:
+        out[c] = {
+            "n": n,
+            "n_null": n - row[f"nn__{c}"],
+            "approx_nd": row[f"ad__{c}"],
+            "lo": row[f"lo__{c}"] if isinstance(kinds[c], _NUMERIC) else None,
+            "hi": row[f"hi__{c}"] if isinstance(kinds[c], _NUMERIC) else None,
+            "numeric": isinstance(kinds[c], _NUMERIC),
+            "string": isinstance(kinds[c], T.StringType),
+        }
+    return out
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain: int = 20,
+) -> DataFrame:
+    """Mine suggestion rules from ``df``: one row per proposed constraint,
+    schema ``(column_name, rule, detail, lo, hi)`` with rule ∈
+    {not_null, unique, domain, range}:
+
+    * ``not_null`` — the column has zero NULLs;
+    * ``unique`` — every value distinct AND no NULLs (exact-verified);
+    * ``domain`` — string column with ≤ ``max_domain`` exact distinct
+      values; ``detail`` is the ``|``-joined sorted value list;
+    * ``range`` — numeric column; ``lo``/``hi`` are the observed bounds
+      (exact — rounding could round ``lo`` up past the true min and make
+      the mined suite flag its own extreme rows).
+
+    Ordered by (column_name, rule). Use :func:`suggest_constraints` for the
+    executable form.
+    """
+    columns = list(columns) if columns is not None else list(df.columns)
+    stats = _column_stats(df, columns)
+
+    # exact verification, narrowed by the sketch
+    uniq_candidates = [
+        c for c in columns
+        if stats[c]["n_null"] == 0
+        and stats[c]["n"] > 0
+        and stats[c]["approx_nd"] >= 0.8 * stats[c]["n"]
+    ]
+    exact_nd: dict[str, int] = {}
+    if uniq_candidates:
+        row = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in uniq_candidates]
+        ).collect()[0]
+        exact_nd = {c: row[c] for c in uniq_candidates}
+    domain_values: dict[str, list[str]] = {}
+    for c in columns:
+        if stats[c]["string"] and stats[c]["approx_nd"] <= 2 * max_domain:
+            vals = [
+                r[c]
+                for r in df.select(c).where(F.col(c).isNotNull())
+                .distinct().limit(max_domain + 1).collect()
+            ]
+            # '|' is the detail separator; a value carrying it would split
+            # wrongly when the suite is rebuilt from the rules table
+            if len(vals) <= max_domain and not any("|" in v for v in vals):
+                domain_values[c] = sorted(vals)
+
+    rules = []
+    for c in columns:
+        s = stats[c]
+        if s["n"] > 0 and s["n_null"] == 0:
+            rules.append((c, "not_null", "", None, None))
+            if exact_nd.get(c) == s["n"]:
+                rules.append((c, "unique", "", None, None))
+        if c in domain_values:
+            rules.append((c, "domain", "|".join(domain_values[c]), None, None))
+        if s["numeric"] and s["lo"] is not None:
+            rules.append((c, "range", "", s["lo"], s["hi"]))
+    rules.sort(key=lambda r: (r[0], r[1]))
+    return df.sparkSession.createDataFrame(rules, RULES_SCHEMA)
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain: int = 20,
+    partition_expr: str = "CAST(NULL AS STRING)",
+) -> tuple[ConstraintSuite, DataFrame]:
+    """Mine rules (see :func:`suggest_rules`) and assemble them into an
+    executable :class:`ConstraintSuite`. By construction the suite passes on
+    the table it was mined from (every rule is an observed invariant); its
+    value is validating the NEXT snapshot. Returns (suite, rules frame)."""
+    rules_df = suggest_rules(df, columns=columns, max_domain=max_domain)
+    suite = ConstraintSuite(partition_expr=partition_expr)
+    for r in rules_df.collect():
+        c, rule = r["column_name"], r["rule"]
+        if rule == "not_null":
+            suite.add(not_null(c))
+        elif rule == "unique":
+            suite.add(unique_key([c]))
+        elif rule == "domain":
+            suite.add(domain(c, r["detail"].split("|")))
+        elif rule == "range":
+            suite.add(
+                row_predicate(
+                    f"range({c})",
+                    f"`{c}` IS NULL OR (`{c}` >= {r['lo']!r} AND `{c}` <= {r['hi']!r})",
+                )
+            )
+    return suite, rules_df

@@ -1,0 +1,87 @@
+"""Constraint mining: profile pass -> rules table -> executable suite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from profiler.suggest import suggest_constraints, suggest_rules
+
+
+@pytest.fixture(scope="module")
+def base_df(spark):
+    rows = [
+        (i, f"name{i:04d}", "red" if i % 3 else "blue", float(10 + i % 50), None if i % 7 == 0 else i % 5)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, name string, color string, score double, opt int"
+    )
+
+
+def test_rules_mined(base_df):
+    rules = {
+        (r["column_name"], r["rule"]): r for r in suggest_rules(base_df).collect()
+    }
+    # id: bigint, no nulls, all distinct
+    assert ("id", "not_null") in rules
+    assert ("id", "unique") in rules
+    assert rules[("id", "range")]["lo"] == 0.0
+    assert rules[("id", "range")]["hi"] == 199.0
+    # name: unique string, 200 distinct > max_domain -> no domain rule
+    assert ("name", "unique") in rules
+    assert ("name", "domain") not in rules
+    # color: 2-value domain, not unique
+    assert rules[("color", "domain")]["detail"] == "blue|red"
+    assert ("color", "unique") not in rules
+    # score: repeated numeric -> range but no unique
+    assert ("score", "range") in rules
+    assert ("score", "unique") not in rules
+    # opt: has nulls -> neither not_null nor unique (int -> still range)
+    assert ("opt", "not_null") not in rules
+    assert ("opt", "unique") not in rules
+    assert rules[("opt", "range")]["lo"] == 0.0
+
+
+def test_mined_suite_passes_own_table_and_flags_next_snapshot(spark, base_df):
+    suite, rules = suggest_constraints(base_df)
+    assert suite.constraints
+    res = suite.validate(base_df)
+    assert res.passed(), res.summary.where("NOT passed").collect()
+    res.unpersist()
+    # next snapshot: plant one violation per rule family
+    bad = spark.createDataFrame(
+        [
+            (0, "dup-of-id-0", "red", 20.0, 1),       # duplicate id
+            (1000, None, "green", 20.0, 1),           # null name + new color
+            (1001, "nm1", "red", 9999.0, 1),          # score out of range
+        ],
+        "id bigint, name string, color string, score double, opt int",
+    )
+    nxt = base_df.unionByName(bad)
+    res2 = suite.validate(nxt)
+    failed = {
+        r["constraint"]
+        for r in res2.summary.where("NOT passed").collect()
+    }
+    res2.unpersist()
+    assert "unique(id)" in failed
+    assert "not_null(name)" in failed
+    assert "domain(color)" in failed
+    assert "range(score)" in failed
+
+
+def test_domain_separator_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a|b"), (2, "c")], "id bigint, v string"
+    )
+    rules = {(r["column_name"], r["rule"]) for r in suggest_rules(df).collect()}
+    assert ("v", "domain") not in rules  # '|' inside a value
+    assert ("v", "not_null") in rules
+
+
+def test_column_subset_and_empty_table(spark, base_df):
+    only = suggest_rules(base_df, columns=["color"]).collect()
+    assert {r["column_name"] for r in only} == {"color"}
+    empty = base_df.where("id < 0")
+    rules = suggest_rules(empty).collect()
+    # no rows -> nothing is an invariant (no not_null/unique/range evidence)
+    assert [r["rule"] for r in rules] == ["domain", "domain"]  # empty domains
