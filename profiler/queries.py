@@ -8320,3 +8320,64 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     return suggest_rules(cust, max_domain=20).orderBy("column_name", "rule")
+
+
+@_register(
+    "q148_resample_locf",
+    """
+    WITH obs AS (
+      SELECT user_id, bkt, v FROM (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt,
+               value AS v,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    spans AS (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bkt FROM spans),
+    j AS (
+      SELECT g.user_id, g.bkt, o.v FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+    ),
+    f AS (
+      SELECT user_id, bkt, v IS NULL AS filled,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM j
+    )
+    SELECT user_id,
+           CAST(make_timestamp(bkt * 86400 * 1000000) AS VARCHAR) AS tick_ts,
+           ROUND(value, 4) AS value, filled
+    FROM f
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with LOCF gap fill
+    (:func:`profiler.timeseries.resample_locf`): each user's irregular
+    event-value series regularized onto a daily grid, empty days carrying
+    the previous day's last observation (``filled = true``). One
+    partial-aggregated groupBy collapses the stream to (user, day) last
+    observations; the grid explodes only per-key bucket SPANS; LOCF is one
+    running last(ignorenulls) window over grid-sized data. The oracle
+    replays bucketing, grid and fill with SQL window functions."""
+    from profiler.timeseries import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_locf(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=86400,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("tick_ts").cast("string").alias("tick_ts"),
+        F.round("value", 4).alias("value"),
+        "filled",
+    )

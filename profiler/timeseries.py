@@ -657,3 +657,68 @@ def hypertable_rollup(
             4,
         ).alias("avg_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resampling onto a fixed grid with gap filling (LOCF) — the regularization
+# step in front of every grid-assuming consumer (drift windows, rollups,
+# seasonal analysis over irregular event streams).
+# ---------------------------------------------------------------------------
+def resample_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key resample of an irregular series onto a fixed ``step_seconds``
+    grid with last-observation-carried-forward fill.
+
+    Semantics: observations are bucketed by ``floor(epoch/step)``; each
+    bucket keeps its LAST observation (max by (ts, *tiebreak_cols) — pass
+    a unique tiebreak for determinism under equal timestamps); the grid
+    spans each key's [first, last] observed bucket inclusive; empty ticks
+    carry the previous tick's value (``filled = true``). Leading ticks
+    always have a value (the grid starts AT an observation).
+
+    Returns (key_cols…, tick_ts timestamp, value, filled boolean).
+
+    100 TB shape: one groupBy (key, bucket) with a max_by partial aggregate
+    collapses the raw stream map-side; the grid is generated from per-key
+    (min, max) bucket bounds — never materialized wider than
+    range/step per key — and LOCF is one running ``last(ignorenulls)``
+    window per key over grid-sized (not row-sized) data. Dense-grid blowup
+    is the caller's step choice; nothing here is driver-side.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    step = int(step_seconds)
+    ts = F.col(ts_col).cast("timestamp")
+    bkt = F.floor(F.unix_timestamp(ts) / F.lit(step)).alias("__bkt")
+    order = F.struct(
+        ts, *[F.col(c) for c in (tiebreak_cols or [])], F.col(value_col)
+    )
+    obs = (
+        df.where(F.col(value_col).isNotNull() & ts.isNotNull())
+        .groupBy(*key_cols, bkt)
+        .agg(F.max_by(F.col(value_col), order).alias("__v"))
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("__bkt").alias("__mn"), F.max("__bkt").alias("__mx")
+    )
+    grid = spans.select(
+        *key_cols, F.explode(F.sequence("__mn", "__mx")).alias("__bkt")
+    )
+    joined = grid.join(obs, [*key_cols, "__bkt"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__bkt") * step).alias("tick_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("filled"),
+    )

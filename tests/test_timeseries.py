@@ -222,3 +222,59 @@ def test_extras_short_and_constant_series(spark):
     out = {r["series_id"]: r for r in TS.series_extras(df, ts_col="ts").collect()}
     assert out["tiny"]["n"] == 2 and out["tiny"]["seasonal"] is False
     assert out["flat"]["stationary"] is False  # zero-variance: test undefined → False
+
+
+# ---------------------------------------------------------------------------
+# resample_locf
+# ---------------------------------------------------------------------------
+
+
+def test_resample_locf_planted(spark):
+    from profiler.timeseries import resample_locf
+
+    rows = [
+        # key a: obs on days 0, 3 (two obs: later wins), 5
+        ("a", "2024-01-01 10:00:00", 1.0, "e1"),
+        ("a", "2024-01-04 08:00:00", 2.0, "e2"),
+        ("a", "2024-01-04 09:00:00", 3.0, "e3"),  # same day, later ts wins
+        ("a", "2024-01-06 01:00:00", 4.0, "e4"),
+        # key b: single observation -> single tick, nothing filled
+        ("b", "2024-01-02 00:00:00", 7.0, "e5"),
+        # null value ignored
+        ("a", "2024-01-05 00:00:00", None, "e6"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id string"
+    )
+    out = resample_locf(
+        df, ["k"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+    ).collect()
+    got = {
+        (r["k"], str(r["tick_ts"])): (r["value"], r["filled"]) for r in out
+    }
+    assert len(got) == 7  # a: 6 days, b: 1 day
+    assert got[("a", "2024-01-01 00:00:00")] == (1.0, False)
+    assert got[("a", "2024-01-02 00:00:00")] == (1.0, True)   # filled
+    assert got[("a", "2024-01-03 00:00:00")] == (1.0, True)
+    assert got[("a", "2024-01-04 00:00:00")] == (3.0, False)  # later obs wins
+    assert got[("a", "2024-01-05 00:00:00")] == (3.0, True)   # null obs = gap
+    assert got[("a", "2024-01-06 00:00:00")] == (4.0, False)
+    assert got[("b", "2024-01-02 00:00:00")] == (7.0, False)
+
+
+def test_resample_locf_tiebreak_and_validation(spark):
+    from profiler.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0, "e1"),
+            ("a", "2024-01-01 00:00:00", 2.0, "e2"),  # equal ts: max event_id
+        ],
+        "k string, ts string, value double, event_id string",
+    )
+    out = resample_locf(
+        df, ["k"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
+    with pytest.raises(ValueError, match="step_seconds"):
+        resample_locf(df, ["k"], "ts", "value", 0)
