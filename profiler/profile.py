@@ -1167,6 +1167,69 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlations over ``cols``: one tidy row per
+    (col_x, col_y) pair with ``n`` and ``spearman`` (4 dp). Monotonic
+    association — the robust companion of :func:`correlation_matrix`'s
+    linear Pearson (outlier-insensitive, scale-free).
+
+    Semantics: LISTWISE-complete (rows where ANY of ``cols`` is null are
+    dropped — ranks must be computed over one shared row set for the pair
+    matrix to be mutually consistent); ties get average ranks (the standard
+    fractional rank, so heavily-discretized columns are handled exactly).
+
+    Plan: ranks come from value-count algebra, NOT a row-scale sort — per
+    column, ONE groupBy(value) builds the (value, count) frame, a
+    cumulative window over DISTINCT VALUES turns it into
+    ``avg_rank = |{smaller}| + (ties+1)/2``, and the tiny rank map is
+    broadcast-joined back (map-side, no fact shuffle). Pearson over the
+    rank columns is one aggregate. The distinct-value window is
+    single-partition by construction — bounded by column cardinality, the
+    same envelope as the profile's exact MAD/value-counts path; discretize
+    (bin) continuous high-cardinality columns first if that bound is a
+    concern at your scale.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("spearman_matrix needs at least two columns")
+    base = df.select(*cols).na.drop()
+    ranked = base
+    for c in cols:
+        vc = base.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        rank_map = vc.select(
+            c,
+            (
+                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + (F.col("__cnt") + 1) / 2.0
+            ).alias(f"__r_{c}"),
+        )
+        ranked = ranked.join(F.broadcast(rank_map), c)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a, b in pairs:
+        aggs.append(
+            F.round(F.corr(F.col(f"__r_{a}"), F.col(f"__r_{b}")), 4).alias(
+                f"{a}__{b}"
+            )
+        )
+    one = ranked.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"{a}__{b}").alias("spearman"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select("n", F.explode(entries).alias("e"))
+        .select("e.col_x", "e.col_y", "n", "e.spearman")
+        .orderBy("col_x", "col_y")
+    )
+
+
 def mad_outliers(
     df: DataFrame, col: str, k: float = 3.5, id_cols: list[str] | None = None
 ) -> DataFrame:

@@ -8381,3 +8381,66 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         "filled",
     )
+
+
+@_register(
+    "q149_spearman_matrix",
+    """
+    WITH base AS (
+      SELECT l_quantity AS cq, l_extendedprice AS cp, l_discount AS cd
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    mq AS (
+      SELECT cq, COALESCE(sum(cnt) OVER (ORDER BY cq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r
+      FROM (SELECT cq, count(*) AS cnt FROM base GROUP BY cq)
+    ),
+    mp AS (
+      SELECT cp, COALESCE(sum(cnt) OVER (ORDER BY cp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r
+      FROM (SELECT cp, count(*) AS cnt FROM base GROUP BY cp)
+    ),
+    md AS (
+      SELECT cd, COALESCE(sum(cnt) OVER (ORDER BY cd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r
+      FROM (SELECT cd, count(*) AS cnt FROM base GROUP BY cd)
+    ),
+    r AS (
+      SELECT mq.r AS rq, mp.r AS rp, md.r AS rd
+      FROM base b
+      JOIN mq ON b.cq = mq.cq
+      JOIN mp ON b.cp = mp.cp
+      JOIN md ON b.cd = md.cd
+    )
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+             count(*) AS n, ROUND(corr(rq, rp), 4) AS spearman FROM r
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', count(*), ROUND(corr(rq, rd), 4)
+      FROM r
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', count(*), ROUND(corr(rp, rd), 4)
+      FROM r
+    ) ORDER BY col_x, col_y
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation matrix
+    (:func:`profiler.profile.spearman_matrix`): monotonic association
+    between lineitem quantity / extended price / discount with
+    average-rank tie handling. Ranks come from value-count algebra (one
+    groupBy per column + a cumulative window over DISTINCT values,
+    broadcast rank map joined back map-side) — never a row-scale global
+    sort. The oracle replays the fractional ranks and Pearson-on-ranks in
+    SQL."""
+    from profiler.profile import spearman_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

@@ -375,3 +375,49 @@ def test_geometry_heatmap_opt_in(spark):
     # default config: no heatmap job, no key
     p2 = profile_table(df, config=ProfileConfig(exact=True))
     assert "heatmap" not in var_of(p2, "geom")
+
+
+# ---------------------------------------------------------------------------
+# spearman_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_known_values(spark):
+    from profiler.profile import spearman_matrix
+
+    # y monotonic in x (nonlinear): spearman exactly 1, pearson < 1
+    rows = [(float(i), float(i) ** 3, float(-i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_x"], r["col_y"]): r for r in spearman_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["spearman"] == 1.0
+    assert out[("x", "z")]["spearman"] == -1.0
+    assert out[("y", "z")]["spearman"] == -1.0
+    assert all(r["n"] == 20 for r in out.values())
+
+
+def test_spearman_ties_and_nulls(spark):
+    from profiler.profile import spearman_matrix
+
+    # planted ties: x = [1,1,2,2], y = [10,10,20,20] -> rho 1 with avg ranks;
+    # a row with a null anywhere is dropped listwise (n = 4)
+    rows = [
+        (1.0, 10.0), (1.0, 10.0), (2.0, 20.0), (2.0, 20.0),
+        (None, 5.0), (3.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_matrix(df, ["x", "y"]).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 4
+    assert out[0]["spearman"] == 1.0
+    # hand check vs known formula on untied permutation
+    perm = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)], "x double, y double"
+    )
+    rho = spearman_matrix(perm, ["x", "y"]).collect()[0]["spearman"]
+    # d^2 = [1,1,1,1] -> rho = 1 - 6*4/(4*15) = 0.6
+    assert rho == 0.6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        spearman_matrix(df, ["x"])
