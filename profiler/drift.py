@@ -527,3 +527,87 @@ def metric_control_chart(
         "out_of_control",
         F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-sample drift: Kruskal-Wallis H across MANY partitions at once (the
+# two-sample KS/PSI/divergence panels ask "do these two differ?"; this asks
+# "is ANY of the k partitions shifted?" in one test, with tie correction).
+# ---------------------------------------------------------------------------
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_expr: str
+) -> DataFrame:
+    """Kruskal–Wallis H test of ``value_col`` across the groups produced by
+    ``group_expr`` (a SQL expression — partition key, snapshot tag, segment).
+
+    Returns one row per group — (group_key, n_g, mean_rank) — each also
+    carrying the shared test columns (n, k, h, h_adj, dof): ``h`` is the
+    raw statistic ``12/(N(N+1))·Σ n_g(r̄_g − (N+1)/2)²``, ``h_adj`` divides
+    by the tie correction ``1 − Σ(t³−t)/(N³−N)``, ``dof = k−1`` (χ²
+    reference distribution for moderate n_g).
+
+    Plan (all count algebra, no row-scale sort): ONE groupBy
+    (group, value) collapses the table; value totals re-aggregate that
+    pair frame (no second scan); average ranks come from a cumulative
+    window over DISTINCT values (bounded by column cardinality — the same
+    envelope as :func:`profiler.profile.spearman_matrix`, discretize first
+    if that's a concern) and broadcast back onto the pair frame; per-group
+    moments are one more tiny aggregate.
+    """
+    g = F.expr(group_expr).cast("string").alias("group_key")
+    v = F.col(value_col)
+    pairs = (
+        df.where(v.isNotNull() & F.expr(group_expr).isNotNull())
+        .groupBy(g, v.alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__gcnt"))
+    )
+    pairs = pairs.persist()
+    try:
+        totals = pairs.groupBy("__val").agg(F.sum("__gcnt").alias("__cnt"))
+        w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, -1)
+        rank_map = totals.select(
+            "__val",
+            (
+                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + (F.col("__cnt") + 1) / 2.0
+            ).alias("__r"),
+            ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
+        )
+        ranked = pairs.join(F.broadcast(rank_map), "__val")
+        per_group = ranked.groupBy("group_key").agg(
+            F.sum("__gcnt").alias("n_g"),
+            (F.sum(F.col("__gcnt") * F.col("__r")) / F.sum("__gcnt")).alias(
+                "mean_rank"
+            ),
+        )
+        tie = rank_map.agg(F.sum("__tie3").alias("tie3")).collect()[0]["tie3"]
+        per_group = per_group.persist()
+        nk = per_group.agg(
+            F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k")
+        ).collect()[0]
+        n, k = nk["n"], nk["k"]
+        ss = per_group.agg(
+            F.sum(
+                F.col("n_g") * (F.col("mean_rank") - F.lit((n + 1) / 2.0)) ** 2
+            ).alias("ss")
+        ).collect()[0]["ss"]
+        h = 12.0 / (n * (n + 1)) * ss if n > 1 else float("nan")
+        correction = 1.0 - (tie or 0.0) / float(n**3 - n) if n > 1 else 0.0
+        h_adj = h / correction if correction > 0 else float("nan")
+        return per_group.select(
+            "group_key",
+            "n_g",
+            F.round("mean_rank", 4).alias("mean_rank"),
+            F.lit(int(n)).alias("n"),
+            F.lit(int(k)).alias("k"),
+            F.lit(round(h, 4)).alias("h"),
+            F.lit(round(h_adj, 4)).alias("h_adj"),
+            F.lit(int(k - 1)).alias("dof"),
+        ).orderBy("group_key")
+    finally:
+        pairs.unpersist()
+        # per_group may not exist if an earlier stage raised
+        try:
+            per_group.unpersist()
+        except NameError:
+            pass

@@ -8444,3 +8444,69 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@_register(
+    "q150_kruskal_wallis",
+    """
+    WITH base AS (
+      SELECT event_type AS gk, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pairs AS (SELECT gk, v, count(*) AS gcnt FROM base GROUP BY 1, 2),
+    totals AS (SELECT v, sum(gcnt) AS cnt FROM pairs GROUP BY 1),
+    rm AS (
+      SELECT v,
+             COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r,
+             cnt * cnt * cnt - cnt AS tie3
+      FROM totals
+    ),
+    pg AS (
+      SELECT gk AS group_key, sum(gcnt) AS n_g,
+             sum(gcnt * r) / sum(gcnt) AS mean_rank
+      FROM pairs JOIN rm USING (v) GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, count(*) AS k,
+             (SELECT sum(tie3) FROM rm) AS tie3
+      FROM pg
+    ),
+    st AS (
+      SELECT n, k, tie3,
+             (SELECT sum(n_g * pow(mean_rank - (n + 1) / 2.0, 2)) FROM pg)
+               AS ss
+      FROM tot
+    )
+    SELECT pg.group_key, CAST(pg.n_g AS BIGINT) AS n_g,
+           ROUND(pg.mean_rank, 4) AS mean_rank,
+           CAST(st.n AS BIGINT) AS n, CAST(st.k AS BIGINT) AS k,
+           ROUND(12.0 / (st.n * (st.n + 1)) * st.ss, 4) AS h,
+           ROUND((12.0 / (st.n * (st.n + 1)) * st.ss)
+                 / (1.0 - st.tie3 / (pow(st.n, 3) - st.n)), 4) AS h_adj,
+           CAST(st.k - 1 AS BIGINT) AS dof
+    FROM pg, st ORDER BY group_key
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-sample drift test
+    (:func:`profiler.drift.kruskal_wallis`): is the value distribution
+    shifted across ANY event_type group? Rank-based (average ranks from
+    value-count algebra, no row-scale sort), tie-corrected H with dof =
+    k-1. One (group, value) groupBy collapses the table; everything after
+    is count algebra the oracle replays in SQL."""
+    from profiler.drift import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    out = kruskal_wallis(ev, "value", "event_type")
+    return out.select(
+        "group_key",
+        F.col("n_g").cast("bigint").alias("n_g"),
+        "mean_rank",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        "h",
+        "h_adj",
+        F.col("dof").cast("bigint").alias("dof"),
+    )

@@ -238,3 +238,49 @@ def test_control_chart_validation(spark):
         metric_control_chart(
             df, {"n": F.count(F.lit(1))}, "day", window=0
         )
+
+
+# ---------------------------------------------------------------------------
+# kruskal-wallis k-sample test
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_textbook(spark):
+    from profiler.drift import kruskal_wallis
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (4, 5, 6)
+    ] + [("c", float(v)) for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r["group_key"]: r for r in kruskal_wallis(df, "value", "g").collect()}
+    assert set(out) == {"a", "b", "c"}
+    # ranks 1..9 -> mean ranks 2/5/8; H = 12/90 * (27+0+27) = 7.2
+    assert out["a"]["mean_rank"] == 2.0
+    assert out["b"]["mean_rank"] == 5.0
+    assert out["c"]["mean_rank"] == 8.0
+    r = out["a"]
+    assert r["n"] == 9 and r["k"] == 3 and r["dof"] == 2
+    assert r["h"] == 7.2
+    assert r["h_adj"] == 7.2  # no ties -> correction is identity
+
+
+def test_kruskal_wallis_ties_and_null_groups(spark):
+    from profiler.drift import kruskal_wallis
+
+    # identical distributions -> H ~ 0; ties everywhere exercise correction
+    rows = (
+        [("a", float(v % 3)) for v in range(60)]
+        + [("b", float(v % 3)) for v in range(60)]
+        + [(None, 99.0), ("a", None)]  # dropped
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = kruskal_wallis(df, "value", "g").collect()
+    assert len(out) == 2
+    assert out[0]["n"] == 120
+    assert abs(out[0]["h_adj"]) < 1e-9
+    # tie correction must inflate (or keep) H: h_adj >= h for real shifts
+    rows2 = [("a", 1.0)] * 20 + [("b", 2.0)] * 20
+    out2 = kruskal_wallis(
+        spark.createDataFrame(rows2, "g string, value double"), "value", "g"
+    ).collect()
+    assert out2[0]["h_adj"] >= out2[0]["h"] > 0
