@@ -8510,3 +8510,75 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_adj",
         F.col("dof").cast("bigint").alias("dof"),
     )
+
+
+@_register(
+    "q151_resample_interp",
+    """
+    WITH obs AS (
+      SELECT user_id, bkt, v FROM (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt,
+               value AS v,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    spans AS (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bkt FROM spans),
+    j AS (
+      SELECT g.user_id, g.bkt, o.v FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+    ),
+    f AS (
+      SELECT user_id, bkt, v,
+             last_value(v IGNORE NULLS) OVER wp AS vp,
+             last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+               OVER wp AS bp,
+             first_value(v IGNORE NULLS) OVER wn AS vn,
+             first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+               OVER wn AS bn
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bkt
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(make_timestamp(bkt * 86400 * 1000000) AS VARCHAR) AS tick_ts,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN vn IS NOT NULL THEN
+                        vp + (vn - vp) * CAST(bkt - bp AS DOUBLE)
+                               / CAST(bn - bp AS DOUBLE)
+                      ELSE vp END, 4) AS value,
+           v IS NULL AS filled
+    FROM f
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling
+    (:func:`profiler.timeseries.resample_interp`): q148's daily grid with
+    interior gaps filled by the straight line between the surrounding
+    observations instead of carry-forward. Same single groupBy + span-only
+    grid shape; the fill adds one forward and one backward running window
+    over grid-sized data. The oracle replays both windows and the
+    interpolation algebra."""
+    from profiler.timeseries import resample_interp
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_interp(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=86400,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("tick_ts").cast("string").alias("tick_ts"),
+        F.round("value", 4).alias("value"),
+        "filled",
+    )

@@ -691,6 +691,33 @@ def resample_locf(
     window per key over grid-sized (not row-sized) data. Dense-grid blowup
     is the caller's step choice; nothing here is driver-side.
     """
+    joined, step = _resample_grid(
+        df, key_cols, ts_col, value_col, step_seconds, tiebreak_cols
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__bkt") * step).alias("tick_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("filled"),
+    )
+
+
+def _resample_grid(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: list[str] | None,
+) -> tuple[DataFrame, int]:
+    """Shared grid machinery behind :func:`resample_locf` and
+    :func:`resample_interp`: per-key last-observation-per-bucket, grid
+    exploded from per-key bucket spans, observations left-joined on."""
     if step_seconds <= 0:
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     step = int(step_seconds)
@@ -710,15 +737,59 @@ def resample_locf(
     grid = spans.select(
         *key_cols, F.explode(F.sequence("__mn", "__mx")).alias("__bkt")
     )
-    joined = grid.join(obs, [*key_cols, "__bkt"], "left")
-    w = (
+    return grid.join(obs, [*key_cols, "__bkt"], "left"), step
+
+
+def resample_interp(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key resample onto a fixed grid with LINEAR INTERPOLATION fill —
+    the smooth companion of :func:`resample_locf` (same bucketing, grid
+    and last-per-bucket semantics; see there for the scale shape).
+
+    Empty ticks between two observed buckets get the straight line between
+    them (weight = bucket distance); trailing ticks after the last
+    observation fall back to carry-forward (there is nothing to
+    interpolate toward — only possible when the key's max bucket holds a
+    null-filtered observation, which the span construction excludes, so in
+    practice every gap is interior). Returns
+    (key_cols…, tick_ts, value, filled).
+    """
+    joined, step = _resample_grid(
+        df, key_cols, ts_col, value_col, step_seconds, tiebreak_cols
+    )
+    w_prev = (
         Window.partitionBy(*key_cols)
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obkt = F.when(F.col("__v").isNotNull(), F.col("__bkt"))
+    vp = F.last("__v", ignorenulls=True).over(w_prev)
+    bp = F.last(obkt, ignorenulls=True).over(w_prev)
+    vn = F.first("__v", ignorenulls=True).over(w_next)
+    bn = F.first(obkt, ignorenulls=True).over(w_next)
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(
+            vn.isNotNull(),
+            vp
+            + (vn - vp)
+            * (F.col("__bkt") - bp).cast("double")
+            / (bn - bp).cast("double"),
+        ).otherwise(vp)
+    )
     return joined.select(
         *key_cols,
         F.timestamp_seconds(F.col("__bkt") * step).alias("tick_ts"),
-        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        interp.alias("value"),
         F.col("__v").isNull().alias("filled"),
     )

@@ -278,3 +278,31 @@ def test_resample_locf_tiebreak_and_validation(spark):
     assert len(out) == 1 and out[0]["value"] == 2.0
     with pytest.raises(ValueError, match="step_seconds"):
         resample_locf(df, ["k"], "ts", "value", 0)
+
+
+def test_resample_interp_planted(spark):
+    from profiler.timeseries import resample_interp
+
+    rows = [
+        ("a", "2024-01-01 12:00:00", 10.0, "e1"),
+        ("a", "2024-01-05 12:00:00", 50.0, "e2"),  # 4-day gap: 20/30/40
+        ("a", "2024-01-06 12:00:00", 0.0, "e3"),
+        ("b", "2024-01-02 00:00:00", 7.0, "e4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id string"
+    )
+    out = resample_interp(
+        df, ["k"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+    ).collect()
+    got = {
+        (r["k"], str(r["tick_ts"])): (r["value"], r["filled"]) for r in out
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == (10.0, False)
+    assert got[("a", "2024-01-02 00:00:00")] == (20.0, True)
+    assert got[("a", "2024-01-03 00:00:00")] == (30.0, True)
+    assert got[("a", "2024-01-04 00:00:00")] == (40.0, True)
+    assert got[("a", "2024-01-05 00:00:00")] == (50.0, False)
+    assert got[("a", "2024-01-06 00:00:00")] == (0.0, False)
+    assert got[("b", "2024-01-02 00:00:00")] == (7.0, False)
+    assert len(got) == 7
