@@ -300,3 +300,89 @@ def mutual_information(
             ),
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (value-level conditional dependencies): the row-level
+# refinement of functional_dependencies — an FD says "A determines B
+# everywhere"; a rule says "A=a determines B=b with this support/confidence"
+# even when the column-level FD fails. Constraint mining at value grain
+# (the rules feed domain/implication checks) and the classic
+# market-basket/data-auditing primitive.
+# ---------------------------------------------------------------------------
+def association_rules(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.9,
+) -> DataFrame:
+    """Mine value-level rules ``lhs_col=a → rhs_col=b`` with
+    ``support = n(a,b)/n``, ``confidence = n(a,b)/n(a)`` and
+    ``lift = confidence / (n(b)/n)``, keeping rules at or above the
+    thresholds. Null values participate as the absence of a value (rows
+    with NULL on either side are excluded — a rule about NULL is a
+    :func:`profiler.constraints.not_null` question).
+
+    Plan: ONE groupBy (lhs, rhs) collapses the table; lhs and rhs totals
+    re-aggregate that pair frame (no second scan); two joins over
+    pair-frame-sized data assemble the metrics. Ordered by confidence,
+    support, lhs, rhs descending-metrics-first (total tie-break).
+    """
+    if not 0.0 <= min_support <= 1.0:
+        raise ValueError(f"min_support must be in [0,1], got {min_support}")
+    if not 0.0 <= min_confidence <= 1.0:
+        raise ValueError(
+            f"min_confidence must be in [0,1], got {min_confidence}"
+        )
+    a, b = F.col(lhs_col), F.col(rhs_col)
+    base = df.where(a.isNotNull() & b.isNotNull())
+    pairs = base.groupBy(
+        a.cast("string").alias("lhs"), b.cast("string").alias("rhs")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    pairs = pairs.persist()
+    try:
+        n = pairs.agg(F.sum("n_ab")).collect()[0][0] or 0
+        if n == 0:
+            return df.sparkSession.createDataFrame(
+                [],
+                "lhs string, rhs string, n_ab long, n_lhs long, "
+                "support double, confidence double, lift double",
+            )
+        lhs_tot = pairs.groupBy("lhs").agg(F.sum("n_ab").alias("n_lhs"))
+        rhs_tot = pairs.groupBy("rhs").agg(F.sum("n_ab").alias("n_rhs"))
+        out = (
+            pairs.join(lhs_tot, "lhs")
+            .join(rhs_tot, "rhs")
+            .select(
+                "lhs",
+                "rhs",
+                F.col("n_ab").cast("long").alias("n_ab"),
+                F.col("n_lhs").cast("long").alias("n_lhs"),
+                (F.col("n_ab") / F.lit(float(n))).alias("__sup"),
+                (F.col("n_ab").cast("double") / F.col("n_lhs")).alias("__conf"),
+                (
+                    (F.col("n_ab").cast("double") / F.col("n_lhs"))
+                    / (F.col("n_rhs") / F.lit(float(n)))
+                ).alias("__lift"),
+            )
+            .where(
+                (F.col("__sup") >= float(min_support))
+                & (F.col("__conf") >= float(min_confidence))
+            )
+            .select(
+                "lhs",
+                "rhs",
+                "n_ab",
+                "n_lhs",
+                F.round("__sup", 6).alias("support"),
+                F.round("__conf", 6).alias("confidence"),
+                F.round("__lift", 6).alias("lift"),
+            )
+            .orderBy(
+                F.desc("confidence"), F.desc("support"), F.asc("lhs"), F.asc("rhs")
+            )
+        )
+        return out
+    finally:
+        pairs.unpersist()

@@ -8582,3 +8582,44 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         "filled",
     )
+
+
+@_register(
+    "q152_association_rules",
+    """
+    WITH base AS (
+      SELECT CAST(month(l_shipdate) AS VARCHAR) AS lhs,
+             CAST(quarter(l_shipdate) AS VARCHAR) AS rhs
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    pairs AS (SELECT lhs, rhs, count(*) AS n_ab FROM base GROUP BY 1, 2),
+    tot AS (SELECT sum(n_ab) AS n FROM pairs),
+    lt AS (SELECT lhs, sum(n_ab) AS n_lhs FROM pairs GROUP BY 1),
+    rt AS (SELECT rhs, sum(n_ab) AS n_rhs FROM pairs GROUP BY 1)
+    SELECT lhs, rhs, n_ab, n_lhs,
+           ROUND(n_ab / n, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / n_lhs, 6) AS confidence,
+           ROUND((CAST(n_ab AS DOUBLE) / n_lhs) / (n_rhs / n), 6) AS lift
+    FROM pairs JOIN lt USING (lhs) JOIN rt USING (rhs), tot
+    WHERE n_ab / n >= 0.01 AND CAST(n_ab AS DOUBLE) / n_lhs >= 0.9
+    ORDER BY confidence DESC, support DESC, lhs, rhs
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining
+    (:func:`profiler.dependencies.association_rules`): value-level rules
+    month(l_shipdate)=m -> quarter(l_shipdate)=q with
+    support/confidence/lift — the row-grain refinement of q139's
+    functional dependencies (the calendar hierarchy pins all 12 rules at
+    confidence 1.0, lift ~4). One (lhs, rhs) groupBy collapses the table;
+    totals re-aggregate the pair frame; the oracle replays the metric
+    algebra and thresholds."""
+    from profiler.dependencies import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate").isNotNull())
+    pairs = li.select(
+        F.month("l_shipdate").alias("m"), F.quarter("l_shipdate").alias("q")
+    )
+    return association_rules(
+        pairs, "m", "q", min_support=0.01, min_confidence=0.9
+    )

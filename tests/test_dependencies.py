@@ -276,3 +276,55 @@ class TestEditDistanceSelfJoin:
         plan = _plan(edit_distance_self_join(df, 1, "s", "id"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# association rules
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_planted(spark):
+    from profiler.dependencies import association_rules
+
+    # a->x holds 9/10 times; b->y always; c is uniform noise
+    rows = (
+        [("a", "x")] * 9 + [("a", "z")]
+        + [("b", "y")] * 10
+        + [("c", "x")] * 5 + [("c", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "l string, r string")
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in association_rules(
+            df, "l", "r", min_support=0.1, min_confidence=0.85
+        ).collect()
+    }
+    assert set(out) == {("a", "x"), ("b", "y")}
+    a = out[("a", "x")]
+    assert a["n_ab"] == 9 and a["n_lhs"] == 10
+    assert a["support"] == 0.3 and a["confidence"] == 0.9
+    # lift = 0.9 / (14/30)
+    assert a["lift"] == round(0.9 / (14 / 30), 6)
+    b = out[("b", "y")]
+    assert b["confidence"] == 1.0
+    assert b["lift"] == 2.0  # 1.0 / (15/30)
+
+
+def test_association_rules_nulls_and_validation(spark):
+    import pytest as _pytest
+
+    from profiler.dependencies import association_rules
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), (None, "x")], "l string, r string"
+    )
+    out = association_rules(df, "l", "r", min_support=0.0, min_confidence=0.0).collect()
+    assert len(out) == 1 and out[0]["n_ab"] == 1  # null rows excluded
+    empty = association_rules(
+        df.where("l IS NULL AND r IS NULL"), "l", "r"
+    )
+    assert empty.count() == 0 and "confidence" in empty.columns
+    with _pytest.raises(ValueError, match="min_support"):
+        association_rules(df, "l", "r", min_support=1.5)
+    with _pytest.raises(ValueError, match="min_confidence"):
+        association_rules(df, "l", "r", min_confidence=-0.1)
