@@ -611,3 +611,79 @@ def kruskal_wallis(
             per_group.unpersist()
         except NameError:
             pass
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_expr: str) -> DataFrame:
+    """One-way ANOVA across the groups of ``group_expr`` — the parametric
+    companion of :func:`kruskal_wallis` (mean shifts under a normal-ish
+    error model; use KW when outliers/skew dominate).
+
+    Returns one row per group — (group_key, n_g, mean) — each carrying the
+    shared test columns: ``f_stat = (SSB/(k−1)) / (SSW/(N−k))``,
+    ``eta_sq = SSB/SST`` (effect size), ``dof_between = k−1``,
+    ``dof_within = N−k``.
+
+    Determinism + plan: ONE grouped aggregate computes per-group
+    (n, Σx, Σx²) with DECIMAL accumulators — exact, order-independent
+    sums, so the double algebra after them is bit-replayable in any
+    engine. Sum-of-squares identities (SSW = Σx² − Σ n_g·mean_g²) avoid a
+    second scan. Value envelope: |x| < 10^12 (DECIMAL(18,6) inputs), same
+    contract as :func:`profiler.profile.correlation_matrix`.
+    """
+    g = F.expr(group_expr).cast("string").alias("group_key")
+    v = F.col(value_col).cast("decimal(18,6)")
+    per_group = (
+        df.where(F.col(value_col).isNotNull() & F.expr(group_expr).isNotNull())
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(v).cast("decimal(38,6)").alias("s"),
+            F.sum(v * v).cast("decimal(38,12)").alias("ss"),
+        )
+    )
+    per_group = per_group.persist()
+    try:
+        tot = per_group.agg(
+            F.sum("n_g").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum("s").cast("double").alias("gs"),
+            F.sum("ss").cast("double").alias("gss"),
+            F.sum(
+                (F.col("s").cast("double") / F.col("n_g"))
+                * F.col("s").cast("double")
+            ).alias("sum_ng_mean_sq"),
+        ).collect()[0]
+        n, k = tot["n"], tot["k"]
+        if n is None or n == 0:
+            return df.sparkSession.createDataFrame(
+                [],
+                "group_key string, n_g long, mean double, n long, k long, "
+                "f_stat double, eta_sq double, dof_between long, dof_within long",
+            )
+        grand_mean = tot["gs"] / n
+        sst = tot["gss"] - n * grand_mean * grand_mean
+        ssb = tot["sum_ng_mean_sq"] - n * grand_mean * grand_mean
+        ssw = sst - ssb
+        f_stat = (
+            (ssb / (k - 1)) / (ssw / (n - k))
+            if k > 1 and n > k and ssw > 0
+            else float("nan")
+        )
+        eta_sq = ssb / sst if sst > 0 else float("nan")
+        return per_group.select(
+            "group_key",
+            F.col("n_g").cast("long").alias("n_g"),
+            F.round(F.col("s").cast("double") / F.col("n_g"), 4).alias("mean"),
+            F.lit(int(n)).cast("long").alias("n"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.lit(round(f_stat, 4) if f_stat == f_stat else None)
+            .cast("double")
+            .alias("f_stat"),
+            F.lit(round(eta_sq, 4) if eta_sq == eta_sq else None)
+            .cast("double")
+            .alias("eta_sq"),
+            F.lit(int(k - 1)).cast("long").alias("dof_between"),
+            F.lit(int(n - k)).cast("long").alias("dof_within"),
+        ).orderBy("group_key")
+    finally:
+        per_group.unpersist()

@@ -8623,3 +8623,48 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         pairs, "m", "q", min_support=0.01, min_confidence=0.9
     )
+
+
+@_register(
+    "q153_anova_oneway",
+    """
+    WITH pg AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_key,
+             count(*) AS n_g,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, count(*) AS k, sum(s) AS gs, sum(ss) AS gss,
+             sum((s / n_g) * s) AS snms
+      FROM pg
+    ),
+    st AS (
+      SELECT n, k,
+             snms - n * (gs / n) * (gs / n) AS ssb,
+             gss - n * (gs / n) * (gs / n) AS sst
+      FROM tot
+    )
+    SELECT pg.group_key, pg.n_g, ROUND(pg.s / pg.n_g, 4) AS mean,
+           CAST(st.n AS BIGINT) AS n, CAST(st.k AS BIGINT) AS k,
+           ROUND((st.ssb / (st.k - 1)) / ((st.sst - st.ssb) / (st.n - st.k)), 4)
+             AS f_stat,
+           ROUND(st.ssb / st.sst, 4) AS eta_sq,
+           CAST(st.k - 1 AS BIGINT) AS dof_between,
+           CAST(st.n - st.k AS BIGINT) AS dof_within
+    FROM pg, st ORDER BY group_key
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (:func:`profiler.drift.anova_oneway`): mean shift of
+    value across event_type groups — the parametric companion of q150's
+    Kruskal-Wallis, computed from ONE grouped aggregate of exact DECIMAL
+    sufficient statistics (n, sum, sum-of-squares per group) so the double
+    algebra after them replays bit-for-bit in the oracle."""
+    from profiler.drift import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type")

@@ -284,3 +284,29 @@ def test_kruskal_wallis_ties_and_null_groups(spark):
         spark.createDataFrame(rows2, "g string, value double"), "value", "g"
     ).collect()
     assert out2[0]["h_adj"] >= out2[0]["h"] > 0
+
+
+def test_anova_textbook_and_edge(spark):
+    from profiler.drift import anova_oneway
+
+    # groups (1,2,3), (4,5,6): grand mean 3.5, SSB = 2*3*(1.5^2)... compute:
+    # means 2 and 5; SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5; SSW = 2+2 = 4
+    # F = (13.5/1) / (4/4) = 13.5; eta^2 = 13.5/17.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r["group_key"]: r for r in anova_oneway(df, "value", "g").collect()}
+    assert out["a"]["mean"] == 2.0 and out["b"]["mean"] == 5.0
+    r = out["a"]
+    assert r["n"] == 6 and r["k"] == 2
+    assert r["f_stat"] == 13.5
+    assert r["eta_sq"] == round(13.5 / 17.5, 4)
+    assert r["dof_between"] == 1 and r["dof_within"] == 4
+    # zero within-variance -> F undefined (NULL), not a crash
+    deg = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)], "g string, value double"
+    )
+    d = anova_oneway(deg, "value", "g").collect()[0]
+    assert d["f_stat"] is None and d["eta_sq"] == 1.0
+    # empty input -> empty frame with stable schema
+    e = anova_oneway(df.where("value < 0"), "value", "g")
+    assert e.count() == 0 and "f_stat" in e.columns
