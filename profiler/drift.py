@@ -687,3 +687,83 @@ def anova_oneway(df: DataFrame, value_col: str, group_expr: str) -> DataFrame:
         ).orderBy("group_key")
     finally:
         per_group.unpersist()
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_expr: str
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between EXACTLY TWO groups: the
+    two-sample special case of :func:`kruskal_wallis`, adding the
+    tie-corrected normal approximation ``z`` and the ``rank_biserial``
+    effect size ``r = 2·U_a/(n_a·n_b) − 1`` (r > 0 ⇔ group_a
+    stochastically larger; groups ordered by key so the sign is
+    deterministic).
+
+    Returns one row: (group_a, group_b, n_a, n_b, u_a, z, rank_biserial).
+    Raises if the group expression yields ≠ 2 groups.
+
+    Plan: identical count-algebra shape to :func:`kruskal_wallis` — one
+    (group, value) groupBy, average ranks from a distinct-value window,
+    everything after runs on the tiny pair frame.
+    """
+    g = F.expr(group_expr).cast("string").alias("group_key")
+    v = F.col(value_col)
+    pairs = (
+        df.where(v.isNotNull() & F.expr(group_expr).isNotNull())
+        .groupBy(g, v.alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__gcnt"))
+    )
+    pairs = pairs.persist()
+    try:
+        totals = pairs.groupBy("__val").agg(F.sum("__gcnt").alias("__cnt"))
+        w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, -1)
+        rank_map = totals.select(
+            "__val",
+            (
+                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + (F.col("__cnt") + 1) / 2.0
+            ).alias("__r"),
+            ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
+        )
+        per_group = (
+            pairs.join(F.broadcast(rank_map), "__val")
+            .groupBy("group_key")
+            .agg(
+                F.sum("__gcnt").alias("n_g"),
+                F.sum(F.col("__gcnt") * F.col("__r")).alias("rank_sum"),
+            )
+            .orderBy("group_key")
+            .collect()
+        )
+        if len(per_group) != 2:
+            raise ValueError(
+                f"mann_whitney_u needs exactly 2 groups, got {len(per_group)}"
+            )
+        tie3 = rank_map.agg(F.sum("__tie3")).collect()[0][0] or 0.0
+        (ga, na, ra), (gb, nb, _) = [
+            (r["group_key"], r["n_g"], r["rank_sum"]) for r in per_group
+        ]
+        n = na + nb
+        u_a = ra - na * (na + 1) / 2.0
+        mean_u = na * nb / 2.0
+        var_u = (
+            na * nb / 12.0 * ((n + 1) - float(tie3) / (n * (n - 1)))
+            if n > 1
+            else 0.0
+        )
+        z = (u_a - mean_u) / (var_u**0.5) if var_u > 0 else float("nan")
+        r_rb = 2.0 * u_a / (na * nb) - 1.0 if na and nb else float("nan")
+        return df.sparkSession.createDataFrame(
+            [
+                (
+                    ga, gb, int(na), int(nb),
+                    round(u_a, 4),
+                    round(z, 4) if z == z else None,
+                    round(r_rb, 4) if r_rb == r_rb else None,
+                )
+            ],
+            "group_a string, group_b string, n_a long, n_b long, "
+            "u_a double, z double, rank_biserial double",
+        )
+    finally:
+        pairs.unpersist()

@@ -8668,3 +8668,58 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return anova_oneway(ev, "value", "event_type")
+
+
+@_register(
+    "q154_mann_whitney_u",
+    """
+    WITH base AS (
+      SELECT CAST(event_type AS VARCHAR) AS gk, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+    ),
+    pairs AS (SELECT gk, v, count(*) AS gcnt FROM base GROUP BY 1, 2),
+    totals AS (SELECT v, sum(gcnt) AS cnt FROM pairs GROUP BY 1),
+    rm AS (
+      SELECT v,
+             COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r,
+             cnt * cnt * cnt - cnt AS tie3
+      FROM totals
+    ),
+    pg AS (
+      SELECT gk, sum(gcnt) AS n_g, sum(gcnt * r) AS rank_sum
+      FROM pairs JOIN rm USING (v) GROUP BY 1
+    ),
+    two AS (
+      SELECT arg_min(gk, gk) AS group_a, arg_max(gk, gk) AS group_b,
+             arg_min(n_g, gk) AS n_a, arg_max(n_g, gk) AS n_b,
+             arg_min(rank_sum, gk) AS ra,
+             (SELECT sum(tie3) FROM rm) AS tie3
+      FROM pg
+    )
+    SELECT group_a, group_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(ra - n_a * (n_a + 1) / 2.0, 4) AS u_a,
+           ROUND((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0)))), 4)
+             AS z,
+           ROUND(2.0 * (ra - n_a * (n_a + 1) / 2.0) / (n_a * n_b) - 1.0, 4)
+             AS rank_biserial
+    FROM two
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum
+    (:func:`profiler.drift.mann_whitney_u`): view vs click value
+    distributions with tie-corrected normal z and rank-biserial effect
+    size. Same count-algebra shape as q150; the oracle replays ranks, U,
+    z and r in SQL."""
+    from profiler.drift import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    return mann_whitney_u(ev, "value", "event_type")

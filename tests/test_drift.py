@@ -310,3 +310,35 @@ def test_anova_textbook_and_edge(spark):
     # empty input -> empty frame with stable schema
     e = anova_oneway(df.where("value < 0"), "value", "g")
     assert e.count() == 0 and "f_stat" in e.columns
+
+
+def test_mann_whitney_textbook(spark):
+    import math
+
+    from profiler.drift import mann_whitney_u
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = mann_whitney_u(df, "value", "g").collect()[0]
+    # complete separation: U_a = 0, effect = -1
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["u_a"] == 0.0
+    assert r["rank_biserial"] == -1.0
+    assert r["z"] == round(-4.5 / math.sqrt(9 * 7 / 12.0), 4)
+    # identical distributions: U ~ n_a*n_b/2, effect ~ 0
+    same = spark.createDataFrame(
+        [("a", float(v % 5)) for v in range(50)]
+        + [("b", float(v % 5)) for v in range(50)],
+        "g string, value double",
+    )
+    s = mann_whitney_u(same, "value", "g").collect()[0]
+    assert s["rank_biserial"] == 0.0 and abs(s["z"]) < 1e-9
+    # wrong group count raises
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "g string, value double"
+    )
+    with pytest.raises(ValueError, match="exactly 2"):
+        mann_whitney_u(three, "value", "g")
