@@ -767,3 +767,34 @@ def mann_whitney_u(
         )
     finally:
         pairs.unpersist()
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_expr: str
+) -> DataFrame:
+    """Brown–Forsythe test of VARIANCE homogeneity across groups (Levene
+    with the robust median center): one-way ANOVA over the absolute
+    deviations ``|x − median_g|``. Catches dispersion drift the mean/rank
+    tests miss — "the average is stable but today's values are twice as
+    spread out".
+
+    Plan: per-group exact medians (one grouped ``percentile``), a
+    broadcast join attaches them, and the deviations reuse
+    :func:`anova_oneway` wholesale (same output schema; f_stat is the BF
+    statistic). Deviations are rounded to 6 dp before ANOVA's exact
+    DECIMAL(·,6) accumulators so the decimal cast is unambiguous in every
+    engine.
+    """
+    g = F.expr(group_expr).cast("string").alias("group_key")
+    v = F.col(value_col)
+    base = df.where(v.isNotNull() & F.expr(group_expr).isNotNull()).select(
+        g, v.alias("__v")
+    )
+    med = base.groupBy("group_key").agg(
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "group_key").select(
+        "group_key",
+        F.round(F.abs(F.col("__v") - F.col("__med")), 6).alias("__dev"),
+    )
+    return anova_oneway(dev, "__dev", "group_key")

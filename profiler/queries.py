@@ -8723,3 +8723,58 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "click")
     )
     return mann_whitney_u(ev, "value", "event_type")
+
+
+@_register(
+    "q155_brown_forsythe",
+    """
+    WITH base AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_key, value AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (
+      SELECT group_key, quantile_cont(v, 0.5) AS m FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT base.group_key, ROUND(abs(v - m), 6) AS d
+      FROM base JOIN med USING (group_key)
+    ),
+    pg AS (
+      SELECT group_key, count(*) AS n_g,
+             CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(d AS DECIMAL(18,6))
+                      * CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM dev GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, count(*) AS k, sum(s) AS gs, sum(ss) AS gss,
+             sum((s / n_g) * s) AS snms
+      FROM pg
+    ),
+    st AS (
+      SELECT n, k,
+             snms - n * (gs / n) * (gs / n) AS ssb,
+             gss - n * (gs / n) * (gs / n) AS sst
+      FROM tot
+    )
+    SELECT pg.group_key, pg.n_g, ROUND(pg.s / pg.n_g, 4) AS mean,
+           CAST(st.n AS BIGINT) AS n, CAST(st.k AS BIGINT) AS k,
+           ROUND((st.ssb / (st.k - 1)) / ((st.sst - st.ssb) / (st.n - st.k)), 4)
+             AS f_stat,
+           ROUND(st.ssb / st.sst, 4) AS eta_sq,
+           CAST(st.k - 1 AS BIGINT) AS dof_between,
+           CAST(st.n - st.k AS BIGINT) AS dof_within
+    FROM pg, st ORDER BY group_key
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test
+    (:func:`profiler.drift.brown_forsythe`): is the SPREAD of value
+    different across event_type groups? ANOVA over |x - median_g| (exact
+    grouped percentile medians, broadcast-joined, deviations through the
+    q153 decimal machinery). The oracle replays medians, deviations and
+    the full ANOVA algebra."""
+    from profiler.drift import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type")

@@ -342,3 +342,26 @@ def test_mann_whitney_textbook(spark):
     )
     with pytest.raises(ValueError, match="exactly 2"):
         mann_whitney_u(three, "value", "g")
+
+
+def test_brown_forsythe_detects_spread_change(spark):
+    from profiler.drift import anova_oneway, brown_forsythe
+
+    # same center (mean 0), very different spread
+    rows = [("tight", x) for x in (-1.0, -0.5, 0.0, 0.5, 1.0) * 8] + [
+        ("wide", x) for x in (-10.0, -5.0, 0.0, 5.0, 10.0) * 8
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    bf = brown_forsythe(df, "value", "g").collect()[0]
+    assert bf["f_stat"] > 10, bf  # spread shift flagged
+    # plain ANOVA sees nothing (means equal)
+    an = anova_oneway(df, "value", "g").collect()[0]
+    assert an["f_stat"] < 1e-6
+    # equal spreads -> BF ~ 0
+    same = spark.createDataFrame(
+        [("a", x) for x in (-1.0, 0.0, 1.0) * 10]
+        + [("b", x + 100.0) for x in (-1.0, 0.0, 1.0) * 10],
+        "g string, value double",
+    )
+    s = brown_forsythe(same, "value", "g").collect()[0]
+    assert abs(s["f_stat"]) < 1e-6
