@@ -798,3 +798,184 @@ def brown_forsythe(
         F.round(F.abs(F.col("__v") - F.col("__med")), 6).alias("__dev"),
     )
     return anova_oneway(dev, "__dev", "group_key")
+
+
+# ---------------------------------------------------------------------------
+# Multi-column drift in ONE pass: profiling N drift columns must not cost N
+# scans of a 100 TB table. Columns are exploded into (column, bucket) structs
+# row-side, so a single groupBy builds every column's per-partition sketch in
+# one shuffle; pair comparison then runs per (column, pair) through the same
+# Arrow compare and math as the single-column path.
+# ---------------------------------------------------------------------------
+def _make_drift_fn_keyed(epsilon: float):
+    def compute(key, pdf):
+        column, a, b = key
+        ca, cb = _pivot_sides(pdf)
+        ks, psi = ks_psi_from_counts(ca, cb, epsilon)
+        return pd.DataFrame(
+            [
+                {
+                    "column": column,
+                    "partition_a": a,
+                    "partition_b": b,
+                    "ks": ks,
+                    "psi": psi,
+                    "n_a": int(ca.sum()),
+                    "n_b": int(cb.sum()),
+                }
+            ]
+        )
+
+    return compute
+
+
+def drift_report_multi(
+    df: DataFrame,
+    columns: list[tuple[str, bool]],
+    partition_expr: str,
+    baseline_partition: str | None = None,
+    config: DriftConfig | None = None,
+) -> DataFrame:
+    """KS/PSI drift for MANY columns in one pass: ``columns`` is a list of
+    (column, numeric) pairs; output and per-column math are identical to
+    calling :func:`drift_report` once per column (pytest-pinned), but the
+    raw table is scanned exactly TWICE total (one min/max pre-pass for all
+    numeric columns together, one exploded sketch pass) instead of 2·N
+    times. Each row explodes to ≤N (column, bucket) structs; one
+    groupBy(partition, column, bucket) builds every sketch in one shuffle;
+    categorical columns get the same global top-(n_bins−1) + '__other__'
+    cap, computed off the aggregated sketch.
+    """
+    if not columns:
+        raise ValueError("drift_report_multi needs at least one column")
+    cfg = config or DriftConfig()
+    part = F.expr(partition_expr).cast("string").alias("partition_key")
+
+    numeric_cols = [c for c, numeric in columns if numeric]
+    lohi = {}
+    if numeric_cols:
+        aggs = []
+        for c in numeric_cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"lo__{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"hi__{c}"))
+        row = df.agg(*aggs).collect()[0]
+        lohi = {c: (row[f"lo__{c}"], row[f"hi__{c}"]) for c in numeric_cols}
+
+    structs = []
+    for c, numeric in columns:
+        if numeric:
+            lo, hi = lohi[c]
+            bucket = numeric_bucket_expr(F.col(c), lo, hi, cfg.n_bins)
+        else:
+            bucket = F.col(c).cast("string")
+        # explicit null guard: numeric_bucket_expr's greatest(NULL, 0)
+        # SKIPS the null (Spark greatest ignores nulls) and would bucket
+        # null values as 0 — the single-column path filters nulls pre-group
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(F.col(c).isNotNull(), bucket).alias("bucket"),
+            )
+        )
+    exploded = df.select(
+        part, F.explode(F.array(*structs)).alias("cb")
+    ).select(
+        "partition_key", F.col("cb.column").alias("column"), F.col("cb.bucket").alias("bucket")
+    ).where(F.col("bucket").isNotNull())
+    sketch = exploded.groupBy("partition_key", "column", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sketch = sketch.persist()
+    try:
+        # categorical cap: global top values per column, off the aggregated
+        # sketch (tiny), one collect for all categorical columns together
+        cat_cols = [c for c, numeric in columns if not numeric]
+        if cat_cols:
+            from pyspark.sql import Window as _W
+
+            tops = (
+                sketch.where(F.col("column").isin(cat_cols))
+                .groupBy("column", "bucket")
+                .agg(F.sum("cnt").alias("n"))
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        _W.partitionBy("column").orderBy(
+                            F.desc("n"), F.asc("bucket")
+                        )
+                    ),
+                )
+                .where(F.col("rk") <= cfg.n_bins - 1)
+                .select("column", "bucket")
+                .collect()
+            )
+            keep: dict[str, set] = {}
+            for r in tops:
+                keep.setdefault(r["column"], set()).add(r["bucket"])
+            relabel = F.col("bucket")
+            for c in cat_cols:
+                relabel = F.when(
+                    (F.col("column") == c)
+                    & ~F.col("bucket").isin(list(keep.get(c, set()))),
+                    F.lit("__other__"),
+                ).otherwise(relabel)
+            sketch2 = (
+                sketch.withColumn("bucket", relabel)
+                .groupBy("partition_key", "column", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            sketch2 = sketch
+
+        # pairs PER COLUMN from that column's own populated partitions —
+        # exactly the single-column semantics (a column all-null on some
+        # partition must not produce an empty-side NaN pair for it)
+        col_parts: dict[str, list[str]] = {}
+        for r in (
+            sketch.select("column", "partition_key").distinct().collect()
+        ):
+            if r["partition_key"] is not None:
+                col_parts.setdefault(r["column"], []).append(r["partition_key"])
+        pairs = []
+        for c, _ in columns:
+            parts = sorted(col_parts.get(c, []))
+            if baseline_partition is not None:
+                pairs += [
+                    (c, baseline_partition, p)
+                    for p in parts
+                    if p != baseline_partition
+                ]
+            else:
+                pairs += [(c, a, b) for a, b in zip(parts, parts[1:])]
+        out_schema = _DRIFT_SCHEMA + ", ks_flag boolean, psi_flag boolean"
+        if not pairs:
+            return df.sparkSession.createDataFrame([], out_schema)
+        spark = df.sparkSession
+        pairs_df = spark.createDataFrame(
+            pairs, "pair_col string, partition_a string, partition_b string"
+        )
+        a_side = sketch2.join(
+            F.broadcast(pairs_df),
+            (sketch2["partition_key"] == pairs_df["partition_a"])
+            & (sketch2["column"] == pairs_df["pair_col"]),
+        ).select(
+            "column", "partition_a", "partition_b",
+            F.lit("a").alias("side"), "bucket", "cnt",
+        )
+        b_side = sketch2.join(
+            F.broadcast(pairs_df),
+            (sketch2["partition_key"] == pairs_df["partition_b"])
+            & (sketch2["column"] == pairs_df["pair_col"]),
+        ).select(
+            "column", "partition_a", "partition_b",
+            F.lit("b").alias("side"), "bucket", "cnt",
+        )
+        both = a_side.unionByName(b_side)
+        out = both.groupBy("column", "partition_a", "partition_b").applyInPandas(
+            _make_drift_fn_keyed(cfg.psi_epsilon), _DRIFT_SCHEMA
+        )
+        return out.withColumn("ks_flag", F.col("ks") >= cfg.ks_threshold).withColumn(
+            "psi_flag", F.col("psi") >= cfg.psi_threshold
+        )
+    finally:
+        sketch.unpersist()

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from profiler.checkpoint import ParquetCheckpointStore
 from profiler.constraints import ConstraintSuite, transcripts_suite
-from profiler.drift import DriftConfig, drift_report
+from profiler.drift import DriftConfig, drift_report_multi
 from profiler.profile import ProfileConfig, profile_table
 from profiler.report import assemble_profile_document
 
@@ -158,16 +158,18 @@ def run_full(
         return rows
 
     def _drift() -> list[dict]:
-        rows: list[dict] = []
-        for col, numeric in drift_columns or []:
-            src = df
-            if col == "text_len" and "text_len" not in df.columns:
-                src = df.withColumn("text_len", F.length("text"))
-            rep = drift_report(
-                src, col, suite.partition_expr, numeric, config=drift_config
-            )
-            rows.extend(r.asDict() for r in rep.collect())
-        return rows
+        cols = list(drift_columns or [])
+        if not cols:
+            return []
+        src = df
+        if any(c == "text_len" for c, _ in cols) and "text_len" not in df.columns:
+            src = df.withColumn("text_len", F.length("text"))
+        # one exploded sketch pass for ALL drift columns (2 scans total,
+        # not 2 per column) — identical per-column output to drift_report
+        rep = drift_report_multi(
+            src, cols, suite.partition_expr, config=drift_config
+        )
+        return [r.asDict() for r in rep.collect()]
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_profile = pool.submit(profile_table, df, config=profile_config)

@@ -365,3 +365,43 @@ def test_brown_forsythe_detects_spread_change(spark):
     )
     s = brown_forsythe(same, "value", "g").collect()[0]
     assert abs(s["f_stat"]) < 1e-6
+
+
+def test_drift_report_multi_equals_per_column(drifted_df):
+    from profiler.drift import drift_report_multi
+
+    df, _ = drifted_df
+    df = df.withColumn("text_len", F.length("text"))
+    cols = [("text_len", True), ("role", False)]
+    cfg = DriftConfig(n_bins=20)
+    multi = sorted(
+        (
+            (r["column"], r["partition_a"], r["partition_b"],
+             round(r["ks"], 10), round(r["psi"], 10), r["n_a"], r["n_b"],
+             r["ks_flag"], r["psi_flag"])
+            for r in drift_report_multi(
+                df, cols, "to_date(ts)", config=cfg
+            ).collect()
+        )
+    )
+    single = []
+    for c, numeric in cols:
+        single.extend(
+            (r["column"], r["partition_a"], r["partition_b"],
+             round(r["ks"], 10), round(r["psi"], 10), r["n_a"], r["n_b"],
+             r["ks_flag"], r["psi_flag"])
+            for r in drift_report(df, c, "to_date(ts)", numeric, config=cfg).collect()
+        )
+    assert multi == sorted(single)
+    assert multi, "fixture must produce drift rows"
+
+
+def test_drift_report_multi_validation(spark):
+    from profiler.drift import drift_report_multi
+
+    df = spark.createDataFrame([(1.0, "a")], "v double, p string")
+    with pytest.raises(ValueError, match="at least one"):
+        drift_report_multi(df, [], "p")
+    # single partition -> no pairs -> empty frame, stable schema
+    out = drift_report_multi(df, [("v", True)], "p")
+    assert out.count() == 0 and "ks_flag" in out.columns
