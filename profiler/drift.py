@@ -491,24 +491,7 @@ def metric_control_chart(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    part = F.expr(partition_expr).cast("string").alias("partition_key")
-    agg = (
-        df.groupBy(part)
-        .agg(*[expr.alias(name) for name, expr in metrics.items()])
-        .where(F.col("partition_key").isNotNull())
-    )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("metric"),
-                F.col(name).cast("double").alias("value"),
-            )
-            for name in metrics
-        ]
-    )
-    long = agg.select("partition_key", F.explode(pairs).alias("m")).select(
-        "partition_key", F.col("m.metric").alias("metric"), F.col("m.value").alias("value")
-    )
+    long = _metric_series(df, metrics, partition_expr)
     w = (
         Window.partitionBy("metric")
         .orderBy("partition_key")
@@ -526,6 +509,120 @@ def metric_control_chart(
     return ref.withColumn("zscore", z).withColumn(
         "out_of_control",
         F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)),
+    )
+
+
+def _metric_series(
+    df: DataFrame, metrics: dict[str, F.Column], partition_expr: str
+) -> DataFrame:
+    """Shared melt behind :func:`metric_control_chart` and
+    :func:`change_points`: ONE groupBy(partition) computes every metric,
+    then the wide row explodes to (partition_key, metric, value)."""
+    part = F.expr(partition_expr).cast("string").alias("partition_key")
+    agg = (
+        df.groupBy(part)
+        .agg(*[expr.alias(name) for name, expr in metrics.items()])
+        .where(F.col("partition_key").isNotNull())
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                F.col(name).cast("double").alias("value"),
+            )
+            for name in metrics
+        ]
+    )
+    return agg.select("partition_key", F.explode(pairs).alias("m")).select(
+        "partition_key",
+        F.col("m.metric").alias("metric"),
+        F.col("m.value").alias("value"),
+    )
+
+
+def change_points(
+    df: DataFrame,
+    metrics: dict[str, F.Column],
+    partition_expr: str,
+) -> DataFrame:
+    """Retrospective change-point detection per metric series (max-CUSUM
+    binary-segmentation statistic): WHERE did each per-partition metric
+    change level? The complement of :func:`metric_control_chart` — the
+    chart asks "is today outside the recent band", this asks "at which
+    partition did the series shift" over the whole history.
+
+    For each metric with series x₁…xₙ (sorted partition order):
+    ``S_i = Σ_{j≤i}(x_j − x̄)``; the change point is the partition
+    maximizing |S_i| (earliest on ties), ``cusum_stat = max|S| / (σ̂·√n)``
+    (≈ Kolmogorov-scaled under no-change), and ``mean_before`` /
+    ``mean_after`` are the level on each side of the cut (the cut
+    partition belongs to "before"). One row per metric. Same scan shape
+    as the control chart: one partial-aggregated groupBy, everything else
+    over the days×metrics frame.
+    """
+    long = _metric_series(df, metrics, partition_expr)
+    w_all = Window.partitionBy("metric")
+    w_run = (
+        Window.partitionBy("metric")
+        .orderBy("partition_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        long.withColumn("__xbar", F.avg("value").over(w_all))
+        .withColumn("__n", F.count("value").over(w_all))
+        .withColumn("__sd", F.stddev_samp("value").over(w_all))
+        .withColumn(
+            "__s", F.sum(F.col("value") - F.col("__xbar")).over(w_run)
+        )
+    )
+    w_rank = Window.partitionBy("metric").orderBy(
+        F.desc(F.abs(F.col("__s"))), F.asc("partition_key")
+    )
+    cp = (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .select(
+            "metric",
+            F.col("partition_key").alias("cp_partition"),
+            F.col("__n").alias("n_partitions"),
+            F.round(F.abs(F.col("__s")), 4).alias("cusum_abs"),
+            F.when(
+                (F.col("__sd") > 0) & (F.col("__n") > 1),
+                F.abs(F.col("__s"))
+                / (F.col("__sd") * F.sqrt(F.col("__n").cast("double"))),
+            ).alias("__stat"),
+        )
+    )
+    sides = (
+        long.join(F.broadcast(cp.select("metric", "cp_partition")), "metric")
+        .groupBy("metric")
+        .agg(
+            F.avg(
+                F.when(
+                    F.col("partition_key") <= F.col("cp_partition"),
+                    F.col("value"),
+                )
+            ).alias("__mb"),
+            F.avg(
+                F.when(
+                    F.col("partition_key") > F.col("cp_partition"),
+                    F.col("value"),
+                )
+            ).alias("__ma"),
+        )
+    )
+    return (
+        cp.join(sides, "metric")
+        .select(
+            "metric",
+            "cp_partition",
+            F.col("n_partitions").cast("long").alias("n_partitions"),
+            "cusum_abs",
+            F.round("__stat", 4).alias("cusum_stat"),
+            F.round("__mb", 4).alias("mean_before"),
+            F.round("__ma", 4).alias("mean_after"),
+        )
+        .orderBy("metric")
     )
 
 

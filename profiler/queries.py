@@ -8778,3 +8778,86 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return brown_forsythe(ev, "value", "event_type")
+
+
+@_register(
+    "q156_change_points",
+    """
+    WITH agg AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_key,
+             count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_value,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               / count(*) AS p_view
+      FROM events GROUP BY 1
+    ),
+    long AS (
+      SELECT partition_key, 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value
+      FROM agg
+      UNION ALL SELECT partition_key, 'avg_value', avg_value FROM agg
+      UNION ALL SELECT partition_key, 'p_view', p_view FROM agg
+    ),
+    base2 AS (
+      SELECT partition_key, metric, value,
+             avg(value) OVER (PARTITION BY metric) AS xbar,
+             count(value) OVER (PARTITION BY metric) AS n,
+             stddev_samp(value) OVER (PARTITION BY metric) AS sd
+      FROM long
+    ),
+    run AS (
+      SELECT *, sum(value - xbar) OVER (PARTITION BY metric
+               ORDER BY partition_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM base2
+    ),
+    cp AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY metric
+                    ORDER BY abs(s) DESC, partition_key) AS rn
+        FROM run
+      ) WHERE rn = 1
+    ),
+    sides AS (
+      SELECT l.metric,
+             avg(CASE WHEN l.partition_key <= cp.partition_key
+                      THEN l.value END) AS mb,
+             avg(CASE WHEN l.partition_key > cp.partition_key
+                      THEN l.value END) AS ma
+      FROM long l JOIN cp ON l.metric = cp.metric GROUP BY 1
+    )
+    SELECT cp.metric, cp.partition_key AS cp_partition,
+           CAST(cp.n AS BIGINT) AS n_partitions,
+           ROUND(abs(cp.s), 4) AS cusum_abs,
+           ROUND(CASE WHEN cp.sd > 0 AND cp.n > 1
+                      THEN abs(cp.s) / (cp.sd * sqrt(CAST(cp.n AS DOUBLE)))
+                 END, 4) AS cusum_stat,
+           ROUND(sides.mb, 4) AS mean_before,
+           ROUND(sides.ma, 4) AS mean_after
+    FROM cp JOIN sides USING (metric) ORDER BY metric
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective change-point detection
+    (:func:`profiler.drift.change_points`): per daily metric series
+    (q146's metrics), the partition maximizing |CUSUM| plus the
+    Kolmogorov-scaled statistic and the level on each side of the cut.
+    Same single-scan melt as the control chart; the oracle replays the
+    CUSUM windows, argmax tie-break and side means in SQL."""
+    from profiler.drift import change_points
+
+    ev = _t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return change_points(
+        ev,
+        metrics={
+            "n_rows": n.cast("double"),
+            "avg_value": F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / n,
+            "p_view": F.count_if(F.col("event_type") == "view").cast("double")
+            / n,
+        },
+        partition_expr="to_date(ts)",
+    )

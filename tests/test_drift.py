@@ -405,3 +405,35 @@ def test_drift_report_multi_validation(spark):
     # single partition -> no pairs -> empty frame, stable schema
     out = drift_report_multi(df, [("v", True)], "p")
     assert out.count() == 0 and "ks_flag" in out.columns
+
+
+def test_change_points_planted_shift(spark):
+    from profiler.drift import change_points
+
+    # metric 'avg_value' jumps from ~10 to ~20 after day 08; n_rows stable
+    rows = []
+    for d in range(1, 17):
+        level = 10.0 if d <= 8 else 20.0
+        rows += [
+            (f"2024-01-{d:02d}", level + 0.01 * (i % 3)) for i in range(50)
+        ]
+    df = spark.createDataFrame(rows, "day string, value double")
+    out = {
+        r["metric"]: r
+        for r in change_points(
+            df,
+            metrics={
+                "avg_value": F.avg("value"),
+                "n_rows": F.count(F.lit(1)).cast("double"),
+            },
+            partition_expr="day",
+        ).collect()
+    }
+    cp = out["avg_value"]
+    assert cp["cp_partition"] == "2024-01-08"  # last partition of the old level
+    assert cp["n_partitions"] == 16
+    assert cp["mean_before"] < 11 < 19 < cp["mean_after"]
+    assert cp["cusum_stat"] > 1.0
+    # perfectly flat series: zero cusum and UNDEFINED (null) statistic
+    flat = out["n_rows"]
+    assert flat["cusum_abs"] == 0.0 and flat["cusum_stat"] is None
