@@ -386,3 +386,69 @@ def association_rules(
         return out
     finally:
         pairs.unpersist()
+
+
+def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns,
+    with Cramér's V — the frequentist companion of
+    :func:`mutual_information` (same inputs, a calibrated test statistic
+    instead of an information quantity). Null values on either side are
+    excluded.
+
+    Returns one row: (n, r, c, chi2, dof, cramers_v) where
+    ``dof = (r−1)(c−1)`` and ``cramers_v = sqrt(χ²/(n·min(r−1,c−1)))``.
+
+    Plan + zero-cell correctness: ONE groupBy (x, y) collapses the table;
+    marginals re-aggregate the pair frame. Unobserved cells still
+    contribute their expectation to χ², so instead of materializing the
+    dense r×c grid the identity
+    ``χ² = Σ_observed[(o−e)²/e − e] + n`` is used (Σ_all e = n) — only
+    observed cells are ever touched.
+    """
+    x = F.col(col_x).cast("string")
+    y = F.col(col_y).cast("string")
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    pairs = pairs.persist()
+    try:
+        rx = pairs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
+        cy = pairs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
+        tot = pairs.agg(
+            F.sum("__o").alias("n"),
+        ).collect()[0]
+        n = tot["n"] or 0
+        if n == 0:
+            return df.sparkSession.createDataFrame(
+                [], "n long, r long, c long, chi2 double, dof long, cramers_v double"
+            )
+        joined = pairs.join(F.broadcast(rx), "__x").join(
+            F.broadcast(cy), "__y"
+        )
+        e = (F.col("__nx") * F.col("__ny")).cast("double") / F.lit(float(n))
+        agg = joined.agg(
+            F.sum(
+                (F.col("__o") - e) ** 2 / e - e
+            ).alias("body"),
+            F.count_distinct("__x").alias("r"),
+            F.count_distinct("__y").alias("c"),
+        ).collect()[0]
+        r, c = agg["r"], agg["c"]
+        chi2 = agg["body"] + n
+        dof = (r - 1) * (c - 1)
+        mindim = min(r - 1, c - 1)
+        v = (chi2 / (n * mindim)) ** 0.5 if mindim > 0 and chi2 > 0 else None
+        return df.sparkSession.createDataFrame(
+            [
+                (
+                    int(n), int(r), int(c),
+                    round(chi2, 4), int(dof),
+                    round(v, 4) if v is not None else None,
+                )
+            ],
+            "n long, r long, c long, chi2 double, dof long, cramers_v double",
+        )
+    finally:
+        pairs.unpersist()

@@ -8861,3 +8861,44 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         partition_expr="to_date(ts)",
     )
+
+
+@_register(
+    "q157_chi2_independence",
+    """
+    WITH pairs AS (
+      SELECT CAST(c_mktsegment AS VARCHAR) AS x,
+             CAST(c_nationkey AS VARCHAR) AS y, count(*) AS o
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, sum(o) AS nx FROM pairs GROUP BY 1),
+    cy AS (SELECT y, sum(o) AS ny FROM pairs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM pairs),
+    body AS (
+      SELECT sum(pow(o - CAST(nx * ny AS DOUBLE) / n, 2)
+                   / (CAST(nx * ny AS DOUBLE) / n)
+                 - CAST(nx * ny AS DOUBLE) / n) AS b,
+             count(DISTINCT x) AS r, count(DISTINCT y) AS c,
+             any_value(n) AS n
+      FROM pairs JOIN rx USING (x) JOIN cy USING (y), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+           CAST(c AS BIGINT) AS c,
+           ROUND(b + n, 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(sqrt((b + n) / (n * least(r - 1, c - 1))), 4) AS cramers_v
+    FROM body
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence + Cramér's V
+    (:func:`profiler.dependencies.chi2_independence`): is customer market
+    segment independent of nation? Zero-cell-safe identity
+    chi2 = sum_observed[(o-e)^2/e - e] + n avoids materializing the dense
+    r x c grid; the oracle replays the identity in SQL."""
+    from profiler.dependencies import chi2_independence
+
+    cust = _t(spark, sf_dir, "customer")
+    return chi2_independence(cust, "c_mktsegment", "c_nationkey")

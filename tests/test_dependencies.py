@@ -328,3 +328,38 @@ def test_association_rules_nulls_and_validation(spark):
         association_rules(df, "l", "r", min_support=1.5)
     with _pytest.raises(ValueError, match="min_confidence"):
         association_rules(df, "l", "r", min_confidence=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# chi-squared independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_hand_computed(spark):
+    from profiler.dependencies import chi2_independence
+
+    # perfectly dependent 2x2: x==y always -> chi2 = n, V = 1
+    rows = [("a", "a")] * 30 + [("b", "b")] * 30
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert r["n"] == 60 and r["r"] == 2 and r["c"] == 2 and r["dof"] == 1
+    assert r["chi2"] == 60.0 and r["cramers_v"] == 1.0
+    # independent uniform 2x2 -> chi2 exactly 0
+    rows2 = [("a", "a")] * 10 + [("a", "b")] * 10 + [("b", "a")] * 10 + [("b", "b")] * 10
+    ind = chi2_independence(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert ind["chi2"] == 0.0
+    # zero-cell case, textbook: x=a -> y in {p,q}; x=b -> y=p only
+    # contingency: a:(p=5,q=5), b:(p=10,q=0); n=20, np=15, nq=5
+    # e: a-p 7.5, a-q 2.5, b-p 7.5, b-q 2.5
+    # chi2 = (5-7.5)^2/7.5 + (5-2.5)^2/2.5 + (10-7.5)^2/7.5 + (0-2.5)^2/2.5
+    rows3 = [("a", "p")] * 5 + [("a", "q")] * 5 + [("b", "p")] * 10
+    z = chi2_independence(
+        spark.createDataFrame(rows3, "x string, y string"), "x", "y"
+    ).collect()[0]
+    expect = 6.25 / 7.5 + 6.25 / 2.5 + 6.25 / 7.5 + 6.25 / 2.5
+    assert z["chi2"] == round(expect, 4)  # unobserved (b,q) still counted
+    # empty input -> empty frame
+    e = chi2_independence(df.where("x IS NULL"), "x", "y")
+    assert e.count() == 0
