@@ -152,8 +152,21 @@ def suggest_constraints(
     the table it was mined from (every rule is an observed invariant); its
     value is validating the NEXT snapshot. Returns (suite, rules frame)."""
     rules_df = suggest_rules(df, columns=columns, max_domain=max_domain)
+    rows = [r.asDict() for r in rules_df.collect()]
+    return suite_from_rules(rows, partition_expr=partition_expr), rules_df
+
+
+def suite_from_rules(
+    rows: list[dict], partition_expr: str = "CAST(NULL AS STRING)"
+) -> ConstraintSuite:
+    """Rebuild an executable suite from serialized rule rows (the JSON
+    persistence path: mine on snapshot N with :func:`suggest_rules`, store
+    ``[r.asDict() for r in rules.collect()]`` — plain
+    ``json.dumps``-able — and validate snapshot N+1 in a later job
+    without re-mining). Unknown rule kinds raise rather than silently
+    validating less than the stored contract promises."""
     suite = ConstraintSuite(partition_expr=partition_expr)
-    for r in rules_df.collect():
+    for r in rows:
         c, rule = r["column_name"], r["rule"]
         if rule == "not_null":
             suite.add(not_null(c))
@@ -168,4 +181,6 @@ def suggest_constraints(
                     f"`{c}` IS NULL OR (`{c}` >= {r['lo']!r} AND `{c}` <= {r['hi']!r})",
                 )
             )
-    return suite, rules_df
+        else:
+            raise ValueError(f"unknown rule kind {rule!r} for column {c!r}")
+    return suite

@@ -85,3 +85,31 @@ def test_column_subset_and_empty_table(spark, base_df):
     rules = suggest_rules(empty).collect()
     # no rows -> nothing is an invariant (no not_null/unique/range evidence)
     assert [r["rule"] for r in rules] == ["domain", "domain"]  # empty domains
+
+
+def test_rules_json_round_trip(spark, base_df):
+    import json
+
+    from profiler.suggest import suggest_rules, suite_from_rules
+
+    rules = suggest_rules(base_df)
+    # persist -> plain JSON -> rebuild in a "later job"
+    payload = json.dumps([r.asDict() for r in rules.collect()])
+    suite = suite_from_rules(json.loads(payload))
+    res = suite.validate(base_df)
+    assert res.passed()
+    res.unpersist()
+    # rebuilt suite still catches a violation on the next snapshot
+    bad = base_df.unionByName(
+        spark.createDataFrame(
+            [(0, "dup", "red", 20.0, 1)],
+            "id bigint, name string, color string, score double, opt int",
+        )
+    )
+    res2 = suite.validate(bad)
+    assert not res2.passed()
+    res2.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rule"):
+        suite_from_rules([{"column_name": "x", "rule": "bogus"}])
