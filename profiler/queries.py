@@ -8902,3 +8902,51 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     return chi2_independence(cust, "c_mktsegment", "c_nationkey")
+
+
+@_register(
+    "q158_value_movers",
+    """
+    WITH a AS (
+      SELECT CAST(l_quantity AS VARCHAR) AS value, count(*) AS n_a
+      FROM lineitem WHERE l_shipdate < DATE '1996-01-01'
+        AND l_quantity IS NOT NULL
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(l_quantity AS VARCHAR) AS value, count(*) AS n_b
+      FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_quantity IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT sum(n_a) FROM a) AS na, (SELECT sum(n_b) FROM b) AS nb),
+    j AS (
+      SELECT COALESCE(a.value, b.value) AS value,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.value = b.value
+    )
+    SELECT value, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / na, 6) AS share_a,
+           ROUND(CAST(n_b AS DOUBLE) / nb, 6) AS share_b,
+           ROUND(CAST(n_b AS DOUBLE) / nb - CAST(n_a AS DOUBLE) / na, 6)
+             AS delta,
+           CASE WHEN n_a = 0 THEN 'new' WHEN n_b = 0 THEN 'gone'
+                ELSE 'moved' END AS status
+    FROM j, tot
+    ORDER BY abs(CAST(n_b AS DOUBLE) / nb - CAST(n_a AS DOUBLE) / na) DESC,
+             value ASC
+    LIMIT 20
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value movers (:func:`profiler.drift.value_movers`): which lineitem
+    quantities changed share between the pre-1996 and post-1996 snapshot
+    halves — counts, shares, delta and new/gone/moved status, top 20 by
+    |delta|. The join runs over count frames (distinct-value-sized); the
+    oracle replays the share algebra and ordering."""
+    from profiler.drift import value_movers
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_shipdate") < F.lit("1996-01-01"))
+    b = li.where(F.col("l_shipdate") >= F.lit("1996-01-01"))
+    return value_movers(a, b, "l_quantity", top_k=20)

@@ -437,3 +437,25 @@ def test_change_points_planted_shift(spark):
     # perfectly flat series: zero cusum and UNDEFINED (null) statistic
     flat = out["n_rows"]
     assert flat["cusum_abs"] == 0.0 and flat["cusum_stat"] is None
+
+
+def test_value_movers_statuses(spark):
+    from profiler.drift import value_movers
+
+    a = spark.createDataFrame(
+        [("x",)] * 8 + [("y",)] * 2, "v string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 5 + [("z",)] * 5, "v string"
+    )
+    out = {r["value"]: r for r in value_movers(a, b, "v").collect()}
+    assert out["y"]["status"] == "gone" and out["y"]["share_b"] == 0.0
+    assert out["z"]["status"] == "new" and out["z"]["share_a"] == 0.0
+    assert out["x"]["status"] == "moved"
+    assert out["x"]["delta"] == -0.3  # 0.8 -> 0.5
+    assert out["z"]["delta"] == 0.5
+    # top_k truncation by |delta|: z (0.5) beats x (0.3)
+    top1 = value_movers(a, b, "v", top_k=1).collect()
+    assert [r["value"] for r in top1] == ["z"]
+    with pytest.raises(ValueError, match="top_k"):
+        value_movers(a, b, "v", top_k=0)
