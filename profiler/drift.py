@@ -1137,3 +1137,61 @@ def value_movers(
         .orderBy(F.desc(F.abs(F.col("delta"))), F.asc("value"))
         .limit(top_k)
     )
+
+
+def quantile_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    percentiles: tuple = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """Per-percentile shift between two snapshots of ``column``: one row
+    per requested percentile with each side's quantile, the absolute
+    shift and the relative shift (vs side a; NULL at q_a = 0) — WHERE in
+    the distribution the drift lives (tails vs center), the quantile
+    companion of :func:`value_movers`.
+
+    ``exact=True`` uses linear-interpolation ``percentile`` (one exact
+    aggregate per side); ``exact=False`` swaps in ``percentile_approx``
+    (bounded-memory sketch) for the 100 TB path — the same knob as the
+    profile's A5 percentiles.
+    """
+    pcts = [float(p) for p in percentiles]
+    if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
+        raise ValueError(f"percentiles must be within [0,1], got {percentiles}")
+
+    def _quants(df: DataFrame) -> list:
+        c = F.col(column)
+        agg = (
+            F.percentile(c, F.array(*[F.lit(p) for p in pcts]))
+            if exact
+            else F.percentile_approx(
+                c, F.array(*[F.lit(p) for p in pcts]), approx_accuracy
+            )
+        )
+        return df.where(c.isNotNull()).agg(agg.alias("q")).collect()[0]["q"]
+
+    qa, qb = _quants(df_a), _quants(df_b)
+    rows = []
+    for p, a, b in zip(pcts, qa or [None] * len(pcts), qb or [None] * len(pcts)):
+        shift = (b - a) if a is not None and b is not None else None
+        rel = (
+            round(shift / abs(a), 6)
+            if shift is not None and a not in (None, 0)
+            else None
+        )
+        rows.append(
+            (
+                p,
+                round(a, 6) if a is not None else None,
+                round(b, 6) if b is not None else None,
+                round(shift, 6) if shift is not None else None,
+                rel,
+            )
+        )
+    return df_a.sparkSession.createDataFrame(
+        rows,
+        "percentile double, q_a double, q_b double, shift double, rel_shift double",
+    )

@@ -8950,3 +8950,42 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_shipdate") < F.lit("1996-01-01"))
     b = li.where(F.col("l_shipdate") >= F.lit("1996-01-01"))
     return value_movers(a, b, "l_quantity", top_k=20)
+
+
+@_register(
+    "q159_quantile_shift",
+    """
+    WITH a AS (
+      SELECT unnest(quantile_cont(value,
+               [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])) AS q_a,
+             unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS percentile
+      FROM events WHERE day(ts) < 16 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT unnest(quantile_cont(value,
+               [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])) AS q_b,
+             unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS percentile
+      FROM events WHERE day(ts) >= 16 AND value IS NOT NULL
+    )
+    SELECT CAST(a.percentile AS DOUBLE) AS percentile, ROUND(q_a, 6) AS q_a, ROUND(q_b, 6) AS q_b,
+           ROUND(q_b - q_a, 6) AS shift,
+           CASE WHEN q_a != 0 THEN ROUND((q_b - q_a) / abs(q_a), 6) END
+             AS rel_shift
+    FROM a JOIN b USING (percentile)
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile shift (:func:`profiler.drift.quantile_shift`): exact
+    linear-interpolation percentiles of value on each side of the
+    mid-month split, with absolute and relative per-percentile deltas —
+    WHERE in the distribution the drift lives. One exact percentile
+    aggregate per side (percentile_approx knob for the 100 TB path); the
+    oracle replays with quantile_cont."""
+    from profiler.drift import quantile_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_shift(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+    )

@@ -459,3 +459,29 @@ def test_value_movers_statuses(spark):
     assert [r["value"] for r in top1] == ["z"]
     with pytest.raises(ValueError, match="top_k"):
         value_movers(a, b, "v", top_k=0)
+
+
+def test_quantile_shift_planted(spark):
+    from profiler.drift import quantile_shift
+
+    a = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    b = spark.createDataFrame(
+        [(float(i) + 10.0,) for i in range(101)], "v double"
+    )
+    out = {r["percentile"]: r for r in quantile_shift(a, b, "v").collect()}
+    # uniform +10 shift at every percentile; exact interpolation on 0..100
+    for p, r in out.items():
+        assert r["shift"] == 10.0, (p, r)
+    assert out[0.5]["q_a"] == 50.0 and out[0.5]["q_b"] == 60.0
+    assert out[0.5]["rel_shift"] == 0.2
+    # q_a = 0 -> relative shift undefined
+    assert out[0.01]["q_a"] == 1.0  # sanity: interpolated, nonzero
+    z = quantile_shift(
+        spark.createDataFrame([(0.0,), (0.0,)], "v double"),
+        spark.createDataFrame([(1.0,)], "v double"),
+        "v",
+        percentiles=(0.5,),
+    ).collect()[0]
+    assert z["q_a"] == 0.0 and z["rel_shift"] is None and z["shift"] == 1.0
+    with pytest.raises(ValueError, match="percentiles"):
+        quantile_shift(a, b, "v", percentiles=(1.5,))
