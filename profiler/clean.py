@@ -327,3 +327,107 @@ def clean_corpus(
     for frame in cached:
         frame.unpersist()
     return cur, stats
+
+
+# ---------------------------------------------------------------------------
+# Numeric cleaning: winsorization and group-wise imputation — the numeric
+# counterparts of the text-corpus gates above (clip the tails a profile
+# flagged, fill the holes a profile counted).
+# ---------------------------------------------------------------------------
+def winsorize_bounds(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> dict[str, tuple[float, float]]:
+    """Per-column (lo, hi) percentile clip bounds, ONE aggregate for all
+    columns (exact linear-interpolation percentile, or the
+    ``percentile_approx`` sketch for the 100 TB path)."""
+    if not cols:
+        raise ValueError("winsorize_bounds needs at least one column")
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    aggs = []
+    for c in cols:
+        pc = (
+            F.percentile(F.col(c), F.array(F.lit(lower), F.lit(upper)))
+            if exact
+            else F.percentile_approx(
+                F.col(c), F.array(F.lit(lower), F.lit(upper)), approx_accuracy
+            )
+        )
+        aggs.append(pc.alias(c))
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: (row[c][0], row[c][1]) if row[c] is not None else (None, None)
+        for c in cols
+    }
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Clip each column in ``cols`` to its [lower, upper] percentile bounds
+    (tail-robust standardization prep; the executable form of a profile's
+    "0.4% of values sit beyond p99"). Pass ``bounds`` (e.g. mined on a
+    reference snapshot via :func:`winsorize_bounds`) to clip a NEW
+    snapshot against the OLD bounds — the drift-stable workflow. The
+    rewrite is one narrow whole-stage-codegen projection; NULLs pass
+    through untouched.
+    """
+    bounds = bounds or winsorize_bounds(df, cols, lower, upper, exact=exact)
+    out = df
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None:
+            continue
+        # isNotNull guard: Spark greatest()/least() SKIP nulls, so an
+        # unguarded clip would silently rewrite NULL as the lower bound
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi)),
+            ),
+        )
+    return out
+
+
+def impute_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    strategy: str = "median",
+) -> DataFrame:
+    """Fill NULLs of ``col`` with the per-group ``median`` (exact
+    interpolated percentile) or ``mean`` (exact decimal sum / count),
+    falling back to the GLOBAL statistic for groups with no observed
+    values. Adds ``<col>_imputed`` (boolean). One grouped aggregate over
+    observed values builds the tiny fill table; the rewrite is a broadcast
+    join + coalesce — the table is scanned once and never shuffled.
+    """
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"strategy must be median|mean, got {strategy!r}")
+    v = F.col(col)
+    if strategy == "median":
+        stat = F.percentile(v, F.lit(0.5))
+    else:
+        stat = F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(v)
+    observed = df.where(v.isNotNull())
+    fills = observed.groupBy(*group_cols).agg(stat.alias("__fill"))
+    g_row = observed.agg(stat.alias("g")).collect()[0]
+    global_fill = g_row["g"]
+    out = df.join(F.broadcast(fills), group_cols, "left")
+    filled = F.coalesce(v, F.col("__fill"), F.lit(global_fill))
+    return (
+        out.withColumn(f"{col}_imputed", v.isNull())
+        .withColumn(col, filled)
+        .drop("__fill")
+    )

@@ -8989,3 +8989,108 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.dayofmonth("ts") >= 16),
         "value",
     )
+
+
+@_register(
+    "q160_winsorize",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem
+    )
+    SELECT ROUND(lo, 6) AS lo_bound, ROUND(hi, 6) AS hi_bound,
+           count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_lo,
+           count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_hi,
+           ROUND(min(least(greatest(l_extendedprice, lo), hi)), 6)
+             AS min_after,
+           ROUND(max(least(greatest(l_extendedprice, lo), hi)), 6)
+             AS max_after
+    FROM lineitem, b GROUP BY lo, hi
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (:func:`profiler.clean.winsorize` /
+    :func:`winsorize_bounds`): clip l_extendedprice to its exact
+    [p01, p99] bounds; the summary verifies the bounds, the clip counts
+    per tail, and the post-clip extrema (computed off the REWRITTEN
+    frame, so the clip itself is what's checked). The oracle replays with
+    quantile_cont."""
+    from profiler.clean import winsorize, winsorize_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = winsorize_bounds(li, ["l_extendedprice"], 0.01, 0.99)
+    lo, hi = bounds["l_extendedprice"]
+    w = winsorize(li, ["l_extendedprice"], bounds=bounds)
+    clip_counts = li.agg(
+        F.count_if(F.col("l_extendedprice") < lo).alias("n_clipped_lo"),
+        F.count_if(F.col("l_extendedprice") > hi).alias("n_clipped_hi"),
+    )
+    extrema = w.agg(
+        F.round(F.min("l_extendedprice"), 6).alias("min_after"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_after"),
+    )
+    return clip_counts.crossJoin(extrema).select(
+        F.round(F.lit(lo), 6).alias("lo_bound"),
+        F.round(F.lit(hi), 6).alias("hi_bound"),
+        "n_clipped_lo",
+        "n_clipped_hi",
+        "min_after",
+        "max_after",
+    )
+
+
+@_register(
+    "q161_impute_by_group",
+    """
+    WITH holes AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    fills AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS fill
+      FROM holes WHERE v IS NOT NULL GROUP BY 1
+    ),
+    filled AS (
+      SELECT h.event_type, COALESCE(h.v, f.fill) AS v,
+             h.v IS NULL AS imputed, f.fill
+      FROM holes h JOIN fills f USING (event_type)
+    )
+    SELECT event_type, count(*) AS n,
+           count(*) FILTER (WHERE imputed) AS n_imputed,
+           ROUND(any_value(fill), 6) AS imputed_value,
+           count(*) FILTER (WHERE v IS NULL) AS n_null_after
+    FROM filled GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise imputation (:func:`profiler.clean.impute_by_group`):
+    every 7th event's value is blanked, then filled with its event_type's
+    exact median (broadcast fill table + coalesce, single scan of the
+    fact). The rollup verifies fill counts, the fill value and that no
+    NULLs survive; the oracle replays the injection, group medians and
+    coalesce."""
+    from profiler.clean import impute_by_group
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    holed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute_by_group(holed, "value", ["event_type"], strategy="median")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value_imputed")).alias("n_imputed"),
+            F.round(
+                F.min(F.when(F.col("value_imputed"), F.col("value"))), 6
+            ).alias("imputed_value"),
+            F.count_if(F.col("value").isNull()).alias("n_null_after"),
+        )
+        .orderBy("event_type")
+    )

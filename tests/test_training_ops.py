@@ -2404,3 +2404,59 @@ def test_clean_corpus_rejects_span_and_coverage_together(spark):
         clean_corpus(
             docs, config=CleanConfig(dup_span_k=3, dup_ngram_k=3)
         )
+
+
+# ---------------------------------------------------------------------------
+# numeric cleaning: winsorize + impute_by_group
+# ---------------------------------------------------------------------------
+
+
+class TestNumericCleaning:
+    def test_winsorize_planted(self, spark):
+        from profiler.clean import winsorize, winsorize_bounds
+
+        # values 1..100 with an outlier 1000; p01/p99 on 1..100,1000
+        rows = [(float(i),) for i in range(1, 101)] + [(1000.0,), (None,)]
+        df = spark.createDataFrame(rows, "v double")
+        b = winsorize_bounds(df, ["v"], 0.1, 0.9)
+        lo, hi = b["v"]
+        assert lo < 15 and 90 < hi < 1000
+        out = winsorize(df, ["v"], bounds=b).collect()
+        vals = [r["v"] for r in out if r["v"] is not None]
+        assert min(vals) == lo and max(vals) == hi
+        assert sum(1 for r in out if r["v"] is None) == 1  # NULL passes through
+        # old bounds applied to a NEW snapshot (the drift-stable workflow)
+        nxt = spark.createDataFrame([(5000.0,), (-5.0,)], "v double")
+        clipped = sorted(
+            r["v"] for r in winsorize(nxt, ["v"], bounds=b).collect()
+        )
+        assert clipped == [lo, hi]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="lower"):
+            winsorize_bounds(df, ["v"], 0.9, 0.1)
+
+    def test_impute_by_group(self, spark):
+        from profiler.clean import impute_by_group
+
+        rows = [
+            ("a", 1.0), ("a", 3.0), ("a", None),
+            ("b", 10.0), ("b", None),
+            ("c", None),  # group with NO observed values -> global fallback
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r["g"], r["v"], r["v_imputed"]) for r in
+               impute_by_group(df, "v", ["g"], strategy="median").collect()}
+        assert ("a", 2.0, True) in out       # median(1,3)
+        assert ("b", 10.0, True) in out      # median(10)
+        # global median over observed = median(1,3,10) = 3
+        assert ("c", 3.0, True) in out
+        assert ("a", 1.0, False) in out
+        mean_out = {(r["g"], r["v"]) for r in
+                    impute_by_group(df, "v", ["g"], strategy="mean").collect()
+                    if r["v_imputed"]}
+        assert ("a", 2.0) in mean_out
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="strategy"):
+            impute_by_group(df, "v", ["g"], strategy="mode")
