@@ -9094,3 +9094,66 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "q162_embedding_drift",
+    """
+    WITH ea AS (
+      SELECT embedding FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    eb AS (
+      SELECT embedding FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    sa AS (
+      SELECT count(*) AS n_a,
+             avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS mean_norm_a
+      FROM ea
+    ),
+    sb AS (
+      SELECT count(*) AS n_b,
+             avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS mean_norm_b
+      FROM eb
+    ),
+    ma AS (
+      SELECT pos, avg(val) AS m_a FROM (
+        SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val FROM ea
+      ) GROUP BY pos
+    ),
+    mb AS (
+      SELECT pos, avg(val) AS m_b FROM (
+        SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val FROM eb
+      ) GROUP BY pos
+    ),
+    c AS (
+      SELECT count(*) AS dim, sum(m_a * m_b) AS dot,
+             sqrt(sum(m_a * m_a)) AS na, sqrt(sum(m_b * m_b)) AS nb
+      FROM ma JOIN mb USING (pos)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(dot / (na * nb), 6) AS cos_mean,
+           ROUND(mean_norm_a, 6) AS mean_norm_a,
+           ROUND(mean_norm_b, 6) AS mean_norm_b,
+           ROUND(mean_norm_b - mean_norm_a, 6) AS norm_shift
+    FROM c, sa, sb
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift (:func:`profiler.similarity.embedding_drift`):
+    centroid rotation (cosine between the two halves' mean vectors) and
+    norm shift for the embeddings table split by vec_id parity. One
+    posexplode + dim-sized groupBy per side, row norms folded in the same
+    scan, elements cast to double before squaring; the oracle replays
+    with generate_subscripts/list_transform."""
+    from profiler.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )

@@ -840,3 +840,67 @@ def embedding_health(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             F.when(F.col("__n_clean") > 0, F.sqrt(F.greatest(var, F.lit(0.0)))), 4
         ).alias("norm_std"),
     )
+
+
+def embedding_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """Drift between two snapshots of an embedding column: did the
+    CENTROID move, and did the norm distribution shift? Returns one row:
+    (dim, n_a, n_b, cos_mean, mean_norm_a, mean_norm_b, norm_shift) where
+    ``cos_mean`` is the cosine between the two sides' mean vectors (1 ≈
+    same direction; drops as the population's centroid rotates — the
+    embedding-space analogue of a mean shift) and ``norm_shift`` is the
+    mean-norm delta (collapse/inflation signal even when direction holds).
+
+    Plan: per side, ONE posexplode → groupBy(position) average builds the
+    mean vector (dim-sized shuffle, never pairwise), and row norms are
+    per-row expression folds averaged in the same scan; the cosine is
+    computed over the two dim-sized frames joined on position. Elements
+    are cast to double BEFORE squaring so float32 arithmetic never leaks
+    into the statistics.
+    """
+    def _side(df: DataFrame, tag: str):
+        v = as_double_vec(F.col(col))
+        base = df.where(F.col(col).isNotNull())
+        stats = base.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg(norm_expr(v)).alias(f"mean_norm_{tag}"),
+        ).collect()[0]
+        mean_vec = (
+            base.select(F.posexplode(v).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.avg("val").alias(f"m_{tag}"))
+        )
+        return stats, mean_vec
+
+    sa, ma = _side(df_a, "a")
+    sb, mb = _side(df_b, "b")
+    joined = ma.join(mb, "pos")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(F.col("m_a") * F.col("m_b")).alias("dot"),
+        F.sqrt(F.sum(F.col("m_a") * F.col("m_a"))).alias("na"),
+        F.sqrt(F.sum(F.col("m_b") * F.col("m_b"))).alias("nb"),
+    ).collect()[0]
+    cos = (
+        agg["dot"] / (agg["na"] * agg["nb"])
+        if agg["na"] and agg["nb"]
+        else None
+    )
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["dim"]),
+                int(sa["n_a"]),
+                int(sb["n_b"]),
+                round(cos, 6) if cos is not None else None,
+                round(sa["mean_norm_a"], 6),
+                round(sb["mean_norm_b"], 6),
+                round(sb["mean_norm_b"] - sa["mean_norm_a"], 6),
+            )
+        ],
+        "dim long, n_a long, n_b long, cos_mean double, "
+        "mean_norm_a double, mean_norm_b double, norm_shift double",
+    )

@@ -2460,3 +2460,35 @@ class TestNumericCleaning:
 
         with _pytest.raises(ValueError, match="strategy"):
             impute_by_group(df, "v", ["g"], strategy="mode")
+
+
+def test_embedding_drift(spark):
+    from profiler.similarity import embedding_drift
+
+    # side a points along +x, side b along +y -> cos_mean ~ 0;
+    # b's norms are 2x a's -> norm_shift ~ +1
+    import math
+
+    def vec(direction, scale, jitter):
+        v = [jitter, jitter, jitter, jitter]
+        v[direction] += scale
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n * scale for x in v]
+
+    a = spark.createDataFrame(
+        [(i, vec(0, 1.0, 0.001 * i)) for i in range(20)],
+        "id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(i, vec(1, 2.0, 0.001 * i)) for i in range(20)],
+        "id long, embedding array<float>",
+    )
+    r = embedding_drift(a, b).collect()[0]
+    assert r["dim"] == 4 and r["n_a"] == 20 and r["n_b"] == 20
+    assert abs(r["cos_mean"]) < 0.1
+    assert r["mean_norm_a"] == pytest.approx(1.0, abs=1e-3)
+    assert r["mean_norm_b"] == pytest.approx(2.0, abs=1e-3)
+    assert r["norm_shift"] == pytest.approx(1.0, abs=2e-3)
+    # identical sides -> cos 1, shift 0
+    s = embedding_drift(a, a).collect()[0]
+    assert s["cos_mean"] == 1.0 and s["norm_shift"] == 0.0
