@@ -9157,3 +9157,56 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 2 == 0),
         emb.where(F.col("vec_id") % 2 == 1),
     )
+
+
+@_register(
+    "q163_token_movers",
+    r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS side, unnest(list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    a AS (SELECT token AS value, count(*) AS n_a FROM tok WHERE side = 0 GROUP BY 1),
+    b AS (SELECT token AS value, count(*) AS n_b FROM tok WHERE side = 1 GROUP BY 1),
+    tot AS (SELECT (SELECT sum(n_a) FROM a) AS na, (SELECT sum(n_b) FROM b) AS nb),
+    j AS (
+      SELECT COALESCE(a.value, b.value) AS value,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.value = b.value
+    )
+    SELECT value, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / na, 6) AS share_a,
+           ROUND(CAST(n_b AS DOUBLE) / nb, 6) AS share_b,
+           ROUND(CAST(n_b AS DOUBLE) / nb - CAST(n_a AS DOUBLE) / na, 6)
+             AS delta,
+           CASE WHEN n_a = 0 THEN 'new' WHEN n_b = 0 THEN 'gone'
+                ELSE 'moved' END AS status
+    FROM j, tot
+    ORDER BY abs(CAST(n_b AS DOUBLE) / nb - CAST(n_a AS DOUBLE) / na) DESC,
+             value ASC
+    LIMIT 25
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift (token movers): q158's value-movers machinery
+    composed over the engine-standard token stream
+    (:func:`profiler.text.clean_tokens_expr`) — which TOKENS changed
+    share between the doc_id-parity halves of the corpus. Token counts
+    map-side combine in one exploded groupBy per side; the movers join
+    runs over vocabulary-sized count frames. The oracle replays
+    normalization and the movers algebra."""
+    from profiler.drift import value_movers
+    from profiler.text import clean_tokens_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def toks(side: int) -> DataFrame:
+        return d.where(F.col("doc_id") % 2 == side).select(
+            F.explode(clean_tokens_expr(F.col("text"))).alias("token")
+        )
+
+    return value_movers(toks(0), toks(1), "token", top_k=25)
