@@ -439,7 +439,12 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         chi2 = agg["body"] + n
         dof = (r - 1) * (c - 1)
         mindim = min(r - 1, c - 1)
-        v = (chi2 / (n * mindim)) ** 0.5 if mindim > 0 and chi2 > 0 else None
+        # V is defined (and 0) at exact independence; only a degenerate
+        # single-category dimension leaves it undefined. max() guards the
+        # tiny negative chi2 float residue the identity can produce.
+        v = (
+            (max(chi2, 0.0) / (n * mindim)) ** 0.5 if mindim > 0 else None
+        )
         return df.sparkSession.createDataFrame(
             [
                 (

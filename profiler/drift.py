@@ -171,6 +171,10 @@ def divergences_from_counts(
     * ``wasserstein`` — W₁ = Σ|CDF_a − CDF_b| in BUCKET-WIDTH units over the
       shared equal-width binning (multiply by (hi−lo)/n_bins for value
       units); NaN for ``ordinal=False`` (categorical buckets have no order).
+      Buckets empty on BOTH sides are absent from the sketch, but the CDF
+      gap persists across them — each observed gap is therefore weighted
+      by the index distance to the NEXT observed bucket, which is exact
+      over the full binning without touching the other statistics.
     """
     import numpy as np
 
@@ -202,9 +206,19 @@ def divergences_from_counts(
     chi2 = float(((ra[nz] - ea) ** 2 / ea).sum() + ((rb[nz] - eb) ** 2 / eb).sum())
     chi2_df = int(nz.sum()) - 1
     cramers_v = float(np.sqrt(chi2 / n_all))
-    wasserstein = (
-        float(np.abs(pa.cumsum() - pb.cumsum()).sum()) if ordinal else nan
-    )
+    if ordinal:
+        try:
+            idx = ca.index.astype(float).to_numpy()[order]
+            # gap i persists until the next OBSERVED bucket: weight by the
+            # index distance (1 for the last / for dense sketches)
+            weights = np.append(np.diff(idx), 1.0)
+        except (TypeError, ValueError):
+            weights = np.ones(len(pa))
+        wasserstein = float(
+            (np.abs(pa.cumsum() - pb.cumsum()) * weights).sum()
+        )
+    else:
+        wasserstein = nan
     return {
         "js": js, "chi2": chi2, "chi2_df": chi2_df, "cramers_v": cramers_v,
         "tvd": tvd, "wasserstein": wasserstein,
@@ -477,8 +491,9 @@ def metric_control_chart(
     TRAILING reference window (the ``window`` preceding partitions in sorted
     partition order, the current one excluded so an anomaly can't mask
     itself): ``zscore = (value − ref_mean) / ref_std`` with
-    ``out_of_control`` when at least ``min_ref`` reference partitions exist,
-    ``ref_std > 0`` and ``|z| ≥ z_threshold``.
+    ``out_of_control`` when at least ``min_ref`` reference partitions exist
+    and either ``|z| ≥ z_threshold``, or the reference band is PERFECTLY
+    constant (``ref_std = 0``, z undefined) and the value departs from it.
 
     Returns (partition_key, metric, value, ref_mean, ref_std, n_ref,
     zscore, out_of_control) — one row per partition × metric, earliest
@@ -506,9 +521,18 @@ def metric_control_chart(
         (F.col("n_ref") >= min_ref) & (F.col("ref_std") > 0),
         (F.col("value") - F.col("ref_mean")) / F.col("ref_std"),
     )
+    # a PERFECTLY constant reference band (ref_std = 0) leaves z undefined,
+    # but any departure from that constant is the most blatant anomaly of
+    # all — flag it rather than silently skipping the test
+    flat_break = (
+        (F.col("n_ref") >= min_ref)
+        & (F.col("ref_std") == 0)
+        & (F.col("value") != F.col("ref_mean"))
+    )
     return ref.withColumn("zscore", z).withColumn(
         "out_of_control",
-        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)),
+        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
+        | F.coalesce(flat_break, F.lit(False)),
     )
 
 
@@ -631,6 +655,23 @@ def change_points(
 # two-sample KS/PSI/divergence panels ask "do these two differ?"; this asks
 # "is ANY of the k partitions shifted?" in one test, with tie correction).
 # ---------------------------------------------------------------------------
+def _avg_rank_map(pairs: DataFrame) -> DataFrame:
+    """Average-rank map off a (group, __val, __gcnt) pair frame — the ONE
+    implementation of fractional ranks + tie terms shared by
+    :func:`kruskal_wallis` and :func:`mann_whitney_u` (and mirrored by
+    their oracles): re-aggregate to per-value totals, then
+    ``avg_rank = |{smaller}| + (ties+1)/2`` via a cumulative window over
+    DISTINCT values, with ``__tie3 = t³−t`` for the tie corrections."""
+    totals = pairs.groupBy("__val").agg(F.sum("__gcnt").alias("__cnt"))
+    w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        "__val",
+        (
+            F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+            + (F.col("__cnt") + 1) / 2.0
+        ).alias("__r"),
+        ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
+    )
 def kruskal_wallis(
     df: DataFrame, value_col: str, group_expr: str
 ) -> DataFrame:
@@ -660,16 +701,7 @@ def kruskal_wallis(
     )
     pairs = pairs.persist()
     try:
-        totals = pairs.groupBy("__val").agg(F.sum("__gcnt").alias("__cnt"))
-        w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, -1)
-        rank_map = totals.select(
-            "__val",
-            (
-                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-                + (F.col("__cnt") + 1) / 2.0
-            ).alias("__r"),
-            ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
-        )
+        rank_map = _avg_rank_map(pairs)
         ranked = pairs.join(F.broadcast(rank_map), "__val")
         per_group = ranked.groupBy("group_key").agg(
             F.sum("__gcnt").alias("n_g"),
@@ -812,16 +844,7 @@ def mann_whitney_u(
     )
     pairs = pairs.persist()
     try:
-        totals = pairs.groupBy("__val").agg(F.sum("__gcnt").alias("__cnt"))
-        w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, -1)
-        rank_map = totals.select(
-            "__val",
-            (
-                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-                + (F.col("__cnt") + 1) / 2.0
-            ).alias("__r"),
-            ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
-        )
+        rank_map = _avg_rank_map(pairs)
         per_group = (
             pairs.join(F.broadcast(rank_map), "__val")
             .groupBy("group_key")
@@ -1106,18 +1129,22 @@ def value_movers(
             .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
         )
     ca, cb = _counts(df_a, "a"), _counts(df_b, "b")
-    na = ca.agg(F.sum("n_a")).collect()[0][0] or 0
-    nb = cb.agg(F.sum("n_b")).collect()[0][0] or 0
     joined = ca.join(cb, "value", "full_outer").select(
         "value",
         F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
     )
+    # totals stay IN the plan (single-row broadcast off the same count
+    # frame) — no driver collect, one action end to end
+    tot = joined.agg(
+        F.sum("n_a").alias("__na"), F.sum("n_b").alias("__nb")
+    )
+    joined = joined.crossJoin(F.broadcast(tot))
     share_a = F.when(
-        F.lit(na) > 0, F.col("n_a").cast("double") / F.lit(float(na or 1))
+        F.col("__na") > 0, F.col("n_a").cast("double") / F.col("__na")
     ).otherwise(F.lit(0.0))
     share_b = F.when(
-        F.lit(nb) > 0, F.col("n_b").cast("double") / F.lit(float(nb or 1))
+        F.col("__nb") > 0, F.col("n_b").cast("double") / F.col("__nb")
     ).otherwise(F.lit(0.0))
     status = (
         F.when(F.col("n_a") == 0, F.lit("new"))

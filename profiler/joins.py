@@ -384,7 +384,11 @@ def interval_overlap_join(
 
     Empty intervals (e ≤ s) span no buckets and match nothing (their
     half-open set is empty). Returns all columns of both inputs (join
-    keys once) plus ``overlap_us``. 100 TB shape: bucket width trades
+    keys once) plus ``overlap_us``; right-side columns whose NAME collides
+    with a left-side non-key column are auto-suffixed ``_r`` (with the
+    default parameters both sides are named start_ts/end_ts — without the
+    rename every output reference would be ambiguous). 100 TB shape:
+    bucket width trades
     explode factor against bucket population — size it near the median
     interval length; per-(key,bucket) hot spots are ordinary join skew,
     handled by AQE skew-join like any other hash join.
@@ -393,6 +397,16 @@ def interval_overlap_join(
         raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
     keys = _keys(on) if on else []
     w_us = int(bucket_seconds) * 1_000_000
+
+    collisions = {
+        c: f"{c}_r"
+        for c in right.columns
+        if c in set(left.columns) and c not in keys
+    }
+    if collisions:
+        right = right.withColumnsRenamed(collisions)
+        right_start = collisions.get(right_start, right_start)
+        right_end = collisions.get(right_end, right_end)
 
     def _bucketed(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
         s_us, e_us = _us(F.col(s)), _us(F.col(e))

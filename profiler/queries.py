@@ -8094,7 +8094,9 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
              (pa + 1e-6) / (SELECT sum(pa + 1e-6) FROM probs) AS qa,
              (pb + 1e-6) / (SELECT sum(pb + 1e-6) FROM probs) AS qb,
              sum(pa) OVER (ORDER BY bucket) AS cdfa,
-             sum(pb) OVER (ORDER BY bucket) AS cdfb
+             sum(pb) OVER (ORDER BY bucket) AS cdfb,
+             COALESCE(lead(bucket) OVER (ORDER BY bucket) - bucket, 1)
+               AS gapw
       FROM probs
     ),
     terms AS (
@@ -8102,7 +8104,7 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.5 * qa * log2(qa / ((qa + qb) / 2))
                + 0.5 * qb * log2(qb / ((qa + qb) / 2)) AS js_term,
              abs(pa - pb) AS tv_term,
-             abs(cdfa - cdfb) AS w_term,
+             abs(cdfa - cdfb) * gapw AS w_term,
              CASE WHEN ca + cb > 0 THEN
                pow(ca - (ca + cb) * na / (na + nb), 2)
                  / ((ca + cb) * na / (na + nb))
@@ -8198,7 +8200,9 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ref_std, 6) AS ref_std,
            CAST(n_ref AS BIGINT) AS n_ref,
            ROUND(zscore, 4) AS zscore,
-           COALESCE(abs(zscore) >= 3.0, FALSE) AS out_of_control
+           COALESCE(abs(zscore) >= 3.0, FALSE)
+             OR COALESCE(n_ref >= 3 AND ref_std = 0 AND value != ref_mean,
+                         FALSE) AS out_of_control
     FROM z ORDER BY partition_key, metric
     """,
 )

@@ -876,6 +876,16 @@ def embedding_drift(
 
     sa, ma = _side(df_a, "a")
     sb, mb = _side(df_b, "b")
+    schema = (
+        "dim long, n_a long, n_b long, cos_mean double, "
+        "mean_norm_a double, mean_norm_b double, norm_shift double"
+    )
+    if sa["n_a"] == 0 or sb["n_b"] == 0:
+        # an empty side has no centroid or norms: NULL panel, not a crash
+        return df_a.sparkSession.createDataFrame(
+            [(0, int(sa["n_a"]), int(sb["n_b"]), None, None, None, None)],
+            schema,
+        )
     joined = ma.join(mb, "pos")
     agg = joined.agg(
         F.count(F.lit(1)).alias("dim"),
@@ -901,6 +911,5 @@ def embedding_drift(
                 round(sb["mean_norm_b"] - sa["mean_norm_a"], 6),
             )
         ],
-        "dim long, n_a long, n_b long, cos_mean double, "
-        "mean_norm_a double, mean_norm_b double, norm_shift double",
+        schema,
     )

@@ -122,8 +122,15 @@ def suggest_rules(
                 .distinct().limit(max_domain + 1).collect()
             ]
             # '|' is the detail separator; a value carrying it would split
-            # wrongly when the suite is rebuilt from the rules table
-            if len(vals) <= max_domain and not any("|" in v for v in vals):
+            # wrongly when the suite is rebuilt from the rules table. An
+            # EMPTY value set (empty table / all-null column) is no
+            # invariant at all — emitting it would rebuild as a domain
+            # permitting only '' (never observed).
+            if (
+                vals
+                and len(vals) <= max_domain
+                and not any("|" in v for v in vals)
+            ):
                 domain_values[c] = sorted(vals)
 
     rules = []

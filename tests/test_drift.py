@@ -485,3 +485,43 @@ def test_quantile_shift_planted(spark):
     assert z["q_a"] == 0.0 and z["rel_shift"] is None and z["shift"] == 1.0
     with pytest.raises(ValueError, match="percentiles"):
         quantile_shift(a, b, "v", percentiles=(1.5,))
+
+
+def test_wasserstein_counts_empty_interior_buckets():
+    import pandas as pd
+
+    from profiler.drift import divergences_from_counts
+
+    # mass at bucket 0 vs bucket 49; buckets 1..48 empty on BOTH sides and
+    # absent from the sketch — the CDF gap of 1 persists across all of them
+    ca = pd.Series([10, 0], index=["0", "49"], dtype=float)
+    cb = pd.Series([0, 10], index=["0", "49"], dtype=float)
+    d = divergences_from_counts(ca, cb, epsilon=1e-12)
+    assert abs(d["wasserstein"] - 49.0) < 1e-9
+    # dense index unchanged: adjacent buckets weight 1
+    ca2 = pd.Series([10, 0], index=["0", "1"], dtype=float)
+    cb2 = pd.Series([0, 10], index=["0", "1"], dtype=float)
+    assert abs(divergences_from_counts(ca2, cb2, 1e-12)["wasserstein"] - 1.0) < 1e-9
+
+
+def test_control_chart_flat_band_break(spark):
+    from profiler.drift import metric_control_chart
+
+    # constant 100 rows/day for 7 days, then a 50-row day: ref_std = 0,
+    # z undefined, but the departure from a perfectly constant band flags
+    rows = []
+    for d in range(1, 9):
+        n = 100 if d < 8 else 50
+        rows += [(f"2024-01-{d:02d}", 1.0)] * n
+    df = spark.createDataFrame(rows, "day string, value double")
+    out = {
+        r["partition_key"]: r
+        for r in metric_control_chart(
+            df, {"n_rows": F.count(F.lit(1)).cast("double")}, "day"
+        ).collect()
+    }
+    broken = out["2024-01-08"]
+    assert broken["zscore"] is None and broken["ref_std"] == 0.0
+    assert broken["out_of_control"]
+    # interior constant days stay in control
+    assert not out["2024-01-07"]["out_of_control"]

@@ -935,3 +935,19 @@ def test_interval_overlap_validation_and_columns(spark):
     assert out.columns.count("k") == 1
     assert "overlap_us" in out.columns
     assert not [c for c in out.columns if c.startswith("__")]
+
+
+def test_interval_overlap_default_names_auto_suffixed(spark):
+    from profiler.joins import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [("a", "k", _ts(0), _ts(10))],
+        "id string, k string, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_overlap_join(df, df.withColumnsRenamed({"id": "rid"}), on="k")
+    # colliding right-side columns auto-suffixed: every output column
+    # uniquely addressable
+    assert sorted(out.columns).count("start_ts") == 1
+    assert "start_ts_r" in out.columns and "end_ts_r" in out.columns
+    row = out.select("start_ts", "start_ts_r", "overlap_us").collect()
+    assert len(row) == 1 and row[0]["overlap_us"] == 10 * 60 * 1_000_000

@@ -83,8 +83,8 @@ def test_column_subset_and_empty_table(spark, base_df):
     assert {r["column_name"] for r in only} == {"color"}
     empty = base_df.where("id < 0")
     rules = suggest_rules(empty).collect()
-    # no rows -> nothing is an invariant (no not_null/unique/range evidence)
-    assert [r["rule"] for r in rules] == ["domain", "domain"]  # empty domains
+    # no rows -> NOTHING is an invariant (an empty domain is not evidence)
+    assert rules == []
 
 
 def test_rules_json_round_trip(spark, base_df):
