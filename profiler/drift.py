@@ -1222,3 +1222,55 @@ def quantile_shift(
         rows,
         "percentile double, q_a double, q_b double, shift double, rel_shift double",
     )
+
+
+def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic on the raw values —
+    no binning (the sketch-based :func:`drift_report` KS is exact only up
+    to its bucket width). Returns one row: (n_a, n_b, ks, ks_lambda,
+    p_approx) where ``ks = sup|F_a − F_b|`` over the pooled distinct
+    values, ``ks_lambda = ks·√(n_a·n_b/(n_a+n_b))`` and ``p_approx =
+    min(1, 2·exp(−2λ²))`` (leading Kolmogorov term — accurate for the
+    small-p regime where decisions happen).
+
+    Plan: one (value, side-count) groupBy collapses both inputs, the CDFs
+    are cumulative windows over DISTINCT values (bounded by column
+    cardinality — same envelope as :func:`kruskal_wallis`; for truly
+    continuous ultra-high-cardinality data use the binned sketch), and
+    the statistic is one max. The sup is attained AT an observed value, so
+    distinct-value evaluation is exact.
+    """
+    import math
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column)
+        return df.where(c.isNotNull()).select(
+            c.cast("double").alias("__val"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("__val").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    ).collect()[0]
+    na, nb = tot["na"] or 0, tot["nb"] or 0
+    if na == 0 or nb == 0:
+        return df_a.sparkSession.createDataFrame(
+            [(int(na), int(nb), None, None, None)],
+            "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+        )
+    gap = F.abs(
+        F.sum("ca").over(w) / F.lit(float(na))
+        - F.sum("cb").over(w) / F.lit(float(nb))
+    )
+    ks = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+    lam = ks * math.sqrt(na * nb / (na + nb))
+    p = min(1.0, 2.0 * math.exp(-2.0 * lam * lam))
+    return df_a.sparkSession.createDataFrame(
+        [(int(na), int(nb), round(ks, 6), round(lam, 6), round(p, 6))],
+        "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+    )

@@ -9214,3 +9214,50 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return value_movers(toks(0), toks(1), "token", top_k=25)
+
+
+@_register(
+    "q164_ks_exact",
+    """
+    WITH counts AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             count(*) FILTER (WHERE day(ts) < 16) AS ca,
+             count(*) FILTER (WHERE day(ts) >= 16) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+    cdf AS (
+      SELECT abs(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(na AS DOUBLE)
+             - sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(nb AS DOUBLE)) AS g, na, nb
+      FROM counts, tot
+    )
+    SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           ROUND(max(g), 6) AS ks,
+           ROUND(max(g) * sqrt(any_value(na) * any_value(nb)
+                 / (any_value(na) + any_value(nb))), 6) AS ks_lambda,
+           ROUND(least(1.0, 2.0 * exp(-2.0
+                 * pow(max(g) * sqrt(any_value(na) * any_value(nb)
+                       / (any_value(na) + any_value(nb))), 2))), 6)
+             AS p_approx
+    FROM cdf
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS (:func:`profiler.drift.ks_exact`): unbinned
+    sup|F_a - F_b| of value across the mid-month split, with the scaled
+    lambda and the leading-term Kolmogorov p approximation. One
+    (value, side) groupBy + cumulative windows over distinct values; the
+    oracle replays the pooled CDFs and the statistic."""
+    from profiler.drift import ks_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_exact(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+    )

@@ -525,3 +525,30 @@ def test_control_chart_flat_band_break(spark):
     assert broken["out_of_control"]
     # interior constant days stay in control
     assert not out["2024-01-07"]["out_of_control"]
+
+
+def test_ks_exact_known_values(spark):
+    import math
+
+    from profiler.drift import ks_exact
+
+    # disjoint supports -> ks = 1
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    b = spark.createDataFrame([(float(i) + 100,) for i in range(10)], "v double")
+    r = ks_exact(a, b, "v").collect()[0]
+    assert r["ks"] == 1.0 and r["n_a"] == 10 and r["n_b"] == 10
+    assert r["ks_lambda"] == round(math.sqrt(5), 6)
+    assert r["p_approx"] == round(min(1.0, 2 * math.exp(-10)), 6)
+    # identical samples -> ks = 0, p ~ 1
+    s = ks_exact(a, a, "v").collect()[0]
+    assert s["ks"] == 0.0 and s["p_approx"] == 1.0
+    # hand case: a={1,2}, b={2,3}: F gaps at 1: .5-0, at 2: 1-.5, at 3: 1-1
+    h = ks_exact(
+        spark.createDataFrame([(1.0,), (2.0,)], "v double"),
+        spark.createDataFrame([(2.0,), (3.0,)], "v double"),
+        "v",
+    ).collect()[0]
+    assert h["ks"] == 0.5
+    # empty side -> NULL stats row, not a crash
+    e = ks_exact(a.where("v < 0"), b, "v").collect()[0]
+    assert e["n_a"] == 0 and e["ks"] is None
