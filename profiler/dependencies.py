@@ -48,9 +48,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "association_rules",
+    "chi2_independence",
     "functional_dependencies",
     "inclusion_dependencies",
     "mutual_information",
+    "theil_u",
 ]
 
 #: Order-independence accumulator for Σ p·ln(p/q) style reductions: each
@@ -457,3 +460,31 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         )
     finally:
         pairs.unpersist()
+
+
+def theil_u(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Theil's uncertainty coefficient between categorical columns — the
+    ASYMMETRIC association measure the MI family lacks: ``u_y_given_x =
+    MI/H(y)`` is the fraction of y's entropy explained by knowing x (1 =
+    x determines y, the information-theoretic reading of a functional
+    dependency; the transpose need not match). One row per ORDERED pair
+    (col_x, col_y, n, u), NULL when H(y) = 0 (a constant column has
+    nothing to explain). Pure algebra over :func:`mutual_information`'s
+    single-scan entropies — no extra pass over the data.
+    """
+    mi = mutual_information(df, cols)
+    hx = F.col("h_x")
+    hy = F.col("h_y")
+    fwd = mi.select(
+        F.col("col_x"),
+        F.col("col_y"),
+        "n",
+        F.when(hy > 0, F.round(F.col("mi") / hy, 6)).alias("u"),
+    )
+    rev = mi.select(
+        F.col("col_y").alias("col_x"),
+        F.col("col_x").alias("col_y"),
+        "n",
+        F.when(hx > 0, F.round(F.col("mi") / hx, 6)).alias("u"),
+    )
+    return fwd.unionByName(rev).orderBy("col_x", "col_y")

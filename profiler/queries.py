@@ -9261,3 +9261,91 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.dayofmonth("ts") >= 16),
         "value",
     )
+
+
+@_register(
+    "q165_theil_u",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) AS qb
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT 'l_returnflag' AS cx, 'l_linestatus' AS cy,
+             coalesce(rf, '␀') AS x, coalesce(ls, '␀') AS y FROM src
+      UNION ALL
+      SELECT 'l_returnflag', 'qty_bucket',
+             coalesce(rf, '␀'), coalesce(qb, '␀') FROM src
+      UNION ALL
+      SELECT 'l_linestatus', 'qty_bucket',
+             coalesce(ls, '␀'), coalesce(qb, '␀') FROM src
+    ),
+    joint AS (SELECT cx, cy, x, y, count(*) AS c FROM pairs GROUP BY ALL),
+    tot AS (SELECT cx, cy, sum(c) AS n FROM joint GROUP BY ALL),
+    px AS (SELECT cx, cy, x, sum(c) AS nx FROM joint GROUP BY ALL),
+    py AS (SELECT cx, cy, y, sum(c) AS ny FROM joint GROUP BY ALL),
+    terms AS (
+      SELECT j.cx, j.cy, t.n,
+             CAST((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       / ((CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * (CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))))
+                  AS DECIMAL(38,20)) AS mi_t
+      FROM joint j
+      JOIN tot t ON t.cx = j.cx AND t.cy = j.cy
+      JOIN px p ON p.cx = j.cx AND p.cy = j.cy AND p.x = j.x
+      JOIN py q ON q.cx = j.cx AND q.cy = j.cy AND q.y = j.y
+    ),
+    hx AS (
+      SELECT p.cx, p.cy,
+             sum(CAST(-(CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln(CAST(p.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      AS DECIMAL(38,20))) AS h_x_raw
+      FROM px p JOIN tot t ON t.cx = p.cx AND t.cy = p.cy
+      GROUP BY ALL
+    ),
+    hy AS (
+      SELECT q.cx, q.cy,
+             sum(CAST(-(CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln(CAST(q.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      AS DECIMAL(38,20))) AS h_y_raw
+      FROM py q JOIN tot t ON t.cx = q.cx AND t.cy = q.cy
+      GROUP BY ALL
+    ),
+    agg AS (
+      SELECT cx, cy, n, sum(mi_t) AS mi_raw FROM terms GROUP BY ALL
+    ),
+    base AS (
+      SELECT a.cx, a.cy, CAST(a.n AS BIGINT) AS n,
+             round(CAST(a.mi_raw AS DOUBLE), 6) AS mi,
+             round(CAST(hx.h_x_raw AS DOUBLE), 6) AS h_x,
+             round(CAST(hy.h_y_raw AS DOUBLE), 6) AS h_y
+      FROM agg a
+      JOIN hx ON hx.cx = a.cx AND hx.cy = a.cy
+      JOIN hy ON hy.cx = a.cx AND hy.cy = a.cy
+    )
+    SELECT col_x, col_y, n, u FROM (
+      SELECT cx AS col_x, cy AS col_y, n,
+             CASE WHEN h_y > 0 THEN round(mi / h_y, 6) END AS u
+      FROM base
+      UNION ALL
+      SELECT cy, cx, n,
+             CASE WHEN h_x > 0 THEN round(mi / h_x, 6) END
+      FROM base
+    ) ORDER BY col_x, col_y
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficients
+    (:func:`profiler.dependencies.theil_u`): asymmetric "what fraction of
+    col_y does col_x explain" (MI/H(y)) for every ordered pair of q141's
+    columns — 1.0 is the information-theoretic functional dependency.
+    Pure algebra over the single-scan MI entropies; the oracle replays
+    the q141 chain plus the directed division."""
+    from profiler.dependencies import theil_u
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_bucket", F.col("l_quantity").cast("int").cast("string")
+    )
+    return theil_u(li, ["l_returnflag", "l_linestatus", "qty_bucket"])

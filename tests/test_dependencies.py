@@ -363,3 +363,25 @@ def test_chi2_independence_hand_computed(spark):
     # empty input -> empty frame
     e = chi2_independence(df.where("x IS NULL"), "x", "y")
     assert e.count() == 0
+
+
+def test_theil_u_asymmetry(spark):
+    from profiler.dependencies import theil_u
+
+    # x -> y functional (x determines y) but y has 2 values for 4 xs:
+    # U(y|x) = 1 (x fully explains y), U(x|y) < 1
+    rows = [("a", "p"), ("b", "p"), ("c", "q"), ("d", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r["col_x"], r["col_y"]): r["u"] for r in theil_u(df, ["x", "y"]).collect()}
+    assert out[("x", "y")] == 1.0       # col_x explains ALL of col_y
+    assert 0 < out[("y", "x")] < 1.0    # but not vice versa
+    # independent columns -> u ~ 0 both ways
+    ind = spark.createDataFrame(
+        [(str(i % 2), str(i % 3)) for i in range(60)], "x string, y string"
+    )
+    o2 = {(r["col_x"], r["col_y"]): r["u"] for r in theil_u(ind, ["x", "y"]).collect()}
+    assert abs(o2[("x", "y")]) < 1e-6 and abs(o2[("y", "x")]) < 1e-6
+    # constant column: nothing to explain -> NULL
+    const = spark.createDataFrame([("a", "k")] * 10, "x string, y string")
+    o3 = {(r["col_x"], r["col_y"]): r["u"] for r in theil_u(const, ["x", "y"]).collect()}
+    assert o3[("x", "y")] is None and o3[("y", "x")] is None
