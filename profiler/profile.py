@@ -1579,3 +1579,66 @@ def equidepth_histogram(df: DataFrame, col: str, n_buckets: int = 10) -> DataFra
     return counts.select(
         "bucket", F.round(lo, 4).alias("lo"), F.round(hi, 4).alias("hi"), "n"
     ).orderBy("bucket")
+
+
+def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
+    """Concentration / inequality panel of ``col``'s value distribution:
+    (n_values, n_rows, hhi, gini, top1_share, topk_share) — is the mass
+    spread out or owned by a few values? (source-domination audits, user
+    activity skew, vocabulary concentration). ``hhi`` is the Herfindahl
+    index Σ share² (1/n_values at uniform, 1 at monopoly); ``gini`` uses
+    the standard rank formula ``2·Σ i·c_(i) / (n·Σc) − (n+1)/n`` over
+    counts sorted ascending (ties broken by value for determinism).
+
+    Plan: ONE groupBy(value) collapses the table; the rank window and all
+    shares run over the distinct-value frame (same envelope as
+    :func:`spearman_matrix`). NULLs excluded.
+    """
+    c = F.col(col)
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.asc("cnt"), F.asc("value"))
+    w_top = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("i"),
+        F.row_number().over(w_top).alias("top_i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("i").cast("double") * F.col("cnt")).alias("iwsum"),
+        F.sum(F.when(F.col("top_i") == 1, F.col("cnt")).otherwise(0)).alias(
+            "top1"
+        ),
+        F.sum(
+            F.when(F.col("top_i") <= top_k, F.col("cnt")).otherwise(0)
+        ).alias("topk"),
+        F.sum(
+            (F.col("cnt").cast("double") * F.col("cnt"))
+        ).alias("sqsum"),
+    ).collect()[0]
+    nv, nr = agg["n_values"], agg["n_rows"]
+    if not nv:
+        return df.sparkSession.createDataFrame(
+            [],
+            "n_values long, n_rows long, hhi double, gini double, "
+            "top1_share double, topk_share double",
+        )
+    hhi = agg["sqsum"] / (float(nr) * float(nr))
+    gini = 2.0 * agg["iwsum"] / (nv * float(nr)) - (nv + 1) / nv
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                int(nv), int(nr),
+                round(hhi, 6), round(gini, 6),
+                round(agg["top1"] / float(nr), 6),
+                round(agg["topk"] / float(nr), 6),
+            )
+        ],
+        "n_values long, n_rows long, hhi double, gini double, "
+        "top1_share double, topk_share double",
+    )

@@ -9349,3 +9349,45 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_bucket", F.col("l_quantity").cast("int").cast("string")
     )
     return theil_u(li, ["l_returnflag", "l_linestatus", "qty_bucket"])
+
+
+@_register(
+    "q166_concentration",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt ASC, value ASC) AS i,
+             row_number() OVER (ORDER BY cnt DESC, value ASC) AS top_i
+      FROM counts
+    ),
+    agg AS (
+      SELECT count(*) AS nv, sum(cnt) AS nr,
+             sum(CAST(i AS DOUBLE) * cnt) AS iwsum,
+             sum(CASE WHEN top_i = 1 THEN cnt ELSE 0 END) AS top1,
+             sum(CASE WHEN top_i <= 10 THEN cnt ELSE 0 END) AS topk,
+             sum(CAST(cnt AS DOUBLE) * cnt) AS sqsum
+      FROM ranked
+    )
+    SELECT CAST(nv AS BIGINT) AS n_values, CAST(nr AS BIGINT) AS n_rows,
+           ROUND(sqsum / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)), 6)
+             AS hhi,
+           ROUND(2.0 * iwsum / (nv * CAST(nr AS DOUBLE))
+                 - (nv + 1.0) / nv, 6) AS gini,
+           ROUND(top1 / CAST(nr AS DOUBLE), 6) AS top1_share,
+           ROUND(topk / CAST(nr AS DOUBLE), 6) AS topk_share
+    FROM agg
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration panel (:func:`profiler.profile.concentration`): how
+    unequally is event volume distributed across users — Gini, HHI and
+    top-1/top-10 shares off ONE groupBy(value) with the rank windows over
+    the distinct-value frame. The oracle replays the rank formula."""
+    from profiler.profile import concentration
+
+    ev = _t(spark, sf_dir, "events")
+    return concentration(ev, "user_id", top_k=10)

@@ -421,3 +421,25 @@ def test_spearman_ties_and_nulls(spark):
 
     with _pytest.raises(ValueError, match="at least two"):
         spearman_matrix(df, ["x"])
+
+
+def test_concentration_known_values(spark):
+    from profiler.profile import concentration
+
+    # uniform over 4 values, 10 each: gini 0, hhi = 1/4
+    rows = [(f"v{i % 4}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "s string")
+    u = concentration(df, "s").collect()[0]
+    assert u["n_values"] == 4 and u["n_rows"] == 40
+    assert u["gini"] == 0.0 and u["hhi"] == 0.25
+    assert u["top1_share"] == 0.25 and u["topk_share"] == 1.0
+    # monopoly: one value owns everything present plus a 1-count value
+    rows2 = [("big",)] * 99 + [("small",)]
+    m = concentration(spark.createDataFrame(rows2, "s string"), "s").collect()[0]
+    # counts (1, 99): gini = 2*(1*1 + 2*99)/(2*100) - 3/2 = 0.49
+    assert m["gini"] == 0.49
+    assert m["hhi"] == round((99**2 + 1) / 100**2, 6)
+    assert m["top1_share"] == 0.99
+    # empty input -> empty frame with stable schema
+    e = concentration(df.where("s IS NULL"), "s")
+    assert e.count() == 0 and "gini" in e.columns
