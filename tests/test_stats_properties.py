@@ -90,3 +90,61 @@ def test_moment_corrections_match_pandas(xs):
         g2 = (float((m**4).sum()) / n) / (m2 / n) ** 2 - 3.0
         got_kurt = stats.corrected_kurtosis(g2, n)
         assert math.isclose(got_kurt, float(s.kurt()), rel_tol=1e-7, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# drift math kernels: invariants on arbitrary bucket-count pairs
+# ---------------------------------------------------------------------------
+
+counts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # bucket index
+        st.integers(0, 100),                     # count side a
+        st.integers(0, 100),                     # count side b
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _sides(triples):
+    idx = [str(v) for v, _, _ in triples]
+    ca = pd.Series([a for _, a, _ in triples], index=idx, dtype=float)
+    cb = pd.Series([b for _, _, b in triples], index=idx, dtype=float)
+    return ca, cb
+
+
+@settings(max_examples=200, deadline=None)
+@given(counts_strategy)
+def test_divergence_invariants(triples):
+    from profiler.drift import divergences_from_counts, ks_psi_from_counts
+
+    ca, cb = _sides(triples)
+    if ca.sum() == 0 or cb.sum() == 0:
+        return
+    d = divergences_from_counts(ca, cb, epsilon=1e-6)
+    # bounds
+    assert -1e-12 <= d["tvd"] <= 1.0 + 1e-12
+    assert -1e-9 <= d["js"] <= 1.0 + 1e-9
+    assert d["chi2"] >= -1e-9
+    assert -1e-12 <= d["cramers_v"] <= 1.0 + 1e-9
+    span = max(float(i) for i in ca.index.astype(float)) - min(
+        float(i) for i in ca.index.astype(float)
+    )
+    assert -1e-9 <= d["wasserstein"] <= span + 1.0 + 1e-9
+    # symmetry under side swap (all panel members are symmetric)
+    s = divergences_from_counts(cb, ca, epsilon=1e-6)
+    for k in ("js", "chi2", "tvd", "wasserstein", "cramers_v"):
+        assert math.isclose(d[k], s[k], rel_tol=1e-9, abs_tol=1e-12), k
+    # identity: zero divergence against itself
+    z = divergences_from_counts(ca, ca, epsilon=1e-6)
+    for k in ("js", "chi2", "tvd", "wasserstein", "cramers_v"):
+        assert abs(z[k]) < 1e-9, k
+    # KS invariants: bounded, zero on identity, scale-free in counts
+    ks, _ = ks_psi_from_counts(ca, cb, 1e-6)
+    assert -1e-12 <= ks <= 1.0 + 1e-12
+    ks_scaled, _ = ks_psi_from_counts(ca * 7, cb, 1e-6)
+    assert math.isclose(ks, ks_scaled, rel_tol=1e-9, abs_tol=1e-12)
+    ks_self, _ = ks_psi_from_counts(ca, ca, 1e-6)
+    assert abs(ks_self) < 1e-12
