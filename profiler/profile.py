@@ -1642,3 +1642,47 @@ def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
         "n_values long, n_rows long, hhi double, gini double, "
         "top1_share double, topk_share double",
     )
+
+
+def lorenz_points(df: DataFrame, col: str, n_points: int = 10) -> DataFrame:
+    """Lorenz curve of ``col``'s value distribution — the curve behind
+    :func:`concentration`'s Gini: one row per ascending-count tile with
+    ``cum_value_frac`` (fraction of distinct values covered) and
+    ``cum_share`` (fraction of total mass they own); "the bottom 80% of
+    users produce 34% of events". Perfect equality is the diagonal.
+
+    Plan: ONE groupBy(value); ntile + cumulative windows over the
+    distinct-value frame (ordering totally tie-broken by (count, value)
+    so the tiling is deterministic in any engine).
+    """
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    c = F.col(col)
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.asc("cnt"), F.asc("value"))
+    tiled = counts.select(
+        "cnt", F.ntile(n_points).over(w).alias("tile")
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_values"), F.sum("cnt").alias("mass")
+    )
+    w_cum = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return per_tile.select(
+        "tile",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.round(
+            F.sum("n_values").over(w_cum)
+            / F.sum("n_values").over(w_all).cast("double"),
+            6,
+        ).alias("cum_value_frac"),
+        F.round(
+            F.sum("mass").over(w_cum)
+            / F.sum("mass").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("tile")

@@ -9391,3 +9391,40 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return concentration(ev, "user_id", top_k=10)
+
+
+@_register(
+    "q167_lorenz_points",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tiled AS (
+      SELECT cnt, ntile(10) OVER (ORDER BY cnt ASC, value ASC) AS tile
+      FROM counts
+    ),
+    per_tile AS (
+      SELECT tile, count(*) AS n_values, sum(cnt) AS mass
+      FROM tiled GROUP BY tile
+    )
+    SELECT tile, CAST(n_values AS BIGINT) AS n_values,
+           ROUND(sum(n_values) OVER (ORDER BY tile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(n_values) OVER () AS DOUBLE), 6)
+             AS cum_value_frac,
+           ROUND(sum(mass) OVER (ORDER BY tile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(mass) OVER () AS DOUBLE), 6) AS cum_share
+    FROM per_tile ORDER BY tile
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points (:func:`profiler.profile.lorenz_points`): the
+    curve behind q166's Gini — cumulative mass share per ascending-count
+    user decile, deterministic ntile over the distinct-value frame. The
+    oracle replays the tiling and cumulative shares."""
+    from profiler.profile import lorenz_points
+
+    ev = _t(spark, sf_dir, "events")
+    return lorenz_points(ev, "user_id", n_points=10)

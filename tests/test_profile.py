@@ -443,3 +443,30 @@ def test_concentration_known_values(spark):
     # empty input -> empty frame with stable schema
     e = concentration(df.where("s IS NULL"), "s")
     assert e.count() == 0 and "gini" in e.columns
+
+
+def test_lorenz_points(spark):
+    from profiler.profile import lorenz_points
+
+    # uniform: lorenz is the diagonal
+    rows = [(f"v{i % 10}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "s string")
+    pts = lorenz_points(df, "s", n_points=5).collect()
+    assert [r["tile"] for r in pts] == [1, 2, 3, 4, 5]
+    for r in pts:
+        assert r["cum_share"] == r["cum_value_frac"]
+    assert pts[-1]["cum_share"] == 1.0
+    # concentrated: bottom tiles own almost nothing
+    rows2 = [("whale",)] * 96 + [("a",), ("b",), ("c",), ("d",)]
+    pts2 = lorenz_points(
+        spark.createDataFrame(rows2, "s string"), "s", n_points=5
+    ).collect()
+    assert pts2[0]["cum_share"] == 0.01   # bottom value = 1 of 100
+    assert pts2[-1]["cum_share"] == 1.0
+    # curve is convex-ish: cum_share never exceeds cum_value_frac
+    for r in pts2:
+        assert r["cum_share"] <= r["cum_value_frac"] + 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_points"):
+        lorenz_points(df, "s", n_points=0)
