@@ -335,16 +335,20 @@ def _pairwise_compare(
             return df.sparkSession.createDataFrame([], schema)
 
         spark = df.sparkSession
-        pairs_df = spark.createDataFrame(pairs, "partition_a string, partition_b string")
-        # attach each sketch row to every pair it participates in (sketch is
-        # tiny → broadcast); tag which side of the pair the row feeds
-        a_side = sketch.join(
-            F.broadcast(pairs_df), sketch["partition_key"] == pairs_df["partition_a"]
-        ).select("partition_a", "partition_b", F.lit("a").alias("side"), "bucket", "cnt")
-        b_side = sketch.join(
-            F.broadcast(pairs_df), sketch["partition_key"] == pairs_df["partition_b"]
-        ).select("partition_a", "partition_b", F.lit("b").alias("side"), "bucket", "cnt")
-        both = a_side.unionByName(b_side)
+        # LONG-format pair spine: one row per (pair, side) a partition
+        # feeds, so ONE broadcast equi-join attaches every sketch row to
+        # every pair it participates in — the sketch subtree appears in
+        # the plan exactly once (a two-branch a-side/b-side union would
+        # recompute the whole sketch pass twice at evaluation time, after
+        # the function-scope cache is dropped)
+        pairs_long = spark.createDataFrame(
+            [(a, a, b, "a") for a, b in pairs]
+            + [(b, a, b, "b") for a, b in pairs],
+            "partition_key string, partition_a string, partition_b string, side string",
+        )
+        both = sketch.join(F.broadcast(pairs_long), "partition_key").select(
+            "partition_a", "partition_b", "side", "bucket", "cnt"
+        )
         return both.groupBy("partition_a", "partition_b").applyInPandas(
             compare_fn, schema
         )
@@ -1071,26 +1075,22 @@ def drift_report_multi(
         if not pairs:
             return df.sparkSession.createDataFrame([], out_schema)
         spark = df.sparkSession
-        pairs_df = spark.createDataFrame(
-            pairs, "pair_col string, partition_a string, partition_b string"
+        # long-format pair spine (see _pairwise_compare): one broadcast
+        # equi-join on (column, partition_key), sketch subtree in the plan
+        # exactly once
+        pairs_long = spark.createDataFrame(
+            [(c, a, a, b, "a") for c, a, b in pairs]
+            + [(c, b, a, b, "b") for c, a, b in pairs],
+            "pair_col string, partition_key string, "
+            "partition_a string, partition_b string, side string",
         )
-        a_side = sketch2.join(
-            F.broadcast(pairs_df),
-            (sketch2["partition_key"] == pairs_df["partition_a"])
-            & (sketch2["column"] == pairs_df["pair_col"]),
+        both = sketch2.join(
+            F.broadcast(pairs_long),
+            (sketch2["partition_key"] == pairs_long["partition_key"])
+            & (sketch2["column"] == pairs_long["pair_col"]),
         ).select(
-            "column", "partition_a", "partition_b",
-            F.lit("a").alias("side"), "bucket", "cnt",
+            "column", "partition_a", "partition_b", "side", "bucket", "cnt"
         )
-        b_side = sketch2.join(
-            F.broadcast(pairs_df),
-            (sketch2["partition_key"] == pairs_df["partition_b"])
-            & (sketch2["column"] == pairs_df["pair_col"]),
-        ).select(
-            "column", "partition_a", "partition_b",
-            F.lit("b").alias("side"), "bucket", "cnt",
-        )
-        both = a_side.unionByName(b_side)
         out = both.groupBy("column", "partition_a", "partition_b").applyInPandas(
             _make_drift_fn_keyed(cfg.psi_epsilon), _DRIFT_SCHEMA
         )

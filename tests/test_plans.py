@@ -450,3 +450,45 @@ def test_contamination_report_broadcasts_benchmark(spark):
     for ln in plan.splitlines():
         if "SortMergeJoin" in ln:
             assert "__g" not in ln, "gram join regressed to sort-merge"
+
+
+def test_control_chart_scans_input_once(spark, events):
+    """metric_control_chart: the raw table feeds ONE partial-aggregated
+    groupBy; every window runs over the days x metrics frame."""
+    from profiler.drift import metric_control_chart
+
+    out = metric_control_chart(
+        events,
+        {"n_rows": F.count(F.lit(1)).cast("double"), "avg_v": F.avg("value")},
+        "to_date(ts)",
+    )
+    plan = _plan(out)
+    assert plan.count("FileScan parquet") == 1
+    # the trailing-band window is partitioned by metric (no global sort of
+    # row-scale data)
+    assert "windowspecdefinition(metric" in plan
+
+
+def test_drift_multi_output_plan_scans_once(spark, events):
+    """drift_report_multi's returned plan reads the source exactly once
+    (the exploded sketch pass); the min/max pre-pass already ran during
+    construction."""
+    from profiler.drift import drift_report_multi
+
+    out = drift_report_multi(
+        events,
+        [("value", True), ("event_type", False)],
+        "to_date(ts)",
+    )
+    assert _plan(out).count("FileScan parquet") == 1
+
+
+def test_winsorize_is_narrow_projection(spark, events):
+    """The winsorize REWRITE adds no exchange — one whole-stage-codegen
+    projection over the scan (bounds were collected during construction)."""
+    from profiler.clean import winsorize
+
+    out = winsorize(events, ["value"], 0.05, 0.95)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
