@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from profiler.stats import round_half_up
+
 __all__ = [
     "association_rules",
     "chi2_independence",
@@ -452,8 +454,8 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             [
                 (
                     int(n), int(r), int(c),
-                    round(chi2, 4), int(dof),
-                    round(v, 4) if v is not None else None,
+                    round_half_up(chi2, 4), int(dof),
+                    round_half_up(v, 4) if v is not None else None,
                 )
             ],
             "n long, r long, c long, chi2 double, dof long, cramers_v double",
@@ -475,16 +477,25 @@ def theil_u(df: DataFrame, cols: list[str]) -> DataFrame:
     mi = mutual_information(df, cols)
     hx = F.col("h_x")
     hy = F.col("h_y")
-    fwd = mi.select(
-        F.col("col_x"),
-        F.col("col_y"),
-        "n",
-        F.when(hy > 0, F.round(F.col("mi") / hy, 6)).alias("u"),
+    # both directions unpivot from ONE mi row via explode — a fwd/rev
+    # two-branch union would place the whole MI join/aggregation subtree
+    # in the plan twice and execute it twice per evaluation
+    directed = F.array(
+        F.struct(
+            F.col("col_x"),
+            F.col("col_y"),
+            F.col("n"),
+            F.when(hy > 0, F.round(F.col("mi") / hy, 6)).alias("u"),
+        ),
+        F.struct(
+            F.col("col_y").alias("col_x"),
+            F.col("col_x").alias("col_y"),
+            F.col("n"),
+            F.when(hx > 0, F.round(F.col("mi") / hx, 6)).alias("u"),
+        ),
     )
-    rev = mi.select(
-        F.col("col_y").alias("col_x"),
-        F.col("col_x").alias("col_y"),
-        "n",
-        F.when(hx > 0, F.round(F.col("mi") / hx, 6)).alias("u"),
+    return (
+        mi.select(F.explode(directed).alias("e"))
+        .select("e.col_x", "e.col_y", "e.n", "e.u")
+        .orderBy("col_x", "col_y")
     )
-    return fwd.unionByName(rev).orderBy("col_x", "col_y")

@@ -21,6 +21,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from profiler.stats import round_half_up
+
 
 @dataclass
 class DriftConfig:
@@ -305,6 +307,34 @@ def drift_report(
     )
 
 
+
+def _pair_spine(spark, pairs, with_col: bool):
+    """LONG-format pair spine shared by :func:`_pairwise_compare` and
+    :func:`drift_report_multi`: one row per (pair, side) a partition
+    feeds, so ONE broadcast equi-join attaches every sketch row to every
+    pair it participates in and the sketch subtree appears in the plan
+    exactly once (a two-branch a-side/b-side union would recompute the
+    whole sketch pass twice at evaluation time, after the function-scope
+    cache is dropped)."""
+    if with_col:
+        rows = [(c, a, a, b, "a") for c, a, b in pairs] + [
+            (c, b, a, b, "b") for c, a, b in pairs
+        ]
+        schema = (
+            "pair_col string, partition_key string, "
+            "partition_a string, partition_b string, side string"
+        )
+    else:
+        rows = [(a, a, b, "a") for a, b in pairs] + [
+            (b, a, b, "b") for a, b in pairs
+        ]
+        schema = (
+            "partition_key string, partition_a string, "
+            "partition_b string, side string"
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 def _pairwise_compare(
     df: DataFrame,
     column: str,
@@ -334,18 +364,7 @@ def _pairwise_compare(
         if not pairs:
             return df.sparkSession.createDataFrame([], schema)
 
-        spark = df.sparkSession
-        # LONG-format pair spine: one row per (pair, side) a partition
-        # feeds, so ONE broadcast equi-join attaches every sketch row to
-        # every pair it participates in — the sketch subtree appears in
-        # the plan exactly once (a two-branch a-side/b-side union would
-        # recompute the whole sketch pass twice at evaluation time, after
-        # the function-scope cache is dropped)
-        pairs_long = spark.createDataFrame(
-            [(a, a, b, "a") for a, b in pairs]
-            + [(b, a, b, "b") for a, b in pairs],
-            "partition_key string, partition_a string, partition_b string, side string",
-        )
+        pairs_long = _pair_spine(df.sparkSession, pairs, with_col=False)
         both = sketch.join(F.broadcast(pairs_long), "partition_key").select(
             "partition_a", "partition_b", "side", "bucket", "cnt"
         )
@@ -733,8 +752,8 @@ def kruskal_wallis(
             F.round("mean_rank", 4).alias("mean_rank"),
             F.lit(int(n)).alias("n"),
             F.lit(int(k)).alias("k"),
-            F.lit(round(h, 4)).alias("h"),
-            F.lit(round(h_adj, 4)).alias("h_adj"),
+            F.lit(round_half_up(h, 4)).alias("h"),
+            F.lit(round_half_up(h_adj, 4)).alias("h_adj"),
             F.lit(int(k - 1)).alias("dof"),
         ).orderBy("group_key")
     finally:
@@ -809,10 +828,10 @@ def anova_oneway(df: DataFrame, value_col: str, group_expr: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("n_g"), 4).alias("mean"),
             F.lit(int(n)).cast("long").alias("n"),
             F.lit(int(k)).cast("long").alias("k"),
-            F.lit(round(f_stat, 4) if f_stat == f_stat else None)
+            F.lit(round_half_up(f_stat, 4) if f_stat == f_stat else None)
             .cast("double")
             .alias("f_stat"),
-            F.lit(round(eta_sq, 4) if eta_sq == eta_sq else None)
+            F.lit(round_half_up(eta_sq, 4) if eta_sq == eta_sq else None)
             .cast("double")
             .alias("eta_sq"),
             F.lit(int(k - 1)).cast("long").alias("dof_between"),
@@ -881,9 +900,9 @@ def mann_whitney_u(
             [
                 (
                     ga, gb, int(na), int(nb),
-                    round(u_a, 4),
-                    round(z, 4) if z == z else None,
-                    round(r_rb, 4) if r_rb == r_rb else None,
+                    round_half_up(u_a, 4),
+                    round_half_up(z, 4) if z == z else None,
+                    round_half_up(r_rb, 4) if r_rb == r_rb else None,
                 )
             ],
             "group_a string, group_b string, n_a long, n_b long, "
@@ -1074,16 +1093,7 @@ def drift_report_multi(
         out_schema = _DRIFT_SCHEMA + ", ks_flag boolean, psi_flag boolean"
         if not pairs:
             return df.sparkSession.createDataFrame([], out_schema)
-        spark = df.sparkSession
-        # long-format pair spine (see _pairwise_compare): one broadcast
-        # equi-join on (column, partition_key), sketch subtree in the plan
-        # exactly once
-        pairs_long = spark.createDataFrame(
-            [(c, a, a, b, "a") for c, a, b in pairs]
-            + [(c, b, a, b, "b") for c, a, b in pairs],
-            "pair_col string, partition_key string, "
-            "partition_a string, partition_b string, side string",
-        )
+        pairs_long = _pair_spine(df.sparkSession, pairs, with_col=True)
         both = sketch2.join(
             F.broadcast(pairs_long),
             (sketch2["partition_key"] == pairs_long["partition_key"])
@@ -1205,16 +1215,16 @@ def quantile_shift(
     for p, a, b in zip(pcts, qa or [None] * len(pcts), qb or [None] * len(pcts)):
         shift = (b - a) if a is not None and b is not None else None
         rel = (
-            round(shift / abs(a), 6)
+            round_half_up(shift / abs(a), 6)
             if shift is not None and a not in (None, 0)
             else None
         )
         rows.append(
             (
                 p,
-                round(a, 6) if a is not None else None,
-                round(b, 6) if b is not None else None,
-                round(shift, 6) if shift is not None else None,
+                round_half_up(a, 6) if a is not None else None,
+                round_half_up(b, 6) if b is not None else None,
+                round_half_up(shift, 6) if shift is not None else None,
                 rel,
             )
         )
@@ -1254,23 +1264,29 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
     w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, 0)
-    tot = counts.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    ).collect()[0]
-    na, nb = tot["na"] or 0, tot["nb"] or 0
-    if na == 0 or nb == 0:
-        return df_a.sparkSession.createDataFrame(
-            [(int(na), int(nb), None, None, None)],
-            "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+    # two driver actions (totals, then the max gap) — persist the collapsed
+    # count frame so the raw inputs are scanned once, not once per action
+    counts = counts.persist()
+    try:
+        tot = counts.agg(
+            F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+        ).collect()[0]
+        na, nb = tot["na"] or 0, tot["nb"] or 0
+        if na == 0 or nb == 0:
+            return df_a.sparkSession.createDataFrame(
+                [(int(na), int(nb), None, None, None)],
+                "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+            )
+        gap = F.abs(
+            F.sum("ca").over(w) / F.lit(float(na))
+            - F.sum("cb").over(w) / F.lit(float(nb))
         )
-    gap = F.abs(
-        F.sum("ca").over(w) / F.lit(float(na))
-        - F.sum("cb").over(w) / F.lit(float(nb))
-    )
-    ks = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+        ks = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+    finally:
+        counts.unpersist()
     lam = ks * math.sqrt(na * nb / (na + nb))
     p = min(1.0, 2.0 * math.exp(-2.0 * lam * lam))
     return df_a.sparkSession.createDataFrame(
-        [(int(na), int(nb), round(ks, 6), round(lam, 6), round(p, 6))],
+        [(int(na), int(nb), round_half_up(ks, 6), round_half_up(lam, 6), round_half_up(p, 6))],
         "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
     )

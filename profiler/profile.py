@@ -1634,9 +1634,9 @@ def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
         [
             (
                 int(nv), int(nr),
-                round(hhi, 6), round(gini, 6),
-                round(agg["top1"] / float(nr), 6),
-                round(agg["topk"] / float(nr), 6),
+                stats.round_half_up(hhi, 6), stats.round_half_up(gini, 6),
+                stats.round_half_up(agg["top1"] / float(nr), 6),
+                stats.round_half_up(agg["topk"] / float(nr), 6),
             )
         ],
         "n_values long, n_rows long, hhi double, gini double, "

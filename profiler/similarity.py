@@ -25,6 +25,8 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from profiler.stats import round_half_up
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -905,10 +907,10 @@ def embedding_drift(
                 int(agg["dim"]),
                 int(sa["n_a"]),
                 int(sb["n_b"]),
-                round(cos, 6) if cos is not None else None,
-                round(sa["mean_norm_a"], 6),
-                round(sb["mean_norm_b"], 6),
-                round(sb["mean_norm_b"] - sa["mean_norm_a"], 6),
+                round_half_up(cos, 6) if cos is not None else None,
+                round_half_up(sa["mean_norm_a"], 6),
+                round_half_up(sb["mean_norm_b"], 6),
+                round_half_up(sb["mean_norm_b"] - sa["mean_norm_a"], 6),
             )
         ],
         schema,

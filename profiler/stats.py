@@ -567,3 +567,18 @@ def byte_size_expr(col: str, dtype) -> Column:
     if type(dtype).__name__ == "StringType":
         return F.sum(F.octet_length(c)).cast("long")
     return F.sum(F.octet_length(c.cast("string"))).cast("long")
+
+
+def round_half_up(x, ndigits: int):
+    """Driver-side rounding that matches Spark's ``F.round`` and SQL
+    ``ROUND`` (HALF_UP, away from zero) instead of Python's
+    round-half-to-even — driver-computed statistics must round exactly
+    like their in-plan and DuckDB-oracle counterparts or a value landing
+    on an exact half flips the last digit between engines. None/NaN pass
+    through."""
+    if x is None or x != x:
+        return x
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
