@@ -920,43 +920,77 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q23_embedding_neardup",
-    _COSINE_SQL_BODY
-    + """
-    , sims AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_sum(list_transform(generate_series(1, 64),
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_prepend(v[1] + 0.05, v[2:]) AS v
+      FROM e WHERE vec_id < 3
+    ),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM u),
+    sims AS (
+      SELECT list_sum(list_transform(generate_series(1, 64),
                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
       FROM n a JOIN n b ON a.vec_id < b.vec_id
     )
-    SELECT count(*) AS n_pairs_total,
+    SELECT (SELECT count(*) FROM u) AS n_vectors,
+           (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) FROM u)
+             AS n_pairs_total,
            count(*) FILTER (WHERE sim >= 0.9) AS n_neardup_pairs,
-           ROUND(max(sim), 4) AS max_sim
+           ROUND(max(sim) FILTER (WHERE sim >= 0.9), 4) AS max_neardup_sim
     FROM sims
     """,
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (training-pipeline op):
-    all-pairs cosine summary. Exact quadratic form at test scale; at 100 TB
-    the same verification runs only on LSH-bucketed candidate pairs
-    (profiler.similarity)."""
+    banded-LSH candidate generation + exact cosine verification ONLY on
+    candidate pairs (profiler.similarity.banded_neardup_pairs) — the plan
+    contains no all-pairs join (pinned in tests/test_plans.py). The DuckDB
+    oracle replays the semantics as an exhaustive all-pairs filter, which is
+    exact at oracle scale; the Spark side must reach the identical answer
+    through the pruned plan (banded recall at the planted ~0.9988-cosine
+    pairs is 1 - ~4e-8). Three deterministic near-dup rows are derived
+    in-query from the parquet (vec_id<3, first coordinate +0.05) so the
+    verify path is exercised on real positives: the synthetic embeddings
+    table has no natural pair above 0.52."""
+    from profiler.similarity import banded_neardup_pairs
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    n = e.select("vec_id", "v", norm.alias("nrm"))
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    planted = e.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)), F.slice("v", 2, 63)
+        ).alias("v"),
     )
-    sims = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select((dot / (F.col("na") * F.col("nb"))).alias("sim"))
+    u = e.unionByName(planted)
+    pairs = banded_neardup_pairs(
+        u, dim=64, threshold=0.9, n_bands=8, rows_per_band=8, seed=7,
+        id_col="vec_id", vec_col="v",
     )
-    return sims.agg(
-        F.count(F.lit(1)).alias("n_pairs_total"),
-        F.count_if(F.col("sim") >= 0.9).alias("n_neardup_pairs"),
-        F.round(F.max("sim"), 4).alias("max_sim"),
+    # one tagged-union aggregate (no 1-row crossJoin -> no BNLJ in the plan)
+    tagged = u.select(F.lit(1).alias("is_vec"), F.lit(None).cast("double").alias("cosine")).unionByName(
+        pairs.select(F.lit(0).alias("is_vec"), "cosine")
+    )
+    agg = tagged.agg(
+        F.sum("is_vec").alias("n_vectors"),
+        F.count_if(F.col("is_vec") == 0).alias("n_neardup_pairs"),
+        F.round(F.max(F.when(F.col("is_vec") == 0, F.col("cosine"))), 4).alias(
+            "max_neardup_sim"
+        ),
+    )
+    return agg.select(
+        "n_vectors",
+        ((F.col("n_vectors") * (F.col("n_vectors") - 1)) / 2)
+        .cast("long")
+        .alias("n_pairs_total"),
+        "n_neardup_pairs",
+        "max_neardup_sim",
     )
 
 

@@ -774,6 +774,71 @@ def neardup_pairs(
     )
 
 
+def banded_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
+    the high-recall form of ``neardup_pairs``.
+
+    Each vector gets ``n_bands`` band keys, one per group of
+    ``rows_per_band`` sign bits; vectors sharing ANY band key become a
+    candidate pair and only candidates are verified exactly. Per-pair
+    recall at cosine s is ``1 - (1 - p^r)^b`` with ``p = 1 - acos(s)/pi``:
+    at the defaults (b=8, r=8) a 0.99-cosine near-dup is missed with
+    probability ~1e-7, while an unrelated pair (s≈0) collides in a band
+    with probability 0.5^8 so the candidate set stays ~3% of the pair
+    space. The candidate dedup exchange carries only (id_a, id_b) longs;
+    vectors are joined back ONLY for the pruned candidates — the same
+    narrow-verify shape as ``minhash_lsh_dedup``.
+
+    Returns (id_a, id_b, cosine) with cosine ≥ threshold.
+    """
+    planes = _planes(dim, n_bands * rows_per_band, seed)
+    v = as_double_vec(F.col(vec_col))
+    band_keys = []
+    for b in range(n_bands):
+        key = F.lit(b << rows_per_band)
+        for j in range(rows_per_band):
+            coeffs = F.array(*[F.lit(float(x)) for x in planes[b * rows_per_band + j]])
+            d = F.aggregate(
+                F.zip_with(v, coeffs, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key.bitwiseOR(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        band_keys.append(key.cast("long"))
+    ids = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_keys)).alias("bkey")
+    )
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), v.alias("v"), norm_expr(v).alias("nrm")
+    )
+    x, y = n.alias("x"), n.alias("y")
+    sim = dot_expr(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        cand.join(x, F.col("id_a") == F.col("x.id"))
+        .join(y, F.col("id_b") == F.col("y.id"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_health(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Embedding-column audit: ONE summary row with ``n_rows``,
     ``n_null_vec``, ``n_dim_distinct`` / ``dim_min`` / ``dim_max``

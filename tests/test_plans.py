@@ -492,3 +492,19 @@ def test_winsorize_is_narrow_projection(spark, events):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_embedding_neardup_registry_plan_is_lsh_pruned(spark):
+    """q23's registry form must be LSH-candidate-pruned — no all-pairs
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the executed
+    plan (VERDICT r3 #3: the old registry entry was a quadratic theta-join
+    even though the pruned machinery existed). The totals leg is a tagged
+    union into ONE aggregate, not a 1-row crossJoin, precisely so this
+    assertion can be absolute."""
+    from profiler.queries import queries
+
+    plan = _plan(queries()["q23_embedding_neardup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # candidate join is an equi-join on the band key
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
