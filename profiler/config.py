@@ -206,7 +206,31 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
                 },
             }
             doc = profile_with_config(inner, spark=spark)
-            if config.get("output", {}).get("json"):
+            # reference hierarchical/profiler.py:94-128: per-variable
+            # nesting_level + table depth_distribution off the DOTTED
+            # flattened paths (the profiled document's names are already
+            # underscore-sanitized, so the paths come from a schema-only
+            # re-read of the source)
+            if spark is None:
+                from profiler.session import get_spark
+
+                spark = get_spark("profiler-cli")
+            files = config.get("input", {}).get("files")
+            src = os.path.abspath(
+                files[0] if isinstance(files, list) else files
+            )
+            raw = spark.read.json(src)
+            dotted = sources.flatten_struct_columns(raw).columns
+            dist, levels = sources.hierarchical_depth_section(dotted)
+            doc["table"]["depth_distribution"] = dist
+            doc["table"]["profiler_type"] = "Hierarchical"
+            for v in doc["variables"]:
+                if v["name"] in levels:
+                    v["nesting_level"] = levels[v["name"]]
+            out_json = config.get("output", {}).get("json")
+            if out_json:
+                # rewrite: profile_with_config wrote the pre-mutation doc
+                write_to_json(doc, os.path.abspath(out_json))
                 prepare_mapping(config)
             return doc
         if kind == "vector":

@@ -79,12 +79,16 @@ class ProfileConfig:
     ts_mode_datetime_col: str | None = None
     num_cat_perc_threshold: float = 0.5  # reference find_types threshold
     crs: str = "EPSG:4326"  # reported in geometry variables (reference default)
-    # opt-in DBSCAN heatmap for geometry columns (reference geometry.py:34-85
-    # runs it unconditionally per file; here it is an extra iterative job, so
-    # it is gated — set the eps in the COLUMN's coordinate units). The
-    # document gets bounded per-CLUSTER rows (label, n, centroid), not the
-    # reference's per-row dump, which cannot scale to 10^12 rows.
+    # DBSCAN heatmap for geometry columns — DEFAULT-ON like the reference
+    # (geometry.py:153 describe_geometry(..., eps_distance=1000) runs it
+    # unconditionally, clustering UTM-projected meters). heatmap_eps_meters
+    # mirrors that default; heatmap_eps clusters in the COLUMN's own
+    # coordinate units and takes precedence when set; set BOTH to None to
+    # skip the job. The document gets bounded per-CLUSTER rows (label, n,
+    # centroid), not the reference's per-row dump, which cannot scale to
+    # 10^12 rows.
     heatmap_eps: float | None = None
+    heatmap_eps_meters: float | None = 1000.0
     heatmap_min_samples: int = 5  # reference MIN_SAMPLE_POLYGONS
     max_freq_distr: int = 10        # top-K for frequent-values (reference default 10)
     cat_distr_cap: int = 1_000      # cap on full categorical distribution at scale
@@ -300,7 +304,9 @@ def profile_table(
             if types_dict.get_type(c) == GEOMETRY and not cfg.light_mode
         ]
         f_geo = (
-            pool.submit(_run_geometry_samples, df, geom_cols) if geom_cols else None
+            pool.submit(_run_geometry_describe, df, geom_cols, wide, cfg)
+            if geom_cols
+            else None
         )
         f_heat = (
             pool.submit(
@@ -308,9 +314,10 @@ def profile_table(
                 df,
                 geom_cols,
                 cfg.heatmap_eps,
+                cfg.heatmap_eps_meters,
                 cfg.heatmap_min_samples,
             )
-            if geom_cols and cfg.heatmap_eps
+            if geom_cols and (cfg.heatmap_eps or cfg.heatmap_eps_meters)
             else None
         )
         ts_gap_cols = [
@@ -336,7 +343,7 @@ def profile_table(
         monotonic = f_mono.result() if f_mono else {}
         gaps = f_gaps.result() if f_gaps else None
         ts_extras = f_tsx.result() if f_tsx else {}
-        geo_samples = f_geo.result() if f_geo else {}
+        geo_desc = f_geo.result() if f_geo else {}
         geo_heatmaps = f_heat.result() if f_heat else {}
 
     freq_stats = {c: fused[c] for c in freq_cols if c in fused}
@@ -386,8 +393,8 @@ def profile_table(
             n_, m_, s2 = v["count"], v.get("average"), v.get("variance")
             if n_ and m_ is not None:
                 v["abs_energy"] = (n_ - 1) * (s2 or 0.0) + n_ * m_ * m_
-        if c in geo_samples:
-            v["samples"] = geo_samples[c]
+        if c in geo_desc:
+            v.update(geo_desc[c])
         if c in geo_heatmaps:
             v["heatmap"] = geo_heatmaps[c]
         variables.append(v)
@@ -621,26 +628,90 @@ def _run_fused_pass(
     return out
 
 
-def _run_geometry_samples(df: DataFrame, cols: list[str]) -> dict[str, list]:
-    """Head-5 WKT samples per geometry column (reference geometry.py:102) —
-    one limit(5) scan per geometry column; geometry columns are rare and a
-    limit scan reads a handful of row groups."""
-    out = {}
+def _run_geometry_describe(
+    df: DataFrame, cols: list[str], wide: dict, cfg: ProfileConfig
+) -> dict[str, dict]:
+    """Per-geometry-column describe extras beyond the wide-pass mbr /
+    centroid / hull / type counts (reference geometry.py:100-207):
+
+    * ``samples`` — head-5 WKT values (geometry.py:102), a limit scan;
+    * ``freq_value_counts`` — top-10 WKT value counts + 'Other Values (n)'
+      rollup (geometry.py:105-111 via reduceCategoricalDict), computed as
+      a hash-agg + bounded top-k (TakeOrdered), never a full sort;
+    * ``area_distribution`` / ``length_distribution`` — the full
+      pandas-describe-shaped blocks over UTM-projected m² / m per-row
+      metrics (geometry.py:170-207), via :func:`profiler.geo.
+      geo_shape_stats` (oracled standalone as q89).
+
+    Geometry columns are rare, so per-column jobs are acceptable; each is
+    bounded driver-side (5 samples, 10+1 frequency rows, 2 describe rows).
+    """
+    from profiler.geo import geo_shape_stats
+
+    out: dict[str, dict] = {}
     for c in cols:
-        out[c] = [
-            r[0] for r in df.select(c).where(F.col(c).isNotNull()).limit(5).collect()
+        d: dict = {}
+        nn = df.select(c).where(F.col(c).isNotNull())
+        d["samples"] = [r[0] for r in nn.limit(5).collect()]
+
+        k = cfg.max_freq_distr
+        topk = (
+            nn.groupBy(F.col(c).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+            .limit(k)
+            .collect()
+        )
+        d["freq_value_counts"] = [
+            {"name": c, "value": r["value"], "count": r["n"]} for r in topk
         ]
+        n_distinct = wide.get(f"{c} n_distinct")
+        count = wide.get(f"{c} count") or 0
+        if n_distinct is not None and n_distinct > len(topk):
+            d["freq_value_counts"].append(
+                {
+                    "name": c,
+                    "value": f"Other Values ({n_distinct - len(topk)})",
+                    "count": count - sum(r["n"] for r in topk),
+                }
+            )
+
+        blocks = {r["metric"]: r for r in geo_shape_stats(df, c).collect()}
+        for metric, key in (("area", "area_distribution"), ("length", "length_distribution")):
+            r = blocks.get(metric)
+            d[key] = {
+                "name": c,
+                "count": r["n_count"] if r else 0,
+                "min": r["min_v"] if r else None,
+                "max": r["max_v"] if r else None,
+                "average": r["avg_v"] if r else None,
+                "stddev": r["stddev_v"] if r else None,
+                "median": r["median_v"] if r else None,
+                "kurtosis": r["kurtosis_v"] if r else None,
+                "skewness": r["skewness_v"] if r else None,
+                "variance": r["variance_v"] if r else None,
+                "percentile10": r["p10"] if r else None,
+                "percentile25": r["p25"] if r else None,
+                "percentile75": r["p75"] if r else None,
+                "percentile90": r["p90"] if r else None,
+            }
+        out[c] = d
     return out
 
 
 def _run_geometry_heatmaps(
-    df: DataFrame, cols: list[str], eps: float, min_samples: int
+    df: DataFrame,
+    cols: list[str],
+    eps: float | None,
+    eps_meters: float | None,
+    min_samples: int,
 ) -> dict[str, list]:
-    """Opt-in DBSCAN heatmap per geometry column (reference
-    geometry.py:34-85), AGGREGATED to one row per cluster (label, n,
-    centroid x/y) + one noise row (label None) — bounded by the 2000-
-    cluster cap where the reference's per-row (y, x, cluster) dump grows
-    with the table."""
+    """DBSCAN heatmap per geometry column (reference geometry.py:34-85,
+    default-on at eps_distance=1000 m like describe_geometry),
+    AGGREGATED to one row per cluster (label, n, centroid x/y) + one
+    noise row (label None) — bounded by the 2000-cluster cap where the
+    reference's per-row (y, x, cluster) dump grows with the table.
+    ``eps`` (column units) takes precedence over ``eps_meters``."""
     from profiler.geo import geo_cluster_heatmap
 
     out = {}
@@ -648,7 +719,12 @@ def _run_geometry_heatmaps(
         with_id = df.select(c).where(F.col(c).isNotNull()).withColumn(
             "__gid", F.monotonically_increasing_id()
         )
-        hm = geo_cluster_heatmap(with_id, c, "__gid", eps, min_samples)
+        if eps is not None:
+            hm = geo_cluster_heatmap(with_id, c, "__gid", eps, min_samples)
+        else:
+            hm = geo_cluster_heatmap(
+                with_id, c, "__gid", None, min_samples, eps_meters=eps_meters
+            )
         agg = hm.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("x"), 6).alias("x"),
@@ -1009,6 +1085,11 @@ def _assemble_variable(
         if freq:
             v["frequency_distribution"] = [
                 {"name": c, "type": val, "count": n_} for val, n_ in freq["topk"]
+            ]
+            # reference variables/boolean.py:4-9: the same counts also under
+            # the reference's own key/shape ({'name','value','count'})
+            v["value_counts_without_nan"] = [
+                {"name": c, "value": val, "count": n_} for val, n_ in freq["topk"]
             ]
     elif t == CATEGORICAL:
         if freq:

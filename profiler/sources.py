@@ -173,6 +173,48 @@ def nesting_depth_stats(schema: T.StructType) -> dict:
     }
 
 
+def hierarchical_depth_section(dotted_names: list[str]) -> tuple[dict, dict[str, int]]:
+    """The reference hierarchical document's depth section
+    (``hierarchical/profiler.py:94-128``): per-variable ``nesting_level``
+    (dots in the flattened path) and the table-level ``depth_distribution``
+    — a pandas-describe block over the level index of every UNIQUE
+    (level, path-segment) pair. Pure driver math over COLUMN NAMES (schema
+    scale, not data scale); the keys of the returned level map are the
+    sanitized names the profiled document carries (dots/spaces →
+    underscores, ``index`` → ``df_index``, per ``sanitize_columns``)."""
+    import pandas as pd
+
+    levels_map: dict[str, int] = {}
+    depth: dict[int, set] = {}
+    for name in dotted_names:
+        parts = str(name).split(".")
+        sanitized = str(name).replace(" ", "_").replace(".", "_")
+        if sanitized == "index":
+            sanitized = "df_index"
+        levels_map[sanitized] = len(parts) - 1
+        for lvl, seg in enumerate(parts):
+            depth.setdefault(lvl, set()).add(seg)
+    unique_levels = [lvl for lvl, names in depth.items() for _ in names]
+    s = pd.Series(unique_levels, dtype="float64")
+    st = s.describe(percentiles=[0.10, 0.25, 0.75, 0.90])
+    dist = {
+        "count": st["count"],
+        "min": st["min"],
+        "max": st["max"],
+        "average": st["mean"],
+        "stddev": st["std"],
+        "median": st["50%"],
+        "kurtosis": s.kurtosis(),
+        "skewness": s.skew(),
+        "variance": s.var(),
+        "percentile10": st["10%"],
+        "percentile25": st["25%"],
+        "percentile75": st["75%"],
+        "percentile90": st["90%"],
+    }
+    return dist, levels_map
+
+
 def write_dataset(
     df,
     path: str,

@@ -354,9 +354,11 @@ def test_types_dict_override_respected(clean_df):
 
 
 def test_geometry_heatmap_opt_in(spark):
-    """heatmap_eps gates the DBSCAN heatmap: per-CLUSTER rows (dense
-    deterministic labels by size desc, centroid) + a noise row — the
-    scale-safe aggregation of the reference's per-row dump."""
+    """heatmap_eps drives the DBSCAN heatmap in column units: per-CLUSTER
+    rows (dense deterministic labels by size desc, centroid) + a noise row
+    — the scale-safe aggregation of the reference's per-row dump. The job
+    is DEFAULT-ON in meters (reference geometry.py:153 eps_distance=1000);
+    setting both eps knobs to None disables it."""
     rows = [(i, f"POINT ({0.4 * (i % 8)} 0)") for i in range(16)]       # blob A (8 pts, doubled)
     rows += [(100 + i, f"POINT ({50 + 0.4 * (i % 5)} 0)") for i in range(5)]  # blob B
     rows += [(999, "POINT (500 500)")]                                  # noise
@@ -372,8 +374,10 @@ def test_geometry_heatmap_opt_in(spark):
     assert labelled[0]["n"] == 16 and labelled[0]["x"] == pytest.approx(1.4)
     assert labelled[1]["n"] == 5 and labelled[1]["x"] == pytest.approx(50.8)
     assert len(noise) == 1 and noise[0]["n"] == 1
-    # default config: no heatmap job, no key
-    p2 = profile_table(df, config=ProfileConfig(exact=True))
+    # both eps knobs None: no heatmap job, no key
+    p2 = profile_table(
+        df, config=ProfileConfig(exact=True, heatmap_eps_meters=None)
+    )
     assert "heatmap" not in var_of(p2, "geom")
 
 
