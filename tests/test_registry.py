@@ -1,0 +1,47 @@
+"""Registry stability guards (VERDICT r3 #7).
+
+The driver's CORRECTNESS gate samples a FIXED 50-query subset of the
+registry (q01–q49 + q86, the names recorded in CORRECTNESS_r03.json). A
+rename or refactor that vacates one of those names would silently shrink
+the driver's sampled set to an error row — pin them verbatim. Pure
+name-level checks: no Spark job runs here.
+"""
+
+from profiler.queries import oracle_sql, queries
+
+DRIVER_SAMPLED = {
+    "q01_groupstats_flagship", "q02_generic_profile", "q03_numeric_describe",
+    "q04_percentiles", "q05_topk_freq", "q06_freq_extremes", "q07_histogram",
+    "q08_datetime_profile", "q09_uniqueness_stats", "q10_unique_key_violations",
+    "q11_dense_sequence", "q12_domain_check", "q13_monotonicity",
+    "q14_sessionization", "q15_drift_psi_ks", "q16_text_quality",
+    "q17_token_stats", "q18_exact_dedup", "q19_quality_score", "q20_langid",
+    "q21_ngram_jaccard", "q22_cosine_topk", "q23_embedding_neardup",
+    "q24_minhash_fingerprint", "q25_minhash_lsh_neardup",
+    "q26_simhash_candidates", "q27_lsh_ann_topk", "q28_language_quality",
+    "q29_topk_other_rollup", "q30_mad", "q31_dedup_keep_first", "q32_gap_runs",
+    "q33_set_ops", "q34_star_join", "q35_type_detection",
+    "q36_timeseries_stats", "q37_wordlen_distribution", "q38_monotonic_profile",
+    "q39_geometry_describe", "q40_corpus_describe", "q41_apply_dedup",
+    "q42_ivf_ann_topk", "q43_media_metadata", "q44_pii_scrub",
+    "q45_repetition_ratio", "q46_decontaminate", "q47_stratified_sample",
+    "q48_quality_filter", "q49_dup_clusters", "q86_dup_clusters_star",
+}
+
+
+def test_driver_sampled_names_stable():
+    missing = DRIVER_SAMPLED - set(queries())
+    assert not missing, f"driver-sampled registry names vacated: {sorted(missing)}"
+
+
+def test_oracles_reference_real_queries():
+    """Every oracle_sql() key must name a queries() entry — an orphaned
+    oracle is dead SQL the driver never exercises."""
+    orphans = set(oracle_sql()) - set(queries())
+    assert not orphans, f"oracle entries with no query: {sorted(orphans)}"
+
+
+def test_registry_callables_and_sql_are_wellformed():
+    qs, os_ = queries(), oracle_sql()
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())

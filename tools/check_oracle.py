@@ -2,7 +2,13 @@
 entry on Spark AND its oracle_sql() on DuckDB over the same parquet tables,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json`` writes the full per-query result (status, rows, spark seconds)
+plus a summary line as a machine-readable artifact — the driver's
+CORRECTNESS gate samples only 50 of the registry's entries, so each round
+ships ``SWEEP_rN.json`` to show the whole registry was verified, not just
+the sampled subset.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ def norm(v):
 
 
 def main() -> int:
+    import json
     import time
 
     import duckdb
@@ -35,8 +42,14 @@ def main() -> int:
     from profiler.queries import oracle_sql, queries
     from profiler.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
@@ -47,6 +60,18 @@ def main() -> int:
 
     qs, os_ = queries(), oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, sec=None, detail=None):
+        r = {"status": status}
+        if rows is not None:
+            r["rows"] = rows
+        if sec is not None:
+            r["spark_sec"] = round(sec, 3)
+        if detail:
+            r["detail"] = detail
+        results[name] = r
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -60,10 +85,12 @@ def main() -> int:
             spark_sec = time.monotonic() - t0
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            record(name, "fail", detail=f"spark error: {e}")
             n_fail += 1
             continue
         if name not in os_:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            record(name, "rows_only", rows=len(s_rows), sec=spark_sec)
             continue
         try:
             rel = con.execute(os_[name])
@@ -71,6 +98,7 @@ def main() -> int:
             d_rows_raw = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, "fail", detail=f"duckdb error: {e}")
             n_fail += 1
             continue
         order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
@@ -78,9 +106,11 @@ def main() -> int:
         d_rows = sorted(tuple(norm(r[i]) for i in order) for r in d_rows_raw)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns {s_cols} != {d_cols}")
+            record(name, "fail", detail=f"columns {s_cols} != {d_cols}")
             n_fail += 1
         elif len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}")
+            record(name, "fail", detail=f"rowcount {len(s_rows)} != {len(d_rows)}")
             n_fail += 1
         elif s_rows != d_rows:
             bad = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b][:3]
@@ -88,10 +118,25 @@ def main() -> int:
             for i in bad:
                 print(f"   spark : {s_rows[i]}")
                 print(f"   duckdb: {d_rows[i]}")
+            record(name, "fail", detail=f"values differ at sorted rows {bad}")
             n_fail += 1
         else:
             print(f"ok   {name}: {len(s_rows)} rows match ({spark_sec:.2f}s spark)")
+            record(name, "match", rows=len(s_rows), sec=spark_sec)
     print(f"\n{n_fail} failures")
+    if json_out:
+        statuses = [r["status"] for r in results.values()]
+        doc = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_match": statuses.count("match"),
+            "n_rows_only": statuses.count("rows_only"),
+            "n_fail": n_fail,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
