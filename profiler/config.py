@@ -186,9 +186,9 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
     the document. Types: tabular/vector/timeseries/hierarchical (the
     table engine), rdfgraph (N-Triples — the distributed-scan wire
     format; RDF/XML is not line-splittable and rdflib is absent),
-    textual (whole-file corpus), vista (.rhd + .ras pair). GeoTIFF
-    ``raster`` stays gated on rasterio (see
-    :func:`profiler.raster.read_rasters`)."""
+    textual (whole-file corpus), vista (.rhd + .ras pair), raster
+    (GeoTIFF via the package's baseline TIFF 6.0 decoder,
+    :func:`profiler.raster.geotiff_profile`)."""
     kind = config.get("profile", {}).get("type", "tabular").lower()
     if kind in ("tabular", "vector", "timeseries", "hierarchical"):
         if kind == "hierarchical":
@@ -279,10 +279,12 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
             os.path.abspath(input_cfg["ras_file"]),
         )
     elif kind == "raster":
-        from profiler.raster import read_rasters
+        from profiler.raster import geotiff_profile
 
-        read_rasters(spark, input_cfg.get("files") or [])  # raises with guidance
-        raise AssertionError("unreachable")
+        files = input_cfg.get("files") or []
+        doc = geotiff_profile(
+            spark, [os.path.abspath(p) for p in ([files] if isinstance(files, str) else files)]
+        )
     else:
         raise ValueError(
             f"profile.type={kind!r} unsupported — use one of: tabular, "

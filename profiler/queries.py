@@ -18,6 +18,7 @@ Determinism rules (the driver value-hashes results):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -9462,3 +9463,59 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return lorenz_points(ev, "user_id", n_points=10)
+
+
+# ===========================================================================
+# Q168. GeoTIFF baseline decode (reference raster/profiler.py:74-132)
+# ===========================================================================
+_GEOTIFF_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures", "geotiff"
+)
+
+#: the fixtures' exact pixel formula (tools/make_geotiff_fixture.py):
+#: v(scene s, band b, pixel i) = (i*37 + b*101 + s*53) % 1009; scene0 is
+#: uint16 2-band 20x13, scene1 is float32 (v/8, exact) 1-band 17x9.
+_Q168_FORMULA_SQL = """
+      SELECT 'scene0' AS img, 'band_' || CAST(b + 1 AS VARCHAR) AS band,
+             CAST((i * 37 + b * 101) % 1009 AS DOUBLE) AS v
+      FROM range(260) t(i), range(2) bb(b)
+      UNION ALL
+      SELECT 'scene1', 'band_1',
+             CAST((i * 37 + 53) % 1009 AS DOUBLE) / 8.0
+      FROM range(153) t(i)
+"""
+
+
+def _q168_oracle() -> str:
+    """Describe replay over the formula the committed .tif fixtures were
+    built from — fully independent of any TIFF byte: if the baseline
+    decoder (strips+Deflate+predictor LE / tiles+LZW BE, profiler/tiff.py)
+    garbles a single pixel, a moment or quantile moves and the hash
+    mismatches."""
+    return f"""
+    WITH pixels AS ({_Q168_FORMULA_SQL}),
+    vals AS (SELECT img, band, v FROM pixels)
+    {_describe_select_sql().replace("SELECT metric,", "SELECT img, band,")
+                           .replace("GROUP BY metric ORDER BY metric",
+                                    "GROUP BY img, band ORDER BY img, band")}
+    """
+
+
+@_register("q168_geotiff_band_describe", _q168_oracle())
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-band GeoTIFF statistics (``raster/profiler.py:
+    74-164``: rasterio decode → flatten → ``pd.Series.describe``) run
+    END-TO-END on the package's dependency-free baseline TIFF decoder
+    (:mod:`profiler.tiff` via :func:`profiler.raster.read_rasters`):
+    binaryFile scan of the two committed fixture scenes (Deflate+predictor
+    strips little-endian uint16; LZW tiles big-endian float32), one file
+    per task, then the shared one-aggregate describe. The oracle never
+    touches TIFF bytes — it replays the exact integer formula the
+    fixtures encode."""
+    from profiler.raster import band_describe, read_rasters
+
+    paths = [
+        os.path.join(_GEOTIFF_FIXTURE_DIR, f) for f in ("scene0.tif", "scene1.tif")
+    ]
+    pixels, _images = read_rasters(spark, paths)
+    return band_describe(pixels).orderBy("img", "band")

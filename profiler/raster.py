@@ -18,17 +18,18 @@ DataFrames:
   pixel_size_x, pixel_size_y, no_data_value, format, xmin, ymin, xmax,
   ymax)``; broadcast-sized by construction (one row per file).
 
-Decode is the only piece that genuinely needs an image library; rasterio
-is not in this container, so :func:`read_rasters` gates it behind an
-import-try (NotImplementedError with the real call shape) while
-:func:`pixels_from_grids` — the Arrow-batched ``mapInPandas`` plumbing
-that turns raw band buffers into the tall frame — is real and tested
-with a deterministic binary fixture. The Vista path needs NO external
-library at all (``.ras`` is a raw little-endian int16 grid described by a
-tiny ``.rhd`` text header, reference ``profiler.py:512-553``), so it is
-implemented end-to-end: header parse on the driver (a few lines of
-text), pixel decode distributed via ``mapInPandas`` over explicit
-``(image, byte-range)`` chunk plans.
+GeoTIFF decode is implemented in-package (:mod:`profiler.tiff` — the
+public-spec TIFF 6.0 baseline: strips/tiles, chunky/planar, 8–64-bit
+samples, none/LZW/Deflate/PackBits, predictor 2, GeoTIFF EPSG/nodata
+tags), so :func:`read_rasters` needs NO external image library; only
+exotic containers (BigTIFF, JPEG-in-TIFF) raise toward a
+rasterio-equipped cluster. :func:`pixels_from_grids` remains the
+Arrow-batched ``mapInPandas`` plumbing for pre-extracted raw band
+buffers. The Vista path is likewise dependency-free (``.ras`` is a raw
+little-endian int16 grid described by a tiny ``.rhd`` text header,
+reference ``profiler.py:512-553``): header parse on the driver (a few
+lines of text), pixel decode distributed via ``mapInPandas`` over
+explicit ``(image, byte-range)`` chunk plans.
 
 Divergence, documented: the reference's combined/pooled variance
 (``profiler.py:379-394``) sums ``count * stddev + count * (mean -
@@ -134,26 +135,134 @@ def pixels_from_grids(grids: DataFrame, dtype: str = "<i2") -> DataFrame:
     return grids.mapInPandas(run, PIXELS_SCHEMA)
 
 
-def read_rasters(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """GeoTIFF → (pixels, images) scan. rasterio is not available in
-    this environment; the call shape is kept so a cluster with the lib
-    installed gets the same plumbing: ``spark.read.format('binaryFile')``
-    over the paths, then per-file decode inside ``mapInPandas`` (each
-    task opens ONE file from its own executor — the driver never touches
-    pixel data), then :func:`pixels_from_grids`."""
+IMAGES_SCHEMA = (
+    "img string, width int, height int, crs string, pixel_size_x double, "
+    "pixel_size_y double, no_data_value double, format string, "
+    "xmin double, ymin double, xmax double, ymax double, byte_size long"
+)
+
+
+def _wgs84_bounds(meta: dict) -> tuple:
+    """Native-CRS bounds → WGS84 (the reference's ``transform_bounds`` to
+    EPSG:4326, ``raster/profiler.py:118-124``): identity for EPSG:4326,
+    the Snyder UTM inverse with 21-point edge densification for
+    EPSG:326xx/327xx (UTM parallels bow poleward — corner-only bounds
+    clip scenes straddling easting 500000), native bounds otherwise."""
+    xmin, ymin, xmax, ymax = (
+        meta["xmin"], meta["ymin"], meta["xmax"], meta["ymax"]
+    )
+    crs = meta.get("crs") or ""
+    if xmin is None or crs == "EPSG:4326" or not crs.startswith("EPSG:"):
+        return xmin, ymin, xmax, ymax
+    code = int(crs.split(":", 1)[1])
+    if not (32601 <= code <= 32660 or 32701 <= code <= 32760):
+        return xmin, ymin, xmax, ymax
+    from profiler.geo import utm_inverse
+
+    zone, south = code % 100, code >= 32700
+    n = 21
+    pts = [
+        utm_inverse(ex, ny, zone, south)
+        for t in (i / (n - 1) for i in range(n))
+        for ex, ny in (
+            (xmin + t * (xmax - xmin), ymax),
+            (xmin + t * (xmax - xmin), ymin),
+            (xmin, ymin + t * (ymax - ymin)),
+            (xmax, ymin + t * (ymax - ymin)),
+        )
+    ]
+    return (
+        min(p[0] for p in pts),
+        min(p[1] for p in pts),
+        max(p[0] for p in pts),
+        max(p[1] for p in pts),
+    )
+
+
+def read_rasters(
+    spark: SparkSession, paths: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """GeoTIFF → ``(pixels, images)`` scan with the package's own
+    baseline TIFF 6.0 decoder (:mod:`profiler.tiff` — strips/tiles,
+    chunky/planar, 8–64-bit int/uint/float, none/LZW/Deflate/PackBits,
+    predictor 2, GeoTIFF EPSG + nodata tags; no image library). The
+    reference does the same decode via rasterio (``raster/profiler.py:
+    74-132``); containers outside the baseline (BigTIFF, JPEG-in-TIFF)
+    raise :class:`profiler.tiff.UnsupportedTiffError` pointing at a
+    rasterio-equipped cluster.
+
+    Plan shape: ``spark.read.format('binaryFile')`` over the paths, one
+    FILE per task — each task decodes only its own file's bytes and
+    emits the tall ``(img, band_i, v)`` frame plus one metadata row, so
+    a 100 TB archive of many scenes fans out across executors and the
+    driver never touches pixel data. Bands are named positionally
+    (``band_1``…) — strictly more informative than the reference's
+    ``'undefined'`` placeholder for description-less bands, and
+    collision-free in the tall frame."""
+    from profiler.tiff import decode_tiff, tiff_meta
+
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+
+    def stem(path: str) -> str:
+        base = path.rsplit("/", 1)[-1]
+        return base.rsplit(".", 1)[0] if "." in base else base
+
+    def decode_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path, content in zip(b["path"], b["content"]):
+                _meta, bands = decode_tiff(bytes(content))
+                for i, vals in enumerate(bands):
+                    yield pd.DataFrame(
+                        {"img": stem(path), "band": f"band_{i + 1}", "v": vals}
+                    )
+
+    def decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                m = tiff_meta(bytes(content))
+                xmin, ymin, xmax, ymax = _wgs84_bounds(m)
+                rows.append(
+                    {
+                        "img": stem(path),
+                        "width": m["width"],
+                        "height": m["height"],
+                        "crs": m["crs"],
+                        "pixel_size_x": m["pixel_size_x"],
+                        "pixel_size_y": m["pixel_size_y"],
+                        "no_data_value": m["no_data_value"],
+                        "format": m["format"],
+                        "xmin": xmin,
+                        "ymin": ymin,
+                        "xmax": xmax,
+                        "ymax": ymax,
+                        "byte_size": len(content),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return bf.mapInPandas(decode_px, PIXELS_SCHEMA), bf.mapInPandas(
+        decode_meta, IMAGES_SCHEMA
+    )
+
+
+def geotiff_profile(spark: SparkSession, paths: list[str]) -> dict:
+    """The reference's GeoTIFF profile document (single- and multi-image,
+    ``raster/profiler.py:19-178`` / ``:183-414``) end-to-end in-package:
+    :func:`read_rasters` baseline decode → :func:`raster_profile`
+    assembly, plus the table ``byte_size`` (sum of file sizes, reference
+    ``profiler.py:57``)."""
+    pixels, images = read_rasters(spark, paths)
+    images = images.cache()
     try:
-        import rasterio  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - rasterio absent here
-        raise NotImplementedError(
-            "GeoTIFF decode needs rasterio, which is not installed in this "
-            "environment. The supported ingest path is: "
-            "spark.read.format('binaryFile').load(paths) -> mapInPandas "
-            "decode emitting (img, band, content) raw buffers -> "
-            "pixels_from_grids(grids). The Vista .ras/.rhd path "
-            "(read_vista_rhd / vista_pixels) is fully implemented without "
-            "external libraries."
-        ) from exc
-    raise NotImplementedError("wire rasterio decode here on a real cluster")
+        doc = raster_profile(pixels, images)
+        doc["byte_size"] = int(
+            images.agg(F.sum("byte_size")).collect()[0][0] or 0
+        )
+    finally:
+        images.unpersist()
+    return doc
 
 
 # ---------------------------------------------------------------------------

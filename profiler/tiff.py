@@ -1,0 +1,351 @@
+"""Baseline TIFF 6.0 / GeoTIFF decoder — stdlib ``struct``/``zlib`` +
+numpy only, no image library.
+
+The reference opens every GeoTIFF with rasterio (reference
+``raster/profiler.py:74-132``: ``rio.open`` → per-band ``read`` →
+``pd.Series.describe``). rasterio is not installed in this environment,
+and the baseline container format is fully public (Adobe TIFF 6.0 spec +
+OGC GeoTIFF 1.1), so this module decodes it directly:
+
+* classic (non-Big) TIFF, little- or big-endian;
+* strip (273/278/279) or tile (322–325) layout, edge tiles cropped;
+* chunky (PlanarConfiguration 1) or planar (2) sample storage;
+* 8/16/32/64-bit unsigned / signed / IEEE-float samples (SampleFormat);
+* Compression 1 (none), 5 (TIFF-LZW with early code-width change),
+  8/32946 (Deflate), 32773 (PackBits); horizontal Predictor 2;
+* the GeoTIFF tags the profile document needs: ModelPixelScale (33550),
+  ModelTiepoint (33922), GeoKeyDirectory EPSG code (34735), and
+  GDAL_NODATA (42113).
+
+Genuinely exotic containers — BigTIFF, JPEG-in-TIFF, float predictor 3,
+sub-byte samples — still raise :class:`UnsupportedTiffError` with
+guidance toward a rasterio-equipped cluster; they are the exception on
+real raster archives, not the rule.
+
+Only per-chunk byte slices ever exist in memory: the decode loop walks
+strip/tile offsets, so a caller feeding one FILE per task (the
+``binaryFile`` ingest in :func:`profiler.raster.read_rasters`) holds one
+compressed chunk + one decoded chunk at a time beyond the file bytes
+Spark already materialized.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedTiffError",
+    "decode_tiff",
+    "tiff_meta",
+]
+
+
+class UnsupportedTiffError(NotImplementedError):
+    """A TIFF feature outside the baseline decoder's public-spec subset."""
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_entries(data: bytes, bo: str) -> dict[int, tuple]:
+    """First-IFD tag table as ``{tag: (type, values...)}``. Multi-IFD
+    files (overviews / multi-page) follow GDAL's default: the first IFD
+    is the dataset; later ones are ignored."""
+    if len(data) < 8:
+        raise UnsupportedTiffError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    out: dict[int, tuple] = {}
+    for i in range(n):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        raw = e[8:12] if size <= 4 else None
+        if raw is None:
+            (off,) = struct.unpack(bo + "I", e[8:12])
+            raw = data[off : off + size]
+        if typ == 2:  # ASCII (NUL-terminated)
+            out[tag] = (typ, raw[:cnt].split(b"\0")[0].decode("ascii", "replace"))
+        elif typ == 5 or typ == 10:  # RATIONAL
+            parts = struct.unpack(bo + ("Ii"[typ == 10] * 2 * cnt), raw[: 8 * cnt])
+            out[tag] = (typ,) + tuple(
+                parts[2 * j] / (parts[2 * j + 1] or 1) for j in range(cnt)
+            )
+        else:
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                out[tag] = (typ, raw)
+            else:
+                out[tag] = (typ,) + struct.unpack(bo + fmt * cnt, raw[:size])
+    return out
+
+
+def _vals(entries: dict, tag: int, default=None) -> tuple | None:
+    e = entries.get(tag)
+    return e[1:] if e is not None else default
+
+
+def _byte_order(data: bytes) -> str:
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise UnsupportedTiffError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic == 43:
+        raise UnsupportedTiffError(
+            "BigTIFF (magic 43) is outside the baseline decoder; use a "
+            "rasterio-equipped cluster for >4 GB containers"
+        )
+    if magic != 42:
+        raise UnsupportedTiffError(f"not a TIFF (magic {magic})")
+    return bo
+
+
+def _packbits(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n and len(out) < expected:
+        h = buf[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += buf[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += buf[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _lzw(buf: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec §13): 9→12-bit MSB-first codes, Clear=256,
+    EOI=257, EARLY code-width change (width bumps when the next code to
+    be assigned is 2**bits - 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits, acc, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in buf:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == CLEAR:
+                table = table[:258]
+                bits, prev = 9, None
+                continue
+            if code == EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change, one-behind: the encoder widened after ASSIGNING
+            # entry 2**bits - 2 (it checks its next free code against
+            # 2**bits - 1), and the decoder trails its assignments by one
+            # code — so widen when the table reaches 2**bits - 2
+            if len(table) == (1 << bits) - 2 and bits < 12:
+                bits += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _dtype(entries: dict, bo: str) -> np.dtype:
+    spp = _vals(entries, 277, (1,))[0]
+    bps = _vals(entries, 258, (1,) * spp)
+    fmts = _vals(entries, 339, (1,) * spp)
+    if len(set(bps)) != 1 or len(set(fmts)) != 1:
+        raise UnsupportedTiffError(f"mixed per-band sample types {bps}/{fmts}")
+    bits, fmt = bps[0], fmts[0]
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None:
+        raise UnsupportedTiffError(f"SampleFormat {fmt} unsupported")
+    if bits not in (8, 16, 32, 64) or (kind == "f" and bits < 32):
+        raise UnsupportedTiffError(f"{bits}-bit {kind} samples unsupported")
+    return np.dtype(f"{bo}{kind}{bits // 8}")
+
+
+def _decompress(chunk: bytes, compression: int, expected: int) -> bytes:
+    if compression == 1:
+        return chunk[:expected]
+    if compression in (8, 32946):
+        return zlib.decompress(chunk)[:expected]
+    if compression == 5:
+        return _lzw(chunk, expected)
+    if compression == 32773:
+        return _packbits(chunk, expected)
+    raise UnsupportedTiffError(
+        f"TIFF compression {compression} is outside the baseline decoder "
+        "(1/5/8/32773/32946 supported); decode on a rasterio-equipped cluster"
+    )
+
+
+def _undiff(arr: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal predictor (tag 317 = 2): per-row, per-sample cumulative
+    sum with native-dtype wraparound (the differencing was done modulo
+    the sample width)."""
+    if arr.dtype.kind == "f":
+        raise UnsupportedTiffError("Predictor 2 on float samples is invalid TIFF")
+    shaped = arr.reshape(arr.shape[0], -1, spp)
+    return np.cumsum(shaped, axis=1, dtype=arr.dtype).reshape(arr.shape[0], -1)
+
+
+def _geo(entries: dict, width: int, height: int) -> dict:
+    """GeoTIFF metadata block: crs ``EPSG:n`` (reference defaults missing
+    CRS to EPSG:4326, ``raster/profiler.py:107-111``), pixel sizes, and
+    native-CRS bounds from tiepoint+scale."""
+    out = {
+        "crs": "EPSG:4326",
+        "pixel_size_x": None,
+        "pixel_size_y": None,
+        "xmin": None,
+        "ymin": None,
+        "xmax": None,
+        "ymax": None,
+        "no_data_value": None,
+    }
+    keys = _vals(entries, 34735)
+    if keys and len(keys) >= 4:
+        n_keys = int(keys[3])
+        for k in range(n_keys):
+            kid, loc, _cnt, val = keys[4 + 4 * k : 8 + 4 * k]
+            if loc == 0 and kid in (3072, 2048) and 0 < val < 65535:
+                out["crs"] = f"EPSG:{int(val)}"
+                if kid == 3072:
+                    break  # projected code wins over the geographic one
+    nod = _vals(entries, 42113)
+    if nod:
+        try:
+            out["no_data_value"] = float(str(nod[0]).strip())
+        except ValueError:
+            pass
+    scale = _vals(entries, 33550)
+    tie = _vals(entries, 33922)
+    if scale and len(scale) >= 2 and tie and len(tie) >= 6:
+        sx, sy = float(scale[0]), float(scale[1])
+        i, j, _k, x, y = (float(t) for t in tie[:5])
+        ulx, uly = x - i * sx, y + j * sy
+        out.update(
+            pixel_size_x=sx,
+            pixel_size_y=sy,
+            xmin=ulx,
+            xmax=ulx + width * sx,
+            ymax=uly,
+            ymin=uly - height * sy,
+        )
+    return out
+
+
+def tiff_meta(data: bytes) -> dict:
+    """Header-only parse: width/height/band count/dtype/compression plus
+    the :func:`_geo` block — no pixel chunk is ever decompressed."""
+    bo = _byte_order(data)
+    entries = _read_entries(data, bo)
+    width = _vals(entries, 256, (0,))[0]
+    height = _vals(entries, 257, (0,))[0]
+    spp = _vals(entries, 277, (1,))[0]
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "n_bands": int(spp),
+        "dtype": _dtype(entries, bo).str,
+        "compression": int(_vals(entries, 259, (1,))[0]),
+        "format": "GTiff",
+    }
+    meta.update(_geo(entries, int(width), int(height)))
+    return meta
+
+
+def decode_tiff(data: bytes) -> tuple[dict, list[np.ndarray]]:
+    """Full decode: ``(meta, [band_0 …])`` with each band a flattened
+    row-major float64 array of ``width*height`` values — exactly the
+    series the reference describes per band
+    (``raster/profiler.py:133-143`` ``img.read(band).reshape(…)``)."""
+    bo = _byte_order(data)
+    entries = _read_entries(data, bo)
+    meta = tiff_meta(data)
+    w, h, spp = meta["width"], meta["height"], meta["n_bands"]
+    dt = np.dtype(meta["dtype"])
+    comp = meta["compression"]
+    planar = _vals(entries, 284, (1,))[0]
+    predictor = _vals(entries, 317, (1,))[0]
+    if predictor not in (1, 2):
+        raise UnsupportedTiffError(f"TIFF predictor {predictor} unsupported")
+    bands = [np.empty((h, w), dtype=dt) for _ in range(spp)]
+
+    tile_w = _vals(entries, 322)
+    if tile_w is not None:
+        tw, th = int(tile_w[0]), int(_vals(entries, 323)[0])
+        offs, cnts = _vals(entries, 324), _vals(entries, 325)
+        across, down = -(-w // tw), -(-h // th)
+        per_plane = across * down
+        n_planes = spp if planar == 2 else 1
+        row_samples = tw * (1 if planar == 2 else spp)
+        for p in range(n_planes):
+            for t in range(per_plane):
+                idx = p * per_plane + t
+                raw = _decompress(
+                    data[offs[idx] : offs[idx] + cnts[idx]],
+                    comp,
+                    th * row_samples * dt.itemsize,
+                )
+                arr = np.frombuffer(raw, dtype=dt).reshape(th, row_samples)
+                if predictor == 2:
+                    arr = _undiff(arr, 1 if planar == 2 else spp)
+                ty, tx = (t // across) * th, (t % across) * tw
+                ch, cw = min(th, h - ty), min(tw, w - tx)
+                if planar == 2:
+                    bands[p][ty : ty + ch, tx : tx + cw] = arr[:ch, :cw]
+                else:
+                    cube = arr.reshape(th, tw, spp)
+                    for s in range(spp):
+                        bands[s][ty : ty + ch, tx : tx + cw] = cube[:ch, :cw, s]
+    else:
+        offs, cnts = _vals(entries, 273), _vals(entries, 279)
+        if offs is None:
+            raise UnsupportedTiffError("TIFF with neither strips nor tiles")
+        rps = int(_vals(entries, 278, (2**32 - 1,))[0])
+        rps = min(rps, h)
+        per_plane = -(-h // rps) if rps else 1
+        n_planes = spp if planar == 2 else 1
+        if cnts is None:
+            if comp != 1 or n_planes * per_plane != 1:
+                raise UnsupportedTiffError("missing StripByteCounts")
+            cnts = (h * w * spp * dt.itemsize,)
+        row_samples = w * (1 if planar == 2 else spp)
+        for p in range(n_planes):
+            for i in range(per_plane):
+                idx = p * per_plane + i
+                y0 = i * rps
+                rows = min(rps, h - y0)
+                raw = _decompress(
+                    data[offs[idx] : offs[idx] + cnts[idx]],
+                    comp,
+                    rows * row_samples * dt.itemsize,
+                )
+                arr = np.frombuffer(raw, dtype=dt).reshape(rows, row_samples)
+                if predictor == 2:
+                    arr = _undiff(arr, 1 if planar == 2 else spp)
+                if planar == 2:
+                    bands[p][y0 : y0 + rows] = arr
+                else:
+                    cube = arr.reshape(rows, w, spp)
+                    for s in range(spp):
+                        bands[s][y0 : y0 + rows] = cube[:, :, s]
+
+    return meta, [b.astype("float64").ravel() for b in bands]

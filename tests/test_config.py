@@ -212,18 +212,31 @@ def test_run_profile_dispatch_vista(spark, tmp_path):
     assert doc["n_of_imgs"] == 1
 
 
-def test_run_profile_raster_is_gated(spark, tmp_path):
-    import pytest as _pytest
+def test_run_profile_raster_route(spark, tmp_path):
+    """The raster config route profiles GeoTIFFs end-to-end with the
+    in-package baseline decoder and writes the JSON document."""
+    import json as _json
+
+    import numpy as np
 
     from profiler.config import run_profile
+    from tiff_writer import write_tiff
 
+    band = np.arange(12, dtype="uint8").reshape(3, 4)
+    write_tiff(
+        str(tmp_path / "a.tif"), [band], compression=8,
+        epsg=4326, pixel_scale=(0.5, 0.5), tiepoint=(10.0, 50.0),
+    )
     cfg = {
-        "input": {"files": ["x.tif"]},
+        "input": {"files": [str(tmp_path / "a.tif")]},
         "output": {"json": str(tmp_path / "r.json")},
         "profile": {"type": "raster"},
     }
-    with _pytest.raises(NotImplementedError, match="rasterio"):
-        run_profile(cfg, spark=spark)
+    doc = run_profile(cfg, spark=spark)
+    assert doc["profiler_type"] == "Raster" and doc["n_of_imgs"] == 1
+    assert doc["variables"][0]["bands"][0]["count"] == 12
+    on_disk = _json.loads((tmp_path / "r.json").read_text())
+    assert on_disk["n_of_imgs"] == 1
 
 
 def test_run_profile_rdfgraph_accepts_file_list(spark, tmp_path):

@@ -18,6 +18,7 @@ from profiler.raster import (
     NODATA_CLASSES,
     band_describe,
     combined_band_stats,
+    geotiff_profile,
     pixels_from_grids,
     raster_profile,
     read_rasters,
@@ -201,9 +202,100 @@ def test_raster_profile_document(spark):
     assert x["spatial_coverage"].startswith("POLYGON ((")
 
 
-def test_read_rasters_is_gated(spark):
-    with pytest.raises(NotImplementedError, match="rasterio"):
-        read_rasters(spark, ["/nope.tif"])
+def test_read_rasters_decodes_geotiff(spark, tmp_path):
+    """End-to-end GeoTIFF ingest with the in-package baseline decoder:
+    two files (Deflate+predictor strips / tiled float32), distributed
+    decode into the tall frame + broadcast-sized metadata frame."""
+    from tiff_writer import write_tiff
+
+    rng = np.random.default_rng(3)
+    a = [rng.integers(0, 4000, (6, 9)).astype("uint16") for _ in range(2)]
+    b = [rng.normal(2.0, 1.0, (5, 7)).astype("float32")]
+    write_tiff(
+        str(tmp_path / "scene_a.tif"), a, compression=8, predictor=2,
+        rows_per_strip=2, epsg=32633, pixel_scale=(10.0, 10.0),
+        tiepoint=(500000.0, 4649776.0), nodata=0.0,
+    )
+    write_tiff(
+        str(tmp_path / "scene_b.tif"), b, tile=(4, 4), epsg=4326,
+        pixel_scale=(0.01, 0.01), tiepoint=(23.7, 38.0),
+    )
+    pixels, images = read_rasters(
+        spark, [str(tmp_path / "scene_a.tif"), str(tmp_path / "scene_b.tif")]
+    )
+    got = {
+        (r["img"], r["band"]): r["n"]
+        for r in pixels.groupBy("img", "band").agg(F.count("v").alias("n")).collect()
+    }
+    assert got == {
+        ("scene_a", "band_1"): 54,
+        ("scene_a", "band_2"): 54,
+        ("scene_b", "band_1"): 35,
+    }
+    s = pixels.where(
+        (F.col("img") == "scene_a") & (F.col("band") == "band_2")
+    ).agg(F.sum("v")).collect()[0][0]
+    assert s == pytest.approx(float(a[1].sum()))
+    metas = {r["img"]: r.asDict() for r in images.collect()}
+    assert metas["scene_a"]["crs"] == "EPSG:32633"
+    assert metas["scene_a"]["no_data_value"] == 0.0
+    assert metas["scene_a"]["width"] == 9 and metas["scene_a"]["height"] == 6
+    # UTM bounds are projected to WGS84 (zone 33 central meridian = 15 E)
+    assert 14.9 < metas["scene_a"]["xmin"] < 15.1
+    assert 41.9 < metas["scene_a"]["ymax"] < 42.1
+    # geographic CRS: native bounds pass through
+    assert metas["scene_b"]["xmin"] == pytest.approx(23.7)
+    assert metas["scene_b"]["ymax"] == pytest.approx(38.0)
+
+
+def test_geotiff_profile_document(spark, tmp_path):
+    """geotiff_profile assembles the reference's multi-raster document
+    (raster/profiler.py:183-414) from the baseline decode: per-image
+    variables with band describe blocks, pooled combined stats for the
+    shared band name, table scalars + byte_size."""
+    from tiff_writer import write_tiff
+
+    rng = np.random.default_rng(4)
+    imgs = {
+        "x": rng.integers(0, 100, (4, 5)).astype("uint8"),
+        "y": rng.integers(0, 100, (4, 5)).astype("uint8"),
+    }
+    for name, band in imgs.items():
+        write_tiff(
+            str(tmp_path / f"{name}.tif"), [band], compression=8,
+            epsg=4326, pixel_scale=(0.5, 0.5), tiepoint=(10.0, 50.0),
+        )
+    doc = geotiff_profile(
+        spark, [str(tmp_path / "x.tif"), str(tmp_path / "y.tif")]
+    )
+    assert doc["profiler_type"] == "Raster"
+    assert doc["n_of_imgs"] == 2
+    assert doc["avg_width"] == 5.0 and doc["avg_height"] == 4.0
+    assert doc["byte_size"] > 0
+    assert [v["name"] for v in doc["variables"]] == ["x", "y"]
+    vx = doc["variables"][0]
+    assert vx["crs"] == "EPSG:4326" and vx["format"] == "GTiff"
+    assert vx["spatial_coverage"].startswith("POLYGON")
+    (band_block,) = vx["bands"]
+    assert band_block["name"] == "band_1"
+    assert band_block["count"] == 20
+    assert band_block["average"] == pytest.approx(
+        round(float(imgs["x"].mean()), 4)
+    )
+    (combined,) = doc["combined_band_stats"]
+    assert combined["name"] == "band_1" and combined["n_of_imgs"] == 2
+    both = np.concatenate([imgs["x"].ravel(), imgs["y"].ravel()]).astype("f8")
+    assert combined["average"] == pytest.approx(round(float(both.mean()), 4))
+
+
+def test_read_rasters_rejects_bigtiff(spark, tmp_path):
+    import struct
+
+    p = tmp_path / "big.tif"
+    p.write_bytes(b"II" + struct.pack("<H", 43) + b"\0" * 12)
+    pixels, _ = read_rasters(spark, [str(p)])
+    with pytest.raises(Exception, match="BigTIFF"):
+        pixels.collect()
 
 
 def test_vista_lai_describe_positive_only(spark, tmp_path):

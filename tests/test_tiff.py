@@ -1,0 +1,133 @@
+"""Baseline TIFF decoder tests (profiler/tiff.py) — decoder vs the
+independent spec-direction writer in tests/tiff_writer.py, no Spark.
+
+The reference delegates this decode to rasterio (reference
+raster/profiler.py:74-132); these tests pin the in-package baseline:
+every (layout × planar × compression × predictor × dtype × endianness)
+cell round-trips bit-exactly, LZW crosses all code widths and the table
+reset, GeoTIFF tags parse, and out-of-baseline containers raise with
+guidance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from profiler.tiff import UnsupportedTiffError, decode_tiff, tiff_meta
+from tiff_writer import write_tiff
+
+RNG = np.random.default_rng(20240819)
+
+
+def _bands(dtype: str, h: int = 13, w: int = 17, n: int = 2) -> list[np.ndarray]:
+    if dtype.startswith("float"):
+        return [RNG.normal(0, 100, (h, w)).astype(dtype) for _ in range(n)]
+    info = np.iinfo(dtype)
+    return [
+        RNG.integers(info.min, info.max, (h, w)).astype(dtype) for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"])
+@pytest.mark.parametrize("comp", [1, 8, 5, 32773])
+@pytest.mark.parametrize("layout", ["strip1", "strips", "tiles"])
+def test_roundtrip_matrix(tmp_path, dtype, comp, layout):
+    """Bit-exact decode across the claimed baseline. Planar config,
+    endianness, and predictor rotate deterministically with the other
+    axes so every value is exercised without a 480-case explosion."""
+    bands = _bands(dtype)
+    planar = 2 if (comp + len(layout)) % 2 else 1
+    be = bool((comp + ord(dtype[0])) % 2)
+    pred = 2 if (comp % 2 == 0 and not dtype.startswith("float")) else 1
+    kw = {}
+    if layout == "strips":
+        kw["rows_per_strip"] = 5
+    if layout == "tiles":
+        kw["tile"] = (8, 4)
+    p = str(tmp_path / "t.tif")
+    write_tiff(
+        p, bands, compression=comp, predictor=pred, planar=planar,
+        big_endian=be, **kw,
+    )
+    meta, out = decode_tiff(open(p, "rb").read())
+    assert (meta["width"], meta["height"], meta["n_bands"]) == (17, 13, 2)
+    for s, band in enumerate(bands):
+        assert np.array_equal(out[s], band.astype("float64").ravel())
+
+
+def test_lzw_crosses_all_code_widths(tmp_path):
+    """600x700 random uint8 with predictor 2: the LZW stream passes the
+    9→10→11→12-bit early-change boundaries AND the 4094-entry table
+    reset — the off-by-one failure modes of the TIFF LZW variant."""
+    band = RNG.integers(0, 255, (600, 700)).astype("uint8")
+    p = str(tmp_path / "big.tif")
+    write_tiff(p, [band], compression=5, predictor=2)
+    _, out = decode_tiff(open(p, "rb").read())
+    assert np.array_equal(out[0], band.astype("float64").ravel())
+
+
+def test_geotiff_tags(tmp_path):
+    p = str(tmp_path / "g.tif")
+    write_tiff(
+        str(p), _bands("uint16", n=1), epsg=32633,
+        pixel_scale=(10.0, 20.0), tiepoint=(500000.0, 4649776.0),
+        nodata=-999.0,
+    )
+    m = tiff_meta(open(p, "rb").read())
+    assert m["crs"] == "EPSG:32633"
+    assert m["pixel_size_x"] == 10.0 and m["pixel_size_y"] == 20.0
+    assert m["no_data_value"] == -999.0
+    assert (m["xmin"], m["ymax"]) == (500000.0, 4649776.0)
+    assert m["xmax"] == 500000.0 + 17 * 10.0
+    assert m["ymin"] == 4649776.0 - 13 * 20.0
+
+
+def test_geographic_epsg_and_defaults(tmp_path):
+    p = str(tmp_path / "g.tif")
+    write_tiff(str(p), _bands("uint8", n=1), epsg=4326)
+    m = tiff_meta(open(p, "rb").read())
+    assert m["crs"] == "EPSG:4326"
+    # no scale/tiepoint -> no bounds, and missing-CRS files also default
+    # to EPSG:4326 like the reference (raster/profiler.py:107-111)
+    assert m["xmin"] is None and m["pixel_size_x"] is None
+    write_tiff(str(p), _bands("uint8", n=1))
+    assert tiff_meta(open(p, "rb").read())["crs"] == "EPSG:4326"
+
+
+def test_edge_tiles_cropped(tmp_path):
+    """Image not a multiple of the tile grid: TIFF pads edge tiles to
+    full size; the decoder must crop the padding, not emit it."""
+    band = RNG.integers(0, 9, (10, 11)).astype("uint8")
+    p = str(tmp_path / "e.tif")
+    write_tiff(str(p), [band], tile=(8, 8), compression=8)
+    meta, out = decode_tiff(open(p, "rb").read())
+    assert len(out[0]) == 10 * 11
+    assert np.array_equal(out[0], band.astype("float64").ravel())
+
+
+def test_unsupported_raises_with_guidance():
+    import struct
+
+    bigtiff = b"II" + struct.pack("<H", 43) + b"\0" * 12
+    with pytest.raises(UnsupportedTiffError, match="BigTIFF"):
+        tiff_meta(bigtiff)
+    with pytest.raises(UnsupportedTiffError, match="byte-order"):
+        tiff_meta(b"PNG\x00\x00\x00\x00\x00")
+
+
+def test_unsupported_compression_names_rasterio(tmp_path):
+    p = str(tmp_path / "j.tif")
+    write_tiff(str(p), _bands("uint8", n=1))
+    data = bytearray(open(p, "rb").read())
+    # rewrite the Compression tag's inline value to 7 (JPEG-in-TIFF)
+    import struct
+
+    (n,) = struct.unpack("<H", data[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", data[off : off + 8])
+        if tag == 259:
+            data[off + 8 : off + 10] = struct.pack("<H", 7)
+    with pytest.raises(UnsupportedTiffError, match="rasterio"):
+        decode_tiff(bytes(data))

@@ -1,0 +1,265 @@
+"""Minimal independent TIFF 6.0 / GeoTIFF *writer* for tests.
+
+Deliberately a separate implementation from ``profiler/tiff.py`` (writer
+vs reader, assembled from the public spec in the opposite direction) so
+round-trip tests exercise the decoder against independently constructed
+bytes rather than its own inverse. Supports exactly the baseline the
+decoder claims: strips or tiles, chunky or planar, none / Deflate / LZW /
+PackBits compression, horizontal predictor 2, and the GeoTIFF tags
+(pixel scale, tiepoint, EPSG geokey, GDAL nodata).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (9→12-bit MSB codes, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, bits: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, bits = 258, 9
+    emit(CLEAR, bits)
+    w = b""
+    for b in data:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w], bits)
+        table[c] = next_code
+        next_code += 1
+        # early change: widen when the next free code reaches 2**bits - 1
+        # (the decoder, one entry behind, widens at table size 2**bits - 2)
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], bits)
+    emit(EOI, bits)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _compress(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):
+        return zlib.compress(raw)
+    if compression == 5:
+        return _lzw_encode(raw)
+    if compression == 32773:
+        return _packbits_encode(raw)
+    raise ValueError(f"writer: compression {compression}")
+
+
+def _diff(chunk: np.ndarray, width: int, spp: int) -> np.ndarray:
+    """Horizontal differencing (predictor 2) with native wraparound."""
+    a = chunk.reshape(-1, width, spp).copy()
+    a[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+    return a.reshape(chunk.shape)
+
+
+def write_tiff(
+    path: str,
+    bands: list[np.ndarray],
+    *,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
+    big_endian: bool = False,
+    epsg: int | None = None,
+    pixel_scale: tuple[float, float] | None = None,
+    tiepoint: tuple[float, float] | None = None,
+    nodata: float | None = None,
+) -> None:
+    """Write ``bands`` (equal-shape 2-D arrays) as a classic TIFF."""
+    bo = ">" if big_endian else "<"
+    h, w = bands[0].shape
+    spp = len(bands)
+    dt = bands[0].dtype.newbyteorder(bo)
+    # np.stack silently drops non-native byte order — keep the cube native
+    # and cast to the target order at serialization time
+    cube = np.stack(list(bands), axis=-1)  # (h, w, spp)
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    # ---- pixel chunks ------------------------------------------------
+    chunks: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        across, down = -(-w // tw), -(-h // th)
+        planes = range(spp) if planar == 2 else [None]
+        for p in planes:
+            for ty in range(down):
+                for tx in range(across):
+                    pad = np.zeros(
+                        (th, tw, 1 if p is not None else spp), dtype=cube.dtype
+                    )
+                    ys, xs = ty * th, tx * tw
+                    blk = cube[ys : ys + th, xs : xs + tw]
+                    blk = blk[:, :, p : p + 1] if p is not None else blk
+                    pad[: blk.shape[0], : blk.shape[1]] = blk
+                    flat = pad.reshape(th, -1)
+                    if predictor == 2:
+                        flat = _diff(flat, tw, 1 if p is not None else spp)
+                    chunks.append(_compress(flat.astype(dt).tobytes(), compression))
+    else:
+        rps = rows_per_strip or h
+        planes = range(spp) if planar == 2 else [None]
+        for p in planes:
+            for y0 in range(0, h, rps):
+                blk = cube[y0 : y0 + rps]
+                blk = blk[:, :, p : p + 1] if p is not None else blk
+                flat = blk.reshape(blk.shape[0], -1)
+                if predictor == 2:
+                    flat = _diff(flat, w, 1 if p is not None else spp)
+                chunks.append(_compress(flat.astype(dt).tobytes(), compression))
+
+    # ---- IFD assembly -------------------------------------------------
+    entries: list[tuple[int, int, int, bytes | int]] = []
+    extra = bytearray()  # out-of-line values, placed after the IFD
+    HDR = 8
+
+    def add(tag: int, typ: int, values) -> None:
+        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}[typ]
+        size = struct.calcsize(fmt) * len(values)
+        packed = struct.pack(bo + fmt * len(values), *values)
+        entries.append((tag, typ, len(values), packed if size <= 4 else None))
+        if size > 4:
+            entries[-1] = (tag, typ, len(values), ("extra", len(extra)))
+            extra.extend(packed)
+
+    def add_ascii(tag: int, s: str) -> None:
+        raw = s.encode("ascii") + b"\0"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\0")))
+        else:
+            entries.append((tag, 2, len(raw), ("extra", len(extra))))
+            extra.extend(raw)
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [dt.itemsize * 8] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [1])  # BlackIsZero
+    add(277, 3, [spp])
+    add(284, 3, [planar])
+    add(339, 3, [kind] * spp)
+    if predictor != 1:
+        add(317, 3, [predictor])
+    if tile is not None:
+        add(322, 4, [tile[0]])
+        add(323, 4, [tile[1]])
+        off_tag, cnt_tag = 324, 325
+    else:
+        add(278, 4, [rows_per_strip or h])
+        off_tag, cnt_tag = 273, 279
+    add(cnt_tag, 4, [len(c) for c in chunks])
+    # chunk offsets resolved after layout below — reserve the entry
+    add(off_tag, 4, [0] * len(chunks))
+    if pixel_scale is not None:
+        add(33550, 12, [pixel_scale[0], pixel_scale[1], 0.0])
+    if tiepoint is not None:
+        add(33922, 12, [0.0, 0.0, 0.0, tiepoint[0], tiepoint[1], 0.0])
+    if epsg is not None:
+        model, key = (2, 2048) if 4000 <= epsg < 5000 else (1, 3072)
+        add(34735, 3, [1, 1, 0, 2, 1024, 0, 1, model, key, 0, 1, epsg])
+    if nodata is not None:
+        add_ascii(42113, repr(nodata) if nodata != int(nodata) else str(int(nodata)))
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = HDR
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_size
+    data_off = extra_off + len(extra)
+    # resolve chunk offsets now that the layout is fixed
+    chunk_offsets = []
+    pos = data_off
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
+    resolved = []
+    for tag, typ, cnt, val in entries:
+        if tag == off_tag:
+            packed = struct.pack(bo + "I" * len(chunks), *chunk_offsets)
+            if len(packed) <= 4:
+                val = packed.ljust(4, b"\0")
+            else:
+                val = ("extra", len(extra))
+                extra.extend(packed)
+                data_off = extra_off + len(extra)
+        resolved.append((tag, typ, cnt, val))
+    # extra may have grown: recompute chunk offsets once more
+    pos = extra_off + len(extra)
+    chunk_offsets2 = []
+    for c in chunks:
+        chunk_offsets2.append(pos)
+        pos += len(c)
+    final = []
+    for tag, typ, cnt, val in resolved:
+        if tag == off_tag and isinstance(val, tuple) and val[0] == "extra":
+            packed = struct.pack(bo + "I" * len(chunks), *chunk_offsets2)
+            extra[val[1] : val[1] + len(packed)] = packed
+        final.append((tag, typ, cnt, val))
+
+    buf = bytearray()
+    buf += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    buf += struct.pack(bo + "H", len(final))
+    for tag, typ, cnt, val in final:
+        buf += struct.pack(bo + "HHI", tag, typ, cnt)
+        if isinstance(val, tuple) and val[0] == "extra":
+            buf += struct.pack(bo + "I", extra_off + val[1])
+        else:
+            buf += bytes(val).ljust(4, b"\0")[:4]
+    buf += struct.pack(bo + "I", 0)  # no next IFD
+    buf += extra
+    if tile is None and len(chunks) == 1:
+        pass
+    for c in chunks:
+        buf += c
+    with open(path, "wb") as f:
+        f.write(buf)

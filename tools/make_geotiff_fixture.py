@@ -1,0 +1,57 @@
+"""Build the committed GeoTIFF fixtures under tests/fixtures/geotiff/.
+
+Pixel values follow an EXACT integer formula so the q168 DuckDB oracle
+can recompute the per-band describe independently of any decode:
+
+    v(scene s, band b, pixel i) = (i*37 + b*101 + s*53) % 1009
+    scene0: uint16, 2 bands, 20x13, Deflate + predictor 2, strips of 7,
+            little-endian, EPSG:32633
+    scene1: float32 = v / 8.0 (exact in f4), 1 band, 17x9, LZW,
+            tiled 16x16, big-endian, EPSG:4326
+
+Run once; the .tif bytes are committed so the registry decodes a frozen
+artifact (re-running must be byte-identical — the writer and formula are
+deterministic).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tiff_writer import write_tiff  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures", "geotiff")
+
+
+def formula(s: int, b: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return (i * 37 + b * 101 + s * 53) % 1009
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    w0, h0 = 20, 13
+    bands0 = [
+        formula(0, b, w0 * h0).astype("uint16").reshape(h0, w0) for b in (0, 1)
+    ]
+    write_tiff(
+        os.path.join(OUT, "scene0.tif"), bands0, compression=8, predictor=2,
+        rows_per_strip=7, epsg=32633, pixel_scale=(10.0, 10.0),
+        tiepoint=(500000.0, 4649776.0), nodata=0.0,
+    )
+    w1, h1 = 17, 9
+    band1 = (formula(1, 0, w1 * h1).astype("float32") / np.float32(8.0)).reshape(h1, w1)
+    write_tiff(
+        os.path.join(OUT, "scene1.tif"), [band1], compression=5,
+        tile=(16, 16), big_endian=True, epsg=4326,
+        pixel_scale=(0.01, 0.01), tiepoint=(23.7, 38.0),
+    )
+    for f in ("scene0.tif", "scene1.tif"):
+        print(f, os.path.getsize(os.path.join(OUT, f)), "bytes")
+
+
+if __name__ == "__main__":
+    main()
