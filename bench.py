@@ -164,6 +164,38 @@ def main() -> None:
     )
 
 
+def sf1_main() -> None:
+    """One data-scale bench point (VERDICT r3 #6): the sf0.1 headline is
+    fixed-latency-dominated (per-job driver constants are a visible
+    fraction of its ~15 s suite), so round-over-round deltas there ride
+    host weather as much as code. This runs the SAME transcripts
+    profile+validate workload at sf1 scale — 6M turns, 10× the headline
+    row count — on local[$SPARK_GRAFT_CPUS], where compute dominates and
+    a regression in the scan/aggregate path cannot hide. Prints one JSON
+    line; recorded per-round in BENCH/BASELINE.md §4.4."""
+    from profiler.session import get_spark
+
+    n_turns = int(os.environ.get("SPARK_GRAFT_SF1_TURNS", "6000000"))
+    spark = get_spark(
+        "bench-sf1", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.range(1).count()
+    r = run_transcripts_workload(spark, n_turns, reps=3)
+    print(
+        json.dumps(
+            {
+                "metric": "sf1-scale transcripts profile+validate",
+                "value": round(r["sec"], 3),
+                "unit": "sec",
+                "rows": r["rows"],
+                "turns_per_sec_validated": round(r["turns_per_sec"], 1),
+                "sf": 1.0,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
 SCALING_N, SCALING_4N = 2, 8  # see BENCH/BASELINE.md: calibrated honest window
 
 
@@ -268,5 +300,7 @@ def scaling_main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--sf1" in sys.argv:
+        sf1_main()
     else:
         main()
