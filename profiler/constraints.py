@@ -217,6 +217,100 @@ def not_null(col: str, name: str | None = None) -> Constraint:
     return Constraint(cname, fn, row_parts=_parts)
 
 
+def conditional_fd_violations(
+    df: DataFrame,
+    determinant: Sequence[str],
+    dependent: str,
+    condition_sql: str | None = None,
+    max_examples: int = 5,
+) -> DataFrame:
+    """Determinant groups breaking a (conditional) functional dependency:
+    within rows matching ``condition_sql`` (None = all rows), every
+    ``determinant`` group must carry exactly ONE distinct ``dependent``
+    value — NULL counts as a value (a group mixing 'Q1' and NULL is a
+    conflict, matching SQL ``IS DISTINCT FROM`` semantics, unlike plain
+    ``count(DISTINCT ...)`` which skips nulls).
+
+    One row per violating group: the determinant values, the null-safe
+    distinct-dependent count, the group size, and up to ``max_examples``
+    conflicting dependent values (sorted, NULL shown last as the literal
+    ``'∅'``). Plan: optional filter → ONE groupBy(determinant) with
+    map-side partial aggregation — no window, no join back; the
+    ``collect_set`` carries distinct DEPENDENT values only (bounded by the
+    dependent's domain within a group, not the group's row count)."""
+    src = df.where(F.expr(condition_sql)) if condition_sql else df
+    dep = F.col(dependent)
+    grouped = src.groupBy(*determinant).agg(
+        (
+            F.count_distinct(dep)
+            + F.max(F.when(dep.isNull(), 1).otherwise(0))
+        ).alias("n_dependent_values"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.slice(
+            F.array_sort(F.collect_set(dep.cast("string"))),
+            1,
+            max_examples,
+        ).alias("__ex"),
+        F.max(dep.isNull().cast("int")).alias("__has_null"),
+    )
+    examples = F.when(
+        (F.col("__has_null") == 1) & (F.size("__ex") < max_examples),
+        F.concat(F.col("__ex"), F.array(F.lit("∅"))),
+    ).otherwise(F.col("__ex"))
+    return (
+        grouped.where(F.col("n_dependent_values") > 1)
+        .select(
+            *determinant,
+            "n_dependent_values",
+            "n_rows",
+            examples.alias("examples"),
+        )
+    )
+
+
+def conditional_fd(
+    determinant: Sequence[str],
+    dependent: str,
+    condition_sql: str | None = None,
+    name: str | None = None,
+    max_examples: int = 5,
+) -> Constraint:
+    """Conditional functional dependency as a validation constraint: the
+    pattern-restricted FD of the CFD literature (a plain FD when
+    ``condition_sql`` is None) — e.g. "within shipped rows, (zip) →
+    (city)". Complements :func:`profiler.dependencies.fd_candidates`
+    (discovery): this is the enforcement side, emitting one violation row
+    per offending determinant group via
+    :func:`conditional_fd_violations`."""
+    cond = f" WHERE {condition_sql}" if condition_sql else ""
+    cname = name or f"cfd({','.join(determinant)} -> {dependent}{cond})"
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        src = df.where(F.expr(condition_sql)) if condition_sql else df
+        dep = F.col(dependent)
+        grouped = src.groupBy(*determinant).agg(
+            (
+                F.count_distinct(dep)
+                + F.max(F.when(dep.isNull(), 1).otherwise(0))
+            ).alias("__nd"),
+            F.count(F.lit(1)).alias("__n"),
+            F.min(part.cast("string")).alias("__p"),
+        )
+        return _violations_schema_select(
+            grouped.where(F.col("__nd") > 1),
+            cname,
+            F.col("__p"),
+            {c: F.col(c) for c in determinant},
+            {
+                "n_dependent_values": F.col("__nd"),
+                "group_rows": F.col("__n"),
+                "dependent": F.lit(dependent),
+            },
+        )
+
+    return Constraint(cname, fn)
+
+
 def row_predicate(name: str, sql_predicate: str) -> Constraint:
     """Rows violating an arbitrary SQL boolean expression (must hold)."""
 

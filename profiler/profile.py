@@ -1552,6 +1552,57 @@ def grouped_percentiles(
     )
 
 
+def rarity_scores(
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Frequency-rarity anomaly score per row: how improbable is this
+    row's combination of categorical values under per-column independence —
+    ``score = Σ_c −ln(count(c = value) / N)`` over ``cols``, NULL treated
+    as a value. The classic model-free outlier screen for validation
+    pipelines (a row whose every field is common scores near 0; one rare
+    value dominates the sum); returns the ``top_k`` most anomalous rows
+    as ``(*key_cols, score)``.
+
+    Plan: one explode to a tall ``(key, column, value)`` frame, ONE
+    (column, value) hash aggregate for the frequency table (map-side
+    combine — the shuffle carries one state per distinct value, not k·N
+    rows), a shuffle join back on (column, value), and a key-grouped sum.
+    The top-k is a TakeOrdered, never a full sort. Per-term rounding to
+    7 dp + exact DECIMAL summation makes the score independent of
+    partial-aggregation order; the final score rounds to 4 dp.
+    """
+    n = df.count()
+    sent = "∅NULL"
+    melted = df.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.coalesce(F.col(c).cast("string"), F.lit(sent)).alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e"),
+    ).select(*key_cols, "e.c", "e.v")
+    counts = melted.groupBy("c", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(n))), 7
+    ).cast("decimal(28,10)")
+    return (
+        melted.join(counts, ["c", "v"])
+        .groupBy(*key_cols)
+        .agg(F.round(F.sum(term).cast("double"), 4).alias("score"))
+        .orderBy(F.desc("score"), *[F.asc(k) for k in key_cols])
+        .limit(top_k)
+    )
+
+
 def benford_test(df: DataFrame, col: str) -> DataFrame:
     """First-significant-digit distribution vs Benford's law — the classic
     fabricated/synthetic-numbers screen for a positive, scale-spanning

@@ -9519,3 +9519,106 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pixels, _images = read_rasters(spark, paths)
     return band_describe(pixels).orderBy("img", "band")
+
+
+# ===========================================================================
+# Q169–Q170. Validation depth: conditional FDs, frequency-rarity anomalies
+# ===========================================================================
+@_register(
+    "q169_conditional_fd",
+    """
+    WITH src AS (
+      SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+             CASE WHEN o_orderkey % 997 = 0 THEN 'XX'
+                  ELSE 'Q' || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR)
+             END AS q
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    g AS (
+      SELECT m, count(DISTINCT q) AS n_dependent_values,
+             count(*) AS n_rows,
+             array_to_string(list_sort(list_distinct(list(q)))[1:5], ',')
+               AS examples
+      FROM src GROUP BY m
+    )
+    SELECT m, n_dependent_values, n_rows, examples
+    FROM g WHERE n_dependent_values > 1 ORDER BY m
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-FD enforcement (:func:`profiler.constraints.
+    conditional_fd_violations`): within F-status orders, order month must
+    determine the quarter label — a seeded corruption (orderkey % 997 →
+    'XX') plants violations in some month groups while the rest pass.
+    ONE groupBy(determinant) with map-side combine; the example list
+    carries distinct DEPENDENT values only (domain-bounded), never group
+    rows. The discovery-side counterpart is q139 (fd_candidates); this is
+    the enforcement side a validation suite runs."""
+    from profiler.constraints import conditional_fd_violations
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.month("o_orderdate").alias("m"),
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit("XX"))
+        .otherwise(
+            F.concat(F.lit("Q"), F.quarter("o_orderdate").cast("string"))
+        )
+        .alias("q"),
+        "o_orderstatus",
+    )
+    v = conditional_fd_violations(
+        src, ["m"], "q", condition_sql="o_orderstatus = 'F'"
+    )
+    return v.withColumn("examples", F.array_join("examples", ",")).orderBy("m")
+
+
+@_register(
+    "q170_rarity_anomaly",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders
+    ),
+    melt AS (
+      SELECT o_orderkey, 'o_orderstatus' AS c,
+             coalesce(o_orderstatus, '∅NULL') AS v FROM src
+      UNION ALL
+      SELECT o_orderkey, 'o_orderpriority', coalesce(o_orderpriority, '∅NULL')
+      FROM src
+      UNION ALL
+      SELECT o_orderkey, 'ym', coalesce(ym, '∅NULL') FROM src
+    ),
+    counts AS (SELECT c, v, count(*) AS cnt FROM melt GROUP BY c, v),
+    tot AS (SELECT count(*) AS n FROM src),
+    terms AS (
+      SELECT m.o_orderkey,
+             CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / n), 7) AS DECIMAL(28,10))
+               AS term
+      FROM melt m JOIN counts USING (c, v) CROSS JOIN tot
+    )
+    SELECT o_orderkey, ROUND(CAST(sum(term) AS DOUBLE), 4) AS score
+    FROM terms GROUP BY o_orderkey
+    ORDER BY score DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rarity anomaly screen (:func:`profiler.profile.
+    rarity_scores`): the 15 most improbable orders under per-column value
+    frequencies (status, priority, order month) — ``Σ −ln(freq/N)``. One
+    explode → ONE (column, value) hash aggregate → join back → key-grouped
+    DECIMAL sum of 7-dp-rounded terms (partial-aggregation-order-proof);
+    top-k is a TakeOrdered. The oracle replays the melt and the same
+    term rounding."""
+    from profiler.profile import rarity_scores
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+    return rarity_scores(
+        src, ["o_orderstatus", "o_orderpriority", "ym"], ["o_orderkey"], top_k=15
+    )

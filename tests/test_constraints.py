@@ -306,3 +306,51 @@ def test_encoding_clean_default_suite_unchanged(clean_df):
         for r in res.summary.collect()
         if r["constraint"].startswith("encoding_clean")
     ]
+
+
+def test_conditional_fd_violations_null_safe(spark):
+    """Within the condition, determinant -> dependent must be functional;
+    NULL counts as a dependent value (IS DISTINCT FROM semantics) and
+    shows in examples as the '∅' sentinel, sorted last."""
+    from profiler.constraints import conditional_fd_violations
+
+    rows = [
+        # zip 10001 under 'live': consistent city -> passes
+        ("live", "10001", "NYC"), ("live", "10001", "NYC"),
+        # zip 20002 under 'live': NYC vs DC -> violation (2 values, 3 rows)
+        ("live", "20002", "NYC"), ("live", "20002", "DC"), ("live", "20002", "DC"),
+        # zip 30003 under 'live': value vs NULL -> violation via null-safety
+        ("live", "30003", "LA"), ("live", "30003", None),
+        # zip 20002 OUTSIDE the condition: conflicting but filtered out
+        ("draft", "20002", "SEA"),
+        # all-NULL group: one distinct "value" -> passes
+        ("live", "40004", None), ("live", "40004", None),
+    ]
+    df = spark.createDataFrame(rows, "status string, zip string, city string")
+    got = {
+        r["zip"]: r.asDict()
+        for r in conditional_fd_violations(
+            df, ["zip"], "city", condition_sql="status = 'live'"
+        ).collect()
+    }
+    assert set(got) == {"20002", "30003"}
+    assert got["20002"]["n_dependent_values"] == 2
+    assert got["20002"]["n_rows"] == 3
+    assert got["20002"]["examples"] == ["DC", "NYC"]
+    assert got["30003"]["n_dependent_values"] == 2
+    assert got["30003"]["examples"] == ["LA", "∅"]
+
+
+def test_conditional_fd_constraint_in_suite(spark):
+    from profiler.constraints import ConstraintSuite, conditional_fd
+
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "y")]
+    df = spark.createDataFrame(rows, "id int, k string, v string")
+    suite = ConstraintSuite([conditional_fd(["k"], "v")])
+    res = suite.validate(df)
+    v = res.violations.collect()
+    assert len(v) == 1
+    assert v[0]["keys"]["k"] == "b"
+    assert v[0]["details"]["n_dependent_values"] == "2"
+    assert not res.passed()
+    res.unpersist()

@@ -474,3 +474,39 @@ def test_lorenz_points(spark):
 
     with _pytest.raises(ValueError, match="n_points"):
         lorenz_points(df, "s", n_points=0)
+
+
+def test_rarity_scores_ranks_rare_combinations(spark):
+    """Rows built from rare values outscore common ones; NULL is a value;
+    per-term 7-dp rounding + DECIMAL sum pins the exact score; ties break
+    on the key."""
+    import math
+
+    from profiler.profile import rarity_scores
+
+    rows = [(i, "common", "blue") for i in range(97)]
+    rows += [(100, "rare", "blue"), (101, "common", None), (102, "rare", "red")]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    got = rarity_scores(df, ["a", "b"], ["id"], top_k=3).collect()
+    # 102 = rare(2)+red(1); 101 = common(98)+NULL(1); 100 = rare(2)+blue(98)
+    assert [r["id"] for r in got] == [102, 101, 100]
+    n = 100.0
+
+    def term(cnt):
+        return round(-math.log(cnt / n), 7)
+
+    assert got[0]["score"] == pytest.approx(round(term(2) + term(1), 4))
+    assert got[1]["score"] == pytest.approx(round(term(98) + term(1), 4))
+    assert got[2]["score"] == pytest.approx(round(term(2) + term(98), 4))
+
+
+def test_rarity_scores_tie_break_and_topk(spark):
+    from profiler.profile import rarity_scores
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(20)], "id long, a string"
+    )
+    got = rarity_scores(df, ["a"], ["id"], top_k=5).collect()
+    # all scores equal -> first five ids ascending
+    assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
+    assert len({r["score"] for r in got}) == 1
