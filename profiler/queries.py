@@ -9468,8 +9468,14 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Q168. GeoTIFF baseline decode (reference raster/profiler.py:74-132)
 # ===========================================================================
-_GEOTIFF_FIXTURE_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures", "geotiff"
+_GEOTIFF_FIXTURE_DIR = os.path.normpath(
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "tests",
+        "fixtures",
+        "geotiff",
+    )
 )
 
 #: the fixtures' exact pixel formula (tools/make_geotiff_fixture.py):

@@ -508,3 +508,29 @@ def test_embedding_neardup_registry_plan_is_lsh_pruned(spark):
     assert "CartesianProduct" not in plan
     # candidate join is an equi-join on the band key
     assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+def test_conditional_fd_plan_is_single_aggregate(spark):
+    """q169's CFD enforcement must stay one filter + one hash aggregate:
+    no Window, no join back onto the fact table, no nested loop."""
+    from profiler.queries import queries
+
+    plan = _plan(queries()["q169_conditional_fd"](spark, SF))
+    for node in ("Window", "SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert node not in plan, node
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_rarity_scores_plan_shape(spark):
+    """q170: one explode, an equi-join back (never a nested loop — the
+    row total is a literal, not a 1-row crossJoin), and a TakeOrdered
+    top-k instead of a global sort."""
+    from profiler.queries import queries
+
+    plan = _plan(queries()["q170_rarity_anomaly"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
