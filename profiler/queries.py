@@ -9628,3 +9628,140 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rarity_scores(
         src, ["o_orderstatus", "o_orderpriority", "ym"], ["o_orderkey"], top_k=15
     )
+
+
+# ===========================================================================
+# Q171–Q173. Transcript sequence validation: latency, tool pairing, digests
+# ===========================================================================
+@_register(
+    "q171_response_latency",
+    """
+    WITH seq AS (
+      SELECT event_type AS state,
+             lag(event_type) OVER w AS prev_state,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_state, state, count(*) AS n,
+           ROUND(sum(gap_us) / count(*) / 1e6, 4) AS avg_secs,
+           ROUND(min(gap_us) / 1e6, 4) AS min_secs,
+           ROUND(max(gap_us) / 1e6, 4) AS max_secs,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_secs
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY prev_state, state ORDER BY prev_state, state
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn response latency (:func:`profiler.sequence.
+    inter_event_latency`): per (previous state → state) pair, the
+    count/mean/min/max/median gap in seconds between consecutive events of
+    the same user stream — the transcripts question "how long does each
+    role take to respond". ONE key-partitioned window lag (shuffle on the
+    bucketing key) feeding a |states|²-domain hash aggregate; exact
+    integer-microsecond math, divided and rounded once."""
+    from profiler.sequence import inter_event_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return inter_event_latency(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+
+
+@_register(
+    "q172_tool_call_pairing",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type AS state,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_state
+      FROM events
+    )
+    SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, prev_state, state
+    FROM seq
+    WHERE state = 'purchase'
+      AND (prev_state IS NULL OR prev_state NOT IN ('click', 'view'))
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence referential pairing (:func:`profiler.sequence.
+    preceded_by`): every 'purchase' event must be immediately preceded in
+    its user stream by a 'click' or 'view' — the transcripts shape is
+    "every tool-role turn must follow the assistant turn that issued the
+    call"; violations materialize with their predecessor state. Single
+    window lag + a map-side literal IN predicate, no join."""
+    from profiler.sequence import preceded_by
+
+    ev = _t(spark, sf_dir, "events")
+    v = preceded_by(
+        ev,
+        "purchase",
+        ["click", "view"],
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+    return v.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_id",
+        "prev_state",
+        "state",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@_register(
+    "q173_text_digest_diff",
+    """
+    WITH a AS (
+      SELECT user_id, count(*) AS n_turns_a,
+             md5(string_agg(event_type, chr(31) ORDER BY ts, event_id))
+               AS digest_a
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, count(*) AS n_turns_b,
+             md5(string_agg(event_type, chr(31) ORDER BY ts, event_id))
+               AS digest_b
+      FROM events WHERE user_id <> 3 AND event_id % 211 <> 0
+      GROUP BY user_id
+    ),
+    j AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id,
+             n_turns_a, n_turns_b,
+             CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN digest_a <> digest_b THEN 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT * FROM j WHERE status IS NOT NULL ORDER BY user_id
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation ordered-content digest diff (:func:`profiler.
+    sequence.sequence_digest_diff`): snapshot B drops one whole user and a
+    seeded sliver of events; the audit reports exactly the added/removed/
+    changed conversations by exchanging one md5 digest per key — the north
+    rule's "per-turn text equality under stable (conv_id, turn_idx)
+    ordering" collapsed to a |conversations|-sized comparison. Two bounded
+    digest aggregates + one full-outer join; untouched conversations never
+    leave the join."""
+    from profiler.sequence import sequence_digest_diff
+
+    ev = _t(spark, sf_dir, "events")
+    snap_b = ev.where(
+        (F.col("user_id") != 3) & (F.col("event_id") % 211 != 0)
+    )
+    return sequence_digest_diff(
+        ev,
+        snap_b,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        payload_col="event_type",
+    )

@@ -351,3 +351,182 @@ def render_with_loss_spans(
         F.col("s.end_char").alias("end_char"),
         F.col("s.span_text").alias("span_text"),
     )
+
+
+def inter_event_latency(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    state_col: str = "role",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inter-turn response-latency profile: for every observed
+    (prev_state → state) pair, the count / mean / min / max / median of
+    the time gap in seconds between consecutive turns of the same
+    conversation. The transcripts reading (reference parity: the profiler
+    has per-column DateTime range stats, ``tabular_timeseries/variables/
+    datetime.py``; this is the sequence-aware extension a validation
+    suite needs): "how long does the assistant take to answer a user
+    turn, and does a tool round-trip dominate it?".
+
+    Plan: ONE window ``lag`` partitioned by the conversation key — the
+    shuffle rides the table's bucketing column — then a groupBy over the
+    |states|²-sized pair domain with map-side partial aggregation, so the
+    final exchange moves at most |states|² rows per task. Math is done on
+    integer microseconds (exact) and divided/rounded once at the end.
+    """
+    order_cols = list(order_cols) if order_cols else [ts_col]
+    w = _seq_window(key_col, order_cols)
+    # the cast admits TIMESTAMP_NTZ (common from parquet writers)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("__gap_us")
+    prev_state = F.lag(F.col(state_col)).over(w).alias("prev_state")
+    pairs = df.select(
+        prev_state, F.col(state_col).alias("state"), gap
+    ).where(F.col("__gap_us").isNotNull())
+    g = F.col("__gap_us")
+    return (
+        pairs.groupBy("prev_state", "state")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(g) / F.count(F.lit(1)) / F.lit(1e6), 4).alias(
+                "avg_secs"
+            ),
+            F.round(F.min(g) / F.lit(1e6), 4).alias("min_secs"),
+            F.round(F.max(g) / F.lit(1e6), 4).alias("max_secs"),
+            F.round(F.expr("percentile(__gap_us, 0.5)") / F.lit(1e6), 4).alias(
+                "p50_secs"
+            ),
+        )
+        .orderBy("prev_state", "state")
+    )
+
+
+def preceded_by(
+    df: DataFrame,
+    target: str,
+    allowed_predecessors: Sequence[str],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Referential sequencing check: every ``target``-state turn must be
+    IMMEDIATELY preceded (same conversation, stable order) by a turn whose
+    state is in ``allowed_predecessors``. The transcripts reading: a
+    ``tool``-role turn (a tool RESULT) is an orphan unless the directly
+    preceding turn is the assistant turn that issued the call — the
+    sequence-level referential-integrity dual of the reference's
+    column-domain check (``tabular_timeseries/profiler.py`` categorical
+    domain stats).
+
+    Returns the materialized violation rows (key, order columns,
+    prev_state, state) — a first-of-conversation target carries
+    ``prev_state = NULL``. Same single-window plan as
+    :func:`transition_violations`; the allowed set is a literal IN
+    predicate evaluated map-side after the window, no join.
+    """
+    w = _seq_window(key_col, order_cols)
+    prev_state = F.lag(F.col(state_col)).over(w)
+    out = df.select(
+        key_col,
+        *order_cols,
+        prev_state.alias("prev_state"),
+        F.col(state_col).alias("state"),
+    ).where(
+        (F.col("state") == target)
+        & (
+            F.col("prev_state").isNull()
+            | ~F.col("prev_state").isin(*[str(s) for s in allowed_predecessors])
+        )
+    )
+    return out.orderBy(key_col, *order_cols)
+
+
+#: unit separator — joins per-turn payloads inside one conversation digest
+DIGEST_SEP = "\x1f"
+
+
+def sequence_digest(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    payload_col: str = "text",
+) -> DataFrame:
+    """Per-conversation content digest under STABLE turn ordering: one row
+    per key with ``n_turns`` and ``digest`` = md5 of the order-sorted
+    payloads joined on the 0x1F unit separator. This is the executable
+    form of the north rule's per-row invariant — "per-turn text equality
+    verified under stable (conv_id, turn_idx) ordering" — collapsed to one
+    comparable scalar per conversation, so two snapshots of a 10^12-turn
+    table diff by exchanging |conversations| 16-byte digests instead of
+    re-reading each other's text.
+
+    Plan: one groupBy(key) with ``array_sort(collect_list(struct(order…,
+    payload)))`` — per-group state is bounded by conversation length
+    (transcripts are short sequences; the same envelope as
+    :func:`render_conversations`), no window, no join. The digest is
+    deterministic because the struct sort is total: order columns first,
+    payload last as a tie-break.
+    """
+    order_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(payload_col).cast("string").alias("__p"),
+    )
+    arr = F.array_sort(F.collect_list(order_struct))
+    return (
+        df.groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(arr, lambda t: t["__p"]),
+                    DIGEST_SEP,
+                    "",
+                )
+            ).alias("digest"),
+        )
+    )
+
+
+def sequence_digest_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    payload_col: str = "text",
+) -> DataFrame:
+    """Snapshot text-equality audit: digest both snapshots with
+    :func:`sequence_digest` and report every conversation whose ordered
+    text content differs — ``status`` ∈ ``added`` (only in B), ``removed``
+    (only in A), ``changed`` (both, digest mismatch). Identical
+    conversations never leave the join. The per-turn blast radius of a
+    mutation is then recoverable by re-reading ONLY the flagged keys —
+    this is the audit a resumable validation run does after a partition
+    re-validate (profiler.checkpoint) to prove the rewrite touched
+    nothing else.
+
+    Plan: two bounded digest aggregates (one per snapshot) + one
+    full-outer join on the conversation key — both sides are already
+    |conversations|-sized, 3 columns wide.
+    """
+    a = sequence_digest(df_a, key_col, order_cols, payload_col).select(
+        F.col(key_col),
+        F.col("n_turns").alias("n_turns_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    b = sequence_digest(df_b, key_col, order_cols, payload_col).select(
+        F.col(key_col),
+        F.col("n_turns").alias("n_turns_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    j = a.join(b, on=key_col, how="full_outer")
+    status = (
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+    )
+    return (
+        j.select(key_col, "n_turns_a", "n_turns_b", status.alias("status"))
+        .where(F.col("status").isNotNull())
+        .orderBy(key_col)
+    )

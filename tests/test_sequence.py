@@ -218,3 +218,76 @@ def test_render_with_loss_spans_offsets_are_exact(spark):
         )
     assert got[0][1]["span_text"] == "assistant: hi! how can I help?"
     assert got[1][1]["span_text"] == "assistant: bye!"
+
+
+def test_inter_event_latency_pairs_and_seconds(convs):
+    from profiler.sequence import inter_event_latency
+
+    lat = inter_event_latency(convs, order_cols=["turn_idx"])
+    d = {(r["prev_state"], r["state"]): r for r in lat.collect()}
+    # user→assistant gaps: 5s, 3s (c1) and 2s (c2) → mean 10/3
+    ua = d[("user", "assistant")]
+    assert ua["n"] == 3
+    assert ua["avg_secs"] == pytest.approx(3.3333, abs=1e-4)
+    assert ua["min_secs"] == 2.0 and ua["max_secs"] == 5.0
+    assert ua["p50_secs"] == 3.0
+    # assistant→user: the 25s think-time in c1
+    au = d[("assistant", "user")]
+    assert au["n"] == 1 and au["avg_secs"] == 25.0
+    # the zero-gap double reply
+    assert d[("assistant", "assistant")]["max_secs"] == 0.0
+    # single-turn conv c3 contributes no pair
+    assert sum(r["n"] for r in d.values()) == 5
+
+
+def test_preceded_by_flags_orphans(convs):
+    from profiler.sequence import preceded_by
+
+    # every assistant turn must directly follow a user turn
+    v = preceded_by(convs, "assistant", ["user"]).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("c2", 2)]
+    assert v[0]["prev_state"] == "assistant"
+    # a conversation-opening target is an orphan with NULL predecessor
+    v2 = preceded_by(convs, "user", ["assistant"]).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["prev_state"]) for r in v2] == [
+        ("c1", 0, None),
+        ("c2", 0, None),
+        ("c3", 0, None),
+    ]
+
+
+def test_sequence_digest_order_invariance_and_diff(spark):
+    from profiler.sequence import sequence_digest, sequence_digest_diff
+
+    rows_a = [
+        ("c1", 0, "hello"),
+        ("c1", 1, "world"),
+        ("c2", 0, "solo"),
+        ("c3", 0, "gone"),
+    ]
+    schema = "conv_id string, turn_idx int, text string"
+    a = spark.createDataFrame(rows_a, schema)
+    # same content, different arrival order → identical digests
+    a_shuffled = spark.createDataFrame(list(reversed(rows_a)), schema)
+    da = {r["conv_id"]: r["digest"] for r in sequence_digest(a).collect()}
+    ds = {
+        r["conv_id"]: r["digest"]
+        for r in sequence_digest(a_shuffled).collect()
+    }
+    assert da == ds
+    # turn order matters: swapping payloads changes the digest
+    swapped = spark.createDataFrame(
+        [("c1", 0, "world"), ("c1", 1, "hello")], schema
+    )
+    assert sequence_digest(swapped).collect()[0]["digest"] != da["c1"]
+    # diff: c1 changed text, c3 removed, c4 added, c2 untouched (absent)
+    b = spark.createDataFrame(
+        [("c1", 0, "hello"), ("c1", 1, "WORLD"), ("c2", 0, "solo"),
+         ("c4", 0, "new")],
+        schema,
+    )
+    diff = {
+        r["conv_id"]: r["status"]
+        for r in sequence_digest_diff(a, b).collect()
+    }
+    assert diff == {"c1": "changed", "c3": "removed", "c4": "added"}
