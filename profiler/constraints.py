@@ -598,3 +598,93 @@ def transcripts_suite(
     if check_encoding:
         suite.add(text_encoding_clean())
     return suite
+
+
+def matches_regex(
+    col: str, pattern: str, nullable: bool = True, name: str | None = None
+) -> Constraint:
+    """Format constraint: every non-null value of ``col`` must match the
+    anchored regular expression (``nullable=False`` additionally fails
+    NULLs) — the enforcement dual of the profile's pattern discovery
+    (:func:`profiler.detect.pattern_profile`). Violations carry the
+    offending value. Keep patterns to the RE2 ∩ Java-regex common subset
+    (anchors, classes, counted repeats) so the same rule text runs on any
+    engine a suite is replayed against."""
+    cname = name or f"matches_regex({col})"
+
+    def _parts() -> tuple[Column, dict, dict]:
+        c = F.col(col)
+        bad = ~c.cast("string").rlike(pattern)
+        pred = (c.isNotNull() & bad) if nullable else (c.isNull() | bad)
+        return pred, {col: c}, {"value": c}
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(df.where(pred), cname, part, keys, details)
+
+    return Constraint(cname, fn, row_parts=_parts)
+
+
+def regex_conformance(
+    df: DataFrame, rules: dict[str, str], max_examples: int = 5
+) -> DataFrame:
+    """Multi-column format-conformance report: for each (column → anchored
+    regex) rule, the non-null row count, violation count, conformance
+    rate, and up to ``max_examples`` smallest DISTINCT violating values —
+    one pass over the table regardless of how many rules there are.
+    This is the summary face of :func:`matches_regex` (suite-style
+    pass/fail + violation rows) for profiling a table one has no suite
+    for yet.
+
+    Plan: one stack melts the ruled columns to (column, value, ok) rows
+    evaluated map-side, then ONE hash aggregate per (column, value) pair
+    collapses duplicates before the per-column rollup — the example list
+    aggregates DISTINCT violating values only (domain-bounded, same
+    envelope as :func:`conditional_fd_violations`), never raw rows.
+    """
+    pairs = []
+    for c, pat in rules.items():
+        v = F.col(c).cast("string")
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                v.alias("value"),
+                (v.isNotNull() & v.rlike(pat)).alias("ok"),
+            )
+        )
+    melted = (
+        df.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.column", "s.value", "s.ok")
+        .where(F.col("value").isNotNull())
+    )
+    per_value = melted.groupBy("column", "value", "ok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_value.groupBy("column")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(~F.col("ok"), F.col("c")).otherwise(F.lit(0))).alias(
+                "n_violations"
+            ),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("ok"), F.col("value")))
+                ),
+                1,
+                max_examples,
+            ).alias("examples"),
+        )
+        .select(
+            "column",
+            "n_rows",
+            "n_violations",
+            F.round(
+                (F.col("n_rows") - F.col("n_violations"))
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("conformance_rate"),
+            F.array_join("examples", ",").alias("examples"),
+        )
+        .orderBy("column")
+    )

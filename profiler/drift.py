@@ -1290,3 +1290,151 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         [(int(na), int(nb), round_half_up(ks, 6), round_half_up(lam, 6), round_half_up(p, 6))],
         "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
     )
+
+
+def group_ks(
+    df: DataFrame, column: str, group_col: str
+) -> DataFrame:
+    """Per-group EXACT Kolmogorov–Smirnov statistic of ``column`` against
+    the GLOBAL distribution — the per-partition drift screen a validation
+    suite runs to ask "which day / source / role deviates from the whole
+    table?" (the grouped dual of :func:`ks_exact`; reference parity:
+    data-profiler's single-population numeric describe has no cross-
+    partition test — this is the validation-tier extension the north rule
+    names). Returns one row per group: (group, n_group, ks, ks_lambda,
+    p_approx) with λ = ks·√(n_g·N/(n_g+N)) and the leading Kolmogorov
+    p-term, as in :func:`ks_exact`.
+
+    Plan: ONE (group, value) hash aggregate collapses the input; the
+    evaluation grid is the |groups| × |distinct values| cross join
+    (groups side broadcast — groups are partitions/roles, i.e. small),
+    with both CDFs as cumulative windows ordered by value; the sup is
+    attained at an observed value so distinct-value evaluation is exact.
+    The grid is the same envelope as pooled two-sample KS evaluation —
+    for ultra-high-cardinality continuous data at 100 TB, pre-bin with
+    the drift sketch (:func:`drift_report`) instead.
+    """
+    c = F.col(column).cast("double")
+    src = df.where(c.isNotNull() & ~F.isnan(c)).select(
+        F.col(group_col).cast("string").alias("g"), c.alias("v")
+    )
+    counts = src.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()
+    try:
+        groups = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
+        values = counts.groupBy("v").agg(F.sum("c").alias("c_all"))
+        w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        values = values.select(
+            "v", F.sum("c_all").over(w_all).alias("cum_all")
+        )
+        grid = values.crossJoin(F.broadcast(groups))
+        grid = grid.join(counts, on=["g", "v"], how="left").fillna(
+            {"c": 0}
+        )
+        w_g = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        total = values.agg(F.max("cum_all")).collect()[0][0] or 0
+        if total == 0:
+            return df.sparkSession.createDataFrame(
+                [],
+                f"{group_col} string, n_group long, ks double, "
+                "ks_lambda double, p_approx double",
+            )
+        gap = F.abs(
+            F.sum("c").over(w_g) / F.col("n_g")
+            - F.col("cum_all") / F.lit(float(total))
+        )
+        lam = F.col("ks") * F.sqrt(
+            F.col("n_group")
+            * F.lit(float(total))
+            / (F.col("n_group") + F.lit(float(total)))
+        )
+        out = (
+            grid.select("g", "n_g", gap.alias("gap"))
+            .groupBy("g", "n_g")
+            .agg(F.max("gap").alias("ks"))
+            .select(
+                F.col("g").alias(group_col),
+                F.col("n_g").alias("n_group"),
+                "ks",
+            )
+            .withColumn("ks_lambda", lam)
+            .select(
+                group_col,
+                "n_group",
+                F.round("ks", 6).alias("ks"),
+                F.round("ks_lambda", 6).alias("ks_lambda"),
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.lit(2.0)
+                        * F.exp(F.lit(-2.0) * F.col("ks_lambda") * F.col("ks_lambda")),
+                    ),
+                    6,
+                ).alias("p_approx"),
+            )
+            .orderBy(group_col)
+        )
+        # materialize before unpersisting the shared collapsed frame
+        out = out.localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    return out
+
+
+def completeness_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    unit: str = "day",
+) -> DataFrame:
+    """Completeness-over-time screen: per column, the least-squares trend
+    of daily row volume and daily null count — "is this feed thinning
+    out / is a field going dark?" (the temporal extension of the
+    reference's static ``n_missing``/``p_missing`` per column,
+    ``tabular_timeseries/profiler.py``). One row per column: n_periods /
+    n_rows / n_nulls / null_rate plus slope_rows and slope_nulls in
+    units-per-period.
+
+    Determinism: slopes are computed from the closed-form normal equations
+    over INTEGER-valued sums (x = epoch period number, y = counts), which
+    are exact in doubles — no iterative fit, no order sensitivity.
+
+    Plan: ONE groupBy(period) hash aggregate (bounded by the calendar),
+    one stack to long format, one |cols|-group aggregate over the
+    |periods| × |cols| frame. Nothing rescans rows per column.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    period = F.unix_date(F.date_trunc(unit, ts).cast("date"))
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in value_cols:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}"))
+    daily = df.groupBy(period.alias("__x")).agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __nulls_{c}" for c in value_cols)
+    long = daily.select(
+        F.col("__x").cast("double").alias("x"),
+        F.col("__rows").cast("double").alias("rows"),
+        F.expr(f"stack({len(value_cols)}, {stack_args}) AS (column, nulls)"),
+    ).withColumn("nulls", F.col("nulls").cast("double"))
+
+    def _slope(y: Column) -> Column:
+        n = F.count(F.lit(1)).cast("double")
+        num = n * F.sum(F.col("x") * y) - F.sum("x") * F.sum(y)
+        den = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+        return F.when(den != 0, num / den)
+
+    return (
+        long.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.sum("rows").cast("long").alias("n_rows"),
+            F.sum("nulls").cast("long").alias("n_nulls"),
+            F.round(F.sum("nulls") / F.sum("rows"), 6).alias("null_rate"),
+            F.round(_slope(F.col("rows")), 6).alias("slope_rows"),
+            F.round(_slope(F.col("nulls")), 6).alias("slope_nulls"),
+        )
+        .orderBy("column")
+    )

@@ -429,3 +429,61 @@ def interval_overlap_join(
         & (F.col("__bkt") == _floordiv_us(F.greatest(ls, rs), w_us))
     ).withColumn("overlap_us", F.least(le, re_) - F.greatest(ls, rs))
     return out.drop("__bkt", "__ls", "__le", "__rs", "__re")
+
+
+def aggregate_reconciliation(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    measure: Column,
+    expected_col: str,
+    rel_tolerance: float = 0.0001,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation: the fact-side sum of
+    ``measure`` per key must equal the dimension's pre-aggregated
+    ``expected_col`` within a relative tolerance — the referential-
+    integrity check for DERIVED columns (order total vs its line items;
+    per-conversation turn counts vs a conversations header table). Emits
+    the worst ``top_k`` mismatches by absolute difference with both
+    values, the signed diff and the relative diff; keys inside tolerance
+    never leave the join.
+
+    Determinism: the fact sum goes through per-row ROUND(…, 2) →
+    DECIMAL(18,2) so partial-aggregation order is irrelevant; diffs are
+    exact decimal subtraction surfaced as rounded doubles.
+
+    Plan: one fact-side hash aggregate (map-side combine collapses to
+    |keys| rows) + one key join against the dimension (both sides now
+    |keys|-sized; AQE picks broadcast when the dim is small), then a
+    TakeOrdered top-k — no window, no second fact scan.
+    """
+    keys = _keys(on)
+    fsum = fact.groupBy(*keys).agg(
+        F.sum(F.round(measure, 2).cast("decimal(18,2)")).alias("__fact"),
+        F.count(F.lit(1)).alias("n_fact_rows"),
+    )
+    exp_dec = F.round(F.col(expected_col), 2).cast("decimal(18,2)")
+    j = fsum.join(
+        dim.select(*keys, exp_dec.alias("__exp")), on=keys, how="full_outer"
+    )
+    diff = F.coalesce(F.col("__fact"), F.lit(0).cast("decimal(18,2)")) - F.coalesce(
+        F.col("__exp"), F.lit(0).cast("decimal(18,2)")
+    )
+    rel = F.abs(diff.cast("double")) / F.greatest(
+        F.abs(F.col("__exp").cast("double")), F.lit(1e-12)
+    )
+    out = (
+        j.select(
+            *keys,
+            F.coalesce("n_fact_rows", F.lit(0)).alias("n_fact_rows"),
+            F.col("__fact").cast("double").alias("fact_sum"),
+            F.col("__exp").cast("double").alias("expected"),
+            diff.cast("double").alias("diff"),
+            F.round(rel, 6).alias("rel_diff"),
+        )
+        .where(F.col("rel_diff") > rel_tolerance)
+    )
+    return out.orderBy(
+        F.abs(F.col("diff")).desc(), *[F.col(k).asc() for k in keys]
+    ).limit(top_k)

@@ -9765,3 +9765,276 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         payload_col="event_type",
     )
+
+
+# ===========================================================================
+# Q174–Q178. Validation depth II: mergeable partials, grouped KS,
+# aggregate reconciliation, format conformance, completeness trend
+# ===========================================================================
+@_register(
+    "q174_profile_merge",
+    """
+    WITH melt AS (
+      SELECT 'l_quantity' AS c, CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+    ),
+    agg AS (
+      SELECT c, count(x) AS n, count(*) - count(x) AS n_null,
+             ROUND(min(x), 4) AS vmin, ROUND(max(x), 4) AS vmax,
+             CAST(sum(CAST(ROUND(x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(x * x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sq
+      FROM melt GROUP BY c
+    )
+    SELECT c AS "column", n, n_null, vmin, vmax,
+           ROUND(s / n, 4) AS mean,
+           ROUND(sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)), 4) AS std
+    FROM agg ORDER BY "column"
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-profile algebra (:func:`profiler.stats.
+    partial_profile` + :func:`merge_partial_profiles`): per-month
+    sufficient statistics (count/nulls/min/max/exact-decimal Σx/Σx²) for
+    three lineitem measures, MERGED back to the global per-column profile
+    — the resumable-run primitive: a killed job re-reads checkpointed
+    partials, not rows. The oracle computes the same stats DIRECTLY over
+    the raw table, so the hash match proves merge(partials) ==
+    single-pass profile, digit for digit. One groupBy(month) pass + one
+    |buckets|×|cols| merge aggregate."""
+    from profiler.stats import merge_partial_profiles, partial_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = partial_profile(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "month(l_shipdate)",
+    )
+    return merge_partial_profiles(parts)
+
+
+@_register(
+    "q175_group_ks",
+    """
+    WITH src AS (
+      SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    counts AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+    groups AS (SELECT g, sum(c) AS n_g FROM counts GROUP BY 1),
+    vals0 AS (SELECT v, sum(c) AS c_all FROM counts GROUP BY v),
+    vals AS (
+      SELECT v, sum(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_all FROM vals0
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM counts),
+    grid AS (
+      SELECT g, n_g, v, cum_all, coalesce(c, 0) AS c
+      FROM (SELECT * FROM vals CROSS JOIN groups) gr
+      LEFT JOIN counts USING (g, v)
+    ),
+    cums AS (
+      SELECT g, n_g, cum_all,
+             sum(c) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_g
+      FROM grid
+    ),
+    ks0 AS (
+      SELECT g, n_g,
+             max(abs(cum_g / CAST(n_g AS DOUBLE) - cum_all / nn)) AS ks,
+             any_value(nn) AS nn
+      FROM cums CROSS JOIN tot GROUP BY g, n_g
+    ),
+    lam AS (
+      SELECT g, n_g, ks,
+             ks * sqrt(n_g * nn / (n_g + nn)) AS l
+      FROM ks0
+    )
+    SELECT g AS event_type, CAST(n_g AS BIGINT) AS n_group,
+           ROUND(ks, 6) AS ks, ROUND(l, 6) AS ks_lambda,
+           ROUND(least(1.0, 2.0 * exp(-2.0 * l * l)), 6) AS p_approx
+    FROM lam ORDER BY event_type
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact KS vs the global distribution (:func:`profiler.
+    drift.group_ks`): which event type's value distribution deviates from
+    the whole table — the per-partition drift screen of the north rule's
+    "KS/PSI distribution-drift tests between partition snapshots". One
+    (group, value) hash aggregate; the evaluation grid is |groups| ×
+    |distinct values| with the groups side broadcast; CDFs are cumulative
+    windows; sup at observed values is exact."""
+    from profiler.drift import group_ks
+
+    ev = _t(spark, sf_dir, "events")
+    return group_ks(ev, "value", "event_type")
+
+
+@_register(
+    "q176_aggregate_reconciliation",
+    """
+    WITH f AS (
+      SELECT l_orderkey AS o_orderkey, count(*) AS n_fact_rows,
+             sum(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax), 2) AS DECIMAL(18,2))) AS fact_sum
+      FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS expected
+      FROM orders
+    ),
+    j AS (
+      SELECT o_orderkey, coalesce(n_fact_rows, 0) AS n_fact_rows,
+             CAST(fact_sum AS DOUBLE) AS fact_sum,
+             CAST(expected AS DOUBLE) AS expected,
+             CAST(coalesce(fact_sum, CAST(0 AS DECIMAL(18,2)))
+                  - coalesce(expected, CAST(0 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS diff
+      FROM f FULL JOIN d USING (o_orderkey)
+    ),
+    r AS (
+      SELECT *,
+             ROUND(abs(diff) / greatest(abs(coalesce(expected, 0)), 1e-12), 6)
+               AS rel_diff
+      FROM j
+    )
+    SELECT o_orderkey, n_fact_rows, fact_sum, expected, diff, rel_diff
+    FROM r WHERE rel_diff > 0.0001
+    ORDER BY abs(diff) DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (:func:`profiler.joins.
+    aggregate_reconciliation`): per-order lineitem revenue vs the order
+    header's o_totalprice, worst 15 mismatches by absolute diff — the
+    derived-column referential check (transcripts shape: per-conversation
+    turn counts vs a conversations header). Fact side collapses to |keys|
+    rows map-side before ONE key join; sums are per-row-rounded DECIMAL,
+    so partial order can't move a cent."""
+    from profiler.joins import aggregate_reconciliation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    o = _t(spark, sf_dir, "orders")
+    return aggregate_reconciliation(
+        li,
+        o,
+        "o_orderkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        "o_totalprice",
+        rel_tolerance=0.0001,
+        top_k=15,
+    )
+
+
+@_register(
+    "q177_regex_conformance",
+    """
+    WITH melt AS (
+      SELECT 'lang' AS c, lang AS value, lang ~ '^(en|de|fr)$' AS ok
+      FROM documents WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT 'source', source, source ~ '^src[0-9]$'
+      FROM documents WHERE source IS NOT NULL
+    ),
+    pv AS (SELECT c, value, ok, count(*) AS n FROM melt GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT c, sum(n) AS n_rows,
+             sum(CASE WHEN NOT ok THEN n ELSE 0 END) AS n_violations,
+             array_to_string(
+               list_sort(list(value) FILTER (WHERE NOT ok))[1:5], ','
+             ) AS examples
+      FROM pv GROUP BY 1
+    )
+    SELECT c AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           ROUND((n_rows - n_violations) / CAST(n_rows AS DOUBLE), 6)
+             AS conformance_rate,
+           examples
+    FROM agg ORDER BY "column"
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conformance report (:func:`profiler.constraints.
+    regex_conformance`): anchored-regex rules over documents.lang and
+    documents.source — rate + the 5 smallest distinct violating values
+    per rule, all rules in ONE table pass (melt → one (column, value)
+    hash aggregate; examples aggregate distinct values only,
+    domain-bounded). The enforcement dual (suite-style violation rows) is
+    :func:`profiler.constraints.matches_regex`."""
+    from profiler.constraints import regex_conformance
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_conformance(
+        docs, {"lang": "^(en|de|fr)$", "source": "^src[0-9]$"}
+    )
+
+
+@_register(
+    "q178_completeness_trend",
+    """
+    WITH src AS (
+      SELECT ts,
+             CASE WHEN event_id % 31 < EXTRACT(day FROM ts)
+                  THEN NULL ELSE value END AS value,
+             props
+      FROM events
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS xi,
+             count(*) AS r,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS np
+      FROM src GROUP BY 1
+    ),
+    long AS (
+      SELECT CAST(xi AS DOUBLE) AS x, CAST(r AS DOUBLE) AS r,
+             'props' AS c, CAST(np AS DOUBLE) AS nl FROM daily
+      UNION ALL
+      SELECT CAST(xi AS DOUBLE), CAST(r AS DOUBLE), 'value',
+             CAST(nv AS DOUBLE) FROM daily
+    ),
+    agg AS (
+      SELECT c, count(*) AS n_periods,
+             sum(r) AS sr, sum(nl) AS snl,
+             count(*) * sum(x * r) - sum(x) * sum(r) AS num_r,
+             count(*) * sum(x * nl) - sum(x) * sum(nl) AS num_n,
+             count(*) * sum(x * x) - sum(x) * sum(x) AS den
+      FROM long GROUP BY c
+    )
+    SELECT c AS "column", CAST(n_periods AS BIGINT) AS n_periods,
+           CAST(sr AS BIGINT) AS n_rows, CAST(snl AS BIGINT) AS n_nulls,
+           ROUND(snl / sr, 6) AS null_rate,
+           ROUND(CASE WHEN den <> 0 THEN num_r / den END, 6) AS slope_rows,
+           ROUND(CASE WHEN den <> 0 THEN num_n / den END, 6) AS slope_nulls
+    FROM agg ORDER BY "column"
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness-over-time trend (:func:`profiler.drift.
+    completeness_trend`): daily row volume and per-column null counts with
+    closed-form least-squares slopes — "is a field going dark?". A seeded
+    day-growing null pattern (event_id % 31 < day-of-month) plants a
+    positive null slope for `value` while `props` stays at zero. One
+    groupBy(day) pass; slopes from exact integer-valued sums (order-proof
+    without decimals)."""
+    from profiler.drift import completeness_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.when(
+            F.col("event_id") % 31 < F.dayofmonth("ts"), F.lit(None)
+        ).otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+    return completeness_trend(ev, "ts", ["value", "props"])

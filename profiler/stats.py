@@ -582,3 +582,97 @@ def round_half_up(x, ndigits: int):
 
     q = Decimal(1).scaleb(-ndigits)
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial profiles — the resumable / per-partition profiling algebra
+# ---------------------------------------------------------------------------
+#: sufficient statistics carried per (bucket, column) — every one of these
+#: merges by sum / min / max, so a global profile is derivable from any
+#: disjoint partition cover without re-reading rows.
+PARTIAL_FIELDS = ("n", "n_null", "vmin", "vmax", "vsum", "vsumsq")
+
+
+def partial_profile(
+    df: DataFrame, cols: list[str], bucket_expr: str, bucket_name: str = "bucket"
+) -> DataFrame:
+    """Per-bucket SUFFICIENT statistics for numeric columns — the mergeable
+    half of a resumable profiling run (north rule: "resumable from a
+    checkpoint recording per-partition lineage … a killed job re-validates
+    only unfinished partitions"). Each (bucket, column) row carries count /
+    null count / min / max / Σx / Σx² only — pure merge algebra, so the
+    global profile over ANY union of buckets is :func:`merge_partial_
+    profiles` of their rows, never a rescan (reference parity: the
+    profiler's per-column describe, ``tabular_timeseries/profiler.py``,
+    recomputed from saved partials instead of raw rows).
+
+    Determinism: sums are exact DECIMAL over per-row values rounded to 8
+    decimals, so partial-aggregation order can't move a digit; squares are
+    rounded BEFORE summation (partial-order-proof).
+
+    Plan: ONE groupBy(bucket) hash aggregate with map-side combine; output
+    is |buckets| × |cols| sufficient-stat rows (long format via one stack).
+    """
+    b = F.expr(bucket_expr).cast("string").alias(bucket_name)
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"__n_{c}"),
+            F.count_if(x.isNull()).alias(f"__nn_{c}"),
+            F.min(x).alias(f"__mn_{c}"),
+            F.max(x).alias(f"__mx_{c}"),
+            F.sum(F.round(x, 8).cast("decimal(38,8)")).alias(f"__s_{c}"),
+            F.sum(F.round(x * x, 8).cast("decimal(38,8)")).alias(f"__sq_{c}"),
+        ]
+    g = df.groupBy(b).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __mn_{c}, __mx_{c}, __s_{c}, __sq_{c}"
+        for c in cols
+    )
+    return g.select(
+        bucket_name,
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n, n_null, vmin, vmax, vsum, vsumsq)"
+        ),
+    )
+
+
+def merge_partial_profiles(parts: DataFrame) -> DataFrame:
+    """Merge :func:`partial_profile` rows (any subset of buckets, any
+    order) into per-column global statistics: n / n_null / min / max /
+    mean / sample std — numerically EQUAL to a direct single-pass profile
+    of the union, because every input is an exact-decimal sufficient
+    statistic. This is what a resumed validation run does with the
+    checkpointed partials of finished partitions plus fresh partials of
+    re-validated ones.
+
+    Plan: one groupBy(column) over |buckets| × |cols| rows — driver-scale
+    input, still executed as a Spark aggregate so the merge itself is
+    testable under the same engine semantics.
+    """
+    g = parts.groupBy("column").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").alias("__s"),
+        F.sum("vsumsq").alias("__sq"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1.0))
+    return g.select(
+        "column",
+        "n",
+        "n_null",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round(s / n, 4).alias("mean"),
+        F.round(
+            F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))),
+            4,
+        ).alias("std"),
+    ).orderBy("column")

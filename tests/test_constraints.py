@@ -354,3 +354,42 @@ def test_conditional_fd_constraint_in_suite(spark):
     assert v[0]["details"]["n_dependent_values"] == "2"
     assert not res.passed()
     res.unpersist()
+
+
+def test_matches_regex_constraint(spark):
+    from profiler.constraints import ConstraintSuite, matches_regex
+
+    rows = [(1, "en"), (2, "de"), (3, "EN"), (4, None), (5, "eng")]
+    df = spark.createDataFrame(rows, "id int, lang string")
+    res = ConstraintSuite([matches_regex("lang", "^[a-z]{2}$")]).validate(df)
+    v = sorted(r["keys"]["lang"] for r in res.violations.collect())
+    assert v == ["EN", "eng"]  # NULL passes when nullable=True
+    res.unpersist()
+    res = ConstraintSuite(
+        [matches_regex("lang", "^[a-z]{2}$", nullable=False)]
+    ).validate(df)
+    assert res.violations.count() == 3
+    res.unpersist()
+
+
+def test_regex_conformance_report(spark):
+    from profiler.constraints import regex_conformance
+
+    rows = [
+        ("en", "src1"), ("de", "src2"), ("zz", "src10"),
+        ("yy", "src11"), ("zz", "src3"), (None, "src4"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        r["column"]: r
+        for r in regex_conformance(
+            df, {"lang": "^(en|de|fr)$", "source": "^src[0-9]$"}
+        ).collect()
+    }
+    lang = got["lang"]
+    assert lang["n_rows"] == 5  # NULL excluded
+    assert lang["n_violations"] == 3
+    assert lang["conformance_rate"] == pytest.approx(0.4)
+    assert lang["examples"] == "yy,zz"  # distinct, sorted
+    src = got["source"]
+    assert src["n_violations"] == 2 and src["examples"] == "src10,src11"

@@ -552,3 +552,54 @@ def test_ks_exact_known_values(spark):
     # empty side -> NULL stats row, not a crash
     e = ks_exact(a.where("v < 0"), b, "v").collect()[0]
     assert e["n_a"] == 0 and e["ks"] is None
+
+
+def test_group_ks_identical_and_shifted_groups(spark):
+    from profiler.drift import group_ks
+
+    base = [(float(i % 50), "a") for i in range(200)]
+    same = [(float(i % 50), "b") for i in range(200)]
+    shifted = [(float(i % 50) + 30.0, "c") for i in range(200)]
+    df = spark.createDataFrame(base + same + shifted, "value double, g string")
+    got = {r["g"]: r for r in group_ks(df, "value", "g").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert all(r["n_group"] == 200 for r in got.values())
+    # a and b are identical to each other; c is shifted away from the pool
+    assert got["a"]["ks"] == got["b"]["ks"]
+    assert got["c"]["ks"] > got["a"]["ks"] + 0.15
+    # the shifted group is the stronger rejection (a DOES differ from the
+    # pooled global too — the pool contains c's shifted third)
+    assert got["c"]["p_approx"] < got["a"]["p_approx"]
+    assert got["c"]["p_approx"] < 0.01
+
+
+def test_group_ks_single_group_is_zero(spark):
+    from profiler.drift import group_ks
+
+    df = spark.createDataFrame(
+        [(float(i), "only") for i in range(100)], "value double, g string"
+    )
+    row = group_ks(df, "value", "g").collect()[0]
+    assert row["ks"] == 0.0 and row["p_approx"] == 1.0
+
+
+def test_completeness_trend_planted_slopes(spark):
+    import datetime
+
+    from profiler.drift import completeness_trend
+
+    rows = []
+    for day in range(10):
+        for i in range(20):
+            ts = datetime.datetime(2024, 1, 1 + day, i % 24)
+            rows.append((ts, None if i < day else 1.0, "x"))
+    df = spark.createDataFrame(rows, "ts timestamp, v double, w string")
+    got = {r["column"]: r for r in completeness_trend(df, "ts", ["v", "w"]).collect()}
+    v = got["v"]
+    assert v["n_periods"] == 10 and v["n_rows"] == 200
+    assert v["n_nulls"] == sum(range(10))
+    # one extra null per successive day → slope exactly 1.0 nulls/day
+    assert v["slope_nulls"] == pytest.approx(1.0)
+    # constant 20 rows/day → zero volume slope; w never null
+    assert v["slope_rows"] == 0.0
+    assert got["w"]["n_nulls"] == 0 and got["w"]["slope_nulls"] == 0.0

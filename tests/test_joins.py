@@ -951,3 +951,24 @@ def test_interval_overlap_default_names_auto_suffixed(spark):
     assert "start_ts_r" in out.columns and "end_ts_r" in out.columns
     row = out.select("start_ts", "start_ts_r", "overlap_us").collect()
     assert len(row) == 1 and row[0]["overlap_us"] == 10 * 60 * 1_000_000
+
+
+def test_aggregate_reconciliation_flags_and_passes(spark):
+    from profiler.joins import aggregate_reconciliation
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 3.0), (3, 7.0)], "k int, amt double"
+    )
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 4.0), (4, 9.0)], "k int, total double"
+    )
+    got = aggregate_reconciliation(
+        fact, dim, "k", F.col("amt"), "total", rel_tolerance=0.001, top_k=10
+    ).collect()
+    by_k = {r["k"]: r for r in got}
+    assert 1 not in by_k  # exact match never leaves the join
+    assert by_k[2]["diff"] == pytest.approx(-1.0)
+    assert by_k[3]["expected"] is None and by_k[3]["diff"] == pytest.approx(7.0)
+    assert by_k[4]["n_fact_rows"] == 0 and by_k[4]["diff"] == pytest.approx(-9.0)
+    # ranked by |diff| desc
+    assert [r["k"] for r in got] == [4, 3, 2]

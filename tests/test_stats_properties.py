@@ -148,3 +148,49 @@ def test_divergence_invariants(triples):
     assert math.isclose(ks, ks_scaled, rel_tol=1e-9, abs_tol=1e-12)
     ks_self, _ = ks_psi_from_counts(ca, ca, 1e-6)
     assert abs(ks_self) < 1e-12
+
+
+def test_partial_profile_merge_equals_direct(spark):
+    """merge(partials over any bucketing) == one-pass global stats."""
+    from profiler.stats import merge_partial_profiles, partial_profile
+
+    rows = [(i, float(i) * 1.5, None if i % 7 == 0 else float(i * i) / 3.0)
+            for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    merged = {
+        r["column"]: r
+        for r in merge_partial_profiles(
+            partial_profile(df, ["a", "b"], "pmod(id, 5)")
+        ).collect()
+    }
+    direct = df.selectExpr(
+        "count(a) AS na", "avg(a) AS ma", "stddev_samp(a) AS sa",
+        "count(b) AS nb", "avg(b) AS mb", "stddev_samp(b) AS sb",
+        "min(b) AS mnb", "max(b) AS mxb",
+    ).collect()[0]
+    a, b = merged["a"], merged["b"]
+    assert a["n"] == direct["na"] and b["n"] == direct["nb"]
+    assert b["n_null"] == 100 - direct["nb"]
+    assert a["mean"] == pytest.approx(direct["ma"], abs=1e-4)
+    assert a["std"] == pytest.approx(direct["sa"], abs=1e-4)
+    assert b["mean"] == pytest.approx(direct["mb"], abs=1e-4)
+    assert b["std"] == pytest.approx(direct["sb"], abs=1e-4)
+    assert b["vmin"] == pytest.approx(direct["mnb"], abs=1e-4)
+    assert b["vmax"] == pytest.approx(direct["mxb"], abs=1e-4)
+
+
+def test_partial_profile_subset_resume_semantics(spark):
+    """Merging a SUBSET of buckets profiles exactly that subset — the
+    resume path re-reads only unfinished partitions' rows."""
+    from pyspark.sql import functions as F
+
+    from profiler.stats import merge_partial_profiles, partial_profile
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id int, x double"
+    )
+    parts = partial_profile(df, ["x"], "CASE WHEN id < 20 THEN 'p0' ELSE 'p1' END")
+    only_p0 = merge_partial_profiles(parts.where(F.col("bucket") == "p0"))
+    row = only_p0.collect()[0]
+    assert row["n"] == 20 and row["vmax"] == 19.0
+    assert row["mean"] == pytest.approx(9.5)
