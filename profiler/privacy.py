@@ -1,0 +1,124 @@
+"""Privacy-risk validation: k-anonymity and l-diversity over
+quasi-identifier combinations.
+
+Training corpora and transcript tables routinely carry quasi-identifiers
+(user ids are dropped, but coarse attributes — region, signup month, device —
+survive). Before a table ships, a validation suite asks two questions the
+reference profiler's per-column stats can't answer (they are CROSS-column
+group properties):
+
+* **k-anonymity** — does every quasi-identifier combination describe at
+  least k rows? A group of size 1 re-identifies a person outright.
+* **l-diversity** — within each quasi-identifier group, do at least l
+  distinct values of the SENSITIVE column occur? A k-anonymous group whose
+  sensitive value is constant still leaks it.
+
+Both are single hash-aggregate passes over the quasi-identifier key —
+map-side combine collapses rows to |QI-combinations| group states, so the
+shuffle is domain-sized, never row-sized; no window, no join. At 100 TB the
+same plan holds: the QI domain is what it is, and AQE handles a skewed
+"everything NULL" combination like any other hot aggregation key.
+
+Reference scope note: stelar-eu/data-profiler has no privacy checks
+(`stelardataprofiler/` profiles single columns); this module is part of the
+validation-tier extension the north rule names ("schema + constraint
+validation engine"), same contract style as :mod:`profiler.constraints`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int = 5,
+    max_groups: int = 50,
+) -> DataFrame:
+    """Quasi-identifier groups with fewer than ``k`` rows — the rows a
+    release would re-identify. Returns up to ``max_groups`` offending
+    combinations, smallest (most identifying) first with total tie-breaks
+    on the identifier values, plus each group's size. NULL is a value (a
+    null region still narrows a person down), counted null-safely.
+
+    The table's k-anonymity LEVEL (the min group size) is
+    :func:`k_anonymity_level`. Plan: ONE groupBy over the QI columns,
+    filter ``n < k`` on the aggregated frame, TakeOrdered top-k — the
+    full-row frame is never shuffled twice.
+    """
+    qi = [F.col(c) for c in quasi_identifiers]
+    g = df.groupBy(*qi).agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        g.where(F.col("group_size") < k)
+        .orderBy(
+            F.col("group_size").asc(),
+            *[F.col(c).asc_nulls_first() for c in quasi_identifiers],
+        )
+        .limit(max_groups)
+    )
+
+
+def k_anonymity_level(
+    df: DataFrame, quasi_identifiers: Sequence[str]
+) -> DataFrame:
+    """One-row summary: the table's k-anonymity level (min QI-group size),
+    the number of QI groups, the number of singleton groups, and the
+    fraction of ROWS living in groups smaller than 5 — the headline a
+    validation report prints next to the reference's table stats. Same
+    single aggregate as :func:`k_anonymity` plus a second domain-sized
+    rollup."""
+    g = df.groupBy(*[F.col(c) for c in quasi_identifiers]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.agg(
+        F.min("n").cast("long").alias("k_level"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("n") == 1).alias("n_singletons"),
+        F.round(
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("frac_rows_below_5"),
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+    max_groups: int = 50,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE column takes fewer than
+    ``l`` distinct values (NULL null-safely counted as a value) — the
+    groups where k-anonymity still leaks the sensitive attribute because
+    everyone in the group shares it. Returns up to ``max_groups``
+    least-diverse groups (ties broken on identifier values) with group
+    size and distinct-sensitive count.
+
+    Plan: one exact count_distinct per QI group — a single partial-
+    aggregating pass (Spark expands distinct aggregation into a two-level
+    hash aggregate keyed by (QI, sensitive): both levels are
+    domain-bounded, never row-shuffles).
+    """
+    qi = [F.col(c) for c in quasi_identifiers]
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("∅NULL")
+    )
+    g = df.groupBy(*qi).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(sens).alias("n_sensitive_values"),
+    )
+    return (
+        g.where(F.col("n_sensitive_values") < l)
+        .orderBy(
+            F.col("n_sensitive_values").asc(),
+            F.col("group_size").desc(),
+            *[F.col(c).asc_nulls_first() for c in quasi_identifiers],
+        )
+        .limit(max_groups)
+    )

@@ -1818,3 +1818,71 @@ def lorenz_points(df: DataFrame, col: str, n_points: int = 10) -> DataFrame:
             6,
         ).alias("cum_share"),
     ).orderBy("tile")
+
+
+def histogram_2d(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    n_bins_x: int = 20,
+    n_bins_y: int = 20,
+) -> DataFrame:
+    """Joint 2-D uniform-bin histogram of two numeric columns — the
+    density behind a scatter/heatmap panel (the bivariate counterpart of
+    the reference's per-column uniform histogram, variables/utils.py:
+    507-529, keeping its right-inclusive last bin on BOTH axes). Returns
+    only non-empty cells: (bx, by, x_lo, x_hi, y_lo, y_hi, n).
+
+    Plan: one bounds aggregate (a single collected row), then ONE
+    groupBy(bx, by) hash aggregate over map-side-computed bucket ids —
+    the shuffle carries at most n_bins_x × n_bins_y cells, never rows. A
+    scatter sample at 100 TB is a lie unless it's this: the full-data
+    density, domain-bounded.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    src = df.select(x.alias("__x"), y.alias("__y")).where(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & ~F.isnan("__x")
+        & ~F.isnan("__y")
+    )
+    b = src.agg(
+        F.min("__x").alias("xlo"),
+        F.max("__x").alias("xhi"),
+        F.min("__y").alias("ylo"),
+        F.max("__y").alias("yhi"),
+    ).collect()[0]
+    if b["xlo"] is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bx int, by int, x_lo double, x_hi double, y_lo double, "
+            "y_hi double, n long",
+        )
+
+    def bucket(c, lo, hi, n):
+        if hi == lo:
+            return F.lit(0)
+        w = (hi - lo) / n
+        return F.least(
+            F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(n - 1)
+        )
+
+    bx = bucket(F.col("__x"), b["xlo"], b["xhi"], n_bins_x)
+    by = bucket(F.col("__y"), b["ylo"], b["yhi"], n_bins_y)
+    wx = (b["xhi"] - b["xlo"]) / n_bins_x
+    wy = (b["yhi"] - b["ylo"]) / n_bins_y
+    cells = (
+        src.select(bx.alias("bx"), by.alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "bx",
+        "by",
+        F.round(F.lit(b["xlo"]) + F.col("bx") * F.lit(wx), 6).alias("x_lo"),
+        F.round(F.lit(b["xlo"]) + (F.col("bx") + 1) * F.lit(wx), 6).alias("x_hi"),
+        F.round(F.lit(b["ylo"]) + F.col("by") * F.lit(wy), 6).alias("y_lo"),
+        F.round(F.lit(b["ylo"]) + (F.col("by") + 1) * F.lit(wy), 6).alias("y_hi"),
+        "n",
+    ).orderBy("bx", "by")

@@ -10038,3 +10038,172 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     return completeness_trend(ev, "ts", ["value", "props"])
+
+
+# ===========================================================================
+# Q179–Q183. Privacy risk + profiling breadth: k-anonymity, l-diversity,
+# 2-D histogram, calendar seasonality, rolling daily stats
+# ===========================================================================
+@_register(
+    "q179_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+           count(*) AS group_size
+    FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+    ORDER BY group_size ASC, c_nationkey ASC NULLS FIRST,
+             c_mktsegment ASC NULLS FIRST, bal_band ASC NULLS FIRST
+    LIMIT 50
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (:func:`profiler.privacy.k_anonymity`): customer
+    quasi-identifier combinations (nation, segment, $1k balance band)
+    describing fewer than k=5 people — the re-identifiable groups a
+    release must generalize away. ONE domain-sized hash aggregate +
+    TakeOrdered; rows never shuffle twice."""
+    from profiler.privacy import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5, max_groups=50
+    )
+
+
+@_register(
+    "q180_l_diversity",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           count(DISTINCT coalesce(
+             CAST(CAST(floor(c_acctbal / 1000) AS INT) AS VARCHAR), '∅NULL'
+           )) AS n_sensitive_values
+    FROM customer GROUP BY 1, 2
+    HAVING n_sensitive_values < 7
+    ORDER BY n_sensitive_values ASC, group_size DESC,
+             c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+    LIMIT 50
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen (:func:`profiler.privacy.l_diversity`):
+    (nation, segment) groups whose sensitive balance band takes fewer
+    than l=7 distinct values — k-anonymous groups that still leak the
+    attribute. One exact count-distinct pass (two-level domain-bounded
+    hash aggregate)."""
+    from profiler.privacy import l_diversity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=7, max_groups=50
+    )
+
+
+@_register(
+    "q181_histogram_2d",
+    """
+    WITH src AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_discount AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND NOT isnan(l_extendedprice) AND NOT isnan(l_discount)
+    ),
+    b AS (
+      SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+      FROM src
+    ),
+    cells AS (
+      SELECT least(CAST(floor((x - xlo) / ((xhi - xlo) / 12.0)) AS INT), 11)
+               AS bx,
+             least(CAST(floor((y - ylo) / ((yhi - ylo) / 8.0)) AS INT), 7)
+               AS by,
+             count(*) AS n
+      FROM src CROSS JOIN b GROUP BY 1, 2
+    )
+    SELECT bx, by,
+           ROUND(xlo + bx * ((xhi - xlo) / 12.0), 6) AS x_lo,
+           ROUND(xlo + (bx + 1) * ((xhi - xlo) / 12.0), 6) AS x_hi,
+           ROUND(ylo + by * ((yhi - ylo) / 8.0), 6) AS y_lo,
+           ROUND(ylo + (by + 1) * ((yhi - ylo) / 8.0), 6) AS y_hi,
+           n
+    FROM cells CROSS JOIN b ORDER BY bx, by
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram (:func:`profiler.profile.histogram_2d`):
+    price × discount density over 12×8 uniform bins with the reference's
+    right-inclusive last bin on both axes — the full-data scatter panel.
+    One bounds row + ONE (bx, by) hash aggregate; the shuffle carries at
+    most 96 cells."""
+    from profiler.profile import histogram_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_2d(
+        li, "l_extendedprice", "l_discount", n_bins_x=12, n_bins_y=8
+    )
+
+
+@_register(
+    "q182_seasonality_matrix",
+    """
+    WITH cells AS (
+      SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+             count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT dow, hour, n,
+           ROUND(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS frac
+    FROM cells ORDER BY dow, hour
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour seasonality matrix (:func:`profiler.timeseries.
+    seasonality_matrix`): activity share per calendar cell (dow 1=Sunday
+    matching Spark's dayofweek) — the intra-week structure the epoch
+    histogram can't show. One hash aggregate over the fixed 168-cell
+    domain."""
+    from profiler.timeseries import seasonality_matrix
+
+    return seasonality_matrix(_t(spark, sf_dir, "events"), "ts")
+
+
+@_register(
+    "q183_rolling_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS x,
+             count(*) AS n_rows,
+             sum(CAST(ROUND(value, 4) AS DECIMAL(28,4))) AS vsum
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_rows,
+           CAST(vsum AS DOUBLE) AS value_sum,
+           CAST(sum(n_rows) OVER w AS BIGINT) AS roll_rows,
+           ROUND(CAST(sum(vsum) OVER w AS DOUBLE)
+                 / CAST(sum(n_rows) OVER w AS DOUBLE), 6) AS roll_value_mean
+    FROM daily
+    WINDOW w AS (ORDER BY x RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling stats over the daily rollup (:func:`profiler.
+    timeseries.rolling_daily_stats`): smoothed volume and value mean per
+    day. Rows collapse to the daily frame FIRST (one hash aggregate with
+    per-row-rounded DECIMAL sums), then the RANGE window runs over the
+    calendar-bounded frame — safe unpartitioned at any table size."""
+    from profiler.timeseries import rolling_daily_stats
+
+    return rolling_daily_stats(
+        _t(spark, sf_dir, "events"), "ts", "value", window_days=7
+    )

@@ -793,3 +793,91 @@ def resample_interp(
         interp.alias("value"),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def seasonality_matrix(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix: count and share of rows
+    per (dow, hour) cell — the calendar-seasonality panel a timeseries
+    profile shows next to the reference's epoch histogram
+    (``tabular_timeseries/variables/datetime.py`` min/max/histogram has
+    no intra-week structure). ``dow`` follows Spark's ``dayofweek``
+    (1=Sunday … 7=Saturday). One map-side (dow, hour) extraction + ONE
+    hash aggregate over the fixed 168-cell domain; `frac` is 6-dp of
+    cell/total."""
+    ts = F.col(ts_col).cast("timestamp")
+    cells = (
+        df.where(ts.isNotNull())
+        .groupBy(
+            F.dayofweek(ts).alias("dow"), F.hour(ts).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        cells.select(
+            "dow", "hour", "n", F.round(F.col("n") / total, 6).alias("frac")
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def rolling_daily_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window moving statistics over the DAILY rollup: per day,
+    the row count and value sum plus the ``window_days``-day trailing
+    totals and mean — the smoothed volume/metric line a monitoring panel
+    draws (:func:`profiler.drift.metric_control_chart` is the
+    control-band sibling; this is the plain rolling view).
+
+    Plan: rows collapse to ONE groupBy(day) hash aggregate first; the
+    trailing RANGE window then runs over the |days|-sized daily frame
+    (calendar-bounded — a year is 365 rows), so the unpartitioned window
+    is safe at any table size. Daily value sums go through per-row
+    ROUND(…,4) → DECIMAL so partial-aggregation order is moot, and the
+    rolling sums add exact decimals.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    day = F.date_trunc("day", ts).cast("date")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 4).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("__vsum")
+        )
+    daily = df.where(ts.isNotNull()).groupBy(day.alias("day")).agg(*aggs)
+    daily = daily.withColumn("__x", F.unix_date(F.col("day")))
+    w = (
+        Window.orderBy("__x")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    out = daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_rows",
+        *(
+            [F.col("__vsum").cast("double").alias("value_sum")]
+            if value_col is not None
+            else []
+        ),
+        F.sum("n_rows").over(w).alias("roll_rows"),
+        *(
+            [
+                F.round(
+                    F.sum("__vsum").over(w)
+                    / F.sum("n_rows").over(w).cast("double"),
+                    6,
+                ).alias("roll_value_mean")
+            ]
+            if value_col is not None
+            else []
+        ),
+    )
+    return out.orderBy("day")

@@ -1,0 +1,58 @@
+"""k-anonymity / l-diversity privacy screens (profiler/privacy.py)."""
+
+import pytest
+
+from profiler.privacy import k_anonymity, k_anonymity_level, l_diversity
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        # (region, device, disease): a 3-person group, a singleton, a pair
+        ("eu", "ios", "flu"),
+        ("eu", "ios", "flu"),
+        ("eu", "ios", "cold"),
+        ("us", "android", "flu"),       # singleton QI group
+        ("eu", "android", "cold"),
+        ("eu", "android", "cold"),      # pair, sensitive constant
+        (None, "ios", "flu"),           # NULL is a QI value
+        (None, "ios", "hep"),
+    ]
+    return spark.createDataFrame(rows, "region string, device string, sensitive string")
+
+
+def test_k_anonymity_flags_small_groups(people):
+    got = k_anonymity(people, ["region", "device"], k=3).collect()
+    # groups below 3: ("us","android")=1, ("eu","android")=2, (NULL,"ios")=2
+    assert [(r["region"], r["device"], r["group_size"]) for r in got] == [
+        ("us", "android", 1),
+        (None, "ios", 2),
+        ("eu", "android", 2),
+    ]
+
+
+def test_k_anonymity_level_summary(people):
+    row = k_anonymity_level(people, ["region", "device"]).collect()[0]
+    assert row["k_level"] == 1
+    assert row["n_groups"] == 4
+    assert row["n_singletons"] == 1
+    assert row["frac_rows_below_5"] == pytest.approx(1.0)  # all groups < 5
+
+
+def test_l_diversity_flags_constant_sensitive(people):
+    got = l_diversity(people, ["region", "device"], "sensitive", l=2).collect()
+    # groups with < 2 distinct sensitive values: us/android (1 value),
+    # eu/android (cold only)
+    flagged = {(r["region"], r["device"]): r for r in got}
+    assert set(flagged) == {("us", "android"), ("eu", "android")}
+    assert flagged[("eu", "android")]["n_sensitive_values"] == 1
+    assert flagged[("eu", "android")]["group_size"] == 2
+
+
+def test_l_diversity_null_sensitive_is_a_value(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", "x")], "qi string, s string"
+    )
+    # NULL + 'x' = 2 distinct sensitive values → passes l=2
+    assert l_diversity(df, ["qi"], "s", l=2).count() == 0
+    assert l_diversity(df, ["qi"], "s", l=3).collect()[0]["n_sensitive_values"] == 2

@@ -510,3 +510,31 @@ def test_rarity_scores_tie_break_and_topk(spark):
     # all scores equal -> first five ids ascending
     assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
     assert len({r["score"] for r in got}) == 1
+
+
+def test_histogram_2d_bins_and_edges(spark):
+    from profiler.profile import histogram_2d
+
+    rows = [(float(x), float(y)) for x in range(10) for y in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    cells = histogram_2d(df, "a", "b", n_bins_x=3, n_bins_y=3).collect()
+    # 100 points spread over 9 cells; totals reconcile
+    assert sum(r["n"] for r in cells) == 100
+    by_cell = {(r["bx"], r["by"]): r for r in cells}
+    assert len(by_cell) == 9
+    # right-inclusive last bin: x=9 lands in bx=2, not bx=3
+    assert max(r["bx"] for r in cells) == 2
+    c00 = by_cell[(0, 0)]
+    assert c00["x_lo"] == 0.0 and c00["x_hi"] == 3.0
+    # 0,1,2 fall in bin0 per floor((x-0)/3) → 3×3 points per corner... check
+    assert c00["n"] == 9  # x,y ∈ {0,1,2}
+
+
+def test_histogram_2d_constant_column(spark):
+    from profiler.profile import histogram_2d
+
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "a double, b double")
+    cells = histogram_2d(df, "a", "b", n_bins_x=2, n_bins_y=2).collect()
+    # degenerate y-range collapses to bucket 0
+    assert all(r["by"] == 0 for r in cells)
+    assert sum(r["n"] for r in cells) == 2

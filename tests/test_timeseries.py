@@ -306,3 +306,48 @@ def test_resample_interp_planted(spark):
     assert got[("a", "2024-01-06 00:00:00")] == (0.0, False)
     assert got[("b", "2024-01-02 00:00:00")] == (7.0, False)
     assert len(got) == 7
+
+
+def test_seasonality_matrix_cells(spark):
+    import datetime
+
+    from profiler.timeseries import seasonality_matrix
+
+    # 2024-01-07 was a Sunday → Spark dayofweek 1
+    rows = [
+        (datetime.datetime(2024, 1, 7, 9, 0),),   # Sun 09
+        (datetime.datetime(2024, 1, 7, 9, 30),),  # Sun 09
+        (datetime.datetime(2024, 1, 8, 17, 5),),  # Mon 17
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {(r["dow"], r["hour"]): r for r in seasonality_matrix(df).collect()}
+    assert got[(1, 9)]["n"] == 2 and got[(1, 9)]["frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[(2, 17)]["n"] == 1
+    assert sum(r["n"] for r in got.values()) == 3  # NULL ts excluded
+
+
+def test_rolling_daily_stats_window(spark):
+    import datetime
+
+    from profiler.timeseries import rolling_daily_stats
+
+    rows = []
+    for d in range(5):
+        for i in range(d + 1):  # 1,2,3,4,5 rows per day
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12), float(d)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = rolling_daily_stats(df, "ts", "value", window_days=3).collect()
+    assert [r["n_rows"] for r in got] == [1, 2, 3, 4, 5]
+    # trailing 3-day row counts: 1, 3, 6, 9, 12
+    assert [r["roll_rows"] for r in got] == [1, 3, 6, 9, 12]
+    # day 3 (0-indexed 2): values 0×1 + 1×2 + 2×3 = 8 over 6 rows
+    assert got[2]["roll_value_mean"] == pytest.approx(8 / 6, abs=1e-6)
+    # a gap: windows are calendar-based, not row-based
+    df2 = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), 1.0),
+         (datetime.datetime(2024, 1, 10), 2.0)],
+        "ts timestamp, value double",
+    )
+    got2 = rolling_daily_stats(df2, "ts", "value", window_days=3).collect()
+    assert [r["roll_rows"] for r in got2] == [1, 1]
