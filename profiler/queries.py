@@ -10207,3 +10207,311 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_daily_stats(
         _t(spark, sf_dir, "events"), "ts", "value", window_days=7
     )
+
+
+# ===========================================================================
+# Q184–Q188. Event analytics + semi-structured: survival, n-stage funnel,
+# cross-correlation, JSON key profile, frequent state sequences
+# ===========================================================================
+@_register(
+    "q184_km_survival",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT s1.user_id, min(e.ts) AS tp
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.ts > s1.t1
+       AND e.event_type = 'purchase'
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS tmax FROM events),
+    dur AS (
+      SELECT CASE WHEN p.tp IS NOT NULL
+                  THEN (epoch_us(p.tp) - epoch_us(s1.t1)) / 1e6
+                  ELSE (epoch_us(tmax) - epoch_us(s1.t1)) / 1e6 END AS d,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s1 LEFT JOIN p USING (user_id) CROSS JOIN mx
+    ),
+    pts AS (
+      SELECT d AS t, sum(ev) AS d_events, sum(1 - ev) AS c_censored
+      FROM dur GROUP BY 1
+    ),
+    km1 AS (
+      SELECT t, d_events, c_censored,
+             tot - coalesce(sum(d_events + c_censored) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+      FROM pts CROSS JOIN (
+        SELECT sum(d_events + c_censored) AS tot FROM pts
+      ) tt
+    ),
+    km2 AS (
+      SELECT t, n_risk, d_events, c_censored,
+             CASE WHEN max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+                    OVER upto = 1
+                  THEN 0.0
+                  ELSE exp(coalesce(sum(
+                    CASE WHEN d_events < n_risk
+                         THEN ln(1 - d_events / CAST(n_risk AS DOUBLE)) END
+                  ) OVER upto, 0.0)) END AS s
+      FROM km1
+      WINDOW upto AS (
+        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT ROUND(t, 6) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CAST(c_censored AS BIGINT) AS c_censored,
+           ROUND(s, 6) AS survival
+    FROM km2 WHERE d_events > 0 ORDER BY t
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival (:func:`profiler.timeseries.km_survival`):
+    time from first signup to first subsequent purchase, right-censored
+    at the table's horizon for users who never purchased. Durations
+    collapse to ONE groupBy(t) frame; at-risk and the product are
+    cumulative windows over it (exp(Σln) form). The oracle replays the
+    estimator from the same chained first-after-min durations."""
+    from profiler.timeseries import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    dur = s1.join(p, "user_id", "left").select(
+        (
+            F.when(
+                F.col("tp").isNotNull(), us("tp") - us("t1")
+            ).otherwise(F.unix_micros(F.lit(tmax).cast("timestamp")) - us("t1"))
+            / F.lit(1e6)
+        ).alias("d"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return km_survival(dur, "d", "ev")
+
+
+@_register(
+    "q185_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    n AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             (SELECT count(*) FROM s1) AS n_reached
+      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+    ),
+    wv AS (
+      SELECT stage_idx, stage, CAST(n_reached AS BIGINT) AS n_reached,
+             first_value(n_reached) OVER (ORDER BY stage_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS fst,
+             lag(n_reached) OVER (ORDER BY stage_idx) AS prv
+      FROM n
+    )
+    SELECT stage_idx, stage, n_reached,
+           ROUND(CASE WHEN fst > 0
+                 THEN n_reached / CAST(fst AS DOUBLE) END, 6)
+             AS frac_of_first,
+           ROUND(CASE WHEN prv > 0 THEN n_reached / CAST(prv AS DOUBLE)
+                      WHEN prv IS NULL THEN 1.0 END, 6) AS frac_of_prev
+    FROM wv ORDER BY stage_idx
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered n-stage funnel (:func:`profiler.sequence.funnel`):
+    signup → click → purchase progression per user, each stage strictly
+    after the previous match. One groupBy(user) array fold (bounded
+    per-key state) + a |stages|-sized rollup; the oracle replays it as
+    chained first-after correlated mins — independent plan, same
+    counts."""
+    from profiler.sequence import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        ["signup", "click", "purchase"],
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+    )
+
+
+@_register(
+    "q186_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS t,
+             count(*) AS n,
+             sum(CAST(ROUND(value, 4) AS DECIMAL(28,4))) AS vsum
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT t, ROUND(CAST(n AS DOUBLE), 6) AS x,
+             ROUND(CAST(vsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS y
+      FROM daily
+    ),
+    pairs AS (
+      SELECT r.k AS lag, a.x, b.y
+      FROM range(-5, 6) r(k)
+      JOIN m a ON true
+      JOIN m b ON b.t = a.t + r.k
+    ),
+    g AS (
+      SELECT lag, count(*) AS n_pairs,
+             CAST(sum(CAST(ROUND(x, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ROUND(y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(ROUND(x * y, 10) AS DECIMAL(38,10))) AS DOUBLE)
+               AS sxy,
+             CAST(sum(CAST(ROUND(x * x, 10) AS DECIMAL(38,10))) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(ROUND(y * y, 10) AS DECIMAL(38,10))) AS DOUBLE)
+               AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           ROUND(CASE WHEN n_pairs * sxx - sx * sx > 0
+                       AND n_pairs * syy - sy * sy > 0
+                 THEN (n_pairs * sxy - sx * sy)
+                      / sqrt((n_pairs * sxx - sx * sx)
+                             * (n_pairs * syy - sy * sy)) END, 6) AS ccf
+    FROM g ORDER BY lag
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (:func:`profiler.timeseries.
+    cross_correlation`): Pearson corr between daily volume and daily mean
+    value at lags −5..+5 — does volume lead the metric? The period frame
+    is ONE groupBy(day) with decimal sums; the lag spine is an 11-row
+    broadcast; Pearson assembles from exact decimal sums."""
+    from profiler.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.unix_date(F.date_trunc("day", F.col("ts")).cast("date")).alias(
+                "t"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value"), 4).cast("decimal(28,4)")
+            ).alias("vsum"),
+        )
+        .select(
+            "t",
+            F.col("n").cast("double").alias("x"),
+            (
+                F.col("vsum").cast("double") / F.col("n").cast("double")
+            ).alias("y"),
+        )
+    )
+    return cross_correlation(daily, "t", "x", "y", max_lag=5)
+
+
+@_register(
+    "q187_json_key_profile",
+    r"""
+    WITH src AS (
+      SELECT props AS j FROM events
+      WHERE props IS NOT NULL AND json_valid(props)
+    ),
+    tot AS (SELECT count(*) AS n FROM src),
+    kv0 AS (SELECT unnest(json_keys(j)) AS key, j FROM src),
+    kv AS (
+      SELECT key, json_extract_string(j, '$.' || key) AS v FROM kv0
+    ),
+    cls AS (
+      SELECT key,
+             CASE WHEN v IS NULL THEN 'null'
+                  WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+                  WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$')
+                    THEN 'float'
+                  WHEN v IN ('true', 'false') THEN 'bool'
+                  WHEN v LIKE '{%' THEN 'object'
+                  WHEN v LIKE '[%' THEN 'array'
+                  ELSE 'string' END AS vtype
+      FROM kv
+    ),
+    counts AS (SELECT key, vtype, count(*) AS n FROM cls GROUP BY 1, 2)
+    SELECT key, vtype, n,
+           ROUND(sum(n) OVER (PARTITION BY key)
+                 / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS key_coverage
+    FROM counts ORDER BY key, vtype
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON key profile (:func:`profiler.sources.
+    json_key_profile`): per key of the events.props blob, value-class
+    counts (int/float/bool/null/object/array/string by the same textual
+    rules both engines run) and row coverage. One JVM from_json →
+    explode → ONE (key, vtype) hash aggregate."""
+    from profiler.sources import json_key_profile
+
+    return json_key_profile(_t(spark, sf_dir, "events"), "props")
+
+
+@_register(
+    "q188_frequent_sequences",
+    """
+    WITH seq AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w
+               || '>' || lead(event_type, 2) OVER w AS sequence,
+             lead(event_type, 2) OVER w IS NOT NULL AS fullg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+      SELECT sequence, count(*) AS n FROM seq WHERE fullg GROUP BY 1
+    )
+    SELECT sequence, n,
+           ROUND(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS frac
+    FROM counts ORDER BY n DESC, sequence ASC LIMIT 20
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent state trigrams (:func:`profiler.sequence.
+    frequent_sequences`): the 20 most common length-3 event-type
+    sub-sequences per user stream — the sequence analogue of corpus
+    top-n-grams (q122). n−1 leads over ONE keyed window sort, then a
+    |states|³-bounded hash aggregate + TakeOrdered."""
+    from profiler.sequence import frequent_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_sequences(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+        n=3,
+        top_k=20,
+    )

@@ -530,3 +530,108 @@ def sequence_digest_diff(
         .where(F.col("status").isNotNull())
         .orderBy(key_col)
     )
+
+
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    state_col: str = "role",
+) -> DataFrame:
+    """Ordered multi-stage funnel: how many keys progressed through
+    ``stages`` IN ORDER (each stage strictly after the previous match in
+    the key's timeline) — the n-stage generalization of the two-stage
+    as-of funnel (q80). Returns one row per stage: stage_idx, stage,
+    n_reached, frac_of_first, frac_of_prev.
+
+    Plan: rows filter to the stage domain map-side, ONE groupBy(key)
+    collects the key's sorted (time, stage) array (bounded per-key state
+    — same envelope as :func:`render_conversations`), and a single
+    array fold advances a next-needed-stage pointer; ties at equal time
+    resolve by the array sort's (time, stage) order. The per-key reach
+    then collapses to a |stages|-sized frame with a descending cumulative
+    window."""
+    stage_list = [str(s) for s in stages]
+    stage_arr = F.array(*[F.lit(s) for s in stage_list])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = df.where(F.col(state_col).isin(*stage_list)).select(
+        F.col(key_col).alias("__k"),
+        F.struct(us.alias("__t"), F.col(state_col).alias("__s")),
+    )
+    arr = F.array_sort(F.collect_list(F.col(src.columns[1])))
+    reached = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, item: F.when(
+            item["__s"] == F.get(stage_arr, acc), acc + 1
+        ).otherwise(acc),
+    )
+    per_key = src.groupBy("__k").agg(reached.alias("reached"))
+    counts = per_key.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
+    # n_reached(stage i) = Σ n over reached > i — tiny frame, one window
+    spine = df.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(stage_list)], "stage_idx int, stage string"
+    )
+    joined = spine.join(
+        counts, F.col("reached") > F.col("stage_idx"), "left"
+    ).groupBy("stage_idx", "stage").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_reached")
+    )
+    w = Window.orderBy("stage_idx")
+    first = F.first("n_reached").over(
+        Window.orderBy("stage_idx").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    prev = F.lag("n_reached").over(w)
+    return joined.select(
+        "stage_idx",
+        "stage",
+        "n_reached",
+        F.round(
+            F.when(first > 0, F.col("n_reached") / first.cast("double")), 6
+        ).alias("frac_of_first"),
+        F.round(
+            F.when(prev > 0, F.col("n_reached") / prev.cast("double"))
+            .when(prev.isNull() & (F.col("n_reached") >= 0), F.lit(1.0)),
+            6,
+        ).alias("frac_of_prev"),
+    ).orderBy("stage_idx")
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Most frequent length-``n`` state sub-sequences (state n-grams
+    within a key's ordered timeline) — "what does a typical
+    user→assistant→tool exchange look like", the sequence analogue of the
+    corpus top-n-grams (q122). Returns top_k (sequence, n, frac) with a
+    total tie-break on the sequence string.
+
+    Plan: ``n−1`` leads over ONE key-partitioned window sort (single
+    shuffle on the conversation key), then a hash aggregate over the
+    |states|ⁿ-bounded n-gram domain; top-k is a TakeOrdered."""
+    w = _seq_window(key_col, order_cols)
+    parts = [F.col(state_col)] + [
+        F.lead(F.col(state_col), i).over(w) for i in range(1, n)
+    ]
+    gram = F.concat_ws(">", *parts)
+    complete = df.select(
+        gram.alias("sequence"),
+        parts[-1].isNotNull().alias("__full"),
+    ).where(F.col("__full"))
+    counts = complete.groupBy("sequence").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.select(
+            "sequence", "n", F.round(F.col("n") / total, 6).alias("frac")
+        )
+        .orderBy(F.col("n").desc(), F.col("sequence").asc())
+        .limit(top_k)
+    )

@@ -20,7 +20,7 @@ Reference mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 
@@ -249,3 +249,58 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def json_key_profile(df: DataFrame, col: str) -> DataFrame:
+    """Key-level profile of a flat-JSON STRING column (embedded metadata
+    blobs like a transcripts table's per-turn ``props``): for every key,
+    per value-class occurrence counts and the key's row coverage — the
+    embedded-JSON sibling of the hierarchical route's nesting stats
+    (reference ``hierarchical/profiler.py``), without requiring the file
+    itself to be JSON. Value classes are inferred from the raw value
+    text (int / float / bool / null / object / array / string), so the
+    same rules replay on any engine.
+
+    Returns (key, vtype, n, key_coverage) where key_coverage = rows
+    containing the key / parseable-JSON rows, repeated on each of the
+    key's vtype rows.
+
+    Plan: one JVM-side ``from_json`` to map<string,string> (no Python in
+    the row path), one explode → ONE (key, vtype) hash aggregate over
+    the key-domain; the total is a single collected scalar.
+    """
+    m = F.from_json(F.col(col), "map<string,string>")
+    src = df.select(m.alias("__m")).where(F.col("__m").isNotNull())
+    total = src.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "key string, vtype string, n long, key_coverage double"
+        )
+    kv = src.select(F.explode("__m").alias("key", "v"))
+    v = F.col("v")
+    vtype = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(r"^-?[0-9]+$"), F.lit("int"))
+        .when(
+            v.rlike(r"^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$"), F.lit("float")
+        )
+        .when(v.isin("true", "false"), F.lit("bool"))
+        .when(v.startswith("{"), F.lit("object"))
+        .when(v.startswith("["), F.lit("array"))
+        .otherwise(F.lit("string"))
+    )
+    counts = kv.groupBy("key", vtype.alias("vtype")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_key = Window.partitionBy("key")
+    return (
+        counts.select(
+            "key",
+            "vtype",
+            "n",
+            F.round(
+                F.sum("n").over(per_key) / F.lit(float(total)), 6
+            ).alias("key_coverage"),
+        )
+        .orderBy("key", "vtype")
+    )

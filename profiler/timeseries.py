@@ -881,3 +881,134 @@ def rolling_daily_stats(
         ),
     )
     return out.orderBy("day")
+
+
+def km_survival(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan–Meier survival estimate over (duration, event-observed)
+    rows — time-to-event with right censoring (time to first purchase,
+    time to conversation abandonment; censored = never happened inside
+    the observation window). One row per distinct EVENT time: at-risk
+    count, events, censored, and the survival probability
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+
+    Plan: rows collapse to ONE groupBy(duration) hash aggregate
+    (|distinct durations| frame); at-risk counts and the product are
+    cumulative windows over that bounded frame — the product runs as
+    exp(Σ ln(1−d/n)) so it's a plain windowed sum. No per-row state, no
+    driver loop.
+    """
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    pts = (
+        df.where(d.isNotNull() & ~F.isnan(d))
+        .groupBy(d.alias("t"))
+        .agg(
+            F.sum(ev).alias("d_events"),
+            F.sum(F.lit(1) - ev).alias("c_censored"),
+        )
+    )
+    w_prior = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum(F.col("d_events") + F.col("c_censored")).over(
+        Window.partitionBy()
+    )
+    at_risk = total - F.coalesce(
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_prior),
+        F.lit(0),
+    )
+    stepped = pts.select(
+        "t", "d_events", "c_censored", at_risk.alias("n_risk")
+    )
+    # when d == n (everyone still at risk dies here) the factor is exactly
+    # 0 — ln is undefined, so carry a sticky zero flag instead and keep the
+    # log-sum over the d < n factors only
+    frac = F.col("d_events") / F.col("n_risk").cast("double")
+    term = F.when(F.col("d_events") < F.col("n_risk"), F.log(F.lit(1.0) - frac))
+    hit_zero = F.max(
+        (F.col("d_events") == F.col("n_risk")).cast("int")
+    ).over(w_upto)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum(term).over(w_upto), F.lit(0.0)))
+    )
+    return (
+        stepped.where(F.col("d_events") > 0)
+        .select(
+            F.round("t", 6).alias("t"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.round(surv, 6).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+def cross_correlation(
+    daily: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two period-indexed metrics:
+    Pearson corr(x_t, y_{t+k}) for k ∈ [−max_lag, max_lag] — "does volume
+    lead quality by a day?" (the two-series sibling of the profile's
+    single-series ACF, :func:`timeseries_stats`). Expects an ALREADY
+    AGGREGATED period frame (one row per period, integer ``t_col``) —
+    build it with one groupBy(day) first, so the lag join below runs on
+    the calendar-bounded frame, never on rows.
+
+    Determinism: x/y are 6-dp rounded, their products 10-dp rounded into
+    exact DECIMAL sums; the Pearson ratio is assembled from those exact
+    sums in one double expression.
+
+    Plan: one tiny lag spine (2·max_lag+1 rows, broadcast) × the period
+    frame, one equi-join on shifted period index, one groupBy(lag).
+    """
+    spark = daily.sparkSession
+    ks = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    x6 = F.round(F.col(x_col).cast("double"), 6)
+    y6 = F.round(F.col(y_col).cast("double"), 6)
+    a = daily.select(F.col(t_col).cast("long").alias("__ta"), x6.alias("x"))
+    b = daily.select(F.col(t_col).cast("long").alias("__tb"), y6.alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("__tb") == F.col("__ta") + F.col("lag"))
+    )
+
+    def dsum(c: Column, nd: int = 10):
+        return F.sum(F.round(c, nd).cast("decimal(38,10)")).cast("double")
+
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        g.select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.when(
+                    (denx > 0) & (deny > 0),
+                    num / F.sqrt(denx * deny),
+                ),
+                6,
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

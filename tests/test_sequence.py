@@ -291,3 +291,52 @@ def test_sequence_digest_order_invariance_and_diff(spark):
         for r in sequence_digest_diff(a, b).collect()
     }
     assert diff == {"c1": "changed", "c3": "removed", "c4": "added"}
+
+
+def test_funnel_ordered_progression(spark):
+    import datetime
+
+    from profiler.sequence import funnel
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, m, s):
+        return (u, t0 + datetime.timedelta(minutes=m), s)
+
+    rows = [
+        # u1 completes all three in order
+        ev("u1", 0, "signup"), ev("u1", 1, "click"), ev("u1", 2, "purchase"),
+        # u2: purchase BEFORE click → stalls at click... no: signup, purchase, click
+        ev("u2", 0, "signup"), ev("u2", 1, "purchase"), ev("u2", 2, "click"),
+        # u3: click only, never signed up → reaches nothing
+        ev("u3", 0, "click"),
+        # u4: signup only
+        ev("u4", 0, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, role string")
+    got = funnel(df, ["signup", "click", "purchase"], key_col="user_id")
+    out = got.collect()
+    assert [(r["stage"], r["n_reached"]) for r in out] == [
+        ("signup", 3),
+        ("click", 2),
+        ("purchase", 1),
+    ]
+    assert out[0]["frac_of_prev"] == 1.0
+    assert out[1]["frac_of_prev"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["frac_of_first"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_frequent_sequences_trigrams(spark):
+    from profiler.sequence import frequent_sequences
+
+    rows = []
+    for conv in range(4):
+        for i, s in enumerate(["u", "a", "u", "a"]):
+            rows.append((f"c{conv}", i, s))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = frequent_sequences(df, n=3, top_k=5).collect()
+    # each conv yields trigrams u>a>u and a>u>a
+    assert {(r["sequence"], r["n"]) for r in got} == {("a>u>a", 4), ("u>a>u", 4)}
+    assert all(r["frac"] == 0.5 for r in got)
+    # tie-break is lexicographic
+    assert got[0]["sequence"] == "a>u>a"

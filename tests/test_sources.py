@@ -3,6 +3,7 @@ flattening, nesting-depth stats."""
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from profiler import sources
@@ -152,3 +153,25 @@ def test_read_csv_keep_corrupt_accounting(spark, tmp_path):
     assert len(schema.fields) == 2
     again = read_csv(spark, str(p), schema=schema, keep_corrupt=True)
     assert again.columns == ["a", "b", "corrupt_record"]
+
+
+def test_json_key_profile_types_and_coverage(spark):
+    from profiler.sources import json_key_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2.5, "b": null, "c": true}',),
+        ('{"a": 3, "d": {"i": 1}, "e": [1, 2]}',),
+        ("not json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    got = {(r["key"], r["vtype"]): r for r in json_key_profile(df, "props").collect()}
+    assert got[("a", "int")]["n"] == 2
+    assert got[("a", "float")]["n"] == 1
+    # coverage is per-key over the 3 parseable rows
+    assert got[("a", "int")]["key_coverage"] == pytest.approx(1.0)
+    assert got[("b", "string")]["n"] == 1
+    assert got[("b", "null")]["n"] == 1
+    assert got[("b", "null")]["key_coverage"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ("c", "bool") in got and ("d", "object") in got and ("e", "array") in got

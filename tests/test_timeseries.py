@@ -351,3 +351,42 @@ def test_rolling_daily_stats_window(spark):
     )
     got2 = rolling_daily_stats(df2, "ts", "value", window_days=3).collect()
     assert [r["roll_rows"] for r in got2] == [1, 1]
+
+
+def test_km_survival_hand_computed(spark):
+    from profiler.timeseries import km_survival
+
+    # durations: events at t=1 (2 of 3 at risk... ) classic example:
+    # n=5: events at 1,2,4; censored at 3, 5(censored)
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1), (5.0, 0)]
+    df = spark.createDataFrame(rows, "d double, ev int")
+    got = {r["t"]: r for r in km_survival(df, "d", "ev").collect()}
+    assert set(got) == {1.0, 2.0, 4.0}  # event times only
+    # S(1) = 4/5; S(2) = 4/5 * 3/4 = 3/5; S(4) = 3/5 * 1/2
+    assert got[1.0]["n_risk"] == 5 and got[1.0]["survival"] == pytest.approx(0.8)
+    assert got[2.0]["n_risk"] == 4 and got[2.0]["survival"] == pytest.approx(0.6)
+    assert got[4.0]["n_risk"] == 2 and got[4.0]["survival"] == pytest.approx(0.3)
+
+
+def test_km_survival_reaches_zero_without_log_error(spark):
+    from profiler.timeseries import km_survival
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "d double, ev int")
+    got = km_survival(df, "d", "ev").collect()
+    assert got[-1]["survival"] == 0.0
+    assert got[0]["survival"] == pytest.approx(0.5)
+
+
+def test_cross_correlation_perfect_lag(spark):
+    from profiler.timeseries import cross_correlation
+
+    # y_{t+1} = x_t exactly → ccf peaks at lag +1 with corr 1.0
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [(t, xs[t], xs[t - 1] if t > 0 else 7.0) for t in range(len(xs))]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    got = {r["lag"]: r for r in cross_correlation(df, "t", "x", "y", 2).collect()}
+    assert got[1]["ccf"] == pytest.approx(1.0)
+    assert got[1]["n_pairs"] == len(xs) - 1
+    assert abs(got[0]["ccf"]) < 1.0
+    # symmetric spine present
+    assert set(got) == {-2, -1, 0, 1, 2}
