@@ -1438,3 +1438,131 @@ def completeness_trend(
         )
         .orderBy("column")
     )
+
+
+def proportion_ztest_by_group(
+    df: DataFrame, group_col: str, success: Column
+) -> DataFrame:
+    """Two-proportion z-test of every group against THE REST of the
+    table: does this slice's success rate deviate from everyone else's —
+    the slice/bias screen a validation suite runs over partitions, roles,
+    or demographic buckets. One row per group: n, n_pos, rate, rate_rest,
+    z (pooled-variance two-proportion statistic) and ``significant_99``
+    (|z| > 2.5758).
+
+    Plan: ONE groupBy(group) over (count, positives) — rest-of-table
+    numbers derive from the global totals by subtraction on the
+    |groups|-sized frame (two window sums), so the table is scanned once.
+    All inputs to z are exact integer counts; the ratio is one double
+    expression.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success.cast("int")).alias("n_pos"),
+    )
+    tot = Window.partitionBy()
+    n_all = F.sum("n").over(tot)
+    pos_all = F.sum("n_pos").over(tot)
+    n_rest = (n_all - F.col("n")).cast("double")
+    pos_rest = (pos_all - F.col("n_pos")).cast("double")
+    p_g = F.col("n_pos") / F.col("n").cast("double")
+    p_r = pos_rest / n_rest
+    p_pool = pos_all.cast("double") / n_all.cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n").cast("double") + F.lit(1.0) / n_rest)
+    )
+    z = F.when((n_rest > 0) & (se > 0), (p_g - p_r) / se)
+    return (
+        g.select(
+            F.col("grp").alias(group_col),
+            "n",
+            "n_pos",
+            F.round(p_g, 6).alias("rate"),
+            F.round(F.when(n_rest > 0, p_r), 6).alias("rate_rest"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.5758).alias("significant_99"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def domain_diff(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """Categorical-domain diff between two snapshots: values that
+    APPEARED (only in B) or VANISHED (only in A), with both side counts —
+    the domain-constraint maintenance signal ("a new enum landed; the
+    domain() check will start failing"). Values present on both sides
+    never leave the join.
+
+    Plan: one value-count aggregate per side (domain-sized), one
+    full-outer join on the value.
+    """
+    ca = (
+        df_a.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        df_b.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = ca.join(cb, "value", "full_outer")
+    status = F.when(F.col("n_a").isNull(), F.lit("added")).when(
+        F.col("n_b").isNull(), F.lit("removed")
+    )
+    return (
+        j.select("value", "n_a", "n_b", status.alias("status"))
+        .where(F.col("status").isNotNull())
+        .orderBy("value")
+    )
+
+
+def partition_count_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    partition_expr: str,
+    rel_tolerance: float = 0.0,
+) -> DataFrame:
+    """Partition-level row-count reconciliation between two snapshots of
+    the same table: per partition key, both counts, the delta, and a
+    status (``added`` / ``removed`` / ``changed``) — the first thing a
+    re-validation run checks before diffing content (cheap enough to run
+    always; content digests, :func:`profiler.sequence.sequence_digest_
+    diff`, are the second stage). Partitions whose counts agree within
+    ``rel_tolerance`` never leave the join.
+
+    Plan: one count aggregate per side on the partition expression
+    (map-side combine, |partitions| rows) + one full-outer join.
+    """
+    def counts(d: DataFrame, alias: str) -> DataFrame:
+        return d.groupBy(
+            F.expr(partition_expr).cast("string").alias("partition_key")
+        ).agg(F.count(F.lit(1)).alias(alias))
+
+    j = counts(df_a, "n_a").join(
+        counts(df_b, "n_b"), "partition_key", "full_outer"
+    )
+    delta = F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0))
+    rel = F.abs(delta).cast("double") / F.greatest(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("double"), F.lit(1.0)
+    )
+    status = (
+        F.when(F.col("n_a").isNull(), F.lit("added"))
+        .when(F.col("n_b").isNull(), F.lit("removed"))
+        .when(rel > rel_tolerance, F.lit("changed"))
+    )
+    return (
+        j.select(
+            "partition_key",
+            "n_a",
+            "n_b",
+            delta.alias("delta"),
+            status.alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+        .orderBy("partition_key")
+    )

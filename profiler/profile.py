@@ -1886,3 +1886,78 @@ def histogram_2d(
         F.round(F.lit(b["ylo"]) + (F.col("by") + 1) * F.lit(wy), 6).alias("y_hi"),
         "n",
     ).orderBy("bx", "by")
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lift/gains table: bucket rows by score percentile and report each
+    bucket's positive rate, lift over the global rate, and the cumulative
+    gains walking DOWN from the top-score bucket — the standard screen
+    for "does this quality/classifier score actually rank positives
+    first?" (the model-eval face of the quality-classifier operators,
+    q113). Output per bucket: n, n_pos, rate, lift, cum_n, cum_pos,
+    cum_rate, cum_lift.
+
+    Plan: one exact-percentile aggregate yields the n_buckets−1
+    boundaries (percentile_approx at cluster scale — same shape);
+    bucketing is a map-side comparison chain; ONE groupBy over the
+    n_buckets domain; cumulative columns are windows over that bounded
+    frame. Boundaries are 6-dp rounded before comparison so the bucket
+    edges are engine-reproducible.
+    """
+    from profiler.stats import round_half_up
+
+    s = F.col(score_col).cast("double")
+    src = df.where(s.isNotNull() & ~F.isnan(s)).select(
+        s.alias("__s"), label.cast("int").alias("__y")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = src.agg(
+        F.percentile("__s", F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).collect()[0]["b"]
+    bounds = [round_half_up(float(b), 6) for b in bounds_row]
+    bucket = sum(
+        [(F.col("__s") > F.lit(b)).cast("int") for b in bounds],
+        F.lit(0),
+    )
+    g = (
+        src.select(bucket.alias("bucket"), "__y")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+        )
+    )
+    tot = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    global_rate = F.sum("n_pos").over(tot) / F.sum("n").over(tot).cast(
+        "double"
+    )
+    rate = F.col("n_pos") / F.col("n").cast("double")
+    cum_n = F.sum("n").over(w_cum)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    cum_rate = cum_pos / cum_n.cast("double")
+    return (
+        g.select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(rate, 6).alias("rate"),
+            F.round(
+                F.when(global_rate > 0, rate / global_rate), 6
+            ).alias("lift"),
+            cum_n.alias("cum_n"),
+            cum_pos.alias("cum_pos"),
+            F.round(cum_rate, 6).alias("cum_rate"),
+            F.round(
+                F.when(global_rate > 0, cum_rate / global_rate), 6
+            ).alias("cum_lift"),
+        )
+        .orderBy("bucket")
+    )

@@ -10515,3 +10515,290 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         top_k=20,
     )
+
+
+# ===========================================================================
+# Q189–Q194. Validation depth III: lift/gains, slice z-test, domain diff,
+# double-fire detection, terminal-state check, partition reconciliation
+# ===========================================================================
+@_register(
+    "q189_lift_table",
+    """
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    bs AS (
+      SELECT ROUND(unnest(quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9])), 6) AS bd
+      FROM src
+    ),
+    bucketed AS (
+      SELECT (SELECT count(*) FROM bs WHERE src.s > bs.bd) AS bucket, y
+      FROM src
+    ),
+    g AS (
+      SELECT bucket, count(*) AS n, sum(y) AS n_pos
+      FROM bucketed GROUP BY bucket
+    ),
+    t AS (
+      SELECT CAST(bucket AS INT) AS bucket, n, n_pos,
+             sum(n_pos) OVER () / CAST(sum(n) OVER () AS DOUBLE) AS gr,
+             n_pos / CAST(n AS DOUBLE) AS rate,
+             sum(n) OVER w AS cum_n, sum(n_pos) OVER w AS cum_pos
+      FROM g
+      WINDOW w AS (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(rate, 6) AS rate,
+           ROUND(CASE WHEN gr > 0 THEN rate / gr END, 6) AS lift,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           ROUND(cum_pos / CAST(cum_n AS DOUBLE), 6) AS cum_rate,
+           ROUND(CASE WHEN gr > 0
+                 THEN cum_pos / CAST(cum_n AS DOUBLE) / gr END, 6)
+             AS cum_lift
+    FROM t ORDER BY bucket
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table (:func:`profiler.profile.lift_table`): does the
+    event value rank purchases first — decile buckets off 6-dp-rounded
+    exact percentiles, per-bucket rate/lift plus top-down cumulative
+    gains. One percentile aggregate + map-side bucket chain + ONE
+    10-group aggregate; cumulative windows run on the bucket frame."""
+    from profiler.profile import lift_table
+
+    ev = _t(spark, sf_dir, "events")
+    return lift_table(
+        ev, "value", F.col("event_type") == "purchase", n_buckets=10
+    )
+
+
+@_register(
+    "q190_slice_ztest",
+    """
+    WITH g AS (
+      SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_pos
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT dow, n, n_pos,
+             sum(n) OVER () AS n_all, sum(n_pos) OVER () AS pos_all
+      FROM g
+    ),
+    z AS (
+      SELECT dow, n, n_pos,
+             n_pos / CAST(n AS DOUBLE) AS p_g,
+             (pos_all - n_pos) / CAST(n_all - n AS DOUBLE) AS p_r,
+             CAST(n_all - n AS DOUBLE) AS n_rest,
+             pos_all / CAST(n_all AS DOUBLE) AS p_pool
+      FROM t
+    ),
+    zz AS (
+      SELECT dow, n, n_pos, p_g, p_r, n_rest,
+             CASE WHEN n_rest > 0 AND
+                       sqrt(p_pool * (1.0 - p_pool)
+                            * (1.0 / CAST(n AS DOUBLE) + 1.0 / n_rest)) > 0
+                  THEN (p_g - p_r)
+                       / sqrt(p_pool * (1.0 - p_pool)
+                              * (1.0 / CAST(n AS DOUBLE) + 1.0 / n_rest))
+             END AS z
+      FROM z
+    )
+    SELECT dow, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(p_g, 6) AS rate,
+           ROUND(CASE WHEN n_rest > 0 THEN p_r END, 6) AS rate_rest,
+           ROUND(z, 6) AS z, abs(z) > 2.5758 AS significant_99
+    FROM zz ORDER BY dow
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-vs-rest two-proportion z-test (:func:`profiler.drift.
+    proportion_ztest_by_group`): purchase rate per day-of-week against
+    the rest of the week — the bias/anomaly screen over partitions.
+    ONE group aggregate; rest-of-table derives by subtraction from two
+    window totals on the |groups| frame."""
+    from profiler.drift import proportion_ztest_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"), "event_type"
+    )
+    return proportion_ztest_by_group(
+        ev, "dow", F.col("event_type") == "purchase"
+    )
+
+
+@_register(
+    "q191_domain_diff",
+    """
+    WITH a AS (
+      SELECT event_type AS value, count(*) AS n_a FROM events
+      WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN event_type = 'error' THEN 'fault'
+                  ELSE event_type END AS value, count(*) AS n_b
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.value, b.value) AS value, n_a, n_b,
+             CASE WHEN a.value IS NULL THEN 'added'
+                  WHEN b.value IS NULL THEN 'removed' END AS status
+      FROM a FULL JOIN b ON a.value = b.value
+    )
+    SELECT * FROM j WHERE status IS NOT NULL ORDER BY value
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-domain diff (:func:`profiler.drift.domain_diff`):
+    snapshot B renames the 'error' level to 'fault' — the diff reports
+    exactly {fault: added, error: removed} with side counts, the signal
+    that a domain() constraint needs maintenance. Two domain-sized
+    aggregates + one full-outer join."""
+    from profiler.drift import domain_diff
+
+    ev = _t(spark, sf_dir, "events")
+    snap_b = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("fault")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return domain_diff(ev, snap_b, "event_type")
+
+
+@_register(
+    "q192_rapid_repeats",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type AS state,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, state,
+           ROUND(gap_us / 1e6, 6) AS gap_secs
+    FROM seq
+    WHERE gap_us IS NOT NULL AND prev_state = state
+      AND gap_us <= 900 * 1000000
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire detection (:func:`profiler.sequence.
+    rapid_repeat_events`): same event type repeating within 15 minutes in
+    one user stream — duplicated telemetry/webhook deliveries that exact
+    dedup (q18) misses because payloads differ. One keyed window lag,
+    map-side threshold, exact integer-µs comparison."""
+    from profiler.sequence import rapid_repeat_events
+
+    ev = _t(spark, sf_dir, "events")
+    out = rapid_repeat_events(
+        ev,
+        900,
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_id",
+        "state",
+        "gap_secs",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@_register(
+    "q193_terminal_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC, event_type DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_turns
+      FROM events
+    )
+    SELECT user_id, n_turns, event_type AS final_state
+    FROM ranked
+    WHERE rn = 1 AND event_type NOT IN ('purchase', 'error')
+    ORDER BY user_id
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-state completeness (:func:`profiler.sequence.
+    terminal_state_check`): every user stream must END in a terminal
+    event (purchase/error) — the "conversation must close with an
+    assistant turn" check. ONE groupBy with max_by(state, order-struct),
+    no window over the full table; the oracle replays it as a
+    row_number-desc window — independent plan, same rows."""
+    from profiler.sequence import terminal_state_check
+
+    ev = _t(spark, sf_dir, "events")
+    return terminal_state_check(
+        ev,
+        ["purchase", "error"],
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+
+
+@_register(
+    "q194_partition_count_diff",
+    """
+    WITH a AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+               AS partition_key, count(*) AS n_a
+      FROM events WHERE EXTRACT(day FROM ts) <> 3 GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+               AS partition_key, count(*) AS n_b
+      FROM events
+      WHERE event_id % 97 <> 0 AND EXTRACT(day FROM ts) <> 15
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.partition_key, b.partition_key) AS partition_key,
+             n_a, n_b,
+             coalesce(n_b, 0) - coalesce(n_a, 0) AS delta,
+             CASE WHEN n_a IS NULL THEN 'added'
+                  WHEN n_b IS NULL THEN 'removed'
+                  WHEN abs(coalesce(n_b, 0) - coalesce(n_a, 0))
+                       / greatest(CAST(coalesce(n_a, 0) AS DOUBLE), 1.0)
+                       > 0.0 THEN 'changed' END AS status
+      FROM a FULL JOIN b USING (partition_key)
+    )
+    SELECT * FROM j WHERE status IS NOT NULL ORDER BY partition_key
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level row-count reconciliation (:func:`profiler.drift.
+    partition_count_diff`): day partitions between two seeded snapshots —
+    day 3 added, day 15 removed, sampled rows changed. The cheap first
+    stage before content digests (q173). Two partition-sized aggregates
+    + one full-outer join."""
+    from profiler.drift import partition_count_diff
+
+    ev = _t(spark, sf_dir, "events")
+    snap_a = ev.where(F.dayofmonth("ts") != 3)
+    snap_b = ev.where(
+        (F.col("event_id") % 97 != 0) & (F.dayofmonth("ts") != 15)
+    )
+    return partition_count_diff(
+        snap_a,
+        snap_b,
+        "CAST(date_trunc('day', ts) AS DATE)",
+        rel_tolerance=0.0,
+    )

@@ -635,3 +635,74 @@ def frequent_sequences(
         .orderBy(F.col("n").desc(), F.col("sequence").asc())
         .limit(top_k)
     )
+
+
+def rapid_repeat_events(
+    df: DataFrame,
+    max_gap_seconds: float,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    state_col: str = "role",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Double-fire detection: consecutive SAME-state events in a key's
+    timeline closer than ``max_gap_seconds`` — telemetry double-sends,
+    duplicated webhook deliveries, double-submitted turns. Emits the
+    SECOND event of each rapid pair with the gap in seconds.
+
+    Same single keyed-window lag as :func:`inter_event_latency`; the
+    threshold predicate evaluates map-side after the window. Exact
+    integer-microsecond comparison.
+    """
+    order_cols = list(order_cols) if order_cols else [ts_col]
+    w = _seq_window(key_col, order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    prev_state = F.lag(F.col(state_col)).over(w)
+    out = df.select(
+        key_col,
+        *order_cols,
+        F.col(state_col).alias("state"),
+        gap_us.alias("__gap_us"),
+        prev_state.alias("__prev"),
+    ).where(
+        F.col("__gap_us").isNotNull()
+        & (F.col("__prev") == F.col(state_col))
+        & (F.col("__gap_us") <= F.lit(int(max_gap_seconds * 1_000_000)))
+    )
+    return out.select(
+        key_col,
+        *order_cols,
+        "state",
+        F.round(F.col("__gap_us") / F.lit(1e6), 6).alias("gap_secs"),
+    ).orderBy(key_col, *order_cols)
+
+
+def terminal_state_check(
+    df: DataFrame,
+    allowed_final: Sequence[str],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Sequence-completeness check: every key's FINAL state (under the
+    stable order) must be in ``allowed_final`` — a conversation must end
+    with an assistant turn, a checkout flow with a terminal event.
+    Returns the offending keys with their turn count and final state.
+
+    Plan: ONE groupBy(key) with ``max_by(state, order-struct)`` — no
+    window, no sort of the full table; the aggregate carries one struct
+    per group. The order struct appends the state as the last tie-break
+    so ties stay total.
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(state_col)
+    )
+    g = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max_by(F.col(state_col), order_struct).alias("final_state"),
+    )
+    return (
+        g.where(~F.col("final_state").isin(*[str(s) for s in allowed_final]))
+        .orderBy(key_col)
+    )

@@ -603,3 +603,47 @@ def test_completeness_trend_planted_slopes(spark):
     # constant 20 rows/day → zero volume slope; w never null
     assert v["slope_rows"] == 0.0
     assert got["w"]["n_nulls"] == 0 and got["w"]["slope_nulls"] == 0.0
+
+
+def test_proportion_ztest_by_group_planted_bias(spark):
+    from profiler.drift import proportion_ztest_by_group
+
+    rows = [("biased", 1 if i < 80 else 0) for i in range(100)]
+    rows += [("fair%d" % (i % 3), 1 if i % 2 == 0 else 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {r["g"]: r for r in proportion_ztest_by_group(df, "g", F.col("y") == 1).collect()}
+    assert got["biased"]["rate"] == pytest.approx(0.8)
+    assert got["biased"]["significant_99"] is True
+    assert got["biased"]["z"] > 2.5758
+    for g in ("fair0", "fair1", "fair2"):
+        assert got[g]["significant_99"] is False
+
+
+def test_domain_diff_added_removed_only(spark):
+    from profiler.drift import domain_diff
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",), (None,)], "c string")
+    b = spark.createDataFrame([("x",), ("z",), ("z",)], "c string")
+    got = {r["value"]: r for r in domain_diff(a, b, "c").collect()}
+    assert set(got) == {"y", "z"}  # 'x' on both sides never surfaces
+    assert got["y"]["status"] == "removed" and got["y"]["n_a"] == 1
+    assert got["z"]["status"] == "added" and got["z"]["n_b"] == 2
+
+
+def test_partition_count_diff_statuses(spark):
+    from profiler.drift import partition_count_diff
+
+    a = spark.createDataFrame(
+        [("p1",)] * 10 + [("p2",)] * 5, "pk string"
+    )
+    b = spark.createDataFrame(
+        [("p1",)] * 9 + [("p3",)] * 2, "pk string"
+    )
+    got = {r["partition_key"]: r for r in
+           partition_count_diff(a, b, "pk").collect()}
+    assert got["p1"]["status"] == "changed" and got["p1"]["delta"] == -1
+    assert got["p2"]["status"] == "removed" and got["p2"]["delta"] == -5
+    assert got["p3"]["status"] == "added" and got["p3"]["delta"] == 2
+    # tolerance suppresses small drifts
+    tol = partition_count_diff(a, b, "pk", rel_tolerance=0.2).collect()
+    assert {r["partition_key"] for r in tol} == {"p2", "p3"}

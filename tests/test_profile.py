@@ -6,6 +6,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from profiler.profile import ProfileConfig, profile_table
 from profiler.schema import TypesDict, NUMERIC, CATEGORICAL, TEXTUAL, DATETIME
@@ -538,3 +539,20 @@ def test_histogram_2d_constant_column(spark):
     # degenerate y-range collapses to bucket 0
     assert all(r["by"] == 0 for r in cells)
     assert sum(r["n"] for r in cells) == 2
+
+
+def test_lift_table_perfect_ranker(spark):
+    from profiler.profile import lift_table
+
+    # score == label signal: top half positive
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = lift_table(df, "score", F.col("y") == 1, n_buckets=4).collect()
+    assert [r["bucket"] for r in got] == [0, 1, 2, 3]
+    assert [r["n"] for r in got] == [25, 25, 25, 25]
+    # top two quartiles hold all positives → lift 2.0, bottom 0
+    assert got[3]["lift"] == pytest.approx(2.0)
+    assert got[0]["lift"] == 0.0
+    # cumulative walking down from the top bucket
+    assert got[3]["cum_n"] == 25 and got[3]["cum_lift"] == pytest.approx(2.0)
+    assert got[0]["cum_n"] == 100 and got[0]["cum_lift"] == pytest.approx(1.0)

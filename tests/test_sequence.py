@@ -340,3 +340,44 @@ def test_frequent_sequences_trigrams(spark):
     assert all(r["frac"] == 0.5 for r in got)
     # tie-break is lexicographic
     assert got[0]["sequence"] == "a>u>a"
+
+
+def test_rapid_repeat_events_threshold(spark):
+    import datetime
+
+    from profiler.sequence import rapid_repeat_events
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, secs, s):
+        return (u, t0 + datetime.timedelta(seconds=secs), s)
+
+    rows = [
+        ev("u1", 0, "click"), ev("u1", 2, "click"),     # rapid same-state
+        ev("u1", 100, "click"),                          # too far
+        ev("u1", 101, "view"),                           # different state
+        ev("u2", 0, "view"), ev("u2", 1, "view"), ev("u2", 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, role string")
+    got = rapid_repeat_events(
+        df, 5, key_col="user_id", ts_col="ts", state_col="role"
+    ).collect()
+    assert [(r["user_id"], r["gap_secs"]) for r in got] == [
+        ("u1", 2.0), ("u2", 1.0), ("u2", 1.0),
+    ]
+
+
+def test_terminal_state_check(spark):
+    from profiler.sequence import terminal_state_check
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"),   # ok
+        ("c2", 0, "user"), ("c2", 1, "tool"),        # ends mid-flight
+        ("c3", 0, "user"),                           # dangling user turn
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = terminal_state_check(df, ["assistant"]).collect()
+    assert [(r["conv_id"], r["final_state"], r["n_turns"]) for r in got] == [
+        ("c2", "tool", 2),
+        ("c3", "user", 1),
+    ]
