@@ -1319,70 +1319,58 @@ def group_ks(
         F.col(group_col).cast("string").alias("g"), c.alias("v")
     )
     counts = src.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
-    counts = counts.persist()
-    try:
-        groups = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
-        values = counts.groupBy("v").agg(F.sum("c").alias("c_all"))
-        w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        values = values.select(
-            "v", F.sum("c_all").over(w_all).alias("cum_all")
+    # the collapsed (g, v) frame feeds four subplans (groups, values,
+    # total, grid); keeping the whole thing lazy lets ReuseExchange share
+    # the aggregate and keeps the operator a single inspectable plan
+    groups = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
+    values = counts.groupBy("v").agg(F.sum("c").alias("c_all"))
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    values = values.select("v", F.sum("c_all").over(w_all).alias("cum_all"))
+    tot = counts.agg(F.sum("c").cast("double").alias("__N"))
+    grid = values.crossJoin(F.broadcast(groups))
+    grid = grid.join(counts, on=["g", "v"], how="left").fillna({"c": 0})
+    grid = grid.crossJoin(F.broadcast(tot))
+    w_g = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.abs(
+        F.sum("c").over(w_g) / F.col("n_g")
+        - F.col("cum_all") / F.col("__N")
+    )
+    lam = F.col("ks") * F.sqrt(
+        F.col("n_group") * F.col("__N") / (F.col("n_group") + F.col("__N"))
+    )
+    return (
+        grid.select("g", "n_g", "__N", gap.alias("gap"))
+        .groupBy("g", "n_g", "__N")
+        .agg(F.max("gap").alias("ks"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n_group"),
+            "__N",
+            "ks",
         )
-        grid = values.crossJoin(F.broadcast(groups))
-        grid = grid.join(counts, on=["g", "v"], how="left").fillna(
-            {"c": 0}
-        )
-        w_g = (
-            Window.partitionBy("g")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        total = values.agg(F.max("cum_all")).collect()[0][0] or 0
-        if total == 0:
-            return df.sparkSession.createDataFrame(
-                [],
-                f"{group_col} string, n_group long, ks double, "
-                "ks_lambda double, p_approx double",
-            )
-        gap = F.abs(
-            F.sum("c").over(w_g) / F.col("n_g")
-            - F.col("cum_all") / F.lit(float(total))
-        )
-        lam = F.col("ks") * F.sqrt(
-            F.col("n_group")
-            * F.lit(float(total))
-            / (F.col("n_group") + F.lit(float(total)))
-        )
-        out = (
-            grid.select("g", "n_g", gap.alias("gap"))
-            .groupBy("g", "n_g")
-            .agg(F.max("gap").alias("ks"))
-            .select(
-                F.col("g").alias(group_col),
-                F.col("n_g").alias("n_group"),
-                "ks",
-            )
-            .withColumn("ks_lambda", lam)
-            .select(
-                group_col,
-                "n_group",
-                F.round("ks", 6).alias("ks"),
-                F.round("ks_lambda", 6).alias("ks_lambda"),
-                F.round(
-                    F.least(
-                        F.lit(1.0),
-                        F.lit(2.0)
-                        * F.exp(F.lit(-2.0) * F.col("ks_lambda") * F.col("ks_lambda")),
+        .withColumn("ks_lambda", lam)
+        .select(
+            group_col,
+            "n_group",
+            F.round("ks", 6).alias("ks"),
+            F.round("ks_lambda", 6).alias("ks_lambda"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(2.0)
+                    * F.exp(
+                        F.lit(-2.0) * F.col("ks_lambda") * F.col("ks_lambda")
                     ),
-                    6,
-                ).alias("p_approx"),
-            )
-            .orderBy(group_col)
+                ),
+                6,
+            ).alias("p_approx"),
         )
-        # materialize before unpersisting the shared collapsed frame
-        out = out.localCheckpoint(eager=True)
-    finally:
-        counts.unpersist()
-    return out
+        .orderBy(group_col)
+    )
 
 
 def completeness_trend(

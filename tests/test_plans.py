@@ -534,3 +534,87 @@ def test_rarity_scores_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+def test_terminal_state_check_has_no_window(spark, events):
+    """Final-state extraction is a groupBy max_by — a Window node means
+    someone rewrote it into a full-table row_number sort."""
+    from profiler.sequence import terminal_state_check
+
+    q = terminal_state_check(
+        events, ["purchase"], key_col="user_id",
+        order_cols=["ts", "event_id"], state_col="event_type",
+    )
+    assert "Window" not in _plan(q)
+
+
+def test_funnel_has_no_window_and_no_nested_loop_on_rows(spark, events):
+    """The funnel is one per-key collect fold + a stage-spine join on the
+    REACHED frame; no Window over the raw table, no cartesian blowup."""
+    from profiler.sequence import funnel
+
+    q = funnel(
+        events, ["signup", "click", "purchase"],
+        key_col="user_id", ts_col="ts", state_col="event_type",
+    )
+    plan = _plan(q)
+    assert "Window" in plan or True  # tiny |stages| frame MAY window
+    assert "CartesianProduct" not in plan
+    # the stage predicate must prune the scan to the stage domain
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_aggregate_reconciliation_partial_aggregates(spark):
+    """The fact side must collapse map-side (partial HashAggregate) before
+    the key join — the join never sees fact rows."""
+    from profiler.joins import aggregate_reconciliation
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = aggregate_reconciliation(
+        li, o, "o_orderkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        "o_totalprice",
+    )
+    plan = _plan(q)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # worst-k is a TakeOrdered, not a global sort + limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_group_ks_broadcasts_the_group_side(spark, events):
+    """The evaluation grid must come from broadcasting the |groups| frame,
+    never from shuffling the distinct-value frame against it."""
+    from profiler.drift import group_ks
+
+    plan = _plan(group_ks(events, "value", "event_type"))
+    assert "BroadcastExchange" in plan
+
+
+def test_partial_profile_is_single_pass(spark, events):
+    """partial_profile computes every column's sufficient stats in ONE
+    groupBy — per-column subplans re-scanning the input would show
+    multiple scans of the source."""
+    from profiler.stats import partial_profile
+
+    q = partial_profile(events, ["value", "event_id"], "dayofmonth(ts)")
+    plan = _plan(q)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_lift_table_bucket_chain_is_mapside(spark, events):
+    """Bucketing must be a map-side projection chain feeding one hash
+    aggregate — no join against a boundary table, no window over rows."""
+    from profiler.profile import lift_table
+
+    q = lift_table(events, "value", F.col("event_type") == "purchase", 5)
+    plan = _plan(q)
+    # windows may appear for the cumulative columns on the 5-row bucket
+    # frame, but no join may appear at all
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
