@@ -560,3 +560,70 @@ def run_streaming_drift(
     )
     q.awaitTermination()
     return monitor.report()
+
+
+# ---------------------------------------------------------------------------
+# Continuous constraint validation (foreachBatch over the batch suite)
+# ---------------------------------------------------------------------------
+def run_streaming_validation(
+    spark,
+    input_dir: str,
+    suite,
+    work_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous validation: run a batch :class:`profiler.constraints.
+    ConstraintSuite` over an unbounded parquet stream via ``foreachBatch``
+    — each micro-batch validates with EXACTLY the batch semantics (same
+    fused row-local scan, same violation schema) and appends its
+    violation rows and per-constraint summary (stamped with the
+    micro-batch id) to parquet sinks under ``work_dir``. Restart-safe:
+    the stream checkpoint replays only unprocessed files, and since each
+    batch's output is keyed by batch_id the sinks stay idempotent under
+    foreachBatch's at-least-once contract (re-validating a replayed batch
+    rewrites the same rows).
+
+    Scope note (the lambda split, see module docstring): constraints
+    whose truth is GLOBAL across history (table-wide uniqueness) hold
+    only within each micro-batch here; their exact form runs on snapshots
+    via :func:`profiler.run.run_validation`. Row-local constraints
+    (domain / not-null / regex / row predicates) are exact in this mode.
+
+    Returns ``(violations_dir, summary_dir)``.
+    """
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    vdir = os.path.join(work_dir, "violations")
+    sdir = os.path.join(work_dir, "summary")
+
+    def _validate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = suite.validate(batch_df)
+        try:
+            (
+                res.violations.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(vdir)
+            )
+            (
+                res.summary.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sdir)
+            )
+        finally:
+            res.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(_validate_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return vdir, sdir

@@ -6,6 +6,8 @@ import os
 import pyarrow as pa
 import pytest
 
+from pyspark.sql import functions as F
+
 from profiler import streaming, synth
 
 
@@ -423,3 +425,41 @@ def test_streaming_neardup_equals_incremental_batches(spark, tmp_path):
     assert {1, 2, 4} == got
     # index: n_bands (16) rows per survivor
     assert spark.read.parquet(idx_dir).count() == 16 * len(got)
+
+
+def test_run_streaming_validation_suite_foreachbatch(spark, tmp_path, clean_tbl):
+    """The batch ConstraintSuite runs per micro-batch with batch semantics:
+    planted domain violations surface with their batch_id, the summary
+    carries per-constraint pass/fail per batch, and clean batches pass."""
+    from profiler.constraints import transcripts_suite
+
+    dirty, expected = synth.with_bad_domain(clean_tbl)
+    d = tmp_path / "stream_val"
+    d.mkdir()
+    n = dirty.num_rows
+    synth.write_parquet(dirty.slice(0, n // 2), str(d / "part-000.parquet"))
+    synth.write_parquet(dirty.slice(n // 2), str(d / "part-001.parquet"))
+    vdir, sdir = streaming.run_streaming_validation(
+        spark,
+        str(d),
+        transcripts_suite(),
+        str(tmp_path / "val_work"),
+        max_files_per_trigger=1,
+    )
+    viol = spark.read.parquet(vdir)
+    n_role = viol.where(F.col("constraint") == "domain(role)").count()
+    assert n_role == len(expected["role"])
+    n_tool = viol.where(F.col("constraint") == "domain(tool)").count()
+    assert n_tool == len(expected["tool"])
+    # two micro-batches ran; every batch has a summary for every constraint
+    summ = spark.read.parquet(sdir)
+    batch_ids = {r["batch_id"] for r in summ.select("batch_id").distinct().collect()}
+    assert batch_ids == {0, 1}
+    n_constraints = summ.where(F.col("batch_id") == 0).select(
+        "constraint"
+    ).distinct().count()
+    assert n_constraints >= 4
+    # the domain(role) constraint fails in at least one batch
+    assert summ.where(
+        (F.col("constraint") == "domain(role)") & (~F.col("passed"))
+    ).count() >= 1
