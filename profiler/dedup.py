@@ -1475,3 +1475,65 @@ def winnowing_fingerprints(
         .otherwise(F.array().cast("array<string>"))
     )
     return staged.select("id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 2,
+    block_len: int = 6,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates: normalize the
+    blocking key (casefold, squeeze whitespace), sort records within
+    their key-prefix block, and emit each record paired with its next
+    ``window`` neighbors whose Levenshtein distance is ≤ ``max_distance``
+    — the classic SNM blocking strategy alongside the LSH / prefix-filter
+    / SimHash / winnowing families (typo-duplicates that token-level
+    MinHash misses: "Jon Smith" vs "John Smith").
+
+    Plan: ONE window sort PARTITIONED BY the prefix block (bounded
+    partitions — never a global sort), ``window`` leads, explode, then a
+    map-side Levenshtein gate (JVM built-in). Candidates crossing a block
+    boundary are out of scope by construction (the documented SNM
+    blind spot — shrink ``block_len`` to coarsen blocks when keys
+    cluster at boundaries).
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(key_col).cast("string"))), r"\s+", " "
+    )
+    src = df.select(
+        F.col(id_col).alias("__id"), norm.alias("__key")
+    ).where(F.col("__key").isNotNull() & (F.col("__key") != ""))
+    block = F.substring(F.col("__key"), 1, block_len)
+    w = Window.partitionBy(block).orderBy("__key", "__id")
+    # windows first, generator second — Spark can't host both in one select
+    led = src.select(
+        "__id",
+        "__key",
+        *[
+            F.struct(
+                F.lead("__id", i).over(w).alias("id_b"),
+                F.lead("__key", i).over(w).alias("key_b"),
+            ).alias(f"__nb{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    neighbors = F.array(*[F.col(f"__nb{i}") for i in range(1, window + 1)])
+    exploded = (
+        led.select("__id", "__key", F.explode(neighbors).alias("nb"))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__key").alias("key_a"),
+            F.col("nb.id_b").alias("id_b"),
+            F.col("nb.key_b").alias("key_b"),
+        )
+        .where(F.col("id_b").isNotNull())
+    )
+    lev = F.levenshtein("key_a", "key_b")
+    return (
+        exploded.select("id_a", "id_b", "key_a", "key_b", lev.alias("distance"))
+        .where(F.col("distance") <= max_distance)
+        .orderBy("id_a", "id_b")
+    )

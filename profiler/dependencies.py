@@ -499,3 +499,91 @@ def theil_u(df: DataFrame, cols: list[str]) -> DataFrame:
         .select("e.col_x", "e.col_y", "e.n", "e.u")
         .orderBy("col_x", "col_y")
     )
+
+
+def cramers_v_matrix(df, cols):
+    """Pairwise association matrix for CATEGORICAL columns: chi-squared
+    and Cramér's V for every unordered column pair — the categorical
+    counterpart of the numeric Pearson matrix (q69) and the symmetric
+    complement of Theil's U (q165). One row per pair: (col_a, col_b, n,
+    chi2, dof, cramers_v).
+
+    Plan: ONE melt (each row emits its |pairs| (pair, v1, v2) structs) →
+    ONE hash aggregate over the joint-domain-bounded (pair, v1, v2)
+    frame; expected counts come from marginal windows over that frame;
+    chi-squared terms are 8-dp-rounded into exact DECIMAL sums so
+    partial-aggregation order is moot. Nothing proportional to the row
+    count is shuffled twice.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append(
+                F.struct(
+                    F.lit(f"{a}|{b}").alias("pair"),
+                    F.coalesce(F.col(a).cast("string"), F.lit("∅NULL")).alias(
+                        "v1"
+                    ),
+                    F.coalesce(F.col(b).cast("string"), F.lit("∅NULL")).alias(
+                        "v2"
+                    ),
+                )
+            )
+    joint = (
+        df.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.pair", "s.v1", "s.v2")
+        .groupBy("pair", "v1", "v2")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_pair = Window.partitionBy("pair")
+    w_row = Window.partitionBy("pair", "v1")
+    w_col = Window.partitionBy("pair", "v2")
+    n = F.sum("o").over(w_pair).cast("double")
+    e = (
+        F.sum("o").over(w_row).cast("double")
+        * F.sum("o").over(w_col).cast("double")
+        / n
+    )
+    # unobserved cells still owe their expectation to chi-squared: use the
+    # identity chi2 = sum_observed[(o-e)^2/e - e] + n (sum_all e = n), so
+    # only observed cells are ever materialized (q157's trick, per-pair)
+    term = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e - e, 8
+    ).cast("decimal(38,8)")
+    per_cell = joint.select(
+        "pair", "v1", "v2", "o", term.alias("term"), n.alias("n")
+    )
+    g = per_cell.groupBy("pair").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("term").cast("double").alias("body"),
+        F.count_distinct("v1").alias("r"),
+        F.count_distinct("v2").alias("k"),
+    )
+    chi2 = F.greatest(
+        F.col("body") + F.col("n").cast("double"), F.lit(0.0)
+    )
+    dof = (F.col("r") - 1) * (F.col("k") - 1)
+    denom = F.col("n").cast("double") * F.least(
+        F.col("r") - 1, F.col("k") - 1
+    ).cast("double")
+    return (
+        g.select(
+            F.split("pair", r"\|")[0].alias("col_a"),
+            F.split("pair", r"\|")[1].alias("col_b"),
+            "n",
+            chi2.alias("__chi2"),
+            dof.cast("long").alias("dof"),
+            F.round(
+                F.when(denom > 0, F.sqrt(F.col("__chi2") / denom)), 6
+            ).alias("cramers_v"),
+        )
+        .select(
+            "col_a", "col_b", "n",
+            F.round("__chi2", 4).alias("chi2"), "dof", "cramers_v",
+        )
+        .select("col_a", "col_b", "n", "chi2", "dof", "cramers_v")
+        .orderBy("col_a", "col_b")
+    )

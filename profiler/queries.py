@@ -10802,3 +10802,121 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(date_trunc('day', ts) AS DATE)",
         rel_tolerance=0.0,
     )
+
+
+# ===========================================================================
+# Q195–Q196. Categorical association matrix + sorted-neighborhood blocking
+# ===========================================================================
+@_register(
+    "q195_cramers_v_matrix",
+    """
+    WITH src AS (
+      SELECT coalesce(o_orderstatus, '∅NULL') AS s,
+             coalesce(o_orderpriority, '∅NULL') AS p,
+             coalesce(strftime(o_orderdate, '%Y-%m'), '∅NULL') AS ym
+      FROM orders
+    ),
+    melt AS (
+      SELECT 'o_orderstatus|o_orderpriority' AS pair, s AS v1, p AS v2
+      FROM src
+      UNION ALL SELECT 'o_orderstatus|ym', s, ym FROM src
+      UNION ALL SELECT 'o_orderpriority|ym', p, ym FROM src
+    ),
+    joint AS (SELECT pair, v1, v2, count(*) AS o FROM melt GROUP BY 1, 2, 3),
+    cell AS (
+      SELECT pair, v1, v2, o,
+             sum(o) OVER (PARTITION BY pair) AS n,
+             sum(o) OVER (PARTITION BY pair, v1) AS rt,
+             sum(o) OVER (PARTITION BY pair, v2) AS ct
+      FROM joint
+    ),
+    terms AS (
+      SELECT pair, v1, v2, n,
+             CAST(ROUND(
+               (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE), 8) AS DECIMAL(38,8)) AS term
+      FROM cell
+    ),
+    g AS (
+      SELECT pair, max(n) AS n,
+             greatest(CAST(sum(term) AS DOUBLE)
+                      + CAST(max(n) AS DOUBLE), 0.0) AS chi2,
+             count(DISTINCT v1) AS r, count(DISTINCT v2) AS k
+      FROM terms GROUP BY pair
+    )
+    SELECT split_part(pair, '|', 1) AS col_a,
+           split_part(pair, '|', 2) AS col_b,
+           CAST(n AS BIGINT) AS n, ROUND(chi2, 4) AS chi2,
+           CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+           ROUND(CASE WHEN CAST(n AS DOUBLE)
+                           * CAST(least(r - 1, k - 1) AS DOUBLE) > 0
+                 THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                                   * CAST(least(r - 1, k - 1) AS DOUBLE)))
+                 END, 6) AS cramers_v
+    FROM g ORDER BY col_a, col_b
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association matrix (:func:`profiler.dependencies.
+    cramers_v_matrix`): chi² + Cramér's V for every pair of (status,
+    priority, order month) — the categorical Pearson matrix, symmetric
+    complement of Theil's U (q165) and the all-pairs form of q157. One
+    melt → one joint-domain hash aggregate; marginals are windows over
+    the domain frame; chi² terms are 8-dp DECIMAL sums."""
+    from profiler.dependencies import cramers_v_matrix
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+    return cramers_v_matrix(o, ["o_orderstatus", "o_orderpriority", "ym"])
+
+
+@_register(
+    "q196_sorted_neighborhood",
+    r"""
+    WITH src AS (
+      SELECT c_custkey AS id,
+             regexp_replace(lower(trim(c_name)), '\s+', ' ', 'g') AS key
+      FROM customer WHERE c_name IS NOT NULL
+    ),
+    src2 AS (SELECT * FROM src WHERE key <> ''),
+    leads AS (
+      SELECT id AS id_a, key AS key_a,
+             lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS key1,
+             lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS key2
+      FROM src2
+      WINDOW w AS (PARTITION BY substr(key, 1, 6) ORDER BY key, id)
+    ),
+    pairs AS (
+      SELECT id_a, key_a, id1 AS id_b, key1 AS key_b
+      FROM leads WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, key_a, id2, key2 FROM leads WHERE id2 IS NOT NULL
+    )
+    SELECT id_a, id_b, key_a, key_b,
+           CAST(levenshtein(key_a, key_b) AS INT) AS distance
+    FROM pairs WHERE levenshtein(key_a, key_b) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (:func:`profiler.dedup.
+    sorted_neighborhood_pairs`): customers paired with their 2 sorted
+    neighbors within a key-prefix block, gated at Levenshtein ≤ 2 — the
+    typo-duplicate blocking strategy next to the LSH/prefix/SimHash
+    families. One block-partitioned window sort + leads + a JVM
+    Levenshtein gate, never a global sort."""
+    from profiler.dedup import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, "c_name", "c_custkey", window=2, block_len=6, max_distance=2
+    )

@@ -385,3 +385,34 @@ def test_theil_u_asymmetry(spark):
     const = spark.createDataFrame([("a", "k")] * 10, "x string, y string")
     o3 = {(r["col_x"], r["col_y"]): r["u"] for r in theil_u(const, ["x", "y"]).collect()}
     assert o3[("x", "y")] is None and o3[("y", "x")] is None
+
+
+def test_cramers_v_matrix_planted_association(spark):
+    import pytest as _pt
+
+    from profiler.dependencies import cramers_v_matrix
+
+    rows = []
+    for i in range(200):
+        a = "x" if i % 2 == 0 else "y"
+        b = a.upper()                    # perfectly determined by a
+        c = "p" if (i * 7) % 3 == 0 else "q"  # unrelated to a
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = {(r["col_a"], r["col_b"]): r for r in cramers_v_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab["cramers_v"] == _pt.approx(1.0)  # perfect association
+    assert ab["dof"] == 1 and ab["n"] == 200
+    assert got[("a", "c")]["cramers_v"] < 0.2
+
+
+def test_cramers_v_matrix_null_is_a_level(spark):
+    from profiler.dependencies import cramers_v_matrix
+
+    df = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", "v"), ("y", "v")], "a string, b string"
+    )
+    row = cramers_v_matrix(df, ["a", "b"]).collect()[0]
+    # NULL forms its own level, perfectly associated with a
+    assert row["cramers_v"] == 1.0 and row["dof"] == 1

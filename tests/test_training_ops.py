@@ -2492,3 +2492,31 @@ def test_embedding_drift(spark):
     # identical sides -> cos 1, shift 0
     s = embedding_drift(a, a).collect()[0]
     assert s["cos_mean"] == 1.0 and s["norm_shift"] == 0.0
+
+
+def test_sorted_neighborhood_pairs_typo_duplicates(spark):
+    from profiler.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "Jon Smith"),
+        (2, "John Smith"),       # 1 edit from "jon smith"
+        (3, "jon  smith"),       # normalizes to "jon smith" exactly
+        (4, "Mary Jones"),       # far from everything
+        (5, "Zara Quinn"),       # different block entirely
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted_neighborhood_pairs(
+        df, "name", "id", window=2, block_len=3, max_distance=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in got}
+    # exact after normalization
+    assert pairs.get((1, 3)) == 0 or pairs.get((3, 1)) == 0
+    # one-edit typo pair within the 'joh'/'jon' window... blocks differ at
+    # len 3 ('jon' vs 'joh') -> shrink: rerun with coarser block
+    got2 = sorted_neighborhood_pairs(
+        df, "name", "id", window=2, block_len=1, max_distance=2
+    ).collect()
+    p2 = {(r["id_a"], r["id_b"]) for r in got2}
+    assert (2, 3) in p2 or (3, 2) in p2 or (2, 1) in p2 or (1, 2) in p2
+    # far names never pair
+    assert all(4 not in p and 5 not in p for p in p2)
