@@ -1919,6 +1919,12 @@ def lift_table(
     bounds_row = src.agg(
         F.percentile("__s", F.array(*[F.lit(q) for q in qs])).alias("b")
     ).collect()[0]["b"]
+    if bounds_row is None:  # no non-null scores at all
+        return df.sparkSession.createDataFrame(
+            [],
+            "bucket int, n long, n_pos long, rate double, lift double, "
+            "cum_n long, cum_pos long, cum_rate double, cum_lift double",
+        )
     bounds = [round_half_up(float(b), 6) for b in bounds_row]
     bucket = sum(
         [(F.col("__s") > F.lit(b)).cast("int") for b in bounds],
