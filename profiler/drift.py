@@ -1554,3 +1554,84 @@ def partition_count_diff(
         .where(F.col("status").isNotNull())
         .orderBy("partition_key")
     )
+
+
+def completeness_by_group(
+    df: DataFrame, group_expr: str, cols: list[str]
+) -> DataFrame:
+    """Segment completeness matrix: per (group, column), row count, null
+    count and null rate — "the tool field is 40% null, but only inside
+    mobile-client conversations" (the segment-sliced companion of the
+    reference's table-level ``n_missing``/``p_missing`` and of
+    :func:`completeness_trend`'s time slicing). One row per
+    (group, column), ordered.
+
+    Plan: ONE groupBy(group) hash aggregate computing every column's null
+    count in the same pass (map-side combine), then one stack to long
+    format — |groups| × |cols| rows, nothing rescans.
+    """
+    g = F.expr(group_expr).cast("string").alias("grp")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__nn_{c}"))
+    wide = df.groupBy(g).agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __nn_{c}" for c in cols)
+    return (
+        wide.select(
+            F.col("grp").alias("group_value"),
+            F.col("__n").alias("n_rows"),
+            F.expr(f"stack({len(cols)}, {stack_args}) AS (column, n_null)"),
+        )
+        .select(
+            "group_value",
+            "column",
+            "n_rows",
+            "n_null",
+            F.round(F.col("n_null") / F.col("n_rows").cast("double"), 6).alias(
+                "null_rate"
+            ),
+        )
+        .orderBy("group_value", "column")
+    )
+
+
+def class_balance(df: DataFrame, label_col: str) -> DataFrame:
+    """Label-distribution balance panel for a classification/quality
+    label column: per-class counts and fractions plus the table-level
+    Shannon entropy (nats), the effective number of classes (exp H — the
+    "perplexity" of the label distribution), and the max/min imbalance
+    ratio repeated on each row — the first screen before training on a
+    labeled corpus. NULL is a class (an unlabeled row is a class of
+    defect).
+
+    Plan: ONE domain-sized value-count aggregate; the scalar panel
+    derives from window totals over the |classes| frame. Entropy terms
+    are 10-dp-rounded into DECIMAL sums (partial-order-proof).
+    """
+    v = F.coalesce(F.col(label_col).cast("string"), F.lit("∅NULL"))
+    counts = df.groupBy(v.alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy()
+    n_all = F.sum("n").over(tot).cast("double")
+    frac = F.col("n") / n_all
+    ent_term = F.round(-frac * F.log(frac), 10).cast("decimal(38,10)")
+    with_terms = counts.select(
+        "label", "n", frac.alias("__f"), ent_term.alias("__h")
+    )
+    h = F.sum("__h").over(Window.partitionBy()).cast("double")
+    ratio = (
+        F.max("n").over(Window.partitionBy()).cast("double")
+        / F.min("n").over(Window.partitionBy()).cast("double")
+    )
+    return (
+        with_terms.select(
+            "label",
+            "n",
+            F.round("__f", 6).alias("frac"),
+            F.round(h, 6).alias("entropy"),
+            F.round(F.exp(h), 6).alias("effective_classes"),
+            F.round(ratio, 6).alias("imbalance_ratio"),
+        )
+        .orderBy("label")
+    )

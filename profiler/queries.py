@@ -10920,3 +10920,95 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         cust, "c_name", "c_custkey", window=2, block_len=6, max_distance=2
     )
+
+
+# ===========================================================================
+# Q197–Q198. Segment completeness + label balance
+# ===========================================================================
+@_register(
+    "q197_completeness_by_group",
+    """
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_id % 31 < EXTRACT(day FROM ts)
+                  THEN NULL ELSE value END AS value,
+             CASE WHEN event_type = 'error' AND event_id % 3 = 0
+                  THEN NULL ELSE props END AS props
+      FROM events
+    ),
+    wide AS (
+      SELECT coalesce(CAST(event_type AS VARCHAR), NULL) AS group_value,
+             count(*) AS n_rows,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn_value,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nn_props
+      FROM src GROUP BY 1
+    ),
+    long AS (
+      SELECT group_value, n_rows, 'props' AS "column", nn_props AS n_null
+      FROM wide
+      UNION ALL
+      SELECT group_value, n_rows, 'value', nn_value FROM wide
+    )
+    SELECT group_value, "column", n_rows, CAST(n_null AS BIGINT) AS n_null,
+           ROUND(n_null / CAST(n_rows AS DOUBLE), 6) AS null_rate
+    FROM long ORDER BY group_value, "column"
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment completeness matrix (:func:`profiler.drift.
+    completeness_by_group`): null rates of value/props per event type —
+    a seeded pattern nullifies props ONLY inside the 'error' segment, the
+    defect shape table-level null rates hide. ONE groupBy(group) pass
+    computing every column's null count, then a stack."""
+    from profiler.drift import completeness_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 31 < F.dayofmonth("ts"), F.lit(None)
+        ).otherwise(F.col("value")).alias("value"),
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 3 == 0),
+            F.lit(None),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    return completeness_by_group(ev, "event_type", ["value", "props"])
+
+
+@_register(
+    "q198_class_balance",
+    """
+    WITH counts AS (
+      SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '∅NULL') AS label,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    terms AS (
+      SELECT label, n,
+             n / CAST(sum(n) OVER () AS DOUBLE) AS f,
+             CAST(ROUND(-(n / CAST(sum(n) OVER () AS DOUBLE))
+                        * ln(n / CAST(sum(n) OVER () AS DOUBLE)), 10)
+                  AS DECIMAL(38,10)) AS h_term
+      FROM counts
+    ),
+    panel AS (
+      SELECT label, n, f,
+             CAST(sum(h_term) OVER () AS DOUBLE) AS h,
+             max(n) OVER () / CAST(min(n) OVER () AS DOUBLE) AS ratio
+      FROM terms
+    )
+    SELECT label, n, ROUND(f, 6) AS frac, ROUND(h, 6) AS entropy,
+           ROUND(exp(h), 6) AS effective_classes,
+           ROUND(ratio, 6) AS imbalance_ratio
+    FROM panel ORDER BY label
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance panel (:func:`profiler.drift.class_balance`): order
+    priority as the label — per-class counts/fractions, Shannon entropy,
+    effective class count (exp H) and max/min imbalance, all off ONE
+    domain-sized value-count aggregate with 10-dp DECIMAL entropy
+    terms."""
+    from profiler.drift import class_balance
+
+    return class_balance(_t(spark, sf_dir, "orders"), "o_orderpriority")

@@ -647,3 +647,48 @@ def test_partition_count_diff_statuses(spark):
     # tolerance suppresses small drifts
     tol = partition_count_diff(a, b, "pk", rel_tolerance=0.2).collect()
     assert {r["partition_key"] for r in tol} == {"p2", "p3"}
+
+
+def test_completeness_by_group_segment_defect(spark):
+    from profiler.drift import completeness_by_group
+
+    rows = []
+    for i in range(60):
+        seg = "mobile" if i % 2 == 0 else "web"
+        tool = None if seg == "mobile" and i % 3 == 0 else "t"
+        rows.append((seg, tool, 1.0))
+    df = spark.createDataFrame(rows, "seg string, tool string, v double")
+    got = {
+        (r["group_value"], r["column"]): r
+        for r in completeness_by_group(df, "seg", ["tool", "v"]).collect()
+    }
+    assert got[("mobile", "tool")]["n_null"] == 10
+    assert got[("mobile", "tool")]["null_rate"] == pytest.approx(10 / 30)
+    assert got[("web", "tool")]["n_null"] == 0
+    assert got[("mobile", "v")]["n_null"] == 0
+    assert all(r["n_rows"] == 30 for r in got.values())
+
+
+def test_class_balance_entropy_and_ratio(spark):
+    import math
+
+    from profiler.drift import class_balance
+
+    rows = [("a",)] * 50 + [("b",)] * 25 + [("c",)] * 25 + [(None,)] * 0
+    df = spark.createDataFrame(rows, "y string")
+    got = {r["label"]: r for r in class_balance(df, "y").collect()}
+    h = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) * 2)
+    for r in got.values():
+        assert r["entropy"] == pytest.approx(h, abs=1e-5)
+        assert r["effective_classes"] == pytest.approx(math.exp(h), abs=1e-4)
+        assert r["imbalance_ratio"] == pytest.approx(2.0)
+    assert got["a"]["frac"] == pytest.approx(0.5)
+    # uniform labels → effective classes == k exactly
+    uni = spark.createDataFrame([("x",), ("y",), ("z",)] * 10, "y string")
+    row = class_balance(uni, "y").collect()[0]
+    assert row["effective_classes"] == pytest.approx(3.0, abs=1e-4)
+    # NULL is a class
+    withnull = spark.createDataFrame([("x",), (None,)], "y string")
+    assert {r["label"] for r in class_balance(withnull, "y").collect()} == {
+        "x", "∅NULL",
+    }

@@ -195,3 +195,156 @@ def test_partial_profile_subset_resume_semantics(spark):
     row = only_p0.collect()[0]
     assert row["n"] == 20 and row["vmax"] == 19.0
     assert row["mean"] == pytest.approx(9.5)
+
+
+# ---------------------------------------------------------------------------
+# randomized differential tests for the session's statistical operators:
+# each compares the Spark plan against an independent numpy/python
+# reference on seeded random inputs (no fixture can hide a formula slip)
+# ---------------------------------------------------------------------------
+
+
+def _km_reference(durs):
+    """Product-limit estimator, textbook loop."""
+    import collections
+
+    pts = collections.defaultdict(lambda: [0, 0])
+    for d, ev in durs:
+        pts[d][0 if ev else 1] += 1
+    out, s, at_risk = [], 1.0, len(durs)
+    for t in sorted(pts):
+        d, c = pts[t]
+        if d > 0:
+            s *= 1.0 - d / at_risk
+            out.append((t, at_risk, d, c, s))
+        at_risk -= d + c
+    return out
+
+
+def test_km_survival_differential(spark):
+    from profiler.timeseries import km_survival
+
+    rng = np.random.default_rng(7)
+    durs = [
+        (float(rng.integers(1, 40)), int(rng.random() < 0.7))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(durs, "d double, ev int")
+    got = km_survival(df, "d", "ev").collect()
+    ref = _km_reference(durs)
+    assert len(got) == len(ref)
+    for g, (t, n_risk, d, c, s) in zip(got, ref):
+        assert g["t"] == t and g["n_risk"] == n_risk
+        assert g["d_events"] == d and g["c_censored"] == c
+        assert g["survival"] == pytest.approx(s, abs=1e-5)
+
+
+def test_group_ks_differential(spark):
+    from profiler.drift import group_ks
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, shift in (("a", 0.0), ("b", 0.5), ("c", 2.0)):
+        rows += [(float(np.round(rng.normal(shift), 2)), g) for _ in range(250)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = {r["g"]: r["ks"] for r in group_ks(df, "v", "g").collect()}
+
+    all_v = np.sort(np.array([v for v, _ in rows]))
+    for g in ("a", "b", "c"):
+        gv = np.sort(np.array([v for v, gg in rows if gg == g]))
+        grid = np.unique(all_v)
+        f_g = np.searchsorted(gv, grid, side="right") / len(gv)
+        f_all = np.searchsorted(all_v, grid, side="right") / len(all_v)
+        ks_ref = float(np.max(np.abs(f_g - f_all)))
+        assert got[g] == pytest.approx(ks_ref, abs=1e-5), g
+
+
+def test_funnel_differential(spark):
+    import datetime
+
+    from profiler.sequence import funnel
+
+    rng = np.random.default_rng(13)
+    stages = ["s0", "s1", "s2", "s3"]
+    rows, t0 = [], datetime.datetime(2024, 1, 1)
+    per_user = {}
+    for u in range(60):
+        evs = sorted(
+            (int(t), stages[int(s)])
+            for t, s in zip(
+                rng.choice(10_000, size=rng.integers(1, 12), replace=False),
+                rng.integers(0, 4, size=12),
+            )
+        )
+        per_user[u] = evs
+        rows += [
+            (f"u{u}", t0 + datetime.timedelta(seconds=t), s) for t, s in evs
+        ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, role string")
+    got = {
+        r["stage"]: r["n_reached"]
+        for r in funnel(df, stages, key_col="user_id").collect()
+    }
+    # reference: scan each user's timeline advancing a pointer
+    reached = [0] * len(stages)
+    for evs in per_user.values():
+        nxt = 0
+        for _, s in evs:
+            if nxt < len(stages) and s == stages[nxt]:
+                nxt += 1
+        for i in range(nxt):
+            reached[i] += 1
+    for i, s in enumerate(stages):
+        assert got[s] == reached[i], s
+
+
+def test_cramers_v_matrix_differential(spark):
+    from profiler.dependencies import cramers_v_matrix
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (str(rng.integers(0, 4)), str(rng.integers(0, 3)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cramers_v_matrix(df, ["a", "b"]).collect()[0]
+
+    # dense-grid chi2 reference
+    from collections import Counter
+
+    joint = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for av in ra:
+        for bv in cb:
+            e = ra[av] * cb[bv] / n
+            o = joint.get((av, bv), 0)
+            chi2 += (o - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * min(len(ra) - 1, len(cb) - 1)))
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert got["cramers_v"] == pytest.approx(v, abs=1e-5)
+    assert got["n"] == n and got["dof"] == (len(ra) - 1) * (len(cb) - 1)
+
+
+def test_partial_profile_merge_differential(spark):
+    from profiler.stats import merge_partial_profiles, partial_profile
+
+    rng = np.random.default_rng(19)
+    vals = np.round(rng.normal(100, 25, size=500), 3)
+    mask = rng.random(500) < 0.1
+    rows = [
+        (int(i), None if mask[i] else float(vals[i])) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id int, x double")
+    merged = merge_partial_profiles(
+        partial_profile(df, ["x"], "pmod(id, 13)")
+    ).collect()[0]
+    clean = vals[~mask]
+    assert merged["n"] == len(clean)
+    assert merged["n_null"] == int(mask.sum())
+    assert merged["mean"] == pytest.approx(float(clean.mean()), abs=1e-3)
+    assert merged["std"] == pytest.approx(float(clean.std(ddof=1)), abs=1e-3)
+    assert merged["vmin"] == pytest.approx(float(clean.min()), abs=1e-4)
+    assert merged["vmax"] == pytest.approx(float(clean.max()), abs=1e-4)
