@@ -1635,3 +1635,57 @@ def class_balance(df: DataFrame, label_col: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a frame of test results —
+    the multiple-testing control a validation suite needs once it runs
+    KS/PSI/chi²/z tests across hundreds of columns × partitions (each
+    individually at p<0.05, one in twenty clean columns would false-alarm
+    every run). Input: one row per hypothesis with a p-value column.
+    Output: the input keys + p, the ascending p-rank, the BH adjusted
+    q-value (monotone step-up, capped at 1) and ``reject`` = (q ≤ alpha),
+    ordered by rank.
+
+    q_(i) = min_{j ≥ i} ( m · p_(j) / j ), so ``reject`` reproduces the
+    classic "largest k with p_(k) ≤ k·alpha/m" rule exactly.
+
+    Plan: the frame is hypothesis-sized (|columns| × |groups|, never row
+    count), so the two global windows (rank ascending, running min
+    descending) run on a bounded single partition by construction — the
+    same envelope as every other metric-panel operator here. Rank ties
+    are totally broken by the key columns, so output is deterministic.
+    """
+    keys = list(key_cols or [])
+    p = F.col(p_col).cast("double")
+    src = df.where(p.isNotNull()).select(
+        *keys, F.round(p, 10).alias("p_value")
+    )
+    order = [F.col("p_value").asc()] + [F.col(k).asc() for k in keys]
+    w_rank = Window.orderBy(*order)
+    ranked = src.select(
+        *keys,
+        "p_value",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    raw = F.col("p_value") * F.col("__m") / F.col("p_rank")
+    w_tail = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.least(F.lit(1.0), F.min(F.round(raw, 10)).over(w_tail))
+    return (
+        ranked.select(
+            *keys,
+            "p_value",
+            "p_rank",
+            F.round(q, 8).alias("q_value"),
+        )
+        .withColumn("reject", F.col("q_value") <= F.lit(alpha))
+        .orderBy("p_rank")
+    )

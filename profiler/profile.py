@@ -1967,3 +1967,62 @@ def lift_table(
         )
         .orderBy("bucket")
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability (calibration) table for a probability-like score in
+    [0, 1]: fixed-width score bins, each bin's count, mean predicted
+    score, observed positive rate and gap (mean_score − rate), plus the
+    table-level Expected Calibration Error (Σ n_b/N·|gap_b|) and Brier
+    score (mean (s−y)²) repeated on every row — the companion screen to
+    :func:`lift_table`: lift asks "does the score RANK well?", this asks
+    "does the score MEAN what it says?" (a 0.9 bucket should convert 90%
+    of the time). The standard gate before using a quality-classifier
+    score (q113) as a sampling weight.
+
+    Plan: ONE groupBy over the ≤ n_bins domain (bin id is a map-side
+    floor); the ECE/Brier panel is windows over that bounded frame.
+    Score sums go through 10-dp-rounded DECIMAL terms so partial-
+    aggregation order can't move the result.
+    """
+    s = F.col(score_col).cast("double")
+    src = df.where(s.isNotNull() & ~F.isnan(s)).select(
+        s.alias("__s"), label.cast("int").alias("__y")
+    )
+    bin_id = F.least(
+        F.lit(n_bins - 1), F.floor(F.col("__s") * n_bins).cast("int")
+    )
+    dec = lambda c: F.round(c, 10).cast("decimal(38,10)")  # noqa: E731
+    per_bin = src.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum(dec(F.col("__s"))).alias("__sum_s"),
+        F.sum(dec((F.col("__s") - F.col("__y")) ** 2)).alias("__sum_sq"),
+    )
+    tot = Window.partitionBy()
+    n_all = F.sum("n").over(tot).cast("double")
+    mean_s = F.col("__sum_s").cast("double") / F.col("n")
+    rate = F.col("n_pos") / F.col("n").cast("double")
+    gap = mean_s - rate
+    ece = F.sum(
+        F.round(F.abs(gap) * F.col("n"), 10).cast("decimal(38,10)")
+    ).over(tot).cast("double") / n_all
+    brier = F.sum("__sum_sq").over(tot).cast("double") / n_all
+    return (
+        per_bin.select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(mean_s, 6).alias("mean_score"),
+            F.round(rate, 6).alias("rate"),
+            F.round(gap, 6).alias("gap"),
+            F.round(ece, 6).alias("ece"),
+            F.round(brier, 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )

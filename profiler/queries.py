@@ -11012,3 +11012,308 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.drift import class_balance
 
     return class_balance(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+# ===========================================================================
+# Q199–Q202. Grammar validation, FDR control, calibration, null patterns
+# ===========================================================================
+@_register(
+    "q199_role_grammar",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             count(*) AS n_turns,
+             string_agg(
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                    WHEN 'error' THEN 'e' ELSE '?' END,
+               '' ORDER BY ts, event_id
+             ) AS state_seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_turns, state_seq,
+           regexp_matches(state_seq, '^v[vcsp]*(e[vcsp]+)*e?$') AS ok
+    FROM seqs ORDER BY user_id
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-sequence grammar validation (:func:`profiler.sequence.
+    role_grammar_check`): each user's event timeline compacted to one
+    char per event and tested against "starts with a view, never two
+    consecutive errors" — the non-local role-domain rules a transition
+    matrix can't express (reference parity: domain checks in
+    ``tabular_timeseries`` are per-value; this is the per-conversation
+    promotion the north rule's transcripts need). ONE keyed aggregate,
+    bounded per-conversation state, regex on the compacted string."""
+    from profiler.sequence import role_grammar_check
+
+    return role_grammar_check(
+        _t(spark, sf_dir, "events"),
+        pattern="^v[vcsp]*(e[vcsp]+)*e?$",
+        alphabet={
+            "view": "v",
+            "click": "c",
+            "signup": "s",
+            "purchase": "p",
+            "error": "e",
+        },
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        state_col="event_type",
+    )
+
+
+@_register(
+    "q200_fdr_correct",
+    """
+    WITH src AS (
+      SELECT CAST(event_type AS VARCHAR) AS g,
+             CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    ks_t AS (
+      SELECT 'type:' || g AS test_id, ks, n_g, nn FROM (
+        SELECT g, n_g, max(abs(cum_g / CAST(n_g AS DOUBLE)
+                               - cum_all / nn)) AS ks, any_value(nn) AS nn
+        FROM (
+          SELECT c.g, gr.n_g, v.cum_all, t.nn,
+                 sum(coalesce(c2.c, 0)) OVER (
+                   PARTITION BY c.g ORDER BY v.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_g
+          FROM (SELECT DISTINCT g FROM (SELECT g, v, count(*) AS c
+                                        FROM src GROUP BY 1, 2)) c
+          CROSS JOIN (
+            SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cum_all
+            FROM (SELECT v, count(*) AS c FROM src GROUP BY 1)
+          ) v
+          JOIN (SELECT g, count(*) AS n_g FROM src GROUP BY 1) gr
+            ON gr.g = c.g
+          CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nn FROM src) t
+          LEFT JOIN (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2) c2
+            ON c2.g = c.g AND c2.v = v.v
+        ) GROUP BY g, n_g
+      )
+    ),
+    ks_d AS (
+      SELECT 'dow:' || CAST(dow AS VARCHAR) AS test_id, ks, n_g, nn FROM (
+        SELECT dow, n_g, max(abs(cum_g / CAST(n_g AS DOUBLE)
+                                 - cum_all / nn)) AS ks, any_value(nn) AS nn
+        FROM (
+          SELECT c.dow, gr.n_g, v.cum_all, t.nn,
+                 sum(coalesce(c2.c, 0)) OVER (
+                   PARTITION BY c.dow ORDER BY v.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_g
+          FROM (SELECT DISTINCT dow FROM src) c
+          CROSS JOIN (
+            SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cum_all
+            FROM (SELECT v, count(*) AS c FROM src GROUP BY 1)
+          ) v
+          JOIN (SELECT dow, count(*) AS n_g FROM src GROUP BY 1) gr
+            ON gr.dow = c.dow
+          CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nn FROM src) t
+          LEFT JOIN (SELECT dow, v, count(*) AS c FROM src GROUP BY 1, 2) c2
+            ON c2.dow = c.dow AND c2.v = v.v
+        ) GROUP BY dow, n_g
+      )
+    ),
+    pvals AS (
+      SELECT test_id,
+             ROUND(least(1.0, 2.0 * exp(-2.0 * l * l)), 6) AS p0
+      FROM (
+        SELECT test_id, ks * sqrt(n_g * nn / (n_g + nn)) AS l
+        FROM (SELECT * FROM ks_t UNION ALL SELECT * FROM ks_d)
+      )
+    ),
+    ranked AS (
+      SELECT test_id, ROUND(p0, 10) AS p_value,
+             row_number() OVER (ORDER BY ROUND(p0, 10), test_id) AS p_rank,
+             count(*) OVER () AS m
+      FROM pvals
+    ),
+    stepped AS (
+      SELECT test_id, p_value, p_rank,
+             min(ROUND(p_value * m / p_rank, 10)) OVER (
+               ORDER BY p_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS qraw
+      FROM ranked
+    )
+    SELECT test_id, p_value, CAST(p_rank AS INT) AS p_rank,
+           ROUND(least(1.0, qraw), 8) AS q_value,
+           ROUND(least(1.0, qraw), 8) <= 0.1 AS reject
+    FROM stepped ORDER BY p_rank
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (:func:`profiler.drift.fdr_correct`)
+    over a union of drift hypotheses: per-event-type KS and per-day-of-week
+    KS of `value` vs the global distribution (12 tests) — the
+    multiple-testing gate a suite needs before alerting on hundreds of
+    per-column × per-partition tests. Hypothesis frame is domain-sized;
+    two bounded global windows compute rank and the step-up minimum."""
+    from profiler.drift import fdr_correct, group_ks
+
+    ev = _t(spark, sf_dir, "events")
+    a = group_ks(ev, "value", "event_type").select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("test_id"),
+        "p_approx",
+    )
+    b = group_ks(
+        ev.withColumn("dow", F.dayofweek(F.col("ts").cast("timestamp"))),
+        "value",
+        "dow",
+    ).select(
+        F.concat(F.lit("dow:"), F.col("dow")).alias("test_id"), "p_approx"
+    )
+    u = a.unionByName(b)
+    out = fdr_correct(u, "p_approx", alpha=0.1, key_cols=["test_id"])
+    return out.select(
+        "test_id", "p_value", F.col("p_rank").cast("int").alias("p_rank"),
+        "q_value", "reject",
+    )
+
+
+@_register(
+    "q201_calibration_table",
+    """
+    WITH src AS (
+      SELECT ROUND((o_totalprice / 500000.0) * 0.7
+                   + ((o_orderkey * 2654435761) % 1000) / 1000.0 * 0.3,
+                   6) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin,
+             count(*) AS n,
+             sum(y) AS n_pos,
+             sum(CAST(ROUND(s, 10) AS DECIMAL(38,10))) AS sum_s,
+             sum(CAST(ROUND((s - y) * (s - y), 10) AS DECIMAL(38,10)))
+               AS sum_sq
+      FROM src GROUP BY 1
+    ),
+    panel AS (
+      SELECT bin, n, n_pos,
+             CAST(sum_s AS DOUBLE) / n AS mean_s,
+             n_pos / CAST(n AS DOUBLE) AS rate,
+             CAST(sum_s AS DOUBLE) / n - n_pos / CAST(n AS DOUBLE) AS gap,
+             CAST(sum(CAST(ROUND(abs(CAST(sum_s AS DOUBLE) / n
+                                      - n_pos / CAST(n AS DOUBLE)) * n, 10)
+                           AS DECIMAL(38,10))) OVER () AS DOUBLE)
+               / CAST(sum(n) OVER () AS DOUBLE) AS ece,
+             CAST(sum(sum_sq) OVER () AS DOUBLE)
+               / CAST(sum(n) OVER () AS DOUBLE) AS brier
+      FROM per_bin
+    )
+    SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(mean_s, 6) AS mean_score, ROUND(rate, 6) AS rate,
+           ROUND(gap, 6) AS gap, ROUND(ece, 6) AS ece,
+           ROUND(brier, 6) AS brier
+    FROM panel ORDER BY bin
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE/Brier (:func:`profiler.profile.
+    calibration_table`): a deterministic synthetic score over orders
+    (price-correlated + hash jitter) against the 'F' status label — does
+    a 0.9-bucket score convert 90% of the time (the gate before using a
+    quality score, q113, as a sampling weight). ONE ≤n_bins groupBy,
+    panel via bounded windows, 10-dp DECIMAL term sums."""
+    from profiler.profile import calibration_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(
+            (F.col("o_totalprice") / 500000.0) * 0.7
+            + ((F.col("o_orderkey") * 2654435761) % 1000) / 1000.0 * 0.3,
+            6,
+        ).alias("score"),
+        F.col("o_orderstatus"),
+    )
+    return calibration_table(
+        o, "score", F.col("o_orderstatus") == "F", n_bins=10
+    )
+
+
+@_register(
+    "q202_card_luhn_scan",
+    r"""
+    WITH planted AS (
+      SELECT doc_id, text,
+             lpad(CAST((doc_id * 2654435761) % 10000000000000000
+                       AS VARCHAR), 16, '0') AS c
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text
+                  ELSE text || ' card ' ||
+                       CASE WHEN doc_id % 3 = 1
+                            THEN c[1:4] || '-' || c[5:8] || '-'
+                                 || c[9:12] || '-' || c[13:16]
+                            ELSE c END
+             END AS t
+      FROM planted
+    ),
+    cands AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b'))
+               AS raw
+      FROM src
+    ),
+    norm AS (
+      SELECT doc_id, regexp_replace(raw, '[ -]', '', 'g') AS d FROM cands
+    )
+    SELECT doc_id,
+           repeat('*', length(d) - 4) || d[-4:] AS card_masked,
+           CAST(length(d) AS INT) AS n_digits,
+           (length(d) BETWEEN 13 AND 19) AND
+           list_sum([CASE WHEN (length(d) - i) % 2 = 1
+                          THEN CASE WHEN 2 * CAST(d[i] AS INT) > 9
+                                    THEN 2 * CAST(d[i] AS INT) - 9
+                                    ELSE 2 * CAST(d[i] AS INT) END
+                          ELSE CAST(d[i] AS INT) END
+                     FOR i IN range(1, length(d) + 1)]) % 10 = 0
+             AS luhn_valid
+    FROM norm ORDER BY doc_id, card_masked
+    """,
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card scan (:func:`profiler.text.card_scan`):
+    card-shaped digit runs planted deterministically into document text
+    (plain and dash-separated variants), extracted, separator-stripped
+    and Luhn-validated — the precision stage after the regex-only PII
+    sweep (q44): ~10% of hash-planted numbers pass the mod-10 checksum,
+    the rest are the order-id/phone lookalikes a regex would false-flag.
+    Narrow projection → extract_all → explode → per-candidate JVM
+    aggregate arithmetic; output is candidate-sized."""
+    from profiler.text import card_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.lpad(
+        ((F.col("doc_id") * 2654435761) % (10**16)).cast("string"), 16, "0"
+    )
+    dashed = F.concat_ws(
+        "-",
+        F.substr(c, F.lit(1), F.lit(4)),
+        F.substr(c, F.lit(5), F.lit(4)),
+        F.substr(c, F.lit(9), F.lit(4)),
+        F.substr(c, F.lit(13), F.lit(4)),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" card "),
+                F.when(F.col("doc_id") % 3 == 1, dashed).otherwise(c),
+            )
+        )
+        .alias("text"),
+    )
+    return card_scan(planted, "text", "doc_id")

@@ -706,3 +706,57 @@ def terminal_state_check(
         g.where(~F.col("final_state").isin(*[str(s) for s in allowed_final]))
         .orderBy(key_col)
     )
+
+
+def role_grammar_check(
+    df: DataFrame,
+    pattern: str,
+    alphabet: dict[str, str],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Whole-sequence grammar validation: compact each conversation's
+    ordered states into a one-char-per-turn string via ``alphabet`` (a
+    state→char map; unmapped states become ``?``, which no grammar should
+    accept) and test it against an anchored regex. Regexes express the
+    NON-LOCAL rules a transition matrix cannot — "exactly one system turn,
+    and only at position 0", "every tool turn is eventually followed by an
+    assistant turn", "the conversation must end with the assistant" — i.e.
+    the role-domain checks of the north rule promoted from per-turn to
+    per-conversation. Output per key: n_turns, the compacted ``state_seq``
+    and ``ok``; downstream, ``ok = false`` rows are the violation keys.
+
+    Keep ``pattern`` inside the regex subset Java and RE2 share (anchors,
+    classes, ``* + ? | ()``), so the DuckDB oracle replays it verbatim.
+
+    Plan: ONE groupBy(key) with array_sort(collect_list(struct(order…,
+    char))) — per-group state is one byte per turn, bounded by
+    conversation length (the :func:`render_conversations` envelope); the
+    regex runs JVM-side on the compacted string, never per turn. No
+    window, no join, no shuffle beyond the keyed aggregate.
+    """
+    ch = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in alphabet.items() for x in kv]
+            ),
+            F.col(state_col).cast("string"),
+        ),
+        F.lit("?"),
+    )
+    order_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        ch.alias("__c"),
+    )
+    arr = F.array_sort(F.collect_list(order_struct))
+    seq = F.array_join(F.transform(arr, lambda t: t["__c"]), "")
+    return (
+        df.groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            seq.alias("state_seq"),
+        )
+        .withColumn("ok", F.col("state_seq").rlike(pattern))
+        .orderBy(key_col)
+    )

@@ -2816,3 +2816,74 @@ def code_prose_signal(
         )
         .drop("n_indent_lines", "n_symbol_chars")
     )
+
+
+#: Candidate payment-card shape: 13–19 digits allowing single space/dash
+#: separators. Deliberately loose — the Luhn checksum, not the regex, is
+#: the precision mechanism (kept inside the Java∩RE2 regex subset so the
+#: DuckDB oracle replays it verbatim).
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn (mod-10) checksum over a pure-digit string — true iff the
+    string is a checksum-valid payment-card number. This is the
+    arithmetic gate that separates real card leakage from phone numbers,
+    order ids and timestamps that happen to be 13–19 digits long (regex
+    alone, :data:`PII_PATTERNS`, cannot tell them apart).
+
+    Pure expression: one ``aggregate`` over ``sequence(1, length)`` —
+    JVM-side per-char arithmetic, no UDF, bounded by the 19-char cap.
+    Doubles every second digit from the RIGHT, folds >9 back by −9,
+    checks sum % 10 == 0.
+    """
+    n = F.length(digits)
+    d_at = lambda i: F.substr(digits, i, F.lit(1)).cast("int")  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        (n - i) % 2 == 1,
+        F.when(d_at(i) * 2 > 9, d_at(i) * 2 - 9).otherwise(d_at(i) * 2),
+    ).otherwise(d_at(i))
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-validated payment-card scan: extract every card-shaped
+    digit run from the text, strip separators, and Luhn-validate each —
+    one row per candidate with the number MASKED to its last four digits
+    (the scan report itself must not re-leak PII), its digit length and
+    ``luhn_valid``. ``luhn_valid = true`` rows are the act-now leakage
+    set; false rows are the phone/id lookalikes the regex-only scan
+    (q44 / :func:`scrub_pii`) would have flagged. The precision stage of
+    a training-corpus PII sweep.
+
+    Plan: narrow projection → ``regexp_extract_all`` → explode (output is
+    candidate-sized, not text-sized) → per-candidate JVM arithmetic
+    (:func:`luhn_valid_expr`). No shuffle until the final order, no
+    Python, no UDF.
+    """
+    cand = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), 0)
+    ).alias("raw")
+    out = df.select(F.col(id_col), cand)
+    digits = F.regexp_replace(F.col("raw"), "[ -]", "")
+    return (
+        out.select(
+            id_col,
+            digits.alias("__d"),
+        )
+        .select(
+            id_col,
+            F.concat(
+                F.repeat(F.lit("*"), F.length("__d") - 4),
+                F.substr(F.col("__d"), F.length("__d") - 3, F.lit(4)),
+            ).alias("card_masked"),
+            F.length("__d").alias("n_digits"),
+            luhn_valid_expr(F.col("__d")).alias("luhn_valid"),
+        )
+        .orderBy(id_col, "card_masked")
+    )

@@ -692,3 +692,46 @@ def test_class_balance_entropy_and_ratio(spark):
     assert {r["label"] for r in class_balance(withnull, "y").collect()} == {
         "x", "∅NULL",
     }
+
+
+def test_fdr_correct_bh1995(spark):
+    """The worked example from Benjamini & Hochberg (1995): m=15 p-values,
+    alpha=0.05 rejects exactly the smallest four."""
+    from profiler.drift import fdr_correct
+
+    ps = [
+        0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298, 0.0344,
+        0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0000,
+    ]
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", p) for i, p in enumerate(ps)], "test_id string, p double"
+    )
+    out = fdr_correct(df, "p", alpha=0.05, key_cols=["test_id"]).collect()
+    assert [r["p_rank"] for r in out] == list(range(1, 16))
+    rejected = {r["test_id"] for r in out if r["reject"]}
+    assert rejected == {"t00", "t01", "t02", "t03"}
+    # q-values are the monotone step-up minimum, numpy reference
+    m = len(ps)
+    raw = [p * m / (i + 1) for i, p in enumerate(ps)]
+    q_ref, cur = [0.0] * m, 1.0
+    for i in range(m - 1, -1, -1):
+        cur = min(cur, raw[i])
+        q_ref[i] = min(1.0, cur)
+    for r, q in zip(out, q_ref):
+        assert r["q_value"] == pytest.approx(q, abs=1e-6)
+    # q is monotone nondecreasing in rank
+    qs = [r["q_value"] for r in out]
+    assert qs == sorted(qs)
+
+
+def test_fdr_correct_ties_and_nulls(spark):
+    from profiler.drift import fdr_correct
+
+    df = spark.createDataFrame(
+        [("b", 0.02), ("a", 0.02), (None, None), ("c", 0.5)],
+        "test_id string, p double",
+    )
+    out = fdr_correct(df, "p", key_cols=["test_id"]).collect()
+    # null p dropped; ties broken by key ascending
+    assert [r["test_id"] for r in out] == ["a", "b", "c"]
+    assert [r["p_rank"] for r in out] == [1, 2, 3]

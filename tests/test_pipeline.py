@@ -639,3 +639,50 @@ def test_scalar_quantize_clamps_out_of_range(spark):
     )
     row = similarity.scalar_quantize(fresh, mins, maxs).collect()[0]
     assert list(row["codes"]) == [0, 255]
+
+
+def test_card_scan_luhn(spark):
+    from profiler import text
+
+    rows = [
+        # 4111111111111111 is the canonical Luhn-valid test PAN
+        (1, "pay with 4111111111111111 now"),
+        (2, "dashed 4111-1111-1111-1111 and spaced 4111 1111 1111 1111"),
+        (3, "off by one 4111111111111112"),
+        (4, "too short 411111111111 (12 digits)"),
+        (5, "amex 378282246310005"),  # 15-digit Luhn-valid
+        (6, "no digits here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = text.card_scan(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc[1][0]["luhn_valid"] is True
+    assert by_doc[1][0]["card_masked"] == "************1111"
+    assert by_doc[1][0]["n_digits"] == 16
+    # separators normalized away: both variants validate
+    assert [r["luhn_valid"] for r in by_doc[2]] == [True, True]
+    assert by_doc[3][0]["luhn_valid"] is False
+    assert 4 not in by_doc  # 12 digits never extracted
+    assert by_doc[5][0]["luhn_valid"] is True
+    assert by_doc[5][0]["n_digits"] == 15
+    assert 6 not in by_doc
+
+
+def test_luhn_valid_expr_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from profiler.text import luhn_valid_expr
+
+    df = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111",), ("41111111111111111111",)],
+        "d string",
+    )
+    got = [
+        r["ok"]
+        for r in df.select(luhn_valid_expr(F.col("d")).alias("ok")).collect()
+    ]
+    # 16-digit valid; 13-digit needs its own checksum (this one fails);
+    # 20 digits is out of range even if mod-10 happened to pass
+    assert got[0] is True and got[2] is False

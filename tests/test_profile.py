@@ -556,3 +556,41 @@ def test_lift_table_perfect_ranker(spark):
     # cumulative walking down from the top bucket
     assert got[3]["cum_n"] == 25 and got[3]["cum_lift"] == pytest.approx(2.0)
     assert got[0]["cum_n"] == 100 and got[0]["cum_lift"] == pytest.approx(1.0)
+
+
+def test_calibration_table_perfect_and_ece(spark):
+    import numpy as np
+
+    from profiler.profile import calibration_table
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # perfectly calibrated: score q has exactly q positives per 100 rows
+    for score, k in ((0.15, 15), (0.45, 45), (0.85, 85)):
+        for i in range(100):
+            rows.append((float(score), 1 if i < k else 0))
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_table(df, "s", F.col("y") == 1, n_bins=10).collect()
+    assert [r["bin"] for r in out] == [1, 4, 8]
+    for r in out:
+        assert r["gap"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["ece"] == pytest.approx(0.0, abs=1e-9)
+    # brier = mean (s - y)^2, numpy reference
+    arr = np.array(rows)
+    brier = float(np.mean((arr[:, 0] - arr[:, 1]) ** 2))
+    assert out[0]["brier"] == pytest.approx(brier, abs=1e-6)
+
+
+def test_calibration_table_miscalibrated_gap(spark):
+    from profiler.profile import calibration_table
+
+    # all scores say 0.9 but only 10% convert: gap = 0.8, ece = 0.8
+    rows = [(0.9, 1 if i < 10 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    row = calibration_table(df, "s", F.col("y") == 1).collect()[0]
+    assert row["bin"] == 9 and row["n"] == 100
+    assert row["gap"] == pytest.approx(0.8)
+    assert row["ece"] == pytest.approx(0.8)
+    # score exactly 1.0 lands in the top bin, not bin n_bins
+    edge = spark.createDataFrame([(1.0, 1)], "s double, y int")
+    assert calibration_table(edge, "s", F.col("y") == 1).collect()[0]["bin"] == 9

@@ -381,3 +381,42 @@ def test_terminal_state_check(spark):
         ("c2", "tool", 2),
         ("c3", "user", 1),
     ]
+
+
+def test_role_grammar_check_basic(spark):
+    from profiler.sequence import role_grammar_check
+
+    rows = [
+        # c1: S U A U A  — valid under ^s(ua)+$
+        ("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+        ("c1", 3, "user"), ("c1", 4, "assistant"),
+        # c2: ends on user — invalid
+        ("c2", 0, "system"), ("c2", 1, "user"),
+        # c3: unmapped role → '?' — invalid
+        ("c3", 0, "system"), ("c3", 1, "wizard"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {
+        r["conv_id"]: r
+        for r in role_grammar_check(
+            df,
+            pattern="^s(ua)+$",
+            alphabet={"system": "s", "user": "u", "assistant": "a"},
+        ).collect()
+    }
+    assert out["c1"]["state_seq"] == "suaua" and out["c1"]["ok"]
+    assert out["c2"]["state_seq"] == "su" and not out["c2"]["ok"]
+    assert out["c3"]["state_seq"] == "s?" and not out["c3"]["ok"]
+    assert out["c1"]["n_turns"] == 5
+
+
+def test_role_grammar_ordering_is_total(spark):
+    """Order columns, not input order, determine the sequence."""
+    from profiler.sequence import role_grammar_check
+
+    rows = [("c", 2, "assistant"), ("c", 0, "system"), ("c", 1, "user")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    row = role_grammar_check(
+        df, "^sua$", {"system": "s", "user": "u", "assistant": "a"}
+    ).collect()[0]
+    assert row["state_seq"] == "sua" and row["ok"]
