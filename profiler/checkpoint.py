@@ -21,6 +21,11 @@ Record schema:
                               keys recorded under an old one
     partition_key   string  — partition value (e.g. '2025-08-03')
     stats_digest    string  — digest of the partition's summary stats
+    input_digest    string  — content digest of the partition's INPUT rows
+                              ('' when digesting was not requested); lets a
+                              resume under a NEW snapshot carry forward
+                              partitions whose bytes did not change instead
+                              of re-validating the whole table
     status          string  — 'done'
     n_rows          long
     n_violations    long
@@ -44,6 +49,7 @@ RECORD_FIELDS = (
     "partition_spec",
     "partition_key",
     "stats_digest",
+    "input_digest",
     "status",
     "n_rows",
     "n_violations",
@@ -101,6 +107,34 @@ class ParquetCheckpointStore:
                     out[rec["partition_key"]] = rec
         return out
 
+    def latest_digests(
+        self, table_id: str, partition_spec: str
+    ) -> dict[str, dict]:
+        """partition_key -> most recent record (ANY snapshot, same spec)
+        that carries a non-empty input_digest. This is the cross-snapshot
+        lookup behind carry-forward resume: a new snapshot's partition whose
+        input digest equals the recorded one has byte-identical content, so
+        its prior validation result still holds."""
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.path)):
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                t = pq.read_table(os.path.join(self.path, fn))
+            except Exception:
+                continue  # torn write from a killed job — treated as absent
+            for rec in t.to_pylist():
+                if (
+                    rec["table_id"] == table_id
+                    and rec["status"] == "done"
+                    and rec.get("partition_spec") in (None, "", partition_spec)
+                    and rec.get("input_digest")
+                ):
+                    prev = out.get(rec["partition_key"])
+                    if prev is None or rec["updated_at"] >= prev["updated_at"]:
+                        out[rec["partition_key"]] = rec
+        return out
+
     def commit(
         self,
         table_id: str,
@@ -110,6 +144,7 @@ class ParquetCheckpointStore:
         n_rows: int,
         n_violations: int,
         partition_spec: str = "",
+        input_digest: str = "",
     ) -> dict:
         rec = {
             "table_id": table_id,
@@ -117,18 +152,35 @@ class ParquetCheckpointStore:
             "partition_spec": partition_spec,
             "partition_key": partition_key,
             "stats_digest": stats_digest(summary_rows),
+            "input_digest": input_digest,
             "status": "done",
             "n_rows": int(n_rows),
             "n_violations": int(n_violations),
             "updated_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         }
+        self._write(rec)
+        return rec
+
+    def carry_forward(self, rec: dict, snapshot_id: str) -> dict:
+        """Re-commit a prior partition record under a new snapshot id —
+        used when the partition's input digest is unchanged, so the old
+        validation result (stats digest, counts) transfers verbatim."""
+        new = {k: rec.get(k) for k in RECORD_FIELDS}
+        new["snapshot_id"] = snapshot_id
+        new["updated_at"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
+        self._write(new)
+        return new
+
+    def _write(self, rec: dict) -> None:
         tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
         final = os.path.join(
-            self.path, f"{_safe(partition_key)}-{uuid.uuid4().hex[:8]}.parquet"
+            self.path,
+            f"{_safe(rec['partition_key'])}-{uuid.uuid4().hex[:8]}.parquet",
         )
         pq.write_table(pa.Table.from_pylist([rec]), tmp)
         os.rename(tmp, final)  # atomic on POSIX
-        return rec
 
 
 def _safe(s: str) -> str:
@@ -151,8 +203,8 @@ class CatalogCheckpointStore:
 
     _SCHEMA = (
         "table_id string, snapshot_id string, partition_spec string, "
-        "partition_key string, stats_digest string, status string, "
-        "n_rows long, n_violations long, updated_at string"
+        "partition_key string, stats_digest string, input_digest string, "
+        "status string, n_rows long, n_violations long, updated_at string"
     )
 
     def __init__(self, spark, table: str, table_format: str = "iceberg"):
@@ -182,6 +234,35 @@ class CatalogCheckpointStore:
             )
         return {r["partition_key"]: r.asDict() for r in df.collect()}
 
+    def latest_digests(
+        self, table_id: str, partition_spec: str
+    ) -> dict[str, dict]:
+        """Same cross-snapshot carry-forward lookup as
+        ParquetCheckpointStore.latest_digests, pushed down as one filtered
+        scan + max_by per partition key."""
+        from pyspark.sql import functions as F
+
+        df = (
+            self.spark.table(self.table)
+            .where(
+                (F.col("table_id") == table_id)
+                & (F.col("status") == "done")
+                & (
+                    F.col("partition_spec").isin("", partition_spec)
+                    | F.col("partition_spec").isNull()
+                )
+                & F.col("input_digest").isNotNull()
+                & (F.col("input_digest") != "")
+            )
+            .groupBy("partition_key")
+            .agg(
+                F.max_by(
+                    F.struct(*RECORD_FIELDS), F.col("updated_at")
+                ).alias("rec")
+            )
+        )
+        return {r["partition_key"]: r["rec"].asDict() for r in df.collect()}
+
     def commit(
         self,
         table_id: str,
@@ -191,6 +272,7 @@ class CatalogCheckpointStore:
         n_rows: int,
         n_violations: int,
         partition_spec: str = "",
+        input_digest: str = "",
     ) -> dict:
         rec = {
             "table_id": table_id,
@@ -198,15 +280,28 @@ class CatalogCheckpointStore:
             "partition_spec": partition_spec,
             "partition_key": partition_key,
             "stats_digest": stats_digest(summary_rows),
+            "input_digest": input_digest,
             "status": "done",
             "n_rows": int(n_rows),
             "n_violations": int(n_violations),
             "updated_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         }
+        self._append(rec)
+        return rec
+
+    def carry_forward(self, rec: dict, snapshot_id: str) -> dict:
+        new = {k: rec.get(k) for k in RECORD_FIELDS}
+        new["snapshot_id"] = snapshot_id
+        new["updated_at"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
+        self._append(new)
+        return new
+
+    def _append(self, rec: dict) -> None:
         (
             self.spark.createDataFrame([rec], self._SCHEMA)
             .select(*RECORD_FIELDS)  # pin column order against the DDL
             .write.mode("append")
             .insertInto(self.table)
         )
-        return rec

@@ -164,3 +164,105 @@ def test_catalog_store_roundtrip(spark, clean_df, tmp_path):
         assert store.completed("t", "s1", partition_spec="other") == {}
     finally:
         spark.sql("DROP TABLE IF EXISTS ckpt_test_lineage")
+
+
+DIGEST_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_digest_carry_forward_new_snapshot(clean_df, tmp_path):
+    """With input digesting on, a new snapshot over byte-identical data
+    carries every partition forward instead of re-validating."""
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    first = run_validation(clean_df, transcripts_suite(), store, "t", "snap-1",
+                           resume_partition_expr=BUCKET,
+                           input_digest_columns=DIGEST_COLS)
+    assert len(first.processed_partitions) == 8
+    assert first.carried_partitions == []
+    rec = next(iter(store.completed("t", "snap-1").values()))
+    assert rec["input_digest"]
+
+    second = run_validation(clean_df, transcripts_suite(), store, "t", "snap-2",
+                            resume_partition_expr=BUCKET,
+                            input_digest_columns=DIGEST_COLS)
+    assert second.processed_partitions == []
+    assert sorted(second.carried_partitions) == sorted(first.processed_partitions)
+    assert second.all_passed
+    # the carried records exist under the NEW snapshot with the old counts
+    done2 = store.completed("t", "snap-2", partition_spec=BUCKET)
+    done1 = store.completed("t", "snap-1", partition_spec=BUCKET)
+    assert set(done2) == set(done1)
+    for p in done1:
+        assert done2[p]["stats_digest"] == done1[p]["stats_digest"]
+        assert done2[p]["n_rows"] == done1[p]["n_rows"]
+    # and a third run under snap-2 is a plain same-snapshot skip
+    third = run_validation(clean_df, transcripts_suite(), store, "t", "snap-2",
+                           resume_partition_expr=BUCKET,
+                           input_digest_columns=DIGEST_COLS)
+    assert third.processed_partitions == [] and third.carried_partitions == []
+    assert sorted(third.skipped_partitions) == sorted(second.carried_partitions)
+
+
+def test_digest_revalidates_only_changed_partition(spark, clean_df, tmp_path):
+    """Mutating one partition's rows between snapshots re-validates exactly
+    that partition; the rest carry forward."""
+    from pyspark.sql import functions as F
+
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    first = run_validation(clean_df, transcripts_suite(), store, "t", "v1",
+                           resume_partition_expr=BUCKET,
+                           input_digest_columns=DIGEST_COLS)
+    parts = sorted(first.processed_partitions)
+
+    bucket_col = F.expr(BUCKET)
+    changed = parts[3]
+    # append one extra (valid) turn to a single conversation in that bucket
+    one = (
+        clean_df.where(bucket_col == changed)
+        .orderBy("conv_id", "turn_idx").limit(1)
+        .select("conv_id", F.lit(10_000).alias("turn_idx"),
+                F.lit("user").alias("role"), F.lit("extra").alias("text"),
+                F.lit(None).cast("string").alias("tool"), "ts")
+    )
+    # turn_idx 10000 breaks the dense-sequence constraint -> violations > 0
+    mutated = clean_df.unionByName(one.select(*clean_df.columns))
+
+    res = run_validation(mutated, transcripts_suite(), store, "t", "v2",
+                         resume_partition_expr=BUCKET,
+                         input_digest_columns=DIGEST_COLS)
+    assert res.processed_partitions == [changed]
+    assert sorted(res.carried_partitions) == [p for p in parts if p != changed]
+    assert not res.all_passed  # the injected gap is caught, not carried over
+
+
+def test_digest_respects_partition_spec(clean_df, tmp_path):
+    """Digests recorded under one bucketing spec never satisfy a resume
+    under another, even across snapshots."""
+    store = ParquetCheckpointStore(str(tmp_path / "ckpt"))
+    run_validation(clean_df, transcripts_suite(), store, "t", "v1",
+                   resume_partition_expr=BUCKET, input_digest_columns=DIGEST_COLS)
+    other = "CAST(pmod(xxhash64(conv_id), 4) AS STRING)"
+    res = run_validation(clean_df, transcripts_suite(), store, "t", "v2",
+                         resume_partition_expr=other,
+                         input_digest_columns=DIGEST_COLS)
+    assert res.carried_partitions == []
+    assert len(res.processed_partitions) == 4
+
+
+def test_catalog_store_digest_carry_forward(spark, clean_df):
+    """CatalogCheckpointStore supports the same carry-forward contract."""
+    from profiler.checkpoint import CatalogCheckpointStore
+
+    store = CatalogCheckpointStore(spark, "ckpt_test_digest", table_format="parquet")
+    try:
+        first = run_validation(clean_df, transcripts_suite(), store, "t", "v1",
+                               resume_partition_expr=BUCKET,
+                               input_digest_columns=DIGEST_COLS)
+        assert len(first.processed_partitions) == 8
+        second = run_validation(clean_df, transcripts_suite(), store, "t", "v2",
+                                resume_partition_expr=BUCKET,
+                                input_digest_columns=DIGEST_COLS)
+        assert second.processed_partitions == []
+        assert len(second.carried_partitions) == 8
+        assert second.all_passed
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ckpt_test_digest")
