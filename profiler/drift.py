@@ -1689,3 +1689,48 @@ def fdr_correct(
         .withColumn("reject", F.col("q_value") <= F.lit(alpha))
         .orderBy("p_rank")
     )
+
+
+def duplicate_rate_trend(
+    df: DataFrame, cols: list[str], ts_col: str = "ts"
+) -> DataFrame:
+    """Per-day exact-duplicate health: how much of each day's volume is
+    repeated content — the monitoring view of :mod:`profiler.dedup`'s
+    exact pass ("did an upstream start double-delivering on Tuesday?").
+
+    Rows reduce by (day, content-digest) FIRST — a combiner-friendly
+    two-level hash aggregate over a 128-bit digest pair (two independent
+    xxhash64 folds of ``cols``), so the shuffle carries one row per
+    distinct (day, content), never the texts and never a
+    ``count(DISTINCT)`` state per group. Returns (day, n_rows,
+    n_distinct, n_dup_rows, dup_rate) ordered by day.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    cs = [F.col(c) for c in cols]
+    per_content = (
+        df.where(ts.isNotNull())
+        .groupBy(
+            F.date_trunc("day", ts).cast("date").alias("day"),
+            F.xxhash64(*cs).alias("__h1"),
+            F.xxhash64(F.lit(982451653), *cs).alias("__h2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_content.groupBy("day")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") - 1).alias("n_dup_rows"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_rows",
+            "n_distinct",
+            "n_dup_rows",
+            F.round(F.col("n_dup_rows") / F.col("n_rows"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -11317,3 +11317,110 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return card_scan(planted, "text", "doc_id")
+
+
+# ===========================================================================
+# Freshness / seasonal-volume / dup-rate monitoring (validation tier)
+# ===========================================================================
+@_register(
+    "q203_freshness_lag",
+    """
+    WITH per AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_key,
+             count(*) AS n_rows, max(ts) AS last
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT group_key, n_rows, CAST(last AS VARCHAR) AS last_ts,
+           (epoch_us((SELECT max(last) FROM per)) - epoch_us(last))
+             // 1000000 AS lag_seconds,
+           (epoch_us((SELECT max(last) FROM per)) - epoch_us(last))
+             >= 1800000000 AS stale
+    FROM per ORDER BY lag_seconds DESC, group_key
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness screen (:func:`profiler.timeseries.freshness_lag`):
+    last event per event_type, lag behind the table-global max(ts) (the
+    deterministic reference instant), staleness at a 30-minute SLA. One
+    groupBy max + a window over the |groups| frame — never a second scan."""
+    from profiler.timeseries import freshness_lag
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_lag(
+        ev, "ts", group_expr="event_type", stale_after_hours=0.5
+    )
+
+
+@_register(
+    "q204_seasonal_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+             CAST(EXTRACT(dow FROM CAST(ts AS DATE)) + 1 AS INT) AS dow
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 3
+    ),
+    ref AS (
+      SELECT *,
+             ROUND(avg(n_rows) OVER w, 6) AS ref_mean,
+             ROUND(stddev_samp(n_rows) OVER w, 6) AS ref_std,
+             CAST(count(n_rows) OVER w AS BIGINT) AS n_ref
+      FROM daily
+      WINDOW w AS (PARTITION BY dow ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT *, CASE WHEN n_ref >= 2 AND ref_std > 0
+                     THEN ROUND((n_rows - ref_mean) / ref_std, 4)
+                END AS zscore
+      FROM ref
+    )
+    SELECT CAST(day AS VARCHAR) AS day, dow, n_rows,
+           ref_mean, ref_std, n_ref, zscore,
+           COALESCE(abs(zscore) >= 3.0, FALSE)
+             OR COALESCE(n_ref >= 2 AND ref_std = 0
+                         AND n_rows != ref_mean, FALSE) AS is_anomaly
+    FROM z ORDER BY day
+    """,
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day-of-week volume anomaly screen (:func:`profiler.timeseries.
+    seasonal_volume_anomaly`): each day's count vs its trailing 4 same-dow
+    days — the seasonal sibling of the q146 control chart (which would
+    compare Monday to Sunday and false-alarm on weekly shape). Rows
+    collapse to ONE daily aggregate; the window runs dow-partitioned over
+    the calendar-bounded frame."""
+    from profiler.timeseries import seasonal_volume_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_volume_anomaly(ev, "ts", window=4, z_threshold=3.0,
+                                   min_ref=2)
+
+
+@_register(
+    "q205_duplicate_rate_trend",
+    """
+    WITH pc AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, event_type, count(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c - 1) AS BIGINT) AS n_dup_rows,
+           ROUND(CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS dup_rate
+    FROM pc GROUP BY day ORDER BY day
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day duplicate-rate trend (:func:`profiler.drift.
+    duplicate_rate_trend`) over (user_id, event_type) content — "did an
+    upstream start double-delivering on Tuesday?". Two-level combiner-
+    friendly hash aggregate over a 128-bit digest pair; the shuffle
+    carries one row per distinct (day, content), never a
+    count(DISTINCT) state. The oracle groups by the raw values — the
+    hash-digest grouping must partition content identically."""
+    from profiler.drift import duplicate_rate_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return duplicate_rate_trend(ev, ["user_id", "event_type"], "ts")

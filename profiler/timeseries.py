@@ -1012,3 +1012,124 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def freshness_lag(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_expr: str | None = None,
+    stale_after_hours: float = 24.0,
+) -> DataFrame:
+    """Per-group data freshness: last event time, lag behind the table's
+    most recent event, and a staleness flag — "which sources went quiet?".
+    The reference's datetime profile stops at min/max
+    (``tabular_timeseries/variables/datetime.py``); a validation engine
+    needs the max per FEED, because a single silent upstream hides
+    behind a healthy global max.
+
+    The reference instant is the table-global ``max(ts)`` — deterministic
+    and replayable (a wall-clock "now" would make every run a different
+    answer; callers monitoring absolute staleness can still threshold on
+    ``last_ts`` driver-side). Plan: ONE groupBy hash aggregate collapses
+    the scan to |groups| rows; the global max is a window over that tiny
+    frame, never a second scan. Returns (group_key, n_rows, last_ts,
+    lag_seconds, stale) ordered stalest-first.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    key = (
+        F.expr(group_expr).cast("string")
+        if group_expr
+        else F.lit("__table__")
+    )
+    per = (
+        df.where(ts.isNotNull())
+        .groupBy(key.alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(ts).alias("__last"),
+        )
+    )
+    global_last = F.max("__last").over(Window.partitionBy())
+    lag_us = F.unix_micros(global_last) - F.unix_micros(F.col("__last"))
+    # integer µs→s floor (lag is non-negative), never a double-to-long cast
+    # whose truncate-vs-round behavior differs across engines
+    lag_s = F.floor(lag_us / F.lit(1_000_000)).cast("long")
+    stale_us = int(float(stale_after_hours) * 3600.0 * 1_000_000)
+    return (
+        per.select(
+            "group_key",
+            "n_rows",
+            F.col("__last").cast("string").alias("last_ts"),
+            lag_s.alias("lag_seconds"),
+            (lag_us >= F.lit(stale_us)).alias("stale"),
+        )
+        .orderBy(F.desc("lag_seconds"), "group_key")
+    )
+
+
+def seasonal_volume_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: int = 4,
+    z_threshold: float = 3.0,
+    min_ref: int = 2,
+) -> DataFrame:
+    """Seasonal volume-anomaly screen: each day's row count vs its trailing
+    SAME-day-of-week baseline. Weekly-seasonal feeds (weekend troughs,
+    Monday spikes) false-alarm constantly under a plain trailing band —
+    :func:`profiler.drift.metric_control_chart` compares Monday to
+    Sunday; this compares Monday to the previous ``window`` Mondays.
+
+    Plan: rows collapse to ONE groupBy(day) hash aggregate; the trailing
+    window is partitioned BY day-of-week over the |days|-sized daily frame
+    (calendar-bounded), so nothing row-scale is ever sorted. Flagging
+    mirrors the control chart: |z| ≥ threshold once ``min_ref`` same-dow
+    reference days exist, plus the flat-band break case (reference
+    perfectly constant, value departs — z undefined but the anomaly is
+    blatant). Early days carry NULL zscore until the baseline fills.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    daily = (
+        df.where(ts.isNotNull())
+        .groupBy(F.date_trunc("day", ts).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("dow", F.dayofweek(F.col("day").cast("timestamp")))
+    )
+    w = Window.partitionBy("dow").orderBy("day").rowsBetween(-window, -1)
+    ref = (
+        daily.withColumn(
+            "ref_mean", F.round(F.avg("n_rows").over(w), 6)
+        )
+        .withColumn("ref_std", F.round(F.stddev_samp("n_rows").over(w), 6))
+        .withColumn("n_ref", F.count("n_rows").over(w))
+    )
+    z = F.when(
+        (F.col("n_ref") >= min_ref) & (F.col("ref_std") > 0),
+        F.round(
+            (F.col("n_rows") - F.col("ref_mean")) / F.col("ref_std"), 4
+        ),
+    )
+    flat_break = (
+        (F.col("n_ref") >= min_ref)
+        & (F.col("ref_std") == 0)
+        & (F.col("n_rows") != F.col("ref_mean"))
+    )
+    return (
+        ref.withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
+            | F.coalesce(flat_break, F.lit(False)),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dow",
+            "n_rows",
+            "ref_mean",
+            "ref_std",
+            "n_ref",
+            "zscore",
+            "is_anomaly",
+        )
+        .orderBy("day")
+    )

@@ -735,3 +735,27 @@ def test_fdr_correct_ties_and_nulls(spark):
     # null p dropped; ties broken by key ascending
     assert [r["test_id"] for r in out] == ["a", "b", "c"]
     assert [r["p_rank"] for r in out] == [1, 2, 3]
+
+
+def test_duplicate_rate_trend_counts(spark):
+    from profiler.drift import duplicate_rate_trend
+
+    rows = [
+        # day 1: 4 rows, 3 distinct (one exact dup pair)
+        ("2024-01-01 10:00:00", 1, "click"),
+        ("2024-01-01 11:00:00", 1, "click"),
+        ("2024-01-01 12:00:00", 1, "view"),
+        ("2024-01-01 13:00:00", 2, "click"),
+        # day 2: 3 identical rows -> 2 dup rows
+        ("2024-01-02 10:00:00", 5, "view"),
+        ("2024-01-02 11:00:00", 5, "view"),
+        ("2024-01-02 12:00:00", 5, "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long, event_type string")
+    out = {r["day"]: r for r in
+           duplicate_rate_trend(df, ["user_id", "event_type"], "ts").collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_rows"], d1["n_distinct"], d1["n_dup_rows"]) == (4, 3, 1)
+    assert d1["dup_rate"] == 0.25
+    assert (d2["n_rows"], d2["n_distinct"], d2["n_dup_rows"]) == (3, 1, 2)
+    assert round(d2["dup_rate"], 6) == round(2 / 3, 6)

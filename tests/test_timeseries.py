@@ -390,3 +390,85 @@ def test_cross_correlation_perfect_lag(spark):
     assert abs(got[0]["ccf"]) < 1.0
     # symmetric spine present
     assert set(got) == {-2, -1, 0, 1, 2}
+
+
+def test_freshness_lag_flags_stale_groups(spark):
+    from profiler.timeseries import freshness_lag
+
+    rows = [
+        ("a", "2024-01-10 12:00:00"),
+        ("a", "2024-01-10 11:00:00"),
+        ("b", "2024-01-10 09:00:00"),   # 3h behind -> stale at 2h SLA
+        ("c", None),                     # null ts rows are ignored
+        ("c", "2024-01-10 11:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string")
+    out = freshness_lag(df, "ts", group_expr="g", stale_after_hours=2.0)
+    got = {r["group_key"]: r for r in out.collect()}
+    assert got["a"]["lag_seconds"] == 0 and not got["a"]["stale"]
+    assert got["b"]["lag_seconds"] == 3 * 3600 and got["b"]["stale"]
+    assert got["c"]["lag_seconds"] == 1800 and not got["c"]["stale"]
+    # stalest first
+    assert [r["group_key"] for r in out.collect()] == ["b", "c", "a"]
+
+
+def test_freshness_lag_whole_table(spark):
+    from profiler.timeseries import freshness_lag
+
+    df = spark.createDataFrame(
+        [("x", "2024-01-01 00:00:00")], "g string, ts string"
+    )
+    row = freshness_lag(df, "ts").collect()[0]
+    assert row["group_key"] == "__table__"
+    assert row["lag_seconds"] == 0 and not row["stale"]
+
+
+def test_seasonal_volume_anomaly_flags_dow_spike(spark):
+    from pyspark.sql import functions as F
+    from profiler.timeseries import seasonal_volume_anomaly
+
+    # 6 weeks of Mondays+Tuesdays: Mondays ~100 rows, Tuesdays ~50; the
+    # LAST Monday triples. A plain trailing band would flag every
+    # Tue->Mon transition; the same-dow baseline flags only the spike.
+    import datetime as dt
+
+    start = dt.date(2024, 1, 1)  # a Monday
+    days = []
+    for wk in range(6):
+        mon = str(start + dt.timedelta(weeks=wk))
+        tue = str(start + dt.timedelta(weeks=wk, days=1))
+        days += [(mon, 300 if wk == 5 else 100 + (wk % 2)), (tue, 50)]
+    rows = [(d, i) for d, n in days for i in range(n)]
+    df = spark.createDataFrame(rows, "d string, i int").select(
+        F.to_timestamp(F.concat("d", F.lit(" 12:00:00"))).alias("ts")
+    )
+    out = seasonal_volume_anomaly(df, "ts", window=4, z_threshold=3.0,
+                                  min_ref=2)
+    by_day = {r["day"]: r for r in out.collect()}
+    spike = by_day["2024-02-05"]
+    assert spike["is_anomaly"] and spike["zscore"] > 3
+    # no Tuesday is ever flagged (constant series)
+    for d, r in by_day.items():
+        if d != "2024-02-05":
+            assert not r["is_anomaly"], d
+    # first occurrence of each dow has no baseline
+    assert by_day["2024-01-01"]["zscore"] is None
+    assert by_day["2024-01-01"]["n_ref"] == 0
+
+
+def test_seasonal_volume_anomaly_flat_band_break(spark):
+    from pyspark.sql import functions as F
+    from profiler.timeseries import seasonal_volume_anomaly
+
+    # perfectly constant Mondays then one departure: ref_std = 0 makes z
+    # undefined, but the break must still be flagged
+    days = [(f"2024-01-{1 + 7 * wk:02d}", 10 if wk < 4 else 17)
+            for wk in range(5)]
+    rows = [(d, i) for d, n in days for i in range(n)]
+    df = spark.createDataFrame(rows, "d string, i int").select(
+        F.to_timestamp(F.concat("d", F.lit(" 00:30:00"))).alias("ts")
+    )
+    out = seasonal_volume_anomaly(df, "ts", window=4, min_ref=2)
+    last = {r["day"]: r for r in out.collect()}["2024-01-29"]
+    assert last["ref_std"] == 0.0 and last["zscore"] is None
+    assert last["is_anomaly"]
