@@ -11424,3 +11424,126 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return duplicate_rate_trend(ev, ["user_id", "event_type"], "ts")
+
+
+@_register(
+    "q206_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id AS key, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT key, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS op
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)
+    ),
+    s AS (
+      SELECT key, ts,
+             CAST(sum(op) OVER (PARTITION BY key ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM m
+    )
+    SELECT key, session_idx,
+           CAST(min(ts) AS VARCHAR) AS start_ts,
+           CAST(max(ts) AS VARCHAR) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_seconds
+    FROM s GROUP BY key, session_idx ORDER BY key, session_idx
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (:func:`profiler.sequence.
+    sessionize`): each user's event stream split at >30-minute silences,
+    one summary row per session. ONE keyed window pass (bucketed-by-user
+    layouts shuffle nothing) + one hash aggregate; boundaries depend only
+    on the ts order, so equal-ts ties can't move them."""
+    from profiler.sequence import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30.0)
+
+
+@_register(
+    "q207_recency_histogram",
+    """
+    WITH pk AS (
+      SELECT user_id, max(epoch_us(ts)) AS last FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
+    ),
+    g AS (
+      SELECT max(epoch_us(ts)) AS gmax FROM events WHERE ts IS NOT NULL
+    )
+    SELECT CAST((gmax - last) // 86400000000 AS INT) AS days_inactive,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           ROUND(count(*) / CAST((SELECT count(*) FROM pk) AS DOUBLE), 6)
+             AS frac
+    FROM pk, g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity/churn recency panel (:func:`profiler.timeseries.
+    recency_histogram`): users bucketed by whole days since their last
+    event, relative to the table-global max(ts). Two hash aggregates
+    (rows → |users| → |days|) with the global instant broadcast as a
+    1-row frame — never a window over the user-sized frame."""
+    from profiler.timeseries import recency_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return recency_histogram(ev, "user_id", "ts")
+
+
+@_register(
+    "q208_burstiness",
+    """
+    WITH e AS (
+      SELECT user_id AS key, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gaps AS (
+      SELECT key,
+             (epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY key ORDER BY ts)) / 1000000.0 AS g
+      FROM e
+    ),
+    a AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+             sum(CAST(g AS DECIMAL(38,6))) AS s1,
+             sum(CAST(g * g AS DECIMAL(38,6))) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY key
+    ),
+    d AS (
+      SELECT key, n_gaps,
+             CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+             sqrt(greatest(
+               (CAST(s2 AS DOUBLE)
+                - CAST(n_gaps AS DOUBLE) * (CAST(s1 AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE)) * (CAST(s1 AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE)))
+               / (CAST(n_gaps AS DOUBLE) - 1), 0.0)) AS std
+      FROM a WHERE n_gaps >= 2
+    )
+    SELECT key, n_gaps,
+           ROUND(mean, 4) AS mean_gap_s,
+           ROUND(std, 4) AS std_gap_s,
+           CASE WHEN std + mean > 0
+                THEN ROUND((std - mean) / (std + mean), 4) END AS burstiness
+    FROM d ORDER BY burstiness DESC, key LIMIT 100
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B=(σ−μ)/(σ+μ) of inter-event gaps
+    (:func:`profiler.sequence.burstiness`) — separates organic users from
+    schedulers/replay storms invisible to volume screens. Gaps from ONE
+    keyed window; μ/σ from exact DECIMAL sums so partial-aggregation
+    order can't change a digit; top-100 burstiest via TakeOrdered."""
+    from profiler.sequence import burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    b = burstiness(ev, "user_id", "ts", min_gaps=2)
+    return b.orderBy(F.desc("burstiness"), "key").limit(100)

@@ -760,3 +760,122 @@ def role_grammar_check(
         .withColumn("ok", F.col("state_seq").rlike(pattern))
         .orderBy(key_col)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    state_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: split each key's event stream into
+    sessions wherever consecutive events are more than ``gap_minutes``
+    apart, and emit one summary row per session — the canonical
+    event-analytics rollup next to :func:`funnel` / :func:`cohort_retention`
+    (the reference's timeseries gap profile,
+    ``tabular_timeseries/profiler.py:459-533``, detects NaN runs in ONE
+    series; this is the keyed multi-entity form over event streams).
+
+    Plan: ONE window pass partitioned by the key (an events table bucketed
+    by user shuffles nothing) marks session opens via ``lag(ts)``; a running
+    sum over the same window numbers the sessions; one hash aggregate per
+    (key, session_idx) folds the summary. Session boundaries depend only on
+    the ts ORDER, so equal-ts ties cannot move them — the output is
+    deterministic without a tie-break column. Returns (key, session_idx,
+    start_ts, end_ts, n_events, duration_seconds[, n_states]).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    gap_us = int(float(gap_minutes) * 60.0 * 1_000_000)
+    w = Window.partitionBy(key_col).orderBy(ts)
+    opens = F.when(
+        F.lag(F.unix_micros(ts)).over(w).isNull()
+        | (F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    marked = (
+        df.where(ts.isNotNull() & F.col(key_col).isNotNull())
+        .withColumn("__open", opens)
+        .withColumn(
+            "session_idx",
+            F.sum("__open").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    aggs = [
+        F.min(ts).alias("__start"),
+        F.max(ts).alias("__end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if state_col is not None:
+        aggs.append(F.count_distinct(F.col(state_col)).alias("n_states"))
+    out = marked.groupBy(F.col(key_col).alias("key"), "session_idx").agg(*aggs)
+    dur = F.floor(
+        (F.unix_micros(F.col("__end")) - F.unix_micros(F.col("__start")))
+        / F.lit(1_000_000)
+    ).cast("long")
+    cols = [
+        "key",
+        "session_idx",
+        F.col("__start").cast("string").alias("start_ts"),
+        F.col("__end").cast("string").alias("end_ts"),
+        "n_events",
+        dur.alias("duration_seconds"),
+    ]
+    if state_col is not None:
+        cols.append("n_states")
+    return out.select(*cols).orderBy("key", "session_idx")
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-key burstiness of the inter-event time process:
+    ``B = (σ − μ) / (σ + μ)`` over each key's consecutive gaps (Goh &
+    Barabási) — −1 = metronome-regular, 0 = Poisson, →1 = extreme bursts.
+    A validation engine uses it to separate organic users from schedulers
+    and replay storms that per-day volume screens can't see.
+
+    ONE keyed window produces the gaps; ONE hash aggregate per key folds
+    exact integer sums (Σg, Σg² as DECIMAL — no overflow, no fp order
+    dependence); μ/σ/B derive from those sums with identical-order math.
+    Keys with fewer than ``min_gaps`` gaps are dropped (σ undefined).
+    Returns (key, n_gaps, mean_gap_s, std_gap_s, burstiness).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(key_col).orderBy(ts)
+    gap_s = (
+        F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)
+    ) / F.lit(1_000_000.0)
+    gaps = (
+        df.where(ts.isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"), gap_s.alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(38,6)")).alias("s1"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,6)")).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1").cast("double") / n
+    # sample variance from exact sums: (Σg² − n·μ²) / (n−1), clamped at 0
+    var = F.greatest(
+        (F.col("s2").cast("double") - n * mean * mean) / (n - 1), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    b = F.when(std + mean > 0, (std - mean) / (std + mean))
+    return (
+        agg.where(F.col("n_gaps") >= min_gaps)
+        .select(
+            "key",
+            "n_gaps",
+            F.round(mean, 4).alias("mean_gap_s"),
+            F.round(std, 4).alias("std_gap_s"),
+            F.round(b, 4).alias("burstiness"),
+        )
+    )

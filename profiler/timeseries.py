@@ -1133,3 +1133,46 @@ def seasonal_volume_anomaly(
         )
         .orderBy("day")
     )
+
+
+def recency_histogram(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inactivity/churn panel: per entity last-seen time, bucketed into
+    whole days behind the table-global ``max(ts)`` — "how many users were
+    last active 0/1/2/… days ago". The entity-keyed sibling of
+    :func:`freshness_lag` (which watches feeds, a small domain, via a
+    window): here the key domain is user-sized, so the global reference
+    instant joins in as a broadcast 1-row aggregate, never a window over
+    the keys frame (an unpartitioned window would single-partition-sort
+    |users| rows). Two hash aggregates total: rows → |keys| → |days|.
+    Returns (days_inactive, n_keys, frac) ordered by days_inactive.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    per_key = (
+        df.where(ts.isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.max(F.unix_micros(ts)).alias("__last_us"))
+    )
+    global_max = df.where(ts.isNotNull()).agg(
+        F.max(F.unix_micros(ts)).alias("__gmax_us")
+    )
+    days = F.floor(
+        (F.col("__gmax_us") - F.col("__last_us")) / F.lit(86_400_000_000)
+    ).cast("int")
+    hist = (
+        per_key.crossJoin(F.broadcast(global_max))
+        .groupBy(days.alias("days_inactive"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    total = F.sum("n_keys").over(Window.partitionBy())
+    return (
+        hist.select(
+            "days_inactive",
+            "n_keys",
+            F.round(F.col("n_keys") / total, 6).alias("frac"),
+        )
+        .orderBy("days_inactive")
+    )

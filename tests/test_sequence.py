@@ -420,3 +420,70 @@ def test_role_grammar_ordering_is_total(spark):
         df, "^sua$", {"system": "s", "user": "u", "assistant": "a"}
     ).collect()[0]
     assert row["state_seq"] == "sua" and row["ok"]
+
+
+def test_sessionize_splits_on_gap(spark):
+    from profiler.sequence import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),   # same session (10 min)
+        ("u1", "2024-01-01 11:00:00"),   # 50 min gap -> new session
+        ("u2", "2024-01-01 09:00:00"),
+        ("u2", None),                     # dropped
+        (None, "2024-01-01 09:00:00"),    # dropped
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string")
+    out = sessionize(df, "user", "ts", gap_minutes=30.0).collect()
+    assert [(r["key"], r["session_idx"], r["n_events"]) for r in out] == [
+        ("u1", 1, 2), ("u1", 2, 1), ("u2", 1, 1)
+    ]
+    first = out[0]
+    assert first["start_ts"].startswith("2024-01-01 10:00:00")
+    assert first["duration_seconds"] == 600
+
+
+def test_sessionize_boundary_is_exclusive(spark):
+    """A gap of exactly gap_minutes does NOT open a new session (strict >)."""
+    from profiler.sequence import sessionize
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00"), ("u", "2024-01-01 10:30:00")],
+        "user string, ts string",
+    )
+    out = sessionize(df, "user", "ts", gap_minutes=30.0).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_sessionize_state_count(spark):
+    from profiler.sequence import sessionize
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "a"), ("u", "2024-01-01 10:01:00", "b"),
+         ("u", "2024-01-01 10:02:00", "a")],
+        "user string, ts string, st string",
+    )
+    out = sessionize(df, "user", "ts", state_col="st").collect()
+    assert out[0]["n_states"] == 2
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from profiler.sequence import burstiness
+
+    # metronome: equal gaps -> sigma=0 -> B = -1
+    reg = [("r", f"2024-01-01 10:{m:02d}:00") for m in range(0, 50, 10)]
+    # bursty: 4 events in 3 seconds then one an hour later
+    bur = [("b", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:01"),
+           ("b", "2024-01-01 10:00:02"), ("b", "2024-01-01 10:00:03"),
+           ("b", "2024-01-01 11:00:03")]
+    df = spark.createDataFrame(reg + bur, "user string, ts string")
+    out = {r["key"]: r for r in burstiness(df, "user", "ts").collect()}
+    assert out["r"]["burstiness"] == -1.0
+    assert out["r"]["std_gap_s"] == 0.0 and out["r"]["mean_gap_s"] == 600.0
+    assert out["b"]["burstiness"] > 0.3  # gaps 1,1,1,3600 -> B~0.333
+    # a key with a single gap is dropped (sigma undefined)
+    df2 = spark.createDataFrame(
+        [("x", "2024-01-01 10:00:00"), ("x", "2024-01-01 10:05:00")],
+        "user string, ts string",
+    )
+    assert burstiness(df2, "user", "ts").count() == 0

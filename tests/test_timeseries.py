@@ -472,3 +472,21 @@ def test_seasonal_volume_anomaly_flat_band_break(spark):
     last = {r["day"]: r for r in out.collect()}["2024-01-29"]
     assert last["ref_std"] == 0.0 and last["zscore"] is None
     assert last["is_anomaly"]
+
+
+def test_recency_histogram_buckets(spark):
+    from profiler.timeseries import recency_histogram
+
+    rows = [
+        ("a", "2024-01-10 12:00:00"),  # 0 days behind the global max
+        ("a", "2024-01-01 12:00:00"),  # superseded by a's later event
+        ("b", "2024-01-09 13:00:00"),  # 23h -> bucket 0
+        ("c", "2024-01-08 11:00:00"),  # 2d1h -> bucket 2
+        ("d", None),                    # ignored
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string")
+    out = {r["days_inactive"]: r for r in
+           recency_histogram(df, "u", "ts").collect()}
+    assert out[0]["n_keys"] == 2 and out[2]["n_keys"] == 1
+    assert out[0]["frac"] == round(2 / 3, 6)
+    assert set(out) == {0, 2}
