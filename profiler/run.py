@@ -14,6 +14,8 @@ agg + shared frequency/histogram passes) + whole-table constraint validation
 
 from __future__ import annotations
 
+import os
+import uuid
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
@@ -247,3 +249,120 @@ def run_full(
         summary = f_summary.result()
         drift_rows = f_drift.result()
     return assemble_profile_document(profile, summary, drift_rows)
+
+
+def run_profile_incremental(
+    df: DataFrame,
+    cols: list[str],
+    partials_path: str,
+    partition_expr: str,
+    input_digest_columns: list[str],
+    store: ParquetCheckpointStore | None = None,
+    table_id: str = "table",
+    snapshot_id: str = "snapshot",
+) -> dict:
+    """Incrementally-maintained table profile: per-partition SUFFICIENT
+    statistics (:func:`profiler.stats.partial_profile`) persisted as
+    content-addressed parquet artifacts, merged into the global per-column
+    profile (:func:`profiler.stats.merge_partial_profiles` — the q174
+    oracle proves merge(partials) == single-pass digit for digit).
+
+    Across snapshots only partitions whose input digest CHANGED are
+    re-profiled: each artifact is keyed by (partitioning spec + column
+    list, partition key, content digest), so an unchanged partition's
+    artifact from any earlier run is simply read back — at 10^12 turns a
+    daily snapshot touches a sliver of the conv_id buckets and the global
+    profile updates for the cost of that sliver plus one digest scan.
+
+    Crash safety mirrors the checkpoint store: an artifact exists iff its
+    tmp-file rename completed, so a killed job re-profiles exactly the
+    partitions without artifacts. When ``store`` is given, a lineage
+    record per computed partition is committed under ``{table_id}#profile``
+    (the same Iceberg-shaped audit trail run_validation writes).
+
+    One Spark job computes ALL pending partitions' partials (the scan is
+    pruned to the changed slice); per-partition artifact payloads are
+    |cols| sufficient-stat rows — driver-trivial to write.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(partials_path, exist_ok=True)
+    spec_id = hashlib.sha1(
+        f"{partition_expr}|{','.join(cols)}".encode()
+    ).hexdigest()[:10]
+
+    digests = partition_input_digests(df, partition_expr, input_digest_columns)
+
+    def _artifact(p: str) -> str:
+        d = hashlib.sha1(digests[p].encode()).hexdigest()[:12]
+        safe = "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in p)
+        return os.path.join(partials_path, f"{spec_id}__{safe}__{d}.parquet")
+
+    todo = [p for p in sorted(digests) if not os.path.exists(_artifact(p))]
+    reused = [p for p in sorted(digests) if p not in todo]
+
+    if todo:
+        part_expr = F.expr(partition_expr).cast("string")
+        pdf = df.where(part_expr.isin(todo)) if reused else df
+        from profiler.stats import partial_profile
+
+        rows = partial_profile(
+            pdf, cols, partition_expr, bucket_name="bucket"
+        ).collect()
+        by_part: dict[str, list] = {p: [] for p in todo}
+        for r in rows:
+            by_part.setdefault(r["bucket"], []).append(r)
+        schema = pa.schema(
+            [
+                ("bucket", pa.string()),
+                ("column", pa.string()),
+                ("n", pa.int64()),
+                ("n_null", pa.int64()),
+                ("vmin", pa.float64()),
+                ("vmax", pa.float64()),
+                ("vsum", pa.decimal128(38, 8)),
+                ("vsumsq", pa.decimal128(38, 8)),
+            ]
+        )
+        for p in todo:
+            tbl = pa.Table.from_pylist(
+                [
+                    {k: r[k] for k in schema.names}
+                    for r in sorted(by_part[p], key=lambda r: r["column"])
+                ],
+                schema=schema,
+            )
+            final = _artifact(p)
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, final)  # atomic on POSIX: artifact exists iff complete
+            if store is not None:
+                prow = by_part[p]
+                store.commit(
+                    f"{table_id}#profile",
+                    snapshot_id,
+                    p,
+                    [r.asDict() for r in prow],
+                    n_rows=max((r["n"] + r["n_null"] for r in prow), default=0),
+                    n_violations=0,
+                    partition_spec=partition_expr,
+                    input_digest=digests[p],
+                )
+
+    from profiler.stats import merge_partial_profiles
+
+    spark = df.sparkSession
+    paths = [_artifact(p) for p in sorted(digests)]
+    merged = (
+        merge_partial_profiles(spark.read.parquet(*paths)) if paths
+        else None
+    )
+    return {
+        "profile": [r.asDict() for r in merged.collect()] if merged else [],
+        "processed_partitions": todo,
+        "reused_partitions": reused,
+        "n_partitions": len(digests),
+    }

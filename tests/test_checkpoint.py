@@ -266,3 +266,65 @@ def test_catalog_store_digest_carry_forward(spark, clean_df):
         assert second.all_passed
     finally:
         spark.sql("DROP TABLE IF EXISTS ckpt_test_digest")
+
+
+def test_incremental_profile_reuses_unchanged_partitions(spark, clean_df, tmp_path):
+    """run_profile_incremental: first run profiles everything; an unchanged
+    rerun reuses every artifact; a one-partition mutation re-profiles only
+    that partition — and the merged profile equals a from-scratch profile."""
+    from pyspark.sql import functions as F
+
+    from profiler.run import run_profile_incremental
+
+    cols = ["turn_idx"]
+    kwargs = dict(
+        cols=cols,
+        partition_expr=BUCKET,
+        input_digest_columns=DIGEST_COLS,
+    )
+    d1 = str(tmp_path / "partials")
+    r1 = run_profile_incremental(clean_df, partials_path=d1, **kwargs)
+    assert len(r1["processed_partitions"]) == 8 and r1["reused_partitions"] == []
+
+    r2 = run_profile_incremental(clean_df, partials_path=d1, **kwargs)
+    assert r2["processed_partitions"] == [] and len(r2["reused_partitions"]) == 8
+    assert r2["profile"] == r1["profile"]
+
+    # mutate one bucket: add a turn with a new turn_idx value
+    changed_bucket = r1["processed_partitions"][0]
+    extra = (
+        clean_df.where(F.expr(BUCKET) == changed_bucket)
+        .limit(1)
+        .withColumn("turn_idx", F.lit(777))
+    )
+    mutated = clean_df.unionByName(extra)
+    r3 = run_profile_incremental(mutated, partials_path=d1, **kwargs)
+    assert r3["processed_partitions"] == [changed_bucket]
+    assert len(r3["reused_partitions"]) == 7
+
+    # merged incremental profile == from-scratch profile of the mutated table
+    d2 = str(tmp_path / "partials_scratch")
+    scratch = run_profile_incremental(mutated, partials_path=d2, **kwargs)
+    assert r3["profile"] == scratch["profile"]
+    n = next(r for r in r3["profile"] if r["column"] == "turn_idx")
+    assert n["vmax"] == 777.0
+
+
+def test_incremental_profile_commits_lineage(clean_df, tmp_path):
+    from profiler.run import run_profile_incremental
+
+    store = ParquetCheckpointStore(str(tmp_path / "ck"))
+    run_profile_incremental(
+        clean_df,
+        cols=["turn_idx"],
+        partials_path=str(tmp_path / "p"),
+        partition_expr=BUCKET,
+        input_digest_columns=DIGEST_COLS,
+        store=store,
+        table_id="t",
+        snapshot_id="s1",
+    )
+    done = store.completed("t#profile", "s1", partition_spec=BUCKET)
+    assert len(done) == 8
+    rec = next(iter(done.values()))
+    assert rec["input_digest"] and rec["n_rows"] > 0
