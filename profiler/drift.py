@@ -1734,3 +1734,65 @@ def duplicate_rate_trend(
         )
         .orderBy("day")
     )
+
+
+def pattern_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    collapse_runs: bool = True,
+    max_len: int = 256,
+) -> DataFrame:
+    """Format drift between two snapshots of a string column: the
+    character-class pattern histogram (:func:`profiler.profile.
+    pattern_profile`'s signature — uppercase→A, lowercase→a, digit→9,
+    runs collapsed by default) compared side-by-side. Catches the format
+    regressions a VALUE-distribution drift test is blind to: a new ID
+    scheme, a second date format, zero-padding appearing or vanishing.
+
+    Each side is ONE map-side-combined groupBy over the small pattern
+    domain; the full-outer join runs on |patterns| rows. Returns
+    (pattern, n_a, n_b, frac_a, frac_b, diff) with diff = frac_b −
+    frac_a (6 dp), ordered by |diff| desc then pattern — Σ|diff|/2 is
+    the total-variation distance if a scalar is wanted.
+    """
+    def _pat(src: Column) -> Column:
+        s = F.substring(src.cast("string"), 1, int(max_len))
+        p = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(s, "[A-Z]", "A"), "[a-z]", "a"),
+            "[0-9]",
+            "9",
+        )
+        if collapse_runs:
+            p = F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(p, "A+", "A"), "a+", "a"),
+                "9+",
+                "9",
+            )
+        return p
+
+    def _counts(d: DataFrame, tag: str) -> DataFrame:
+        return (
+            d.where(F.col(col).isNotNull())
+            .groupBy(_pat(F.col(col)).alias("pattern"))
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+
+    a, b = _counts(df_a, "a"), _counts(df_b, "b")
+    j = a.join(b, "pattern", "full_outer").select(
+        "pattern",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    ta = F.sum("n_a").over(Window.partitionBy())
+    tb = F.sum("n_b").over(Window.partitionBy())
+    fa = F.when(ta > 0, F.round(F.col("n_a") / ta, 6)).otherwise(F.lit(0.0))
+    fb = F.when(tb > 0, F.round(F.col("n_b") / tb, 6)).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            "pattern", "n_a", "n_b",
+            fa.alias("frac_a"), fb.alias("frac_b"),
+            F.round(fb - fa, 6).alias("diff"),
+        )
+        .orderBy(F.abs(F.col("diff")).desc(), "pattern")
+    )

@@ -2026,3 +2026,141 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def string_hygiene(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Whitespace/control/case hygiene screen for string columns — the
+    checks that catch silent ETL damage before it becomes a join miss:
+    leading/trailing whitespace, interior double spaces, embedded
+    tab/newline, empty strings, and case-variant duplicates (values that
+    collide after lower(), e.g. ``"Paris"``/``"paris"`` — a grouping key
+    about to double-count).
+
+    Plan: one ``stack`` melt → (column, value); the row-level counters
+    fold in ONE groupBy(column) pass; case collisions use a second
+    two-level hash aggregate (column, lower(value)) → column, both
+    map-side combinable, no window, no distinct-state blowup. Returns one
+    row per column ordered by column name.
+    """
+    melted = df.select(
+        F.expr(
+            "stack({}, {}) AS (column, v)".format(
+                len(cols), ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+            )
+        )
+    ).where(F.col("v").isNotNull())
+    v = F.col("v")
+    row_counts = melted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.count_if(v != F.ltrim(v)).alias("n_leading_ws"),
+        F.count_if(v != F.rtrim(v)).alias("n_trailing_ws"),
+        F.count_if(F.contains(v, F.lit("  "))).alias("n_double_space"),
+        F.count_if(
+            F.contains(v, F.lit("\t")) | F.contains(v, F.lit("\n"))
+            | F.contains(v, F.lit("\r"))
+        ).alias("n_ctl_ws"),
+        F.count_if(v == "").alias("n_empty"),
+    )
+    case_dups = (
+        melted.groupBy("column", F.lower(v).alias("lv"))
+        .agg(F.count_distinct("v").alias("nf"))
+        .groupBy("column")
+        .agg(F.count_if(F.col("nf") > 1).alias("n_case_collisions"))
+    )
+    return (
+        row_counts.join(case_dups, "column", "left")
+        .select(
+            "column", "n_values", "n_leading_ws", "n_trailing_ws",
+            "n_double_space", "n_ctl_ws", "n_empty",
+            F.coalesce("n_case_collisions", F.lit(0)).alias(
+                "n_case_collisions"
+            ),
+        )
+        .orderBy("column")
+    )
+
+
+#: Default sentinel candidates a loader writes when "no value" had no home.
+NUMERIC_SENTINELS = (0.0, -1.0, 99.0, 999.0, 9999.0, 99999.0, -999.0)
+STRING_SENTINELS = ("", "n/a", "na", "none", "null", "unknown", "missing", "-")
+
+
+def sentinel_scan(
+    df: DataFrame,
+    numeric_cols: list[str] | None = None,
+    string_cols: list[str] | None = None,
+    numeric_sentinels: tuple = NUMERIC_SENTINELS,
+    string_sentinels: tuple = STRING_SENTINELS,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """Sentinel-value screen: for each column, how much of it is a known
+    "no value" stand-in (0, -1, 999…, "N/A", "unknown", …) — disguised
+    missingness that a null-rate profile scores as perfectly complete and
+    a mean/std silently absorbs. String matching is case-insensitive
+    after trim. One melt + ONE map-side-combined groupBy over the
+    (column × sentinel) domain; a windowed total over that tiny frame
+    yields fractions. Returns (column, sentinel, n, frac) with n > 0 and
+    frac ≥ ``min_frac``, ordered by (column, sentinel).
+    """
+    parts = []
+    for c in numeric_cols or []:
+        parts.append(
+            (
+                c,
+                F.when(
+                    F.col(c).cast("double").isin(*[float(s) for s in numeric_sentinels]),
+                    F.col(c).cast("double").cast("string"),
+                ),
+                F.count_if(F.col(c).isNotNull()),
+            )
+        )
+    for c in string_cols or []:
+        lv = F.lower(F.trim(F.col(c).cast("string")))
+        parts.append(
+            (c, F.when(lv.isin(*string_sentinels), lv), F.count_if(F.col(c).isNotNull()))
+        )
+    if not parts:
+        raise ValueError("sentinel_scan needs at least one column")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), s.alias("sentinel")
+                    )
+                    for c, s, _ in parts
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.sentinel")
+    tot = df.agg(
+        *[n.alias(f"__t_{i}") for i, (_, _, n) in enumerate(parts)]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__t_{i}").alias("n_nonnull"),
+                    )
+                    for i, (c, _, _) in enumerate(parts)
+                ]
+            )
+        ).alias("t")
+    ).select("t.column", "t.n_nonnull")
+    counts = (
+        melted.where(F.col("sentinel").isNotNull())
+        .groupBy("column", "sentinel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(F.broadcast(tot), "column")
+        .select(
+            "column",
+            "sentinel",
+            "n",
+            F.round(F.col("n") / F.col("n_nonnull"), 6).alias("frac"),
+        )
+        .where(F.col("frac") >= F.lit(float(min_frac)))
+        .orderBy("column", "sentinel")
+    )

@@ -11547,3 +11547,261 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     b = burstiness(ev, "user_id", "ts", min_gaps=2)
     return b.orderBy(F.desc("burstiness"), "key").limit(100)
+
+
+# ===========================================================================
+# Data-hygiene screens: string hygiene, sentinels, timestamp sanity,
+# pattern/format drift
+# ===========================================================================
+@_register(
+    "q209_string_hygiene",
+    """
+    WITH src AS (
+      SELECT CASE doc_id % 7
+               WHEN 0 THEN ' ' || source
+               WHEN 1 THEN source || ' '
+               WHEN 2 THEN upper(source)
+               WHEN 3 THEN 'a  b'
+               WHEN 4 THEN ''
+               ELSE source END AS s1,
+             lang AS s2
+      FROM documents
+    ),
+    m AS (
+      SELECT 's1' AS col, s1 AS v FROM src WHERE s1 IS NOT NULL
+      UNION ALL
+      SELECT 's2', s2 FROM src WHERE s2 IS NOT NULL
+    ),
+    rowc AS (
+      SELECT col AS "column", count(*) AS n_values,
+             count_if(v <> ltrim(v)) AS n_leading_ws,
+             count_if(v <> rtrim(v)) AS n_trailing_ws,
+             count_if(contains(v, '  ')) AS n_double_space,
+             count_if(contains(v, chr(9)) OR contains(v, chr(10))
+                      OR contains(v, chr(13))) AS n_ctl_ws,
+             count_if(v = '') AS n_empty
+      FROM m GROUP BY 1
+    ),
+    cd AS (
+      SELECT "column", count_if(nf > 1) AS n_case_collisions FROM (
+        SELECT col AS "column", lower(v) AS lv, count(DISTINCT v) AS nf
+        FROM m GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT r."column", CAST(n_values AS BIGINT) AS n_values,
+           CAST(n_leading_ws AS BIGINT) AS n_leading_ws,
+           CAST(n_trailing_ws AS BIGINT) AS n_trailing_ws,
+           CAST(n_double_space AS BIGINT) AS n_double_space,
+           CAST(n_ctl_ws AS BIGINT) AS n_ctl_ws,
+           CAST(n_empty AS BIGINT) AS n_empty,
+           CAST(COALESCE(n_case_collisions, 0) AS BIGINT)
+             AS n_case_collisions
+    FROM rowc r LEFT JOIN cd USING ("column") ORDER BY r."column"
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control/case hygiene screen (:func:`profiler.profile.
+    string_hygiene`) over a deterministically-dirtied copy of
+    documents.source (planted leading/trailing spaces, case variants,
+    interior double space, empties) plus the clean lang column. One melt
+    + two map-side-combinable aggregates; no distinct-state blowup."""
+    from profiler.profile import string_hygiene
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), F.col("source")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("source"), F.lit(" ")))
+        .when(F.col("doc_id") % 7 == 2, F.upper(F.col("source")))
+        .when(F.col("doc_id") % 7 == 3, F.lit("a  b"))
+        .when(F.col("doc_id") % 7 == 4, F.lit(""))
+        .otherwise(F.col("source"))
+        .alias("s1"),
+        F.col("lang").alias("s2"),
+    )
+    return string_hygiene(dirty, ["s1", "s2"])
+
+
+@_register(
+    "q210_sentinel_scan",
+    """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 11 = 0 THEN -1.0
+                  WHEN event_id % 13 = 0 THEN 9999.0
+                  ELSE value END AS v,
+             CASE WHEN event_id % 7 = 0 THEN 'N/A'
+                  WHEN event_id % 17 = 0 THEN ' unknown '
+                  ELSE event_type END AS s
+      FROM events
+    ),
+    nums AS (
+      SELECT 'v' AS "column", CAST(CAST(v AS DOUBLE) AS VARCHAR) AS sentinel
+      FROM src WHERE v IN (0.0, -1.0, 99.0, 999.0, 9999.0, 99999.0, -999.0)
+    ),
+    strs AS (
+      SELECT 's' AS "column", lower(trim(s)) AS sentinel FROM src
+      WHERE lower(trim(s)) IN ('', 'n/a', 'na', 'none', 'null', 'unknown',
+                               'missing', '-')
+    ),
+    allm AS (SELECT * FROM nums UNION ALL SELECT * FROM strs),
+    tot AS (
+      SELECT 'v' AS "column", count(v) AS n_nonnull FROM src
+      UNION ALL SELECT 's', count(s) FROM src
+    )
+    SELECT a."column", a.sentinel, CAST(count(*) AS BIGINT) AS n,
+           ROUND(count(*) / CAST(t.n_nonnull AS DOUBLE), 6) AS frac
+    FROM allm a JOIN tot t USING ("column")
+    GROUP BY a."column", a.sentinel, t.n_nonnull
+    ORDER BY a."column", a.sentinel
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-value screen (:func:`profiler.profile.sentinel_scan`):
+    disguised missingness (-1, 9999, 'N/A', 'unknown') planted
+    deterministically into events.value/event_type and recovered with
+    counts and shares — the missingness a null-rate profile can't see.
+    One melt + one (column × sentinel)-domain aggregate."""
+    from profiler.profile import sentinel_scan
+
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        F.when(F.col("event_id") % 11 == 0, F.lit(-1.0))
+        .when(F.col("event_id") % 13 == 0, F.lit(9999.0))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("N/A"))
+        .when(F.col("event_id") % 17 == 0, F.lit(" unknown "))
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    return sentinel_scan(planted, numeric_cols=["v"], string_cols=["s"])
+
+
+@_register(
+    "q211_timestamp_sanity",
+    """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN date_trunc('day', ts)
+                  WHEN event_id % 101 = 3 THEN TIMESTAMP '1970-01-01'
+                  WHEN event_id % 103 = 5 THEN TIMESTAMP '1899-12-31 10:00:00'
+                  WHEN event_id % 107 = 7 THEN NULL
+                  ELSE ts END AS t
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(t) AS BIGINT) AS n_nonnull,
+           CAST(count_if(t IS NULL) AS BIGINT) AS n_null,
+           CAST(count_if(t IS NOT NULL AND date_trunc('day', t) = t)
+                AS BIGINT) AS n_midnight,
+           ROUND(count_if(t IS NOT NULL AND date_trunc('day', t) = t)
+                 / CAST(count(t) AS DOUBLE), 6) AS frac_midnight,
+           CAST(count_if(CAST(t AS DATE) = DATE '1970-01-01') AS BIGINT)
+             AS n_epoch_default,
+           CAST(count_if(EXTRACT(year FROM t) < 2000) AS BIGINT)
+             AS n_before_min_year,
+           CAST(count_if(EXTRACT(year FROM t) > 2100) AS BIGINT)
+             AS n_after_max_year,
+           CAST(count_if(CAST(EXTRACT(dow FROM t) + 1 AS INT) IN (1, 7))
+                AS BIGINT) AS n_weekend,
+           ROUND(count_if(CAST(EXTRACT(dow FROM t) + 1 AS INT) IN (1, 7))
+                 / CAST(count(t) AS DOUBLE), 6) AS frac_weekend
+    FROM src
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp plausibility screen (:func:`profiler.timeseries.
+    timestamp_sanity`) over events.ts with planted damage: 10% truncated
+    to midnight, sparse 1970 epoch defaults, a pre-1900 outlier, NULLs.
+    ONE aggregate pass of JVM expressions recovers every counter."""
+    from profiler.timeseries import timestamp_sanity
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp")
+    planted = ev.select(
+        F.when(F.col("event_id") % 10 == 0, F.date_trunc("day", t))
+        .when(F.col("event_id") % 101 == 3, F.lit("1970-01-01").cast("timestamp"))
+        .when(
+            F.col("event_id") % 103 == 5,
+            F.lit("1899-12-31 10:00:00").cast("timestamp"),
+        )
+        .when(F.col("event_id") % 107 == 7, F.lit(None).cast("timestamp"))
+        .otherwise(t)
+        .alias("ts")
+    )
+    return timestamp_sanity(planted, "ts", min_year=2000, max_year=2100)
+
+
+@_register(
+    "q212_pattern_drift",
+    """
+    WITH a AS (
+      SELECT 'DOC-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+      SELECT CASE WHEN doc_id % 5 = 1
+                  THEN 'd' || CAST(doc_id AS VARCHAR) || '@v2'
+                  ELSE 'DOC-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') END
+               AS id
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    pa AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 id[1:256], '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g'), 'A+', 'A', 'g'), 'a+', 'a', 'g'),
+                 '9+', '9', 'g') AS pattern,
+             count(*) AS n_a
+      FROM a GROUP BY 1
+    ),
+    pb AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 id[1:256], '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g'), 'A+', 'A', 'g'), 'a+', 'a', 'g'),
+                 '9+', '9', 'g') AS pattern,
+             count(*) AS n_b
+      FROM b GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(pa.pattern, pb.pattern) AS pattern,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM pa FULL OUTER JOIN pb ON pa.pattern = pb.pattern
+    ),
+    f AS (
+      SELECT pattern, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CASE WHEN sum(n_a) OVER () > 0
+                  THEN ROUND(n_a / CAST(sum(n_a) OVER () AS DOUBLE), 6)
+                  ELSE 0.0 END AS frac_a,
+             CASE WHEN sum(n_b) OVER () > 0
+                  THEN ROUND(n_b / CAST(sum(n_b) OVER () AS DOUBLE), 6)
+                  ELSE 0.0 END AS frac_b
+      FROM j
+    )
+    SELECT pattern, n_a, n_b, frac_a, frac_b,
+           ROUND(frac_b - frac_a, 6) AS diff
+    FROM f ORDER BY abs(ROUND(frac_b - frac_a, 6)) DESC, pattern
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format drift (:func:`profiler.drift.pattern_drift`): snapshot A
+    ids are all 'DOC-000042'-style; snapshot B has 20% of a new
+    'd123@v2' scheme. The pattern histogram compare surfaces the new
+    format class and the share shift — invisible to value-drift tests
+    (every id is unique in both). Per-side small-domain aggregates +
+    |patterns|-row join."""
+    from profiler.drift import pattern_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    old_id = F.concat(
+        F.lit("DOC-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    )
+    a = docs.where(F.col("doc_id") % 2 == 0).select(old_id.alias("id"))
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("@v2")),
+        )
+        .otherwise(old_id)
+        .alias("id")
+    )
+    return pattern_drift(a, b, "id", collapse_runs=True)

@@ -1176,3 +1176,42 @@ def recency_histogram(
         )
         .orderBy("days_inactive")
     )
+
+
+def timestamp_sanity(
+    df: DataFrame,
+    ts_col: str = "ts",
+    min_year: int = 2000,
+    max_year: int = 2100,
+) -> DataFrame:
+    """Timestamp plausibility screen, one row of counters: NULLs,
+    midnight-exact values (a date silently truncated to midnight —
+    legitimate once in 86,400 µs-resolution events, so a visible share
+    means a parser dropped the time part), the 1970-01-01 epoch default,
+    years outside [min_year, max_year], and the weekend share (a sanity
+    prior for human-activity feeds). ONE aggregate pass, all JVM
+    expressions. Fractions are of non-null values, 6 dp.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    nn = F.count(ts)
+    midnight = F.count_if(
+        ts.isNotNull()
+        & (F.date_trunc("day", ts) == ts)
+    )
+    epoch = F.count_if(F.to_date(ts) == F.lit("1970-01-01"))
+    before = F.count_if(F.year(ts) < min_year)
+    after = F.count_if(F.year(ts) > max_year)
+    weekend = F.count_if(F.dayofweek(ts).isin(1, 7))
+    frac = lambda c: F.round(c / nn, 6)  # noqa: E731
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nn.alias("n_nonnull"),
+        F.count_if(ts.isNull()).alias("n_null"),
+        midnight.alias("n_midnight"),
+        frac(midnight).alias("frac_midnight"),
+        epoch.alias("n_epoch_default"),
+        before.alias("n_before_min_year"),
+        after.alias("n_after_max_year"),
+        weekend.alias("n_weekend"),
+        frac(weekend).alias("frac_weekend"),
+    )

@@ -759,3 +759,15 @@ def test_duplicate_rate_trend_counts(spark):
     assert d1["dup_rate"] == 0.25
     assert (d2["n_rows"], d2["n_distinct"], d2["n_dup_rows"]) == (3, 1, 2)
     assert round(d2["dup_rate"], 6) == round(2 / 3, 6)
+
+
+def test_pattern_drift_new_and_vanished_formats(spark):
+    from profiler.drift import pattern_drift
+
+    a = spark.createDataFrame([("AB-12",), ("CD-34",), ("zz",)], "c string")
+    b = spark.createDataFrame([("AB-12",), ("x9y",), ("x7q",)], "c string")
+    out = {r["pattern"]: r for r in pattern_drift(a, b, "c").collect()}
+    assert out["A-9"]["n_a"] == 2 and out["A-9"]["n_b"] == 1
+    assert out["a9a"]["n_a"] == 0 and out["a9a"]["n_b"] == 2   # new format
+    assert out["a"]["n_b"] == 0                                 # vanished
+    assert abs(sum(r["diff"] for r in out.values())) < 1e-9

@@ -594,3 +594,34 @@ def test_calibration_table_miscalibrated_gap(spark):
     # score exactly 1.0 lands in the top bin, not bin n_bins
     edge = spark.createDataFrame([(1.0, 1)], "s double, y int")
     assert calibration_table(edge, "s", F.col("y") == 1).collect()[0]["bin"] == 9
+
+
+def test_string_hygiene_case_collisions(spark):
+    from profiler.profile import string_hygiene
+
+    df = spark.createDataFrame(
+        [("Paris",), ("paris",), ("PARIS",), ("london",), (" x",), ("y ",),
+         ("a  b",), ("",), (None,)],
+        "c string",
+    )
+    row = string_hygiene(df, ["c"]).collect()[0]
+    assert row["n_values"] == 8            # null excluded
+    assert row["n_case_collisions"] == 1   # the paris cluster, counted once
+    assert row["n_leading_ws"] == 1 and row["n_trailing_ws"] == 1
+    assert row["n_double_space"] == 1 and row["n_empty"] == 1
+
+
+def test_sentinel_scan_trim_case_and_min_frac(spark):
+    from profiler.profile import sentinel_scan
+
+    df = spark.createDataFrame(
+        [(0.0, " N/A "), (-1.0, "ok"), (5.0, "Unknown"), (None, None)],
+        "v double, s string",
+    )
+    out = sentinel_scan(df, numeric_cols=["v"], string_cols=["s"])
+    got = {(r["column"], r["sentinel"]): r for r in out.collect()}
+    assert got[("v", "0.0")]["n"] == 1 and got[("v", "-1.0")]["n"] == 1
+    assert got[("s", "n/a")]["frac"] == round(1 / 3, 6)
+    assert ("s", "unknown") in got        # case-insensitive after trim
+    # min_frac filters the tail
+    assert sentinel_scan(df, numeric_cols=["v"], min_frac=0.9).count() == 0
