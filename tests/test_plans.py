@@ -618,3 +618,74 @@ def test_lift_table_bucket_chain_is_mapside(spark, events):
     # frame, but no join may appear at all
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_duplicate_rate_trend_never_expands_distinct(spark, events):
+    """The per-day dup-rate must be the two-level (day, digest) hash
+    aggregate — a count(DISTINCT …) rewrite would shuffle an Expand of
+    the raw rows and hold per-day distinct state."""
+    from profiler.drift import duplicate_rate_trend
+
+    plan = _plan(duplicate_rate_trend(events, ["user_id", "event_type"], "ts"))
+    assert "Expand" not in plan
+    assert "xxhash64" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # digest level + day level
+
+
+def test_sessionize_is_one_keyed_window_plus_agg(spark, events):
+    """Sessionization must stay one window pass partitioned by the key
+    (co-located on a bucketed layout) + one hash aggregate — no join, no
+    unpartitioned window."""
+    from profiler.sequence import sessionize
+
+    plan = _plan(sessionize(events, "user_id", "ts"))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    # every window is key-partitioned: no 'Window [' spec without user_id
+    for frag in plan.split("Window [")[1:]:
+        head = frag.splitlines()[0]
+        assert "user_id" in head
+    assert "HashAggregate" in plan
+
+
+def test_recency_histogram_broadcasts_global_instant(spark, events):
+    """The global max(ts) must join in as a broadcast 1-row frame, never
+    a window over the user-sized per-key frame (which would
+    single-partition-sort |users| rows)."""
+    from profiler.timeseries import recency_histogram
+
+    plan = _plan(recency_histogram(events, "user_id", "ts"))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
+    # the per-key frame must not reach a sort-merge join or a key-frame
+    # window; the sole Window node is the frac total over the |days| frame
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") <= 1
+
+
+def test_partition_input_digests_is_single_aggregate_scan(spark, events):
+    """The digest pass = ONE groupBy over one scan: partial+final hash
+    aggregate, no join, no window, no second scan of the input."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = events.groupBy(
+        F.expr("CAST(pmod(xxhash64(user_id), 8) AS STRING)").alias("p")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.xxhash64("user_id", "event_type").cast("decimal(38,0)")).alias("s1"),
+        F.expr("bit_xor(xxhash64(982451653L, `user_id`, `event_type`))").alias("x2"),
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle on the partition key
+
+
+def test_seasonal_anomaly_window_is_dow_partitioned(spark, events):
+    """The trailing baseline window must be partitioned by dow (a
+    calendar-bounded frame), never a global unpartitioned sort."""
+    from profiler.timeseries import seasonal_volume_anomaly
+
+    plan = _plan(seasonal_volume_anomaly(events, "ts"))
+    for frag in plan.split("Window [")[1:]:
+        head = frag.splitlines()[0]
+        assert "dow" in head
