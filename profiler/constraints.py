@@ -28,7 +28,7 @@ Scale notes (100 TB / 10^12 turns):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -66,6 +66,35 @@ class Constraint:
     # fused scan (one explode of per-constraint structs) instead of one scan
     # per constraint. ``violations_fn`` remains the standalone path.
     row_parts: Callable[[], tuple[Column, dict, dict]] | None = None
+    # Policy: 'error' constraints gate the run; 'warn' constraints surface
+    # in the summary but never fail it. ``max_violation_frac`` tolerates a
+    # violation share per partition (Deequ-style "hasCompleteness >= 0.99"):
+    # passed = n_violations <= max_violation_frac * n_rows.
+    severity: str = "error"
+    max_violation_frac: float = 0.0
+
+
+def with_policy(
+    c: Constraint,
+    severity: str | None = None,
+    max_violation_frac: float | None = None,
+) -> Constraint:
+    """A copy of ``c`` with a different enforcement policy — e.g.
+    ``with_policy(not_null("tool"), severity="warn",
+    max_violation_frac=0.01)`` tolerates 1% missing and never gates the
+    run. Constructors stay policy-free; the wrapper attaches policy at
+    suite-assembly time."""
+    if severity is not None and severity not in ("error", "warn"):
+        raise ValueError(f"severity must be 'error' or 'warn', got {severity!r}")
+    return replace(
+        c,
+        severity=severity if severity is not None else c.severity,
+        max_violation_frac=(
+            max_violation_frac
+            if max_violation_frac is not None
+            else c.max_violation_frac
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -432,12 +461,21 @@ def ts_order_agrees(
 @dataclass
 class ValidationResult:
     violations: DataFrame       # uniform violation rows (all constraints)
-    summary: DataFrame          # (partition_key, constraint, n_violations, passed)
+    # (partition_key, constraint, n_rows, n_violations, passed, severity)
+    summary: DataFrame
     partition_rows: DataFrame   # (partition_key, n_rows)
     _base: DataFrame | None = None  # persisted per-partition count table
 
     def passed(self) -> bool:
-        return self.summary.where(~F.col("passed")).limit(1).count() == 0
+        # warn-severity constraints surface in the summary but never gate
+        return (
+            self.summary.where(
+                ~F.col("passed") & (F.col("severity") == "error")
+            )
+            .limit(1)
+            .count()
+            == 0
+        )
 
     def unpersist(self) -> None:
         self.violations.unpersist()
@@ -560,8 +598,39 @@ class ConstraintSuite:
             keyed_summary if rl_summary is None
             else rl_summary.unionByName(keyed_summary)
         )
-        summary = summary.withColumn("passed", F.col("n_violations") == 0).select(
-            "partition_key", "constraint", "n_rows", "n_violations", "passed"
+        # policy lookup: per-constraint severity + tolerated violation share
+        # as literal maps (|constraints|-sized, evaluated row-side — no join)
+        sev = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for c in self.constraints
+                    for x in (F.lit(c.name), F.lit(c.severity))
+                ]
+            ),
+            F.col("constraint"),
+        )
+        tol = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for c in self.constraints
+                    for x in (F.lit(c.name), F.lit(float(c.max_violation_frac)))
+                ]
+            ),
+            F.col("constraint"),
+        )
+        summary = (
+            summary.withColumn(
+                "passed",
+                F.col("n_violations")
+                <= F.coalesce(tol, F.lit(0.0)) * F.col("n_rows"),
+            )
+            .withColumn("severity", F.coalesce(sev, F.lit("error")))
+            .select(
+                "partition_key", "constraint", "n_rows", "n_violations",
+                "passed", "severity",
+            )
         )
         return ValidationResult(violations, summary, partition_rows, base)
 

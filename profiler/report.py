@@ -42,7 +42,11 @@ def assemble_profile_document(
     if validation_summary is not None:
         doc["constraints"] = {
             "summary": validation_summary,
-            "passed": all(r.get("passed", False) for r in validation_summary),
+            "passed": all(
+                r.get("passed", False)
+                for r in validation_summary
+                if r.get("severity", "error") == "error"
+            ),
         }
     if drift is not None:
         doc["drift"] = drift

@@ -197,7 +197,13 @@ def run_validation(
             processed.append(p)
 
     all_passed = (
-        all(r["passed"] for r in all_rows) if all_rows else True
+        all(
+            r["passed"]
+            for r in all_rows
+            if r.get("severity", "error") == "error"
+        )
+        if all_rows
+        else True
     ) and carried_ok
     return RunResult(processed, skipped, all_rows, all_passed, carried)
 

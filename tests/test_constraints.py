@@ -393,3 +393,66 @@ def test_regex_conformance_report(spark):
     assert lang["examples"] == "yy,zz"  # distinct, sorted
     src = got["source"]
     assert src["n_violations"] == 2 and src["examples"] == "src10,src11"
+
+
+def test_policy_warn_does_not_gate(spark):
+    from pyspark.sql import functions as F
+
+    from profiler.constraints import ConstraintSuite, not_null, with_policy
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "t1"), ("c", None)], "conv_id string, tool string"
+    )
+    strict = ConstraintSuite([not_null("tool")])
+    assert not strict.validate(df).passed()
+
+    soft = ConstraintSuite([with_policy(not_null("tool"), severity="warn")])
+    res = soft.validate(df)
+    assert res.passed()  # warn never gates
+    row = res.summary.collect()[0]
+    assert row["severity"] == "warn"
+    assert row["n_violations"] == 2 and not row["passed"]  # still visible
+
+
+def test_policy_violation_tolerance(spark):
+    from profiler.constraints import ConstraintSuite, not_null, with_policy
+
+    rows = [("c%d" % i, "t" if i else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    # 1 violation in 100 rows: tolerated at 2%, not at 0.5%
+    ok = ConstraintSuite([with_policy(not_null("tool"), max_violation_frac=0.02)])
+    assert ok.validate(df).passed()
+    tight = ConstraintSuite(
+        [with_policy(not_null("tool"), max_violation_frac=0.005)]
+    )
+    assert not tight.validate(df).passed()
+
+
+def test_policy_rejects_bad_severity():
+    import pytest as _pytest
+
+    from profiler.constraints import not_null, with_policy
+
+    with _pytest.raises(ValueError):
+        with_policy(not_null("x"), severity="fatal")
+
+
+def test_policy_mixed_suite_gates_on_errors_only(spark):
+    from profiler.constraints import (
+        ConstraintSuite, domain, not_null, with_policy,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "user"), ("b", None), ("c", "alien")],
+        "conv_id string, role string",
+    )
+    suite = ConstraintSuite(
+        [
+            with_policy(not_null("role"), severity="warn"),   # violated, warn
+            domain("role", ["user", "assistant"]),            # violated, error
+        ]
+    )
+    res = suite.validate(df)
+    assert not res.passed()
+    sev = {r["constraint"]: r["severity"] for r in res.summary.collect()}
+    assert sev["not_null(role)"] == "warn" and sev["domain(role)"] == "error"
