@@ -757,3 +757,78 @@ def regex_conformance(
         )
         .orderBy("column")
     )
+
+
+def rule_report(
+    df: DataFrame,
+    rules: dict[str, str],
+    key_col: str,
+    max_examples: int = 5,
+    null_is_violation: bool = False,
+) -> DataFrame:
+    """Arbitrary cross-field rule bundle in ONE table pass: each rule is a
+    boolean SQL predicate over any columns of the row ("value >= 0",
+    "NOT (role = 'tool' AND tool IS NULL)", "ts >= created_at"), and the
+    report carries per rule the evaluated row count, violation count,
+    violation rate, and up to ``max_examples`` smallest violating keys.
+    This is the summary face of :func:`row_predicate` — profile-style
+    output for implication/consistency rules that span columns, where
+    :func:`regex_conformance` is the same shape for format rules.
+
+    NULL predicate results follow SQL CHECK semantics by default (NULL =
+    pass); ``null_is_violation=True`` flips that for screens where an
+    unevaluable rule is itself the defect.
+
+    Plan: one melt evaluates every predicate map-side in the same
+    projection (rules × rows struct array, exploded), then SALTED
+    two-level aggregation — level 1 groups on (rule, pmod(xxhash64(key),
+    64)) and caps each bucket's sorted example list, level 2 merges ≤64
+    capped lists and re-caps — so the example collection is whale-safe:
+    a rule violated by every row of a 10^12-row table builds its state on
+    64 tasks with ≤max(rows/64, 64·max_examples) elements per buffer.
+    """
+    pairs = []
+    for name, pred in rules.items():
+        ok = F.coalesce(F.expr(pred), F.lit(not null_is_violation))
+        pairs.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                (~ok).alias("viol"),
+                F.col(key_col).cast("string").alias("key"),
+            )
+        )
+    melted = df.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+    salt = F.pmod(F.xxhash64(F.col("key")), F.lit(64)).alias("__salt")
+    partial = melted.groupBy(F.col("rule"), salt).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("viol").cast("long")).alias("nv"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.when(F.col("viol"), F.col("key")))
+            ),
+            1,
+            max_examples,
+        ).alias("ex"),
+    )
+    return (
+        partial.groupBy("rule")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("nv").alias("n_violations"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ex"))),
+                1,
+                max_examples,
+            ).alias("ex"),
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.col("n_violations") / F.col("n_rows").cast("double"), 6
+            ).alias("violation_rate"),
+            F.array_join("ex", ",").alias("examples"),
+        )
+        .orderBy("rule")
+    )

@@ -1448,6 +1448,61 @@ def missingness_patterns(
     )
 
 
+def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise co-missingness: for every column pair, the phi coefficient
+    between the two null-indicator variables plus the joint null counts —
+    the quantitative face of :func:`missingness_patterns`. φ ≈ 1 means the
+    columns go missing TOGETHER (one upstream join/feed failure), φ ≈ 0
+    means independent flakiness, φ < 0 means complementary missingness
+    (exactly one of the two is ever filled — a schema-union smell).
+
+    Plan: ONE aggregate pass carrying |cols| marginal null-count sums plus
+    |cols|·(|cols|−1)/2 joint-null sums (all map-side combinable longs);
+    the one-row result unpivots expression-side to one row per pair —
+    pair-count-sized output, no second scan, no data shuffle. Products go
+    through DOUBLE before multiplying so a 10^12-row table can't overflow
+    the int64 intermediate.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__na_{c}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(
+            F.sum(
+                (F.col(a).isNull() & F.col(b).isNull()).cast("long")
+            ).alias(f"__nb_{i}")
+        )
+    row = df.agg(*aggs)
+    entries = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col("__n").cast("double")
+        na = F.col(f"__na_{a}").cast("double")
+        nb = F.col(f"__na_{b}").cast("double")
+        nab = F.col(f"__nb_{i}").cast("double")
+        denom = F.sqrt(na * (n - na) * nb * (n - nb))
+        phi = F.when(denom > 0, F.round((n * nab - na * nb) / denom, 6))
+        entries.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__na_{a}").alias("n_null_a"),
+                F.col(f"__na_{b}").alias("n_null_b"),
+                F.col(f"__nb_{i}").alias("n_null_both"),
+                phi.alias("phi"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
 def candidate_keys(
     df: DataFrame, cols: list[str], max_arity: int = 2
 ) -> DataFrame:

@@ -879,3 +879,64 @@ def burstiness(
             F.round(b, 4).alias("burstiness"),
         )
     )
+
+
+def duplicate_conversations(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    payload_col: str = "text",
+    max_keys: int = 20,
+) -> DataFrame:
+    """Within-snapshot duplicate-CONVERSATION detection: two conversations
+    are duplicates when their order-sorted payload digests
+    (:func:`sequence_digest`) are equal — i.e. the whole multi-turn
+    transcript repeats under another ``conv_id`` (re-ingested sessions,
+    copy-pasted synthetic dialogues, retry storms that re-wrote a
+    conversation under a fresh id). Exact doc-level dedup
+    (:func:`profiler.dedup.exact_dedup`) can't see these: no single turn
+    need be globally unique, it's the ORDERED SEQUENCE that repeats.
+
+    One row per duplicated digest: ``digest``, ``n_turns``, ``n_convs``
+    (true group size), ``keep_key`` (min key = canonical survivor) and a
+    sorted key sample capped at ``max_keys``. Drop-duplicates downstream is
+    an anti-join on (digest, key != keep_key).
+
+    Plan: the |conversations|-sized digest frame (bounded groupBy, no
+    window) → SALTED two-level capped aggregation on the 128-bit digest —
+    the same whale envelope as exact_dedup: a degenerate corpus where one
+    transcript repeats 10^8 times builds its group state on 64 tasks with
+    ≤max(group/64, 64·max_keys) elements per buffer, never one giant list.
+    """
+    digests = sequence_digest(df, key_col, order_cols, payload_col)
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(64)).alias("__salt")
+    partial = digests.groupBy(F.col("digest"), salt).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_turns").alias("nt"),
+        F.slice(
+            F.sort_array(F.collect_list(F.col(key_col))), 1, max_keys
+        ).alias("ks"),
+        F.min(F.col(key_col)).alias("mn"),
+    )
+    return (
+        partial.groupBy("digest")
+        .agg(
+            F.sum("cnt").alias("n_convs"),
+            F.min("nt").alias("n_turns"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ks"))), 1, max_keys
+            ).alias("keys"),
+            F.min("mn").alias("keep_key"),
+        )
+        .where(F.col("n_convs") > 1)
+        .select(
+            "digest",
+            "n_turns",
+            "n_convs",
+            "keep_key",
+            F.array_join(F.transform("keys", lambda k: k.cast("string")), ",").alias(
+                "key_sample"
+            ),
+        )
+        .orderBy(F.desc("n_convs"), "digest")
+    )

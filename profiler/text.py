@@ -11,6 +11,8 @@ an import guard because model libs aren't in this environment.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from profiler.dedup import shingles_expr, tokens_expr
@@ -2886,4 +2888,136 @@ def card_scan(
             luhn_valid_expr(F.col("__d")).alias("luhn_valid"),
         )
         .orderBy(id_col, "card_masked")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script mixing + credential/secret screens
+# ---------------------------------------------------------------------------
+
+# (name, Java-regex negated class, chars of this script survive the strip).
+# Java names the Unicode script property \p{IsXxx}; RE2 engines (DuckDB,
+# Go, Rust-regex) spell the same property \p{Xxx} — keep this table in the
+# intersection of scripts both engines implement identically.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"[^\p{IsLatin}]"),
+    ("cyrillic", r"[^\p{IsCyrillic}]"),
+    ("greek", r"[^\p{IsGreek}]"),
+    ("han", r"[^\p{IsHan}]"),
+    ("arabic", r"[^\p{IsArabic}]"),
+]
+
+
+def script_mix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Unicode script-mixing screen: per string column, how many values mix
+    letters from two or more scripts (Latin+Cyrillic is the classic
+    homoglyph-spoofing signature — "pаypal" with a Cyrillic а), plus the
+    per-script character mass so a column's script profile is visible at a
+    glance. Mixed-script identifiers are a data-integrity smell (confusable
+    spoofing, copy-paste damage, mojibake survivors that decoded into the
+    wrong plane); a Latin-only or CJK-only column showing a nonzero
+    ``n_mixed_script`` is worth a violation drill-down.
+
+    One melt + per-value JVM ``regexp_replace`` strips (no Python, no
+    UDF) + ONE map-side-combinable aggregate per column. Scripts counted:
+    Latin, Cyrillic, Greek, Han, Arabic — the property names shared by
+    Java regex (``\\p{IsLatin}``) and RE2 (``\\p{Latin}``), so the same
+    screen replays on any engine.
+
+    Returns one row per column: ``n_values`` (non-null), ``n_mixed_script``,
+    ``frac_mixed`` (6 dp), and ``n_<script>_chars`` totals.
+    """
+    pairs = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        fields = [F.lit(c).alias("column"), v.alias("v")]
+        for name, neg in SCRIPT_CLASSES:
+            fields.append(
+                F.length(F.regexp_replace(v, neg, "")).alias(f"n_{name}")
+            )
+        pairs.append(F.struct(*fields))
+    melted = (
+        df.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.*")
+        .where(F.col("v").isNotNull())
+    )
+    n_scripts_present = sum(
+        (F.col(f"n_{name}") > 0).cast("int") for name, _ in SCRIPT_CLASSES
+    )
+    per_col = melted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((n_scripts_present >= 2).cast("long")).alias("n_mixed_script"),
+        *[
+            F.sum(F.col(f"n_{name}").cast("long")).alias(f"n_{name}_chars")
+            for name, _ in SCRIPT_CLASSES
+        ],
+    )
+    return per_col.select(
+        "column",
+        "n_values",
+        "n_mixed_script",
+        F.round(
+            F.col("n_mixed_script") / F.col("n_values").cast("double"), 6
+        ).alias("frac_mixed"),
+        *[f"n_{name}_chars" for name, _ in SCRIPT_CLASSES],
+    ).orderBy("column")
+
+
+# Credential shapes a training corpus must not carry. Patterns live in the
+# Java-regex ∩ RE2 common subset (no lookarounds, no backrefs) so the same
+# rule text replays on any engine; each is anchored to a distinctive prefix
+# so false-positive mass stays near zero at corpus scale.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_access_key": r"AKIA[0-9A-Z]{16}",
+    "github_token": r"ghp_[A-Za-z0-9]{36}",
+    "jwt": r"eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+",
+    "private_key_block": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "slack_token": r"xox[baprs]-[A-Za-z0-9-]{10,}",
+    "password_assignment": r"(?i)password\s*[=:]\s*\S+",
+}
+
+
+def secret_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Credential/secret leakage screen over a text corpus: for each secret
+    shape (AWS access key, GitHub PAT, JWT, PEM private-key header, Slack
+    token, password assignment) report how many documents carry at least
+    one match, the total match count, and the document share. The recall
+    stage of a pre-training leakage sweep — the act-now set is any row
+    with ``n_docs > 0`` on a corpus that should be secret-free; pair with
+    :func:`card_scan` for the checksum-validated PII face.
+
+    ONE full-table aggregate pass: every pattern contributes two JVM
+    ``regexp_count``-derived sums evaluated map-side in the same
+    projection — no melt, no per-pattern scan, no Python. The one-row
+    aggregate then unpivots to one row per pattern (pattern-count-sized,
+    never data-sized).
+    """
+    pats = patterns if patterns is not None else SECRET_PATTERNS
+    t = F.col(text_col).cast("string")
+    aggs = [F.count(t).alias("__n_docs_total")]
+    for name, pat in pats.items():
+        cnt = F.regexp_count(t, F.lit(pat))
+        aggs.append(F.sum((cnt > 0).cast("long")).alias(f"__d_{name}"))
+        aggs.append(F.sum(cnt.cast("long")).alias(f"__m_{name}"))
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.col(f"__d_{name}").alias("n_docs"),
+            F.col(f"__m_{name}").alias("n_matches"),
+            F.round(
+                F.col(f"__d_{name}") / F.col("__n_docs_total").cast("double"),
+                6,
+            ).alias("frac_docs"),
+        )
+        for name in pats
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("pattern")
     )

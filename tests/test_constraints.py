@@ -456,3 +456,30 @@ def test_policy_mixed_suite_gates_on_errors_only(spark):
     assert not res.passed()
     sev = {r["constraint"]: r["severity"] for r in res.summary.collect()}
     assert sev["not_null(role)"] == "warn" and sev["domain(role)"] == "error"
+
+
+def test_rule_report_null_semantics_and_examples(spark):
+    from profiler.constraints import rule_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "purchase"), (2, -1.0, "view"), (3, None, "purchase"),
+         (10, -2.0, "view"), (4, None, "view")],
+        "id long, v double, et string",
+    )
+    rules = {
+        "nonneg": "v >= 0",
+        "purchase_has_v": "NOT (et = 'purchase' AND v IS NULL)",
+    }
+    out = {r["rule"]: r for r in rule_report(df, rules, key_col="id").collect()}
+    # SQL CHECK semantics: NULL v passes "v >= 0"
+    assert out["nonneg"]["n_violations"] == 2
+    # examples sort lexicographically as strings: "10" < "2"
+    assert out["nonneg"]["examples"] == "10,2"
+    assert out["purchase_has_v"]["n_violations"] == 1
+    assert out["purchase_has_v"]["examples"] == "3"
+    # flipped semantics: NULL predicate is itself a violation
+    strict = {r["rule"]: r for r in rule_report(
+        df, {"nonneg": "v >= 0"}, key_col="id", null_is_violation=True
+    ).collect()}
+    assert strict["nonneg"]["n_violations"] == 4
+    assert strict["nonneg"]["violation_rate"] == 0.8

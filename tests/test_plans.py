@@ -689,3 +689,61 @@ def test_seasonal_anomaly_window_is_dow_partitioned(spark, events):
     for frag in plan.split("Window [")[1:]:
         head = frag.splitlines()[0]
         assert "dow" in head
+
+
+def test_rule_report_is_salted_two_level_no_window(spark, events):
+    """The rule bundle must stay melt → two hash-aggregate levels (salted
+    partial + final) with bounded example lists — no Window, no Join, no
+    per-rule rescan of the table."""
+    from profiler.constraints import rule_report
+
+    plan = _plan(
+        rule_report(
+            events,
+            {"nonneg": "value >= 0", "has_props": "props IS NOT NULL"},
+            key_col="event_id",
+        )
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # one scan feeds everything: a second FileScan means per-rule rescans
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_duplicate_conversations_no_window_single_scan(spark, events):
+    """Digest + salted capped grouping: one scan, groupBy chain only —
+    a Window or Join node means the whale-safe shape regressed."""
+    from profiler.sequence import duplicate_conversations
+
+    plan = _plan(
+        duplicate_conversations(
+            events, "user_id", ["ts", "event_id"], "event_type"
+        )
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_secret_scan_single_aggregate_pass(spark):
+    """Every pattern's two sums ride ONE aggregate over ONE scan; the
+    unpivot explodes a 1-row frame, never the corpus."""
+    from profiler.text import secret_scan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(secret_scan(docs, "text"))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
+    # final aggregate is a 1-row global agg: no grouping expression columns
+    assert "HashAggregate" in plan
+
+
+def test_null_correlation_single_aggregate_pass(spark, events):
+    """Marginal + joint null counts all ride one aggregate; the pair
+    unpivot is expression-side over the 1-row result."""
+    from profiler.profile import null_correlation
+
+    plan = _plan(null_correlation(events, ["value", "props", "event_type"]))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan

@@ -625,3 +625,20 @@ def test_sentinel_scan_trim_case_and_min_frac(spark):
     assert ("s", "unknown") in got        # case-insensitive after trim
     # min_frac filters the tail
     assert sentinel_scan(df, numeric_cols=["v"], min_frac=0.9).count() == 0
+
+
+def test_null_correlation_shared_vs_independent(spark):
+    from profiler.profile import null_correlation
+
+    rows = []
+    for i in range(100):
+        a = None if i % 5 == 0 else float(i)
+        b = None if i % 5 == 0 else f"b{i}"   # perfectly with a
+        c = None if i % 7 == 3 else f"c{i}"   # independent
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a double, b string, c string")
+    out = {(r["col_a"], r["col_b"]): r for r in null_correlation(df, ["a", "b", "c"]).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_null_both"] == 20 and ab["phi"] == 1.0
+    assert abs(out[("a", "c")]["phi"]) < 0.2
+    assert len(out) == 3

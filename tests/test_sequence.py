@@ -487,3 +487,36 @@ def test_burstiness_regular_vs_bursty(spark):
         "user string, ts string",
     )
     assert burstiness(df2, "user", "ts").count() == 0
+
+
+def test_duplicate_conversations_planted(spark):
+    from profiler.sequence import duplicate_conversations
+
+    rows = []
+    # conv A and its exact duplicate under another id
+    for cid in ("a1", "a2"):
+        rows += [(cid, 1, "hello"), (cid, 2, "world")]
+    # a third conv with the same TURNS but different order -> not a dup
+    rows += [("b1", 1, "world"), ("b1", 2, "hello")]
+    # unique conv
+    rows += [("c1", 1, "hello")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = duplicate_conversations(df, "conv_id", ["turn_idx"], "text").collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["n_convs"] == 2 and g["n_turns"] == 2
+    assert g["keep_key"] == "a1" and g["key_sample"] == "a1,a2"
+
+
+def test_duplicate_conversations_key_sample_cap(spark):
+    from profiler.sequence import duplicate_conversations
+
+    rows = [(f"k{i:03d}", 1, "same") for i in range(30)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = duplicate_conversations(
+        df, "conv_id", ["turn_idx"], "text", max_keys=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_convs"] == 30  # true size survives the cap
+    assert out[0]["key_sample"] == "k000,k001,k002,k003,k004"
+    assert out[0]["keep_key"] == "k000"
