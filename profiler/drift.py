@@ -1796,3 +1796,79 @@ def pattern_drift(
         )
         .orderBy(F.abs(F.col("diff")).desc(), "pattern")
     )
+
+
+def group_ks_2s(
+    df_a: DataFrame, df_b: DataFrame, column: str, group_col: str
+) -> DataFrame:
+    """Per-group EXACT two-sample Kolmogorov–Smirnov between TWO snapshots
+    — "which segment drifted between yesterday's partition and today's?".
+    :func:`ks_exact` answers for the whole table and :func:`group_ks` for
+    group-vs-global within one frame; this is the snapshot×segment cell
+    of the north rule's drift matrix: for every group value, ``ks =
+    sup|F_a − F_b|`` over that group's pooled observed values, with
+    λ = ks·√(n_a·n_b/(n_a+n_b)) and the leading Kolmogorov p-term.
+    Groups present in only one snapshot surface with NULL ks (n_a or n_b
+    zero) rather than silently disappearing.
+
+    Plan: ONE (group, value) hash aggregate collapses both inputs (side
+    counts as conditional sums); per-group totals are a |groups|-row
+    broadcast join; both CDFs are cumulative windows RANGE-partitioned by
+    group; one max per group. Fully lazy — no driver action, no persist.
+    For ultra-high-cardinality continuous data pre-bin with the drift
+    sketch and accept bucket-width resolution.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            F.col(group_col).cast("string").alias("g"),
+            c.alias("v"),
+            F.lit(side).alias("__side"),
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("g", "v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    totals = counts.groupBy("g").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    grid = counts.join(F.broadcast(totals), on="g")
+    w_g = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.abs(
+            F.sum("ca").over(w_g) / F.col("n_a").cast("double")
+            - F.sum("cb").over(w_g) / F.col("n_b").cast("double")
+        ),
+    )
+    per_group = (
+        grid.select("g", "n_a", "n_b", gap.alias("gap"))
+        .groupBy("g", "n_a", "n_b")
+        .agg(F.max("gap").alias("ks"))
+    )
+    lam = F.col("ks") * F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return per_group.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round("ks", 6).alias("ks"),
+        F.round(lam, 6).alias("ks_lambda"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam),
+            ),
+            6,
+        ).alias("p_approx"),
+    ).orderBy(group_col)

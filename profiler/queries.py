@@ -12163,3 +12163,142 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text")
     )
     return secret_scan(planted, "text")
+
+
+@_register(
+    "q218_conversation_shape",
+    """
+    WITH conv AS (
+      SELECT user_id,
+             count(*) AS n_turns,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+               AS duration_s,
+             count(DISTINCT event_type) AS n_roles,
+             sum(coalesce(length(props), 0)) AS total_chars,
+             count_if(event_type = 'purchase') AS n_flagged
+      FROM events GROUP BY user_id
+    )
+    SELECT 'duration_s' AS metric, CAST(count(*) AS BIGINT) AS n_convs,
+           ROUND(sum(duration_s) / CAST(count(*) AS DOUBLE), 6) AS mean,
+           ROUND(quantile_cont(CAST(duration_s AS DOUBLE), 0.5), 6) AS p50,
+           CAST(min(duration_s) AS BIGINT) AS min,
+           CAST(max(duration_s) AS BIGINT) AS max
+    FROM conv
+    UNION ALL
+    SELECT 'n_flagged', CAST(count(*) AS BIGINT),
+           ROUND(sum(n_flagged) / CAST(count(*) AS DOUBLE), 6),
+           ROUND(quantile_cont(CAST(n_flagged AS DOUBLE), 0.5), 6),
+           CAST(min(n_flagged) AS BIGINT), CAST(max(n_flagged) AS BIGINT)
+    FROM conv
+    UNION ALL
+    SELECT 'n_roles', CAST(count(*) AS BIGINT),
+           ROUND(sum(n_roles) / CAST(count(*) AS DOUBLE), 6),
+           ROUND(quantile_cont(CAST(n_roles AS DOUBLE), 0.5), 6),
+           CAST(min(n_roles) AS BIGINT), CAST(max(n_roles) AS BIGINT)
+    FROM conv
+    UNION ALL
+    SELECT 'n_turns', CAST(count(*) AS BIGINT),
+           ROUND(sum(n_turns) / CAST(count(*) AS DOUBLE), 6),
+           ROUND(quantile_cont(CAST(n_turns AS DOUBLE), 0.5), 6),
+           CAST(min(n_turns) AS BIGINT), CAST(max(n_turns) AS BIGINT)
+    FROM conv
+    UNION ALL
+    SELECT 'total_chars', CAST(count(*) AS BIGINT),
+           ROUND(sum(total_chars) / CAST(count(*) AS DOUBLE), 6),
+           ROUND(quantile_cont(CAST(total_chars AS DOUBLE), 0.5), 6),
+           CAST(min(total_chars) AS BIGINT), CAST(max(total_chars) AS BIGINT)
+    FROM conv
+    ORDER BY metric
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript shape panel (:func:`profiler.sequence.
+    conversation_shape`): per-conversation structural metrics (turns,
+    duration, distinct roles, payload mass, flagged-turn count) reduced
+    to corpus distributions — the first table a curator reads. Two
+    shuffles total: one conversation-level hash aggregate + one global
+    aggregate with exact interpolated medians, unpivoted expression-side.
+    Integer metrics sum as exact longs (partial-order-proof means)."""
+    from profiler.sequence import conversation_shape
+
+    ev = _t(spark, sf_dir, "events")
+    return conversation_shape(
+        ev,
+        key_col="user_id",
+        role_col="event_type",
+        ts_col="ts",
+        text_col="props",
+        flag_predicate="event_type = 'purchase'",
+    )
+
+
+@_register(
+    "q219_group_ks_2s",
+    """
+    WITH a AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type AS g,
+             CAST(CASE WHEN event_type = 'error' THEN value * 1.5
+                       ELSE value END AS DOUBLE) AS v
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT g, v, 'a' AS side FROM a
+      UNION ALL SELECT g, v, 'b' FROM b
+    ),
+    counts AS (
+      SELECT g, v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY g, v
+    ),
+    tot AS (SELECT g, sum(ca) AS n_a, sum(cb) AS n_b FROM counts GROUP BY g),
+    grid AS (
+      SELECT c.g, t.n_a, t.n_b,
+             sum(c.ca) OVER (PARTITION BY c.g ORDER BY c.v) AS cum_a,
+             sum(c.cb) OVER (PARTITION BY c.g ORDER BY c.v) AS cum_b
+      FROM counts c JOIN tot t USING (g)
+    ),
+    ks AS (
+      SELECT g, max(n_a) AS n_a, max(n_b) AS n_b,
+             max(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   abs(cum_a / CAST(n_a AS DOUBLE)
+                       - cum_b / CAST(n_b AS DOUBLE)) END) AS ks
+      FROM grid GROUP BY g
+    )
+    SELECT g AS event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(ks, 6) AS ks,
+           ROUND(ks * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 6)
+             AS ks_lambda,
+           ROUND(least(1.0, 2.0 * exp(-2.0
+                 * (ks * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+                 * (ks * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))))), 6)
+             AS p_approx
+    FROM ks ORDER BY event_type
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-sliced two-sample drift (:func:`profiler.drift.
+    group_ks_2s`): snapshots A/B are seeded halves of events with a
+    planted 1.5× value shift in ONLY the 'error' segment — the per-group
+    exact KS flags that one group (p≈0) and clears the rest. One (group,
+    value) hash aggregate over both sides + |groups|-row broadcast totals
+    + group-partitioned cumulative windows; fully lazy, no driver
+    action."""
+    from profiler.drift import group_ks_2s
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.col("value") * 1.5)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "props",
+    )
+    return group_ks_2s(a, b, "value", "event_type")

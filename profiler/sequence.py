@@ -940,3 +940,78 @@ def duplicate_conversations(
         )
         .orderBy(F.desc("n_convs"), "digest")
     )
+
+
+def conversation_shape(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    flag_predicate: str | None = None,
+) -> DataFrame:
+    """Corpus-level transcript SHAPE panel: distributions of the per-
+    conversation structural metrics — ``n_turns``, ``duration_s`` (whole
+    seconds first→last turn), ``n_roles`` (distinct), ``total_chars``
+    (payload mass) and optionally ``n_flagged`` (turns matching
+    ``flag_predicate``, e.g. a tool-call test). One row per metric with
+    n_convs / mean / p50 / min / max. This is the table a transcripts
+    curator reads FIRST: a p50 of 1 turn means the corpus is prompts, not
+    dialogues; a duration max in days means sessionization leaked; a
+    n_roles min of 1 means single-speaker degenerate conversations.
+
+    Plan: one conversation-level hash aggregate (count / min-max ts /
+    collect_set(role) bounded by the role domain / length sums — all
+    map-side combinable), then ONE global aggregate over the
+    |conversations|-sized frame computes every metric's stats (exact
+    interpolated percentile for p50), unpivoted expression-side to the
+    metric-count-sized result. No window, no join, two shuffles total
+    (key agg + global agg).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000)).alias("duration_s"),
+        F.size(F.collect_set(F.col(role_col))).alias("n_roles"),
+        F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0))).alias(
+            "total_chars"
+        ),
+    ]
+    metrics = ["n_turns", "duration_s", "n_roles", "total_chars"]
+    if flag_predicate is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.expr(flag_predicate), F.lit(False)).cast("long"))
+            .alias("n_flagged")
+        )
+        metrics.append("n_flagged")
+    conv = df.groupBy(F.col(key_col)).agg(*aggs)
+    stat_aggs = [F.count(F.lit(1)).alias("__n")]
+    for m in metrics:
+        c = F.col(m).cast("long")
+        stat_aggs += [
+            # metrics are integer-valued: exact long sums keep the mean
+            # independent of partial-aggregation order (determinism rule)
+            F.sum(c).alias(f"__sum_{m}"),
+            F.percentile(c.cast("double"), F.lit(0.5)).alias(f"__p50_{m}"),
+            F.min(c).alias(f"__min_{m}"),
+            F.max(c).alias(f"__max_{m}"),
+        ]
+    row = conv.agg(*stat_aggs)
+    entries = [
+        F.struct(
+            F.lit(m).alias("metric"),
+            F.col("__n").alias("n_convs"),
+            F.round(F.col(f"__sum_{m}") / F.col("__n").cast("double"), 6).alias(
+                "mean"
+            ),
+            F.round(F.col(f"__p50_{m}"), 6).alias("p50"),
+            F.col(f"__min_{m}").alias("min"),
+            F.col(f"__max_{m}").alias("max"),
+        )
+        for m in metrics
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("metric")
+    )

@@ -771,3 +771,21 @@ def test_pattern_drift_new_and_vanished_formats(spark):
     assert out["a9a"]["n_a"] == 0 and out["a9a"]["n_b"] == 2   # new format
     assert out["a"]["n_b"] == 0                                 # vanished
     assert abs(sum(r["diff"] for r in out.values())) < 1e-9
+
+
+def test_group_ks_2s_planted_shift(spark):
+    from profiler.drift import group_ks_2s
+
+    rows_a, rows_b = [], []
+    for i in range(200):
+        rows_a.append(("g1", float(i % 50)))
+        rows_b.append(("g1", float(i % 50) + 25.0))   # shifted
+        rows_a.append(("g2", float(i % 50)))
+        rows_b.append(("g2", float(i % 50)))          # identical
+    rows_a.append(("only_a", 1.0))                     # one-sided group
+    df_a = spark.createDataFrame(rows_a, "g string, v double")
+    df_b = spark.createDataFrame(rows_b, "g string, v double")
+    out = {r["g"]: r for r in group_ks_2s(df_a, df_b, "v", "g").collect()}
+    assert out["g1"]["ks"] == 0.5 and out["g1"]["p_approx"] < 0.001
+    assert out["g2"]["ks"] == 0.0 and out["g2"]["p_approx"] == 1.0
+    assert out["only_a"]["n_b"] == 0 and out["only_a"]["ks"] is None

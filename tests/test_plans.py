@@ -747,3 +747,33 @@ def test_null_correlation_single_aggregate_pass(spark, events):
     plan = _plan(null_correlation(events, ["value", "props", "event_type"]))
     assert plan.count("Scan parquet") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_group_ks_2s_is_lazy_group_partitioned(spark, events):
+    """Two-sample grouped KS: every window group-partitioned, totals join
+    broadcast, no cartesian/nested loop, both inputs scanned once each."""
+    from profiler.drift import group_ks_2s
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(group_ks_2s(a, b, "value", "event_type"))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Window [")[1:]:
+        assert "g#" in frag.splitlines()[0]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_conversation_shape_two_aggregates_no_window(spark, events):
+    """Shape panel = conversation agg + one global agg; a Window or a
+    per-metric rescan would break the two-shuffle envelope."""
+    from profiler.sequence import conversation_shape
+
+    plan = _plan(
+        conversation_shape(
+            events, "user_id", "event_type", "ts", "props",
+            flag_predicate="event_type = 'purchase'",
+        )
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -520,3 +520,27 @@ def test_duplicate_conversations_key_sample_cap(spark):
     assert out[0]["n_convs"] == 30  # true size survives the cap
     assert out[0]["key_sample"] == "k000,k001,k002,k003,k004"
     assert out[0]["keep_key"] == "k000"
+
+
+def test_conversation_shape_golden(spark):
+    from profiler.sequence import conversation_shape
+
+    rows = [
+        ("c1", "user", "2024-01-01 10:00:00", "hi", None),
+        ("c1", "assistant", "2024-01-01 10:00:10", "hello!", None),
+        ("c1", "tool", "2024-01-01 10:00:20", "{}", "search"),
+        ("c2", "user", "2024-01-01 11:00:00", "q", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, role string, ts string, text string, tool string"
+    )
+    out = {r["metric"]: r for r in conversation_shape(
+        df, flag_predicate="tool IS NOT NULL"
+    ).collect()}
+    nt = out["n_turns"]
+    assert nt["n_convs"] == 2 and nt["min"] == 1 and nt["max"] == 3
+    assert nt["mean"] == 2.0 and nt["p50"] == 2.0
+    assert out["duration_s"]["max"] == 20 and out["duration_s"]["min"] == 0
+    assert out["n_roles"]["max"] == 3
+    assert out["n_flagged"]["mean"] == 0.5
+    assert out["total_chars"]["max"] == 10  # hi+hello!+{} = 2+6+2
