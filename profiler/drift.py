@@ -1872,3 +1872,130 @@ def group_ks_2s(
             6,
         ).alias("p_approx"),
     ).orderBy(group_col)
+
+
+def profile_diff(
+    df_a: DataFrame, df_b: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-column PROFILE diff between two snapshots: row counts, null
+    rates, means and the standardized mean shift ((mean_b − mean_a) /
+    std_a — an effect size, so "0.8" means the same thing on a cents
+    column and a token-count column). :func:`data_diff` answers "which
+    ROWS changed"; this answers the curator's cheaper first question —
+    "did the SHAPE of any column move?" — by exchanging per-column
+    sufficient statistics instead of row sets, which is also exactly what
+    a checkpointed validation run stores per partition
+    (:func:`profiler.stats.partial_profile`), so snapshot-over-snapshot
+    profile diffs are free once lineage is recorded.
+
+    Plan: one single-bucket partial_profile pass per side (exact-decimal
+    Σx/Σx², partial-order-proof) + one |cols|-row join. No raw-row
+    shuffle, no window.
+    """
+    from profiler.stats import merge_partial_profiles, partial_profile
+
+    def _side(df: DataFrame, suffix: str) -> DataFrame:
+        stats = merge_partial_profiles(
+            partial_profile(df, cols, "'all'")
+        )
+        nr = F.round(
+            F.col("n_null")
+            / (F.col("n") + F.col("n_null")).cast("double"),
+            6,
+        )
+        return stats.select(
+            "column",
+            F.col("n").alias(f"n_{suffix}"),
+            nr.alias(f"null_rate_{suffix}"),
+            F.col("mean").alias(f"mean_{suffix}"),
+            F.col("std").alias(f"std_{suffix}"),
+        )
+
+    j = _side(df_a, "a").join(_side(df_b, "b"), on="column", how="full_outer")
+    shift = F.when(
+        F.col("std_a") > 0,
+        F.round((F.col("mean_b") - F.col("mean_a")) / F.col("std_a"), 4),
+    )
+    return j.select(
+        "column",
+        "n_a",
+        "n_b",
+        "null_rate_a",
+        "null_rate_b",
+        F.round(F.col("null_rate_b") - F.col("null_rate_a"), 6).alias(
+            "null_rate_delta"
+        ),
+        "mean_a",
+        "mean_b",
+        shift.alias("std_shift"),
+    ).orderBy("column")
+
+
+def wasserstein_exact(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """EXACT two-sample 1-Wasserstein (earth-mover) distance on the raw
+    values — W₁ = ∫|F_a − F_b| dx over the pooled observed range, i.e.
+    "how far does probability mass have to move", in the COLUMN'S OWN
+    UNITS. The binned :func:`divergences_from_counts` W₁ is exact only to
+    its bucket width, and KS (sup-norm) is blind to HOW FAR the mass
+    moved — W₁ is the drift magnitude a cost model can act on. Also
+    emitted: ``w1_normalized`` = W₁ / pooled range (scale-free, 0..1).
+
+    Plan: one (value, side-count) hash aggregate collapses both inputs;
+    CDFs are cumulative windows over distinct values with the segment
+    width from ``lead(value)``; the integral is a DECIMAL(38,7) sum of
+    7-dp-rounded per-segment terms (partial-order-proof — the same
+    discipline as rarity_scores), never a raw double sum. Fully lazy.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.min("v").alias("__lo"),
+        F.max("v").alias("__hi"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    lead_v = F.lead("v").over(Window.orderBy("v"))
+    grid = counts.crossJoin(F.broadcast(tot))
+    term = (
+        F.abs(
+            F.sum("ca").over(w) / F.col("n_a").cast("double")
+            - F.sum("cb").over(w) / F.col("n_b").cast("double")
+        )
+        * (F.coalesce(lead_v, F.col("v")) - F.col("v"))
+    )
+    acc = grid.select(
+        "n_a",
+        "n_b",
+        "__lo",
+        "__hi",
+        F.round(term, 7).cast("decimal(38,7)").alias("__t"),
+    )
+    agg = acc.groupBy("n_a", "n_b", "__lo", "__hi").agg(
+        F.sum("__t").alias("__w1")
+    )
+    w1 = F.col("__w1").cast("double")
+    rng = F.col("__hi") - F.col("__lo")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(w1, 6)).alias(
+            "wasserstein"
+        ),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (rng > 0),
+            F.round(w1 / rng, 6),
+        ).alias("w1_normalized"),
+    )

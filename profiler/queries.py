@@ -12302,3 +12302,147 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     return group_ks_2s(a, b, "value", "event_type")
+
+
+@_register(
+    "q220_profile_diff",
+    """
+    WITH a_src AS (
+      SELECT CAST(value AS DOUBLE) AS value, CAST(user_id AS DOUBLE) AS user_id
+      FROM events WHERE event_id % 2 = 0
+    ),
+    b_src AS (
+      SELECT CASE WHEN event_id % 19 = 2 THEN NULL
+                  ELSE CAST(value * 1.1 AS DOUBLE) END AS value,
+             CAST(user_id AS DOUBLE) AS user_id
+      FROM events WHERE event_id % 2 = 1
+    ),
+    a_m AS (
+      SELECT 'user_id' AS "column", user_id AS x FROM a_src
+      UNION ALL SELECT 'value', value FROM a_src
+    ),
+    b_m AS (
+      SELECT 'user_id' AS "column", user_id AS x FROM b_src
+      UNION ALL SELECT 'value', value FROM b_src
+    ),
+    a_s AS (
+      SELECT "column", count(x) AS n, count_if(x IS NULL) AS n_null,
+             CAST(sum(CAST(ROUND(x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(x * x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sq
+      FROM a_m GROUP BY 1
+    ),
+    b_s AS (
+      SELECT "column", count(x) AS n, count_if(x IS NULL) AS n_null,
+             CAST(sum(CAST(ROUND(x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(x * x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sq
+      FROM b_m GROUP BY 1
+    ),
+    a_f AS (
+      SELECT "column", n AS n_a,
+             ROUND(n_null / CAST(n + n_null AS DOUBLE), 6) AS null_rate_a,
+             ROUND(s / n, 4) AS mean_a,
+             ROUND(sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)), 4)
+               AS std_a
+      FROM a_s
+    ),
+    b_f AS (
+      SELECT "column", n AS n_b,
+             ROUND(n_null / CAST(n + n_null AS DOUBLE), 6) AS null_rate_b,
+             ROUND(s / n, 4) AS mean_b
+      FROM b_s
+    )
+    SELECT a_f."column", CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           null_rate_a, null_rate_b,
+           ROUND(null_rate_b - null_rate_a, 6) AS null_rate_delta,
+           mean_a, mean_b,
+           CASE WHEN std_a > 0
+                THEN ROUND((mean_b - mean_a) / std_a, 4) END AS std_shift
+    FROM a_f JOIN b_f USING ("column") ORDER BY a_f."column"
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile diff (:func:`profiler.drift.profile_diff`):
+    snapshot B carries a planted 1.1× value scale + a 1-in-19 null
+    injection; the diff reports per-column row counts, null-rate delta
+    and the standardized mean shift — shape drift answered by exchanging
+    sufficient statistics (the checkpointed partial-profile rows), never
+    row sets. One exact-decimal aggregate per side + a |cols|-row join."""
+    from profiler.drift import profile_diff
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    )
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.when(F.col("event_id") % 19 == 2, F.lit(None).cast("double"))
+        .otherwise((F.col("value") * 1.1).cast("double"))
+        .alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    )
+    return profile_diff(a, b, ["value", "user_id"])
+
+
+@_register(
+    "q221_wasserstein_exact",
+    """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(value + 10 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b
+    ),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    tot AS (
+      SELECT sum(ca) AS n_a, sum(cb) AS n_b, min(v) AS lo, max(v) AS hi
+      FROM counts
+    ),
+    grid AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM counts
+    ),
+    terms AS (
+      SELECT t.n_a, t.n_b, t.lo, t.hi,
+             CAST(ROUND(abs(cum_a / CAST(t.n_a AS DOUBLE)
+                            - cum_b / CAST(t.n_b AS DOUBLE))
+                        * (coalesce(nv, v) - v), 7) AS DECIMAL(38,7)) AS t1
+      FROM grid, tot t
+    ),
+    agg AS (
+      SELECT n_a, n_b, lo, hi, sum(t1) AS w1
+      FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(w1 AS DOUBLE), 6) AS wasserstein,
+           ROUND(CAST(w1 AS DOUBLE) / (hi - lo), 6) AS w1_normalized
+    FROM agg
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample earth-mover distance (:func:`profiler.drift.
+    wasserstein_exact`): snapshot B is A shifted +10 in the column's own
+    units, and W₁ recovers ≈10 — the drift MAGNITUDE a remediation cost
+    model can act on, where KS only says "different". One (value,
+    side-count) aggregate + cumulative windows over distinct values;
+    the integral is a DECIMAL sum of 7-dp-rounded segment terms
+    (partial-order-proof)."""
+    from profiler.drift import wasserstein_exact
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") + 10).alias("value")
+    )
+    return wasserstein_exact(a, b, "value")

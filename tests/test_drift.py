@@ -789,3 +789,36 @@ def test_group_ks_2s_planted_shift(spark):
     assert out["g1"]["ks"] == 0.5 and out["g1"]["p_approx"] < 0.001
     assert out["g2"]["ks"] == 0.0 and out["g2"]["p_approx"] == 1.0
     assert out["only_a"]["n_b"] == 0 and out["only_a"]["ks"] is None
+
+
+def test_profile_diff_planted_shift_and_nulls(spark):
+    from profiler.drift import profile_diff
+
+    a = spark.createDataFrame([(float(i), 1.0) for i in range(100)], "x double, y double")
+    b = spark.createDataFrame(
+        [(float(i) + 29.0 if i % 10 else None, 1.0) for i in range(100)],
+        "x double, y double",
+    )
+    out = {r["column"]: r for r in profile_diff(a, b, ["x", "y"]).collect()}
+    x = out["x"]
+    assert x["n_a"] == 100 and x["n_b"] == 90
+    assert x["null_rate_a"] == 0.0 and x["null_rate_b"] == 0.1
+    assert x["null_rate_delta"] == 0.1
+    # shift of ~+29.5 on std≈29.01 -> std_shift ≈ 1.02
+    assert 0.9 < x["std_shift"] < 1.2
+    y = out["y"]
+    assert y["std_shift"] is None  # constant column: std_a == 0
+
+
+def test_wasserstein_exact_pure_shift(spark):
+    from profiler.drift import wasserstein_exact
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    b = spark.createDataFrame([(float(i) + 10.0,) for i in range(100)], "v double")
+    r = wasserstein_exact(a, b, "v").first()
+    # pure translation: W1 == the shift
+    assert abs(r["wasserstein"] - 10.0) < 0.01
+    assert r["n_a"] == 100 and r["n_b"] == 100
+    # identical samples -> 0
+    r2 = wasserstein_exact(a, a, "v").first()
+    assert r2["wasserstein"] == 0.0

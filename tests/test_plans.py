@@ -777,3 +777,15 @@ def test_conversation_shape_two_aggregates_no_window(spark, events):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_profile_diff_no_raw_row_shuffle(spark, events):
+    """Profile diff = two sufficient-stat aggregates + a |cols|-row join:
+    no window, and the join must not be a sort-merge over row-scale data."""
+    from profiler.drift import profile_diff
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(profile_diff(a, b, ["value", "user_id"]))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
