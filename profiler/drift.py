@@ -1999,3 +1999,255 @@ def wasserstein_exact(
             F.round(w1 / rng, 6),
         ).alias("w1_normalized"),
     )
+
+
+def entity_churn(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """Entity-population churn between two snapshots: how many keys
+    (conversations, users, feeds) are retained / new / churned, with the
+    retention rate, the new-entity share and the population Jaccard.
+    :func:`domain_diff` lists *which* categorical values appeared or
+    vanished; this is the one-row population-stability gate over an
+    UNBOUNDED key domain where materializing the added/removed lists is
+    itself a big result — run it first, pull the lists only when a rate
+    moves. A retention collapse catches re-keying bugs (conv_ids rewritten
+    between snapshots) that every per-column profile misses.
+
+    Plan: one distinct per side (map-side-combinable hash aggregates),
+    one full-outer join on the key, one global count aggregate — no
+    window, no driver loop; the result is a single row.
+    """
+    a = df_a.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k")
+    ).distinct().withColumn("__a", F.lit(1))
+    b = df_b.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k")
+    ).distinct().withColumn("__b", F.lit(1))
+    j = a.join(b, on="__k", how="full_outer")
+    agg = j.agg(
+        F.count("__a").alias("n_a"),
+        F.count("__b").alias("n_b"),
+        F.count_if(F.col("__a").isNotNull() & F.col("__b").isNotNull()).alias(
+            "n_retained"
+        ),
+        F.count_if(F.col("__a").isNull()).alias("n_new"),
+        F.count_if(F.col("__b").isNull()).alias("n_churned"),
+        F.count(F.lit(1)).alias("__n_union"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(num) / F.col(den).cast("double"), 6)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_retained",
+        "n_new",
+        "n_churned",
+        rate("n_retained", "n_a").alias("retention_rate"),
+        rate("n_new", "n_b").alias("new_rate"),
+        rate("n_retained", "__n_union").alias("jaccard"),
+    )
+
+
+def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """EXACT two-sample Cramér–von Mises criterion between two snapshots:
+    T = (n_a·n_b/N²) · Σ over the POOLED sample of (F_a(z) − F_b(z))²
+    (Anderson's computational form, ties handled by weighting each
+    distinct value with its pooled multiplicity). KS reacts to the single
+    worst CDF gap; CvM integrates ALL of it, so a broad small shift that
+    never produces one large gap still scores. Emitted alongside:
+    ``t_mean`` = E[T] = (N+1)/(6N) and the standardized ``t_z`` using
+    Anderson (1962)'s exact finite-sample variance
+    Var[T] = (N+1)/(45N²) · (4mnN − 3(m²+n²) − 2mn)/(4mn) — both engines
+    replay the identical algebra, so the z is deterministic.
+
+    Plan: the :func:`wasserstein_exact` skeleton — one (value, side-count)
+    hash aggregate collapses both inputs, CDFs are cumulative windows over
+    distinct values, and the sum is a DECIMAL(38,7) accumulation of
+    7-dp-rounded per-value terms (partial-order-proof). Fully lazy.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = counts.crossJoin(F.broadcast(tot))
+    gap = (
+        F.sum("ca").over(w) / F.col("n_a").cast("double")
+        - F.sum("cb").over(w) / F.col("n_b").cast("double")
+    )
+    term = (F.col("ca") + F.col("cb")).cast("double") * gap * gap
+    acc = grid.select(
+        "n_a",
+        "n_b",
+        F.round(term, 7).cast("decimal(38,7)").alias("__t"),
+    )
+    agg = acc.groupBy("n_a", "n_b").agg(F.sum("__t").alias("__s"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t = na * nb / (nn * nn) * F.col("__s").cast("double")
+    t_mean = (nn + 1) / (6.0 * nn)
+    t_var = (
+        (nn + 1)
+        / (45.0 * nn * nn)
+        * (4.0 * na * nb * nn - 3.0 * (na * na + nb * nb) - 2.0 * na * nb)
+        / (4.0 * na * nb)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(t, 6).alias("cvm_t"),
+        F.round(t_mean, 6).alias("t_mean"),
+        F.when(t_var > 0, F.round((t - t_mean) / F.sqrt(t_var), 4)).alias(
+            "t_z"
+        ),
+    )
+
+
+def anderson_darling_2s(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """EXACT two-sample Anderson–Darling statistic (Scholz–Stephens 1987
+    k-sample form at k = 2, the tie-ADJUSTED variant A²akN of their eq. 6,
+    computed over pooled distinct values): the 1/(B(N−B)) weighting makes
+    it the TAIL-sensitive member of the drift panel — a shift confined to
+    the distribution's extremes that KS/CvM under-score shows up here
+    first. Under H₀, E[A²] = k−1 = 1, so ``a2_centered = a2 − 1`` reads
+    directly as excess; full studentization needs the O(N) harmonic-sum
+    variance σ²_N, which is deliberately not computed inside a lazy plan —
+    compare a2 across runs/segments, or against the Scholz–Stephens
+    critical points, on the caller's side.
+
+    Plan: identical skeleton to :func:`cvm_2s` — one (value, side-count)
+    hash aggregate, cumulative mid-rank windows over distinct values, and
+    a DECIMAL(38,7) accumulation of 7-dp-rounded per-value terms. The
+    single-distinct-value degenerate case emits NULL (the weight
+    denominator vanishes). Fully lazy.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = counts.crossJoin(F.broadcast(tot))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    h = (F.col("ca") + F.col("cb")).cast("double")
+    b_adj = F.sum(F.col("ca") + F.col("cb")).over(w).cast("double") - h / 2.0
+    ma_adj = F.sum("ca").over(w).cast("double") - F.col("ca") / 2.0
+    mb_adj = F.sum("cb").over(w).cast("double") - F.col("cb") / 2.0
+    denom = b_adj * (nn - b_adj) - nn * h / 4.0
+    da = nn * ma_adj - na * b_adj
+    db = nn * mb_adj - nb * b_adj
+    term = F.when(
+        denom > 0,
+        (h / nn) * (da * da / na + db * db / nb) / denom,
+    ).otherwise(F.lit(0.0))
+    acc = grid.select(
+        "n_a",
+        "n_b",
+        F.round(term, 7).cast("decimal(38,7)").alias("__t"),
+        F.when(denom > 0, F.lit(0)).otherwise(F.lit(1)).alias("__degen"),
+    )
+    agg = acc.groupBy("n_a", "n_b").agg(
+        F.sum("__t").alias("__s"), F.sum("__degen").alias("__nd"),
+        F.count(F.lit(1)).alias("__L"),
+    )
+    a2 = (nn - 1) / nn * F.col("__s").cast("double")
+    ok = F.col("__L") > F.col("__nd")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(a2, 6)).alias("a2"),
+        F.when(ok, F.round(a2 - 1.0, 6)).alias("a2_centered"),
+    )
+
+
+def runs_test(
+    df: DataFrame, value_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for RANDOMNESS of a sequence around its
+    median: too FEW sign-runs means trending/clustered (a drifting daily
+    metric), too MANY means oscillation (an alternating load-balancer
+    artifact). This is the panel member that looks at the ORDER of the
+    residuals, which every distributional test (KS/CvM/AD) is blind to by
+    construction. Values equal to the median are dropped (standard
+    practice); emitted: n_above, n_below, n_runs, the exact expectation
+    μ_R = 2nm/(n+m) + 1 and the normal-approximation z from
+    σ²_R = 2nm(2nm−n−m)/((n+m)²(n+m−1)).
+
+    Plan: intended for a BOUNDED series frame (a calendar-sized daily
+    rollup, a |groups|-sized panel) — the run count needs one
+    unpartitioned ordered window, which is safe exactly because the frame
+    is domain-sized, the same envelope as ``rolling_daily_stats``. The
+    median is an exact ``percentile`` attached via a 1-row broadcast.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *order_cols, v.alias("__v")
+    )
+    med = base.agg(F.percentile(F.col("__v"), F.lit(0.5)).alias("__med"))
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("__v") != F.col("__med"))
+        .select(
+            *order_cols,
+            F.when(F.col("__v") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__s"),
+        )
+    )
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+    flips = signed.select(
+        F.col("__s"),
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.lag("__s").over(w) != F.col("__s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new_run"),
+    )
+    agg = flips.agg(
+        F.count_if(F.col("__s") == 1).alias("n_above"),
+        F.count_if(F.col("__s") == -1).alias("n_below"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_above").cast("double")
+    m = F.col("n_below").cast("double")
+    mu = 2.0 * n * m / (n + m) + 1.0
+    var = (
+        2.0 * n * m * (2.0 * n * m - n - m)
+        / ((n + m) * (n + m) * (n + m - 1.0))
+    )
+    return agg.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when((n > 0) & (m > 0), F.round(mu, 4)).alias("mean_runs"),
+        F.when(
+            (n > 0) & (m > 0) & (var > 0),
+            F.round((F.col("n_runs") - mu) / F.sqrt(var), 4),
+        ).alias("z"),
+    )

@@ -12446,3 +12446,658 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") + 10).alias("value")
     )
     return wasserstein_exact(a, b, "value")
+
+
+# ===========================================================================
+# Q222–Q231. Session-5: forward sequencing + append-only audit, entity
+# churn, CvM/AD/runs drift panel members, robust-trend + EWMA monitoring
+# ===========================================================================
+@_register(
+    "q222_followed_by",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type AS state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_state
+      FROM events
+    )
+    SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, state, next_state
+    FROM seq
+    WHERE state = 'signup'
+      AND (next_state IS NULL OR next_state NOT IN ('click', 'view'))
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward sequencing check (:func:`profiler.sequence.followed_by`):
+    every 'signup' must be immediately FOLLOWED in its user stream by a
+    'click' or 'view' — the transcripts shape is "an assistant turn that
+    issues a tool call is dangling unless the next turn is the tool
+    result", the invocation-side half of pairing that q172's
+    ``preceded_by`` (orphan results) cannot see; a stream-final target is
+    a violation by definition. Single window lead + a map-side literal IN
+    predicate, no join."""
+    from profiler.sequence import followed_by
+
+    ev = _t(spark, sf_dir, "events")
+    v = followed_by(
+        ev,
+        "signup",
+        ["click", "view"],
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+    return v.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_id",
+        "state",
+        "next_state",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@_register(
+    "q223_append_only",
+    """
+    WITH b_all AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN user_id = 3 AND event_id % 7 = 0
+                  THEN 'REWRITTEN' ELSE event_type END AS payload
+      FROM events
+      WHERE NOT (user_id = 11 AND event_id % 5 <> 0)
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n_turns_a,
+             md5(string_agg(event_type, chr(31) ORDER BY ts, event_id))
+               AS digest_a
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+    ),
+    b_rn AS (
+      SELECT user_id, payload, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_turns_b
+      FROM b_all
+    ),
+    b_pref AS (
+      SELECT b.user_id, max(b.n_turns_b) AS n_turns_b,
+             md5(string_agg(b.payload, chr(31) ORDER BY b.ts, b.event_id))
+               AS digest_p
+      FROM b_rn b JOIN a USING (user_id)
+      WHERE b.rn <= a.n_turns_a
+      GROUP BY b.user_id
+    ),
+    j AS (
+      SELECT a.user_id, a.n_turns_a, p.n_turns_b,
+             CASE WHEN p.n_turns_b < a.n_turns_a THEN 'truncated'
+                  WHEN p.digest_p <> a.digest_a THEN 'rewritten'
+             END AS status
+      FROM a JOIN b_pref p USING (user_id)
+    )
+    SELECT user_id, n_turns_a, CAST(n_turns_b AS BIGINT) AS n_turns_b,
+           status
+    FROM j WHERE status IS NOT NULL ORDER BY user_id
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only history audit (:func:`profiler.sequence.
+    append_only_check`): snapshot A is the pre-2024-01-20 prefix of every
+    user stream; snapshot B is the full table with TWO planted
+    corruptions — user 3's history edited in place (payload rewritten on
+    a seeded subset) and user 11 truncated below its A length. The audit
+    flags exactly those two as 'rewritten'/'truncated' while every
+    legitimately-appended stream passes — the transcripts-store invariant
+    that a conversation may only GROW between snapshots. One digest
+    aggregate per side + one |keys|-sized join; B's prefix is sliced from
+    its order-sorted payload array, A's text is never re-read."""
+    from profiler.sequence import append_only_check
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("ts") < F.lit("2024-01-20").cast("timestamp")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("payload")
+    )
+    b = ev.where(
+        ~((F.col("user_id") == 11) & (F.col("event_id") % 5 != 0))
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.col("user_id") == 3) & (F.col("event_id") % 7 == 0),
+            F.lit("REWRITTEN"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("payload"),
+    )
+    return append_only_check(
+        a,
+        b,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        payload_col="payload",
+    )
+
+
+@_register(
+    "q224_entity_churn",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01'
+        AND ts < TIMESTAMP '2024-01-01 08:00:00' AND user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-30 16:00:00'
+        AND ts < TIMESTAMP '2024-01-31' AND user_id IS NOT NULL
+    ),
+    j AS (
+      SELECT a.user_id AS ka, b.user_id AS kb
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT count(ka) AS n_a, count(kb) AS n_b,
+           count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL)
+             AS n_retained,
+           count(*) FILTER (WHERE ka IS NULL) AS n_new,
+           count(*) FILTER (WHERE kb IS NULL) AS n_churned,
+           ROUND(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL)
+                 / CAST(count(ka) AS DOUBLE), 6) AS retention_rate,
+           ROUND(count(*) FILTER (WHERE ka IS NULL)
+                 / CAST(count(kb) AS DOUBLE), 6) AS new_rate,
+           ROUND(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL)
+                 / CAST(count(*) AS DOUBLE), 6) AS jaccard
+    FROM j
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-population churn (:func:`profiler.drift.entity_churn`):
+    users active in the opening 8 hours of the month vs the closing 8
+    hours — retained / new / churned counts, retention and new-entity
+    rates, population Jaccard. The one-row population-stability gate that catches re-keying
+    bugs (every conv_id rewritten between snapshots reads as 0%
+    retention) before any per-column profile runs. Two distinct
+    aggregates + one full-outer join + one global count row."""
+    from profiler.drift import entity_churn
+
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    a = ev.where(
+        (ts >= F.lit("2024-01-01").cast("timestamp"))
+        & (ts < F.lit("2024-01-01 08:00:00").cast("timestamp"))
+    )
+    b = ev.where(
+        (ts >= F.lit("2024-01-30 16:00:00").cast("timestamp"))
+        & (ts < F.lit("2024-01-31").cast("timestamp"))
+    )
+    return entity_churn(a, b, "user_id")
+
+
+@_register(
+    "q225_cvm_2s",
+    """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(value * 1.2 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    m AS (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM counts),
+    grid AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM counts
+    ),
+    terms AS (
+      SELECT t.n_a, t.n_b,
+             CAST(ROUND(
+               CAST(ca + cb AS DOUBLE)
+               * (cum_a / CAST(t.n_a AS DOUBLE)
+                  - cum_b / CAST(t.n_b AS DOUBLE))
+               * (cum_a / CAST(t.n_a AS DOUBLE)
+                  - cum_b / CAST(t.n_b AS DOUBLE)), 7)
+             AS DECIMAL(38,7)) AS t1
+      FROM grid, tot t
+    ),
+    agg AS (SELECT n_a, n_b, sum(t1) AS s FROM terms GROUP BY 1, 2),
+    sel AS (
+      SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(s AS DOUBLE) AS s
+      FROM agg
+    ),
+    fin AS (
+      SELECT na, nb,
+             na * nb / ((na + nb) * (na + nb)) * s AS t,
+             (na + nb + 1) / (6.0 * (na + nb)) AS tm,
+             (na + nb + 1) / (45.0 * (na + nb) * (na + nb))
+               * (4.0 * na * nb * (na + nb)
+                  - 3.0 * (na * na + nb * nb) - 2.0 * na * nb)
+               / (4.0 * na * nb) AS tv
+      FROM sel
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(t, 6) AS cvm_t, ROUND(tm, 6) AS t_mean,
+           CASE WHEN tv > 0 THEN ROUND((t - tm) / sqrt(tv), 4) END AS t_z
+    FROM fin
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramér–von Mises (:func:`profiler.drift.cvm_2s`):
+    snapshot B is A scaled 1.2× — a broad shift spread over the whole
+    CDF, the case CvM integrates while KS sees only the single worst gap.
+    Emits the criterion plus its exact finite-sample mean and the
+    Anderson (1962) variance-standardized z. One (value, side-count)
+    aggregate + cumulative windows + a DECIMAL sum of 7-dp terms."""
+    from profiler.drift import cvm_2s
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.2).alias("value")
+    )
+    return cvm_2s(a, b, "value")
+
+
+@_register(
+    "q226_ad_2s",
+    """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(value * 1.15 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    m AS (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM counts),
+    grid AS (
+      SELECT v, ca, cb,
+             CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) - ca / 2.0 AS ma,
+             CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) - cb / 2.0 AS mb,
+             CAST(sum(ca + cb) OVER (ORDER BY v) AS DOUBLE)
+               - (ca + cb) / 2.0 AS ba,
+             CAST(ca + cb AS DOUBLE) AS h
+      FROM counts
+    ),
+    terms AS (
+      SELECT CAST(t.n_a AS DOUBLE) AS na, CAST(t.n_b AS DOUBLE) AS nb,
+             ba * ((CAST(t.n_a AS DOUBLE) + t.n_b) - ba)
+               - (CAST(t.n_a AS DOUBLE) + t.n_b) * h / 4.0 AS denom,
+             (CAST(t.n_a AS DOUBLE) + t.n_b) * ma
+               - CAST(t.n_a AS DOUBLE) * ba AS da,
+             (CAST(t.n_a AS DOUBLE) + t.n_b) * mb
+               - CAST(t.n_b AS DOUBLE) * ba AS db,
+             h
+      FROM grid, tot t
+    ),
+    acc AS (
+      SELECT na, nb,
+             CAST(ROUND(CASE WHEN denom > 0 THEN
+               (h / (na + nb)) * (da * da / na + db * db / nb) / denom
+               ELSE 0.0 END, 7) AS DECIMAL(38,7)) AS t1,
+             CASE WHEN denom > 0 THEN 0 ELSE 1 END AS degen
+      FROM terms
+    ),
+    agg AS (
+      SELECT na, nb, sum(t1) AS s, sum(degen) AS nd, count(*) AS L
+      FROM acc GROUP BY 1, 2
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN L > nd THEN
+             ROUND((na + nb - 1) / (na + nb) * CAST(s AS DOUBLE), 6)
+           END AS a2,
+           CASE WHEN L > nd THEN
+             ROUND((na + nb - 1) / (na + nb) * CAST(s AS DOUBLE) - 1.0, 6)
+           END AS a2_centered
+    FROM agg
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Anderson–Darling (:func:`profiler.drift.
+    anderson_darling_2s`, Scholz–Stephens tie-adjusted A²akN at k = 2):
+    snapshot B is A scaled 1.15× — the 1/(B(N−B)) weighting makes this
+    the tail-sensitive drift panel member. Same (value, side-count)
+    aggregate + cumulative mid-rank windows + DECIMAL term-sum skeleton
+    as CvM; the degenerate single-value case emits NULL."""
+    from profiler.drift import anderson_darling_2s
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.15).alias("value")
+    )
+    return anderson_darling_2s(a, b, "value")
+
+
+@_register(
+    "q227_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(sum(CAST(ROUND(value, 4) AS DECIMAL(28,4)))
+                        AS DOUBLE) / count(*), 6) AS dmean
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(dmean, 0.5) AS m FROM daily
+            WHERE dmean IS NOT NULL),
+    signed AS (
+      SELECT day, CASE WHEN dmean > m THEN 1 ELSE -1 END AS s
+      FROM daily, med WHERE dmean IS NOT NULL AND dmean <> m
+    ),
+    flips AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                       OR lag(s) OVER (ORDER BY day) <> s
+                     THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    agg AS (
+      SELECT count_if(s = 1) AS n_above, count_if(s = -1) AS n_below,
+             CAST(sum(new_run) AS BIGINT) AS n_runs
+      FROM flips
+    ),
+    fin AS (
+      SELECT n_above, n_below, n_runs,
+             CAST(n_above AS DOUBLE) AS n, CAST(n_below AS DOUBLE) AS m
+      FROM agg
+    )
+    SELECT n_above, n_below, n_runs,
+           CASE WHEN n > 0 AND m > 0
+                THEN ROUND(2.0 * n * m / (n + m) + 1.0, 4) END AS mean_runs,
+           CASE WHEN n > 0 AND m > 0
+                 AND 2.0 * n * m * (2.0 * n * m - n - m)
+                     / ((n + m) * (n + m) * (n + m - 1.0)) > 0
+                THEN ROUND((n_runs - (2.0 * n * m / (n + m) + 1.0))
+                     / sqrt(2.0 * n * m * (2.0 * n * m - n - m)
+                            / ((n + m) * (n + m) * (n + m - 1.0))), 4)
+           END AS z
+    FROM fin
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (:func:`profiler.drift.runs_test`) on the
+    daily-mean series: too few sign-runs around the median = trending,
+    too many = oscillating — the ORDER-sensitive drift panel member that
+    distributional tests are blind to by construction. Rows collapse to
+    the |days|-sized daily frame first; the run count is one ordered
+    window over that bounded frame."""
+    from profiler.drift import runs_test
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 4).cast("decimal(28,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dmean")
+        )
+    )
+    return runs_test(daily, "dmean", ["day"])
+
+
+@_register(
+    "q228_theil_sen",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT ROUND((b.y - a.y) / (b.x - a.x), 8) AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    sl AS (
+      SELECT quantile_cont(s, 0.5) AS slope, count(*) AS n_pairs FROM pairs
+    ),
+    it AS (
+      SELECT slope, n_pairs, count(*) AS n_points,
+             quantile_cont(ROUND(y - slope * x, 8), 0.5) AS intercept
+      FROM daily, sl GROUP BY 1, 2
+    )
+    SELECT n_points, n_pairs, ROUND(slope, 6) AS slope,
+           ROUND(intercept, 4) AS intercept
+    FROM it
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (:func:`profiler.timeseries.theil_sen`) on
+    the daily-volume series: the exact median of all pairwise slopes +
+    the median intercept — the outlier-tolerant answer to "is volume
+    really decaying?" that the least-squares ``completeness_trend``
+    can't give on incident-scarred series. The |days|² pair join is
+    calendar-bounded regardless of table size."""
+    from profiler.timeseries import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).alias("x"), "y")
+    )
+    return theil_sen(daily, "x", "y")
+
+
+@_register(
+    "q229_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, x, y, (x + 3) % 7 AS dow,
+             CASE WHEN count(*) OVER w7 = 7 THEN
+               CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) OVER w7
+                    AS DOUBLE) / 7.0
+             END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT *, CAST(ROUND(y - trend, 6) AS DECIMAL(28,6)) AS d FROM tr
+    ),
+    dm AS (
+      SELECT dow, CAST(sum(d) AS DOUBLE) / CAST(count(d) AS DOUBLE)
+               AS sraw
+      FROM detr GROUP BY dow
+    ),
+    g AS (
+      SELECT CAST(sum(CAST(ROUND(sraw, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS gm
+      FROM dm
+    ),
+    seas AS (SELECT dow, sraw - gm AS seasonal FROM dm, g)
+    SELECT CAST(t.day AS VARCHAR) AS day, t.dow,
+           ROUND(t.y, 4) AS y, ROUND(t.trend, 4) AS trend,
+           ROUND(s.seasonal, 4) AS seasonal,
+           ROUND(t.y - t.trend - s.seasonal, 4) AS residual
+    FROM detr t LEFT JOIN seas s USING (dow)
+    ORDER BY day
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (:func:`profiler.timeseries.
+    seasonal_decompose`) of daily volume: centered 7-day MA trend
+    (NULL unless all 7 calendar days present), zero-centered day-of-week
+    seasonal means of the detrended series, and the residual a control
+    chart should actually watch. Day-of-week is pure epoch-day
+    arithmetic so both engines agree by construction; all means are
+    exact DECIMAL sums over the |days|-sized frame."""
+    from profiler.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return seasonal_decompose(daily, "day", "y")
+
+
+@_register(
+    "q230_ewma_control",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             ROUND(CAST(sum(CAST(ROUND(value, 4) AS DECIMAL(28,4)))
+                        AS DOUBLE) / count(*), 6) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, y, row_number() OVER (ORDER BY x) AS t
+      FROM daily WHERE y IS NOT NULL
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sq
+      FROM idx
+    ),
+    st AS (
+      SELECT s / n AS mu,
+             sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) AS sd
+      FROM stats
+    ),
+    acc AS (
+      SELECT i.x, i.y, i.t,
+             sum(CAST(ROUND(0.5 * pow(0.5, i.t - a.t) * a.y, 8)
+                      AS DECIMAL(38,8))) AS acc
+      FROM idx i JOIN idx a ON a.t <= i.t
+      GROUP BY i.x, i.y, i.t
+    ),
+    fin AS (
+      SELECT t, x, y,
+             CAST(acc AS DOUBLE) + pow(0.5, t) * mu AS z,
+             mu, 3.0 * sd * sqrt((0.5 / 1.5) * (1.0 - pow(0.25, t))) AS hw
+      FROM acc, st
+    )
+    SELECT CAST(t AS BIGINT) AS t, x, ROUND(y, 4) AS y,
+           ROUND(z, 4) AS ewma,
+           ROUND(mu + hw, 4) AS ucl, ROUND(mu - hw, 4) AS lcl,
+           (z > mu + hw OR z < mu - hw) AS out_of_control
+    FROM fin ORDER BY t
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (:func:`profiler.timeseries.ewma_control`,
+    λ = 0.5, k = 3) over the daily-mean series: accumulates evidence so a
+    sustained small shift trips it where the Shewhart chart (q146) needs
+    one big jump. λ = 0.5 makes every weight dyadic-exact in binary, so
+    both engines replay the recursion digit-for-digit; the recursion
+    unrolls as a |days|²-bounded pair join with DECIMAL term sums."""
+    from profiler.timeseries import ewma_control
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 4).cast("decimal(28,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y")
+        )
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return ewma_control(daily, "x", "y", lam=0.5, k=3.0)
+
+
+@_register(
+    "q231_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS u,
+             ROUND(CAST(sum(CAST(ROUND(value, 4) AS DECIMAL(28,4)))
+                        AS DOUBLE) / count(*), 6) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT day, u, v FROM daily WHERE u IS NOT NULL AND v IS NOT NULL
+    ),
+    cls AS (
+      SELECT sign(b.u - a.u) AS su, sign(b.v - a.v) AS sv
+      FROM base a JOIN base b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT count(*) AS n0,
+             count_if(su * sv > 0) AS nc, count_if(su * sv < 0) AS nd,
+             count_if(su = 0) AS n1, count_if(sv = 0) AS n2
+      FROM cls
+    ),
+    fin AS (
+      SELECT CAST(n0 AS DOUBLE) AS n0d, nc, nd,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             (1.0 + sqrt(1.0 + 8.0 * n0)) / 2.0 AS nf
+      FROM agg
+    )
+    SELECT CAST(ROUND(nf, 0) AS BIGINT) AS n,
+           nc AS n_concordant, nd AS n_discordant,
+           CASE WHEN sqrt((n0d - n1d) * (n0d - n2d)) > 0
+                THEN ROUND((nc - nd) / sqrt((n0d - n1d) * (n0d - n2d)), 6)
+           END AS tau_b,
+           CASE WHEN sqrt(nf * (nf - 1.0) * (2.0 * nf + 5.0) / 2.0) > 0
+                THEN ROUND(3.0 * (nc - nd)
+                     / sqrt(nf * (nf - 1.0) * (2.0 * nf + 5.0) / 2.0), 4)
+           END AS z
+    FROM fin
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall τ-b (:func:`profiler.timeseries.kendall_tau`)
+    between daily volume and daily mean value: fully tie-corrected
+    concordant/discordant pair counting — the monotonic-association test
+    whose normal approximation is already accurate on a month of days,
+    where Spearman's squared rank gaps let two outlier days dominate.
+    Pure integer pair counting over the |days|²-bounded join: exact, no
+    accumulation-order concern at all."""
+    from profiler.timeseries import kendall_tau
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("u"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 4).cast("decimal(28,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v"),
+        )
+    )
+    return kendall_tau(daily, "day", "u", "v")

@@ -1015,3 +1015,108 @@ def conversation_shape(
         .select("s.*")
         .orderBy("metric")
     )
+
+
+def followed_by(
+    df: DataFrame,
+    target: str,
+    allowed_successors: Sequence[str],
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Forward referential sequencing check — the dual of
+    :func:`preceded_by`: every ``target``-state turn must be IMMEDIATELY
+    followed (same conversation, stable order) by a turn whose state is in
+    ``allowed_successors``. The transcripts reading: an assistant turn
+    that ISSUES a tool call is *dangling* unless the very next turn is the
+    tool-result turn — the invocation-side half of tool-call pairing,
+    which :func:`preceded_by` (orphan results) cannot see. A
+    conversation-final target is a violation by definition
+    (``next_state = NULL`` — the call never got its result).
+
+    Returns the materialized violation rows (key, order columns, state,
+    next_state). Same single-window plan as :func:`preceded_by` with
+    ``lead`` instead of ``lag``; the allowed set is a literal IN predicate
+    evaluated map-side after the window, no join.
+    """
+    w = _seq_window(key_col, order_cols)
+    next_state = F.lead(F.col(state_col)).over(w)
+    out = df.select(
+        key_col,
+        *order_cols,
+        F.col(state_col).alias("state"),
+        next_state.alias("next_state"),
+    ).where(
+        (F.col("state") == target)
+        & (
+            F.col("next_state").isNull()
+            | ~F.col("next_state").isin(*[str(s) for s in allowed_successors])
+        )
+    )
+    return out.orderBy(key_col, *order_cols)
+
+
+def append_only_check(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    payload_col: str = "text",
+) -> DataFrame:
+    """Append-only history audit between two snapshots of a transcripts
+    table: for every conversation present in BOTH, snapshot B may only
+    APPEND turns — its first ``n_turns_a`` turns (stable order) must carry
+    byte-identical payloads to snapshot A's. :func:`sequence_digest_diff`
+    flags *any* difference; this separates the legitimate case (the
+    conversation continued) from the two corruption cases a
+    continuously-ingested transcripts store must never produce:
+    ``truncated`` (B has fewer turns than A) and ``rewritten`` (B's prefix
+    digest differs from A's digest — history was edited in place). Only
+    violations are returned; appended-to and untouched conversations never
+    leave the join.
+
+    Plan: snapshot A collapses to |conversations| digests
+    (:func:`sequence_digest` — bounded per-conversation state). Snapshot B
+    aggregates the same order-sorted payload array per key, joins A's
+    (n_turns_a, digest_a) on the conversation key (both sides already
+    |conversations|-sized; on a conv_id-bucketed table this join is
+    co-located), slices the first ``n_turns_a`` payloads and digests them
+    — no window, no re-read of A's text.
+    """
+    a = sequence_digest(df_a, key_col, order_cols, payload_col).select(
+        F.col(key_col),
+        F.col("n_turns").alias("n_turns_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    order_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(payload_col).cast("string").alias("__p"),
+    )
+    b = df_b.groupBy(F.col(key_col)).agg(
+        F.array_sort(F.collect_list(order_struct)).alias("__arr")
+    )
+    j = b.join(a, on=key_col, how="inner")
+    prefix_digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.expr("slice(__arr, 1, n_turns_a)"), lambda t: t["__p"]
+            ),
+            DIGEST_SEP,
+            "",
+        )
+    )
+    status = (
+        F.when(F.size("__arr") < F.col("n_turns_a"), F.lit("truncated"))
+        .when(prefix_digest != F.col("digest_a"), F.lit("rewritten"))
+    )
+    return (
+        j.select(
+            key_col,
+            "n_turns_a",
+            F.size("__arr").cast("long").alias("n_turns_b"),
+            status.alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+        .orderBy(key_col)
+    )

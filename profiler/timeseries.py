@@ -1215,3 +1215,316 @@ def timestamp_sanity(
         weekend.alias("n_weekend"),
         frac(weekend).alias("frac_weekend"),
     )
+
+
+def theil_sen(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil–Sen ROBUST trend estimate over a bounded series frame: the
+    exact median of all pairwise slopes (y_j−y_i)/(x_j−x_i), with the
+    matching median intercept. The least-squares slopes in
+    :func:`profiler.drift.completeness_trend` move with a single outlier
+    day (one backfill spike rewrites the trend); the Theil–Sen line
+    tolerates up to ~29% contamination, so it answers "is volume REALLY
+    decaying?" on real, incident-scarred monitoring series.
+
+    Plan: intended for the DAILY rollup (the |days|-sized frame every
+    monitoring op here runs on): the pairwise self-join is |days|² — a
+    year is ~66k slope rows, constant-bounded regardless of table size.
+    Slopes are 8-dp-rounded before the exact ``percentile`` median so
+    both engines see identical inputs; the intercept median reuses the
+    1-row slope via a broadcast.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    a = base.select(F.col("__x").alias("xa"), F.col("__y").alias("ya"))
+    b = base.select(F.col("__x").alias("xb"), F.col("__y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb"))
+    slope_terms = pairs.select(
+        F.round(
+            (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 8
+        ).alias("__s")
+    )
+    slope = slope_terms.agg(
+        F.percentile(F.col("__s"), F.lit(0.5)).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    inter = (
+        base.crossJoin(F.broadcast(slope))
+        .select(
+            "slope",
+            "n_pairs",
+            F.round(F.col("__y") - F.col("slope") * F.col("__x"), 8).alias(
+                "__i"
+            ),
+        )
+        .groupBy("slope", "n_pairs")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.percentile(F.col("__i"), F.lit(0.5)).alias("intercept"),
+        )
+    )
+    return inter.select(
+        "n_points",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame, day_col: str, y_col: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a DAILY series:
+    ``y = trend + seasonal + residual`` with the trend a centered 7-day
+    moving average (NULL unless all 7 calendar days are present), the
+    seasonal component the day-of-week means of the detrended series
+    re-centered to sum to zero, and the residual what monitoring should
+    actually alert on — :func:`seasonal_volume_anomaly` flags one day
+    against its weekday baseline; this hands back the full decomposition
+    so a drift test (:func:`profiler.drift.runs_test`, a control chart)
+    runs on RESIDUALS instead of raw values that mix weekend rhythm into
+    every statistic.
+
+    Plan: runs entirely on the |days|-sized daily frame (the caller
+    aggregates rows → days first, as everywhere in this module). The
+    trend is a RANGE window over the calendar day index (gaps make the
+    window under-full → NULL, never a silently-shorter average); the
+    seasonal means are a 7-row aggregate joined back by broadcast.
+    Day-of-week is pure epoch-day arithmetic (``(unix_date+3) mod 7``,
+    Monday = 0) so both engines agree by construction; every mean is an
+    exact DECIMAL sum of 6-dp-rounded inputs divided by its count.
+    """
+    day = F.col(day_col).cast("date")
+    y = F.col(y_col).cast("double")
+    base = df.where(day.isNotNull() & y.isNotNull()).select(
+        day.alias("day"),
+        y.alias("y"),
+        F.unix_date(day).alias("__x"),
+    )
+    w = Window.orderBy("__x").rangeBetween(-3, 3)
+    ydec = F.round(F.col("y"), 6).cast("decimal(28,6)")
+    trended = base.select(
+        "day",
+        "y",
+        "__x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum(ydec).over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+        F.pmod(F.col("__x") + 3, F.lit(7)).alias("dow"),
+    )
+    detr = F.round(F.col("y") - F.col("trend"), 6).cast("decimal(28,6)")
+    trended = trended.withColumn("__d", detr)
+    dow_means = trended.groupBy("dow").agg(
+        (
+            F.sum("__d").cast("double")
+            / F.count("__d").cast("double")
+        ).alias("__sraw")
+    )
+    grand = dow_means.agg(
+        (
+            F.sum(F.round(F.col("__sraw"), 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__g")
+    )
+    seas = dow_means.crossJoin(F.broadcast(grand)).select(
+        "dow", (F.col("__sraw") - F.col("__g")).alias("__seas")
+    )
+    out = trended.join(F.broadcast(seas), on="dow", how="left")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "dow",
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("__seas", 4).alias("seasonal"),
+        F.round(
+            F.col("y") - F.col("trend") - F.col("__seas"), 4
+        ).alias("residual"),
+    ).orderBy("day")
+
+
+def ewma_control(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lam: float = 0.5,
+    k: float = 3.0,
+    baseline_n: int | None = None,
+) -> DataFrame:
+    """EWMA control chart over a bounded series frame: z_t = λ·y_t +
+    (1−λ)·z_{t−1} seeded at the baseline mean, with the standard
+    time-varying control limits μ ± k·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). The
+    Shewhart chart (:func:`profiler.drift.metric_control_chart`) needs a
+    ≥kσ single-day jump; the EWMA accumulates evidence, so a sustained
+    0.5σ drift trips it in days — the small-persistent-shift detector of
+    the monitoring panel.
+
+    ``baseline_n`` fits μ/σ on only the first n in-order points (the
+    in-control reference window of SPC practice) so a later shift can't
+    contaminate its own control limits; the default ``None`` fits the
+    whole series — self-normalizing, fine for "was this window ever
+    unusual?" retrospectives, but a persistent step inflates σ and the
+    chart under-alarms. Monitoring callers should pass a baseline.
+
+    The default λ = 0.5 is deliberate: (1−λ) is then dyadic, every weight
+    (1−λ)^d is EXACT in binary floating point, and both engines replay
+    the recursion digit-for-digit (other λ work, with ordinary last-ulp
+    pow() caveats). μ and σ come from exact DECIMAL Σy/Σy²; the recursion
+    itself unrolls as a pairwise self-join over the |days|²-bounded frame
+    with 8-dp-rounded DECIMAL term sums — no sequential dependency, no
+    driver loop.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    idx = base.select(
+        "__x", "__y", F.row_number().over(wn).alias("__t")
+    )
+    fit = idx if baseline_n is None else idx.where(
+        F.col("__t") <= int(baseline_n)
+    )
+    stats = fit.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.col("__y"), 6).cast("decimal(28,6)")).alias("__s"),
+        F.sum(F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)")).alias(
+            "__sq"
+        ),
+    ).select(
+        "__n",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("__sq").cast("double")
+                    - F.col("__s").cast("double")
+                    * F.col("__s").cast("double")
+                    / F.col("__n")
+                )
+                / (F.col("__n") - F.lit(1.0)),
+                F.lit(0.0),
+            )
+        ).alias("__sd"),
+    )
+    a = idx.select(F.col("__t").alias("ti"), F.col("__y").alias("yi"))
+    terms = (
+        idx.join(a, F.col("ti") <= F.col("__t"))
+        .select(
+            "__x",
+            "__y",
+            "__t",
+            F.round(
+                F.lit(lam)
+                * F.pow(F.lit(1.0 - lam), F.col("__t") - F.col("ti"))
+                * F.col("yi"),
+                8,
+            )
+            .cast("decimal(38,8)")
+            .alias("__term"),
+        )
+        .groupBy("__x", "__y", "__t")
+        .agg(F.sum("__term").alias("__acc"))
+    )
+    z = (
+        F.col("__acc").cast("double")
+        + F.pow(F.lit(1.0 - lam), F.col("__t")) * F.col("__mu")
+    )
+    half_width = (
+        F.lit(k)
+        * F.col("__sd")
+        * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (
+                F.lit(1.0)
+                - F.pow(F.lit((1.0 - lam) * (1.0 - lam)), F.col("__t"))
+            )
+        )
+    )
+    out = terms.crossJoin(F.broadcast(stats))
+    return out.select(
+        F.col("__t").cast("long").alias("t"),
+        F.col("__x").alias("x"),
+        F.round("__y", 4).alias("y"),
+        F.round(z, 4).alias("ewma"),
+        F.round(F.col("__mu") + half_width, 4).alias("ucl"),
+        F.round(F.col("__mu") - half_width, 4).alias("lcl"),
+        (
+            (z > F.col("__mu") + half_width)
+            | (z < F.col("__mu") - half_width)
+        ).alias("out_of_control"),
+    ).orderBy("t")
+
+
+def kendall_tau(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """EXACT Kendall τ-b rank correlation between two series sharing a
+    key (two daily metrics, two per-segment rates): the fully
+    tie-corrected concordant/discordant pair count. Spearman
+    (:func:`profiler.profile.spearman_matrix`) squares rank gaps, so a
+    few large rank jumps dominate it; τ counts pair ORDER agreements,
+    is robust to them, and its normal approximation is accurate from
+    n ≈ 10 — the right monotonic-association test for short monitoring
+    series. Emits (n, n_concordant, n_discordant, tau_b, z) with
+    z = 3(nc−nd)/√(n(n−1)(2n+5)/2).
+
+    Plan: intended for bounded frames — the pair classification is a
+    |keys|² self-join (a year of days is ~66k pairs, constant-bounded);
+    everything is integer pair counting, so the statistic is exact with
+    no accumulation-order concern at all.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__u"),
+        F.col(y_col).cast("double").alias("__v"),
+    ).where(
+        F.col("__k").isNotNull()
+        & F.col("__u").isNotNull()
+        & F.col("__v").isNotNull()
+    )
+    a = base.select(
+        F.col("__k").alias("ka"), F.col("__u").alias("ua"), F.col("__v").alias("va")
+    )
+    b = base.select(
+        F.col("__k").alias("kb"), F.col("__u").alias("ub"), F.col("__v").alias("vb")
+    )
+    pairs = a.join(b, F.col("ka") < F.col("kb"))
+    su = F.signum(F.col("ub") - F.col("ua"))
+    sv = F.signum(F.col("vb") - F.col("va"))
+    cls = pairs.select(su.alias("__su"), sv.alias("__sv"))
+    agg = cls.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("__su") * F.col("__sv") > 0).alias("nc"),
+        F.count_if(F.col("__su") * F.col("__sv") < 0).alias("nd"),
+        F.count_if(F.col("__su") == 0).alias("__n1"),
+        F.count_if(F.col("__sv") == 0).alias("__n2"),
+    )
+    counted = agg.select(
+        "*",
+        (
+            (F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * F.col("n0"))) / 2.0
+        ).alias("__nf"),
+    )
+    n0 = F.col("n0").cast("double")
+    denom = F.sqrt((n0 - F.col("__n1")) * (n0 - F.col("__n2")))
+    nf = F.col("__nf")
+    zden = F.sqrt(nf * (nf - 1.0) * (2.0 * nf + 5.0) / 2.0)
+    return counted.select(
+        F.round(nf, 0).cast("long").alias("n"),
+        F.col("nc").alias("n_concordant"),
+        F.col("nd").alias("n_discordant"),
+        F.when(
+            denom > 0,
+            F.round((F.col("nc") - F.col("nd")) / denom, 6),
+        ).alias("tau_b"),
+        F.when(
+            zden > 0,
+            F.round(3.0 * (F.col("nc") - F.col("nd")) / zden, 4),
+        ).alias("z"),
+    )

@@ -822,3 +822,126 @@ def test_wasserstein_exact_pure_shift(spark):
     # identical samples -> 0
     r2 = wasserstein_exact(a, a, "v").first()
     assert r2["wasserstein"] == 0.0
+
+
+def test_entity_churn_counts(spark):
+    from profiler.drift import entity_churn
+
+    a = spark.createDataFrame([(k,) for k in [1, 2, 3, 2]], "k long")
+    b = spark.createDataFrame([(k,) for k in [2, 3, 4, 5]], "k long")
+    r = entity_churn(a, b, "k").first()
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert (r["n_retained"], r["n_new"], r["n_churned"]) == (2, 2, 1)
+    assert r["retention_rate"] == 0.666667
+    assert r["new_rate"] == 0.5
+    assert r["jaccard"] == 0.4
+
+
+def _cvm_reference(xs, ys):
+    """Independent O(N log N) python computation of Anderson's form."""
+    import collections
+
+    ca, cb = collections.Counter(xs), collections.Counter(ys)
+    na, nb = len(xs), len(ys)
+    cum_a = cum_b = 0
+    s = 0.0
+    for v in sorted(set(xs) | set(ys)):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        gap = cum_a / na - cum_b / nb
+        s += (ca.get(v, 0) + cb.get(v, 0)) * gap * gap
+    return na * nb / (na + nb) ** 2 * s
+
+
+def test_cvm_2s_identical_and_shifted(spark):
+    from profiler.drift import cvm_2s
+
+    a = spark.createDataFrame([(float(i % 40),) for i in range(200)], "v double")
+    r0 = cvm_2s(a, a, "v").first()
+    assert r0["cvm_t"] == 0.0
+    b = spark.createDataFrame(
+        [(float(i % 40) + 20.0,) for i in range(200)], "v double"
+    )
+    r = cvm_2s(a, b, "v").first()
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["cvm_t"] > r["t_mean"] and r["t_z"] > 5
+
+
+def test_cvm_2s_matches_reference(spark):
+    from profiler.drift import cvm_2s
+
+    xs = [float((i * 7) % 23) for i in range(60)]
+    ys = [float((i * 11) % 29) + 3.0 for i in range(45)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = cvm_2s(a, b, "v").first()
+    assert abs(r["cvm_t"] - _cvm_reference(xs, ys)) < 1e-4
+
+
+def _ad_reference(xs, ys):
+    """Independent python computation of Scholz–Stephens tie-adjusted A² (k=2)."""
+    import collections
+
+    ca, cb = collections.Counter(xs), collections.Counter(ys)
+    na, nb = len(xs), len(ys)
+    nn = na + nb
+    cum_a = cum_b = cum = 0
+    s = 0.0
+    for v in sorted(set(xs) | set(ys)):
+        ha, hb = ca.get(v, 0), cb.get(v, 0)
+        h = ha + hb
+        ma = cum_a + ha / 2.0
+        mb = cum_b + hb / 2.0
+        ba = cum + h / 2.0
+        cum_a += ha
+        cum_b += hb
+        cum += h
+        denom = ba * (nn - ba) - nn * h / 4.0
+        if denom > 0:
+            da = nn * ma - na * ba
+            db = nn * mb - nb * ba
+            s += (h / nn) * (da * da / na + db * db / nb) / denom
+    return (nn - 1) / nn * s
+
+
+def test_ad_2s_matches_reference_and_detects_tail(spark):
+    from profiler.drift import anderson_darling_2s
+
+    xs = [float((i * 7) % 23) for i in range(60)]
+    ys = [float((i * 11) % 29) for i in range(45)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = anderson_darling_2s(a, b, "v").first()
+    assert abs(r["a2"] - _ad_reference(xs, ys)) < 1e-4
+    # identical samples: centered statistic is near (below) its H0 mean
+    r0 = anderson_darling_2s(a, a, "v").first()
+    assert r0["a2_centered"] < 0.5
+    # degenerate single-value case -> NULL
+    c = spark.createDataFrame([(1.0,)] * 10, "v double")
+    rd = anderson_darling_2s(c, c, "v").first()
+    assert rd["a2"] is None
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    from profiler.drift import runs_test
+
+    # perfectly alternating around the median: every step starts a new run
+    alt = spark.createDataFrame(
+        [(i, 1.0 if i % 2 else 9.0) for i in range(20)], "t int, v double"
+    )
+    r = runs_test(alt, "v", ["t"])
+    row = r.first()
+    assert (row["n_above"], row["n_below"], row["n_runs"]) == (10, 10, 20)
+    assert row["mean_runs"] == 11.0 and row["z"] > 3
+    # two solid blocks: exactly 2 runs, z strongly negative
+    blk = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 9.0) for i in range(20)], "t int, v double"
+    )
+    row2 = runs_test(blk, "v", ["t"]).first()
+    assert row2["n_runs"] == 2 and row2["z"] < -3
+    # values equal to the median are dropped
+    med = spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, 9.0)], "t int, v double"
+    )
+    row3 = runs_test(med, "v", ["t"]).first()
+    assert row3["n_above"] == 1 and row3["n_below"] == 1

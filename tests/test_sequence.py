@@ -544,3 +544,72 @@ def test_conversation_shape_golden(spark):
     assert out["n_roles"]["max"] == 3
     assert out["n_flagged"]["mean"] == 0.5
     assert out["total_chars"]["max"] == 10  # hi+hello!+{} = 2+6+2
+
+
+def test_followed_by_dangling_calls(spark):
+    from profiler.sequence import followed_by
+
+    rows = [
+        # c1: call -> tool (ok), call -> user (violation), final call (violation)
+        ("c1", 1, "user"), ("c1", 2, "call"), ("c1", 3, "tool"),
+        ("c1", 4, "call"), ("c1", 5, "user"), ("c1", 6, "call"),
+        # c2: clean
+        ("c2", 1, "user"), ("c2", 2, "call"), ("c2", 3, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = followed_by(df, "call", ["tool"]).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["next_state"]) for r in out] == [
+        ("c1", 4, "user"),
+        ("c1", 6, None),
+    ]
+
+
+def test_followed_by_conversation_isolation(spark):
+    # a call at the end of c1 must NOT be satisfied by c2's opening tool turn
+    from profiler.sequence import followed_by
+
+    rows = [("c1", 1, "call"), ("c2", 1, "tool")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = followed_by(df, "call", ["tool"]).collect()
+    assert len(out) == 1 and out[0]["conv_id"] == "c1"
+
+
+def test_append_only_check_statuses(spark):
+    from profiler.sequence import append_only_check
+
+    a_rows = [
+        ("grow", 1, "t1"), ("grow", 2, "t2"),
+        ("same", 1, "x"),
+        ("rewrite", 1, "orig1"), ("rewrite", 2, "orig2"),
+        ("trunc", 1, "p"), ("trunc", 2, "q"), ("trunc", 3, "r"),
+        ("only_a", 1, "z"),
+    ]
+    b_rows = [
+        ("grow", 1, "t1"), ("grow", 2, "t2"), ("grow", 3, "t3"),  # appended: ok
+        ("same", 1, "x"),                                          # untouched: ok
+        ("rewrite", 1, "orig1"), ("rewrite", 2, "EDITED"),         # rewritten
+        ("trunc", 1, "p"), ("trunc", 2, "q"),                      # truncated
+        ("only_b", 1, "new"),                                      # ignored
+    ]
+    schema = "conv_id string, turn_idx int, text string"
+    out = append_only_check(
+        spark.createDataFrame(a_rows, schema),
+        spark.createDataFrame(b_rows, schema),
+    ).collect()
+    got = {r["conv_id"]: (r["status"], r["n_turns_a"], r["n_turns_b"]) for r in out}
+    assert got == {
+        "rewrite": ("rewritten", 2, 2),
+        "trunc": ("truncated", 3, 2),
+    }
+
+
+def test_append_only_check_order_not_physical(spark):
+    # B stores the same turns physically shuffled -> still a clean prefix
+    from profiler.sequence import append_only_check
+
+    schema = "conv_id string, turn_idx int, text string"
+    a = spark.createDataFrame([("c", 1, "a"), ("c", 2, "b")], schema)
+    b = spark.createDataFrame(
+        [("c", 3, "z"), ("c", 1, "a"), ("c", 2, "b")], schema
+    ).repartition(4)
+    assert append_only_check(a, b).count() == 0

@@ -490,3 +490,127 @@ def test_recency_histogram_buckets(spark):
     assert out[0]["n_keys"] == 2 and out[2]["n_keys"] == 1
     assert out[0]["frac"] == round(2 / 3, 6)
     assert set(out) == {0, 2}
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from profiler.timeseries import theil_sen
+
+    # y = 2x + 3 with one wild outlier: the median slope/intercept ignore it
+    rows = [(float(x), 2.0 * x + 3.0) for x in range(15)]
+    rows[7] = (7.0, 500.0)
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = theil_sen(df, "x", "y").first()
+    assert r["n_points"] == 15 and r["n_pairs"] == 105
+    assert r["slope"] == 2.0 and r["intercept"] == 3.0
+
+
+def test_seasonal_decompose_pure_weekly_pattern(spark):
+    from datetime import date, timedelta
+
+    from profiler.timeseries import seasonal_decompose
+
+    # a pure weekly pattern on a flat base: trend == base, residual == 0
+    pattern = [10.0, -5.0, 3.0, 0.0, -8.0, 7.0, -7.0]  # sums to 0
+    start = date(2024, 1, 1)  # a Monday -> dow index 0
+    rows = [
+        (start + timedelta(days=i), 100.0 + pattern[i % 7]) for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "day date, y double")
+    out = seasonal_decompose(df, "day", "y").collect()
+    assert len(out) == 28
+    mid = [r for r in out if r["trend"] is not None]
+    assert len(mid) == 22  # first and last 3 days lack a full window
+    for r in mid:
+        assert r["trend"] == 100.0
+        assert r["seasonal"] == pattern[r["dow"]]
+        assert r["residual"] == 0.0
+    # edge days still carry y and the dow seasonal, trend/residual NULL
+    for r in out:
+        if r["trend"] is None:
+            assert r["residual"] is None and r["seasonal"] is not None
+
+
+def test_seasonal_decompose_gap_day_voids_trend(spark):
+    from datetime import date, timedelta
+
+    from profiler.timeseries import seasonal_decompose
+
+    start = date(2024, 1, 1)
+    days = [start + timedelta(days=i) for i in range(15) if i != 7]
+    df = spark.createDataFrame(
+        [(d, 50.0) for d in days], "day date, y double"
+    )
+    out = {r["day"]: r for r in seasonal_decompose(df, "day", "y").collect()}
+    # every day within +-3 of the missing calendar day loses its trend
+    for i in [4, 5, 6, 8, 9, 10]:
+        assert out[str(start + timedelta(days=i))]["trend"] is None
+
+
+def test_ewma_control_matches_recursion(spark):
+    from profiler.timeseries import ewma_control
+
+    ys = [50.0, 52.0, 49.0, 51.0, 50.5, 48.0, 53.0, 50.0, 65.0, 66.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    # control limits fit on the first 8 (in-control) points; the step
+    # shift at the end then walks the EWMA out of its band
+    out = ewma_control(df, "x", "y", lam=0.5, k=3.0, baseline_n=8).collect()
+    mu = sum(ys[:8]) / 8
+    z = mu
+    for r, y in zip(out, ys):
+        z = 0.5 * y + 0.5 * z
+        assert abs(r["ewma"] - z) < 1e-3, (r["t"], r["ewma"], z)
+    assert out[-1]["out_of_control"] is True
+    assert out[-2]["out_of_control"] is True
+    assert not any(r["out_of_control"] for r in out[:8])
+    # full-series fit (the self-normalizing default) stays in band: the
+    # shift contaminates its own mu/sd
+    dflt = ewma_control(df, "x", "y", lam=0.5, k=3.0).collect()
+    assert not any(r["out_of_control"] for r in dflt)
+
+
+def test_kendall_tau_exact_cases(spark):
+    from profiler.timeseries import kendall_tau
+
+    mono = spark.createDataFrame(
+        [(i, float(i), float(i * i)) for i in range(12)],
+        "k int, u double, v double",
+    )
+    r = kendall_tau(mono, "k", "u", "v").first()
+    assert r["n"] == 12 and r["tau_b"] == 1.0 and r["z"] > 4
+    rev = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(12)],
+        "k int, u double, v double",
+    )
+    assert kendall_tau(rev, "k", "u", "v").first()["tau_b"] == -1.0
+
+
+def test_kendall_tau_ties_match_reference(spark):
+    from profiler.timeseries import kendall_tau
+
+    us = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0]
+    vs = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 6.0]
+    nc = nd = n1 = n2 = 0
+    n = len(us)
+    for i in range(n):
+        for j in range(i + 1, n):
+            du, dv = us[j] - us[i], vs[j] - vs[i]
+            if du == 0:
+                n1 += 1
+            if dv == 0:
+                n2 += 1
+            if du * dv > 0:
+                nc += 1
+            elif du * dv < 0 and du != 0 and dv != 0:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    tau_ref = (nc - nd) / ((n0 - n1) * (n0 - n2)) ** 0.5
+    df = spark.createDataFrame(
+        [(i, u, v) for i, (u, v) in enumerate(zip(us, vs))],
+        "k int, u double, v double",
+    )
+    r = kendall_tau(df, "k", "u", "v").first()
+    assert r["n"] == n
+    assert (r["n_concordant"], r["n_discordant"]) == (nc, nd)
+    assert abs(r["tau_b"] - tau_ref) < 1e-5
