@@ -1944,7 +1944,10 @@ def wasserstein_exact(
 
     Plan: one (value, side-count) hash aggregate collapses both inputs;
     CDFs are cumulative windows over distinct values with the segment
-    width from ``lead(value)``; the integral is a DECIMAL(38,7) sum of
+    width from ``lead(value)``; the pooled totals/range ride the SAME
+    sorted frame as full-extent window sums (no broadcast join and — the
+    part that matters at 100 TB — no second scan of either input to
+    build a totals frame); the integral is a DECIMAL(38,7) sum of
     7-dp-rounded per-segment terms (partial-order-proof — the same
     discipline as rarity_scores), never a raw double sum. Fully lazy.
     """
@@ -1960,15 +1963,20 @@ def wasserstein_exact(
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
-    tot = counts.agg(
-        F.sum("ca").alias("n_a"),
-        F.sum("cb").alias("n_b"),
-        F.min("v").alias("__lo"),
-        F.max("v").alias("__hi"),
-    )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     lead_v = F.lead("v").over(Window.orderBy("v"))
-    grid = counts.crossJoin(F.broadcast(tot))
+    grid = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+        F.min("v").over(wf).alias("__lo"),
+        F.max("v").over(wf).alias("__hi"),
+    )
     term = (
         F.abs(
             F.sum("ca").over(w) / F.col("n_a").cast("double")
@@ -2064,8 +2072,10 @@ def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
 
     Plan: the :func:`wasserstein_exact` skeleton — one (value, side-count)
     hash aggregate collapses both inputs, CDFs are cumulative windows over
-    distinct values, and the sum is a DECIMAL(38,7) accumulation of
-    7-dp-rounded per-value terms (partial-order-proof). Fully lazy.
+    distinct values, totals ride the same sorted frame as full-extent
+    window sums (no totals join, no second scan of either input), and the
+    sum is a DECIMAL(38,7) accumulation of 7-dp-rounded per-value terms
+    (partial-order-proof). Fully lazy.
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -2079,9 +2089,17 @@ def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
-    tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    grid = counts.crossJoin(F.broadcast(tot))
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grid = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+    )
     gap = (
         F.sum("ca").over(w) / F.col("n_a").cast("double")
         - F.sum("cb").over(w) / F.col("n_b").cast("double")
@@ -2130,8 +2148,10 @@ def anderson_darling_2s(
     critical points, on the caller's side.
 
     Plan: identical skeleton to :func:`cvm_2s` — one (value, side-count)
-    hash aggregate, cumulative mid-rank windows over distinct values, and
-    a DECIMAL(38,7) accumulation of 7-dp-rounded per-value terms. The
+    hash aggregate, cumulative mid-rank windows over distinct values,
+    totals as full-extent window sums on the same sorted frame (no totals
+    join, no second scan of either input), and a DECIMAL(38,7)
+    accumulation of 7-dp-rounded per-value terms. The
     single-distinct-value degenerate case emits NULL (the weight
     denominator vanishes). Fully lazy.
     """
@@ -2147,9 +2167,17 @@ def anderson_darling_2s(
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
-    tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    grid = counts.crossJoin(F.broadcast(tot))
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grid = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+    )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     nn = na + nb

@@ -789,3 +789,104 @@ def test_profile_diff_no_raw_row_shuffle(spark, events):
     plan = _plan(profile_diff(a, b, ["value", "user_id"]))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_followed_by_single_keyed_window(spark, events):
+    """Forward pairing check = ONE key-partitioned lead window over one
+    scan; a Join (successor lookup rewritten as self-join) or an
+    unpartitioned window would break the conversation-local envelope."""
+    from profiler.sequence import followed_by
+
+    plan = _plan(
+        followed_by(
+            events, "purchase", ["refund"], key_col="user_id",
+            order_cols=("ts",), state_col="event_type",
+        )
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    for frag in plan.split("Window [")[1:]:
+        assert "user_id" in frag.splitlines()[0]
+
+
+def test_append_only_check_joins_digests_not_rows(spark, events):
+    """Append-only audit: both snapshots collapse to per-key digests
+    BEFORE the key join — no Window, no cartesian, one scan per side,
+    and a hash/sort-merge join on the conversation key only."""
+    from profiler.sequence import append_only_check
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 3 == 0)
+    plan = _plan(
+        append_only_check(a, b, key_col="user_id", order_cols=("ts",),
+                          payload_col="event_type")
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_entity_churn_aggregates_before_join(spark, events):
+    """Population churn: one distinct per side, then a key-equi full
+    outer join, then a 1-row agg — no window, no nested loop; the join
+    inputs are already |keys|-sized aggregates."""
+    from profiler.drift import entity_churn
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 3 == 0)
+    plan = _plan(entity_churn(a, b, "user_id"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_cvm_and_ad_ride_one_pooled_value_exchange(spark, events):
+    """CvM / AD / exact-W1 two-sample tests: both inputs collapse into
+    ONE pooled (value, side-count) hash aggregate; pooled totals ride the
+    same sorted frame as full-extent window sums — NO join of any kind,
+    and (the 100 TB property) each input scanned exactly once. A Join
+    node or a third scan means the totals side regressed into
+    recomputing the pooled aggregate."""
+    from profiler.drift import anderson_darling_2s, cvm_2s, wasserstein_exact
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    for fn in (cvm_2s, anderson_darling_2s, wasserstein_exact):
+        plan = _plan(fn(a, b, "value"))
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 2
+
+
+def test_runs_test_median_is_broadcast_not_window(spark, events):
+    """Runs test: the median attaches via a broadcast 1-row frame; the
+    single ordered window is the flip counter over the bounded series
+    frame (callers pass a daily rollup, never raw rows)."""
+    from profiler.drift import runs_test
+
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    plan = _plan(runs_test(daily, "y", ["day"]))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row median frame
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") <= 1
+
+
+def test_theil_sen_pairs_join_the_day_frame_not_rows(spark, events):
+    """Theil-Sen via the registry shape: the pairwise theta-join's BOTH
+    inputs must be the |days|-sized daily aggregate (HashAggregate below
+    the join), never the raw event rows."""
+    from profiler.timeseries import theil_sen
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.avg("value").alias("y"))
+    plan = _plan(theil_sen(daily, "x", "y"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    below = plan[join_at:]
+    # every scan feeding the join sits under an aggregate
+    assert below.count("HashAggregate") >= 2
