@@ -2279,3 +2279,185 @@ def runs_test(
             F.round((F.col("n_runs") - mu) / F.sqrt(var), 4),
         ).alias("z"),
     )
+
+
+def mann_whitney_2s(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """EXACT two-sample Mann–Whitney/Wilcoxon rank-sum test with full tie
+    correction: U from midranks over the pooled sample, the tie-corrected
+    normal z (no continuity correction — exactness over the last ±0.5,
+    and both engines replay the same algebra), and the rank-biserial
+    effect size r = 2U_a/(n_a·n_b) − 1 ∈ [−1, 1]. The distributional
+    panel (KS/CvM/AD) asks "are the shapes different?"; this asks the
+    monitoring question "did values SYSTEMATICALLY move up or down?" —
+    a signed location test that ignores outlier magnitude entirely,
+    where the t-test on means follows one whale document.
+
+    Plan: the one-exchange skeleton of :func:`cvm_2s` — one pooled
+    (value, side-count) hash aggregate, midranks as cumulative windows
+    over distinct values, totals and the tie term as full-extent window
+    sums on the same sort (no join, each input scanned once), and the
+    rank sum as a DECIMAL(38,6) accumulation of 6-dp-rounded per-value
+    terms.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = (F.col("ca") + F.col("cb")).cast("double")
+    # midrank of every observation at this value: ranks so far before
+    # this value + (h+1)/2
+    midrank = (
+        F.sum(F.col("ca") + F.col("cb")).over(wc).cast("double")
+        - h
+        + (h + 1.0) / 2.0
+    )
+    grid = counts.select(
+        F.round(F.col("ca") * midrank, 6)
+        .cast("decimal(38,6)")
+        .alias("__ra"),
+        F.round(h * h * h - h, 6).cast("decimal(38,6)").alias("__tie"),
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+    )
+    agg = grid.groupBy("n_a", "n_b").agg(
+        F.sum("__ra").alias("__rsum"), F.sum("__tie").alias("__tsum")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("__rsum").cast("double") - na * (na + 1.0) / 2.0
+    mu_u = na * nb / 2.0
+    var_u = (
+        na
+        * nb
+        / 12.0
+        * ((nn + 1.0) - F.col("__tsum").cast("double") / (nn * (nn - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 4).alias("u_a"),
+        F.round(na * nb - u_a, 4).alias("u_b"),
+        F.when(var_u > 0, F.round((u_a - mu_u) / F.sqrt(var_u), 4)).alias(
+            "z"
+        ),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round(2.0 * u_a / (na * nb) - 1.0, 6),
+        ).alias("rank_biserial"),
+    )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    x_col: str,
+    fail_col: str,
+    n_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over ordered partition
+    summaries (day → violations, rows): the cumulative binomial
+    log-likelihood ratio for H₁: rate = p1 against H₀: rate = p0, with
+    the exact Wald thresholds A = ln((1−β)/α), B = ln(β/(1−α)). A fixed
+    tolerance (ConstraintPolicy) asks each partition alone; the SPRT
+    accumulates evidence ACROSS partitions, so a rate creeping from 0.5%
+    to 0.8% (each day individually inside tolerance) is detected in the
+    minimum expected number of observations — the classical guarantee.
+    Emits per partition the LLR, the running decision state
+    (``accept_h1`` / ``accept_h0`` / ``continue``) and ``decided_at``,
+    the first partition where the walk left the (B, A) band (decisions
+    are sticky, as in the sequential test — evidence after a crossing is
+    reported but doesn't un-decide). This is Wald's SINGLE-decision test:
+    once it decides, a new monitoring epoch should restart the walk — and
+    the restart-on-accept-H₀ variant is exactly the Page CUSUM, which is
+    what :func:`profiler.timeseries.cusum_chart` provides for continuous
+    monitoring. Note the per-partition LLR magnitude scales with n_rows:
+    with large partitions one clean partition can be decisive for H₀ —
+    that is the test working as specified, not a bug.
+
+    Plan: one sorted pass over the |partitions|-sized frame — per-day LLR
+    terms are 7-dp-rounded DECIMAL, the walk is a cumulative window sum,
+    and the sticky decision is min-of-crossing-index over the same
+    cumulative frame. No join, no driver loop.
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    l_fail = math.log(p1 / p0)
+    l_pass = math.log((1.0 - p1) / (1.0 - p0))
+    a_thr = math.log((1.0 - beta) / alpha)
+    b_thr = math.log(beta / (1.0 - alpha))
+    x = F.col(x_col)
+    fails = F.col(fail_col).cast("double")
+    n = F.col(n_col).cast("double")
+    base = df.where(
+        x.isNotNull() & fails.isNotNull() & n.isNotNull() & (n >= fails)
+    ).select(
+        x.alias("__x"),
+        fails.alias("__f"),
+        n.alias("__n"),
+        F.round(
+            fails * F.lit(l_fail) + (n - fails) * F.lit(l_pass), 7
+        )
+        .cast("decimal(38,7)")
+        .alias("__term"),
+    )
+    wn = Window.orderBy("__x")
+    wc = wn.rowsBetween(Window.unboundedPreceding, 0)
+    walked = base.select(
+        "__x",
+        "__f",
+        "__n",
+        F.row_number().over(wn).alias("__t"),
+        F.sum("__term").over(wc).cast("double").alias("__llr"),
+    )
+    crossed_hi = F.when(F.col("__llr") >= F.lit(a_thr), F.col("__t"))
+    crossed_lo = F.when(F.col("__llr") <= F.lit(b_thr), F.col("__t"))
+    marked = walked.select(
+        "__x",
+        "__f",
+        "__n",
+        "__t",
+        "__llr",
+        F.min(crossed_hi).over(wc).alias("__hi_at"),
+        F.min(crossed_lo).over(wc).alias("__lo_at"),
+    )
+    first_cross = F.least(F.col("__hi_at"), F.col("__lo_at"))
+    decision = (
+        F.when(
+            first_cross.isNotNull()
+            & (F.coalesce(F.col("__hi_at"), F.lit(2**62)) <= F.coalesce(F.col("__lo_at"), F.lit(2**62))),
+            F.lit("accept_h1"),
+        )
+        .when(first_cross.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return marked.select(
+        F.col("__t").cast("long").alias("t"),
+        F.col("__x").alias("x"),
+        F.col("__f").cast("long").alias("n_fail"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.round("__llr", 4).alias("llr"),
+        F.round(F.lit(a_thr), 4).alias("thr_h1"),
+        F.round(F.lit(b_thr), 4).alias("thr_h0"),
+        decision.alias("decision"),
+        first_cross.cast("long").alias("decided_at"),
+    ).orderBy("t")

@@ -18,6 +18,7 @@ Determinism rules (the driver value-hashes results):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -13101,3 +13102,395 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kendall_tau(daily, "day", "u", "v")
+
+
+# ===========================================================================
+# Session-5 batch 2: classical monitoring charts, rank tests, sequential
+# validation and grammar drift (q232-q236)
+# ===========================================================================
+@_register(
+    "q232_cusum_chart",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             ROUND(CAST(sum(CAST(ROUND(value, 4) AS DECIMAL(28,4)))
+                        AS DOUBLE) / count(*), 6) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, y, row_number() OVER (ORDER BY x) AS t
+      FROM daily WHERE y IS NOT NULL
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sq
+      FROM idx
+    ),
+    st AS (
+      SELECT s / n AS mu,
+             sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) AS sd
+      FROM tot
+    ),
+    zed AS (
+      SELECT i.x, i.y, i.t,
+             CASE WHEN sd > 0 THEN (i.y - mu) / sd END AS zz
+      FROM idx i, st
+    ),
+    terms AS (
+      SELECT x, y, t, zz,
+             CAST(ROUND(zz - 0.5, 7) AS DECIMAL(38,7)) AS up,
+             CAST(ROUND(-zz - 0.5, 7) AS DECIMAL(38,7)) AS dn
+      FROM zed
+    ),
+    summed AS (
+      SELECT x, y, t, zz,
+             CAST(sum(up) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS su,
+             CAST(sum(dn) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS sd2
+      FROM terms
+    ),
+    cus AS (
+      SELECT x, y, t, zz,
+             su - least(0.0, min(su) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cpos,
+             sd2 - least(0.0, min(sd2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cneg
+      FROM summed
+    )
+    SELECT CAST(t AS BIGINT) AS t, x, ROUND(y, 4) AS y, ROUND(zz, 4) AS z,
+           ROUND(cpos, 4) AS cusum_pos, ROUND(cneg, 4) AS cusum_neg,
+           (cpos > 4.0 OR cneg > 4.0) AS out_of_control
+    FROM cus ORDER BY t
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM chart (:func:`profiler.timeseries.
+    cusum_chart`, k = 0.5, h = 4) over the daily-mean series — the
+    sequential-test-optimal sustained-shift detector, computed without
+    unrolling the max(0, ...) recursion via the cumsum-minus-running-min
+    identity: cumulative + full-extent windows over ONE sorted frame, no
+    join, one scan."""
+    from profiler.timeseries import cusum_chart
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 4).cast("decimal(28,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y")
+        )
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return cusum_chart(daily, "x", "y", k=0.5, h=4.0)
+
+
+@_register(
+    "q233_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, y, row_number() OVER (ORDER BY x) AS t FROM daily
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sq
+      FROM idx
+    ),
+    cum AS (
+      SELECT x, t,
+             CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS scum
+      FROM idx
+    ),
+    cand AS (
+      SELECT c.x, c.t, n,
+             ROUND(abs(c.scum - c.t * (s / n)), 6) AS absc,
+             ROUND(c.scum / c.t, 6) AS mean_before,
+             ROUND((s - c.scum) / (n - c.t), 6) AS mean_after,
+             CASE WHEN sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) > 0
+                  THEN ROUND(abs(c.scum - c.t * (s / n))
+                       / (sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0))
+                          * sqrt(CAST(n AS DOUBLE))), 4)
+             END AS stat
+      FROM cum c, tot WHERE c.t < n
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS cp_index,
+           x AS cp_x, absc AS c_max_abs, stat, mean_before, mean_after,
+           ROUND(mean_after - mean_before, 6) AS delta
+    FROM cand ORDER BY absc DESC, t ASC LIMIT 1
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift changepoint (:func:`profiler.timeseries.
+    changepoint_scan`) in the daily-volume series: argmax |CUSUM of
+    deviations| over all splits, with side means and the KS-scaled
+    statistic — "WHEN did it shift, and by how much?", the drill-down
+    behind a chart alarm. One sorted daily frame + TakeOrdered(1),
+    position tie-break, no join."""
+    from profiler.timeseries import changepoint_scan
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return changepoint_scan(daily, "x", "y")
+
+
+@_register(
+    "q234_mann_whitney",
+    """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(value * 1.1 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    m AS (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    grid AS (
+      SELECT
+        CAST(ROUND(ca * (CAST(sum(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          - CAST(ca + cb AS DOUBLE)
+          + (CAST(ca + cb AS DOUBLE) + 1.0) / 2.0), 6)
+          AS DECIMAL(38,6)) AS ra,
+        CAST(ROUND(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+          * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE), 6)
+          AS DECIMAL(38,6)) AS tie,
+        sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+      FROM counts
+    ),
+    agg AS (
+      SELECT n_a, n_b, CAST(sum(ra) AS DOUBLE) AS rsum,
+             CAST(sum(tie) AS DOUBLE) AS tsum
+      FROM grid GROUP BY n_a, n_b
+    ),
+    fin AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+             rsum - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+               AS ua,
+             tsum
+      FROM agg
+    )
+    SELECT n_a, n_b, ROUND(ua, 4) AS u_a, ROUND(na * nb - ua, 4) AS u_b,
+           CASE WHEN na * nb / 12.0 * ((nn + 1.0)
+                     - tsum / (nn * (nn - 1.0))) > 0
+                THEN ROUND((ua - na * nb / 2.0)
+                     / sqrt(na * nb / 12.0 * ((nn + 1.0)
+                            - tsum / (nn * (nn - 1.0)))), 4)
+           END AS z,
+           CASE WHEN na > 0 AND nb > 0
+                THEN ROUND(2.0 * ua / (na * nb) - 1.0, 6)
+           END AS rank_biserial
+    FROM fin
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U (:func:`profiler.drift.
+    mann_whitney_2s`): snapshot B is A scaled 1.1x — a systematic upward
+    location move the signed rank test is built for, with the
+    rank-biserial effect size. One pooled (value, side-count) aggregate;
+    midranks and totals as windows on one sort — no join, each input
+    scanned once."""
+    from profiler.drift import mann_whitney_2s
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.1).alias("value")
+    )
+    return mann_whitney_2s(a, b, "value")
+
+
+_SPRT_LF = math.log(0.2 / 0.15)
+_SPRT_LP = math.log(0.8 / 0.85)
+_SPRT_A = math.log(0.95 / 0.05)
+_SPRT_B = math.log(0.05 / 0.95)
+
+
+@_register(
+    "q235_sprt_monitor",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count_if(value > 90) AS DOUBLE) AS f,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT x, f, n,
+             CAST(ROUND(f * {_SPRT_LF!r} + (n - f) * {_SPRT_LP!r}, 7)
+                  AS DECIMAL(38,7)) AS term
+      FROM daily WHERE n >= f
+    ),
+    walked AS (
+      SELECT x, f, n, row_number() OVER (ORDER BY x) AS t,
+             CAST(sum(term) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS llr
+      FROM base
+    ),
+    marked AS (
+      SELECT x, f, n, t, llr,
+             min(CASE WHEN llr >= {_SPRT_A!r} THEN t END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi_at,
+             min(CASE WHEN llr <= {_SPRT_B!r} THEN t END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo_at
+      FROM walked
+    )
+    SELECT CAST(t AS BIGINT) AS t, x,
+           CAST(f AS BIGINT) AS n_fail, CAST(n AS BIGINT) AS n_rows,
+           ROUND(llr, 4) AS llr,
+           ROUND({_SPRT_A!r}, 4) AS thr_h1, ROUND({_SPRT_B!r}, 4) AS thr_h0,
+           CASE WHEN least(hi_at, lo_at) IS NOT NULL
+                     AND coalesce(hi_at, 4611686018427387904)
+                         <= coalesce(lo_at, 4611686018427387904)
+                THEN 'accept_h1'
+                WHEN least(hi_at, lo_at) IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(least(hi_at, lo_at) AS BIGINT) AS decided_at
+    FROM marked ORDER BY t
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (:func:`profiler.drift.sprt_monitor`) over the daily
+    tail-rate summaries (share of value > 90), H0: 15% vs H1: 20%,
+    alpha = beta = 0.05: the sequential evidence accumulator that
+    detects a rate creep each day individually inside tolerance, in the
+    minimum expected number of observations. One sorted
+    |partitions|-frame pass: DECIMAL LLR walk + sticky min-of-crossing
+    windows, no join. Log-likelihood constants are Python-float
+    literals embedded in both plans, so the walk replays bit-for-bit."""
+    from profiler.drift import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count_if(F.col("value") > 90).cast("double").alias("f"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            F.unix_date(F.col("day")).cast("double").alias("x"), "f", "n"
+        )
+    )
+    return sprt_monitor(
+        daily, "x", "f", "n", p0=0.15, p1=0.2, alpha=0.05, beta=0.05
+    )
+
+
+@_register(
+    "q236_transition_drift",
+    """
+    WITH ea AS (
+      SELECT event_type AS state,
+             coalesce(lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), '__end__') AS next_state
+      FROM events WHERE user_id % 2 = 0
+    ),
+    ca AS (
+      SELECT state, next_state, count(*) AS n_a FROM ea GROUP BY 1, 2
+    ),
+    eb AS (
+      SELECT event_type AS state,
+             coalesce(lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), '__end__') AS next_state
+      FROM events WHERE user_id % 2 = 1
+    ),
+    cb AS (
+      SELECT state, next_state, count(*) AS n_b FROM eb GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT state, next_state,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb USING (state, next_state)
+    ),
+    tot AS (
+      SELECT state, next_state, n_a, n_b,
+             CAST(sum(n_a) OVER (PARTITION BY state) AS DOUBLE) AS ta,
+             CAST(sum(n_b) OVER (PARTITION BY state) AS DOUBLE) AS tb
+      FROM j
+    ),
+    pr AS (
+      SELECT state, next_state, n_a, n_b,
+             CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta
+                  ELSE 0.0 END AS pa,
+             CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb
+                  ELSE 0.0 END AS pb
+      FROM tot
+    ),
+    en AS (
+      SELECT state, next_state, n_a, n_b, pa, pb,
+             CAST(ROUND(((pa + 0.000001) - (pb + 0.000001))
+                  * ln((pa + 0.000001) / (pb + 0.000001)), 7)
+                  AS DECIMAL(38,7)) AS term,
+             ROUND(abs(pa - pb), 6) AS gap6
+      FROM pr
+    )
+    SELECT state, next_state, n_a, n_b,
+           ROUND(pa, 6) AS frac_a, ROUND(pb, 6) AS frac_b,
+           gap6 AS gap,
+           ROUND(CAST(sum(term) OVER (PARTITION BY state) AS DOUBLE), 6)
+             AS psi,
+           ROUND(max(gap6) OVER (PARTITION BY state), 6) AS max_gap
+    FROM en ORDER BY state, next_state
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grammar drift (:func:`profiler.sequence.
+    transition_drift`): per-state next-state distribution compare
+    between the two user cohorts — per-state PSI with epsilon smoothing
+    plus the culprit edge's probability gap; the structural test that
+    fires when marginal role shares are identical but the dialogue
+    LOOPS differently. Two lead-window edge passes collapsed map-side
+    to |states|^2 frames, bounded full-outer join, state-partitioned
+    windows."""
+    from profiler.sequence import transition_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("user_id") % 2 == 0)
+    b = ev.where(F.col("user_id") % 2 == 1)
+    return transition_drift(
+        a,
+        b,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )

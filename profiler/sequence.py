@@ -1120,3 +1120,83 @@ def append_only_check(
         .where(F.col("status").isNotNull())
         .orderBy(key_col)
     )
+
+
+def transition_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Conversation-GRAMMAR drift between two snapshots: for every
+    observed state, compare its next-state distribution (the
+    :func:`transition_matrix` row) across snapshots — per-state PSI with
+    the panel's epsilon smoothing, the worst single next-state
+    probability gap, and the edge counts. Marginal role shares can be
+    identical while the DIALOGUE STRUCTURE changes (assistant turns now
+    looping through tools twice as often); per-column drift is blind to
+    that — this is the test that sees it. One row per (state, next_state)
+    edge plus the per-state rollup columns, so both the alerting scalar
+    (``psi``) and the culprit edge are in one result.
+
+    Plan: each snapshot contributes one lead-window pass (shuffle on the
+    conversation bucketing key) collapsed map-side to its |states|²-sized
+    edge-count frame; the compare is a full-outer join of two bounded
+    frames plus state-partitioned window totals — nothing row-scale
+    crosses the join.
+    """
+
+    def _edges(df: DataFrame, side: str) -> DataFrame:
+        w = _seq_window(key_col, order_cols)
+        nxt = F.coalesce(
+            F.lead(F.col(state_col)).over(w), F.lit(END_STATE)
+        )
+        return (
+            df.select(
+                F.col(state_col).cast("string").alias("state"),
+                nxt.cast("string").alias("next_state"),
+            )
+            .groupBy("state", "next_state")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    a = _edges(df_a, "a")
+    b = _edges(df_b, "b")
+    j = a.join(b, on=["state", "next_state"], how="full_outer").select(
+        "state",
+        "next_state",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    ws = Window.partitionBy("state")
+    tot_a = F.sum("n_a").over(ws).cast("double")
+    tot_b = F.sum("n_b").over(ws).cast("double")
+    pa = F.when(tot_a > 0, F.col("n_a").cast("double") / tot_a).otherwise(
+        F.lit(0.0)
+    )
+    pb = F.when(tot_b > 0, F.col("n_b").cast("double") / tot_b).otherwise(
+        F.lit(0.0)
+    )
+    qa = pa + F.lit(float(epsilon))
+    qb = pb + F.lit(float(epsilon))
+    term = (qa - qb) * F.log(qa / qb)
+    gap = F.abs(pa - pb)
+    enriched = j.select(
+        "state",
+        "next_state",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("frac_a"),
+        F.round(pb, 6).alias("frac_b"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(F.round(term, 7).cast("decimal(38,7)")).over(ws).cast(
+                "double"
+            ),
+            6,
+        ).alias("psi"),
+        F.round(F.max(F.round(gap, 6)).over(ws), 6).alias("max_gap"),
+    )
+    return enriched.orderBy("state", "next_state")

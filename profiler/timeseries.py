@@ -1528,3 +1528,189 @@ def kendall_tau(
             F.round(3.0 * (F.col("nc") - F.col("nd")) / zden, 4),
         ).alias("z"),
     )
+
+
+def cusum_chart(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    k: float = 0.5,
+    h: float = 4.0,
+    baseline_n: int | None = None,
+) -> DataFrame:
+    """Two-sided tabular CUSUM chart over a bounded series frame:
+    C⁺_t = max(0, C⁺_{t−1} + z_t − k), C⁻_t = max(0, C⁻_{t−1} − z_t − k)
+    on the standardized series, alarming when either exceeds ``h``. The
+    EWMA (:func:`ewma_control`) weights evidence geometrically; the CUSUM
+    is the classical sequential-test-optimal detector for a sustained
+    shift of ~2k·σ — with the default k = 0.5, h = 4 it's tuned for a 1σ
+    step, the canonical small-shift setting. ``baseline_n`` fits μ/σ on
+    the first n in-order points (SPC reference window) so a later shift
+    can't contaminate its own limits.
+
+    Plan: the max(0, …) RECURSION is not unrolled — it's the exact
+    identity C⁺_t = S_t − min(0, min_{j≤t} S_j) with S the running sum of
+    (z−k), so the whole chart is cumulative-sum + running-min windows
+    over ONE sorted frame. μ/σ also ride that frame as full-extent window
+    sums (baseline-masked), so the plan has NO join and scans the input
+    once. Per-step terms are 7-dp-rounded DECIMAL before the cumulative
+    sums; intended for the |days|-sized daily rollup like every chart in
+    this module.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = wn.rowsBetween(Window.unboundedPreceding, 0)
+    idx = base.select(
+        "__x", "__y", F.row_number().over(wn).alias("__t")
+    )
+    mask = (
+        F.lit(True)
+        if baseline_n is None
+        else (F.col("__t") <= int(baseline_n))
+    )
+    my = F.when(mask, F.col("__y"))
+    stats = idx.select(
+        "__x",
+        "__y",
+        "__t",
+        F.count(my).over(wf).alias("__n"),
+        F.sum(F.round(my, 6).cast("decimal(28,6)")).over(wf).alias("__s"),
+        F.sum(F.round(my * my, 6).cast("decimal(38,6)")).over(wf).alias("__sq"),
+    ).select(
+        "__x",
+        "__y",
+        "__t",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("__sq").cast("double")
+                    - F.col("__s").cast("double")
+                    * F.col("__s").cast("double")
+                    / F.col("__n")
+                )
+                / (F.col("__n") - F.lit(1.0)),
+                F.lit(0.0),
+            )
+        ).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col("__y") - F.col("__mu")) / F.col("__sd")
+    )
+    termed = stats.select(
+        "__x",
+        "__y",
+        "__t",
+        F.round(z, 4).alias("z"),
+        F.round(z - F.lit(k), 7).cast("decimal(38,7)").alias("__up"),
+        F.round(-z - F.lit(k), 7).cast("decimal(38,7)").alias("__dn"),
+    )
+    summed = termed.select(
+        "__x",
+        "__y",
+        "__t",
+        "z",
+        F.sum("__up").over(wc).cast("double").alias("__su"),
+        F.sum("__dn").over(wc).cast("double").alias("__sd2"),
+    )
+    cpos = F.col("__su") - F.least(F.lit(0.0), F.min("__su").over(wc))
+    cneg = F.col("__sd2") - F.least(F.lit(0.0), F.min("__sd2").over(wc))
+    return summed.select(
+        F.col("__t").cast("long").alias("t"),
+        F.col("__x").alias("x"),
+        F.round("__y", 4).alias("y"),
+        "z",
+        F.round(cpos, 4).alias("cusum_pos"),
+        F.round(cneg, 4).alias("cusum_neg"),
+        ((cpos > F.lit(h)) | (cneg > F.lit(h))).alias("out_of_control"),
+    ).orderBy("t")
+
+
+def changepoint_scan(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Most-likely single LEVEL-SHIFT changepoint in a bounded series:
+    the split t maximizing |C_t| where C_t = Σ_{i≤t}(y_i − ȳ) (the
+    CUSUM-of-deviations scan — the argmax of the standardized two-sample
+    mean gap over all splits). The charts (:func:`cusum_chart`,
+    :func:`ewma_control`) answer "has it shifted by NOW?"; this answers
+    "WHEN did it shift, and by how much?" — the drill-down a monitoring
+    alert hands to a human. Emits one row: the break position, the means
+    on each side, their delta, and ``stat`` = max|C|/(σ̂·√n) (≈ >1.36
+    noteworthy, the KS-style scale; compare across series of like
+    length).
+
+    Plan: one sorted |days|-frame pass — cumulative DECIMAL sums for C_t,
+    full-extent window sums for ȳ/σ̂/n (no join, single scan), then ONE
+    TakeOrdered(1) on (|C| desc, t asc) — fully deterministic with the
+    6-dp round before the compare and the position tie-break.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = wn.rowsBetween(Window.unboundedPreceding, 0)
+    ydec = F.round(F.col("__y"), 6).cast("decimal(28,6)")
+    framed = base.select(
+        "__x",
+        "__y",
+        F.row_number().over(wn).alias("__t"),
+        F.count(F.lit(1)).over(wf).alias("__n"),
+        F.sum(ydec).over(wf).alias("__stot"),
+        F.sum(F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)"))
+        .over(wf)
+        .alias("__sqtot"),
+        F.sum(ydec).over(wc).alias("__scum"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__stot").cast("double") / n
+    sd = F.sqrt(
+        F.greatest(
+            (
+                F.col("__sqtot").cast("double")
+                - F.col("__stot").cast("double")
+                * F.col("__stot").cast("double")
+                / n
+            )
+            / (n - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    t = F.col("__t").cast("double")
+    c_t = F.col("__scum").cast("double") - t * mu
+    cand = framed.where(F.col("__t") < F.col("__n")).select(
+        "__x",
+        "__t",
+        "__n",
+        F.round(F.abs(c_t), 6).alias("__absc"),
+        F.round(
+            F.col("__scum").cast("double") / t, 6
+        ).alias("mean_before"),
+        F.round(
+            (F.col("__stot").cast("double") - F.col("__scum").cast("double"))
+            / (n - t),
+            6,
+        ).alias("mean_after"),
+        F.when(sd > 0, F.round(F.abs(c_t) / (sd * F.sqrt(n)), 4)).alias(
+            "stat"
+        ),
+    )
+    top = cand.orderBy(F.col("__absc").desc(), F.col("__t").asc()).limit(1)
+    return top.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("cp_index"),
+        F.col("__x").alias("cp_x"),
+        F.col("__absc").alias("c_max_abs"),
+        "stat",
+        "mean_before",
+        "mean_after",
+        F.round(F.col("mean_after") - F.col("mean_before"), 6).alias(
+            "delta"
+        ),
+    )

@@ -945,3 +945,75 @@ def test_runs_test_alternating_and_blocked(spark):
     )
     row3 = runs_test(med, "v", ["t"]).first()
     assert row3["n_above"] == 1 and row3["n_below"] == 1
+
+
+def test_mann_whitney_exact_with_ties(spark):
+    from profiler.drift import mann_whitney_2s
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 6.0]
+    # hand-computed midranks over pooled [1,2,2,2,3,4,5,5,6]:
+    # 1->1, 2->3, 3->5, 4->6, 5->7.5, 6->9
+    ra = 1 + 3 + 3 + 5 + 7.5  # = 19.5
+    ua = ra - 5 * 6 / 2  # = 4.5
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = mann_whitney_2s(a, b, "v").first()
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["u_a"] == ua and r["u_b"] == 5 * 4 - ua
+    # tie term: value 2 has h=3, value 5 has h=2 -> sum h^3-h = 24+6=30
+    n, m, nn = 5.0, 4.0, 9.0
+    var = n * m / 12 * ((nn + 1) - 30 / (nn * (nn - 1)))
+    z = (ua - n * m / 2) / var ** 0.5
+    assert abs(r["z"] - z) < 1e-3
+    assert abs(r["rank_biserial"] - (2 * ua / (n * m) - 1)) < 1e-5
+
+
+def test_mann_whitney_direction(spark):
+    from profiler.drift import mann_whitney_2s
+
+    a = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    b = spark.createDataFrame(
+        [(float(i + 15),) for i in range(20)], "v double"
+    )
+    r = mann_whitney_2s(a, b, "v").first()
+    assert r["z"] < -2  # a systematically below b
+    assert r["rank_biserial"] < -0.5
+
+
+def test_sprt_monitor_detects_rate_shift(spark):
+    import math
+
+    from profiler.drift import sprt_monitor
+
+    # 5 days inside the indifference zone (rate ~ the LLR-neutral 2.56%,
+    # alternating 2/100 and 3/100 keeps the walk hovering near zero),
+    # then the rate jumps to 8% and the walk crosses A on the first
+    # shifted day
+    rows = [(float(i), 2 + i % 2, 100) for i in range(5)] + [
+        (float(i), 8, 100) for i in range(5, 12)
+    ]
+    df = spark.createDataFrame(rows, "x double, f int, n int")
+    out = sprt_monitor(df, "x", "f", "n", p0=0.01, p1=0.05).collect()
+    lf, lp = math.log(5.0), math.log(0.95 / 0.99)
+    llr = 0.0
+    for r, (_, f, n) in zip(out, rows):
+        llr += f * lf + (n - f) * lp
+        assert abs(r["llr"] - llr) < 1e-3, (r["t"], r["llr"], llr)
+    assert all(r["decision"] == "continue" for r in out[:5])
+    final = out[-1]
+    assert final["decision"] == "accept_h1"
+    # all rows after the first crossing carry the same sticky decided_at
+    decided = [r for r in out if r["decision"] == "accept_h1"]
+    assert len({r["decided_at"] for r in decided}) == 1
+    assert decided[0]["decided_at"] == 6
+
+
+def test_sprt_monitor_accepts_h0_on_clean_data(spark):
+    from profiler.drift import sprt_monitor
+
+    rows = [(float(i), 8, 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, f int, n int")
+    out = sprt_monitor(df, "x", "f", "n", p0=0.01, p1=0.05).collect()
+    assert out[-1]["decision"] == "accept_h0"
+    assert out[-1]["llr"] <= out[-1]["thr_h0"] or out[-1]["decided_at"]

@@ -890,3 +890,78 @@ def test_theil_sen_pairs_join_the_day_frame_not_rows(spark, events):
     below = plan[join_at:]
     # every scan feeding the join sits under an aggregate
     assert below.count("HashAggregate") >= 2
+
+
+def test_cusum_and_changepoint_single_sorted_frame_no_join(spark, events):
+    """CUSUM chart and changepoint scan: mu/sigma/totals ride the same
+    sorted frame as full-extent window sums — NO join anywhere, one scan;
+    a Join node means the stats side regressed into a broadcast totals
+    frame (or worse, the recursion got unrolled as a pair join)."""
+    from profiler.timeseries import changepoint_scan, cusum_chart
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.avg("value").alias("y"))
+    for fn in (cusum_chart, changepoint_scan):
+        plan = _plan(fn(daily, "x", "y"))
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+    # changepoint's argmax is a TakeOrdered, not a global sort
+    plan = _plan(changepoint_scan(daily, "x", "y"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mann_whitney_one_pooled_exchange(spark, events):
+    """Mann-Whitney rides the cvm_2s skeleton: one pooled (value,
+    side-count) aggregate, midranks/totals as windows on one sort — no
+    join, each input scanned exactly once."""
+    from profiler.drift import mann_whitney_2s
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(mann_whitney_2s(a, b, "value"))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_sprt_monitor_single_pass_no_join(spark, events):
+    """SPRT walk: one sorted pass over the partition-summary frame —
+    cumulative DECIMAL sum + sticky min-of-crossing windows, no join,
+    no second scan."""
+    from profiler.drift import sprt_monitor
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(
+        F.count_if(F.col("value") > 90).cast("double").alias("f"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    plan = _plan(sprt_monitor(daily, "x", "f", "n", p0=0.15, p1=0.2))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_transition_drift_joins_bounded_edge_frames(spark, events):
+    """Grammar drift: the full-outer join inputs are the |states|^2
+    edge-count aggregates (HashAggregate below the join), never raw
+    rows; windows partition by state."""
+    from profiler.sequence import transition_drift
+
+    a = events.where(F.col("user_id") % 2 == 0)
+    b = events.where(F.col("user_id") % 2 == 1)
+    plan = _plan(
+        transition_drift(
+            a, b, key_col="user_id", order_cols=["ts", "event_id"],
+            state_col="event_type",
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+    # every window is either the conversation-keyed edge pass or the
+    # bounded state-partitioned rollup — never unpartitioned
+    for frag in plan.split("Window [")[1:]:
+        head = frag.splitlines()[0]
+        assert "user_id" in head or "state" in head

@@ -613,3 +613,50 @@ def test_append_only_check_order_not_physical(spark):
         [("c", 3, "z"), ("c", 1, "a"), ("c", 2, "b")], schema
     ).repartition(4)
     assert append_only_check(a, b).count() == 0
+
+
+def test_transition_drift_flags_grammar_change(spark):
+    from profiler.sequence import transition_drift
+
+    def conv(cid, roles):
+        return [(cid, i, r) for i, r in enumerate(roles)]
+
+    a_rows = []
+    for i in range(30):
+        a_rows += conv(f"a{i}", ["user", "assistant"] * 3)
+    b_rows = []
+    for i in range(15):
+        b_rows += conv(f"b{i}", ["user", "assistant"] * 3)
+    for i in range(15, 30):
+        b_rows += conv(f"b{i}", ["user", "assistant", "tool"] * 2)
+    schema = "conv_id string, turn_idx int, role string"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    out = transition_drift(a, b).collect()
+    by_state = {}
+    for r in out:
+        by_state.setdefault(r["state"], []).append(r)
+    # the assistant row changed: next was always user/END in A, now tool
+    assert by_state["assistant"][0]["psi"] > 0.1
+    new_edge = [
+        r for r in by_state["assistant"] if r["next_state"] == "tool"
+    ][0]
+    assert new_edge["n_a"] == 0 and new_edge["n_b"] > 0
+    assert new_edge["gap"] == new_edge["frac_b"]
+    # the user row is unchanged: psi ~ 0
+    assert by_state["user"][0]["psi"] < 0.01
+
+
+def test_transition_drift_identical_snapshots_zero(spark):
+    from profiler.sequence import transition_drift
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "user"),
+    ]
+    schema = "conv_id string, turn_idx int, role string"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    for r in transition_drift(a, b).collect():
+        assert r["psi"] == 0.0 and r["gap"] == 0.0
+        assert r["n_a"] == r["n_b"]

@@ -614,3 +614,66 @@ def test_kendall_tau_ties_match_reference(spark):
     assert r["n"] == n
     assert (r["n_concordant"], r["n_discordant"]) == (nc, nd)
     assert abs(r["tau_b"] - tau_ref) < 1e-5
+
+
+def test_cusum_chart_matches_recursion(spark):
+    from profiler.timeseries import cusum_chart
+
+    ys = [50.0, 51.0, 49.5, 50.2, 49.8, 50.4, 49.9, 50.1,
+          51.6, 51.4, 51.8, 51.5, 51.7, 52.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    out = cusum_chart(df, "x", "y", k=0.5, h=4.0, baseline_n=8).collect()
+    mu = sum(ys[:8]) / 8
+    var = sum((v - mu) ** 2 for v in ys[:8]) / 7
+    sd = var ** 0.5
+    cp = cn = 0.0
+    for r, y in zip(out, ys):
+        z = (y - mu) / sd
+        cp = max(0.0, cp + z - 0.5)
+        cn = max(0.0, cn - z - 0.5)
+        assert abs(r["cusum_pos"] - cp) < 1e-3, (r["t"], r["cusum_pos"], cp)
+        assert abs(r["cusum_neg"] - cn) < 1e-3
+        assert r["out_of_control"] is (cp > 4.0 or cn > 4.0)
+    # the sustained ~1.5 sigma shift must alarm by the end
+    assert out[-1]["out_of_control"] is True
+    assert not out[7]["out_of_control"]
+
+
+def test_cusum_chart_flat_series_is_degenerate(spark):
+    from profiler.timeseries import cusum_chart
+
+    df = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(6)], "x double, y double"
+    )
+    out = cusum_chart(df, "x", "y").collect()
+    assert len(out) == 6
+    assert all(r["z"] is None and r["cusum_pos"] is None for r in out)
+
+
+def test_changepoint_scan_finds_the_step(spark):
+    from profiler.timeseries import changepoint_scan
+
+    ys = [10.0] * 12 + [14.0] * 8
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    r = changepoint_scan(df, "x", "y").first()
+    assert r["n"] == 20
+    assert r["cp_index"] == 12 and r["cp_x"] == 11.0
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 14.0
+    assert r["delta"] == 4.0
+    assert r["stat"] > 1.0
+
+
+def test_changepoint_scan_tie_breaks_earliest(spark):
+    from profiler.timeseries import changepoint_scan
+
+    # symmetric bump: |C| ties at the two shoulders; earliest index wins
+    ys = [0.0, 0.0, 6.0, 6.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    r = changepoint_scan(df, "x", "y").first()
+    assert r["cp_index"] == 2
