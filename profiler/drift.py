@@ -2461,3 +2461,81 @@ def sprt_monitor(
         decision.alias("decision"),
         first_cross.cast("long").alias("decided_at"),
     ).orderBy("t")
+
+
+def dagostino_k2(df: DataFrame, column: str) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus NORMALITY test in ONE aggregate
+    pass over the raw column: the skewness z (D'Agostino 1970 Johnson-SU
+    transformation) and kurtosis z (Anscombe–Glynn 1983 Wilson–Hilferty
+    cube-root transformation) combined as K² = z₁² + z₂², the scipy
+    ``normaltest`` statistic. The drift panel compares two snapshots;
+    this is the one-sample screen — "is this metric even Gaussian?" —
+    that decides whether the ±kσ control limits (EWMA/Shewhart charts)
+    mean what they claim. K² ≳ 6 rejects normality at ~5%.
+
+    Plan: the moments ride Spark's single-pass skewness/kurtosis
+    aggregates (partial+final, one scan, no shuffle beyond the 1-row
+    agg); everything after is a scalar Johnson-SU/Wilson-Hilferty
+    algebra chain on the 1-row frame, written in the same operation
+    order as the DuckDB oracle (which converts its bias-corrected
+    moments back to population g1/g2 first). Emits NULL transforms for
+    n < 20, where the approximations are invalid (scipy warns; we
+    refuse)."""
+    c = F.col(column).cast("double")
+    base = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("__v"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.round(F.skewness(F.col("__v")), 6).alias("g1"),
+        F.round(F.kurtosis(F.col("__v")), 6).alias("g2"),
+    )
+    n = F.col("__n")
+    g1 = F.col("g1")
+    g2 = F.col("g2")
+    # --- skewness z (D'Agostino 1970) ---
+    y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(0.5 * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * F.log(
+        y / alpha + F.sqrt((y / alpha) * (y / alpha) + 1.0)
+    )
+    # --- kurtosis z (Anscombe-Glynn 1983) ---
+    b2 = g2 + 3.0
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    xx = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    aa = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    term1 = 1.0 - 2.0 / (9.0 * aa)
+    denom = 1.0 + xx * F.sqrt(2.0 / (aa - 4.0))
+    term2 = F.cbrt((1.0 - 2.0 / aa) / denom)
+    z2 = (term1 - term2) / F.sqrt(2.0 / (9.0 * aa))
+    ok = n >= 20
+    z1r = F.when(ok, F.round(z1, 4))
+    z2r = F.when(ok, F.round(z2, 4))
+    return agg.select(
+        n.cast("long").alias("n"),
+        g1.alias("g1"),
+        g2.alias("g2"),
+        z1r.alias("z_skew"),
+        z2r.alias("z_kurt"),
+        F.when(ok, F.round(z1 * z1 + z2 * z2, 4)).alias("k2"),
+    )

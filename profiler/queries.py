@@ -13494,3 +13494,240 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         state_col="event_type",
     )
+
+
+@_register(
+    "q237_dagostino_k2",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             skewness(value) AS sk_c, kurtosis(value) AS ku_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    conv AS (
+      SELECT n,
+             ROUND(sk_c * (n - 2) / sqrt(n * (n - 1)), 6) AS g1,
+             ROUND((ku_c * (n - 2) * (n - 3) / (n - 1) - 6) / (n + 1), 6)
+               AS g2
+      FROM agg
+    ),
+    sk AS (
+      SELECT n, g1, g2,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+             -1.0 + sqrt(2.0 * (3.0 * (n * n + 27.0 * n - 70.0)
+               * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) - 1.0))
+               AS w2
+      FROM conv
+    ),
+    z1t AS (
+      SELECT n, g1, g2,
+             (1.0 / sqrt(0.5 * ln(w2)))
+             * ln(y / sqrt(2.0 / (w2 - 1.0))
+                  + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                         * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+      FROM sk
+    ),
+    ku AS (
+      SELECT n, g1, g2, z1,
+             ((g2 + 3.0) - 3.0 * (n - 1.0) / (n + 1.0))
+               / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                      / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)))
+               AS xx,
+             6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (n * (n - 2.0) * (n - 3.0))) AS sb1
+      FROM z1t
+    ),
+    ku2 AS (
+      SELECT n, g1, g2, z1, xx,
+             6.0 + 8.0 / sb1 * (2.0 / sb1
+               + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+      FROM ku
+    ),
+    z2t AS (
+      SELECT n, g1, g2, z1,
+             ((1.0 - 2.0 / (9.0 * aa))
+              - cbrt((1.0 - 2.0 / aa)
+                     / (1.0 + xx * sqrt(2.0 / (aa - 4.0)))))
+             / sqrt(2.0 / (9.0 * aa)) AS z2
+      FROM ku2
+    )
+    SELECT CAST(n AS BIGINT) AS n, g1, g2,
+           CASE WHEN n >= 20 THEN ROUND(z1, 4) END AS z_skew,
+           CASE WHEN n >= 20 THEN ROUND(z2, 4) END AS z_kurt,
+           CASE WHEN n >= 20 THEN ROUND(z1 * z1 + z2 * z2, 4) END AS k2
+    FROM z2t
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K2 omnibus normality test (:func:`profiler.
+    drift.dagostino_k2`) on the raw value column — ONE single-pass
+    moment aggregate over the full table, then scalar Johnson-SU /
+    Wilson-Hilferty algebra on the 1-row frame; decides whether +-k
+    sigma control limits mean anything for this metric. The oracle
+    converts DuckDB's bias-corrected moments back to population g1/g2,
+    both engines round the moments to 6 dp, and the transform replays
+    identically."""
+    from profiler.drift import dagostino_k2
+
+    ev = _t(spark, sf_dir, "events")
+    return dagostino_k2(ev, "value")
+
+
+@_register(
+    "q238_ljung_box",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             ROUND(CAST(sum(CAST(ROUND(value, 4) AS DECIMAL(28,4)))
+                        AS DOUBLE) / count(*), 6) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    st AS (
+      SELECT x,
+             y - CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) OVER ()
+                 AS DOUBLE) / count(*) OVER () AS c
+      FROM daily WHERE y IS NOT NULL
+    ),
+    lagged AS (
+      SELECT c,
+             lag(c, 1) OVER (ORDER BY x) AS l1,
+             lag(c, 2) OVER (ORDER BY x) AS l2,
+             lag(c, 3) OVER (ORDER BY x) AS l3,
+             lag(c, 4) OVER (ORDER BY x) AS l4,
+             lag(c, 5) OVER (ORDER BY x) AS l5
+      FROM st
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(ROUND(c * c, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS den,
+             CAST(sum(CAST(ROUND(c * l1, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(ROUND(c * l2, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS s2,
+             CAST(sum(CAST(ROUND(c * l3, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(ROUND(c * l4, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS s4,
+             CAST(sum(CAST(ROUND(c * l5, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS s5
+      FROM lagged
+    ),
+    rs AS (
+      SELECT n,
+             CASE WHEN den > 0 THEN s1 / den END AS r1,
+             CASE WHEN den > 0 THEN s2 / den END AS r2,
+             CASE WHEN den > 0 THEN s3 / den END AS r3,
+             CASE WHEN den > 0 THEN s4 / den END AS r4,
+             CASE WHEN den > 0 THEN s5 / den END AS r5
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, lag, r, q FROM (
+      SELECT n, 1 AS lag, ROUND(r1, 6) AS r,
+             ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1.0)), 4) AS q FROM rs
+      UNION ALL
+      SELECT n, 2, ROUND(r2, 6),
+             ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+               + r2 * r2 / (n - 2.0)), 4) FROM rs
+      UNION ALL
+      SELECT n, 3, ROUND(r3, 6),
+             ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+               + r2 * r2 / (n - 2.0) + r3 * r3 / (n - 3.0)), 4) FROM rs
+      UNION ALL
+      SELECT n, 4, ROUND(r4, 6),
+             ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+               + r2 * r2 / (n - 2.0) + r3 * r3 / (n - 3.0)
+               + r4 * r4 / (n - 4.0)), 4) FROM rs
+      UNION ALL
+      SELECT n, 5, ROUND(r5, 6),
+             ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+               + r2 * r2 / (n - 2.0) + r3 * r3 / (n - 3.0)
+               + r4 * r4 / (n - 4.0) + r5 * r5 / (n - 5.0)), 4) FROM rs
+    ) ORDER BY lag
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test (:func:`profiler.timeseries.ljung_box`,
+    m = 5) on the daily-mean series: per-lag autocorrelations and the
+    cumulative portmanteau Q — the independence check behind every
+    control chart's error model. Mean as a full-extent window, lags in
+    one window pass, DECIMAL product sums, per-lag rows via an
+    expression-side posexplode; one scan, no join."""
+    from profiler.timeseries import ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 4).cast("decimal(28,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y")
+        )
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return ljung_box(daily, "x", "y", max_lag=5)
+
+
+@_register(
+    "q239_grubbs",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    framed AS (
+      SELECT x, y, count(*) OVER () AS n,
+             CAST(sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) OVER ()
+                  AS DOUBLE) AS s,
+             CAST(sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) OVER ()
+                  AS DOUBLE) AS sq
+      FROM daily
+    ),
+    cand AS (
+      SELECT CAST(n AS BIGINT) AS n, x AS x_at_max,
+             ROUND(y, 4) AS y_at_max,
+             ROUND(s / CAST(n AS DOUBLE), 6) AS mean,
+             ROUND(sqrt(greatest((sq - s * s / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6) AS stddev,
+             ROUND(abs(y - s / CAST(n AS DOUBLE)), 6) AS dev,
+             CASE WHEN sqrt(greatest((sq - s * s / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0), 0.0)) > 0
+                  THEN ROUND(abs(y - s / CAST(n AS DOUBLE))
+                       / sqrt(greatest((sq - s * s / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0), 0.0)), 4)
+             END AS g
+      FROM framed
+    )
+    SELECT n, x_at_max, y_at_max, mean, stddev, g
+    FROM cand ORDER BY dev DESC, x_at_max ASC LIMIT 1
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate outlier test (:func:`profiler.
+    timeseries.grubbs_test`) on the daily-volume series: the single
+    worst day's G = max|y - mean|/s with its position — the screen run
+    before trusting any (mean, stddev) pair a backfill spike may own.
+    Full-extent windows for the moments (no join, one scan) and ONE
+    TakeOrdered(1) with a position tie-break."""
+    from profiler.timeseries import grubbs_test
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return grubbs_test(daily, "x", "y")

@@ -1714,3 +1714,155 @@ def changepoint_scan(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             "delta"
         ),
     )
+
+
+def ljung_box(
+    df: DataFrame, x_col: str, y_col: str, max_lag: int = 5
+) -> DataFrame:
+    """Ljung–Box portmanteau test over a bounded series frame: per lag
+    k ≤ max_lag the sample autocorrelation r_k of the (mean-centered)
+    series and the cumulative Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j). The runs
+    test (:func:`profiler.drift.runs_test`) sees one kind of order
+    structure (sign clustering); Ljung–Box tests WHITENESS across all
+    lags at once — run it on :func:`seasonal_decompose` residuals to ask
+    "did deseasonalizing actually leave noise?", the prerequisite for
+    trusting any control chart's independence assumption. Q_k ≳ χ²_k
+    (11.07 at k=5) rejects whiteness at ~5%.
+
+    Plan: the mean rides the sorted frame as a full-extent window sum
+    (no join); the k lag columns are ONE window pass over the same
+    sort; numerators/denominator are DECIMAL sums of 7-dp-rounded
+    products in a single 1-row aggregate, and the per-lag unstack is an
+    expression-side posexplode of a k-element array — the input is
+    scanned once, shuffled once.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    framed = base.select(
+        "__y",
+        "__x",
+        (
+            F.col("__y")
+            - F.sum(F.round(F.col("__y"), 6).cast("decimal(28,6)"))
+            .over(wf)
+            .cast("double")
+            / F.count(F.lit(1)).over(wf)
+        ).alias("__c"),
+    )
+    lagged = framed.select(
+        "__c",
+        *[
+            F.lag("__c", k).over(wn).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    dec = lambda col: F.sum(  # noqa: E731
+        F.round(col, 7).cast("decimal(38,7)")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dec(F.col("__c") * F.col("__c")).alias("__den"),
+        *[
+            dec(F.col("__c") * F.col(f"__l{k}")).alias(f"__num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("__n")
+    den = F.col("__den").cast("double")
+    rs = [
+        F.when(den > 0, F.col(f"__num{k}").cast("double") / den)
+        for k in range(1, max_lag + 1)
+    ]
+    terms = [
+        rs[k - 1] * rs[k - 1] / (n - F.lit(float(k)))
+        for k in range(1, max_lag + 1)
+    ]
+    qs = []
+    acc = None
+    for t in terms:
+        acc = t if acc is None else acc + t
+        qs.append(n * (n + 2.0) * acc)
+    arr = F.array(
+        *[
+            F.struct(
+                F.round(rs[i], 6).alias("r"), F.round(qs[i], 4).alias("q")
+            )
+            for i in range(max_lag)
+        ]
+    )
+    ex = agg.select(
+        n.cast("long").alias("n"), F.posexplode(arr).alias("__k", "__s")
+    )
+    return ex.select(
+        "n",
+        (F.col("__k") + 1).cast("int").alias("lag"),
+        F.col("__s.r").alias("r"),
+        F.col("__s.q").alias("q"),
+    ).orderBy("lag")
+
+
+def grubbs_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Grubbs' (extreme studentized deviate) outlier test over a bounded
+    series frame: G = max|y − ȳ|/s with the position where it's
+    attained. The charts flag WHEN the process left its band; Grubbs
+    answers the narrower audit question "is the single worst day an
+    outlier against a normal model?" — the one-outlier screen run
+    before trusting a mean/stddev pair that one backfill spike may own.
+    The critical value at α=5% is t-based ((n−1)/√n·√(t²/(n−2+t²)));
+    we emit G and n, and the caller compares — no inverse-t inside a
+    lazy plan.
+
+    Plan: ȳ/s ride the sorted frame as full-extent window sums (no
+    join, single scan); the argmax is ONE TakeOrdered(1) with
+    (deviation desc, x asc) determinism.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ydec = F.round(F.col("__y"), 6).cast("decimal(28,6)")
+    framed = base.select(
+        "__x",
+        "__y",
+        F.count(F.lit(1)).over(wf).alias("__n"),
+        F.sum(ydec).over(wf).alias("__s"),
+        F.sum(F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)"))
+        .over(wf)
+        .alias("__sq"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / n
+    sd = F.sqrt(
+        F.greatest(
+            (
+                F.col("__sq").cast("double")
+                - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+            )
+            / (n - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    cand = framed.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__x").alias("x_at_max"),
+        F.round("__y", 4).alias("y_at_max"),
+        F.round(mu, 6).alias("mean"),
+        F.round(sd, 6).alias("stddev"),
+        F.round(F.abs(F.col("__y") - mu), 6).alias("__dev"),
+        F.when(sd > 0, F.round(F.abs(F.col("__y") - mu) / sd, 4)).alias(
+            "g"
+        ),
+    )
+    return cand.orderBy(
+        F.col("__dev").desc(), F.col("x_at_max").asc()
+    ).limit(1).drop("__dev")

@@ -1017,3 +1017,67 @@ def test_sprt_monitor_accepts_h0_on_clean_data(spark):
     out = sprt_monitor(df, "x", "f", "n", p0=0.01, p1=0.05).collect()
     assert out[-1]["decision"] == "accept_h0"
     assert out[-1]["llr"] <= out[-1]["thr_h0"] or out[-1]["decided_at"]
+
+
+def _k2_reference(vals):
+    """Independent reference for the D'Agostino/Anscombe-Glynn transforms
+    (formulas from the published papers, as in scipy.stats.normaltest)."""
+    import math
+
+    n = float(len(vals))
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    g1 = round(m3 / m2 ** 1.5, 6)
+    g2 = round(m4 / (m2 * m2) - 3.0, 6)
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2 / (w2 - 1))
+    z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    b2 = g2 + 3
+    eb2 = 3 * (n - 1) / (n + 1)
+    vb2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xx = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * math.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    term1 = 1 - 2 / (9 * aa)
+    denom = 1 + xx * math.sqrt(2 / (aa - 4))
+    term2 = math.copysign(abs((1 - 2 / aa) / denom) ** (1 / 3), (1 - 2 / aa) / denom)
+    z2 = (term1 - term2) / math.sqrt(2 / (9 * aa))
+    return z1, z2, z1 * z1 + z2 * z2
+
+
+def test_dagostino_k2_matches_reference_formulas(spark):
+    from profiler.drift import dagostino_k2
+
+    # a deliberately skewed sample: x^2 over a grid
+    vals = [((i * 37) % 101) ** 2 / 100.0 for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = dagostino_k2(df, "v").first()
+    z1, z2, k2 = _k2_reference(vals)
+    assert r["n"] == 300
+    assert abs(r["z_skew"] - z1) < 1e-3
+    assert abs(r["z_kurt"] - z2) < 1e-3
+    assert abs(r["k2"] - k2) < 1e-2
+    assert r["k2"] > 6  # clearly non-normal
+
+
+def test_dagostino_k2_normal_ish_small(spark):
+    from profiler.drift import dagostino_k2
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = [float(v) for v in rng.standard_normal(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = dagostino_k2(df, "v").first()
+    assert r["k2"] < 6  # gaussian data should not reject
+    # n < 20 refuses the approximation
+    small = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    rs = dagostino_k2(small, "v").first()
+    assert rs["z_skew"] is None and rs["k2"] is None

@@ -965,3 +965,31 @@ def test_transition_drift_joins_bounded_edge_frames(spark, events):
     for frag in plan.split("Window [")[1:]:
         head = frag.splitlines()[0]
         assert "user_id" in head or "state" in head
+
+
+def test_dagostino_k2_is_single_aggregate_pass(spark, events):
+    """K2 normality: one partial+final moment aggregate over one scan of
+    the RAW column; the Johnson-SU/Wilson-Hilferty chain is pure scalar
+    algebra on the 1-row frame — no window, no join."""
+    from profiler.drift import dagostino_k2
+
+    plan = _plan(dagostino_k2(events, "value"))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ljung_box_and_grubbs_one_sorted_frame(spark, events):
+    """Ljung-Box and Grubbs: moments/totals as full-extent windows on
+    ONE sorted frame — no join, single scan; Grubbs' argmax is a
+    TakeOrdered, never a global sort."""
+    from profiler.timeseries import grubbs_test, ljung_box
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.avg("value").alias("y"))
+    for fn in (lambda d: ljung_box(d, "x", "y"), lambda d: grubbs_test(d, "x", "y")):
+        plan = _plan(fn(daily))
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in _plan(grubbs_test(daily, "x", "y"))

@@ -677,3 +677,49 @@ def test_changepoint_scan_tie_breaks_earliest(spark):
     )
     r = changepoint_scan(df, "x", "y").first()
     assert r["cp_index"] == 2
+
+
+def test_ljung_box_white_vs_autocorrelated(spark):
+    import numpy as np
+
+    from profiler.timeseries import ljung_box
+
+    rng = np.random.default_rng(11)
+    white = [float(v) for v in rng.standard_normal(120)]
+    ar = [0.0]
+    for i in range(119):
+        ar.append(0.8 * ar[-1] + float(rng.standard_normal()))
+    for vals, expect_reject in [(white, False), (ar, True)]:
+        df = spark.createDataFrame(
+            [(float(i), v) for i, v in enumerate(vals)], "x double, y double"
+        )
+        out = ljung_box(df, "x", "y", max_lag=5).collect()
+        assert [r["lag"] for r in out] == [1, 2, 3, 4, 5]
+        # reference r_k with the same (biased, full-denominator) convention
+        n = len(vals)
+        mu = sum(vals) / n
+        c = [v - mu for v in vals]
+        den = sum(v * v for v in c)
+        q = 0.0
+        for r in out:
+            k = r["lag"]
+            rk = sum(c[i] * c[i - k] for i in range(k, n)) / den
+            q += n * (n + 2) * rk * rk / (n - k)
+            assert abs(r["r"] - rk) < 1e-4, (k, r["r"], rk)
+            assert abs(r["q"] - q) < 1e-2
+        assert (out[-1]["q"] > 11.07) is expect_reject
+
+
+def test_grubbs_test_finds_the_spike(spark):
+    from profiler.timeseries import grubbs_test
+
+    ys = [10.0, 10.5, 9.8, 10.2, 9.9, 10.1, 30.0, 10.3, 9.7, 10.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    r = grubbs_test(df, "x", "y").first()
+    assert r["n"] == 10 and r["x_at_max"] == 6.0 and r["y_at_max"] == 30.0
+    mu = sum(ys) / 10
+    sd = (sum((v - mu) ** 2 for v in ys) / 9) ** 0.5
+    assert abs(r["g"] - abs(30.0 - mu) / sd) < 1e-3
+    assert r["g"] > 2.29  # 5% critical value for n=10
