@@ -13731,3 +13731,160 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
     )
     return grubbs_test(daily, "x", "y")
+
+
+@_register(
+    "q240_grammar_entropy",
+    """
+    WITH edges0 AS (
+      SELECT event_type AS state,
+             coalesce(lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), '__end__') AS next_state
+      FROM events
+    ),
+    edges AS (
+      SELECT state, next_state, count(*) AS n FROM edges0 GROUP BY 1, 2
+    ),
+    pe AS (
+      SELECT state, n,
+             CAST(sum(n) OVER (PARTITION BY state) AS DOUBLE) AS rt,
+             CAST(sum(n) OVER () AS DOUBLE) AS tot
+      FROM edges
+    ),
+    pc AS (
+      SELECT state, n,
+             CAST(ROUND(-(CAST(n AS DOUBLE) / rt)
+                  * log2(CAST(n AS DOUBLE) / rt) * (rt / tot), 7)
+                  AS DECIMAL(38,7)) AS c,
+             CAST(ROUND((CAST(n AS DOUBLE) / rt)
+                  * (-(rt / tot) * log2(rt / tot)), 7)
+                  AS DECIMAL(38,7)) AS m
+      FROM pe
+    ),
+    agg AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+             CAST(count(DISTINCT state) AS BIGINT) AS n_states,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(c) AS DOUBLE) AS hrate,
+             CAST(sum(m) AS DOUBLE) AS mhsum
+      FROM pc
+    )
+    SELECT n_transitions, n_states, n_edges,
+           ROUND(mhsum, 6) AS state_entropy,
+           ROUND(hrate, 6) AS entropy_rate,
+           ROUND(pow(2.0, hrate), 4) AS perplexity
+    FROM agg
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov grammar entropy (:func:`profiler.sequence.grammar_entropy`)
+    of the event streams: marginal state entropy, entropy rate
+    sum(pi_s * H(next|s)) in bits, and per-step perplexity — the
+    one-scalar mode-collapse monitor for generated conversations. One
+    lead-window edge pass collapsed to the |states|^2 frame; entropy
+    terms as bounded-frame windows + one DECIMAL aggregate."""
+    from profiler.sequence import grammar_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return grammar_entropy(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type",
+    )
+
+
+@_register(
+    "q241_position_profile",
+    """
+    WITH turns AS (
+      SELECT CAST(least(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), 10) AS INTEGER) AS position,
+             event_type AS state, CAST(value AS DOUBLE) AS m
+      FROM events
+    ),
+    g AS (
+      SELECT position, state, count(*) AS n,
+             sum(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS ms,
+             count(m) AS mn
+      FROM turns GROUP BY 1, 2
+    )
+    SELECT position, state, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY position) AS DOUBLE), 6)
+             AS frac_of_position,
+           CASE WHEN mn > 0
+                THEN ROUND(CAST(ms AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+           END AS metric_mean
+    FROM g ORDER BY position, state
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-position profile (:func:`profiler.sequence.position_profile`,
+    max_pos = 10): per (position, state) counts, position shares and
+    mean value — the panel that shows position structure (tool calls
+    cluster at step 3, values grow deep into streams) that marginal
+    shares hide. One keyed row_number window + a bounded-domain groupBy;
+    one scan, no join."""
+    from profiler.sequence import position_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return position_profile(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type", metric_col="value", max_pos=10,
+    )
+
+
+@_register(
+    "q242_qn_scale",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    a AS (SELECT x AS xa, y AS ya FROM daily),
+    b AS (SELECT x AS xb, y AS yb FROM daily),
+    pairs AS (
+      SELECT xa, xb, ROUND(abs(ya - yb), 8) AS d
+      FROM a JOIN b ON xa < xb
+    ),
+    counted AS (
+      SELECT d, xa, xb, count(*) OVER () AS npairs FROM pairs
+    ),
+    sized AS (
+      SELECT d, xa, xb, npairs,
+             ROUND((1.0 + sqrt(1.0 + 8.0 * CAST(npairs AS DOUBLE)))
+                   / 2.0, 0) AS n
+      FROM counted
+    ),
+    ranked AS (
+      SELECT d, npairs, CAST(n AS BIGINT) AS n,
+             CAST((floor(n / 2) + 1) * ((floor(n / 2) + 1) - 1) / 2
+                  AS BIGINT) AS k,
+             row_number() OVER (ORDER BY d ASC, xa ASC, xb ASC) AS r
+      FROM sized
+    )
+    SELECT n, npairs AS n_pairs, k, d AS qn_raw,
+           ROUND(2.2219 * d, 6) AS qn
+    FROM ranked WHERE r = k
+    """,
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rousseeuw-Croux Qn robust scale (:func:`profiler.timeseries.
+    qn_scale`) of the daily-volume series: the C(h,2)-th order statistic
+    of pairwise distances, the 82%-efficient outlier-proof sigma-hat to
+    feed the control charts. |days|^2-bounded pair join + ONE fully
+    tie-broken row_number window."""
+    from profiler.timeseries import qn_scale
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return qn_scale(daily, "x", "y")

@@ -1200,3 +1200,128 @@ def transition_drift(
         F.round(F.max(F.round(gap, 6)).over(ws), 6).alias("max_gap"),
     )
     return enriched.orderBy("state", "next_state")
+
+
+def grammar_entropy(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """Entropy profile of the conversation GRAMMAR as a first-order
+    Markov chain: the marginal state entropy (over outgoing-transition
+    mass), the entropy RATE H = Σ_s π_s · H(next|s) (π_s the state's
+    share of transitions, H in bits), and its perplexity 2^H — "how many
+    effective choices does the dialogue have per step?".
+    :func:`transition_drift` compares two grammars; this is the
+    one-snapshot scalar a monitoring series tracks: a collapsing
+    perplexity means conversations are becoming templated (mode collapse
+    in generated data), a jump means a new flow shipped.
+
+    Plan: one lead-window edge pass (shuffle on the conversation
+    bucketing key) collapsed map-side to the |states|²-sized edge frame;
+    per-edge entropy terms use state-partitioned + full-extent windows
+    over that BOUNDED frame (single-partition windows are safe exactly
+    because the frame is |states|²), folded by one DECIMAL-summed global
+    aggregate. The marginal entropy rides the SAME frame (each edge
+    contributes p·(−π·log2 π); those sum to −π·log2 π per state), so the
+    expensive edge pass runs ONCE — one scan, no join at all.
+    """
+    w = _seq_window(key_col, order_cols)
+    nxt = F.coalesce(F.lead(F.col(state_col)).over(w), F.lit(END_STATE))
+    edges = (
+        df.select(
+            F.col(state_col).cast("string").alias("state"),
+            nxt.cast("string").alias("next_state"),
+        )
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("state")
+    wall = Window.partitionBy()
+    row_tot = F.sum("n").over(ws).cast("double")
+    tot = F.sum("n").over(wall).cast("double")
+    p = F.col("n").cast("double") / row_tot
+    pi = row_tot / tot
+    contrib = F.round(-p * F.log2(p) * pi, 7).cast("decimal(38,7)")
+    mcontrib = F.round(p * (-pi * F.log2(pi)), 7).cast("decimal(38,7)")
+    per_edge = edges.select(
+        "state",
+        F.col("n"),
+        contrib.alias("__c"),
+        mcontrib.alias("__m"),
+    )
+    agg = per_edge.agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.count_distinct(F.col("state")).cast("long").alias("n_states"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("__c").alias("__hrate"),
+        F.sum("__m").alias("__mhsum"),
+    )
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        "n_edges",
+        F.round(F.col("__mhsum").cast("double"), 6).alias("state_entropy"),
+        F.round(F.col("__hrate").cast("double"), 6).alias("entropy_rate"),
+        F.round(
+            F.pow(F.lit(2.0), F.col("__hrate").cast("double")), 4
+        ).alias("perplexity"),
+    )
+
+
+def position_profile(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+    metric_col: str | None = None,
+    max_pos: int = 10,
+) -> DataFrame:
+    """Turn-POSITION profile of a conversation corpus: for every (turn
+    position 1..max_pos, with ``max_pos`` an open "and later" bucket) ×
+    state, the turn count, the state's share of that position, and the
+    mean of ``metric_col`` (text length, latency, value). Marginal role
+    shares hide position structure — "assistant turns get longer deep
+    into conversations" or "tool calls only ever appear at position 3"
+    is exactly what this panel shows, and position-sliced drift is where
+    templated generations show up first.
+
+    Plan: one row_number window per conversation key (the table's
+    bucketing column — shuffle-aligned), then a groupBy over the
+    (max_pos × |states|)-bounded domain with map-side partial
+    aggregation; position shares are windows over that bounded frame.
+    One scan, no join.
+    """
+    w = _seq_window(key_col, order_cols)
+    pos = F.least(F.row_number().over(w), F.lit(int(max_pos)))
+    m = (
+        F.col(metric_col).cast("double")
+        if metric_col is not None
+        else F.lit(None).cast("double")
+    )
+    turns = df.select(
+        pos.alias("position"),
+        F.col(state_col).cast("string").alias("state"),
+        m.alias("__m"),
+    )
+    grouped = turns.groupBy("position", "state").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("__m"), 6).cast("decimal(28,6)")).alias("__ms"),
+        F.count("__m").alias("__mn"),
+    )
+    wp = Window.partitionBy("position")
+    share = F.col("n").cast("double") / F.sum("n").over(wp).cast("double")
+    return grouped.select(
+        "position",
+        "state",
+        "n",
+        F.round(share, 6).alias("frac_of_position"),
+        F.when(
+            F.col("__mn") > 0,
+            F.round(
+                F.col("__ms").cast("double") / F.col("__mn").cast("double"),
+                6,
+            ),
+        ).alias("metric_mean"),
+    ).orderBy("position", "state")

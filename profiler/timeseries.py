@@ -1866,3 +1866,65 @@ def grubbs_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return cand.orderBy(
         F.col("__dev").desc(), F.col("x_at_max").asc()
     ).limit(1).drop("__dev")
+
+
+def qn_scale(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rousseeuw–Croux Qn ROBUST scale estimate over a bounded series
+    frame: the k-th order statistic of all pairwise |y_i − y_j|
+    (k = C(h,2), h = ⌊n/2⌋+1), scaled by the normal-consistency constant
+    2.2219. The stddev a Grubbs/chart pair relies on is itself wrecked
+    by the outliers it is supposed to find; MAD fixes that but has 37%
+    efficiency and a symmetry assumption — Qn is the 82%-efficient,
+    symmetry-free robust scale, the right σ̂ to feed the charts on
+    incident-scarred series. Emits the raw order statistic and the
+    scaled estimate (no finite-sample correction factor — compare like
+    n with like n, or apply the published c_n on the caller's side).
+
+    Plan: intended for the |days|-sized daily frame — the pairwise
+    distance join is |days|²-bounded; the order statistic is ONE
+    row_number window with full (distance, position, position)
+    tie-breaks, so the result is deterministic to the last bit.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    a = base.select(F.col("__x").alias("xa"), F.col("__y").alias("ya"))
+    b = base.select(F.col("__x").alias("xb"), F.col("__y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        "xa",
+        "xb",
+        F.round(F.abs(F.col("ya") - F.col("yb")), 8).alias("__d"),
+    )
+    wf = Window.partitionBy()
+    counted = pairs.select(
+        "__d",
+        "xa",
+        "xb",
+        F.count(F.lit(1)).over(wf).alias("__npairs"),
+    )
+    # n from n_pairs: n = (1 + sqrt(1+8*npairs)) / 2
+    n = F.round(
+        (1.0 + F.sqrt(1.0 + 8.0 * F.col("__npairs").cast("double"))) / 2.0,
+        0,
+    )
+    h = F.floor(n / 2) + 1
+    k = (h * (h - 1) / 2).cast("long")
+    ranked = counted.select(
+        "__d",
+        "__npairs",
+        n.cast("long").alias("__n"),
+        k.alias("__k"),
+        F.row_number()
+        .over(Window.orderBy(F.col("__d").asc(), F.col("xa").asc(), F.col("xb").asc()))
+        .alias("__r"),
+    )
+    hit = ranked.where(F.col("__r") == F.col("__k"))
+    return hit.select(
+        F.col("__n").alias("n"),
+        F.col("__npairs").alias("n_pairs"),
+        F.col("__k").alias("k"),
+        F.col("__d").alias("qn_raw"),
+        F.round(F.lit(2.2219) * F.col("__d"), 6).alias("qn"),
+    )

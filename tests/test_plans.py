@@ -993,3 +993,40 @@ def test_ljung_box_and_grubbs_one_sorted_frame(spark, events):
         assert "Join" not in plan
         assert plan.count("Scan parquet") == 1
     assert "TakeOrderedAndProject" in _plan(grubbs_test(daily, "x", "y"))
+
+
+def test_grammar_and_position_ops_scan_once_bounded_windows(spark, events):
+    """Grammar entropy and position profile: one keyed window pass over
+    ONE scan; every later window runs on the bounded edge/position
+    domain; no join — the marginal entropy rides the same edge frame,
+    so a second scan means the marginal branch regressed."""
+    from profiler.sequence import grammar_entropy, position_profile
+
+    plan = _plan(
+        grammar_entropy(events, key_col="user_id",
+                        order_cols=["ts", "event_id"],
+                        state_col="event_type")
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    plan2 = _plan(
+        position_profile(events, key_col="user_id",
+                         order_cols=["ts", "event_id"],
+                         state_col="event_type", metric_col="value")
+    )
+    assert "Join" not in plan2
+    assert plan2.count("Scan parquet") == 1
+
+
+def test_qn_scale_pairs_join_the_day_frame_not_rows(spark, events):
+    """Qn: the pairwise theta-join's inputs must be the |days|-sized
+    daily aggregate (HashAggregate below the join), never raw rows."""
+    from profiler.timeseries import qn_scale
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(qn_scale(daily, "x", "y"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2

@@ -660,3 +660,50 @@ def test_transition_drift_identical_snapshots_zero(spark):
     for r in transition_drift(a, b).collect():
         assert r["psi"] == 0.0 and r["gap"] == 0.0
         assert r["n_a"] == r["n_b"]
+
+
+def test_grammar_entropy_deterministic_vs_random(spark):
+    from profiler.sequence import grammar_entropy
+
+    schema = "conv_id string, turn_idx int, role string"
+    # fully templated: user -> assistant -> END, zero entropy rate
+    det_rows = []
+    for i in range(20):
+        det_rows += [(f"c{i}", 0, "user"), (f"c{i}", 1, "assistant")]
+    det = spark.createDataFrame(det_rows, schema)
+    r = grammar_entropy(det).first()
+    assert r["n_transitions"] == 40
+    assert r["entropy_rate"] == 0.0 and r["perplexity"] == 1.0
+    # state entropy over outgoing mass: user and assistant each 0.5 -> 1 bit
+    assert r["state_entropy"] == 1.0
+    # a 50/50 branch after assistant: rate = pi_assistant * 1 bit
+    br_rows = list(det_rows)
+    for i in range(10):
+        br_rows += [(f"d{i}", 0, "user"), (f"d{i}", 1, "assistant"),
+                    (f"d{i}", 2, "tool")]
+    br = spark.createDataFrame(br_rows, schema)
+    r2 = grammar_entropy(br).first()
+    assert r2["entropy_rate"] > 0.2
+    assert r2["perplexity"] > 1.1
+
+
+def test_position_profile_shares_and_metric(spark):
+    from profiler.sequence import position_profile
+
+    rows = []
+    for i in range(12):
+        rows += [
+            (f"c{i}", 0, "user", 10.0),
+            (f"c{i}", 1, "assistant", 20.0),
+            (f"c{i}", 2, "user" if i % 2 == 0 else "tool", 30.0),
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, v double"
+    )
+    out = position_profile(df, metric_col="v", max_pos=3).collect()
+    d = {(r["position"], r["state"]): r for r in out}
+    assert d[(1, "user")]["n"] == 12 and d[(1, "user")]["frac_of_position"] == 1.0
+    assert d[(2, "assistant")]["metric_mean"] == 20.0
+    assert d[(3, "user")]["frac_of_position"] == 0.5
+    assert d[(3, "tool")]["frac_of_position"] == 0.5
+    assert all(r["position"] <= 3 for r in out)

@@ -723,3 +723,39 @@ def test_grubbs_test_finds_the_spike(spark):
     sd = (sum((v - mu) ** 2 for v in ys) / 9) ** 0.5
     assert abs(r["g"] - abs(30.0 - mu) / sd) < 1e-3
     assert r["g"] > 2.29  # 5% critical value for n=10
+
+
+def test_qn_scale_known_case_and_robustness(spark):
+    from profiler.timeseries import qn_scale
+
+    # n=5: h=3, k=3 -> third smallest pairwise distance
+    ys = [1.0, 2.0, 4.0, 8.0, 100.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    dists = sorted(
+        abs(a - b)
+        for i, a in enumerate(ys)
+        for b in ys[i + 1:]
+    )
+    r = qn_scale(df, "x", "y").first()
+    assert r["n"] == 5 and r["n_pairs"] == 10 and r["k"] == 3
+    assert r["qn_raw"] == dists[2]
+    assert abs(r["qn"] - 2.2219 * dists[2]) < 1e-6
+    # robustness: the outlier does not blow up Qn (stddev would be ~43)
+    assert r["qn"] < 10
+
+
+def test_qn_scale_gaussian_consistency(spark):
+    import numpy as np
+
+    from profiler.timeseries import qn_scale
+
+    rng = np.random.default_rng(3)
+    ys = [float(v) for v in rng.standard_normal(120) * 5.0]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    r = qn_scale(df, "x", "y").first()
+    # consistency: Qn ~ sigma = 5 within sampling noise
+    assert 3.5 < r["qn"] < 6.5
