@@ -1,0 +1,304 @@
+"""Randomized differential tests for the session-5 monitoring panel:
+every chart/test statistic is recomputed by an independent brute-force
+Python reference on seeded random inputs — the window/decimal algebra in
+the Spark plans must agree on arbitrary data, not just the fixtures."""
+
+import math
+
+import numpy as np
+
+
+def _series_df(spark, ys):
+    return spark.createDataFrame(
+        [(float(i), float(y)) for i, y in enumerate(ys)],
+        "x double, y double",
+    )
+
+
+def test_cusum_and_ewma_match_recursions_on_random_series(spark):
+    from profiler.timeseries import cusum_chart, ewma_control
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = int(rng.integers(12, 40))
+        ys = [float(v) for v in rng.normal(50, 5, n)]
+        if trial % 2:
+            ys[n // 2:] = [y + 8 for y in ys[n // 2:]]
+        df = _series_df(spark, ys)
+        mu = sum(ys) / n
+        sd = (sum((v - mu) ** 2 for v in ys) / (n - 1)) ** 0.5
+        out = cusum_chart(df, "x", "y", k=0.5, h=4.0).collect()
+        cp = cn = 0.0
+        for r, y in zip(out, ys):
+            z = (y - mu) / sd
+            cp = max(0.0, cp + z - 0.5)
+            cn = max(0.0, cn - z - 0.5)
+            assert abs(r["cusum_pos"] - cp) < 1e-3
+            assert abs(r["cusum_neg"] - cn) < 1e-3
+        oute = ewma_control(df, "x", "y", lam=0.5, k=3.0).collect()
+        zz = mu
+        for r, y in zip(oute, ys):
+            zz = 0.5 * y + 0.5 * zz
+            assert abs(r["ewma"] - zz) < 1e-3
+
+
+def test_mann_whitney_matches_bruteforce_on_random_ties(spark):
+    from profiler.drift import mann_whitney_2s
+
+    rng = np.random.default_rng(29)
+    for _ in range(3):
+        na, nb = int(rng.integers(5, 25)), int(rng.integers(5, 25))
+        # integer-valued -> plenty of cross-sample ties
+        xa = [float(v) for v in rng.integers(0, 12, na)]
+        xb = [float(v) for v in rng.integers(0, 12, nb)]
+        a = spark.createDataFrame([(v,) for v in xa], "v double")
+        b = spark.createDataFrame([(v,) for v in xb], "v double")
+        r = mann_whitney_2s(a, b, "v").first()
+        # brute force U_a: pairs won + half the ties
+        ua = sum(
+            1.0 if va > vb else (0.5 if va == vb else 0.0)
+            for va in xa for vb in xb
+        )
+        assert abs(r["u_a"] - ua) < 1e-6, (xa, xb)
+        assert abs(r["u_b"] - (na * nb - ua)) < 1e-6
+        pooled = sorted(xa + xb)
+        ties = {}
+        for v in pooled:
+            ties[v] = ties.get(v, 0) + 1
+        tsum = sum(h ** 3 - h for h in ties.values())
+        nn = na + nb
+        var = na * nb / 12 * ((nn + 1) - tsum / (nn * (nn - 1)))
+        if var > 0:
+            z = (ua - na * nb / 2) / var ** 0.5
+            assert abs(r["z"] - z) < 1e-3
+
+
+def _ecdf(vals, pts):
+    vals = sorted(vals)
+    out = []
+    for p in pts:
+        c = sum(1 for v in vals if v <= p)
+        out.append(c / len(vals))
+    return out
+
+
+def test_cvm_and_ad_match_definitions_on_random_samples(spark):
+    from profiler.drift import anderson_darling_2s, cvm_2s
+
+    rng = np.random.default_rng(31)
+    for _ in range(3):
+        na, nb = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+        xa = [float(v) for v in rng.integers(0, 15, na)]
+        xb = [float(v) for v in rng.integers(0, 15, nb)]
+        a = spark.createDataFrame([(v,) for v in xa], "v double")
+        b = spark.createDataFrame([(v,) for v in xb], "v double")
+        pooled = sorted(set(xa + xb))
+        mult = {p: xa.count(p) + xb.count(p) for p in pooled}
+        fa, fb = _ecdf(xa, pooled), _ecdf(xb, pooled)
+        nn = na + nb
+        # CvM: T = nm/N^2 * sum over pooled values of h*(Fa-Fb)^2
+        t_ref = (
+            na * nb / (nn * nn)
+            * sum(mult[p] * (fa[i] - fb[i]) ** 2 for i, p in enumerate(pooled))
+        )
+        r = cvm_2s(a, b, "v").first()
+        assert abs(r["cvm_t"] - t_ref) < 1e-4, (xa, xb)
+        # AD (tie-adjusted A2akN, Scholz-Stephens eq. 6 with midranks)
+        a2_ref = 0.0
+        cum = 0.0
+        cum_a = 0.0
+        for i, p in enumerate(pooled):
+            h = mult[p]
+            ha = xa.count(p)
+            bj = cum + h / 2.0
+            maj = cum_a + ha / 2.0
+            denom = bj * (nn - bj) - nn * h / 4.0
+            if denom > 0:
+                da = nn * maj - na * bj
+                a2_ref += (h / nn) * (da * da / na) / denom
+                mb = (cum - cum_a) + (h - ha) / 2.0
+                db = nn * mb - nb * bj
+                a2_ref += (h / nn) * (db * db / nb) / denom
+            cum += h
+            cum_a += ha
+        a2_ref *= (nn - 1) / nn
+        r2 = anderson_darling_2s(a, b, "v").first()
+        if r2["a2"] is not None:
+            assert abs(r2["a2"] - a2_ref) < 1e-4, (xa, xb)
+
+
+def test_changepoint_matches_bruteforce_argmax(spark):
+    from profiler.timeseries import changepoint_scan
+
+    rng = np.random.default_rng(37)
+    for _ in range(3):
+        n = int(rng.integers(10, 30))
+        ys = [float(v) for v in rng.normal(0, 1, n)]
+        cut = int(rng.integers(3, n - 3))
+        ys[cut:] = [y + 5 for y in ys[cut:]]
+        df = _series_df(spark, ys)
+        mu = sum(ys) / n
+        c = 0.0
+        best = (-1.0, None)
+        for t in range(1, n):
+            c += ys[t - 1] - mu
+            ac = round(abs(c), 6)
+            if ac > best[0]:
+                best = (ac, t)
+        r = changepoint_scan(df, "x", "y").first()
+        assert r["cp_index"] == best[1]
+        assert abs(r["c_max_abs"] - best[0]) < 1e-3
+
+
+def test_theil_sen_matches_bruteforce_median(spark):
+    from profiler.timeseries import theil_sen
+
+    rng = np.random.default_rng(41)
+    for _ in range(3):
+        n = int(rng.integers(6, 16))
+        xs = sorted(float(v) for v in rng.choice(200, n, replace=False))
+        ys = [float(v) for v in rng.normal(0, 10, n)]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        slopes = sorted(
+            round((ys[j] - ys[i]) / (xs[j] - xs[i]), 8)
+            for i in range(n) for j in range(i + 1, n)
+        )
+        m = len(slopes)
+        med = (
+            slopes[m // 2]
+            if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        r = theil_sen(df, "x", "y").first()
+        assert abs(r["slope"] - round(med, 6)) < 2e-6
+
+
+def test_qn_matches_bruteforce_order_statistic(spark):
+    from profiler.timeseries import qn_scale
+
+    rng = np.random.default_rng(43)
+    for _ in range(3):
+        n = int(rng.integers(5, 20))
+        ys = [float(v) for v in rng.normal(0, 3, n)]
+        df = _series_df(spark, ys)
+        dists = sorted(
+            round(abs(ys[i] - ys[j]), 8)
+            for i in range(n) for j in range(i + 1, n)
+        )
+        h = n // 2 + 1
+        k = h * (h - 1) // 2
+        r = qn_scale(df, "x", "y").first()
+        assert r["k"] == k
+        assert abs(r["qn_raw"] - dists[k - 1]) < 1e-9
+
+
+def test_grammar_entropy_matches_reference_counts(spark):
+    from profiler.sequence import grammar_entropy
+
+    rng = np.random.default_rng(47)
+    states = ["user", "assistant", "tool"]
+    rows = []
+    for c in range(40):
+        ln = int(rng.integers(1, 6))
+        for i in range(ln):
+            rows.append((f"c{c}", i, states[int(rng.integers(0, 3))]))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    # reference: edge counts from the same definition
+    from collections import Counter, defaultdict
+
+    convs = defaultdict(list)
+    for cid, i, role in rows:
+        convs[cid].append((i, role))
+    edges = Counter()
+    for cid, turns in convs.items():
+        seq = [r for _, r in sorted(turns)]
+        for a, b in zip(seq, seq[1:] + ["__end__"]):
+            edges[(a, b)] += 1
+    tot = sum(edges.values())
+    row_tot = Counter()
+    for (s, _), c in edges.items():
+        row_tot[s] += c
+    hrate = 0.0
+    for (s, _), c in edges.items():
+        p = c / row_tot[s]
+        hrate += -p * math.log2(p) * (row_tot[s] / tot)
+    r = grammar_entropy(df).first()
+    assert r["n_transitions"] == tot
+    assert abs(r["entropy_rate"] - hrate) < 1e-4
+    assert abs(r["perplexity"] - 2 ** hrate) < 1e-2
+
+
+def test_transition_drift_psi_reference(spark):
+    from profiler.sequence import transition_drift
+
+    rng = np.random.default_rng(53)
+    states = ["u", "a", "t"]
+
+    def corpus(tag, n, bias):
+        rows = []
+        for c in range(n):
+            ln = int(rng.integers(2, 5))
+            for i in range(ln):
+                idx = int(rng.integers(0, 3)) if not bias else (i % 3)
+                rows.append((f"{tag}{c}", i, states[idx]))
+        return rows
+
+    schema = "conv_id string, turn_idx int, role string"
+    a_rows, b_rows = corpus("a", 30, False), corpus("b", 30, True)
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    out = transition_drift(a, b).collect()
+    from collections import Counter, defaultdict
+
+    def edges_of(rows):
+        convs = defaultdict(list)
+        for cid, i, role in rows:
+            convs[cid].append((i, role))
+        e = Counter()
+        for turns in convs.values():
+            seq = [r for _, r in sorted(turns)]
+            for x, y in zip(seq, seq[1:] + ["__end__"]):
+                e[(x, y)] += 1
+        return e
+
+    ea, eb = edges_of(a_rows), edges_of(b_rows)
+    keys = set(ea) | set(eb)
+    rta, rtb = Counter(), Counter()
+    for (s, _), c in ea.items():
+        rta[s] += c
+    for (s, _), c in eb.items():
+        rtb[s] += c
+    psi_ref = Counter()
+    for (s, t) in keys:
+        pa = ea.get((s, t), 0) / rta[s] if rta[s] else 0.0
+        pb = eb.get((s, t), 0) / rtb[s] if rtb[s] else 0.0
+        qa, qb = pa + 1e-6, pb + 1e-6
+        psi_ref[s] += (qa - qb) * math.log(qa / qb)
+    for r in out:
+        assert abs(r["psi"] - psi_ref[r["state"]]) < 1e-4, r["state"]
+
+
+def test_sprt_llr_matches_reference_walk(spark):
+    from profiler.drift import sprt_monitor
+
+    rng = np.random.default_rng(59)
+    rows = []
+    for i in range(12):
+        n = int(rng.integers(50, 200))
+        f = int(rng.integers(0, n // 4))
+        rows.append((float(i), f, n))
+    df = spark.createDataFrame(rows, "x double, f int, n int")
+    p0, p1 = 0.05, 0.12
+    out = sprt_monitor(df, "x", "f", "n", p0=p0, p1=p1).collect()
+    lf = math.log(p1 / p0)
+    lp = math.log((1 - p1) / (1 - p0))
+    llr = 0.0
+    a_thr = math.log(0.95 / 0.05)
+    b_thr = math.log(0.05 / 0.95)
+    decided = None
+    for r, (_, f, n) in zip(out, rows):
+        llr += f * lf + (n - f) * lp
+        assert abs(r["llr"] - llr) < 1e-3
+        if decided is None and (llr >= a_thr or llr <= b_thr):
+            decided = r["t"]
+        assert r["decided_at"] == decided
