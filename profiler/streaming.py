@@ -627,3 +627,123 @@ def run_streaming_validation(
     )
     q.awaitTermination()
     return vdir, sdir
+
+
+# ---------------------------------------------------------------------------
+# Streaming control charts (foreachBatch over per-bucket sufficient stats)
+# ---------------------------------------------------------------------------
+class StreamingControlChart:
+    """EWMA + CUSUM control charts over a STREAM, the micro-batch
+    extension of :func:`profiler.timeseries.ewma_control` /
+    :func:`profiler.timeseries.cusum_chart` (foreachBatch target; not in
+    the reference — the streaming half of the chart family). μ/σ are
+    FROZEN from a baseline snapshot (the SPC reference window — a shift
+    arriving on the stream can't contaminate its own control limits, the
+    same design as those functions' ``baseline_n``).
+
+    Mechanics: each micro-batch collapses to ONE per-time-bucket
+    aggregate of (n, Σy, Σy²) sufficient statistics — plain sums, so
+    they merge associatively into the running per-bucket dict, and the
+    accumulated stats after any number of micro-batches (or any file
+    split, or a mid-bucket batch boundary) are IDENTICAL to a batch
+    aggregate over the same rows. ``report()`` replays the exact chart
+    recursions over the ≤|buckets| completed means — so stream chart ==
+    batch chart on the same rows (pinned by tests/test_streaming.py).
+
+    Driver state is bounded: one (count, Σ, Σ²) triple per time bucket
+    (days: 365/year). On a production cluster, upsert the per-batch
+    bucket stats into a table keyed by (bucket, batch_id) instead —
+    idempotent on micro-batch replay, restart-safe, same merge.
+    """
+
+    def __init__(
+        self,
+        baseline_df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        lam: float = 0.5,
+        k: float = 3.0,
+        cusum_k: float = 0.5,
+        cusum_h: float = 4.0,
+    ) -> None:
+        self._ts = ts_col
+        self._val = value_col
+        self._lam, self._k = float(lam), float(k)
+        self._ck, self._ch = float(cusum_k), float(cusum_h)
+        v = F.col(value_col).cast("double")
+        row = (
+            baseline_df.where(v.isNotNull() & ~F.isnan(v))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(v, 6).cast("decimal(28,6)")).alias("s"),
+                F.sum(F.round(v * v, 6).cast("decimal(38,6)")).alias("sq"),
+            )
+            .collect()[0]
+        )
+        n, s, sq = row["n"], float(row["s"] or 0), float(row["sq"] or 0)
+        if n < 2:
+            raise ValueError("baseline needs >= 2 rows")
+        self.mu = s / n
+        self.sd = max((sq - s * s / n) / (n - 1.0), 0.0) ** 0.5
+        self._buckets: dict[str, list] = {}
+        self.n_batches = 0
+
+    def _stats_of(self, df: DataFrame):
+        v = F.col(self._val).cast("double")
+        day = F.col(self._ts).cast("timestamp").cast("date").cast("string")
+        return (
+            df.where(v.isNotNull() & ~F.isnan(v) & day.isNotNull())
+            .groupBy(day.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(v, 6).cast("decimal(28,6)")).alias("s"),
+            )
+            .collect()
+        )
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: fold one micro-batch's per-bucket sums into
+        the running dict (one aggregate job, ≤|buckets| collected rows)."""
+        for r in self._stats_of(batch_df):
+            cur = self._buckets.setdefault(r["bucket"], [0, 0])
+            cur[0] += r["n"]
+            cur[1] += r["s"]  # Decimal + Decimal: exact, associative
+        self.n_batches += 1
+
+    def report(self) -> list[dict]:
+        """Replay the exact EWMA and CUSUM recursions over the bucket
+        means (chronological order); each row carries both charts'
+        statistics and alarm flags against the FROZEN baseline limits."""
+        if self.sd <= 0:
+            return []
+        out = []
+        z_e = self.mu
+        cp = cn = 0.0
+        lam, kk = self._lam, self._k
+        asym = (lam / (2.0 - lam)) ** 0.5
+        for t, bucket in enumerate(sorted(self._buckets), start=1):
+            n, s = self._buckets[bucket]
+            y = float(s) / n
+            z_e = lam * y + (1.0 - lam) * z_e
+            hw = (
+                kk
+                * self.sd
+                * asym
+                * (1.0 - (1.0 - lam) ** (2 * t)) ** 0.5
+            )
+            z = (y - self.mu) / self.sd
+            cp = max(0.0, cp + z - self._ck)
+            cn = max(0.0, cn - z - self._ck)
+            out.append(
+                {
+                    "bucket": bucket,
+                    "n": n,
+                    "y": round(y, 6),
+                    "ewma": round(z_e, 4),
+                    "ewma_alarm": abs(z_e - self.mu) > hw,
+                    "cusum_pos": round(cp, 4),
+                    "cusum_neg": round(cn, 4),
+                    "cusum_alarm": cp > self._ch or cn > self._ch,
+                }
+            )
+        return out

@@ -463,3 +463,80 @@ def test_run_streaming_validation_suite_foreachbatch(spark, tmp_path, clean_tbl)
     assert summ.where(
         (F.col("constraint") == "domain(role)") & (~F.col("passed"))
     ).count() >= 1
+
+
+def test_streaming_control_chart_equals_batch_replay(spark, tmp_path):
+    """Stream == batch: per-bucket sufficient stats merged across
+    micro-batches (files split MID-day) must replay to exactly the chart
+    a batch pass over the same rows produces; the planted shift alarms
+    on both charts."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from profiler.streaming import StreamingControlChart, run_streaming_drift
+
+    base_day = dt.datetime(2024, 3, 1)
+    baseline_rows = [
+        (base_day - dt.timedelta(days=30) + dt.timedelta(hours=i % 24),
+         50.0 + (i % 7) - 3.0)
+        for i in range(400)
+    ]
+    baseline = spark.createDataFrame(baseline_rows, "ts timestamp, v double")
+
+    # 12 stream days, last 4 shifted up by ~3 sigma of the daily mean
+    stream_rows = []
+    for d in range(12):
+        for i in range(40):
+            shift = 6.0 if d >= 8 else 0.0
+            stream_rows.append(
+                (base_day + dt.timedelta(days=d, minutes=i * 30),
+                 50.0 + (i % 7) - 3.0 + shift)
+            )
+    # chunk files split mid-day (80 rows per chunk -> 2 days per chunk,
+    # boundaries inside days after shuffling order a bit)
+    chunks = [stream_rows[i::3] for i in range(3)]
+    d = tmp_path / "chart_src"
+    for k, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+            1
+        ).write.parquet(f"{d}/f{k}", mode="overwrite")
+    sdir = tmp_path / "chart_flat"
+    sdir.mkdir()
+    for k in range(3):
+        part = glob.glob(f"{d}/f{k}/part-*.parquet")[0]
+        shutil.copy(part, sdir / f"chunk{k}.parquet")
+
+    mon = StreamingControlChart(baseline, "ts", "v")
+    run_streaming_drift(
+        spark, str(sdir), mon, str(tmp_path / "chart_ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert mon.n_batches >= 3
+    rep = mon.report()
+    assert len(rep) == 12
+
+    # batch replay reference over the SAME rows with the same frozen mu/sd
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for ts, v in stream_rows:
+        days[ts.date().isoformat()].append(v)
+    mu, sd = mon.mu, mon.sd
+    z_e, cp, cn = mu, 0.0, 0.0
+    lam = 0.5
+    for t, (bucket, row) in enumerate(
+        zip(sorted(days), rep), start=1
+    ):
+        y = sum(days[bucket]) / len(days[bucket])
+        assert row["bucket"] == bucket and row["n"] == len(days[bucket])
+        assert abs(row["y"] - y) < 1e-6
+        z_e = lam * y + (1 - lam) * z_e
+        assert abs(row["ewma"] - z_e) < 1e-3
+        z = (y - mu) / sd
+        cp = max(0.0, cp + z - 0.5)
+        cn = max(0.0, cn - z - 0.5)
+        assert abs(row["cusum_pos"] - cp) < 1e-3
+    # shift must alarm by the final day on both charts
+    assert rep[-1]["ewma_alarm"] and rep[-1]["cusum_alarm"]
+    assert not rep[3]["ewma_alarm"] and not rep[3]["cusum_alarm"]
