@@ -13888,3 +13888,63 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
     )
     return qn_scale(daily, "x", "y")
+
+
+@_register(
+    "q243_robust_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(y, 0.5) AS m FROM daily),
+    aa AS (SELECT x AS xa, y AS ya FROM daily),
+    bb AS (SELECT x AS xb, y AS yb FROM daily),
+    pairs AS (
+      SELECT xa, xb, ROUND(abs(ya - yb), 8) AS d
+      FROM aa JOIN bb ON xa < xb
+    ),
+    counted AS (
+      SELECT d, xa, xb, count(*) OVER () AS npairs FROM pairs
+    ),
+    sized AS (
+      SELECT d, xa, xb, npairs,
+             ROUND((1.0 + sqrt(1.0 + 8.0 * CAST(npairs AS DOUBLE)))
+                   / 2.0, 0) AS n
+      FROM counted
+    ),
+    ranked AS (
+      SELECT d,
+             CAST((floor(n / 2) + 1) * ((floor(n / 2) + 1) - 1) / 2
+                  AS BIGINT) AS k,
+             row_number() OVER (ORDER BY d ASC, xa ASC, xb ASC) AS r
+      FROM sized
+    ),
+    qrow AS (
+      SELECT ROUND(2.2219 * d, 6) AS qn FROM ranked WHERE r = k
+    )
+    SELECT x, ROUND(y, 4) AS y, ROUND(m, 6) AS median, qn,
+           CASE WHEN qn > 0 THEN ROUND((y - m) / qn, 4) END AS robust_z,
+           CASE WHEN qn > 0 THEN abs((y - m) / qn) > 3.5 END AS is_anomaly
+    FROM daily, med, qrow ORDER BY x
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-anomaly panel (:func:`profiler.timeseries.
+    robust_anomaly`): per-day z against the exact median and the Qn
+    scale (50% breakdown — a spike cannot mask its twin the way a
+    (mean, stddev) z does). Median + Qn collapse to a 1-row broadcast
+    onto the |days|-frame; nothing row-scale."""
+    from profiler.timeseries import robust_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    return robust_anomaly(daily, "x", "y")

@@ -1928,3 +1928,115 @@ def qn_scale(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col("__d").alias("qn_raw"),
         F.round(F.lit(2.2219) * F.col("__d"), 6).alias("qn"),
     )
+
+
+def robust_anomaly(
+    df: DataFrame, x_col: str, y_col: str, z_threshold: float = 3.5
+) -> DataFrame:
+    """Robust per-point anomaly panel over a bounded series frame:
+    z_rob = (y − median) / (2.2219·Qn) for every point, flagged at
+    |z_rob| > ``z_threshold`` (3.5 ≈ the classical robust-outlier cut).
+    The (mean, stddev) z-score masks its own outliers (one spike inflates
+    σ and hides the second spike); median + Qn (:func:`qn_scale`) have a
+    50%/50% breakdown point, so EVERY outlier scores against the clean
+    background — the daily-anomaly list a monitoring digest actually
+    wants. MAD-based robust z assumes symmetry; Qn doesn't.
+
+    Plan: the median attaches as an exact ``percentile`` on the same
+    |days|-frame; Qn is the |days|²-bounded pair join of
+    :func:`qn_scale`; both collapse to a 1-row frame broadcast onto the
+    series — the input is the daily aggregate, so nothing here is
+    row-scale.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    med = base.agg(
+        F.percentile(F.col("__y"), F.lit(0.5)).alias("__med")
+    )
+    qn = qn_scale(base, "__x", "__y").select(
+        F.col("qn").alias("__qn"), F.col("n").alias("__n")
+    )
+    scale = med.crossJoin(F.broadcast(qn))
+    joined = base.crossJoin(F.broadcast(scale))
+    z = F.when(
+        F.col("__qn") > 0,
+        (F.col("__y") - F.col("__med")) / F.col("__qn"),
+    )
+    return joined.select(
+        F.col("__x").alias("x"),
+        F.round("__y", 4).alias("y"),
+        F.round("__med", 6).alias("median"),
+        F.col("__qn").alias("qn"),
+        F.round(z, 4).alias("robust_z"),
+        (F.abs(z) > F.lit(float(z_threshold))).alias("is_anomaly"),
+    ).orderBy("x")
+
+
+def multi_changepoint(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_changepoints: int = 3,
+    min_segment: int = 5,
+    min_stat: float = 1.0,
+) -> list[dict]:
+    """Binary-segmentation MULTI-changepoint detection over a bounded
+    series frame: repeatedly apply :func:`changepoint_scan` to the
+    segment whose best split has the largest standardized statistic,
+    until ``max_changepoints`` splits are placed or no candidate clears
+    ``min_stat`` / ``min_segment``. One alarm often hides several regime
+    changes (ramp-up, incident, recovery); this returns the whole
+    piecewise-constant story, ordered by position.
+
+    Not a registry/oracle query: the greedy recursion is
+    driver-orchestrated (like the streaming ops, it is pinned by pytest,
+    including a randomized piecewise-constant reference). The driver
+    state is O(max_changepoints); every per-segment scan is the same
+    no-join single-sort plan as :func:`changepoint_scan` over the
+    |days|-bounded frame, so the total cost is ≤ max_changepoints
+    passes over a calendar-sized aggregate — nothing row-scale.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .select(x.alias("x"), y.alias("y"))
+    )
+    segments: list[tuple[float | None, float | None]] = [(None, None)]
+    found: list[dict] = []
+    while len(found) < int(max_changepoints):
+        best = None
+        for lo, hi in segments:
+            seg = base
+            if lo is not None:
+                seg = seg.where(F.col("x") > F.lit(lo))
+            if hi is not None:
+                seg = seg.where(F.col("x") <= F.lit(hi))
+            r = changepoint_scan(seg, "x", "y").first()
+            if r is None or r["stat"] is None:
+                continue
+            n_left = r["cp_index"]
+            n_right = r["n"] - r["cp_index"]
+            if (
+                r["stat"] >= float(min_stat)
+                and n_left >= int(min_segment)
+                and n_right >= int(min_segment)
+            ):
+                cand = dict(r.asDict())
+                cand["segment"] = (lo, hi)
+                if best is None or (
+                    cand["stat"],
+                    -cand["cp_x"],
+                ) > (best["stat"], -best["cp_x"]):
+                    best = cand
+        if best is None:
+            break
+        lo, hi = best.pop("segment")
+        segments.remove((lo, hi))
+        segments.append((lo, best["cp_x"]))
+        segments.append((best["cp_x"], hi))
+        found.append(best)
+    return sorted(found, key=lambda r: r["cp_x"])

@@ -759,3 +759,48 @@ def test_qn_scale_gaussian_consistency(spark):
     r = qn_scale(df, "x", "y").first()
     # consistency: Qn ~ sigma = 5 within sampling noise
     assert 3.5 < r["qn"] < 6.5
+
+
+def test_robust_anomaly_catches_masked_pair(spark):
+    from profiler.timeseries import robust_anomaly
+
+    # TWO spikes: classical z masks the second (sigma inflated by the
+    # first); robust z flags both
+    ys = [10.0, 10.2, 9.9, 10.1, 9.8, 10.0, 10.3, 9.7, 10.1, 9.9,
+          40.0, 10.0, 38.0, 10.2]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    out = robust_anomaly(df, "x", "y").collect()
+    flagged = {r["x"] for r in out if r["is_anomaly"]}
+    assert flagged == {10.0, 12.0}
+    mu = sum(ys) / len(ys)
+    sd = (sum((v - mu) ** 2 for v in ys) / (len(ys) - 1)) ** 0.5
+    # the classical z of the smaller spike is under 3.5 here (masking)
+    assert abs(38.0 - mu) / sd < 3.5
+
+
+def test_multi_changepoint_recovers_three_breaks(spark):
+    import numpy as np
+
+    from profiler.timeseries import multi_changepoint
+
+    rng = np.random.default_rng(61)
+    levels = [(0, 20, 10.0), (20, 40, 18.0), (40, 55, 6.0), (55, 75, 13.0)]
+    ys = []
+    for lo, hi, lev in levels:
+        ys += [lev + float(v) for v in rng.normal(0, 0.5, hi - lo)]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    cps = multi_changepoint(df, "x", "y", max_changepoints=3)
+    assert len(cps) == 3
+    got = sorted(r["cp_x"] for r in cps)
+    for want, g in zip([19.0, 39.0, 54.0], got):
+        assert abs(g - want) <= 2.0, (want, g)
+    # respects the cap and the quality floor on plain noise
+    noise = spark.createDataFrame(
+        [(float(i), float(v)) for i, v in enumerate(rng.normal(0, 1, 40))],
+        "x double, y double",
+    )
+    assert multi_changepoint(noise, "x", "y", min_stat=1.5) == []
