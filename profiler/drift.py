@@ -2539,3 +2539,432 @@ def dagostino_k2(df: DataFrame, column: str) -> DataFrame:
         z2r.alias("z_kurt"),
         F.when(ok, F.round(z1 * z1 + z2 * z2, 4)).alias("k2"),
     )
+
+
+def hodges_lehmann_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Hodges–Lehmann SHIFT estimator between two bounded metric frames:
+    the median of all pairwise differences (y_b − y_a) — the location
+    shift the Mann–Whitney z detects, as an ESTIMATE in the metric's own
+    units (with even pair counts averaged between the two middle order
+    statistics, so the value is the textbook one). A difference of means
+    answers "how far did B move?" with whatever the outliers say; the HL
+    estimator has 29% breakdown and 95.5% efficiency at the normal — the
+    robust "it shifted by THIS much" a drift alarm should hand to a
+    human. Emits pair counts, the two middle order statistics, and the
+    shift.
+
+    Plan: intended for the bounded per-bucket frames (daily volumes,
+    per-partition metric panels) — the difference join is
+    |a|×|b|-bounded there; the median is ONE fully tie-broken
+    (d, xa, xb) row_number window selecting the ⌊(m+1)/2⌋-th and
+    ⌊m/2⌋+1-th order statistics, averaged — deterministic to the bit.
+    """
+    xa = F.col(x_col).cast("double")
+    ya = F.col(y_col).cast("double")
+    a = df_a.where(xa.isNotNull() & ya.isNotNull()).select(
+        xa.alias("xa"), ya.alias("va")
+    )
+    b = df_b.where(xa.isNotNull() & ya.isNotNull()).select(
+        xa.alias("xb"), ya.alias("vb")
+    )
+    pairs = a.crossJoin(b).select(
+        "xa",
+        "xb",
+        F.round(F.col("vb") - F.col("va"), 8).alias("__d"),
+    )
+    wf = Window.partitionBy()
+    counted = pairs.select(
+        "__d",
+        "xa",
+        "xb",
+        F.count(F.lit(1)).over(wf).alias("__m"),
+    )
+    lo = F.floor((F.col("__m") + 1) / 2).cast("long")
+    hi = (F.floor(F.col("__m") / 2) + 1).cast("long")
+    ranked = counted.select(
+        "__d",
+        "__m",
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("__d").asc(), F.col("xa").asc(), F.col("xb").asc()
+            )
+        )
+        .alias("__r"),
+    )
+    mid = ranked.where(
+        (F.col("__r") == F.col("__lo")) | (F.col("__r") == F.col("__hi"))
+    )
+    agg = mid.groupBy("__m").agg(
+        F.min(F.when(F.col("__r") == F.col("__lo"), F.col("__d"))).alias(
+            "d_lo"
+        ),
+        F.min(F.when(F.col("__r") == F.col("__hi"), F.col("__d"))).alias(
+            "d_hi"
+        ),
+    )
+    return agg.select(
+        F.col("__m").alias("n_pairs"),
+        "d_lo",
+        "d_hi",
+        F.round((F.col("d_lo") + F.col("d_hi")) / 2.0, 6).alias("hl_shift"),
+    )
+
+
+def cliffs_delta(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE between two samples:
+    δ = (#{b > a} − #{b < a}) / (n_a·n_b) ∈ [−1, 1], with the standard
+    magnitude bands (|δ| < 0.147 negligible, < 0.33 small, < 0.474
+    medium, else large). At 10¹²-turn scale every test in the drift
+    panel is "significant"; δ is the PRACTICAL-significance companion —
+    how often does a B value actually beat an A value — immune to
+    monotone transforms and whale magnitudes alike.
+
+    Plan: the textbook double loop is O(n_a·n_b); here #{b>a} and
+    #{b<a} come from the same one-exchange skeleton as :func:`cvm_2s` —
+    ONE pooled (value, side-count) hash aggregate, cumulative a-counts
+    over distinct values, and a final DECIMAL dot product — each input
+    scanned exactly once, no pair join anywhere.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_a = F.sum("ca").over(wc)
+    grid = counts.select(
+        F.col("cb"),
+        (cum_a - F.col("ca")).alias("__a_lt"),
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+        (F.sum("ca").over(wf) - cum_a).alias("__a_gt"),
+    )
+    agg = grid.groupBy("n_a", "n_b").agg(
+        F.sum(
+            F.col("cb").cast("decimal(19,0)")
+            * F.col("__a_lt").cast("decimal(19,0)")
+        ).alias("__gt"),
+        F.sum(
+            F.col("cb").cast("decimal(19,0)")
+            * F.col("__a_gt").cast("decimal(19,0)")
+        ).alias("__lt"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    delta = (
+        F.col("__gt").cast("double") - F.col("__lt").cast("double")
+    ) / (na * nb)
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.col("__gt").cast("long").alias("n_b_gt_a"),
+        F.col("__lt").cast("long").alias("n_b_lt_a"),
+        F.when((na > 0) & (nb > 0), F.round(delta, 6)).alias("delta"),
+        F.when((na > 0) & (nb > 0), mag).alias("magnitude"),
+    )
+
+
+def mood_median(
+    df: DataFrame, value_col: str, group_expr: str
+) -> DataFrame:
+    """Mood's MEDIAN test of ``value_col`` across the groups of
+    ``group_expr``: the 2×k chi-squared on counts above / not-above the
+    GRAND median. :func:`kruskal_wallis` uses the full rank information
+    — and inherits sensitivity to tail shape; Mood's test throws away
+    everything but the side of the median, which makes it the blunt,
+    assumption-free member of the k-sample panel (the one to trust when
+    partitions have wildly different tail behavior). Returns one row per
+    group — (group_key, n_g, n_above, expected_above) — each carrying
+    the shared (n, k, grand_median, chi2, dof) columns.
+
+    Plan: grand median as ONE exact percentile aggregate broadcast onto
+    a |k|-bounded per-group conditional aggregate; the chi-squared total
+    attaches with full-extent windows over the group frame — one scan of
+    the table, no row-scale sort, fully lazy.
+    """
+    g = F.expr(group_expr).cast("string").alias("group_key")
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.expr(group_expr).isNotNull()
+    ).select(g, v.alias("__v"))
+    med = base.agg(
+        F.round(F.percentile(F.col("__v"), F.lit(0.5)), 8).alias("__med")
+    )
+    tagged = base.crossJoin(F.broadcast(med))
+    per_group = tagged.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.count_if(F.col("__v") > F.col("__med")).alias("n_above"),
+        F.min("__med").alias("__med"),
+    )
+    wf = Window.partitionBy()
+    framed = per_group.select(
+        "group_key",
+        "n_g",
+        "n_above",
+        "__med",
+        F.sum("n_g").over(wf).alias("n"),
+        F.sum("n_above").over(wf).alias("__tot_above"),
+        F.count(F.lit(1)).over(wf).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p_above = F.col("__tot_above").cast("double") / n
+    e_above = F.col("n_g").cast("double") * p_above
+    e_below = F.col("n_g").cast("double") * (1.0 - p_above)
+    o_above = F.col("n_above").cast("double")
+    o_below = (F.col("n_g") - F.col("n_above")).cast("double")
+    contrib = F.when(
+        (e_above > 0) & (e_below > 0),
+        (o_above - e_above) * (o_above - e_above) / e_above
+        + (o_below - e_below) * (o_below - e_below) / e_below,
+    ).otherwise(F.lit(0.0))
+    wsum = framed.select(
+        "group_key",
+        "n_g",
+        "n_above",
+        "__med",
+        "n",
+        "k",
+        F.round(e_above, 4).alias("expected_above"),
+        F.sum(F.round(contrib, 6).cast("decimal(38,6)"))
+        .over(wf)
+        .alias("__chi2"),
+    )
+    return wsum.select(
+        "group_key",
+        "n_g",
+        "n_above",
+        "expected_above",
+        "n",
+        "k",
+        F.round(F.col("__med"), 6).alias("grand_median"),
+        F.round(F.col("__chi2").cast("double"), 4).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    ).orderBy("group_key")
+
+
+def effect_size_panel(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """Standardized mean-difference EFFECT SIZES between two samples:
+    Cohen's d on the pooled SD, Hedges' g (the small-sample bias
+    correction J = 1 − 3/(4·df − 1)), Glass's Δ (baseline-SD-only — the
+    one to read when B's variance itself changed), and the raw and
+    relative mean differences. The drift tests say WHETHER distributions
+    differ; at 10¹²-row scale they always do — this panel says BY HOW
+    MANY standard deviations, the number a rollback decision actually
+    uses (|d| ≈ 0.2 small / 0.5 medium / 0.8 large).
+
+    Plan: one sufficient-statistics aggregate per side (count / DECIMAL
+    Σy / Σy²) — each input scanned exactly once, everything downstream
+    is 1-row arithmetic; nothing row-scale, no sort, no join beyond the
+    1×1 cross.
+    """
+
+    def _moments(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        base = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("v"))
+        return base.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.round(F.col("v"), 6).cast("decimal(38,6)")).alias(
+                f"__s_{tag}"
+            ),
+            F.sum(
+                F.round(F.col("v") * F.col("v"), 6).cast("decimal(38,6)")
+            ).alias(f"__sq_{tag}"),
+        )
+
+    both = _moments(df_a, "a").crossJoin(_moments(df_b, "b"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("__s_a").cast("double") / na
+    mean_b = F.col("__s_b").cast("double") / nb
+    ss_a = F.greatest(
+        F.col("__sq_a").cast("double")
+        - F.col("__s_a").cast("double") * F.col("__s_a").cast("double") / na,
+        F.lit(0.0),
+    )
+    ss_b = F.greatest(
+        F.col("__sq_b").cast("double")
+        - F.col("__s_b").cast("double") * F.col("__s_b").cast("double") / nb,
+        F.lit(0.0),
+    )
+    var_a = ss_a / (na - 1.0)
+    var_b = ss_b / (nb - 1.0)
+    dof = na + nb - 2.0
+    sd_pool = F.sqrt((ss_a + ss_b) / dof)
+    diff = mean_b - mean_a
+    d = F.when(sd_pool > 0, diff / sd_pool)
+    j = 1.0 - 3.0 / (4.0 * dof - 1.0)
+    glass = F.when(var_a > 0, diff / F.sqrt(var_a))
+    return both.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.when(
+            mean_a != 0, F.round(diff / F.abs(mean_a), 6)
+        ).alias("rel_diff"),
+        F.round(F.sqrt(var_a), 6).alias("sd_a"),
+        F.round(F.sqrt(var_b), 6).alias("sd_b"),
+        F.round(sd_pool, 6).alias("sd_pooled"),
+        F.round(d, 4).alias("cohens_d"),
+        F.round(d * j, 4).alias("hedges_g"),
+        F.round(glass, 4).alias("glass_delta"),
+    )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's KAPPA chance-corrected agreement between two categorical
+    columns over the same rows — declared label vs detected label
+    (``lang`` vs a language-ID heuristic), model rater vs human rater,
+    yesterday's classifier vs today's. Raw accuracy p_o flatters any
+    pair of raters that both predict the majority class; κ = (p_o −
+    p_e)/(1 − p_e) subtracts the agreement their marginals would produce
+    by chance (κ ≤ 0 no better than chance, ≳0.6 substantial — Landis &
+    Koch bands). Emits n, p_o, p_e, kappa.
+
+    Plan: ONE (a, b) hash aggregate collapses the table to the
+    |A|×|B|-bounded confusion frame; p_o is a 1-row aggregate of its
+    diagonal, p_e re-aggregates the SAME tiny frame into the two
+    marginals joined on category — one scan of the data, everything
+    after it domain-sized, fully lazy.
+    """
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    pairs = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = pairs.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__agree"
+        ),
+    )
+    marg_a = pairs.groupBy(F.col("__a").alias("__cat")).agg(
+        F.sum("__c").alias("__ra")
+    )
+    marg_b = pairs.groupBy(F.col("__b").alias("__cat")).agg(
+        F.sum("__c").alias("__cb")
+    )
+    pe_num = (
+        marg_a.join(marg_b, "__cat")
+        .agg(
+            F.sum(
+                F.col("__ra").cast("decimal(19,0)")
+                * F.col("__cb").cast("decimal(19,0)")
+            ).alias("__pe_num")
+        )
+    )
+    both = tot.crossJoin(pe_num)
+    n = F.col("n").cast("double")
+    po = F.coalesce(F.col("__agree").cast("double"), F.lit(0.0)) / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return both.select(
+        "n",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 4).alias("kappa"),
+    )
+
+
+def diag_mahalanobis(
+    df: DataFrame,
+    key_col: str,
+    metric_cols: list[str],
+    top_k: int = 20,
+    d2_threshold: float | None = None,
+) -> DataFrame:
+    """Multi-metric OUTLIER scores over a keyed metric frame (one row
+    per entity — conversation, user, partition — with m metric columns):
+    per-metric z against the global (mean, sample SD), D² = Σ z² — the
+    diagonal-covariance Mahalanobis distance — and the worst ``top_k``
+    entities. A per-metric z-screen misses the conversation that is
+    mildly weird on EVERY axis; D² accumulates the evidence (under
+    independent normal metrics D² ~ χ²_m, so 16.27 is the 99.9% cut at
+    m = 3 — pass ``d2_threshold`` to flag). Full-covariance Mahalanobis
+    needs an m×m inverse the oracle can't replay and adds little for
+    monitoring panels; the diagonal form is the standard screen.
+
+    Plan: input is the keyed AGGREGATE frame (caller produces it with
+    one groupBy), so everything here is entity-sized: one global
+    moments aggregate (1-row broadcast), one map-side z/D² projection,
+    ONE TakeOrdered(top_k) on (D² desc, key asc) — no window over
+    entities, no join beyond the broadcast.
+    """
+    key = F.col(key_col)
+    mets = [F.col(c).cast("double") for c in metric_cols]
+    cond = key.isNotNull()
+    for m in mets:
+        cond = cond & m.isNotNull() & ~F.isnan(m)
+    base = df.where(cond).select(
+        key.alias("__k"), *[m.alias(f"__m{i}") for i, m in enumerate(mets)]
+    )
+    moments = base.agg(
+        *[
+            e
+            for i in range(len(mets))
+            for e in (
+                F.round(F.avg(f"__m{i}"), 8).alias(f"__mu{i}"),
+                F.round(F.stddev_samp(f"__m{i}"), 8).alias(f"__sd{i}"),
+            )
+        ]
+    )
+    tagged = base.crossJoin(F.broadcast(moments))
+    zs = [
+        F.when(
+            F.col(f"__sd{i}") > 0,
+            (F.col(f"__m{i}") - F.col(f"__mu{i}")) / F.col(f"__sd{i}"),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(mets))
+    ]
+    d2 = F.round(sum(z * z for z in zs), 6)
+    proj = tagged.select(
+        F.col("__k").alias(key_col),
+        *[
+            F.round(F.col(f"__m{i}"), 6).alias(metric_cols[i])
+            for i in range(len(mets))
+        ],
+        *[
+            F.round(zs[i], 4).alias(f"z_{metric_cols[i]}")
+            for i in range(len(mets))
+        ],
+        d2.alias("d2"),
+        *(
+            [(d2 > F.lit(float(d2_threshold))).alias("flag")]
+            if d2_threshold is not None
+            else []
+        ),
+    )
+    return proj.orderBy(F.col("d2").desc(), F.col(key_col).asc()).limit(
+        int(top_k)
+    )

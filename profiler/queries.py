@@ -13948,3 +13948,771 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
     )
     return robust_anomaly(daily, "x", "y")
+
+
+# ===========================================================================
+# R4-S6. Nonparametric monitoring, effect sizes, agreement, corpus laws
+# ===========================================================================
+_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+"""
+
+
+def _daily_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+
+
+@_register(
+    "q244_pettitt",
+    _DAILY_SQL
+    + """
+    , ranked AS (
+      SELECT x,
+             CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1.0)
+                 / 2.0 AS r
+      FROM daily
+    ),
+    seq AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x) AS t,
+             count(*) OVER () AS n,
+             sum(CAST(r AS DECIMAL(38,1))) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS scum
+      FROM ranked
+    ),
+    cand AS (
+      SELECT x, t, n,
+             ROUND(abs(2.0 * CAST(scum AS DOUBLE)
+                   - CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)), 1)
+               AS absu
+      FROM seq WHERE t < n
+    ),
+    top AS (SELECT * FROM cand ORDER BY absu DESC, t ASC LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS cp_index,
+           x AS cp_x, absu AS k_stat,
+           ROUND(least(1.0, 2.0 * exp(-6.0 * absu * absu
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+    FROM top
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test (:func:`profiler.timeseries.
+    pettitt_test`) on the daily-volume series: U_t from midranks (one
+    value-ordered window pair, no sgn pair join), K = max|U_t| with the
+    closed-form p ≈ 2·exp(−6K²/(n³+n²)) — the nonparametric twin of
+    q233's CUSUM scan that a whale day cannot drag."""
+    from profiler.timeseries import pettitt_test
+
+    return pettitt_test(_daily_volumes(spark, sf_dir), "x", "y")
+
+
+@_register(
+    "q245_cox_stuart",
+    _DAILY_SQL
+    + """
+    , f AS (
+      SELECT y, row_number() OVER (ORDER BY x) AS t, count(*) OVER () AS n
+      FROM daily
+    ),
+    firsth AS (
+      SELECT t + CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS j,
+             y AS ya, n
+      FROM f
+      WHERE t <= n - CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)
+    ),
+    pairs AS (
+      SELECT firsth.n, firsth.ya, s.y AS yb
+      FROM firsth JOIN f s ON s.t = firsth.j
+    ),
+    agg AS (
+      SELECT n, count_if(yb > ya) AS s_plus, count_if(yb < ya) AS s_minus
+      FROM pairs GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n, s_plus + s_minus AS n_pairs,
+           s_plus, s_minus,
+           CASE WHEN s_plus + s_minus > 0 THEN
+             ROUND(greatest(
+               (abs(CAST(s_plus AS DOUBLE)
+                    - CAST(s_plus + s_minus AS DOUBLE) / 2.0) - 0.5)
+               / sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4.0), 0.0), 4)
+           END AS z,
+           CASE WHEN s_plus + s_minus > 0 THEN
+             CASE WHEN CAST(s_plus AS DOUBLE)
+                       > CAST(s_plus + s_minus AS DOUBLE) / 2.0 THEN 'up'
+                  WHEN CAST(s_plus AS DOUBLE)
+                       < CAST(s_plus + s_minus AS DOUBLE) / 2.0 THEN 'down'
+                  ELSE 'none' END
+           END AS direction
+    FROM agg
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend sign test (:func:`profiler.timeseries.
+    cox_stuart`) on the daily-volume series: first half paired with
+    second half, S⁺ against Binomial(m, ½) with continuity correction —
+    IS there a monotone trend, from signs alone (q228's Theil–Sen then
+    says how steep). |days/2|-bounded shifted-position join."""
+    from profiler.timeseries import cox_stuart
+
+    return cox_stuart(_daily_volumes(spark, sf_dir), "x", "y")
+
+
+@_register(
+    "q246_bartels_rank",
+    _DAILY_SQL
+    + """
+    , ranked AS (
+      SELECT x,
+             CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1.0)
+                 / 2.0 AS r
+      FROM daily
+    ),
+    seq AS (SELECT r, lead(r) OVER (ORDER BY x) AS rn FROM ranked),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN rn IS NOT NULL THEN
+               CAST(ROUND((r - rn) * (r - rn), 6) AS DECIMAL(38,6)) END)
+               AS nm,
+             sum(CAST(ROUND(r, 6) AS DECIMAL(38,6))) AS rs,
+             sum(CAST(ROUND(r * r, 6) AS DECIMAL(38,6))) AS rsq
+      FROM seq
+    ),
+    calc AS (
+      SELECT CAST(n AS DOUBLE) AS n,
+             CAST(nm AS DOUBLE) AS nm,
+             CAST(rsq AS DOUBLE)
+               - CAST(n AS DOUBLE)
+                 * (CAST(rs AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(rs AS DOUBLE) / CAST(n AS DOUBLE)) AS denom
+      FROM agg
+    ),
+    fin AS (
+      SELECT n, CASE WHEN denom > 0 THEN nm / denom END AS rvn,
+             4.0 * (n - 2.0) * (5.0 * n * n - 2.0 * n - 9.0)
+               / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0)) AS var
+      FROM calc
+    )
+    SELECT CAST(n AS BIGINT) AS n, ROUND(rvn, 6) AS rvn,
+           ROUND(sqrt(var), 6) AS null_sd,
+           ROUND((rvn - 2.0) / sqrt(var), 4) AS z
+    FROM fin
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann randomness test (:func:`profiler.
+    timeseries.bartels_rank`) on the daily-volume series: RVN on
+    midranks with exact null moments — the rank-robust is-it-even-iid
+    screen behind every control chart (q238's Ljung–Box asks the same
+    of the values). Two sorts over the |days|-frame, no join."""
+    from profiler.timeseries import bartels_rank
+
+    return bartels_rank(_daily_volumes(spark, sf_dir), "x", "y")
+
+
+@_register(
+    "q247_page_hinkley",
+    _DAILY_SQL
+    + """
+    , f AS (SELECT x, y, row_number() OVER (ORDER BY x) AS t FROM daily),
+    bl AS (
+      SELECT count_if(t <= 14) AS bn,
+             sum(CASE WHEN t <= 14 THEN
+               CAST(ROUND(y, 6) AS DECIMAL(28,6)) END) AS bs,
+             sum(CASE WHEN t <= 14 THEN
+               CAST(ROUND(y * y, 6) AS DECIMAL(38,6)) END) AS bsq
+      FROM f
+    ),
+    sc AS (
+      SELECT ROUND(CAST(bs AS DOUBLE) / bn, 6) AS mu0,
+             ROUND(sqrt(greatest(
+               (CAST(bsq AS DOUBLE)
+                - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE) / bn)
+               / (bn - 1.0), 0.0)), 6) AS sd0
+      FROM bl
+    ),
+    cum AS (
+      SELECT x, y, t, mu0, sd0,
+             sum(CAST(ROUND(CASE WHEN sd0 > 0
+                   THEN (y - mu0) / sd0 ELSE 0.0 END, 6)
+                 AS DECIMAL(38,6))) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS m
+      FROM f, sc
+    ),
+    fin AS (
+      SELECT x, y, t, mu0, sd0, CAST(m AS DOUBLE) AS m,
+             CAST(m AS DOUBLE) - CAST(min(m) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS ph
+      FROM cum
+    )
+    SELECT x, ROUND(y, 4) AS y, CAST(t AS BIGINT) AS t,
+           mu0 AS baseline_mean, sd0 AS baseline_sd,
+           ROUND(m, 4) + 0.0 AS m_t, ROUND(ph, 4) + 0.0 AS ph_t,
+           ROUND(ph, 4) > 5.0 AS alarm
+    FROM fin ORDER BY x
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley creeping-drift detector (:func:`profiler.timeseries.
+    page_hinkley`, baseline_n = 14, λ = 5σ): cumulative standardized
+    deviations measured from their RUNNING MINIMUM, so a slow drift that
+    never trips a per-day limit still climbs the statistic. Two windows
+    over the |days|-frame, baseline as a 1-row broadcast."""
+    from profiler.timeseries import page_hinkley
+
+    return page_hinkley(
+        _daily_volumes(spark, sf_dir), "x", "y", baseline_n=14, lam=5.0
+    )
+
+
+_DAILY_AB_SQL = """
+    WITH da AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND event_id % 2 = 0 GROUP BY 1
+    ),
+    db AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND event_id % 2 = 1 GROUP BY 1
+    )
+"""
+
+
+def _daily_volumes_ab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+
+    def _side(parity: int) -> DataFrame:
+        return (
+            ev.where(
+                F.col("ts").isNotNull() & (F.col("event_id") % 2 == parity)
+            )
+            .groupBy(day.alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y"))
+            .select(
+                F.unix_date(F.col("day")).cast("double").alias("x"), "y"
+            )
+        )
+
+    return _side(0), _side(1)
+
+
+@_register(
+    "q248_hl_shift",
+    _DAILY_AB_SQL
+    + """
+    , pairs AS (
+      SELECT da.x AS xa, db.x AS xb, ROUND(db.y - da.y, 8) AS d
+      FROM da CROSS JOIN db
+    ),
+    counted AS (SELECT d, xa, xb, count(*) OVER () AS m FROM pairs),
+    ranked AS (
+      SELECT d, m,
+             CAST(floor((m + 1) / 2) AS BIGINT) AS lo,
+             CAST(floor(m / 2) + 1 AS BIGINT) AS hi,
+             row_number() OVER (ORDER BY d ASC, xa ASC, xb ASC) AS r
+      FROM counted
+    ),
+    mid AS (SELECT * FROM ranked WHERE r = lo OR r = hi),
+    agg AS (
+      SELECT m,
+             min(CASE WHEN r = lo THEN d END) AS d_lo,
+             min(CASE WHEN r = hi THEN d END) AS d_hi
+      FROM mid GROUP BY m
+    )
+    SELECT m AS n_pairs, d_lo, d_hi,
+           ROUND((d_lo + d_hi) / 2.0, 6) AS hl_shift
+    FROM agg
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann shift estimator (:func:`profiler.drift.
+    hodges_lehmann_shift`) between the two snapshots' daily-volume
+    frames: the median pairwise difference — the robust "B runs THIS
+    many more per day than A" a drift alarm hands to a human (29%
+    breakdown, 95.5% efficiency). Bounded |a|×|b| difference join +
+    ONE fully tie-broken order-statistic window."""
+    from profiler.drift import hodges_lehmann_shift
+
+    a, b = _daily_volumes_ab(spark, sf_dir)
+    return hodges_lehmann_shift(a, b, "x", "y")
+
+
+_VALUE_AB_SQL = """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(value * 1.2 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    )
+"""
+
+
+def _value_ab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(
+        (F.col("event_id") % 2 == 0) & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v"))
+    b = ev.where(
+        (F.col("event_id") % 2 == 1) & F.col("value").isNotNull()
+    ).select((F.col("value") * 1.2).cast("double").alias("v"))
+    return a, b
+
+
+@_register(
+    "q249_cliffs_delta",
+    _VALUE_AB_SQL
+    + """
+    , m AS (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    grid AS (
+      SELECT cb,
+             sum(ca) OVER (ORDER BY v) - ca AS a_lt,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b,
+             sum(ca) OVER () - sum(ca) OVER (ORDER BY v) AS a_gt
+      FROM counts
+    ),
+    agg AS (
+      SELECT n_a, n_b,
+             sum(CAST(cb AS DECIMAL(19,0)) * CAST(a_lt AS DECIMAL(19,0)))
+               AS gt,
+             sum(CAST(cb AS DECIMAL(19,0)) * CAST(a_gt AS DECIMAL(19,0)))
+               AS lt
+      FROM grid GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(gt AS BIGINT) AS n_b_gt_a, CAST(lt AS BIGINT) AS n_b_lt_a,
+             (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS delta
+      FROM agg
+    )
+    SELECT n_a, n_b, n_b_gt_a, n_b_lt_a,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(delta, 6) END AS delta,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                  WHEN abs(delta) < 0.33 THEN 'small'
+                  WHEN abs(delta) < 0.474 THEN 'medium'
+                  ELSE 'large' END
+           END AS magnitude
+    FROM fin
+    """,
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size (:func:`profiler.drift.
+    cliffs_delta`) between the two snapshots: how often does a B value
+    beat an A value — the practical-significance companion to q234's
+    Mann–Whitney z (at 10¹² rows everything is "significant"). The
+    textbook O(n²) double loop replaced by the one-exchange pooled
+    (value, side) skeleton — each input scanned once, no pair join."""
+    from profiler.drift import cliffs_delta
+
+    a, b = _value_ab(spark, sf_dir)
+    return cliffs_delta(a, b, "v")
+
+
+@_register(
+    "q250_effect_size",
+    _VALUE_AB_SQL
+    + """
+    , ma AS (
+      SELECT count(*) AS n_a,
+             sum(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS s_a,
+             sum(CAST(ROUND(v * v, 6) AS DECIMAL(38,6))) AS q_a
+      FROM a
+    ),
+    mb AS (
+      SELECT count(*) AS n_b,
+             sum(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS s_b,
+             sum(CAST(ROUND(v * v, 6) AS DECIMAL(38,6))) AS q_b
+      FROM b
+    ),
+    j AS (SELECT * FROM ma CROSS JOIN mb),
+    c AS (
+      SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+             greatest(CAST(q_a AS DOUBLE)
+               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                 / CAST(n_a AS DOUBLE), 0.0) AS ss_a,
+             greatest(CAST(q_b AS DOUBLE)
+               - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                 / CAST(n_b AS DOUBLE), 0.0) AS ss_b
+      FROM j
+    ),
+    e AS (
+      SELECT n_a, n_b, mean_a, mean_b, ss_a, ss_b, na, nb,
+             mean_b - mean_a AS diff,
+             sqrt((ss_a + ss_b) / (na + nb - 2.0)) AS sd_pool,
+             1.0 - 3.0 / (4.0 * (na + nb - 2.0) - 1.0) AS jc
+      FROM c
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND(diff, 6) AS mean_diff,
+           CASE WHEN mean_a != 0 THEN ROUND(diff / abs(mean_a), 6) END
+             AS rel_diff,
+           ROUND(sqrt(ss_a / (na - 1.0)), 6) AS sd_a,
+           ROUND(sqrt(ss_b / (nb - 1.0)), 6) AS sd_b,
+           ROUND(sd_pool, 6) AS sd_pooled,
+           CASE WHEN sd_pool > 0 THEN ROUND(diff / sd_pool, 4) END
+             AS cohens_d,
+           CASE WHEN sd_pool > 0 THEN ROUND(diff / sd_pool * jc, 4) END
+             AS hedges_g,
+           CASE WHEN ss_a / (na - 1.0) > 0 THEN
+             ROUND(diff / sqrt(ss_a / (na - 1.0)), 4) END AS glass_delta
+    FROM e
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean-difference panel (:func:`profiler.drift.
+    effect_size_panel`) between the two snapshots: Cohen's d, Hedges' g,
+    Glass's Δ and raw/relative mean differences — BY HOW MANY standard
+    deviations did it move, the number a rollback decision uses. One
+    sufficient-statistics aggregate per side, 1-row arithmetic after."""
+    from profiler.drift import effect_size_panel
+
+    a, b = _value_ab(spark, sf_dir)
+    return effect_size_panel(a, b, "v")
+
+
+@_register(
+    "q251_mood_median",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (SELECT ROUND(quantile_cont(v, 0.5), 8) AS m FROM base),
+    pg AS (
+      SELECT g AS group_key, count(*) AS n_g,
+             count_if(v > m) AS n_above, min(m) AS m
+      FROM base, med GROUP BY g
+    ),
+    fr AS (
+      SELECT group_key, n_g, n_above, m,
+             sum(n_g) OVER () AS n,
+             sum(n_above) OVER () AS tot_above,
+             count(*) OVER () AS k
+      FROM pg
+    ),
+    calc AS (
+      SELECT group_key, n_g, n_above, m, n, k,
+             CAST(n_g AS DOUBLE)
+               * (CAST(tot_above AS DOUBLE) / CAST(n AS DOUBLE)) AS e_above,
+             CAST(n_g AS DOUBLE)
+               * (1.0 - CAST(tot_above AS DOUBLE) / CAST(n AS DOUBLE))
+               AS e_below
+      FROM fr
+    ),
+    calc2 AS (
+      SELECT *,
+             CASE WHEN e_above > 0 AND e_below > 0 THEN
+               (CAST(n_above AS DOUBLE) - e_above)
+                 * (CAST(n_above AS DOUBLE) - e_above) / e_above
+               + (CAST(n_g - n_above AS DOUBLE) - e_below)
+                 * (CAST(n_g - n_above AS DOUBLE) - e_below) / e_below
+             ELSE 0.0 END AS contrib
+      FROM calc
+    ),
+    w AS (
+      SELECT *, sum(CAST(ROUND(contrib, 6) AS DECIMAL(38,6))) OVER ()
+               AS chi2
+      FROM calc2
+    )
+    SELECT group_key, n_g, n_above, ROUND(e_above, 4) AS expected_above,
+           CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(m, 6) AS grand_median,
+           ROUND(CAST(chi2 AS DOUBLE), 4) AS chi2,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM w ORDER BY group_key
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (:func:`profiler.drift.mood_median`) of value
+    across event types: the 2×k chi-squared on counts above/below the
+    GRAND median — the blunt, tail-shape-free member of the k-sample
+    panel (q150's Kruskal–Wallis uses full ranks and inherits tail
+    sensitivity). One exact-percentile broadcast + one table scan."""
+    from profiler.drift import mood_median
+
+    ev = _t(spark, sf_dir, "events")
+    return mood_median(ev, "value", "event_type")
+
+
+@_register(
+    "q252_cohens_kappa",
+    r"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+                       < length(text) * 0.5 THEN 'other'
+                  WHEN len(list_filter(
+                         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0
+                    THEN 'en' ELSE 'unknown' END AS predicted
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT lang AS a, predicted AS b, count(*) AS c FROM scored
+      WHERE lang IS NOT NULL AND predicted IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(c) AS n, sum(CASE WHEN a = b THEN c END) AS agree
+      FROM pairs
+    ),
+    ma AS (SELECT a AS cat, sum(c) AS ra FROM pairs GROUP BY a),
+    mb AS (SELECT b AS cat, sum(c) AS cb FROM pairs GROUP BY b),
+    pe AS (
+      SELECT sum(CAST(ra AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0)))
+               AS pe_num
+      FROM ma JOIN mb USING (cat)
+    ),
+    j AS (SELECT * FROM tot, pe),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             coalesce(CAST(agree AS DOUBLE), 0.0) / CAST(n AS DOUBLE) AS po,
+             CAST(pe_num AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+      FROM j
+    )
+    SELECT n, ROUND(po, 6) AS p_observed, ROUND(pe, 6) AS p_expected,
+           CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 4) END
+             AS kappa
+    FROM c
+    """,
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (:func:`profiler.drift.cohens_kappa`) between the
+    DECLARED language column and the q20 language-ID heuristic:
+    chance-corrected agreement — raw accuracy flatters any two raters
+    that both predict the majority class. One (a, b) hash aggregate
+    collapses the table; everything after is |domain|²-sized."""
+    from profiler.drift import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ascii_kept = F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    stop = F.array(
+        *[F.lit(t) for t in ("the", "a", "of", "and", "to", "in", "is")]
+    )
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stop, t)))
+    predicted = (
+        F.when(ascii_kept < F.length("text") * 0.5, "other")
+        .when(n_stop > 0, "en")
+        .otherwise("unknown")
+    )
+    scored = d.select("lang", predicted.alias("predicted"))
+    return cohens_kappa(scored, "lang", "predicted")
+
+
+@_register(
+    "q253_heaps_law",
+    r"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS DOUBLE) AS id,
+             list_filter(list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+             ), w -> w != '') AS toks
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    spine AS (
+      SELECT CAST(k AS BIGINT) AS checkpoint,
+             ROUND(cuts[k], 8) AS doc_id_cut
+      FROM (SELECT quantile_cont(id, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9, 1.0]) AS cuts
+            FROM docs),
+           UNNEST(generate_series(1, 10)) AS t(k)
+    ),
+    first_doc AS (
+      SELECT tok, min(id) AS first_id
+      FROM (SELECT id, unnest(toks) AS tok FROM docs) GROUP BY tok
+    ),
+    docs_cum AS (
+      SELECT s.checkpoint, s.doc_id_cut, count(*) AS n_docs
+      FROM docs d JOIN spine s ON d.id <= s.doc_id_cut
+      GROUP BY 1, 2
+    ),
+    vocab_cum AS (
+      SELECT s.checkpoint, count(*) AS vocab
+      FROM first_doc f JOIN spine s ON f.first_id <= s.doc_id_cut
+      GROUP BY 1
+    ),
+    frame AS (
+      SELECT dc.checkpoint, dc.doc_id_cut, dc.n_docs, vc.vocab
+      FROM docs_cum dc JOIN vocab_cum vc USING (checkpoint)
+    ),
+    fit AS (
+      SELECT *,
+             CAST(count(*) OVER () AS DOUBLE) AS kk,
+             sum(ln(CAST(n_docs AS DOUBLE))) OVER () AS sx,
+             sum(ln(CAST(vocab AS DOUBLE))) OVER () AS sy,
+             sum(ln(CAST(n_docs AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+               OVER () AS sxy,
+             sum(ln(CAST(n_docs AS DOUBLE)) * ln(CAST(n_docs AS DOUBLE)))
+               OVER () AS sxx
+      FROM frame
+    )
+    SELECT checkpoint, doc_id_cut, n_docs, vocab,
+           ROUND((kk * sxy - sx * sy) / (kk * sxx - sx * sx), 4) AS beta,
+           ROUND(exp((sy - ((kk * sxy - sx * sy) / (kk * sxx - sx * sx))
+                 * sx) / kk), 4) AS k_fit
+    FROM fit ORDER BY checkpoint
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (:func:`profiler.text.
+    heaps_law`): distinct-token counts at 10 doc-quantile checkpoints
+    with the log-log power-law fit V ≈ K·nᵝ — a corpus bending below
+    its own fit is going stale (templated/duplicated text adds docs but
+    no words). NO global document sort: quantile cuts from one
+    percentile aggregate + one (token → min doc) hash aggregate."""
+    from profiler.text import heaps_law
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_law(d, "text", "doc_id", n_checkpoints=10)
+
+
+@_register(
+    "q254_tail_index",
+    """
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    thr AS (
+      SELECT count(*) AS n, ROUND(quantile_cont(x, 0.95), 8) AS x_min
+      FROM base
+    ),
+    tail AS (SELECT t.n, t.x_min, b.x FROM base b, thr t WHERE b.x > t.x_min),
+    agg AS (
+      SELECT n, x_min, count(*) AS k_tail,
+             sum(CAST(ROUND(ln(x / x_min), 6) AS DECIMAL(38,6))) AS lsum,
+             sum(CAST(ROUND(x - x_min, 6) AS DECIMAL(38,6))) AS esum
+      FROM tail GROUP BY n, x_min
+    )
+    SELECT CAST(n AS BIGINT) AS n, x_min, CAST(k_tail AS BIGINT) AS k_tail,
+           CASE WHEN CAST(lsum AS DOUBLE) > 0 THEN
+             ROUND(CAST(k_tail AS DOUBLE) / CAST(lsum AS DOUBLE), 4) END
+             AS hill_alpha,
+           CASE WHEN CAST(lsum AS DOUBLE) > 0 THEN
+             ROUND(CAST(lsum AS DOUBLE) / CAST(k_tail AS DOUBLE), 4) END
+             AS hill_gamma,
+           ROUND(CAST(esum AS DOUBLE) / CAST(k_tail AS DOUBLE), 4)
+             AS mean_excess
+    FROM agg
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (:func:`profiler.stats.tail_index`,
+    tail_frac = 0.05) over document lengths: α̂ over the exceedances of
+    the exact 95th percentile plus the mean excess — α̂ ≤ 2 means the
+    variance a z-score trusts does not exist, the one scalar that says
+    "use the robust panel". Two scans, 1-row broadcast threshold."""
+    from profiler.stats import tail_index
+
+    d = _t(spark, sf_dir, "documents")
+    return tail_index(d, "n_chars", tail_frac=0.05)
+
+
+@_register(
+    "q255_multivariate_outliers",
+    """
+    WITH m AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS n_events,
+             ROUND(avg(value), 6) AS avg_value,
+             CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types
+      FROM events GROUP BY user_id
+    ),
+    clean AS (
+      SELECT * FROM m
+      WHERE user_id IS NOT NULL AND n_events IS NOT NULL
+        AND avg_value IS NOT NULL AND n_types IS NOT NULL
+    ),
+    mo AS (
+      SELECT ROUND(avg(n_events), 8) AS mu0,
+             ROUND(stddev_samp(n_events), 8) AS sd0,
+             ROUND(avg(avg_value), 8) AS mu1,
+             ROUND(stddev_samp(avg_value), 8) AS sd1,
+             ROUND(avg(n_types), 8) AS mu2,
+             ROUND(stddev_samp(n_types), 8) AS sd2
+      FROM clean
+    ),
+    z AS (
+      SELECT user_id,
+             ROUND(n_events, 6) AS n_events,
+             ROUND(avg_value, 6) AS avg_value,
+             ROUND(n_types, 6) AS n_types,
+             CASE WHEN sd0 > 0 THEN (n_events - mu0) / sd0 ELSE 0.0 END
+               AS z0,
+             CASE WHEN sd1 > 0 THEN (avg_value - mu1) / sd1 ELSE 0.0 END
+               AS z1,
+             CASE WHEN sd2 > 0 THEN (n_types - mu2) / sd2 ELSE 0.0 END
+               AS z2
+      FROM clean, mo
+    ),
+    d AS (
+      SELECT user_id, n_events, avg_value, n_types,
+             ROUND(z0, 4) AS z_n_events, ROUND(z1, 4) AS z_avg_value,
+             ROUND(z2, 4) AS z_n_types,
+             ROUND(z0 * z0 + z1 * z1 + z2 * z2, 6) AS d2
+      FROM z
+    )
+    SELECT *, d2 > 16.266 AS flag
+    FROM d ORDER BY d2 DESC, user_id ASC LIMIT 20
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis multi-metric outlier screen (:func:`profiler.
+    drift.diag_mahalanobis`, χ²₃ 99.9% cut = 16.266) over per-user
+    activity metrics: D² = Σz² accumulates evidence across axes, so the
+    entity mildly weird on EVERY metric — invisible to per-metric
+    screens — surfaces. Keyed aggregate → 1-row moments broadcast →
+    TakeOrdered(20); no window over entities."""
+    from profiler.drift import diag_mahalanobis
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+    )
+    return diag_mahalanobis(
+        m,
+        "user_id",
+        ["n_events", "avg_value", "n_types"],
+        top_k=20,
+        d2_threshold=16.266,
+    )

@@ -3021,3 +3021,87 @@ def secret_scan(
         .select("s.*")
         .orderBy("pattern")
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law VOCABULARY-GROWTH curve and fit over a corpus:
+    distinct-token counts V(n) at ``n_checkpoints`` document-count
+    checkpoints, with the least-squares power-law fit V ≈ K·n^β on the
+    log-log checkpoint frame (English corpora: β ≈ 0.4–0.6). A corpus
+    whose vocabulary growth bends BELOW its own fit is going stale
+    (duplicated / templated text adds documents but no new words — the
+    corpus-level twin of the dedup family); one bending above is
+    drifting into new domains or encoding damage. The checkpoint curve
+    is also the principled way to size a tokenizer vocab before a BPE
+    run (:func:`bpe_pair_counts`).
+
+    Plan: NO global document sort — checkpoints are exact doc-id
+    quantile cuts from ONE percentile aggregate (a 1-row broadcast
+    spine); V(cut) needs each token's FIRST document only, one
+    (token → min id) hash aggregate over the exploded stream; both
+    cumulative counts are |spine|-bounded conditional joins against the
+    broadcast spine. The fit is window algebra on the K-row frame. At
+    cluster scale swap the exact percentile for ``percentile_approx``;
+    everything else is already domain-sized.
+    """
+    text = F.col(text_col)
+    did = F.col(id_col).cast("double")
+    docs = df.where(text.isNotNull() & did.isNotNull()).select(
+        did.alias("__id"), clean_tokens_expr(text).alias("__toks")
+    )
+    ks = [k / float(n_checkpoints) for k in range(1, n_checkpoints + 1)]
+    spine = (
+        docs.agg(
+            F.percentile(
+                F.col("__id"), F.array(*[F.lit(p) for p in ks])
+            ).alias("__cuts")
+        )
+        .select(F.posexplode("__cuts").alias("__k", "__cut"))
+        .select(
+            (F.col("__k") + 1).cast("long").alias("checkpoint"),
+            F.round(F.col("__cut"), 8).alias("doc_id_cut"),
+        )
+    )
+    first_doc = (
+        docs.select("__id", F.explode("__toks").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("__id").alias("__first"))
+    )
+    docs_cum = (
+        docs.join(
+            F.broadcast(spine), F.col("__id") <= F.col("doc_id_cut")
+        )
+        .groupBy("checkpoint", "doc_id_cut")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    vocab_cum = (
+        first_doc.join(
+            F.broadcast(spine), F.col("__first") <= F.col("doc_id_cut")
+        )
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    frame = docs_cum.join(vocab_cum, "checkpoint")
+    wf = Window.partitionBy()
+    x = F.log(F.col("n_docs").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    kk = F.count(F.lit(1)).over(wf).cast("double")
+    sx = F.sum(x).over(wf)
+    sy = F.sum(y).over(wf)
+    sxy = F.sum(x * y).over(wf)
+    sxx = F.sum(x * x).over(wf)
+    beta = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    k_fit = F.exp((sy - beta * sx) / kk)
+    return frame.select(
+        "checkpoint",
+        "doc_id_cut",
+        "n_docs",
+        "vocab",
+        F.round(beta, 4).alias("beta"),
+        F.round(k_fit, 4).alias("k_fit"),
+    ).orderBy("checkpoint")

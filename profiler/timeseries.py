@@ -2040,3 +2040,285 @@ def multi_changepoint(
         segments.append((best["cp_x"], hi))
         found.append(best)
     return sorted(found, key=lambda r: r["cp_x"])
+
+
+def pettitt_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pettitt RANK-based single-changepoint test over a bounded series
+    frame: U_t = 2·Σ_{i≤t} R_i − t(n+1) with midranks R_i, K = max|U_t|,
+    and the classic closed-form significance p ≈ 2·exp(−6K²/(n³+n²))
+    (capped at 1). :func:`changepoint_scan` is the CUSUM-of-means scan —
+    it follows a single whale day; Pettitt works on RANKS, so a
+    backfill spike cannot drag the break point. The pair is the
+    monitoring drill-down: parametric "when did the LEVEL shift?" plus
+    nonparametric "when did the DISTRIBUTION shift?".
+
+    Plan: midranks from one value-ordered window pair (rank + per-value
+    count — no pair join, unlike the textbook Σsgn double sum), the U_t
+    sweep as ONE x-ordered cumulative DECIMAL(38,1) sum (midranks are
+    exact halves), then TakeOrdered(1) on (|U| desc, t asc) — fully
+    deterministic. Intended for the |days|-sized daily frame.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    # midrank = min-rank + (ties-at-value - 1)/2, exact in halves
+    w_rank = Window.orderBy("__y")
+    w_val = Window.partitionBy("__y")
+    ranked = base.select(
+        "__x",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_val).cast("double") - 1.0) / 2.0
+        ).cast("decimal(38,1)").alias("__r"),
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = wn.rowsBetween(Window.unboundedPreceding, 0)
+    framed = ranked.select(
+        "__x",
+        F.row_number().over(wn).alias("__t"),
+        F.count(F.lit(1)).over(wf).alias("__n"),
+        F.sum("__r").over(wc).alias("__scum"),
+    )
+    t = F.col("__t").cast("double")
+    n = F.col("__n").cast("double")
+    u_t = 2.0 * F.col("__scum").cast("double") - t * (n + 1.0)
+    cand = framed.where(F.col("__t") < F.col("__n")).select(
+        "__x",
+        "__t",
+        "__n",
+        F.round(F.abs(u_t), 1).alias("__absu"),
+    )
+    top = cand.orderBy(F.col("__absu").desc(), F.col("__t").asc()).limit(1)
+    k = F.col("__absu").cast("double")
+    nn = F.col("__n").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-6.0 * k * k / (nn * nn * nn + nn * nn)),
+    )
+    return top.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("cp_index"),
+        F.col("__x").alias("cp_x"),
+        F.col("__absu").alias("k_stat"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def cox_stuart(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cox–Stuart trend SIGN test over a bounded series frame: pair the
+    i-th observation with the (i + ⌈n/2⌉)-th (the middle observation of
+    an odd-length series is skipped), count upward / downward pairs, and
+    standardize S⁺ against Binomial(m, ½) with continuity correction.
+    :func:`theil_sen` estimates HOW MUCH the series drifts;
+    Cox–Stuart answers the prior question — IS there a monotone trend at
+    all — from signs alone, so a single incident day cannot fake a
+    trend. Emits n, pairs used, S⁺/S⁻ and the two-sided z.
+
+    Plan: row_number + full-extent count on one x-ordered window, then a
+    first-half → second-half equi-join on the shifted position — the
+    join is |days/2|-bounded on the daily frame, nothing row-scale.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    wf = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    framed = base.select(
+        "__y",
+        F.row_number().over(wn).alias("__t"),
+        F.count(F.lit(1)).over(wf).alias("__n"),
+    )
+    # shift c = ceil(n/2); first half i = 1..floor(n/2) pairs with i + c
+    c = F.ceil(F.col("__n").cast("double") / 2.0).cast("long")
+    first = framed.where(F.col("__t") <= F.col("__n") - c).select(
+        F.col("__t").alias("__i"),
+        (F.col("__t") + c).alias("__j"),
+        F.col("__y").alias("__ya"),
+        F.col("__n").alias("__n"),
+    )
+    second = framed.select(
+        F.col("__t").alias("__j2"), F.col("__y").alias("__yb")
+    )
+    pairs = first.join(second, F.col("__j") == F.col("__j2"))
+    agg = pairs.groupBy("__n").agg(
+        F.count_if(F.col("__yb") > F.col("__ya")).alias("s_plus"),
+        F.count_if(F.col("__yb") < F.col("__ya")).alias("s_minus"),
+    )
+    m = (F.col("s_plus") + F.col("s_minus")).cast("double")
+    sp = F.col("s_plus").cast("double")
+    z = F.when(
+        m > 0,
+        (F.abs(sp - m / 2.0) - 0.5) / F.sqrt(m / 4.0),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        (F.col("s_plus") + F.col("s_minus")).alias("n_pairs"),
+        "s_plus",
+        "s_minus",
+        F.round(F.greatest(z, F.lit(0.0)), 4).alias("z"),
+        F.when(
+            m > 0,
+            F.when(sp > m / 2.0, F.lit("up"))
+            .when(sp < m / 2.0, F.lit("down"))
+            .otherwise(F.lit("none")),
+        ).alias("direction"),
+    )
+
+
+def bartels_rank(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Bartels RANK von Neumann randomness test over a bounded series
+    frame: RVN = Σ(R_i − R_{i+1})² / Σ(R_i − R̄)² on midranks, with the
+    exact null moments E[RVN] = 2 and Var = 4(n−2)(5n²−2n−9) /
+    (5n(n+1)(n−1)²); z < 0 ⇒ positive serial dependence (trend /
+    regime), z > 0 ⇒ oscillation. :func:`ljung_box` asks the same
+    question of the VALUES (and a whale day owns its autocorrelations);
+    Bartels asks it of the RANKS — the robust member of the
+    is-my-error-model-even-iid panel that SPC charts rest on.
+
+    Plan: midranks from one value-ordered window pair, successive
+    differences from ONE x-ordered lead, both quadratic forms as
+    6-dp-rounded DECIMAL(38,6) sums in a single final aggregate — two
+    sorts over the |days|-frame, no join, nothing row-scale.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    w_rank = Window.orderBy("__y")
+    w_val = Window.partitionBy("__y")
+    ranked = base.select(
+        "__x",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_val).cast("double") - 1.0) / 2.0
+        ).alias("__r"),
+    )
+    wn = Window.orderBy("__x")
+    seq = ranked.select(
+        "__r", F.lead("__r").over(wn).alias("__rn")
+    )
+    d = F.col("__r") - F.col("__rn")
+    agg = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("__rn").isNotNull(),
+                F.round(d * d, 6).cast("decimal(38,6)"),
+            )
+        ).alias("__nm"),
+        F.sum(F.round(F.col("__r"), 6).cast("decimal(38,6)")).alias("__rs"),
+        F.sum(
+            F.round(F.col("__r") * F.col("__r"), 6).cast("decimal(38,6)")
+        ).alias("__rsq"),
+    )
+    n = F.col("n").cast("double")
+    rbar = F.col("__rs").cast("double") / n
+    denom = F.col("__rsq").cast("double") - n * rbar * rbar
+    rvn = F.when(denom > 0, F.col("__nm").cast("double") / denom)
+    var = (
+        4.0
+        * (n - 2.0)
+        * (5.0 * n * n - 2.0 * n - 9.0)
+        / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+    )
+    z = F.when(
+        denom > 0, (rvn - 2.0) / F.sqrt(var)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round(F.sqrt(var), 6).alias("null_sd"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    baseline_n: int = 14,
+    delta: float = 0.0,
+    lam: float = 5.0,
+) -> DataFrame:
+    """Page–Hinkley sequential mean-INCREASE detector over a bounded
+    series frame: with μ₀/σ₀ frozen from the first ``baseline_n`` points,
+    accumulate m_t = Σ((y_i − μ₀)/σ₀ − δ) and alarm when
+    PH_t = m_t − min_{i≤t} m_i exceeds λ. CUSUM (:func:`cusum_chart`)
+    resets at zero and reports excursions; Page–Hinkley keeps the full
+    cumulative path and measures rise from the RUNNING MINIMUM, so a
+    slow drift that never clears a per-day limit still climbs the PH
+    statistic — the classic "creeping degradation" tripwire, standardized
+    so λ is in σ units across metrics.
+
+    Plan: identical envelope to :func:`cusum_chart` — baseline moments
+    from one bounded conditional aggregate broadcast onto the frame,
+    then ONE x-ordered cumulative window for m_t and a second running-min
+    window for PH_t; two windows over the |days|-frame, no join.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    wn = Window.orderBy("__x")
+    framed = base.select(
+        "__x", "__y", F.row_number().over(wn).alias("__t")
+    )
+    ydec = F.round(F.col("__y"), 6).cast("decimal(28,6)")
+    ysq = F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)")
+    bl = framed.agg(
+        F.count_if(F.col("__t") <= baseline_n).alias("__bn"),
+        F.sum(F.when(F.col("__t") <= baseline_n, ydec)).alias("__bs"),
+        F.sum(F.when(F.col("__t") <= baseline_n, ysq)).alias("__bsq"),
+    )
+    bn = F.col("__bn").cast("double")
+    mu0 = F.col("__bs").cast("double") / bn
+    var0 = F.greatest(
+        (
+            F.col("__bsq").cast("double")
+            - F.col("__bs").cast("double") * F.col("__bs").cast("double") / bn
+        )
+        / (bn - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    scale = bl.select(
+        F.round(mu0, 6).alias("__mu0"),
+        F.round(F.sqrt(var0), 6).alias("__sd0"),
+    )
+    joined = framed.crossJoin(F.broadcast(scale))
+    term = F.when(
+        F.col("__sd0") > 0,
+        (F.col("__y") - F.col("__mu0")) / F.col("__sd0") - F.lit(float(delta)),
+    ).otherwise(F.lit(0.0))
+    wc = wn.rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.select(
+        "__x",
+        "__y",
+        "__t",
+        "__mu0",
+        "__sd0",
+        F.sum(F.round(term, 6).cast("decimal(38,6)")).over(wc).alias("__m"),
+    )
+    ph = (
+        F.col("__m").cast("double")
+        - F.min(F.col("__m")).over(wc).cast("double")
+    )
+    out = cum.select(
+        F.col("__x").alias("x"),
+        F.round("__y", 4).alias("y"),
+        F.col("__t").cast("long").alias("t"),
+        F.col("__mu0").alias("baseline_mean"),
+        F.col("__sd0").alias("baseline_sd"),
+        (F.round(F.col("__m").cast("double"), 4) + F.lit(0.0)).alias(
+            "m_t"
+        ),
+        (F.round(ph, 4) + F.lit(0.0)).alias("ph_t"),
+        (F.round(ph, 4) > F.lit(float(lam))).alias("alarm"),
+    )
+    return out.orderBy("x")

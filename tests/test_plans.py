@@ -1030,3 +1030,150 @@ def test_qn_scale_pairs_join_the_day_frame_not_rows(spark, events):
     join_at = plan.find("Join")
     assert join_at != -1
     assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_pettitt_and_bartels_no_join_two_sorts(spark, events):
+    """Pettitt / Bartels: midrank + sweep are window passes over the
+    daily aggregate — no Join node anywhere, aggregation below."""
+    from profiler.timeseries import bartels_rank, pettitt_test
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    for fn in (pettitt_test, bartels_rank):
+        plan = _plan(fn(daily, "x", "y"))
+        assert "Join" not in plan
+        assert "HashAggregate" in plan
+        assert "Window" in plan
+
+
+def test_cox_stuart_joins_day_frame_not_rows(spark, events):
+    """Cox–Stuart: the shifted-position pairing joins the |days|-sized
+    window frame with itself — HashAggregate strictly below the join."""
+    from profiler.timeseries import cox_stuart
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(cox_stuart(daily, "x", "y"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_page_hinkley_baseline_broadcast_no_rescan(spark, events):
+    """Page–Hinkley: the frozen baseline attaches as a 1-row broadcast;
+    the running statistics are two windows over the day frame."""
+    from profiler.timeseries import page_hinkley
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(page_hinkley(daily, "x", "y"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_cliffs_delta_one_pooled_exchange_no_pair_join(spark, events):
+    """Cliff's delta replaces the O(n_a*n_b) double loop with the pooled
+    (value, side) aggregate: exactly one value-keyed exchange feeds the
+    windows, and there is NO join in the plan."""
+    from profiler.drift import cliffs_delta
+
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("v")
+    )
+    b = events.where(F.col("event_id") % 2 == 1).select(
+        F.col("value").cast("double").alias("v")
+    )
+    plan = _plan(cliffs_delta(a, b, "v"))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(v") >= 1
+
+
+def test_effect_size_panel_two_aggregates_only(spark, events):
+    """Effect sizes: one sufficient-statistics aggregate per side, a 1x1
+    cross at the top — no shuffle of raw values, no window, no sort."""
+    from profiler.drift import effect_size_panel
+
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("v")
+    )
+    b = events.where(F.col("event_id") % 2 == 1).select(
+        F.col("value").cast("double").alias("v")
+    )
+    plan = _plan(effect_size_panel(a, b, "v"))
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_mood_median_single_table_scan_bounded_group_frame(spark, events):
+    """Mood's median: the table is scanned once per pass (median pass +
+    tagged pass), groups collapse to a |k| frame, the chi2 total rides a
+    full-extent window on that frame — no row-scale window."""
+    from profiler.drift import mood_median
+
+    plan = _plan(mood_median(events, "value", "event_type"))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row median broadcast
+    assert "SortMergeJoin" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    # the window input is the aggregated group frame, not raw rows
+    assert "HashAggregate" in plan[w_at:]
+
+
+def test_cohens_kappa_confusion_frame_then_domain_math(spark, events):
+    """Kappa: one (a,b) hash aggregate collapses the table; marginal
+    joins run on the domain-sized frame (aggregates below the join)."""
+    from profiler.drift import cohens_kappa
+
+    df = events.select("event_type", F.col("props").alias("b"))
+    plan = _plan(cohens_kappa(df, "event_type", "b"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_heaps_law_no_global_document_sort(spark):
+    """Heaps: checkpoints come from one percentile aggregate — there must
+    be no global Sort of the document/token stream below the spine joins
+    (the only Sort allowed is the final 10-row checkpoint ordering)."""
+    from profiler.text import heaps_law
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(heaps_law(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only window is the K-row fit frame; token first-occurrence and
+    # the cumulative counts are hash aggregates
+    assert plan.count("Window") <= 1
+
+
+def test_tail_index_threshold_broadcast_no_sort(spark):
+    """Hill tail index: exact-percentile threshold attaches as a 1-row
+    broadcast; no Sort or Window over the data anywhere."""
+    from profiler.stats import tail_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tail_index(docs, "n_chars"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_diag_mahalanobis_takeordered_not_window(spark, events):
+    """D² outliers: top-k must be TakeOrderedAndProject over the entity
+    frame — no rank window, no global sort."""
+    from profiler.drift import diag_mahalanobis
+
+    m = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    plan = _plan(
+        diag_mahalanobis(m, "user_id", ["n_events", "avg_value"], top_k=5)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

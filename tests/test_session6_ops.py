@@ -1,0 +1,342 @@
+"""Randomized differential tests for the round-4 session-6 batch:
+nonparametric monitoring (Pettitt, Cox–Stuart, Bartels, Page–Hinkley),
+effect sizes (Hodges–Lehmann, Cliff's delta, Cohen's d panel), k-sample
+and agreement tests (Mood's median, Cohen's kappa), tail index,
+multi-metric outliers, and Heaps'-law vocabulary growth. Every statistic
+is recomputed by an independent brute-force Python reference on seeded
+random inputs."""
+
+import math
+
+import numpy as np
+
+
+def _series_df(spark, ys):
+    return spark.createDataFrame(
+        [(float(i), float(y)) for i, y in enumerate(ys)],
+        "x double, y double",
+    )
+
+
+def _midranks(ys):
+    order = sorted(range(len(ys)), key=lambda i: ys[i])
+    ranks = [0.0] * len(ys)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and ys[order[j + 1]] == ys[order[i]]:
+            j += 1
+        mid = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = mid
+        i = j + 1
+    return ranks
+
+
+def test_pettitt_matches_bruteforce_double_sum(spark):
+    from profiler.timeseries import pettitt_test
+
+    rng = np.random.default_rng(61)
+    for trial in range(4):
+        n = int(rng.integers(10, 30))
+        ys = [float(v) for v in rng.integers(0, 15, n)]  # ties on purpose
+        if trial % 2:
+            ys[n // 2:] = [y + 6 for y in ys[n // 2:]]
+        r = pettitt_test(_series_df(spark, ys), "x", "y").first()
+        # brute force: U_t = sum_{i<=t} sum_{j>t} sgn(y_j - y_i)
+        best_k, best_t = -1.0, None
+        for t in range(1, n):
+            u = sum(
+                (yj > yi) - (yj < yi)
+                for yi in ys[:t]
+                for yj in ys[t:]
+            )
+            if abs(u) > best_k:
+                best_k, best_t = abs(float(u)), t
+        assert r["n"] == n
+        assert abs(r["k_stat"] - best_k) < 1e-6
+        assert r["cp_index"] == best_t
+        p = min(1.0, 2.0 * math.exp(-6.0 * best_k**2 / (n**3 + n**2)))
+        assert abs(r["p_value"] - p) < 1e-4
+
+
+def test_cox_stuart_matches_bruteforce_pairing(spark):
+    from profiler.timeseries import cox_stuart
+
+    rng = np.random.default_rng(67)
+    for n in (11, 12, 20):
+        ys = [float(v) for v in rng.normal(10, 3, n)]
+        ys = [y + 0.4 * i for i, y in enumerate(ys)]  # inject a trend
+        r = cox_stuart(_series_df(spark, ys), "x", "y").first()
+        c = math.ceil(n / 2)
+        pairs = [(ys[i], ys[i + c]) for i in range(n - c)]
+        sp = sum(1 for a, b in pairs if b > a)
+        sm = sum(1 for a, b in pairs if b < a)
+        m = sp + sm
+        z = max(0.0, (abs(sp - m / 2.0) - 0.5) / math.sqrt(m / 4.0))
+        assert r["n"] == n
+        assert r["s_plus"] == sp and r["s_minus"] == sm
+        assert abs(r["z"] - z) < 1e-3
+        assert r["direction"] == (
+            "up" if sp > m / 2 else ("down" if sp < m / 2 else "none")
+        )
+
+
+def test_bartels_rank_matches_bruteforce_rvn(spark):
+    from profiler.timeseries import bartels_rank
+
+    rng = np.random.default_rng(71)
+    for _ in range(3):
+        n = int(rng.integers(12, 30))
+        ys = [float(v) for v in rng.integers(0, 10, n)]  # ties on purpose
+        r = bartels_rank(_series_df(spark, ys), "x", "y").first()
+        ranks = _midranks(ys)
+        rbar = sum(ranks) / n
+        num = sum((ranks[i] - ranks[i + 1]) ** 2 for i in range(n - 1))
+        den = sum((ri - rbar) ** 2 for ri in ranks)
+        rvn = num / den
+        var = (
+            4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+            / (5.0 * n * (n + 1) * (n - 1) ** 2)
+        )
+        assert r["n"] == n
+        assert abs(r["rvn"] - rvn) < 1e-3
+        assert abs(r["z"] - (rvn - 2.0) / math.sqrt(var)) < 1e-3
+
+
+def test_page_hinkley_matches_reference_walk(spark):
+    from profiler.timeseries import page_hinkley
+
+    rng = np.random.default_rng(73)
+    n, bn = 30, 10
+    ys = [float(v) for v in rng.normal(20, 2, n)]
+    ys[18:] = [y + 5 for y in ys[18:]]  # drift after t=18
+    rows = page_hinkley(
+        _series_df(spark, ys), "x", "y", baseline_n=bn, delta=0.1, lam=4.0
+    ).collect()
+    base = ys[:bn]
+    mu = sum(base) / bn
+    sd = math.sqrt(sum((v - mu) ** 2 for v in base) / (bn - 1))
+    m = 0.0
+    mn = math.inf
+    alarmed = False
+    for r, y in zip(rows, ys):
+        m += (y - mu) / sd - 0.1
+        mn = min(mn, m)
+        ph = m - mn
+        assert abs(r["m_t"] - m) < 1e-3
+        assert abs(r["ph_t"] - ph) < 1e-3
+        assert r["alarm"] == (round(ph, 4) > 4.0)
+        alarmed = alarmed or r["alarm"]
+    assert alarmed  # the injected drift must trip the detector
+
+
+def test_hodges_lehmann_matches_bruteforce_median(spark):
+    from profiler.drift import hodges_lehmann_shift
+
+    rng = np.random.default_rng(79)
+    for na, nb in ((7, 9), (8, 8), (13, 6)):
+        ya = [float(v) for v in rng.normal(10, 3, na)]
+        yb = [float(v) for v in rng.normal(14, 3, nb)]
+        a = _series_df(spark, ya)
+        b = _series_df(spark, yb)
+        r = hodges_lehmann_shift(a, b, "x", "y").first()
+        diffs = sorted(round(vb - va, 8) for va in ya for vb in yb)
+        m = len(diffs)
+        lo, hi = diffs[(m + 1) // 2 - 1], diffs[m // 2]
+        assert r["n_pairs"] == m
+        assert abs(r["hl_shift"] - (lo + hi) / 2.0) < 1e-5
+
+
+def test_cliffs_delta_matches_double_loop(spark):
+    from profiler.drift import cliffs_delta
+
+    rng = np.random.default_rng(83)
+    for _ in range(3):
+        na, nb = int(rng.integers(5, 30)), int(rng.integers(5, 30))
+        xa = [float(v) for v in rng.integers(0, 8, na)]  # heavy ties
+        xb = [float(v) for v in rng.integers(2, 10, nb)]
+        a = spark.createDataFrame([(v,) for v in xa], "v double")
+        b = spark.createDataFrame([(v,) for v in xb], "v double")
+        r = cliffs_delta(a, b, "v").first()
+        gt = sum(1 for vb in xb for va in xa if vb > va)
+        lt = sum(1 for vb in xb for va in xa if vb < va)
+        assert r["n_b_gt_a"] == gt and r["n_b_lt_a"] == lt
+        assert abs(r["delta"] - (gt - lt) / (na * nb)) < 1e-5
+
+
+def test_effect_size_panel_matches_formulas(spark):
+    from profiler.drift import effect_size_panel
+
+    rng = np.random.default_rng(89)
+    xa = [float(v) for v in rng.normal(50, 10, 40)]
+    xb = [float(v) for v in rng.normal(56, 12, 35)]
+    a = spark.createDataFrame([(v,) for v in xa], "v double")
+    b = spark.createDataFrame([(v,) for v in xb], "v double")
+    r = effect_size_panel(a, b, "v").first()
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    ssa = sum((v - ma) ** 2 for v in xa)
+    ssb = sum((v - mb) ** 2 for v in xb)
+    sd_pool = math.sqrt((ssa + ssb) / (na + nb - 2))
+    d = (mb - ma) / sd_pool
+    j = 1.0 - 3.0 / (4.0 * (na + nb - 2) - 1.0)
+    assert abs(r["cohens_d"] - d) < 1e-3
+    assert abs(r["hedges_g"] - d * j) < 1e-3
+    assert abs(r["glass_delta"] - (mb - ma) / math.sqrt(ssa / (na - 1))) < 1e-3
+    assert abs(r["mean_diff"] - (mb - ma)) < 1e-4
+
+
+def test_mood_median_matches_contingency_chi2(spark):
+    from profiler.drift import mood_median
+
+    rng = np.random.default_rng(97)
+    rows = []
+    for g, shift in (("a", 0.0), ("b", 2.0), ("c", -1.0)):
+        for v in rng.normal(10 + shift, 3, int(rng.integers(15, 30))):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["group_key"]: r for r in mood_median(df, "v", "g").collect()}
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    med = (
+        vals[n // 2]
+        if n % 2
+        else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+    )
+    tot_above = sum(1 for _, v in rows if v > round(med, 8))
+    chi2 = 0.0
+    for g in ("a", "b", "c"):
+        gvals = [v for gg, v in rows if gg == g]
+        n_g = len(gvals)
+        o_above = sum(1 for v in gvals if v > round(med, 8))
+        e_above = n_g * tot_above / n
+        e_below = n_g * (1 - tot_above / n)
+        chi2 += (o_above - e_above) ** 2 / e_above
+        chi2 += ((n_g - o_above) - e_below) ** 2 / e_below
+        assert out[g]["n_g"] == n_g and out[g]["n_above"] == o_above
+    for g in out:
+        assert abs(out[g]["chi2"] - chi2) < 1e-3
+        assert out[g]["dof"] == 2
+        assert abs(out[g]["grand_median"] - med) < 1e-5
+
+
+def test_cohens_kappa_matches_confusion_algebra(spark):
+    from profiler.drift import cohens_kappa
+
+    rng = np.random.default_rng(101)
+    cats = ["en", "fr", "de"]
+    rows = [
+        (cats[int(rng.integers(0, 3))], cats[int(rng.integers(0, 3))])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").first()
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    pe = sum(
+        (sum(1 for a, _ in rows if a == c) / n)
+        * (sum(1 for _, b in rows if b == c) / n)
+        for c in cats
+    )
+    assert r["n"] == n
+    assert abs(r["p_observed"] - po) < 1e-5
+    assert abs(r["p_expected"] - pe) < 1e-5
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-3
+
+
+def test_kappa_perfect_and_chance_extremes(spark):
+    from profiler.drift import cohens_kappa
+
+    same = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    assert cohens_kappa(same, "a", "b").first()["kappa"] == 1.0
+    # one rater constant -> pe == po -> kappa 0
+    const = spark.createDataFrame(
+        [("x", "x"), ("y", "x"), ("x", "x"), ("y", "x")],
+        "a string, b string",
+    )
+    assert abs(cohens_kappa(const, "a", "b").first()["kappa"]) < 1e-9
+
+
+def test_tail_index_matches_pot_formula(spark):
+    from profiler.stats import tail_index
+
+    rng = np.random.default_rng(103)
+    # exact Pareto(alpha=2.5): x = (1-u)^(-1/2.5)
+    xs = [float((1.0 - u) ** (-1.0 / 2.5)) for u in rng.random(4000)]
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    r = tail_index(df, "x", tail_frac=0.05).first()
+    s = sorted(xs)
+    q = 0.95 * (len(s) - 1)
+    lo = int(math.floor(q))
+    xmin = round(s[lo] + (q - lo) * (s[lo + 1] - s[lo]), 8)
+    tail = [v for v in xs if v > xmin]
+    alpha = len(tail) / sum(math.log(v / xmin) for v in tail)
+    assert r["n"] == len(xs)
+    assert r["k_tail"] == len(tail)
+    assert abs(r["x_min"] - xmin) < 1e-6
+    assert abs(r["hill_alpha"] - alpha) < 0.01
+    # the estimator must land near the true tail index
+    assert 2.0 < r["hill_alpha"] < 3.0
+
+
+def test_diag_mahalanobis_scores_and_ordering(spark):
+    from profiler.drift import diag_mahalanobis
+
+    rng = np.random.default_rng(107)
+    rows = [
+        (i, float(v1), float(v2))
+        for i, (v1, v2) in enumerate(
+            zip(rng.normal(10, 2, 50), rng.normal(100, 5, 50))
+        )
+    ]
+    rows[7] = (7, 20.0, 130.0)  # planted outlier on both axes
+    df = spark.createDataFrame(rows, "k long, m1 double, m2 double")
+    out = diag_mahalanobis(
+        df, "k", ["m1", "m2"], top_k=5, d2_threshold=13.8
+    ).collect()
+    m1 = [r[1] for r in rows]
+    m2 = [r[2] for r in rows]
+
+    def _z(v, xs):
+        mu = sum(xs) / len(xs)
+        sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / (len(xs) - 1))
+        return (v - mu) / sd
+
+    d2 = {
+        k: _z(a, m1) ** 2 + _z(b, m2) ** 2 for k, a, b in rows
+    }
+    expect = sorted(d2, key=lambda k: (-round(d2[k], 6), k))[:5]
+    assert [r["k"] for r in out] == expect
+    assert out[0]["k"] == 7 and out[0]["flag"]
+    for r in out:
+        assert abs(r["d2"] - d2[r["k"]]) < 1e-3
+
+
+def test_heaps_law_curve_on_constructed_corpus(spark):
+    # doc i introduces exactly one new token (doc 0's repeat is itself),
+    # so V(n) = n exactly -> beta == 1 on the log-log fit
+    docs = [
+        (i, f"tok{i} tok0") for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from profiler.text import heaps_law
+
+    out = heaps_law(df, "text", "doc_id", n_checkpoints=4).collect()
+    assert [r["checkpoint"] for r in out] == [1, 2, 3, 4]
+    assert out[-1]["n_docs"] == 40 and out[-1]["vocab"] == 40
+    for r in out:
+        assert r["vocab"] == r["n_docs"]
+    assert abs(out[0]["beta"] - 1.0) < 1e-6
+    # fit columns are constant across checkpoint rows
+    assert len({r["beta"] for r in out}) == 1
+
+
+def test_pettitt_flat_series_insignificant(spark):
+    from profiler.timeseries import pettitt_test
+
+    r = pettitt_test(_series_df(spark, [5.0] * 12), "x", "y").first()
+    assert r["k_stat"] == 0.0
+    assert r["p_value"] == 1.0
