@@ -832,3 +832,102 @@ def rule_report(
         )
         .orderBy("rule")
     )
+
+
+def json_schema_check(
+    df: DataFrame,
+    json_col: str,
+    rules: Sequence[dict],
+) -> DataFrame:
+    """JSON-payload SCHEMA validation over an embedded-JSON column (tool
+    arguments, event props): for each rule ``{"key": k, "expected":
+    "number"|"string"|"any", "required": bool}``, the row count, how many
+    rows carry the key (present and non-null), required-but-missing
+    count, type violations (a "number" value must parse as a double; a
+    "string" value must NOT), and the combined violation rate.
+    :func:`profiler.sources.json_key_profile` DISCOVERS what keys exist;
+    this ENFORCES what a pipeline contract says must exist — the
+    tool-args twin of the column-level constraint suite.
+
+    Presence means "key exists with a non-``null`` JSON value". Types are
+    judged on the RAW value token (``get_json_object`` unquotes strings,
+    destroying the type), extracted with one anchored regex per key —
+    identical bytes of regex run in Spark and in the DuckDB oracle, so
+    the semantics replay exactly: a number must ``try_cast`` to double
+    (``69`` passes, ``"69"`` the JSON string does not), a string must be
+    a quoted token. Intended for FLAT payloads (tool args, event props);
+    a nested same-named key would match too — profile with
+    ``json_key_profile`` first if payloads nest.
+
+    Plan: the |rules|-bounded checks are unrolled map-side into ONE
+    aggregate row (every rule shares the single table scan), then
+    exploded to the per-rule report frame — no shuffle wider than
+    |rules| rows, no second scan, no UDF.
+    """
+    import re as _re
+
+    j = F.col(json_col)
+    structs = []
+    for r in rules:
+        key = r["key"]
+        expected = r.get("expected", "any")
+        required = bool(r.get("required", False))
+        pat = (
+            '"' + _re.escape(key) + '"'
+            + r'\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)'
+        )
+        tok = F.regexp_extract(j, pat, 1)
+        present = (tok != "") & (tok != "null")
+        as_num = tok.try_cast("double")
+        if expected == "number":
+            bad_type = present & as_num.isNull()
+        elif expected == "string":
+            bad_type = present & ~tok.startswith('"')
+        else:
+            bad_type = F.lit(False)
+        structs.append(
+            (key, expected, required, present, bad_type)
+        )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            e
+            for i, (_, _, _, present, bad) in enumerate(structs)
+            for e in (
+                F.count_if(present).alias(f"__p{i}"),
+                F.count_if(bad).alias(f"__b{i}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(key).alias("key"),
+                F.lit(expected).alias("expected"),
+                F.lit(required).alias("required"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__p{i}").alias("n_present"),
+                (
+                    F.when(
+                        F.lit(required), F.col("__n") - F.col(f"__p{i}")
+                    ).otherwise(F.lit(0))
+                ).alias("n_missing_required"),
+                F.col(f"__b{i}").alias("n_type_violations"),
+            )
+            for i, (key, expected, required, _, _) in enumerate(structs)
+        ]
+    )
+    out = agg.select(F.explode(rows).alias("r")).select("r.*")
+    viol = F.col("n_missing_required") + F.col("n_type_violations")
+    return out.select(
+        "key",
+        "expected",
+        "required",
+        "n_rows",
+        "n_present",
+        "n_missing_required",
+        "n_type_violations",
+        F.round(
+            viol.cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("violation_rate"),
+    ).orderBy("key")

@@ -2968,3 +2968,94 @@ def diag_mahalanobis(
     return proj.orderBy(F.col("d2").desc(), F.col(key_col).asc()).limit(
         int(top_k)
     )
+
+
+def lepage_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """Lepage-style joint LOCATION + SCALE two-sample test: the Wilcoxon
+    midrank sum (did values move?) and the Mood scale score sum
+    Σ(R − (N+1)/2)² (did SPREAD change?) over the pooled sample, each
+    standardized with its EXACT finite-population (SRSWOR) null moments —
+    E[T] = n_a·s̄, Var[T] = n_a·n_b·Σ(s−s̄)²/(N(N−1)) — which are
+    tie-exact by construction (no textbook tie-correction bolt-on), and
+    the combined L = z_loc² + z_scale² (~χ²₂). A location test alone
+    waves through the failure mode monitoring most needs to catch:
+    a distribution that kept its median but fattened — retry storms,
+    mixed populations, a collapsing upstream filter. Signs follow sample
+    A's sums: z_location > 0 ⇒ A sits higher, z_scale > 0 ⇒ A is MORE
+    spread than B.
+
+    Plan: the one-exchange skeleton of :func:`mann_whitney_2s` — ONE
+    pooled (value, side-count) hash aggregate, midranks as cumulative
+    windows over distinct values, BOTH score populations' moments as
+    full-extent window sums on the same sort, 6-dp DECIMAL(38,6)
+    accumulations; each input scanned exactly once, no join.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull() & ~F.isnan(c)).select(
+            c.alias("v"), F.lit(side).alias("__side")
+        )
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = (F.col("ca") + F.col("cb")).cast("double")
+    cum = F.sum(F.col("ca") + F.col("cb")).over(wc).cast("double")
+    nn = F.sum(F.col("ca") + F.col("cb")).over(wf).cast("double")
+    midrank = cum - h + (h + 1.0) / 2.0
+    # score populations at this value: s1 = midrank (Wilcoxon),
+    # s2 = (midrank - (N+1)/2)^2 (Mood scale)
+    s1 = midrank
+    s2 = (midrank - (nn + 1.0) / 2.0) * (midrank - (nn + 1.0) / 2.0)
+
+    def _dec(x):
+        return F.round(x, 6).cast("decimal(38,6)")
+
+    grid = counts.select(
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+        _dec(F.col("ca") * s1).alias("__ta1"),
+        _dec(F.col("ca") * s2).alias("__ta2"),
+        _dec(h * s1).alias("__s1"),
+        _dec(h * s1 * s1).alias("__q1"),
+        _dec(h * s2).alias("__s2"),
+        _dec(h * s2 * s2).alias("__q2"),
+    )
+    agg = grid.groupBy("n_a", "n_b").agg(
+        F.sum("__ta1").alias("t1"),
+        F.sum("__ta2").alias("t2"),
+        F.sum("__s1").alias("p1"),
+        F.sum("__q1").alias("pq1"),
+        F.sum("__s2").alias("p2"),
+        F.sum("__q2").alias("pq2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+
+    def _z(t, p, pq):
+        td = F.col(t).cast("double")
+        sbar = F.col(p).cast("double") / n
+        ss = F.col(pq).cast("double") - n * sbar * sbar
+        mu = na * sbar
+        var = na * nb * ss / (n * (n - 1.0))
+        return F.when(var > 0, (td - mu) / F.sqrt(var))
+
+    z1 = _z("t1", "p1", "pq1")
+    z2 = _z("t2", "p2", "pq2")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("t1").cast("double"), 4).alias("rank_sum_a"),
+        F.round(z1, 4).alias("z_location"),
+        F.round(F.col("t2").cast("double"), 4).alias("scale_sum_a"),
+        F.round(z2, 4).alias("z_scale"),
+        F.round(z1 * z1 + z2 * z2, 4).alias("lepage_l"),
+    )

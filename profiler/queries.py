@@ -14716,3 +14716,243 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=20,
         d2_threshold=16.266,
     )
+
+
+@_register(
+    "q256_json_schema_check",
+    r"""
+    WITH tok AS (
+      SELECT
+        regexp_extract(props,
+          '"k"\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)', 1) AS t_k,
+        regexp_extract(props,
+          '"k2"\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)', 1) AS t_k2,
+        regexp_extract(props,
+          '"session"\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)', 1) AS t_s
+      FROM events
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             count_if(t_k != '' AND t_k != 'null') AS p0,
+             count_if(t_k != '' AND t_k != 'null'
+                      AND try_cast(t_k AS DOUBLE) IS NULL) AS b0,
+             count_if(t_k2 != '' AND t_k2 != 'null') AS p1,
+             count_if(t_s != '' AND t_s != 'null') AS p2,
+             count_if(t_s != '' AND t_s != 'null'
+                      AND NOT starts_with(t_s, '"')) AS b2
+      FROM tok
+    ),
+    stacked AS (
+      SELECT 'k' AS key, 'number' AS expected, true AS required,
+             n AS n_rows, p0 AS n_present, n - p0 AS n_missing_required,
+             b0 AS n_type_violations
+      FROM agg
+      UNION ALL
+      SELECT 'k2', 'any', false, n, p1, 0, 0 FROM agg
+      UNION ALL
+      SELECT 'session', 'string', true, n, p2, n - p2, b2 FROM agg
+    )
+    SELECT key, expected, required, n_rows, n_present,
+           n_missing_required, n_type_violations,
+           ROUND(CAST(n_missing_required + n_type_violations AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS violation_rate
+    FROM stacked ORDER BY key
+    """,
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-payload schema validation (:func:`profiler.constraints.
+    json_schema_check`) over the embedded props column: per contract
+    rule, presence / required-but-missing / raw-token type violations —
+    the tool-args twin of the column constraint suite (q187's
+    json_key_profile discovers; this enforces). One table scan, |rules|
+    checks unrolled map-side into a single aggregate row."""
+    from profiler.constraints import json_schema_check
+
+    ev = _t(spark, sf_dir, "events")
+    return json_schema_check(
+        ev,
+        "props",
+        [
+            {"key": "k", "expected": "number", "required": True},
+            {"key": "k2", "expected": "any", "required": False},
+            {"key": "session", "expected": "string", "required": True},
+        ],
+    )
+
+
+@_register(
+    "q257_lepage_2s",
+    _VALUE_AB_SQL
+    + """
+    , m AS (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b),
+    counts AS (
+      SELECT v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY v
+    ),
+    g1 AS (
+      SELECT ca, cb, CAST(ca + cb AS DOUBLE) AS h,
+             CAST(sum(ca + cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum,
+             CAST(sum(ca + cb) OVER () AS DOUBLE) AS nn,
+             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+      FROM counts
+    ),
+    g2 AS (
+      SELECT n_a, n_b, ca, h,
+             cum - h + (h + 1.0) / 2.0 AS s1,
+             (cum - h + (h + 1.0) / 2.0 - (nn + 1.0) / 2.0)
+               * (cum - h + (h + 1.0) / 2.0 - (nn + 1.0) / 2.0) AS s2
+      FROM g1
+    ),
+    g3 AS (
+      SELECT n_a, n_b,
+             sum(CAST(ROUND(ca * s1, 6) AS DECIMAL(38,6))) AS t1,
+             sum(CAST(ROUND(ca * s2, 6) AS DECIMAL(38,6))) AS t2,
+             sum(CAST(ROUND(h * s1, 6) AS DECIMAL(38,6))) AS p1,
+             sum(CAST(ROUND(h * s1 * s1, 6) AS DECIMAL(38,6))) AS pq1,
+             sum(CAST(ROUND(h * s2, 6) AS DECIMAL(38,6))) AS p2,
+             sum(CAST(ROUND(h * s2 * s2, 6) AS DECIMAL(38,6))) AS pq2
+      FROM g2 GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2,
+             CAST(p1 AS DOUBLE) AS p1, CAST(pq1 AS DOUBLE) AS pq1,
+             CAST(p2 AS DOUBLE) AS p2, CAST(pq2 AS DOUBLE) AS pq2
+      FROM g3
+    ),
+    zz AS (
+      SELECT n_a, n_b, t1, t2,
+             CASE WHEN na * nb * (pq1 - (na + nb) * (p1 / (na + nb))
+                    * (p1 / (na + nb)))
+                    / ((na + nb) * (na + nb - 1.0)) > 0 THEN
+               (t1 - na * (p1 / (na + nb)))
+               / sqrt(na * nb * (pq1 - (na + nb) * (p1 / (na + nb))
+                      * (p1 / (na + nb)))
+                      / ((na + nb) * (na + nb - 1.0))) END AS z1,
+             CASE WHEN na * nb * (pq2 - (na + nb) * (p2 / (na + nb))
+                    * (p2 / (na + nb)))
+                    / ((na + nb) * (na + nb - 1.0)) > 0 THEN
+               (t2 - na * (p2 / (na + nb)))
+               / sqrt(na * nb * (pq2 - (na + nb) * (p2 / (na + nb))
+                      * (p2 / (na + nb)))
+                      / ((na + nb) * (na + nb - 1.0))) END AS z2
+      FROM fin
+    )
+    SELECT n_a, n_b, ROUND(t1, 4) AS rank_sum_a, ROUND(z1, 4) AS z_location,
+           ROUND(t2, 4) AS scale_sum_a, ROUND(z2, 4) AS z_scale,
+           ROUND(z1 * z1 + z2 * z2, 4) AS lepage_l
+    FROM zz
+    """,
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage-style joint location+scale two-sample test (:func:`profiler.
+    drift.lepage_2s`): Wilcoxon midrank sum AND Mood scale score sum,
+    each standardized with EXACT finite-population (SRSWOR) null moments
+    — tie-exact by construction — combined as L = z² + z² (~χ²₂). The
+    q234 location test waves through a distribution that kept its median
+    but FATTENED; this catches it. One pooled one-exchange skeleton,
+    each input scanned once, no join."""
+    from profiler.drift import lepage_2s
+
+    a, b = _value_ab(spark, sf_dir)
+    return lepage_2s(a, b, "v")
+
+
+@_register(
+    "q258_ann_recall",
+    _COSINE_SQL_BODY
+    + """
+    , ex_sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM ex_sims
+      ) WHERE rk <= 5
+    ),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n
+             WHERE vec_id < 8),
+    scores AS (
+      SELECT n.vec_id, cent.cell,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> n.v[i] * cent.cv[i])) / cent.cnrm AS score
+      FROM n, cent
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell ASC) AS crk
+      FROM scores
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells
+               WHERE crk = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells
+               WHERE vec_id < 5 AND crk <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    ap_sims AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+      FROM cand cd
+      JOIN n q ON q.vec_id = cd.query_id
+      JOIN n c ON c.vec_id = cd.neighbor_id
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM ap_sims
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT ex.query_id, count(*) AS n_hits
+      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+    ),
+    perq AS (
+      SELECT e2.query_id, e2.n_exact,
+             coalesce(a2.n_approx, 0) AS n_approx,
+             coalesce(h.n_hits, 0) AS n_hits
+      FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) e2
+      LEFT JOIN (SELECT query_id, count(*) AS n_approx FROM ap
+                 GROUP BY 1) a2 USING (query_id)
+      LEFT JOIN hits h USING (query_id)
+    )
+    SELECT query_id, n_exact, n_approx, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+             AS recall,
+           ROUND(avg(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                 OVER (), 6) AS mean_recall
+    FROM perq ORDER BY query_id
+    """,
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 evaluation (:func:`profiler.similarity.ann_recall`):
+    the q42 deterministic-quantizer IVF top-5 measured against the q22
+    exact cosine top-5 — per-query hits/recall plus the corpus mean. An
+    ANN index without a measured recall is a guess; this frame is the
+    recall-vs-cost curve nprobe tuning walks. Both inputs are the
+    bounded top-k OUTPUT frames, so everything is evaluation-sized."""
+    from profiler.similarity import ann_recall
+
+    exact = _QUERIES["q22_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = _QUERIES["q42_ivf_ann_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return ann_recall(exact, approx)

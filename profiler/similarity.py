@@ -980,3 +980,57 @@ def embedding_drift(
         ],
         schema,
     )
+
+
+def ann_recall(
+    exact_df: DataFrame,
+    approx_df: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k EVALUATION of an approximate nearest-neighbour index
+    against exact ground truth: given two ranked result frames (the
+    brute-force top-k and an ANN top-k — :func:`brute_force_topk` vs
+    :func:`ivf_topk` / :func:`lsh_topk` / :func:`ivfpq_topk`), per-query
+    hit counts and recall, with the corpus-level mean attached to every
+    row. An ANN index without a measured recall is a guess — nprobe /
+    band-count / code-size tuning is exactly the recall-vs-cost curve
+    this frame traces.
+
+    Plan: both inputs are already top-k frames (|queries|·k rows — the
+    bounded OUTPUT of the search operators, never the corpus), so the
+    hit join, the per-query rollup, and the full-extent mean window all
+    run on evaluation-sized data. Use a sampled query set at corpus
+    scale; nothing here touches the corpus itself.
+    """
+    q = F.col(query_col)
+    nb = F.col(neighbor_col)
+    ex = exact_df.select(q.alias("__q"), nb.alias("__n"))
+    ap = approx_df.select(q.alias("__q"), nb.alias("__n"))
+    hits = ex.join(ap, ["__q", "__n"]).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = (
+        ex.groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            ap.groupBy("__q").agg(F.count(F.lit(1)).alias("n_approx")),
+            "__q",
+            "left",
+        )
+        .join(hits, "__q", "left")
+    )
+    recall = (
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+        / F.col("n_exact").cast("double")
+    )
+    wf = Window.partitionBy()
+    framed = per_q.select(
+        F.col("__q").alias(query_col),
+        "n_exact",
+        F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(recall, 6).alias("recall"),
+        F.round(F.avg(recall).over(wf), 6).alias("mean_recall"),
+    )
+    return framed.orderBy(query_col)

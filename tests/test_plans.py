@@ -1177,3 +1177,59 @@ def test_diag_mahalanobis_takeordered_not_window(spark, events):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_json_schema_check_single_scan_no_join(spark, events):
+    """JSON schema validation: all rules ride one table scan into one
+    aggregate row — no join, no window, exactly one FileScan."""
+    from profiler.constraints import json_schema_check
+
+    plan = _plan(
+        json_schema_check(
+            events,
+            "props",
+            [
+                {"key": "k", "expected": "number", "required": True},
+                {"key": "s", "expected": "string", "required": False},
+            ],
+        )
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+
+
+def test_lepage_one_pooled_exchange_no_join(spark, events):
+    """Lepage: both score statistics ride the single pooled (value,
+    side-count) exchange — no join anywhere in the plan."""
+    from profiler.drift import lepage_2s
+
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("v")
+    )
+    b = events.where(F.col("event_id") % 2 == 1).select(
+        F.col("value").cast("double").alias("v")
+    )
+    plan = _plan(lepage_2s(a, b, "v"))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(v") >= 1
+
+
+def test_ann_recall_joins_topk_frames_not_corpus(spark):
+    """Recall evaluation: the hit join and rollups run on the bounded
+    top-k OUTPUT frames (aggregates/windows below every join input),
+    never a nested loop."""
+    from profiler.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ex = emb.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("neighbor_id"),
+    ).limit(50)
+    ap = emb.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("neighbor_id"),
+    ).limit(50)
+    plan = _plan(ann_recall(ex, ap))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

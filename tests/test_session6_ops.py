@@ -340,3 +340,116 @@ def test_pettitt_flat_series_insignificant(spark):
     r = pettitt_test(_series_df(spark, [5.0] * 12), "x", "y").first()
     assert r["k_stat"] == 0.0
     assert r["p_value"] == 1.0
+
+
+def test_json_schema_check_counts(spark):
+    from profiler.constraints import json_schema_check
+
+    rows = [
+        ('{"k": 69, "s": "x"}',),
+        ('{"k": "69", "s": "y"}',),   # k wrongly string-typed
+        ('{"k": null}',),             # k null -> absent
+        ('{"s": 1}',),                # k missing; s wrongly number
+        (None,),                      # whole payload null
+        ('{ "k" : -6.5e2 , "s" : "q\\"z" }',),  # whitespace + escapes
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {
+        r["key"]: r
+        for r in json_schema_check(
+            df,
+            "props",
+            [
+                {"key": "k", "expected": "number", "required": True},
+                {"key": "s", "expected": "string", "required": False},
+                {"key": "zz", "expected": "any", "required": True},
+            ],
+        ).collect()
+    }
+    k = out["k"]
+    assert k["n_rows"] == 6
+    assert k["n_present"] == 3          # 69, "69", -6.5e2 (null/missing absent)
+    assert k["n_missing_required"] == 3
+    assert k["n_type_violations"] == 1  # the quoted "69"
+    s = out["s"]
+    assert s["n_present"] == 4
+    assert s["n_missing_required"] == 0  # not required
+    assert s["n_type_violations"] == 1   # the bare 1
+    zz = out["zz"]
+    assert zz["n_present"] == 0 and zz["n_missing_required"] == 6
+    assert zz["violation_rate"] == 1.0
+
+
+def test_lepage_matches_bruteforce_and_mann_whitney(spark):
+    from profiler.drift import lepage_2s, mann_whitney_2s
+
+    rng = np.random.default_rng(109)
+    for _ in range(3):
+        na, nb = int(rng.integers(8, 25)), int(rng.integers(8, 25))
+        xa = [float(v) for v in rng.integers(0, 10, na)]  # heavy ties
+        xb = [float(v) for v in rng.integers(3, 13, nb)]
+        a = spark.createDataFrame([(v,) for v in xa], "v double")
+        b = spark.createDataFrame([(v,) for v in xb], "v double")
+        r = lepage_2s(a, b, "v").first()
+        pooled = xa + xb
+        ranks = _midranks(pooled)
+        nn = len(pooled)
+        s1 = ranks
+        s2 = [(ri - (nn + 1) / 2.0) ** 2 for ri in ranks]
+        t1 = sum(s1[:na])
+        t2 = sum(s2[:na])
+
+        def _z(t, scores):
+            sbar = sum(scores) / nn
+            ss = sum((s - sbar) ** 2 for s in scores)
+            var = na * nb * ss / (nn * (nn - 1.0))
+            return (t - na * sbar) / math.sqrt(var)
+
+        assert abs(r["rank_sum_a"] - t1) < 1e-3
+        assert abs(r["scale_sum_a"] - t2) < 1e-2
+        assert abs(r["z_location"] - _z(t1, s1)) < 1e-3
+        assert abs(r["z_scale"] - _z(t2, s2)) < 1e-3
+        assert abs(
+            r["lepage_l"] - (_z(t1, s1) ** 2 + _z(t2, s2) ** 2)
+        ) < 1e-2
+        # SRSWOR variance == textbook tie-corrected MW variance
+        mw = mann_whitney_2s(a, b, "v").first()
+        assert abs(abs(r["z_location"]) - abs(mw["z"])) < 1e-3
+
+
+def test_lepage_detects_pure_scale_change(spark):
+    from profiler.drift import lepage_2s
+
+    rng = np.random.default_rng(113)
+    base = rng.normal(0, 1, 400)
+    a = spark.createDataFrame(
+        [(float(v),) for v in base], "v double"
+    )
+    b = spark.createDataFrame(
+        [(float(v * 4.0),) for v in base], "v double"  # same center, 4x spread
+    )
+    r = lepage_2s(a, b, "v").first()
+    assert abs(r["z_location"]) < 2.0
+    # A is the NARROW sample -> its scale-score sum falls below the null
+    assert r["z_scale"] < -5.0
+    assert r["lepage_l"] > 25.0
+
+
+def test_ann_recall_known_overlap(spark):
+    from profiler.similarity import ann_recall
+
+    ex = spark.createDataFrame(
+        [(q, n) for q in (1, 2) for n in (10, 11, 12, 13)],
+        "query_id long, neighbor_id long",
+    )
+    # q1: approx finds 3 of 4; q2: finds all 4 (plus a spurious one)
+    ap = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 99)]
+        + [(2, 10), (2, 11), (2, 12), (2, 13), (2, 98)],
+        "query_id long, neighbor_id long",
+    )
+    out = ann_recall(ex, ap).collect()
+    byq = {r["query_id"]: r for r in out}
+    assert byq[1]["n_hits"] == 3 and byq[1]["recall"] == 0.75
+    assert byq[2]["n_hits"] == 4 and byq[2]["recall"] == 1.0
+    assert byq[1]["mean_recall"] == byq[2]["mean_recall"] == 0.875
