@@ -3059,3 +3059,173 @@ def lepage_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.round(z2, 4).alias("z_scale"),
         F.round(z1 * z1 + z2 * z2, 4).alias("lepage_l"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over LONG-format ratings — one row
+    per (unit, rating): the agreement coefficient that, unlike
+    :func:`cohens_kappa`, takes any number of raters per unit and
+    tolerates missing ratings (single-rating units drop out of the
+    coincidence algebra). α = 1 − D_o/D_e; ≥0.8 is the conventional
+    "rely on it" bar, ≤0 is chance. The multi-annotator labels a
+    training-data pipeline buys (toxicity, quality, preference pairs)
+    arrive exactly in this shape.
+
+    Plan: the textbook coincidence MATRIX is never materialized — for
+    the nominal metric α needs only its diagonal A = Σ_u Σ_v
+    c_uv(c_uv−1)/(m_u−1), the grand n, and the value marginals (which
+    collapse to plain value counts), so the whole thing is ONE
+    (unit, value) hash aggregate, a unit-sized join for m_u, and two
+    tiny re-aggregations — no pair join, nothing rater²-scale.
+    """
+    u = F.col(unit_col).cast("string")
+    v = F.col(value_col).cast("string")
+    pairs = (
+        df.where(u.isNotNull() & v.isNotNull())
+        .groupBy(u.alias("__u"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    units = pairs.groupBy("__u").agg(F.sum("__c").alias("__m"))
+    kept = pairs.join(units, "__u").where(F.col("__m") >= 2)
+    c = F.col("__c").cast("double")
+    m = F.col("__m").cast("double")
+    diag = kept.agg(
+        F.count_distinct("__u").alias("n_units"),
+        F.sum(
+            F.round(c * (c - 1.0) / (m - 1.0), 6).cast("decimal(38,6)")
+        ).alias("__a"),
+        F.sum("__c").alias("n"),
+    )
+    marg = (
+        kept.groupBy("__v")
+        .agg(F.sum("__c").alias("__nv"))
+        .agg(
+            F.sum(
+                F.col("__nv").cast("decimal(19,0)")
+                * F.col("__nv").cast("decimal(19,0)")
+            ).alias("__nv2")
+        )
+    )
+    both = diag.crossJoin(marg)
+    n = F.col("n").cast("double")
+    a = F.col("__a").cast("double")
+    nv2 = F.col("__nv2").cast("double")
+    d_o = F.when(n > 0, (n - a) / n)
+    d_e = F.when(n > 1, (n * n - nv2) / (n * (n - 1.0)))
+    alpha = F.when(
+        (n > 1) & (n * n - nv2 > 0),
+        1.0 - (n - 1.0) * (n - a) / (n * n - nv2),
+    )
+    return both.select(
+        "n_units",
+        "n",
+        F.round(d_o, 6).alias("d_observed"),
+        F.round(d_e, 6).alias("d_expected"),
+        F.round(alpha, 4).alias("alpha"),
+    )
+
+
+def van_elteren(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Van Elteren STRATIFIED Wilcoxon test: per-stratum midrank sums
+    with exact finite-population (SRSWOR, tie-exact) null moments,
+    combined across strata with the classic 1/(n_s+1) weights —
+    "did values move once you control for the segment mix?". The
+    unstratified q234/q257 tests confound two stories: values moving
+    WITHIN segments vs the POPULATION tilting toward a high-valued
+    segment (Simpson's paradox); :func:`entity_churn` measures the tilt,
+    this measures the within-segment movement with the tilt surgically
+    removed. Returns one row per stratum (n_a, n_b, rank_sum_a,
+    expected, z_stratum) each carrying the combined z.
+
+    Plan: the pooled one-exchange skeleton of :func:`mann_whitney_2s`
+    PARTITIONED BY STRATUM — one (stratum, value, side-count) hash
+    aggregate, per-stratum windows on the same sort, the cross-stratum
+    combination as full-extent window sums over the |strata|-frame;
+    each input scanned exactly once, no join.
+    """
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(value_col).cast("double")
+        s = F.col(stratum_col).cast("string")
+        return df.where(
+            c.isNotNull() & ~F.isnan(c) & s.isNotNull()
+        ).select(s.alias("__s"), c.alias("v"), F.lit(side).alias("__side"))
+
+    both = _tag(df_a, "a").unionByName(_tag(df_b, "b"))
+    counts = both.groupBy("__s", "v").agg(
+        F.count_if(F.col("__side") == "a").alias("ca"),
+        F.count_if(F.col("__side") == "b").alias("cb"),
+    )
+    wc = (
+        Window.partitionBy("__s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    h = (F.col("ca") + F.col("cb")).cast("double")
+    cum = F.sum(F.col("ca") + F.col("cb")).over(wc).cast("double")
+    midrank = cum - h + (h + 1.0) / 2.0
+
+    def _dec(x):
+        return F.round(x, 6).cast("decimal(38,6)")
+
+    grid = counts.select(
+        "__s",
+        F.sum("ca").over(wf).alias("n_a"),
+        F.sum("cb").over(wf).alias("n_b"),
+        _dec(F.col("ca") * midrank).alias("__t"),
+        _dec(h * midrank).alias("__p"),
+        _dec(h * midrank * midrank).alias("__pq"),
+    )
+    per_s = grid.groupBy("__s", "n_a", "n_b").agg(
+        F.sum("__t").alias("t"),
+        F.sum("__p").alias("p"),
+        F.sum("__pq").alias("pq"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    sbar = F.col("p").cast("double") / n
+    ss = F.col("pq").cast("double") - n * sbar * sbar
+    mu = na * sbar
+    var = na * nb * ss / (n * (n - 1.0))
+    w = 1.0 / (n + 1.0)
+    framed = per_s.select(
+        F.col("__s").alias("stratum"),
+        "n_a",
+        "n_b",
+        F.round(F.col("t").cast("double"), 4).alias("rank_sum_a"),
+        F.round(mu, 4).alias("expected"),
+        F.when(
+            var > 0, F.round((F.col("t").cast("double") - mu) / F.sqrt(var), 4)
+        ).alias("z_stratum"),
+        (w * (F.col("t").cast("double") - mu)).alias("__num"),
+        F.when(var > 0, w * w * var).otherwise(F.lit(0.0)).alias("__den"),
+    )
+    wall = Window.partitionBy()
+    num = F.sum(F.round(F.col("__num"), 6).cast("decimal(38,6)")).over(wall)
+    den = F.sum(F.round(F.col("__den"), 6).cast("decimal(38,6)")).over(wall)
+    z_comb = F.when(
+        den.cast("double") > 0,
+        num.cast("double") / F.sqrt(den.cast("double")),
+    )
+    return framed.select(
+        "stratum",
+        "n_a",
+        "n_b",
+        "rank_sum_a",
+        "expected",
+        "z_stratum",
+        F.round(z_comb, 4).alias("z_combined"),
+    ).orderBy("stratum")

@@ -2219,3 +2219,52 @@ def sentinel_scan(
         .where(F.col("frac") >= F.lit(float(min_frac)))
         .orderBy("column", "sentinel")
     )
+
+
+def digit_uniformity(
+    df: DataFrame, col: str, scale: int = 2
+) -> DataFrame:
+    """LAST-digit uniformity screen — the fraud/fabrication complement of
+    :func:`benford_test`: first digits of organic magnitudes follow
+    Benford; LAST digits (at ``scale`` decimal places — 2 = cents)
+    should be UNIFORM. Humans inventing numbers and systems silently
+    rounding both break uniformity (excess 0s and 5s), which a
+    mean/stddev profile cannot see. Emits one row per digit with
+    observed count, frequency, expected 0.1, the per-digit chi-squared
+    contribution, and the shared chi² (dof = 9; > 21.67 ⇒ p < 0.01).
+
+    Plan: one map-side digit projection + ONE 10-bucket hash aggregate;
+    the chi² total attaches as a full-extent window over the 10-row
+    frame — identical envelope to :func:`benford_test`.
+    """
+    v = F.col(col).cast("double")
+    digit = (
+        F.abs(F.round(v * F.lit(float(10 ** scale)), 0).cast("long")) % 10
+    )
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        digit.alias("digit")
+    )
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    wf = Window.partitionBy()
+    framed = counts.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(wf).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    freq = F.col("n_obs").cast("double") / n
+    exp = n / 10.0
+    contrib = (F.col("n_obs").cast("double") - exp) ** 2 / exp
+    out = framed.select(
+        "digit",
+        "n_obs",
+        F.round(freq, 6).alias("freq"),
+        F.round(contrib, 4).alias("chi2_contrib"),
+        F.round(
+            F.sum(F.round(contrib, 6).cast("decimal(38,6)"))
+            .over(wf)
+            .cast("double"),
+            4,
+        ).alias("chi2"),
+    )
+    return out.orderBy("digit")

@@ -14956,3 +14956,268 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     return ann_recall(exact, approx)
+
+
+@_register(
+    "q259_krippendorff_alpha",
+    """
+    WITH pairs AS (
+      SELECT CAST(user_id AS VARCHAR) AS u, event_type AS v, count(*) AS c
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    units AS (SELECT u, sum(c) AS m FROM pairs GROUP BY u),
+    kept AS (
+      SELECT p.u, p.v, p.c, un.m
+      FROM pairs p JOIN units un USING (u) WHERE un.m >= 2
+    ),
+    diag AS (
+      SELECT count(DISTINCT u) AS n_units,
+             sum(CAST(ROUND(CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0)
+                   / (CAST(m AS DOUBLE) - 1.0), 6) AS DECIMAL(38,6))) AS a,
+             sum(c) AS n
+      FROM kept
+    ),
+    marg AS (
+      SELECT sum(CAST(nv AS DECIMAL(19,0)) * CAST(nv AS DECIMAL(19,0)))
+               AS nv2
+      FROM (SELECT v, sum(c) AS nv FROM kept GROUP BY v)
+    ),
+    j AS (SELECT * FROM diag, marg),
+    c AS (
+      SELECT CAST(n_units AS BIGINT) AS n_units, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS a,
+             CAST(nv2 AS DOUBLE) AS nv2
+      FROM j
+    )
+    SELECT n_units, n,
+           CASE WHEN nd > 0 THEN ROUND((nd - a) / nd, 6) END AS d_observed,
+           CASE WHEN nd > 1 THEN
+             ROUND((nd * nd - nv2) / (nd * (nd - 1.0)), 6) END AS d_expected,
+           CASE WHEN nd > 1 AND nd * nd - nv2 > 0 THEN
+             ROUND(1.0 - (nd - 1.0) * (nd - a) / (nd * nd - nv2), 4) END
+             AS alpha
+    FROM c
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal (:func:`profiler.drift.
+    krippendorff_alpha`) over (entity, label) long-format ratings:
+    the any-number-of-raters, missing-tolerant agreement coefficient —
+    the shape multi-annotator training labels arrive in. The coincidence
+    matrix is never materialized: its diagonal, the grand n and the
+    value marginals suffice, so the plan is ONE (unit, value) hash
+    aggregate + a unit-sized join — nothing raters²-scale."""
+    from profiler.drift import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    return krippendorff_alpha(ev, "user_id", "event_type")
+
+
+@_register(
+    "q260_van_elteren",
+    """
+    WITH a AS (
+      SELECT event_type AS s, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type AS s, CAST(value * 1.2 AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    m AS (
+      SELECT s, v, 'a' AS side FROM a
+      UNION ALL SELECT s, v, 'b' FROM b
+    ),
+    counts AS (
+      SELECT s, v, count_if(side = 'a') AS ca, count_if(side = 'b') AS cb
+      FROM m GROUP BY s, v
+    ),
+    g1 AS (
+      SELECT s, ca, CAST(ca + cb AS DOUBLE) AS h,
+             CAST(sum(ca + cb) OVER (
+               PARTITION BY s ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum,
+             sum(ca) OVER (PARTITION BY s) AS n_a,
+             sum(cb) OVER (PARTITION BY s) AS n_b
+      FROM counts
+    ),
+    g2 AS (
+      SELECT s, n_a, n_b, ca, h,
+             cum - h + (h + 1.0) / 2.0 AS mr
+      FROM g1
+    ),
+    per_s AS (
+      SELECT s, n_a, n_b,
+             sum(CAST(ROUND(ca * mr, 6) AS DECIMAL(38,6))) AS t,
+             sum(CAST(ROUND(h * mr, 6) AS DECIMAL(38,6))) AS p,
+             sum(CAST(ROUND(h * mr * mr, 6) AS DECIMAL(38,6))) AS pq
+      FROM g2 GROUP BY 1, 2, 3
+    ),
+    calc AS (
+      SELECT s, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a + n_b AS DOUBLE) AS n,
+             CAST(t AS DOUBLE) AS t,
+             CAST(p AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS sbar,
+             CAST(pq AS DOUBLE)
+               - CAST(n_a + n_b AS DOUBLE)
+                 * (CAST(p AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(p AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) AS ss
+      FROM per_s
+    ),
+    rows_s AS (
+      SELECT s AS stratum, n_a, n_b,
+             ROUND(t, 4) AS rank_sum_a,
+             ROUND(na * sbar, 4) AS expected,
+             CASE WHEN na * nb * ss / (n * (n - 1.0)) > 0 THEN
+               ROUND((t - na * sbar)
+                     / sqrt(na * nb * ss / (n * (n - 1.0))), 4) END
+               AS z_stratum,
+             (1.0 / (n + 1.0)) * (t - na * sbar) AS num,
+             CASE WHEN na * nb * ss / (n * (n - 1.0)) > 0 THEN
+               (1.0 / (n + 1.0)) * (1.0 / (n + 1.0))
+                 * na * nb * ss / (n * (n - 1.0)) ELSE 0.0 END AS den
+      FROM calc
+    ),
+    fin AS (
+      SELECT stratum, n_a, n_b, rank_sum_a, expected, z_stratum,
+             CAST(sum(CAST(ROUND(num, 6) AS DECIMAL(38,6))) OVER ()
+                  AS DOUBLE) AS tnum,
+             CAST(sum(CAST(ROUND(den, 6) AS DECIMAL(38,6))) OVER ()
+                  AS DOUBLE) AS tden
+      FROM rows_s
+    )
+    SELECT stratum, n_a, n_b, rank_sum_a, expected, z_stratum,
+           CASE WHEN tden > 0 THEN ROUND(tnum / sqrt(tden), 4) END
+             AS z_combined
+    FROM fin ORDER BY stratum
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van Elteren stratified Wilcoxon (:func:`profiler.drift.
+    van_elteren`, strata = event type): per-stratum tie-exact midrank
+    tests combined with 1/(n_s+1) weights — did values move once the
+    segment MIX is controlled for (q224 measures the mix tilt; this
+    measures within-segment movement with the tilt removed). One
+    stratum-partitioned pooled exchange, each input scanned once."""
+    from profiler.drift import van_elteren
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(
+        (F.col("event_id") % 2 == 0)
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("event_type", F.col("value").cast("double").alias("v"))
+    b = ev.where(
+        (F.col("event_id") % 2 == 1)
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_type", (F.col("value") * 1.2).cast("double").alias("v")
+    )
+    return van_elteren(a, b, "v", "event_type")
+
+
+@_register(
+    "q261_dispersion_index",
+    _DAILY_SQL
+    + """
+    , agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS s,
+             sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS sq
+      FROM daily
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+             CAST(s AS DOUBLE) AS s, CAST(sq AS DOUBLE) AS sq
+      FROM agg
+    ),
+    e AS (
+      SELECT n, nd, s / nd AS mean,
+             greatest((sq - s * s / nd) / (nd - 1.0), 0.0) AS var
+      FROM c
+    ),
+    f AS (
+      SELECT n, nd, mean, var,
+             CASE WHEN mean > 0 THEN var / mean END AS idx
+      FROM e
+    ),
+    g AS (
+      SELECT n, mean, var, idx,
+             (nd - 1.0) * idx AS chi2, nd - 1.0 AS dof
+      FROM f
+    ),
+    h AS (
+      SELECT n, mean, var, idx, chi2, dof,
+             (pow(chi2 / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+               / sqrt(2.0 / (9.0 * dof)) AS wh
+      FROM g
+    )
+    SELECT n, ROUND(mean, 6) AS mean, ROUND(var, 6) AS variance,
+           ROUND(idx, 6) AS dispersion_index, ROUND(chi2, 4) AS chi2,
+           CAST(dof AS BIGINT) AS dof, ROUND(wh, 4) AS z,
+           CASE WHEN idx IS NOT NULL THEN
+             CASE WHEN wh > 3.0 THEN 'over-dispersed'
+                  WHEN wh < -3.0 THEN 'under-dispersed'
+                  ELSE 'poisson-consistent' END
+           END AS verdict
+    FROM h
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion Poisson check (:func:`profiler.timeseries.
+    dispersion_index`) on daily volumes: variance-to-mean with the
+    Wilson-Hilferty standardized chi-squared — separates bursty
+    over-dispersion (retry storms, duplicated ingestion) from
+    too-smooth under-dispersion (throttling, synthetic fill) that a
+    stable mean hides. One sufficient-statistics aggregate."""
+    from profiler.timeseries import dispersion_index
+
+    return dispersion_index(_daily_volumes(spark, sf_dir), "x", "y")
+
+
+@_register(
+    "q262_digit_uniformity",
+    """
+    WITH base AS (
+      SELECT abs(CAST(ROUND(CAST(value AS DOUBLE) * 100.0, 0) AS BIGINT))
+               % 10 AS digit
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT digit, count(*) AS n_obs FROM base GROUP BY digit),
+    framed AS (
+      SELECT digit, n_obs, sum(n_obs) OVER () AS n FROM counts
+    ),
+    c AS (
+      SELECT digit, n_obs, CAST(n AS DOUBLE) AS nd,
+             CAST(n_obs AS DOUBLE) AS od
+      FROM framed
+    ),
+    e AS (
+      SELECT digit, n_obs, od / nd AS freq,
+             (od - nd / 10.0) * (od - nd / 10.0) / (nd / 10.0) AS contrib
+      FROM c
+    )
+    SELECT digit, n_obs, ROUND(freq, 6) AS freq,
+           ROUND(contrib, 4) AS chi2_contrib,
+           ROUND(CAST(sum(CAST(ROUND(contrib, 6) AS DECIMAL(38,6)))
+                 OVER () AS DOUBLE), 4) AS chi2
+    FROM e ORDER BY digit
+    """,
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity screen (:func:`profiler.profile.
+    digit_uniformity`, scale = 2): the fraud/fabrication complement of
+    q82's Benford first-digit test — cents digits should be uniform;
+    human-invented numbers and silent rounding both spike 0s and 5s.
+    One 10-bucket hash aggregate, chi-squared (dof 9) attached on the
+    bounded frame."""
+    from profiler.profile import digit_uniformity
+
+    ev = _t(spark, sf_dir, "events")
+    return digit_uniformity(ev, "value", scale=2)

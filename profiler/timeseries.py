@@ -2322,3 +2322,62 @@ def page_hinkley(
         (F.round(ph, 4) > F.lit(float(lam))).alias("alarm"),
     )
     return out.orderBy("x")
+
+
+def dispersion_index(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean) Poisson check over a
+    bounded count series: ID = s²/ȳ, the chi-squared form
+    (n−1)·ID ~ χ²_{n−1} under a Poisson arrival model, standardized with
+    the Wilson–Hilferty cube-root normal approximation. Event counts
+    that look "stable on average" hide two different pathologies this
+    one scalar separates: OVER-dispersion (z ≫ 0 — bursts, retry storms,
+    bot traffic, duplicated ingestion) and UNDER-dispersion (z ≪ 0 —
+    counts too smooth to be organic: throttling, synthetic fill, a
+    quota upstream). The burstiness index (q208) scores inter-arrival
+    gaps per entity; this scores the aggregate daily counts.
+
+    Plan: ONE sufficient-statistics aggregate (count / DECIMAL Σy / Σy²)
+    over the |days|-frame — no sort, no window, no join.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(y.alias("__y"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("__y"), 6).cast("decimal(28,6)")).alias("__s"),
+        F.sum(
+            F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)")
+        ).alias("__sq"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.greatest(
+        (
+            F.col("__sq").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+        )
+        / (n - 1.0),
+        F.lit(0.0),
+    )
+    idx = F.when(mean > 0, var / mean)
+    chi2 = (n - 1.0) * idx
+    dof = n - 1.0
+    # Wilson-Hilferty: ((chi2/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k))
+    wh = (
+        F.pow(chi2 / dof, F.lit(1.0 / 3.0))
+        - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    return agg.select(
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(idx, 6).alias("dispersion_index"),
+        F.round(chi2, 4).alias("chi2"),
+        (F.col("n") - 1).cast("long").alias("dof"),
+        F.round(wh, 4).alias("z"),
+        F.when(idx.isNotNull(),
+            F.when(wh > 3.0, F.lit("over-dispersed"))
+            .when(wh < -3.0, F.lit("under-dispersed"))
+            .otherwise(F.lit("poisson-consistent")),
+        ).alias("verdict"),
+    )

@@ -1233,3 +1233,56 @@ def test_ann_recall_joins_topk_frames_not_corpus(spark):
     plan = _plan(ann_recall(ex, ap))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_krippendorff_no_pair_join_unit_sized_frames(spark, events):
+    """Alpha: one (unit, value) aggregate + a unit-frame join — every
+    join input is an aggregate (HashAggregate below each join); no
+    nested loop, no window."""
+    from profiler.drift import krippendorff_alpha
+
+    plan = _plan(krippendorff_alpha(events, "user_id", "event_type"))
+    assert "Window" not in plan
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_van_elteren_stratified_one_exchange_no_join(spark, events):
+    """Van Elteren: one (stratum, value) pooled exchange feeds
+    stratum-partitioned windows — no join anywhere."""
+    from profiler.drift import van_elteren
+
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    b = events.where(F.col("event_id") % 2 == 1).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    plan = _plan(van_elteren(a, b, "v", "event_type"))
+    assert "Join" not in plan
+
+
+def test_dispersion_index_single_aggregate(spark, events):
+    """Dispersion index: one sufficient-statistics pass — no sort, no
+    window, no join."""
+    from profiler.timeseries import dispersion_index
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(dispersion_index(daily, "x", "y"))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_digit_uniformity_ten_bucket_aggregate(spark, events):
+    """Digit screen: the exchange carries at most 10 digit buckets; the
+    chi2 rides a window on that bounded frame, no join."""
+    from profiler.profile import digit_uniformity
+
+    plan = _plan(digit_uniformity(events, "value"))
+    assert "Join" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]

@@ -453,3 +453,153 @@ def test_ann_recall_known_overlap(spark):
     assert byq[1]["n_hits"] == 3 and byq[1]["recall"] == 0.75
     assert byq[2]["n_hits"] == 4 and byq[2]["recall"] == 1.0
     assert byq[1]["mean_recall"] == byq[2]["mean_recall"] == 0.875
+
+
+def test_krippendorff_alpha_textbook_extremes(spark):
+    from profiler.drift import krippendorff_alpha
+
+    # perfect agreement: every unit rated identically by 2 raters
+    perfect = spark.createDataFrame(
+        [(u, lab) for u, lab in enumerate(["x", "y", "x", "z"]) for _ in (0, 1)],
+        "u long, v string",
+    )
+    assert krippendorff_alpha(perfect, "u", "v").first()["alpha"] == 1.0
+    # systematic disagreement on a 2-value domain -> alpha < 0
+    bad = spark.createDataFrame(
+        [(u, v) for u in range(6) for v in ("x", "y")], "u long, v string"
+    )
+    assert krippendorff_alpha(bad, "u", "v").first()["alpha"] < 0.0
+    # single-rating units must drop out of the algebra entirely
+    with_单 = perfect.union(
+        spark.createDataFrame([(99, "q")], "u long, v string")
+    )
+    r = krippendorff_alpha(with_单, "u", "v").first()
+    assert r["n_units"] == 4 and r["n"] == 8 and r["alpha"] == 1.0
+
+
+def test_krippendorff_matches_bruteforce_coincidence(spark):
+    from profiler.drift import krippendorff_alpha
+
+    rng = np.random.default_rng(127)
+    rows = []
+    for u in range(30):
+        for _ in range(int(rng.integers(1, 5))):
+            rows.append((u, ["a", "b", "c"][int(rng.integers(0, 3))]))
+    df = spark.createDataFrame(rows, "u long, v string")
+    r = krippendorff_alpha(df, "u", "v").first()
+    from collections import Counter, defaultdict
+
+    per_u = defaultdict(Counter)
+    for u, v in rows:
+        per_u[u][v] += 1
+    kept = {u: c for u, c in per_u.items() if sum(c.values()) >= 2}
+    n = sum(sum(c.values()) for c in kept.values())
+    a = sum(
+        cv * (cv - 1) / (sum(c.values()) - 1)
+        for c in kept.values()
+        for cv in c.values()
+    )
+    marg = Counter()
+    for c in kept.values():
+        marg.update(c)
+    nv2 = sum(m * m for m in marg.values())
+    alpha = 1.0 - (n - 1) * (n - a) / (n * n - nv2)
+    assert r["n"] == n and r["n_units"] == len(kept)
+    assert abs(r["alpha"] - alpha) < 1e-3
+
+
+def test_van_elteren_matches_per_stratum_bruteforce(spark):
+    from profiler.drift import van_elteren
+
+    rng = np.random.default_rng(131)
+    rows_a, rows_b = [], []
+    for s in ("s1", "s2", "s3"):
+        shift = {"s1": 0.0, "s2": 1.0, "s3": 2.0}[s]
+        for v in rng.integers(0, 10, int(rng.integers(8, 20))):
+            rows_a.append((s, float(v)))
+        for v in rng.integers(0, 10, int(rng.integers(8, 20))):
+            rows_b.append((s, float(v) + shift))
+    a = spark.createDataFrame(rows_a, "s string, v double")
+    b = spark.createDataFrame(rows_b, "s string, v double")
+    out = {r["stratum"]: r for r in van_elteren(a, b, "v", "s").collect()}
+    num = den = 0.0
+    for s in ("s1", "s2", "s3"):
+        xa = [v for ss, v in rows_a if ss == s]
+        xb = [v for ss, v in rows_b if ss == s]
+        pooled = xa + xb
+        ranks = _midranks(pooled)
+        na, nb, nn = len(xa), len(xb), len(pooled)
+        t = sum(ranks[:na])
+        sbar = sum(ranks) / nn
+        ss_ = sum((ri - sbar) ** 2 for ri in ranks)
+        var = na * nb * ss_ / (nn * (nn - 1.0))
+        assert abs(out[s]["rank_sum_a"] - t) < 1e-3
+        assert abs(out[s]["expected"] - na * sbar) < 1e-3
+        assert abs(
+            out[s]["z_stratum"] - (t - na * sbar) / math.sqrt(var)
+        ) < 1e-3
+        w = 1.0 / (nn + 1.0)
+        num += w * (t - na * sbar)
+        den += w * w * var
+    for s in out:
+        assert abs(out[s]["z_combined"] - num / math.sqrt(den)) < 1e-3
+
+
+def test_van_elteren_removes_mix_shift(spark):
+    from profiler.drift import van_elteren
+
+    rng = np.random.default_rng(137)
+    # identical within-stratum distributions, but B over-samples the
+    # high-valued stratum: an unstratified test would fire; van Elteren
+    # must stay quiet.
+    lo = [float(v) for v in rng.normal(10, 1, 300)]
+    hi = [float(v) for v in rng.normal(50, 1, 300)]
+    rows_a = [("lo", v) for v in lo[:200]] + [("hi", v) for v in hi[:100]]
+    rows_b = [("lo", v) for v in lo[200:250]] + [
+        ("hi", v) for v in hi[100:300]
+    ]
+    a = spark.createDataFrame(rows_a, "s string, v double")
+    b = spark.createDataFrame(rows_b, "s string, v double")
+    r = van_elteren(a, b, "v", "s").first()
+    assert abs(r["z_combined"]) < 2.5
+
+
+def test_dispersion_index_separates_burst_from_smooth(spark):
+    from profiler.timeseries import dispersion_index
+
+    rng = np.random.default_rng(139)
+    pois = [float(v) for v in rng.poisson(100, 60)]
+    r = dispersion_index(_series_df(spark, pois), "x", "y").first()
+    assert r["verdict"] == "poisson-consistent"
+    burst = [v * (4.0 if i % 7 == 0 else 0.5) for i, v in enumerate(pois)]
+    rb = dispersion_index(_series_df(spark, burst), "x", "y").first()
+    assert rb["verdict"] == "over-dispersed" and rb["z"] > 3
+    smooth = [100.0 + (i % 2) for i in range(60)]
+    rs = dispersion_index(_series_df(spark, smooth), "x", "y").first()
+    assert rs["verdict"] == "under-dispersed" and rs["z"] < -3
+    # exact moments vs brute force
+    n = len(pois)
+    mu = sum(pois) / n
+    var = sum((v - mu) ** 2 for v in pois) / (n - 1)
+    assert abs(r["dispersion_index"] - var / mu) < 1e-4
+
+
+def test_digit_uniformity_flags_rounded_metrics(spark):
+    from profiler.profile import digit_uniformity
+
+    rng = np.random.default_rng(149)
+    organic = spark.createDataFrame(
+        [(round(float(v), 2),) for v in rng.uniform(0, 100, 5000)],
+        "value double",
+    )
+    r_org = digit_uniformity(organic, "value").collect()
+    assert len(r_org) == 10
+    assert r_org[0]["chi2"] < 30  # uniform cents stay near dof=9
+    rounded = spark.createDataFrame(
+        [(float(round(v * 20) / 20),) for v in rng.uniform(0, 100, 2000)],
+        "value double",
+    )
+    r_rnd = digit_uniformity(rounded, "value").collect()
+    assert r_rnd[0]["chi2"] > 1000  # only 0 and 5 cents survive
+    digits_seen = {r["digit"] for r in r_rnd if r["n_obs"] > 0}
+    assert digits_seen == {0, 5}
