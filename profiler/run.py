@@ -372,3 +372,103 @@ def run_profile_incremental(
         "reused_partitions": reused,
         "n_partitions": len(digests),
     }
+
+
+def run_monitoring(
+    df: DataFrame,
+    ts_col: str = "ts",
+    baseline_n: int = 14,
+    z_crit: float = 2.58,
+    ph_lambda: float = 5.0,
+    ph_delta: float = 0.25,
+) -> dict:
+    """Daily-volume MONITORING DIGEST: run the whole classical panel over
+    one table's daily counts and return a single alarms document — the
+    page a human reads, with each panel member answering its own
+    question: Pettitt/changepoint (WHEN did it shift?), Page–Hinkley
+    (is it CREEPING?), Cox–Stuart (is there a monotone TREND?),
+    dispersion index (are counts even POISSON?), Bartels (is the error
+    model even IID — i.e. can the charts be trusted?), Grubbs + robust
+    anomalies (which DAYS are wrong?).
+
+    Returns ``{"n_days", "alarms": [...], "panel": {...}}`` where every
+    alarm carries the check name and its evidence row. Everything runs
+    on the |days|-sized daily aggregate, so the whole digest costs one
+    table scan (the daily rollup) plus bounded-frame passes; each
+    member's plan shape is pinned individually in tests/test_plans.py.
+    """
+    from profiler.timeseries import (
+        bartels_rank,
+        changepoint_scan,
+        cox_stuart,
+        dispersion_index,
+        grubbs_test,
+        page_hinkley,
+        pettitt_test,
+        robust_anomaly,
+    )
+
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.unix_date(F.col("day")).cast("double").alias("x"), "y")
+    )
+    daily = daily.persist()
+    try:
+        panel: dict = {}
+        alarms: list[dict] = []
+
+        def _first(name, frame):
+            r = frame.first()
+            d = r.asDict() if r is not None else None
+            panel[name] = d
+            return d
+
+        n_days = daily.count()
+        cp = _first("changepoint", changepoint_scan(daily, "x", "y"))
+        if cp and cp.get("stat") is not None and cp["stat"] >= 1.36:
+            alarms.append({"check": "level_shift", **cp})
+        pt = _first("pettitt", pettitt_test(daily, "x", "y"))
+        if pt and pt.get("p_value") is not None and pt["p_value"] <= 0.05:
+            alarms.append({"check": "distribution_shift", **pt})
+        cs = _first("cox_stuart", cox_stuart(daily, "x", "y"))
+        if cs and cs.get("z") is not None and cs["z"] >= z_crit:
+            alarms.append({"check": "monotone_trend", **cs})
+        bt = _first("bartels", bartels_rank(daily, "x", "y"))
+        if bt and bt.get("z") is not None and abs(bt["z"]) >= z_crit:
+            alarms.append({"check": "serial_dependence", **bt})
+        di = _first("dispersion", dispersion_index(daily, "x", "y"))
+        if di and di.get("verdict") not in (None, "poisson-consistent"):
+            alarms.append({"check": di["verdict"], **di})
+        gb = _first("grubbs", grubbs_test(daily, "x", "y"))
+        # Grubbs 5% critical value is ~3.1-3.3 for 30-365 days; use the
+        # robust-panel cut for consistency with robust_anomaly
+        if gb and gb.get("g") is not None and gb["g"] >= 3.5:
+            alarms.append({"check": "extreme_day", **gb})
+        ph_rows = page_hinkley(
+            daily, "x", "y", baseline_n=baseline_n,
+            delta=ph_delta, lam=ph_lambda,
+        ).where(F.col("alarm")).collect()
+        panel["page_hinkley_alarm_days"] = [r["x"] for r in ph_rows]
+        if ph_rows:
+            first = ph_rows[0].asDict()
+            alarms.append(
+                {"check": "creeping_drift", "n_alarm_days": len(ph_rows),
+                 **first}
+            )
+        anom = robust_anomaly(daily, "x", "y").where(
+            F.col("is_anomaly")
+        ).collect()
+        panel["robust_anomaly_days"] = [
+            {"x": r["x"], "y": r["y"], "robust_z": r["robust_z"]}
+            for r in anom
+        ]
+        if anom:
+            alarms.append(
+                {"check": "anomalous_days", "n_days": len(anom)}
+            )
+        return {"n_days": n_days, "alarms": alarms, "panel": panel}
+    finally:
+        daily.unpersist()

@@ -603,3 +603,76 @@ def test_digit_uniformity_flags_rounded_metrics(spark):
     assert r_rnd[0]["chi2"] > 1000  # only 0 and 5 cents survive
     digits_seen = {r["digit"] for r in r_rnd if r["n_obs"] > 0}
     assert digits_seen == {0, 5}
+
+
+def test_run_monitoring_digest_composes_panel(spark):
+    import datetime as dt
+
+    from profiler.run import run_monitoring
+
+    rng = np.random.default_rng(151)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(40):
+        # stable ~100/day, then a level shift up after day 25 and one
+        # whale day at d=10
+        n = int(rng.poisson(100 if d < 25 else 220))
+        if d == 10:
+            n = 900
+        for i in range(n):
+            rows.append((t0 + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = run_monitoring(df, "ts")
+    assert out["n_days"] == 40
+    checks = {a["check"] for a in out["alarms"]}
+    # the whale day inflates sigma-hat and MASKS the parametric CUSUM
+    # scan (stat < 1.36) — the rank-based Pettitt member still fires,
+    # which is exactly why the digest carries both
+    assert "level_shift" not in checks
+    assert out["panel"]["changepoint"]["stat"] < 1.36
+    assert "distribution_shift" in checks   # Pettitt sees it on ranks
+    assert "over-dispersed" in checks       # step+whale wreck Poisson
+    assert any(
+        d["x"] for d in out["panel"]["robust_anomaly_days"]
+    )  # the whale day surfaces
+    # panel evidence rows ride along for every member
+    for key in ("changepoint", "pettitt", "cox_stuart", "bartels",
+                "dispersion", "grubbs"):
+        assert out["panel"][key] is not None
+
+
+def test_run_monitoring_quiet_on_stable_series(spark):
+    import datetime as dt
+
+    from profiler.run import run_monitoring
+
+    rng = np.random.default_rng(157)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(30):
+        for i in range(int(rng.poisson(100))):
+            rows.append((t0 + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = run_monitoring(df, "ts")
+    checks = {a["check"] for a in out["alarms"]}
+    assert "level_shift" not in checks
+    assert "distribution_shift" not in checks
+    assert "creeping_drift" not in checks
+
+
+def test_run_monitoring_clean_step_fires_level_shift(spark):
+    import datetime as dt
+
+    from profiler.run import run_monitoring
+
+    rng = np.random.default_rng(163)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(40):
+        for i in range(int(rng.poisson(100 if d < 25 else 220))):
+            rows.append((t0 + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    checks = {a["check"] for a in run_monitoring(df, "ts")["alarms"]}
+    # no whale -> the parametric scan AND the rank test both fire
+    assert "level_shift" in checks
+    assert "distribution_shift" in checks
