@@ -1537,3 +1537,104 @@ def sorted_neighborhood_pairs(
         .where(F.col("distance") <= max_distance)
         .orderBy("id_a", "id_b")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """All ORDERED pairs (a, b) with shingle-set CONTAINMENT
+    |A∩B| / |A| ≥ ``threshold`` — the ASYMMETRIC near-dup relation
+    Jaccard misses: a tweet quoted inside an article, boilerplate
+    wrapped around new text, a doc whose content was absorbed into a
+    larger one. :func:`set_similarity_join` scores such pairs near
+    |A|/|B| → 0; containment scores them 1.0. Emits
+    (doc_a, doc_b, n_a, n_b, n_inter, containment) with a ≠ b.
+
+    Why it scales (asymmetric prefix filter, SSJoin family): a pair with
+    C(A→B) ≥ τ must share ≥ ⌈τ·|A|⌉ of A's elements, so A must collide
+    with B inside A's rarest-first prefix of length |A| − ⌈τ|A|⌉ + 1 —
+    only PREFIXES enter the probe side; the build side is the full
+    inverted index, but prefixes consist of globally-RARE tokens by
+    construction, so the posting lists actually probed are short.
+    Exact verification then runs on candidates only. The oracle proves
+    zero recall loss by computing the full inverted-index join.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    elems = (
+        shingles_expr(F.col(text_col), shingle_k)
+        if shingle_k
+        else tokens_expr(F.col(text_col))
+    )
+    # the .distinct() exchange is the shared materialization point for
+    # the five consumers of this subtree (ranking, B-index, verify-a,
+    # verify-b, sizes) — ReusedExchange serves the shingle explode once
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.explode(elems).alias("token"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("token"))
+    ranked = toks.join(dfreq, "token").select(
+        "doc",
+        "token",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n"),
+    )
+    # A-side prefix: |A| - ceil(t*|A|) + 1 (epsilon keeps exact
+    # multiples from widening by one)
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
+    )
+    a_prefix = ranked.where(F.col("pos") <= prefix_len).select(
+        F.col("doc").alias("doc_a"), "token", F.col("n").alias("n_a")
+    )
+    b_index = toks.select(F.col("doc").alias("doc_b"), "token")
+    cands = (
+        a_prefix.join(b_index, "token")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc").alias("doc_b"), "token")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_inter").cast("double")
+            >= F.lit(float(threshold)) * F.col("n_a").cast("double")
+            - F.lit(1e-9)
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_a").cast("double"),
+            4,
+        ).alias("containment"),
+    )

@@ -3229,3 +3229,98 @@ def van_elteren(
         "z_stratum",
         F.round(z_comb, 4).alias("z_combined"),
     ).orderBy("stratum")
+
+
+def popularity_shift(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """Category POPULARITY-ORDER stability between two snapshots: the
+    Spearman correlation of per-category frequency ranks (midranks on
+    counts, Pearson-on-ranks so count ties are exact), plus the domain
+    bookkeeping (categories per side, shared, appeared, vanished).
+    :func:`domain_diff` says WHICH values came and went and
+    :func:`value_movers` ranks the movers; this gives the one-scalar
+    answer to "is the category ORDER even stable?" — ρ near 1 with big
+    PSI means volumes moved but the ranking held (seasonal breathing);
+    ρ collapsing means the distribution was reshaped.
+
+    Plan: one (value) hash aggregate per side, a |domain|-sized full
+    outer join, rank windows + exact DECIMAL moment sums on the shared
+    |domain|-frame — each input scanned exactly once.
+    """
+
+    def _counts(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(column).cast("string")
+        return (
+            df.where(c.isNotNull())
+            .groupBy(c.alias("cat"))
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+
+    joined = _counts(df_a, "a").join(_counts(df_b, "b"), "cat", "full_outer")
+    wf = Window.partitionBy()
+    shared = F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
+
+    def _midrank(tag: str):
+        cnt = F.col(f"n_{tag}")
+        w_rank = Window.orderBy(F.col(f"n_{tag}").asc())
+        w_val = Window.partitionBy(f"n_{tag}")
+        # rank only over shared categories: nulls excluded by the filter
+        return (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_val).cast("double") - 1.0) / 2.0
+        )
+
+    stats = joined.select(
+        F.count_if(F.col("n_a").isNotNull()).over(wf).alias("cats_a"),
+        F.count_if(F.col("n_b").isNotNull()).over(wf).alias("cats_b"),
+        F.count_if(shared).over(wf).alias("n_shared"),
+        F.count_if(F.col("n_a").isNull()).over(wf).alias("appeared"),
+        F.count_if(F.col("n_b").isNull()).over(wf).alias("vanished"),
+        "cat",
+        "n_a",
+        "n_b",
+    ).where(shared)
+    ranked = stats.select(
+        "cats_a",
+        "cats_b",
+        "n_shared",
+        "appeared",
+        "vanished",
+        _midrank("a").alias("__ra"),
+        _midrank("b").alias("__rb"),
+    )
+
+    def _dec(x):
+        return F.round(x, 6).cast("decimal(38,6)")
+
+    agg = ranked.groupBy(
+        "cats_a", "cats_b", "n_shared", "appeared", "vanished"
+    ).agg(
+        F.sum(_dec(F.col("__ra"))).alias("sa"),
+        F.sum(_dec(F.col("__rb"))).alias("sb"),
+        F.sum(_dec(F.col("__ra") * F.col("__ra"))).alias("saa"),
+        F.sum(_dec(F.col("__rb") * F.col("__rb"))).alias("sbb"),
+        F.sum(_dec(F.col("__ra") * F.col("__rb"))).alias("sab"),
+    )
+    k = F.col("n_shared").cast("double")
+    num = F.col("sab").cast("double") - (
+        F.col("sa").cast("double") * F.col("sb").cast("double") / k
+    )
+    dena = F.col("saa").cast("double") - (
+        F.col("sa").cast("double") * F.col("sa").cast("double") / k
+    )
+    denb = F.col("sbb").cast("double") - (
+        F.col("sb").cast("double") * F.col("sb").cast("double") / k
+    )
+    rho = F.when(
+        (dena > 0) & (denb > 0), num / F.sqrt(dena * denb)
+    )
+    return agg.select(
+        "cats_a",
+        "cats_b",
+        "n_shared",
+        "appeared",
+        "vanished",
+        F.round(rho, 4).alias("rank_corr"),
+    )

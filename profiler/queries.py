@@ -15221,3 +15221,202 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return digit_uniformity(ev, "value", scale=2)
+
+
+@_register(
+    "q263_containment_join",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  ELSE array_to_string(words, ' ') END AS token
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
+      WHERE i = 1 OR len(words) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM t a JOIN t b ON a.token = b.token AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 4)
+             AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+          >= 0.6 * CAST(sa.n AS DOUBLE) - 0.000000001
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join at |A∩B|/|A| >= 0.6 over 3-gram
+    shingles (:func:`profiler.dedup.containment_join`): the quoted-
+    tweet-inside-an-article relation Jaccard scores near zero. Engine
+    plan: A-side rarest-first prefix filter probing the inverted index,
+    exact verify on candidates only; the oracle proves zero recall loss
+    with the FULL inverted-index join."""
+    from profiler.dedup import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_join(
+        docs, 0.6, shingle_k=3
+    ).orderBy("doc_a", "doc_b")
+
+
+@_register(
+    "q264_embedding_dim_profile",
+    """
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT i AS dim, v[i] AS x
+      FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    per_dim AS (
+      SELECT dim, count(*) AS n,
+             sum(CAST(ROUND(x, 8) AS DECIMAL(38,8))) AS s,
+             sum(CAST(ROUND(x * x, 8) AS DECIMAL(38,8))) AS sq
+      FROM pairs GROUP BY dim
+    ),
+    fr AS (
+      SELECT CAST(dim AS BIGINT) AS dim, n,
+             ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+             ROUND(greatest(
+               (CAST(sq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1.0),
+               0.0), 6) AS variance
+      FROM per_dim
+    ),
+    w2 AS (
+      SELECT dim, n, mean, variance,
+             row_number() OVER (ORDER BY variance DESC, dim ASC)
+               AS var_rank,
+             CAST(sum(CAST(variance AS DECIMAL(38,6))) OVER ()
+                  AS DOUBLE) AS tot,
+             CAST(sum(CAST(variance AS DECIMAL(38,6))) OVER (
+               ORDER BY variance DESC, dim ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum
+      FROM fr
+    )
+    SELECT dim, n, mean, variance, var_rank,
+           CASE WHEN tot > 0 THEN ROUND(variance / tot, 6) END
+             AS var_share,
+           CASE WHEN tot > 0 THEN ROUND(cum / tot, 6) END
+             AS cum_var_share
+    FROM w2 ORDER BY var_rank
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (:func:`profiler.similarity.
+    embedding_dim_profile`): variance-ranked dimensions with cumulative
+    variance share — the effective-dimensionality diagnostic behind PQ
+    sub-space and IVF cell sizing; dead dimensions (zero variance) are
+    invisible to norm-based health checks but obvious here. One
+    posexplode hash aggregate, |dims|-frame windows after."""
+    from profiler.similarity import embedding_dim_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(emb)
+
+
+@_register(
+    "q265_popularity_shift",
+    """
+    WITH a AS (
+      SELECT event_type AS cat, count(*) AS n_a FROM events
+      WHERE event_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type AS cat, count(*) AS n_b FROM events
+      WHERE event_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1
+    ),
+    j AS (SELECT cat, n_a, n_b FROM a FULL OUTER JOIN b USING (cat)),
+    tot AS (
+      SELECT count_if(n_a IS NOT NULL) AS cats_a,
+             count_if(n_b IS NOT NULL) AS cats_b,
+             count_if(n_a IS NOT NULL AND n_b IS NOT NULL) AS n_shared,
+             count_if(n_a IS NULL) AS appeared,
+             count_if(n_b IS NULL) AS vanished
+      FROM j
+    ),
+    sh AS (
+      SELECT n_a, n_b FROM j WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+    ),
+    rk AS (
+      SELECT CAST(rank() OVER (ORDER BY n_a ASC) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY n_a) AS DOUBLE) - 1.0)
+                 / 2.0 AS ra,
+             CAST(rank() OVER (ORDER BY n_b ASC) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY n_b) AS DOUBLE) - 1.0)
+                 / 2.0 AS rb
+      FROM sh
+    ),
+    agg AS (
+      SELECT count(*) AS k,
+             sum(CAST(ROUND(ra, 6) AS DECIMAL(38,6))) AS sa,
+             sum(CAST(ROUND(rb, 6) AS DECIMAL(38,6))) AS sb,
+             sum(CAST(ROUND(ra * ra, 6) AS DECIMAL(38,6))) AS saa,
+             sum(CAST(ROUND(rb * rb, 6) AS DECIMAL(38,6))) AS sbb,
+             sum(CAST(ROUND(ra * rb, 6) AS DECIMAL(38,6))) AS sab
+      FROM rk
+    ),
+    fin AS (
+      SELECT CAST(k AS DOUBLE) AS k,
+             CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+             CAST(saa AS DOUBLE) AS saa, CAST(sbb AS DOUBLE) AS sbb,
+             CAST(sab AS DOUBLE) AS sab
+      FROM agg
+    )
+    SELECT t.cats_a, t.cats_b, t.n_shared, t.appeared, t.vanished,
+           CASE WHEN saa - sa * sa / k > 0 AND sbb - sb * sb / k > 0 THEN
+             ROUND((sab - sa * sb / k)
+                   / sqrt((saa - sa * sa / k) * (sbb - sb * sb / k)), 4)
+           END AS rank_corr
+    FROM tot t, fin
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category popularity-order stability (:func:`profiler.drift.
+    popularity_shift`) between the two snapshots: Spearman correlation
+    of per-category frequency ranks (midranks, tie-exact) plus domain
+    bookkeeping — rho near 1 with a big PSI means volumes breathed but
+    the ranking held; rho collapsing means the distribution was
+    reshaped. One aggregate per side + a |domain|-sized join."""
+    from profiler.drift import popularity_shift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return popularity_shift(a, b, "event_type")
+
+
+@_register("q266_distinct_sketch_merge")  # rows-only: HLL blobs are not
+# SQL-replayable; the merge==whole-table invariant is pinned by pytest
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-partition HLL distinct sketches unioned to global
+    estimates (:func:`profiler.sketch.distinct_sketches` /
+    :func:`merge_distinct_sketches`): the resumable-run primitive for
+    cardinality metrics — distinct counts don't add, sketches UNION, so
+    a killed run resumes from ~4 KB blobs instead of rescanning history.
+    No DuckDB oracle (DataSketches binaries are engine-specific); pytest
+    pins union(partition sketches) == one whole-table sketch and both
+    within HLL error of the exact count."""
+    from profiler.sketch import distinct_sketches, merge_distinct_sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = distinct_sketches(
+        ev, ["user_id", "event_type"], "pmod(xxhash64(event_id), 8)"
+    )
+    return merge_distinct_sketches(sk, ["user_id", "event_type"])

@@ -1034,3 +1034,71 @@ def ann_recall(
         F.round(F.avg(recall).over(wf), 6).alias("mean_recall"),
     )
     return framed.orderBy(query_col)
+
+
+def embedding_dim_profile(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION profile of an embedding column: mean, variance,
+    variance share and cumulative share with dimensions sorted by
+    variance — the effective-dimensionality diagnostic. A "768-d"
+    embedding whose top 40 dims carry 95% of the variance is a 40-d
+    embedding wearing a big coat: ANN parameters (PQ sub-spaces, IVF
+    cells), scalar-quantization error and cosine contrast all depend on
+    the REAL spread, and a dimension with near-zero variance (dead
+    neuron, truncated export) is invisible to :func:`embedding_health`'s
+    norm checks but obvious here.
+
+    Plan: ONE posexplode → (dim, value) hash aggregate (shuffle bounded
+    by dim count × partials), exact DECIMAL sufficient statistics; the
+    ordering, shares and cumulative shares are windows on the |dims|-row
+    frame — nothing vector-count-scale after the single scan.
+    """
+    v = as_double_vec(F.col(vec_col))
+    pairs = df.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(v).alias("__d", "__x")
+    )
+    per_dim = pairs.groupBy("__d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("__x"), 8).cast("decimal(38,8)")).alias("__s"),
+        F.sum(
+            F.round(F.col("__x") * F.col("__x"), 8).cast("decimal(38,8)")
+        ).alias("__sq"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.greatest(
+        (
+            F.col("__sq").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+        )
+        / (n - 1.0),
+        F.lit(0.0),
+    )
+    framed = per_dim.select(
+        (F.col("__d") + 1).cast("long").alias("dim"),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+    )
+    wf = Window.partitionBy()
+    wo = Window.orderBy(F.col("variance").desc(), F.col("dim").asc())
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.sum(F.col("variance").cast("decimal(38,6)")).over(wf)
+    cum = F.sum(F.col("variance").cast("decimal(38,6)")).over(wc)
+    out = framed.select(
+        "dim",
+        "n",
+        "mean",
+        "variance",
+        F.row_number().over(wo).alias("var_rank"),
+        F.when(
+            tot.cast("double") > 0,
+            F.round(F.col("variance") / tot.cast("double"), 6),
+        ).alias("var_share"),
+        F.when(
+            tot.cast("double") > 0,
+            F.round(cum.cast("double") / tot.cast("double"), 6),
+        ).alias("cum_var_share"),
+    )
+    return out.orderBy("var_rank")

@@ -83,3 +83,59 @@ def heavy_hitters(
         .limit(top_k)
         .select(F.col("v").alias(value_col), "count_lb")
     )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    cols: list[str],
+    partition_expr: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-partition mergeable DISTINCT-count sketches: one Apache
+    DataSketches HLL binary per (partition, column), built with Spark's
+    JVM-side ``hll_sketch_agg``. This is the resumable-run primitive for
+    uniqueness metrics that :func:`profiler.stats.partial_profile` can't
+    cover with sums — distinct counts don't add, but HLL sketches UNION,
+    so a checkpointed run stores one ~2^lg_k-byte blob per finished
+    partition and a resume unions blobs instead of rescanning history
+    (exactly how the incremental dedup index avoids rescans, but for the
+    cardinality metric itself).
+
+    Plan: ONE groupBy(partition) pass builds every column's sketch
+    map-side (partial aggregation — the shuffle carries sketch blobs,
+    never values); estimates ride along per partition.
+    """
+    part = F.expr(partition_expr).cast("string").alias("partition")
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.hll_sketch_agg(F.col(c), F.lit(int(lg_k))).alias(f"__sk_{c}")
+        )
+    per_part = df.groupBy(part).agg(*aggs)
+    return per_part.select(
+        "partition",
+        *[F.col(f"__sk_{c}").alias(f"sketch_{c}") for c in cols],
+        *[
+            F.hll_sketch_estimate(F.col(f"__sk_{c}")).alias(f"distinct_{c}")
+            for c in cols
+        ],
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Union per-partition HLL sketches (:func:`distinct_sketches`) into
+    global distinct estimates — the merge leg of the resumable
+    cardinality pass: union(sketch(P1), …, sketch(Pn)) estimates the
+    SAME value as one sketch over the whole table (pinned by test), so
+    a killed run resumes from stored blobs. One |partitions|-row
+    aggregate; nothing rescans data.
+    """
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(f"sketch_{c}"), F.lit(True))
+        ).alias(f"distinct_{c}")
+        for c in cols
+    ]
+    return sketches.agg(*aggs)

@@ -1286,3 +1286,60 @@ def test_digit_uniformity_ten_bucket_aggregate(spark, events):
     w_at = plan.find("Window")
     assert w_at != -1
     assert "HashAggregate" in plan[w_at:]
+
+
+def test_containment_join_prefix_filtered_no_nested_loop(spark):
+    """Containment: the candidate probe joins the A-prefix against the
+    token index on the token key — equi-joins only, and the shared
+    shingle-explode exchange is reused, not recomputed per consumer."""
+    from profiler.dedup import containment_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = containment_join(docs, 0.6, shingle_k=3)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
+
+
+def test_embedding_dim_profile_one_explode_aggregate(spark):
+    """Dim profile: one posexplode feeds one (dim) hash aggregate; the
+    share windows run on the |dims| frame (aggregate below the window);
+    no join."""
+    from profiler.similarity import embedding_dim_profile
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_dim_profile(emb))
+    assert "Join" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]
+
+
+def test_popularity_shift_joins_count_frames(spark, events):
+    """Popularity shift: the full-outer join runs on per-side COUNT
+    frames (aggregates below the join), never raw rows."""
+    from profiler.drift import popularity_shift
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(popularity_shift(a, b, "event_type"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_distinct_sketches_shuffle_carries_blobs_not_values(spark, events):
+    """HLL sketches: one groupBy(partition) with partial aggregation —
+    the exchange carries sketch buffers keyed by partition, and there is
+    exactly one shuffle."""
+    from profiler.sketch import distinct_sketches
+
+    plan = _plan(
+        distinct_sketches(
+            events, ["user_id"], "pmod(xxhash64(event_id), 8)"
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

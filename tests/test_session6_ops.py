@@ -676,3 +676,111 @@ def test_run_monitoring_clean_step_fires_level_shift(spark):
     # no whale -> the parametric scan AND the rank test both fire
     assert "level_shift" in checks
     assert "distribution_shift" in checks
+
+
+def test_containment_join_matches_bruteforce(spark):
+    from profiler.dedup import containment_join
+
+    rng = np.random.default_rng(167)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(25):
+        k = int(rng.integers(4, 12))
+        words = [vocab[int(rng.integers(0, 30))] for _ in range(k)]
+        docs.append((i, " ".join(words)))
+    # planted: doc 100 is fully contained in doc 101
+    docs.append((100, "alpha beta gamma delta"))
+    docs.append((101, "prefix words alpha beta gamma delta suffix tail"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_join(df, 0.6, shingle_k=3).collect()
+    }
+
+    def _shingles(text):
+        w = text.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sh = {i: _shingles(t) for i, t in docs}
+    expect = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter >= 0.6 * len(sh[a]) - 1e-9:
+                expect[(a, b)] = inter / len(sh[a])
+    assert set(out) == set(expect)
+    for k2, v in expect.items():
+        assert abs(out[k2]["containment"] - v) < 1e-3
+    # the planted pair is directional: 100->101 yes, 101->100 no
+    assert (100, 101) in out and out[(100, 101)]["containment"] == 1.0
+    assert (101, 100) not in out
+
+
+def test_embedding_dim_profile_finds_dead_dimension(spark):
+    from profiler.similarity import embedding_dim_profile
+
+    rng = np.random.default_rng(173)
+    rows = []
+    for _ in range(200):
+        v = [float(x) for x in rng.normal(0, 1, 4)]
+        v[2] = 0.0  # dead dimension
+        v[0] *= 3.0  # dominant dimension
+        rows.append((v,))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = embedding_dim_profile(df).collect()
+    assert out[0]["dim"] == 1 and out[0]["var_rank"] == 1
+    dead = [r for r in out if r["dim"] == 3][0]
+    assert dead["variance"] == 0.0 and dead["var_rank"] == 4
+    assert abs(out[-1]["cum_var_share"] - 1.0) < 1e-6
+    # brute-force variance for the dominant dim
+    xs = [r[0][0] for r in rows]
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    assert abs(out[0]["variance"] - var) < 1e-4
+
+
+def test_popularity_shift_extremes(spark):
+    from profiler.drift import popularity_shift
+
+    rows_a = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10
+    a = spark.createDataFrame(rows_a, "cat string")
+    r = popularity_shift(a, a, "cat").first()
+    assert r["rank_corr"] == 1.0 and r["n_shared"] == 3
+    rows_b = [("a",)] * 10 + [("b",)] * 30 + [("c",)] * 50
+    b = spark.createDataFrame(rows_b, "cat string")
+    r2 = popularity_shift(a, b, "cat").first()
+    assert r2["rank_corr"] == -1.0
+    # domain churn bookkeeping
+    c = spark.createDataFrame([("a",)] * 5 + [("zz",)] * 5, "cat string")
+    r3 = popularity_shift(a, c, "cat").first()
+    assert r3["appeared"] == 1 and r3["vanished"] == 2
+    assert r3["n_shared"] == 1 and r3["rank_corr"] is None
+
+
+def test_distinct_sketches_merge_equals_whole_table(spark, events_df=None):
+    from pyspark.sql import functions as F
+
+    from profiler.sketch import distinct_sketches, merge_distinct_sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    per_part = distinct_sketches(
+        ev, ["user_id", "event_type"], "pmod(xxhash64(event_id), 8)"
+    )
+    assert per_part.count() == 8
+    merged = merge_distinct_sketches(
+        per_part, ["user_id", "event_type"]
+    ).first()
+    whole = distinct_sketches(ev, ["user_id", "event_type"], "'all'").first()
+    # merge of partition sketches == one whole-table sketch, exactly
+    assert merged["distinct_user_id"] == whole["distinct_user_id"]
+    assert merged["distinct_event_type"] == whole["distinct_event_type"]
+    exact = ev.select(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+    ).first()
+    assert abs(merged["distinct_user_id"] - exact["u"]) <= 0.05 * exact["u"]
+    assert merged["distinct_event_type"] == exact["t"]  # tiny domain: exact
