@@ -3324,3 +3324,217 @@ def popularity_shift(
         "vanished",
         F.round(rho, 4).alias("rank_corr"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treated_expr: str,
+    post_expr: str,
+) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES effect estimate over event rows:
+    DiD = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    ȳ_control,pre), with the large-sample SE √(Σ s²_cell/n_cell) over
+    the four cells and z = DiD/SE. The before/after comparison every
+    rollout postmortem starts with confounds the change with time
+    (seasonality, weekday mix); DiD subtracts the control group's time
+    path, which is the entire point. Emits the four cell means/counts,
+    the two first differences, the DiD, its SE and z.
+
+    Plan: ONE conditional sufficient-statistics aggregate (count /
+    DECIMAL Σy / Σy² per cell) over one table scan — no shuffle wider
+    than the single 1-row aggregate, no join, no window.
+    """
+    v = F.col(value_col).cast("double")
+    t = F.expr(treated_expr).cast("boolean")
+    p = F.expr(post_expr).cast("boolean")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & t.isNotNull() & p.isNotNull()
+    ).select(v.alias("__v"), t.alias("__t"), p.alias("__p"))
+
+    def _cell(tt: bool, pp: bool, tag: str):
+        cond = (F.col("__t") == tt) & (F.col("__p") == pp)
+        return [
+            F.count_if(cond).alias(f"n_{tag}"),
+            F.sum(
+                F.when(cond, F.round(F.col("__v"), 6).cast("decimal(38,6)"))
+            ).alias(f"__s_{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.round(F.col("__v") * F.col("__v"), 6).cast(
+                        "decimal(38,6)"
+                    ),
+                )
+            ).alias(f"__q_{tag}"),
+        ]
+
+    agg = base.agg(
+        *_cell(False, False, "c_pre"),
+        *_cell(False, True, "c_post"),
+        *_cell(True, False, "t_pre"),
+        *_cell(True, True, "t_post"),
+    )
+
+    def _mean(tag: str):
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"n_{tag}"
+        ).cast("double")
+
+    def _var(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        q = F.col(f"__q_{tag}").cast("double")
+        return F.greatest((q - s * s / n) / (n - 1.0), F.lit(0.0))
+
+    d_t = _mean("t_post") - _mean("t_pre")
+    d_c = _mean("c_post") - _mean("c_pre")
+    did = d_t - d_c
+    se = F.sqrt(
+        sum(
+            _var(tag) / F.col(f"n_{tag}").cast("double")
+            for tag in ("c_pre", "c_post", "t_pre", "t_post")
+        )
+    )
+    cols = []
+    for tag in ("c_pre", "c_post", "t_pre", "t_post"):
+        cols.append(F.col(f"n_{tag}"))
+        cols.append(F.round(_mean(tag), 6).alias(f"mean_{tag}"))
+    return agg.select(
+        *cols,
+        F.round(d_t, 6).alias("delta_treated"),
+        F.round(d_c, 6).alias("delta_control"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.when(se > 0, F.round(did / se, 4)).alias("z"),
+    )
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    treated_expr: str,
+    post_expr: str,
+) -> DataFrame:
+    """CUPED variance-reduced treatment effect over event rows: per
+    entity, Y = post-period mean and X = PRE-period mean (the covariate
+    that already existed before the change); θ = cov(X,Y)/var(X) pooled
+    across arms; the adjusted metric Y − θ(X − X̄) has variance
+    (1 − ρ²)·var(Y), so the same data buys a tighter effect CI — the
+    standard trick (Deng et al., WSDM'13) for making 10¹²-row
+    experiments readable when the raw diff is noise-bound. Emits the
+    raw and adjusted effects, SEs, z's, θ and the variance-reduction
+    ratio. Entities with no pre-period activity keep X = 0 (they
+    contribute their own mean to the adjustment, not a null).
+
+    Plan: one (entity) conditional aggregate builds the (X, Y, arm)
+    frame in a single table scan; everything after is DECIMAL
+    sufficient-statistics algebra on 1-row aggregates — no window, no
+    join beyond 1×1 crosses.
+    """
+    v = F.col(value_col).cast("double")
+    t = F.expr(treated_expr).cast("boolean")
+    p = F.expr(post_expr).cast("boolean")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & t.isNotNull() & p.isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"), v.alias("__v"), t.alias("__t"),
+        p.alias("__p"),
+    )
+    per_key = base.groupBy("__k").agg(
+        F.max(F.col("__t").cast("int")).alias("__treated"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("__p"), F.col("__v"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("__y"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(~F.col("__p"), F.col("__v"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("__x"),
+    )
+
+    def _dec(x):
+        return F.round(x, 6).cast("decimal(38,6)")
+
+    moments = per_key.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("__x"))).alias("__sx"),
+        F.sum(_dec(F.col("__y"))).alias("__sy"),
+        F.sum(_dec(F.col("__x") * F.col("__x"))).alias("__sxx"),
+        F.sum(_dec(F.col("__x") * F.col("__y"))).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    varx = F.col("__sxx").cast("double") - sx * sx / n
+    covxy = F.col("__sxy").cast("double") - sx * sy / n
+    theta_row = moments.select(
+        "n",
+        F.round(sx / n, 8).alias("__xbar"),
+        F.when(varx > 0, F.round(covxy / varx, 8))
+        .otherwise(F.lit(0.0))
+        .alias("__theta"),
+    )
+    adj = per_key.crossJoin(F.broadcast(theta_row)).select(
+        "__treated",
+        "__y",
+        (
+            F.col("__y")
+            - F.col("__theta") * (F.col("__x") - F.col("__xbar"))
+        ).alias("__yadj"),
+        "__theta",
+    )
+
+    def _arm(col: str, flag: int, tag: str):
+        cond = F.col("__treated") == flag
+        c = F.col(col)
+        return [
+            F.count_if(cond).alias(f"n_{tag}"),
+            F.sum(F.when(cond, _dec(c))).alias(f"__s_{tag}"),
+            F.sum(F.when(cond, _dec(c * c))).alias(f"__q_{tag}"),
+        ]
+
+    stats = adj.agg(
+        *_arm("__y", 1, "raw_t"),
+        *_arm("__y", 0, "raw_c"),
+        *_arm("__yadj", 1, "adj_t"),
+        *_arm("__yadj", 0, "adj_c"),
+        F.min("__theta").alias("theta"),
+    )
+
+    def _m(tag):
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"n_{tag}"
+        ).cast("double")
+
+    def _se2(tag):
+        nn = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        q = F.col(f"__q_{tag}").cast("double")
+        return F.greatest((q - s * s / nn) / (nn - 1.0), F.lit(0.0)) / nn
+
+    raw = _m("raw_t") - _m("raw_c")
+    raw_se = F.sqrt(_se2("raw_t") + _se2("raw_c"))
+    adj_eff = _m("adj_t") - _m("adj_c")
+    adj_se = F.sqrt(_se2("adj_t") + _se2("adj_c"))
+    return stats.select(
+        F.col("n_raw_t").alias("n_treated"),
+        F.col("n_raw_c").alias("n_control"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(raw, 6).alias("effect_raw"),
+        F.round(raw_se, 6).alias("se_raw"),
+        F.when(raw_se > 0, F.round(raw / raw_se, 4)).alias("z_raw"),
+        F.round(adj_eff, 6).alias("effect_cuped"),
+        F.round(adj_se, 6).alias("se_cuped"),
+        F.when(adj_se > 0, F.round(adj_eff / adj_se, 4)).alias("z_cuped"),
+        F.when(
+            raw_se > 0,
+            F.round((adj_se * adj_se) / (raw_se * raw_se), 6),
+        ).alias("var_ratio"),
+    )

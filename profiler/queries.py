@@ -15420,3 +15420,320 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id", "event_type"], "pmod(xxhash64(event_id), 8)"
     )
     return merge_distinct_sketches(sk, ["user_id", "event_type"])
+
+
+@_register(
+    "q267_diff_in_diff",
+    """
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             (user_id % 2 = 1) AS t,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2
+              = 1) AS p
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT
+        count_if(NOT t AND NOT p) AS n_c_pre,
+        sum(CASE WHEN NOT t AND NOT p THEN
+          CAST(ROUND(v, 6) AS DECIMAL(38,6)) END) AS s_c_pre,
+        sum(CASE WHEN NOT t AND NOT p THEN
+          CAST(ROUND(v * v, 6) AS DECIMAL(38,6)) END) AS q_c_pre,
+        count_if(NOT t AND p) AS n_c_post,
+        sum(CASE WHEN NOT t AND p THEN
+          CAST(ROUND(v, 6) AS DECIMAL(38,6)) END) AS s_c_post,
+        sum(CASE WHEN NOT t AND p THEN
+          CAST(ROUND(v * v, 6) AS DECIMAL(38,6)) END) AS q_c_post,
+        count_if(t AND NOT p) AS n_t_pre,
+        sum(CASE WHEN t AND NOT p THEN
+          CAST(ROUND(v, 6) AS DECIMAL(38,6)) END) AS s_t_pre,
+        sum(CASE WHEN t AND NOT p THEN
+          CAST(ROUND(v * v, 6) AS DECIMAL(38,6)) END) AS q_t_pre,
+        count_if(t AND p) AS n_t_post,
+        sum(CASE WHEN t AND p THEN
+          CAST(ROUND(v, 6) AS DECIMAL(38,6)) END) AS s_t_post,
+        sum(CASE WHEN t AND p THEN
+          CAST(ROUND(v * v, 6) AS DECIMAL(38,6)) END) AS q_t_post
+      FROM base
+    ),
+    c AS (
+      SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+             CAST(s_c_pre AS DOUBLE) / n_c_pre AS m_c_pre,
+             CAST(s_c_post AS DOUBLE) / n_c_post AS m_c_post,
+             CAST(s_t_pre AS DOUBLE) / n_t_pre AS m_t_pre,
+             CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post,
+             greatest((CAST(q_c_pre AS DOUBLE)
+               - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE)
+                 / n_c_pre) / (n_c_pre - 1.0), 0.0) / n_c_pre
+             + greatest((CAST(q_c_post AS DOUBLE)
+               - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE)
+                 / n_c_post) / (n_c_post - 1.0), 0.0) / n_c_post
+             + greatest((CAST(q_t_pre AS DOUBLE)
+               - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE)
+                 / n_t_pre) / (n_t_pre - 1.0), 0.0) / n_t_pre
+             + greatest((CAST(q_t_post AS DOUBLE)
+               - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE)
+                 / n_t_post) / (n_t_post - 1.0), 0.0) / n_t_post
+               AS se2
+      FROM agg
+    )
+    SELECT n_c_pre, ROUND(m_c_pre, 6) AS mean_c_pre,
+           n_c_post, ROUND(m_c_post, 6) AS mean_c_post,
+           n_t_pre, ROUND(m_t_pre, 6) AS mean_t_pre,
+           n_t_post, ROUND(m_t_post, 6) AS mean_t_post,
+           ROUND(m_t_post - m_t_pre, 6) AS delta_treated,
+           ROUND(m_c_post - m_c_pre, 6) AS delta_control,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did,
+           ROUND(sqrt(se2), 6) AS se,
+           CASE WHEN sqrt(se2) > 0 THEN
+             ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                   / sqrt(se2), 4) END AS z
+    FROM c
+    """,
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences effect (:func:`profiler.drift.
+    diff_in_diff`, switchback framing: treated = user parity, period =
+    day parity): the treated group's change minus the control group's
+    change — the before/after comparison with the time path subtracted,
+    which is the whole point. One conditional sufficient-statistics
+    aggregate over one scan."""
+    from profiler.drift import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev,
+        "value",
+        "user_id % 2 = 1",
+        "pmod(unix_date(cast(ts as date)), 2) = 1",
+    )
+
+
+@_register(
+    "q268_logrank_test",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT s1.user_id, min(e.ts) AS tp
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.ts > s1.t1
+       AND e.event_type = 'purchase'
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS tmax FROM events),
+    dur AS (
+      SELECT CASE WHEN p.tp IS NOT NULL
+                  THEN (epoch_us(p.tp) - epoch_us(s1.t1)) / 1e6
+                  ELSE (epoch_us(tmax) - epoch_us(s1.t1)) / 1e6 END AS d,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             (s1.user_id % 2 = 0) AS is_a
+      FROM s1 LEFT JOIN p USING (user_id) CROSS JOIN mx
+    ),
+    pts AS (
+      SELECT d AS t,
+             sum(CASE WHEN is_a THEN ev ELSE 0 END) AS da,
+             sum(CASE WHEN is_a THEN 1 - ev ELSE 0 END) AS ca,
+             sum(CASE WHEN NOT is_a THEN ev ELSE 0 END) AS db,
+             sum(CASE WHEN NOT is_a THEN 1 - ev ELSE 0 END) AS cb
+      FROM dur GROUP BY 1
+    ),
+    r AS (
+      SELECT da, db, da + ca AS ma, db + cb AS mb,
+             CAST(tota - coalesce(sum(da + ca) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS DOUBLE) AS na,
+             CAST(totb - coalesce(sum(db + cb) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS DOUBLE) AS nb
+      FROM pts CROSS JOIN (
+        SELECT sum(da + ca) AS tota, sum(db + cb) AS totb FROM pts
+      )
+    ),
+    terms AS (
+      SELECT da, db, ma, mb,
+             CAST(ROUND(CASE WHEN na + nb > 0 THEN
+               CAST(da + db AS DOUBLE) * na / (na + nb)
+             ELSE 0.0 END, 6) AS DECIMAL(38,6)) AS e,
+             CAST(ROUND(CASE WHEN na + nb > 1 THEN
+               CAST(da + db AS DOUBLE) * (na / (na + nb))
+               * (1.0 - na / (na + nb))
+               * ((na + nb) - CAST(da + db AS DOUBLE)) / ((na + nb) - 1.0)
+             ELSE 0.0 END, 6) AS DECIMAL(38,6)) AS v
+      FROM r
+    ),
+    agg AS (
+      SELECT sum(ma) AS n_a, sum(mb) AS n_b, sum(da) AS o_a,
+             sum(db) AS o_b, CAST(sum(e) AS DOUBLE) AS es,
+             CAST(sum(v) AS DOUBLE) AS vs
+      FROM terms
+    )
+    SELECT n_a, n_b, o_a, o_b, ROUND(es, 4) AS e_a,
+           ROUND(vs, 4) AS variance,
+           CASE WHEN vs > 0 THEN
+             ROUND((CAST(o_a AS DOUBLE) - es) / sqrt(vs), 4) END AS z,
+           CASE WHEN vs > 0 THEN
+             ROUND(((CAST(o_a AS DOUBLE) - es) / sqrt(vs))
+                   * ((CAST(o_a AS DOUBLE) - es) / sqrt(vs)), 4) END
+             AS chi2
+    FROM agg
+    """,
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group LOG-RANK test (:func:`profiler.timeseries.logrank_test`,
+    groups = user parity) on the q184 signup→purchase survival frame:
+    O−E under the pooled hazard with hypergeometric variance — the test
+    that says whether two KM curves actually differ or are one curve
+    plus censoring noise. One groupBy(t) collapse + bounded-frame
+    windows, no join after the collapse."""
+    from profiler.timeseries import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dur = s1.join(p, "user_id", "left").select(
+        F.when(
+            F.col("tp").isNotNull(), (us("tp") - us("t1")) / 1e6
+        )
+        .otherwise(
+            (F.unix_micros(F.lit(tmax).cast("timestamp")) - us("t1")) / 1e6
+        )
+        .alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("event"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    return logrank_test(dur, "dur", "event", "grp")
+
+
+@_register(
+    "q269_cuped",
+    """
+    WITH base AS (
+      SELECT user_id AS k, CAST(value AS DOUBLE) AS v,
+             (user_id % 2 = 1) AS t,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2
+              = 1) AS p
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    per_key AS (
+      SELECT k, max(CASE WHEN t THEN 1 ELSE 0 END) AS treated,
+             ROUND(coalesce(avg(CASE WHEN p THEN v END), 0.0), 6) AS y,
+             ROUND(coalesce(avg(CASE WHEN NOT p THEN v END), 0.0), 6)
+               AS x
+      FROM base GROUP BY k
+    ),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS sx,
+             sum(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS sy,
+             sum(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+             sum(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy
+      FROM per_key
+    ),
+    th AS (
+      SELECT ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 8) AS xbar,
+             CASE WHEN CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE) > 0
+                  THEN ROUND((CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 8)
+                  ELSE 0.0 END AS theta
+      FROM mo
+    ),
+    adj AS (
+      SELECT treated, y, y - theta * (x - xbar) AS yadj, theta
+      FROM per_key, th
+    ),
+    arms AS (
+      SELECT
+        count_if(treated = 1) AS n_t, count_if(treated = 0) AS n_c,
+        sum(CASE WHEN treated = 1 THEN
+          CAST(ROUND(y, 6) AS DECIMAL(38,6)) END) AS s_rt,
+        sum(CASE WHEN treated = 1 THEN
+          CAST(ROUND(y * y, 6) AS DECIMAL(38,6)) END) AS q_rt,
+        sum(CASE WHEN treated = 0 THEN
+          CAST(ROUND(y, 6) AS DECIMAL(38,6)) END) AS s_rc,
+        sum(CASE WHEN treated = 0 THEN
+          CAST(ROUND(y * y, 6) AS DECIMAL(38,6)) END) AS q_rc,
+        sum(CASE WHEN treated = 1 THEN
+          CAST(ROUND(yadj, 6) AS DECIMAL(38,6)) END) AS s_at,
+        sum(CASE WHEN treated = 1 THEN
+          CAST(ROUND(yadj * yadj, 6) AS DECIMAL(38,6)) END) AS q_at,
+        sum(CASE WHEN treated = 0 THEN
+          CAST(ROUND(yadj, 6) AS DECIMAL(38,6)) END) AS s_ac,
+        sum(CASE WHEN treated = 0 THEN
+          CAST(ROUND(yadj * yadj, 6) AS DECIMAL(38,6)) END) AS q_ac,
+        min(theta) AS theta
+      FROM adj
+    ),
+    c AS (
+      SELECT n_t, n_c, theta,
+             CAST(s_rt AS DOUBLE) / n_t - CAST(s_rc AS DOUBLE) / n_c
+               AS raw,
+             greatest((CAST(q_rt AS DOUBLE)
+               - CAST(s_rt AS DOUBLE) * CAST(s_rt AS DOUBLE) / n_t)
+               / (n_t - 1.0), 0.0) / n_t
+             + greatest((CAST(q_rc AS DOUBLE)
+               - CAST(s_rc AS DOUBLE) * CAST(s_rc AS DOUBLE) / n_c)
+               / (n_c - 1.0), 0.0) / n_c AS raw_se2,
+             CAST(s_at AS DOUBLE) / n_t - CAST(s_ac AS DOUBLE) / n_c
+               AS adj,
+             greatest((CAST(q_at AS DOUBLE)
+               - CAST(s_at AS DOUBLE) * CAST(s_at AS DOUBLE) / n_t)
+               / (n_t - 1.0), 0.0) / n_t
+             + greatest((CAST(q_ac AS DOUBLE)
+               - CAST(s_ac AS DOUBLE) * CAST(s_ac AS DOUBLE) / n_c)
+               / (n_c - 1.0), 0.0) / n_c AS adj_se2
+      FROM arms
+    )
+    SELECT n_t AS n_treated, n_c AS n_control,
+           ROUND(theta, 6) AS theta,
+           ROUND(raw, 6) AS effect_raw,
+           ROUND(sqrt(raw_se2), 6) AS se_raw,
+           CASE WHEN sqrt(raw_se2) > 0 THEN
+             ROUND(raw / sqrt(raw_se2), 4) END AS z_raw,
+           ROUND(adj, 6) AS effect_cuped,
+           ROUND(sqrt(adj_se2), 6) AS se_cuped,
+           CASE WHEN sqrt(adj_se2) > 0 THEN
+             ROUND(adj / sqrt(adj_se2), 4) END AS z_cuped,
+           CASE WHEN raw_se2 > 0 THEN
+             ROUND(adj_se2 / raw_se2, 6) END AS var_ratio
+    FROM c
+    """,
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced treatment effect (:func:`profiler.drift.
+    cuped_adjusted_effect`, same switchback framing as q267): per-entity
+    post-period metric adjusted by the pre-period covariate, θ =
+    cov/var pooled — the same data buys a tighter effect CI
+    (var_ratio = 1 − ρ²). One entity aggregate + 1-row moment algebra."""
+    from profiler.drift import cuped_adjusted_effect
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjusted_effect(
+        ev,
+        "user_id",
+        "value",
+        "user_id % 2 = 1",
+        "pmod(unix_date(cast(ts as date)), 2) = 1",
+    )

@@ -2381,3 +2381,109 @@ def dispersion_index(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             .otherwise(F.lit("poisson-consistent")),
         ).alias("verdict"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group LOG-RANK test over (duration, event, group) rows — the
+    significance companion of :func:`km_survival`: at every event time
+    compare group A's observed events against its expectation under the
+    pooled hazard, O−E accumulated with the hypergeometric variance;
+    z = (O−E)/√V (χ²₁ = z²). Two KM curves that LOOK apart may be one
+    curve plus censoring noise; this is the test that says so. The
+    group column must have exactly two values (the smaller-sorted one
+    plays A).
+
+    Plan: durations collapse to ONE groupBy(t) frame carrying per-group
+    event/censor counts; at-risk counts are full-extent minus prior-row
+    cumulative windows on that bounded frame; the O/E/V accumulation is
+    a final DECIMAL aggregate — one exchange, no join, nothing
+    row-scale after the collapse.
+    """
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    g = F.col(group_col).cast("string")
+    base = df.where(
+        d.isNotNull() & ~F.isnan(d) & ev.isNotNull() & g.isNotNull()
+    ).select(d.alias("t"), ev.alias("e"), g.alias("g"))
+    wfg = Window.partitionBy()
+    tagged = base.select(
+        "t",
+        "e",
+        (F.col("g") == F.min("g").over(wfg)).alias("__is_a"),
+    )
+    pts = tagged.groupBy("t").agg(
+        F.sum(F.when(F.col("__is_a"), F.col("e")).otherwise(0)).alias("da"),
+        F.sum(
+            F.when(F.col("__is_a"), 1 - F.col("e")).otherwise(0)
+        ).alias("ca"),
+        F.sum(F.when(~F.col("__is_a"), F.col("e")).otherwise(0)).alias(
+            "db"
+        ),
+        F.sum(
+            F.when(~F.col("__is_a"), 1 - F.col("e")).otherwise(0)
+        ).alias("cb"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    na = (
+        F.sum(F.col("da") + F.col("ca")).over(w_all)
+        - F.coalesce(
+            F.sum(F.col("da") + F.col("ca")).over(w_prior), F.lit(0)
+        )
+    ).cast("double")
+    nb = (
+        F.sum(F.col("db") + F.col("cb")).over(w_all)
+        - F.coalesce(
+            F.sum(F.col("db") + F.col("cb")).over(w_prior), F.lit(0)
+        )
+    ).cast("double")
+    dd = (F.col("da") + F.col("db")).cast("double")
+    n = na + nb
+    e_a = F.when(n > 0, dd * na / n).otherwise(F.lit(0.0))
+    v = F.when(
+        n > 1,
+        dd * (na / n) * (1.0 - na / n) * (n - dd) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+
+    def _dec(x):
+        return F.round(x, 6).cast("decimal(38,6)")
+
+    terms = pts.select(
+        F.col("da"),
+        F.col("db"),
+        (F.col("da") + F.col("ca")).alias("__ma"),
+        (F.col("db") + F.col("cb")).alias("__mb"),
+        _dec(e_a).alias("__e"),
+        _dec(v).alias("__v"),
+    )
+    agg = terms.agg(
+        F.sum("__ma").alias("n_a"),
+        F.sum("__mb").alias("n_b"),
+        F.sum("da").alias("o_a"),
+        F.sum("db").alias("o_b"),
+        F.sum("__e").alias("__esum"),
+        F.sum("__v").alias("__vsum"),
+    )
+    oa = F.col("o_a").cast("double")
+    es = F.col("__esum").cast("double")
+    vs = F.col("__vsum").cast("double")
+    z = F.when(vs > 0, (oa - es) / F.sqrt(vs))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        "o_b",
+        F.round(es, 4).alias("e_a"),
+        F.round(vs, 4).alias("variance"),
+        F.round(z, 4).alias("z"),
+        F.round(z * z, 4).alias("chi2"),
+    )

@@ -1343,3 +1343,45 @@ def test_distinct_sketches_shuffle_carries_blobs_not_values(spark, events):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_diff_in_diff_and_cuped_single_scan_aggregates(spark, events):
+    """DiD: one conditional aggregate over one scan — no join, no
+    window. CUPED: one entity aggregate + 1-row broadcast, no
+    row-scale join."""
+    from profiler.drift import cuped_adjusted_effect, diff_in_diff
+
+    plan = _plan(
+        diff_in_diff(
+            events, "value", "user_id % 2 = 1",
+            "pmod(unix_date(cast(ts as date)), 2) = 1",
+        )
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    plan2 = _plan(
+        cuped_adjusted_effect(
+            events, "user_id", "value", "user_id % 2 = 1",
+            "pmod(unix_date(cast(ts as date)), 2) = 1",
+        )
+    )
+    assert "SortMergeJoin" not in plan2
+    assert "Window" not in plan2
+
+
+def test_logrank_collapses_before_windows(spark, events):
+    """Log-rank: the duration frame collapses via groupBy(t) BEFORE the
+    at-risk windows — HashAggregate below every Window node."""
+    from profiler.timeseries import logrank_test
+
+    dur = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dur"),
+        F.lit(1).alias("event"),
+        (F.col("user_id") % 2).cast("string").alias("grp"),
+    )
+    plan = _plan(logrank_test(dur, "dur", "event", "grp"))
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]
+    assert "SortMergeJoin" not in plan

@@ -784,3 +784,77 @@ def test_distinct_sketches_merge_equals_whole_table(spark, events_df=None):
     ).first()
     assert abs(merged["distinct_user_id"] - exact["u"]) <= 0.05 * exact["u"]
     assert merged["distinct_event_type"] == exact["t"]  # tiny domain: exact
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from profiler.drift import diff_in_diff
+
+    rng = np.random.default_rng(179)
+    rows = []
+    for treated in (0, 1):
+        for post in (0, 1):
+            base = 50.0 + 5.0 * post            # common time trend
+            lift = 7.0 if treated and post else 0.0
+            for v in rng.normal(base + lift, 2.0, 500):
+                rows.append((float(v), treated, post))
+    df = spark.createDataFrame(rows, "v double, t int, p int")
+    r = diff_in_diff(df, "v", "t = 1", "p = 1").first()
+    # the naive before/after delta includes the +5 trend; DiD removes it
+    assert abs(r["delta_treated"] - 12.0) < 0.5
+    assert abs(r["delta_control"] - 5.0) < 0.5
+    assert abs(r["did"] - 7.0) < 0.5
+    assert r["z"] > 10
+
+
+def test_logrank_matches_bruteforce_hypergeometric(spark):
+    from profiler.timeseries import logrank_test
+
+    rng = np.random.default_rng(181)
+    rows = []
+    for g, scale in (("a", 10.0), ("b", 16.0)):
+        for _ in range(40):
+            d = float(round(rng.exponential(scale), 0) + 1)
+            e = int(rng.random() > 0.2)  # 20% censored
+            rows.append((d, e, g))
+    df = spark.createDataFrame(rows, "d double, e int, g string")
+    r = logrank_test(df, "d", "e", "g").first()
+    times = sorted({d for d, _, _ in rows})
+    o = e_sum = v_sum = 0.0
+    for t in times:
+        na = sum(1 for d, _, g in rows if g == "a" and d >= t)
+        nb = sum(1 for d, _, g in rows if g == "b" and d >= t)
+        da = sum(1 for d, e, g in rows if g == "a" and d == t and e)
+        db = sum(1 for d, e, g in rows if g == "b" and d == t and e)
+        n, dd = na + nb, da + db
+        o += da
+        if n > 0:
+            e_sum += dd * na / n
+        if n > 1:
+            v_sum += dd * (na / n) * (1 - na / n) * (n - dd) / (n - 1)
+    assert r["o_a"] == o
+    assert abs(r["e_a"] - e_sum) < 1e-2
+    assert abs(r["variance"] - v_sum) < 1e-2
+    assert abs(r["z"] - (o - e_sum) / math.sqrt(v_sum)) < 1e-3
+    # group b survives longer -> a's events come early -> z > 0
+    assert r["z"] > 2
+
+
+def test_cuped_reduces_variance_with_correlated_covariate(spark):
+    from profiler.drift import cuped_adjusted_effect
+
+    rng = np.random.default_rng(191)
+    rows = []
+    for k in range(400):
+        treated = k % 2
+        user_level = float(rng.normal(50, 10))   # persistent user effect
+        for p in (0, 1):
+            noise = float(rng.normal(0, 2))
+            lift = 3.0 if treated and p else 0.0
+            rows.append((k, user_level + noise + lift, treated, p))
+    df = spark.createDataFrame(rows, "k long, v double, t int, p int")
+    r = cuped_adjusted_effect(df, "k", "v", "t = 1", "p = 1").first()
+    assert abs(r["effect_cuped"] - 3.0) < 0.8
+    # the pre-period explains most user-level variance: big reduction
+    assert r["var_ratio"] < 0.2
+    assert abs(r["z_cuped"]) > abs(r["z_raw"])
+    assert 0.8 < r["theta"] < 1.1  # persistent effect -> theta ~ 1
