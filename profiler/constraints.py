@@ -931,3 +931,60 @@ def json_schema_check(
             viol.cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("violation_rate"),
     ).orderBy("key")
+
+
+def json_schema(
+    json_col: str,
+    key: str,
+    expected: str = "any",
+    required: bool = False,
+    name: str | None = None,
+) -> Constraint:
+    """Row-local CONSTRAINT form of one :func:`json_schema_check` rule —
+    pass/fail per partition plus materialized violation rows, so
+    embedded-payload contracts (tool args, event props) ride the same
+    ConstraintSuite as the column-level rules: severity / tolerance via
+    :func:`with_policy`, fused single-scan evaluation with every other
+    row-local constraint, checkpointed resume for free. Violations carry
+    the raw value token and the reason (``missing_required`` /
+    ``wrong_type``). Same raw-token regex semantics as
+    :func:`json_schema_check` (flat payloads; numbers must try_cast,
+    strings must be quoted tokens).
+    """
+    import re as _re
+
+    cname = name or f"json_schema({json_col}.{key})"
+    pat = (
+        '"' + _re.escape(key) + '"'
+        + r'\s*:\s*("(?:[^"\\]|\\.)*"|[^,}\]\s]+)'
+    )
+
+    def _parts() -> tuple[Column, dict, dict]:
+        j = F.col(json_col)
+        tok = F.regexp_extract(j, pat, 1)
+        present = (tok != "") & (tok != "null")
+        as_num = tok.try_cast("double")
+        if expected == "number":
+            bad_type = present & as_num.isNull()
+        elif expected == "string":
+            bad_type = present & ~tok.startswith('"')
+        else:
+            bad_type = F.lit(False)
+        missing = ~F.coalesce(present, F.lit(False)) if required else F.lit(False)
+        pred = F.coalesce(bad_type, F.lit(False)) | missing
+        reason = F.when(
+            F.coalesce(bad_type, F.lit(False)), F.lit("wrong_type")
+        ).otherwise(F.lit("missing_required"))
+        return (
+            pred,
+            {"key": F.lit(key)},
+            {"reason": reason, "token": tok, "expected": F.lit(expected)},
+        )
+
+    def fn(df: DataFrame, part: Column) -> DataFrame:
+        pred, keys, details = _parts()
+        return _violations_schema_select(
+            df.where(pred), cname, part, keys, details
+        )
+
+    return Constraint(cname, fn, row_parts=_parts)

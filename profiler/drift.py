@@ -3538,3 +3538,95 @@ def cuped_adjusted_effect(
             F.round((adj_se * adj_se) / (raw_se * raw_se), 6),
         ).alias("var_ratio"),
     )
+
+
+def daily_mix_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Daily COMPOSITION anomaly: per day, the Jensen–Shannon divergence
+    (nats) between that day's categorical mix and the whole table's mix,
+    robust-scored across days (exact median + Qn, the
+    :func:`profiler.timeseries.robust_anomaly` envelope). The volume
+    panel (q243/q270) sees a normal-sized day; this catches the day
+    whose TOTAL was fine but whose composition was wrong — a scraper
+    flood of one event type, a tool outage silently swallowed by other
+    traffic. Emits (x, n, js_divergence, median, qn, robust_z,
+    is_anomaly) per day.
+
+    Plan: one (day, category) hash aggregate; the global mix is a
+    |cats|-row broadcast; the day×category grid is |days|·|cats|-bounded
+    (zero-count cells materialize from the grid so the p = 0 terms are
+    exact); JS collapses back to the |days|-frame, where the robust
+    scoring runs its bounded pair join.
+    """
+    from profiler.timeseries import robust_anomaly
+
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    cat = F.col(cat_col).cast("string")
+    base = df.where(
+        F.col(ts_col).isNotNull() & cat.isNotNull()
+    ).select(
+        F.unix_date(day).cast("double").alias("__x"), cat.alias("__c")
+    )
+    day_cat = base.groupBy("__x", "__c").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    days = day_cat.groupBy("__x").agg(F.sum("__n").alias("__nd"))
+    cats = base.groupBy("__c").agg(F.count(F.lit(1)).alias("__nc"))
+    wf = Window.partitionBy()
+    cats = cats.select(
+        "__c",
+        (
+            F.col("__nc").cast("double")
+            / F.sum("__nc").over(wf).cast("double")
+        ).alias("__q"),
+    )
+    grid = (
+        days.crossJoin(F.broadcast(cats))
+        .join(day_cat, ["__x", "__c"], "left")
+        .select(
+            "__x",
+            "__nd",
+            "__q",
+            (
+                F.coalesce(F.col("__n"), F.lit(0)).cast("double")
+                / F.col("__nd").cast("double")
+            ).alias("__p"),
+        )
+    )
+    p = F.col("__p")
+    q = F.col("__q")
+    m = (p + q) / 2.0
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    js = grid.groupBy("__x", "__nd").agg(
+        F.round(
+            F.sum(F.round(term, 8).cast("decimal(38,8)")).cast("double"),
+            6,
+        ).alias("__js")
+    )
+    scored = robust_anomaly(js, "__x", "__js", z_threshold=z_threshold)
+    out = js.join(
+        scored.select(
+            F.col("x").alias("__x2"),
+            "median",
+            "qn",
+            "robust_z",
+            "is_anomaly",
+        ),
+        F.col("__x") == F.col("__x2"),
+    ).select(
+        F.col("__x").alias("x"),
+        F.col("__nd").alias("n"),
+        F.col("__js").alias("js_divergence"),
+        "median",
+        "qn",
+        "robust_z",
+        "is_anomaly",
+    )
+    return out.orderBy("x")

@@ -2268,3 +2268,73 @@ def digit_uniformity(
         ).alias("chi2"),
     )
     return out.orderBy("digit")
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM SEGMENTATION rollup over an event table: per entity compute
+    Recency (days since last event, against the table horizon),
+    Frequency (events) and Monetary (DECIMAL value sum), score each
+    1..n_tiles by ntile (recency inverted so fresher = higher), and
+    return the n_tiles³ SEGMENT grid with entity counts and per-segment
+    averages — the classic "who are my 5-5-5s and how many 1-1-1s am I
+    about to lose" panel, as a bounded report frame rather than a
+    per-entity dump.
+
+    Plan: one (entity) hash aggregate collapses the events; the three
+    ntile windows run on the |entities| frame with full (metric, key)
+    tie-breaks (deterministic to the row); the output is the ≤ n_tiles³
+    rollup. At 10⁹-entity scale swap the ntile windows for
+    percentile_approx cut points — the segment algebra is unchanged.
+    """
+    key = F.col(key_col)
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        key.isNotNull() & ts.isNotNull() & v.isNotNull()
+    ).select(key.alias("__k"), ts.alias("__ts"), v.alias("__v"))
+    horizon = base.agg(F.max("__ts").alias("__hmax"))
+    per_key = base.crossJoin(F.broadcast(horizon)).groupBy("__k").agg(
+        F.round(
+            F.max(
+                (
+                    F.unix_micros(F.col("__hmax"))
+                    - F.unix_micros(F.col("__ts"))
+                ).cast("double")
+            )
+            / F.lit(86400.0 * 1e6),
+            6,
+        ).alias("__rec"),
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum(F.round(F.col("__v"), 6).cast("decimal(38,6)")).alias(
+            "__mon"
+        ),
+    )
+    w_r = Window.orderBy(F.col("__rec").asc(), F.col("__k").asc())
+    w_f = Window.orderBy(F.col("__freq").asc(), F.col("__k").asc())
+    w_m = Window.orderBy(F.col("__mon").asc(), F.col("__k").asc())
+    nt = int(n_tiles)
+    scored = per_key.select(
+        "__rec",
+        "__freq",
+        "__mon",
+        (nt + 1 - F.ntile(nt).over(w_r)).cast("long").alias("r_score"),
+        F.ntile(nt).over(w_f).cast("long").alias("f_score"),
+        F.ntile(nt).over(w_m).cast("long").alias("m_score"),
+    )
+    out = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.round(
+            F.avg(F.round(F.col("__rec"), 6)), 4
+        ).alias("avg_recency_days"),
+        F.round(F.avg(F.col("__freq").cast("double")), 4).alias(
+            "avg_frequency"
+        ),
+        F.round(F.sum("__mon").cast("double"), 4).alias("total_value"),
+    )
+    return out.orderBy("r_score", "f_score", "m_score")

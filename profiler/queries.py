@@ -15737,3 +15737,279 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id % 2 = 1",
         "pmod(unix_date(cast(ts as date)), 2) = 1",
     )
+
+
+@_register(
+    "q270_seasonal_robust_anomaly",
+    _DAILY_SQL
+    + """
+    , ph AS (SELECT x, y, CAST(x AS BIGINT) % 7 AS phase FROM daily),
+    med AS (
+      SELECT phase, ROUND(quantile_cont(y, 0.5), 8) AS pmed
+      FROM ph GROUP BY 1
+    ),
+    resid AS (
+      SELECT ph.x, ph.y, ph.phase, med.pmed,
+             ROUND(ph.y - med.pmed, 8) AS r
+      FROM ph JOIN med USING (phase)
+    ),
+    rmed AS (SELECT quantile_cont(r, 0.5) AS m FROM resid),
+    aa AS (SELECT x AS xa, r AS ra FROM resid),
+    bb AS (SELECT x AS xb, r AS rb FROM resid),
+    pairs AS (
+      SELECT xa, xb, ROUND(abs(ra - rb), 8) AS d
+      FROM aa JOIN bb ON xa < xb
+    ),
+    counted AS (
+      SELECT d, xa, xb, count(*) OVER () AS npairs FROM pairs
+    ),
+    sized AS (
+      SELECT d, xa, xb, npairs,
+             ROUND((1.0 + sqrt(1.0 + 8.0 * CAST(npairs AS DOUBLE)))
+                   / 2.0, 0) AS n
+      FROM counted
+    ),
+    ranked AS (
+      SELECT d,
+             CAST((floor(n / 2) + 1) * ((floor(n / 2) + 1) - 1) / 2
+                  AS BIGINT) AS k,
+             row_number() OVER (ORDER BY d ASC, xa ASC, xb ASC) AS r2
+      FROM sized
+    ),
+    qrow AS (SELECT ROUND(2.2219 * d, 6) AS qn FROM ranked WHERE r2 = k)
+    SELECT x, ROUND(y, 4) AS y, CAST(phase AS BIGINT) AS phase,
+           pmed AS phase_median, ROUND(r, 4) AS residual,
+           ROUND(m, 6) AS resid_median, qn,
+           CASE WHEN qn > 0 THEN ROUND((r - m) / qn, 4) END AS robust_z,
+           CASE WHEN qn > 0 THEN abs((r - m) / qn) > 3.5 END
+             AS is_anomaly
+    FROM resid, rmed, qrow ORDER BY x
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust anomaly panel (:func:`profiler.
+    timeseries.seasonal_robust_anomaly`, period = 7): day-of-week
+    medians subtracted BEFORE the exact-median + Qn robust z — the raw
+    panel (q243) cries wolf every weekend on a weekly-breathing series
+    and weekend dips inflate Qn until real incidents hide; this removes
+    the rhythm first. Phase medians are one 7-row broadcast."""
+    from profiler.timeseries import seasonal_robust_anomaly
+
+    return seasonal_robust_anomaly(
+        _daily_volumes(spark, sf_dir), "x", "y", period=7
+    )
+
+
+@_register(
+    "q271_json_key_drift",
+    r"""
+    WITH src_a AS (
+      SELECT props AS j FROM events
+      WHERE props IS NOT NULL AND json_valid(props) AND event_id % 2 = 0
+    ),
+    src_b AS (
+      SELECT props AS j FROM events
+      WHERE props IS NOT NULL AND json_valid(props) AND event_id % 2 = 1
+    ),
+    tot_a AS (SELECT count(*) AS n FROM src_a),
+    tot_b AS (SELECT count(*) AS n FROM src_b),
+    cls_a AS (
+      SELECT key,
+             CASE WHEN v IS NULL THEN 'null'
+                  WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+                  WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$')
+                    THEN 'float'
+                  WHEN v IN ('true', 'false') THEN 'bool'
+                  WHEN v LIKE '{%' THEN 'object'
+                  WHEN v LIKE '[%' THEN 'array'
+                  ELSE 'string' END AS vtype
+      FROM (
+        SELECT key, json_extract_string(j, '$.' || key) AS v
+        FROM (SELECT unnest(json_keys(j)) AS key, j FROM src_a)
+      )
+    ),
+    cls_b AS (
+      SELECT key,
+             CASE WHEN v IS NULL THEN 'null'
+                  WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+                  WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$')
+                    THEN 'float'
+                  WHEN v IN ('true', 'false') THEN 'bool'
+                  WHEN v LIKE '{%' THEN 'object'
+                  WHEN v LIKE '[%' THEN 'array'
+                  ELSE 'string' END AS vtype
+      FROM (
+        SELECT key, json_extract_string(j, '$.' || key) AS v
+        FROM (SELECT unnest(json_keys(j)) AS key, j FROM src_b)
+      )
+    ),
+    pa AS (
+      SELECT key, vtype, count(*) AS n_a,
+             ROUND(sum(count(*)) OVER (PARTITION BY key)
+                   / CAST((SELECT n FROM tot_a) AS DOUBLE), 6)
+               AS coverage_a
+      FROM cls_a GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT key, vtype, count(*) AS n_b,
+             ROUND(sum(count(*)) OVER (PARTITION BY key)
+                   / CAST((SELECT n FROM tot_b) AS DOUBLE), 6)
+               AS coverage_b
+      FROM cls_b GROUP BY 1, 2
+    ),
+    j AS (SELECT * FROM pa FULL OUTER JOIN pb USING (key, vtype))
+    SELECT key, vtype,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+           coalesce(coverage_a, 0.0) AS coverage_a,
+           coalesce(coverage_b, 0.0) AS coverage_b,
+           ROUND(coalesce(coverage_b, 0.0) - coalesce(coverage_a, 0.0), 6)
+             AS coverage_delta,
+           CASE WHEN n_a IS NULL THEN 'appeared'
+                WHEN n_b IS NULL THEN 'vanished'
+                ELSE 'stable' END AS status
+    FROM j ORDER BY key, vtype
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON key/type drift (:func:`profiler.sources.
+    json_key_drift`) between the two snapshots: which props keys
+    appeared, vanished, changed coverage, or started arriving as a
+    DIFFERENT value class — the int-became-string tool-args break a
+    column-level schema diff cannot see (the column is one string
+    blob). One (key, vtype) aggregate per side + a domain-sized
+    full-outer join."""
+    from profiler.sources import json_key_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return json_key_drift(a, b, "props")
+
+
+@_register(
+    "q272_rfm_segments",
+    """
+    WITH base AS (
+      SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    h AS (SELECT max(ts) AS hmax FROM base),
+    per_key AS (
+      SELECT k,
+             ROUND(max(CAST(epoch_us(hmax) - epoch_us(ts) AS DOUBLE))
+                   / 86400000000.0, 6) AS rec,
+             count(*) AS freq,
+             sum(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS mon
+      FROM base, h GROUP BY k
+    ),
+    scored AS (
+      SELECT rec, freq, mon,
+             CAST(6 - ntile(5) OVER (ORDER BY rec ASC, k ASC) AS BIGINT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq ASC, k ASC) AS BIGINT)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY mon ASC, k ASC) AS BIGINT)
+               AS m_score
+      FROM per_key
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_entities,
+           ROUND(avg(ROUND(rec, 6)), 4) AS avg_recency_days,
+           ROUND(avg(CAST(freq AS DOUBLE)), 4) AS avg_frequency,
+           ROUND(CAST(sum(mon) AS DOUBLE), 4) AS total_value
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation rollup (:func:`profiler.profile.rfm_segments`,
+    quintiles): recency/frequency/monetary ntile scores per entity
+    collapsed to the ≤125-cell segment grid with counts and per-segment
+    averages — the classic entity-health panel as a bounded report.
+    One entity aggregate + three tie-broken ntile windows on the
+    |entities| frame."""
+    from profiler.profile import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, "user_id", "ts", "value", n_tiles=5)
+
+
+@_register(
+    "q273_daily_mix_anomaly",
+    """
+    WITH base AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             event_type AS c
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    day_cat AS (SELECT x, c, count(*) AS n FROM base GROUP BY 1, 2),
+    days AS (SELECT x, sum(n) AS nd FROM day_cat GROUP BY 1),
+    cats AS (
+      SELECT c, CAST(count(*) AS DOUBLE)
+                / CAST(sum(count(*)) OVER () AS DOUBLE) AS q
+      FROM base GROUP BY c
+    ),
+    grid AS (
+      SELECT d.x, d.nd, ct.q,
+             CAST(coalesce(dc.n, 0) AS DOUBLE) / CAST(d.nd AS DOUBLE)
+               AS p
+      FROM days d CROSS JOIN cats ct
+      LEFT JOIN day_cat dc ON dc.x = d.x AND dc.c = ct.c
+    ),
+    js AS (
+      SELECT x, nd,
+             ROUND(CAST(sum(CAST(ROUND(
+               CASE WHEN p > 0
+                    THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                    ELSE 0.0 END
+               + CASE WHEN q > 0
+                      THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                      ELSE 0.0 END, 8) AS DECIMAL(38,8)))
+               AS DOUBLE), 6) AS jsv
+      FROM grid GROUP BY 1, 2
+    ),
+    med AS (SELECT quantile_cont(jsv, 0.5) AS m FROM js),
+    aa AS (SELECT x AS xa, jsv AS ya FROM js),
+    bb AS (SELECT x AS xb, jsv AS yb FROM js),
+    pairs AS (
+      SELECT xa, xb, ROUND(abs(ya - yb), 8) AS d
+      FROM aa JOIN bb ON xa < xb
+    ),
+    counted AS (
+      SELECT d, xa, xb, count(*) OVER () AS npairs FROM pairs
+    ),
+    sized AS (
+      SELECT d, xa, xb, npairs,
+             ROUND((1.0 + sqrt(1.0 + 8.0 * CAST(npairs AS DOUBLE)))
+                   / 2.0, 0) AS n
+      FROM counted
+    ),
+    ranked AS (
+      SELECT d,
+             CAST((floor(n / 2) + 1) * ((floor(n / 2) + 1) - 1) / 2
+                  AS BIGINT) AS kk,
+             row_number() OVER (ORDER BY d ASC, xa ASC, xb ASC) AS r
+      FROM sized
+    ),
+    qrow AS (SELECT ROUND(2.2219 * d, 6) AS qn FROM ranked WHERE r = kk)
+    SELECT x, CAST(nd AS BIGINT) AS n, jsv AS js_divergence,
+           ROUND(m, 6) AS median, qn,
+           CASE WHEN qn > 0 THEN ROUND((jsv - m) / qn, 4) END
+             AS robust_z,
+           CASE WHEN qn > 0 THEN abs((jsv - m) / qn) > 3.5 END
+             AS is_anomaly
+    FROM js, med, qrow ORDER BY x
+    """,
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily composition anomaly (:func:`profiler.drift.
+    daily_mix_anomaly`): per-day Jensen-Shannon divergence against the
+    global categorical mix, robust-scored across days — catches the day
+    whose VOLUME was normal but whose composition was wrong (one event
+    type flooding while another silently died). |days|x|cats| bounded
+    grid; zero-count cells materialize so p = 0 terms are exact."""
+    from profiler.drift import daily_mix_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return daily_mix_anomaly(ev, "ts", "event_type")

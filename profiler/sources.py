@@ -304,3 +304,51 @@ def json_key_profile(df: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("key", "vtype")
     )
+
+
+def json_key_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Embedded-JSON KEY/TYPE drift between two snapshots: the
+    :func:`json_key_profile` frames full-outer-joined on (key, vtype) —
+    which keys appeared, vanished, changed row coverage, or started
+    arriving with a DIFFERENT value class (the int that became a string
+    is the classic silent tool-args schema break; a column-level schema
+    diff can't see it because the column is one string blob). Emits one
+    row per (key, vtype) with per-side counts, coverages, the coverage
+    delta and a status tag.
+
+    Plan: one from_json → (key, vtype) hash aggregate per side (the
+    json_key_profile plan), then a |key-domain|-sized full-outer join —
+    each snapshot scanned exactly once.
+    """
+    a = json_key_profile(df_a, col).select(
+        "key",
+        "vtype",
+        F.col("n").alias("n_a"),
+        F.col("key_coverage").alias("coverage_a"),
+    )
+    b = json_key_profile(df_b, col).select(
+        "key",
+        "vtype",
+        F.col("n").alias("n_b"),
+        F.col("key_coverage").alias("coverage_b"),
+    )
+    joined = a.join(b, ["key", "vtype"], "full_outer")
+    status = (
+        F.when(F.col("n_a").isNull(), "appeared")
+        .when(F.col("n_b").isNull(), "vanished")
+        .otherwise("stable")
+    )
+    return joined.select(
+        "key",
+        "vtype",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.col("coverage_a"), F.lit(0.0)).alias("coverage_a"),
+        F.coalesce(F.col("coverage_b"), F.lit(0.0)).alias("coverage_b"),
+        F.round(
+            F.coalesce(F.col("coverage_b"), F.lit(0.0))
+            - F.coalesce(F.col("coverage_a"), F.lit(0.0)),
+            6,
+        ).alias("coverage_delta"),
+        status.alias("status"),
+    ).orderBy("key", "vtype")

@@ -2410,11 +2410,14 @@ def logrank_test(
     base = df.where(
         d.isNotNull() & ~F.isnan(d) & ev.isNotNull() & g.isNotNull()
     ).select(d.alias("t"), ev.alias("e"), g.alias("g"))
-    wfg = Window.partitionBy()
-    tagged = base.select(
+    # group label "a" = the smaller-sorted value, attached as a 1-row
+    # broadcast (NOT a window over the duration rows — those can be
+    # entity-scale)
+    g0 = base.agg(F.min("g").alias("__g0"))
+    tagged = base.crossJoin(F.broadcast(g0)).select(
         "t",
         "e",
-        (F.col("g") == F.min("g").over(wfg)).alias("__is_a"),
+        (F.col("g") == F.col("__g0")).alias("__is_a"),
     )
     pts = tagged.groupBy("t").agg(
         F.sum(F.when(F.col("__is_a"), F.col("e")).otherwise(0)).alias("da"),
@@ -2487,3 +2490,68 @@ def logrank_test(
         F.round(z, 4).alias("z"),
         F.round(z * z, 4).alias("chi2"),
     )
+
+
+def seasonal_robust_anomaly(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    period: int = 7,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """SEASONALLY-ADJUSTED robust anomaly panel: subtract each point's
+    phase median (day-of-week for period = 7), then score the residuals
+    with the exact-median + Qn robust z of :func:`robust_anomaly`. On a
+    weekly-breathing series the raw panel cries wolf every weekend
+    (Sundays are "anomalous" relative to the week's median) and, worse,
+    weekend dips inflate Qn until a real incident hides inside the
+    limits; adjusting by phase medians removes the rhythm first —
+    the robust twin of :func:`seasonal_decompose` + residual screening.
+
+    Plan: phase medians are ONE |period|-row exact-percentile aggregate
+    broadcast back onto the |days|-frame; everything after is exactly
+    the :func:`robust_anomaly` envelope on the residual series, plus
+    one |days|-sized join to re-attach the observed level.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    phase = F.pmod(F.col("__x").cast("long"), F.lit(int(period)))
+    tagged = base.select("__x", "__y", phase.alias("__phase"))
+    med = tagged.groupBy("__phase").agg(
+        F.round(F.percentile(F.col("__y"), F.lit(0.5)), 8).alias(
+            "__pmed"
+        )
+    )
+    resid = tagged.join(F.broadcast(med), "__phase").select(
+        "__x",
+        "__y",
+        "__phase",
+        "__pmed",
+        F.round(F.col("__y") - F.col("__pmed"), 8).alias("__r"),
+    )
+    scored = robust_anomaly(
+        resid, "__x", "__r", z_threshold=z_threshold
+    ).select(
+        F.col("x").alias("__x2"),
+        F.col("median").alias("resid_median"),
+        "qn",
+        "robust_z",
+        "is_anomaly",
+    )
+    out = resid.join(
+        scored, F.col("__x") == F.col("__x2")
+    ).select(
+        F.col("__x").alias("x"),
+        F.round("__y", 4).alias("y"),
+        F.col("__phase").cast("long").alias("phase"),
+        F.col("__pmed").alias("phase_median"),
+        F.round("__r", 4).alias("residual"),
+        "resid_median",
+        "qn",
+        "robust_z",
+        "is_anomaly",
+    )
+    return out.orderBy("x")

@@ -1385,3 +1385,57 @@ def test_logrank_collapses_before_windows(spark, events):
     assert w_at != -1
     assert "HashAggregate" in plan[w_at:]
     assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_robust_anomaly_phase_medians_broadcast(spark, events):
+    """Seasonal anomaly: phase medians attach as a bounded broadcast;
+    the pair join inputs are day-frame aggregates, never raw rows."""
+    from profiler.timeseries import seasonal_robust_anomaly
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(seasonal_robust_anomaly(daily, "x", "y"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_key_drift_joins_domain_frames(spark, events):
+    """Key drift: the full-outer join runs on (key, vtype) aggregate
+    frames — aggregates below the join, no nested loop on rows."""
+    from profiler.sources import json_key_drift
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(json_key_drift(a, b, "props"))
+    join_at = plan.find("SortMergeJoin")
+    if join_at == -1:
+        join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_rfm_windows_run_on_entity_frame(spark, events):
+    """RFM: the ntile windows must consume the entity AGGREGATE frame
+    (HashAggregate below the windows), and the output is the bounded
+    segment rollup."""
+    from profiler.profile import rfm_segments
+
+    plan = _plan(rfm_segments(events, "user_id", "ts", "value"))
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_mix_anomaly_grid_is_bounded(spark, events):
+    """Mix anomaly: the day x category grid builds from aggregate frames
+    (broadcast cats onto the day frame) — no nested loop on raw rows."""
+    from profiler.drift import daily_mix_anomaly
+
+    plan = _plan(daily_mix_anomaly(events, "ts", "event_type"))
+    assert "CartesianProduct" not in plan
+    # the one nested-loop join allowed is the bounded |days|x|cats| grid
+    # and 1-row scale attachments; every input must be aggregated first
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "HashAggregate" in seg

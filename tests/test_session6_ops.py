@@ -858,3 +858,152 @@ def test_cuped_reduces_variance_with_correlated_covariate(spark):
     assert r["var_ratio"] < 0.2
     assert abs(r["z_cuped"]) > abs(r["z_raw"])
     assert 0.8 < r["theta"] < 1.1  # persistent effect -> theta ~ 1
+
+
+def test_seasonal_robust_anomaly_unmasks_weekly_rhythm(spark):
+    from profiler.timeseries import robust_anomaly, seasonal_robust_anomaly
+
+    rng = np.random.default_rng(193)
+    # strong weekly rhythm: weekends at 40% of weekday volume, plus one
+    # genuine incident on a WEEKEND day (which the rhythm would hide)
+    ys = []
+    for d in range(56):
+        base = 100.0 if d % 7 < 5 else 40.0
+        ys.append(float(base + rng.normal(0, 2)))
+    ys[27] = 80.0  # d=27 is a weekend day (27%7==6): 2x its phase level
+    df = _series_df(spark, ys)
+    raw = {r["x"]: r for r in robust_anomaly(df, "x", "y").collect()}
+    adj = {
+        r["x"]: r
+        for r in seasonal_robust_anomaly(df, "x", "y", period=7).collect()
+    }
+    # raw panel: weekends all look anomalous (false alarms)
+    weekend_flags = [raw[float(d)]["is_anomaly"] for d in range(56)
+                     if d % 7 >= 5 and d != 27]
+    assert any(weekend_flags)
+    # adjusted panel: ordinary weekends are quiet, the incident fires
+    adj_weekend_false = [adj[float(d)]["is_anomaly"] for d in range(56)
+                         if d % 7 >= 5 and d != 27]
+    assert not any(adj_weekend_false)
+    assert adj[27.0]["is_anomaly"]
+    # the incident is INVISIBLE to the raw panel (80 sits between the
+    # 100-weekday and 40-weekend levels)
+    assert not raw[27.0]["is_anomaly"]
+    # phase medians are the per-weekday medians
+    import statistics
+
+    for d in (0, 5):
+        expect = statistics.median(
+            [ys[i] for i in range(56) if i % 7 == d % 7]
+        )
+        assert abs(adj[float(d)]["phase_median"] - expect) < 1e-6
+
+
+def test_json_key_drift_detects_type_flip_and_churn(spark):
+    from profiler.sources import json_key_drift
+
+    a = spark.createDataFrame(
+        [('{"k": 1, "old": "x"}',)] * 4, "props string"
+    )
+    b = spark.createDataFrame(
+        [('{"k": "1", "new": true}',)] * 5, "props string"
+    )
+    out = {(r["key"], r["vtype"]): r for r in
+           json_key_drift(a, b, "props").collect()}
+    # the int-became-string flip shows as two rows
+    assert out[("k", "int")]["status"] == "vanished"
+    assert out[("k", "string")]["status"] == "appeared"
+    assert out[("old", "string")]["status"] == "vanished"
+    assert out[("new", "bool")]["status"] == "appeared"
+    assert out[("k", "int")]["coverage_a"] == 1.0
+    assert out[("k", "string")]["coverage_b"] == 1.0
+    assert out[("new", "bool")]["n_b"] == 5
+
+
+def test_rfm_segments_grid_and_scores(spark):
+    import datetime as dt
+
+    from profiler.profile import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 users: user k has k+1 events, value 10*k each, last event k
+    # days before the horizon (user 9 is most recent AND heaviest)
+    for k in range(10):
+        for i in range(k + 1):
+            rows.append(
+                (k, t0 + dt.timedelta(days=30 - (9 - k) - i), float(10 * k))
+            )
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = rfm_segments(df, "u", "ts", "v", n_tiles=5).collect()
+    assert sum(r["n_entities"] for r in out) == 10
+    top = [r for r in out if (r["r_score"], r["f_score"], r["m_score"])
+           == (5, 5, 5)]
+    bottom = [r for r in out if (r["r_score"], r["f_score"], r["m_score"])
+              == (1, 1, 1)]
+    # user 9: freshest, most frequent, highest value; user 0 the inverse
+    assert top and top[0]["n_entities"] == 2        # users 8 and 9
+    assert bottom and bottom[0]["n_entities"] == 2  # users 0 and 1
+    assert top[0]["avg_recency_days"] < bottom[0]["avg_recency_days"]
+    assert top[0]["total_value"] > bottom[0]["total_value"]
+
+
+def test_daily_mix_anomaly_flags_composition_not_volume(spark):
+    import datetime as dt
+
+    from profiler.drift import daily_mix_anomaly
+
+    rng = np.random.default_rng(197)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    cats = ["view", "click", "purchase"]
+    for d in range(30):
+        if d == 17:
+            # same TOTAL volume, but all one category
+            for i in range(90):
+                rows.append((t0 + dt.timedelta(days=d, seconds=i), "view"))
+        else:
+            for i in range(90):
+                c = cats[int(rng.integers(0, 3))]
+                rows.append((t0 + dt.timedelta(days=d, seconds=i), c))
+    df = spark.createDataFrame(rows, "ts timestamp, c string")
+    out = {r["x"]: r for r in daily_mix_anomaly(df, "ts", "c").collect()}
+    bad_day = float((t0 + dt.timedelta(days=17) - dt.datetime(1970, 1, 1)).days)
+    assert out[bad_day]["is_anomaly"]
+    flagged = [x for x, r in out.items() if r["is_anomaly"]]
+    assert flagged == [bad_day]
+    # JS of the flooded day dominates every normal day
+    assert out[bad_day]["js_divergence"] > 5 * max(
+        r["js_divergence"] for x, r in out.items() if x != bad_day
+    )
+
+
+def test_json_schema_constraint_in_suite(spark):
+    from profiler.constraints import ConstraintSuite, json_schema, with_policy
+
+    rows = [
+        ('{"k": 1}', 1),
+        ('{"k": "oops"}', 2),   # wrong type
+        ('{"z": 0}', 3),        # k missing
+        (None, 4),
+    ]
+    df = spark.createDataFrame(rows, "props string, rid long")
+    suite = ConstraintSuite(
+        [json_schema("props", "k", expected="number", required=True)],
+        partition_expr="'all'",
+    )
+    res = suite.validate(df)
+    assert not res.passed()
+    v = res.violations.collect()
+    assert len(v) == 3
+    reasons = sorted(r["details"]["reason"] for r in v)
+    assert reasons == ["missing_required", "missing_required", "wrong_type"]
+    # warn severity surfaces in the summary but never gates the run
+    suite2 = ConstraintSuite(
+        [with_policy(
+            json_schema("props", "k", expected="number", required=True),
+            severity="warn",
+        )],
+        partition_expr="'all'",
+    )
+    assert suite2.validate(df).passed()
