@@ -2301,7 +2301,7 @@ def rfm_segments(
     horizon = base.agg(F.max("__ts").alias("__hmax"))
     per_key = base.crossJoin(F.broadcast(horizon)).groupBy("__k").agg(
         F.round(
-            F.max(
+            F.min(
                 (
                     F.unix_micros(F.col("__hmax"))
                     - F.unix_micros(F.col("__ts"))

@@ -15898,7 +15898,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (SELECT max(ts) AS hmax FROM base),
     per_key AS (
       SELECT k,
-             ROUND(max(CAST(epoch_us(hmax) - epoch_us(ts) AS DOUBLE))
+             ROUND(min(CAST(epoch_us(hmax) - epoch_us(ts) AS DOUBLE))
                    / 86400000000.0, 6) AS rec,
              count(*) AS freq,
              sum(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS mon

