@@ -1638,3 +1638,55 @@ def containment_join(
             4,
         ).alias("containment"),
     )
+
+
+def capture_recapture(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """Chapman CAPTURE–RECAPTURE estimate of the true population size
+    behind two overlapping snapshots: N̂ = (n_a+1)(n_b+1)/(m+1) − 1 from
+    the distinct-key counts and their overlap m, with the standard
+    variance and a 95% interval. Two crawls of the same web, two dumps
+    of the same upstream, two days of a feed: the union you HAVE is not
+    the population that EXISTS, and coverage = union/N̂ is the number
+    that says whether a third crawl is worth running — the
+    dedup-pipeline question none of the dedup operators themselves
+    answer. Assumes (document it per use) roughly equal catchability.
+
+    Plan: one distinct-key collapse per side (hash aggregate on the
+    key), one equi-join for the overlap count, three 1-row aggregates —
+    each input scanned once, nothing row-scale after the collapse.
+    """
+    k = F.col(key_col)
+
+    def _keys(df: DataFrame) -> DataFrame:
+        return df.where(k.isNotNull()).select(k.alias("__k")).distinct()
+
+    ka = _keys(df_a)
+    kb = _keys(df_b)
+    na = ka.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = kb.agg(F.count(F.lit(1)).alias("n_b"))
+    m = ka.join(kb, "__k").agg(F.count(F.lit(1)).alias("m_overlap"))
+    both = na.crossJoin(nb).crossJoin(m)
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    md = F.col("m_overlap").cast("double")
+    nhat = (nad + 1.0) * (nbd + 1.0) / (md + 1.0) - 1.0
+    var = (
+        (nad + 1.0)
+        * (nbd + 1.0)
+        * (nad - md)
+        * (nbd - md)
+        / ((md + 1.0) * (md + 1.0) * (md + 2.0))
+    )
+    union = nad + nbd - md
+    return both.select(
+        "n_a",
+        "n_b",
+        "m_overlap",
+        F.round(nhat, 2).alias("n_hat"),
+        F.round(F.sqrt(var), 2).alias("se"),
+        F.round(nhat - 1.96 * F.sqrt(var), 2).alias("ci_lo"),
+        F.round(nhat + 1.96 * F.sqrt(var), 2).alias("ci_hi"),
+        F.when(nhat > 0, F.round(union / nhat, 6)).alias("coverage"),
+    )

@@ -16013,3 +16013,101 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return daily_mix_anomaly(ev, "ts", "event_type")
+
+
+@_register(
+    "q274_capture_recapture",
+    """
+    WITH ka AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE user_id IS NOT NULL AND event_id % 2 = 0
+    ),
+    kb AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE user_id IS NOT NULL AND event_id % 2 = 1
+    ),
+    na AS (SELECT count(*) AS n_a FROM ka),
+    nb AS (SELECT count(*) AS n_b FROM kb),
+    m AS (SELECT count(*) AS m_overlap FROM ka JOIN kb USING (k)),
+    j AS (SELECT * FROM na, nb, m),
+    c AS (
+      SELECT n_a, n_b, m_overlap,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(m_overlap AS DOUBLE) AS md
+      FROM j
+    ),
+    e AS (
+      SELECT n_a, n_b, m_overlap, nad, nbd, md,
+             (nad + 1.0) * (nbd + 1.0) / (md + 1.0) - 1.0 AS nhat,
+             (nad + 1.0) * (nbd + 1.0) * (nad - md) * (nbd - md)
+               / ((md + 1.0) * (md + 1.0) * (md + 2.0)) AS var
+      FROM c
+    )
+    SELECT n_a, n_b, m_overlap, ROUND(nhat, 2) AS n_hat,
+           ROUND(sqrt(var), 2) AS se,
+           ROUND(nhat - 1.96 * sqrt(var), 2) AS ci_lo,
+           ROUND(nhat + 1.96 * sqrt(var), 2) AS ci_hi,
+           CASE WHEN nhat > 0 THEN
+             ROUND((nad + nbd - md) / nhat, 6) END AS coverage
+    FROM e
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate (:func:`profiler.
+    dedup.capture_recapture`) across the two snapshots' entity sets:
+    the union you HAVE vs the population that EXISTS — coverage is the
+    number that says whether a third crawl is worth running, the
+    dedup-pipeline question the dedup operators themselves never answer.
+    Distinct-key collapses + one overlap join, 1-row algebra after."""
+    from profiler.dedup import capture_recapture
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return capture_recapture(a, b, "user_id")
+
+
+@_register(
+    "q275_vocab_richness",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+               ), w -> w != '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    agg AS (
+      SELECT count(*) AS vocab, sum(c) AS n_tokens,
+             count_if(c = 1) AS f1, count_if(c = 2) AS f2
+      FROM freq
+    ),
+    c AS (
+      SELECT CAST(vocab AS BIGINT) AS vocab,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             CAST(vocab AS DOUBLE) AS v, CAST(n_tokens AS DOUBLE) AS n,
+             CAST(f1 AS DOUBLE) AS f1d, CAST(f2 AS DOUBLE) AS f2d
+      FROM agg
+    )
+    SELECT vocab, n_tokens, f1, f2,
+           ROUND(v + f1d * (f1d - 1.0) / (2.0 * (f2d + 1.0)), 2) AS chao1,
+           CASE WHEN n > 0 THEN ROUND(f1d / n, 6) END AS gt_unseen_mass,
+           CASE WHEN n > 0 THEN ROUND(1.0 - f1d / n, 6) END AS coverage,
+           CASE WHEN v + f1d * (f1d - 1.0) / (2.0 * (f2d + 1.0)) > 0 THEN
+             ROUND(v / (v + f1d * (f1d - 1.0) / (2.0 * (f2d + 1.0))), 6)
+           END AS vocab_completeness
+    FROM c
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness panel (:func:`profiler.text.vocab_richness`):
+    Chao1 lower bound on the TRUE vocabulary from singleton/doubleton
+    counts, Good-Turing unseen mass and sample coverage — q253's Heaps
+    curve says how fast vocabulary grows, this says how much is still
+    unseen. One token aggregate + one frequency-of-frequencies pass."""
+    from profiler.text import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"))

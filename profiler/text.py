@@ -3105,3 +3105,47 @@ def heaps_law(
         F.round(beta, 4).alias("beta"),
         F.round(k_fit, 4).alias("k_fit"),
     ).orderBy("checkpoint")
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary RICHNESS panel: observed distinct tokens V, total
+    tokens N, singleton/doubleton counts f₁/f₂, the bias-corrected
+    Chao1 lower-bound estimate of the TRUE vocabulary
+    V + f₁(f₁−1)/(2(f₂+1)), Good–Turing unseen probability mass f₁/N,
+    and sample coverage 1 − f₁/N. :func:`heaps_law` says how fast the
+    vocabulary GROWS; this says how much is still UNSEEN — the pair
+    that decides whether a tokenizer/vocab sweep has sampled enough
+    corpus, and a coverage collapse between snapshots is encoding
+    damage or spam minting "new words" wholesale.
+
+    Plan: ONE (token) hash aggregate over the exploded clean-token
+    stream, then one frequency-of-frequencies aggregate (f₁/f₂ as
+    conditional counts) — two exchanges, no window, no join, nothing
+    proportional to corpus size after the token collapse.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(clean_tokens_expr(F.col(text_col))).alias("__t"))
+    )
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = freq.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("__c").alias("n_tokens"),
+        F.count_if(F.col("__c") == 1).alias("f1"),
+        F.count_if(F.col("__c") == 2).alias("f2"),
+    )
+    v = F.col("vocab").cast("double")
+    n = F.col("n_tokens").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    return agg.select(
+        "vocab",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 2).alias("chao1"),
+        F.when(n > 0, F.round(f1 / n, 6)).alias("gt_unseen_mass"),
+        F.when(n > 0, F.round(1.0 - f1 / n, 6)).alias("coverage"),
+        F.when(chao1 > 0, F.round(v / chao1, 6)).alias("vocab_completeness"),
+    )

@@ -1443,3 +1443,27 @@ def test_daily_mix_anomaly_grid_is_bounded(spark, events):
     assert first_join != -1
     assert "HashAggregate" in plan[first_join:]
     assert plan.count("HashAggregate") >= 6  # day-cat/days/cats/js partial+final
+
+
+def test_capture_recapture_joins_distinct_key_frames(spark, events):
+    """Capture-recapture: the overlap join consumes DISTINCT-key frames
+    (aggregates below the join), never raw events."""
+    from profiler.dedup import capture_recapture
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(capture_recapture(a, b, "user_id"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_vocab_richness_two_exchanges_no_join(spark):
+    """Richness: token collapse + frequency-of-frequencies — no join,
+    no window, nothing after the token aggregate is corpus-sized."""
+    from profiler.text import vocab_richness
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(vocab_richness(docs))
+    assert "Join" not in plan
+    assert "Window" not in plan

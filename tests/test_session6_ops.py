@@ -1010,3 +1010,50 @@ def test_json_schema_constraint_in_suite(spark):
         partition_expr="'all'",
     )
     assert suite2.validate(df).passed()
+
+
+def test_capture_recapture_recovers_population(spark):
+    from profiler.dedup import capture_recapture
+
+    rng = np.random.default_rng(199)
+    # true population 1000; two independent samples seeing 50% / 40%
+    pop = list(range(1000))
+    a = [k for k in pop if rng.random() < 0.5]
+    b = [k for k in pop if rng.random() < 0.4]
+    da = spark.createDataFrame([(k,) for k in a], "k long")
+    db = spark.createDataFrame([(k,) for k in b], "k long")
+    r = capture_recapture(da, db, "k").first()
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["m_overlap"] == len(set(a) & set(b))
+    # Chapman is nearly unbiased: the truth sits inside the 95% CI
+    assert r["ci_lo"] < 1000 < r["ci_hi"]
+    assert abs(r["n_hat"] - 1000) < 100
+    union = len(set(a) | set(b))
+    assert abs(r["coverage"] - union / r["n_hat"]) < 1e-4
+
+
+def test_vocab_richness_matches_counter_reference(spark):
+    from collections import Counter
+
+    from profiler.text import vocab_richness
+
+    rng = np.random.default_rng(211)
+    # Zipf-ish corpus with a long singleton tail
+    words = [f"w{int(rng.zipf(1.5))}" for _ in range(5000)]
+    docs = [
+        (" ".join(words[i:i + 50]),) for i in range(0, 5000, 50)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    r = vocab_richness(df).first()
+    c = Counter(words)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    assert r["vocab"] == len(c)
+    assert r["n_tokens"] == 5000
+    assert r["f1"] == f1 and r["f2"] == f2
+    chao1 = len(c) + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert abs(r["chao1"] - chao1) < 0.01
+    assert abs(r["gt_unseen_mass"] - f1 / 5000) < 1e-6
+    # richness estimate exceeds the observed vocabulary
+    assert r["chao1"] > r["vocab"]
+    assert 0 < r["vocab_completeness"] < 1
