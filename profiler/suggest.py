@@ -191,3 +191,53 @@ def suite_from_rules(
         else:
             raise ValueError(f"unknown rule kind {rule!r} for column {c!r}")
     return suite
+
+
+def suggest_json_schema(
+    df: DataFrame,
+    json_col: str,
+    min_coverage: float = 0.99,
+    min_type_share: float = 0.99,
+) -> list[dict]:
+    """Mine :func:`profiler.constraints.json_schema` rules from an
+    embedded-JSON column: a key present in ≥ ``min_coverage`` of
+    parseable rows becomes ``required``; a key whose dominant value
+    class carries ≥ ``min_type_share`` of its occurrences gets the
+    matching ``expected`` type (int/float → "number", string →
+    "string", anything else → "any"). The mined list feeds
+    :func:`profiler.constraints.json_schema` /
+    :func:`json_schema_check` directly — the embedded-payload leg of
+    :func:`suggest_rules`, closing the discover→enforce loop for
+    tool-args contracts.
+
+    Plan: rides ONE :func:`profiler.sources.json_key_profile` pass (a
+    (key, vtype) hash aggregate); the rule derivation is driver-side
+    arithmetic on the key-domain frame.
+    """
+    from profiler.sources import json_key_profile
+
+    prof = json_key_profile(df, json_col).collect()
+    by_key: dict[str, list] = {}
+    for r in prof:
+        by_key.setdefault(r["key"], []).append(r)
+    rules: list[dict] = []
+    for key in sorted(by_key):
+        rows = by_key[key]
+        coverage = rows[0]["key_coverage"]
+        total = sum(r["n"] for r in rows)
+        dom = max(rows, key=lambda r: (r["n"], r["vtype"]))
+        share = dom["n"] / total if total else 0.0
+        if share >= min_type_share and dom["vtype"] in ("int", "float"):
+            expected = "number"
+        elif share >= min_type_share and dom["vtype"] == "string":
+            expected = "string"
+        else:
+            expected = "any"
+        rules.append(
+            {
+                "key": key,
+                "expected": expected,
+                "required": coverage >= min_coverage,
+            }
+        )
+    return rules

@@ -1057,3 +1057,22 @@ def test_vocab_richness_matches_counter_reference(spark):
     # richness estimate exceeds the observed vocabulary
     assert r["chao1"] > r["vocab"]
     assert 0 < r["vocab_completeness"] < 1
+
+
+def test_suggest_json_schema_mines_enforcable_rules(spark):
+    from profiler.constraints import json_schema_check
+    from profiler.suggest import suggest_json_schema
+
+    rows = (
+        [('{"k": %d, "tag": "t%d"}' % (i, i),) for i in range(99)]
+        + [('{"k": 99}',)]  # tag missing once -> not required
+    )
+    df = spark.createDataFrame(rows, "props string")
+    rules = suggest_json_schema(df, "props", min_coverage=0.995)
+    byk = {r["key"]: r for r in rules}
+    assert byk["k"] == {"key": "k", "expected": "number", "required": True}
+    assert byk["tag"]["expected"] == "string"
+    assert byk["tag"]["required"] is False
+    # the mined rules validate their own source data cleanly
+    out = json_schema_check(df, "props", rules).collect()
+    assert all(r["violation_rate"] == 0.0 for r in out)
