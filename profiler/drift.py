@@ -3630,3 +3630,83 @@ def daily_mix_anomaly(
         "is_anomaly",
     )
     return out.orderBy("x")
+
+
+def yuen_trimmed_2s(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen-style ROBUST mean comparison on percentile-winsorized
+    samples: each side's values are clamped to its exact
+    [trim, 1−trim] percentiles, then the ordinary Welch t runs on the
+    winsorized moments — the location test to read when
+    :func:`effect_size_panel`'s raw means follow one whale and q234's
+    Mann–Whitney answers only "did it move", not "by how much in
+    units". (Classic Yuen trims by ORDER-STATISTIC count; the
+    percentile-winsorized form computes identically on both engines
+    with no global sort and is the same estimator family — documented
+    deviation.) Emits winsorized means/SDs, the difference, SE, t and
+    the Welch–Satterthwaite dof.
+
+    Plan: per side, one exact-percentile aggregate (1-row broadcast)
+    then one winsorized sufficient-statistics aggregate — two scans per
+    input, no sort, no window, no row-scale join; swap the exact
+    percentile for ``percentile_approx`` at cluster scale.
+    """
+
+    def _moments(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        base = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("v"))
+        cuts = base.agg(
+            F.round(
+                F.percentile(F.col("v"), F.lit(float(trim))), 8
+            ).alias("__lo"),
+            F.round(
+                F.percentile(F.col("v"), F.lit(1.0 - float(trim))), 8
+            ).alias("__hi"),
+        )
+        w = F.least(F.greatest(F.col("v"), F.col("__lo")), F.col("__hi"))
+        return base.crossJoin(F.broadcast(cuts)).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.round(w, 6).cast("decimal(38,6)")).alias(f"__s_{tag}"),
+            F.sum(
+                F.round(w * w, 6).cast("decimal(38,6)")
+            ).alias(f"__q_{tag}"),
+        )
+
+    both = _moments(df_a, "a").crossJoin(_moments(df_b, "b"))
+
+    def _m(tag):
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"n_{tag}"
+        ).cast("double")
+
+    def _var(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        q = F.col(f"__q_{tag}").cast("double")
+        return F.greatest((q - s * s / n) / (n - 1.0), F.lit(0.0))
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa2 = _var("a") / na
+    sb2 = _var("b") / nb
+    diff = _m("b") - _m("a")
+    se = F.sqrt(sa2 + sb2)
+    dof = (sa2 + sb2) * (sa2 + sb2) / (
+        sa2 * sa2 / (na - 1.0) + sb2 * sb2 / (nb - 1.0)
+    )
+    return both.select(
+        "n_a",
+        "n_b",
+        F.round(_m("a"), 6).alias("wmean_a"),
+        F.round(_m("b"), 6).alias("wmean_b"),
+        F.round(F.sqrt(_var("a")), 6).alias("wsd_a"),
+        F.round(F.sqrt(_var("b")), 6).alias("wsd_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.when(se > 0, F.round(diff / se, 4)).alias("t"),
+        F.when(se > 0, F.round(dof, 2)).alias("dof"),
+    )

@@ -16111,3 +16111,137 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.text import vocab_richness
 
     return vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q276_chi2_residuals",
+    """
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST(user_id % 4 AS VARCHAR) AS y, count(*) AS n_obs
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT x, y, n_obs,
+             sum(n_obs) OVER (PARTITION BY x) AS rx,
+             sum(n_obs) OVER (PARTITION BY y) AS cy,
+             sum(n_obs) OVER () AS n
+      FROM cells
+    ),
+    c AS (
+      SELECT x, y, n_obs,
+             CAST(rx AS DOUBLE) AS rx, CAST(cy AS DOUBLE) AS cy,
+             CAST(n AS DOUBLE) AS n,
+             CAST(n_obs AS DOUBLE) AS o
+      FROM fr
+    ),
+    e AS (
+      SELECT x, y, n_obs, rx, cy, n, o,
+             rx * cy / n AS exp,
+             rx * cy / n * (1.0 - rx / n) * (1.0 - cy / n) AS denom
+      FROM c
+    )
+    SELECT x, y, n_obs, ROUND(exp, 4) AS expected,
+           ROUND((o - exp) * (o - exp) / exp, 4) AS chi2_contrib,
+           CASE WHEN denom > 0 THEN
+             ROUND((o - exp) / sqrt(denom), 4) END AS adj_residual,
+           abs(coalesce(
+             CASE WHEN denom > 0 THEN (o - exp) / sqrt(denom) END, 0.0
+           )) > 2.58 AS significant
+    FROM e ORDER BY x, y
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared CELL residual drill-down (:func:`profiler.
+    dependencies.chi2_residuals`, event type x user-id bucket): observed
+    vs independence expectation with Haberman adjusted residuals —
+    q157's scalar says THAT two columns associate; this says WHICH cells
+    carry it. One (x, y) hash aggregate, marginals as windows on the
+    bounded cell frame."""
+    from profiler.dependencies import chi2_residuals
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ev = ev.select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("bucket")
+    )
+    return chi2_residuals(ev, "event_type", "bucket")
+
+
+@_register(
+    "q277_yuen_trimmed",
+    _VALUE_AB_SQL
+    + """
+    , ca AS (
+      SELECT ROUND(quantile_cont(v, 0.2), 8) AS lo,
+             ROUND(quantile_cont(v, 0.8), 8) AS hi
+      FROM a
+    ),
+    ma AS (
+      SELECT count(*) AS n_a,
+             sum(CAST(ROUND(least(greatest(v, lo), hi), 6)
+                 AS DECIMAL(38,6))) AS s_a,
+             sum(CAST(ROUND(least(greatest(v, lo), hi)
+                 * least(greatest(v, lo), hi), 6)
+                 AS DECIMAL(38,6))) AS q_a
+      FROM a, ca
+    ),
+    cb AS (
+      SELECT ROUND(quantile_cont(v, 0.2), 8) AS lo,
+             ROUND(quantile_cont(v, 0.8), 8) AS hi
+      FROM b
+    ),
+    mb AS (
+      SELECT count(*) AS n_b,
+             sum(CAST(ROUND(least(greatest(v, lo), hi), 6)
+                 AS DECIMAL(38,6))) AS s_b,
+             sum(CAST(ROUND(least(greatest(v, lo), hi)
+                 * least(greatest(v, lo), hi), 6)
+                 AS DECIMAL(38,6))) AS q_b
+      FROM b, cb
+    ),
+    j AS (SELECT * FROM ma CROSS JOIN mb),
+    c AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             greatest((CAST(q_a AS DOUBLE)
+               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+               / (n_a - 1.0), 0.0) AS var_a,
+             greatest((CAST(q_b AS DOUBLE)
+               - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+               / (n_b - 1.0), 0.0) AS var_b
+      FROM j
+    ),
+    e AS (
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, na, nb,
+             mean_b - mean_a AS diff,
+             sqrt(var_a / na + var_b / nb) AS se,
+             (var_a / na + var_b / nb) * (var_a / na + var_b / nb)
+               / ((var_a / na) * (var_a / na) / (na - 1.0)
+                  + (var_b / nb) * (var_b / nb) / (nb - 1.0)) AS dof
+      FROM c
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 6) AS wmean_a, ROUND(mean_b, 6) AS wmean_b,
+           ROUND(sqrt(var_a), 6) AS wsd_a, ROUND(sqrt(var_b), 6) AS wsd_b,
+           ROUND(diff, 6) AS diff, ROUND(se, 6) AS se,
+           CASE WHEN se > 0 THEN ROUND(diff / se, 4) END AS t,
+           CASE WHEN se > 0 THEN ROUND(dof, 2) END AS dof
+    FROM e
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen-style robust mean comparison (:func:`profiler.drift.
+    yuen_trimmed_2s`, 20% percentile-winsorized Welch t): the
+    by-how-much-in-units location test that a whale cannot own —
+    complements q250's raw effect sizes and q234's ordinal answer.
+    Two scans per side, no sort, 1-row algebra after."""
+    from profiler.drift import yuen_trimmed_2s
+
+    a, b = _value_ab(spark, sf_dir)
+    return yuen_trimmed_2s(a, b, "v", trim=0.2)

@@ -1467,3 +1467,34 @@ def test_vocab_richness_two_exchanges_no_join(spark):
     plan = _plan(vocab_richness(docs))
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_chi2_residuals_one_collapse_bounded_windows(spark, events):
+    """Cell residuals: one (x,y) hash aggregate; the marginal windows
+    consume the cell frame (aggregate below every window); no join."""
+    from profiler.dependencies import chi2_residuals
+
+    df = events.select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("b")
+    )
+    plan = _plan(chi2_residuals(df, "event_type", "b"))
+    assert "Join" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]
+
+
+def test_yuen_trimmed_no_sort_no_window(spark, events):
+    """Yuen: percentile cuts broadcast onto each side; no Sort, no
+    Window, no row-scale join anywhere."""
+    from profiler.drift import yuen_trimmed_2s
+
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("v")
+    )
+    b = events.where(F.col("event_id") % 2 == 1).select(
+        F.col("value").cast("double").alias("v")
+    )
+    plan = _plan(yuen_trimmed_2s(a, b, "v"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

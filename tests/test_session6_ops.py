@@ -1076,3 +1076,56 @@ def test_suggest_json_schema_mines_enforcable_rules(spark):
     # the mined rules validate their own source data cleanly
     out = json_schema_check(df, "props", rules).collect()
     assert all(r["violation_rate"] == 0.0 for r in out)
+
+
+def test_chi2_residuals_localize_planted_association(spark):
+    from profiler.dependencies import chi2_residuals
+
+    rng = np.random.default_rng(223)
+    rows = []
+    for _ in range(2000):
+        x = ["a", "b", "c"][int(rng.integers(0, 3))]
+        y = ["u", "v"][int(rng.integers(0, 2))]
+        rows.append((x, y))
+    rows += [("c", "v")] * 300  # planted excess in one cell
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r["x"], r["y"]): r for r in chi2_residuals(df, "x", "y").collect()}
+    assert out[("c", "v")]["significant"]
+    assert out[("c", "v")]["adj_residual"] > 5
+    # the complementary cell in the same row is depressed
+    assert out[("c", "u")]["adj_residual"] < -5
+    # the planted cell dominates every other residual (marginal
+    # coupling makes neighbors significant too - that is the algebra,
+    # not a bug: one flooded cell drains expectation from all others)
+    assert out[("c", "v")]["adj_residual"] == max(
+        r["adj_residual"] for r in out.values()
+    )
+    # residual matches the Haberman formula by hand for one cell
+    n = len(rows)
+    o = sum(1 for a, b in rows if (a, b) == ("a", "u"))
+    rx = sum(1 for a, _ in rows if a == "a")
+    cy = sum(1 for _, b in rows if b == "u")
+    e = rx * cy / n
+    adj = (o - e) / math.sqrt(e * (1 - rx / n) * (1 - cy / n))
+    assert abs(out[("a", "u")]["adj_residual"] - adj) < 1e-3
+
+
+def test_yuen_trimmed_ignores_whales(spark):
+    from profiler.drift import effect_size_panel, yuen_trimmed_2s
+
+    rng = np.random.default_rng(227)
+    xa = [float(v) for v in rng.normal(50, 5, 400)]
+    xb = [float(v) for v in rng.normal(53, 5, 400)]
+    xb[0] = 100000.0  # one whale wrecks the raw mean difference
+    a = spark.createDataFrame([(v,) for v in xa], "v double")
+    b = spark.createDataFrame([(v,) for v in xb], "v double")
+    raw = effect_size_panel(a, b, "v").first()
+    rob = yuen_trimmed_2s(a, b, "v", trim=0.2).first()
+    assert raw["mean_diff"] > 100       # whale-owned
+    assert 1.5 < rob["diff"] < 4.5      # the real ~3 shift
+    assert rob["t"] > 5
+    # winsorized moments match a numpy reference
+    lo, hi = np.percentile(np.array(xb), [20, 80])
+    wb = np.clip(np.array(xb), round(lo, 8), round(hi, 8))
+    assert abs(rob["wmean_b"] - wb.mean()) < 1e-3
+    assert abs(rob["wsd_b"] - wb.std(ddof=1)) < 1e-3
