@@ -16245,3 +16245,57 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a, b = _value_ab(spark, sf_dir)
     return yuen_trimmed_2s(a, b, "v", trim=0.2)
+
+
+@_register(
+    "q278_ngram_novelty",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  ELSE array_to_string(words, ' ') END AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS u(i)
+      WHERE i = 1 OR len(words) >= 3
+    ),
+    sa AS (
+      SELECT DISTINCT shingle FROM s WHERE doc_id % 2 = 0
+    ),
+    sb AS (
+      SELECT DISTINCT shingle FROM s WHERE doc_id % 2 = 1
+    ),
+    na AS (SELECT count(*) AS n_grams_a FROM sa),
+    nb AS (SELECT count(*) AS n_grams_b FROM sb),
+    nv AS (
+      SELECT count(*) AS n_novel_b
+      FROM sb WHERE shingle NOT IN (SELECT shingle FROM sa)
+    ),
+    j AS (SELECT * FROM na, nb, nv)
+    SELECT n_grams_a, n_grams_b, n_novel_b,
+           CASE WHEN n_grams_b > 0 THEN
+             ROUND(CAST(n_novel_b AS DOUBLE) / n_grams_b, 6) END
+             AS novelty_rate,
+           CASE WHEN n_grams_a + n_novel_b > 0 THEN
+             ROUND(CAST(n_grams_b - n_novel_b AS DOUBLE)
+                   / (n_grams_a + n_novel_b), 6) END AS jaccard
+    FROM j
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty of snapshot B vs snapshot A (:func:`profiler.text.
+    ngram_novelty`, 3-gram shingles): how much of B was never seen in A
+    — the crawl-freshness dual of decontamination (collapsing novelty =
+    paying to re-crawl; novelty spiking with q275 coverage collapsing =
+    spam minting text). Distinct-gram collapses + one anti join."""
+    from profiler.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return ngram_novelty(a, b)

@@ -3149,3 +3149,58 @@ def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n > 0, F.round(1.0 - f1 / n, 6)).alias("coverage"),
         F.when(chao1 > 0, F.round(v / chao1, 6)).alias("vocab_completeness"),
     )
+
+
+def ngram_novelty(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """N-gram NOVELTY of snapshot B against snapshot A: how much of B's
+    distinct k-gram set was never seen in A (plus the symmetric overlap
+    Jaccard). The freshness dual of the dedup/decontamination family —
+    a crawl whose novelty rate collapses is re-crawling what it already
+    has (stop paying for it); novelty spiking while q275's coverage
+    collapses is spam minting "new" text wholesale. Emits one row:
+    per-side distinct gram counts, novel-in-B count, novelty rate, and
+    the gram-set Jaccard.
+
+    Plan: one distinct-shingle collapse per side (the q21/q71 shingle
+    machinery), one LEFT ANTI join on the gram key for the novel count,
+    one inner join for the overlap — each input scanned once, all joins
+    on the collapsed gram domain, no windows.
+    """
+    from profiler.dedup import shingles_expr
+
+    def _grams(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.explode(
+                    shingles_expr(F.col(text_col), shingle_k)
+                ).alias("g")
+            )
+            .distinct()
+        )
+
+    ga = _grams(df_a)
+    gb = _grams(df_b)
+    na = ga.agg(F.count(F.lit(1)).alias("n_grams_a"))
+    nb = gb.agg(F.count(F.lit(1)).alias("n_grams_b"))
+    novel = gb.join(ga, "g", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_novel_b")
+    )
+    both = na.crossJoin(nb).crossJoin(novel)
+    nad = F.col("n_grams_a").cast("double")
+    nbd = F.col("n_grams_b").cast("double")
+    nv = F.col("n_novel_b").cast("double")
+    inter = nbd - nv
+    union = nad + nv
+    return both.select(
+        "n_grams_a",
+        "n_grams_b",
+        "n_novel_b",
+        F.when(nbd > 0, F.round(nv / nbd, 6)).alias("novelty_rate"),
+        F.when(union > 0, F.round(inter / union, 6)).alias("jaccard"),
+    )

@@ -1498,3 +1498,17 @@ def test_yuen_trimmed_no_sort_no_window(spark, events):
     plan = _plan(yuen_trimmed_2s(a, b, "v"))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_anti_join_on_gram_domain(spark):
+    """Novelty: the anti join consumes DISTINCT-gram frames (aggregates
+    below the join), never exploded raw streams."""
+    from profiler.text import ngram_novelty
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    plan = _plan(ngram_novelty(a, b))
+    anti_at = plan.find("LeftAnti")
+    assert anti_at != -1
+    assert plan[anti_at:].count("HashAggregate") >= 2

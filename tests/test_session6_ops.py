@@ -1129,3 +1129,34 @@ def test_yuen_trimmed_ignores_whales(spark):
     wb = np.clip(np.array(xb), round(lo, 8), round(hi, 8))
     assert abs(rob["wmean_b"] - wb.mean()) < 1e-3
     assert abs(rob["wsd_b"] - wb.std(ddof=1)) < 1e-3
+
+
+def test_ngram_novelty_counts_and_short_doc_fallback(spark):
+    from profiler.text import ngram_novelty
+
+    a = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (2, "hi there")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox sleeps"), (3, "hi there")],
+        "doc_id long, text string",
+    )
+    r = ngram_novelty(a, b).first()
+
+    def _sh(t):
+        w = t.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    ga = _sh("the quick brown fox jumps") | _sh("hi there")
+    gb = _sh("the quick brown fox sleeps") | _sh("hi there")
+    assert r["n_grams_a"] == len(ga)
+    assert r["n_grams_b"] == len(gb)
+    assert r["n_novel_b"] == len(gb - ga)
+    assert abs(r["novelty_rate"] - len(gb - ga) / len(gb)) < 1e-6
+    assert abs(r["jaccard"] - len(ga & gb) / len(ga | gb)) < 1e-6
+    # identical snapshots -> zero novelty, jaccard 1
+    r2 = ngram_novelty(a, a).first()
+    assert r2["n_novel_b"] == 0 and r2["jaccard"] == 1.0
