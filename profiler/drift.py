@@ -3710,3 +3710,71 @@ def yuen_trimmed_2s(
         F.when(se > 0, F.round(diff / se, 4)).alias("t"),
         F.when(se > 0, F.round(dof, 2)).alias("dof"),
     )
+
+
+def drift_league(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Drift LEAGUE TABLE: for every numeric column, the exact KS
+    (:func:`ks_exact`), Cliff's δ (:func:`cliffs_delta`), Cohen's d
+    (:func:`effect_size_panel`) and the winsorized Yuen t
+    (:func:`yuen_trimmed_2s`) between two snapshots, with
+    Benjamini–Hochberg correction (:func:`fdr_correct`) over the KS
+    p-values — the one frame a reviewer reads: WHAT moved (BH-flagged),
+    HOW FAR (d, Yuen diff), and whether the move is whale-owned
+    (d large but δ small) or real (both large). Ranked by |δ|.
+
+    Plan: a driver loop over |columns| (each member is its own bounded
+    one/two-exchange plan — see the members' docstrings); the league
+    frame itself is |columns|-sized, so the BH windows are trivial. For
+    very wide tables run :func:`drift_report_multi` first and league
+    only its flagged columns.
+    """
+    spark = df_a.sparkSession
+    rows = []
+    for c in columns:
+        ks = ks_exact(df_a, df_b, c).first()
+        cd = cliffs_delta(df_a, df_b, c).first()
+        es = effect_size_panel(df_a, df_b, c).first()
+        yu = yuen_trimmed_2s(df_a, df_b, c).first()
+        if ks is None or cd is None or es is None or yu is None:
+            continue
+        rows.append(
+            (
+                c,
+                ks["n_a"],
+                ks["n_b"],
+                ks["ks"],
+                ks["p_approx"],
+                cd["delta"],
+                cd["magnitude"],
+                es["cohens_d"],
+                es["mean_diff"],
+                yu["diff"],
+                yu["t"],
+            )
+        )
+    league = spark.createDataFrame(
+        rows,
+        "column_name string, n_a long, n_b long, ks double, "
+        "ks_p double, cliffs_delta double, magnitude string, "
+        "cohens_d double, mean_diff double, yuen_diff double, "
+        "yuen_t double",
+    )
+    corrected = fdr_correct(
+        league,
+        "ks_p",
+        alpha=alpha,
+        key_cols=["column_name"],
+    ).select(
+        "column_name",
+        F.col("q_value").alias("ks_q"),
+        F.col("reject").alias("drifted"),
+    )
+    return (
+        league.join(corrected, "column_name")
+        .orderBy(F.abs(F.col("cliffs_delta")).desc(), F.col("column_name"))
+    )

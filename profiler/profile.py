@@ -2338,3 +2338,64 @@ def rfm_segments(
         F.round(F.sum("__mon").cast("double"), 4).alias("total_value"),
     )
     return out.orderBy("r_score", "f_score", "m_score")
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Per-GROUP Gini concentration of entity activity: within each
+    group (event type, tool, source), how concentrated is volume across
+    entities — G from the cumulative-share form
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-entity counts.
+    The global concentration panel (q166) says the TABLE is whale-heavy;
+    this says WHICH categories are carried by a handful of entities
+    (one bot owning 'click', one tool invoked by one conversation) —
+    per-segment robustness triage. Emits (group, n_entities, total,
+    top_entity_share, gini).
+
+    Plan: one (group, entity) hash aggregate collapses the table; the
+    rank/cumulative windows run PARTITIONED BY GROUP over the entity
+    frame with full (count, entity) tie-breaks; output is |groups|-sized.
+    """
+    g = F.col(group_col).cast("string")
+    e = F.col(entity_col)
+    pairs = (
+        df.where(g.isNotNull() & e.isNotNull())
+        .groupBy(g.alias("grp"), e.alias("ent"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("cnt").asc(), F.col("ent").asc()
+    )
+    wg = Window.partitionBy("grp")
+    ranked = pairs.select(
+        "grp",
+        "cnt",
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+        F.sum("cnt").over(wg).alias("__tot"),
+        F.max("cnt").over(wg).alias("__mx"),
+    )
+    agg = ranked.groupBy("grp", "__n", "__tot", "__mx").agg(
+        F.sum(
+            (F.col("__i").cast("decimal(19,0)"))
+            * F.col("cnt").cast("decimal(19,0)")
+        ).alias("__iw")
+    )
+    n = F.col("__n").cast("double")
+    tot = F.col("__tot").cast("double")
+    gini = F.when(
+        (n > 0) & (tot > 0),
+        2.0 * F.col("__iw").cast("double") / (n * tot) - (n + 1.0) / n,
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("__n").alias("n_entities"),
+        F.col("__tot").alias("total"),
+        F.round(F.col("__mx").cast("double") / tot, 6).alias(
+            "top_entity_share"
+        ),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy(group_col)

@@ -16299,3 +16299,99 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.where(F.col("doc_id") % 2 == 0)
     b = d.where(F.col("doc_id") % 2 == 1)
     return ngram_novelty(a, b)
+
+
+@_register(
+    "q279_seasonal_strength",
+    _DAILY_SQL
+    + """
+    , ph AS (SELECT x, y, CAST(x AS BIGINT) % 7 AS phase FROM daily),
+    med AS (
+      SELECT phase, ROUND(quantile_cont(y, 0.5), 8) AS pmed
+      FROM ph GROUP BY 1
+    ),
+    joined AS (
+      SELECT ph.x, ph.y, ph.y - med.pmed AS r
+      FROM ph JOIN med USING (phase)
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS s,
+             sum(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS sq,
+             sum(CAST(ROUND(r * r, 6) AS DECIMAL(38,6))) AS ssr
+      FROM joined
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+             CAST(s AS DOUBLE) AS s, CAST(sq AS DOUBLE) AS sq,
+             CAST(ssr AS DOUBLE) AS ssr
+      FROM agg
+    ),
+    e AS (
+      SELECT n, greatest(sq - s * s / nd, 0.0) AS ss_total, ssr FROM c
+    )
+    SELECT n, CAST(7 AS BIGINT) AS period,
+           ROUND(ss_total, 4) AS ss_total, ROUND(ssr, 4) AS ss_resid,
+           CASE WHEN ss_total > 0 THEN
+             ROUND(greatest(0.0, 1.0 - ssr / ss_total), 6) END
+             AS seasonal_strength
+    FROM e
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength scalar (:func:`profiler.timeseries.
+    seasonal_strength`, period = 7): variance share the day-of-week
+    median profile explains — the dispatcher between the raw (q243) and
+    seasonally-adjusted (q270) anomaly panels (adjusting an aseasonal
+    series only launders noise through 7 estimated medians). One
+    7-row-broadcast join + one sufficient-statistics aggregate."""
+    from profiler.timeseries import seasonal_strength
+
+    return seasonal_strength(_daily_volumes(spark, sf_dir), "x", "y")
+
+
+@_register(
+    "q280_gini_by_group",
+    """
+    WITH pairs AS (
+      SELECT event_type AS grp, user_id AS ent, count(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT grp, cnt,
+             row_number() OVER (
+               PARTITION BY grp ORDER BY cnt ASC, ent ASC
+             ) AS i,
+             count(*) OVER (PARTITION BY grp) AS n,
+             sum(cnt) OVER (PARTITION BY grp) AS tot,
+             max(cnt) OVER (PARTITION BY grp) AS mx
+      FROM pairs
+    ),
+    agg AS (
+      SELECT grp, n, tot, mx,
+             sum(CAST(i AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+               AS iw
+      FROM ranked GROUP BY 1, 2, 3, 4
+    )
+    SELECT grp AS event_type, n AS n_entities, tot AS total,
+           ROUND(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS top_entity_share,
+           CASE WHEN n > 0 AND tot > 0 THEN
+             ROUND(2.0 * CAST(iw AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+           END AS gini
+    FROM agg ORDER BY event_type
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini concentration (:func:`profiler.profile.
+    gini_by_group`, entities = users within event types): which
+    categories are carried by a handful of entities — the per-segment
+    whale triage q166's global panel cannot localize. One (group,
+    entity) collapse + group-partitioned rank windows."""
+    from profiler.profile import gini_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return gini_by_group(ev, "event_type", "user_id")

@@ -2555,3 +2555,58 @@ def seasonal_robust_anomaly(
         "is_anomaly",
     )
     return out.orderBy("x")
+
+
+def seasonal_strength(
+    df: DataFrame, x_col: str, y_col: str, period: int = 7
+) -> DataFrame:
+    """SEASONAL-STRENGTH scalar for a bounded series: the share of
+    variance the phase profile (day-of-week medians for period = 7)
+    explains — 1 − SS_resid/SS_total on the phase-median residuals.
+    The dispatcher statistic for the anomaly panels: strength ≳ 0.3
+    means score residuals (:func:`seasonal_robust_anomaly`), near 0
+    means the raw panel (:func:`robust_anomaly`) is already right and
+    "adjusting" would only launder noise through 7 estimated medians.
+
+    Plan: phase medians are one |period|-row exact-percentile aggregate
+    broadcast onto the frame; both sums of squares ride ONE DECIMAL
+    sufficient-statistics aggregate — two bounded scans, no sort.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    phase = F.pmod(F.col("__x").cast("long"), F.lit(int(period)))
+    tagged = base.select("__x", "__y", phase.alias("__phase"))
+    med = tagged.groupBy("__phase").agg(
+        F.round(F.percentile(F.col("__y"), F.lit(0.5)), 8).alias("__pmed")
+    )
+    joined = tagged.join(F.broadcast(med), "__phase")
+    r = F.col("__y") - F.col("__pmed")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("__y"), 6).cast("decimal(38,6)")).alias("__s"),
+        F.sum(
+            F.round(F.col("__y") * F.col("__y"), 6).cast("decimal(38,6)")
+        ).alias("__sq"),
+        F.sum(F.round(r * r, 6).cast("decimal(38,6)")).alias("__ssr"),
+    )
+    n = F.col("n").cast("double")
+    ss_total = F.greatest(
+        F.col("__sq").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / n,
+        F.lit(0.0),
+    )
+    ss_resid = F.col("__ssr").cast("double")
+    strength = F.when(
+        ss_total > 0,
+        F.greatest(F.lit(0.0), 1.0 - ss_resid / ss_total),
+    )
+    return agg.select(
+        "n",
+        F.lit(int(period)).cast("long").alias("period"),
+        F.round(ss_total, 4).alias("ss_total"),
+        F.round(ss_resid, 4).alias("ss_resid"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    )

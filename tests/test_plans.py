@@ -1512,3 +1512,28 @@ def test_ngram_novelty_anti_join_on_gram_domain(spark):
     anti_at = plan.find("LeftAnti")
     assert anti_at != -1
     assert plan[anti_at:].count("HashAggregate") >= 2
+
+
+def test_seasonal_strength_no_sort_two_aggregates(spark, events):
+    """Seasonal strength: phase-median broadcast + one sufficient-stats
+    aggregate — no Sort, no Window."""
+    from profiler.timeseries import seasonal_strength
+
+    daily = events.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    plan = _plan(seasonal_strength(daily, "x", "y"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_by_group_windows_on_entity_frame(spark, events):
+    """Per-group Gini: rank windows consume the (group, entity)
+    AGGREGATE frame (HashAggregate below the window), no join."""
+    from profiler.profile import gini_by_group
+
+    plan = _plan(gini_by_group(events, "event_type", "user_id"))
+    assert "Join" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]

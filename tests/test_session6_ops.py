@@ -1160,3 +1160,91 @@ def test_ngram_novelty_counts_and_short_doc_fallback(spark):
     # identical snapshots -> zero novelty, jaccard 1
     r2 = ngram_novelty(a, a).first()
     assert r2["n_novel_b"] == 0 and r2["jaccard"] == 1.0
+
+
+def test_seasonal_strength_separates_rhythmic_from_flat(spark):
+    from profiler.timeseries import seasonal_strength
+
+    rng = np.random.default_rng(229)
+    rhythmic = [
+        float((100.0 if d % 7 < 5 else 40.0) + rng.normal(0, 2))
+        for d in range(56)
+    ]
+    flat = [float(100.0 + rng.normal(0, 2)) for d in range(56)]
+    rs = seasonal_strength(_series_df(spark, rhythmic), "x", "y").first()
+    fs = seasonal_strength(_series_df(spark, flat), "x", "y").first()
+    assert rs["seasonal_strength"] > 0.9
+    assert fs["seasonal_strength"] < 0.2
+    # brute-force SS check on the rhythmic series
+    import statistics
+
+    med = {
+        p: statistics.median(
+            [rhythmic[i] for i in range(56) if i % 7 == p]
+        )
+        for p in range(7)
+    }
+    ssr = sum(
+        (y - round(med[i % 7], 8)) ** 2 for i, y in enumerate(rhythmic)
+    )
+    assert abs(rs["ss_resid"] - ssr) < 0.1
+
+
+def test_gini_by_group_localizes_whale_segment(spark):
+    from profiler.profile import gini_by_group
+
+    rows = []
+    # 'spread': 10 users x 10 events; 'whale': 1 user with 91, 9 with 1
+    for u in range(10):
+        rows += [("spread", u)] * 10
+    rows += [("whale", 0)] * 91
+    for u in range(1, 10):
+        rows.append(("whale", u))
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {r["g"]: r for r in gini_by_group(df, "g", "u").collect()}
+    assert out["spread"]["gini"] == 0.0
+    assert out["whale"]["gini"] > 0.7
+    assert out["whale"]["top_entity_share"] == 0.91
+    # brute-force Gini for the whale group
+    xs = sorted([91] + [1] * 9)
+    n, tot = len(xs), sum(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+        n + 1
+    ) / n
+    assert abs(out["whale"]["gini"] - g) < 1e-6
+
+
+def test_drift_league_ranks_and_flags(spark):
+    from profiler.drift import drift_league
+
+    rng = np.random.default_rng(233)
+    n = 400
+    a = spark.createDataFrame(
+        [
+            (float(x), float(y), float(z))
+            for x, y, z in zip(
+                rng.normal(50, 5, n),
+                rng.normal(10, 2, n),
+                rng.normal(0, 1, n),
+            )
+        ],
+        "moved double, same double, noise double",
+    )
+    b = spark.createDataFrame(
+        [
+            (float(x), float(y), float(z))
+            for x, y, z in zip(
+                rng.normal(56, 5, n),   # moved column shifts
+                rng.normal(10, 2, n),
+                rng.normal(0, 1, n),
+            )
+        ],
+        "moved double, same double, noise double",
+    )
+    out = drift_league(a, b, ["moved", "same", "noise"]).collect()
+    assert out[0]["column_name"] == "moved"
+    assert out[0]["drifted"]
+    byc = {r["column_name"]: r for r in out}
+    assert not byc["same"]["drifted"]
+    assert abs(byc["moved"]["cohens_d"]) > 0.8
+    assert abs(byc["same"]["cliffs_delta"]) < 0.1
