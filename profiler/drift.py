@@ -3778,3 +3778,75 @@ def drift_league(
         league.join(corrected, "column_name")
         .orderBy(F.abs(F.col("cliffs_delta")).desc(), F.col("column_name"))
     )
+
+
+def weekly_profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly-RHYTHM shape drift between two snapshots: both sides'
+    day-of-week × hour activity shares (the
+    :func:`profiler.timeseries.seasonality_matrix` frame) compared
+    cell-by-cell — total variation distance and Jensen–Shannon
+    divergence over the 168-cell grid, plus the worst cells. Volume
+    panels say HOW MUCH traffic moved; this says whether WHEN-traffic-
+    happens changed shape (a timezone bug, a cron migration, a bot that
+    doesn't sleep) — invisible to totals because the shares are
+    normalized. Emits one row per cell with the shared scalars attached.
+
+    Plan: one (dow, hour) hash aggregate per side, a full-outer join on
+    the ≤168-cell domain (missing cells = share 0, exact), scalar
+    attachments as full-extent windows on that bounded frame.
+    """
+
+    def _shares(df: DataFrame, tag: str) -> DataFrame:
+        ts = F.col(ts_col).cast("timestamp")
+        base = df.where(ts.isNotNull()).select(
+            (F.dayofweek(ts) - 1).alias("dow"), F.hour(ts).alias("hour")
+        )
+        counts = base.groupBy("dow", "hour").agg(
+            F.count(F.lit(1)).alias(f"__n_{tag}")
+        )
+        wf = Window.partitionBy()
+        return counts.select(
+            "dow",
+            "hour",
+            (
+                F.col(f"__n_{tag}").cast("double")
+                / F.sum(f"__n_{tag}").over(wf).cast("double")
+            ).alias(f"share_{tag}"),
+        )
+
+    joined = _shares(df_a, "a").join(
+        _shares(df_b, "b"), ["dow", "hour"], "full_outer"
+    )
+    p = F.coalesce(F.col("share_a"), F.lit(0.0))
+    q = F.coalesce(F.col("share_b"), F.lit(0.0))
+    m = (p + q) / 2.0
+    js_term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    wf = Window.partitionBy()
+    framed = joined.select(
+        "dow",
+        "hour",
+        F.round(p, 6).alias("share_a"),
+        F.round(q, 6).alias("share_b"),
+        F.round(q - p, 6).alias("share_delta"),
+        F.round(
+            0.5
+            * F.sum(
+                F.round(F.abs(q - p), 8).cast("decimal(38,8)")
+            ).over(wf).cast("double"),
+            6,
+        ).alias("tvd"),
+        F.round(
+            F.sum(F.round(js_term, 8).cast("decimal(38,8)"))
+            .over(wf)
+            .cast("double"),
+            6,
+        ).alias("js_divergence"),
+    )
+    return framed.orderBy("dow", "hour")

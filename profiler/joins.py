@@ -487,3 +487,67 @@ def aggregate_reconciliation(
     return out.orderBy(
         F.abs(F.col("diff")).desc(), *[F.col(k).asc() for k in keys]
     ).limit(top_k)
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Pairwise AUDIENCE overlap between categories: for every ordered
+    category pair, the distinct-entity intersection and Jaccard — which
+    event types / tools / sources share the same users ("is 'purchase'
+    just a subset of 'click' users?"), the category-level dual of the
+    document containment join. Emits (group_a, group_b, n_a, n_b,
+    n_overlap, jaccard, containment_a_in_b) for group_a < group_b;
+    pairs sharing NO entity don't materialize (sparse by design — at
+    |cats|² scale the zero rows are the bulk).
+
+    Plan: one DISTINCT (group, entity) collapse, then a self-join ON
+    THE ENTITY KEY (the inverted-index trick — never the |cats|² ×
+    |entities| cross), collapsed to the ≤|cats|² pair frame; sizes
+    attach from the |cats|-frame. Shuffles are keyed on entity and on
+    the bounded pair domain only.
+    """
+    g = F.col(group_col).cast("string")
+    e = F.col(entity_col)
+    pairs = (
+        df.where(g.isNotNull() & e.isNotNull())
+        .select(g.alias("grp"), e.alias("ent"))
+        .distinct()
+    )
+    sizes = pairs.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a = pairs.select(F.col("grp").alias("group_a"), "ent")
+    b = pairs.select(F.col("grp").alias("group_b"), "ent")
+    inter = (
+        a.join(b, "ent")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col("grp").alias("group_a"), F.col("n").alias("n_a")
+            ),
+            "group_a",
+        )
+        .join(
+            sizes.select(
+                F.col("grp").alias("group_b"), F.col("n").alias("n_b")
+            ),
+            "group_b",
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ov = F.col("n_overlap").cast("double")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        F.round(ov / (na + nb - ov), 6).alias("jaccard"),
+        F.round(ov / na, 6).alias("containment_a_in_b"),
+    ).orderBy("group_a", "group_b")

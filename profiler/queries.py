@@ -16395,3 +16395,105 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return gini_by_group(ev, "event_type", "user_id")
+
+
+@_register(
+    "q281_weekly_profile_drift",
+    """
+    WITH a0 AS (
+      SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER)
+               AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour
+      FROM events WHERE ts IS NOT NULL AND event_id % 2 = 0
+    ),
+    b0 AS (
+      SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER)
+               AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour
+      FROM events WHERE ts IS NOT NULL AND event_id % 2 = 1
+    ),
+    sa AS (
+      SELECT dow, hour,
+             CAST(count(*) AS DOUBLE)
+               / CAST(sum(count(*)) OVER () AS DOUBLE) AS share_a
+      FROM a0 GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT dow, hour,
+             CAST(count(*) AS DOUBLE)
+               / CAST(sum(count(*)) OVER () AS DOUBLE) AS share_b
+      FROM b0 GROUP BY 1, 2
+    ),
+    j AS (SELECT * FROM sa FULL OUTER JOIN sb USING (dow, hour)),
+    c AS (
+      SELECT dow, hour,
+             coalesce(share_a, 0.0) AS p, coalesce(share_b, 0.0) AS q
+      FROM j
+    ),
+    t AS (
+      SELECT dow, hour, p, q,
+             CASE WHEN p > 0
+                  THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+             + CASE WHEN q > 0
+                    THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+               AS js_term
+      FROM c
+    )
+    SELECT dow, hour, ROUND(p, 6) AS share_a, ROUND(q, 6) AS share_b,
+           ROUND(q - p, 6) AS share_delta,
+           ROUND(0.5 * CAST(sum(CAST(ROUND(abs(q - p), 8)
+                 AS DECIMAL(38,8))) OVER () AS DOUBLE), 6) AS tvd,
+           ROUND(CAST(sum(CAST(ROUND(js_term, 8) AS DECIMAL(38,8)))
+                 OVER () AS DOUBLE), 6) AS js_divergence
+    FROM t ORDER BY dow, hour
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-rhythm shape drift (:func:`profiler.drift.
+    weekly_profile_drift`) between the two snapshots: dow x hour share
+    grids compared cell-by-cell with TVD + JS scalars — catches the
+    timezone bug / cron migration / sleepless bot that volume totals
+    normalize away. One 168-cell-bounded aggregate per side."""
+    from profiler.drift import weekly_profile_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return weekly_profile_drift(a, b, "ts")
+
+
+@_register(
+    "q282_audience_overlap",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS grp, user_id AS ent FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    sizes AS (SELECT grp, count(*) AS n FROM pairs GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_overlap
+      FROM pairs a JOIN pairs b
+        ON a.ent = b.ent AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE)
+                 / (sa.n + sb.n - n_overlap), 6) AS jaccard,
+           ROUND(CAST(n_overlap AS DOUBLE) / sa.n, 6)
+             AS containment_a_in_b
+    FROM inter
+    JOIN sizes sa ON sa.grp = group_a
+    JOIN sizes sb ON sb.grp = group_b
+    ORDER BY group_a, group_b
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category audience-overlap matrix (:func:`profiler.joins.
+    audience_overlap`, users across event types): pairwise
+    distinct-entity Jaccard + containment — which categories share the
+    same entities. Inverted-index self-join on the ENTITY key, never a
+    |cats|^2 x entities cross; output is the bounded pair frame."""
+    from profiler.joins import audience_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return audience_overlap(ev, "event_type", "user_id")

@@ -1537,3 +1537,30 @@ def test_gini_by_group_windows_on_entity_frame(spark, events):
     w_at = plan.find("Window")
     assert w_at != -1
     assert "HashAggregate" in plan[w_at:]
+
+
+def test_weekly_profile_drift_joins_168_cell_frames(spark, events):
+    """Weekly profile: the full-outer join consumes per-side share
+    AGGREGATE frames (aggregates below the join), never raw rows."""
+    from profiler.drift import weekly_profile_drift
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    plan = _plan(weekly_profile_drift(a, b, "ts"))
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 2
+
+
+def test_audience_overlap_entity_keyed_self_join(spark, events):
+    """Audience overlap: the self-join key is the ENTITY (inverted
+    index), with the distinct collapse below it — no cartesian over
+    category pairs."""
+    from profiler.joins import audience_overlap
+
+    plan = _plan(audience_overlap(events, "event_type", "user_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 1

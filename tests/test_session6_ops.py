@@ -1248,3 +1248,52 @@ def test_drift_league_ranks_and_flags(spark):
     assert not byc["same"]["drifted"]
     assert abs(byc["moved"]["cohens_d"]) > 0.8
     assert abs(byc["same"]["cliffs_delta"]) < 0.1
+
+
+def test_weekly_profile_drift_sees_timezone_shift(spark):
+    import datetime as dt
+
+    from profiler.drift import weekly_profile_drift
+
+    rng = np.random.default_rng(239)
+    t0 = dt.datetime(2024, 1, 1)
+    rows_a, rows_b = [], []
+    for d in range(28):
+        for _ in range(200):
+            h = int(rng.integers(9, 17))  # business hours
+            rows_a.append((t0 + dt.timedelta(days=d, hours=h),))
+            # B: same volume, clock shifted 6 hours (timezone bug)
+            rows_b.append((t0 + dt.timedelta(days=d, hours=h + 6),))
+    a = spark.createDataFrame(rows_a, "ts timestamp")
+    b = spark.createDataFrame(rows_b, "ts timestamp")
+    out = weekly_profile_drift(a, b, "ts").collect()
+    assert out[0]["tvd"] > 0.5           # disjoint-ish hour bands
+    assert out[0]["js_divergence"] > 0.3
+    # identical snapshots -> zero distances
+    same = weekly_profile_drift(a, a, "ts").first()
+    assert same["tvd"] == 0.0 and same["js_divergence"] == 0.0
+    # shares sum to 1 per side
+    assert abs(sum(r["share_a"] for r in out) - 1.0) < 1e-4
+
+
+def test_audience_overlap_matches_set_algebra(spark):
+    from profiler.joins import audience_overlap
+
+    rows = (
+        [("x", u) for u in range(10)]
+        + [("y", u) for u in range(5, 15)]   # overlap 5..9 with x
+        + [("z", u) for u in (0, 1)]         # subset of x
+        + [("x", 3)] * 5                      # duplicates must not count
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in audience_overlap(df, "g", "u").collect()}
+    xy = out[("x", "y")]
+    assert xy["n_a"] == 10 and xy["n_b"] == 10 and xy["n_overlap"] == 5
+    assert abs(xy["jaccard"] - 5 / 15) < 1e-6
+    xz = out[("x", "z")]
+    assert xz["n_overlap"] == 2
+    assert xz["containment_a_in_b"] == 0.2   # 2 of x's 10
+    # zero-overlap pairs don't materialize (sparse by design: the
+    # inverted index only produces pairs that actually share an entity)
+    assert ("y", "z") not in out
