@@ -1690,3 +1690,52 @@ def capture_recapture(
         F.round(nhat + 1.96 * F.sqrt(var), 2).alias("ci_hi"),
         F.when(nhat > 0, F.round(union / nhat, 6)).alias("coverage"),
     )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-GROUP exact-duplicate triage: within each group (source,
+    crawl, tool), the share of documents whose content digest appears
+    more than once IN THAT GROUP, plus the distinct-content count and
+    the largest clone family. :func:`duplicate_rate_trend` tracks the
+    corpus rate over TIME; this splits it by origin — "which source
+    uploads the same page 400 times" is the question that decides whose
+    ingestion gets fixed. Emits (group, n_docs, n_distinct, n_dup_docs,
+    dup_rate, max_clone).
+
+    Plan: one (group, md5) hash aggregate — the same 16-byte-digest
+    shuffle discipline as :func:`exact_dedup` (text never rides the
+    exchange) — then a |group|-sized rollup; nothing row-scale after
+    the digest collapse.
+    """
+    g = F.col(group_col).cast("string")
+    t = F.col(text_col)
+    digests = (
+        df.where(g.isNotNull() & t.isNotNull())
+        .select(g.alias("grp"), F.md5(t).alias("__h"))
+        .groupBy("grp", "__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = digests.groupBy("grp").agg(
+        F.sum("__c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0))
+        ).alias("n_dup_docs"),
+        F.max("__c").alias("max_clone"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_distinct",
+        "n_dup_docs",
+        F.round(
+            F.col("n_dup_docs").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        "max_clone",
+    ).orderBy(group_col)

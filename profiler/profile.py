@@ -2399,3 +2399,60 @@ def gini_by_group(
         ),
         F.round(gini, 6).alias("gini"),
     ).orderBy(group_col)
+
+
+def benford2_test(df: DataFrame, col: str) -> DataFrame:
+    """FIRST-TWO-digit Benford screen — the higher-power refinement of
+    :func:`benford_test`: organic magnitudes put first-two-digit pair d
+    ∈ [10, 99] at log10(1 + 1/d); fabricated or threshold-gamed numbers
+    (values nudged just under an approval limit) distort the 2-digit
+    law long before the 1-digit law notices. Emits one row per observed
+    pair with expectation, chi contribution and the shared chi²
+    (dof = 89; > 122.9 ⇒ p < 0.01), plus the mean absolute deviation
+    (Nigrini's MAD; > 0.0022 is "nonconformity" for 2 digits).
+
+    Plan: the pair digit is JVM string math on the absolute value;
+    ONE ≤90-bucket hash aggregate, expectations and totals as windows
+    on that bounded frame — identical envelope to :func:`benford_test`.
+    """
+    v = F.col(col).cast("double")
+    a = F.abs(v)
+    # first two significant digits: shift the value into [10, 100)
+    p2 = F.floor(
+        a / F.pow(F.lit(10.0), F.floor(F.log10(a)) - 1)
+    ).cast("long")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & (a > 0)
+    ).select(p2.alias("digits"))
+    counts = base.groupBy("digits").agg(F.count(F.lit(1)).alias("n_obs"))
+    wf = Window.partitionBy()
+    framed = counts.select(
+        "digits",
+        "n_obs",
+        F.sum("n_obs").over(wf).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    d = F.col("digits").cast("double")
+    expected_p = F.log10(1.0 + 1.0 / d)
+    freq = F.col("n_obs").cast("double") / n
+    contrib = (
+        (F.col("n_obs").cast("double") - n * expected_p) ** 2
+        / (n * expected_p)
+    )
+    out = framed.select(
+        "digits",
+        "n_obs",
+        F.round(freq, 6).alias("freq"),
+        F.round(expected_p, 6).alias("expected_freq"),
+        F.round(contrib, 4).alias("chi2_contrib"),
+        F.round(
+            F.sum(F.round(contrib, 6).cast("decimal(38,6)"))
+            .over(wf)
+            .cast("double"),
+            4,
+        ).alias("chi2"),
+        F.round(
+            F.avg(F.round(F.abs(freq - expected_p), 8)).over(wf), 6
+        ).alias("mad"),
+    )
+    return out.orderBy("digits")

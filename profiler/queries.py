@@ -16497,3 +16497,74 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return audience_overlap(ev, "event_type", "user_id")
+
+
+@_register(
+    "q283_benford2",
+    """
+    WITH base AS (
+      SELECT CAST(floor(abs(CAST(value AS DOUBLE))
+               / pow(10.0, floor(log10(abs(CAST(value AS DOUBLE)))) - 1))
+             AS BIGINT) AS digits
+      FROM events WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) > 0
+    ),
+    counts AS (SELECT digits, count(*) AS n_obs FROM base GROUP BY 1),
+    framed AS (
+      SELECT digits, n_obs, sum(n_obs) OVER () AS n FROM counts
+    ),
+    c AS (
+      SELECT digits, n_obs, CAST(n AS DOUBLE) AS nd,
+             CAST(n_obs AS DOUBLE) AS od,
+             log10(1.0 + 1.0 / CAST(digits AS DOUBLE)) AS ep
+      FROM framed
+    ),
+    e AS (
+      SELECT digits, n_obs, od / nd AS freq, ep,
+             (od - nd * ep) * (od - nd * ep) / (nd * ep) AS contrib
+      FROM c
+    )
+    SELECT digits, n_obs, ROUND(freq, 6) AS freq,
+           ROUND(ep, 6) AS expected_freq,
+           ROUND(contrib, 4) AS chi2_contrib,
+           ROUND(CAST(sum(CAST(ROUND(contrib, 6) AS DECIMAL(38,6)))
+                 OVER () AS DOUBLE), 4) AS chi2,
+           ROUND(avg(ROUND(abs(freq - ep), 8)) OVER (), 6) AS mad
+    FROM e ORDER BY digits
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-TWO-digit Benford screen (:func:`profiler.profile.
+    benford2_test`): the higher-power refinement of q82 — threshold
+    gaming (values nudged under an approval limit) distorts the 2-digit
+    law long before the 1-digit law notices; Nigrini's MAD rides along.
+    One <=90-bucket aggregate, windows on the bounded frame."""
+    from profiler.profile import benford2_test
+
+    return benford2_test(_t(spark, sf_dir, "events"), "value")
+
+
+@_register(
+    "q284_dup_rate_by_source",
+    """
+    WITH digests AS (
+      SELECT source AS grp, md5(text) AS h, count(*) AS c
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT grp AS source, sum(c) AS n_docs, count(*) AS n_distinct,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs,
+           ROUND(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE), 6) AS dup_rate,
+           max(c) AS max_clone
+    FROM digests GROUP BY grp ORDER BY source
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate triage (:func:`profiler.dedup.
+    dup_rate_by_group`): which origin uploads the same page 400 times —
+    the by-origin split of q205's time trend, deciding whose ingestion
+    gets fixed. One (source, md5) digest aggregate (text never rides
+    the shuffle) + a |sources| rollup."""
+    from profiler.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(_t(spark, sf_dir, "documents"), "source")

@@ -1564,3 +1564,27 @@ def test_audience_overlap_entity_keyed_self_join(spark, events):
     join_at = plan.find("Join")
     assert join_at != -1
     assert plan[join_at:].count("HashAggregate") >= 1
+
+
+def test_benford2_bounded_bucket_aggregate(spark, events):
+    """Benford-2: one <=90-bucket aggregate; windows consume the bounded
+    frame; no join."""
+    from profiler.profile import benford2_test
+
+    plan = _plan(benford2_test(events, "value"))
+    assert "Join" not in plan
+    w_at = plan.find("Window")
+    assert w_at != -1
+    assert "HashAggregate" in plan[w_at:]
+
+
+def test_dup_rate_by_group_shuffles_digests_not_text(spark):
+    """Per-source dup triage: the exchange carries (group, md5) only —
+    the text column must not ride any shuffle."""
+    from profiler.dedup import dup_rate_by_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_rate_by_group(docs, "source"))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex
+    assert all("text#" not in ln for ln in ex)

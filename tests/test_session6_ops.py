@@ -1297,3 +1297,49 @@ def test_audience_overlap_matches_set_algebra(spark):
     # zero-overlap pairs don't materialize (sparse by design: the
     # inverted index only produces pairs that actually share an entity)
     assert ("y", "z") not in out
+
+
+def test_benford2_conforms_on_lognormal_flags_gamed(spark):
+    from profiler.profile import benford2_test
+
+    rng = np.random.default_rng(241)
+    organic = spark.createDataFrame(
+        [(float(np.exp(v)),) for v in rng.uniform(0, 12, 20000)],
+        "value double",
+    )
+    r_org = benford2_test(organic, "value").collect()
+    assert len(r_org) == 90
+    assert {r["digits"] for r in r_org} == set(range(10, 100))
+    assert r_org[0]["mad"] < 0.0022  # Nigrini conformity
+    # expectations match log10(1+1/d)
+    for r in r_org[:3]:
+        assert abs(
+            r["expected_freq"] - math.log10(1 + 1 / r["digits"])
+        ) < 1e-6
+    # gamed: half the values nudged just under a 500 threshold
+    gamed_vals = [float(v) for v in rng.uniform(480, 499.99, 3000)] + [
+        float(np.exp(v)) for v in rng.uniform(0, 12, 3000)
+    ]
+    gamed = spark.createDataFrame([(v,) for v in gamed_vals], "value double")
+    r_g = benford2_test(gamed, "value").collect()
+    assert r_g[0]["chi2"] > 50 * r_org[0]["chi2"] or r_g[0]["chi2"] > 1000
+    assert r_g[0]["mad"] > 0.0022
+
+
+def test_dup_rate_by_group_localizes_dirty_source(spark):
+    from profiler.dedup import dup_rate_by_group
+
+    rows = (
+        [("clean", f"unique text {i}") for i in range(50)]
+        + [("dirty", "same page")] * 40
+        + [("dirty", f"fresh {i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in
+           dup_rate_by_group(df, "source").collect()}
+    assert out["clean"]["dup_rate"] == 0.0
+    assert out["clean"]["n_distinct"] == 50
+    d = out["dirty"]
+    assert d["n_docs"] == 50 and d["n_distinct"] == 11
+    assert d["n_dup_docs"] == 40 and d["dup_rate"] == 0.8
+    assert d["max_clone"] == 40
