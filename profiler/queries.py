@@ -16568,3 +16568,45 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
     from profiler.dedup import dup_rate_by_group
 
     return dup_rate_by_group(_t(spark, sf_dir, "documents"), "source")
+
+
+@_register(
+    "q285_robust_group_describe",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    q AS (
+      SELECT grp, count(*) AS n,
+             ROUND(quantile_cont(v, 0.5), 8) AS med,
+             ROUND(quantile_cont(v, 0.25), 8) AS q1,
+             ROUND(quantile_cont(v, 0.75), 8) AS q3
+      FROM base GROUP BY grp
+    ),
+    dev AS (
+      SELECT base.grp, abs(base.v - q.med) AS d
+      FROM base JOIN q USING (grp)
+    ),
+    mad AS (
+      SELECT grp, ROUND(quantile_cont(d, 0.5), 8) AS m FROM dev GROUP BY grp
+    )
+    SELECT q.grp AS event_type, q.n,
+           ROUND(q.med, 6) AS median,
+           ROUND(q.q3 - q.q1, 6) AS iqr,
+           ROUND(mad.m, 6) AS mad,
+           ROUND(mad.m * 1.4826, 6) AS mad_sigma
+    FROM q JOIN mad USING (grp) ORDER BY event_type
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group describe (:func:`profiler.stats.
+    robust_describe_by_group`, value by event type): exact median, IQR
+    and scaled MAD per group — the whale-proof counterpart of q01's
+    grouped mean/stddev (one heavy conversation owns a group's stddev;
+    it cannot own its MAD). Two grouped percentile passes + a
+    group-keyed join."""
+    from profiler.stats import robust_describe_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_describe_by_group(ev, "event_type", "value")

@@ -731,3 +731,58 @@ def tail_index(
         ).alias("hill_gamma"),
         F.round(F.col("__esum").cast("double") / k, 4).alias("mean_excess"),
     )
+
+
+def robust_describe_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Robust per-GROUP describe: exact median, IQR, and the scaled MAD
+    (1.4826·median|x − med_g|, the robust σ̂) for every group — the
+    whale-proof counterpart of the grouped mean/stddev panel (one heavy
+    conversation owns a group's stddev; it cannot own its MAD), and the
+    per-segment scale the robust anomaly panels should be fed when
+    segments differ in spread. Emits (group, n, median, iqr, mad,
+    mad_sigma).
+
+    Plan: two grouped exact-percentile aggregates — medians/quartiles in
+    one |groups|-bounded pass, the MAD in a second pass over absolute
+    deviations after a |groups|-frame join of the medians back onto the
+    rows. At cluster scale swap ``percentile`` for ``percentile_approx``
+    keyed by the same group; the join stays group-keyed either way.
+    """
+    from pyspark.sql import functions as FF
+
+    g = FF.col(group_col).cast("string")
+    v = FF.col(value_col).cast("double")
+    base = df.where(
+        g.isNotNull() & v.isNotNull() & ~FF.isnan(v)
+    ).select(g.alias("grp"), v.alias("__v"))
+    q = base.groupBy("grp").agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.round(FF.percentile(FF.col("__v"), FF.lit(0.5)), 8).alias(
+            "__med"
+        ),
+        FF.round(FF.percentile(FF.col("__v"), FF.lit(0.25)), 8).alias(
+            "__q1"
+        ),
+        FF.round(FF.percentile(FF.col("__v"), FF.lit(0.75)), 8).alias(
+            "__q3"
+        ),
+    )
+    dev = base.join(q.select("grp", "__med"), "grp").select(
+        "grp", FF.abs(FF.col("__v") - FF.col("__med")).alias("__d")
+    )
+    mad = dev.groupBy("grp").agg(
+        FF.round(FF.percentile(FF.col("__d"), FF.lit(0.5)), 8).alias(
+            "__mad"
+        )
+    )
+    out = q.join(mad, "grp")
+    return out.select(
+        FF.col("grp").alias(group_col),
+        "n",
+        FF.round(FF.col("__med"), 6).alias("median"),
+        FF.round(FF.col("__q3") - FF.col("__q1"), 6).alias("iqr"),
+        FF.round(FF.col("__mad"), 6).alias("mad"),
+        FF.round(FF.col("__mad") * FF.lit(1.4826), 6).alias("mad_sigma"),
+    ).orderBy(group_col)

@@ -1588,3 +1588,16 @@ def test_dup_rate_by_group_shuffles_digests_not_text(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex
     assert all("text#" not in ln for ln in ex)
+
+
+def test_robust_group_describe_group_keyed_join(spark, events):
+    """Robust grouped describe: the median-broadcast join back onto the
+    rows is GROUP-keyed (no nested loop), aggregates feed every join."""
+    from profiler.stats import robust_describe_by_group
+
+    plan = _plan(robust_describe_by_group(events, "event_type", "value"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan[join_at:].count("HashAggregate") >= 1

@@ -1343,3 +1343,28 @@ def test_dup_rate_by_group_localizes_dirty_source(spark):
     assert d["n_docs"] == 50 and d["n_distinct"] == 11
     assert d["n_dup_docs"] == 40 and d["dup_rate"] == 0.8
     assert d["max_clone"] == 40
+
+
+def test_robust_group_describe_whale_proof(spark):
+    import statistics
+
+    from profiler.stats import robust_describe_by_group
+
+    rng = np.random.default_rng(251)
+    clean = [float(v) for v in rng.normal(50, 5, 200)]
+    rows = [("a", v) for v in clean] + [("a", 1e6)]  # one whale
+    rows += [("b", float(v)) for v in rng.normal(10, 1, 100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           robust_describe_by_group(df, "g", "v").collect()}
+    a_vals = clean + [1e6]
+    med = statistics.median(a_vals)
+    madv = statistics.median(
+        [abs(v - round(med, 8)) for v in a_vals]
+    )
+    assert abs(out["a"]["median"] - med) < 1e-5
+    assert abs(out["a"]["mad"] - madv) < 1e-5
+    # the whale cannot drag the robust scale anywhere near its magnitude
+    assert out["a"]["mad_sigma"] < 20
+    assert out["b"]["n"] == 100
+    assert abs(out["b"]["median"] - 10) < 0.5
