@@ -866,6 +866,11 @@ def json_schema_check(
     """
     import re as _re
 
+    if not rules:
+        raise ValueError(
+            "rules must be non-empty: pass at least one "
+            '{"key": ..., "expected": ..., "required": ...} rule'
+        )
     j = F.col(json_col)
     structs = []
     for r in rules:

@@ -2229,13 +2229,17 @@ def digit_uniformity(
     Benford; LAST digits (at ``scale`` decimal places — 2 = cents)
     should be UNIFORM. Humans inventing numbers and systems silently
     rounding both break uniformity (excess 0s and 5s), which a
-    mean/stddev profile cannot see. Emits one row per digit with
-    observed count, frequency, expected 0.1, the per-digit chi-squared
-    contribution, and the shared chi² (dof = 9; > 21.67 ⇒ p < 0.01).
+    mean/stddev profile cannot see. Emits one row per digit in the FULL
+    0..9 domain (zero-count digits materialized — their n·p = n/10
+    terms belong in the textbook statistic, so the chi² is comparable
+    to the dof = 9 critical value; > 21.67 ⇒ p < 0.01) with observed
+    count, frequency, expected 0.1, and the per-digit chi-squared
+    contribution.
 
-    Plan: one map-side digit projection + ONE 10-bucket hash aggregate;
-    the chi² total attaches as a full-extent window over the 10-row
-    frame — identical envelope to :func:`benford_test`.
+    Plan: one map-side digit projection + ONE 10-bucket hash aggregate
+    unioned with the literal 10-digit zero grid (re-aggregated — no
+    join); the chi² total attaches as a full-extent window over the
+    10-row frame — identical envelope to :func:`benford_test`.
     """
     v = F.col(col).cast("double")
     digit = (
@@ -2244,7 +2248,17 @@ def digit_uniformity(
     base = df.where(v.isNotNull() & ~F.isnan(v)).select(
         digit.alias("digit")
     )
-    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    observed = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    grid = (
+        df.sparkSession.range(0, 10)
+        .select(
+            F.col("id").cast("long").alias("digit"),
+            F.lit(0).cast("long").alias("n_obs"),
+        )
+    )
+    counts = observed.unionByName(grid).groupBy("digit").agg(
+        F.sum("n_obs").alias("n_obs")
+    )
     wf = Window.partitionBy()
     framed = counts.select(
         "digit",
@@ -2252,9 +2266,11 @@ def digit_uniformity(
         F.sum("n_obs").over(wf).alias("__n"),
     )
     n = F.col("__n").cast("double")
-    freq = F.col("n_obs").cast("double") / n
+    freq = F.when(n > 0, F.col("n_obs").cast("double") / n)
     exp = n / 10.0
-    contrib = (F.col("n_obs").cast("double") - exp) ** 2 / exp
+    contrib = F.when(
+        n > 0, (F.col("n_obs").cast("double") - exp) ** 2 / exp
+    )
     out = framed.select(
         "digit",
         "n_obs",
@@ -2406,25 +2422,54 @@ def benford2_test(df: DataFrame, col: str) -> DataFrame:
     :func:`benford_test`: organic magnitudes put first-two-digit pair d
     ∈ [10, 99] at log10(1 + 1/d); fabricated or threshold-gamed numbers
     (values nudged just under an approval limit) distort the 2-digit
-    law long before the 1-digit law notices. Emits one row per observed
-    pair with expectation, chi contribution and the shared chi²
-    (dof = 89; > 122.9 ⇒ p < 0.01), plus the mean absolute deviation
+    law long before the 1-digit law notices. Emits one row per pair in
+    the FULL 10..99 domain (zero-count pairs materialized — their
+    n·p terms belong in the textbook statistic, so the chi² is
+    comparable to the dof = 89 critical value; > 122.9 ⇒ p < 0.01),
+    plus the mean absolute deviation averaged over all 90 pairs
     (Nigrini's MAD; > 0.0022 is "nonconformity" for 2 digits).
 
-    Plan: the pair digit is JVM string math on the absolute value;
-    ONE ≤90-bucket hash aggregate, expectations and totals as windows
+    Plan: the pair digit is JVM string math on the absolute value, with
+    the same power-of-10 libm edge fold :func:`benford_test` applies
+    (a raw pair landing at 9 or ≥100 from a one-ulp log10 belongs back
+    in [10, 99], identically across engines); ONE ≤90-bucket hash
+    aggregate unioned with the literal 90-pair zero grid (re-aggregated
+    — no join, the plan pin holds), expectations and totals as windows
     on that bounded frame — identical envelope to :func:`benford_test`.
     """
     v = F.col(col).cast("double")
     a = F.abs(v)
-    # first two significant digits: shift the value into [10, 100)
-    p2 = F.floor(
+    # first two significant digits: shift the value into [10, 100).
+    # At values within 1 ulp of a power of 10 the floor can land either
+    # side (libm log10 rounding), emitting a raw pair of 1..9 or
+    # 100..999 outside the [10, 99] chi2 domain; fold it back one
+    # decade so the bucket is identical across engines.
+    raw2 = F.floor(
         a / F.pow(F.lit(10.0), F.floor(F.log10(a)) - 1)
     ).cast("long")
+    p2 = (
+        F.when(raw2 < 10, raw2 * 10)
+        .when(raw2 >= 100, F.floor(raw2 / 10).cast("long"))
+        .otherwise(raw2)
+    )
     base = df.where(
         v.isNotNull() & ~F.isnan(v) & (a > 0)
     ).select(p2.alias("digits"))
-    counts = base.groupBy("digits").agg(F.count(F.lit(1)).alias("n_obs"))
+    observed = base.groupBy("digits").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    # materialize the full 10..99 domain with zero counts via
+    # union + re-aggregate (NOT a join — keeps the no-join plan shape)
+    grid = (
+        df.sparkSession.range(10, 100)
+        .select(
+            F.col("id").cast("long").alias("digits"),
+            F.lit(0).cast("long").alias("n_obs"),
+        )
+    )
+    counts = observed.unionByName(grid).groupBy("digits").agg(
+        F.sum("n_obs").alias("n_obs")
+    )
     wf = Window.partitionBy()
     framed = counts.select(
         "digits",
@@ -2434,10 +2479,11 @@ def benford2_test(df: DataFrame, col: str) -> DataFrame:
     n = F.col("__n").cast("double")
     d = F.col("digits").cast("double")
     expected_p = F.log10(1.0 + 1.0 / d)
-    freq = F.col("n_obs").cast("double") / n
-    contrib = (
+    freq = F.when(n > 0, F.col("n_obs").cast("double") / n)
+    contrib = F.when(
+        n > 0,
         (F.col("n_obs").cast("double") - n * expected_p) ** 2
-        / (n * expected_p)
+        / (n * expected_p),
     )
     out = framed.select(
         "digits",

@@ -15189,7 +15189,14 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
                % 10 AS digit
       FROM events WHERE value IS NOT NULL
     ),
-    counts AS (SELECT digit, count(*) AS n_obs FROM base GROUP BY digit),
+    obs AS (SELECT digit, count(*) AS n_obs FROM base GROUP BY digit),
+    counts AS (
+      SELECT digit, CAST(sum(n_obs) AS BIGINT) AS n_obs FROM (
+        SELECT digit, n_obs FROM obs
+        UNION ALL
+        SELECT range AS digit, 0 AS n_obs FROM range(0, 10)
+      ) GROUP BY 1
+    ),
     framed AS (
       SELECT digit, n_obs, sum(n_obs) OVER () AS n FROM counts
     ),
@@ -15199,8 +15206,11 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM framed
     ),
     e AS (
-      SELECT digit, n_obs, od / nd AS freq,
-             (od - nd / 10.0) * (od - nd / 10.0) / (nd / 10.0) AS contrib
+      SELECT digit, n_obs,
+             CASE WHEN nd > 0 THEN od / nd END AS freq,
+             CASE WHEN nd > 0 THEN
+               (od - nd / 10.0) * (od - nd / 10.0) / (nd / 10.0)
+             END AS contrib
       FROM c
     )
     SELECT digit, n_obs, ROUND(freq, 6) AS freq,
@@ -16505,10 +16515,23 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT CAST(floor(abs(CAST(value AS DOUBLE))
                / pow(10.0, floor(log10(abs(CAST(value AS DOUBLE)))) - 1))
-             AS BIGINT) AS digits
+             AS BIGINT) AS raw
       FROM events WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) > 0
     ),
-    counts AS (SELECT digits, count(*) AS n_obs FROM base GROUP BY 1),
+    folded AS (
+      SELECT CASE WHEN raw < 10 THEN raw * 10
+                  WHEN raw >= 100 THEN CAST(floor(raw / 10) AS BIGINT)
+                  ELSE raw END AS digits
+      FROM base
+    ),
+    obs AS (SELECT digits, count(*) AS n_obs FROM folded GROUP BY 1),
+    counts AS (
+      SELECT digits, CAST(sum(n_obs) AS BIGINT) AS n_obs FROM (
+        SELECT digits, n_obs FROM obs
+        UNION ALL
+        SELECT range AS digits, 0 AS n_obs FROM range(10, 100)
+      ) GROUP BY 1
+    ),
     framed AS (
       SELECT digits, n_obs, sum(n_obs) OVER () AS n FROM counts
     ),
@@ -16519,8 +16542,10 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM framed
     ),
     e AS (
-      SELECT digits, n_obs, od / nd AS freq, ep,
-             (od - nd * ep) * (od - nd * ep) / (nd * ep) AS contrib
+      SELECT digits, n_obs,
+             CASE WHEN nd > 0 THEN od / nd END AS freq, ep,
+             CASE WHEN nd > 0 THEN
+               (od - nd * ep) * (od - nd * ep) / (nd * ep) END AS contrib
       FROM c
     )
     SELECT digits, n_obs, ROUND(freq, 6) AS freq,

@@ -2410,6 +2410,16 @@ def logrank_test(
     base = df.where(
         d.isNotNull() & ~F.isnan(d) & ev.isNotNull() & g.isNotNull()
     ).select(d.alias("t"), ev.alias("e"), g.alias("g"))
+    # the two-group requirement is enforced, not just documented: with
+    # 3+ groups every non-minimum group would silently pool into arm B
+    # and produce a plausible-looking but wrong statistic. One
+    # column-pruned count_distinct scan validates up front.
+    n_groups = base.agg(F.count_distinct("g").alias("k")).collect()[0]["k"]
+    if n_groups != 2:
+        raise ValueError(
+            f"logrank_test requires exactly 2 groups in {group_col!r}, "
+            f"got {n_groups}"
+        )
     # group label "a" = the smaller-sorted value, attached as a 1-row
     # broadcast (NOT a window over the duration rows — those can be
     # entity-scale)
