@@ -16,11 +16,15 @@ Scale design (the suggestion pass must itself survive 100 TB):
    partial-aggregated scan however many columns;
 2. exact verification is narrowed BY the sketch: exact ``count_distinct``
    runs only for columns whose approx distinct count is within HLL error of
-   ``n`` (uniqueness must never be claimed off an approximation), and
-   domain values are collected only for columns the sketch already bounds
-   near ``max_domain`` — each a cheap partial-agg over one column;
+   ``n`` (uniqueness must never be claimed off an approximation) — one
+   fused job across all uniqueness candidates — and domain values ride ONE
+   ``(column, value)`` pair stream shared by every candidate column (the
+   ``_pair_stream`` shape from ``profile.py``), not a per-column scan loop;
 3. rule emission is driver-side algebra over the per-column stat rows
    (columns × a few rules — trivially small).
+
+The whole mining pass is therefore ≤ 3 Spark jobs regardless of how many
+columns the table has (pinned by ``tests/test_suggest.py``).
 
 The approx prefilter uses rsd=0.01 with a 0.8·n acceptance band, ~20σ of
 margin: the sketch decides only WHICH columns get the exact pass, never the
@@ -114,13 +118,40 @@ def suggest_rules(
         ).collect()[0]
         exact_nd = {c: row[c] for c in uniq_candidates}
     domain_values: dict[str, list[str]] = {}
-    for c in columns:
-        if stats[c]["string"] and stats[c]["approx_nd"] <= 2 * max_domain:
-            vals = [
-                r[c]
-                for r in df.select(c).where(F.col(c).isNotNull())
-                .distinct().limit(max_domain + 1).collect()
-            ]
+    dom_candidates = [
+        c for c in columns
+        if stats[c]["string"] and stats[c]["approx_nd"] <= 2 * max_domain
+    ]
+    if dom_candidates:
+        # ONE (column, value) pair stream over every candidate column —
+        # N candidate columns share a single scan instead of N serial
+        # distinct() jobs (the _pair_stream shape from profile.py). The
+        # sketch gate above bounds each column's distinct count near
+        # 2·max_domain, so the collect_set state and the collected
+        # per-column frame are both bounded; slice caps the driver
+        # transfer at max_domain+1 values even if the sketch lied.
+        pairs = (
+            df.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("k"), F.col(c).alias("v")
+                        )
+                        for c in dom_candidates
+                    ])
+                ).alias("p")
+            )
+            .select(F.col("p.k").alias("k"), F.col("p.v").alias("v"))
+            .where(F.col("v").isNotNull())
+        )
+        per_col = pairs.groupBy("k").agg(
+            F.count_distinct("v").alias("nd"),
+            F.slice(
+                F.sort_array(F.collect_set("v")), 1, max_domain + 1
+            ).alias("vals"),
+        )
+        for r in per_col.collect():
+            vals = list(r["vals"])
             # '|' is the detail separator; a value carrying it would split
             # wrongly when the suite is rebuilt from the rules table. An
             # EMPTY value set (empty table / all-null column) is no
@@ -128,10 +159,10 @@ def suggest_rules(
             # permitting only '' (never observed).
             if (
                 vals
-                and len(vals) <= max_domain
+                and r["nd"] <= max_domain
                 and not any("|" in v for v in vals)
             ):
-                domain_values[c] = sorted(vals)
+                domain_values[r["k"]] = sorted(vals)
 
     rules = []
     for c in columns:

