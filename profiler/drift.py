@@ -678,6 +678,99 @@ def change_points(
 # two-sample KS/PSI/divergence panels ask "do these two differ?"; this asks
 # "is ANY of the k partitions shifted?" in one test, with tie correction).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Cardinality guard for the EXACT nonparametric family
+# ---------------------------------------------------------------------------
+# Every exact test below collapses its input to a distinct-value count frame
+# and evaluates CDF/rank algebra over it. That frame is bounded by COLUMN
+# CARDINALITY, not row count — fine for bounded-cardinality columns, but on a
+# truly continuous column at 100-TB scale the distinct frame approaches the
+# row count and the single-task global window becomes the job. The guard:
+# each function takes ``max_distinct`` (default 100k; ``None`` = always
+# exact). When the pooled distinct count exceeds it, the function routes
+# through a BOUNDED fixed-width re-bin of the collapsed frame (<= ``n_bins``
+# bucket midpoints — the raw inputs are never rescanned) and computes the
+# identical statistic from the bucket counts driver-side with numpy: the
+# rerouted path touches no non-partitioned Window anywhere (pinned by
+# tests/test_drift_guard.py's Window tripwire). The route decision uses a
+# deterministic HLL sketch (approx_count_distinct) so it never flips run to
+# run; the sketch decides only WHICH path runs, never a reported value —
+# the same discipline as profiler.suggest.
+EXACT_MAX_DISTINCT = 100_000
+GUARD_BINS = 10_000
+
+
+def _pooled_distinct_over(
+    pooled: DataFrame, val_col: str, max_distinct: int | None
+) -> bool:
+    """True when the pooled frame's distinct ``val_col`` count exceeds
+    ``max_distinct`` (deterministic HLL estimate, rsd 2% — one
+    column-pruned scan, no shuffle wider than a sketch merge)."""
+    if max_distinct is None:
+        return False
+    nd = pooled.agg(
+        F.approx_count_distinct(val_col, 0.02).alias("nd")
+    ).collect()[0]["nd"]
+    return nd > max_distinct
+
+
+def _binned_two_sample(
+    counts: DataFrame, val_col: str, n_bins: int
+):
+    """Re-bin a collapsed two-sample count frame ``(val, ca, cb)`` into
+    <= ``n_bins`` fixed-width bucket midpoints and collect it (bounded
+    driver transfer). The collapse is persisted for the two actions
+    (bounds, then buckets) so the raw inputs are scanned exactly once.
+    Returns ``(vals, ca, cb, lo, hi)`` sorted numpy arrays, or ``None``
+    for an empty frame."""
+    import numpy as np
+
+    counts = counts.persist()
+    try:
+        v = F.col(val_col).cast("double")
+        b = counts.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        ).collect()[0]
+        lo, hi = b["lo"], b["hi"]
+        if lo is None:
+            return None
+        if hi <= lo:
+            mid = F.lit(float(lo)).alias("__mid")
+        else:
+            width = (hi - lo) / n_bins
+            bucket = F.least(
+                F.greatest(
+                    F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            )
+            mid = (
+                F.lit(lo) + (bucket + 0.5) * F.lit(width)
+            ).alias("__mid")
+        rows = (
+            counts.groupBy(mid)
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+            .orderBy("__mid")
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    vals = np.array([r["__mid"] for r in rows], dtype=float)
+    ca = np.array([r["ca"] for r in rows], dtype=float)
+    cb = np.array([r["cb"] for r in rows], dtype=float)
+    return vals, ca, cb, float(lo), float(hi)
+
+
+def _pooled_midranks(ca, cb):
+    """Midrank per distinct (sorted) value of the pooled sample, plus the
+    pooled multiplicities — the shared rank algebra of the binned kernels
+    (identical formula to the exact windows: ranks-before + (h+1)/2)."""
+    h = ca + cb
+    cum = h.cumsum()
+    midrank = cum - h + (h + 1.0) / 2.0
+    return h, cum, midrank
+
+
 def _avg_rank_map(pairs: DataFrame) -> DataFrame:
     """Average-rank map off a (group, __val, __gcnt) pair frame — the ONE
     implementation of fractional ranks + tie terms shared by
@@ -695,8 +788,77 @@ def _avg_rank_map(pairs: DataFrame) -> DataFrame:
         ).alias("__r"),
         ((F.col("__cnt") ** 3) - F.col("__cnt")).alias("__tie3"),
     )
+
+
+def _avg_rank_map_bounded(pairs: DataFrame) -> DataFrame:
+    """Driver-side twin of :func:`_avg_rank_map` for a BOUNDED
+    distinct-value pair frame (the quantized route): collect the value
+    totals (≤ n_bins rows), compute fractional ranks + tie terms with a
+    running sum, return them as a literal frame for the broadcast join —
+    identical formula, no non-partitioned Window anywhere in the plan."""
+    rows = (
+        pairs.groupBy("__val")
+        .agg(F.sum("__gcnt").alias("__cnt"))
+        .orderBy("__val")
+        .collect()
+    )
+    out, cum = [], 0
+    for r in rows:
+        cnt = r["__cnt"]
+        out.append(
+            (r["__val"], cum + (cnt + 1) / 2.0, float(cnt) ** 3 - cnt)
+        )
+        cum += cnt
+    return pairs.sparkSession.createDataFrame(
+        out, "__val double, __r double, __tie3 double"
+    )
+
+
+def _quantize_pair_values(
+    pairs: DataFrame, max_distinct: int | None, n_bins: int
+) -> tuple[DataFrame, bool]:
+    """Cardinality guard for the group-keyed rank tests: when the pair
+    frame's distinct ``__val`` count exceeds ``max_distinct``
+    (deterministic HLL check on the already-collapsed frame), re-bin the
+    values into ``n_bins`` fixed-width bucket midpoints ON the pair frame
+    (one bounds collect + one bounded re-aggregate — the raw input is not
+    rescanned) so every downstream structure is ≤ n_bins distinct values.
+    Non-numeric value columns are left exact (there is no meaningful
+    fixed-width bin for them). Returns (pairs, quantized?)."""
+    from pyspark.sql import types as T
+
+    if max_distinct is None or not isinstance(
+        pairs.schema["__val"].dataType, T.NumericType
+    ):
+        return pairs, False
+    nd = pairs.agg(
+        F.approx_count_distinct("__val", 0.02).alias("nd")
+    ).collect()[0]["nd"]
+    if nd <= max_distinct:
+        return pairs, False
+    v = F.col("__val").cast("double")
+    b = pairs.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    if lo is None or hi <= lo:
+        return pairs, False
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("__val")
+    return (
+        pairs.groupBy("group_key", mid).agg(
+            F.sum("__gcnt").alias("__gcnt")
+        ),
+        True,
+    )
 def kruskal_wallis(
-    df: DataFrame, value_col: str, group_expr: str
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """Kruskal–Wallis H test of ``value_col`` across the groups produced by
     ``group_expr`` (a SQL expression — partition key, snapshot tag, segment).
@@ -710,10 +872,12 @@ def kruskal_wallis(
     Plan (all count algebra, no row-scale sort): ONE groupBy
     (group, value) collapses the table; value totals re-aggregate that
     pair frame (no second scan); average ranks come from a cumulative
-    window over DISTINCT values (bounded by column cardinality — the same
-    envelope as :func:`profiler.profile.spearman_matrix`, discretize first
-    if that's a concern) and broadcast back onto the pair frame; per-group
-    moments are one more tiny aggregate.
+    window over DISTINCT values, bounded by the ``max_distinct`` guard —
+    a numeric column over it is re-binned into ``n_bins`` fixed-width
+    midpoints ON the pair frame and the rank map is computed driver-side
+    from the bounded totals (identical midrank formula, ranks over tie
+    groups, no non-partitioned Window) — and broadcast back onto the
+    pair frame; per-group moments are one more tiny aggregate.
     """
     g = F.expr(group_expr).cast("string").alias("group_key")
     v = F.col(value_col)
@@ -723,9 +887,19 @@ def kruskal_wallis(
         .agg(F.count(F.lit(1)).alias("__gcnt"))
     )
     pairs = pairs.persist()
+    quantized = False
     try:
-        rank_map = _avg_rank_map(pairs)
-        ranked = pairs.join(F.broadcast(rank_map), "__val")
+        qpairs, quantized = _quantize_pair_values(
+            pairs, max_distinct, n_bins
+        )
+        if quantized:
+            qpairs = qpairs.persist()
+        rank_map = (
+            _avg_rank_map_bounded(qpairs)
+            if quantized
+            else _avg_rank_map(qpairs)
+        )
+        ranked = qpairs.join(F.broadcast(rank_map), "__val")
         per_group = ranked.groupBy("group_key").agg(
             F.sum("__gcnt").alias("n_g"),
             (F.sum(F.col("__gcnt") * F.col("__r")) / F.sum("__gcnt")).alias(
@@ -758,6 +932,8 @@ def kruskal_wallis(
         ).orderBy("group_key")
     finally:
         pairs.unpersist()
+        if quantized:
+            qpairs.unpersist()
         # per_group may not exist if an earlier stage raised
         try:
             per_group.unpersist()
@@ -842,7 +1018,11 @@ def anova_oneway(df: DataFrame, value_col: str, group_expr: str) -> DataFrame:
 
 
 def mann_whitney_u(
-    df: DataFrame, value_col: str, group_expr: str
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) between EXACTLY TWO groups: the
     two-sample special case of :func:`kruskal_wallis`, adding the
@@ -855,8 +1035,11 @@ def mann_whitney_u(
     Raises if the group expression yields ≠ 2 groups.
 
     Plan: identical count-algebra shape to :func:`kruskal_wallis` — one
-    (group, value) groupBy, average ranks from a distinct-value window,
-    everything after runs on the tiny pair frame.
+    (group, value) groupBy, average ranks from a distinct-value window
+    (bounded by the same ``max_distinct`` guard: an oversized numeric
+    column is re-binned on the pair frame and the rank map computed
+    driver-side, no non-partitioned Window), everything after runs on
+    the tiny pair frame.
     """
     g = F.expr(group_expr).cast("string").alias("group_key")
     v = F.col(value_col)
@@ -866,10 +1049,20 @@ def mann_whitney_u(
         .agg(F.count(F.lit(1)).alias("__gcnt"))
     )
     pairs = pairs.persist()
+    quantized = False
     try:
-        rank_map = _avg_rank_map(pairs)
+        qpairs, quantized = _quantize_pair_values(
+            pairs, max_distinct, n_bins
+        )
+        if quantized:
+            qpairs = qpairs.persist()
+        rank_map = (
+            _avg_rank_map_bounded(qpairs)
+            if quantized
+            else _avg_rank_map(qpairs)
+        )
         per_group = (
-            pairs.join(F.broadcast(rank_map), "__val")
+            qpairs.join(F.broadcast(rank_map), "__val")
             .groupBy("group_key")
             .agg(
                 F.sum("__gcnt").alias("n_g"),
@@ -910,6 +1103,8 @@ def mann_whitney_u(
         )
     finally:
         pairs.unpersist()
+        if quantized:
+            qpairs.unpersist()
 
 
 def brown_forsythe(
@@ -1234,7 +1429,13 @@ def quantile_shift(
     )
 
 
-def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+def ks_exact(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
+) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic on the raw values —
     no binning (the sketch-based :func:`drift_report` KS is exact only up
     to its bucket width). Returns one row: (n_a, n_b, ks, ks_lambda,
@@ -1244,11 +1445,13 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     small-p regime where decisions happen).
 
     Plan: one (value, side-count) groupBy collapses both inputs, the CDFs
-    are cumulative windows over DISTINCT values (bounded by column
-    cardinality — same envelope as :func:`kruskal_wallis`; for truly
-    continuous ultra-high-cardinality data use the binned sketch), and
-    the statistic is one max. The sup is attained AT an observed value, so
-    distinct-value evaluation is exact.
+    are cumulative windows over DISTINCT values (bounded by the
+    ``max_distinct`` guard — over it, the collapsed frame is re-binned
+    into ``n_bins`` fixed-width midpoints and the identical cumulative
+    algebra runs driver-side on the bounded counts, exact to bucket
+    width, with no non-partitioned Window anywhere; ``max_distinct=None``
+    forces the exact path), and the statistic is one max. The sup is
+    attained AT an observed value, so distinct-value evaluation is exact.
     """
     import math
 
@@ -1263,37 +1466,57 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
-    w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, 0)
-    # two driver actions (totals, then the max gap) — persist the collapsed
-    # count frame so the raw inputs are scanned once, not once per action
+    schema = (
+        "n_a long, n_b long, ks double, ks_lambda double, p_approx double"
+    )
+    # the function is eager (persisted collapse, two actions) so the
+    # route check is an EXACT count of the persisted frame — no extra
+    # scan of the raw inputs
     counts = counts.persist()
     try:
-        tot = counts.agg(
-            F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-        ).collect()[0]
-        na, nb = tot["na"] or 0, tot["nb"] or 0
-        if na == 0 or nb == 0:
-            return df_a.sparkSession.createDataFrame(
-                [(int(na), int(nb), None, None, None)],
-                "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+        nd = counts.count()
+        if max_distinct is not None and nd > max_distinct:
+            binned = _binned_two_sample(counts, "__val", n_bins)
+            vals, ca, cb, _, _ = binned
+            na, nb = int(ca.sum()), int(cb.sum())
+            if na == 0 or nb == 0:
+                return df_a.sparkSession.createDataFrame(
+                    [(na, nb, None, None, None)], schema
+                )
+            ks = float(abs(ca.cumsum() / na - cb.cumsum() / nb).max())
+        else:
+            w = Window.orderBy("__val").rowsBetween(
+                Window.unboundedPreceding, 0
             )
-        gap = F.abs(
-            F.sum("ca").over(w) / F.lit(float(na))
-            - F.sum("cb").over(w) / F.lit(float(nb))
-        )
-        ks = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
+            tot = counts.agg(
+                F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+            ).collect()[0]
+            na, nb = tot["na"] or 0, tot["nb"] or 0
+            if na == 0 or nb == 0:
+                return df_a.sparkSession.createDataFrame(
+                    [(int(na), int(nb), None, None, None)], schema
+                )
+            gap = F.abs(
+                F.sum("ca").over(w) / F.lit(float(na))
+                - F.sum("cb").over(w) / F.lit(float(nb))
+            )
+            ks = counts.select(gap.alias("g")).agg(F.max("g")).collect()[0][0]
     finally:
         counts.unpersist()
     lam = ks * math.sqrt(na * nb / (na + nb))
     p = min(1.0, 2.0 * math.exp(-2.0 * lam * lam))
     return df_a.sparkSession.createDataFrame(
         [(int(na), int(nb), round_half_up(ks, 6), round_half_up(lam, 6), round_half_up(p, 6))],
-        "n_a long, n_b long, ks double, ks_lambda double, p_approx double",
+        schema,
     )
 
 
 def group_ks(
-    df: DataFrame, column: str, group_col: str
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """Per-group EXACT Kolmogorov–Smirnov statistic of ``column`` against
     the GLOBAL distribution — the per-partition drift screen a validation
@@ -1310,15 +1533,107 @@ def group_ks(
     (groups side broadcast — groups are partitions/roles, i.e. small),
     with both CDFs as cumulative windows ordered by value; the sup is
     attained at an observed value so distinct-value evaluation is exact.
-    The grid is the same envelope as pooled two-sample KS evaluation —
-    for ultra-high-cardinality continuous data at 100 TB, pre-bin with
-    the drift sketch (:func:`drift_report`) instead.
+    The grid is the same envelope as pooled two-sample KS evaluation,
+    bounded by the ``max_distinct`` guard: an oversized column is
+    re-binned into ``n_bins`` fixed-width midpoints ON the collapsed
+    frame, the GLOBAL CDF becomes a driver-computed ≤ n_bins literal
+    (no non-partitioned Window), the per-group CDF keeps its
+    group-PARTITIONED window, and the |groups|-row result is returned as
+    a literal frame.
     """
+    import math
+
     c = F.col(column).cast("double")
     src = df.where(c.isNotNull() & ~F.isnan(c)).select(
         F.col(group_col).cast("string").alias("g"), c.alias("v")
     )
     counts = src.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    if _pooled_distinct_over(src, "v", max_distinct):
+        out_schema = (
+            f"{group_col} string, n_group long, ks double, "
+            "ks_lambda double, p_approx double"
+        )
+        counts = counts.persist()
+        try:
+            b = counts.agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi")
+            ).collect()[0]
+            lo, hi = b["lo"], b["hi"]
+            if lo is None:
+                return df.sparkSession.createDataFrame([], out_schema)
+            if hi <= lo:
+                mid = F.lit(float(lo)).alias("v")
+            else:
+                width = (hi - lo) / n_bins
+                bucket = F.least(
+                    F.greatest(
+                        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                )
+                mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("v")
+            qcounts = counts.groupBy("g", mid).agg(
+                F.sum("c").alias("c")
+            ).persist()
+            vrows = (
+                qcounts.groupBy("v")
+                .agg(F.sum("c").alias("c_all"))
+                .orderBy("v")
+                .collect()
+            )
+            cum, cdf_rows = 0, []
+            for r in vrows:
+                cum += r["c_all"]
+                cdf_rows.append((r["v"], cum))
+            n_total = float(cum)
+            cdf = df.sparkSession.createDataFrame(
+                cdf_rows, "v double, cum_all long"
+            )
+            groups = qcounts.groupBy("g").agg(F.sum("c").alias("n_g"))
+            grid = (
+                cdf.crossJoin(F.broadcast(groups))
+                .join(qcounts, on=["g", "v"], how="left")
+                .fillna({"c": 0})
+            )
+            w_g = (
+                Window.partitionBy("g")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            gap = F.abs(
+                F.sum("c").over(w_g) / F.col("n_g")
+                - F.col("cum_all") / F.lit(n_total)
+            )
+            rows = (
+                grid.select("g", "n_g", gap.alias("gap"))
+                .groupBy("g", "n_g")
+                .agg(F.max("gap").alias("ks"))
+                .collect()
+            )
+        finally:
+            counts.unpersist()
+            try:
+                qcounts.unpersist()
+            except NameError:
+                pass
+        out = []
+        for r in sorted(rows, key=lambda r: r["g"]):
+            lam = r["ks"] * math.sqrt(
+                r["n_g"] * n_total / (r["n_g"] + n_total)
+            )
+            out.append(
+                (
+                    r["g"],
+                    int(r["n_g"]),
+                    round_half_up(r["ks"], 6),
+                    round_half_up(lam, 6),
+                    round_half_up(
+                        min(1.0, 2.0 * math.exp(-2.0 * lam * lam)), 6
+                    ),
+                )
+            )
+        return df.sparkSession.createDataFrame(out, out_schema)
     # the collapsed (g, v) frame feeds four subplans (groups, values,
     # total, grid); keeping the whole thing lazy lets ReuseExchange share
     # the aggregate and keeps the operator a single inspectable plan
@@ -1932,7 +2247,11 @@ def profile_diff(
 
 
 def wasserstein_exact(
-    df_a: DataFrame, df_b: DataFrame, column: str
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """EXACT two-sample 1-Wasserstein (earth-mover) distance on the raw
     values — W₁ = ∫|F_a − F_b| dx over the pooled observed range, i.e.
@@ -1949,7 +2268,11 @@ def wasserstein_exact(
     part that matters at 100 TB — no second scan of either input to
     build a totals frame); the integral is a DECIMAL(38,7) sum of
     7-dp-rounded per-segment terms (partial-order-proof — the same
-    discipline as rarity_scores), never a raw double sum. Fully lazy.
+    discipline as rarity_scores), never a raw double sum. Fully lazy on
+    the exact path; the ``max_distinct`` guard (deterministic HLL
+    pre-check) reroutes ultra-high-cardinality columns through the
+    bounded ``n_bins`` re-bin + driver kernel — exact to bucket width,
+    no non-partitioned Window.
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -1963,6 +2286,41 @@ def wasserstein_exact(
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
+    if _pooled_distinct_over(both, "v", max_distinct):
+        import numpy as np
+
+        schema = (
+            "n_a long, n_b long, wasserstein double, w1_normalized double"
+        )
+        binned = _binned_two_sample(counts, "v", n_bins)
+        if binned is None:
+            return df_a.sparkSession.createDataFrame(
+                [(0, 0, None, None)], schema
+            )
+        vals, ca, cb, lo, hi = binned
+        na, nb = int(ca.sum()), int(cb.sum())
+        if na == 0 or nb == 0:
+            return df_a.sparkSession.createDataFrame(
+                [(na, nb, None, None)], schema
+            )
+        gaps = np.abs(ca.cumsum() / na - cb.cumsum() / nb)
+        # segment width = distance to the next observed midpoint; the
+        # last segment contributes 0 (mirrors coalesce(lead(v), v) − v)
+        w1 = (
+            float((gaps[:-1] * np.diff(vals)).sum())
+            if len(vals) > 1
+            else 0.0
+        )
+        rng = hi - lo
+        return df_a.sparkSession.createDataFrame(
+            [(
+                na,
+                nb,
+                round_half_up(w1, 6),
+                round_half_up(w1 / rng, 6) if rng > 0 else None,
+            )],
+            schema,
+        )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2058,7 +2416,13 @@ def entity_churn(
     )
 
 
-def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+def cvm_2s(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
+) -> DataFrame:
     """EXACT two-sample Cramér–von Mises criterion between two snapshots:
     T = (n_a·n_b/N²) · Σ over the POOLED sample of (F_a(z) − F_b(z))²
     (Anderson's computational form, ties handled by weighting each
@@ -2075,7 +2439,10 @@ def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     distinct values, totals ride the same sorted frame as full-extent
     window sums (no totals join, no second scan of either input), and the
     sum is a DECIMAL(38,7) accumulation of 7-dp-rounded per-value terms
-    (partial-order-proof). Fully lazy.
+    (partial-order-proof). Fully lazy on the exact path; the
+    ``max_distinct`` guard reroutes ultra-high-cardinality columns
+    through the bounded ``n_bins`` re-bin + driver kernel (identical
+    algebra on bucket counts, no non-partitioned Window).
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -2089,6 +2456,43 @@ def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
+    if _pooled_distinct_over(both, "v", max_distinct):
+        schema = (
+            "n_a long, n_b long, cvm_t double, t_mean double, t_z double"
+        )
+        binned = _binned_two_sample(counts, "v", n_bins)
+        if binned is None:
+            return df_a.sparkSession.createDataFrame(
+                [(0, 0, None, None, None)], schema
+            )
+        _, ca, cb, _, _ = binned
+        na, nb = float(ca.sum()), float(cb.sum())
+        if na == 0 or nb == 0:
+            return df_a.sparkSession.createDataFrame(
+                [(int(na), int(nb), None, None, None)], schema
+            )
+        nn = na + nb
+        gap = ca.cumsum() / na - cb.cumsum() / nb
+        s = float(((ca + cb) * gap * gap).sum())
+        t = na * nb / (nn * nn) * s
+        t_mean = (nn + 1) / (6.0 * nn)
+        t_var = (
+            (nn + 1)
+            / (45.0 * nn * nn)
+            * (4.0 * na * nb * nn - 3.0 * (na * na + nb * nb) - 2.0 * na * nb)
+            / (4.0 * na * nb)
+        )
+        return df_a.sparkSession.createDataFrame(
+            [(
+                int(na), int(nb),
+                round_half_up(t, 6),
+                round_half_up(t_mean, 6),
+                round_half_up((t - t_mean) / t_var ** 0.5, 4)
+                if t_var > 0
+                else None,
+            )],
+            schema,
+        )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2134,7 +2538,11 @@ def cvm_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
 
 
 def anderson_darling_2s(
-    df_a: DataFrame, df_b: DataFrame, column: str
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """EXACT two-sample Anderson–Darling statistic (Scholz–Stephens 1987
     k-sample form at k = 2, the tie-ADJUSTED variant A²akN of their eq. 6,
@@ -2153,7 +2561,11 @@ def anderson_darling_2s(
     join, no second scan of either input), and a DECIMAL(38,7)
     accumulation of 7-dp-rounded per-value terms. The
     single-distinct-value degenerate case emits NULL (the weight
-    denominator vanishes). Fully lazy.
+    denominator vanishes). Fully lazy on the exact path; the
+    ``max_distinct`` guard reroutes ultra-high-cardinality columns
+    through the bounded ``n_bins`` re-bin + driver kernel (identical
+    tie-adjusted algebra on bucket counts — a bucket IS a tie group —
+    no non-partitioned Window).
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -2167,6 +2579,50 @@ def anderson_darling_2s(
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
+    if _pooled_distinct_over(both, "v", max_distinct):
+        import numpy as np
+
+        schema = "n_a long, n_b long, a2 double, a2_centered double"
+        binned = _binned_two_sample(counts, "v", n_bins)
+        if binned is None:
+            return df_a.sparkSession.createDataFrame(
+                [(0, 0, None, None)], schema
+            )
+        _, ca, cb, _, _ = binned
+        na, nb = float(ca.sum()), float(cb.sum())
+        if na == 0 or nb == 0:
+            return df_a.sparkSession.createDataFrame(
+                [(int(na), int(nb), None, None)], schema
+            )
+        nn = na + nb
+        h = ca + cb
+        b_adj = h.cumsum() - h / 2.0
+        ma_adj = ca.cumsum() - ca / 2.0
+        mb_adj = cb.cumsum() - cb / 2.0
+        denom = b_adj * (nn - b_adj) - nn * h / 4.0
+        da = nn * ma_adj - na * b_adj
+        db = nn * mb_adj - nb * b_adj
+        ok = denom > 0
+        if not ok.any():
+            return df_a.sparkSession.createDataFrame(
+                [(int(na), int(nb), None, None)], schema
+            )
+        term = np.where(
+            ok,
+            (h / nn)
+            * (da * da / na + db * db / nb)
+            / np.where(ok, denom, 1.0),
+            0.0,
+        )
+        a2 = (nn - 1) / nn * float(term.sum())
+        return df_a.sparkSession.createDataFrame(
+            [(
+                int(na), int(nb),
+                round_half_up(a2, 6),
+                round_half_up(a2 - 1.0, 6),
+            )],
+            schema,
+        )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2282,7 +2738,11 @@ def runs_test(
 
 
 def mann_whitney_2s(
-    df_a: DataFrame, df_b: DataFrame, column: str
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
 ) -> DataFrame:
     """EXACT two-sample Mann–Whitney/Wilcoxon rank-sum test with full tie
     correction: U from midranks over the pooled sample, the tie-corrected
@@ -2299,7 +2759,10 @@ def mann_whitney_2s(
     over distinct values, totals and the tie term as full-extent window
     sums on the same sort (no join, each input scanned once), and the
     rank sum as a DECIMAL(38,6) accumulation of 6-dp-rounded per-value
-    terms.
+    terms. The ``max_distinct`` guard reroutes ultra-high-cardinality
+    columns through the bounded ``n_bins`` re-bin + driver kernel —
+    midranks over buckets (a bucket IS a tie group, so the existing tie
+    correction absorbs the binning), no non-partitioned Window.
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -2313,6 +2776,43 @@ def mann_whitney_2s(
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
+    if _pooled_distinct_over(both, "v", max_distinct):
+        schema = (
+            "n_a long, n_b long, u_a double, u_b double, z double, "
+            "rank_biserial double"
+        )
+        binned = _binned_two_sample(counts, "v", n_bins)
+        if binned is None:
+            return df_a.sparkSession.createDataFrame(
+                [(0, 0, None, None, None, None)], schema
+            )
+        _, ca, cb, _, _ = binned
+        na, nb = float(ca.sum()), float(cb.sum())
+        nn = na + nb
+        h, _, midrank = _pooled_midranks(ca, cb)
+        rsum = float((ca * midrank).sum())
+        tie = float((h * h * h - h).sum())
+        u_a = rsum - na * (na + 1.0) / 2.0
+        mu_u = na * nb / 2.0
+        var_u = (
+            na * nb / 12.0 * ((nn + 1.0) - tie / (nn * (nn - 1.0)))
+            if nn > 1
+            else 0.0
+        )
+        return df_a.sparkSession.createDataFrame(
+            [(
+                int(na), int(nb),
+                round_half_up(u_a, 4),
+                round_half_up(na * nb - u_a, 4),
+                round_half_up((u_a - mu_u) / var_u ** 0.5, 4)
+                if var_u > 0
+                else None,
+                round_half_up(2.0 * u_a / (na * nb) - 1.0, 6)
+                if na > 0 and nb > 0
+                else None,
+            )],
+            schema,
+        )
     wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2970,7 +3470,13 @@ def diag_mahalanobis(
     )
 
 
-def lepage_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+def lepage_2s(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    max_distinct: int | None = EXACT_MAX_DISTINCT,
+    n_bins: int = GUARD_BINS,
+) -> DataFrame:
     """Lepage-style joint LOCATION + SCALE two-sample test: the Wilcoxon
     midrank sum (did values move?) and the Mood scale score sum
     Σ(R − (N+1)/2)² (did SPREAD change?) over the pooled sample, each
@@ -2988,7 +3494,11 @@ def lepage_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     pooled (value, side-count) hash aggregate, midranks as cumulative
     windows over distinct values, BOTH score populations' moments as
     full-extent window sums on the same sort, 6-dp DECIMAL(38,6)
-    accumulations; each input scanned exactly once, no join.
+    accumulations; each input scanned exactly once, no join. The
+    ``max_distinct`` guard reroutes ultra-high-cardinality columns
+    through the bounded ``n_bins`` re-bin + driver kernel (identical
+    SRSWOR score-moment algebra on bucket counts, no non-partitioned
+    Window).
     """
 
     def _tag(df: DataFrame, side: str) -> DataFrame:
@@ -3002,6 +3512,48 @@ def lepage_2s(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.count_if(F.col("__side") == "a").alias("ca"),
         F.count_if(F.col("__side") == "b").alias("cb"),
     )
+    if _pooled_distinct_over(both, "v", max_distinct):
+        schema = (
+            "n_a long, n_b long, rank_sum_a double, z_location double, "
+            "scale_sum_a double, z_scale double, lepage_l double"
+        )
+        binned = _binned_two_sample(counts, "v", n_bins)
+        if binned is None:
+            return df_a.sparkSession.createDataFrame(
+                [(0, 0, None, None, None, None, None)], schema
+            )
+        _, ca, cb, _, _ = binned
+        na, nb = float(ca.sum()), float(cb.sum())
+        nn = na + nb
+        h, _, midrank = _pooled_midranks(ca, cb)
+        s1 = midrank
+        s2 = (midrank - (nn + 1.0) / 2.0) ** 2
+
+        def _zk(t, p, pq):
+            sbar = p / nn
+            ss = pq - nn * sbar * sbar
+            mu = na * sbar
+            var = na * nb * ss / (nn * (nn - 1.0)) if nn > 1 else 0.0
+            return (t - mu) / var ** 0.5 if var > 0 else None
+
+        t1 = float((ca * s1).sum())
+        t2 = float((ca * s2).sum())
+        z1 = _zk(t1, float((h * s1).sum()), float((h * s1 * s1).sum()))
+        z2 = _zk(t2, float((h * s2).sum()), float((h * s2 * s2).sum()))
+        lep = (
+            z1 * z1 + z2 * z2 if z1 is not None and z2 is not None else None
+        )
+        return df_a.sparkSession.createDataFrame(
+            [(
+                int(na), int(nb),
+                round_half_up(t1, 4),
+                round_half_up(z1, 4) if z1 is not None else None,
+                round_half_up(t2, 4),
+                round_half_up(z2, 4) if z2 is not None else None,
+                round_half_up(lep, 4) if lep is not None else None,
+            )],
+            schema,
+        )
     wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -1768,7 +1768,12 @@ def equidepth_histogram(df: DataFrame, col: str, n_buckets: int = 10) -> DataFra
     ).orderBy("bucket")
 
 
-def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
+def concentration(
+    df: DataFrame,
+    col: str,
+    top_k: int = 10,
+    max_distinct: int | None = 100_000,
+) -> DataFrame:
     """Concentration / inequality panel of ``col``'s value distribution:
     (n_values, n_rows, hhi, gini, top1_share, topk_share) — is the mass
     spread out or owned by a few values? (source-domination audits, user
@@ -1778,8 +1783,15 @@ def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
     counts sorted ascending (ties broken by value for determinism).
 
     Plan: ONE groupBy(value) collapses the table; the rank window and all
-    shares run over the distinct-value frame (same envelope as
-    :func:`spearman_matrix`). NULLs excluded.
+    shares run over the distinct-value frame. Over ``max_distinct``
+    distinct values the function reroutes through the COUNT-OF-COUNTS
+    frame — groupBy(cnt) yields at most O(√n_rows) multiplicity rows
+    (Σ of distinct counts ≤ n_rows bounds the distinct multiplicities),
+    and the rank formula is tie-invariant, so gini/hhi/shares come out
+    EXACTLY equal from per-multiplicity block algebra (rank block
+    starting at r0 with m values of count c contributes
+    c·(m·r0 + m(m−1)/2)) with top-k as a distributed TakeOrdered — no
+    non-partitioned Window anywhere. NULLs excluded.
     """
     c = F.col(col)
     counts = (
@@ -1787,51 +1799,89 @@ def concentration(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
         .groupBy(c.cast("string").alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w_rank = Window.orderBy(F.asc("cnt"), F.asc("value"))
-    w_top = Window.orderBy(F.desc("cnt"), F.asc("value"))
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(w_rank).alias("i"),
-        F.row_number().over(w_top).alias("top_i"),
+    out_schema = (
+        "n_values long, n_rows long, hhi double, gini double, "
+        "top1_share double, topk_share double"
     )
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("n_values"),
-        F.sum("cnt").alias("n_rows"),
-        F.sum(F.col("i").cast("double") * F.col("cnt")).alias("iwsum"),
-        F.sum(F.when(F.col("top_i") == 1, F.col("cnt")).otherwise(0)).alias(
-            "top1"
-        ),
-        F.sum(
-            F.when(F.col("top_i") <= top_k, F.col("cnt")).otherwise(0)
-        ).alias("topk"),
-        F.sum(
-            (F.col("cnt").cast("double") * F.col("cnt"))
-        ).alias("sqsum"),
-    ).collect()[0]
-    nv, nr = agg["n_values"], agg["n_rows"]
-    if not nv:
-        return df.sparkSession.createDataFrame(
-            [],
-            "n_values long, n_rows long, hhi double, gini double, "
-            "top1_share double, topk_share double",
-        )
-    hhi = agg["sqsum"] / (float(nr) * float(nr))
-    gini = 2.0 * agg["iwsum"] / (nv * float(nr)) - (nv + 1) / nv
+    counts = counts.persist()
+    try:
+        nv_exact = counts.count()
+        if not nv_exact:
+            return df.sparkSession.createDataFrame([], out_schema)
+        if max_distinct is not None and nv_exact > max_distinct:
+            blocks = (
+                counts.groupBy("cnt")
+                .agg(F.count(F.lit(1)).alias("m"))
+                .orderBy("cnt")
+                .collect()
+            )
+            top = (
+                counts.orderBy(F.desc("cnt"), F.asc("value"))
+                .limit(top_k)
+                .collect()
+            )
+            nv, nr, iwsum, sqsum, r0 = 0, 0, 0.0, 0.0, 1
+            for b in blocks:
+                cnt, m = b["cnt"], b["m"]
+                nv += m
+                nr += cnt * m
+                iwsum += float(cnt) * (m * r0 + m * (m - 1) / 2.0)
+                sqsum += float(cnt) * cnt * m
+                r0 += m
+            top1 = top[0]["cnt"]
+            topk = sum(r["cnt"] for r in top)
+        else:
+            w_rank = Window.orderBy(F.asc("cnt"), F.asc("value"))
+            w_top = Window.orderBy(F.desc("cnt"), F.asc("value"))
+            ranked = counts.select(
+                "cnt",
+                F.row_number().over(w_rank).alias("i"),
+                F.row_number().over(w_top).alias("top_i"),
+            )
+            agg = ranked.agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum("cnt").alias("n_rows"),
+                F.sum(F.col("i").cast("double") * F.col("cnt")).alias(
+                    "iwsum"
+                ),
+                F.sum(
+                    F.when(F.col("top_i") == 1, F.col("cnt")).otherwise(0)
+                ).alias("top1"),
+                F.sum(
+                    F.when(F.col("top_i") <= top_k, F.col("cnt")).otherwise(
+                        0
+                    )
+                ).alias("topk"),
+                F.sum(
+                    (F.col("cnt").cast("double") * F.col("cnt"))
+                ).alias("sqsum"),
+            ).collect()[0]
+            nv, nr = agg["n_values"], agg["n_rows"]
+            iwsum, sqsum = agg["iwsum"], agg["sqsum"]
+            top1, topk = agg["top1"], agg["topk"]
+    finally:
+        counts.unpersist()
+    hhi = sqsum / (float(nr) * float(nr))
+    gini = 2.0 * iwsum / (nv * float(nr)) - (nv + 1) / nv
     return df.sparkSession.createDataFrame(
         [
             (
                 int(nv), int(nr),
                 stats.round_half_up(hhi, 6), stats.round_half_up(gini, 6),
-                stats.round_half_up(agg["top1"] / float(nr), 6),
-                stats.round_half_up(agg["topk"] / float(nr), 6),
+                stats.round_half_up(top1 / float(nr), 6),
+                stats.round_half_up(topk / float(nr), 6),
             )
         ],
-        "n_values long, n_rows long, hhi double, gini double, "
-        "top1_share double, topk_share double",
+        out_schema,
     )
 
 
-def lorenz_points(df: DataFrame, col: str, n_points: int = 10) -> DataFrame:
+def lorenz_points(
+    df: DataFrame,
+    col: str,
+    n_points: int = 10,
+    max_distinct: int | None = 100_000,
+) -> DataFrame:
     """Lorenz curve of ``col``'s value distribution — the curve behind
     :func:`concentration`'s Gini: one row per ascending-count tile with
     ``cum_value_frac`` (fraction of distinct values covered) and
@@ -1840,7 +1890,12 @@ def lorenz_points(df: DataFrame, col: str, n_points: int = 10) -> DataFrame:
 
     Plan: ONE groupBy(value); ntile + cumulative windows over the
     distinct-value frame (ordering totally tie-broken by (count, value)
-    so the tiling is deterministic in any engine).
+    so the tiling is deterministic in any engine). Over ``max_distinct``
+    distinct values the curve reroutes through the COUNT-OF-COUNTS frame
+    (≤ O(√n_rows) multiplicity rows — see :func:`concentration`): every
+    value in a tie block carries the same count, so slicing blocks
+    across ntile boundaries driver-side reproduces the per-tile
+    (n_values, mass) EXACTLY with no non-partitioned Window.
     """
     if n_points < 1:
         raise ValueError(f"n_points must be >= 1, got {n_points}")
@@ -1850,6 +1905,68 @@ def lorenz_points(df: DataFrame, col: str, n_points: int = 10) -> DataFrame:
         .groupBy(c.cast("string").alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if max_distinct is not None:
+        counts = counts.persist()
+        nv = counts.count()
+        if nv <= max_distinct:
+            # exact route: the persist served only the routing count —
+            # release it so the lazy plan below owns its own lifetime
+            counts.unpersist()
+        else:
+            try:
+                blocks = (
+                    counts.groupBy("cnt")
+                    .agg(F.count(F.lit(1)).alias("m"))
+                    .orderBy("cnt")
+                    .collect()
+                )
+            finally:
+                counts.unpersist()
+            # ntile semantics: the first (nv mod n_points) tiles hold
+            # ceil(nv/n_points) values, the rest floor(nv/n_points)
+            base, rem = divmod(nv, n_points)
+            sizes = [
+                base + 1 if t < rem else base for t in range(n_points)
+            ]
+            tiles = [
+                {"n_values": 0, "mass": 0} for _ in range(n_points)
+            ]
+            t = 0
+            room = sizes[0] if sizes else 0
+            for b in blocks:
+                cnt, m = b["cnt"], b["m"]
+                while m > 0 and t < n_points:
+                    take = min(m, room)
+                    tiles[t]["n_values"] += take
+                    tiles[t]["mass"] += take * cnt
+                    m -= take
+                    room -= take
+                    if room == 0 and t + 1 < n_points:
+                        t += 1
+                        room = sizes[t]
+                    elif room == 0:
+                        t += 1  # past the last tile; m must be 0 now
+            total_v = float(sum(x["n_values"] for x in tiles))
+            total_m = float(sum(x["mass"] for x in tiles))
+            out, cum_v, cum_m = [], 0, 0
+            for i, x in enumerate(tiles):
+                if x["n_values"] == 0:
+                    continue  # ntile emits no empty tiles (nv >= n_points here anyway)
+                cum_v += x["n_values"]
+                cum_m += x["mass"]
+                out.append(
+                    (
+                        i + 1,
+                        int(x["n_values"]),
+                        stats.round_half_up(cum_v / total_v, 6),
+                        stats.round_half_up(cum_m / total_m, 6),
+                    )
+                )
+            return df.sparkSession.createDataFrame(
+                out,
+                "tile int, n_values long, cum_value_frac double, "
+                "cum_share double",
+            )
     w = Window.orderBy(F.asc("cnt"), F.asc("value"))
     tiled = counts.select(
         "cnt", F.ntile(n_points).over(w).alias("tile")
