@@ -9,6 +9,15 @@ plus a summary line as a machine-readable artifact — the driver's
 CORRECTNESS gate samples only 50 of the registry's entries, so each round
 ships ``SWEEP_rN.json`` to show the whole registry was verified, not just
 the sampled subset.
+
+``--baseline PREV.json`` diffs each query's ``spark_sec`` against a prior
+sweep artifact and flags queries that grew more than ``--regress-factor``
+(default 3x) above a 1 s floor — a plan regression in the registry's long
+tail surfaces automatically instead of via judge sampling. New regressions
+produce a nonzero exit (CI-style), listed under ``regressions`` in the
+``--json`` artifact. Host throughput swings ±50 % minute-to-minute here,
+so the 3x-over-1s bar is deliberately coarse: it catches a plan going
+quadratic, not jitter.
 """
 
 from __future__ import annotations
@@ -47,6 +56,17 @@ def main() -> int:
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        del argv[i : i + 2]
+    baseline = None
+    if "--baseline" in argv:
+        i = argv.index("--baseline")
+        with open(argv[i + 1]) as f:
+            baseline = json.load(f).get("queries", {})
+        del argv[i : i + 2]
+    regress_factor = 3.0
+    if "--regress-factor" in argv:
+        i = argv.index("--regress-factor")
+        regress_factor = float(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -124,6 +144,30 @@ def main() -> int:
             print(f"ok   {name}: {len(s_rows)} rows match ({spark_sec:.2f}s spark)")
             record(name, "match", rows=len(s_rows), sec=spark_sec)
     print(f"\n{n_fail} failures")
+    regressions = []
+    if baseline is not None:
+        floor = 1.0  # ignore sub-second legs: pure jitter territory
+        for name, r in sorted(results.items()):
+            now = r.get("spark_sec")
+            prev = (baseline.get(name) or {}).get("spark_sec")
+            if now is None or prev is None:
+                continue
+            if now > floor and now > regress_factor * max(prev, 1e-9):
+                regressions.append(
+                    {"query": name, "prev_sec": prev, "now_sec": now}
+                )
+        if regressions:
+            print(
+                f"\n{len(regressions)} sweep-time regression(s) "
+                f"(> {regress_factor:g}x over the {floor:g}s floor):"
+            )
+            for g in regressions:
+                print(
+                    f"  REGRESS {g['query']}: {g['prev_sec']:.2f}s -> "
+                    f"{g['now_sec']:.2f}s"
+                )
+        else:
+            print("no sweep-time regressions vs baseline")
     if json_out:
         statuses = [r["status"] for r in results.values()]
         doc = {
@@ -134,10 +178,12 @@ def main() -> int:
             "n_fail": n_fail,
             "queries": results,
         }
+        if baseline is not None:
+            doc["regressions"] = regressions
         with open(json_out, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
-    return 1 if n_fail else 0
+    return 1 if n_fail or regressions else 0
 
 
 if __name__ == "__main__":
