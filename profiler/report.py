@@ -57,3 +57,396 @@ def write_to_json(doc: dict, path: str) -> str:
     with open(path, "w") as f:
         json.dump(encode_it(doc), f, indent=3)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Static HTML renderer — the human-facing surface of the profile document.
+#
+# The reference ships a Streamlit viewer (reference
+# ``streamlitapp/app.py`` + ``streamlitapp/profile_functions.py``) that
+# renders the profile JSON per variable type. This is that surface minus the
+# framework: one self-contained HTML string (inline CSS, inline SVG charts,
+# zero dependencies, no network fetches) rendering the identical document —
+# overview tiles, per-type variable cards with histograms / frequency bars,
+# constraint and drift sections when present, and a generic details block so
+# EVERY key of every variable appears even as new stats are added (pinned by
+# tests/test_report_html.py against the 8-type golden-parity document).
+# ---------------------------------------------------------------------------
+
+_HTML_CSS = """
+body{font-family:-apple-system,'Segoe UI',Roboto,Helvetica,Arial,sans-serif;
+ margin:0;background:#f6f7f9;color:#1c2733;line-height:1.45}
+.wrap{max-width:1080px;margin:0 auto;padding:24px}
+h1{font-size:26px;margin:8px 0 2px}h2{font-size:19px;margin:28px 0 10px}
+.sub{color:#5b6b7b;font-size:13px;margin-bottom:18px}
+.tiles{display:flex;flex-wrap:wrap;gap:10px;margin:14px 0}
+.tile{background:#fff;border:1px solid #e3e8ee;border-radius:8px;
+ padding:10px 16px;min-width:120px}
+.tile .k{font-size:11px;text-transform:uppercase;letter-spacing:.05em;
+ color:#5b6b7b}.tile .v{font-size:20px;font-weight:600}
+.card{background:#fff;border:1px solid #e3e8ee;border-radius:10px;
+ padding:16px 18px;margin:14px 0}
+.vhead{display:flex;align-items:baseline;gap:10px}
+.vname{font-size:17px;font-weight:650}
+.badge{font-size:11px;font-weight:600;padding:2px 8px;border-radius:10px;
+ background:#e8eef7;color:#2b5797}
+.badge.fail{background:#fbe9e7;color:#b3261e}
+.badge.pass{background:#e6f4ea;color:#137333}
+table.kv{border-collapse:collapse;font-size:13px;margin:8px 0}
+table.kv td,table.kv th{border:1px solid #e9edf2;padding:3px 10px;
+ text-align:left;vertical-align:top}
+table.kv th{background:#f2f5f8;font-weight:600}
+.cols{display:flex;flex-wrap:wrap;gap:24px;align-items:flex-start}
+svg{display:block}
+details{margin-top:8px;font-size:12px;color:#49586a}
+details pre{white-space:pre-wrap;word-break:break-all;background:#f6f7f9;
+ padding:8px;border-radius:6px;max-height:260px;overflow:auto}
+.bar{fill:#5b8def}.bar:hover{fill:#2b5797}
+.axis{stroke:#c6ccd4;stroke-width:1}
+.lbl{font-size:10px;fill:#5b6b7b}
+"""
+
+
+def _esc(v: Any) -> str:
+    import html as _html
+
+    return _html.escape(str(v), quote=True)
+
+
+def _fmt(v: Any) -> str:
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return str(v)
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _kv_table(pairs: list[tuple[str, Any]]) -> str:
+    rows = "".join(
+        f"<tr><th>{_esc(k)}</th><td>{_esc(_fmt(v))}</td></tr>"
+        for k, v in pairs
+        if v is not None
+    )
+    return f'<table class="kv">{rows}</table>' if rows else ""
+
+
+def _rows_table(rows: list[dict], cols: list[str], limit: int = 15) -> str:
+    if not rows:
+        return ""
+    head = "".join(f"<th>{_esc(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>"
+        + "".join(f"<td>{_esc(_fmt(r.get(c)))}</td>" for c in cols)
+        + "</tr>"
+        for r in rows[:limit]
+    )
+    more = (
+        f'<tr><td colspan="{len(cols)}">… {len(rows) - limit} more</td></tr>'
+        if len(rows) > limit
+        else ""
+    )
+    return f'<table class="kv"><tr>{head}</tr>{body}{more}</table>'
+
+
+def _svg_histogram(hist: dict, width: int = 420, height: int = 120) -> str:
+    edges = hist.get("bin_edges") or []
+    counts = hist.get("counts") or []
+    if len(edges) < 2 or not counts:
+        return ""
+    peak = max(counts) or 1
+    n = len(counts)
+    pad, axis_h = 2, 14
+    bw = (width - 2 * pad) / n
+    bars = []
+    for i, c in enumerate(counts):
+        h = (height - axis_h - 4) * (c / peak)
+        x = pad + i * bw
+        y = height - axis_h - h
+        bars.append(
+            f'<rect class="bar" x="{x:.1f}" y="{y:.1f}" '
+            f'width="{max(bw - 1, 0.5):.1f}" height="{h:.1f}">'
+            f"<title>[{_fmt(edges[i])}, {_fmt(edges[min(i + 1, len(edges) - 1)])}): {c}</title></rect>"
+        )
+    lo, hi = _fmt(edges[0]), _fmt(edges[-1])
+    return (
+        f'<svg width="{width}" height="{height}" role="img">'
+        + "".join(bars)
+        + f'<line class="axis" x1="0" y1="{height - axis_h}" '
+        f'x2="{width}" y2="{height - axis_h}"/>'
+        f'<text class="lbl" x="{pad}" y="{height - 2}">{_esc(lo)}</text>'
+        f'<text class="lbl" x="{width - pad}" y="{height - 2}" '
+        f'text-anchor="end">{_esc(hi)}</text></svg>'
+    )
+
+
+def _svg_bars(
+    items: list[tuple[str, float]], width: int = 420, row_h: int = 18
+) -> str:
+    """Horizontal bar chart for frequency/term distributions."""
+    items = items[:12]
+    if not items:
+        return ""
+    peak = max(v for _, v in items) or 1
+    label_w = 130
+    height = row_h * len(items)
+    rows = []
+    for i, (name, v) in enumerate(items):
+        y = i * row_h
+        w = (width - label_w - 60) * (v / peak)
+        rows.append(
+            f'<text class="lbl" x="{label_w - 6}" y="{y + row_h - 6}" '
+            f'text-anchor="end">{_esc(str(name)[:22])}</text>'
+            f'<rect class="bar" x="{label_w}" y="{y + 3}" '
+            f'width="{max(w, 0.5):.1f}" height="{row_h - 7}"/>'
+            f'<text class="lbl" x="{label_w + w + 4}" y="{y + row_h - 6}">'
+            f"{_fmt(v)}</text>"
+        )
+    return f'<svg width="{width}" height="{height}" role="img">{"".join(rows)}</svg>'
+
+
+#: keys rendered by the structured blocks below; anything else (and every
+#: structured key too) additionally lands in the per-variable raw-details
+#: block, so no document key can silently disappear from the report.
+_COMMON_KEYS = (
+    "count", "num_missing", "p_missing", "n_distinct", "p_distinct",
+    "uniqueness", "memory_size",
+)
+_MOMENT_KEYS = (
+    "min", "max", "range", "sum", "average", "median", "stddev", "variance",
+    "cv", "mad", "iqr", "skewness", "kurtosis", "n_zeros", "p_zeros",
+    "n_negative", "p_negative", "n_infinite", "p_infinite",
+    "percentile5", "percentile10", "percentile25", "percentile75",
+    "percentile90", "percentile95",
+)
+_TS_KEYS = (
+    "abs_energy", "abs_sum_changes", "len_above_mean", "len_below_mean",
+    "num_peaks", "add_fuller", "stationary", "seasonal",
+)
+
+
+def _dist_items(dist: list[dict]) -> list[tuple[str, float]]:
+    """(label, count) pairs from the document's *_distribution row lists
+    (reference shape: one dict per value with a type/value/language label
+    and a count/percentage)."""
+    out = []
+    for r in dist or []:
+        label = r.get("type", r.get("value", r.get("language", "")))
+        v = r.get("count", r.get("percentage", 0))
+        out.append((str(label), float(v)))
+    return out
+
+
+def _render_variable(v: dict) -> str:
+    vtype = v.get("type", "?")
+    parts = [
+        '<div class="card">',
+        f'<div class="vhead"><span class="vname">{_esc(v.get("name"))}'
+        f'</span><span class="badge">{_esc(vtype)}</span></div>',
+        '<div class="cols">',
+        _kv_table([(k, v[k]) for k in _COMMON_KEYS if k in v]),
+    ]
+    moment_pairs = [(k, v[k]) for k in _MOMENT_KEYS if k in v]
+    if moment_pairs:
+        half = (len(moment_pairs) + 1) // 2
+        parts.append(_kv_table(moment_pairs[:half]))
+        parts.append(_kv_table(moment_pairs[half:]))
+    ts_pairs = [(k, v[k]) for k in _TS_KEYS if k in v]
+    if ts_pairs:
+        parts.append(_kv_table(ts_pairs))
+    if vtype == "DateTime":
+        parts.append(
+            _kv_table(
+                [(k, v.get(k)) for k in ("start", "end", "date_range")]
+            )
+        )
+    if vtype == "Textual":
+        parts.append(
+            _kv_table(
+                [
+                    (k, v.get(k))
+                    for k in (
+                        "ratio_uppercase", "ratio_digits",
+                        "ratio_special_characters",
+                    )
+                ]
+            )
+        )
+        for dk in ("num_chars_distribution", "num_words_distribution"):
+            d = v.get(dk)
+            if isinstance(d, dict):
+                parts.append(
+                    "<div><b>" + _esc(dk) + "</b>"
+                    + _kv_table(
+                        [
+                            (k, d[k])
+                            for k in (
+                                "min", "max", "average", "stddev", "median",
+                            )
+                            if k in d
+                        ]
+                    )
+                    + "</div>"
+                )
+        lang = _dist_items(v.get("language_distribution"))
+        if lang:
+            parts.append(
+                "<div><b>language_distribution</b>" + _svg_bars(lang) + "</div>"
+            )
+    if vtype == "Geometry":
+        parts.append(
+            _kv_table(
+                [
+                    (k, v.get(k))
+                    for k in ("crs", "mbr", "centroid", "union_convex_hull")
+                ]
+            )
+        )
+        gt = _dist_items(v.get("geom_type_distribution"))
+        if gt:
+            parts.append(
+                "<div><b>geom_type_distribution</b>" + _svg_bars(gt) + "</div>"
+            )
+        for dk in ("area_distribution", "length_distribution"):
+            d = v.get(dk)
+            if isinstance(d, dict):
+                parts.append(
+                    "<div><b>" + _esc(dk) + "</b>"
+                    + _kv_table(
+                        [
+                            (k, d[k])
+                            for k in ("min", "max", "average", "stddev")
+                            if k in d
+                        ]
+                    )
+                    + "</div>"
+                )
+    hist = v.get("histogram")
+    if isinstance(hist, dict):
+        parts.append("<div><b>histogram</b>" + _svg_histogram(hist) + "</div>")
+    freq = _dist_items(
+        v.get("frequency_distribution") or v.get("value_counts_without_nan")
+    )
+    if freq:
+        parts.append(
+            "<div><b>frequency_distribution</b>" + _svg_bars(freq) + "</div>"
+        )
+    fvc = v.get("freq_value_counts")
+    if isinstance(fvc, list) and fvc:
+        parts.append(
+            "<div><b>freq_value_counts (top)</b>"
+            + _rows_table(
+                sorted(fvc, key=lambda r: -r.get("count", 0)),
+                ["value", "count"],
+                limit=10,
+            )
+            + "</div>"
+        )
+    for fk in ("five_min_values", "five_max_values"):
+        rows = v.get(fk)
+        if isinstance(rows, list) and rows and isinstance(rows[0], dict):
+            cols = list(rows[0].keys())
+            parts.append(
+                f"<div><b>{_esc(fk)}</b>" + _rows_table(rows, cols) + "</div>"
+            )
+    parts.append("</div>")  # .cols
+    # raw details: EVERY key of the variable, so nothing is unreachable
+    parts.append(
+        "<details><summary>all recorded statistics ("
+        + str(len(v))
+        + " keys)</summary><pre>"
+        + _esc(json.dumps(encode_it(v), indent=1, sort_keys=True))
+        + "</pre></details>"
+    )
+    parts.append("</div>")
+    return "".join(parts)
+
+
+def render_html(doc: dict, title: str | None = None) -> str:
+    """Render a profile document (the :func:`assemble_profile_document` /
+    ``profile_table`` output, optionally carrying ``constraints`` and
+    ``drift`` sections) as ONE self-contained HTML page — the reference's
+    Streamlit report surface (``streamlitapp/profile_functions.py``)
+    without the framework: stdlib only, inline CSS/SVG, safe to open from
+    disk. Returns the HTML string; see :func:`write_html` for the file
+    sink."""
+    doc = encode_it(doc)
+    analysis = doc.get("analysis", {})
+    table = doc.get("table", {})
+    title = title or analysis.get("title") or "Profiling Report"
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_esc(title)}</title><style>{_HTML_CSS}</style></head>",
+        '<body><div class="wrap">',
+        f"<h1>{_esc(title)}</h1>",
+        '<div class="sub">'
+        + _esc(
+            " · ".join(
+                str(analysis[k])
+                for k in ("date_start", "duration")
+                if analysis.get(k)
+            )
+        )
+        + "</div>",
+    ]
+    tiles = [
+        ("rows", table.get("num_rows")),
+        ("columns", table.get("num_attributes")),
+        ("bytes", table.get("byte_size")),
+        ("missing cells", table.get("n_cells_missing")),
+        (
+            "missing %",
+            None
+            if table.get("p_cells_missing") is None
+            else round(table["p_cells_missing"] * 100, 3),
+        ),
+        ("profiler", table.get("profiler_type")),
+    ]
+    parts.append(
+        '<div class="tiles">'
+        + "".join(
+            f'<div class="tile"><div class="k">{_esc(k)}</div>'
+            f'<div class="v">{_esc(_fmt(v))}</div></div>'
+            for k, v in tiles
+            if v is not None
+        )
+        + "</div>"
+    )
+    types = table.get("types")
+    if types:
+        parts.append(
+            "<h2>Variable types</h2>"
+            + _rows_table(types, ["type", "count"], limit=20)
+        )
+    cons = doc.get("constraints")
+    if cons:
+        ok = cons.get("passed")
+        parts.append(
+            "<h2>Constraints "
+            + (
+                f'<span class="badge {"pass" if ok else "fail"}">'
+                + ("PASSED" if ok else "FAILED")
+                + "</span>"
+            )
+            + "</h2>"
+        )
+        summary = cons.get("summary") or []
+        if summary:
+            cols = list(summary[0].keys())
+            parts.append(_rows_table(summary, cols, limit=100))
+    drift = doc.get("drift")
+    if drift:
+        parts.append("<h2>Drift</h2>")
+        if isinstance(drift, list) and drift and isinstance(drift[0], dict):
+            parts.append(_rows_table(drift, list(drift[0].keys()), limit=100))
+    parts.append("<h2>Variables</h2>")
+    for v in doc.get("variables", []):
+        parts.append(_render_variable(v))
+    parts.append("</div></body></html>")
+    return "".join(parts)
+
+
+def write_html(doc: dict, path: str, title: str | None = None) -> str:
+    """Render ``doc`` with :func:`render_html` and write it to ``path``."""
+    with open(path, "w") as f:
+        f.write(render_html(doc, title=title))
+    return path

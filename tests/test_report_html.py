@@ -1,0 +1,142 @@
+"""Static HTML report renderer (round-4 verdict task #3): renders the
+8-type golden-parity document with zero dependencies — tables + inline-SVG
+histograms — and never drops a document key (every variable key appears in
+the page, structured or via the raw-details block)."""
+
+import datetime as dt
+import html.parser
+
+import numpy as np
+import pytest
+
+from profiler.detect import TypesDict
+from profiler.profile import ProfileConfig, profile_table
+from profiler.report import render_html, write_html
+
+from tests.test_golden_parity import GOLDEN_KEYS
+
+
+@pytest.fixture(scope="module")
+def doc(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(80):
+        rows.append(
+            (
+                base + dt.timedelta(hours=i),
+                float(np.sin(i / 3.0)) + 0.01 * i,
+                float((i * 37) % 101) + i / 7.0,
+                ["red", "green", "blue"][i % 3],
+                f"word{i} lorem ipsum Dolor{i % 7} sit amet {i}",
+                i % 2 == 0,
+                f"POINT ({i % 10}.5 {2 * (i % 7)}.25)",
+                [i, i + 1],
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "date timestamp, s1 double, x double, cat string, txt string, "
+        "flag boolean, geom string, arr array<bigint>",
+    )
+    td = TypesDict(
+        {
+            "date": {"type": "DateTime"},
+            "s1": {"type": "TimeSeries"},
+            "x": {"type": "Numeric"},
+            "cat": {"type": "Categorical"},
+            "txt": {"type": "Textual"},
+            "flag": {"type": "Boolean"},
+            "geom": {"type": "Geometry"},
+            "arr": {"type": "Unsupported"},
+        }
+    )
+    d = profile_table(
+        df,
+        types_dict=td,
+        config=ProfileConfig(
+            exact=True, ts_mode=True, ts_mode_datetime_col="date"
+        ),
+    )
+    d["constraints"] = {
+        "passed": False,
+        "summary": [
+            {
+                "constraint": "unique(conv_id,turn_idx)",
+                "severity": "error",
+                "passed": False,
+                "n_violations": 3,
+            }
+        ],
+    }
+    return d
+
+
+class _WellFormed(html.parser.HTMLParser):
+    VOID = {"meta", "br", "hr", "img", "input", "link", "line", "rect"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.stack, self.errors = [], []
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in self.VOID:
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in self.VOID:
+            return
+        if not self.stack or self.stack[-1] != tag:
+            self.errors.append(f"mismatched </{tag}> (stack={self.stack[-3:]})")
+        else:
+            self.stack.pop()
+
+
+def test_renders_all_eight_types_and_every_golden_key(doc):
+    page = render_html(doc)
+    for vtype, keys in GOLDEN_KEYS.items():
+        assert f">{vtype}<" in page, f"type badge {vtype} missing"
+        for k in keys:
+            assert k in page, f"golden key {k!r} ({vtype}) not rendered"
+    # every key of every variable appears somewhere in the page
+    for v in doc["variables"]:
+        for k in v:
+            assert k in page, f"{v['name']}.{k} dropped from the report"
+
+
+def test_page_is_selfcontained_and_wellformed(doc):
+    page = render_html(doc)
+    assert page.startswith("<!DOCTYPE html>")
+    assert "<script" not in page and "http://" not in page and "https://" not in page
+    p = _WellFormed()
+    p.feed(page)
+    assert not p.errors, p.errors[:5]
+    assert not p.stack, f"unclosed tags: {p.stack}"
+
+
+def test_svg_histogram_and_bars_present(doc):
+    page = render_html(doc)
+    assert '<svg' in page and '<rect class="bar"' in page
+    assert "frequency_distribution" in page
+    assert "histogram" in page
+
+
+def test_constraint_section_badges(doc):
+    page = render_html(doc)
+    assert "FAILED" in page and "unique(conv_id,turn_idx)" in page
+
+
+def test_write_html_roundtrip(doc, tmp_path):
+    out = write_html(doc, str(tmp_path / "report.html"))
+    body = open(out).read()
+    assert body == render_html(doc)
+
+
+def test_escaping_hostile_values(spark):
+    """Values containing markup must not break out of the page."""
+    df = spark.createDataFrame(
+        [("<script>alert(1)</script>",), ("b&c\"d'e",)], "evil string"
+    )
+    d = profile_table(df, types_dict=TypesDict({"evil": {"type": "Categorical"}}))
+    page = render_html(d)
+    assert "<script>" not in page
+    assert "&lt;script&gt;" in page
