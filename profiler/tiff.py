@@ -7,7 +7,8 @@ The reference opens every GeoTIFF with rasterio (reference
 and the baseline container format is fully public (Adobe TIFF 6.0 spec +
 OGC GeoTIFF 1.1), so this module decodes it directly:
 
-* classic (non-Big) TIFF, little- or big-endian;
+* classic (magic 42) AND BigTIFF (magic 43, 8-byte offsets/counts,
+  LONG8/SLONG8 entry types) containers, little- or big-endian;
 * strip (273/278/279) or tile (322–325) layout, edge tiles cropped;
 * chunky (PlanarConfiguration 1) or planar (2) sample storage;
 * 8/16/32/64-bit unsigned / signed / IEEE-float samples (SampleFormat);
@@ -17,10 +18,10 @@ OGC GeoTIFF 1.1), so this module decodes it directly:
   ModelTiepoint (33922), GeoKeyDirectory EPSG code (34735), and
   GDAL_NODATA (42113).
 
-Genuinely exotic containers — BigTIFF, JPEG-in-TIFF, float predictor 3,
-sub-byte samples — still raise :class:`UnsupportedTiffError` with
-guidance toward a rasterio-equipped cluster; they are the exception on
-real raster archives, not the rule.
+Genuinely exotic containers — JPEG-in-TIFF, float predictor 3, sub-byte
+samples — still raise :class:`UnsupportedTiffError` with guidance toward
+a rasterio-equipped cluster; they are the exception on real raster
+archives, not the rule.
 
 Only per-chunk byte slices ever exist in memory: the decode loop walks
 strip/tile offsets, so a caller feeding one FILE per task (the
@@ -47,26 +48,45 @@ class UnsupportedTiffError(NotImplementedError):
     """A TIFF feature outside the baseline decoder's public-spec subset."""
 
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,  # 16/17/18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 
-def _read_entries(data: bytes, bo: str) -> dict[int, tuple]:
+def _read_entries(data: bytes, bo: str, big: bool = False) -> dict[int, tuple]:
     """First-IFD tag table as ``{tag: (type, values...)}``. Multi-IFD
     files (overviews / multi-page) follow GDAL's default: the first IFD
-    is the dataset; later ones are ignored."""
-    if len(data) < 8:
+    is the dataset; later ones are ignored. ``big`` selects the BigTIFF
+    layout: 8-byte IFD offset/entry count, 20-byte entries with an
+    8-byte inline value field (vs 4/2/12/4 classic)."""
+    if len(data) < (16 if big else 8):
         raise UnsupportedTiffError("truncated TIFF header")
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
-    (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    if big:
+        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+        (n,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+        head, esize, inline = 8, 20, 8
+    else:
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        head, esize, inline = 2, 12, 4
     out: dict[int, tuple] = {}
     for i in range(n):
-        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = data[ifd_off + head + esize * i : ifd_off + head + esize * (i + 1)]
+        if big:
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            (cnt,) = struct.unpack(bo + "Q", e[4:12])
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        raw = e[8:12] if size <= 4 else None
+        vfield = e[esize - inline : esize]
+        raw = vfield if size <= inline else None
         if raw is None:
-            (off,) = struct.unpack(bo + "I", e[8:12])
+            (off,) = struct.unpack(bo + ("Q" if big else "I"), vfield)
             raw = data[off : off + size]
         if typ == 2:  # ASCII (NUL-terminated)
             out[tag] = (typ, raw[:cnt].split(b"\0")[0].decode("ascii", "replace"))
@@ -89,7 +109,10 @@ def _vals(entries: dict, tag: int, default=None) -> tuple | None:
     return e[1:] if e is not None else default
 
 
-def _byte_order(data: bytes) -> str:
+def _byte_order(data: bytes) -> tuple[str, bool]:
+    """(byte order, is_bigtiff). BigTIFF (magic 43) carries a 2-byte
+    offset width (must be 8) and a 2-byte pad (must be 0) before the
+    8-byte first-IFD offset."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -98,13 +121,15 @@ def _byte_order(data: bytes) -> str:
         raise UnsupportedTiffError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack(bo + "H", data[2:4])
     if magic == 43:
-        raise UnsupportedTiffError(
-            "BigTIFF (magic 43) is outside the baseline decoder; use a "
-            "rasterio-equipped cluster for >4 GB containers"
-        )
+        osize, pad = struct.unpack(bo + "HH", data[4:8])
+        if osize != 8 or pad != 0:
+            raise UnsupportedTiffError(
+                f"BigTIFF with offset size {osize}/pad {pad} is invalid"
+            )
+        return bo, True
     if magic != 42:
         raise UnsupportedTiffError(f"not a TIFF (magic {magic})")
-    return bo
+    return bo, False
 
 
 def _packbits(buf: bytes, expected: int) -> bytes:
@@ -254,8 +279,8 @@ def _geo(entries: dict, width: int, height: int) -> dict:
 def tiff_meta(data: bytes) -> dict:
     """Header-only parse: width/height/band count/dtype/compression plus
     the :func:`_geo` block — no pixel chunk is ever decompressed."""
-    bo = _byte_order(data)
-    entries = _read_entries(data, bo)
+    bo, big = _byte_order(data)
+    entries = _read_entries(data, bo, big)
     width = _vals(entries, 256, (0,))[0]
     height = _vals(entries, 257, (0,))[0]
     spp = _vals(entries, 277, (1,))[0]
@@ -276,8 +301,8 @@ def decode_tiff(data: bytes) -> tuple[dict, list[np.ndarray]]:
     row-major float64 array of ``width*height`` values — exactly the
     series the reference describes per band
     (``raster/profiler.py:133-143`` ``img.read(band).reshape(…)``)."""
-    bo = _byte_order(data)
-    entries = _read_entries(data, bo)
+    bo, big = _byte_order(data)
+    entries = _read_entries(data, bo, big)
     meta = tiff_meta(data)
     w, h, spp = meta["width"], meta["height"], meta["n_bands"]
     dt = np.dtype(meta["dtype"])

@@ -109,9 +109,10 @@ def test_edge_tiles_cropped(tmp_path):
 def test_unsupported_raises_with_guidance():
     import struct
 
-    bigtiff = b"II" + struct.pack("<H", 43) + b"\0" * 12
+    # malformed BigTIFF: offset size must be 8 and pad 0
+    bad_big = b"II" + struct.pack("<HHH", 43, 4, 0) + b"\0" * 8
     with pytest.raises(UnsupportedTiffError, match="BigTIFF"):
-        tiff_meta(bigtiff)
+        tiff_meta(bad_big)
     with pytest.raises(UnsupportedTiffError, match="byte-order"):
         tiff_meta(b"PNG\x00\x00\x00\x00\x00")
 
@@ -131,3 +132,44 @@ def test_unsupported_compression_names_rasterio(tmp_path):
             data[off + 8 : off + 10] = struct.pack("<H", 7)
     with pytest.raises(UnsupportedTiffError, match="rasterio"):
         decode_tiff(bytes(data))
+
+
+@pytest.mark.parametrize("comp", [1, 8, 5, 32773])
+@pytest.mark.parametrize("layout", ["strip1", "strips", "tiles"])
+def test_bigtiff_roundtrip_matrix(tmp_path, comp, layout):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte LONG8 entries)
+    round-trips bit-exactly across the same layout/compression axes as
+    classic TIFF; endianness and planar rotate with the other axes."""
+    bands = _bands("uint16")
+    planar = 2 if (comp + len(layout)) % 2 else 1
+    be = bool(comp % 2)
+    kw = {}
+    if layout == "strips":
+        kw["rows_per_strip"] = 5
+    if layout == "tiles":
+        kw["tile"] = (8, 4)
+    p = str(tmp_path / "big.tif")
+    write_tiff(
+        p, bands, compression=comp, planar=planar, big_endian=be,
+        bigtiff=True, **kw,
+    )
+    data = open(p, "rb").read()
+    assert data[2:4] in (b"+\x00", b"\x00+")  # magic 43
+    meta, out = decode_tiff(data)
+    assert (meta["width"], meta["height"], meta["n_bands"]) == (17, 13, 2)
+    for s, band in enumerate(bands):
+        assert np.array_equal(out[s], band.astype("float64").ravel())
+
+
+def test_bigtiff_geotiff_tags(tmp_path):
+    band = np.arange(110, dtype="uint8").reshape(10, 11)
+    p = str(tmp_path / "bgeo.tif")
+    write_tiff(
+        p, [band], bigtiff=True, epsg=32633, pixel_scale=(10.0, 10.0),
+        tiepoint=(500000.0, 4600000.0), nodata=-9999.0,
+    )
+    meta = tiff_meta(open(p, "rb").read())
+    assert meta["crs"] == "EPSG:32633"
+    assert meta["pixel_size_x"] == 10.0
+    assert meta["no_data_value"] == -9999.0
+    assert meta["xmin"] == 500000.0 and meta["ymax"] == 4600000.0

@@ -112,12 +112,15 @@ def write_tiff(
     tile: tuple[int, int] | None = None,
     planar: int = 1,
     big_endian: bool = False,
+    bigtiff: bool = False,
     epsg: int | None = None,
     pixel_scale: tuple[float, float] | None = None,
     tiepoint: tuple[float, float] | None = None,
     nodata: float | None = None,
 ) -> None:
-    """Write ``bands`` (equal-shape 2-D arrays) as a classic TIFF."""
+    """Write ``bands`` (equal-shape 2-D arrays) as a classic TIFF, or a
+    BigTIFF (magic 43: 16-byte header, 8-byte IFD offsets and entry
+    counts, 20-byte entries, LONG8 chunk offsets) when ``bigtiff``."""
     bo = ">" if big_endian else "<"
     h, w = bands[0].shape
     spp = len(bands)
@@ -162,21 +165,23 @@ def write_tiff(
     # ---- IFD assembly -------------------------------------------------
     entries: list[tuple[int, int, int, bytes | int]] = []
     extra = bytearray()  # out-of-line values, placed after the IFD
-    HDR = 8
+    HDR = 16 if bigtiff else 8
+    INLINE = 8 if bigtiff else 4  # inline-value field width per entry
+    off_typ = 16 if bigtiff else 4  # chunk offsets: LONG8 vs LONG
 
     def add(tag: int, typ: int, values) -> None:
-        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q"}[typ]
         size = struct.calcsize(fmt) * len(values)
         packed = struct.pack(bo + fmt * len(values), *values)
-        entries.append((tag, typ, len(values), packed if size <= 4 else None))
-        if size > 4:
+        entries.append((tag, typ, len(values), packed if size <= INLINE else None))
+        if size > INLINE:
             entries[-1] = (tag, typ, len(values), ("extra", len(extra)))
             extra.extend(packed)
 
     def add_ascii(tag: int, s: str) -> None:
         raw = s.encode("ascii") + b"\0"
-        if len(raw) <= 4:
-            entries.append((tag, 2, len(raw), raw.ljust(4, b"\0")))
+        if len(raw) <= INLINE:
+            entries.append((tag, 2, len(raw), raw.ljust(INLINE, b"\0")))
         else:
             entries.append((tag, 2, len(raw), ("extra", len(extra))))
             extra.extend(raw)
@@ -200,7 +205,7 @@ def write_tiff(
         off_tag, cnt_tag = 273, 279
     add(cnt_tag, 4, [len(c) for c in chunks])
     # chunk offsets resolved after layout below — reserve the entry
-    add(off_tag, 4, [0] * len(chunks))
+    add(off_tag, off_typ, [0] * len(chunks))
     if pixel_scale is not None:
         add(33550, 12, [pixel_scale[0], pixel_scale[1], 0.0])
     if tiepoint is not None:
@@ -213,9 +218,12 @@ def write_tiff(
 
     entries.sort(key=lambda e: e[0])
     ifd_off = HDR
-    ifd_size = 2 + 12 * len(entries) + 4
+    ifd_size = (
+        (8 + 20 * len(entries) + 8) if bigtiff else (2 + 12 * len(entries) + 4)
+    )
     extra_off = ifd_off + ifd_size
     data_off = extra_off + len(extra)
+    off_fmt = "Q" if bigtiff else "I"
     # resolve chunk offsets now that the layout is fixed
     chunk_offsets = []
     pos = data_off
@@ -225,9 +233,9 @@ def write_tiff(
     resolved = []
     for tag, typ, cnt, val in entries:
         if tag == off_tag:
-            packed = struct.pack(bo + "I" * len(chunks), *chunk_offsets)
-            if len(packed) <= 4:
-                val = packed.ljust(4, b"\0")
+            packed = struct.pack(bo + off_fmt * len(chunks), *chunk_offsets)
+            if len(packed) <= INLINE:
+                val = packed.ljust(INLINE, b"\0")
             else:
                 val = ("extra", len(extra))
                 extra.extend(packed)
@@ -242,20 +250,31 @@ def write_tiff(
     final = []
     for tag, typ, cnt, val in resolved:
         if tag == off_tag and isinstance(val, tuple) and val[0] == "extra":
-            packed = struct.pack(bo + "I" * len(chunks), *chunk_offsets2)
+            packed = struct.pack(bo + off_fmt * len(chunks), *chunk_offsets2)
             extra[val[1] : val[1] + len(packed)] = packed
         final.append((tag, typ, cnt, val))
 
     buf = bytearray()
-    buf += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
-    buf += struct.pack(bo + "H", len(final))
+    if bigtiff:
+        buf += (b"II" if bo == "<" else b"MM") + struct.pack(
+            bo + "HHHQ", 43, 8, 0, ifd_off
+        )
+        buf += struct.pack(bo + "Q", len(final))
+    else:
+        buf += (b"II" if bo == "<" else b"MM") + struct.pack(
+            bo + "HI", 42, ifd_off
+        )
+        buf += struct.pack(bo + "H", len(final))
     for tag, typ, cnt, val in final:
-        buf += struct.pack(bo + "HHI", tag, typ, cnt)
-        if isinstance(val, tuple) and val[0] == "extra":
-            buf += struct.pack(bo + "I", extra_off + val[1])
+        if bigtiff:
+            buf += struct.pack(bo + "HHQ", tag, typ, cnt)
         else:
-            buf += bytes(val).ljust(4, b"\0")[:4]
-    buf += struct.pack(bo + "I", 0)  # no next IFD
+            buf += struct.pack(bo + "HHI", tag, typ, cnt)
+        if isinstance(val, tuple) and val[0] == "extra":
+            buf += struct.pack(bo + off_fmt, extra_off + val[1])
+        else:
+            buf += bytes(val).ljust(INLINE, b"\0")[:INLINE]
+    buf += struct.pack(bo + off_fmt, 0)  # no next IFD
     buf += extra
     if tile is None and len(chunks) == 1:
         pass
