@@ -305,3 +305,44 @@ class CatalogCheckpointStore:
             .write.mode("append")
             .insertInto(self.table)
         )
+
+
+def iceberg_available(spark) -> bool:
+    """True when the iceberg-spark-runtime jar is on the driver classpath —
+    the gate :class:`IcebergCheckpointStore` checks before promising Iceberg
+    semantics (same env-gating discipline as the optional raster/NER model
+    slots: the capability is probed, never assumed)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCheckpointStore(CatalogCheckpointStore):
+    """The north rule's "Iceberg checkpoint table", literally: lineage
+    records in an Iceberg catalog table where every ``commit`` is one
+    snapshot append — atomic, serializable with concurrent writers across
+    machines (the parquet-directory store's rename trick only covers one
+    filesystem), and time-travelable, so "which partitions were done as of
+    snapshot N" is a query, not an archaeology dig.
+
+    Requires the ``iceberg-spark-runtime`` jar and a configured catalog
+    (e.g. ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``)
+    — the constructor raises immediately with setup guidance when the jar is
+    absent instead of failing later inside Spark, and the store-contract
+    tests (tests/test_checkpoint.py) parametrize over both backends,
+    skipping this one when the sandbox ships no jar."""
+
+    def __init__(self, spark, table: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on the classpath; add the "
+                "runtime jar and a SparkCatalog config "
+                "(spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                "SparkCatalog) or use ParquetCheckpointStore / "
+                "CatalogCheckpointStore(table_format='parquet')"
+            )
+        super().__init__(spark, table, table_format="iceberg")

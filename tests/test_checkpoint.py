@@ -328,3 +328,106 @@ def test_incremental_profile_commits_lineage(clean_df, tmp_path):
     assert len(done) == 8
     rec = next(iter(done.values()))
     assert rec["input_digest"] and rec["n_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Store-contract suite, parametrized over EVERY backend (round-4 verdict
+# task #5): the parquet-directory store always runs; the catalog store runs
+# through the identical code path Iceberg uses (parquet format); the real
+# Iceberg store runs whenever the runtime jar is on the classpath and is
+# SKIPPED (visibly, not silently green) when the sandbox ships no jar.
+# ---------------------------------------------------------------------------
+import uuid as _uuid
+
+import pytest
+
+
+@pytest.fixture(params=["parquet_dir", "catalog_parquet", "iceberg"])
+def any_store(request, spark, tmp_path):
+    from profiler.checkpoint import (
+        CatalogCheckpointStore,
+        IcebergCheckpointStore,
+        iceberg_available,
+    )
+
+    if request.param == "parquet_dir":
+        return ParquetCheckpointStore(str(tmp_path / "ck"))
+    name = f"ckpt_contract_{_uuid.uuid4().hex[:10]}"
+    if request.param == "catalog_parquet":
+        return CatalogCheckpointStore(spark, name, table_format="parquet")
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    return IcebergCheckpointStore(spark, name)
+
+
+def _commit(store, key, snapshot="s1", spec=BUCKET, digest=""):
+    return store.commit(
+        "tbl", snapshot, key,
+        [{"constraint": "c", "n_violations": 0, "passed": True}],
+        n_rows=10, n_violations=0,
+        partition_spec=spec, input_digest=digest,
+    )
+
+
+def test_store_contract_commit_then_completed(any_store):
+    assert any_store.completed("tbl", "s1", BUCKET) == {}
+    _commit(any_store, "3")
+    _commit(any_store, "5")
+    done = any_store.completed("tbl", "s1", BUCKET)
+    assert set(done) == {"3", "5"}
+    rec = done["3"]
+    assert rec["status"] == "done"
+    assert rec["n_rows"] == 10 and rec["n_violations"] == 0
+    assert rec["stats_digest"]
+    # a different snapshot sees nothing
+    assert any_store.completed("tbl", "s2", BUCKET) == {}
+
+
+def test_store_contract_spec_isolation(any_store):
+    """Keys committed under one bucketing expression must not satisfy a
+    resume under another — different specs name different table slices."""
+    _commit(any_store, "3", spec=BUCKET)
+    other = "CAST(pmod(xxhash64(conv_id), 4) AS STRING)"
+    assert any_store.completed("tbl", "s1", other) == {}
+    assert set(any_store.completed("tbl", "s1", BUCKET)) == {"3"}
+
+
+def test_store_contract_carry_forward(any_store):
+    rec = _commit(any_store, "7", snapshot="s1", digest="abc123")
+    latest = any_store.latest_digests("tbl", BUCKET)
+    assert latest["7"]["input_digest"] == "abc123"
+    new = any_store.carry_forward(latest["7"], "s2")
+    assert new["snapshot_id"] == "s2"
+    done2 = any_store.completed("tbl", "s2", BUCKET)
+    assert set(done2) == {"7"}
+    assert done2["7"]["stats_digest"] == rec["stats_digest"]
+
+
+def test_store_contract_drives_resume(any_store, clean_df):
+    """The full run_validation resume loop works against every backend."""
+    r1 = run_validation(
+        clean_df, transcripts_suite(), any_store, "tbl", "snapA",
+        resume_partition_expr=BUCKET,
+    )
+    assert r1.skipped_partitions == []
+    r2 = run_validation(
+        clean_df, transcripts_suite(), any_store, "tbl", "snapA",
+        resume_partition_expr=BUCKET,
+    )
+    assert len(r2.skipped_partitions) == 8
+
+
+def test_iceberg_store_gates_on_jar(spark):
+    """Without the runtime jar the constructor raises immediately with
+    setup guidance (never fails later inside Spark); with the jar this
+    test instead asserts the store constructs."""
+    from profiler.checkpoint import IcebergCheckpointStore, iceberg_available
+
+    if iceberg_available(spark):
+        store = IcebergCheckpointStore(
+            spark, f"ckpt_gate_{_uuid.uuid4().hex[:10]}"
+        )
+        assert store.table
+    else:
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            IcebergCheckpointStore(spark, "ckpt_gate_x")
