@@ -58,18 +58,27 @@ def _sf_of(path: str) -> float:
         return 0.1
 
 
-def _transcripts_path(n_turns: int) -> str:
-    """Deterministic synthetic transcripts parquet, cached across runs."""
-    path = f"/tmp/profiler_bench_transcripts_{n_turns}.parquet"
+def _transcripts_path(n_turns: int, whale_frac: float | None = None) -> str:
+    """Deterministic synthetic transcripts parquet, cached across runs.
+    ``whale_frac`` selects the skew-stress shape (one conversation owning
+    that fraction of all turns) under a distinct cache name."""
+    tag = "" if whale_frac is None else f"_whale{whale_frac:g}"
+    path = f"/tmp/profiler_bench_transcripts_{n_turns}{tag}.parquet"
     if not os.path.exists(path):
         from profiler import synth
 
-        synth.write_parquet(synth.make_transcripts(n_turns), path)
+        synth.write_parquet(
+            synth.make_transcripts(n_turns, whale_frac=whale_frac), path
+        )
     return path
 
 
 def run_transcripts_workload(
-    spark, n_turns: int, reps: int = 2, warmup: bool = True
+    spark,
+    n_turns: int,
+    reps: int = 2,
+    warmup: bool = True,
+    whale_frac: float | None = None,
 ) -> dict:
     """North-rule workload: full profile + all constraints.
 
@@ -82,7 +91,7 @@ def run_transcripts_workload(
     from profiler.constraints import transcripts_suite
     from profiler.profile import ProfileConfig, profile_table
 
-    path = _transcripts_path(n_turns)
+    path = _transcripts_path(n_turns, whale_frac=whale_frac)
     # scan parallelism comes from small row groups + the session's
     # files.maxPartitionBytes — an explicit repartition would re-shuffle the
     # whole input once per job (no cross-job shuffle reuse) and lose.
@@ -108,7 +117,9 @@ def run_transcripts_workload(
             f_val.result()
 
     if warmup:
-        warm_path = _transcripts_path(max(n_turns // 6, 10_000))
+        warm_path = _transcripts_path(
+            max(n_turns // 6, 10_000), whale_frac=whale_frac
+        )
         _run(spark.read.parquet(warm_path))
     dt = min(_timed(_run, df) for _ in range(max(reps, 1)))
     return {"rows": n_rows, "sec": dt, "turns_per_sec": n_rows / dt}
@@ -199,8 +210,14 @@ def sf1_main() -> None:
 SCALING_N, SCALING_4N = 2, 8  # see BENCH/BASELINE.md: calibrated honest window
 
 
-def scaling_main() -> None:
+def scaling_main(skew: bool = False) -> None:
     """Throughput at N vs 4N cores (same input, fresh JVMs) → efficiency.
+
+    ``--skew`` swaps the input for the skew-stress shape: a Zipf-heavy
+    conversation-size distribution where ONE conversation owns ~1% of all
+    turns (~120k consecutive turns at the 12M-turn input) — evidencing the
+    salted dense-sequence / per-conversation window paths under real key
+    skew rather than the default mild Zipf.
 
     Protocol notes (documented in BENCH/BASELINE.md):
     * Parallelism pair is local[2] → local[8]. A pure-CPU calibration job
@@ -219,8 +236,9 @@ def scaling_main() -> None:
     """
     sf = _sf_of(SF_DIR)
     n_turns = max(int(120_000_000 * sf), 100_000)
-    _transcripts_path(n_turns)  # pre-generate outside the timed runs
-    _transcripts_path(n_turns // 6)  # small warm-up input (JIT + codegen)
+    whale = 0.01 if skew else None
+    _transcripts_path(n_turns, whale_frac=whale)  # pre-generate outside the timed runs
+    _transcripts_path(n_turns // 6, whale_frac=whale)  # small warm-up input (JIT + codegen)
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     results: dict[int, list[dict]] = {SCALING_N: [], SCALING_4N: []}
     for _ in range(reps):
@@ -238,8 +256,8 @@ def scaling_main() -> None:
                 # (codegen is per-plan, not per-input-size) at a fraction of
                 # a full run's cost, keeping each leg short enough to land
                 # inside one host-weather window
-                "run_transcripts_workload(spark, %d, reps=1, warmup=False);"
-                "r = run_transcripts_workload(spark, %d, reps=1, warmup=False);"  # measured run
+                "run_transcripts_workload(spark, %d, reps=1, warmup=False, whale_frac=%r);"
+                "r = run_transcripts_workload(spark, %d, reps=1, warmup=False, whale_frac=%r);"  # measured run
                 # same-window pure-CPU calibration: what the host actually
                 # delivers to this many threads right now (normalizes away
                 # hypervisor cycle starvation from the harness's own scaling)
@@ -251,7 +269,9 @@ def scaling_main() -> None:
                     os.path.dirname(os.path.abspath(__file__)),
                     cpus,
                     n_turns // 6,
+                    whale,
                     n_turns,
+                    whale,
                 )
             )
             proc = subprocess.run(
@@ -279,7 +299,12 @@ def scaling_main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"scaling efficiency local[{SCALING_N}] -> local[{SCALING_4N}] (stand-in for N -> 4N executors)",
+                "metric": (
+                    f"scaling efficiency local[{SCALING_N}] -> local[{SCALING_4N}]"
+                    + (" on SKEWED input (1%-whale conversation)" if skew else "")
+                    + " (stand-in for N -> 4N executors)"
+                ),
+                "skew": skew,
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "rows": results[SCALING_N][0]["rows"],
@@ -299,7 +324,7 @@ def scaling_main() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling_main()
+        scaling_main(skew="--skew" in sys.argv)
     elif "--sf1" in sys.argv:
         sf1_main()
     else:

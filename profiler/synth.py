@@ -29,8 +29,16 @@ TOOLS = np.array(["search", "code", "browser", "none"])
 BASE_EPOCH = np.int64(1_754_000_000)  # 2025-08-01T00:53:20Z, fixed
 
 
-def _conv_sizes(rng: np.random.Generator, n_turns: int) -> np.ndarray:
-    """Zipf(a=1.3) conversation sizes clipped to [1, 500] + one whale ≥50x median."""
+def _conv_sizes(
+    rng: np.random.Generator,
+    n_turns: int,
+    whale_frac: float | None = None,
+) -> np.ndarray:
+    """Zipf(a=1.3) conversation sizes clipped to [1, 500] + one whale ≥50x
+    median — or, with ``whale_frac``, a whale owning that FRACTION of all
+    turns (the skew-stress shape: one conversation ≈ 1% of a 12M-turn
+    table exercises the salted dense-sequence/group paths under real key
+    skew, not just a 50x-median bump)."""
     sizes = []
     total = 0
     while total < n_turns:
@@ -41,16 +49,25 @@ def _conv_sizes(rng: np.random.Generator, n_turns: int) -> np.ndarray:
     cum = np.cumsum(sizes)
     k = int(np.searchsorted(cum, n_turns)) + 1
     sizes = sizes[:k]
-    # plant the whale: conversation 0 gets >= 50x the median size
-    whale = max(int(np.median(sizes)) * 50, 100)
+    if whale_frac is not None:
+        whale = max(int(n_turns * whale_frac), 100)
+    else:
+        # plant the whale: conversation 0 gets >= 50x the median size
+        whale = max(int(np.median(sizes)) * 50, 100)
     sizes[0] = min(whale, max(n_turns - (len(sizes) - 1), whale))
     return sizes
 
 
-def make_transcripts(n_turns: int = 5_000, seed: int = 42) -> pa.Table:
-    """Clean transcripts table with ~n_turns rows (exact count varies ±1 conv)."""
+def make_transcripts(
+    n_turns: int = 5_000,
+    seed: int = 42,
+    whale_frac: float | None = None,
+) -> pa.Table:
+    """Clean transcripts table with ~n_turns rows (exact count varies ±1
+    conv). ``whale_frac`` routes to the skew-stress size distribution
+    (see :func:`_conv_sizes`)."""
     rng = np.random.default_rng(seed)
-    sizes = _conv_sizes(rng, n_turns)
+    sizes = _conv_sizes(rng, n_turns, whale_frac=whale_frac)
     n_conv = len(sizes)
     n = int(sizes.sum())
 
