@@ -16635,3 +16635,122 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return robust_describe_by_group(ev, "event_type", "value")
+
+
+@_register(
+    "q286_ks_guarded_binned",
+    """
+    WITH counts AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             count(*) FILTER (WHERE day(ts) < 16) AS ca,
+             count(*) FILTER (WHERE day(ts) >= 16) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM counts),
+    binned AS (
+      SELECT lo + (least(greatest(floor((v - lo) / ((hi - lo) / 100.0)), 0),
+                         99) + 0.5) * ((hi - lo) / 100.0) AS mid,
+             sum(ca) AS ca, sum(cb) AS cb
+      FROM counts, b GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM binned),
+    cdf AS (
+      SELECT abs(sum(ca) OVER (ORDER BY mid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(na AS DOUBLE)
+             - sum(cb) OVER (ORDER BY mid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(nb AS DOUBLE)) AS g, na, nb
+      FROM binned, tot
+    )
+    SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           ROUND(max(g), 6) AS ks,
+           ROUND(max(g) * sqrt(any_value(na) * any_value(nb)
+                 / (any_value(na) + any_value(nb))), 6) AS ks_lambda,
+           ROUND(least(1.0, 2.0 * exp(-2.0
+                 * pow(max(g) * sqrt(any_value(na) * any_value(nb)
+                       / (any_value(na) + any_value(nb))), 2))), 6)
+             AS p_approx
+    FROM cdf
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q164, oracled end-to-end: ks_exact with
+    max_distinct=50 forces the cardinality guard (events.value has ~6.6k
+    distinct values), so the collapsed frame is re-binned into 100
+    fixed-width bucket midpoints and the KS statistic comes from the
+    driver kernel — no non-partitioned Window anywhere (the r4-verdict
+    scale fix, tests/test_drift_guard.py). The oracle replays the exact
+    same binning arithmetic in SQL, proving the binned kernel is not just
+    'close to exact' but deterministic algebra both engines agree on."""
+    from profiler.drift import ks_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_exact(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
+
+
+@_register(
+    "q287_mwu_guarded_binned",
+    """
+    WITH counts AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             count(*) FILTER (WHERE day(ts) < 16) AS ca,
+             count(*) FILTER (WHERE day(ts) >= 16) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM counts),
+    binned AS (
+      SELECT lo + (least(greatest(floor((v - lo) / ((hi - lo) / 100.0)), 0),
+                         99) + 0.5) * ((hi - lo) / 100.0) AS mid,
+             CAST(sum(ca) AS DOUBLE) AS ca, CAST(sum(cb) AS DOUBLE) AS cb
+      FROM counts, b GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ca, cb, ca + cb AS h,
+             sum(ca + cb) OVER (ORDER BY mid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (ca + cb) + ((ca + cb) + 1.0) / 2.0 AS midrank
+      FROM binned
+    ),
+    agg AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb,
+             sum(ca * midrank) AS rsum,
+             sum(h * h * h - h) AS tie
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(rsum - na * (na + 1.0) / 2.0, 4) AS u_a,
+           ROUND(na * nb - (rsum - na * (na + 1.0) / 2.0), 4) AS u_b,
+           ROUND(((rsum - na * (na + 1.0) / 2.0) - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1.0)
+                       - tie / ((na + nb) * (na + nb - 1.0)))), 4) AS z,
+           ROUND(2.0 * (rsum - na * (na + 1.0) / 2.0) / (na * nb) - 1.0, 6)
+             AS rank_biserial
+    FROM agg
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of the exact Mann-Whitney (q234's family),
+    oracled end-to-end: max_distinct=50 forces the re-bin, midranks run
+    over 100 bucket tie-groups in the driver kernel (no non-partitioned
+    Window — r4-verdict scale fix). Midrank terms are exact multiples of
+    0.5, so the sums are order-proof and both engines agree to the bit;
+    the oracle replays the identical binning + midrank algebra in SQL."""
+    from profiler.drift import mann_whitney_2s
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_2s(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
