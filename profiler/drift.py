@@ -11,6 +11,16 @@ then compared with a vectorized **Arrow-batched ``applyInPandas``** computing
 the KS statistic (max CDF gap over the shared binning) and PSI (with epsilon
 smoothing) — no per-row Python anywhere, and the expensive pass is a single
 partial-aggregated shuffle of bucket counts.
+
+The EXACT nonparametric family (ks_exact, wasserstein_exact, cvm_2s,
+anderson_darling_2s, mann_whitney_2s/_u, kruskal_wallis, lepage_2s,
+group_ks) collapses inputs to distinct-value count frames and runs CDF/rank
+algebra over them; every member carries a ``max_distinct`` cardinality guard
+(default 100k, ``None`` = always exact) that reroutes oversized continuous
+columns through a bounded fixed-width re-bin of the collapsed frame — the
+identical tie-group algebra finishes in a driver kernel with no
+non-partitioned Window anywhere (see the guard block before
+:func:`_avg_rank_map`; tripwire-pinned in tests/test_drift_guard.py).
 """
 
 from __future__ import annotations
