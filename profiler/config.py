@@ -17,7 +17,8 @@ The config contract mirrors the reference's ``config_template.json``:
         "ts_mode": false, "ts_mode_datetime_col": "date",
         "order_by": null                // extension: monotonic-flag order column
       },
-      "output": {"json": "profile.json"},
+      "output": {"json": "profile.json",
+                 "html": "profile.html"},  // optional static HTML report
       "profile": {"type": "tabular"}    // or "timeseries"
     }
 
@@ -40,7 +41,7 @@ from pyspark.sql import SparkSession
 
 from profiler import sources
 from profiler.profile import ProfileConfig, profile_table
-from profiler.report import write_to_json
+from profiler.report import write_html, write_to_json
 from profiler.schema import TypesDict
 
 
@@ -176,6 +177,9 @@ def profile_with_config(config: dict, spark: SparkSession | None = None) -> dict
     if out_path:
         write_to_json(doc, os.path.abspath(out_path))
         prepare_mapping(config)
+    out_html = output_cfg.get("html")
+    if out_html:
+        write_html(doc, os.path.abspath(out_html))
     return doc
 
 
@@ -202,7 +206,9 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
                 "output": {
                     k: v
                     for k, v in config.get("output", {}).items()
-                    if k not in ("rdf", "serialization")
+                    # html also deferred: the depth mutation below must land
+                    # in the rendered page, not the pre-mutation document
+                    if k not in ("rdf", "serialization", "html")
                 },
             }
             doc = profile_with_config(inner, spark=spark)
@@ -232,6 +238,9 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
                 # rewrite: profile_with_config wrote the pre-mutation doc
                 write_to_json(doc, os.path.abspath(out_json))
                 prepare_mapping(config)
+            out_html = config.get("output", {}).get("html")
+            if out_html:
+                write_html(doc, os.path.abspath(out_html))
             return doc
         if kind == "vector":
             config = {**config, "profile": {**config["profile"], "type": "tabular"}}
@@ -293,6 +302,9 @@ def run_profile(config: dict, spark: SparkSession | None = None) -> dict:
     if out_path:
         write_to_json(doc, os.path.abspath(out_path))
         prepare_mapping(config)
+    out_html = config.get("output", {}).get("html")
+    if out_html:
+        write_html(doc, os.path.abspath(out_html))
     return doc
 
 

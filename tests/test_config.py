@@ -329,3 +329,35 @@ def test_hierarchical_route_emits_depth_section(spark, tmp_path):
     on_disk = _json.loads(out.read_text())
     assert on_disk["table"]["depth_distribution"]["count"] == 5.0
     assert {v["name"]: v["nesting_level"] for v in on_disk["variables"]} == levels
+
+
+def test_config_html_output(spark, tmp_path):
+    """output.html renders the same document the json sink writes —
+    the CLI-reachable form of profiler.report.render_html."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from profiler.config import profile_with_config
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"a": [1.0, 2.0, 3.0, None], "b": ["x", "y", "x", "z"]}),
+        src,
+    )
+    out_json = str(tmp_path / "p.json")
+    out_html = str(tmp_path / "p.html")
+    profile_with_config(
+        {
+            "input": {"files": src},
+            "output": {"json": out_json, "html": out_html},
+            "profile": {"type": "tabular"},
+        },
+        spark=spark,
+    )
+    doc = _json.load(open(out_json))
+    page = open(out_html).read()
+    assert page.startswith("<!DOCTYPE html>")
+    for v in doc["variables"]:
+        assert v["name"] in page
