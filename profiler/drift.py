@@ -771,6 +771,22 @@ def _binned_two_sample(
     return vals, ca, cb, float(lo), float(hi)
 
 
+def _decsum(terms, ndigits: int = 7) -> float:
+    """Partial-order-proof accumulation for the driver kernels: round each
+    term to ``ndigits`` dp exactly like Spark ``F.round`` / SQL ``ROUND``
+    (HALF_UP on the shortest-repr decimal) and sum as exact Decimals —
+    the kernel mirror of the exact paths' DECIMAL(38,7) discipline, so a
+    DuckDB oracle replaying ``SUM(CAST(ROUND(term, n) AS DECIMAL(38,n)))``
+    agrees to the bit regardless of either engine's summation order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-ndigits)
+    tot = Decimal(0)
+    for t in terms:
+        tot += Decimal(repr(float(t))).quantize(q, rounding=ROUND_HALF_UP)
+    return float(tot)
+
+
 def _pooled_midranks(ca, cb):
     """Midrank per distinct (sorted) value of the pooled sample, plus the
     pooled multiplicities — the shared rank algebra of the binned kernels
@@ -2315,11 +2331,11 @@ def wasserstein_exact(
             )
         gaps = np.abs(ca.cumsum() / na - cb.cumsum() / nb)
         # segment width = distance to the next observed midpoint; the
-        # last segment contributes 0 (mirrors coalesce(lead(v), v) − v)
+        # last segment contributes 0 (mirrors coalesce(lead(v), v) − v);
+        # 7-dp decimal accumulation = the exact path's discipline, so the
+        # q290 oracle replays the sum bit-for-bit
         w1 = (
-            float((gaps[:-1] * np.diff(vals)).sum())
-            if len(vals) > 1
-            else 0.0
+            _decsum(gaps[:-1] * np.diff(vals)) if len(vals) > 1 else 0.0
         )
         rng = hi - lo
         return df_a.sparkSession.createDataFrame(
@@ -2483,7 +2499,7 @@ def cvm_2s(
             )
         nn = na + nb
         gap = ca.cumsum() / na - cb.cumsum() / nb
-        s = float(((ca + cb) * gap * gap).sum())
+        s = _decsum((ca + cb) * gap * gap)
         t = na * nb / (nn * nn) * s
         t_mean = (nn + 1) / (6.0 * nn)
         t_var = (
@@ -2624,7 +2640,7 @@ def anderson_darling_2s(
             / np.where(ok, denom, 1.0),
             0.0,
         )
-        a2 = (nn - 1) / nn * float(term.sum())
+        a2 = (nn - 1) / nn * _decsum(term)
         return df_a.sparkSession.createDataFrame(
             [(
                 int(na), int(nb),
@@ -3546,10 +3562,11 @@ def lepage_2s(
             var = na * nb * ss / (nn * (nn - 1.0)) if nn > 1 else 0.0
             return (t - mu) / var ** 0.5 if var > 0 else None
 
-        t1 = float((ca * s1).sum())
-        t2 = float((ca * s2).sum())
-        z1 = _zk(t1, float((h * s1).sum()), float((h * s1 * s1).sum()))
-        z2 = _zk(t2, float((h * s2).sum()), float((h * s2 * s2).sum()))
+        # 6-dp decimal accumulation mirrors the exact path's _dec terms
+        t1 = _decsum(ca * s1, 6)
+        t2 = _decsum(ca * s2, 6)
+        z1 = _zk(t1, _decsum(h * s1, 6), _decsum(h * s1 * s1, 6))
+        z2 = _zk(t2, _decsum(h * s2, 6), _decsum(h * s2 * s2, 6))
         lep = (
             z1 * z1 + z2 * z2 if z1 is not None and z2 is not None else None
         )

@@ -16754,3 +16754,360 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distinct=50,
         n_bins=100,
     )
+
+
+@_register(
+    "q288_concentration_guarded",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt ASC, value ASC) AS i,
+             row_number() OVER (ORDER BY cnt DESC, value ASC) AS top_i
+      FROM counts
+    ),
+    agg AS (
+      SELECT count(*) AS nv, sum(cnt) AS nr,
+             sum(CAST(i AS DOUBLE) * cnt) AS iwsum,
+             sum(CASE WHEN top_i = 1 THEN cnt ELSE 0 END) AS top1,
+             sum(CASE WHEN top_i <= 10 THEN cnt ELSE 0 END) AS topk,
+             sum(CAST(cnt AS DOUBLE) * cnt) AS sqsum
+      FROM ranked
+    )
+    SELECT CAST(nv AS BIGINT) AS n_values, CAST(nr AS BIGINT) AS n_rows,
+           ROUND(sqsum / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)), 6)
+             AS hhi,
+           ROUND(2.0 * iwsum / (nv * CAST(nr AS DOUBLE))
+                 - (nv + 1.0) / nv, 6) AS gini,
+           ROUND(top1 / CAST(nr AS DOUBLE), 6) AS top1_share,
+           ROUND(topk / CAST(nr AS DOUBLE), 6) AS topk_share
+    FROM agg
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q166's concentration panel: max_distinct=100
+    forces the count-of-counts reroute (events.user_id has 150 distinct
+    values), whose tie-block rank algebra — block of m values with count
+    c starting at rank r0 contributes c*(m*r0 + m(m-1)/2) — is EXACTLY
+    the window formula (rank weights are tie-invariant), so the oracle
+    is q166's SQL verbatim: the scale-safe route must reproduce the
+    window route to the digit, and does. No non-partitioned Window
+    (tests/test_drift_guard.py tripwire)."""
+    from profiler.profile import concentration
+
+    ev = _t(spark, sf_dir, "events")
+    return concentration(ev, "user_id", max_distinct=100)
+
+
+@_register(
+    "q289_lorenz_guarded",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tiled AS (
+      SELECT cnt, ntile(10) OVER (ORDER BY cnt ASC, value ASC) AS tile
+      FROM counts
+    ),
+    per_tile AS (
+      SELECT tile, count(*) AS n_values, sum(cnt) AS mass
+      FROM tiled GROUP BY tile
+    )
+    SELECT tile, CAST(n_values AS BIGINT) AS n_values,
+           ROUND(sum(n_values) OVER (ORDER BY tile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(n_values) OVER () AS DOUBLE), 6)
+             AS cum_value_frac,
+           ROUND(sum(mass) OVER (ORDER BY tile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(mass) OVER () AS DOUBLE), 6) AS cum_share
+    FROM per_tile ORDER BY tile
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q167's Lorenz curve: the count-of-counts
+    reroute slices tie blocks across ntile boundaries driver-side
+    (every value in a block carries the same count, so WHICH values land
+    each side of a boundary cannot change per-tile mass) — the oracle is
+    q167's windowed SQL verbatim, matched to the digit with zero
+    non-partitioned Windows on the Spark side."""
+    from profiler.profile import lorenz_points
+
+    ev = _t(spark, sf_dir, "events")
+    return lorenz_points(ev, "user_id", n_points=10, max_distinct=100)
+
+
+#: shared binned-CTE prefix for the guarded-route oracles q290-q293: the
+#: mid-month split of events.value, collapsed then re-binned into 100
+#: fixed-width midpoints — byte-identical arithmetic to
+#: profiler.drift._binned_two_sample (floor/least/greatest on doubles).
+_GUARDED_BIN_SQL = """
+    WITH counts AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             count(*) FILTER (WHERE day(ts) < 16) AS ca,
+             count(*) FILTER (WHERE day(ts) >= 16) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM counts),
+    binned AS (
+      SELECT lo + (least(greatest(floor((v - lo) / ((hi - lo) / 100.0)), 0),
+                         99) + 0.5) * ((hi - lo) / 100.0) AS mid,
+             CAST(sum(ca) AS DOUBLE) AS ca, CAST(sum(cb) AS DOUBLE) AS cb
+      FROM counts, b GROUP BY 1
+    )
+"""
+
+
+@_register(
+    "q290_wasserstein_guarded",
+    _GUARDED_BIN_SQL
+    + """
+    , tot AS (
+      SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+             (SELECT lo FROM b) AS lo, (SELECT hi FROM b) AS hi
+      FROM binned
+    ),
+    grid AS (
+      SELECT mid,
+             sum(ca) OVER (ORDER BY mid) AS cum_a,
+             sum(cb) OVER (ORDER BY mid) AS cum_b,
+             lead(mid) OVER (ORDER BY mid) AS nmid
+      FROM binned
+    ),
+    terms AS (
+      SELECT t.n_a, t.n_b, t.lo, t.hi,
+             CAST(ROUND(abs(cum_a / t.n_a - cum_b / t.n_b)
+                        * (coalesce(nmid, mid) - mid), 7)
+               AS DECIMAL(38,7)) AS t1
+      FROM grid, tot t
+    ),
+    agg AS (
+      SELECT n_a, n_b, lo, hi, sum(t1) AS w1 FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(w1 AS DOUBLE), 6) AS wasserstein,
+           ROUND(CAST(w1 AS DOUBLE) / (hi - lo), 6) AS w1_normalized
+    FROM agg
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q221's exact Wasserstein: max_distinct=50
+    reroutes through the 100-bucket driver kernel, whose 7-dp decimal
+    term accumulation mirrors the exact path's DECIMAL(38,7) discipline —
+    the oracle replays the binning + segment-width integral in SQL and
+    matches to the digit, with the normalization denominator still the
+    TRUE pooled value range (bounds are taken before binning)."""
+    from profiler.drift import wasserstein_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_exact(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
+
+
+@_register(
+    "q291_cvm_guarded",
+    _GUARDED_BIN_SQL
+    + """
+    , tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM binned),
+    grid AS (
+      SELECT ca, cb,
+             sum(ca) OVER (ORDER BY mid) AS cum_a,
+             sum(cb) OVER (ORDER BY mid) AS cum_b
+      FROM binned
+    ),
+    terms AS (
+      SELECT t.n_a, t.n_b,
+             CAST(ROUND(
+               (ca + cb)
+               * (cum_a / t.n_a - cum_b / t.n_b)
+               * (cum_a / t.n_a - cum_b / t.n_b), 7)
+             AS DECIMAL(38,7)) AS t1
+      FROM grid, tot t
+    ),
+    agg AS (SELECT n_a, n_b, sum(t1) AS s FROM terms GROUP BY 1, 2),
+    fin AS (
+      SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(s AS DOUBLE) AS s
+      FROM agg
+    ),
+    ff AS (
+      SELECT n_a, n_b,
+             na * nb / ((na + nb) * (na + nb)) * s AS t,
+             (na + nb + 1) / (6.0 * (na + nb)) AS tm,
+             (na + nb + 1) / (45.0 * (na + nb) * (na + nb))
+               * (4.0 * na * nb * (na + nb)
+                  - 3.0 * (na * na + nb * nb) - 2.0 * na * nb)
+               / (4.0 * na * nb) AS tv
+      FROM fin
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(t, 6) AS cvm_t, ROUND(tm, 6) AS t_mean,
+           CASE WHEN tv > 0 THEN ROUND((t - tm) / sqrt(tv), 4) END AS t_z
+    FROM ff
+    """,
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q225's exact Cramér–von Mises: 100-bucket
+    driver kernel with 7-dp decimal term accumulation; the oracle
+    replays the identical binned CDF algebra (Anderson's computational
+    form over bucket tie-groups) and matches to the digit."""
+    from profiler.drift import cvm_2s
+
+    ev = _t(spark, sf_dir, "events")
+    return cvm_2s(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
+
+
+@_register(
+    "q292_ad_guarded",
+    _GUARDED_BIN_SQL
+    + """
+    , tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM binned),
+    grid AS (
+      SELECT ca, cb,
+             sum(ca) OVER (ORDER BY mid) - ca / 2.0 AS ma,
+             sum(cb) OVER (ORDER BY mid) - cb / 2.0 AS mb,
+             sum(ca + cb) OVER (ORDER BY mid) - (ca + cb) / 2.0 AS ba,
+             ca + cb AS h
+      FROM binned
+    ),
+    terms AS (
+      SELECT CAST(t.n_a AS DOUBLE) AS na, CAST(t.n_b AS DOUBLE) AS nb,
+             ba * ((t.n_a + t.n_b) - ba) - (t.n_a + t.n_b) * h / 4.0
+               AS denom,
+             (t.n_a + t.n_b) * ma - t.n_a * ba AS da,
+             (t.n_a + t.n_b) * mb - t.n_b * ba AS db,
+             h
+      FROM grid, tot t
+    ),
+    acc AS (
+      SELECT na, nb,
+             CAST(ROUND(CASE WHEN denom > 0 THEN
+               (h / (na + nb)) * (da * da / na + db * db / nb) / denom
+               ELSE 0.0 END, 7) AS DECIMAL(38,7)) AS t1,
+             CASE WHEN denom > 0 THEN 0 ELSE 1 END AS degen
+      FROM terms
+    ),
+    agg AS (
+      SELECT na, nb, sum(t1) AS s, sum(degen) AS nd, count(*) AS L
+      FROM acc GROUP BY 1, 2
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN L > nd THEN
+             ROUND((na + nb - 1) / (na + nb) * CAST(s AS DOUBLE), 6)
+           END AS a2,
+           CASE WHEN L > nd THEN
+             ROUND((na + nb - 1) / (na + nb) * CAST(s AS DOUBLE) - 1.0, 6)
+           END AS a2_centered
+    FROM agg
+    """,
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q226's tie-adjusted Anderson–Darling: the
+    Scholz–Stephens A²akN weights run over 100 bucket tie-groups in the
+    driver kernel (7-dp decimal accumulation); the oracle replays the
+    identical mid-rank-adjusted algebra on the binned counts."""
+    from profiler.drift import anderson_darling_2s
+
+    ev = _t(spark, sf_dir, "events")
+    return anderson_darling_2s(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
+
+
+@_register(
+    "q293_lepage_guarded",
+    _GUARDED_BIN_SQL
+    + """
+    , g1 AS (
+      SELECT ca, cb, ca + cb AS h,
+             sum(ca + cb) OVER (
+               ORDER BY mid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(ca + cb) OVER () AS nn,
+             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+      FROM binned
+    ),
+    g2 AS (
+      SELECT n_a, n_b, ca, h,
+             cum - h + (h + 1.0) / 2.0 AS s1,
+             (cum - h + (h + 1.0) / 2.0 - (nn + 1.0) / 2.0)
+               * (cum - h + (h + 1.0) / 2.0 - (nn + 1.0) / 2.0) AS s2
+      FROM g1
+    ),
+    g3 AS (
+      SELECT n_a, n_b,
+             sum(CAST(ROUND(ca * s1, 6) AS DECIMAL(38,6))) AS t1,
+             sum(CAST(ROUND(ca * s2, 6) AS DECIMAL(38,6))) AS t2,
+             sum(CAST(ROUND(h * s1, 6) AS DECIMAL(38,6))) AS p1,
+             sum(CAST(ROUND(h * s1 * s1, 6) AS DECIMAL(38,6))) AS pq1,
+             sum(CAST(ROUND(h * s2, 6) AS DECIMAL(38,6))) AS p2,
+             sum(CAST(ROUND(h * s2 * s2, 6) AS DECIMAL(38,6))) AS pq2
+      FROM g2 GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2,
+             CAST(p1 AS DOUBLE) AS p1, CAST(pq1 AS DOUBLE) AS pq1,
+             CAST(p2 AS DOUBLE) AS p2, CAST(pq2 AS DOUBLE) AS pq2
+      FROM g3
+    ),
+    zz AS (
+      SELECT n_a, n_b, t1, t2,
+             CASE WHEN na * nb * (pq1 - (na + nb) * (p1 / (na + nb))
+                    * (p1 / (na + nb)))
+                    / ((na + nb) * (na + nb - 1.0)) > 0 THEN
+               (t1 - na * (p1 / (na + nb)))
+               / sqrt(na * nb * (pq1 - (na + nb) * (p1 / (na + nb))
+                      * (p1 / (na + nb)))
+                      / ((na + nb) * (na + nb - 1.0))) END AS z1,
+             CASE WHEN na * nb * (pq2 - (na + nb) * (p2 / (na + nb))
+                    * (p2 / (na + nb)))
+                    / ((na + nb) * (na + nb - 1.0)) > 0 THEN
+               (t2 - na * (p2 / (na + nb)))
+               / sqrt(na * nb * (pq2 - (na + nb) * (p2 / (na + nb))
+                      * (p2 / (na + nb)))
+                      / ((na + nb) * (na + nb - 1.0))) END AS z2
+      FROM fin
+    )
+    SELECT n_a, n_b, ROUND(t1, 4) AS rank_sum_a, ROUND(z1, 4) AS z_location,
+           ROUND(t2, 4) AS scale_sum_a, ROUND(z2, 4) AS z_scale,
+           ROUND(z1 * z1 + z2 * z2, 4) AS lepage_l
+    FROM zz
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q257's Lepage location+scale test: Wilcoxon
+    midranks and Mood scale scores over 100 bucket tie-groups in the
+    driver kernel, 6-dp decimal accumulation mirroring the exact path's
+    DECIMAL(38,6) terms; the oracle replays the identical SRSWOR moment
+    algebra on the binned counts."""
+    from profiler.drift import lepage_2s
+
+    ev = _t(spark, sf_dir, "events")
+    return lepage_2s(
+        ev.where(F.dayofmonth("ts") < 16),
+        ev.where(F.dayofmonth("ts") >= 16),
+        "value",
+        max_distinct=50,
+        n_bins=100,
+    )
