@@ -17111,3 +17111,137 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distinct=50,
         n_bins=100,
     )
+
+
+@_register(
+    "q294_kw_guarded",
+    """
+    WITH base AS (
+      SELECT event_type AS gk, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pairs0 AS (SELECT gk, v, count(*) AS gcnt FROM base GROUP BY 1, 2),
+    bb AS (SELECT min(v) AS lo, max(v) AS hi FROM pairs0),
+    pairs AS (
+      SELECT gk,
+             lo + (least(greatest(floor((v - lo) / ((hi - lo) / 100.0)), 0),
+                         99) + 0.5) * ((hi - lo) / 100.0) AS v,
+             sum(gcnt) AS gcnt
+      FROM pairs0, bb GROUP BY 1, 2
+    ),
+    totals AS (SELECT v, sum(gcnt) AS cnt FROM pairs GROUP BY 1),
+    rm AS (
+      SELECT v,
+             COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS r,
+             cnt * cnt * cnt - cnt AS tie3
+      FROM totals
+    ),
+    pg AS (
+      SELECT gk AS group_key, sum(gcnt) AS n_g,
+             sum(gcnt * r) / sum(gcnt) AS mean_rank
+      FROM pairs JOIN rm USING (v) GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, count(*) AS k,
+             (SELECT sum(tie3) FROM rm) AS tie3
+      FROM pg
+    ),
+    st AS (
+      SELECT n, k, tie3,
+             (SELECT sum(n_g * pow(mean_rank - (n + 1) / 2.0, 2)) FROM pg)
+               AS ss
+      FROM tot
+    )
+    SELECT pg.group_key, CAST(pg.n_g AS BIGINT) AS n_g,
+           ROUND(pg.mean_rank, 4) AS mean_rank,
+           CAST(st.n AS BIGINT) AS n, CAST(st.k AS BIGINT) AS k,
+           ROUND(12.0 / (st.n * (st.n + 1)) * st.ss, 4) AS h,
+           ROUND((12.0 / (st.n * (st.n + 1)) * st.ss)
+                 / (1.0 - st.tie3 / (pow(st.n, 3) - st.n)), 4) AS h_adj,
+           CAST(st.k - 1 AS BIGINT) AS dof
+    FROM pg, st ORDER BY group_key
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q150's Kruskal–Wallis: max_distinct=50
+    quantizes the pair frame into 100 fixed-width midpoints and the rank
+    map comes from the driver (multiples of 0.5 — order-proof sums), so
+    the H statistic runs with zero non-partitioned Windows; the oracle
+    replays q150's algebra over the identically binned values."""
+    from profiler.drift import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis(
+        ev, "value", "event_type", max_distinct=50, n_bins=100
+    )
+
+
+@_register(
+    "q295_group_ks_guarded",
+    """
+    WITH src AS (
+      SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    counts0 AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+    bb AS (SELECT min(v) AS lo, max(v) AS hi FROM counts0),
+    counts AS (
+      SELECT g,
+             lo + (least(greatest(floor((v - lo) / ((hi - lo) / 100.0)), 0),
+                         99) + 0.5) * ((hi - lo) / 100.0) AS v,
+             sum(c) AS c
+      FROM counts0, bb GROUP BY 1, 2
+    ),
+    groups AS (SELECT g, sum(c) AS n_g FROM counts GROUP BY 1),
+    vals0 AS (SELECT v, sum(c) AS c_all FROM counts GROUP BY v),
+    vals AS (
+      SELECT v, sum(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_all FROM vals0
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM counts),
+    grid AS (
+      SELECT g, n_g, v, cum_all, coalesce(c, 0) AS c
+      FROM (SELECT * FROM vals CROSS JOIN groups) gr
+      LEFT JOIN counts USING (g, v)
+    ),
+    cums AS (
+      SELECT g, n_g, cum_all,
+             sum(c) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_g
+      FROM grid
+    ),
+    ks0 AS (
+      SELECT g, n_g,
+             max(abs(cum_g / CAST(n_g AS DOUBLE) - cum_all / nn)) AS ks,
+             any_value(nn) AS nn
+      FROM cums CROSS JOIN tot GROUP BY g, n_g
+    ),
+    lam AS (
+      SELECT g, n_g, ks,
+             ks * sqrt(n_g * nn / (n_g + nn)) AS l
+      FROM ks0
+    )
+    SELECT g AS event_type, CAST(n_g AS BIGINT) AS n_group,
+           ROUND(ks, 6) AS ks, ROUND(l, 6) AS ks_lambda,
+           ROUND(least(1.0, 2.0 * exp(-2.0 * l * l)), 6) AS p_approx
+    FROM lam ORDER BY event_type
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED route of q175's per-group KS vs global: the (g, v)
+    collapse is re-binned to 100 midpoints, the GLOBAL CDF becomes a
+    driver-computed literal (no non-partitioned Window; the per-group
+    cumulative keeps its group-partitioned window), and the
+    |groups|-row result returns as a literal frame. Oracle replays
+    q175's grid algebra over the identically binned values."""
+    from profiler.drift import group_ks
+
+    ev = _t(spark, sf_dir, "events")
+    return group_ks(
+        ev, "value", "event_type", max_distinct=50, n_bins=100
+    )
