@@ -218,3 +218,50 @@ def test_wasserstein_guard_matches_known_shift(spark):
     ).collect()[0]
     assert abs(r["wasserstein"] - 2.0) < 0.05
     assert r["w1_normalized"] is not None
+
+
+def test_guard_edge_cases_degenerate_inputs(spark):
+    """Degenerate shapes must not crash either route: empty side,
+    constant column (hi == lo keeps the quantizer off), all-null."""
+    import profiler.drift as DD
+    from pyspark.sql import functions as FF
+
+    empty = spark.createDataFrame([], "v double")
+    some = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    r = DD.ks_exact(some, empty, "v", max_distinct=5, n_bins=8).collect()[0]
+    assert r["n_b"] == 0 and r["ks"] is None
+    # empty input can never exceed max_distinct, so it stays on the exact
+    # route, whose empty-input envelope is a 0-row frame (pre-existing)
+    assert (
+        DD.wasserstein_exact(empty, empty, "v", max_distinct=5).count() == 0
+    )
+    # constant column: one distinct value <= max_distinct, exact route
+    const = spark.createDataFrame([(1.0,)] * 40, "v double")
+    r = DD.cvm_2s(const, const, "v", max_distinct=5, n_bins=8).collect()[0]
+    assert r["n_a"] == 40 and r["cvm_t"] is not None
+    # constant-valued groups through the quantizer guard: _quantize sees
+    # hi == lo and declines (stays exact) — must still answer
+    two = spark.createDataFrame(
+        [("a", 1.0)] * 20 + [("b", 1.0)] * 20, "g string, v double"
+    )
+    out = DD.kruskal_wallis(two, "v", "g", max_distinct=0).collect()
+    assert {r["group_key"] for r in out} == {"a", "b"}
+    # all-null column
+    nul = spark.createDataFrame([(None,)] * 30, "v double")
+    r = DD.ks_exact(nul, nul, "v", max_distinct=5).collect()[0]
+    assert r["n_a"] == 0 and r["ks"] is None
+
+
+def test_concentration_guard_empty_and_tiny(spark):
+    from profiler.profile import concentration, lorenz_points
+
+    empty = spark.createDataFrame([], "u string")
+    assert concentration(empty, "u", max_distinct=5).count() == 0
+    tiny = spark.createDataFrame([("x",), ("y",), ("y",)], "u string")
+    exact = concentration(tiny, "u", max_distinct=None).collect()[0]
+    guarded = concentration(tiny, "u", max_distinct=1).collect()[0]
+    assert guarded.asDict() == exact.asDict()
+    # fewer values than tiles: both routes emit the same non-empty tiles
+    le = lorenz_points(tiny, "u", n_points=10, max_distinct=None).collect()
+    lg = lorenz_points(tiny, "u", n_points=10, max_distinct=1).collect()
+    assert [r.asDict() for r in lg] == [r.asDict() for r in le]
