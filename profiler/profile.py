@@ -1710,6 +1710,73 @@ def benford_test(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def summation_test(df: DataFrame, col: str) -> DataFrame:
+    """Nigrini's SUMMATION test — the value-sum complement of
+    :func:`benford2_test`: group the column by FIRST-TWO significant
+    digits (same libm edge fold) but accumulate Σ|value| per pair
+    instead of counting. For Benford-conforming data the per-pair sums
+    come out near-UNIFORM (each ≈ total/90), so a spike localizes a few
+    enormous anomalous amounts that the count-based tests dilute away —
+    the classic "two giant invoices hiding among a million normal ones"
+    screen. One row per pair in the full 10..99 domain: (digits, n_obs,
+    sum_value, sum_share, expected_share = 1/90, excess_ratio =
+    share/expected).
+
+    Plan: identical envelope to :func:`benford2_test` — ONE ≤90-bucket
+    hash aggregate unioned with the literal zero grid (no join), value
+    sums as 6-dp DECIMAL(38,6) accumulations (partial-order-proof), the
+    total as a window on the bounded frame.
+    """
+    v = F.col(col).cast("double")
+    a = F.abs(v)
+    raw2 = F.floor(
+        a / F.pow(F.lit(10.0), F.floor(F.log10(a)) - 1)
+    ).cast("long")
+    p2 = (
+        F.when(raw2 < 10, raw2 * 10)
+        .when(raw2 >= 100, F.floor(raw2 / 10).cast("long"))
+        .otherwise(raw2)
+    )
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & (a > 0)
+    ).select(p2.alias("digits"), a.alias("__a"))
+    observed = base.groupBy("digits").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.round(F.col("__a"), 6).cast("decimal(38,6)")).alias(
+            "__s"
+        ),
+    )
+    grid = (
+        df.sparkSession.range(10, 100)
+        .select(
+            F.col("id").cast("long").alias("digits"),
+            F.lit(0).cast("long").alias("n_obs"),
+            F.lit(0).cast("decimal(38,6)").alias("__s"),
+        )
+    )
+    counts = observed.unionByName(grid).groupBy("digits").agg(
+        F.sum("n_obs").alias("n_obs"), F.sum("__s").alias("__s")
+    )
+    wf = Window.partitionBy()
+    framed = counts.select(
+        "digits",
+        "n_obs",
+        F.col("__s").cast("double").alias("__sv"),
+        F.sum("__s").over(wf).cast("double").alias("__tot"),
+    )
+    share = F.when(
+        F.col("__tot") > 0, F.col("__sv") / F.col("__tot")
+    )
+    return framed.select(
+        "digits",
+        "n_obs",
+        F.round("__sv", 4).alias("sum_value"),
+        F.round(share, 6).alias("sum_share"),
+        F.round(F.lit(1.0 / 90.0), 6).alias("expected_share"),
+        F.round(share * 90.0, 4).alias("excess_ratio"),
+    ).orderBy("digits")
+
+
 def equidepth_histogram(df: DataFrame, col: str, n_buckets: int = 10) -> DataFrame:
     """Equi-DEPTH histogram: bucket edges at the 1/n … (n−1)/n quantiles so
     each bucket holds ≈ the same row count — the histogram shape that stays

@@ -17245,3 +17245,58 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_ks(
         ev, "value", "event_type", max_distinct=50, n_bins=100
     )
+
+
+@_register(
+    "q296_summation_test",
+    """
+    WITH base AS (
+      SELECT CAST(floor(abs(CAST(value AS DOUBLE))
+               / pow(10.0, floor(log10(abs(CAST(value AS DOUBLE)))) - 1))
+             AS BIGINT) AS raw,
+             abs(CAST(value AS DOUBLE)) AS a
+      FROM events WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) > 0
+    ),
+    folded AS (
+      SELECT CASE WHEN raw < 10 THEN raw * 10
+                  WHEN raw >= 100 THEN CAST(floor(raw / 10) AS BIGINT)
+                  ELSE raw END AS digits, a
+      FROM base
+    ),
+    obs AS (
+      SELECT digits, count(*) AS n_obs,
+             sum(CAST(ROUND(a, 6) AS DECIMAL(38,6))) AS s
+      FROM folded GROUP BY 1
+    ),
+    counts AS (
+      SELECT digits, CAST(sum(n_obs) AS BIGINT) AS n_obs, sum(s) AS s
+      FROM (
+        SELECT digits, n_obs, s FROM obs
+        UNION ALL
+        SELECT range AS digits, 0 AS n_obs,
+               CAST(0 AS DECIMAL(38,6)) AS s FROM range(10, 100)
+      ) GROUP BY 1
+    ),
+    framed AS (
+      SELECT digits, n_obs, CAST(s AS DOUBLE) AS sv,
+             CAST(sum(s) OVER () AS DOUBLE) AS tot
+      FROM counts
+    )
+    SELECT digits, n_obs, ROUND(sv, 4) AS sum_value,
+           ROUND(CASE WHEN tot > 0 THEN sv / tot END, 6) AS sum_share,
+           ROUND(1.0 / 90.0, 6) AS expected_share,
+           ROUND(CASE WHEN tot > 0 THEN sv / tot END * 90.0, 4)
+             AS excess_ratio
+    FROM framed ORDER BY digits
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini SUMMATION test (:func:`profiler.profile.summation_test`):
+    per first-two-digit pair, Σ|value| instead of a count — uniform
+    (each ≈ 1/90 of the total) under Benford-conforming data, so a
+    spike localizes a few enormous anomalous amounts the count tests
+    dilute. Same one-aggregate + zero-grid envelope as q283, value sums
+    as DECIMAL(38,6)."""
+    from profiler.profile import summation_test
+
+    return summation_test(_t(spark, sf_dir, "events"), "value")

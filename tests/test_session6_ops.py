@@ -1368,3 +1368,26 @@ def test_robust_group_describe_whale_proof(spark):
     assert out["a"]["mad_sigma"] < 20
     assert out["b"]["n"] == 100
     assert abs(out["b"]["median"] - 10) < 0.5
+
+
+def test_summation_test_localizes_whale_amounts(spark):
+    """Uniform-ish per-pair sums on lognormal data; two giant amounts
+    planted at first-two-digits 42 must spike that pair's excess_ratio
+    while the count-based benford2 barely moves."""
+    from profiler.profile import summation_test
+
+    rng = np.random.default_rng(77)
+    vals = [float(np.exp(v)) for v in rng.uniform(0, 9, 20000)]
+    clean = spark.createDataFrame([(v,) for v in vals], "value double")
+    r = {row["digits"]: row for row in summation_test(clean, "value").collect()}
+    assert len(r) == 90
+    # Benford-conforming: no pair wildly over uniform
+    assert max(row["excess_ratio"] for row in r.values()) < 6
+    # plant two enormous 42... amounts (>> the clean total of ~2e7)
+    spiked = spark.createDataFrame(
+        [(v,) for v in vals + [4.2e12, 4.29e12]],
+        "value double",
+    )
+    s = {row["digits"]: row for row in summation_test(spiked, "value").collect()}
+    assert s[42]["excess_ratio"] > 80      # the pair owns ~all the mass
+    assert s[42]["n_obs"] == r[42]["n_obs"] + 2  # but only 2 more rows
