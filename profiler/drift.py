@@ -731,13 +731,17 @@ def _binned_two_sample(
     <= ``n_bins`` fixed-width bucket midpoints and collect it (bounded
     driver transfer). The collapse is persisted for the two actions
     (bounds, then buckets) so the raw inputs are scanned exactly once.
-    Returns ``(vals, ca, cb, lo, hi)`` sorted numpy arrays, or ``None``
-    for an empty frame."""
+    NaN values (which :func:`ks_exact`'s exact path admits — both
+    engines order them consistently as largest) are EXCLUDED here: a
+    fixed-width grid has no NaN bucket, and Spark's min/max would
+    otherwise poison the bounds. Returns ``(vals, ca, cb, lo, hi)``
+    sorted numpy arrays, or ``None`` for an empty frame."""
     import numpy as np
 
-    counts = counts.persist()
+    cached = counts.persist()
     try:
         v = F.col(val_col).cast("double")
+        counts = cached.where(~F.isnan(v))
         b = counts.agg(
             F.min(v).alias("lo"), F.max(v).alias("hi")
         ).collect()[0]
@@ -764,7 +768,7 @@ def _binned_two_sample(
             .collect()
         )
     finally:
-        counts.unpersist()
+        cached.unpersist()
     vals = np.array([r["__mid"] for r in rows], dtype=float)
     ca = np.array([r["ca"] for r in rows], dtype=float)
     cb = np.array([r["cb"] for r in rows], dtype=float)

@@ -265,3 +265,20 @@ def test_concentration_guard_empty_and_tiny(spark):
     le = lorenz_points(tiny, "u", n_points=10, max_distinct=None).collect()
     lg = lorenz_points(tiny, "u", n_points=10, max_distinct=1).collect()
     assert [r.asDict() for r in lg] == [r.asDict() for r in le]
+
+
+def test_guard_binned_route_survives_nan(spark):
+    """ks_exact's exact path admits NaN (both engines order it largest);
+    the binned route must EXCLUDE it rather than let it poison the
+    fixed-width bounds."""
+    import profiler.drift as DD
+
+    rows = [(float(i),) for i in range(200)] + [(float("nan"),)] * 5
+    a = spark.createDataFrame(rows, "v double")
+    b = spark.createDataFrame(
+        [(float(i) + 30.0,) for i in range(200)], "v double"
+    )
+    r = DD.ks_exact(a, b, "v", max_distinct=50, n_bins=64).collect()[0]
+    assert r["n_a"] == 200  # the 5 NaN rows are excluded on this route
+    assert r["n_b"] == 200
+    assert 0.0 < r["ks"] <= 1.0 and r["ks"] == r["ks"]  # finite, not NaN
